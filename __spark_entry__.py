@@ -1,10 +1,12 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the gemmsql engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (feature gram matrix — the
+engine's minimal monoidal map-reduce, SURVEY.md §7 step 2) at sf0.001.
+``queries()`` exposes every implemented operator; ``oracle_sql()`` gives
+the DuckDB ANSI-SQL twin for each (hash-compared at sf0.01).
+
+Float discipline: every float output column is ROUND(CAST(. AS DOUBLE), 6)
+on BOTH sides (FIXTURES.md tolerance rule); ids are BIGINT on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +14,209 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- helpers
+
+def _vec(spark: SparkSession, sf_dir: str):
+    from gemmsql.datamodel import embeddings_vectors
+
+    return embeddings_vectors(spark, sf_dir)
+
+
+def _r(col: str):
+    return F.round(F.col(col).cast("double"), 6)
+
+
+# DuckDB CTE: embeddings exploded to COO (i, j, v), 0-based dims, double.
+_COO = (
+    "coo AS (SELECT vec_id AS i,"
+    " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,"
+    " CAST(unnest(embedding) AS DOUBLE) AS v"
+    " FROM embeddings)"
+)
+
+# DuckDB CTE: pairwise scores s[qi,ki] = pred_qi . trg_ki (self-factored)
+_SCORES = (
+    _COO + ", scores AS (SELECT a.i AS qi, b.i AS ki, SUM(a.v * b.v) AS s"
+    " FROM coo a JOIN coo b USING (j) GROUP BY a.i, b.i)"
+    ", lse AS (SELECT qi, MAX(s) AS mx FROM scores GROUP BY qi)"
+    ", z AS (SELECT s.qi, l.mx + LN(SUM(EXP(s.s - l.mx))) AS z"
+    " FROM scores s JOIN lse l USING (qi) GROUP BY s.qi, l.mx)"
+)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.ops import gram
+
+    g = gram(_vec(spark, sf_dir))
+    return g.select(
+        F.col("j1").cast("long").alias("j1"),
+        F.col("j2").cast("long").alias("j2"),
+        _r("v").alias("val"),
+    )
+
+
+def q_relu_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.ops import gram
+
+    g = gram(_vec(spark, sf_dir))
+    return g.select(
+        F.col("j1").cast("long").alias("j1"),
+        F.col("j2").cast("long").alias("j2"),
+        F.round(F.greatest(F.col("v"), F.lit(0.0)), 6).alias("val"),
+    )
+
+
+def _weights(spark: SparkSession, sf_dir: str):
+    """W = X^T X / N, the deterministic small weight matrix used by the
+    MLP query (driver tables carry no weights; reference generates random
+    ones, mlp.py:84-86 — here a data-derived deterministic stand-in)."""
+    import numpy as np
+    from gemmsql.ops import gram
+
+    vec = _vec(spark, sf_dir)
+    n = vec.count()
+    gp = gram(vec).toPandas().sort_values(["j1", "j2"])
+    d = int(gp["j1"].max()) + 1
+    return vec, (gp["v"].to_numpy().reshape(d, d) / n)
+
+
+def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.ops import mlp
+
+    vec, w = _weights(spark, sf_dir)
+    y = mlp(vec.select("i", "vec"), w, w)
+    return y.select(
+        "i", F.posexplode("vec").alias("k", "v")
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("k").cast("long").alias("k"),
+        _r("v").alias("val"),
+    )
+
+
+def q_attention(spark: SparkSession, sf_dir: str, scale: bool = False) -> DataFrame:
+    from gemmsql.ops import attention_blocked
+
+    vec = _vec(spark, sf_dir).select("i", "vec")
+    out = attention_blocked(vec, vec, scale=scale)
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("d").cast("long").alias("d"),
+        _r("val").alias("val"),
+    )
+
+
+def q_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.ops import xentropy
+
+    vec = _vec(spark, sf_dir)
+    out = xentropy(vec.select("i", "vec", "label"), vec.select("i", "vec"))
+    return out.select(
+        F.col("i").cast("long").alias("i"), _r("loss").alias("loss")
+    )
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.ops import row_entropy
+
+    vec = _vec(spark, sf_dir).select("i", "vec")
+    out = row_entropy(vec, vec)
+    return out.select(
+        F.col("i").cast("long").alias("i"), _r("entropy").alias("entropy")
+    )
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.ops import sample_categorical
+
+    vec = _vec(spark, sf_dir).select("i", "vec")
+    out = sample_categorical(vec, vec, seed=42)
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        _r("prob").alias("prob"),
+        F.col("choice").cast("long").alias("choice"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: feature gram matrix of the embeddings table at sf0.001 —
+    map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
+    return q_gram(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "gram": q_gram,
+        "relu_gram": q_relu_gram,
+        "mlp": q_mlp,
+        "attention": q_attention,
+        "attention_scaled": lambda s, d: q_attention(s, d, scale=True),
+        "xentropy": q_xentropy,
+        "entropy": q_entropy,
+        "sampling": q_sampling,  # stochastic: rows-only (no oracle), like the reference
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    gram_sql = (
+        f"WITH {_COO} SELECT a.j AS j1, b.j AS j2,"
+        " ROUND(CAST(SUM(a.v * b.v) AS DOUBLE), 6) AS val"
+        " FROM coo a JOIN coo b USING (i) GROUP BY a.j, b.j"
+    )
+    relu_gram_sql = (
+        f"WITH {_COO} SELECT a.j AS j1, b.j AS j2,"
+        " ROUND(CAST(GREATEST(SUM(a.v * b.v), 0.0) AS DOUBLE), 6) AS val"
+        " FROM coo a JOIN coo b USING (i) GROUP BY a.j, b.j"
+    )
+    mlp_sql = (
+        f"WITH {_COO},"
+        " n AS (SELECT COUNT(*) AS n FROM embeddings),"
+        " w AS (SELECT a.j AS i, b.j AS k, SUM(a.v * b.v) / MAX(n.n) AS v"
+        "   FROM coo a JOIN coo b USING (i) CROSS JOIN n GROUP BY a.j, b.j),"
+        " h AS (SELECT x.i, w.k AS j, GREATEST(SUM(x.v * w.v), 0.0) AS v"
+        "   FROM coo x JOIN w ON x.j = w.i GROUP BY x.i, w.k)"
+        " SELECT h.i AS i, w.k AS k,"
+        " ROUND(CAST(SUM(h.v * w.v) AS DOUBLE), 6) AS val"
+        " FROM h JOIN w ON h.j = w.i GROUP BY h.i, w.k"
+    )
+    att_body = (
+        " SELECT s.qi AS i, v.j AS d,"
+        " ROUND(CAST(SUM(EXP(s.s - z.z) * v.v) AS DOUBLE), 6) AS val"
+        " FROM scores s JOIN z USING (qi) JOIN coo v ON s.ki = v.i"
+        " GROUP BY s.qi, v.j"
+    )
+    attention_sql = f"WITH {_SCORES}{att_body}"
+    scaled_scores = _SCORES.replace(
+        "SUM(a.v * b.v) AS s",
+        "SUM(a.v * b.v) / SQRT((SELECT COUNT(DISTINCT j) FROM coo)) AS s",
+    )
+    attention_scaled_sql = f"WITH {scaled_scores}{att_body}"
+    xentropy_sql = (
+        f"WITH {_SCORES}"
+        " SELECT z.qi AS i, ROUND(CAST(z.z - s.s AS DOUBLE), 6) AS loss"
+        " FROM z JOIN embeddings e ON z.qi = e.vec_id"
+        " JOIN scores s ON s.qi = z.qi AND s.ki = CAST(e.label AS BIGINT)"
+    )
+    entropy_sql = (
+        f"WITH {_SCORES}"
+        " SELECT s.qi AS i,"
+        " ROUND(CAST(MAX(z.z) - SUM(EXP(s.s - z.z) * s.s) AS DOUBLE), 6)"
+        " AS entropy"
+        " FROM scores s JOIN z USING (qi) GROUP BY s.qi"
+    )
+    return {
+        "gram": gram_sql,
+        "relu_gram": relu_gram_sql,
+        "mlp": mlp_sql,
+        "attention": attention_sql,
+        "attention_scaled": attention_scaled_sql,
+        "xentropy": xentropy_sql,
+        "entropy": entropy_sql,
+        # "sampling": omitted — stochastic; driver records rows-only check
+        # (mirrors the reference's own untested sampling, sampling.py:67-75)
+    }

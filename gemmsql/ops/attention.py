@@ -1,0 +1,119 @@
+"""Attention: ``out[m] = sum_n softmax_n(q_m . k_n) v_n``.
+
+Reference semantics: unscaled softmax(Q K^T) V in the Python path
+(reference attention.py:72-73); 1/sqrt(F) scaling only in the C++ dense
+op (cpp_src/custom_attention.cpp:26-29) — exposed here as ``scale=``.
+
+Two physical strategies, identical results:
+
+- :func:`attention_coo` — pure relational: score join + two-pass
+  logsumexp + softmax-weighted value aggregate.  Every step is a
+  Catalyst hash aggregate; the full M x N score matrix exists only as a
+  shuffled stream, never materialized per-node (the reference's whole
+  point, README.md:19-21, holds natively).
+- :func:`attention_blocked` — the tiled fast path: per (query-block,
+  kv-block) NumPy online-softmax partials (reference attention.py:5-9)
+  merged per row in log space (the FlashAttention merge,
+  attention.py:31-36) by SQL aggregates.
+
+Output is COO ``(i, d, val)`` — row i of the M x D result, dimension d.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gemmsql.numerics import group_logsumexp
+from gemmsql.ops._blocked import blocked_partials, broadcast_right_partials
+
+
+def attention_scores(q_coo: DataFrame, k_coo: DataFrame, *, scale: bool = False) -> DataFrame:
+    """Score matrix S = Q K^T in COO: join on the feature dim + sum."""
+    k2 = k_coo.select(
+        F.col("i").alias("ki"), F.col("j").alias("kj"), F.col("v").alias("kv")
+    )
+    s = (
+        q_coo.join(k2, q_coo["j"] == k2["kj"])
+        .groupBy(q_coo["i"].alias("qi"), F.col("ki"))
+        .agg(F.sum(F.col("v") * F.col("kv")).alias("s"))
+    )
+    if scale:
+        # dim count from the q side; constant per query set
+        f = q_coo.select(F.countDistinct("j")).first()[0]
+        s = s.withColumn("s", F.col("s") / float(np.sqrt(f)))
+    return s
+
+
+def attention_coo(
+    q_coo: DataFrame, k_coo: DataFrame, v_coo: DataFrame, *, scale: bool = False
+) -> DataFrame:
+    """Relational attention -> ``(i, d, val)``."""
+    s = attention_scores(q_coo, k_coo, scale=scale)
+    z = group_logsumexp(s, ["qi"], "s", "z")
+    v2 = v_coo.select(
+        F.col("i").alias("vi"), F.col("j").alias("d"), F.col("v").alias("vv")
+    )
+    return (
+        s.join(z, "qi")
+        .join(v2, F.col("ki") == F.col("vi"))
+        .groupBy(F.col("qi").alias("i"), F.col("d"))
+        .agg(F.sum(F.exp(F.col("s") - F.col("z")) * F.col("vv")).alias("val"))
+    )
+
+
+def _attention_kernel(scale: bool):
+    def kernel(lids, lmat, _extra, rids, rmat) -> pd.DataFrame:
+        # kv vector layout: first half = key, second half = value when
+        # key is value (self-attention uses the same vec); callers that
+        # need distinct K/V pass them via attention_blocked_kv below.
+        s = lmat @ rmat.T
+        if scale:
+            s /= np.sqrt(lmat.shape[1])
+        # online softmax partial (reference attention.py:5-9)
+        z = np.logaddexp.reduce(s, axis=1)
+        w = np.exp(s - z[:, None])
+        v = w @ rmat  # V == K here; overridden in the KV variant
+        return pd.DataFrame({"i": lids, "z": z, "v": list(v)})
+
+    return kernel
+
+
+def attention_blocked(
+    q_vec: DataFrame,
+    kv_vec: DataFrame,
+    *,
+    scale: bool = False,
+    block: int = 4096,
+    broadcast_kv: bool = False,
+) -> DataFrame:
+    """Tiled self-attention (K == V == ``kv_vec``) -> ``(i, d, val)``.
+
+    Stage 1: per-tile partials ``(i, z_b, v_b)``; stage 2: log-space
+    merge per row: ``z = logsumexp_b(z_b)``, ``val_d = sum_b
+    exp(z_b - z) * v_b[d]`` — associative and order-independent, the
+    exact ``binary_reduce`` of reference attention.py:31-36.
+    """
+    kernel = _attention_kernel(scale)
+    schema = "i long, z double, v array<double>"
+    if broadcast_kv:
+        partials = broadcast_right_partials(q_vec, kv_vec, kernel, schema)
+    else:
+        partials = blocked_partials(
+            q_vec, kv_vec, kernel, schema,
+            left_block=block, right_block=block,
+        )
+    z = group_logsumexp(partials, ["i"], "z", "zt")
+    return (
+        partials.join(z, "i")
+        .select(
+            "i",
+            F.exp(F.col("z") - F.col("zt")).alias("w"),
+            F.posexplode("v").alias("d", "pv"),
+        )
+        .groupBy("i", F.col("d").cast("long").alias("d"))
+        .agg(F.sum(F.col("w") * F.col("pv")).alias("val"))
+    )

@@ -1,0 +1,67 @@
+"""Shannon entropy of ``softmax(pred @ trg^T)`` rows (reference entropy.py).
+
+``H[m] = z_m - sum_n softmax(s)_mn * s_mn`` where ``z = logsumexp``
+(oracle: -sum p log p, entropy.py:56-58).
+
+Monoid (entropy.py:18-23): ``(p, n)`` with p merged by logaddexp and n —
+an *unnormalized softmax-weighted score sum* ``sum(exp(s - p_b) * s)`` —
+merged by the weighted-average rule ``n = n_a e^{p_a - p} + n_b e^{p_b - p}``.
+That merge is order-independent, so in SQL it collapses to one global
+two-pass aggregate.  Backward is NOT implemented in the reference
+(entropy.py:14-16) and intentionally not here either.  Output ``(i, entropy)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gemmsql.numerics import group_logsumexp
+from gemmsql.ops._blocked import blocked_partials
+from gemmsql.ops.attention import attention_scores
+
+
+def row_entropy_coo(pred_coo: DataFrame, trg_coo: DataFrame) -> DataFrame:
+    s = attention_scores(pred_coo, trg_coo)
+    z = group_logsumexp(s, ["qi"], "s", "z")
+    return (
+        s.join(z, "qi")
+        .groupBy(F.col("qi").alias("i"))
+        .agg(
+            (
+                F.max("z")
+                - F.sum(F.exp(F.col("s") - F.col("z")) * F.col("s"))
+            ).alias("entropy")
+        )
+    )
+
+
+def _entropy_kernel(lids, lmat, _extra, rids, rmat) -> pd.DataFrame:
+    s = lmat @ rmat.T
+    p = np.logaddexp.reduce(s, axis=1)
+    n = (np.exp(s - p[:, None]) * s).sum(axis=1)  # reference entropy.py:11
+    return pd.DataFrame({"i": lids, "p": p, "n": n})
+
+
+def row_entropy(
+    pred_vec: DataFrame, trg_vec: DataFrame, *, block: int = 4096
+) -> DataFrame:
+    """Blocked path -> ``(i, entropy)``."""
+    partials = blocked_partials(
+        pred_vec, trg_vec, _entropy_kernel, "i long, p double, n double",
+        left_block=block, right_block=block,
+    )
+    z = group_logsumexp(partials, ["i"], "p", "z")
+    return (
+        partials.join(z, "i")
+        .groupBy("i")
+        .agg(
+            (
+                F.max("z")
+                - F.sum(F.col("n") * F.exp(F.col("p") - F.col("z")))
+            ).alias("entropy")
+        )
+    )
