@@ -143,6 +143,18 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import cosine_topk
+
+    return cosine_topk(spark, sf_dir, k=5)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(spark, sf_dir, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -150,7 +162,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from gemmsql.pipeline import dedup, events, relational, text
+    from gemmsql.pipeline.multimodal import payload_meta
+
     return {
+        # --- reference operator surface (SURVEY.md §2) ---
         "gram": q_gram,
         "relu_gram": q_relu_gram,
         "mlp": q_mlp,
@@ -159,6 +175,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xentropy": q_xentropy,
         "entropy": q_entropy,
         "sampling": q_sampling,  # stochastic: rows-only (no oracle), like the reference
+        # --- relational / OLAP ---
+        "pricing_summary": relational.pricing_summary,
+        "shipping_priority": relational.shipping_priority,
+        "nation_revenue": relational.nation_revenue,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "sales_rollup": relational.sales_rollup,
+        "order_priority_pivot": relational.order_priority_pivot,
+        # --- event analytics ---
+        "hourly_event_stats": events.hourly_event_stats,
+        "sliding_event_counts": events.sliding_event_counts,
+        "sessionize": events.sessionize,
+        "user_activity_profile": events.user_activity_profile,
+        # --- dedup ---
+        "dedup_exact": dedup.dedup_exact,
+        "jaccard_pairs": dedup.jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        # --- text analysis ---
+        "text_stats": text.text_stats,
+        "token_counts": text.token_counts,
+        "language_scores": text.language_scores,
+        "fingerprints": text.fingerprints,
+        # --- similarity search ---
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
+        # --- multimodal ---
+        "payload_meta": payload_meta,
     }
 
 
@@ -209,6 +252,10 @@ def oracle_sql() -> dict[str, str]:
         " AS entropy"
         " FROM scores s JOIN z USING (qi) GROUP BY s.qi"
     )
+    from gemmsql.pipeline import dedup, events, relational, text
+    from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
+    from gemmsql.pipeline.similarity import COSINE_TOPK_SQL
+
     return {
         "gram": gram_sql,
         "relu_gram": relu_gram_sql,
@@ -219,4 +266,25 @@ def oracle_sql() -> dict[str, str]:
         "entropy": entropy_sql,
         # "sampling": omitted — stochastic; driver records rows-only check
         # (mirrors the reference's own untested sampling, sampling.py:67-75)
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
+        "nation_revenue": relational.NATION_REVENUE_SQL,
+        "top_orders_per_customer": relational.TOP_ORDERS_SQL,
+        "sales_rollup": relational.SALES_ROLLUP_SQL,
+        "order_priority_pivot": relational.ORDER_PRIORITY_PIVOT_SQL,
+        "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
+        "sliding_event_counts": events.SLIDING_EVENT_COUNTS_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "user_activity_profile": events.USER_ACTIVITY_PROFILE_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
+        "simhash": dedup.simhash_sql(),
+        "text_stats": text.TEXT_STATS_SQL,
+        "token_counts": text.TOKEN_COUNTS_SQL,
+        "language_scores": text.language_scores_sql(),
+        "fingerprints": text.FINGERPRINTS_SQL,
+        "cosine_topk": COSINE_TOPK_SQL,
+        # "lsh_topk": omitted — approximate; rows-only
+        "payload_meta": PAYLOAD_META_SQL,
     }

@@ -30,7 +30,26 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects;
+        # read the raw int64 nanos and truncate to microseconds (exactly
+        # what DuckDB's nanos->micros read does, so the oracle agrees).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_us(col) -> F.Column:
+    """Exact integer epoch-microseconds of a timestamp column, tolerant
+    of TIMESTAMP_NTZ parquet reads (session TZ is pinned UTC, so the
+    NTZ->TZ cast is identity and matches DuckDB ``epoch_us``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

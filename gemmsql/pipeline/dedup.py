@@ -1,0 +1,290 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All hash functions are md5-derived so the DuckDB oracle can reproduce
+them bit-for-bit (Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` — 60-bit ints).
+
+Scale design:
+- exact dedup: one shuffle on the content hash; at 100 TB hash first,
+  never group raw text.
+- shingle Jaccard: pairs are generated ONLY through the inverted
+  shingle index (join on shingle), so cost is sum over shingles of
+  df(shingle)^2 — not N^2.  Hot shingles are capped (``max_df``) the
+  same way on both engine and oracle.
+- MinHash-LSH: candidate pairs come from banded signature buckets
+  (sum over buckets of bucket^2, tunable via bands x rows); exact
+  Jaccard verifies candidates.  This is the 100 TB near-dup path.
+- SimHash: one 32-bit signature per doc, dup buckets = signature
+  groups; cheapest, coarsest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+N_PERMS = 12
+BAND_ROWS = 2  # -> 6 bands
+SIMHASH_BITS = 24
+
+
+def _h60(col):
+    """Deterministic 60-bit integer hash of a string column (md5-based,
+    reproducible in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, word) — whitespace tokenization, positional."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams via positional self-joins
+    (pure relational shingling — no UDF)."""
+    w = doc_words(spark, sf_dir)
+    w1 = w.alias("w1")
+    w2 = w.alias("w2")
+    w3 = w.alias("w3")
+    assert n == 3, "word-3-grams (reference pipeline default)"
+    return (
+        w1.join(
+            w2,
+            (F.col("w1.doc_id") == F.col("w2.doc_id"))
+            & (F.col("w2.pos") == F.col("w1.pos") + 1),
+        )
+        .join(
+            w3,
+            (F.col("w1.doc_id") == F.col("w3.doc_id"))
+            & (F.col("w3.pos") == F.col("w1.pos") + 2),
+        )
+        .select(
+            F.col("w1.doc_id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("w1.word"), F.col("w2.word"), F.col("w3.word")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# DuckDB twin of doc_shingles as a CTE body
+SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT w1.doc_id, w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+  FROM words w1
+  JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+  JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content hash: one row per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.1
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, j >= threshold."""
+    sh = doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(threshold: float = 0.1) -> str:
+    return f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm, minhash): min over shingles of h(perm || shingle)."""
+    sh = doc_shingles(spark, sf_dir)
+    perms = spark.range(N_PERMS).select(F.col("id").alias("perm"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                _h60(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.1
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Bands of {BAND_ROWS} rows: docs agreeing on ALL minhashes within any
+    band become candidates; candidates are verified with exact shingle
+    Jaccard (so output is deterministic and oracle-checkable)."""
+    sig = minhash_signatures(spark, sf_dir)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("minhash").cast("string")))
+            ).alias("bsig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = jaccard_pairs(spark, sf_dir, threshold=0.0)
+    return (
+        cand.join(jac, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.1) -> str:
+    return f"""
+WITH {SHINGLES_CTE},
+perms AS (SELECT UNNEST(range({N_PERMS})) AS perm),
+sig AS (
+  SELECT doc_id, perm,
+    MIN(CAST('0x' || substring(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15) AS BIGINT)) AS minhash
+  FROM shingles CROSS JOIN perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(FLOOR(perm / {BAND_ROWS}) AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY CAST(minhash AS VARCHAR)) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{SIMHASH_BITS}-bit SimHash over distinct words: bit b is the sign
+    of sum over words of (+1 if bit b of h(word) else -1)."""
+    w = doc_words(spark, sf_dir).select("doc_id", "word").distinct()
+    h = w.withColumn("h", _h60(F.col("word")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS h
+  FROM words
+),
+sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY 1)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""

@@ -1,0 +1,147 @@
+"""Event-stream analytics (batch forms; streaming twins in
+``gemmsql.streaming``).
+
+Windows and sessionization over the ``events`` table.  Timestamps are
+compared in exact integer microseconds (``unix_micros`` / DuckDB
+``epoch_us``) — float-free, so engine and oracle agree bit-for-bit.
+
+Scale: both queries shuffle once on their grouping key (window bucket /
+user_id).  Sessionization partitions by user — at 100 TB the per-user
+event count bounds the window sort; skewed power-users are handled by
+AQE skew splitting on the preceding shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in microseconds
+
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows x event_type: count + sum + avg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+HOURLY_EVENT_STATS_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value,
+       ROUND(CAST(AVG(value) AS DOUBLE), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) via Spark's ``window``;
+    each event lands in 2 overlapping buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# oracle: replicate the 2-buckets-per-event expansion explicitly
+SLIDING_EVENT_COUNTS_SQL = """
+WITH expanded AS (
+  SELECT epoch_us(to_timestamp(
+           FLOOR(epoch(ts) / 1800) * 1800 - o.off)) AS w_start_us,
+         event_type, value
+  FROM events
+  CROSS JOIN (SELECT UNNEST([0, 1800]) AS off) o
+)
+SELECT w_start_us, event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts after a
+    >30 min silence per user.  Output: one row per session."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > SESSION_GAP_US, 1
+        ).otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return marked.groupBy("user_id", "sess_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM marked
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
+FROM numbered GROUP BY 1, 2
+"""
+
+
+def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile: event mix + running stats — distinct counts and
+    conditional aggregation in one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 6).alias("purchase_value"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_errors"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+
+
+USER_ACTIVITY_PROFILE_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  COUNT(DISTINCT event_type) AS n_types,
+  ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS DOUBLE), 6) AS purchase_value,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+  epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+FROM events GROUP BY 1
+"""

@@ -1,0 +1,165 @@
+"""Similarity search over the embedding column.
+
+- :func:`cosine_topk` — exact brute-force top-k, tiled: per
+  (query-block, index-block) the NumPy kernel emits only its LOCAL
+  top-k per query row (a top-k monoid partial — top-k of a union is the
+  top-k of concatenated partial top-ks), then a global window keeps the
+  final k.  Shuffle is O(N * n_blocks * k), never O(N^2).
+- :func:`lsh_bucket_topk` — the approximate scale path: sign-LSH
+  bucketing (deterministic md5-derived hyperplanes), candidates only
+  within a bucket.  Recall is tested against the exact path in pytest;
+  the driver check is rows-only (approximate by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import embeddings_vectors
+from gemmsql.ops._blocked import blocked_partials
+
+
+def _topk_kernel(k: int):
+    def kernel(lids, lmat, _extra, rids, rmat) -> pd.DataFrame:
+        ln = lmat / np.linalg.norm(lmat, axis=1, keepdims=True)
+        rn = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
+        c = ln @ rn.T
+        # mask self-pairs
+        self_mask = lids[:, None] == rids[None, :]
+        c = np.where(self_mask, -np.inf, c)
+        kk = min(k, c.shape[1])
+        idx = np.argpartition(-c, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(c.shape[0]), kk)
+        cols = idx.ravel()
+        keep = np.isfinite(c[rows, cols])
+        return pd.DataFrame(
+            {
+                "i": lids[rows[keep]],
+                "j": rids[cols[keep]],
+                "cos": c[rows[keep], cols[keep]],
+            }
+        )
+
+    return kernel
+
+
+def cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 5,
+    block: int = 4096,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector -> (i, j, cos, rank)."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    partials = blocked_partials(
+        vec, vec, _topk_kernel(k), "i long, j long, cos double",
+        left_block=block, right_block=block,
+    )
+    w = W.partitionBy("i").orderBy(F.col("cos").desc(), F.col("j"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("i", "j", F.round("cos", 6).alias("cos"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+COSINE_TOPK_SQL = """
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT i, SQRT(SUM(v * v)) AS nrm FROM coo GROUP BY 1),
+dots AS (
+  SELECT a.i AS qi, b.i AS ki, SUM(a.v * b.v) AS dot
+  FROM coo a JOIN coo b USING (j) WHERE a.i <> b.i GROUP BY 1, 2
+),
+cos AS (
+  SELECT qi, ki, dot / (na.nrm * nb.nrm) AS cos
+  FROM dots JOIN norms na ON na.i = qi JOIN norms nb ON nb.i = ki
+),
+ranked AS (
+  SELECT qi, ki, cos,
+         ROW_NUMBER() OVER (PARTITION BY qi ORDER BY cos DESC, ki) AS rank
+  FROM cos
+)
+SELECT qi AS i, ki AS j, ROUND(CAST(cos AS DOUBLE), 6) AS cos,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+N_PLANES = 8
+
+
+def _plane_matrix(dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: entries derived from a
+    counter-based Philox stream (seed fixed), so every run and every
+    executor sees the same planes."""
+    rng = np.random.Generator(np.random.Philox(key=[20260813, 7]))
+    return rng.standard_normal((dim, N_PLANES))
+
+
+def lsh_bucket_topk(
+    spark: SparkSession, sf_dir: str, *, k: int = 5
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to same sign-LSH bucket.
+
+    At 100 TB: one narrow map to bucket ids, one shuffle on bucket, and
+    per-bucket brute force bounded by bucket size.  Output (i, j, cos,
+    rank) like :func:`cosine_topk` but possibly missing true neighbors
+    that hash elsewhere (recall measured in tests)."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    dim = len(vec.select("vec").first()[0])
+    planes = spark.sparkContext.broadcast(_plane_matrix(dim))
+
+    def bucketize(batches):
+        pm = planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            bits = (x @ pm) > 0
+            bucket = (bits * (1 << np.arange(pm.shape[1]))).sum(axis=1)
+            yield pd.DataFrame(
+                {"i": pdf["i"].values, "bucket": bucket.astype(np.int64),
+                 "vec": pdf["vec"].values}
+            )
+
+    bucketed = vec.mapInPandas(
+        bucketize, schema="i long, bucket long, vec array<double>"
+    )
+
+    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+        ids = pdf["i"].to_numpy()
+        n = x / np.linalg.norm(x, axis=1, keepdims=True)
+        c = n @ n.T
+        np.fill_diagonal(c, -np.inf)
+        out_i, out_j, out_c = [], [], []
+        kk = min(k, max(c.shape[1] - 1, 1))
+        for r in range(c.shape[0]):
+            idx = np.argpartition(-c[r], kth=kk - 1)[:kk]
+            idx = idx[np.isfinite(c[r, idx])]
+            out_i.extend([ids[r]] * len(idx))
+            out_j.extend(ids[idx])
+            out_c.extend(c[r, idx])
+        return pd.DataFrame({"i": out_i, "j": out_j, "cos": out_c})
+
+    cand = bucketed.groupBy("bucket").applyInPandas(
+        per_bucket, "i long, j long, cos double"
+    )
+    w = W.partitionBy("i").orderBy(F.col("cos").desc(), F.col("j"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("i", "j", F.round("cos", 6).alias("cos"),
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,148 @@
+"""Text analysis over ``documents``: quality stats, token counting,
+language scoring, fingerprinting.
+
+Everything is built from engine-portable primitives (length arithmetic,
+split/explode, md5, regex counts) so the DuckDB oracle reproduces the
+results exactly.  At 100 TB these are narrow per-row maps (no shuffle)
+except the stopword scoring, which is one explode + groupBy on doc_id —
+co-partitioned with the source read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "los", "y"),
+}
+
+TOKEN_RE = "[a-z]+|[0-9]+"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats from pure length arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    n_tokens = n_spaces + 1
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round((n_chars - n_spaces) / n_tokens, 6).alias("avg_token_len"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long").alias("n_alpha"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_token_len,
+  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+FROM documents
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting (BPE-ish split into alpha runs and digit runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_distinct_words"
+        ),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+  CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+FROM documents
+"""
+
+
+def language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language scoring: per doc, hit counts per language
+    list + the argmax guess (deterministic tie-break by language code).
+
+    A real pipeline would use char-n-gram models; the *shape* (token
+    explode -> conditional aggregation -> argmax) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    aggs = [
+        F.sum(F.when(F.col("word").isin(*words), 1).otherwise(0))
+        .cast("long")
+        .alias(f"score_{lang}")
+        for lang, words in STOPWORDS.items()
+    ]
+    scored = w.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # argmax with deterministic tie-break: highest score, then first
+    # language alphabetically -> array_max over (s, reversed-lang) is
+    # wrong for ties; use sort and take last of (s asc, l desc)
+    best = F.element_at(F.array_sort(pairs), -1)
+    return scored.select(
+        "doc_id",
+        *[F.col(f"score_{lang}") for lang in sorted(STOPWORDS)],
+        best["l"].alias("lang_guess"),
+    )
+
+
+def language_scores_sql() -> str:
+    score_cols = ", ".join(
+        "CAST(SUM(CASE WHEN word IN ({}) THEN 1 ELSE 0 END) AS BIGINT) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in STOPWORDS.items()
+    )
+    langs = sorted(STOPWORDS)
+    # same tie-break as the engine: max score, then lexicographically
+    # last language among ties (array_sort on (s, l) then take last)
+    pairs = ", ".join(f"(score_{lang}, '{lang}')" for lang in langs)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+scored AS (SELECT doc_id, {score_cols} FROM words GROUP BY 1)
+SELECT doc_id, {", ".join("score_" + lang for lang in langs)},
+  (list_sort([{pairs}])[{len(langs)}])[2] AS lang_guess
+FROM scored
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: full-content md5 + a
+    word-order-insensitive bag fingerprint (md5 of sorted words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("content_fp"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.split(F.lower(F.col("text")), " ")))
+        ).alias("bag_fp"),
+    )
+
+
+FINGERPRINTS_SQL = """
+SELECT doc_id, md5(lower(text)) AS content_fp,
+  md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS bag_fp
+FROM documents
+"""
