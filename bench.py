@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark runner for the gemmsql engine.
+
+Runs every ``__spark_entry__.queries()`` entry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, using the reference's measurement shape
+(warmup + timed runs, mean sec/query — reference core.py:118-131) with
+a noop-sink action so results are computed but never collected.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total mean sec>, "unit": "sec",
+   "queries": {name: mean_sec}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def run_action(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from gemmsql import get_spark
+
+    spark = get_spark("gemmsql-bench")
+    results: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            for _ in range(WARMUP):
+                run_action(fn(spark, sf_dir))
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                run_action(fn(spark, sf_dir))
+                times.append(time.perf_counter() - t0)
+            results[name] = round(sum(times) / len(times), 3)
+        except Exception as e:  # record failures, keep benching
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+            results[name] = -1.0
+    spark.stop()
+
+    total = round(sum(v for v in results.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "gemmsql total mean sec across queries",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warmup": WARMUP,
+                "runs": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

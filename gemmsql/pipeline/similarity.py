@@ -96,26 +96,30 @@ FROM ranked WHERE rank <= 5
 """
 
 
-N_PLANES = 8
+N_PLANES = 6
+N_TABLES = 4
 
 
 def _plane_matrix(dim: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes: entries derived from a
-    counter-based Philox stream (seed fixed), so every run and every
-    executor sees the same planes."""
+    """Deterministic pseudo-random hyperplanes for all LSH tables:
+    (dim, N_TABLES * N_PLANES), from a counter-based Philox stream with a
+    fixed seed, so every run and every executor sees the same planes."""
     rng = np.random.Generator(np.random.Philox(key=[20260813, 7]))
-    return rng.standard_normal((dim, N_PLANES))
+    return rng.standard_normal((dim, N_TABLES * N_PLANES))
 
 
 def lsh_bucket_topk(
     spark: SparkSession, sf_dir: str, *, k: int = 5
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to same sign-LSH bucket.
+    """Approximate top-k: candidates restricted to vectors sharing a
+    sign-LSH bucket in ANY of the N_TABLES independent hash tables
+    (multi-table LSH — the standard recall lever).
 
-    At 100 TB: one narrow map to bucket ids, one shuffle on bucket, and
-    per-bucket brute force bounded by bucket size.  Output (i, j, cos,
-    rank) like :func:`cosine_topk` but possibly missing true neighbors
-    that hash elsewhere (recall measured in tests)."""
+    At 100 TB: one narrow map to bucket ids (N_TABLES rows per vector),
+    one shuffle on (table, bucket), per-bucket brute force bounded by
+    bucket size, then a per-row top-k over deduplicated candidates.
+    Output (i, j, cos, rank) like :func:`cosine_topk` but possibly
+    missing true neighbors that hash elsewhere (recall tested)."""
     vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
     dim = len(vec.select("vec").first()[0])
     planes = spark.sparkContext.broadcast(_plane_matrix(dim))
@@ -126,12 +130,21 @@ def lsh_bucket_topk(
             if len(pdf) == 0:
                 continue
             x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            bits = (x @ pm) > 0
-            bucket = (bits * (1 << np.arange(pm.shape[1]))).sum(axis=1)
-            yield pd.DataFrame(
-                {"i": pdf["i"].values, "bucket": bucket.astype(np.int64),
-                 "vec": pdf["vec"].values}
-            )
+            bits = (x @ pm) > 0  # (n, N_TABLES*N_PLANES)
+            out = []
+            for t in range(N_TABLES):
+                tb = bits[:, t * N_PLANES : (t + 1) * N_PLANES]
+                bucket = (tb * (1 << np.arange(N_PLANES))).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "i": pdf["i"].values,
+                            "bucket": (t << 32) | bucket.astype(np.int64),
+                            "vec": pdf["vec"].values,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
 
     bucketed = vec.mapInPandas(
         bucketize, schema="i long, bucket long, vec array<double>"
@@ -153,8 +166,11 @@ def lsh_bucket_topk(
             out_c.extend(c[r, idx])
         return pd.DataFrame({"i": out_i, "j": out_j, "cos": out_c})
 
-    cand = bucketed.groupBy("bucket").applyInPandas(
-        per_bucket, "i long, j long, cos double"
+    cand = (
+        bucketed.groupBy("bucket")
+        .applyInPandas(per_bucket, "i long, j long, cos double")
+        .groupBy("i", "j")  # dedup pairs found in multiple tables
+        .agg(F.max("cos").alias("cos"))
     )
     w = W.partitionBy("i").orderBy(F.col("cos").desc(), F.col("j"))
     return (

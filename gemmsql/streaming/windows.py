@@ -1,0 +1,116 @@
+"""Streaming window aggregations over the events table.
+
+Batch/stream parity: each streaming query here reuses the same grouping
+and aggregate expressions as its batch twin in
+``gemmsql.pipeline.events``, so a file-source replay of the events
+parquet produces identical results (asserted in tests).  Watermarks
+bound state: at 100 TB/day ingest, the 1-hour watermark caps the window
+state store to ~2 hours of keys per executor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+
+def stage_stream_dir(spark: SparkSession, sf_dir: str, target_dir: str) -> str:
+    """Materialize the (nanos-normalized) events table into a parquet
+    directory usable as a file-stream source (testdata is read-only and
+    single-file; streams want a directory they can list)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(target_dir)
+    return target_dir
+
+
+def read_events_stream(
+    spark: SparkSession, stream_dir: str, *, max_files_per_trigger: int = 4
+) -> DataFrame:
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(stream_dir)
+    )
+
+
+def streaming_hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1 h windows x event_type with a 1 h watermark — the
+    streaming twin of ``pipeline.events.hourly_event_stats``."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 1 h / 30 min windows (twin of sliding_event_counts)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (``session_window``) per user — the
+    streaming counterpart of the batch gaps-and-islands sessionize."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming query to completion against a memory sink and
+    return the result table (synchronous; for tests/smoke)."""
+    spark = df.sparkSession
+    ckpt = f"/tmp/gemmsql_ckpt/{name}_{os.getpid()}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

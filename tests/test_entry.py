@@ -1,0 +1,34 @@
+"""Driver-contract tests for __spark_entry__."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == ["j1", "j2", "val"]
+
+
+def test_every_oracle_key_has_query():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    missing = set(os_) - set(qs)
+    assert not missing, f"oracle entries without queries: {missing}"
+    # documented rows-only exceptions
+    no_oracle = set(qs) - set(os_)
+    assert no_oracle == {"sampling", "lsh_topk"}
+
+
+def test_queries_run_at_smoke_tier(spark):
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name in ["gram", "pricing_summary", "dedup_exact", "text_stats"]:
+        df = qs[name](spark, SF_SMOKE)
+        assert df.count() > 0, name

@@ -1,0 +1,129 @@
+"""Differential tests of the reference operator surface against dense
+NumPy oracles — the reference's own methodology (check_equality,
+reference core.py:67-115) with NumPy standing in for dense torch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gemmsql.datamodel import embeddings_coo, embeddings_vectors
+from gemmsql.ops import (
+    attention_blocked,
+    attention_coo,
+    coo_matmul,
+    gram,
+    mlp,
+    relu_matmul,
+    row_entropy,
+    sample_categorical,
+    xentropy,
+)
+from tests.conftest import SF_SMOKE
+
+
+def dense_softmax_scores(x):
+    s = x @ x.T
+    mx = s.max(1, keepdims=True)
+    p = np.exp(s - mx)
+    p /= p.sum(1, keepdims=True)
+    z = (mx[:, 0] + np.log(np.exp(s - mx).sum(1)))
+    return s, p, z
+
+
+def test_gram_matches_dense(spark, emb_matrix):
+    _, x, _ = emb_matrix
+    got = gram(embeddings_vectors(spark, SF_SMOKE)).orderBy("j1", "j2").toPandas()
+    want = x.T @ x
+    assert np.allclose(got["v"].to_numpy().reshape(want.shape), want)
+
+
+def test_coo_matmul_and_relu(spark, emb_matrix):
+    _, x, _ = emb_matrix
+    coo = embeddings_coo(spark, SF_SMOKE)
+    w = coo.select("j", "i", "v").toDF("i", "j", "v").limit(0)  # empty ok
+    # square: E^T E via coo_matmul of E^T and E
+    et = coo.select(
+        coo["j"].alias("i"), coo["i"].alias("j"), "v"
+    )
+    got = (
+        coo_matmul(et, coo.select(coo["i"].alias("i"), coo["j"].alias("j"), "v"))
+        .orderBy("i", "j")
+        .toPandas()
+    )
+    want = x.T @ x
+    assert np.allclose(got["v"].to_numpy().reshape(want.shape), want)
+    got_r = relu_matmul(et, coo).orderBy("i", "j").toPandas()
+    assert np.allclose(got_r["v"].to_numpy().reshape(want.shape), np.maximum(want, 0))
+
+
+@pytest.mark.parametrize("block,broadcast", [(64, False), (999999, False), (64, True)])
+def test_attention_strategies(spark, emb_matrix, block, broadcast):
+    _, x, _ = emb_matrix
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    out = (
+        attention_blocked(vec, vec, block=block, broadcast_kv=broadcast)
+        .orderBy("i", "d")
+        .toPandas()
+    )
+    _, p, _ = dense_softmax_scores(x)
+    want = p @ x
+    assert np.allclose(out["val"].to_numpy().reshape(want.shape), want)
+
+
+def test_attention_coo_and_scaled(spark, emb_matrix):
+    _, x, _ = emb_matrix
+    coo = embeddings_coo(spark, SF_SMOKE)
+    out = attention_coo(coo, coo, coo, scale=True).orderBy("i", "d").toPandas()
+    s = (x @ x.T) / np.sqrt(x.shape[1])
+    p = np.exp(s - s.max(1, keepdims=True))
+    p /= p.sum(1, keepdims=True)
+    want = p @ x
+    assert np.allclose(out["val"].to_numpy().reshape(want.shape), want)
+
+
+def test_xentropy_matches_dense(spark, emb_matrix):
+    _, x, lab = emb_matrix
+    vec = embeddings_vectors(spark, SF_SMOKE)
+    out = (
+        xentropy(vec.select("i", "vec", "label"), vec.select("i", "vec"), block=128)
+        .orderBy("i")
+        .toPandas()
+    )
+    _, _, z = dense_softmax_scores(x)
+    want = z - (x @ x.T)[np.arange(len(lab)), lab]
+    assert np.allclose(out["loss"].to_numpy(), want)
+
+
+def test_entropy_matches_dense(spark, emb_matrix):
+    _, x, _ = emb_matrix
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    out = row_entropy(vec, vec, block=128).orderBy("i").toPandas()
+    s, p, z = dense_softmax_scores(x)
+    want = z - (p * s).sum(1)
+    assert np.allclose(out["entropy"].to_numpy(), want)
+    # entropy is also -sum p log p
+    assert np.allclose(want, -(p * np.log(p)).sum(1))
+
+
+def test_sampling_is_valid_and_seeded(spark, emb_matrix):
+    _, x, _ = emb_matrix
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    a = sample_categorical(vec, vec, seed=1, block=128).orderBy("i").toPandas()
+    b = sample_categorical(vec, vec, seed=1, block=128).orderBy("i").toPandas()
+    c = sample_categorical(vec, vec, seed=2, block=128).orderBy("i").toPandas()
+    assert len(a) == len(x)
+    assert ((a["prob"] > 0) & (a["prob"] <= 1)).all()
+    assert a["choice"].between(0, len(x) - 1).all()
+    # same seed+blocking -> same sample; different seed -> differs somewhere
+    assert (a["choice"].to_numpy() == b["choice"].to_numpy()).all()
+    assert (a["choice"].to_numpy() != c["choice"].to_numpy()).any()
+
+
+def test_mlp_matches_dense(spark, emb_matrix):
+    _, x, _ = emb_matrix
+    vec = embeddings_vectors(spark, SF_SMOKE)
+    w = (x.T @ x) / len(x)
+    out = mlp(vec.select("i", "vec"), w, w).orderBy("i").toPandas()
+    want = np.maximum(x @ w, 0) @ w
+    assert np.allclose(np.asarray(out["vec"].tolist()), want)

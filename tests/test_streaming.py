@@ -1,0 +1,71 @@
+"""Streaming/batch parity tests (file-source replay of events)."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    from gemmsql.streaming import stage_stream_dir
+
+    d = tempfile.mkdtemp(prefix="gemmsql_stream_")
+    return stage_stream_dir(spark, SF_SMOKE, d)
+
+
+def test_streaming_hourly_matches_batch(spark, stream_dir):
+    from gemmsql.streaming import read_events_stream, run_to_memory, streaming_hourly_counts
+    from gemmsql.pipeline.events import hourly_event_stats
+
+    ev = read_events_stream(spark, stream_dir)
+    got = run_to_memory(
+        streaming_hourly_counts(ev), "hourly_s"
+    ).toPandas().sort_values(["hour_us", "event_type"]).reset_index(drop=True)
+    want = (
+        hourly_event_stats(spark, SF_SMOKE)
+        .drop("avg_value")
+        .toPandas()
+        .sort_values(["hour_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_streaming_session_windows(spark, stream_dir):
+    from gemmsql.streaming import read_events_stream, run_to_memory, streaming_session_windows
+
+    ev = read_events_stream(spark, stream_dir)
+    out = run_to_memory(streaming_session_windows(ev), "sessions_s").toPandas()
+    assert len(out) > 0
+    assert (out["session_end_us"] > out["session_start_us"]).all()
+    # session_window end = last event + gap; duration >= gap
+    assert (
+        out["session_end_us"] - out["session_start_us"] >= 30 * 60 * 1_000_000
+    ).all()
+
+
+def test_streaming_stateful_logsumexp(spark, stream_dir):
+    from gemmsql.streaming import read_events_stream, streaming_logsumexp, run_to_memory
+    from gemmsql.datamodel import load_table
+
+    ev = read_events_stream(spark, stream_dir)
+    out = run_to_memory(
+        streaming_logsumexp(ev), "lse_s", output_mode="update"
+    ).toPandas()
+    # last update per key is the full-stream accumulator
+    last = out.groupby("key").last()
+    batch = load_table(spark, SF_SMOKE, "events").toPandas()
+    for k, row in last.iterrows():
+        s = batch[batch["event_type"] == k]["value"].to_numpy(dtype=np.float64)
+        assert row["n"] == len(s)
+        assert math.isclose(row["z"], float(np.logaddexp.reduce(s)), rel_tol=1e-9)
