@@ -1,0 +1,110 @@
+"""Differential check + timing harness — the engine's analog of the
+reference's ``check_equality`` / ``check_speed`` / ``check``
+(reference core.py:67-147).
+
+The reference runs candidate and oracle on identical inputs and compares
+outputs (and gradients) with shape / allclose / L2 / max-diff verdicts;
+here candidate and oracle are DataFrame-producing callables and the
+comparison is key-aligned with the same four statistics.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+
+def check_equality(
+    df1: DataFrame,
+    df2: DataFrame,
+    keys: Sequence[str],
+    *,
+    rtol: float = 1e-9,
+    atol: float = 1e-9,
+) -> dict:
+    """Key-aligned comparison of two DataFrames.
+
+    Returns a report dict with per-column allclose/L2/max-diff (float
+    cols) or exact-equality (other cols) plus an overall ``ok`` verdict
+    (the reference's "All good! :)" check, core.py:89-104).
+    """
+    keys = list(keys)
+    p1 = df1.toPandas().sort_values(keys).reset_index(drop=True)
+    p2 = df2.toPandas().sort_values(keys).reset_index(drop=True)
+    report: dict = {"ok": True, "columns": {}}
+    if sorted(p1.columns) != sorted(p2.columns) or len(p1) != len(p2):
+        report["ok"] = False
+        report["shape"] = {
+            "left": (len(p1), sorted(p1.columns)),
+            "right": (len(p2), sorted(p2.columns)),
+        }
+        return report
+    for c in p1.columns:
+        if c in keys:
+            same = bool((p1[c].to_numpy() == p2[c].to_numpy()).all())
+            report["columns"][c] = {"exact": same}
+            report["ok"] &= same
+            continue
+        a, b = p1[c].to_numpy(), p2[c].to_numpy()
+        if np.issubdtype(a.dtype, np.floating):
+            diff = a - b
+            col = {
+                "allclose": bool(np.allclose(a, b, rtol=rtol, atol=atol)),
+                "l2": float(np.linalg.norm(diff)),
+                "max_abs": float(np.abs(diff).max()) if len(diff) else 0.0,
+            }
+            report["ok"] &= col["allclose"]
+        elif a.dtype == object:
+            # array-typed columns (e.g. vec array<double>) compare per cell
+            same = all(np.array_equal(x, y) for x, y in zip(a, b))
+            col = {"exact": bool(same)}
+            report["ok"] &= col["exact"]
+        else:
+            col = {"exact": bool((a == b).all())}
+            report["ok"] &= col["exact"]
+        report["columns"][c] = col
+    return report
+
+
+def check_speed(
+    fn: Callable[[], DataFrame],
+    *,
+    runs: int = 10,
+    warmup: int = 3,
+) -> float:
+    """Mean wall seconds per materialization (noop sink) — the
+    reference's protocol (runs=10, warmup=3, perf_counter;
+    core.py:118-131)."""
+    for _ in range(warmup):
+        fn().write.format("noop").mode("overwrite").save()
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return sum(times) / len(times)
+
+
+def check(
+    fn1: Callable[[], DataFrame],
+    fn2: Callable[[], DataFrame],
+    keys: Sequence[str],
+    *,
+    runs: int = 10,
+    warmup: int = 3,
+) -> dict:
+    """Equality + relative-speed verdict (reference core.py:133-147)."""
+    eq = check_equality(fn1(), fn2(), keys)
+    s1 = check_speed(fn1, runs=runs, warmup=warmup)
+    s2 = check_speed(fn2, runs=runs, warmup=warmup)
+    return {
+        "equal": eq,
+        "sec_1": s1,
+        "sec_2": s2,
+        "ratio": s1 / s2 if s2 else float("inf"),
+        "verdict": "f1 is faster" if s1 < s2 else "f1 is slower",
+    }
