@@ -108,11 +108,14 @@ FROM documents GROUP BY 1
 
 
 def jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.1
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, j >= threshold."""
-    sh = doc_shingles(spark, sf_dir).cache()
+    sh = shingles if shingles is not None else doc_shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -160,9 +163,11 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, perm, minhash): min over shingles of h(perm || shingle)."""
-    sh = doc_shingles(spark, sf_dir)
+    sh = shingles if shingles is not None else doc_shingles(spark, sf_dir)
     perms = spark.range(N_PERMS).select(F.col("id").alias("perm"))
     return (
         sh.crossJoin(F.broadcast(perms))
@@ -182,8 +187,13 @@ def minhash_lsh_pairs(
 
     Bands of {BAND_ROWS} rows: docs agreeing on ALL minhashes within any
     band become candidates; candidates are verified with exact shingle
-    Jaccard (so output is deterministic and oracle-checkable)."""
-    sig = minhash_signatures(spark, sf_dir)
+    Jaccard (so output is deterministic and oracle-checkable).
+
+    The shingle table is computed ONCE and cached — signatures, candidate
+    verification, and set sizes all reuse it (at 100 TB this is the
+    difference between one and three passes over the corpus)."""
+    shingles = doc_shingles(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir, shingles=shingles)
     banded = (
         sig.withColumn("band", (F.col("perm") / BAND_ROWS).cast("int"))
         .groupBy("doc_id", "band")
@@ -207,9 +217,39 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    jac = jaccard_pairs(spark, sf_dir, threshold=0.0)
+    # verify ONLY candidate pairs: restrict the inverted index to docs
+    # that appear in some candidate pair before generating intersections
+    cand = cand.cache()
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = shingles.join(F.broadcast(cand_docs), "doc_id")
+    a = sh_c.alias("sa")
+    b = sh_c.alias("sb")
+    inter = (
+        a.join(b, F.col("sa.shingle") == F.col("sb.shingle"))
+        .where(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .join(F.broadcast(cand), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        cand.join(jac, ["doc_a", "doc_b"])
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
