@@ -155,6 +155,12 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(spark, sf_dir, k=5)
 
 
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import embedding_dups
+
+    return embedding_dups(spark, sf_dir, threshold=0.4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -182,11 +188,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "sales_rollup": relational.sales_rollup,
         "order_priority_pivot": relational.order_priority_pivot,
+        "segment_quantiles": relational.segment_quantiles,
+        "quiet_customers": relational.quiet_customers,
         # --- event analytics ---
         "hourly_event_stats": events.hourly_event_stats,
         "sliding_event_counts": events.sliding_event_counts,
         "sessionize": events.sessionize,
         "user_activity_profile": events.user_activity_profile,
+        "time_since_last_error": events.time_since_last_error,
+        "user_value_movavg": events.user_value_movavg,
+        "props_stats": events.props_stats,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -197,9 +208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.token_counts,
         "language_scores": text.language_scores,
         "fingerprints": text.fingerprints,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
+        "embedding_dups": q_embedding_dups,
         # --- multimodal ---
         "payload_meta": payload_meta,
     }
@@ -254,7 +267,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.pipeline import dedup, events, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
-    from gemmsql.pipeline.similarity import COSINE_TOPK_SQL
+    from gemmsql.pipeline.similarity import COSINE_TOPK_SQL, EMBEDDING_DUPS_SQL
 
     return {
         "gram": gram_sql,
@@ -272,10 +285,15 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": relational.TOP_ORDERS_SQL,
         "sales_rollup": relational.SALES_ROLLUP_SQL,
         "order_priority_pivot": relational.ORDER_PRIORITY_PIVOT_SQL,
+        "segment_quantiles": relational.SEGMENT_QUANTILES_SQL,
+        "quiet_customers": relational.QUIET_CUSTOMERS_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
         "sliding_event_counts": events.SLIDING_EVENT_COUNTS_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_profile": events.USER_ACTIVITY_PROFILE_SQL,
+        "time_since_last_error": events.TIME_SINCE_LAST_ERROR_SQL,
+        "user_value_movavg": events.USER_VALUE_MOVAVG_SQL,
+        "props_stats": events.PROPS_STATS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
@@ -284,7 +302,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text.TOKEN_COUNTS_SQL,
         "language_scores": text.language_scores_sql(),
         "fingerprints": text.FINGERPRINTS_SQL,
+        "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
+        "embedding_dups": EMBEDDING_DUPS_SQL,
         # "lsh_topk": omitted — approximate; rows-only
         "payload_meta": PAYLOAD_META_SQL,
     }

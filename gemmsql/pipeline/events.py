@@ -123,6 +123,86 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+def time_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of self-join: for every event, microseconds since the same
+    user's most recent STRICTLY EARLIER 'error' event (null if none).
+
+    Spark has no native as-of join; the scalable formulation is a
+    running windowed max over the partitioned, time-sorted stream —
+    one shuffle on user_id, no range cross-product."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts_us"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.max(err_ts).over(w)).alias("us_since_error"),
+    )
+
+
+TIME_SINCE_LAST_ERROR_SQL = """
+SELECT event_id, user_id,
+  epoch_us(ts) - MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS us_since_error
+FROM events
+"""
+
+
+def user_value_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average of ``value`` over the trailing 4 events
+    (current + 3 preceding) — the time-series smoothing pattern."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("movavg_value"),
+    )
+
+
+USER_VALUE_MOVAVG_SQL = """
+SELECT event_id, user_id,
+  ROUND(CAST(AVG(value) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS movavg_value
+FROM events
+"""
+
+
+def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the ``props`` column: per event_type stats of
+    the numeric field ``k`` (semi-structured payload pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+PROPS_STATS_SQL = """
+SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  ROUND(CAST(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE), 6) AS avg_k
+FROM events GROUP BY 1
+"""
+
+
 def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user profile: event mix + running stats — distinct counts and
     conditional aggregation in one shuffle."""

@@ -216,6 +216,61 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def segment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles of order value per market segment
+    (broadcast dim join + percentile aggregate)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 6).alias("median_value"),
+            F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90_value"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SEGMENT_QUANTILES_SQL = """
+SELECT c_mktsegment AS segment,
+  ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 6) AS median_value,
+  ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 6) AS p90_value,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no order above 300k —
+    the set-difference pattern; big side streams, filter side broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 300000
+    )
+    return (
+        cust.join(
+            big, cust["c_custkey"] == big["o_custkey"], "left_anti"
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+        )
+    )
+
+
+QUIET_CUSTOMERS_SQL = """
+SELECT c_custkey AS custkey, c_name AS name,
+       CAST(c_nationkey AS BIGINT) AS nationkey
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
 def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per status x priority (fixed pivot values so
     the schema is static — required for streaming reuse and the oracle)."""

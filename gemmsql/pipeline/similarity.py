@@ -96,6 +96,61 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _dup_kernel(threshold: float):
+    def kernel(lids, lmat, _extra, rids, rmat) -> pd.DataFrame:
+        ln = lmat / np.linalg.norm(lmat, axis=1, keepdims=True)
+        rn = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
+        c = ln @ rn.T
+        # upper triangle only (i < j) so each pair is emitted once
+        mask = (c >= threshold) & (lids[:, None] < rids[None, :])
+        r, co = np.nonzero(mask)
+        return pd.DataFrame(
+            {"doc_a": lids[r], "doc_b": rids[co], "cos": c[r, co]}
+        )
+
+    return kernel
+
+
+def embedding_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = 0.4,
+    block: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (doc_a < doc_b, cos >= t).
+
+    Tiled all-pairs scan emitting ONLY above-threshold pairs from each
+    tile — the shuffle carries matches, not the N^2 score matrix.  The
+    100 TB path swaps the tile cross-product for LSH-bucketed candidate
+    generation (same kernel per bucket)."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    pairs = blocked_partials(
+        vec, vec, _dup_kernel(threshold),
+        "doc_a long, doc_b long, cos double",
+        left_block=block, right_block=block,
+    )
+    return pairs.select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
+
+
+EMBEDDING_DUPS_SQL = """
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT i, SQRT(SUM(v * v)) AS nrm FROM coo GROUP BY 1),
+dots AS (
+  SELECT a.i AS doc_a, b.i AS doc_b, SUM(a.v * b.v) AS dot
+  FROM coo a JOIN coo b USING (j) WHERE a.i < b.i GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(CAST(dot / (na.nrm * nb.nrm) AS DOUBLE), 6) AS cos
+FROM dots JOIN norms na ON na.i = doc_a JOIN norms nb ON nb.i = doc_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
+"""
+
+
 N_PLANES = 6
 N_TABLES = 4
 

@@ -128,6 +128,58 @@ FROM scored
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k tf-idf terms per document (tf = in-doc count, idf =
+    ln(N/df)); ranked with deterministic ties (score desc, term asc).
+
+    Two shuffles: term frequencies (doc_id x word) and document
+    frequencies (word); the df table is broadcast back — at 100 TB the
+    vocabulary is millions of rows, still broadcastable."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("word").alias("term"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, word, tf * LN(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tfidf, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, word AS term, ROUND(CAST(tfidf AS DOUBLE), 6) AS tfidf,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: full-content md5 + a
     word-order-insensitive bag fingerprint (md5 of sorted words)."""
