@@ -68,8 +68,10 @@ GROUP BY l_returnflag, l_linestatus
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective fact filters + two joins + top-N.
     customer is broadcast (small dim); orders/lineitem join shuffles on
-    orderkey; top-10 via a single-partition window over the small
-    aggregated result (N rows = distinct orders, already reduced)."""
+    orderkey; global top-10 via orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition partial top-k merged at the
+    driver — no single-partition shuffle, scales to any row count).
+    The rank column is then assigned over just the 10 surviving rows."""
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -89,10 +91,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    top10 = rev.orderBy(F.col("_rev").desc(), F.col("o_orderkey")).limit(10)
     w = W.orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        top10.withColumn("rn", F.row_number().over(w))
         .select(
             F.col("o_orderkey").alias("orderkey"),
             ts_us("o_orderdate").alias("orderdate_us"),
