@@ -155,6 +155,12 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(spark, sf_dir, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import ivf_topk
+
+    return ivf_topk(spark, sf_dir, k=5)
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.pipeline.similarity import embedding_dups
 
@@ -190,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_pivot": relational.order_priority_pivot,
         "segment_quantiles": relational.segment_quantiles,
         "quiet_customers": relational.quiet_customers,
+        "returning_customers": relational.returning_customers,
+        "brand_sales_cube": relational.brand_sales_cube,
+        "price_band_join": relational.price_band_join,
         # --- event analytics ---
         "hourly_event_stats": events.hourly_event_stats,
         "sliding_event_counts": events.sliding_event_counts,
@@ -203,15 +212,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
+        "dedup_clusters": dedup.dedup_clusters,
         # --- text analysis ---
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
         "language_scores": text.language_scores,
         "fingerprints": text.fingerprints,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "quality_score": text.quality_score,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
+        "ivf_topk": q_ivf_topk,
         "embedding_dups": q_embedding_dups,
         # --- multimodal ---
         "payload_meta": payload_meta,
@@ -267,7 +279,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.pipeline import dedup, events, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
-    from gemmsql.pipeline.similarity import COSINE_TOPK_SQL, EMBEDDING_DUPS_SQL
+    from gemmsql.pipeline.similarity import (
+        COSINE_TOPK_SQL,
+        EMBEDDING_DUPS_SQL,
+        IVF_TOPK_SQL,
+    )
 
     return {
         "gram": gram_sql,
@@ -287,6 +303,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_pivot": relational.ORDER_PRIORITY_PIVOT_SQL,
         "segment_quantiles": relational.SEGMENT_QUANTILES_SQL,
         "quiet_customers": relational.QUIET_CUSTOMERS_SQL,
+        "returning_customers": relational.RETURNING_CUSTOMERS_SQL,
+        "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
+        "price_band_join": relational.PRICE_BAND_JOIN_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
         "sliding_event_counts": events.SLIDING_EVENT_COUNTS_SQL,
         "sessionize": events.SESSIONIZE_SQL,
@@ -298,12 +317,15 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "simhash": dedup.simhash_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
         "text_stats": text.TEXT_STATS_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "language_scores": text.language_scores_sql(),
         "fingerprints": text.FINGERPRINTS_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
+        "quality_score": text.quality_score_sql(),
         "cosine_topk": COSINE_TOPK_SQL,
+        "ivf_topk": IVF_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,
         # "lsh_topk": omitted — approximate; rows-only
         "payload_meta": PAYLOAD_META_SQL,

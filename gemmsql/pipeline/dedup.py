@@ -290,6 +290,107 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
 """
 
 
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.1,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the n-gram
+    Jaccard pair graph -> (doc_id, cluster_id, cluster_size), where
+    cluster_id = min doc_id in the component (singletons map to self).
+
+    This is the step a training-data pipeline runs after pair
+    generation: pairs say "a ~ b"; clusters say "keep one of {a,b,c}".
+
+    Algorithm: iterative min-label propagation to a fixpoint —
+    label(v) <- min(label(v), min over neighbors u of label(u)) — each
+    iteration one join + one groupBy (both shuffles on doc_id, AQE
+    coalesced), lineage truncated per step with localCheckpoint so the
+    plan stays O(1) deep.  Converges in O(component diameter)
+    iterations; near-dup components are tiny (duplicate groups), so in
+    practice 2-4 rounds.  At 100 TB this is the standard hash-to-min
+    scheme; skewed giant components would switch to large-star /
+    small-star (same join shape, alternating orientation)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = jaccard_pairs(spark, sf_dir, threshold=threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def dedup_clusters_sql(threshold: float = 0.1) -> str:
+    """Oracle: transitive closure by recursive CTE — reach(v, x) holds
+    when x is reachable from v; cluster_id = MIN(x)."""
+    return f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.doc_id = e.src
+),
+lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{SIMHASH_BITS}-bit SimHash over distinct words: bit b is the sign
     of sum over words of (+1 if bit b of h(word) else -1)."""

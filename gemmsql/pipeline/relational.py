@@ -299,3 +299,122 @@ SELECT o_orderstatus AS status,
   COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
 FROM orders GROUP BY 1
 """
+
+
+def returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers active in BOTH 1996 and 1997
+    (INTERSECT), minus any who ever placed a failed ('F') order
+    (EXCEPT).  Spark plans INTERSECT/EXCEPT as aggregate-or-join on the
+    full row — at scale each is one shuffle on c_custkey, and the
+    distinct key sets are far smaller than the order fact table because
+    the year filters are pushed into the parquet scan first."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    failed = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    keys = y96.intersect(y97).exceptAll(failed.distinct())
+    cust = load_table(spark, sf_dir, "customer")
+    return keys.join(cust, keys["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+RETURNING_CUSTOMERS_SQL = """
+WITH keys AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+),
+clean AS (
+  SELECT o_custkey FROM keys
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment AS segment
+FROM clean JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def brand_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (brand, container-ish type prefix): all 4 grouping-set
+    combinations in ONE pass — Spark expands the cube map-side and runs
+    a single partial+final aggregate, so at 100 TB the fact table is
+    still read once.  part is broadcast (small dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand"),
+        F.substring("p_type", 1, 6).alias("p_class"),
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .cube("p_brand", "p_class")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_class", F.lit("ALL")).alias("class"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+BRAND_SALES_CUBE_SQL = """
+SELECT COALESCE(p_brand, 'ALL') AS brand,
+       COALESCE(substring(p_type, 1, 6), 'ALL') AS class,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY CUBE (p_brand, substring(p_type, 1, 6))
+"""
+
+
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: classify every order into a price band via a
+    non-equi join against a tiny band table.  Spark picks
+    BroadcastNestedLoopJoin because the band table is broadcast — the
+    scale-correct plan for interval joins against small dimension
+    ranges (the alternative, a theta-join shuffle, is never needed when
+    one side fits in memory)."""
+    bands = spark.createDataFrame(
+        [
+            ("micro", 0.0, 50_000.0),
+            ("small", 50_000.0, 150_000.0),
+            ("medium", 150_000.0, 300_000.0),
+            ("large", 300_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders["o_totalprice"] >= bands["lo"])
+            & (orders["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+PRICE_BAND_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('micro', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+         ('medium', 150000.0, 300000.0), ('large', 300000.0, 1e18)
+)
+SELECT band, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price,
+       ROUND(CAST(AVG(o_totalprice) AS DOUBLE), 6) AS avg_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1
+"""

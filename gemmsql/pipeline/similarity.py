@@ -234,3 +234,160 @@ def lsh_bucket_topk(
         .select("i", "j", F.round("cos", 6).alias("cos"),
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+IVF_STRIDE = 41  # centroid rule: every 41st vector id is a centroid
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, *, k: int = 5, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Coarse quantizer: the vectors whose id is a multiple of
+    ``IVF_STRIDE`` serve as deterministic centroids (sampled-datapoint
+    quantizer — the seeding step of IVF training, kept closed-form so
+    the DuckDB oracle can replay it exactly).  Every vector is assigned
+    to its nearest centroid by cosine (tie -> smaller centroid id);
+    each query probes its ``IVF_NPROBE`` nearest cells and ranks only
+    the vectors assigned there.
+
+    Scale shape (the 100 TB ANN path):
+    - centroids are tiny by construction -> broadcast once;
+    - assignment is a narrow mapInPandas (no shuffle);
+    - the only shuffle is the cogroup on cell id — candidate
+      generation is sum over cells of |cell| x |probes(cell)|, never
+      N^2;
+    - per-cell scoring emits LOCAL top-k only (top-k monoid partial),
+      so the final per-query window sees <= nprobe*k rows.
+    Exact parity against brute force is measured in pytest (recall);
+    the driver check is full hash parity vs the SQL replay below."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    cent_rows = (
+        vec.where(F.col("i") % IVF_STRIDE == 0).orderBy("i").collect()
+    )
+    cent_ids = np.array([r["i"] for r in cent_rows], dtype=np.int64)
+    cent = np.asarray([r["vec"] for r in cent_rows], dtype=np.float64)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_n))
+
+    def assign(batches):
+        ids, cn = bc.value
+        np_ = min(nprobe, len(ids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            c = xn @ cn.T  # (n, n_cent)
+            # order cells by (cos desc, centroid id asc), deterministically
+            order = np.lexsort((ids[None, :].repeat(len(c), 0), -c), axis=1)
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"].values,
+                    "cell": ids[order[:, 0]],
+                    "probes": list(ids[order[:, :np_]]),
+                    "vec": pdf["vec"].values,
+                }
+            )
+
+    assigned = vec.mapInPandas(
+        assign,
+        schema="i long, cell long, probes array<long>, vec array<double>",
+    ).cache()
+    inv = assigned.select("i", "cell", "vec")
+    probes = assigned.select(
+        "i", F.explode("probes").alias("cell"), "vec"
+    )
+
+    def per_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = inverted list (candidates), right = probing queries
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"i": [], "j": [], "cos": []}).astype(
+                {"i": "int64", "j": "int64", "cos": "float64"}
+            )
+        cm = np.asarray(left["vec"].tolist(), dtype=np.float64)
+        qm = np.asarray(right["vec"].tolist(), dtype=np.float64)
+        cids = left["i"].to_numpy()
+        qids = right["i"].to_numpy()
+        cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        c = qn @ cn.T
+        c = np.where(qids[:, None] == cids[None, :], -np.inf, c)
+        kk = min(k, c.shape[1])
+        idx = np.argpartition(-c, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(c.shape[0]), kk)
+        cols = idx.ravel()
+        keep = np.isfinite(c[rows, cols])
+        return pd.DataFrame(
+            {
+                "i": qids[rows[keep]],
+                "j": cids[cols[keep]],
+                "cos": c[rows[keep], cols[keep]],
+            }
+        )
+
+    partials = (
+        inv.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(per_cell, "i long, j long, cos double")
+    )
+    w = W.partitionBy("i").orderBy(F.col("cos").desc(), F.col("j"))
+    return (
+        partials.groupBy("i", "j").agg(F.max("cos").alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("i", "j", F.round("cos", 6).alias("cos"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT i, SQRT(SUM(v * v)) AS nrm FROM coo GROUP BY 1),
+cdots AS (
+  SELECT a.i AS qi, b.i AS ci, SUM(a.v * b.v) AS dot
+  FROM coo a JOIN coo b USING (j)
+  WHERE b.i % {IVF_STRIDE} = 0 GROUP BY 1, 2
+),
+ccos AS (
+  SELECT qi, ci, dot / (na.nrm * nb.nrm) AS cos
+  FROM cdots JOIN norms na ON na.i = qi JOIN norms nb ON nb.i = ci
+),
+assign AS (
+  SELECT qi, ci,
+         ROW_NUMBER() OVER (PARTITION BY qi ORDER BY cos DESC, ci) AS rn
+  FROM ccos
+),
+cell AS (SELECT qi AS i, ci AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT qi AS i, ci AS cell FROM assign WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.i AS qi, inv.i AS ki
+  FROM probes p JOIN cell inv ON inv.cell = p.cell AND inv.i <> p.i
+),
+pdots AS (
+  SELECT c.qi, c.ki, SUM(a.v * b.v) AS dot
+  FROM cand c
+  JOIN coo a ON a.i = c.qi
+  JOIN coo b ON b.i = c.ki AND b.j = a.j
+  GROUP BY 1, 2
+),
+pcos AS (
+  SELECT qi, ki, dot / (na.nrm * nb.nrm) AS cos
+  FROM pdots JOIN norms na ON na.i = qi JOIN norms nb ON nb.i = ki
+),
+ranked AS (
+  SELECT qi, ki, cos,
+         ROW_NUMBER() OVER (PARTITION BY qi ORDER BY cos DESC, ki) AS rank
+  FROM pcos
+)
+SELECT qi AS i, ki AS j, ROUND(CAST(cos AS DOUBLE), 6) AS cos,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""

@@ -180,6 +180,104 @@ FROM ranked WHERE rank <= 3
 """
 
 
+QS_STOPWORDS = tuple(w for ws in STOPWORDS.values() for w in ws)
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score, the filter stage of a training
+    corpus pipeline (Gopher/C4-style heuristics re-expressed portably):
+
+    - len_score: 1 if 20 <= n_tokens <= 600 else 0
+    - stop_ratio: stopword tokens / tokens (any language list)
+    - digit_ratio: digit chars / chars
+    - mean token length in [3, 10] -> word_score
+    - score = 0.4*len_score + 0.4*min(stop_ratio*5, 1) +
+              0.2*word_score - digit_ratio  (clamped to [0,1])
+
+    One explode + groupBy per doc (co-partitioned with the scan) plus a
+    narrow per-row map; no joins.  At 100 TB the explode is the only
+    shuffle and keys are doc_ids — uniform, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tok = w.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("word").isin(*QS_STOPWORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
+        F.round(F.avg(F.length("word")), 6).alias("mean_word_len"),
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("long")
+        .alias("n_digit"),
+    )
+    j = tok.join(chars, "doc_id")
+    len_score = F.when(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 600), 1.0
+    ).otherwise(0.0)
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    digit_ratio = F.col("n_digit") / F.col("n_chars_")
+    word_score = F.when(
+        (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0), 1.0
+    ).otherwise(0.0)
+    raw = (
+        0.4 * len_score
+        + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.2 * word_score
+        - digit_ratio
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        "mean_word_len",
+        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "quality"
+        ),
+    )
+
+
+def quality_score_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in QS_STOPWORDS)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN word IN ({stops}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         ROUND(CAST(AVG(length(word)) AS DOUBLE), 6) AS mean_word_len
+  FROM words GROUP BY 1
+),
+chars AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM documents
+),
+j AS (SELECT * FROM tok JOIN chars USING (doc_id)),
+scored AS (
+  SELECT doc_id, n_tokens,
+    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+    CAST(n_digit AS DOUBLE) / n_chars_ AS digit_ratio,
+    mean_word_len,
+    0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 600 THEN 1.0 ELSE 0.0 END)
+    + 0.4 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+    + 0.2 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+    - CAST(n_digit AS DOUBLE) / n_chars_ AS raw
+  FROM j
+)
+SELECT doc_id, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio, mean_word_len,
+       ROUND(GREATEST(LEAST(raw, 1.0), 0.0), 6) AS quality
+FROM scored
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: full-content md5 + a
     word-order-insensitive bag fingerprint (md5 of sorted words)."""

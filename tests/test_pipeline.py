@@ -122,3 +122,53 @@ def test_sessionize_invariants(spark):
         g = g.sort_values("session_start_us")
         gaps = g["session_start_us"].to_numpy()[1:] - g["session_end_us"].to_numpy()[:-1]
         assert (gaps > SESSION_GAP_US).all()
+
+
+def test_dedup_clusters_invariants(spark):
+    """Every edge endpoint pair shares a cluster; cluster_id is the min
+    member; sizes are consistent."""
+    from gemmsql.pipeline.dedup import dedup_clusters, jaccard_pairs
+
+    lab = dedup_clusters(spark, SF_SMOKE).toPandas()
+    by_doc = dict(zip(lab["doc_id"], lab["cluster_id"]))
+    pairs = jaccard_pairs(spark, SF_SMOKE).toPandas()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert by_doc[a] == by_doc[b], f"edge ({a},{b}) split across clusters"
+    grp = lab.groupby("cluster_id")["doc_id"].agg(["min", "count"]).reset_index()
+    assert (grp["cluster_id"] == grp["min"]).all()
+    sizes = lab.drop_duplicates("cluster_id").set_index("cluster_id")[
+        "cluster_size"
+    ]
+    for cid, n in grp.set_index("cluster_id")["count"].items():
+        assert sizes[cid] == n
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF properties: probing ALL cells reproduces the exact top-k;
+    recall grows with nprobe; output shape is well-formed."""
+    from gemmsql.pipeline.similarity import cosine_topk, ivf_topk
+
+    exact = cosine_topk(spark, SF_SMOKE, k=5).toPandas()
+    truth = set(zip(exact["i"], exact["j"]))
+
+    def recall(nprobe):
+        approx = ivf_topk(spark, SF_SMOKE, k=5, nprobe=nprobe).toPandas()
+        got = set(zip(approx["i"], approx["j"]))
+        return len(truth & got) / len(truth), approx
+
+    r2, approx = recall(2)
+    r_all, full = recall(10**6)  # clamped to n_centroids -> exhaustive
+    assert r_all == 1.0, f"exhaustive probe recall {r_all:.3f} != 1"
+    assert r2 > 0.2, f"nprobe=2 recall {r2:.3f} below floor"
+    assert r_all >= r2
+    cnt = approx.groupby("i")["rank"].agg(["count", "min", "max"])
+    assert (cnt["count"] <= 5).all() and (cnt["min"] == 1).all()
+
+
+def test_quality_score_bounds(spark):
+    from gemmsql.pipeline.text import quality_score
+
+    q = quality_score(spark, SF_SMOKE).toPandas()
+    assert ((q["quality"] >= 0.0) & (q["quality"] <= 1.0)).all()
+    assert ((q["stop_ratio"] >= 0.0) & (q["stop_ratio"] <= 1.0)).all()
+    assert (q["n_tokens"] > 0).all()
