@@ -79,3 +79,20 @@ def logaddexp(a: Column, b: Column) -> Column:
     (reference attention.py:34 ``torch.logaddexp``)."""
     mx = F.greatest(a, b)
     return mx + F.log(F.exp(a - mx) + F.exp(b - mx))
+
+
+def collected_lse(ps: Column, z_field: str) -> Column:
+    """Stable logsumexp over an ARRAY of partial structs, fully in-row.
+
+    Companion to :func:`group_logsumexp` for the fused one-shuffle merge:
+    ``groupBy(key).agg(collect_list(struct(...)))`` puts every tile
+    partial for a row into one small array (one element per tile, e.g.
+    7 at sf0.1/4096-blocks), and this expression folds them JVM-side
+    with higher-order functions — no second aggregation pass, no join
+    back, no re-exchange.  This is the reference's ``binary_reduce``
+    (attention.py:31-36) as a Catalyst expression tree.
+    """
+    mx = F.array_max(F.transform(ps, lambda p: p[z_field]))
+    return mx + F.log(
+        F.aggregate(ps, F.lit(0.0), lambda acc, p: acc + F.exp(p[z_field] - mx))
+    )

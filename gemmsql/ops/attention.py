@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gemmsql.numerics import group_logsumexp
+from gemmsql.numerics import collected_lse, group_logsumexp
 from gemmsql.ops._blocked import blocked_partials, broadcast_right_partials
 
 
@@ -106,14 +106,25 @@ def attention_blocked(
             q_vec, kv_vec, kernel, schema,
             left_block=block, right_block=block,
         )
-    z = group_logsumexp(partials, ["i"], "z", "zt")
+    # fused merge: ONE groupBy collects all tile partials per row, then
+    # the FlashAttention combine (z = logsumexp_b z_b, val = sum_b
+    # e^{z_b - z} v_b) runs entirely in-row with higher-order functions.
+    # The earlier plan (logsumexp agg + join back + posexplode-then-agg)
+    # shuffled every (row, tile, dim) triple; this shuffles one compact
+    # struct per (row, tile) and explodes only the final M x D rows.
+    g = partials.groupBy("i").agg(
+        F.collect_list(F.struct("z", "v")).alias("ps")
+    ).withColumn("zt", collected_lse(F.col("ps"), "z"))
+    zero = F.transform(F.element_at(F.col("ps"), 1)["v"], lambda _: F.lit(0.0))
+    vec = F.aggregate(
+        F.col("ps"),
+        zero,
+        lambda acc, p: F.zip_with(
+            acc, p["v"], lambda a, b: a + F.exp(p["z"] - F.col("zt")) * b
+        ),
+    )
     return (
-        partials.join(z, "i")
-        .select(
-            "i",
-            F.exp(F.col("z") - F.col("zt")).alias("w"),
-            F.posexplode("v").alias("d", "pv"),
-        )
-        .groupBy("i", F.col("d").cast("long").alias("d"))
-        .agg(F.sum(F.col("w") * F.col("pv")).alias("val"))
+        g.select("i", vec.alias("vec"))
+        .select("i", F.posexplode("vec").alias("d", "val"))
+        .select("i", F.col("d").cast("long").alias("d"), "val")
     )

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gemmsql.numerics import group_logsumexp
+from gemmsql.numerics import collected_lse, group_logsumexp
 from gemmsql.ops._blocked import blocked_partials
 from gemmsql.ops.attention import attention_scores
 
@@ -54,14 +54,14 @@ def row_entropy(
         pred_vec, trg_vec, _entropy_kernel, "i long, p double, n double",
         left_block=block, right_block=block,
     )
-    z = group_logsumexp(partials, ["i"], "p", "z")
-    return (
-        partials.join(z, "i")
-        .groupBy("i")
-        .agg(
-            (
-                F.max("z")
-                - F.sum(F.col("n") * F.exp(F.col("p") - F.col("z")))
-            ).alias("entropy")
-        )
+    # fused one-shuffle merge (see attention_blocked): z and the
+    # softmax-weighted score mean fold in-row over the partial list
+    g = partials.groupBy("i").agg(
+        F.collect_list(F.struct("p", "n")).alias("ps")
+    ).withColumn("z", collected_lse(F.col("ps"), "p"))
+    wsum = F.aggregate(
+        F.col("ps"),
+        F.lit(0.0),
+        lambda acc, p: acc + p["n"] * F.exp(p["p"] - F.col("z")),
     )
+    return g.select("i", (F.col("z") - wsum).alias("entropy"))

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gemmsql.numerics import group_logsumexp
+from gemmsql.numerics import collected_lse
 from gemmsql.ops._blocked import blocked_partials
 
 
@@ -67,16 +67,15 @@ def sample_categorical(
         left_block=block, right_block=block,
     )
     # global winner = argmax over perturbed scores (associative max_by);
-    # total mass = logsumexp of tile masses (reference sampling.py:30)
-    win = partials.groupBy("i").agg(
-        F.max_by(F.struct("sc", "c"), "z").alias("w")
-    )
-    tz = group_logsumexp(partials, ["i"], "tz", "tzt")
-    return (
-        win.join(tz, "i")
-        .select(
-            "i",
-            F.exp(F.col("w.sc") - F.col("tzt")).alias("prob"),
-            F.col("w.c").alias("choice"),
-        )
+    # total mass = logsumexp of tile masses (reference sampling.py:30);
+    # both fold in ONE aggregation — max_by merges map-side, and the
+    # collected tz list folds in-row (see numerics.collected_lse)
+    g = partials.groupBy("i").agg(
+        F.max_by(F.struct("sc", "c"), "z").alias("w"),
+        F.collect_list(F.struct("tz")).alias("ps"),
+    ).withColumn("tzt", collected_lse(F.col("ps"), "tz"))
+    return g.select(
+        "i",
+        F.exp(F.col("w.sc") - F.col("tzt")).alias("prob"),
+        F.col("w.c").alias("choice"),
     )

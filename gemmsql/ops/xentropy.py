@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gemmsql.numerics import group_logsumexp
+from gemmsql.numerics import collected_lse, group_logsumexp
 from gemmsql.ops._blocked import blocked_partials
 from gemmsql.ops.attention import attention_scores
 
@@ -69,6 +69,9 @@ def xentropy(
         pred_vec, trg_vec, _xent_kernel, "i long, p double, n double",
         left_block=block, right_block=block, left_extra=("label",),
     )
-    z = group_logsumexp(partials, ["i"], "p", "z")
-    n = partials.groupBy("i").agg(F.sum("n").alias("n"))
-    return z.join(n, "i").select("i", (F.col("z") - F.col("n")).alias("loss"))
+    # fused one-shuffle merge: logsumexp + true-class sum fold in-row
+    g = partials.groupBy("i").agg(
+        F.collect_list(F.struct("p", "n")).alias("ps"),
+        F.sum("n").alias("n"),
+    ).withColumn("z", collected_lse(F.col("ps"), "p"))
+    return g.select("i", (F.col("z") - F.col("n")).alias("loss"))

@@ -45,32 +45,30 @@ def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams via positional self-joins
-    (pure relational shingling — no UDF)."""
-    w = doc_words(spark, sf_dir)
-    w1 = w.alias("w1")
-    w2 = w.alias("w2")
-    w3 = w.alias("w3")
+    """(doc_id, shingle) distinct word n-grams, generated as a NARROW
+    map: split once, then a higher-order ``transform`` over start
+    positions builds every n-gram in-row.  No join, no shuffle until
+    the final distinct — at 100 TB shingling is pipelined into the
+    parquet scan (the earlier formulation used two positional
+    self-joins, i.e. two full-corpus shuffles, for the same rows)."""
     assert n == 3, "word-3-grams (reference pipeline default)"
-    return (
-        w1.join(
-            w2,
-            (F.col("w1.doc_id") == F.col("w2.doc_id"))
-            & (F.col("w2.pos") == F.col("w1.pos") + 1),
-        )
-        .join(
-            w3,
-            (F.col("w1.doc_id") == F.col("w3.doc_id"))
-            & (F.col("w3.pos") == F.col("w1.pos") + 2),
-        )
-        .select(
-            F.col("w1.doc_id").alias("doc_id"),
-            F.concat_ws(
-                " ", F.col("w1.word"), F.col("w2.word"), F.col("w3.word")
-            ).alias("shingle"),
-        )
-        .distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+            F.element_at(w, i + 3),
+        ),
     )
+    return docs.select(
+        "doc_id", F.explode(grams).alias("shingle")
+    ).distinct()
 
 
 # DuckDB twin of doc_shingles as a CTE body
@@ -163,20 +161,29 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
 """
 
 
+def _minhash_wide(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{N_PERMS-1}): all minhashes in ONE partial+final
+    aggregate — each shingle row computes N_PERMS hashes map-side and
+    the shuffle carries one row per doc, not N_PERMS (the earlier
+    formulation cross-joined a perm table, multiplying the shuffle
+    input 12x for identical results)."""
+    aggs = [
+        F.min(
+            _h60(F.concat(F.lit(f"{p}|"), F.col("shingle")))
+        ).alias(f"m{p}")
+        for p in range(N_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, perm, minhash): min over shingles of h(perm || shingle)."""
     sh = shingles if shingles is not None else doc_shingles(spark, sf_dir)
-    perms = spark.range(N_PERMS).select(F.col("id").alias("perm"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                _h60(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    stack = ", ".join(f"CAST({p} AS BIGINT), m{p}" for p in range(N_PERMS))
+    return _minhash_wide(sh).select(
+        "doc_id", F.expr(f"stack({N_PERMS}, {stack}) AS (perm, minhash)")
     )
 
 
@@ -193,16 +200,29 @@ def minhash_lsh_pairs(
     verification, and set sizes all reuse it (at 100 TB this is the
     difference between one and three passes over the corpus)."""
     shingles = doc_shingles(spark, sf_dir).cache()
-    sig = minhash_signatures(spark, sf_dir, shingles=shingles)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    wide = _minhash_wide(shingles)
+    n_bands = N_PERMS // BAND_ROWS
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws(
-                ",", F.array_sort(F.collect_list(F.col("minhash").cast("string")))
-            ).alias("bsig")
+                ",",
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.col(f"m{b * BAND_ROWS + r}").cast("string")
+                            for r in range(BAND_ROWS)
+                        ]
+                    )
+                ),
+            ).alias("bsig"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    # bands derive in-row from the wide signature — no second shuffle
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
