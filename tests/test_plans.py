@@ -1,0 +1,122 @@
+"""Physical-plan shape assertions — the scale contract, executable.
+
+Correctness says WHAT each query returns; these tests pin HOW Spark is
+allowed to run it: dimension joins must broadcast, fact filters must
+reach the parquet scan (PushedFilters), column pruning must hold
+(ReadSchema), global top-k must be TakeOrderedAndProject (never a
+single-partition window), narrow per-row analytics must not shuffle at
+all, and CUBE must expand in one pass over one scan.  If a refactor
+regresses any of these, the query still returns the right rows at
+sf0.01 — but would fall over at 100 TB.  This suite is the guard.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shipping_priority_topk_is_take_ordered(spark):
+    from gemmsql.pipeline.relational import shipping_priority
+
+    p = plan_of(shipping_priority(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, "global top-10 must be partial top-k"
+    assert "BroadcastHashJoin" in p, "customer dim must broadcast"
+
+
+def test_nation_revenue_broadcasts_all_dims(spark):
+    from gemmsql.pipeline.relational import nation_revenue
+
+    p = plan_of(nation_revenue(spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") >= 3, "cust/nation/region must broadcast"
+    # at tiny SF orders may broadcast as well; what is NEVER acceptable
+    # is a cartesian or a shuffle of a dimension table
+    assert "CartesianProduct" not in p
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    from gemmsql.pipeline.relational import pricing_summary
+
+    p = plan_of(pricing_summary(spark, SF_SMOKE))
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", p), (
+        "date filter must reach the parquet scan"
+    )
+    scan = next(l for l in p.splitlines() if "FileScan" in l)
+    assert "l_partkey" not in scan and "l_suppkey" not in scan, (
+        "unused columns must be pruned from the scan"
+    )
+    assert p.count("HashAggregate") >= 2, "aggregate must run partial+final"
+
+
+def test_narrow_text_ops_do_not_shuffle(spark):
+    from gemmsql.pipeline.text import text_stats, token_counts
+
+    for q in (text_stats, token_counts):
+        p = plan_of(q(spark, SF_SMOKE))
+        assert "Exchange" not in p, f"{q.__name__} must be a narrow map"
+
+
+def test_price_band_join_is_broadcast_nested_loop(spark):
+    from gemmsql.pipeline.relational import price_band_join
+
+    p = plan_of(price_band_join(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p, (
+        "non-equi band join against a tiny dim must broadcast, not shuffle"
+    )
+
+
+def test_brand_sales_cube_single_scan_expand(spark):
+    from gemmsql.pipeline.relational import brand_sales_cube
+
+    p = plan_of(brand_sales_cube(spark, SF_SMOKE))
+    assert "Expand" in p, "CUBE must use Expand (one pass, all grouping sets)"
+    assert p.count("FileScan parquet") == 2, (
+        "exactly one scan of lineitem + one of part — CUBE must not re-scan"
+    )
+    assert "BroadcastHashJoin" in p
+
+
+def test_window_queries_always_partition(spark):
+    """Every Window operator in every registered query must carry a
+    partition spec unless it follows a LIMIT (tiny input) — a global
+    window is the classic 100 TB cliff."""
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        if name in ("sampling",):
+            continue
+        try:
+            p = plan_of(fn(spark, SF_SMOKE))
+        except Exception:
+            continue
+        for line in p.splitlines():
+            if "Window " in line and "windowspecdefinition" in line:
+                # partition spec present <=> 3-arg grouping before ORDER
+                if re.search(r"Window \[[^\]]*\], \[[^\]]*\], \[[^\]]*\]", line):
+                    continue  # partitioned window: [exprs], [part], [order]
+                assert "TakeOrderedAndProject" in p, (
+                    f"{name}: unpartitioned Window without a preceding "
+                    f"limit/top-k: {line.strip()[:120]}"
+                )
+
+
+def test_attention_blocked_single_merge_aggregate(spark):
+    """The fused merge must aggregate once: no join after the
+    applyInPandas partials, no second aggregation pass."""
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops import attention_blocked
+
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    p = plan_of(attention_blocked(vec, vec))
+    # the only joins allowed are the block-replication broadcasts BELOW
+    # the kernel; after FlatMapGroupsInPandas the merge must be pure
+    # aggregation (no join back, no equi-join of any kind)
+    kernel_pos = p.index("FlatMapGroupsInPandas")
+    above = p[:kernel_pos]
+    assert "HashJoin" not in above and "SortMergeJoin" not in above
+    assert p.count("FlatMapGroupsInPandas") == 1
