@@ -174,7 +174,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from gemmsql.pipeline import dedup, events, relational, text
+    from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import payload_meta
 
     return {
@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_since_last_error": events.time_since_last_error,
         "user_value_movavg": events.user_value_movavg,
         "props_stats": events.props_stats,
+        "last_order_before_event": joins.last_order_before_event,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -277,7 +278,7 @@ def oracle_sql() -> dict[str, str]:
         " AS entropy"
         " FROM scores s JOIN z USING (qi) GROUP BY s.qi"
     )
-    from gemmsql.pipeline import dedup, events, relational, text
+    from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
     from gemmsql.pipeline.similarity import (
         COSINE_TOPK_SQL,
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "time_since_last_error": events.TIME_SINCE_LAST_ERROR_SQL,
         "user_value_movavg": events.USER_VALUE_MOVAVG_SQL,
         "props_stats": events.PROPS_STATS_SQL,
+        "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

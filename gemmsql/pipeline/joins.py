@@ -1,0 +1,178 @@
+"""Specialized join strategies: as-of joins and skew-salted joins.
+
+The reference has no join operators at all (SURVEY.md §2.9 — its only
+"join" is the implicit tile cross-product).  These are the two join
+shapes a large-scale pipeline needs beyond Catalyst's built-ins:
+
+- :func:`asof_join` — temporal "most recent right row at or before the
+  left timestamp".  The naive formulation is a range join (left x all
+  earlier right rows) whose worst case is quadratic per key; this one
+  is the scale-correct single-shuffle form: tag both sides, union,
+  one window pass per key carrying the last non-null right payload
+  forward.  Cost: one shuffle on the key + one per-key sort — same as
+  any windowed aggregation, independent of join fan-out.
+- :func:`salted_join` — equi-join where the LEFT side has skewed hot
+  keys: left rows get a random salt in [0, n_salt), the (small-ish)
+  right side is exploded n_salt times, and the join key becomes
+  (key, salt), splitting each hot key across n_salt tasks.  AQE's
+  skew-join handles moderate skew automatically; explicit salting is
+  for the pathological case (one key = 30% of rows) where even a
+  split partition's build side overflows.  Results are provably
+  identical to the plain join (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the payload of the most recent right
+    row with ``right.right_ts <= left.left_ts`` (strictly ``<`` when
+    ``inclusive=False``) and the same ``key``.
+
+    ``payload`` maps right-column -> output-column.  Right rows must be
+    unique per (key, right_ts) — pre-aggregate if not, or the result
+    is nondeterministic.  Left columns pass through unchanged; rows
+    with no earlier right row get nulls.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[src].dataType).alias(dst)
+          for src, dst in payload.items()],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(src).alias(dst) for src, dst in payload.items()],
+    )
+    both = tagged_l.unionByName(tagged_r)
+    # right rows sort before left rows at equal ts when inclusive, so a
+    # same-instant right row is visible to the left row
+    tie = F.col("_is_left") if inclusive else -F.col("_is_left")
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts"), tie)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = both.select(
+        "*",
+        *[
+            F.last(dst, ignorenulls=True).over(w).alias(f"_f_{dst}")
+            for dst in payload.values()
+        ],
+    )
+    return filled.where(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_f_{dst}").alias(dst) for dst in payload.values()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    n_salt: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) left side,
+    replicate the right side ``n_salt`` ways, join on (key, salt).
+
+    Equivalent to ``left.join(right, on, how)`` for how in
+    {inner, left}; replication multiplies the right side, so keep it
+    the smaller input (classic salting applies to exactly this case —
+    a big skewed fact against a modest dimension that is still too big
+    or too dynamic to broadcast)."""
+    assert how in ("inner", "left"), "salting supports inner/left joins"
+    salted_l = left.withColumn(
+        "_salt", (F.rand(seed) * n_salt).cast("int")
+    )
+    salts = F.array(*[F.lit(s) for s in range(n_salt)])
+    salted_r = right.withColumn("_salt", F.explode(salts))
+    out = salted_l.join(salted_r, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join of the event stream against order history: for every
+    event, the most recent order (by orderdate) the same customer
+    placed at or before the event.  Nulls (no earlier order) surface
+    as -1 so the schema stays integral.
+
+    Scale: one shuffle on user_id for the window pass — the as-of
+    never fans out, unlike a range join whose per-key cost is
+    |events_k| x |orders_k|."""
+    from gemmsql.datamodel import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            "ok",
+        )
+    )
+    j = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        payload={"ok": "last_ok", "ots": "last_ots"},
+    )
+    return j.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce(F.col("last_ok"), F.lit(-1)).cast("long").alias("last_orderkey"),
+        F.coalesce(
+            F.datediff(F.to_date("ts"), F.to_date("last_ots")), F.lit(-1)
+        )
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+LAST_ORDER_BEFORE_EVENT_SQL = """
+WITH r AS (
+  SELECT o_custkey AS k, o_orderdate AS rts, MAX(o_orderkey) AS ok
+  FROM orders GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id AS k, ts, 1 AS is_left, event_id,
+         CAST(NULL AS BIGINT) AS ok, CAST(NULL AS TIMESTAMP) AS rts
+  FROM events
+  UNION ALL
+  SELECT k, rts AS ts, 0, NULL, ok, rts FROM r
+),
+w AS (
+  SELECT *,
+    last_value(ok IGNORE NULLS) OVER win AS last_ok,
+    last_value(rts IGNORE NULLS) OVER win AS last_rts
+  FROM u
+  WINDOW win AS (PARTITION BY k ORDER BY ts, is_left ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, CAST(k AS BIGINT) AS user_id,
+       CAST(COALESCE(last_ok, -1) AS BIGINT) AS last_orderkey,
+       CAST(COALESCE(date_diff('day', CAST(last_rts AS DATE), CAST(ts AS DATE)), -1) AS BIGINT) AS days_since
+FROM w WHERE is_left = 1
+"""

@@ -172,3 +172,60 @@ def test_quality_score_bounds(spark):
     assert ((q["quality"] >= 0.0) & (q["quality"] <= 1.0)).all()
     assert ((q["stop_ratio"] >= 0.0) & (q["stop_ratio"] <= 1.0)).all()
     assert (q["n_tokens"] > 0).all()
+
+
+def test_asof_join_matches_naive_range_join(spark):
+    """asof_join (union+window) == the quadratic range-join formulation."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.joins import asof_join
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            "ok",
+        )
+    )
+    fast = (
+        asof_join(ev, orders, key="user_id", left_ts="ts", right_ts="ots",
+                  payload={"ok": "last_ok"})
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # naive oracle: join all earlier orders, keep the latest per event
+    j = ev.join(orders, ["user_id"]).where(F.col("ots") <= F.col("ts"))
+    naive = (
+        j.groupBy("event_id")
+        .agg(F.max_by("ok", F.struct("ots", "ok")).alias("last_ok"))
+        .toPandas()
+        .set_index("event_id")["last_ok"]
+    )
+    for eid, got in zip(fast["event_id"], fast["last_ok"]):
+        want = naive.get(eid)
+        if want is None or (isinstance(want, float) and np.isnan(want)):
+            assert got is None or (isinstance(got, float) and np.isnan(got))
+        else:
+            assert got == want, f"event {eid}: {got} != {want}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.joins import salted_join
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey")
+    # rename to share the join column name
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, cust, "o_custkey", n_salt=8).groupBy(
+        "c_mktsegment"
+    ).count()
+    a = {r["c_mktsegment"]: r["count"] for r in plain.collect()}
+    b = {r["c_mktsegment"]: r["count"] for r in salted.collect()}
+    assert a == b
