@@ -114,3 +114,36 @@ def run_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_dedup_exact(
+    events: DataFrame,
+    *,
+    within: str = "1 hour",
+    keys: tuple[str, ...] = ("user_id", "event_type", "value"),
+) -> DataFrame:
+    """Streaming exact dedup — the stream twin of
+    ``pipeline.dedup.dedup_exact``: drop events whose (user_id,
+    event_type, value) repeat within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store to
+    the watermark window — the property that makes exact dedup viable
+    on an unbounded stream (the batch operator's full-corpus hash
+    groupBy becomes an expiring hash set)."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def streaming_enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension.  The static side is broadcast per micro-batch — no
+    stream-side shuffle, no state; the standard pattern for dimension
+    enrichment at any scale."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+    )
