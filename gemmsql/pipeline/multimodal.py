@@ -90,3 +90,80 @@ def extract_features(
     return df.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, features array<double>"
     )
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize hook — needs a codec library, absent here."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv; use fake_resize for tests"
+    )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: re-digest the payload to a
+    pseudo-bitmap of exactly width*height bytes (correct output SIZE
+    contract without a codec)."""
+    d = hashlib.sha256(payload).digest()
+    need = width * height
+    return (d * (need // len(d) + 1))[:need]
+
+
+def resize_images(
+    df: DataFrame, *, width: int = 8, height: int = 8, resizer=fake_resize
+) -> DataFrame:
+    """payload -> resized payload + output dims.  Narrow Arrow-batched
+    map; at 100 TB the input column stays in the scan's Arrow batches
+    end-to-end (never collected, never shuffled)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = [resizer(bytes(p), width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "resized": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, resized binary, width int, height int"
+    )
+
+
+def sample_frames(
+    df: DataFrame, *, n_frames: int = 4, frame_bytes: int = 32
+) -> DataFrame:
+    """Treat the payload as a fake video: cut ``n_frames`` evenly-spaced
+    fixed-size byte windows ("frames") and EXPLODE to one row per
+    frame — the schema/fan-out shape of real video frame sampling
+    (ffmpeg would replace the slicer, nothing else changes).
+
+    Output rows = n_frames x input rows; the explode happens inside the
+    same narrow map, so no shuffle is introduced."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fidx, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                if len(b) < frame_bytes:
+                    b = b + b"\0" * (frame_bytes - len(b))
+                span = max(len(b) - frame_bytes, 0)
+                for f in range(n_frames):
+                    off = (span * f) // max(n_frames - 1, 1)
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    frames.append(b[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "frame": frames}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, frame_idx int, frame binary"
+    )

@@ -1,0 +1,73 @@
+"""Sources and sinks beyond the driver's parquet tables.
+
+The reference has NO storage layer at all — inputs are torch.randn in
+``__main__`` blocks and the only sink is stdout (SURVEY.md §2.9).  This
+module is the engine's I/O surface: schema-enforced readers for the
+formats a lake actually contains, and scale-safe writers.
+
+Design rules (100 TB):
+- always pass an explicit schema to csv/json readers — schema inference
+  is a full extra pass over the data;
+- writes are partitioned by a low-cardinality column and bucketed only
+  when a downstream join will reuse the bucketing (bucketing costs one
+  shuffle now to save one later — a bet, not a default);
+- ``maxRecordsPerFile`` caps file sizes so a skewed partition cannot
+  produce one giant file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """CSV with a REQUIRED explicit schema (no inference pass)."""
+    opts = {"header": "true", **options}
+    return spark.read.options(**opts).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """JSON-lines with a REQUIRED explicit schema."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink with bounded file sizes."""
+    w = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles on ``bucket_by`` so later
+    equi-joins/aggregations on that key skip their Exchange entirely —
+    the persisted form of co-partitioning two fact tables."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_noop(df: DataFrame) -> None:
+    """Benchmark sink: full computation, no output."""
+    df.write.format("noop").mode("overwrite").save()
