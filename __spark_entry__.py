@@ -167,6 +167,12 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dups(spark, sf_dir, threshold=0.4)
 
 
+def _sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.sketches import user_reach_sketch
+
+    return user_reach_sketch(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -197,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_quantiles": relational.segment_quantiles,
         "quiet_customers": relational.quiet_customers,
         "returning_customers": relational.returning_customers,
+        "high_value_customers": relational.high_value_customers,
         "brand_sales_cube": relational.brand_sales_cube,
         "price_band_join": relational.price_band_join,
         # --- event analytics ---
@@ -208,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_movavg": events.user_value_movavg,
         "props_stats": events.props_stats,
         "last_order_before_event": joins.last_order_before_event,
+        "user_reach_sketch": _sketch_query,  # approximate: rows-only (bounds tested in pytest)
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -305,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_quantiles": relational.SEGMENT_QUANTILES_SQL,
         "quiet_customers": relational.QUIET_CUSTOMERS_SQL,
         "returning_customers": relational.RETURNING_CUSTOMERS_SQL,
+        "high_value_customers": relational.HIGH_VALUE_CUSTOMERS_SQL,
         "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
         "price_band_join": relational.PRICE_BAND_JOIN_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,

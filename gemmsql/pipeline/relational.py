@@ -418,3 +418,38 @@ SELECT band, COUNT(*) AS n_orders,
 FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY 1
 """
+
+
+def high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): customers with at least one 1997 order over
+    200k.  ``left_semi`` keeps the probe side intact and deduplicated —
+    at scale it shuffles only the distinct filtered order keys, never
+    multiplies rows like an inner join + distinct would."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(
+        (F.year("o_orderdate") == 1997) & (F.col("o_totalprice") > 200_000)
+    )
+    return (
+        cust.join(
+            big_orders,
+            cust["c_custkey"] == big_orders["o_custkey"],
+            "left_semi",
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round("c_acctbal", 6).alias("acctbal"),
+        )
+    )
+
+
+HIGH_VALUE_CUSTOMERS_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment AS segment,
+       ROUND(CAST(c_acctbal AS DOUBLE), 6) AS acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND year(o_orderdate) = 1997 AND o_totalprice > 200000
+)
+"""

@@ -285,3 +285,53 @@ def test_sources_roundtrip(spark, tmp_path):
     import os
     parts = [d for d in os.listdir(pq_dir) if d.startswith("n_regionkey=")]
     assert len(parts) > 1, "partitioned write must create hive-style dirs"
+
+
+def test_udtf_twins_match_builtin_paths(spark):
+    """UDTF lateral expansion == the vectorized built-in formulation."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.dedup import doc_shingles
+    from gemmsql.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView("docs_v")
+    got = spark.sql(
+        "SELECT doc_id, s.shingle FROM docs_v, LATERAL shingles3(text) s"
+    )
+    want = doc_shingles(spark, SF_SMOKE)
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select("doc_id", "shingle")).count() == 0
+
+    words = spark.sql(
+        "SELECT doc_id, w.word, w.pos FROM docs_v, LATERAL split_words(text) w"
+    )
+    builtin = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    assert words.count() == builtin.count()
+
+
+def test_sketch_bounds_vs_exact(spark):
+    from gemmsql.datamodel import load_table
+    from gemmsql.sketches import user_reach_sketch
+
+    sk = user_reach_sketch(spark, SF_SMOKE).toPandas().set_index("event_type")
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in exact.index:
+        rel = abs(sk.loc[et, "approx_users"] - exact.loc[et, "users"]) / max(
+            exact.loc[et, "users"], 1
+        )
+        assert rel < 0.1, f"{et}: HLL error {rel:.3f} out of bounds"
+        spread = ev.where(F.col("event_type") == et).agg(
+            (F.max("value") - F.min("value")).alias("r")
+        ).first()["r"] or 1.0
+        assert abs(sk.loc[et, "p50"] - exact.loc[et, "p50"]) <= 0.05 * spread
