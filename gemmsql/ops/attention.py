@@ -82,13 +82,16 @@ def _attention_kernel(scale: bool):
     return kernel
 
 
+BROADCAST_KV_MAX_ROWS = 262_144  # ~128 MB at 64 dims of float64
+
+
 def attention_blocked(
     q_vec: DataFrame,
     kv_vec: DataFrame,
     *,
     scale: bool = False,
     block: int = 4096,
-    broadcast_kv: bool = False,
+    broadcast_kv: bool | str = "auto",
 ) -> DataFrame:
     """Tiled self-attention (K == V == ``kv_vec``) -> ``(i, d, val)``.
 
@@ -99,6 +102,12 @@ def attention_blocked(
     """
     kernel = _attention_kernel(scale)
     schema = "i long, z double, v array<double>"
+    if broadcast_kv == "auto":
+        # stats-based physical choice, same rule Catalyst applies to
+        # joins: when the KV side fits in executor memory, replication
+        # factor drops to 1 (narrow map, no shuffle); the blocked path
+        # stays for genuinely large KV
+        broadcast_kv = kv_vec.count() <= BROADCAST_KV_MAX_ROWS
     if broadcast_kv:
         partials = broadcast_right_partials(q_vec, kv_vec, kernel, schema)
     else:

@@ -47,13 +47,29 @@ def _entropy_kernel(lids, lmat, _extra, rids, rmat) -> pd.DataFrame:
 
 
 def row_entropy(
-    pred_vec: DataFrame, trg_vec: DataFrame, *, block: int = 4096
+    pred_vec: DataFrame,
+    trg_vec: DataFrame,
+    *,
+    block: int = 4096,
+    broadcast_trg: bool | str = "auto",
 ) -> DataFrame:
-    """Blocked path -> ``(i, entropy)``."""
-    partials = blocked_partials(
-        pred_vec, trg_vec, _entropy_kernel, "i long, p double, n double",
-        left_block=block, right_block=block,
-    )
+    """Blocked path -> ``(i, entropy)``.  Small trg sides broadcast
+    (narrow map, replication 1) exactly like attention's KV rule."""
+    from gemmsql.ops._blocked import broadcast_right_partials
+    from gemmsql.ops.attention import BROADCAST_KV_MAX_ROWS
+
+    schema = "i long, p double, n double"
+    if broadcast_trg == "auto":
+        broadcast_trg = trg_vec.count() <= BROADCAST_KV_MAX_ROWS
+    if broadcast_trg:
+        partials = broadcast_right_partials(
+            pred_vec, trg_vec, _entropy_kernel, schema
+        )
+    else:
+        partials = blocked_partials(
+            pred_vec, trg_vec, _entropy_kernel, schema,
+            left_block=block, right_block=block,
+        )
     # fused one-shuffle merge (see attention_blocked): z and the
     # softmax-weighted score mean fold in-row over the partial list
     g = partials.groupBy("i").agg(

@@ -61,14 +61,28 @@ def xentropy(
     trg_vec: DataFrame,
     *,
     block: int = 4096,
+    broadcast_trg: bool | str = "auto",
 ) -> DataFrame:
     """Blocked path.  ``pred_vec``: ``(i, vec, label)`` where label is the
     true class id == a ``trg_vec`` row id (reference xentropy.py:75-77
-    uses tixs = arange(N))."""
-    partials = blocked_partials(
-        pred_vec, trg_vec, _xent_kernel, "i long, p double, n double",
-        left_block=block, right_block=block, left_extra=("label",),
-    )
+    uses tixs = arange(N)).  Small class-embedding tables broadcast —
+    the common real case (vocab embeddings fit in memory even when the
+    prediction side is enormous)."""
+    from gemmsql.ops._blocked import broadcast_right_partials
+    from gemmsql.ops.attention import BROADCAST_KV_MAX_ROWS
+
+    schema = "i long, p double, n double"
+    if broadcast_trg == "auto":
+        broadcast_trg = trg_vec.count() <= BROADCAST_KV_MAX_ROWS
+    if broadcast_trg:
+        partials = broadcast_right_partials(
+            pred_vec, trg_vec, _xent_kernel, schema, left_extra=("label",)
+        )
+    else:
+        partials = blocked_partials(
+            pred_vec, trg_vec, _xent_kernel, schema,
+            left_block=block, right_block=block, left_extra=("label",),
+        )
     # fused one-shuffle merge: logsumexp + true-class sum fold in-row
     g = partials.groupBy("i").agg(
         F.collect_list(F.struct("p", "n")).alias("ps"),

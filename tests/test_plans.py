@@ -112,7 +112,7 @@ def test_attention_blocked_single_merge_aggregate(spark):
     from gemmsql.ops import attention_blocked
 
     vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
-    p = plan_of(attention_blocked(vec, vec))
+    p = plan_of(attention_blocked(vec, vec, broadcast_kv=False))
     # the only joins allowed are the block-replication broadcasts BELOW
     # the kernel; after FlatMapGroupsInPandas the merge must be pure
     # aggregation (no join back, no equi-join of any kind)
@@ -120,3 +120,18 @@ def test_attention_blocked_single_merge_aggregate(spark):
     above = p[:kernel_pos]
     assert "HashJoin" not in above and "SortMergeJoin" not in above
     assert p.count("FlatMapGroupsInPandas") == 1
+
+
+def test_attention_auto_broadcast_kv_is_narrow(spark):
+    """Small KV -> the auto strategy must pick the broadcast path:
+    a mapInPandas narrow map with NO Exchange before the kernel."""
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops import attention_blocked
+
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    p = plan_of(attention_blocked(vec, vec, broadcast_kv="auto"))
+    assert "MapInPandas" in p
+    kernel_pos = p.index("MapInPandas")
+    assert "Exchange" not in p[kernel_pos:], (
+        "broadcast-KV partials must come straight off the scan"
+    )
