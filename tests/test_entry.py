@@ -22,7 +22,7 @@ def test_every_oracle_key_has_query():
     assert not missing, f"oracle entries without queries: {missing}"
     # documented rows-only exceptions
     no_oracle = set(qs) - set(os_)
-    assert no_oracle == {"sampling", "lsh_topk"}
+    assert no_oracle == {"sampling", "lsh_topk", "user_reach_sketch"}
 
 
 def test_queries_run_at_smoke_tier(spark):

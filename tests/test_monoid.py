@@ -72,3 +72,58 @@ def test_datamodel_roundtrip(spark):
     assert np.allclose(
         np.asarray(a["vec"].tolist()), np.asarray(b["vec"].tolist())
     )
+
+
+# ---- property-based monoid laws (hypothesis) ----------------------------
+
+from hypothesis import given, settings, strategies as st
+
+finite = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=12))
+def test_collected_lse_matches_numpy(spark, zs):
+    """collected_lse over any partial list == numpy logsumexp."""
+    from gemmsql.numerics import collected_lse
+
+    df = spark.createDataFrame(
+        [(1, [{"z": float(z)} for z in zs])],
+        "i int, ps array<struct<z: double>>",
+    )
+    got = df.select(collected_lse(F.col("ps"), "z").alias("o")).first()["o"]
+    want = float(np.logaddexp.reduce(np.asarray(zs, dtype=np.float64)))
+    assert math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(finite, finite), min_size=2, max_size=10),
+    st.randoms(use_true_random=False),
+)
+def test_logspace_merge_is_order_independent(spark, pairs, rnd):
+    """The fused (z, n) weighted merge (entropy's binary_reduce) gives
+    the same result for ANY permutation of the partial list — the
+    associativity/commutativity the reference requires of
+    binary_reduce (core.py:32), now as an executable law."""
+    from gemmsql.numerics import collected_lse
+
+    def run(order):
+        df = spark.createDataFrame(
+            [(1, [{"p": float(p), "n": float(n)} for p, n in order])],
+            "i int, ps array<struct<p: double, n: double>>",
+        )
+        g = df.withColumn("z", collected_lse(F.col("ps"), "p"))
+        wsum = F.aggregate(
+            F.col("ps"), F.lit(0.0),
+            lambda acc, p: acc + p["n"] * F.exp(p["p"] - F.col("z")),
+        )
+        r = g.select(F.col("z").alias("z"), wsum.alias("w")).first()
+        return r["z"], r["w"]
+
+    base = run(pairs)
+    shuffled = list(pairs)
+    rnd.shuffle(shuffled)
+    other = run(shuffled)
+    assert math.isclose(base[0], other[0], rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(base[1], other[1], rel_tol=1e-9, abs_tol=1e-9)

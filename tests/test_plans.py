@@ -135,3 +135,32 @@ def test_attention_auto_broadcast_kv_is_narrow(spark):
     assert "Exchange" not in p[kernel_pos:], (
         "broadcast-KV partials must come straight off the scan"
     )
+
+
+def test_bucketed_table_join_skips_exchange(spark, tmp_path):
+    """Persisted bucketing = co-partitioning on disk: a join of two
+    tables bucketed on the same key must plan WITHOUT a shuffle on
+    either side (the scale story for repeated fact-fact joins)."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.sources import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_bucketed_table(orders, "b_orders", bucket_by="o_orderkey", n_buckets=8)
+        write_bucketed_table(li, "b_lineitem", bucket_by="l_orderkey", n_buckets=8)
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        j = a.join(b, a["o_orderkey"] == b["l_orderkey"])
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, "bucketed join must not shuffle either side"
+        assert j.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
