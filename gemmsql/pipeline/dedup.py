@@ -53,7 +53,12 @@ def doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     self-joins, i.e. two full-corpus shuffles, for the same rows)."""
     assert n == 3, "word-3-grams (reference pipeline default)"
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    # materialize the split ONCE as a real column first: expressions
+    # captured inside higher-order lambdas are re-evaluated per element
+    # (no common-subexpression elimination), so an inline split() would
+    # re-split the text ~3x per shingle (~25x slower end-to-end)
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     starts = F.when(
         F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -66,9 +71,12 @@ def doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             F.element_at(w, i + 3),
         ),
     )
-    return docs.select(
-        "doc_id", F.explode(grams).alias("shingle")
-    ).distinct()
+    # distinct-per-doc == array_distinct BEFORE the explode: dedup is
+    # within-row (doc_id accompanies every shingle), so the usual
+    # .distinct() shuffle of every shingle string disappears entirely
+    return ws.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
 
 
 # DuckDB twin of doc_shingles as a CTE body
@@ -161,19 +169,41 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
 """
 
 
+# affine per-permutation mixing over one base hash: h_p = (A_p * h + B_p)
+# mod PRIME, with h = md5-derived base reduced mod PRIME.  One md5 per
+# shingle instead of N_PERMS; constants fixed so the DuckDB oracle
+# replays bit-for-bit (all arithmetic stays < 2^62: A_p, h < 2^31).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def _perm_consts(p: int) -> tuple[int, int]:
+    # deterministic, coprime-ish constants per permutation
+    return (1_103_515_245 * (p + 1) % MINHASH_PRIME) | 1, (
+        12_345_789 * (p + 7)
+    ) % MINHASH_PRIME
+
+
 def _minhash_wide(sh: DataFrame) -> DataFrame:
     """(doc_id, m0..m{N_PERMS-1}): all minhashes in ONE partial+final
-    aggregate — each shingle row computes N_PERMS hashes map-side and
-    the shuffle carries one row per doc, not N_PERMS (the earlier
-    formulation cross-joined a perm table, multiplying the shuffle
-    input 12x for identical results)."""
-    aggs = [
-        F.min(
-            _h60(F.concat(F.lit(f"{p}|"), F.col("shingle")))
-        ).alias(f"m{p}")
-        for p in range(N_PERMS)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    aggregate — each shingle row computes ONE md5, derives every
+    permutation with two integer ops, and the shuffle carries one row
+    per doc (the earlier formulations cross-joined a perm table and/or
+    ran N_PERMS md5s per shingle for identical results)."""
+    hashed = sh.select(
+        "doc_id",
+        F.pmod(_h60(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("base"),
+    )
+    aggs = []
+    for p in range(N_PERMS):
+        a, b = _perm_consts(p)
+        aggs.append(
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("base") + F.lit(b), F.lit(MINHASH_PRIME)
+                )
+            ).alias(f"m{p}")
+        )
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -276,18 +306,34 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_sql(threshold: float = 0.1) -> str:
+    mins = ", ".join(
+        "MIN(({a} * base + {b}) % {m}) AS m{p}".format(
+            a=_perm_consts(p)[0], b=_perm_consts(p)[1], m=MINHASH_PRIME, p=p
+        )
+        for p in range(N_PERMS)
+    )
+    n_bands = N_PERMS // BAND_ROWS
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, "
+        "array_to_string(list_sort([{cells}]), ',') AS bsig FROM wide".format(
+            b=b,
+            cells=", ".join(
+                f"CAST(m{b * BAND_ROWS + r} AS VARCHAR)"
+                for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
     return f"""
 WITH {SHINGLES_CTE},
-perms AS (SELECT UNNEST(range({N_PERMS})) AS perm),
-sig AS (
-  SELECT doc_id, perm,
-    MIN(CAST('0x' || substring(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15) AS BIGINT)) AS minhash
-  FROM shingles CROSS JOIN perms GROUP BY 1, 2
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS base
+  FROM shingles
 ),
+wide AS (SELECT doc_id, {mins} FROM hashed GROUP BY 1),
 banded AS (
-  SELECT doc_id, CAST(FLOOR(perm / {BAND_ROWS}) AS INT) AS band,
-         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY CAST(minhash AS VARCHAR)) AS bsig
-  FROM sig GROUP BY 1, 2
+  {band_selects}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
