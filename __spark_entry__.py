@@ -173,6 +173,12 @@ def _sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_reach_sketch(spark, sf_dir)
 
 
+def _streaming_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_hourly_gate
+
+    return streaming_hourly_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -216,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": events.props_stats,
         "last_order_before_event": joins.last_order_before_event,
         "user_reach_sketch": _sketch_query,  # approximate: rows-only (bounds tested in pytest)
+        "streaming_hourly_gate": _streaming_gate_query,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -288,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
+    from gemmsql.streaming.windows import STREAMING_HOURLY_GATE_SQL
     from gemmsql.pipeline.similarity import (
         COSINE_TOPK_SQL,
         EMBEDDING_DUPS_SQL,
@@ -324,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_movavg": events.USER_VALUE_MOVAVG_SQL,
         "props_stats": events.PROPS_STATS_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
+        "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

@@ -39,6 +39,11 @@ def main() -> None:
     spark = get_spark("gemmsql-bench")
     results: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_"):
+            # streaming gate queries re-stage the source and replay
+            # micro-batches; their wall time measures trigger latency,
+            # not query throughput — correctness-gate only
+            continue
         try:
             for _ in range(WARMUP):
                 run_action(fn(spark, sf_dir))

@@ -147,3 +147,44 @@ def streaming_enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame
         "event_id", "user_id", "ts", "event_type", "value",
         F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
     )
+
+
+def streaming_hourly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of :func:`streaming_hourly_counts`: replays the
+    events table through a real file-source micro-batch stream
+    (``availableNow``), materializes the windowed aggregation via a
+    memory sink, and returns the result as a batch DataFrame.
+
+    Because the driver hash-compares this against the BATCH oracle SQL,
+    stream/batch parity is enforced by the correctness gate itself —
+    the engine's streaming path must produce bit-identical aggregates
+    to the SQL semantics, not just "approximately streaming" results.
+    (Complete output mode: every window emits, the watermark only
+    bounds state on unbounded streams.)"""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = read_events_stream(spark, target)
+    name = "stream_gate_hourly"
+    q = (
+        streaming_hourly_counts(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_HOURLY_GATE_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
