@@ -143,6 +143,18 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attention_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.ops.attention import attention_batched
+
+    vec = _vec(spark, sf_dir).select(
+        (F.col("i") % 8).alias("b"), "i", "vec"
+    )
+    out = attention_batched(vec, vec, scale=True)
+    return out.select(
+        "b", "i", "d", F.round(F.col("val"), 6).alias("val")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.pipeline.similarity import cosine_topk
 
@@ -196,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlp": q_mlp,
         "attention": q_attention,
         "attention_scaled": lambda s, d: q_attention(s, d, scale=True),
+        "attention_batched": q_attention_batched,
         "xentropy": q_xentropy,
         "entropy": q_entropy,
         "sampling": q_sampling,  # stochastic: rows-only (no oracle), like the reference
@@ -244,6 +257,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal ---
         "payload_meta": payload_meta,
     }
+
+
+ATTENTION_BATCHED_SQL = """
+WITH coo AS (
+  SELECT vec_id AS i, vec_id % 8 AS b,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dim AS (SELECT COUNT(DISTINCT j) AS d FROM coo),
+scores AS (
+  SELECT a.b, a.i AS qi, c.i AS ki, SUM(a.v * c.v) / SQRT(MAX(dim.d)) AS s
+  FROM coo a JOIN coo c ON a.j = c.j AND a.b = c.b CROSS JOIN dim
+  GROUP BY a.b, a.i, c.i
+),
+mx AS (SELECT b, qi, MAX(s) AS mx FROM scores GROUP BY 1, 2),
+z AS (
+  SELECT s.b, s.qi, m.mx + LN(SUM(EXP(s.s - m.mx))) AS z
+  FROM scores s JOIN mx m ON m.b = s.b AND m.qi = s.qi GROUP BY s.b, s.qi, m.mx
+)
+SELECT s.b, s.qi AS i, v.j AS d,
+       ROUND(CAST(SUM(EXP(s.s - z.z) * v.v) AS DOUBLE), 6) AS val
+FROM scores s
+JOIN z ON z.b = s.b AND z.qi = s.qi
+JOIN coo v ON v.i = s.ki AND v.b = s.b
+GROUP BY s.b, s.qi, v.j
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -308,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "mlp": mlp_sql,
         "attention": attention_sql,
         "attention_scaled": attention_scaled_sql,
+        "attention_batched": ATTENTION_BATCHED_SQL,
         "xentropy": xentropy_sql,
         "entropy": entropy_sql,
         # "sampling": omitted — stochastic; driver records rows-only check

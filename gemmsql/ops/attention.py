@@ -137,3 +137,59 @@ def attention_blocked(
         .select("i", F.posexplode("vec").alias("d", "val"))
         .select("i", F.col("d").cast("long").alias("d"), "val")
     )
+
+
+def attention_batched(
+    q_bvec: DataFrame,
+    kv_bvec: DataFrame,
+    *,
+    scale: bool = True,
+) -> DataFrame:
+    """Batched (3-D) scaled dot-product self-attention, the semantics of
+    the reference's C++ ``custom_attention`` op on ``(B, seq, dim)``
+    inputs (cpp_src/custom_attention.cpp:7-38, exercised batched in
+    test_custom_attention.py:89-91; scaling on by default as there).
+
+    Inputs are batch-tagged vector tables ``(b, i, vec)``; attention is
+    computed WITHIN each batch.  Physical shape: one cogroup on the
+    batch id — parallelism comes from the batch dimension (thousands of
+    sequences spread over executors), each kernel invocation handling
+    one sequence.  This is the right plan when sequences fit in memory;
+    giant single sequences use :func:`attention_blocked` per batch.
+    Output ``(b, i, d, val)``."""
+
+    def per_batch(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"b": [], "i": [], "d": [], "val": []}
+            ).astype({"b": "int64", "i": "int64", "d": "int64", "val": "float64"})
+        q = np.asarray(left["vec"].tolist(), dtype=np.float64)
+        kv = np.asarray(right["kv_vec"].tolist(), dtype=np.float64)
+        s = q @ kv.T
+        if scale:
+            s /= np.sqrt(q.shape[1])
+        z = np.logaddexp.reduce(s, axis=1)
+        out = np.exp(s - z[:, None]) @ kv
+        n, d = out.shape
+        return pd.DataFrame(
+            {
+                "b": np.repeat(left["b"].to_numpy(), d),
+                "i": np.repeat(left["i"].to_numpy(), d),
+                "d": np.tile(np.arange(d, dtype=np.int64), n),
+                "val": out.ravel(),
+            }
+        )
+
+    # rename the right side: a self-cogroup over the SAME plan shares
+    # attribute ids, and column pruning then drops the right side's
+    # columns — distinct names keep both sides materialized
+    kv_renamed = kv_bvec.select(
+        F.col("b"),
+        F.col("i").alias("kv_i"),
+        F.col("vec").alias("kv_vec"),
+    )
+    return (
+        q_bvec.groupBy("b")
+        .cogroup(kv_renamed.groupBy("b"))
+        .applyInPandas(per_batch, "b long, i long, d long, val double")
+    )

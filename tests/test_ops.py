@@ -127,3 +127,32 @@ def test_mlp_matches_dense(spark, emb_matrix):
     out = mlp(vec.select("i", "vec"), w, w).orderBy("i").toPandas()
     want = np.maximum(x @ w, 0) @ w
     assert np.allclose(np.asarray(out["vec"].tolist()), want)
+
+
+def test_attention_batched_matches_numpy(spark, emb_matrix):
+    """Per-batch scaled attention == dense NumPy oracle, every batch."""
+    from pyspark.sql import functions as F
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops.attention import attention_batched
+    from tests.conftest import SF_SMOKE
+
+    ids, x, _ = emb_matrix
+    vec = embeddings_vectors(spark, SF_SMOKE).select(
+        (F.col("i") % 4).alias("b"), "i", "vec"
+    )
+    out = attention_batched(vec, vec, scale=True).toPandas()
+    d = x.shape[1]
+    for b in range(4):
+        mask = ids % 4 == b
+        xb, idb = x[mask], ids[mask]
+        s = xb @ xb.T / np.sqrt(d)
+        w = np.exp(s - s.max(axis=1, keepdims=True))
+        w /= w.sum(axis=1, keepdims=True)
+        want = w @ xb
+        got = (
+            out[out["b"] == b]
+            .pivot(index="i", columns="d", values="val")
+            .loc[idb]
+            .to_numpy()
+        )
+        assert np.allclose(got, want, atol=1e-9), f"batch {b} mismatch"
