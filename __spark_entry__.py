@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": text.fingerprints,
         "tfidf_top_terms": text.tfidf_top_terms,
         "quality_score": text.quality_score,
+        "stratified_sample": text.stratified_sample,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
@@ -385,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": text.FINGERPRINTS_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "quality_score": text.quality_score_sql(),
+        "stratified_sample": text.stratified_sample_sql(),
         "cosine_topk": COSINE_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

@@ -296,3 +296,46 @@ SELECT doc_id, md5(lower(text)) AS content_fp,
   md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS bag_fp
 FROM documents
 """
+
+
+SAMPLE_RATES = {"en": 40, "de": 70, "fr": 70, "es": 70}  # percent kept
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling via hash thresholds:
+    keep a doc when md5(doc_id) mod 100 < rate(lang).
+
+    Hash-gating is the 100 TB sampling method: a stateless narrow map —
+    no RNG state, no shuffle, stable across reruns and retries (a task
+    re-execution keeps the same rows, which seeded rand() does NOT
+    guarantee under different partition layouts), and exactly
+    reproducible by any other engine, which is what makes this
+    oracle-checkable where sample()/sampleBy() are not."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in SAMPLE_RATES.items()
+        ],
+        F.lit(50),
+    )
+    return docs.where(gate < rate).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      < (CASE {cases} ELSE 50 END)
+"""

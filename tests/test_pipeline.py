@@ -335,3 +335,21 @@ def test_sketch_bounds_vs_exact(spark):
             (F.max("value") - F.min("value")).alias("r")
         ).first()["r"] or 1.0
         assert abs(sk.loc[et, "p50"] - exact.loc[et, "p50"]) <= 0.05 * spread
+
+
+def test_stratified_sample_rates(spark):
+    """Hash-gated sampling keeps ~rate% per language and is idempotent."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.text import stratified_sample, SAMPLE_RATES
+
+    docs = load_table(spark, SF_SMOKE, "documents").groupBy("lang").count()
+    total = {r["lang"]: r["count"] for r in docs.collect()}
+    s1 = stratified_sample(spark, SF_SMOKE).toPandas()
+    s2 = stratified_sample(spark, SF_SMOKE).toPandas()
+    # deterministic: identical rows on re-run
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    kept = s1.groupby("lang")["doc_id"].count()
+    for lang, n in total.items():
+        rate = SAMPLE_RATES.get(lang, 50) / 100
+        got = kept.get(lang, 0) / n
+        assert abs(got - rate) < 0.2, f"{lang}: kept {got:.2f}, wanted ~{rate}"
