@@ -191,6 +191,12 @@ def _streaming_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_hourly_gate(spark, sf_dir)
 
 
+def _streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_sessionize_gate
+
+    return streaming_sessionize_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -236,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_order_before_event": joins.last_order_before_event,
         "user_reach_sketch": _sketch_query,  # approximate: rows-only (bounds tested in pytest)
         "streaming_hourly_gate": _streaming_gate_query,
+        "streaming_sessionize_gate": _streaming_sessionize_query,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -336,7 +343,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
-    from gemmsql.streaming.windows import STREAMING_HOURLY_GATE_SQL
+    from gemmsql.streaming.windows import (
+        STREAMING_HOURLY_GATE_SQL,
+        STREAMING_SESSIONIZE_GATE_SQL,
+    )
     from gemmsql.pipeline.similarity import (
         COSINE_TOPK_SQL,
         EMBEDDING_DUPS_SQL,
@@ -375,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "props_stats": events.PROPS_STATS_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
+        "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

@@ -188,3 +188,59 @@ SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
        ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of :func:`streaming_session_windows`: native
+    ``session_window`` sessionization replayed through a real
+    availableNow file stream, hash-compared against a gaps-and-islands
+    SQL oracle.
+
+    Boundary semantics pinned by the oracle: session_window starts a
+    NEW session when the inter-event gap is >= the gap parameter (an
+    event arriving exactly at the previous session's end does not
+    extend it), and window end = last event ts + gap."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = read_events_stream(spark, target)
+    name = "stream_gate_sessions"
+    q = (
+        streaming_session_windows(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_SESSIONIZE_GATE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                 OR ts_us - prev_us >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sessions AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 30 * 60 * 1000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
+FROM sessions GROUP BY user_id, sess_id
+"""
