@@ -143,6 +143,74 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ones_like(vec: DataFrame) -> DataFrame:
+    """Cotangent of ones aligned with ``vec`` rows (the reference's
+    ``mock`` cotangent, core.py:72, fixed to 1 for SQL expressibility)."""
+    return vec.select("i", F.transform("vec", lambda _: F.lit(1.0)).alias("vec"))
+
+
+def _explode_grads(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Union named vector-row gradients into (which, i, d, val) COO."""
+    outs = []
+    for which, df in parts:
+        outs.append(
+            df.select(
+                F.lit(which).alias("which"),
+                F.col("i").cast("long").alias("i"),
+                F.posexplode("vec").alias("d", "v"),
+            ).select(
+                "which", "i", F.col("d").cast("long").alias("d"),
+                _r("v").alias("val"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_attention_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (reference attention.py:11-29) through the driver gate:
+    gradients of unscaled self-attention wrt (Q, K, V), cotangent=1."""
+    from gemmsql.ops.backward import attention_bwd
+
+    vec = _vec(spark, sf_dir).select("i", "vec")
+    gq, gk, gv = attention_bwd(vec, vec, _ones_like(vec))
+    return _explode_grads([("gq", gq), ("gk", gk), ("gv", gv)])
+
+
+def q_xentropy_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (reference xentropy.py:15-37) through the driver gate:
+    gradients of sum_m loss_m wrt (pred, trg)."""
+    from gemmsql.ops.backward import xentropy_bwd
+
+    vec = _vec(spark, sf_dir)
+    gpred, gtrg = xentropy_bwd(
+        vec.select("i", "vec", "label"), vec.select("i", "vec")
+    )
+    return _explode_grads([("gpred", gpred), ("gtrg", gtrg)])
+
+
+def q_mlp_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (reference mlp.py:9-16) through the driver gate: gradients of
+    relu(X W) W wrt (X, P, Q), cotangent=1, W = X^T X / N."""
+    from gemmsql.ops.backward import mlp_bwd
+
+    vec, w = _weights(spark, sf_dir)
+    gx, gp, gq = mlp_bwd(vec.select("i", "vec"), _ones_like(vec), w, w)
+    out = _explode_grads([("gx", gx)])
+    for which, df in (("gp", gp), ("gq", gq)):
+        out = out.unionByName(
+            df.select(
+                F.lit(which).alias("which"),
+                F.col("i").cast("long").alias("i"),
+                F.col("j").cast("long").alias("d"),
+                _r("v").alias("val"),
+            )
+        )
+    return out
+
+
 def q_attention_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.ops.attention import attention_batched
 
@@ -218,6 +286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xentropy": q_xentropy,
         "entropy": q_entropy,
         "sampling": q_sampling,  # stochastic: rows-only (no oracle), like the reference
+        # --- backward passes (recompute-strategy second jobs) ---
+        "attention_grads": q_attention_grads,
+        "xentropy_grads": q_xentropy_grads,
+        "mlp_grads": q_mlp_grads,
         # --- relational / OLAP ---
         "pricing_summary": relational.pricing_summary,
         "shipping_priority": relational.shipping_priority,
@@ -294,6 +366,67 @@ GROUP BY s.b, s.qi, v.j
 """
 
 
+ATTENTION_GRADS_SQL = f"""
+WITH {_SCORES},
+dims AS (SELECT DISTINCT j FROM coo),
+vsum AS (SELECT i, SUM(v) AS vs FROM coo GROUP BY i),
+w AS (SELECT s.qi, s.ki, EXP(s.s - z.z) AS w FROM scores s JOIN z USING (qi)),
+r AS (SELECT w.qi, SUM(w.w * vsum.vs) AS r
+      FROM w JOIN vsum ON vsum.i = w.ki GROUP BY w.qi),
+gs AS (SELECT w.qi, w.ki, w.w * (vsum.vs - r.r) AS g
+       FROM w JOIN vsum ON vsum.i = w.ki JOIN r ON r.qi = w.qi),
+gvs AS (SELECT ki, SUM(w) AS s FROM w GROUP BY ki)
+SELECT 'gq' AS which, gs.qi AS i, k.j AS d,
+       ROUND(CAST(SUM(gs.g * k.v) AS DOUBLE), 6) AS val
+FROM gs JOIN coo k ON k.i = gs.ki GROUP BY gs.qi, k.j
+UNION ALL
+SELECT 'gk', gs.ki, q.j, ROUND(CAST(SUM(gs.g * q.v) AS DOUBLE), 6)
+FROM gs JOIN coo q ON q.i = gs.qi GROUP BY gs.ki, q.j
+UNION ALL
+SELECT 'gv', gvs.ki, dims.j, ROUND(CAST(gvs.s AS DOUBLE), 6)
+FROM gvs CROSS JOIN dims
+"""
+
+XENTROPY_GRADS_SQL = f"""
+WITH {_SCORES},
+w AS (SELECT s.qi, s.ki, EXP(s.s - z.z) AS w FROM scores s JOIN z USING (qi)),
+delta AS (SELECT w.qi, w.ki,
+                 w.w - CASE WHEN w.ki = CAST(e.label AS BIGINT)
+                            THEN 1 ELSE 0 END AS dv
+          FROM w JOIN embeddings e ON e.vec_id = w.qi)
+SELECT 'gpred' AS which, delta.qi AS i, t.j AS d,
+       ROUND(CAST(SUM(delta.dv * t.v) AS DOUBLE), 6) AS val
+FROM delta JOIN coo t ON t.i = delta.ki GROUP BY delta.qi, t.j
+UNION ALL
+SELECT 'gtrg', delta.ki, p.j, ROUND(CAST(SUM(delta.dv * p.v) AS DOUBLE), 6)
+FROM delta JOIN coo p ON p.i = delta.qi GROUP BY delta.ki, p.j
+"""
+
+MLP_GRADS_SQL = f"""
+WITH {_COO},
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+dims AS (SELECT DISTINCT j FROM coo),
+w AS (SELECT a.j AS i, b.j AS k, SUM(a.v * b.v) / MAX(n.n) AS v
+      FROM coo a JOIN coo b USING (i) CROSS JOIN n GROUP BY a.j, b.j),
+h AS (SELECT x.i, w.k AS j, GREATEST(SUM(x.v * w.v), 0.0) AS v
+      FROM coo x JOIN w ON x.j = w.i GROUP BY x.i, w.k),
+qs AS (SELECT i AS k, SUM(v) AS qs FROM w GROUP BY i),
+gh AS (SELECT h.i AS m, h.j AS k,
+              CASE WHEN h.v > 0 THEN qs.qs ELSE 0 END AS v
+       FROM h JOIN qs ON qs.k = h.j),
+gqk AS (SELECT j AS k, SUM(v) AS s FROM h GROUP BY j)
+SELECT 'gx' AS which, gh.m AS i, w2.i AS d,
+       ROUND(CAST(SUM(gh.v * w2.v) AS DOUBLE), 6) AS val
+FROM gh JOIN w w2 ON w2.k = gh.k GROUP BY gh.m, w2.i
+UNION ALL
+SELECT 'gp', x.j, gh.k, ROUND(CAST(SUM(x.v * gh.v) AS DOUBLE), 6)
+FROM coo x JOIN gh ON gh.m = x.i GROUP BY x.j, gh.k
+UNION ALL
+SELECT 'gq', gqk.k, dims.j, ROUND(CAST(gqk.s AS DOUBLE), 6)
+FROM gqk CROSS JOIN dims
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     gram_sql = (
         f"WITH {_COO} SELECT a.j AS j1, b.j AS j2,"
@@ -364,6 +497,9 @@ def oracle_sql() -> dict[str, str]:
         "entropy": entropy_sql,
         # "sampling": omitted — stochastic; driver records rows-only check
         # (mirrors the reference's own untested sampling, sampling.py:67-75)
+        "attention_grads": ATTENTION_GRADS_SQL,
+        "xentropy_grads": XENTROPY_GRADS_SQL,
+        "mlp_grads": MLP_GRADS_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "nation_revenue": relational.NATION_REVENUE_SQL,

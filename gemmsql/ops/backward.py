@@ -26,8 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gemmsql.numerics import group_logsumexp
-from gemmsql.ops._blocked import blocked_partials
+from gemmsql.numerics import collected_lse, group_logsumexp
+from gemmsql.ops._blocked import blocked_partials, broadcast_right_partials
 from gemmsql.ops.matmul import coo_matmul
 
 
@@ -108,52 +108,92 @@ def mlp_bwd(
     return gx, gp, gq
 
 
+def _merge_vec_partials(parts: DataFrame, keys: list[str]) -> DataFrame:
+    """Scatter-add of per-tile vector partials (reference core.py:56-57)
+    in ONE shuffle: collect the few partials per key and fold them
+    element-wise in-row with higher-order functions — no posexplode
+    re-shuffle of every (row, dim) pair."""
+    g = parts.groupBy(*keys).agg(F.collect_list("vec").alias("ps"))
+    zero = F.transform(F.element_at(F.col("ps"), 1), lambda _: F.lit(0.0))
+    vec = F.aggregate(
+        F.col("ps"), zero,
+        lambda acc, p: F.zip_with(acc, p, lambda a, b: a + b),
+    )
+    return g.select(*keys, vec.alias("vec"))
+
+
+def _partials_auto(
+    left: DataFrame,
+    right: DataFrame,
+    kernel,
+    schema: str,
+    *,
+    block: int,
+    broadcast_right: bool,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stats-based physical pick shared with the forward pass: broadcast
+    the right side when it fits in executor memory (replication factor
+    1, narrow map), else the blocked shuffle plan."""
+    if broadcast_right:
+        return broadcast_right_partials(
+            left, right, kernel, schema, left_extra=extra
+        )
+    return blocked_partials(
+        left, right, kernel, schema,
+        left_block=block, right_block=block, left_extra=extra,
+    )
+
+
 def attention_bwd(
     q_vec: DataFrame,
     kv_vec: DataFrame,
     g_vec: DataFrame,
     *,
     block: int = 4096,
+    broadcast_kv: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Gradients of unscaled self-attention ``softmax(Q K^T) V`` (K=V)
     wrt (Q, K, V), given per-row cotangent G aligned with Q rows.
 
-    Recompute strategy (reference attention.py:11-29): forward z (the
-    per-row logsumexp) is recomputed tile-wise; pass 1 reduces the
-    softmax-Jacobian row term r_i = sum_n w_in (g_i . v_n); pass 2 emits
-    per-tile gradient partials, scatter-added by groupBy-sum.  Returns
-    vector-row gQ plus COO-merged gK, gV (as vector-row DataFrames).
-    """
-    # forward partials for z: per-tile logsumexp merged per row
-    def z_kernel(lids, lmat, _extra, rids, rmat):
+    Recompute strategy (reference attention.py:11-29) in TWO tile
+    sweeps: pass 1 fuses the forward z (per-row logsumexp) with the
+    softmax-Jacobian row term r_i = sum_n w_in (g_i . v_n) — a product
+    monoid of the A3 logaddexp merge and the E3 weighted-mean merge, so
+    both reduce in one sweep; pass 2 emits per-tile gradient partials,
+    scatter-added by the one-shuffle in-row fold.  Returns vector-row
+    (gQ, gK, gV)."""
+    if broadcast_kv == "auto":
+        from gemmsql.ops.attention import BROADCAST_KV_MAX_ROWS
+
+        broadcast_kv = kv_vec.count() <= BROADCAST_KV_MAX_ROWS
+
+    q_g = q_vec.select("i", "vec").join(
+        g_vec.select("i", F.col("vec").alias("gvec")), "i"
+    )
+
+    # pass 1 (fused z + r): per-tile logsumexp z_t and in-tile
+    # softmax-weighted row term r_t, merged per row in log space
+    def zr_kernel(lids, lmat, extra, rids, rmat):
+        g = _mat(extra["gvec"])
         s = lmat @ rmat.T
-        return pd.DataFrame({"i": lids, "z": np.logaddexp.reduce(s, axis=1)})
+        z = np.logaddexp.reduce(s, axis=1)
+        w = np.exp(s - z[:, None])
+        r = (w * (g @ rmat.T)).sum(axis=1)
+        return pd.DataFrame({"i": lids, "z": z, "r": r})
 
-    zp = blocked_partials(
-        q_vec, kv_vec, z_kernel, "i long, z double",
-        left_block=block, right_block=block,
+    zrp = _partials_auto(
+        q_g, kv_vec, zr_kernel, "i long, z double, r double",
+        block=block, broadcast_right=broadcast_kv, extra=("gvec",),
     )
-    z = group_logsumexp(zp, ["i"], "z", "z")
-    q_aug = (
-        q_vec.select("i", "vec")
-        .join(g_vec.select("i", F.col("vec").alias("gvec")), "i")
-        .join(z, "i")
+    gz = zrp.groupBy("i").agg(F.collect_list(F.struct("z", "r")).alias("ps"))
+    gz = gz.withColumn("z", collected_lse(F.col("ps"), "z"))
+    r_merged = F.aggregate(
+        F.col("ps"), F.lit(0.0),
+        lambda acc, p: acc + F.exp(p["z"] - F.col("z")) * p["r"],
     )
-
-    # pass 1: r_i = sum_n w_in * (g_i . v_n)
-    def r_kernel(lids, lmat, extra, rids, rmat):
-        g = _mat(extra["gvec"]); zz = extra["z"].to_numpy()
-        s = lmat @ rmat.T
-        w = np.exp(s - zz[:, None])
-        gv = g @ rmat.T                      # (m, n): g_i . v_n
-        return pd.DataFrame({"i": lids, "r": (w * gv).sum(axis=1)})
-
-    rp = blocked_partials(
-        q_aug, kv_vec, r_kernel, "i long, r double",
-        left_block=block, right_block=block, left_extra=("gvec", "z"),
-    )
-    r = rp.groupBy("i").agg(F.sum("r").alias("r"))
-    q_aug2 = q_aug.join(r, "i")
+    zr = gz.select("i", "z", r_merged.alias("r"))
+    q_aug = q_g.join(zr, "i")
 
     # pass 2: per-tile gradient partials
     def grad_kernel(lids, lmat, extra, rids, rmat):
@@ -172,19 +212,13 @@ def attention_bwd(
         ]
         return pd.concat(out, ignore_index=True)
 
-    parts = blocked_partials(
-        q_aug2, kv_vec, grad_kernel, "which string, i long, vec array<double>",
-        left_block=block, right_block=block, left_extra=("gvec", "z", "r"),
+    parts = _partials_auto(
+        q_aug, kv_vec, grad_kernel,
+        "which string, i long, vec array<double>",
+        block=block, broadcast_right=broadcast_kv,
+        extra=("gvec", "z", "r"),
     )
-    # scatter-add (reference core.py:56-57) = explode + groupBy sum
-    summed = (
-        parts.select("which", "i", F.posexplode("vec").alias("d", "pv"))
-        .groupBy("which", "i", "d")
-        .agg(F.sum("pv").alias("v"))
-        .groupBy("which", "i")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "v"))).alias("jv"))
-        .select("which", "i", F.col("jv.v").alias("vec"))
-    )
+    summed = _merge_vec_partials(parts, ["which", "i"])
     gq = summed.where(F.col("which") == "gq").select("i", "vec")
     gk = summed.where(F.col("which") == "gk").select("i", "vec")
     gv = summed.where(F.col("which") == "gv").select("i", "vec")
@@ -196,19 +230,24 @@ def xentropy_bwd(
     trg_vec: DataFrame,
     *,
     block: int = 4096,
+    broadcast_trg: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Gradients of ``sum_m loss_m`` for the factored cross-entropy
     (cotangent = ones): gPred_m = sum_n (softmax_mn - onehot_mn) trg_n;
     gTrg_n = sum_m (softmax_mn - onehot_mn) pred_m
     (reference xentropy.py:15-37 with g_p = 1, g_n = -1)."""
+    if broadcast_trg == "auto":
+        from gemmsql.ops.attention import BROADCAST_KV_MAX_ROWS
+
+        broadcast_trg = trg_vec.count() <= BROADCAST_KV_MAX_ROWS
 
     def z_kernel(lids, lmat, _extra, rids, rmat):
         s = lmat @ rmat.T
         return pd.DataFrame({"i": lids, "z": np.logaddexp.reduce(s, axis=1)})
 
-    zp = blocked_partials(
-        pred_vec, trg_vec, z_kernel, "i long, z double",
-        left_block=block, right_block=block,
+    zp = _partials_auto(
+        pred_vec.select("i", "vec"), trg_vec, z_kernel, "i long, z double",
+        block=block, broadcast_right=broadcast_trg,
     )
     z = group_logsumexp(zp, ["i"], "z", "z")
     p_aug = pred_vec.select("i", "vec", "label").join(z, "i")
@@ -228,18 +267,12 @@ def xentropy_bwd(
             ignore_index=True,
         )
 
-    parts = blocked_partials(
-        p_aug, trg_vec, grad_kernel, "which string, i long, vec array<double>",
-        left_block=block, right_block=block, left_extra=("label", "z"),
+    parts = _partials_auto(
+        p_aug, trg_vec, grad_kernel,
+        "which string, i long, vec array<double>",
+        block=block, broadcast_right=broadcast_trg, extra=("label", "z"),
     )
-    summed = (
-        parts.select("which", "i", F.posexplode("vec").alias("d", "pv"))
-        .groupBy("which", "i", "d")
-        .agg(F.sum("pv").alias("v"))
-        .groupBy("which", "i")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "v"))).alias("jv"))
-        .select("which", "i", F.col("jv.v").alias("vec"))
-    )
+    summed = _merge_vec_partials(parts, ["which", "i"])
     gpred = summed.where(F.col("which") == "gpred").select("i", "vec")
     gtrg = summed.where(F.col("which") == "gtrg").select("i", "vec")
     return gpred, gtrg

@@ -70,7 +70,9 @@ def test_attention_bwd(spark, emb_matrix):
     gdf = spark.createDataFrame(
         pd.DataFrame({"i": np.arange(n), "vec": list(g)}), "i long, vec array<double>"
     )
-    gq, gk, gv = attention_bwd(vec, vec, gdf, block=48)
+    # blocked path pinned (broadcast_kv=False): the driver gate at sf0.01
+    # exercises the auto-broadcast path; this exercises tile merges
+    gq, gk, gv = attention_bwd(vec, vec, gdf, block=48, broadcast_kv=False)
     s = x @ x.T
     w = np.exp(s - s.max(1, keepdims=True))
     w /= w.sum(1, keepdims=True)
@@ -105,7 +107,8 @@ def test_xentropy_bwd(spark, emb_matrix):
     lab = labfull[:n]
     vec = _subset_vec(spark, n)
     gpred, gtrg = xentropy_bwd(
-        vec.select("i", "vec", "label"), vec.select("i", "vec"), block=48
+        vec.select("i", "vec", "label"), vec.select("i", "vec"),
+        block=48, broadcast_trg=False,
     )
     s = x @ x.T
     w = np.exp(s - s.max(1, keepdims=True))
