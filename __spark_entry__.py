@@ -5,8 +5,14 @@ engine's minimal monoidal map-reduce, SURVEY.md §7 step 2) at sf0.001.
 ``queries()`` exposes every implemented operator; ``oracle_sql()`` gives
 the DuckDB ANSI-SQL twin for each (hash-compared at sf0.01).
 
-Float discipline: every float output column is ROUND(CAST(. AS DOUBLE), 6)
-on BOTH sides (FIXTURES.md tolerance rule); ids are BIGINT on both sides.
+Float discipline (round 2): the ML-operator queries go through the
+*oracle-exact quantized gate* formulations (``gemmsql/ops/gate.py``) —
+integer-quantized inputs, exact order-independent integer reductions,
+and integer final rounding — so the Spark result is bit-identical to
+the DuckDB twin, not merely close (round 1's 5 hash failures were
+ROUND(,6) tie-flips from float summation-order drift).  The relational
+/ pipeline queries keep the plain ROUND(CAST(. AS DOUBLE), 6)
+discipline; ids are BIGINT on both sides.
 """
 
 from __future__ import annotations
@@ -29,106 +35,99 @@ def _r(col: str):
     return F.round(F.col(col).cast("double"), 6)
 
 
-# DuckDB CTE: embeddings exploded to COO (i, j, v), 0-based dims, double.
-_COO = (
-    "coo AS (SELECT vec_id AS i,"
+# DuckDB CTE: embeddings quantized to integer COO (i, j, vq) with
+# vq = floor(v * 1e6 + 0.5) — the gate contract (gemmsql/ops/gate.py).
+_QCOO = (
+    "qcoo AS (SELECT vec_id AS i,"
     " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,"
-    " CAST(unnest(embedding) AS DOUBLE) AS v"
+    " CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)"
+    " AS BIGINT) AS vq"
     " FROM embeddings)"
 )
 
-# DuckDB CTE: pairwise scores s[qi,ki] = pred_qi . trg_ki (self-factored)
-_SCORES = (
-    _COO + ", scores AS (SELECT a.i AS qi, b.i AS ki, SUM(a.v * b.v) AS s"
-    " FROM coo a JOIN coo b USING (j) GROUP BY a.i, b.i)"
-    ", lse AS (SELECT qi, MAX(s) AS mx FROM scores GROUP BY qi)"
-    ", z AS (SELECT s.qi, l.mx + LN(SUM(EXP(s.s - l.mx))) AS z"
-    " FROM scores s JOIN lse l USING (qi) GROUP BY s.qi, l.mx)"
+
+def _micro_sql(num: str, step: int) -> str:
+    """round(num/step) half away from zero in exact integer arithmetic,
+    then /1e6 — the twin of gate._micro_np / gate._micro_col."""
+    half = step // 2
+    return (
+        f"CAST(CASE WHEN {num} < 0"
+        f" THEN -((ABS({num}) + {half}) // {step})"
+        f" ELSE (ABS({num}) + {half}) // {step} END AS DOUBLE) / 1000000.0"
+    )
+
+
+_MICRO_RATIO = (
+    "CAST(CASE WHEN {num} < 0"
+    " THEN -((2 * ABS({num}) + {den}) // (2 * {den}))"
+    " ELSE (2 * ABS({num}) + {den}) // (2 * {den}) END AS DOUBLE)"
+    " / 1000000.0"
+)
+
+
+def _gate_chain(denom_sql: str) -> str:
+    """Exact integer score -> row max -> quantized softmax chain, the
+    DuckDB twin of gate._softmax_den_num."""
+    return (
+        "qs AS (SELECT a.i AS qi, b.i AS ki,"
+        " CAST(SUM(a.vq * b.vq) AS BIGINT) AS s_int"
+        " FROM qcoo a JOIN qcoo b USING (j) GROUP BY a.i, b.i),"
+        f" sc AS (SELECT qi, ki, CAST(s_int AS DOUBLE) / {denom_sql} AS s"
+        " FROM qs),"
+        " mxt AS (SELECT qi, MAX(s) AS mx FROM sc GROUP BY qi),"
+        " e AS (SELECT sc.qi, sc.ki,"
+        " CAST(FLOOR(EXP(sc.s - mxt.mx) * 1000000.0 + 0.5) AS BIGINT) AS e_int"
+        " FROM sc JOIN mxt USING (qi)),"
+        " sden AS (SELECT qi, CAST(SUM(e_int) AS BIGINT) AS s FROM e GROUP BY qi)"
+    )
+
+
+_DENOM_UNSCALED = "1000000000000.0"
+_DENOM_SCALED = (
+    "(1000000000000.0 *"
+    " SQRT(CAST((SELECT COUNT(DISTINCT j) FROM qcoo) AS DOUBLE)))"
 )
 
 
 # ---------------------------------------------------------------- queries
 
 def q_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.ops import gram
+    from gemmsql.ops.gate import gram_gate
 
-    g = gram(_vec(spark, sf_dir))
-    return g.select(
-        F.col("j1").cast("long").alias("j1"),
-        F.col("j2").cast("long").alias("j2"),
-        _r("v").alias("val"),
-    )
+    return gram_gate(_vec(spark, sf_dir))
 
 
 def q_relu_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.ops import gram
+    from gemmsql.ops.gate import gram_gate
 
-    g = gram(_vec(spark, sf_dir))
-    return g.select(
-        F.col("j1").cast("long").alias("j1"),
-        F.col("j2").cast("long").alias("j2"),
-        F.round(F.greatest(F.col("v"), F.lit(0.0)), 6).alias("val"),
-    )
-
-
-def _weights(spark: SparkSession, sf_dir: str):
-    """W = X^T X / N, the deterministic small weight matrix used by the
-    MLP query (driver tables carry no weights; reference generates random
-    ones, mlp.py:84-86 — here a data-derived deterministic stand-in)."""
-    import numpy as np
-    from gemmsql.ops import gram
-
-    vec = _vec(spark, sf_dir)
-    n = vec.count()
-    gp = gram(vec).toPandas().sort_values(["j1", "j2"])
-    d = int(gp["j1"].max()) + 1
-    return vec, (gp["v"].to_numpy().reshape(d, d) / n)
+    return gram_gate(_vec(spark, sf_dir), relu=True)
 
 
 def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.ops import mlp
+    """M6/M7 (reference mlp.py:47-57) through the gate: quantized
+    relu(X W) W with W = X^T X / (1e12 N) from quantized inputs."""
+    from gemmsql.ops.gate import mlp_gate
 
-    vec, w = _weights(spark, sf_dir)
-    y = mlp(vec.select("i", "vec"), w, w)
-    return y.select(
-        "i", F.posexplode("vec").alias("k", "v")
-    ).select(
-        F.col("i").cast("long").alias("i"),
-        F.col("k").cast("long").alias("k"),
-        _r("v").alias("val"),
-    )
+    return mlp_gate(_vec(spark, sf_dir))
 
 
 def q_attention(spark: SparkSession, sf_dir: str, scale: bool = False) -> DataFrame:
-    from gemmsql.ops import attention_blocked
+    from gemmsql.ops.gate import attention_gate
 
     vec = _vec(spark, sf_dir).select("i", "vec")
-    out = attention_blocked(vec, vec, scale=scale)
-    return out.select(
-        F.col("i").cast("long").alias("i"),
-        F.col("d").cast("long").alias("d"),
-        _r("val").alias("val"),
-    )
+    return attention_gate(vec, vec, scale=scale)
 
 
 def q_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.ops import xentropy
+    from gemmsql.ops.gate import xentropy_gate
 
-    vec = _vec(spark, sf_dir)
-    out = xentropy(vec.select("i", "vec", "label"), vec.select("i", "vec"))
-    return out.select(
-        F.col("i").cast("long").alias("i"), _r("loss").alias("loss")
-    )
+    return xentropy_gate(_vec(spark, sf_dir))
 
 
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.ops import row_entropy
+    from gemmsql.ops.gate import entropy_gate
 
-    vec = _vec(spark, sf_dir).select("i", "vec")
-    out = row_entropy(vec, vec)
-    return out.select(
-        F.col("i").cast("long").alias("i"), _r("entropy").alias("entropy")
-    )
+    return entropy_gate(_vec(spark, sf_dir))
 
 
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,84 +142,37 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ones_like(vec: DataFrame) -> DataFrame:
-    """Cotangent of ones aligned with ``vec`` rows (the reference's
-    ``mock`` cotangent, core.py:72, fixed to 1 for SQL expressibility)."""
-    return vec.select("i", F.transform("vec", lambda _: F.lit(1.0)).alias("vec"))
-
-
-def _explode_grads(parts: list[tuple[str, DataFrame]]) -> DataFrame:
-    """Union named vector-row gradients into (which, i, d, val) COO."""
-    outs = []
-    for which, df in parts:
-        outs.append(
-            df.select(
-                F.lit(which).alias("which"),
-                F.col("i").cast("long").alias("i"),
-                F.posexplode("vec").alias("d", "v"),
-            ).select(
-                "which", "i", F.col("d").cast("long").alias("d"),
-                _r("v").alias("val"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
-
-
 def q_attention_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (reference attention.py:11-29) through the driver gate:
-    gradients of unscaled self-attention wrt (Q, K, V), cotangent=1."""
-    from gemmsql.ops.backward import attention_bwd
+    quantized gradients of unscaled self-attention, cotangent=1."""
+    from gemmsql.ops.gate import attention_grads_gate
 
-    vec = _vec(spark, sf_dir).select("i", "vec")
-    gq, gk, gv = attention_bwd(vec, vec, _ones_like(vec))
-    return _explode_grads([("gq", gq), ("gk", gk), ("gv", gv)])
+    return attention_grads_gate(_vec(spark, sf_dir).select("i", "vec"))
 
 
 def q_xentropy_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (reference xentropy.py:15-37) through the driver gate:
-    gradients of sum_m loss_m wrt (pred, trg)."""
-    from gemmsql.ops.backward import xentropy_bwd
+    quantized gradients of sum_m loss_m wrt (pred, trg)."""
+    from gemmsql.ops.gate import xentropy_grads_gate
 
-    vec = _vec(spark, sf_dir)
-    gpred, gtrg = xentropy_bwd(
-        vec.select("i", "vec", "label"), vec.select("i", "vec")
-    )
-    return _explode_grads([("gpred", gpred), ("gtrg", gtrg)])
+    return xentropy_grads_gate(_vec(spark, sf_dir))
 
 
 def q_mlp_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 (reference mlp.py:9-16) through the driver gate: gradients of
-    relu(X W) W wrt (X, P, Q), cotangent=1, W = X^T X / N."""
-    from gemmsql.ops.backward import mlp_bwd
+    """M2 (reference mlp.py:9-16) through the driver gate: quantized
+    gradients of relu(X W) W wrt (X, P, Q), cotangent=1."""
+    from gemmsql.ops.gate import mlp_grads_gate
 
-    vec, w = _weights(spark, sf_dir)
-    gx, gp, gq = mlp_bwd(vec.select("i", "vec"), _ones_like(vec), w, w)
-    out = _explode_grads([("gx", gx)])
-    for which, df in (("gp", gp), ("gq", gq)):
-        out = out.unionByName(
-            df.select(
-                F.lit(which).alias("which"),
-                F.col("i").cast("long").alias("i"),
-                F.col("j").cast("long").alias("d"),
-                _r("v").alias("val"),
-            )
-        )
-    return out
+    return mlp_grads_gate(_vec(spark, sf_dir))
 
 
 def q_attention_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.ops.attention import attention_batched
+    from gemmsql.ops.gate import attention_batched_gate
 
     vec = _vec(spark, sf_dir).select(
         (F.col("i") % 8).alias("b"), "i", "vec"
     )
-    out = attention_batched(vec, vec, scale=True)
-    return out.select(
-        "b", "i", "d", F.round(F.col("val"), 6).alias("val")
-    )
+    return attention_batched_gate(vec, scale=True)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,140 +291,185 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-ATTENTION_BATCHED_SQL = """
-WITH coo AS (
+ATTENTION_BATCHED_SQL = f"""
+WITH bcoo AS (
   SELECT vec_id AS i, vec_id % 8 AS b,
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
-         CAST(unnest(embedding) AS DOUBLE) AS v
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS vq
   FROM embeddings
 ),
-dim AS (SELECT COUNT(DISTINCT j) AS d FROM coo),
-scores AS (
-  SELECT a.b, a.i AS qi, c.i AS ki, SUM(a.v * c.v) / SQRT(MAX(dim.d)) AS s
-  FROM coo a JOIN coo c ON a.j = c.j AND a.b = c.b CROSS JOIN dim
+qs AS (
+  SELECT a.b, a.i AS qi, c.i AS ki, CAST(SUM(a.vq * c.vq) AS BIGINT) AS s_int
+  FROM bcoo a JOIN bcoo c ON a.j = c.j AND a.b = c.b
   GROUP BY a.b, a.i, c.i
 ),
-mx AS (SELECT b, qi, MAX(s) AS mx FROM scores GROUP BY 1, 2),
-z AS (
-  SELECT s.b, s.qi, m.mx + LN(SUM(EXP(s.s - m.mx))) AS z
-  FROM scores s JOIN mx m ON m.b = s.b AND m.qi = s.qi GROUP BY s.b, s.qi, m.mx
-)
-SELECT s.b, s.qi AS i, v.j AS d,
-       ROUND(CAST(SUM(EXP(s.s - z.z) * v.v) AS DOUBLE), 6) AS val
-FROM scores s
-JOIN z ON z.b = s.b AND z.qi = s.qi
-JOIN coo v ON v.i = s.ki AND v.b = s.b
-GROUP BY s.b, s.qi, v.j
+sc AS (SELECT b, qi, ki, CAST(s_int AS DOUBLE) /
+         (1000000000000.0 *
+          SQRT(CAST((SELECT COUNT(DISTINCT j) FROM bcoo) AS DOUBLE))) AS s
+       FROM qs),
+mxt AS (SELECT b, qi, MAX(s) AS mx FROM sc GROUP BY b, qi),
+e AS (SELECT sc.b, sc.qi, sc.ki,
+        CAST(FLOOR(EXP(sc.s - mxt.mx) * 1000000.0 + 0.5) AS BIGINT) AS e_int
+      FROM sc JOIN mxt ON mxt.b = sc.b AND mxt.qi = sc.qi),
+sden AS (SELECT b, qi, CAST(SUM(e_int) AS BIGINT) AS s FROM e GROUP BY b, qi),
+num AS (SELECT e.b, e.qi AS i, v.j AS d,
+          CAST(SUM(e.e_int * v.vq) AS BIGINT) AS num
+        FROM e JOIN bcoo v ON v.i = e.ki AND v.b = e.b
+        GROUP BY e.b, e.qi, v.j)
+SELECT num.b, num.i, num.d,
+       {_MICRO_RATIO.format(num="num.num", den="sden.s")} AS val
+FROM num JOIN sden ON sden.b = num.b AND sden.qi = num.i
 """
 
 
 ATTENTION_GRADS_SQL = f"""
-WITH {_SCORES},
-dims AS (SELECT DISTINCT j FROM coo),
-vsum AS (SELECT i, SUM(v) AS vs FROM coo GROUP BY i),
-w AS (SELECT s.qi, s.ki, EXP(s.s - z.z) AS w FROM scores s JOIN z USING (qi)),
-r AS (SELECT w.qi, SUM(w.w * vsum.vs) AS r
-      FROM w JOIN vsum ON vsum.i = w.ki GROUP BY w.qi),
-gs AS (SELECT w.qi, w.ki, w.w * (vsum.vs - r.r) AS g
-       FROM w JOIN vsum ON vsum.i = w.ki JOIN r ON r.qi = w.qi),
-gvs AS (SELECT ki, SUM(w) AS s FROM w GROUP BY ki)
-SELECT 'gq' AS which, gs.qi AS i, k.j AS d,
-       ROUND(CAST(SUM(gs.g * k.v) AS DOUBLE), 6) AS val
-FROM gs JOIN coo k ON k.i = gs.ki GROUP BY gs.qi, k.j
+WITH {_QCOO},
+{_gate_chain(_DENOM_UNSCALED)},
+dims AS (SELECT DISTINCT j FROM qcoo),
+vs AS (SELECT i, CAST(SUM(vq) AS BIGINT) AS vsq FROM qcoo GROUP BY i),
+rn AS (SELECT e.qi, CAST(SUM(e.e_int * vs.vsq) AS BIGINT) AS rnum
+       FROM e JOIN vs ON vs.i = e.ki GROUP BY e.qi),
+gsq AS (SELECT e.qi, e.ki,
+          CAST(FLOOR((CAST(e.e_int AS DOUBLE) / CAST(sden.s AS DOUBLE))
+               * (CAST(vs.vsq AS DOUBLE) / 1000000.0
+                  - CAST(rn.rnum AS DOUBLE)
+                    / (CAST(sden.s AS DOUBLE) * 1000000.0))
+               * 10000.0 + 0.5) AS BIGINT) AS g
+        FROM e JOIN sden USING (qi) JOIN rn USING (qi)
+        JOIN vs ON vs.i = e.ki),
+wq AS (SELECT e.qi, e.ki,
+         CAST(FLOOR((CAST(e.e_int AS DOUBLE) / CAST(sden.s AS DOUBLE))
+              * 1000000000.0 + 0.5) AS BIGINT) AS w
+       FROM e JOIN sden USING (qi)),
+gq AS (SELECT gsq.qi AS i, k.j AS d, CAST(SUM(gsq.g * k.vq) AS BIGINT) AS num
+       FROM gsq JOIN qcoo k ON k.i = gsq.ki GROUP BY gsq.qi, k.j),
+gk AS (SELECT gsq.ki AS i, q.j AS d, CAST(SUM(gsq.g * q.vq) AS BIGINT) AS num
+       FROM gsq JOIN qcoo q ON q.i = gsq.qi GROUP BY gsq.ki, q.j),
+gv AS (SELECT ki AS i, CAST(SUM(w) AS BIGINT) AS num FROM wq GROUP BY ki)
+SELECT 'gq' AS which, i, d, {_micro_sql("num", 10000)} AS val FROM gq
 UNION ALL
-SELECT 'gk', gs.ki, q.j, ROUND(CAST(SUM(gs.g * q.v) AS DOUBLE), 6)
-FROM gs JOIN coo q ON q.i = gs.qi GROUP BY gs.ki, q.j
+SELECT 'gk', i, d, {_micro_sql("num", 10000)} FROM gk
 UNION ALL
-SELECT 'gv', gvs.ki, dims.j, ROUND(CAST(gvs.s AS DOUBLE), 6)
-FROM gvs CROSS JOIN dims
+SELECT 'gv', gv.i, dims.j, {_micro_sql("num", 1000)} FROM gv CROSS JOIN dims
 """
 
 XENTROPY_GRADS_SQL = f"""
-WITH {_SCORES},
-w AS (SELECT s.qi, s.ki, EXP(s.s - z.z) AS w FROM scores s JOIN z USING (qi)),
-delta AS (SELECT w.qi, w.ki,
-                 w.w - CASE WHEN w.ki = CAST(e.label AS BIGINT)
-                            THEN 1 ELSE 0 END AS dv
-          FROM w JOIN embeddings e ON e.vec_id = w.qi)
-SELECT 'gpred' AS which, delta.qi AS i, t.j AS d,
-       ROUND(CAST(SUM(delta.dv * t.v) AS DOUBLE), 6) AS val
-FROM delta JOIN coo t ON t.i = delta.ki GROUP BY delta.qi, t.j
+WITH {_QCOO},
+{_gate_chain(_DENOM_UNSCALED)},
+wq AS (SELECT e.qi, e.ki,
+         CAST(FLOOR((CAST(e.e_int AS DOUBLE) / CAST(sden.s AS DOUBLE))
+              * 1000000.0 + 0.5) AS BIGINT) AS w
+       FROM e JOIN sden USING (qi)),
+delta AS (SELECT wq.qi, wq.ki,
+            wq.w - CASE WHEN wq.ki = CAST(em.label AS BIGINT)
+                        THEN 1000000 ELSE 0 END AS dv
+          FROM wq JOIN embeddings em ON em.vec_id = wq.qi),
+gpred AS (SELECT delta.qi AS i, t.j AS d,
+            CAST(SUM(delta.dv * t.vq) AS BIGINT) AS num
+          FROM delta JOIN qcoo t ON t.i = delta.ki GROUP BY delta.qi, t.j),
+gtrg AS (SELECT delta.ki AS i, p.j AS d,
+           CAST(SUM(delta.dv * p.vq) AS BIGINT) AS num
+         FROM delta JOIN qcoo p ON p.i = delta.qi GROUP BY delta.ki, p.j)
+SELECT 'gpred' AS which, i, d, {_micro_sql("num", 1000000)} AS val FROM gpred
 UNION ALL
-SELECT 'gtrg', delta.ki, p.j, ROUND(CAST(SUM(delta.dv * p.v) AS DOUBLE), 6)
-FROM delta JOIN coo p ON p.i = delta.qi GROUP BY delta.ki, p.j
+SELECT 'gtrg', i, d, {_micro_sql("num", 1000000)} FROM gtrg
+"""
+
+# shared quantized-MLP CTE chain: W = gram/(1e12 N) requantized at 1e6,
+# h_int = relu(xq Wq) exact, hs = h requantized at 1e6
+_MLP_CHAIN = """
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+wint AS (SELECT a.j AS i, b.j AS k, CAST(SUM(a.vq * b.vq) AS BIGINT) AS g
+         FROM qcoo a JOIN qcoo b USING (i) GROUP BY a.j, b.j),
+wq AS (SELECT i, k,
+         CAST(FLOOR(CAST(g AS DOUBLE)
+              / (1000000000000.0 * CAST(n.n AS DOUBLE))
+              * 1000000.0 + 0.5) AS BIGINT) AS vq
+       FROM wint CROSS JOIN n),
+h AS (SELECT x.i, w.k AS j,
+        GREATEST(CAST(SUM(x.vq * w.vq) AS BIGINT), 0) AS h_int
+      FROM qcoo x JOIN wq w ON x.j = w.i GROUP BY x.i, w.k),
+hs AS (SELECT i, j,
+         CAST(FLOOR(CAST(h_int AS DOUBLE) / 1000000000000.0 * 1000000.0
+              + 0.5) AS BIGINT) AS hs
+       FROM h)
+"""
+
+MLP_SQL = f"""
+WITH {_QCOO},
+{_MLP_CHAIN},
+y AS (SELECT hs.i, w.k, CAST(SUM(hs.hs * w.vq) AS BIGINT) AS num
+      FROM hs JOIN wq w ON hs.j = w.i GROUP BY hs.i, w.k)
+SELECT i, k, {_micro_sql("num", 1000000)} AS val FROM y
 """
 
 MLP_GRADS_SQL = f"""
-WITH {_COO},
-n AS (SELECT COUNT(*) AS n FROM embeddings),
-dims AS (SELECT DISTINCT j FROM coo),
-w AS (SELECT a.j AS i, b.j AS k, SUM(a.v * b.v) / MAX(n.n) AS v
-      FROM coo a JOIN coo b USING (i) CROSS JOIN n GROUP BY a.j, b.j),
-h AS (SELECT x.i, w.k AS j, GREATEST(SUM(x.v * w.v), 0.0) AS v
-      FROM coo x JOIN w ON x.j = w.i GROUP BY x.i, w.k),
-qs AS (SELECT i AS k, SUM(v) AS qs FROM w GROUP BY i),
+WITH {_QCOO},
+{_MLP_CHAIN},
+dims AS (SELECT DISTINCT j FROM qcoo),
+qsr AS (SELECT i, CAST(SUM(vq) AS BIGINT) AS q FROM wq GROUP BY i),
 gh AS (SELECT h.i AS m, h.j AS k,
-              CASE WHEN h.v > 0 THEN qs.qs ELSE 0 END AS v
-       FROM h JOIN qs ON qs.k = h.j),
-gqk AS (SELECT j AS k, SUM(v) AS s FROM h GROUP BY j)
-SELECT 'gx' AS which, gh.m AS i, w2.i AS d,
-       ROUND(CAST(SUM(gh.v * w2.v) AS DOUBLE), 6) AS val
-FROM gh JOIN w w2 ON w2.k = gh.k GROUP BY gh.m, w2.i
+         CASE WHEN h.h_int > 0 THEN qsr.q ELSE 0 END AS g
+       FROM h JOIN qsr ON qsr.i = h.j),
+gx AS (SELECT gh.m AS i, w2.i AS d, CAST(SUM(gh.g * w2.vq) AS BIGINT) AS num
+       FROM gh JOIN wq w2 ON w2.k = gh.k GROUP BY gh.m, w2.i),
+gp AS (SELECT x.j AS i, gh.k AS d, CAST(SUM(x.vq * gh.g) AS BIGINT) AS num
+       FROM qcoo x JOIN gh ON gh.m = x.i GROUP BY x.j, gh.k),
+gq AS (SELECT j AS i, CAST(SUM(hs) AS BIGINT) AS num FROM hs GROUP BY j)
+SELECT 'gx' AS which, i, d, {_micro_sql("num", 1000000)} AS val FROM gx
 UNION ALL
-SELECT 'gp', x.j, gh.k, ROUND(CAST(SUM(x.v * gh.v) AS DOUBLE), 6)
-FROM coo x JOIN gh ON gh.m = x.i GROUP BY x.j, gh.k
+SELECT 'gp', i, d, {_micro_sql("num", 1000000)} FROM gp
 UNION ALL
-SELECT 'gq', gqk.k, dims.j, ROUND(CAST(gqk.s AS DOUBLE), 6)
-FROM gqk CROSS JOIN dims
+SELECT 'gq', gq.i, dims.j, CAST(gq.num AS DOUBLE) / 1000000.0
+FROM gq CROSS JOIN dims
 """
 
 
 def oracle_sql() -> dict[str, str]:
     gram_sql = (
-        f"WITH {_COO} SELECT a.j AS j1, b.j AS j2,"
-        " ROUND(CAST(SUM(a.v * b.v) AS DOUBLE), 6) AS val"
-        " FROM coo a JOIN coo b USING (i) GROUP BY a.j, b.j"
+        f"WITH {_QCOO}, g AS (SELECT a.j AS j1, b.j AS j2,"
+        " CAST(SUM(a.vq * b.vq) AS BIGINT) AS num"
+        " FROM qcoo a JOIN qcoo b USING (i) GROUP BY a.j, b.j)"
+        f" SELECT j1, j2, {_micro_sql('num', 1000000)} AS val FROM g"
     )
     relu_gram_sql = (
-        f"WITH {_COO} SELECT a.j AS j1, b.j AS j2,"
-        " ROUND(CAST(GREATEST(SUM(a.v * b.v), 0.0) AS DOUBLE), 6) AS val"
-        " FROM coo a JOIN coo b USING (i) GROUP BY a.j, b.j"
-    )
-    mlp_sql = (
-        f"WITH {_COO},"
-        " n AS (SELECT COUNT(*) AS n FROM embeddings),"
-        " w AS (SELECT a.j AS i, b.j AS k, SUM(a.v * b.v) / MAX(n.n) AS v"
-        "   FROM coo a JOIN coo b USING (i) CROSS JOIN n GROUP BY a.j, b.j),"
-        " h AS (SELECT x.i, w.k AS j, GREATEST(SUM(x.v * w.v), 0.0) AS v"
-        "   FROM coo x JOIN w ON x.j = w.i GROUP BY x.i, w.k)"
-        " SELECT h.i AS i, w.k AS k,"
-        " ROUND(CAST(SUM(h.v * w.v) AS DOUBLE), 6) AS val"
-        " FROM h JOIN w ON h.j = w.i GROUP BY h.i, w.k"
+        f"WITH {_QCOO}, g AS (SELECT a.j AS j1, b.j AS j2,"
+        " GREATEST(CAST(SUM(a.vq * b.vq) AS BIGINT), 0) AS num"
+        " FROM qcoo a JOIN qcoo b USING (i) GROUP BY a.j, b.j)"
+        f" SELECT j1, j2, {_micro_sql('num', 1000000)} AS val FROM g"
     )
     att_body = (
-        " SELECT s.qi AS i, v.j AS d,"
-        " ROUND(CAST(SUM(EXP(s.s - z.z) * v.v) AS DOUBLE), 6) AS val"
-        " FROM scores s JOIN z USING (qi) JOIN coo v ON s.ki = v.i"
-        " GROUP BY s.qi, v.j"
+        ", num AS (SELECT e.qi AS i, v.j AS d,"
+        " CAST(SUM(e.e_int * v.vq) AS BIGINT) AS num"
+        " FROM e JOIN qcoo v ON v.i = e.ki GROUP BY e.qi, v.j)"
+        " SELECT num.i, num.d, "
+        + _MICRO_RATIO.format(num="num.num", den="sden.s")
+        + " AS val FROM num JOIN sden ON sden.qi = num.i"
     )
-    attention_sql = f"WITH {_SCORES}{att_body}"
-    scaled_scores = _SCORES.replace(
-        "SUM(a.v * b.v) AS s",
-        "SUM(a.v * b.v) / SQRT((SELECT COUNT(DISTINCT j) FROM coo)) AS s",
-    )
-    attention_scaled_sql = f"WITH {scaled_scores}{att_body}"
+    attention_sql = f"WITH {_QCOO}, {_gate_chain(_DENOM_UNSCALED)}{att_body}"
+    attention_scaled_sql = f"WITH {_QCOO}, {_gate_chain(_DENOM_SCALED)}{att_body}"
     xentropy_sql = (
-        f"WITH {_SCORES}"
-        " SELECT z.qi AS i, ROUND(CAST(z.z - s.s AS DOUBLE), 6) AS loss"
-        " FROM z JOIN embeddings e ON z.qi = e.vec_id"
-        " JOIN scores s ON s.qi = z.qi AND s.ki = CAST(e.label AS BIGINT)"
+        f"WITH {_QCOO}, {_gate_chain(_DENOM_UNSCALED)}"
+        " SELECT sc.qi AS i,"
+        " ROUND(mxt.mx - sc.s + LN(CAST(sden.s AS DOUBLE) / 1000000.0), 6)"
+        " AS loss"
+        " FROM sc JOIN mxt USING (qi) JOIN sden USING (qi)"
+        " JOIN embeddings em"
+        " ON em.vec_id = sc.qi AND sc.ki = CAST(em.label AS BIGINT)"
     )
     entropy_sql = (
-        f"WITH {_SCORES}"
-        " SELECT s.qi AS i,"
-        " ROUND(CAST(MAX(z.z) - SUM(EXP(s.s - z.z) * s.s) AS DOUBLE), 6)"
-        " AS entropy"
-        " FROM scores s JOIN z USING (qi) GROUP BY s.qi"
+        f"WITH {_QCOO}, {_gate_chain(_DENOM_UNSCALED)},"
+        " tq AS (SELECT sc.qi,"
+        " CAST(FLOOR((CAST(e.e_int AS DOUBLE) / CAST(sden.s AS DOUBLE))"
+        " * sc.s * 1000000000.0 + 0.5) AS BIGINT) AS t"
+        " FROM sc JOIN e ON e.qi = sc.qi AND e.ki = sc.ki"
+        " JOIN sden ON sden.qi = sc.qi),"
+        " ts AS (SELECT qi, CAST(SUM(t) AS BIGINT) AS tsum FROM tq GROUP BY qi)"
+        " SELECT ts.qi AS i,"
+        " ROUND(mxt.mx + LN(CAST(sden.s AS DOUBLE) / 1000000.0)"
+        " - CAST(ts.tsum AS DOUBLE) / 1000000000.0, 6) AS entropy"
+        " FROM ts JOIN mxt ON mxt.qi = ts.qi JOIN sden ON sden.qi = ts.qi"
     )
     from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
@@ -489,7 +486,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "gram": gram_sql,
         "relu_gram": relu_gram_sql,
-        "mlp": mlp_sql,
+        "mlp": MLP_SQL,
         "attention": attention_sql,
         "attention_scaled": attention_scaled_sql,
         "attention_batched": ATTENTION_BATCHED_SQL,

@@ -1,0 +1,139 @@
+"""Tests for the oracle-exact quantized gate ops (gemmsql/ops/gate.py).
+
+Two properties matter:
+1. *Fidelity*: gate outputs approximate the full-precision float ops
+   (inputs are quantized at 1e-6, so outputs drift O(1e-4) at most).
+2. *Bit-stability*: the same query returns the byte-identical table
+   under different shuffle partitioning and physical paths — the
+   property whose absence made round 1's ROUND(,6) hashes flaky.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _hash(pdf: pd.DataFrame) -> str:
+    import hashlib
+
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        "|".join(repr(v) for v in row)
+        for row in pdf[cols].itertuples(index=False)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode() + b"\n")
+    return h.hexdigest()
+
+
+def _vec(spark):
+    from gemmsql.datamodel import embeddings_vectors
+
+    return embeddings_vectors(spark, SF_SMOKE)
+
+
+# ------------------------------------------------------------- fidelity
+
+def test_attention_gate_close_to_float(spark, emb_matrix):
+    from gemmsql.ops.gate import attention_gate
+
+    _ids, x, _lab = emb_matrix
+    s = x @ x.T / np.sqrt(x.shape[1])
+    w = np.exp(s - s.max(axis=1, keepdims=True))
+    ref = (w / w.sum(axis=1, keepdims=True)) @ x
+
+    vec = _vec(spark).select("i", "vec")
+    out = attention_gate(vec, vec, scale=True).orderBy("i", "d").toPandas()
+    got = out["val"].to_numpy().reshape(ref.shape)
+    assert np.allclose(got, ref, atol=1e-4)
+
+
+def test_mlp_gate_close_to_float(spark, emb_matrix):
+    from gemmsql.ops.gate import mlp_gate
+
+    _ids, x, _lab = emb_matrix
+    w = x.T @ x / len(x)
+    ref = np.maximum(x @ w, 0.0) @ w
+
+    out = mlp_gate(_vec(spark)).orderBy("i", "k").toPandas()
+    got = out["val"].to_numpy().reshape(ref.shape)
+    assert np.allclose(got, ref, atol=1e-3)
+
+
+def test_attention_grads_gate_close_to_numpy(spark, emb_matrix):
+    from gemmsql.ops.gate import attention_grads_gate
+
+    _ids, x, _lab = emb_matrix
+    n, d = x.shape
+    s = x @ x.T
+    w = np.exp(s - s.max(axis=1, keepdims=True))
+    w /= w.sum(axis=1, keepdims=True)
+    g = np.ones((n, d))
+    gv_ref = w.T @ g
+    gdot = g @ x.T                      # (m, n): g_m . v_n
+    r = (w * gdot).sum(axis=1, keepdims=True)
+    gs = w * (gdot - r)
+    gq_ref = gs @ x
+    gk_ref = gs.T @ x
+
+    out = attention_grads_gate(_vec(spark).select("i", "vec")).toPandas()
+    for which, ref in (("gq", gq_ref), ("gk", gk_ref), ("gv", gv_ref)):
+        sub = out[out["which"] == which].sort_values(["i", "d"])
+        got = sub["val"].to_numpy().reshape(ref.shape)
+        # gs is quantized at 1e-4, so tolerance is looser on gq/gk
+        atol = 1e-4 if which == "gv" else 5e-2
+        assert np.allclose(got, ref, atol=atol), which
+
+
+def test_xentropy_gate_close_to_numpy(spark, emb_matrix):
+    from gemmsql.ops.gate import xentropy_gate
+
+    ids, x, lab = emb_matrix
+    s = x @ x.T
+    z = np.log(np.exp(s - s.max(1, keepdims=True)).sum(1)) + s.max(1)
+    pos = {int(i): k for k, i in enumerate(ids)}
+    ref = z - s[np.arange(len(x)), [pos[int(l)] for l in lab]]
+
+    out = xentropy_gate(_vec(spark)).orderBy("i").toPandas()
+    assert np.allclose(out["loss"].to_numpy(), ref, atol=1e-4)
+
+
+# ---------------------------------------------------------- bit-stability
+
+@pytest.mark.parametrize("name", [
+    "gram", "mlp", "attention_scaled", "attention_grads",
+    "xentropy_grads", "mlp_grads", "entropy",
+])
+def test_gate_bit_stable_across_partitionings(spark, name):
+    import __spark_entry__ as em
+
+    q = em.queries()[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        h1 = _hash(q(spark, SF_SMOKE).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        h2 = _hash(q(spark, SF_SMOKE).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert h1 == h2, f"{name} not bit-stable across partitionings"
+
+
+def test_attention_gate_blocked_matches_broadcast(spark):
+    """The tiled (large-KV) physical path must be bit-identical to the
+    broadcast path — exact integer merges make tile order irrelevant."""
+    from gemmsql.ops.gate import attention_gate
+
+    vec = _vec(spark).select("i", "vec")
+    hb = _hash(attention_gate(vec, vec, scale=True).toPandas())
+    ht = _hash(
+        attention_gate(
+            vec.repartition(5), vec, scale=True, block=64, broadcast_kv=False
+        ).toPandas()
+    )
+    assert hb == ht
