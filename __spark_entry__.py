@@ -199,6 +199,12 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dups(spark, sf_dir, threshold=0.4)
 
 
+def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import embedding_dups_lsh
+
+    return embedding_dups_lsh(spark, sf_dir, threshold=0.4)
+
+
 def _sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.sketches import user_reach_sketch
 
@@ -286,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
         "ivf_topk": q_ivf_topk,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         # --- multimodal ---
         "payload_meta": payload_meta,
     }
@@ -479,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.pipeline.similarity import (
         COSINE_TOPK_SQL,
+        EMBEDDING_DUPS_LSH_SQL,
         EMBEDDING_DUPS_SQL,
         IVF_TOPK_SQL,
     )
@@ -534,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,
+        "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         # "lsh_topk": omitted — approximate; rows-only
         "payload_meta": PAYLOAD_META_SQL,
     }

@@ -19,7 +19,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# no sys.path mutation: python adds the script dir (repo root) itself,
+# and `gemmsql` is a real installable package (pyproject.toml)
 
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))

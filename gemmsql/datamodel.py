@@ -114,8 +114,10 @@ def vectors_from_coo(coo: DataFrame, dim: int | None = None) -> DataFrame:
 
 def block_id(col, block_size: int):
     """Spark analog of the reference's ``slicer`` (core.py:8-13):
-    tile index of a row/column id for a given block size."""
-    return (F.col(col) if isinstance(col, str) else col).cast("long") / block_size
+    tile index of a row/column id for a given block size (integral —
+    floor(id / block_size), same as the _blocked.py tiling)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c / block_size).cast("long")
 
 
 def with_block_id(df: DataFrame, col: str, block_size: int, out: str = "b") -> DataFrame:

@@ -67,9 +67,9 @@ def attention_coo(
 
 def _attention_kernel(scale: bool):
     def kernel(lids, lmat, _extra, rids, rmat) -> pd.DataFrame:
-        # kv vector layout: first half = key, second half = value when
-        # key is value (self-attention uses the same vec); callers that
-        # need distinct K/V pass them via attention_blocked_kv below.
+        # the blocked fast path is self-attention (K == V == rmat);
+        # callers that need a distinct value matrix use attention_coo,
+        # which takes separate k_coo / v_coo inputs.
         s = lmat @ rmat.T
         if scale:
             s /= np.sqrt(lmat.shape[1])

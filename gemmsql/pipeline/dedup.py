@@ -23,11 +23,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gemmsql.caching import scoped_cache
 from gemmsql.datamodel import load_table
 
 N_PERMS = 12
 BAND_ROWS = 2  # -> 6 bands
 SIMHASH_BITS = 24
+MAX_DF = 128  # hot-shingle cap: shingles in more docs than this are dropped
+
+
+def cap_shingles(sh: DataFrame, max_df: int = MAX_DF) -> DataFrame:
+    """Drop shingles with document frequency > ``max_df`` (boilerplate /
+    template text).  One viral shingle with df = 1e6 would otherwise
+    contribute 1e12 candidate pairs to the inverted-index join — the
+    100 TB scale-killer.  The hot set is tiny by construction, so it
+    broadcasts; the anti-join stays narrow.  Mirrored in every oracle
+    via :data:`CAPPED_SHINGLES_CTE` so both sides agree."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def _h60(col):
@@ -94,6 +112,19 @@ shingles AS (
 )
 """
 
+# DuckDB twin of cap_shingles: SHINGLES_CTE + the max_df filter
+CAPPED_SHINGLES_CTE = (
+    SHINGLES_CTE
+    + f""",
+shingles_f AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  WHERE s.shingle NOT IN (
+    SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) > {MAX_DF}
+  )
+)
+"""
+)
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on content hash: one row per distinct text."""
@@ -119,10 +150,17 @@ def jaccard_pairs(
     threshold: float = 0.1,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle,
+    hot shingles capped at df <= MAX_DF (see :func:`cap_shingles`).
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, j >= threshold."""
-    sh = shingles if shingles is not None else doc_shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if shingles is None:
+        shingles = scoped_cache(
+            cap_shingles(doc_shingles(spark, sf_dir)), fresh_scope=True
+        )
+    sh = shingles
+    # sizes cached too: consumed twice here (sa, sb) and shared
+    # plan-for-plan with minhash_lsh_pairs / dedup_clusters runs
+    sizes = scoped_cache(sh.groupBy("doc_id").agg(F.count("*").alias("sz")))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -153,11 +191,11 @@ def jaccard_pairs(
 
 def jaccard_pairs_sql(threshold: float = 0.1) -> str:
     return f"""
-WITH {SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+WITH {CAPPED_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles_f GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  FROM shingles_f a JOIN shingles_f b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -228,8 +266,12 @@ def minhash_lsh_pairs(
 
     The shingle table is computed ONCE and cached — signatures, candidate
     verification, and set sizes all reuse it (at 100 TB this is the
-    difference between one and three passes over the corpus)."""
-    shingles = doc_shingles(spark, sf_dir).cache()
+    difference between one and three passes over the corpus).  Caches are
+    scoped per query (gemmsql.caching) so they never leak across a bench
+    session.  Hot shingles capped at MAX_DF like :func:`jaccard_pairs`."""
+    shingles = scoped_cache(
+        cap_shingles(doc_shingles(spark, sf_dir)), fresh_scope=True
+    )
     wide = _minhash_wide(shingles)
     n_bands = N_PERMS // BAND_ROWS
     band_rows = [
@@ -269,7 +311,7 @@ def minhash_lsh_pairs(
     )
     # verify ONLY candidate pairs: restrict the inverted index to docs
     # that appear in some candidate pair before generating intersections
-    cand = cand.cache()
+    cand = scoped_cache(cand)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -288,7 +330,11 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # full-table sizes (identical values for candidate docs, and the
+    # same cached plan jaccard_pairs builds -> one agg serves both)
+    sizes = scoped_cache(
+        shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
@@ -325,11 +371,11 @@ def minhash_lsh_pairs_sql(threshold: float = 0.1) -> str:
         for b in range(n_bands)
     )
     return f"""
-WITH {SHINGLES_CTE},
+WITH {CAPPED_SHINGLES_CTE},
 hashed AS (
   SELECT doc_id,
          CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS base
-  FROM shingles
+  FROM shingles_f
 ),
 wide AS (SELECT doc_id, {mins} FROM hashed GROUP BY 1),
 banded AS (
@@ -340,10 +386,10 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles_f GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  FROM shingles_f a JOIN shingles_f b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
@@ -380,12 +426,11 @@ def dedup_clusters(
     small-star (same join shape, alternating orientation)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = jaccard_pairs(spark, sf_dir, threshold=threshold)
-    edges = (
+    edges = scoped_cache(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(max_iter):
@@ -428,11 +473,11 @@ def dedup_clusters_sql(threshold: float = 0.1) -> str:
     """Oracle: transitive closure by recursive CTE — reach(v, x) holds
     when x is reachable from v; cluster_id = MIN(x)."""
     return f"""
-WITH RECURSIVE {SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+WITH RECURSIVE {CAPPED_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles_f GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  FROM shingles_f a JOIN shingles_f b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
 pairs AS (

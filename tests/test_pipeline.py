@@ -353,3 +353,76 @@ def test_stratified_sample_rates(spark):
         rate = SAMPLE_RATES.get(lang, 50) / 100
         got = kept.get(lang, 0) / n
         assert abs(got - rate) < 0.2, f"{lang}: kept {got:.2f}, wanted ~{rate}"
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """A synthetic viral shingle (shared by every doc) must NOT explode
+    the candidate-pair count: cap_shingles drops df > MAX_DF shingles,
+    so the inverted-index join is bounded by the organic pairs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from gemmsql.pipeline.dedup import MAX_DF, cap_shingles
+
+    n = 400
+    organic = pd.DataFrame(
+        {"doc_id": range(n), "shingle": [f"unique shingle {i}" for i in range(n)]}
+    )
+    viral = pd.DataFrame(
+        {"doc_id": range(n), "shingle": ["as seen on tv now"] * n}
+    )
+    sh = spark.createDataFrame(pd.concat([organic, viral]))
+    capped = cap_shingles(sh)
+    # viral shingle (df = 400 > MAX_DF) gone; organic ones survive
+    assert capped.count() == n
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert pairs == 0  # uncapped this would be n*(n-1)/2 = 79800
+    assert n > MAX_DF  # the viral shingle genuinely exceeded the cap
+
+
+def test_lsh_planes_scale_with_corpus():
+    """Bucket-count must grow with N so per-bucket work stays bounded:
+    expected bucket size N / 2^planes <= 2 * TARGET_BUCKET."""
+    from gemmsql.pipeline.similarity import TARGET_BUCKET, n_planes_for
+
+    for n in (100, 10_000, 1_000_000, 10**9, 10**12):
+        p = n_planes_for(n)
+        assert n / (1 << p) <= 2 * TARGET_BUCKET, (n, p)
+    assert n_planes_for(10**9) > n_planes_for(10**4)
+
+
+def test_embedding_dups_lsh_recall_and_precision(spark):
+    """The sub-quadratic LSH near-dup path vs the exact all-pairs scan:
+    every reported pair is a true pair (precision 1.0) and recall is
+    near-total at this threshold/table count (miss ~ 1e-3 per pair)."""
+    from gemmsql.pipeline.similarity import embedding_dups, embedding_dups_lsh
+
+    exact = embedding_dups(spark, SF_SMOKE, threshold=0.4).toPandas()
+    lsh = embedding_dups_lsh(spark, SF_SMOKE, threshold=0.4).toPandas()
+    e = set(zip(exact["doc_a"], exact["doc_b"]))
+    l = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert l <= e, "LSH reported a pair the exact scan did not"
+    if e:
+        assert len(e & l) / len(e) >= 0.9, (len(e), len(l))
+
+
+def test_ivf_centroid_count_fixed(spark):
+    """IVF centroid selection is a fixed-K top-K (TakeOrdered), never an
+    O(N) collect: K centroids at every scale factor."""
+    from pyspark.sql import functions as F
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.pipeline.similarity import IVF_K
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        vec = embeddings_vectors(spark, sf)
+        k = (
+            vec.withColumn("hkey", F.md5(F.col("i").cast("string")))
+            .orderBy("hkey")
+            .limit(IVF_K)
+            .count()
+        )
+        assert k == IVF_K
