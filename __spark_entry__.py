@@ -243,7 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attention_batched": q_attention_batched,
         "xentropy": q_xentropy,
         "entropy": q_entropy,
-        "sampling": q_sampling,  # stochastic: rows-only (no oracle), like the reference
+        "sampling": q_sampling,  # seeded hash-noise: full oracle parity (r2)
         # --- backward passes (recompute-strategy second jobs) ---
         "attention_grads": q_attention_grads,
         "xentropy_grads": q_xentropy_grads,
@@ -478,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         " - CAST(ts.tsum AS DOUBLE) / 1000000000.0, 6) AS entropy"
         " FROM ts JOIN mxt ON mxt.qi = ts.qi JOIN sden ON sden.qi = ts.qi"
     )
+    from gemmsql.ops.sampling import sampling_sql
     from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
     from gemmsql.streaming.windows import (
@@ -500,8 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "attention_batched": ATTENTION_BATCHED_SQL,
         "xentropy": xentropy_sql,
         "entropy": entropy_sql,
-        # "sampling": omitted — stochastic; driver records rows-only check
-        # (mirrors the reference's own untested sampling, sampling.py:67-75)
+        "sampling": sampling_sql(42),
         "attention_grads": ATTENTION_GRADS_SQL,
         "xentropy_grads": XENTROPY_GRADS_SQL,
         "mlp_grads": MLP_GRADS_SQL,

@@ -164,3 +164,61 @@ def test_bucketed_table_join_skips_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_blocked_ops_never_cartesian(spark):
+    """The tile cross-product must be realized as broadcast joins of
+    block-id tables, never a CartesianProduct of the row tables."""
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops import attention_blocked, row_entropy, xentropy
+    from gemmsql.ops.gate import attention_gate
+
+    vec = embeddings_vectors(spark, SF_SMOKE)
+    plans = [
+        plan_of(attention_blocked(vec.select("i", "vec"), vec.select("i", "vec"), broadcast_kv=False)),
+        plan_of(attention_gate(vec.select("i", "vec"), vec.select("i", "vec"), broadcast_kv=False, block=128)),
+        plan_of(xentropy(vec, vec.select("i", "vec"), broadcast_trg=False)),
+        plan_of(row_entropy(vec.select("i", "vec"), vec.select("i", "vec"), broadcast_trg=False)),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p
+
+
+def test_gate_grads_are_narrow_plus_one_merge(spark):
+    """Gate gradients: one narrow kernel pass (MapInPandas straight off
+    the scan, no Exchange below it) and exactly one shuffle for the
+    exact integer scatter-add merge."""
+    import __spark_entry__ as entry
+
+    for name in ("attention_grads", "xentropy_grads", "mlp_grads"):
+        p = plan_of(entry.queries()[name](spark, SF_SMOKE))
+        kernel_pos = p.index("MapInPandas")
+        assert "Exchange" not in p[kernel_pos:], (
+            f"{name}: kernel partials must come straight off the scan"
+        )
+        assert "CartesianProduct" not in p
+        n_shuffles = p.count("Exchange hashpartitioning")
+        assert n_shuffles <= 1, (
+            f"{name}: scatter-add must be ONE shuffle, saw {n_shuffles}"
+        )
+
+
+def test_lsh_bucket_sizes_bounded(spark):
+    """The sign-LSH bucketing must spread rows: max bucket size well
+    under the corpus (and planes scale with N, test_pipeline)."""
+    import numpy as np
+    import pandas as pd
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.pipeline.similarity import N_TABLES, _plane_matrix, n_planes_for
+
+    pdf = embeddings_vectors(spark, SF_SMOKE).select("i", "vec").toPandas()
+    x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    n_planes = n_planes_for(len(x))
+    pm = _plane_matrix(x.shape[1], n_planes)
+    bits = (x @ pm) > 0
+    worst = 0
+    for t in range(N_TABLES):
+        tb = bits[:, t * n_planes : (t + 1) * n_planes]
+        bucket = (tb * (1 << np.arange(n_planes))).sum(axis=1)
+        worst = max(worst, int(pd.Series(bucket).value_counts().max()))
+    assert worst < len(x) / 2, f"one bucket holds {worst}/{len(x)} rows"
