@@ -11,11 +11,17 @@ output (the ``.apply(...)[k]`` selection, e.g. attention.py:69-70).
 
 Two execution strategies, same semantics:
 
-- :func:`aggregate_by_key` — ``RDD.aggregateByKey(zero, seq, comb)``:
-  exact structural twin of the reference loop, tree-merged by Spark.
 - :func:`aggregate_pandas` — Arrow-batched: ``applyInPandas`` computes
   per-(key, tile) partials, then a second grouped merge folds partials
-  per key.  This is the fast path for dense block math (NumPy kernels).
+  per key.  This is the PRODUCTION path for dense block math (NumPy
+  kernels, vectorized transfer) and what every registered query uses.
+- :func:`aggregate_by_key` — ``RDD.aggregateByKey(zero, seq, comb)``:
+  the exact structural twin of the reference loop, kept as the
+  COMPATIBILITY path only.  It folds row-at-a-time through Python
+  lambdas (~10-100x slower than the Arrow path) — use it to port a
+  reference operator verbatim or to cross-check semantics, never in a
+  hot path.  ``make_monoid_op`` defaults to the pandas strategy when
+  given a pandas merge function.
 """
 
 from __future__ import annotations
@@ -34,6 +40,9 @@ def make_monoid_op(
     merge: Callable[[Any, Any], Any],
     finish: Callable[[Any], dict] | None = None,
     schema: str | None = None,
+    pandas_partials: Callable[..., DataFrame] | None = None,
+    pandas_merge=None,
+    pandas_merge_schema: str | None = None,
 ):
     """Return ``op(df, keys) -> DataFrame`` running the monoid fold per key.
 
@@ -41,9 +50,20 @@ def make_monoid_op(
     reference fuses projection and fold the same way, README.md:36-37);
     ``merge`` combines two accumulators and must be associative +
     commutative (reference requirement for ``binary_reduce``).
+
+    Strategy default: when an Arrow formulation is supplied
+    (``pandas_partials`` producing per-(key, tile) partials +
+    ``pandas_merge``/``pandas_merge_schema`` folding them), the operator
+    runs on the vectorized pandas path; the row-at-a-time
+    ``aggregate_by_key`` twin is the fallback for quick ports only.
     """
 
     def op(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+        if pandas_partials is not None:
+            partials = pandas_partials(df, keys)
+            return aggregate_pandas(
+                partials, keys, pandas_merge, pandas_merge_schema
+            )
         return aggregate_by_key(
             df, keys, zero=zero, lift=lift, merge=merge, finish=finish,
             schema=schema,
@@ -64,7 +84,12 @@ def aggregate_by_key(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Monoid fold via ``RDD.aggregateByKey`` (map-side partials, then
-    shuffle of accumulators only — never the raw rows)."""
+    shuffle of accumulators only — never the raw rows).
+
+    COMPATIBILITY PATH: row-at-a-time Python lambdas, ~10-100x slower
+    than the Arrow/pandas strategy.  No registered query uses it; it
+    exists as the structural twin of the reference API for verbatim
+    ports and semantic cross-checks (tests/test_monoid.py)."""
     keys = list(keys)
     spark = df.sparkSession
     other = [c for c in df.columns if c not in keys]
