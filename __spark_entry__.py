@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "quality_score": text.quality_score,
         "stratified_sample": text.stratified_sample,
+        "repetition_stats": text.repetition_stats,
+        "corpus_profile": text.corpus_profile,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
@@ -539,6 +541,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "quality_score": text.quality_score_sql(),
         "stratified_sample": text.stratified_sample_sql(),
+        "repetition_stats": text.REPETITION_STATS_SQL,
+        "corpus_profile": text.CORPUS_PROFILE_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

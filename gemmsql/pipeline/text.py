@@ -339,3 +339,113 @@ FROM documents
 WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
       < (CASE {cases} ELSE 50 END)
 """
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document — the standard
+    pre-training quality gate the reference pipeline lacks:
+
+    - ``dup_word_frac``  = 1 - distinct_words / total_words
+    - ``top_word_frac``  = count(most frequent word) / total_words
+    - ``top_bigram_frac``= count(most frequent word 2-gram) / total 2-grams
+      (0.0 for single-word docs)
+
+    Scale shape: one explode + groupBy(doc_id, token) per signal —
+    shuffles keyed by (doc_id, token), uniform, co-partitioned with the
+    read; counts are exact integers so the ratio is drift-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top"),
+    )
+    # bigrams built in-row (narrow), like dedup.doc_shingles with n=2
+    wsplit = docs.select("doc_id", F.split(F.col("text"), " ").alias("ww"))
+    w = F.col("ww")
+    starts = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(0), F.size(w) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    bigrams = wsplit.select("doc_id", F.explode(grams).alias("bg"))
+    bc = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("btotal"), F.max("c").alias("btop")
+    )
+    return (
+        ws.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(1 - F.col("n_distinct") / F.col("total"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top") / F.col("total"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("btop") / F.col("btotal"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+ws AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+       FROM wc GROUP BY 1),
+pw AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+bs AS (SELECT doc_id, SUM(c) AS btotal, MAX(c) AS btop FROM bc GROUP BY 1)
+SELECT ws.doc_id,
+  ROUND(1 - CAST(ws.n_distinct AS DOUBLE) / ws.total, 6) AS dup_word_frac,
+  ROUND(CAST(ws.top AS DOUBLE) / ws.total, 6) AS top_word_frac,
+  ROUND(COALESCE(CAST(bs.btop AS DOUBLE) / bs.btotal, 0.0), 6)
+    AS top_bigram_frac
+FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
+"""
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per (lang, source): the first thing a
+    training-data pipeline reports — doc counts, volume, and length
+    distribution anchors (exact integers end-to-end)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        )
+    )
+
+
+CORPUS_PROFILE_SQL = """
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+FROM documents GROUP BY 1, 2
+"""

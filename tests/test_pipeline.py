@@ -426,3 +426,25 @@ def test_ivf_centroid_count_fixed(spark):
             .count()
         )
         assert k == IVF_K
+
+
+def test_repetition_stats_bounds_and_consistency(spark):
+    """Fractions live in [0,1]; a doc's top word can't be rarer than
+    uniform (top_word_frac >= 1/n_distinct implied by max >= mean)."""
+    from gemmsql.pipeline.text import repetition_stats
+
+    pdf = repetition_stats(spark, SF_SMOKE).toPandas()
+    for c in ("dup_word_frac", "top_word_frac", "top_bigram_frac"):
+        assert ((pdf[c] >= 0) & (pdf[c] <= 1)).all(), c
+    assert (pdf["top_word_frac"] > 0).all()
+
+
+def test_corpus_profile_totals(spark):
+    """Profile partitions the corpus: doc counts sum to the table."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.text import corpus_profile
+
+    prof = corpus_profile(spark, SF_SMOKE).toPandas()
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert int(prof["n_docs"].sum()) == n
+    assert (prof["min_chars"] <= prof["max_chars"]).all()
