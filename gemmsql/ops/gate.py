@@ -253,26 +253,59 @@ def attention_gate(
     )
 
 
-def attention_grads_gate(vec: DataFrame) -> DataFrame:
+def _grads_finalize(parts: DataFrame) -> DataFrame:
+    """Shared merge + integer-rounding finalizer for the gradient legs
+    (gq/gk at 1e10 scale, gv at 1e9)."""
+    merged = _merge_long_arrays(parts, ["which", "i"])
+    out = merged.select(
+        "which", "i", F.posexplode("nums").alias("d", "num")
+    )
+    micro = F.when(
+        F.col("which") == "gv", _micro_col("num", 1_000)
+    ).otherwise(_micro_col("num", 10_000))
+    return out.select(
+        "which", "i", F.col("d").cast("long").alias("d"),
+        (micro.cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+
+
+def _blocked_mx(vec_q: DataFrame, kv: DataFrame, denom: float, block: int) -> DataFrame:
+    """Tile sweep 1: exact per-row score max (max is order-independent)."""
+
+    def mx_kernel(lids, lmat, _extra, rids, rmat):
+        s = (_quant(lmat) @ _quant(rmat).T) / denom
+        return pd.DataFrame({"i": lids, "mx": s.max(axis=1)})
+
+    mxp = blocked_partials(
+        vec_q.select("i", "vec"), kv.select("i", "vec"), mx_kernel,
+        "i long, mx double", left_block=block, right_block=block,
+    )
+    return mxp.groupBy("i").agg(F.max("mx").alias("mx"))
+
+
+def attention_grads_gate(
+    vec: DataFrame, *, block: int = 4096, broadcast_kv: bool | str = "auto"
+) -> DataFrame:
     """Quantized gradients of unscaled self-attention (K == V), cotangent
     ones -> ``(which, i, d, val)`` with which in {gq, gk, gv}.
 
-    Recompute strategy (reference attention.py:11-29): per left batch
-    recompute exact scores, then the softmax-jacobian term
-    ``gs = w * (vsum - r)`` with ``w = e/S`` and
-    ``r = (e @ vsq) / (S * 1e6)`` — every reduction exact-integer.
-    gq is a per-row dgemm; gk/gv are per-partition int64 partials
-    scatter-added by ``sum(long)`` (the reference ``g.add_`` monoid,
-    core.py:56-57).  The blocked large-KV variant follows the same
-    recipe with a row-max tile sweep first (see ``attention_gate``);
-    huge-KV production gradients use the float ``attention_bwd``.
+    Recompute strategy (reference attention.py:11-29): recompute exact
+    scores, then the softmax-jacobian term ``gs = w * (vsum - r)`` with
+    ``w = e/S`` and ``r = (e @ vsq) / (S * 1e6)`` — every reduction
+    exact-integer, so both physical paths and the oracle agree bit-wise:
+
+    - broadcast path (KV fits executors): one narrow kernel pass; gq is
+      a per-row dgemm, gk/gv are per-partition int64 partials
+      scatter-added by ``sum(long)`` (the reference ``g.add_`` monoid,
+      core.py:56-57).
+    - blocked path (large KV): three tile sweeps — row max, then exact
+      long-summed (S, rnum) stats, then per-tile gradient partials into
+      the same scatter-add.  Tile order cannot change a single bit.
     """
-    n_kv = vec.count()
-    if n_kv > BROADCAST_MAX_ROWS:
-        raise NotImplementedError(
-            "attention_grads_gate broadcasts KV (<= %d rows); use the "
-            "blocked float attention_bwd beyond that" % BROADCAST_MAX_ROWS
-        )
+    if broadcast_kv == "auto":
+        broadcast_kv = vec.count() <= BROADCAST_MAX_ROWS
+    if not broadcast_kv:
+        return _attention_grads_gate_blocked(vec, block=block)
     rids, rq = _collect_kv(vec)
     vsq = rq.sum(axis=1)                            # int-valued, exact
     spark = vec.sparkSession
@@ -313,19 +346,72 @@ def attention_grads_gate(vec: DataFrame) -> DataFrame:
     parts = vec.select("i", "vec").mapInPandas(
         run, "which string, i long, nums array<long>"
     )
-    merged = _merge_long_arrays(parts, ["which", "i"])
-    out = merged.select(
-        "which", "i", F.posexplode("nums").alias("d", "num")
+    return _grads_finalize(parts)
+
+
+def _attention_grads_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
+    """Large-KV tile path of :func:`attention_grads_gate` — bit-identical
+    to the broadcast path (exact integer merges at every stage)."""
+    q = vec.select("i", "vec")
+    mx = _blocked_mx(q, q, 1e12, block)
+    q_mx = q.join(mx, "i")
+
+    # sweep 2: exact (S, rnum) per row — long sums of tile partials
+    def sr_kernel(lids, lmat, extra, rids, rmat):
+        rq = _quant(rmat)
+        s = (_quant(lmat) @ rq.T) / 1e12
+        e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
+        vsq = rq.sum(axis=1)
+        return pd.DataFrame({
+            "i": lids,
+            "sp": e.sum(axis=1).astype(np.int64),
+            "rp": e.astype(np.int64) @ vsq.astype(np.int64),
+        })
+
+    srp = blocked_partials(
+        q_mx, q, sr_kernel, "i long, sp long, rp long",
+        left_block=block, right_block=block, left_extra=("mx",),
     )
-    # gq/gk numerators are 1e10-scaled (Q_GS * Q_IN), gv is 1e9-scaled
-    # (Q_W); micro-round each at 1e-6 resolution in long arithmetic
-    micro = F.when(
-        F.col("which") == "gv", _micro_col("num", 1_000)
-    ).otherwise(_micro_col("num", 10_000))
-    return out.select(
-        "which", "i", F.col("d").cast("long").alias("d"),
-        (micro.cast("double") / F.lit(Q_IN)).alias("val"),
+    sr = srp.groupBy("i").agg(
+        F.sum("sp").alias("st"), F.sum("rp").alias("rn")
     )
+    q_aug = q_mx.join(sr, "i")
+
+    # sweep 3: per-tile gradient partials into the exact scatter-add
+    def leg_kernel(lids, lmat, extra, rids, rmat):
+        lq = _quant(lmat)
+        rq = _quant(rmat)
+        s = (lq @ rq.T) / 1e12
+        e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
+        S = extra["st"].to_numpy().astype(np.float64)
+        rnum = extra["rn"].to_numpy(dtype=np.int64)
+        vsq = rq.sum(axis=1)
+        w = e / S[:, None]
+        t = vsq[None, :] / Q_IN - (rnum / (S * Q_IN))[:, None]
+        gs = np.floor(w * t * Q_GS + 0.5)
+        wq = np.floor(w * Q_W + 0.5)
+        gq_p = gs @ rq                   # exact per tile: <= ~1.9e15
+        gk_p = gs.T @ lq
+        gv_p = wq.sum(axis=0)
+        d = rq.shape[1]
+        return pd.concat(
+            [
+                pd.DataFrame({"which": "gq", "i": lids,
+                              "nums": list(gq_p.astype(np.int64))}),
+                pd.DataFrame({"which": "gk", "i": rids,
+                              "nums": list(gk_p.astype(np.int64))}),
+                pd.DataFrame({"which": "gv", "i": rids,
+                              "nums": list(np.repeat(
+                                  gv_p.astype(np.int64)[:, None], d, axis=1))}),
+            ],
+            ignore_index=True,
+        )
+
+    parts = blocked_partials(
+        q_aug, q, leg_kernel, "which string, i long, nums array<long>",
+        left_block=block, right_block=block, left_extra=("mx", "st", "rn"),
+    )
+    return _grads_finalize(parts)
 
 
 def attention_batched_gate(bvec: DataFrame, *, scale: bool = True) -> DataFrame:
@@ -362,12 +448,20 @@ def attention_batched_gate(bvec: DataFrame, *, scale: bool = True) -> DataFrame:
 
 # ---------------------------------------------------- xentropy / entropy
 
-def xentropy_gate(vec: DataFrame) -> DataFrame:
+def xentropy_gate(
+    vec: DataFrame, *, block: int = 4096, broadcast_trg: bool | str = "auto"
+) -> DataFrame:
     """Quantized factored cross-entropy (reference xentropy.py:5-13) ->
     ``(i, loss)``: ``loss = (mx - s_label) + ln(S / 1e6)``, with the
     exact integer score/softmax chain.  The single ``ln`` is the only
     unquantized transcendental: a 1-ulp libm wiggle flips ROUND(,6)
-    with probability ~1e-9 per row."""
+    with probability ~1e-9 per row.  Large class tables take the
+    blocked tile path (the true-class score merges by sum — exactly one
+    tile contributes a non-zero, so the double sum is exact)."""
+    if broadcast_trg == "auto":
+        broadcast_trg = vec.count() <= BROADCAST_MAX_ROWS
+    if not broadcast_trg:
+        return _xentropy_gate_blocked(vec, block=block)
     rids, rq = _collect_kv(vec)
     pos = {int(r): k for k, r in enumerate(rids)}
     spark = vec.sparkSession
@@ -389,10 +483,53 @@ def xentropy_gate(vec: DataFrame) -> DataFrame:
     return out.select("i", F.round("loss", 6).alias("loss"))
 
 
-def entropy_gate(vec: DataFrame) -> DataFrame:
+def _xentropy_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
+    """Large-class-table tile path of :func:`xentropy_gate`."""
+    pred = vec.select("i", "vec", "label")
+    trg = vec.select("i", "vec")
+    mx = _blocked_mx(pred, trg, 1e12, block)
+    p_mx = pred.join(mx, "i")
+
+    def s_kernel(lids, lmat, extra, rids, rmat):
+        lq = _quant(lmat)
+        rq = _quant(rmat)
+        s = (lq @ rq.T) / 1e12
+        e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
+        lab = extra["label"].to_numpy()
+        slab = (s * (lab[:, None] == rids[None, :])).sum(axis=1)
+        return pd.DataFrame({
+            "i": lids,
+            "sp": e.sum(axis=1).astype(np.int64),
+            "slab": slab,  # 0.0 unless the true class is in this tile
+        })
+
+    parts = blocked_partials(
+        p_mx, trg, s_kernel, "i long, sp long, slab double",
+        left_block=block, right_block=block, left_extra=("mx", "label"),
+    )
+    # sum(slab) is exact: exactly one tile contributes non-zero
+    agg = parts.groupBy("i").agg(
+        F.sum("sp").alias("st"), F.sum("slab").alias("slab")
+    ).join(mx, "i")
+    loss = (
+        F.col("mx") - F.col("slab")
+        + F.log(F.col("st").cast("double") / F.lit(Q_EXP))
+    )
+    return agg.select("i", F.round(loss, 6).alias("loss"))
+
+
+def entropy_gate(
+    vec: DataFrame, *, block: int = 4096, broadcast_trg: bool | str = "auto"
+) -> DataFrame:
     """Quantized softmax-row entropy (reference entropy.py:5-12) ->
     ``(i, entropy)``: ``H = (mx + ln(S/1e6)) - tsum/1e9`` with
-    ``tsum = sum_k floor(w * s * 1e9 + .5)`` an exact integer sum."""
+    ``tsum = sum_k floor(w * s * 1e9 + .5)`` an exact integer sum.
+    Large class tables take the blocked tile path (mx sweep, exact S
+    merge, exact tsum merge)."""
+    if broadcast_trg == "auto":
+        broadcast_trg = vec.count() <= BROADCAST_MAX_ROWS
+    if not broadcast_trg:
+        return _entropy_gate_blocked(vec, block=block)
     _rids, rq = _collect_kv(vec)
     spark = vec.sparkSession
     b = spark.sparkContext.broadcast(rq)
@@ -414,11 +551,61 @@ def entropy_gate(vec: DataFrame) -> DataFrame:
     return out.select("i", F.round("entropy", 6).alias("entropy"))
 
 
-def xentropy_grads_gate(vec: DataFrame) -> DataFrame:
+def _entropy_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
+    """Large-class-table tile path of :func:`entropy_gate`."""
+    q = vec.select("i", "vec")
+    mx = _blocked_mx(q, q, 1e12, block)
+    q_mx = q.join(mx, "i")
+
+    def s_kernel(lids, lmat, extra, rids, rmat):
+        s = (_quant(lmat) @ _quant(rmat).T) / 1e12
+        e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
+        return pd.DataFrame({"i": lids, "sp": e.sum(axis=1).astype(np.int64)})
+
+    sp = blocked_partials(
+        q_mx, q, s_kernel, "i long, sp long",
+        left_block=block, right_block=block, left_extra=("mx",),
+    )
+    sden = sp.groupBy("i").agg(F.sum("sp").alias("st"))
+    q_aug = q_mx.join(sden, "i")
+
+    def t_kernel(lids, lmat, extra, rids, rmat):
+        s = (_quant(lmat) @ _quant(rmat).T) / 1e12
+        e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
+        S = extra["st"].to_numpy().astype(np.float64)
+        w = e / S[:, None]
+        tq = np.floor(w * s * Q_W + 0.5)
+        return pd.DataFrame({"i": lids, "tp": tq.sum(axis=1).astype(np.int64)})
+
+    tp = blocked_partials(
+        q_aug, q, t_kernel, "i long, tp long",
+        left_block=block, right_block=block, left_extra=("mx", "st"),
+    )
+    agg = (
+        tp.groupBy("i").agg(F.sum("tp").alias("tsum"))
+        .join(sden, "i").join(mx, "i")
+    )
+    h = (
+        F.col("mx")
+        + F.log(F.col("st").cast("double") / F.lit(Q_EXP))
+        - F.col("tsum").cast("double") / F.lit(Q_W)
+    )
+    return agg.select("i", F.round(h, 6).alias("entropy"))
+
+
+def xentropy_grads_gate(
+    vec: DataFrame, *, block: int = 4096, broadcast_trg: bool | str = "auto"
+) -> DataFrame:
     """Quantized cross-entropy gradients (reference xentropy.py:15-37,
     cotangent ones) -> ``(which, i, d, val)``, which in {gpred, gtrg}:
     ``delta = floor(w*1e6 + .5) - 1e6*onehot``; both gradient legs are
-    exact integer matmuls scatter-added by ``sum(long)``."""
+    exact integer matmuls scatter-added by ``sum(long)``.  Large class
+    tables take the blocked tile path (row-max sweep, exact long-summed
+    S, per-tile delta partials) — bit-identical to the broadcast path."""
+    if broadcast_trg == "auto":
+        broadcast_trg = vec.count() <= BROADCAST_MAX_ROWS
+    if not broadcast_trg:
+        return _xentropy_grads_gate_blocked(vec, block=block)
     rids, rq = _collect_kv(vec)
     pos = {int(r): k for k, r in enumerate(rids)}
     spark = vec.sparkSession
@@ -449,6 +636,10 @@ def xentropy_grads_gate(vec: DataFrame) -> DataFrame:
     parts = vec.select("i", "vec", "label").mapInPandas(
         run, "which string, i long, nums array<long>"
     )
+    return _xent_grads_finalize(parts)
+
+
+def _xent_grads_finalize(parts: DataFrame) -> DataFrame:
     merged = _merge_long_arrays(parts, ["which", "i"])
     out = merged.select("which", "i", F.posexplode("nums").alias("d", "num"))
     micro = _micro_col("num", 1_000_000)             # 1e12-scaled numerators
@@ -456,6 +647,57 @@ def xentropy_grads_gate(vec: DataFrame) -> DataFrame:
         "which", "i", F.col("d").cast("long").alias("d"),
         (micro.cast("double") / F.lit(Q_IN)).alias("val"),
     )
+
+
+def _xentropy_grads_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
+    """Large-class-table tile path of :func:`xentropy_grads_gate` —
+    bit-identical to the broadcast path (exact integer merges)."""
+    pred = vec.select("i", "vec", "label")
+    trg = vec.select("i", "vec")
+    mx = _blocked_mx(pred, trg, 1e12, block)
+    p_mx = pred.join(mx, "i")
+
+    def s_kernel(lids, lmat, extra, rids, rmat):
+        s = (_quant(lmat) @ _quant(rmat).T) / 1e12
+        e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
+        return pd.DataFrame({"i": lids, "sp": e.sum(axis=1).astype(np.int64)})
+
+    sp = blocked_partials(
+        p_mx, trg, s_kernel, "i long, sp long",
+        left_block=block, right_block=block, left_extra=("mx",),
+    )
+    sden = sp.groupBy("i").agg(F.sum("sp").alias("st"))
+    p_aug = p_mx.join(sden, "i")
+
+    def leg_kernel(lids, lmat, extra, rids, rmat):
+        lq = _quant(lmat)
+        rq = _quant(rmat)
+        s = (lq @ rq.T) / 1e12
+        e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
+        S = extra["st"].to_numpy().astype(np.float64)
+        w = e / S[:, None]
+        delta = np.floor(w * Q_DELTA + 0.5)
+        # one-hot only when the true class id lives in this tile
+        # (reference xentropy.py:12 tile-local one-hot)
+        lab = extra["label"].to_numpy()
+        delta -= Q_DELTA * (lab[:, None] == rids[None, :])
+        gpred_p = delta @ rq                 # exact per tile: <= ~2.5e15
+        gtrg_p = delta.T @ lq
+        return pd.concat(
+            [
+                pd.DataFrame({"which": "gpred", "i": lids,
+                              "nums": list(gpred_p.astype(np.int64))}),
+                pd.DataFrame({"which": "gtrg", "i": rids,
+                              "nums": list(gtrg_p.astype(np.int64))}),
+            ],
+            ignore_index=True,
+        )
+
+    parts = blocked_partials(
+        p_aug, trg, leg_kernel, "which string, i long, nums array<long>",
+        left_block=block, right_block=block, left_extra=("mx", "st", "label"),
+    )
+    return _xent_grads_finalize(parts)
 
 
 # ------------------------------------------------------------ gram / mlp

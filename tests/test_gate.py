@@ -137,3 +137,20 @@ def test_attention_gate_blocked_matches_broadcast(spark):
         ).toPandas()
     )
     assert hb == ht
+
+
+def test_all_gate_blocked_paths_match_broadcast(spark):
+    """Every gate op with a tiled large-input variant must produce the
+    byte-identical table on both physical paths — the exact-integer
+    merge makes tile order irrelevant at any scale."""
+    from gemmsql.ops import gate
+
+    vec = _vec(spark)
+    cases = [
+        lambda b: gate.attention_grads_gate(vec, block=96, broadcast_kv=b),
+        lambda b: gate.xentropy_grads_gate(vec, block=96, broadcast_trg=b),
+        lambda b: gate.xentropy_gate(vec, block=96, broadcast_trg=b),
+        lambda b: gate.entropy_gate(vec, block=96, broadcast_trg=b),
+    ]
+    for fn in cases:
+        assert _hash(fn(True).toPandas()) == _hash(fn(False).toPandas())
