@@ -310,7 +310,6 @@ def attention_grads_gate(
     vsq = rq.sum(axis=1)                            # int-valued, exact
     spark = vec.sparkSession
     b = spark.sparkContext.broadcast((rids, rq, vsq))
-    nd = rq.shape[1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _rids, rmat, vs = b.value
