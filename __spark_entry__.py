@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": text.stratified_sample,
         "repetition_stats": text.repetition_stats,
         "corpus_profile": text.corpus_profile,
+        "word_entropy": text.word_entropy,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
@@ -543,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.stratified_sample_sql(),
         "repetition_stats": text.REPETITION_STATS_SQL,
         "corpus_profile": text.CORPUS_PROFILE_SQL,
+        "word_entropy": text.WORD_ENTROPY_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

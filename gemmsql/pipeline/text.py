@@ -449,3 +449,50 @@ SELECT lang, source,
   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY 1, 2
 """
+
+
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    perplexity-proxy quality signal (low entropy = repetitive/template
+    text): ``H = ln(T) - (sum_w c_w ln c_w) / T`` over word counts.
+
+    Drift discipline: ``c ln c`` terms are snapped to a 1e-9 integer
+    grid before the sum (floor(c*ln(c)*1e9 + .5) as long), so the only
+    order-sensitive float reduction becomes an exact integer sum and
+    the oracle comparison is stable (same trick as gemmsql/ops/gate.py,
+    here expressed entirely in SQL on both sides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    tq = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        * F.lit(1e9) + F.lit(0.5)
+    ).alias("tq")
+    per_doc = wc.select("doc_id", F.col("c"), tq).groupBy("doc_id").agg(
+        F.sum("c").alias("t"), F.sum("tq").alias("tsum")
+    )
+    h = (
+        F.log(F.col("t").cast("double"))
+        - (F.col("tsum").cast("double") / F.lit(1e9)) / F.col("t")
+    )
+    return per_doc.select("doc_id", F.round(h, 6).alias("word_entropy"))
+
+
+WORD_ENTROPY_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+              * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tsum
+  FROM wc GROUP BY 1
+)
+SELECT doc_id,
+  ROUND(LN(CAST(t AS DOUBLE)) - (CAST(tsum AS DOUBLE) / 1000000000.0) / t, 6)
+    AS word_entropy
+FROM per_doc
+"""

@@ -448,3 +448,21 @@ def test_corpus_profile_totals(spark):
     n = load_table(spark, SF_SMOKE, "documents").count()
     assert int(prof["n_docs"].sum()) == n
     assert (prof["min_chars"] <= prof["max_chars"]).all()
+
+
+def test_word_entropy_bounds(spark):
+    """0 <= H <= ln(n_tokens); a uniform doc maximizes, repetition
+    lowers it — cross-check against a direct numpy computation."""
+    import numpy as np
+    from collections import Counter
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.text import word_entropy
+
+    got = word_entropy(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    for _, row in docs.head(25).iterrows():
+        c = np.array(list(Counter(row["text"].split(" ")).values()), float)
+        p = c / c.sum()
+        ref = -(p * np.log(p)).sum()
+        assert abs(got.loc[row["doc_id"], "word_entropy"] - ref) < 1e-5
+    assert (got["word_entropy"] >= -1e-9).all()
