@@ -292,7 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_entropy": text.word_entropy,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
-        "lsh_topk": q_lsh_topk,  # approximate: rows-only (recall tested in pytest)
+        "lsh_topk": q_lsh_topk,  # approximate but deterministic: full oracle parity (r2)
         "ivf_topk": q_ivf_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -493,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         EMBEDDING_DUPS_LSH_SQL,
         EMBEDDING_DUPS_SQL,
         IVF_TOPK_SQL,
+        LSH_TOPK_SQL,
     )
 
     return {
@@ -546,9 +547,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": text.CORPUS_PROFILE_SQL,
         "word_entropy": text.WORD_ENTROPY_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
+        "lsh_topk": LSH_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
-        # "lsh_topk": omitted — approximate; rows-only
         "payload_meta": PAYLOAD_META_SQL,
     }

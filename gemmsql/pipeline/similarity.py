@@ -298,11 +298,18 @@ def n_planes_for(n_rows: int) -> int:
 
 
 def _plane_matrix(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes for all LSH tables:
-    (dim, N_TABLES * n_planes), from a counter-based Philox stream with a
-    fixed seed, so every run and every executor sees the same planes."""
-    rng = np.random.Generator(np.random.Philox(key=[20260813, 7]))
-    return rng.standard_normal((dim, N_TABLES * n_planes))
+    """Deterministic hyperplanes for all LSH tables: md5-derived like
+    :func:`_md5_planes` (namespaced 'tk'), so the DuckDB oracle replays
+    the exact buckets and the driver check is full hash parity."""
+    import hashlib
+
+    total = N_TABLES * n_planes
+    w = np.empty((dim, total))
+    for p in range(total):
+        for j in range(dim):
+            h = int(hashlib.md5(f"tk{p}:{j}".encode()).hexdigest()[:15], 16)
+            w[j, p] = (h % 2001 - 1000) / 1000.0
+    return w
 
 
 def lsh_bucket_topk(
@@ -317,7 +324,14 @@ def lsh_bucket_topk(
     the log-scaled bucket size (see :func:`n_planes_for`), then a
     per-row top-k over deduplicated candidates.  Output (i, j, cos,
     rank) like :func:`cosine_topk` but possibly missing true neighbors
-    that hash elsewhere (recall tested)."""
+    that hash elsewhere (recall tested).
+
+    Oracle equivalence: the SQL twin ranks ALL same-bucket candidates,
+    while the engine unions bucket-local top-ks — identical results,
+    because a candidate outside its bucket's local top-k is dominated
+    by >= k better candidates from that same bucket, so it can never
+    enter the global top-k (ties broken (cos desc, j asc) on both
+    sides)."""
     vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
     dim = len(vec.select("vec").first()[0])
     n_planes = n_planes_for(vec.count())
@@ -358,8 +372,10 @@ def lsh_bucket_topk(
         out_i, out_j, out_c = [], [], []
         kk = min(k, max(c.shape[1] - 1, 1))
         for r in range(c.shape[0]):
-            idx = np.argpartition(-c[r], kth=kk - 1)[:kk]
-            idx = idx[np.isfinite(c[r, idx])]
+            # deterministic tie order (cos desc, id asc) — matches the
+            # oracle's ROW_NUMBER ordering exactly
+            order = np.lexsort((ids, -c[r]))
+            idx = order[np.isfinite(c[r, order])][:kk]
             out_i.extend([ids[r]] * len(idx))
             out_j.extend(ids[idx])
             out_c.extend(c[r, idx])
@@ -378,6 +394,67 @@ def lsh_bucket_topk(
         .select("i", "j", F.round("cos", 6).alias("cos"),
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+# DuckDB twin of lsh_bucket_topk: replays the md5 planes, the adaptive
+# plane count GREATEST(4, ceil(log2(N/128))) (== n_planes_for for
+# N > 128), the sign buckets, and ranks ALL same-bucket candidates —
+# provably identical to the engine's union of bucket-local top-ks.
+LSH_TOPK_SQL = """
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+npc AS (
+  SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 128.0)) AS BIGINT)) AS np
+  FROM embeddings
+),
+pl AS (
+  SELECT t.p, d.j,
+         (CAST('0x' || substring(md5('tk' || CAST(t.p AS VARCHAR) || ':' ||
+              CAST(d.j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)
+         / 1000.0 AS w
+  FROM range(200) t(p)
+  CROSS JOIN (SELECT DISTINCT j FROM coo) d
+  WHERE t.p < 4 * (SELECT np FROM npc)
+),
+bits AS (
+  SELECT c.i, pl.p, CASE WHEN SUM(c.v * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM coo c JOIN pl ON pl.j = c.j GROUP BY c.i, pl.p
+),
+buckets AS (
+  SELECT i, p // (SELECT np FROM npc) AS tbl,
+         SUM(bit * (1 << CAST(p % (SELECT np FROM npc) AS INTEGER))) AS bucket
+  FROM bits GROUP BY i, p // (SELECT np FROM npc)
+),
+cand AS (
+  SELECT DISTINCT a.i AS qi, b.i AS ki
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.i <> b.i
+),
+norms AS (SELECT i, SQRT(SUM(v * v)) AS nrm FROM coo GROUP BY 1),
+pdots AS (
+  SELECT c.qi, c.ki, SUM(a.v * b.v) AS dot
+  FROM cand c
+  JOIN coo a ON a.i = c.qi
+  JOIN coo b ON b.i = c.ki AND b.j = a.j
+  GROUP BY 1, 2
+),
+pcos AS (
+  SELECT qi, ki, dot / (na.nrm * nb.nrm) AS cos
+  FROM pdots JOIN norms na ON na.i = qi JOIN norms nb ON nb.i = ki
+),
+ranked AS (
+  SELECT qi, ki, cos,
+         ROW_NUMBER() OVER (PARTITION BY qi ORDER BY cos DESC, ki) AS rank
+  FROM pcos
+)
+SELECT qi AS i, ki AS j, ROUND(CAST(cos AS DOUBLE), 6) AS cos,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 IVF_K = 32       # fixed centroid count, independent of corpus size
