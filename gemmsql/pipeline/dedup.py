@@ -407,6 +407,7 @@ def dedup_clusters(
     sf_dir: str,
     threshold: float = 0.1,
     max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Near-duplicate clusters: connected components over the n-gram
     Jaccard pair graph -> (doc_id, cluster_id, cluster_size), where
@@ -422,8 +423,9 @@ def dedup_clusters(
     plan stays O(1) deep.  Converges in O(component diameter)
     iterations; near-dup components are tiny (duplicate groups), so in
     practice 2-4 rounds.  At 100 TB this is the standard hash-to-min
-    scheme; skewed giant components would switch to large-star /
-    small-star (same join shape, alternating orientation)."""
+    scheme; ``algorithm="star"`` switches to the O(log n)-round,
+    hub-safe large-star/small-star contraction
+    (:func:`connected_components_star`, result-equal by test)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = jaccard_pairs(spark, sf_dir, threshold=threshold)
     edges = scoped_cache(
@@ -432,6 +434,14 @@ def dedup_clusters(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
     )
+    if algorithm == "star":
+        labels = connected_components_star(edges, docs, max_iter=max_iter)
+        sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+        return labels.join(sizes, "label").select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(max_iter):
         neighbor_min = (
@@ -465,6 +475,88 @@ def dedup_clusters(
             "doc_id",
             F.col("label").alias("cluster_id"),
             F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") -> (doc_id, label).
+
+    The skew-safe alternative to min-label propagation: min-label takes
+    O(diameter) rounds and a high-degree hub re-sends its label to every
+    neighbor each round; star operations instead contract the graph in
+    O(log n) rounds by repeatedly re-pointing nodes at local minima:
+
+    - large-star: for each node u, connect every STRICTLY LARGER
+      neighbor to m = min(N(u) + {u});
+    - small-star: connect every neighbor <= u (and u) to m.
+
+    Each phase is one groupBy(u) + one projection — the same join shape
+    as a round of label propagation, but the edge set provably halves
+    in expectation, and hubs shrink instead of broadcasting.
+
+    ``edges`` is a directed edge list (src, dst) containing both
+    orientations; ``nodes`` a (doc_id) frame (singletons label to
+    themselves).  Returns the same labels as min-label propagation.
+    """
+    def edge_sig(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.hash("src", "dst").cast("long")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(r["n"]), int(r["h"])
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    sig = None
+    for _ in range(max_iter):
+        # ---- large-star: neighbors LARGER than u point at u's local min
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        e = (
+            sym.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: orient big->small; ALL smaller neighbors and
+        # u itself point at the local min
+        o = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+        mn = o.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            o.join(mn, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mn.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        new_sig = edge_sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = e.groupBy("src").agg(F.min("dst").alias("label")).select(
+        F.col("src").alias("doc_id"), "label"
+    )
+    return (
+        nodes.select("doc_id")
+        .join(roots, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
         )
     )
 

@@ -466,3 +466,31 @@ def test_word_entropy_bounds(spark):
         ref = -(p * np.log(p)).sum()
         assert abs(got.loc[row["doc_id"], "word_entropy"] - ref) < 1e-5
     assert (got["word_entropy"] >= -1e-9).all()
+
+
+def test_star_components_equal_minlabel(spark):
+    """large-star/small-star must produce exactly the min-label
+    propagation clusters on the real pair graph AND on a synthetic
+    skewed graph (hub + long chain — the shapes that break one or the
+    other naive scheme)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from gemmsql.pipeline.dedup import connected_components_star, dedup_clusters
+
+    a = dedup_clusters(spark, SF_SMOKE).orderBy("doc_id").toPandas()
+    b = dedup_clusters(spark, SF_SMOKE, algorithm="star").orderBy("doc_id").toPandas()
+    assert a.equals(b)
+
+    # hub 0 with 200 spokes + a 30-node chain + isolated nodes
+    spokes = [(0, i) for i in range(1, 201)]
+    chain = [(1000 + i, 1000 + i + 1) for i in range(30)]
+    pdf = pd.DataFrame(spokes + chain, columns=["src", "dst"])
+    edges = spark.createDataFrame(pdf)
+    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(0, 201)) + list(range(1000, 1031)) + [5000]})
+    )
+    lab = connected_components_star(edges, nodes).toPandas().set_index("doc_id")["label"]
+    assert (lab.loc[range(0, 201)] == 0).all()
+    assert (lab.loc[range(1000, 1031)] == 1000).all()
+    assert lab.loc[5000] == 5000
