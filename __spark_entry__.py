@@ -223,6 +223,12 @@ def _streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize_gate(spark, sf_dir)
 
 
+def _streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_enrich_gate
+
+    return streaming_enrich_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -273,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_reach_sketch": _sketch_query,  # approximate: rows-only (bounds tested in pytest)
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
+        "streaming_enrich_gate": _streaming_enrich_query,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -485,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
     from gemmsql.streaming.windows import (
+        STREAMING_ENRICH_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
     )
@@ -531,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
+        "streaming_enrich_gate": STREAMING_ENRICH_GATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

@@ -244,3 +244,45 @@ SELECT user_id,
        ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
 FROM sessions GROUP BY user_id, sess_id
 """
+
+
+def streaming_enrich_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of :func:`streaming_enrich_events`: the event
+    stream is enriched with the customer dimension (stream-static
+    broadcast join, re-resolved per micro-batch) and aggregated per
+    market segment; the driver hash-compares against a plain batch SQL
+    join — so the stream-static join path itself sits behind the hard
+    correctness gate, like the window and session queries."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = read_events_stream(spark, target)
+    dim = load_table(spark, sf_dir, "customer")
+    enriched = streaming_enrich_events(ev, dim)
+    agg = enriched.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    name = "stream_gate_enrich"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_ENRICH_GATE_SQL = """
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(e.value) AS DOUBLE), 6) AS sum_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+"""
