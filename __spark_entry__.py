@@ -229,6 +229,12 @@ def _streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_enrich_gate(spark, sf_dir)
 
 
+def _streaming_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_join_gate
+
+    return streaming_join_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -280,12 +286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
         "streaming_enrich_gate": _streaming_enrich_query,
+        "streaming_join_gate": _streaming_join_query,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
         "dedup_clusters": dedup.dedup_clusters,
+        "decontaminate": dedup.decontaminate,
         # --- text analysis ---
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
@@ -494,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.streaming.windows import (
         STREAMING_ENRICH_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
+        STREAMING_JOIN_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
     )
     from gemmsql.pipeline.similarity import (
@@ -540,11 +549,13 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_enrich_gate": STREAMING_ENRICH_GATE_SQL,
+        "streaming_join_gate": STREAMING_JOIN_GATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
+        "decontaminate": dedup.decontaminate_sql(),
         "text_stats": text.TEXT_STATS_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "language_scores": text.language_scores_sql(),

@@ -632,3 +632,75 @@ hashed AS (
 sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY 1)
 SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 41  # deterministic pseudo-benchmark: doc_id % BENCH_MOD == 0
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the
+    fraction of its distinct word-3-grams that also occur in the
+    benchmark set (here the deterministic pseudo-benchmark
+    ``doc_id % BENCH_MOD == 0``).  Returns only contaminated docs
+    (>= 1 overlapping shingle) with their overlap fraction — the
+    standard pre-training hygiene step that drops eval-set leakage.
+
+    Scale design: the benchmark side is tiny relative to the corpus by
+    construction (eval suites are MBs, the corpus is TBs), so its
+    distinct shingle set is BROADCAST — corpus shingling stays a narrow
+    map over the scan, the membership probe is a map-side hash lookup,
+    and the only shuffle is the final per-doc groupBy.  No pairwise
+    join, no inverted-index blowup: cost is O(corpus shingles).
+    """
+    sh = doc_shingles(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    bench = (
+        sh.where(is_bench)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.where(~is_bench)
+    marked = corpus.join(F.broadcast(bench), "shingle", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+def decontaminate_sql() -> str:
+    return f"""
+WITH {SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, shingle FROM shingles WHERE doc_id % {BENCH_MOD} <> 0
+),
+hits AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(b.shingle) AS n_contaminated
+  FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_frac
+FROM hits WHERE n_contaminated > 0
+"""

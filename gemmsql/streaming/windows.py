@@ -286,3 +286,81 @@ SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
 FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY 1
 """
+
+
+def streaming_click_to_purchase(
+    clicks: DataFrame, purchases: DataFrame, *, horizon: str = "31 days"
+) -> DataFrame:
+    """Stream-stream inner join: purchases preceded by a click from the
+    same user within 6 hours.  Both sides carry a watermark and the join
+    condition bounds event time on BOTH streams, so the state store
+    evicts rows once the watermark passes them — the canonical funnel /
+    attribution join shape that stays bounded on an unbounded stream.
+
+    ``horizon`` is the watermark delay.  In production it is minutes to
+    hours (state = horizon + 6 h of events per side); the driver gate
+    replays a 30-day historical file dump whose listing order is not
+    time order, so the gate passes a horizon covering the whole replay
+    to make the batch twin exact.  The join plan and state-cleanup
+    mechanics are identical either way.
+    """
+    c = clicks.withWatermark("ts", horizon).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", horizon).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id")
+
+
+def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of :func:`streaming_click_to_purchase`: replays
+    the events table through TWO file-source streams (clicks and
+    purchases), joins them stream-to-stream, and hash-compares against
+    a plain batch self-join oracle — putting Structured Streaming's
+    stream-stream join path behind the hard correctness gate."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev_c = read_events_stream(spark, target).where(F.col("event_type") == "click")
+    ev_p = read_events_stream(spark, target).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming_click_to_purchase(ev_c, ev_p)
+    name = "stream_gate_join"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"gemmsql_ckpt_join_{tag}_{os.getpid()}"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_JOIN_GATE_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+"""

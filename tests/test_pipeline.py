@@ -7,7 +7,7 @@ import numpy as np
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_dedup_exact_is_partition(spark):
@@ -494,3 +494,14 @@ def test_star_components_equal_minlabel(spark):
     assert (lab.loc[range(0, 201)] == 0).all()
     assert (lab.loc[range(1000, 1031)] == 1000).all()
     assert lab.loc[5000] == 5000
+
+
+def test_decontaminate_invariants(spark):
+    from gemmsql.pipeline.dedup import BENCH_MOD, decontaminate
+
+    out = decontaminate(spark, SF_CORRECT).toPandas()
+    assert len(out) > 0
+    assert (out["doc_id"] % BENCH_MOD != 0).all(), "benchmark docs excluded"
+    assert (out["n_contaminated"] <= out["n_shingles"]).all()
+    assert (out["contamination_frac"] > 0).all()
+    assert (out["contamination_frac"] <= 1).all()

@@ -222,3 +222,14 @@ def test_lsh_bucket_sizes_bounded(spark):
         bucket = (tb * (1 << np.arange(n_planes))).sum(axis=1)
         worst = max(worst, int(pd.Series(bucket).value_counts().max()))
     assert worst < len(x) / 2, f"one bucket holds {worst}/{len(x)} rows"
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark membership probe must be a broadcast hash join —
+    a sort-merge join here would shuffle the full corpus shingle set
+    (the whole point of the operator is to avoid that at 100 TB)."""
+    from gemmsql.pipeline.dedup import decontaminate
+
+    p = plan_of(decontaminate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "corpus shingles must not shuffle for the probe"

@@ -118,3 +118,50 @@ def test_streaming_enrich_events(spark, stream_dir):
     assert out.count() == load_table(spark, SF_SMOKE, "events").count()
     segs = {r["segment"] for r in out.select("segment").distinct().collect()}
     assert len(segs) > 1, "dimension enrichment must attach real segments"
+
+
+def test_streaming_click_to_purchase_matches_batch(spark, stream_dir):
+    """Stream-stream join == batch self-join on the same replay."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.streaming.windows import (
+        read_events_stream,
+        streaming_click_to_purchase,
+    )
+
+    clicks = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        streaming_click_to_purchase(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("join_stream").collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 6 HOURS"))
+            & (F.col("c.ts") <= F.col("p.ts")),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
