@@ -193,6 +193,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, k=5)
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import pq_codes
+
+    return pq_codes(spark, sf_dir)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import pq_topk
+
+    return pq_topk(spark, sf_dir, k=5)
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.pipeline.similarity import embedding_dups
 
@@ -309,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate but deterministic: full oracle parity (r2)
         "ivf_topk": q_ivf_topk,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         # --- multimodal ---
@@ -511,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
         EMBEDDING_DUPS_SQL,
         IVF_TOPK_SQL,
         LSH_TOPK_SQL,
+        PQ_CODES_SQL,
+        PQ_TOPK_SQL,
     )
 
     return {
@@ -569,6 +585,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "lsh_topk": LSH_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
+        "pq_codes": PQ_CODES_SQL,
+        "pq_topk": PQ_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_meta": PAYLOAD_META_SQL,

@@ -628,3 +628,209 @@ SELECT qi AS i, ki AS j, ROUND(CAST(cos AS DOUBLE), 6) AS cos,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ codes + asymmetric-distance top-k)
+# ---------------------------------------------------------------------------
+
+PQ_SUB = 16    # subspaces (64-dim vectors -> 4 dims per subquantizer)
+PQ_K = 128     # centroids per subspace, FIXED (independent of corpus size)
+PQ_QUERY_MOD = 10  # pq_topk's query subset: vec_id % PQ_QUERY_MOD == 0
+
+
+def _pq_centroids(spark, vec, n_sub: int, n_cent: int):
+    """Deterministic PQ codebook: the ``n_cent`` corpus vectors with the
+    smallest ``md5(vec_id)`` (a uniform hash sample, closed-form so the
+    DuckDB oracle replays it bit-for-bit), split into ``n_sub``
+    subvectors.  Centroids are EXACT input vectors — no averaging — so
+    engine and oracle sides see bit-identical codebooks.  Returns
+    (cids, cent) with cent shaped (n_sub, n_cent, d_sub); the collect
+    is O(n_cent), independent of corpus size (same rule as IVF_K)."""
+    rows = (
+        vec.withColumn("hkey", F.md5(F.col("i").cast("string")))
+        .orderBy("hkey", "i")
+        .limit(n_cent)
+        .select("i", "vec")
+        .collect()
+    )
+    cent = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    d = cent.shape[1]
+    d_sub = d // n_sub
+    return cent.reshape(n_cent, n_sub, d_sub).transpose(1, 0, 2).copy()
+
+
+def pq_codes(
+    spark: SparkSession, sf_dir: str, *, n_sub: int = PQ_SUB, n_cent: int = PQ_K
+) -> DataFrame:
+    """Product-quantization codes: every embedding compressed to
+    ``n_sub`` small integers (argmin-L2 subspace centroid, tie ->
+    smaller centroid id).  Output long-form (i, sub, code).
+
+    This is how 100 TB vector corpora are actually stored for ANN
+    (IVF+PQ): 16 bytes/vector instead of 256, scanned at memory
+    bandwidth.  The codebook is broadcast; assignment is a NARROW
+    mapInPandas over the scan — zero shuffle in this query (the
+    long-form explode happens in-row)."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    cent = _pq_centroids(spark, vec, n_sub, n_cent)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        c = bc.value  # (S, K, d_sub)
+        n_s, n_k, d_sub = c.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            x = x.reshape(len(pdf), n_s, d_sub)
+            out_i = np.repeat(pdf["i"].to_numpy(), n_s)
+            out_s = np.tile(np.arange(n_s, dtype=np.int64), len(pdf))
+            codes = np.empty((len(pdf), n_s), dtype=np.int64)
+            for s in range(n_s):
+                d2 = ((x[:, s, None, :] - c[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)  # first min = smallest cid
+            yield pd.DataFrame(
+                {"i": out_i, "sub": out_s, "code": codes.ravel()}
+            )
+
+    return vec.mapInPandas(assign, schema="i long, sub long, code long")
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 5,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_K,
+) -> DataFrame:
+    """ANN top-k by PQ asymmetric distance (ADC): each query builds an
+    (n_sub x n_cent) exact distance LUT against the codebook; a corpus
+    vector's approximate distance is the sum of LUT lookups at its PQ
+    codes.  Queries are the deterministic subset
+    ``vec_id % PQ_QUERY_MOD == 0`` (queries << corpus, the realistic
+    shape).
+
+    Scale design: query LUTs broadcast (O(q * n_sub * n_cent), corpus-
+    size independent); the corpus side is one narrow pass that encodes
+    its batch and emits only the LOCAL top-k per query (top-k monoid
+    partial) — the shuffle is O(batches * q * k), never O(N * q).  On
+    uniform random vectors (no cluster structure) recall@5 is ~0.5 with
+    these constants; on real clustered embeddings PQ does far better —
+    the recall floor is pinned in pytest."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    cent = _pq_centroids(spark, vec, n_sub, n_cent)
+    q_rows = (
+        vec.where((F.col("i") % PQ_QUERY_MOD) == 0).select("i", "vec").collect()
+    )
+    qids = np.asarray([r["i"] for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([r["vec"] for r in q_rows], dtype=np.float64)
+    n_q = len(qids)
+    d_sub = cent.shape[2]
+    qsub = qmat.reshape(n_q, n_sub, d_sub)
+    # LUT[q, s, c] = ||q_s - cent[s, c]||^2, exact
+    lut = ((qsub[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(-1)
+    bc = spark.sparkContext.broadcast((qids, lut, cent))
+
+    def scan(batches):
+        ids_q, lut_q, c = bc.value
+        n_s = c.shape[0]
+        d_s = c.shape[2]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            x = x.reshape(len(pdf), n_s, d_s)
+            codes = np.empty((len(pdf), n_s), dtype=np.int64)
+            for s in range(n_s):
+                d2 = ((x[:, s, None, :] - c[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            # ad[q, n] = sum_s LUT[q, s, codes[n, s]]
+            ad = np.zeros((len(ids_q), len(pdf)))
+            for s in range(n_s):
+                ad += lut_q[:, s, codes[:, s]]
+            cand_ids = pdf["i"].to_numpy()
+            ad = np.where(ids_q[:, None] == cand_ids[None, :], np.inf, ad)
+            kk = min(k, ad.shape[1])
+            idx = np.argpartition(ad, kth=kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(ids_q)), kk)
+            cols = idx.ravel()
+            keep = np.isfinite(ad[rows, cols])
+            yield pd.DataFrame(
+                {
+                    "i": ids_q[rows[keep]],
+                    "j": cand_ids[cols[keep]],
+                    "adist": ad[rows[keep], cols[keep]],
+                }
+            )
+
+    partials = vec.mapInPandas(scan, schema="i long, j long, adist double")
+    w = W.partitionBy("i").orderBy(F.col("adist"), F.col("j"))
+    return (
+        partials.groupBy("i", "j").agg(F.min("adist").alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "i", "j",
+            F.round("adist", 6).alias("adist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# Shared oracle scaffolding: subspace L2 distances of every vector to
+# every codebook entry, replaying the md5-sample codebook exactly.
+_PQ_DISTS_CTE = f"""
+coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS ci, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+),
+ccoo AS (
+  SELECT c.cid, o.j, o.v FROM cents c JOIN coo o ON o.i = c.ci
+),
+dists AS (
+  SELECT a.i, b.cid, CAST(a.j // {64 // PQ_SUB} AS BIGINT) AS sub,
+         SUM((a.v - b.v) * (a.v - b.v)) AS d2
+  FROM coo a JOIN ccoo b ON b.j = a.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT i, sub, cid AS code FROM (
+    SELECT i, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY i, sub ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+"""
+
+PQ_CODES_SQL = f"""
+WITH {_PQ_DISTS_CTE}
+SELECT i, sub, code FROM codes
+"""
+
+PQ_TOPK_SQL = f"""
+WITH {_PQ_DISTS_CTE},
+adc AS (
+  SELECT d.i AS qi, c.i AS ki, SUM(d.d2) AS adist
+  FROM codes c
+  JOIN dists d ON d.sub = c.sub AND d.cid = c.code
+  WHERE d.i % {PQ_QUERY_MOD} = 0 AND c.i <> d.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qi, ki, adist,
+         ROW_NUMBER() OVER (PARTITION BY qi ORDER BY adist, ki) AS rank
+  FROM adc
+)
+SELECT qi AS i, ki AS j, ROUND(CAST(adist AS DOUBLE), 6) AS adist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
