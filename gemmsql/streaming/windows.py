@@ -116,6 +116,22 @@ def run_to_memory(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def _await_gate(q, timeout: int = 300) -> None:
+    """Wait for an ``availableNow`` gate query to self-terminate.
+
+    ``awaitTermination(timeout)`` returns False on timeout; ignoring
+    that (round 2) meant a slow run would read the memory sink early
+    and surface as a spurious hash mismatch instead of a clear error."""
+    try:
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(
+                f"streaming gate query {q.name!r} still running after "
+                f"{timeout}s — refusing to hash a partial sink"
+            )
+    finally:
+        q.stop()
+
+
 def streaming_dedup_exact(
     events: DataFrame,
     *,
@@ -177,8 +193,7 @@ def streaming_hourly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_gate(q)
     return spark.table(name)
 
 
@@ -216,8 +231,7 @@ def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_gate(q)
     return spark.table(name)
 
 
@@ -274,8 +288,7 @@ def streaming_enrich_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_gate(q)
     return spark.table(name)
 
 
@@ -352,8 +365,7 @@ def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _await_gate(q)
     return spark.table(name)
 
 
