@@ -224,6 +224,31 @@ def test_lsh_bucket_sizes_bounded(spark):
     assert worst < len(x) / 2, f"one bucket holds {worst}/{len(x)} rows"
 
 
+def test_dup_lsh_bucket_sizes_bounded(spark):
+    """Same bound for embedding_dups_lsh's log-scaled tables (VERDICT
+    r2 task #3): no bucket may hold half the corpus."""
+    import numpy as np
+    import pandas as pd
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.pipeline.similarity import (
+        DUP_TABLES,
+        _md5_planes,
+        dup_planes_for,
+    )
+
+    pdf = embeddings_vectors(spark, SF_SMOKE).select("i", "vec").toPandas()
+    x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    n_planes = dup_planes_for(len(x))
+    pm = _md5_planes(x.shape[1], DUP_TABLES * n_planes)
+    bits = (x @ pm) > 0
+    worst = 0
+    for t in range(DUP_TABLES):
+        tb = bits[:, t * n_planes : (t + 1) * n_planes]
+        bucket = (tb * (1 << np.arange(n_planes))).sum(axis=1)
+        worst = max(worst, int(pd.Series(bucket).value_counts().max()))
+    assert worst < len(x) / 2, f"one bucket holds {worst}/{len(x)} rows"
+
+
 def test_decontaminate_broadcasts_benchmark_shingles(spark):
     """The benchmark membership probe must be a broadcast hash join —
     a sort-merge join here would shuffle the full corpus shingle set
