@@ -294,7 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_movavg": events.user_value_movavg,
         "props_stats": events.props_stats,
         "last_order_before_event": joins.last_order_before_event,
-        "user_reach_sketch": _sketch_query,  # approximate: rows-only (bounds tested in pytest)
+        # approximate by design, but the md5-register HLL + exact
+        # quantiles are fully replayable -> hash parity (r3)
+        "user_reach_sketch": _sketch_query,
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
         "streaming_enrich_gate": _streaming_enrich_query,
@@ -511,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         " FROM ts JOIN mxt ON mxt.qi = ts.qi JOIN sden ON sden.qi = ts.qi"
     )
     from gemmsql.ops.sampling import sampling_sql
+    from gemmsql.sketches import USER_REACH_SKETCH_SQL
     from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
     from gemmsql.streaming.windows import (
@@ -562,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_movavg": events.USER_VALUE_MOVAVG_SQL,
         "props_stats": events.PROPS_STATS_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
+        "user_reach_sketch": USER_REACH_SKETCH_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_enrich_gate": STREAMING_ENRICH_GATE_SQL,

@@ -3,11 +3,24 @@ and quantiles at 100 TB.
 
 Exact distinct over a 100 TB key column shuffles every distinct key;
 the sketches here keep fixed-size state per group and merge
-associatively (they ARE monoids — HyperLogLog++ register-max and
-KLL/GK quantile summaries — the same partial+final contract as every
-engine aggregate, reference core.py:15-64).  Accuracy bounds are
-asserted in tests/test_pipeline.py against exact answers; queries using
-sketches register as rows-only driver checks (approximate by design).
+associatively (they ARE monoids — HyperLogLog register-max and
+quantile summaries — the same partial+final contract as every engine
+aggregate, reference core.py:15-64).
+
+Two tiers:
+
+- :func:`user_reach_approx` — the production API: Spark's built-in
+  HLL++ (``approx_count_distinct``) + KLL (``percentile_approx``).
+  Fastest, but its register internals are not replayable by another
+  engine, so it can only be rows-checked.
+- :func:`user_reach_sketch` — the gated twin: an EXPLICIT md5-register
+  HyperLogLog (4096 registers, register-max monoid over deterministic
+  md5 hashes) plus exact percentiles.  Every intermediate is either an
+  exact integer or an identically-associated scalar expression, so the
+  DuckDB oracle (``USER_REACH_SKETCH_SQL``) reproduces it bit-for-bit
+  — the same trick that made ``sampling`` and ``lsh_topk`` exact
+  (VERDICT r2 next #5).  Accuracy bounds vs exact answers are asserted
+  in tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -17,11 +30,17 @@ from pyspark.sql import functions as F
 
 from gemmsql.datamodel import load_table
 
+HLL_M = 4096            # registers (b = 12 index bits; rel. err ~1.04/sqrt(m))
+HLL_WBITS = 48          # 60-bit md5 hash minus 12 index bits
+_TWO_W = 1 << (HLL_WBITS + 1)          # 2^49: the "rho = 49" empty-register unit
+_ALPHA_NUM = 0.7213     # alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128
+_M_SQ = float(HLL_M * HLL_M)           # 16777216.0
 
-def user_reach_sketch(
+
+def user_reach_approx(
     spark: SparkSession, sf_dir: str, *, rsd: float = 0.02
 ) -> DataFrame:
-    """Per event_type: HLL++ distinct users + approximate value
+    """Per event_type: built-in HLL++ distinct users + approximate value
     quantiles — fixed state per group regardless of cardinality."""
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -40,3 +59,123 @@ def user_reach_sketch(
             "n",
         )
     )
+
+
+def user_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: explicit-register HLL distinct users + exact
+    value percentiles -> (event_type, approx_users, p50, p90, p99, n).
+
+    HLL construction (identical in ``USER_REACH_SKETCH_SQL``):
+
+    - ``h60``: first 60 bits of md5(user_id) — deterministic, so both
+      engines hash every user to the same register/rank and duplicate
+      users collapse under max for free (no DISTINCT pass needed);
+    - register ``h60 % 4096``; rank ``rho = 49 - bitlen(h60 div 4096)``
+      (49 when the 48 remaining bits are all zero);
+    - register-max is the HLL merge monoid — on a cluster this is one
+      partial+final hash aggregate over (group, register), 4096 longs
+      of state per group, regardless of key cardinality;
+    - estimator: ``E = alpha_m * m^2 / sum_j 2^-M_j`` with the harmonic
+      sum carried as the EXACT integer ``sum_j 2^(49 - M_j)`` (empty
+      registers contribute 2^49; total < 2^62 — associative, order
+      independent), and Flajolet's small-range linear-counting branch
+      ``m * ln(m / V)`` when zero registers remain.  The only floats
+      are one identically-associated scalar expression per group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h60 = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    regs = (
+        ev.select("event_type", h60.alias("h60"))
+        .withColumn("reg", F.expr(f"h60 % {HLL_M}"))
+        .withColumn("wbits", F.expr(f"h60 div {HLL_M}"))
+        .withColumn(
+            "rho",
+            F.when(F.col("wbits") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+                F.lit(HLL_WBITS + 1) - F.length(F.bin("wbits"))
+            ),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # exact integer harmonic numerator: present registers contribute
+    # 2^(49-rho) (pow is exact for exponents <= 48), absent ones 2^49
+    est = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(HLL_WBITS + 1) - F.col("rho")).cast("long"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(_TWO_W)
+        ).alias("s_total"),
+        (F.lit(HLL_M) - F.count("*")).alias("v"),
+    )
+    # scalar association mirrored token-for-token in the oracle SQL
+    raw = (
+        F.lit(_ALPHA_NUM)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(_M_SQ)
+        * F.lit(float(_TWO_W))
+        / F.col("s_total").cast("double")
+    )
+    e = F.when(
+        (F.col("v") > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    hll = est.select(
+        "event_type", F.floor(e + F.lit(0.5)).cast("long").alias("approx_users")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+    return q.join(hll, "event_type").select(
+        "event_type", "approx_users", "p50", "p90", "p99", "n"
+    )
+
+
+USER_REACH_SKETCH_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h60
+  FROM events
+),
+regs AS (
+  SELECT event_type, h60 % {HLL_M} AS reg,
+         MAX(CASE WHEN h60 // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(h60 // {HLL_M})) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type,
+         CAST(SUM(CAST(POWER(2.0, {HLL_WBITS + 1} - rho) AS BIGINT)) AS BIGINT)
+           + ({HLL_M} - COUNT(*)) * {_TWO_W} AS s_total,
+         {HLL_M} - COUNT(*) AS v
+  FROM regs GROUP BY event_type
+),
+hll AS (
+  SELECT event_type,
+         CASE WHEN v > 0 AND
+                   {_ALPHA_NUM} / (1.0 + 1.079 / {float(HLL_M)})
+                   * {_M_SQ} * {float(_TWO_W)} / CAST(s_total AS DOUBLE)
+                   <= {2.5 * HLL_M}
+              THEN {float(HLL_M)} * LN({float(HLL_M)} / v)
+              ELSE {_ALPHA_NUM} / (1.0 + 1.079 / {float(HLL_M)})
+                   * {_M_SQ} * {float(_TWO_W)} / CAST(s_total AS DOUBLE)
+         END AS e
+  FROM est
+),
+q AS (
+  SELECT event_type,
+         ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+         ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
+         ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT q.event_type, CAST(FLOOR(hll.e + 0.5) AS BIGINT) AS approx_users,
+       q.p50, q.p90, q.p99, q.n
+FROM q JOIN hll ON hll.event_type = q.event_type
+"""

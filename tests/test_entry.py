@@ -20,10 +20,10 @@ def test_every_oracle_key_has_query():
     os_ = entrymod.oracle_sql()
     missing = set(os_) - set(qs)
     assert not missing, f"oracle entries without queries: {missing}"
-    # documented rows-only exception: the HLL/quantile sketch is the
-    # only genuinely non-replayable query left
+    # round 3: the md5-register HLL gave the sketch a replayable twin —
+    # every registered query now has a full-parity oracle
     no_oracle = set(qs) - set(os_)
-    assert no_oracle == {"user_reach_sketch"}
+    assert no_oracle == set()
 
 
 def test_queries_run_at_smoke_tier(spark):
