@@ -65,18 +65,23 @@ def attention_coo(
     )
 
 
-def _attention_kernel(scale: bool):
+def _attention_kernel(scale: bool, k_dim: int | None = None):
+    """Tile kernel for the blocked path.  ``k_dim=None`` is
+    self-attention (K == V == rmat); with ``k_dim`` set, the right tile
+    carries K and an independent V packed side by side
+    (``rmat[:, :k_dim]`` / ``rmat[:, k_dim:]``) — the reference's
+    general (query, key, value) signature (attention.py:38-44)."""
+
     def kernel(lids, lmat, _extra, rids, rmat) -> pd.DataFrame:
-        # the blocked fast path is self-attention (K == V == rmat);
-        # callers that need a distinct value matrix use attention_coo,
-        # which takes separate k_coo / v_coo inputs.
-        s = lmat @ rmat.T
+        rk = rmat if k_dim is None else rmat[:, :k_dim]
+        rv = rmat if k_dim is None else rmat[:, k_dim:]
+        s = lmat @ rk.T
         if scale:
             s /= np.sqrt(lmat.shape[1])
         # online softmax partial (reference attention.py:5-9)
         z = np.logaddexp.reduce(s, axis=1)
         w = np.exp(s - z[:, None])
-        v = w @ rmat  # V == K here; overridden in the KV variant
+        v = w @ rv
         return pd.DataFrame({"i": lids, "z": z, "v": list(v)})
 
     return kernel
@@ -89,18 +94,33 @@ def attention_blocked(
     q_vec: DataFrame,
     kv_vec: DataFrame,
     *,
+    v_vec: DataFrame | None = None,
     scale: bool = False,
     block: int = 4096,
     broadcast_kv: bool | str = "auto",
 ) -> DataFrame:
-    """Tiled self-attention (K == V == ``kv_vec``) -> ``(i, d, val)``.
+    """Tiled attention -> ``(i, d, val)``.  ``v_vec=None`` is
+    self-attention (K == V == ``kv_vec``); a distinct ``v_vec`` (``(i,
+    vec)`` row-aligned with the keys) gives the reference's general
+    (query, key, value) signature (attention.py:38-44) through the SAME
+    fast path: K and V are packed side by side per key row (one narrow
+    join, co-keyed on ``i``) so tiling/broadcast plumbing is unchanged.
 
     Stage 1: per-tile partials ``(i, z_b, v_b)``; stage 2: log-space
     merge per row: ``z = logsumexp_b(z_b)``, ``val_d = sum_b
     exp(z_b - z) * v_b[d]`` — associative and order-independent, the
     exact ``binary_reduce`` of reference attention.py:31-36.
     """
-    kernel = _attention_kernel(scale)
+    if v_vec is None:
+        kernel = _attention_kernel(scale)
+        right = kv_vec
+    else:
+        k_dim = len(kv_vec.select("vec").first()[0])
+        kernel = _attention_kernel(scale, k_dim)
+        vv = v_vec.select("i", F.col("vec").alias("_vv"))
+        right = kv_vec.join(vv, "i").select(
+            "i", F.concat("vec", "_vv").alias("vec")
+        )
     schema = "i long, z double, v array<double>"
     if broadcast_kv == "auto":
         # stats-based physical choice, same rule Catalyst applies to
@@ -109,10 +129,10 @@ def attention_blocked(
         # stays for genuinely large KV
         broadcast_kv = kv_vec.count() <= BROADCAST_KV_MAX_ROWS
     if broadcast_kv:
-        partials = broadcast_right_partials(q_vec, kv_vec, kernel, schema)
+        partials = broadcast_right_partials(q_vec, right, kernel, schema)
     else:
         partials = blocked_partials(
-            q_vec, kv_vec, kernel, schema,
+            q_vec, right, kernel, schema,
             left_block=block, right_block=block,
         )
     # fused merge: ONE groupBy collects all tile partials per row, then

@@ -174,11 +174,18 @@ def attention_gate(
     q_vec: DataFrame,
     kv_vec: DataFrame,
     *,
+    v_vec: DataFrame | None = None,
     scale: bool = False,
     block: int = 4096,
     broadcast_kv: bool | str = "auto",
 ) -> DataFrame:
-    """Quantized self-attention twin -> ``(i, d, val)`` (val rounded 6).
+    """Quantized attention twin -> ``(i, d, val)`` (val rounded 6).
+
+    ``v_vec=None`` is self-attention (K == V == ``kv_vec``); a distinct
+    ``v_vec`` (row-aligned with the keys on ``i``) is the reference's
+    general (query, key, value) signature (attention.py:38-44) through
+    the same fast paths — K and V are packed side by side per key row,
+    so the tiling/broadcast shapes are unchanged.
 
     ``val[i,d] = num[i,d] / (S[i] * 1e6)`` with ``num = e @ vq`` and
     ``S = rowsum(e)`` — all integer sums.  Broadcast path: one narrow
@@ -190,20 +197,31 @@ def attention_gate(
         broadcast_kv = kv_vec.count() <= BROADCAST_MAX_ROWS
 
     if broadcast_kv:
-        rids, rq = _collect_kv(kv_vec)
+        if v_vec is None:
+            rids, rq = _collect_kv(kv_vec)
+            vq = rq
+        else:
+            pdf_kv = (
+                kv_vec.select("i", "vec")
+                .join(v_vec.select("i", F.col("vec").alias("vvec")), "i")
+                .toPandas()
+            )
+            rids = pdf_kv["i"].to_numpy(dtype=np.int64)
+            rq = _quant(_vec_mat(pdf_kv["vec"]))
+            vq = _quant(_vec_mat(pdf_kv["vvec"]))
         denom = 1e12 * np.sqrt(rq.shape[1]) if scale else 1e12
         spark = q_vec.sparkSession
-        b = spark.sparkContext.broadcast((rids, rq))
+        b = spark.sparkContext.broadcast((rids, rq, vq))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            _rids, rmat = b.value
-            d = rmat.shape[1]
+            _rids, rmat, vmat = b.value
+            d = vmat.shape[1]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 lq = _quant(_vec_mat(pdf["vec"]))
                 _s, _mx, e, S = _softmax_den_num(lq, rmat, denom)
-                num = e @ rmat                      # exact: ints < 2^53
+                num = e @ vmat                      # exact: ints < 2^53
                 # val = num / (S * 1e6) rounded 6 == round(num/S) / 1e6
                 micro = _micro_ratio_np(num, np.broadcast_to(S[:, None], num.shape))
                 n = len(pdf)
@@ -221,29 +239,41 @@ def attention_gate(
     # ---- blocked path: two exact tile sweeps -------------------------
     dim = len(q_vec.select("vec").first()[0])
     denom = 1e12 * np.sqrt(dim) if scale else 1e12
+    if v_vec is None:
+        k_dim = None
+        right = kv_vec.select("i", "vec")
+    else:
+        k_dim = len(kv_vec.select("vec").first()[0])
+        right = (
+            kv_vec.select("i", "vec")
+            .join(v_vec.select("i", F.col("vec").alias("_vv")), "i")
+            .select("i", F.concat("vec", "_vv").alias("vec"))
+        )
 
     def mx_kernel(lids, lmat, _extra, rids, rmat):
-        s = (_quant(lmat) @ _quant(rmat).T) / denom
+        rk = rmat if k_dim is None else rmat[:, :k_dim]
+        s = (_quant(lmat) @ _quant(rk).T) / denom
         return pd.DataFrame({"i": lids, "mx": s.max(axis=1)})
 
     mxp = blocked_partials(
-        q_vec.select("i", "vec"), kv_vec.select("i", "vec"), mx_kernel,
+        q_vec.select("i", "vec"), right, mx_kernel,
         "i long, mx double", left_block=block, right_block=block,
     )
     mx = mxp.groupBy("i").agg(F.max("mx").alias("mx"))
     q_aug = q_vec.select("i", "vec").join(mx, "i")
 
     def part_kernel(lids, lmat, extra, rids, rmat):
-        rq = _quant(rmat)
-        s = (_quant(lmat) @ rq.T) / denom
+        rk = _quant(rmat if k_dim is None else rmat[:, :k_dim])
+        rv = rk if k_dim is None else _quant(rmat[:, k_dim:])
+        s = (_quant(lmat) @ rk.T) / denom
         e = np.floor(np.exp(s - extra["mx"].to_numpy()[:, None]) * Q_EXP + 0.5)
         S = e.sum(axis=1)
-        num = e @ rq                                # exact per tile
+        num = e @ rv                                # exact per tile
         nums = np.concatenate([S[:, None], num], axis=1).astype(np.int64)
         return pd.DataFrame({"i": lids, "nums": list(nums)})
 
     parts = blocked_partials(
-        q_aug, kv_vec.select("i", "vec"), part_kernel,
+        q_aug, right, part_kernel,
         "i long, nums array<long>",
         left_block=block, right_block=block, left_extra=("mx",),
     )

@@ -139,6 +139,32 @@ def test_attention_gate_blocked_matches_broadcast(spark):
     assert hb == ht
 
 
+def test_attention_kv_gate_blocked_matches_broadcast(spark):
+    """Distinct-V attention through the gate: both physical paths
+    bit-identical, and within 1e-4 of the float NumPy oracle."""
+    from pyspark.sql import functions as F
+
+    from gemmsql.ops.gate import attention_gate
+
+    vec = _vec(spark).select("i", "vec")
+    v_vec = vec.select("i", F.reverse("vec").alias("vec"))
+    out = attention_gate(vec, vec, v_vec=v_vec).orderBy("i", "d").toPandas()
+    ht = _hash(
+        attention_gate(
+            vec.repartition(5), vec, v_vec=v_vec, block=64, broadcast_kv=False
+        ).toPandas()
+    )
+    assert _hash(out) == ht
+
+    pdf = _vec(spark).orderBy("i").toPandas()
+    x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    s = x @ x.T
+    w = np.exp(s - s.max(axis=1, keepdims=True))
+    ref = (w / w.sum(axis=1, keepdims=True)) @ x[:, ::-1]
+    got = out["val"].to_numpy().reshape(ref.shape)
+    assert np.allclose(got, ref, atol=1e-4)
+
+
 def test_all_gate_blocked_paths_match_broadcast(spark):
     """Every gate op with a tiled large-input variant must produce the
     byte-identical table on both physical paths — the exact-integer
