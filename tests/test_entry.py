@@ -12,7 +12,13 @@ import __spark_entry__ as entrymod
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
-    assert [f.name for f in df.schema.fields] == ["j1", "j2", "val"]
+    assert [f.name for f in df.schema.fields] == ["which", "j1", "j2", "val"]
+
+
+def test_registry_fits_driver_gate():
+    """The driver's correctness gate checks the FIRST 50 queries()
+    entries; the registry must never exceed that (VERDICT r2 #1)."""
+    assert len(entrymod.queries()) <= 50
 
 
 def test_every_oracle_key_has_query():

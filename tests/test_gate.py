@@ -106,8 +106,10 @@ def test_xentropy_gate_close_to_numpy(spark, emb_matrix):
 # ---------------------------------------------------------- bit-stability
 
 @pytest.mark.parametrize("name", [
-    "gram", "mlp", "attention_scaled", "attention_grads",
-    "xentropy_grads", "mlp_grads", "entropy",
+    # merged registry (round 3): "attention" carries plain/scaled/kv,
+    # "ml_grads" carries att_*/xe_*/mlp_* legs — same coverage as the
+    # seven pre-merge entries
+    "gram", "mlp", "attention", "ml_grads", "entropy",
 ])
 def test_gate_bit_stable_across_partitionings(spark, name):
     import __spark_entry__ as em

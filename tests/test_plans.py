@@ -61,6 +61,24 @@ def test_narrow_text_ops_do_not_shuffle(spark):
         assert "Exchange" not in p, f"{q.__name__} must be a narrow map"
 
 
+def test_explode_agg_text_ops_shuffle_on_doc_keys_only(spark):
+    """The explode+agg text queries (word_entropy, corpus_profile, and
+    repetition_stats' word leg) must shuffle on doc-keyed aggregates
+    only — no joins, no cartesian, bounded shuffle count."""
+    from gemmsql.pipeline.text import corpus_profile, word_entropy
+
+    p = plan_of(word_entropy(spark, SF_SMOKE))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 2, (
+        "word_entropy: (doc,word) count + per-doc fold only"
+    )
+    p = plan_of(corpus_profile(spark, SF_SMOKE))
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 1, (
+        "corpus_profile is one grouped aggregate"
+    )
+
+
 def test_price_band_join_is_broadcast_nested_loop(spark):
     from gemmsql.pipeline.relational import price_band_join
 
@@ -188,10 +206,21 @@ def test_gate_grads_are_narrow_plus_one_merge(spark):
     """Gate gradients: one narrow kernel pass (MapInPandas straight off
     the scan, no Exchange below it) and exactly one shuffle for the
     exact integer scatter-add merge."""
-    import __spark_entry__ as entry
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops.gate import (
+        attention_grads_gate,
+        mlp_grads_gate,
+        xentropy_grads_gate,
+    )
 
-    for name in ("attention_grads", "xentropy_grads", "mlp_grads"):
-        p = plan_of(entry.queries()[name](spark, SF_SMOKE))
+    vec = embeddings_vectors(spark, SF_SMOKE)
+    legs = {
+        "attention_grads": attention_grads_gate(vec.select("i", "vec")),
+        "xentropy_grads": xentropy_grads_gate(vec),
+        "mlp_grads": mlp_grads_gate(vec),
+    }
+    for name, df in legs.items():
+        p = plan_of(df)
         kernel_pos = p.index("MapInPandas")
         assert "Exchange" not in p[kernel_pos:], (
             f"{name}: kernel partials must come straight off the scan"
