@@ -127,17 +127,19 @@ def q_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
       (query, key, value) signature (reference attention.py:38-44)
       through the blocked/broadcast fast path (VERDICT r2 missing #2)
     """
-    from gemmsql.ops.gate import attention_gate
+    from gemmsql.ops.gate import BROADCAST_MAX_ROWS, attention_gate
 
     vec = _vec(spark, sf_dir).select("i", "vec")
     v_rev = vec.select("i", F.reverse("vec").alias("vec"))
-    plain = attention_gate(vec, vec).select(
+    # one stats probe shared by all three legs (not one count per leg)
+    bcast = vec.count() <= BROADCAST_MAX_ROWS
+    plain = attention_gate(vec, vec, broadcast_kv=bcast).select(
         F.lit("plain").alias("which"), "i", "d", "val"
     )
-    scaled = attention_gate(vec, vec, scale=True).select(
+    scaled = attention_gate(vec, vec, scale=True, broadcast_kv=bcast).select(
         F.lit("scaled").alias("which"), "i", "d", "val"
     )
-    kv = attention_gate(vec, vec, v_vec=v_rev).select(
+    kv = attention_gate(vec, vec, v_vec=v_rev, broadcast_kv=bcast).select(
         F.lit("kv").alias("which"), "i", "d", "val"
     )
     return plain.unionByName(scaled).unionByName(kv)
@@ -178,12 +180,14 @@ def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``mlp_gx/mlp_gp/mlp_gq``: relu(X W) W grads (mlp.py:9-16)
     """
     from gemmsql.ops.gate import (
+        BROADCAST_MAX_ROWS,
         attention_grads_gate,
         mlp_grads_gate,
         xentropy_grads_gate,
     )
 
     vec = _vec(spark, sf_dir)
+    bcast = vec.count() <= BROADCAST_MAX_ROWS  # one probe for all legs
 
     def tag(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
@@ -191,8 +195,11 @@ def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "d", "val",
         )
 
-    a = tag(attention_grads_gate(vec.select("i", "vec")), "att_")
-    x = tag(xentropy_grads_gate(vec), "xe_")
+    a = tag(
+        attention_grads_gate(vec.select("i", "vec"), broadcast_kv=bcast),
+        "att_",
+    )
+    x = tag(xentropy_grads_gate(vec, broadcast_trg=bcast), "xe_")
     m = tag(mlp_grads_gate(vec), "mlp_")
     return a.unionByName(x).unionByName(m)
 

@@ -179,3 +179,36 @@ def test_attention_distinct_kv_strategies(spark, emb_matrix, block, broadcast):
     _, p, _ = dense_softmax_scores(x)
     want = p @ x[:, ::-1]
     assert np.allclose(out["val"].to_numpy().reshape(want.shape), want)
+
+
+def test_attention_three_way_differential(spark, emb_matrix):
+    """The reference's three-way sweep (test_gemm_mr_attention_cpp.py:
+    36-71 checks C++ GeMMMapReduce vs the dense oracle AND the Python
+    GeMMMapReduce path): here the blocked fast path, the relational COO
+    path, and the quantized gate must all agree on one dense NumPy
+    oracle within their documented tolerances."""
+    from gemmsql.ops.gate import attention_gate
+
+    _, x, _ = emb_matrix
+    _, p, _ = dense_softmax_scores(x)
+    want = p @ x
+
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    coo = embeddings_coo(spark, SF_SMOKE)
+
+    blocked = (
+        attention_blocked(vec, vec, block=128, broadcast_kv=False)
+        .orderBy("i", "d").toPandas()["val"].to_numpy().reshape(want.shape)
+    )
+    coo_out = (
+        attention_coo(coo, coo, coo)
+        .orderBy("i", "d").toPandas()["val"].to_numpy().reshape(want.shape)
+    )
+    gate_out = (
+        attention_gate(vec, vec)
+        .orderBy("i", "d").toPandas()["val"].to_numpy().reshape(want.shape)
+    )
+    assert np.allclose(blocked, want)
+    assert np.allclose(coo_out, want)
+    assert np.allclose(blocked, coo_out)          # float paths agree tightly
+    assert np.allclose(gate_out, want, atol=1e-4)  # quantized twin
