@@ -61,6 +61,37 @@ def user_reach_approx(
     )
 
 
+def hll_registers(
+    ev: DataFrame, *, key: str = "event_type", id_col: str = "user_id"
+) -> DataFrame:
+    """md5-register HLL state per key -> (key, reg, rho) with
+    register-max aggregation.
+
+    Register-max is a monoid, so this SAME function works on a
+    STREAMING DataFrame unchanged: ``groupBy(key, reg).max(rho)`` in
+    complete/update mode maintains the sketch as streaming state —
+    4096 longs per key regardless of user cardinality, the property
+    that makes distinct-count viable on an unbounded stream (parity
+    with the batch registers is asserted in tests/test_streaming.py)."""
+    h60 = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    return (
+        ev.select(key, h60.alias("h60"))
+        .withColumn("reg", F.expr(f"h60 % {HLL_M}"))
+        .withColumn("wbits", F.expr(f"h60 div {HLL_M}"))
+        .withColumn(
+            "rho",
+            F.when(F.col("wbits") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+                F.lit(HLL_WBITS + 1) - F.length(F.bin("wbits"))
+            ),
+        )
+        .groupBy(key, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def user_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: explicit-register HLL distinct users + exact
     value percentiles -> (event_type, approx_users, p50, p90, p99, n).
@@ -83,23 +114,7 @@ def user_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       are one identically-associated scalar expression per group.
     """
     ev = load_table(spark, sf_dir, "events")
-    h60 = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-    )
-    regs = (
-        ev.select("event_type", h60.alias("h60"))
-        .withColumn("reg", F.expr(f"h60 % {HLL_M}"))
-        .withColumn("wbits", F.expr(f"h60 div {HLL_M}"))
-        .withColumn(
-            "rho",
-            F.when(F.col("wbits") == 0, F.lit(HLL_WBITS + 1)).otherwise(
-                F.lit(HLL_WBITS + 1) - F.length(F.bin("wbits"))
-            ),
-        )
-        .groupBy("event_type", "reg")
-        .agg(F.max("rho").alias("rho"))
-    )
+    regs = hll_registers(ev)
     # exact integer harmonic numerator: present registers contribute
     # 2^(49-rho) (pow is exact for exponents <= 48), absent ones 2^49
     est = regs.groupBy("event_type").agg(

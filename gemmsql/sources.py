@@ -71,3 +71,33 @@ def write_bucketed_table(
 def write_noop(df: DataFrame) -> None:
     """Benchmark sink: full computation, no output."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (Spark's
+    vectorized ORC reader honors PushedFilters + ReadSchema)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, max_records_per_file: int = 1_000_000) -> None:
+    df.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    ).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Opaque-payload ingestion via Spark's ``binaryFile`` source ->
+    (path, modificationTime, length, content binary).
+
+    This is how image/audio/video corpora enter the engine at 100 TB:
+    the scan ships bytes + typed metadata, and decode happens (if at
+    all) in Arrow-batched kernels downstream
+    (``pipeline.multimodal``).  Filters on path/length are pushed into
+    the file listing — ``pathGlobFilter`` prunes before any byte is
+    read."""
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

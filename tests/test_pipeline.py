@@ -640,3 +640,32 @@ def test_pack_sequences_integrity_and_determinism(spark):
     a = out.sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
     b = rerun.sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
     assert a.equals(b), "packing layout must be deterministic"
+
+
+def test_orc_and_binaryfile_sources(spark, tmp_path):
+    """ORC roundtrip preserves schema+rows; binaryFile ingests opaque
+    payloads with correct lengths and glob pruning."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.sources import read_binary_files, read_orc, write_orc
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    p = str(tmp_path / "docs_orc")
+    write_orc(docs, p)
+    got = read_orc(spark, p)
+    assert got.schema == docs.schema
+    assert got.count() == docs.count()
+
+    bdir = tmp_path / "blobs"
+    bdir.mkdir()
+    payloads = {"a.bin": b"\x00\x01\x02", "b.bin": b"xyzw", "c.txt": b"nope"}
+    for name, data in payloads.items():
+        (bdir / name).write_bytes(data)
+    blobs = read_binary_files(spark, str(bdir), glob="*.bin").toPandas()
+    assert len(blobs) == 2
+    by_name = {p.rsplit("/", 1)[-1]: r for p, r in
+               zip(blobs["path"], blobs["content"])}
+    assert bytes(by_name["a.bin"]) == b"\x00\x01\x02"
+    assert bytes(by_name["b.bin"]) == b"xyzw"
+    assert (blobs["length"].to_numpy() == [3, 4]).sort() is None  # lengths present

@@ -165,3 +165,28 @@ def test_streaming_click_to_purchase_matches_batch(spark, stream_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_hll_registers_match_batch(spark, stream_dir):
+    """The md5-register HLL is a register-max monoid, so the SAME
+    hll_registers() plan runs as a streaming aggregation with bounded
+    state — and its final registers must be bit-identical to the batch
+    sketch's (stream/batch parity of the sketch itself)."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.sketches import hll_registers
+    from gemmsql.streaming import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, stream_dir)
+    got = (
+        run_to_memory(hll_registers(ev), "hll_regs_s")
+        .toPandas()
+        .sort_values(["event_type", "reg"])
+        .reset_index(drop=True)
+    )
+    want = (
+        hll_registers(load_table(spark, SF_SMOKE, "events"))
+        .toPandas()
+        .sort_values(["event_type", "reg"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), "streaming HLL registers diverge from batch"
