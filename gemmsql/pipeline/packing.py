@@ -54,6 +54,18 @@ def pack_sequences(
     """-> ``(seq_id, doc_id, n_tokens, seq_tokens, truncated)``: one row
     per packed document; ``seq_tokens`` is its sequence's total."""
     docs = load_table(spark, sf_dir, "documents")
+    return pack_doc_frame(docs, budget=budget, n_buckets=n_buckets)
+
+
+def pack_doc_frame(
+    docs: DataFrame,
+    *,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Frame-level packing API: any ``(doc_id, text, ...)`` DataFrame
+    (e.g. the survivor set of a dedup/quality/sampling chain —
+    ``corpus.build_training_corpus``) -> packed sequences."""
     n_tokens = (
         F.length("text")
         - F.length(F.regexp_replace("text", " ", ""))

@@ -669,3 +669,47 @@ def test_orc_and_binaryfile_sources(spark, tmp_path):
     assert bytes(by_name["a.bin"]) == b"\x00\x01\x02"
     assert bytes(by_name["b.bin"]) == b"xyzw"
     assert (blobs["length"].to_numpy() == [3, 4]).sort() is None  # lengths present
+
+
+def test_build_training_corpus_stages_compose(spark):
+    """The end-to-end corpus build: packed docs are exactly the
+    dedup+quality+sample survivors, no stage leaks or duplicates, and
+    every integrity invariant of the packer still holds downstream."""
+    import hashlib
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.corpus import (
+        QUALITY_FLOOR,
+        build_training_corpus,
+        corpus_survivors,
+    )
+    from gemmsql.pipeline.packing import PACK_BUDGET
+    from gemmsql.pipeline.text import SAMPLE_RATES, quality_score
+
+    packed = build_training_corpus(spark, SF_SMOKE).toPandas()
+    surv = corpus_survivors(spark, SF_SMOKE).toPandas()
+    assert sorted(packed["doc_id"]) == sorted(surv["doc_id"])
+    assert packed["doc_id"].is_unique
+
+    # reference survivor set, computed independently in pandas
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    q = quality_score(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    keep = set(
+        docs.assign(h=docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()))
+        .groupby("h")["doc_id"].min()
+    )
+    want = set()
+    for _, r in docs.iterrows():
+        d = r["doc_id"]
+        if d not in keep or q.loc[d, "quality"] < QUALITY_FLOOR:
+            continue
+        g = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 100
+        if g < SAMPLE_RATES.get(r["lang"], 50):
+            want.add(d)
+    assert set(packed["doc_id"]) == want
+
+    seq = packed.groupby("seq_id").agg(
+        total=("n_tokens", "sum"), truncated=("truncated", "any")
+    )
+    over = seq[seq["total"] > PACK_BUDGET]
+    assert over["truncated"].all()
