@@ -181,18 +181,28 @@ def _probe_vec(vec) -> tuple[int, int]:
 
 
 def _md5_planes(dim: int, total: int) -> np.ndarray:
-    """Hyperplanes derived from md5 so the DuckDB oracle reproduces the
-    buckets bit-for-bit: w[j, p] = (h60(f"{p}:{j}") % 2001 - 1000)/1000
-    with h60 = first 15 md5 hex digits (same construction as the dedup
-    hashes, dedup.py _h60)."""
+    """INTEGER hyperplanes derived from md5 so the DuckDB oracle
+    reproduces the buckets bit-for-bit: w[j, p] = h60(f"{p}:{j}") %
+    2001 - 1000 with h60 = first 15 md5 hex digits (same construction
+    as the dedup hashes, dedup.py _h60).  Integer weights + 1e6-
+    quantized vectors make every sign projection an EXACT int sum
+    (terms <= ~1e9, 64-dim sum <= ~6.4e10 << 2^53) — no summation-
+    order ulp can flip a bucket bit between engines (the residual
+    drift class ADVICE r2 flagged)."""
     import hashlib
 
     w = np.empty((dim, total))
     for p in range(total):
         for j in range(dim):
             h = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16)
-            w[j, p] = (h % 2001 - 1000) / 1000.0
+            w[j, p] = float(h % 2001 - 1000)
     return w
+
+
+def _sign_quant(x: np.ndarray) -> np.ndarray:
+    """floor(v * 1e6 + 0.5): the quantized operand of the exact-integer
+    sign projections (same grid as the gate / PQ quantization)."""
+    return np.floor(x * 1e6 + 0.5)
 
 
 def embedding_dups_lsh(
@@ -223,7 +233,7 @@ def embedding_dups_lsh(
             if len(pdf) == 0:
                 continue
             x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            bits = (x @ pm) > 0
+            bits = (_sign_quant(x) @ pm) > 0  # exact integer projections
             out = []
             for t in range(DUP_TABLES):
                 tb = bits[:, t * n_planes : (t + 1) * n_planes]
@@ -267,7 +277,9 @@ EMBEDDING_DUPS_LSH_SQL = f"""
 WITH coo AS (
   SELECT vec_id AS i,
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
-         CAST(unnest(embedding) AS DOUBLE) AS v
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS vq
   FROM embeddings
 ),
 dnp AS (
@@ -277,15 +289,15 @@ dnp AS (
 ),
 pl AS (
   SELECT t.p, d.j,
-         (CAST('0x' || substring(md5(CAST(t.p AS VARCHAR) || ':' ||
-              CAST(d.j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)
-         / 1000.0 AS w
+         CAST('0x' || substring(md5(CAST(t.p AS VARCHAR) || ':' ||
+              CAST(d.j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w
   FROM range(960) t(p)
   CROSS JOIN (SELECT DISTINCT j FROM coo) d
   WHERE t.p < {DUP_TABLES} * (SELECT np FROM dnp)
 ),
 bits AS (
-  SELECT c.i, pl.p, CASE WHEN SUM(c.v * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+  SELECT c.i, pl.p,
+         CASE WHEN CAST(SUM(c.vq * pl.w) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
   FROM coo c JOIN pl ON pl.j = c.j GROUP BY c.i, pl.p
 ),
 buckets AS (
@@ -333,9 +345,11 @@ def n_planes_for(n_rows: int) -> int:
 
 
 def _plane_matrix(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic hyperplanes for all LSH tables: md5-derived like
-    :func:`_md5_planes` (namespaced 'tk'), so the DuckDB oracle replays
-    the exact buckets and the driver check is full hash parity."""
+    """Deterministic INTEGER hyperplanes for all LSH tables:
+    md5-derived like :func:`_md5_planes` (namespaced 'tk'), so the
+    DuckDB oracle replays the exact buckets and the sign projections
+    are exact integer sums — full hash parity with zero float-drift
+    surface."""
     import hashlib
 
     total = N_TABLES * n_planes
@@ -343,7 +357,7 @@ def _plane_matrix(dim: int, n_planes: int) -> np.ndarray:
     for p in range(total):
         for j in range(dim):
             h = int(hashlib.md5(f"tk{p}:{j}".encode()).hexdigest()[:15], 16)
-            w[j, p] = (h % 2001 - 1000) / 1000.0
+            w[j, p] = float(h % 2001 - 1000)
     return w
 
 
@@ -378,7 +392,7 @@ def lsh_bucket_topk(
             if len(pdf) == 0:
                 continue
             x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            bits = (x @ pm) > 0  # (n, N_TABLES*n_planes)
+            bits = (_sign_quant(x) @ pm) > 0  # exact integer projections
             out = []
             for t in range(N_TABLES):
                 tb = bits[:, t * n_planes : (t + 1) * n_planes]
@@ -440,7 +454,9 @@ LSH_TOPK_SQL = """
 WITH coo AS (
   SELECT vec_id AS i,
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
-         CAST(unnest(embedding) AS DOUBLE) AS v
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS vq
   FROM embeddings
 ),
 npc AS (
@@ -450,15 +466,15 @@ npc AS (
 ),
 pl AS (
   SELECT t.p, d.j,
-         (CAST('0x' || substring(md5('tk' || CAST(t.p AS VARCHAR) || ':' ||
-              CAST(d.j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)
-         / 1000.0 AS w
+         CAST('0x' || substring(md5('tk' || CAST(t.p AS VARCHAR) || ':' ||
+              CAST(d.j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w
   FROM range(200) t(p)
   CROSS JOIN (SELECT DISTINCT j FROM coo) d
   WHERE t.p < 4 * (SELECT np FROM npc)
 ),
 bits AS (
-  SELECT c.i, pl.p, CASE WHEN SUM(c.v * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+  SELECT c.i, pl.p,
+         CASE WHEN CAST(SUM(c.vq * pl.w) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
   FROM coo c JOIN pl ON pl.j = c.j GROUP BY c.i, pl.p
 ),
 buckets AS (

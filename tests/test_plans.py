@@ -244,7 +244,7 @@ def test_lsh_bucket_sizes_bounded(spark):
     x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     n_planes = n_planes_for(len(x))
     pm = _plane_matrix(x.shape[1], n_planes)
-    bits = (x @ pm) > 0
+    bits = (np.floor(x * 1e6 + 0.5) @ pm) > 0  # engine's exact-int projection
     worst = 0
     for t in range(N_TABLES):
         tb = bits[:, t * n_planes : (t + 1) * n_planes]
@@ -269,7 +269,7 @@ def test_dup_lsh_bucket_sizes_bounded(spark):
     x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     n_planes = dup_planes_for(len(x))
     pm = _md5_planes(x.shape[1], DUP_TABLES * n_planes)
-    bits = (x @ pm) > 0
+    bits = (np.floor(x * 1e6 + 0.5) @ pm) > 0  # engine's exact-int projection
     worst = 0
     for t in range(DUP_TABLES):
         tb = bits[:, t * n_planes : (t + 1) * n_planes]
