@@ -267,23 +267,21 @@ def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc length stats + regex/distinct token counts, one row per
-    doc (two narrow per-row maps joined on doc_id — merged so both
-    metric families stay driver-gated)."""
+    doc — FUSED into a single narrow map (no join, no shuffle; the
+    modular text_stats/token_counts functions remain the library API).
+    """
     from gemmsql.pipeline import text
 
-    return text.text_stats(spark, sf_dir).join(
-        text.token_counts(spark, sf_dir), "doc_id"
-    )
+    return text.text_profile(spark, sf_dir)
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals + word-entropy perplexity proxy,
-    one row per doc (same explode+agg shape, joined on doc_id)."""
+    one row per doc — FUSED so the (doc, word) count table is built
+    once and feeds both metric families."""
     from gemmsql.pipeline import text
 
-    return text.repetition_stats(spark, sf_dir).join(
-        text.word_entropy(spark, sf_dir), "doc_id"
-    )
+    return text.repetition_profile(spark, sf_dir)
 
 
 def _sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,16 +636,8 @@ def oracle_sql() -> dict[str, str]:
         PQ_TOPK_SQL,
     )
 
-    text_stats_sql = (
-        f"SELECT s.*, c.n_re_tokens, c.n_distinct_words"
-        f" FROM ({text.TEXT_STATS_SQL}) s"
-        f" JOIN ({text.TOKEN_COUNTS_SQL}) c USING (doc_id)"
-    )
-    repetition_sql = (
-        f"SELECT r.*, w.word_entropy"
-        f" FROM ({text.REPETITION_STATS_SQL}) r"
-        f" JOIN ({text.WORD_ENTROPY_SQL}) w USING (doc_id)"
-    )
+    text_stats_sql = text.TEXT_PROFILE_SQL
+    repetition_sql = text.REPETITION_PROFILE_SQL
 
     return {
         "gram": gram_sql,

@@ -496,3 +496,128 @@ SELECT doc_id,
     AS word_entropy
 FROM per_doc
 """
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused text_stats + token_counts: ONE narrow per-row map computes
+    all seven columns — no join, no shuffle (the registry's merged
+    `text_stats` query; the separate functions remain the modular API).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    n_tokens = n_spaces + 1
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round((n_chars - n_spaces) / n_tokens, 6).alias("avg_token_len"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long").alias("n_alpha"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_distinct_words"
+        ),
+    )
+
+
+TEXT_PROFILE_SQL = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_token_len,
+  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+  CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+  CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+FROM documents
+"""
+
+
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused repetition_stats + word_entropy: the (doc_id, word) count
+    table is built ONCE and feeds both the repetition fractions and the
+    entropy fold — one explode and two doc-keyed aggregations instead
+    of the join-of-two-queries' four (the registry's merged
+    `repetition_stats` query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    tq = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        * F.lit(1e9) + F.lit(0.5)
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top"),
+        F.sum(tq).alias("tsum"),
+    )
+    wsplit = docs.select("doc_id", F.split(F.col("text"), " ").alias("ww"))
+    w = F.col("ww")
+    starts = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(0), F.size(w) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    bigrams = wsplit.select("doc_id", F.explode(grams).alias("bg"))
+    bc = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("btotal"), F.max("c").alias("btop")
+    )
+    h = (
+        F.log(F.col("total").cast("double"))
+        - (F.col("tsum").cast("double") / F.lit(1e9)) / F.col("total")
+    )
+    return (
+        ws.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(1 - F.col("n_distinct") / F.col("total"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top") / F.col("total"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("btop") / F.col("btotal"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(h, 6).alias("word_entropy"),
+        )
+    )
+
+
+REPETITION_PROFILE_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+ws AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top,
+         CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+              * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tsum
+       FROM wc GROUP BY 1),
+pw AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+bs AS (SELECT doc_id, SUM(c) AS btotal, MAX(c) AS btop FROM bc GROUP BY 1)
+SELECT ws.doc_id,
+  ROUND(1 - CAST(ws.n_distinct AS DOUBLE) / ws.total, 6) AS dup_word_frac,
+  ROUND(CAST(ws.top AS DOUBLE) / ws.total, 6) AS top_word_frac,
+  ROUND(COALESCE(CAST(bs.btop AS DOUBLE) / bs.btotal, 0.0), 6)
+    AS top_bigram_frac,
+  ROUND(LN(CAST(ws.total AS DOUBLE))
+        - (CAST(ws.tsum AS DOUBLE) / 1000000000.0) / ws.total, 6)
+    AS word_entropy
+FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
+"""

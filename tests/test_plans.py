@@ -287,3 +287,43 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark):
     p = plan_of(decontaminate(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, "corpus shingles must not shuffle for the probe"
+
+
+def test_pq_codes_is_zero_shuffle(spark):
+    """PQ encoding must be a pure narrow map against the broadcast
+    codebook — zero Exchange (the 100 TB storage-encode shape)."""
+    from gemmsql.pipeline.similarity import pq_codes
+
+    p = plan_of(pq_codes(spark, SF_SMOKE))
+    assert "Exchange" not in p, "pq_codes must not shuffle"
+    assert "MapInPandas" in p
+
+
+def test_ivf_topk_no_cartesian_single_cogroup(spark):
+    """IVF candidate generation must be the cogroup on cell id — never
+    a cartesian; exactly one FlatMapCoGroups kernel."""
+    from gemmsql.pipeline.similarity import ivf_topk
+
+    p = plan_of(ivf_topk(spark, SF_SMOKE, k=5))
+    assert "CartesianProduct" not in p
+    assert p.count("FlatMapCoGroupsInPandas") == 1
+
+
+def test_fused_text_profile_is_narrow(spark):
+    """The merged text_stats registry query computes all seven columns
+    in ONE narrow map — no join, no Exchange."""
+    from gemmsql.pipeline.text import text_profile
+
+    p = plan_of(text_profile(spark, SF_SMOKE))
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_fused_repetition_profile_shares_word_counts(spark):
+    """The merged repetition_stats query must build the (doc, word)
+    count table once: one scan for the word leg, one for the bigram
+    leg — not the four scans of the join-of-two-queries shape."""
+    from gemmsql.pipeline.text import repetition_profile
+
+    p = plan_of(repetition_profile(spark, SF_SMOKE))
+    assert p.count("FileScan parquet") <= 2
+    assert "CartesianProduct" not in p
