@@ -106,16 +106,9 @@ def q_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain X^T X and its relu clamp, tagged ``which`` in {gram, relu} —
     one registered query so both stay inside the driver's 50-entry
     correctness gate (VERDICT r2 next #1)."""
-    from gemmsql.ops.gate import gram_gate
+    from gemmsql.ops.gate import gram_gate_both
 
-    vec = _vec(spark, sf_dir)
-    g = gram_gate(vec).select(
-        F.lit("gram").alias("which"), "j1", "j2", "val"
-    )
-    r = gram_gate(vec, relu=True).select(
-        F.lit("relu").alias("which"), "j1", "j2", "val"
-    )
-    return g.unionByName(r)
+    return gram_gate_both(_vec(spark, sf_dir))
 
 
 def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,22 +130,22 @@ def q_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
       (query, key, value) signature (reference attention.py:38-44)
       through the blocked/broadcast fast path (VERDICT r2 missing #2)
     """
-    from gemmsql.ops.gate import BROADCAST_MAX_ROWS, attention_gate
+    from gemmsql.ops.gate import (
+        BROADCAST_MAX_ROWS,
+        attention_gate,
+        attention_gate_plain_kv,
+    )
 
     vec = _vec(spark, sf_dir).select("i", "vec")
     v_rev = vec.select("i", F.reverse("vec").alias("vec"))
-    # one stats probe shared by all three legs (not one count per leg)
+    # one stats probe shared by all three legs (not one count per leg);
+    # plain+kv share the exact softmax chain in ONE fused pass
     bcast = vec.count() <= BROADCAST_MAX_ROWS
-    plain = attention_gate(vec, vec, broadcast_kv=bcast).select(
-        F.lit("plain").alias("which"), "i", "d", "val"
-    )
+    plain_kv = attention_gate_plain_kv(vec, vec, v_rev, broadcast_kv=bcast)
     scaled = attention_gate(vec, vec, scale=True, broadcast_kv=bcast).select(
         F.lit("scaled").alias("which"), "i", "d", "val"
     )
-    kv = attention_gate(vec, vec, v_vec=v_rev, broadcast_kv=bcast).select(
-        F.lit("kv").alias("which"), "i", "d", "val"
-    )
-    return plain.unionByName(scaled).unionByName(kv)
+    return plain_kv.unionByName(scaled)
 
 
 def q_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:

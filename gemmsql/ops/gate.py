@@ -771,6 +771,105 @@ def gram_gate(vec: DataFrame, *, relu: bool = False) -> DataFrame:
     )
 
 
+def gram_gate_both(vec: DataFrame) -> DataFrame:
+    """Both gram legs from ONE pass -> ``(which, j1, j2, val)``,
+    ``which`` in {gram, relu}: the exact int64 D x D partials are
+    computed and merged once (the legs differ only in the final
+    GREATEST clamp), halving scan + reduction work vs two
+    :func:`gram_gate` calls."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(_vec_mat(pdf["vec"]))
+            g = (xq.T @ xq).astype(np.int64)
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            yield pd.DataFrame({
+                "j1": np.arange(acc.shape[0], dtype=np.int64),
+                "nums": list(acc),
+            })
+
+    from gemmsql.caching import scoped_cache
+
+    parts = vec.select("vec").mapInPandas(partial, "j1 long, nums array<long>")
+    # D rows of D-long arrays — tiny; query-scoped so it ages out
+    merged = scoped_cache(_merge_long_arrays(parts, ["j1"]), fresh_scope=True)
+    out = merged.select("j1", F.posexplode("nums").alias("j2", "num"))
+    plain = out.select(
+        F.lit("gram").alias("which"), "j1",
+        F.col("j2").cast("long").alias("j2"),
+        (_micro_col("num", 1_000_000).cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+    relu_out = out.withColumn("num", F.greatest("num", F.lit(0).cast("long")))
+    relu = relu_out.select(
+        F.lit("relu").alias("which"), "j1",
+        F.col("j2").cast("long").alias("j2"),
+        (_micro_col("num", 1_000_000).cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+    return plain.unionByName(relu)
+
+
+def attention_gate_plain_kv(
+    q_vec: DataFrame,
+    kv_vec: DataFrame,
+    v_vec: DataFrame,
+    *,
+    broadcast_kv: bool | str = "auto",
+) -> DataFrame:
+    """Plain (K == V) and independent-V attention from ONE broadcast
+    pass -> ``(which, i, d, val)``, ``which`` in {plain, kv}: the two
+    legs share the exact score/softmax chain (e, S) and differ only in
+    the value matrix of the final integer matmul.  Falls back to two
+    :func:`attention_gate` calls when KV exceeds the broadcast budget
+    (the blocked path re-derives the chain per tile anyway)."""
+    spark = q_vec.sparkSession
+    if broadcast_kv == "auto":
+        broadcast_kv = kv_vec.count() <= BROADCAST_MAX_ROWS
+    if not broadcast_kv:
+        plain = attention_gate(q_vec, kv_vec, broadcast_kv=False).select(
+            F.lit("plain").alias("which"), "i", "d", "val"
+        )
+        kv = attention_gate(
+            q_vec, kv_vec, v_vec=v_vec, broadcast_kv=False
+        ).select(F.lit("kv").alias("which"), "i", "d", "val")
+        return plain.unionByName(kv)
+
+    pdf_kv = (
+        kv_vec.select("i", "vec")
+        .join(v_vec.select("i", F.col("vec").alias("vvec")), "i")
+        .toPandas()
+    )
+    rq = _quant(_vec_mat(pdf_kv["vec"]))
+    vq = _quant(_vec_mat(pdf_kv["vvec"]))
+    b = spark.sparkContext.broadcast((rq, vq))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rmat, vmat = b.value
+        d = rmat.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lq = _quant(_vec_mat(pdf["vec"]))
+            _s, _mx, e, S = _softmax_den_num(lq, rmat, 1e12)
+            den = np.broadcast_to(S[:, None], (len(pdf), d))
+            n = len(pdf)
+            ii = np.repeat(pdf["i"].to_numpy(), d)
+            dd = np.tile(np.arange(d, dtype=np.int64), n)
+            for which, vm in (("plain", rmat), ("kv", vmat)):
+                micro = _micro_ratio_np(e @ vm, den)
+                yield pd.DataFrame({
+                    "which": which, "i": ii, "d": dd,
+                    "val": (micro / Q_IN).ravel(),
+                })
+
+    return q_vec.select("i", "vec").mapInPandas(
+        run, "which string, i long, d long, val double"
+    )
+
+
 def mlp_weights_int(vec: DataFrame) -> tuple[np.ndarray, int]:
     """Exact integer gram ``G_int = sum_i vq vq^T`` and row count, the
     deterministic weight seed ``W = G / (1e12 * N)`` (driver tables

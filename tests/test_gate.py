@@ -182,3 +182,17 @@ def test_all_gate_blocked_paths_match_broadcast(spark):
     ]
     for fn in cases:
         assert _hash(fn(True).toPandas()) == _hash(fn(False).toPandas())
+
+
+def test_fused_plain_kv_matches_separate_paths(spark):
+    """The fused plain+kv pass must be bit-identical to its blocked
+    fallback (two separate attention_gate calls)."""
+    from pyspark.sql import functions as F
+
+    from gemmsql.ops.gate import attention_gate_plain_kv
+
+    vec = _vec(spark).select("i", "vec")
+    v_rev = vec.select("i", F.reverse("vec").alias("vec"))
+    fused = attention_gate_plain_kv(vec, vec, v_rev, broadcast_kv=True)
+    split = attention_gate_plain_kv(vec, vec, v_rev, broadcast_kv=False)
+    assert _hash(fused.toPandas()) == _hash(split.toPandas())
