@@ -184,27 +184,19 @@ def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gemmsql.ops.gate import (
         BROADCAST_MAX_ROWS,
-        attention_grads_gate,
+        attention_xe_grads_gate_fused,
         mlp_grads_gate,
-        xentropy_grads_gate,
     )
 
     vec = _vec(spark, sf_dir)
     bcast = vec.count() <= BROADCAST_MAX_ROWS  # one probe for all legs
-
-    def tag(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(
-            F.concat(F.lit(prefix), F.col("which")).alias("which"),
-            "i", "d", "val",
-        )
-
-    a = tag(
-        attention_grads_gate(vec.select("i", "vec"), broadcast_kv=bcast),
-        "att_",
+    # attention + xentropy grads share the exact softmax chain: fused
+    ax = attention_xe_grads_gate_fused(vec, broadcast_kv=bcast)
+    m = mlp_grads_gate(vec).select(
+        F.concat(F.lit("mlp_"), F.col("which")).alias("which"),
+        "i", "d", "val",
     )
-    x = tag(xentropy_grads_gate(vec, broadcast_trg=bcast), "xe_")
-    m = tag(mlp_grads_gate(vec), "mlp_")
-    return a.unionByName(x).unionByName(m)
+    return ax.unionByName(m)
 
 
 def q_attention_batched(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -738,6 +738,96 @@ def _xentropy_grads_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
     return _xent_grads_finalize(parts)
 
 
+def attention_xe_grads_gate_fused(
+    vec: DataFrame, *, broadcast_kv: bool | str = "auto"
+) -> DataFrame:
+    """Attention grads + xentropy grads from ONE broadcast pass ->
+    ``(which, i, d, val)``, ``which`` in {att_gq, att_gk, att_gv,
+    xe_gpred, xe_gtrg}: both operators recompute the SAME unscaled
+    score/softmax chain (s, mx, e, S) and differ only in the jacobian
+    they push through it — the fused kernel derives all five legs from
+    one chain, saving a full chain recomputation vs separate calls.
+    Values are bit-identical to :func:`attention_grads_gate` /
+    :func:`xentropy_grads_gate` (same math, same integer grids — pinned
+    by test); large inputs fall back to the per-op blocked tile paths.
+    """
+    if broadcast_kv == "auto":
+        broadcast_kv = vec.count() <= BROADCAST_MAX_ROWS
+
+    def tag(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.concat(F.lit(prefix), F.col("which")).alias("which"),
+            "i", "d", "val",
+        )
+
+    if not broadcast_kv:
+        a = tag(_attention_grads_gate_blocked(vec, block=4096), "att_")
+        x = tag(_xentropy_grads_gate_blocked(vec, block=4096), "xe_")
+        return a.unionByName(x)
+
+    rids, rq = _collect_kv(vec)
+    vsq = rq.sum(axis=1)
+    pos = {int(r): k for k, r in enumerate(rids)}
+    spark = vec.sparkSession
+    b = spark.sparkContext.broadcast((rids, rq, vsq, pos))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _rids, rmat, vs, posmap = b.value
+        n, d = rmat.shape
+        gk_acc = np.zeros((n, d), dtype=np.int64)
+        gv_acc = np.zeros(n, dtype=np.int64)
+        gtrg_acc = np.zeros((n, d), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lq = _quant(_vec_mat(pdf["vec"]))
+            _s, _mx, e, S = _softmax_den_num(lq, rmat, 1e12)
+            w = e / S[:, None]
+            # --- attention legs (reference attention.py:11-29) ---
+            rnum = e.astype(np.int64) @ vs.astype(np.int64)
+            t = vs[None, :] / Q_IN - (rnum / (S * Q_IN))[:, None]
+            gs = np.floor(w * t * Q_GS + 0.5)
+            wq = np.floor(w * Q_W + 0.5)
+            gk_acc += (gs.T @ lq).astype(np.int64)
+            gv_acc += wq.sum(axis=0).astype(np.int64)
+            yield pd.DataFrame({
+                "which": "att_gq",
+                "i": pdf["i"].to_numpy(),
+                "nums": list((gs @ rmat).astype(np.int64)),
+            })
+            # --- xentropy legs (reference xentropy.py:15-37) ---
+            delta = np.floor(w * Q_DELTA + 0.5)
+            cols = np.array([posmap[int(l)] for l in pdf["label"]])
+            delta[np.arange(len(pdf)), cols] -= Q_DELTA
+            gtrg_acc += (delta.T @ lq).astype(np.int64)
+            yield pd.DataFrame({
+                "which": "xe_gpred",
+                "i": pdf["i"].to_numpy(),
+                "nums": list((delta @ rmat).astype(np.int64)),
+            })
+        yield pd.DataFrame({"which": "att_gk", "i": _rids, "nums": list(gk_acc)})
+        yield pd.DataFrame({
+            "which": "att_gv", "i": _rids,
+            "nums": list(np.repeat(gv_acc[:, None], d, axis=1)),
+        })
+        yield pd.DataFrame({"which": "xe_gtrg", "i": _rids, "nums": list(gtrg_acc)})
+
+    parts = vec.select("i", "vec", "label").mapInPandas(
+        run, "which string, i long, nums array<long>"
+    )
+    merged = _merge_long_arrays(parts, ["which", "i"])
+    out = merged.select("which", "i", F.posexplode("nums").alias("d", "num"))
+    micro = (
+        F.when(F.col("which") == "att_gv", _micro_col("num", 1_000))
+        .when(F.col("which").isin("att_gq", "att_gk"), _micro_col("num", 10_000))
+        .otherwise(_micro_col("num", 1_000_000))  # xe legs: 1e12-scaled
+    )
+    return out.select(
+        "which", "i", F.col("d").cast("long").alias("d"),
+        (micro.cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+
+
 # ------------------------------------------------------------ gram / mlp
 
 def gram_gate(vec: DataFrame, *, relu: bool = False) -> DataFrame:

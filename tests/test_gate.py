@@ -196,3 +196,36 @@ def test_fused_plain_kv_matches_separate_paths(spark):
     fused = attention_gate_plain_kv(vec, vec, v_rev, broadcast_kv=True)
     split = attention_gate_plain_kv(vec, vec, v_rev, broadcast_kv=False)
     assert _hash(fused.toPandas()) == _hash(split.toPandas())
+
+
+def test_fused_grads_match_separate_gates(spark):
+    """The fused attention+xentropy grads pass must be bit-identical to
+    the separate per-op gates (same math, same grids) on BOTH physical
+    paths."""
+    from pyspark.sql import functions as F
+
+    from gemmsql.ops.gate import (
+        attention_grads_gate,
+        attention_xe_grads_gate_fused,
+        xentropy_grads_gate,
+    )
+
+    vec = _vec(spark)
+
+    def tag(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("which")).alias("which"),
+            "i", "d", "val",
+        )
+
+    want = _hash(
+        tag(attention_grads_gate(vec.select("i", "vec")), "att_")
+        .unionByName(tag(xentropy_grads_gate(vec), "xe_"))
+        .toPandas()
+    )
+    assert _hash(
+        attention_xe_grads_gate_fused(vec, broadcast_kv=True).toPandas()
+    ) == want
+    assert _hash(
+        attention_xe_grads_gate_fused(vec, broadcast_kv=False).toPandas()
+    ) == want
