@@ -151,3 +151,82 @@ def kmeans_numpy(x: np.ndarray, seed_idx: np.ndarray, iters: int) -> np.ndarray:
             if m.any():
                 cent[cl] = x[m].mean(axis=0)
     return cent
+
+
+def pca_project(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 16,
+) -> DataFrame:
+    """PCA projection of the embeddings to ``k`` components ->
+    ``(i, proj array<double>)`` — the dimensionality-reduction step run
+    before ANN indexing / clustering at scale.
+
+    Spark shape: the D x D second-moment matrix and the column sums
+    come from ONE distributed pass — each Arrow batch emits D rows
+    ``(j, g = row j of X^T X, s = column-j sum, n = batch rows)``,
+    merged by a D-group in-row ``zip_with`` sum (the same
+    O(D^2)-shuffle monoid as ``gate.gram_gate``); the
+    eigendecomposition is driver-side on the tiny D x D matrix
+    (O(D^3) ~ microseconds at D=64, the standard big-data PCA split);
+    the projection is a broadcast narrow map.  Driver memory is O(D^2)
+    — corpus-size independent.  Components follow the deterministic
+    sign convention (largest-|.| coordinate positive) so results are
+    reproducible across runs and BLAS builds."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            g = x.T @ x
+            yield pd.DataFrame({
+                "j": np.arange(g.shape[0], dtype=np.int64),
+                "g": list(g),
+                "s": x.sum(axis=0),
+                "n": len(x),
+            })
+
+    parts = vec.select("vec").mapInPandas(
+        partial, "j long, g array<double>, s double, n long"
+    )
+    zero = F.transform(F.element_at(F.collect_list("g"), 1), lambda _: F.lit(0.0))
+    rows = (
+        parts.groupBy("j")
+        .agg(
+            F.aggregate(
+                F.collect_list("g"), zero,
+                lambda a, p: F.zip_with(a, p, lambda x, y: x + y),
+            ).alias("g"),
+            F.sum("s").alias("s"),
+            F.sum("n").alias("n"),  # every batch contributes n once per j
+        )
+        .orderBy("j")
+        .collect()
+    )
+    g = np.asarray([r["g"] for r in rows], dtype=np.float64)
+    n = int(rows[0]["n"])
+    mu = np.asarray([r["s"] for r in rows], dtype=np.float64) / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]  # (D, k)
+    # deterministic sign: largest-|.| coordinate of each component > 0
+    for c in range(comps.shape[1]):
+        jmax = np.argmax(np.abs(comps[:, c]))
+        if comps[jmax, c] < 0:
+            comps[:, c] = -comps[:, c]
+    bc = spark.sparkContext.broadcast((mu, comps))
+
+    def project(batches):
+        m, w = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            p = (x - m[None, :]) @ w
+            yield pd.DataFrame({"i": pdf["i"].to_numpy(), "proj": list(p)})
+
+    return vec.mapInPandas(project, "i long, proj array<double>")

@@ -609,6 +609,41 @@ def test_kmeans_matches_numpy_and_invariants(spark, emb_matrix):
     assert (out["d2"].to_numpy() >= -1e-12).all()
 
 
+def test_pca_matches_numpy(spark, emb_matrix):
+    """Spark one-pass PCA vs a driver-side NumPy reference on the same
+    data: identical covariance path (second moment / n − outer(mu)),
+    same deterministic sign rule — projections match to float-merge
+    tolerance, and per-component projected variance equals the top
+    eigenvalues."""
+    from gemmsql.pipeline.cluster import pca_project
+
+    ids, x, _ = emb_matrix
+    k = 16
+    out = pca_project(spark, SF_SMOKE, k=k).toPandas().sort_values("i")
+    assert len(out) == len(x)
+    got = np.asarray(out["proj"].tolist(), dtype=np.float64)
+    assert got.shape == (len(x), k)
+
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]
+    for c in range(k):
+        jmax = np.argmax(np.abs(comps[:, c]))
+        if comps[jmax, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = (x - mu[None, :]) @ comps
+
+    assert np.allclose(got, ref, atol=1e-6), (
+        f"max |diff| {np.abs(got - ref).max():.2e}"
+    )
+    # projected variance per component = top eigenvalues, descending
+    pvar = got.var(axis=0)
+    assert np.allclose(pvar, evals[order], rtol=1e-6)
+    assert (np.diff(pvar) <= 1e-12).all()
+
+
 def test_pack_sequences_integrity_and_determinism(spark):
     """Every doc packed exactly once; no sequence over budget except
     flagged long-doc singletons; per bucket at most one sequence below
