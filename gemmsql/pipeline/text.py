@@ -621,3 +621,183 @@ SELECT ws.doc_id,
     AS word_entropy
 FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
 """
+
+
+def vocab_build(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Ranked token vocabulary -> ``(word, token_id, tf, df, cum_frac)``
+    — the corpus-statistics step of tokenizer training (frequency
+    cutoffs, coverage curves).
+
+    ``token_id`` ranks by (tf desc, word asc) — a total, deterministic
+    order; ``cum_frac`` is the cumulative corpus-token coverage of the
+    vocabulary up to that rank (the "top K tokens cover X%" curve).
+
+    Spark shape: ONE shuffle — explode words and hash-aggregate
+    (map-side combine reduces the stream to |V| rows before exchange).
+    The ranking window is a sort of |V| rows (vocabulary-sized, NOT
+    corpus-sized: |V| grows ~log with corpus under Heaps' law, so the
+    single-partition prefix-sum window holds at 100 TB; if |V| ever
+    outgrew one partition the cum-sum becomes the standard two-pass
+    range-partitioned prefix sum).  cum/tot are exact integer sums on
+    both engines, so the rounded ratio is bit-identical."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .where(F.col("tf") >= min_tf)
+    )
+    rank = W.orderBy(F.desc("tf"), "word")
+    cum = W.orderBy(F.desc("tf"), "word").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return counts.select(
+        "word",
+        (F.row_number().over(rank) - 1).cast("long").alias("token_id"),
+        "tf",
+        "df",
+        F.round(
+            F.sum("tf").over(cum).cast("double")
+            / F.sum("tf").over(tot).cast("double"),
+            6,
+        ).alias("cum_frac"),
+    )
+
+
+VOCAB_BUILD_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (
+  SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM w GROUP BY word HAVING COUNT(*) >= 1
+)
+SELECT word,
+  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, word) - 1 AS BIGINT) AS token_id,
+  CAST(tf AS BIGINT) AS tf,
+  CAST(df AS BIGINT) AS df,
+  ROUND(CAST(SUM(tf) OVER (ORDER BY tf DESC, word
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / CAST(SUM(tf) OVER () AS DOUBLE), 6) AS cum_frac
+FROM c
+"""
+
+
+def bigram_pmi(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation scoring -> ``(a, b, c_ab, pmi)`` — the
+    pointwise-mutual-information signal tokenizer merge rules and
+    phrase-mining pipelines rank candidate pairs by.
+
+    ``pmi = ln p(a,b) − ln p(a) − ln p(b)`` with unigram/bigram
+    probabilities from exact corpus counts.  Each ``ln`` is quantized
+    to the 1e-9 integer grid before the exact integer combination (the
+    ``word_entropy`` discipline), so engine and oracle agree to the
+    rounded digit.
+
+    Spark shape: bigrams are built IN-ROW (transform over the token
+    array — no positional self-join, no shuffle to form pairs); one
+    hash-agg shuffle counts them; the two unigram lookups join against
+    the |V|-row count table, explicitly broadcast.  Corpus-scale cost
+    is the same one explode+agg pass as ``token_counts``."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split("text", " ").alias("w")).where(
+        F.size("w") >= 2
+    )
+    bg_all = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS a, w[i + 1] AS b))"
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    bigrams = (
+        bg_all.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = (
+        uni.agg(F.sum("c").cast("long").alias("n"))
+        .withColumn("k", F.lit(1))
+        .join(
+            bg_all.agg(F.count("*").cast("long").alias("m")).withColumn(
+                "k", F.lit(1)
+            ),
+            "k",
+        )
+    )
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1e9 + 0.5).cast("long")
+
+    ua = uni.select(F.col("word").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("word").alias("b"), F.col("c").alias("c_b"))
+    pmi_int = (
+        qln(F.col("c_ab"))
+        - qln(F.col("c_a"))
+        - qln(F.col("c_b"))
+        + F.lit(2) * qln(F.col("n"))
+        - qln(F.col("m"))
+    )
+    return (
+        bigrams.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(totals), "k")
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(pmi_int.cast("double") / 1e9, 6).alias("pmi"),
+        )
+    )
+
+
+BIGRAM_PMI_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT w[i] AS a, w[i + 1] AS b
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+),
+bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b
+       HAVING COUNT(*) >= 5),
+uni AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+uc AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+tot AS (SELECT (SELECT COUNT(*) FROM uni) AS n,
+               (SELECT COUNT(*) FROM bg) AS m)
+SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+  ROUND(CAST(
+      CAST(FLOOR(LN(CAST(bc.c_ab AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+    - CAST(FLOOR(LN(CAST(ca.c AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+    - CAST(FLOOR(LN(CAST(cb.c AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+    + 2 * CAST(FLOOR(LN(CAST(tot.n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+    - CAST(FLOOR(LN(CAST(tot.m AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+  AS DOUBLE) / 1000000000.0, 6) AS pmi
+FROM bc
+JOIN uc ca ON ca.word = bc.a
+JOIN uc cb ON cb.word = bc.b
+CROSS JOIN tot
+"""

@@ -71,8 +71,21 @@ def _rotated():
     ]
 
 
+def _library_tier():
+    """Ops that live outside the 50-entry registry by design but have
+    full SQL twins — same hash parity, enforced here."""
+    from gemmsql.pipeline import text
+
+    return [
+        ("vocab_build", text.vocab_build, text.VOCAB_BUILD_SQL),
+        ("bigram_pmi", text.bigram_pmi, text.BIGRAM_PMI_SQL),
+    ]
+
+
 @pytest.mark.parametrize(
-    "name,fn,sql", _rotated(), ids=[r[0] for r in _rotated()]
+    "name,fn,sql",
+    _rotated() + _library_tier(),
+    ids=[r[0] for r in _rotated() + _library_tier()],
 )
 def test_rotated_query_matches_oracle(spark, duck, name, fn, sql):
     sdf = fn(spark, SF_SMOKE).toPandas()
