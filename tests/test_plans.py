@@ -327,3 +327,33 @@ def test_fused_repetition_profile_shares_word_counts(spark):
     p = plan_of(repetition_profile(spark, SF_SMOKE))
     assert p.count("FileScan parquet") <= 2
     assert "CartesianProduct" not in p
+
+
+def test_vocab_build_single_count_shuffle(spark):
+    """vocab_build: one explode+hash-agg shuffle; the ranking window is
+    a vocabulary-sized sort, not a corpus join."""
+    from gemmsql.pipeline.text import vocab_build
+
+    p = plan_of(vocab_build(spark, SF_SMOKE))
+    assert "Join" not in p and "CartesianProduct" not in p
+    # tf+df in one pass: countDistinct expands to the standard two-phase
+    # (word, doc_id) -> word aggregate = exactly two hash exchanges
+    assert p.count("Exchange hashpartitioning") <= 2, (
+        "vocab_build: the word/doc-distinct count is the only shuffle chain"
+    )
+
+
+def test_bigram_pmi_broadcast_lookups_no_pair_shuffle(spark):
+    """bigram_pmi: bigrams form in-row (no positional self-join); the
+    unigram/total lookups broadcast; no sort-merge join anywhere."""
+    from gemmsql.pipeline.text import bigram_pmi
+
+    p = plan_of(bigram_pmi(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # one bigram-count shuffle + the unigram-count subtree instantiated
+    # per broadcast use (a-side, b-side, total) — each a bounded
+    # word-keyed aggregate, never a pair-keyed or corpus-keyed shuffle
+    assert p.count("Exchange hashpartitioning") <= 4, (
+        "only word-/pair-count aggregates may shuffle"
+    )
