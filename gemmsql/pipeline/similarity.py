@@ -514,6 +514,23 @@ IVF_K_MIN = 32
 IVF_NPROBE = 2
 
 
+def _ivf_centroids(vec: DataFrame, k_cent: int):
+    """The ``k_cent`` vectors with the smallest ``md5(vec_id)`` —
+    deterministic closed-form coarse quantizer shared by
+    :func:`ivf_topk` and :func:`semantic_dups`.  TakeOrderedAndProject
+    top-K (no full sort), O(K) = O(sqrt N) driver collect."""
+    cent_rows = (
+        vec.withColumn("hkey", F.md5(F.col("i").cast("string")))
+        .orderBy("hkey", "i")
+        .limit(k_cent)
+        .select("i", "vec")
+        .collect()
+    )
+    cent_ids = np.array([r["i"] for r in cent_rows], dtype=np.int64)
+    cent = np.asarray([r["vec"] for r in cent_rows], dtype=np.float64)
+    return cent_ids, cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
 def ivf_k_for(n_rows: int) -> int:
     """Centroid count: the smallest power of two >= sqrt(N), floored at
     IVF_K_MIN — the standard IVF sizing (cells ~ sqrt(N) rows, probe
@@ -557,17 +574,7 @@ def ivf_topk(
     the driver check is full hash parity vs the SQL replay below."""
     vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
     n_rows, _dim = _probe_vec(vec)
-    k_cent = ivf_k_for(n_rows)
-    cent_rows = (
-        vec.withColumn("hkey", F.md5(F.col("i").cast("string")))
-        .orderBy("hkey", "i")
-        .limit(k_cent)
-        .select("i", "vec")
-        .collect()
-    )
-    cent_ids = np.array([r["i"] for r in cent_rows], dtype=np.int64)
-    cent = np.asarray([r["vec"] for r in cent_rows], dtype=np.float64)
-    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cent_ids, cent_n = _ivf_centroids(vec, ivf_k_for(n_rows))
     bc = spark.sparkContext.broadcast((cent_ids, cent_n))
 
     def assign(batches):
@@ -704,6 +711,146 @@ ranked AS (
 SELECT qi AS i, ki AS j, ROUND(CAST(cos AS DOUBLE), 6) AS cos,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
+"""
+
+
+SEMDUP_NPROBE = 2
+
+
+def semantic_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = 0.4,
+    nprobe: int = SEMDUP_NPROBE,
+) -> DataFrame:
+    """Cluster-bucketed semantic near-duplicate pairs (the SemDeDup
+    recipe: coarse-cluster the embedding space, verify pairs only
+    WITHIN each cluster) -> ``(doc_a < doc_b, cos >= threshold)``.
+
+    Third dedup scale path next to the exact tiled scan
+    (:func:`embedding_dups`, O(N^2) work) and the LSH buckets
+    (:func:`embedding_dups_lsh`): cells come from the same closed-form
+    md5 coarse quantizer as :func:`ivf_topk` (``ivf_k_for(N)`` ~ sqrt N
+    centroids), so per-cell verification is O((N/K)^2) and total work
+    ~N^1.5 — and, unlike LSH bands, the buckets are *semantic*, which
+    is what lets the same cells drive mixture audits and topic caps.
+
+    Scale shape: centroid top-K collect is O(sqrt N); assignment is a
+    broadcast narrow map placing each vector in its ``nprobe`` nearest
+    cells (multi-probe: a pair is caught if ANY cell is shared —
+    single-assignment recall on md5-seeded centroids is poor, and
+    k-means-refined centroids would break the SQL replay); the ONLY
+    shuffle is the groupBy(cell) applyInPandas, carrying each vector
+    ``nprobe`` times.  A pair found in two shared cells folds to one
+    row via max(cos) (same-pair scores are computed from bit-identical
+    normalized rows — the ivf_topk pattern).  Recall vs the exact scan
+    is measured in pytest; the SQL twin replays centroids, multi-probe
+    assignment, and in-cell verification for hash parity.
+    """
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    n_rows, _dim = _probe_vec(vec)
+    cent_ids, cent_n = _ivf_centroids(vec, ivf_k_for(n_rows))
+    bc = spark.sparkContext.broadcast((cent_ids, cent_n))
+
+    def assign(batches):
+        ids, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            c = xn @ cn.T
+            order = np.lexsort((ids[None, :].repeat(len(c), 0), -c), axis=1)
+            np_ = min(nprobe, len(ids))
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"].values,
+                    "cells": list(ids[order[:, :np_]]),
+                    "vec": pdf["vec"].values,
+                }
+            )
+
+    assigned = vec.mapInPandas(
+        assign, schema="i long, cells array<long>, vec array<double>"
+    ).select(F.col("i"), F.explode("cells").alias("cell"), F.col("vec"))
+
+    def in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "cos": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "cos": "float64"})
+        ids = pdf["i"].to_numpy()
+        x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        c = xn @ xn.T
+        mask = (c >= threshold) & (ids[:, None] < ids[None, :])
+        r, co = np.nonzero(mask)
+        return pd.DataFrame(
+            {"doc_a": ids[r], "doc_b": ids[co], "cos": c[r, co]}
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(in_cell, "doc_a long, doc_b long, cos double")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("cos").alias("cos"))
+        .select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+SEMANTIC_DUPS_SQL = f"""
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+ivfk AS (
+  SELECT MIN(t.g) AS k FROM range(5, 32) t(g)
+  WHERE (CAST(1 AS BIGINT) << CAST(t.g AS INTEGER))
+        * (CAST(1 AS BIGINT) << CAST(t.g AS INTEGER))
+        >= (SELECT COUNT(*) FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS i FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= (SELECT CAST(1 AS BIGINT) << CAST(k AS INTEGER) FROM ivfk)
+),
+norms AS (SELECT i, SQRT(SUM(v * v)) AS nrm FROM coo GROUP BY 1),
+cdots AS (
+  SELECT a.i AS qi, b.i AS ci, SUM(a.v * b.v) AS dot
+  FROM coo a JOIN coo b USING (j)
+  WHERE b.i IN (SELECT i FROM cents) GROUP BY 1, 2
+),
+ccos AS (
+  SELECT qi, ci, dot / (na.nrm * nb.nrm) AS cos
+  FROM cdots JOIN norms na ON na.i = qi JOIN norms nb ON nb.i = ci
+),
+cell AS (
+  SELECT qi AS i, ci AS cell FROM (
+    SELECT qi, ci,
+           ROW_NUMBER() OVER (PARTITION BY qi ORDER BY cos DESC, ci) AS rn
+    FROM ccos
+  ) WHERE rn <= {SEMDUP_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT x.i AS doc_a, y.i AS doc_b
+  FROM cell x JOIN cell y ON x.cell = y.cell AND x.i < y.i
+),
+pdots AS (
+  SELECT c.doc_a, c.doc_b, SUM(a.v * b.v) AS dot
+  FROM cand c
+  JOIN coo a ON a.i = c.doc_a
+  JOIN coo b ON b.i = c.doc_b AND b.j = a.j
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(dot / (na.nrm * nb.nrm) AS DOUBLE), 6) AS cos
+FROM pdots JOIN norms na ON na.i = doc_a JOIN norms nb ON nb.i = doc_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
 """
 
 

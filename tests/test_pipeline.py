@@ -410,6 +410,30 @@ def test_embedding_dups_lsh_recall_and_precision(spark):
         assert len(e & l) / len(e) >= 0.9, (len(e), len(l))
 
 
+def test_semantic_dups_precision_and_multiprobe(spark):
+    """Cluster-bucketed semantic dedup vs the exact all-pairs scan:
+    every reported pair is a true above-threshold pair (in-cell
+    verification is exact), multi-probe assignment strictly widens
+    coverage, and recall clears a sanity floor.  The floor is low by
+    design HERE: the synthetic embeddings have only borderline pairs
+    (all exact pairs sit in the 0.4-0.5 cos band — no true near-dups),
+    the hardest case for semantic bucketing; LSH remains the
+    high-recall path (test above), semantic cells the
+    topic-coherent one."""
+    from gemmsql.pipeline.similarity import embedding_dups, semantic_dups
+
+    exact = embedding_dups(spark, SF_SMOKE, threshold=0.4).toPandas()
+    e = set(zip(exact["doc_a"], exact["doc_b"]))
+    sem1 = semantic_dups(spark, SF_SMOKE, nprobe=1).toPandas()
+    sem2 = semantic_dups(spark, SF_SMOKE, nprobe=2).toPandas()
+    s1 = set(zip(sem1["doc_a"], sem1["doc_b"]))
+    s2 = set(zip(sem2["doc_a"], sem2["doc_b"]))
+    assert s1 <= e and s2 <= e, "semantic path reported a non-pair"
+    assert s1 <= s2, "multi-probe must only add pairs"
+    if e:
+        assert len(s2 & e) / len(e) >= 0.3, (len(e), len(s2))
+
+
 def test_ivf_centroid_rule_sqrt_n(spark):
     """Centroid count follows the closed-form sqrt(N) rule: K is the
     smallest power of two with K^2 >= N (floored at 32), grows with the

@@ -74,11 +74,13 @@ def _rotated():
 def _library_tier():
     """Ops that live outside the 50-entry registry by design but have
     full SQL twins — same hash parity, enforced here."""
-    from gemmsql.pipeline import text
+    from gemmsql.pipeline import similarity, text
 
     return [
         ("vocab_build", text.vocab_build, text.VOCAB_BUILD_SQL),
         ("bigram_pmi", text.bigram_pmi, text.BIGRAM_PMI_SQL),
+        ("semantic_dups", similarity.semantic_dups,
+         similarity.SEMANTIC_DUPS_SQL),
     ]
 
 
