@@ -101,3 +101,42 @@ def read_binary_files(
     if glob is not None:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+    n_files: int | None = None,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized sink: hive-partition on low-cardinality keys
+    and range-split + SORT the data on ``cluster_by`` before writing,
+    so every output file covers a narrow, ordered key range.
+
+    Why it matters at 100 TB: parquet readers skip row groups whose
+    min/max stats exclude the predicate.  An unsorted write scatters
+    every key across every file (stats span the full domain — nothing
+    skips); this sink makes the stats tight, which turns point/range
+    predicates on ``cluster_by`` into touched-bytes proportional to
+    selectivity — the lakehouse "clustering" story without a table
+    format.  ``repartitionByRange`` adds the one range-exchange this
+    costs; with ``partition_by`` the exchange groups by partition key
+    instead so each task writes one hive partition."""
+    cluster = list(cluster_by)
+    if partition_by:
+        part = list(partition_by)
+        d = df.repartition(*part).sortWithinPartitions(*(part + cluster))
+    elif n_files is not None:
+        d = df.repartitionByRange(n_files, *cluster).sortWithinPartitions(
+            *cluster
+        )
+    else:
+        d = df.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
+    w = d.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -357,3 +357,44 @@ def test_bigram_pmi_broadcast_lookups_no_pair_shuffle(spark):
     assert p.count("Exchange hashpartitioning") <= 4, (
         "only word-/pair-count aggregates may shuffle"
     )
+
+
+def test_clustered_write_tightens_rowgroup_stats(spark, tmp_path):
+    """write_clustered must produce files whose cluster-key ranges are
+    narrow and disjoint (tight parquet min/max stats -> row-group data
+    skipping), and a read-back range predicate must reach the scan as
+    a pushed filter."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.sources import write_clustered
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(orders, out, cluster_by=("o_custkey",), n_files=4)
+
+    files = sorted(Path(out).glob("*.parquet"))
+    assert len(files) >= 2, "range split must produce multiple files"
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_custkey")
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    domain = max(h for _, h in spans) - min(l for l, _ in spans)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2, "file key ranges must be disjoint (range split)"
+        assert (h1 - l1) <= domain / 2, "per-file span must be narrow"
+
+    back = spark.read.parquet(out).where("o_custkey < 100")
+    p = plan_of(back)
+    assert re.search(r"PushedFilters: \[.*o_custkey.*\]", p), (
+        "range predicate must reach the parquet scan"
+    )
