@@ -854,6 +854,138 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.4
 """
 
 
+def cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space mixture audit ->
+    ``(cell, n_vecs, top_label, top_frac, label_entropy)``.
+
+    Assigns every vector to its nearest closed-form md5 centroid cell
+    (the :func:`semantic_dups` / :func:`ivf_topk` quantizer) and
+    profiles each cell's label composition: dominant label + its
+    share, and the label-distribution entropy (0 = pure cell).  This
+    is the embedding-level companion of ``text.corpus_profile`` — the
+    audit a data-mixture owner runs to see whether topical buckets are
+    dominated by one source/class before reweighting.
+
+    Scale shape: assignment is a broadcast narrow map; the only
+    shuffles are the (cell, label) count and the |cells|-keyed window
+    — both bounded by K*|labels| ~ sqrt(N)*|labels| rows, never O(N).
+    Entropy uses the quantized-ln discipline (``word_entropy``), so
+    the SQL twin replays it for hash parity."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec", "label")
+    n_rows, _dim = _probe_vec(vec)
+    cent_ids, cent_n = _ivf_centroids(vec.select("i", "vec"), ivf_k_for(n_rows))
+    bc = spark.sparkContext.broadcast((cent_ids, cent_n))
+
+    def assign(batches):
+        ids, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            c = xn @ cn.T
+            order = np.lexsort((ids[None, :].repeat(len(c), 0), -c), axis=1)
+            yield pd.DataFrame(
+                {"cell": ids[order[:, 0]], "label": pdf["label"].values}
+            )
+
+    counts = (
+        vec.mapInPandas(assign, schema="cell long, label long")
+        .groupBy("cell", "label")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wcell = W.partitionBy("cell")
+    worder = W.partitionBy("cell").orderBy(F.desc("c"), "label")
+    tsum = F.sum(
+        F.floor(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+            * 1e9 + 0.5
+        ).cast("long")
+    ).over(wcell)
+    n = F.sum("c").over(wcell)
+    return (
+        counts.withColumn("n_vecs", n)
+        .withColumn("tsum", tsum)
+        .withColumn("rn", F.row_number().over(worder))
+        .where(F.col("rn") == 1)
+        .select(
+            "cell",
+            "n_vecs",
+            F.col("label").alias("top_label"),
+            F.round(F.col("c").cast("double") / F.col("n_vecs"), 6).alias(
+                "top_frac"
+            ),
+            F.round(
+                F.log(F.col("n_vecs").cast("double"))
+                - (F.col("tsum").cast("double") / 1e9)
+                / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("label_entropy"),
+        )
+    )
+
+
+CELL_PROFILE_SQL = f"""
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+ivfk AS (
+  SELECT MIN(t.g) AS k FROM range(5, 32) t(g)
+  WHERE (CAST(1 AS BIGINT) << CAST(t.g AS INTEGER))
+        * (CAST(1 AS BIGINT) << CAST(t.g AS INTEGER))
+        >= (SELECT COUNT(*) FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS i FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= (SELECT CAST(1 AS BIGINT) << CAST(k AS INTEGER) FROM ivfk)
+),
+norms AS (SELECT i, SQRT(SUM(v * v)) AS nrm FROM coo GROUP BY 1),
+cdots AS (
+  SELECT a.i AS qi, b.i AS ci, SUM(a.v * b.v) AS dot
+  FROM coo a JOIN coo b USING (j)
+  WHERE b.i IN (SELECT i FROM cents) GROUP BY 1, 2
+),
+ccos AS (
+  SELECT qi, ci, dot / (na.nrm * nb.nrm) AS cos
+  FROM cdots JOIN norms na ON na.i = qi JOIN norms nb ON nb.i = ci
+),
+cell AS (
+  SELECT qi AS i, ci AS cell FROM (
+    SELECT qi, ci,
+           ROW_NUMBER() OVER (PARTITION BY qi ORDER BY cos DESC, ci) AS rn
+    FROM ccos
+  ) WHERE rn = 1
+),
+cl AS (
+  SELECT cell.cell, CAST(e.label AS BIGINT) AS label, COUNT(*) AS c
+  FROM cell JOIN embeddings e ON e.vec_id = cell.i
+  GROUP BY 1, 2
+),
+prof AS (
+  SELECT cell, label, c,
+         SUM(c) OVER (PARTITION BY cell) AS n_vecs,
+         SUM(CAST(FLOOR(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+             * 1000000000.0 + 0.5) AS BIGINT))
+           OVER (PARTITION BY cell) AS tsum,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY c DESC, label) AS rn
+  FROM cl
+)
+SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs, label AS top_label,
+       ROUND(CAST(c AS DOUBLE) / n_vecs, 6) AS top_frac,
+       ROUND(LN(CAST(n_vecs AS DOUBLE))
+             - (CAST(tsum AS DOUBLE) / 1000000000.0) / n_vecs, 6)
+         AS label_entropy
+FROM prof WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ codes + asymmetric-distance top-k)
 # ---------------------------------------------------------------------------

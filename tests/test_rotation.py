@@ -81,6 +81,8 @@ def _library_tier():
         ("bigram_pmi", text.bigram_pmi, text.BIGRAM_PMI_SQL),
         ("semantic_dups", similarity.semantic_dups,
          similarity.SEMANTIC_DUPS_SQL),
+        ("cell_profile", similarity.cell_profile,
+         similarity.CELL_PROFILE_SQL),
     ]
 
 
