@@ -316,7 +316,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (quiet_customers, returning_customers, order_priority_pivot,
     props_stats, user_value_movavg — green in CORRECTNESS r1 AND r2;
     still exported by gemmsql.pipeline and pytest-verified against
-    DuckDB in tests/test_pipeline.py)."""
+    DuckDB in tests/test_pipeline.py).
+
+    Library tier (outside the 50 by design, same hard signal in
+    pytest): vocab_build, bigram_pmi, semantic_dups, and cell_profile
+    carry full SQL twins hash-checked in tests/test_rotation.py;
+    kmeans_embeddings, pca_project, pack_sequences, and
+    build_training_corpus are NumPy-differential / invariant-tested
+    (iterative or driver-composed — not single-statement SQL)."""
     from gemmsql.pipeline import dedup, events, joins, relational, text
     from gemmsql.pipeline.multimodal import payload_meta
 
