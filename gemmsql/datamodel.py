@@ -31,15 +31,20 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects;
-        # read the raw int64 nanos and truncate to microseconds (exactly
-        # what DuckDB's nanos->micros read does, so the oracle agrees).
+        # events.ts has shipped as TIMESTAMP(NANOS) parquet (Spark
+        # rejects it — read int64 nanos, truncate to micros like DuckDB)
+        # and as tz-naive micros (Spark 4 reads TIMESTAMP_NTZ).  Either
+        # way normalize to TIMESTAMP: session TZ is pinned UTC, so the
+        # NTZ cast is identity and matches DuckDB epoch semantics.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

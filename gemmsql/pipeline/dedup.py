@@ -330,11 +330,12 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    # full-table sizes (identical values for candidate docs, and the
-    # same cached plan jaccard_pairs builds -> one agg serves both)
-    sizes = scoped_cache(
-        shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    )
+    # sizes restricted to candidate docs BEFORE the broadcast: sh_c is
+    # already the candidate-only shingle table, so its per-doc counts
+    # equal the full-table counts for every doc that can appear in a
+    # pair.  Broadcasting corpus-wide sizes (one row per document) would
+    # be billions of rows at 100 TB; this is bounded by |candidates|.
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gemmsql.caching import scoped_cache
 from gemmsql.datamodel import load_table
 
 STOPWORDS = {
@@ -637,14 +638,31 @@ def vocab_build(
     order; ``cum_frac`` is the cumulative corpus-token coverage of the
     vocabulary up to that rank (the "top K tokens cover X%" curve).
 
-    Spark shape: ONE shuffle — explode words and hash-aggregate
-    (map-side combine reduces the stream to |V| rows before exchange).
-    The ranking window is a sort of |V| rows (vocabulary-sized, NOT
-    corpus-sized: |V| grows ~log with corpus under Heaps' law, so the
-    single-partition prefix-sum window holds at 100 TB; if |V| ever
-    outgrew one partition the cum-sum becomes the standard two-pass
-    range-partitioned prefix sum).  cum/tot are exact integer sums on
-    both engines, so the rounded ratio is bit-identical."""
+    Spark shape: explode + one hash-agg shuffle builds the |V|-row count
+    table; the global rank / prefix sum is then a RANGE-PARTITIONED
+    two-pass scheme, never a single-partition window.  Under Heaps' law
+    |V| ∝ N^β (β≈0.4–0.6), so a 100 TB corpus carries hundreds of
+    millions to billions of vocabulary types — a global unpartitioned
+    ``row_number`` window would put all of them in one task.  Instead:
+
+    1. ``repartitionByRange`` on the sort key (tf desc, word) — range
+       partition p holds keys strictly before partition p+1's;
+    2. per-partition local rank + local cumulative tf (window
+       PARTITIONED by the range-partition id — parallel);
+    3. per-partition row/tf totals (one tiny P-row aggregate) turned
+       into exclusive prefix offsets with a P×P self-join (P = shuffle
+       parallelism, so ~10³ rows even on a large cluster — no global
+       window here either), broadcast back, and added to the local
+       values.
+
+    The |V|-row ranked table is cached (vocabulary-sized, orders of
+    magnitude below corpus size) so the totals pass and the final join
+    read it instead of re-running the corpus explode+aggregate.
+
+    Global values are exactly local + offset because word keys are
+    unique and range partitions are ordered, so hash parity with the
+    single-window oracle is unchanged.  cum/tot are exact integer sums
+    on both engines, so the rounded ratio is bit-identical."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -657,21 +675,52 @@ def vocab_build(
         )
         .where(F.col("tf") >= min_tf)
     )
-    rank = W.orderBy(F.desc("tf"), "word")
-    cum = W.orderBy(F.desc("tf"), "word").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = counts.repartitionByRange(
+        n_parts, F.desc("tf"), F.asc("word")
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = W.partitionBy("pid").orderBy(F.desc("tf"), "word")
+    wcum = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = scoped_cache(
+        ranged.select(
+            "word",
+            "tf",
+            "df",
+            "pid",
+            F.row_number().over(wloc).cast("long").alias("lrank"),
+            F.sum("tf").over(wcum).cast("long").alias("lcum"),
+        ),
+        fresh_scope=True,
     )
-    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return counts.select(
-        "word",
-        (F.row_number().over(rank) - 1).cast("long").alias("token_id"),
-        "tf",
-        "df",
-        F.round(
-            F.sum("tf").over(cum).cast("double")
-            / F.sum("tf").over(tot).cast("double"),
-            6,
-        ).alias("cum_frac"),
+    ptot = local.groupBy("pid").agg(
+        F.count("*").cast("long").alias("n"), F.sum("tf").cast("long").alias("s")
+    )
+    a, b = ptot.alias("a"), ptot.alias("b")
+    offs = (
+        a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.coalesce(F.sum("b.n"), F.lit(0)).cast("long").alias("rank_off"),
+            F.coalesce(F.sum("b.s"), F.lit(0)).cast("long").alias("cum_off"),
+        )
+    )
+    tot = ptot.agg(F.sum("s").cast("long").alias("tot"))
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            (F.col("lrank") + F.col("rank_off") - 1)
+            .cast("long")
+            .alias("token_id"),
+            "tf",
+            "df",
+            F.round(
+                (F.col("lcum") + F.col("cum_off")).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("cum_frac"),
+        )
     )
 
 

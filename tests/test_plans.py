@@ -329,18 +329,25 @@ def test_fused_repetition_profile_shares_word_counts(spark):
     assert "CartesianProduct" not in p
 
 
-def test_vocab_build_single_count_shuffle(spark):
-    """vocab_build: one explode+hash-agg shuffle; the ranking window is
-    a vocabulary-sized sort, not a corpus join."""
+def test_vocab_build_no_global_window(spark):
+    """vocab_build: the rank / prefix sum must be range-partitioned —
+    NEVER a single-partition global window (|V| is Heaps'-law huge at
+    100 TB).  Every Window in the executed plan must carry a
+    partition spec, and the per-partition offset/total lookups must
+    broadcast (they are P-row tables)."""
     from gemmsql.pipeline.text import vocab_build
 
     p = plan_of(vocab_build(spark, SF_SMOKE))
-    assert "Join" not in p and "CartesianProduct" not in p
-    # tf+df in one pass: countDistinct expands to the standard two-phase
-    # (word, doc_id) -> word aggregate = exactly two hash exchanges
-    assert p.count("Exchange hashpartitioning") <= 2, (
-        "vocab_build: the word/doc-distinct count is the only shuffle chain"
+    for line in p.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "pid" in line, (
+                "vocab_build window must be partitioned by range-partition "
+                f"id, got unpartitioned window: {line.strip()}"
+            )
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
+        "offset/total lookups must broadcast"
     )
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
 def test_bigram_pmi_broadcast_lookups_no_pair_shuffle(spark):
