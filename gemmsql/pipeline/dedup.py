@@ -272,7 +272,10 @@ def minhash_lsh_pairs(
     shingles = scoped_cache(
         cap_shingles(doc_shingles(spark, sf_dir)), fresh_scope=True
     )
-    wide = _minhash_wide(shingles)
+    # signature table: ONE row per doc (13 ints) — orders of magnitude
+    # below the shingle table, safe to cache at any scale, and reused by
+    # every run / downstream consumer (dedup_clusters) in the scope
+    wide = scoped_cache(_minhash_wide(shingles))
     n_bands = N_PERMS // BAND_ROWS
     band_rows = [
         F.struct(
@@ -317,7 +320,9 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = shingles.join(F.broadcast(cand_docs), "doc_id")
+    # candidate-only shingles: bounded by |candidate docs| x shingles/doc,
+    # consumed twice (intersection + sizes) -> cache the small table
+    sh_c = scoped_cache(shingles.join(F.broadcast(cand_docs), "doc_id"))
     a = sh_c.alias("sa")
     b = sh_c.alias("sb")
     inter = (
