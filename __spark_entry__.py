@@ -311,20 +311,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (VERDICT r2 next #1): identical-schema families are merged into
     tagged unions (gram+relu, the 3 attention variants, the 3 gradient
     ops) or doc_id joins (text_stats+token_counts,
-    repetition_stats+word_entropy), and five multiply-proven
-    relational/event variants sit out this round's rotation
+    repetition_stats+word_entropy).  Rotation (VERDICT r3 next #2):
+    nine multiply-proven relational/event variants sit out this round
     (quiet_customers, returning_customers, order_priority_pivot,
-    props_stats, user_value_movavg — green in CORRECTNESS r1 AND r2;
-    still exported by gemmsql.pipeline and pytest-verified against
-    DuckDB in tests/test_pipeline.py).
+    props_stats, user_value_movavg — out since r3 — plus
+    top_orders_per_customer, sales_rollup, high_value_customers,
+    time_since_last_error, green in CORRECTNESS r1–r3); all stay
+    exported and hash-checked against DuckDB in
+    tests/test_rotation.py.  In their place the round-3 corpus ops
+    vocab_build, bigram_pmi, semantic_dups, and cell_profile are now
+    driver-gated.
 
-    Library tier (outside the 50 by design, same hard signal in
-    pytest): vocab_build, bigram_pmi, semantic_dups, and cell_profile
-    carry full SQL twins hash-checked in tests/test_rotation.py;
-    kmeans_embeddings, pca_project, pack_sequences, and
-    build_training_corpus are NumPy-differential / invariant-tested
-    (iterative or driver-composed — not single-statement SQL)."""
-    from gemmsql.pipeline import dedup, events, joins, relational, text
+    Library tier (outside the 50 by design): kmeans_embeddings,
+    pca_project, pack_sequences, and build_training_corpus are
+    NumPy-differential / invariant-tested (iterative or
+    driver-composed — not single-statement SQL)."""
+    from gemmsql.pipeline import dedup, events, joins, relational, similarity, text
     from gemmsql.pipeline.multimodal import payload_meta
 
     return {
@@ -364,14 +366,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": text.stratified_sample,
         "repetition_stats": q_repetition_stats,  # + word_entropy column
         "corpus_profile": text.corpus_profile,
+        "vocab_build": text.vocab_build,
+        "bigram_pmi": text.bigram_pmi,
+        # --- embedding-space corpus ops ---
+        "semantic_dups": similarity.semantic_dups,
+        "cell_profile": similarity.cell_profile,
         # --- relational / OLAP ---
         "pricing_summary": relational.pricing_summary,
         "shipping_priority": relational.shipping_priority,
         "nation_revenue": relational.nation_revenue,
-        "top_orders_per_customer": relational.top_orders_per_customer,
-        "sales_rollup": relational.sales_rollup,
         "segment_quantiles": relational.segment_quantiles,
-        "high_value_customers": relational.high_value_customers,
         "brand_sales_cube": relational.brand_sales_cube,
         "price_band_join": relational.price_band_join,
         # --- event analytics ---
@@ -379,7 +383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_event_counts": events.sliding_event_counts,
         "sessionize": events.sessionize,
         "user_activity_profile": events.user_activity_profile,
-        "time_since_last_error": events.time_since_last_error,
         "last_order_before_event": joins.last_order_before_event,
         # approximate by design, but the md5-register HLL + exact
         # quantiles are fully replayable -> hash parity (r3)
@@ -610,7 +613,14 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.ops.sampling import sampling_sql
     from gemmsql.sketches import USER_REACH_SKETCH_SQL
-    from gemmsql.pipeline import dedup, events, joins, relational, text
+    from gemmsql.pipeline import (
+        dedup,
+        events,
+        joins,
+        relational,
+        similarity,
+        text,
+    )
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
     from gemmsql.streaming.windows import (
         STREAMING_ENRICH_GATE_SQL,
@@ -662,20 +672,20 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.stratified_sample_sql(),
         "repetition_stats": repetition_sql,
         "corpus_profile": text.CORPUS_PROFILE_SQL,
+        "vocab_build": text.VOCAB_BUILD_SQL,
+        "bigram_pmi": text.BIGRAM_PMI_SQL,
+        "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
+        "cell_profile": similarity.CELL_PROFILE_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "nation_revenue": relational.NATION_REVENUE_SQL,
-        "top_orders_per_customer": relational.TOP_ORDERS_SQL,
-        "sales_rollup": relational.SALES_ROLLUP_SQL,
         "segment_quantiles": relational.SEGMENT_QUANTILES_SQL,
-        "high_value_customers": relational.HIGH_VALUE_CUSTOMERS_SQL,
         "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
         "price_band_join": relational.PRICE_BAND_JOIN_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
         "sliding_event_counts": events.SLIDING_EVENT_COUNTS_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_profile": events.USER_ACTIVITY_PROFILE_SQL,
-        "time_since_last_error": events.TIME_SINCE_LAST_ERROR_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
         "user_reach_sketch": USER_REACH_SKETCH_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,

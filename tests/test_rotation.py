@@ -1,10 +1,13 @@
 """Oracle checks for the queries rotated OUT of the 50-entry driver
 registry this round (see ``__spark_entry__.queries`` docstring).
 
-The driver gate only sees the first 50 registered queries; these five
-multiply-proven relational/event variants sit out the round-3 rotation
-but must stay correct — the same Spark-vs-DuckDB hash comparison the
-driver runs, executed here in pytest so the hard signal never lapses.
+The driver gate only sees the first 50 registered queries; these nine
+multiply-proven relational/event variants sit out the round-4 rotation
+(five since round 3, four newly rotated out to make room for the
+round-3 corpus ops vocab_build / bigram_pmi / semantic_dups /
+cell_profile) but must stay correct — the same Spark-vs-DuckDB hash
+comparison the driver runs, executed here in pytest so the hard
+signal never lapses.
 """
 
 from __future__ import annotations
@@ -56,7 +59,7 @@ def duck():
 
 
 def _rotated():
-    from gemmsql.pipeline import events, relational
+    from gemmsql.pipeline import events, joins, relational
 
     return [
         ("quiet_customers", relational.quiet_customers,
@@ -68,28 +71,22 @@ def _rotated():
         ("props_stats", events.props_stats, events.PROPS_STATS_SQL),
         ("user_value_movavg", events.user_value_movavg,
          events.USER_VALUE_MOVAVG_SQL),
-    ]
-
-
-def _library_tier():
-    """Ops that live outside the 50-entry registry by design but have
-    full SQL twins — same hash parity, enforced here."""
-    from gemmsql.pipeline import similarity, text
-
-    return [
-        ("vocab_build", text.vocab_build, text.VOCAB_BUILD_SQL),
-        ("bigram_pmi", text.bigram_pmi, text.BIGRAM_PMI_SQL),
-        ("semantic_dups", similarity.semantic_dups,
-         similarity.SEMANTIC_DUPS_SQL),
-        ("cell_profile", similarity.cell_profile,
-         similarity.CELL_PROFILE_SQL),
+        # rotated out in round 4 for the corpus ops
+        ("top_orders_per_customer", relational.top_orders_per_customer,
+         relational.TOP_ORDERS_SQL),
+        ("sales_rollup", relational.sales_rollup,
+         relational.SALES_ROLLUP_SQL),
+        ("high_value_customers", relational.high_value_customers,
+         relational.HIGH_VALUE_CUSTOMERS_SQL),
+        ("time_since_last_error", events.time_since_last_error,
+         events.TIME_SINCE_LAST_ERROR_SQL),
     ]
 
 
 @pytest.mark.parametrize(
     "name,fn,sql",
-    _rotated() + _library_tier(),
-    ids=[r[0] for r in _rotated() + _library_tier()],
+    _rotated(),
+    ids=[r[0] for r in _rotated()],
 )
 def test_rotated_query_matches_oracle(spark, duck, name, fn, sql):
     sdf = fn(spark, SF_SMOKE).toPandas()
