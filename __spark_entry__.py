@@ -199,6 +199,19 @@ def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ax.unionByName(m)
 
 
+def q_chain_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END gradients of the composed op ``xentropy(mlp(x))`` —
+    the reference's chained training step (autograd composition,
+    reference core.py:37-58): explicit chain rule through the gate,
+    ``which`` in {gx, gp, gq, gtrg} (gemmsql/ops/gate.py
+    ``chain_grads_gate``; float-precision twin in gemmsql/ops/chain.py)."""
+    from gemmsql.ops.gate import BROADCAST_MAX_ROWS, chain_grads_gate
+
+    vec = _vec(spark, sf_dir)
+    bcast = vec.count() <= BROADCAST_MAX_ROWS
+    return chain_grads_gate(vec, broadcast_trg=bcast)
+
+
 def q_attention_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.ops.gate import attention_batched_gate
 
@@ -340,13 +353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling": q_sampling,  # seeded hash-noise: full oracle parity (r2)
         # --- backward passes (recompute-strategy second jobs) ---
         "ml_grads": q_ml_grads,          # att_g*/xe_g*/mlp_g* legs
+        "chain_grads": q_chain_grads,    # end-to-end xentropy(mlp(x))
         # --- similarity search / ANN ---
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate but deterministic: full parity
         "ivf_topk": q_ivf_topk,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
-        "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         # --- multimodal ---
         "payload_meta": payload_meta,
@@ -529,6 +542,80 @@ SELECT 'gq', gq.i, dims.j, CAST(gq.num AS DOUBLE) / 1000000.0
 FROM gq CROSS JOIN dims
 """
 
+# Chained training step xentropy(mlp(x), trg=x): the quantized MLP
+# forward (pred on the 1e6 grid), the xentropy softmax/delta chain on
+# pred-vs-trg, then the chain rule back through the MLP — every
+# requantization floor(v/1e12*1e6 + .5) in the same association order
+# as the NumPy kernels (gate.chain_grads_gate).
+CHAIN_GRADS_SQL = f"""
+WITH {_QCOO},
+{_MLP_CHAIN},
+y AS (SELECT hs.i, w.k AS j, CAST(SUM(hs.hs * w.vq) AS BIGINT) AS y_int
+      FROM hs JOIN wq w ON hs.j = w.i GROUP BY hs.i, w.k),
+ps AS (SELECT i, j,
+         CAST(FLOOR(CAST(y_int AS DOUBLE) / 1000000000000.0 * 1000000.0
+              + 0.5) AS BIGINT) AS vq
+       FROM y),
+qs2 AS (SELECT p.i AS qi, t.i AS ki, CAST(SUM(p.vq * t.vq) AS BIGINT) AS s_int
+        FROM ps p JOIN qcoo t USING (j) GROUP BY p.i, t.i),
+sc2 AS (SELECT qi, ki, CAST(s_int AS DOUBLE) / 1000000000000.0 AS s FROM qs2),
+mxt2 AS (SELECT qi, MAX(s) AS mx FROM sc2 GROUP BY qi),
+e2 AS (SELECT sc2.qi, sc2.ki,
+         CAST(FLOOR(EXP(sc2.s - mxt2.mx) * 1000000.0 + 0.5) AS BIGINT) AS e_int
+       FROM sc2 JOIN mxt2 USING (qi)),
+sden2 AS (SELECT qi, CAST(SUM(e_int) AS BIGINT) AS s FROM e2 GROUP BY qi),
+delta AS (SELECT e2.qi, e2.ki,
+            CAST(FLOOR(CAST(e2.e_int AS DOUBLE) / CAST(sden2.s AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT)
+            - CASE WHEN e2.ki = CAST(em.label AS BIGINT)
+                   THEN 1000000 ELSE 0 END AS dv
+          FROM e2 JOIN sden2 USING (qi)
+          JOIN embeddings em ON em.vec_id = e2.qi),
+gpredn AS (SELECT delta.qi AS i, t.j, CAST(SUM(delta.dv * t.vq) AS BIGINT) AS num
+           FROM delta JOIN qcoo t ON t.i = delta.ki GROUP BY delta.qi, t.j),
+gtrgn AS (SELECT delta.ki AS i, p.j AS d, CAST(SUM(delta.dv * p.vq) AS BIGINT) AS num
+          FROM delta JOIN ps p ON p.i = delta.qi GROUP BY delta.ki, p.j),
+gsq AS (SELECT i, j,
+          CAST(FLOOR(CAST(num AS DOUBLE) / 1000000000000.0 * 1000000.0
+               + 0.5) AS BIGINT) AS vq
+        FROM gpredn),
+gan AS (SELECT g.i, w.i AS j, CAST(SUM(g.vq * w.vq) AS BIGINT) AS num
+        FROM gsq g JOIN wq w ON w.k = g.j GROUP BY g.i, w.i),
+gamq AS (SELECT i, j,
+           CAST(FLOOR(CAST(num AS DOUBLE) / 1000000000000.0 * 1000000.0
+                + 0.5) AS BIGINT) AS vq
+         FROM gan),
+ghq AS (SELECT gamq.i, gamq.j,
+          CASE WHEN h.h_int > 0 THEN gamq.vq ELSE 0 END AS vq
+        FROM gamq JOIN h ON h.i = gamq.i AND h.j = gamq.j),
+gs9 AS (SELECT i, j,
+          CAST(FLOOR(CAST(num AS DOUBLE) / 1000000000000.0 * 1000000000.0
+               + 0.5) AS BIGINT) AS vq
+        FROM gpredn),
+gan9 AS (SELECT g.i, w.i AS j, CAST(SUM(g.vq * w.vq) AS BIGINT) AS num
+         FROM gs9 g JOIN wq w ON w.k = g.j GROUP BY g.i, w.i),
+gam9 AS (SELECT i, j,
+           CAST(FLOOR(CAST(num AS DOUBLE) / 1000000000000000.0
+                * 1000000000.0 + 0.5) AS BIGINT) AS vq
+         FROM gan9),
+ghq9 AS (SELECT gam9.i, gam9.j,
+           CASE WHEN h.h_int > 0 THEN gam9.vq ELSE 0 END AS vq
+         FROM gam9 JOIN h ON h.i = gam9.i AND h.j = gam9.j),
+gxn AS (SELECT g.i, w.i AS d, CAST(SUM(g.vq * w.vq) AS BIGINT) AS num
+        FROM ghq9 g JOIN wq w ON w.k = g.j GROUP BY g.i, w.i),
+gpn AS (SELECT x.j AS i, g.j AS d, CAST(SUM(x.vq * g.vq) AS BIGINT) AS num
+        FROM qcoo x JOIN ghq g ON g.i = x.i GROUP BY x.j, g.j),
+gqn AS (SELECT hs.j AS i, g.j AS d, CAST(SUM(hs.hs * g.vq) AS BIGINT) AS num
+        FROM hs JOIN gsq g ON g.i = hs.i GROUP BY hs.j, g.j)
+SELECT 'gx' AS which, i, d, {_micro_sql("num", 1000000000)} AS val FROM gxn
+UNION ALL
+SELECT 'gp', i, d, {_micro_sql("num", 1000000)} FROM gpn
+UNION ALL
+SELECT 'gq', i, d, {_micro_sql("num", 1000000)} FROM gqn
+UNION ALL
+SELECT 'gtrg', i, d, {_micro_sql("num", 1000000)} FROM gtrgn
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     gram_leg = (
@@ -631,7 +718,6 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.pipeline.similarity import (
         COSINE_TOPK_SQL,
         EMBEDDING_DUPS_LSH_SQL,
-        EMBEDDING_DUPS_SQL,
         IVF_TOPK_SQL,
         LSH_TOPK_SQL,
         PQ_CODES_SQL,
@@ -650,12 +736,12 @@ def oracle_sql() -> dict[str, str]:
         "entropy": entropy_sql,
         "sampling": sampling_sql(42),
         "ml_grads": ml_grads_sql,
+        "chain_grads": CHAIN_GRADS_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "lsh_topk": LSH_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
         "pq_codes": PQ_CODES_SQL,
         "pq_topk": PQ_TOPK_SQL,
-        "embedding_dups": EMBEDDING_DUPS_SQL,
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_meta": PAYLOAD_META_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -640,13 +640,33 @@ def xentropy_grads_gate(
     exact integer matmuls scatter-added by ``sum(long)``.  Large class
     tables take the blocked tile path (row-max sweep, exact long-summed
     S, per-tile delta partials) — bit-identical to the broadcast path."""
+    pred = vec.select("i", "vec", "label")
+    trg = vec.select("i", "vec")
+    parts = _xe_grads_parts(
+        pred, trg, block=block, broadcast_trg=broadcast_trg
+    )
+    return _xent_grads_finalize(parts)
+
+
+def _xe_grads_parts(
+    pred: DataFrame,
+    trg: DataFrame,
+    *,
+    block: int,
+    broadcast_trg: bool | str = "auto",
+) -> DataFrame:
+    """Un-finalized xentropy-gradient partials for a *general*
+    (pred, trg) pair -> ``(which, i, nums array<long>)`` rows with
+    which in {gpred, gtrg} and 1e12-scaled integer numerators (NOT yet
+    merged or micro-rounded) — the form a chained upstream backward
+    consumes.  ``pred`` carries ``(i, vec, label)``."""
     if broadcast_trg == "auto":
-        broadcast_trg = vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_trg = trg.count() <= BROADCAST_MAX_ROWS
     if not broadcast_trg:
-        return _xentropy_grads_gate_blocked(vec, block=block)
-    rids, rq = _collect_kv(vec)
+        return _xe_grads_parts_blocked(pred, trg, block=block)
+    rids, rq = _collect_kv(trg)
     pos = {int(r): k for k, r in enumerate(rids)}
-    spark = vec.sparkSession
+    spark = pred.sparkSession
     b = spark.sparkContext.broadcast((rids, rq, pos))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -671,10 +691,9 @@ def xentropy_grads_gate(
             })
         yield pd.DataFrame({"which": "gtrg", "i": _rids, "nums": list(gtrg_acc)})
 
-    parts = vec.select("i", "vec", "label").mapInPandas(
+    return pred.select("i", "vec", "label").mapInPandas(
         run, "which string, i long, nums array<long>"
     )
-    return _xent_grads_finalize(parts)
 
 
 def _xent_grads_finalize(parts: DataFrame) -> DataFrame:
@@ -692,6 +711,15 @@ def _xentropy_grads_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
     bit-identical to the broadcast path (exact integer merges)."""
     pred = vec.select("i", "vec", "label")
     trg = vec.select("i", "vec")
+    parts = _xe_grads_parts_blocked(pred, trg, block=block)
+    return _xent_grads_finalize(parts)
+
+
+def _xe_grads_parts_blocked(
+    pred: DataFrame, trg: DataFrame, *, block: int
+) -> DataFrame:
+    """Tile-path twin of the broadcast branch of :func:`_xe_grads_parts`
+    for a general (pred, trg) pair — un-finalized integer partials."""
     mx = _blocked_mx(pred, trg, 1e12, block)
     p_mx = pred.join(mx, "i")
 
@@ -731,11 +759,10 @@ def _xentropy_grads_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
             ignore_index=True,
         )
 
-    parts = blocked_partials(
+    return blocked_partials(
         p_aug, trg, leg_kernel, "which string, i long, nums array<long>",
         left_block=block, right_block=block, left_extra=("mx", "st", "label"),
     )
-    return _xent_grads_finalize(parts)
 
 
 def attention_xe_grads_gate_fused(
@@ -1072,6 +1099,153 @@ def mlp_grads_gate(vec: DataFrame) -> DataFrame:
     micro = F.when(F.col("which") == "gq", F.col("num")).otherwise(
         _micro_col("num", 1_000_000)
     )
+    return out.select(
+        "which", "i", F.col("d").cast("long").alias("d"),
+        (micro.cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+
+
+# ------------------------------------------------------- chained grads
+
+def _chain_pred(vec: DataFrame, wq: np.ndarray) -> DataFrame:
+    """Quantized MLP forward as a narrow map -> ``(i, vec, label)``
+    pred rows on the 1e6 grid (``vec = ps/1e6`` is integer-valued/1e6,
+    so the downstream gate's ``floor(v*1e6+.5)`` recovers ``ps``
+    exactly).  Same h/hs/y chain as :func:`mlp_gate`."""
+    spark = vec.sparkSession
+    b = spark.sparkContext.broadcast(wq)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(_vec_mat(pdf["vec"]))
+            h_int = np.maximum(xq @ w, 0.0)          # exact: <= 6.4e13
+            hs = np.floor(h_int / 1e12 * Q_IN + 0.5)
+            y_int = hs @ w                           # exact: <= ~4.1e15
+            ps = np.floor(y_int / 1e12 * Q_IN + 0.5)
+            yield pd.DataFrame({
+                "i": pdf["i"].to_numpy(),
+                "vec": list(ps / Q_IN),
+                "label": pdf["label"].to_numpy(),
+            })
+
+    return vec.select("i", "vec", "label").mapInPandas(
+        run, "i long, vec array<double>, label long"
+    )
+
+
+def chain_grads_gate(
+    vec: DataFrame, *, block: int = 4096, broadcast_trg: bool | str = "auto"
+) -> DataFrame:
+    """END-TO-END gradients of the composed op ``loss =
+    xentropy(mlp(x), trg=x)`` — the reference's chained training step
+    (autograd composes the factory ops, reference core.py:37-58 +
+    mlp.py:9-16 + xentropy.py:15-37) as an explicit chain rule through
+    the quantization gate -> ``(which, i, d, val)``, which in
+    {gx, gp, gq, gtrg}.
+
+    Three stages, each scale-shaped:
+
+    1. forward recompute ``pred = relu(X W) W`` — narrow map
+       (:func:`_chain_pred`), W the deterministic gram seed;
+    2. downstream vjp ``(gpred, gtrg) = dxentropy(pred, trg)`` — the
+       generalized (pred, trg) gate partials (:func:`_xe_grads_parts`),
+       broadcast or blocked-tile path, integer-merged;
+    3. upstream vjp: join the merged 1e12-scaled ``gpred`` numerators
+       back to the X rows (one co-partitioned shuffle), re-quantize to
+       the 1e6 grid (``gs``), and push through the MLP backward in one
+       narrow map: ``ga = gs W^T``; requantized ``gam``; relu mask
+       ``ghq = 1[h>0] * gam``; then ``gx = ghq W^T`` per row and
+       map-side int64 accumulators for ``gp = X^T ghq`` and
+       ``gq = hs^T gs`` merged by ``sum(long)``.
+
+    Integer budget (|v|<=~1, D=64): softmax row mass bounds
+    ``|gpred| <= 2e12`` -> ``gs <= 2e6``; ``ga <= D*2e6*1e6 = 1.3e14``
+    -> ``gam <= 1.3e8``; ``gx <= D*1.3e8*1e6 = 8.3e15``.  That exceeds
+    the 2^53 float64-exact budget, so every stage-3 matmul runs in
+    int64 (< 9.2e18) — exact at any scale.
+
+    Grid fidelity: gradient magnitudes here are ~1e-4, so the 1e-6
+    requantization grid is coarse relative to the values (same
+    character as the Q_GS=1e4 attention-jacobian leg).  The per-row
+    ``gx`` leg therefore runs on a finer 1e9 grid (``gs9 <= 2e9``;
+    ``ga9 <= D*2e9*1e6 = 1.3e17``; ``gam9 <= D*2*1e9 = 1.3e11``;
+    ``gx9 <= D*1.3e11*1e6 = 8.3e18`` — inside int64 with a 1.1x
+    margin for |v|<=1 inputs).  ``gp``/``gq`` accumulate across rows
+    (n_rows multiplies the bound), so they stay on the 1e6 grid; the
+    float chain in :mod:`gemmsql.ops.chain` is the precision API.
+    """
+    wq = _mlp_wq(vec)
+    pred = _chain_pred(vec, wq)
+    trg = vec.select("i", "vec")
+    parts_xe = _xe_grads_parts(
+        pred, trg, block=block, broadcast_trg=broadcast_trg
+    )
+    from gemmsql.caching import scoped_cache
+
+    # merged once: gpred feeds stage 3, gtrg is a final leg
+    merged_xe = scoped_cache(
+        _merge_long_arrays(parts_xe, ["which", "i"]), fresh_scope=True
+    )
+    gs_rows = merged_xe.where(F.col("which") == "gpred").select("i", "nums")
+    joined = vec.select("i", "vec").join(gs_rows, "i")
+    spark = vec.sparkSession
+    b = spark.sparkContext.broadcast(wq)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = b.value
+        wi = w.astype(np.int64)
+        d = w.shape[0]
+        gp_acc = np.zeros((d, d), dtype=np.int64)
+        gq_acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(_vec_mat(pdf["vec"]))
+            h_int = np.maximum(xq @ w, 0.0)
+            hs = np.floor(h_int / 1e12 * Q_IN + 0.5).astype(np.int64)
+            nums = np.asarray(pdf["nums"].tolist(), dtype=np.float64)
+            gs = np.floor(nums / 1e12 * Q_IN + 0.5).astype(np.int64)
+            ga = gs @ wi.T                           # int64 exact
+            gam = np.floor(ga.astype(np.float64) / 1e12 * Q_IN + 0.5
+                           ).astype(np.int64)
+            ghq = np.where(h_int > 0, gam, np.int64(0))
+            gp_acc += xq.astype(np.int64).T @ ghq
+            gq_acc += hs.T @ gs
+            # gx on the fine 1e9 grid (per-row — no cross-row
+            # accumulation, so the bigger numerators fit int64)
+            gs9 = np.floor(nums / 1e12 * 1e9 + 0.5).astype(np.int64)
+            ga9 = gs9 @ wi.T                         # int64 exact
+            gam9 = np.floor(ga9.astype(np.float64) / 1e15 * 1e9 + 0.5
+                            ).astype(np.int64)
+            ghq9 = np.where(h_int > 0, gam9, np.int64(0))
+            gx_num = ghq9 @ wi.T                     # 1e15-scaled
+            yield pd.DataFrame({
+                "which": "gx",
+                "i": pdf["i"].to_numpy(),
+                "nums": list(gx_num),
+            })
+        yield pd.DataFrame({
+            "which": "gp", "i": np.arange(d, dtype=np.int64),
+            "nums": list(gp_acc),
+        })
+        yield pd.DataFrame({
+            "which": "gq", "i": np.arange(d, dtype=np.int64),
+            "nums": list(gq_acc),
+        })
+
+    parts_c = joined.mapInPandas(run, "which string, i long, nums array<long>")
+    gtrg_parts = merged_xe.where(F.col("which") == "gtrg")
+    merged = _merge_long_arrays(
+        parts_c.unionByName(gtrg_parts), ["which", "i"]
+    )
+    out = merged.select("which", "i", F.posexplode("nums").alias("d", "num"))
+    # gx runs on the 1e9 grid (1e15-scaled numerators); the rest 1e12
+    micro = F.when(
+        F.col("which") == "gx", _micro_col("num", 1_000_000_000)
+    ).otherwise(_micro_col("num", 1_000_000))
     return out.select(
         "which", "i", F.col("d").cast("long").alias("d"),
         (micro.cast("double") / F.lit(Q_IN)).alias("val"),

@@ -36,13 +36,19 @@ def mlp(
     *,
     id_col: str = "i",
     vec_col: str = "vec",
+    keep: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Vector-row input, ndarray weights -> ``(i, vec)`` rows of relu(XP)Q."""
+    """Vector-row input, ndarray weights -> ``(i, vec)`` rows of relu(XP)Q.
+
+    ``keep`` maps extra input columns to their DDL types; they pass
+    through the map unchanged (e.g. ``{"label": "long"}`` so a chained
+    loss op downstream needs no re-join against the inputs)."""
     spark = x_vec.sparkSession
     import pandas as pd
     bp = spark.sparkContext.broadcast(
         (np.asarray(p, dtype=np.float64), np.asarray(q, dtype=np.float64))
     )
+    keep = keep or {}
 
     def run(batches):
         wp, wq = bp.value
@@ -52,8 +58,12 @@ def mlp(
             xm = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             h = np.maximum(xm @ wp, 0.0)
             y = h @ wq
-            yield pd.DataFrame({id_col: pdf[id_col].values, vec_col: list(y)})
+            out = {id_col: pdf[id_col].values, vec_col: list(y)}
+            for k in keep:
+                out[k] = pdf[k].values
+            yield pd.DataFrame(out)
 
-    return x_vec.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} long, {vec_col} array<double>"
+    keep_ddl = "".join(f", {k} {t}" for k, t in keep.items())
+    return x_vec.select(id_col, vec_col, *keep).mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<double>{keep_ddl}"
     )

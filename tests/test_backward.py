@@ -100,6 +100,68 @@ def test_attention_bwd(spark, emb_matrix):
     assert abs(num - gq_want[0, 0]) < 1e-4
 
 
+def test_xentropy_mlp_grads_chain(spark, emb_matrix):
+    """Composed gradient of loss = xentropy(mlp(x)) — the reference's
+    chained training step (autograd composition, reference core.py:37-58)
+    as explicit chain rule; checked against the analytic NumPy chain AND
+    a finite difference through the WHOLE composition."""
+    from gemmsql.ops.chain import xentropy_mlp_grads
+
+    _, xfull, labfull = emb_matrix
+    n = 96
+    x = xfull[:n]
+    lab = labfull[:n]
+    rng = np.random.default_rng(7)
+    d = x.shape[1]
+    p = rng.normal(size=(d, 24))
+    q = rng.normal(size=(24, d))
+    vec = _subset_vec(spark, n)
+    gx, gp, gq, gtrg = xentropy_mlp_grads(
+        vec.select("i", "vec", "label"), vec.select("i", "vec"), p, q,
+        block=48, broadcast_trg=False,
+    )
+
+    # analytic NumPy chain
+    h = x @ p
+    a = np.maximum(h, 0.0)
+    pred = a @ q
+    s = pred @ x.T  # trg = x
+    w = np.exp(s - s.max(1, keepdims=True))
+    w /= w.sum(1, keepdims=True)
+    onehot = (lab[:, None] == np.arange(n)[None, :]).astype(float)
+    dlt = w - onehot
+    gpred = dlt @ x
+    gtrg_want = dlt.T @ pred
+    gh = (gpred @ q.T) * (h > 0)
+    gx_want = gh @ p.T
+    gp_want = x.T @ gh
+    gq_want = a.T @ gpred
+
+    assert np.allclose(_dense(gx), gx_want)
+    assert np.allclose(_dense(gtrg), gtrg_want)
+    got_gp = gp.orderBy("i", "j").toPandas()["v"].to_numpy().reshape(p.shape)
+    assert np.allclose(got_gp, gp_want)
+    got_gq = gq.orderBy("i", "j").toPandas()["v"].to_numpy().reshape(q.shape)
+    assert np.allclose(got_gq, gq_want)
+
+    # finite difference through the composition wrt P[0,0] and X[0,0]
+    def loss(x_in, p_in):
+        pr = np.maximum(x_in @ p_in, 0.0) @ q
+        ss = pr @ x.T  # trg fixed at x
+        z = np.log(np.exp(ss - ss.max(1, keepdims=True)).sum(1)) + ss.max(1)
+        true_s = ss[np.arange(n), lab.astype(int)]
+        return float((z - true_s).sum())
+
+    eps = 1e-6
+    p1 = p.copy(); p1[0, 0] += eps
+    p2 = p.copy(); p2[0, 0] -= eps
+    assert abs((loss(x, p1) - loss(x, p2)) / (2 * eps) - gp_want[0, 0]) < 1e-4
+    x1 = x.copy(); x1[0, 0] += eps
+    x2 = x.copy(); x2[0, 0] -= eps
+    # X enters via pred only here (trg held fixed): matches the gx leg
+    assert abs((loss(x1, p) - loss(x2, p)) / (2 * eps) - gx_want[0, 0]) < 1e-4
+
+
 def test_xentropy_bwd(spark, emb_matrix):
     _, xfull, labfull = emb_matrix
     n = 96

@@ -229,3 +229,63 @@ def test_fused_grads_match_separate_gates(spark):
     assert _hash(
         attention_xe_grads_gate_fused(vec, broadcast_kv=False).toPandas()
     ) == want
+
+
+def test_chain_grads_gate_blocked_matches_broadcast(spark):
+    """chain_grads: stage 2 (xentropy vjp on pred-vs-trg) must be
+    byte-identical on the broadcast and blocked-tile paths — the
+    chained requantization consumes MERGED integer numerators, so tile
+    order cannot leak into gs."""
+    from gemmsql.ops.gate import chain_grads_gate
+
+    vec = _vec(spark)
+    a = chain_grads_gate(vec, block=96, broadcast_trg=True)
+    b = chain_grads_gate(vec, block=96, broadcast_trg=False)
+    assert _hash(a.toPandas()) == _hash(b.toPandas())
+
+
+def test_chain_grads_gate_close_to_float_chain(spark, emb_matrix):
+    """The quantized end-to-end chain must approximate the analytic
+    float chain rule (inputs on the 1e-6 grid -> O(1e-3) drift through
+    two requantized matmul stages)."""
+    from gemmsql.ops.gate import chain_grads_gate, mlp_weights_int
+
+    vec = _vec(spark)
+    pdf = vec.orderBy("i").toPandas()
+    x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    lab = pdf["label"].to_numpy()
+    n = len(pdf)
+
+    g_int, cnt = mlp_weights_int(vec)
+    w = g_int.astype(np.float64) / (1e12 * float(cnt))
+
+    # float chain: pred = relu(xW)W; loss = xentropy(pred, trg=x)
+    h = x @ w
+    a = np.maximum(h, 0.0)
+    pred = a @ w
+    s = pred @ x.T
+    sm = np.exp(s - s.max(1, keepdims=True))
+    sm /= sm.sum(1, keepdims=True)
+    onehot = (lab[:, None] == pdf["i"].to_numpy()[None, :]).astype(float)
+    dlt = sm - onehot
+    gpred = dlt @ x
+    gtrg = dlt.T @ pred
+    gh = (gpred @ w.T) * (h > 0)
+    gx = gh @ w.T
+    gp = x.T @ gh
+    gq = a.T @ gpred
+
+    out = chain_grads_gate(vec, broadcast_trg=True).toPandas()
+    # gx runs on the fine 1e9 grid; gp/gq accumulate across rows and
+    # stay on the 1e6 grid (gradient magnitudes ~1e-2..1e-4, so the
+    # coarse-grid legs carry visible quantization — by design, see
+    # chain_grads_gate docstring)
+    tol = {"gx": 1e-4, "gp": 5e-3, "gq": 1e-4, "gtrg": 1e-4}
+    for which, ref in (("gx", gx), ("gp", gp), ("gq", gq), ("gtrg", gtrg)):
+        got = (
+            out[out["which"] == which]
+            .sort_values(["i", "d"])["val"]
+            .to_numpy()
+            .reshape(ref.shape)
+        )
+        assert np.allclose(got, ref, atol=tol[which]), which

@@ -114,9 +114,19 @@ def test_window_queries_always_partition(spark):
             continue
         for line in p.splitlines():
             if "Window " in line and "windowspecdefinition" in line:
-                # partition spec present <=> 3-arg grouping before ORDER
-                if re.search(r"Window \[[^\]]*\], \[[^\]]*\], \[[^\]]*\]", line):
-                    continue  # partitioned window: [exprs], [part], [order]
+                # partitioned windows print as Window [exprs], [part],
+                # [order] — or [exprs], [part] when frame-only (e.g. a
+                # per-group running sum with no ORDER BY).  A 2-group
+                # form whose second bracket is an ORDER spec (ASC/DESC)
+                # is an UNpartitioned ordered window — the cliff.
+                m = re.search(
+                    r"Window \[[^\]]*\], \[([^\]]*)\](, \[[^\]]*\])?", line
+                )
+                if m and (
+                    m.group(2)
+                    or (" ASC" not in m.group(1) and " DESC" not in m.group(1))
+                ):
+                    continue
                 assert "TakeOrderedAndProject" in p, (
                     f"{name}: unpartitioned Window without a preceding "
                     f"limit/top-k: {line.strip()[:120]}"

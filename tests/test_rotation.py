@@ -59,7 +59,7 @@ def duck():
 
 
 def _rotated():
-    from gemmsql.pipeline import events, joins, relational
+    from gemmsql.pipeline import events, joins, relational, similarity
 
     return [
         ("quiet_customers", relational.quiet_customers,
@@ -80,6 +80,11 @@ def _rotated():
          relational.HIGH_VALUE_CUSTOMERS_SQL),
         ("time_since_last_error", events.time_since_last_error,
          events.TIME_SINCE_LAST_ERROR_SQL),
+        # rotated out for chain_grads (the exact O(N^2) twin;
+        # embedding_dups_lsh — the scale path — stays driver-gated)
+        ("embedding_dups",
+         lambda spark, sf: similarity.embedding_dups(spark, sf, threshold=0.4),
+         similarity.EMBEDDING_DUPS_SQL),
     ]
 
 
