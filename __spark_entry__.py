@@ -239,6 +239,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, k=5)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.similarity import ivfpq_topk
+
+    return ivfpq_topk(spark, sf_dir, k=5)
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.pipeline.similarity import pq_codes
 
@@ -358,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate but deterministic: full parity
         "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -393,7 +400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_band_join": relational.price_band_join,
         # --- event analytics ---
         "hourly_event_stats": events.hourly_event_stats,
-        "sliding_event_counts": events.sliding_event_counts,
         "sessionize": events.sessionize,
         "user_activity_profile": events.user_activity_profile,
         "last_order_before_event": joins.last_order_before_event,
@@ -719,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         COSINE_TOPK_SQL,
         EMBEDDING_DUPS_LSH_SQL,
         IVF_TOPK_SQL,
+        IVFPQ_TOPK_SQL,
         LSH_TOPK_SQL,
         PQ_CODES_SQL,
         PQ_TOPK_SQL,
@@ -740,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "lsh_topk": LSH_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
+        "ivfpq_topk": IVFPQ_TOPK_SQL,
         "pq_codes": PQ_CODES_SQL,
         "pq_topk": PQ_TOPK_SQL,
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
@@ -769,7 +777,6 @@ def oracle_sql() -> dict[str, str]:
         "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
         "price_band_join": relational.PRICE_BAND_JOIN_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
-        "sliding_event_counts": events.SLIDING_EVENT_COUNTS_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_profile": events.USER_ACTIVITY_PROFILE_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,

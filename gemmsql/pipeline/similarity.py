@@ -1226,3 +1226,295 @@ SELECT qi AS i, ki AS j,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual product quantization (the 100 TB ANN
+# architecture — FAISS-style IVFPQ, here in exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_coarse_int(vec: DataFrame, k_cent: int):
+    """Integer coarse quantizer for IVF-PQ: the ``k_cent`` vectors with
+    the smallest ``md5(vec_id)`` (the :func:`_ivf_centroids` sample
+    rule), kept on the 1e6 quantization grid so assignment is an exact
+    integer L2 argmin — no float cosine anywhere in this op."""
+    rows = (
+        vec.withColumn("hkey", F.md5(F.col("i").cast("string")))
+        .orderBy("hkey", "i")
+        .limit(k_cent)
+        .select("i", "vec")
+        .collect()
+    )
+    ids = np.asarray([r["i"] for r in rows], dtype=np.int64)
+    cq = _pq_quant(np.asarray([r["vec"] for r in rows], dtype=np.float64))
+    return ids, cq
+
+
+def _ivfpq_residual_book(
+    vec: DataFrame, cids: np.ndarray, cq: np.ndarray, n_sub: int, n_cent: int
+):
+    """Residual PQ codebook: the ``n_cent`` vectors with the smallest
+    ``md5('r' || vec_id)`` (distinct namespace from the coarse sample
+    and the query sample), each replaced by its RESIDUAL to its own
+    coarse cell — integer subtraction of quantized vectors, exact.
+    Codebook entry ``code`` = position in (md5, id) sample order, the
+    same convention as the PQ codebook.  Returns (n_sub, n_cent, d_sub)."""
+    rows = (
+        vec.withColumn(
+            "hkey", F.md5(F.concat(F.lit("r"), F.col("i").cast("string")))
+        )
+        .orderBy("hkey", "i")
+        .limit(n_cent)
+        .select("i", "vec")
+        .collect()
+    )
+    sq = _pq_quant(np.asarray([r["vec"] for r in rows], dtype=np.float64))
+    d2 = ((sq[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
+    order = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)
+    res = sq - cq[order[:, 0]]
+    d = res.shape[1]
+    d_sub = d // n_sub
+    return res.reshape(len(rows), n_sub, d_sub).transpose(1, 0, 2).copy()
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the composition of the
+    IVF coarse quantizer (:func:`ivf_topk`) with residual product
+    quantization (:func:`pq_codes`): HOW 100 TB vector corpora actually
+    serve ANN (inverted cells prune the search space; 16-byte residual
+    codes replace 256-byte vectors; ADC look-up tables replace dot
+    products).
+
+    Everything is exact integer arithmetic on the 1e6 quantization
+    grid, so the DuckDB replay is bit-identical (full hash parity — no
+    float cosine, unlike :func:`ivf_topk` whose assignment is float):
+
+    - coarse assignment: argmin integer L2 to the md5-sample centroids
+      (tie -> smaller centroid id);
+    - corpus codes: per-subspace argmin integer L2 of the RESIDUAL
+      ``xq - cq(cell)`` against the residual codebook (tie -> smaller
+      code);
+    - queries: the ``PQ_NQUERY`` md5('q')-sample rows; each probes its
+      ``nprobe`` nearest cells and carries one exact integer LUT per
+      probed cell (``lut[s][c] = ||q_res_s - book[s][c]||^2``);
+    - ``adist(q, x) = sum_s lut[s][code_x[s]]`` over candidates in the
+      probed cells, ranked (adist asc, id asc), local top-k per cell
+      then a global window over <= nprobe*k rows.
+
+    Scale shape: centroid/codebook/query collects are O(sqrt N + const)
+    — corpus-size independent; the corpus encode is one narrow map; the
+    only shuffle is the cell-id cogroup (sum over cells of
+    |cell| x |probing queries|, never N^2).  Integer budget: residual
+    diffs <= 4e6 -> subspace d2 <= 4*(4e6)^2 = 6.4e13, adist <= 16x
+    that ~ 1e15 — inside both int64 and the 2^53 float64-exact window.
+    """
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    n_rows, _dim = _probe_vec(vec)
+    cids, cq = _ivfpq_coarse_int(vec, ivf_k_for(n_rows))
+    book = _ivfpq_residual_book(vec, cids, cq, n_sub, n_cent)
+    q_rows = (
+        vec.withColumn(
+            "hkey", F.md5(F.concat(F.lit("q"), F.col("i").cast("string")))
+        )
+        .orderBy("hkey", "i")
+        .limit(PQ_NQUERY)
+        .select("i", "vec")
+        .collect()
+    )
+    qids = np.asarray([r["i"] for r in q_rows], dtype=np.int64)
+    qmat = _pq_quant(np.asarray([r["vec"] for r in q_rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((cids, cq, book))
+    d_sub = book.shape[2]
+
+    def encode(batches):
+        _cids, _cq, bk = bc.value
+        n_s = bk.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _pq_quant(np.asarray(pdf["vec"].tolist(), dtype=np.float64))
+            d2 = ((xq[:, None, :] - _cq[None, :, :]) ** 2).sum(-1)
+            order = np.lexsort((np.broadcast_to(_cids, d2.shape), d2), axis=1)
+            cell = _cids[order[:, 0]]
+            res = (xq - _cq[order[:, 0]]).reshape(len(pdf), n_s, d_sub)
+            codes = np.empty((len(pdf), n_s), dtype=np.int64)
+            for s in range(n_s):
+                dd = ((res[:, s, None, :] - bk[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(dd, axis=1)  # first min = smallest code
+            yield pd.DataFrame({
+                "i": pdf["i"].to_numpy(),
+                "cell": cell,
+                "codes": list(codes),
+            })
+
+    encoded = vec.mapInPandas(
+        encode, schema="i long, cell long, codes array<long>"
+    )
+
+    # query side: driver-built (PQ_NQUERY is a small constant) — one
+    # row per (query, probed cell) carrying the flattened exact LUT
+    qd2 = ((qmat[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
+    qorder = np.lexsort((np.broadcast_to(cids, qd2.shape), qd2), axis=1)
+    q_parts = []
+    for r in range(len(qids)):
+        for p in range(min(nprobe, len(cids))):
+            ci = qorder[r, p]
+            qres = (qmat[r] - cq[ci]).reshape(n_sub, d_sub)
+            lut = ((qres[:, None, :] - book) ** 2).sum(-1)  # (n_sub, n_cent)
+            q_parts.append({
+                "qi": int(qids[r]),
+                "cell": int(cids[ci]),
+                "lut": lut.astype(np.int64).ravel().tolist(),
+            })
+    probes = spark.createDataFrame(
+        pd.DataFrame(q_parts), "qi long, cell long, lut array<long>"
+    )
+
+    def per_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = encoded corpus rows in the cell, right = probing queries
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"i": [], "j": [], "adist": []}).astype(
+                {"i": "int64", "j": "int64", "adist": "int64"}
+            )
+        codes = np.asarray(left["codes"].tolist(), dtype=np.int64)
+        kids = left["i"].to_numpy()
+        n_s = codes.shape[1]
+        out_i, out_j, out_d = [], [], []
+        for _, qrow in right.iterrows():
+            lut = np.asarray(qrow["lut"], dtype=np.int64).reshape(n_s, -1)
+            ad = lut[np.arange(n_s)[None, :], codes].sum(axis=1)
+            mask = kids != qrow["qi"]
+            cand, add = kids[mask], ad[mask]
+            kk = min(k, len(cand))
+            order = np.lexsort((cand, add))[:kk]  # (adist asc, id asc)
+            out_i.extend([qrow["qi"]] * kk)
+            out_j.extend(cand[order])
+            out_d.extend(add[order])
+        return pd.DataFrame({"i": out_i, "j": out_j, "adist": out_d})
+
+    partials = encoded.groupBy("cell").cogroup(
+        probes.groupBy("cell")
+    ).applyInPandas(
+        lambda left, right: per_cell(left, right),
+        "i long, j long, adist long",
+    )
+    w = W.partitionBy("i").orderBy(F.col("adist"), F.col("j"))
+    micro = F.expr("(adist + 500000) div 1000000")
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "i", "j",
+            (micro.cast("double") / F.lit(1e6)).alias("adist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+IVFPQ_TOPK_SQL = f"""
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS vq
+  FROM embeddings
+),
+ivfk AS (
+  SELECT MIN(t.g) AS k FROM range(5, 32) t(g)
+  WHERE (CAST(1 AS BIGINT) << CAST(t.g AS INTEGER))
+        * (CAST(1 AS BIGINT) << CAST(t.g AS INTEGER))
+        >= (SELECT COUNT(*) FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS ci FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= (SELECT CAST(1 AS BIGINT) << CAST(k AS INTEGER) FROM ivfk)
+),
+cd2 AS (
+  SELECT a.i AS qi, b.i AS ci,
+         CAST(SUM((a.vq - b.vq) * (a.vq - b.vq)) AS BIGINT) AS d2
+  FROM coo a JOIN coo b USING (j)
+  WHERE b.i IN (SELECT ci FROM cents) GROUP BY 1, 2
+),
+assign AS (
+  SELECT qi, ci,
+         ROW_NUMBER() OVER (PARTITION BY qi ORDER BY d2, ci) AS rn
+  FROM cd2
+),
+cell AS (SELECT qi AS i, ci AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT qi AS i, ci AS cell FROM assign WHERE rn <= {IVF_NPROBE}),
+rsel AS (
+  SELECT vec_id AS ri, ROW_NUMBER() OVER (
+    ORDER BY md5('r' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM embeddings
+  ORDER BY md5('r' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+),
+rres AS (
+  SELECT r.code, o.j, o.vq - cc.vq AS rv
+  FROM rsel r JOIN coo o ON o.i = r.ri
+  JOIN cell ce ON ce.i = r.ri
+  JOIN coo cc ON cc.i = ce.cell AND cc.j = o.j
+),
+xres AS (
+  SELECT o.i, o.j, o.vq - cc.vq AS rv
+  FROM coo o JOIN cell ce ON ce.i = o.i
+  JOIN coo cc ON cc.i = ce.cell AND cc.j = o.j
+),
+xd2 AS (
+  SELECT x.i, CAST(x.j // {64 // PQ_SUB} AS BIGINT) AS sub, r.code,
+         CAST(SUM((x.rv - r.rv) * (x.rv - r.rv)) AS BIGINT) AS d2
+  FROM xres x JOIN rres r ON r.j = x.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT i, sub, code FROM (
+    SELECT i, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY i, sub ORDER BY d2, code) AS rn
+    FROM xd2
+  ) WHERE rn = 1
+),
+qsel AS (
+  SELECT vec_id AS qid FROM embeddings
+  ORDER BY md5('q' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_NQUERY}
+),
+qres AS (
+  SELECT q.qid, p.cell, o.j, o.vq - cc.vq AS rv
+  FROM qsel q JOIN probes p ON p.i = q.qid
+  JOIN coo o ON o.i = q.qid
+  JOIN coo cc ON cc.i = p.cell AND cc.j = o.j
+),
+lut AS (
+  SELECT q.qid, q.cell, CAST(q.j // {64 // PQ_SUB} AS BIGINT) AS sub, r.code,
+         CAST(SUM((q.rv - r.rv) * (q.rv - r.rv)) AS BIGINT) AS d2
+  FROM qres q JOIN rres r ON r.j = q.j
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT l.qid AS qi, c2.i AS ki, CAST(SUM(l.d2) AS BIGINT) AS adist
+  FROM codes c2
+  JOIN cell ce ON ce.i = c2.i
+  JOIN lut l ON l.cell = ce.cell AND l.sub = c2.sub AND l.code = c2.code
+  WHERE c2.i <> l.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qi, ki, adist,
+         ROW_NUMBER() OVER (PARTITION BY qi ORDER BY adist, ki) AS rank
+  FROM adc
+)
+SELECT qi AS i, ki AS j,
+       CAST((adist + 500000) // 1000000 AS DOUBLE) / 1000000.0 AS adist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""

@@ -165,6 +165,33 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert (cnt["count"] <= 5).all() and (cnt["min"] == 1).all()
 
 
+def test_ivfpq_topk_recall_and_shape(spark):
+    """IVF-PQ composition: recall@5 vs exact clears a sanity floor at
+    nprobe=2 and grows monotonically when probing every cell (residual
+    PQ still distorts distances, so exhaustive probe is NOT 1.0 —
+    that's the compression trade, unlike :func:`ivf_topk`); output is
+    well-formed per query (ranks 1..<=5, query ids from the md5('q')
+    sample)."""
+    from gemmsql.pipeline.similarity import cosine_topk, ivfpq_topk
+
+    exact = cosine_topk(spark, SF_SMOKE, k=5).toPandas()
+    truth = exact.groupby("i")["j"].apply(set).to_dict()
+
+    def recall(nprobe):
+        ap = ivfpq_topk(spark, SF_SMOKE, k=5, nprobe=nprobe).toPandas()
+        got = ap.groupby("i")["j"].apply(set).to_dict()
+        num = sum(len(got[q] & truth[q]) for q in got)
+        den = sum(len(truth[q]) for q in got)
+        return num / den, ap
+
+    r2, ap = recall(2)
+    r_all, _ = recall(10**6)
+    assert r2 > 0.12, f"nprobe=2 recall {r2:.3f} below floor"
+    assert r_all >= r2, "probing every cell must not lose recall"
+    cnt = ap.groupby("i")["rank"].agg(["count", "min", "max"])
+    assert (cnt["count"] <= 5).all() and (cnt["min"] == 1).all()
+
+
 def test_quality_score_bounds(spark):
     from gemmsql.pipeline.text import quality_score
 

@@ -85,6 +85,10 @@ def _rotated():
         ("embedding_dups",
          lambda spark, sf: similarity.embedding_dups(spark, sf, threshold=0.4),
          similarity.EMBEDDING_DUPS_SQL),
+        # rotated out for ivfpq_topk (hourly_event_stats keeps the
+        # windowed-agg shape in the gate)
+        ("sliding_event_counts", events.sliding_event_counts,
+         events.SLIDING_EVENT_COUNTS_SQL),
     ]
 
 
