@@ -345,7 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
     driver-composed — not single-statement SQL)."""
-    from gemmsql.pipeline import dedup, events, joins, relational, similarity, text
+    from gemmsql.pipeline import (
+        cluster,
+        dedup,
+        events,
+        joins,
+        relational,
+        similarity,
+        text,
+    )
     from gemmsql.pipeline.multimodal import payload_meta
 
     return {
@@ -391,17 +399,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- embedding-space corpus ops ---
         "semantic_dups": similarity.semantic_dups,
         "cell_profile": similarity.cell_profile,
+        "kmeans_assign_step": cluster.kmeans_assign_step,
+        "pca_moments": cluster.pca_moments,
         # --- relational / OLAP ---
         "pricing_summary": relational.pricing_summary,
         "shipping_priority": relational.shipping_priority,
         "nation_revenue": relational.nation_revenue,
-        "segment_quantiles": relational.segment_quantiles,
         "brand_sales_cube": relational.brand_sales_cube,
         "price_band_join": relational.price_band_join,
         # --- event analytics ---
         "hourly_event_stats": events.hourly_event_stats,
         "sessionize": events.sessionize,
-        "user_activity_profile": events.user_activity_profile,
         "last_order_before_event": joins.last_order_before_event,
         # approximate by design, but the md5-register HLL + exact
         # quantiles are fully replayable -> hash parity (r3)
@@ -707,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.ops.sampling import sampling_sql
     from gemmsql.sketches import USER_REACH_SKETCH_SQL
     from gemmsql.pipeline import (
+        cluster,
         dedup,
         events,
         joins,
@@ -770,15 +779,15 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": text.BIGRAM_PMI_SQL,
         "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
         "cell_profile": similarity.CELL_PROFILE_SQL,
+        "kmeans_assign_step": cluster.KMEANS_ASSIGN_STEP_SQL,
+        "pca_moments": cluster.PCA_MOMENTS_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "nation_revenue": relational.NATION_REVENUE_SQL,
-        "segment_quantiles": relational.SEGMENT_QUANTILES_SQL,
         "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
         "price_band_join": relational.PRICE_BAND_JOIN_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
         "sessionize": events.SESSIONIZE_SQL,
-        "user_activity_profile": events.USER_ACTIVITY_PROFILE_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
         "user_reach_sketch": USER_REACH_SKETCH_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,

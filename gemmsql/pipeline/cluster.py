@@ -230,3 +230,178 @@ def pca_project(
             yield pd.DataFrame({"i": pdf["i"].to_numpy(), "proj": list(p)})
 
     return vec.mapInPandas(project, "i long, proj array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated single-step twins: the iterative ops' distributed kernels
+# expressed as one SQL-expressible step each (full hash parity), so
+# k-means and PCA carry at least one oracle-gated leg (the loop around
+# them is plain driver code — the part SQL can't express).
+# ---------------------------------------------------------------------------
+
+
+def _quant(mat: np.ndarray) -> np.ndarray:
+    """floor(v*1e6 + .5) — the gate grid (gemmsql/ops/gate.py)."""
+    return np.floor(mat * 1e6 + 0.5)
+
+
+def kmeans_assign_step(
+    spark: SparkSession, sf_dir: str, *, k: int = KM_K
+) -> DataFrame:
+    """ONE Lloyd assignment step -> ``(i, cluster, d2)``: every vector
+    to its nearest md5('km')-seed centroid by EXACT integer L2 on the
+    1e6 grid (tie -> smaller cluster id).  This is the per-iteration
+    distributed kernel of :func:`kmeans_embeddings` (the float
+    production loop); quantized here so the DuckDB twin replays it
+    bit-for-bit.  Scale shape: O(K) centroid collect, broadcast, one
+    narrow map — no shuffle at all.  ``cluster`` is the seed-sample
+    position (ROW_NUMBER order), ``d2`` the squared distance rounded
+    to 6 decimals in exact integer arithmetic."""
+    vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
+    rows = (
+        vec.withColumn(
+            "hkey", F.md5(F.concat(F.lit("km"), F.col("i").cast("string")))
+        )
+        .orderBy("hkey", "i")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    cq = _quant(np.asarray([r["vec"] for r in rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast(cq)
+
+    def run(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(np.asarray(pdf["vec"].tolist(), dtype=np.float64))
+            d2 = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(axis=1)  # first min = smallest cluster id
+            yield pd.DataFrame({
+                "i": pdf["i"].to_numpy(),
+                "cluster": a.astype(np.int64),
+                "d2": d2[np.arange(len(a)), a].astype(np.int64),
+            })
+
+    out = vec.mapInPandas(run, "i long, cluster long, d2 long")
+    micro = F.expr("(d2 + 500000) div 1000000")  # d2 >= 0: half up
+    return out.select(
+        "i", "cluster", (micro.cast("double") / F.lit(1e6)).alias("d2")
+    )
+
+
+KMEANS_ASSIGN_STEP_SQL = f"""
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS vq
+  FROM embeddings
+),
+ksel AS (
+  SELECT vec_id AS ci, ROW_NUMBER() OVER (
+    ORDER BY md5('km' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+  FROM embeddings
+  ORDER BY md5('km' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {KM_K}
+),
+d2t AS (
+  SELECT a.i, k.cluster,
+         CAST(SUM((a.vq - b.vq) * (a.vq - b.vq)) AS BIGINT) AS d2
+  FROM coo a JOIN coo b USING (j) JOIN ksel k ON k.ci = b.i
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT i, cluster, d2,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2, cluster) AS rn
+  FROM d2t
+)
+SELECT i, cluster,
+       CAST((d2 + 500000) // 1000000 AS DOUBLE) / 1000000.0 AS d2
+FROM best WHERE rn = 1
+"""
+
+
+def pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed kernel of :func:`pca_project` as an oracle-gated
+    step -> one row per (j1, j2) with the EXACT second-moment matrix on
+    the 1e6 grid plus the column sums and row count — everything the
+    driver-side eigendecomposition consumes (cov = G/n - mu mu^T is a
+    deterministic scalar expression over these integers; eigh is the
+    O(D^3) driver step SQL can't express).
+
+    Spark shape: the same one-pass map-side D x D int64 partial +
+    ``sum(long)`` merge as ``gate.gram_gate`` — O(D^2) shuffle,
+    corpus-size independent."""
+    vec = embeddings_vectors(spark, sf_dir).select("vec")
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(np.asarray(pdf["vec"].tolist(), dtype=np.float64))
+            g = (xq.T @ xq).astype(np.int64)     # exact: <= N * 3.6e12
+            yield pd.DataFrame({
+                "j1": np.arange(g.shape[0], dtype=np.int64),
+                "gn": list(g),
+                "sn": xq.sum(axis=0).astype(np.int64),
+                "n": len(pdf),
+            })
+
+    parts = vec.mapInPandas(
+        partial, "j1 long, gn array<long>, sn long, n long"
+    )
+    zero = F.transform(
+        F.element_at(F.collect_list("gn"), 1), lambda _: F.lit(0).cast("long")
+    )
+    merged = parts.groupBy("j1").agg(
+        F.aggregate(
+            F.collect_list("gn"), zero,
+            lambda a, p: F.zip_with(a, p, lambda x, y: x + y),
+        ).alias("gn"),
+        F.sum("sn").alias("sn"),
+        F.sum("n").alias("n"),  # each batch contributes n once per j1
+    )
+    s = merged.select(F.col("j1").alias("j"), F.col("sn").alias("s"))
+    out = merged.select(
+        "j1", F.posexplode("gn").alias("j2", "g"), "sn", "n"
+    )
+    micro = F.expr("(abs(g) + 500000) div 1000000")
+    gm = F.when(F.col("g") < 0, -micro).otherwise(micro)
+    return (
+        out.join(s.withColumnRenamed("j", "j2"), "j2")
+        .select(
+            "j1",
+            F.col("j2").cast("long").alias("j2"),
+            (gm.cast("double") / F.lit(1e6)).alias("gm"),
+            (F.col("sn").cast("double") / F.lit(1e6)).alias("s1"),
+            (F.col("s").cast("double") / F.lit(1e6)).alias("s2"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+PCA_MOMENTS_SQL = """
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS vq
+  FROM embeddings
+),
+nt AS (SELECT COUNT(*) AS n FROM embeddings),
+g AS (SELECT a.j AS j1, b.j AS j2, CAST(SUM(a.vq * b.vq) AS BIGINT) AS g
+      FROM coo a JOIN coo b USING (i) GROUP BY 1, 2),
+s AS (SELECT j, CAST(SUM(vq) AS BIGINT) AS s FROM coo GROUP BY 1)
+SELECT g.j1, g.j2,
+       CAST(CASE WHEN g.g < 0 THEN -((ABS(g.g) + 500000) // 1000000)
+                 ELSE (ABS(g.g) + 500000) // 1000000 END AS DOUBLE)
+         / 1000000.0 AS gm,
+       CAST(s1.s AS DOUBLE) / 1000000.0 AS s1,
+       CAST(s2.s AS DOUBLE) / 1000000.0 AS s2,
+       CAST(nt.n AS BIGINT) AS n
+FROM g
+JOIN s s1 ON s1.j = g.j1
+JOIN s s2 ON s2.j = g.j2
+CROSS JOIN nt
+"""

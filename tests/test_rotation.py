@@ -89,6 +89,11 @@ def _rotated():
         # windowed-agg shape in the gate)
         ("sliding_event_counts", events.sliding_event_counts,
          events.SLIDING_EVENT_COUNTS_SQL),
+        # rotated out for kmeans_assign_step / pca_moments
+        ("user_activity_profile", events.user_activity_profile,
+         events.USER_ACTIVITY_PROFILE_SQL),
+        ("segment_quantiles", relational.segment_quantiles,
+         relational.SEGMENT_QUANTILES_SQL),
     ]
 
 
