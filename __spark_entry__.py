@@ -32,6 +32,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gemmsql.stats import embeddings_stats
+
 
 # ---------------------------------------------------------------- helpers
 
@@ -138,9 +140,9 @@ def q_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vec = _vec(spark, sf_dir).select("i", "vec")
     v_rev = vec.select("i", F.reverse("vec").alias("vec"))
-    # one stats probe shared by all three legs (not one count per leg);
-    # plain+kv share the exact softmax chain in ONE fused pass
-    bcast = vec.count() <= BROADCAST_MAX_ROWS
+    # parquet-footer row count (session-cached, no Spark job) picks the
+    # physical path; plain+kv share the exact softmax chain in ONE pass
+    bcast = embeddings_stats(sf_dir)[0] <= BROADCAST_MAX_ROWS
     plain_kv = attention_gate_plain_kv(vec, vec, v_rev, broadcast_kv=bcast)
     scaled = attention_gate(vec, vec, scale=True, broadcast_kv=bcast).select(
         F.lit("scaled").alias("which"), "i", "d", "val"
@@ -189,7 +191,7 @@ def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vec = _vec(spark, sf_dir)
-    bcast = vec.count() <= BROADCAST_MAX_ROWS  # one probe for all legs
+    bcast = embeddings_stats(sf_dir)[0] <= BROADCAST_MAX_ROWS  # cached stats
     # attention + xentropy grads share the exact softmax chain: fused
     ax = attention_xe_grads_gate_fused(vec, broadcast_kv=bcast)
     m = mlp_grads_gate(vec).select(
@@ -208,7 +210,7 @@ def q_chain_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.ops.gate import BROADCAST_MAX_ROWS, chain_grads_gate
 
     vec = _vec(spark, sf_dir)
-    bcast = vec.count() <= BROADCAST_MAX_ROWS
+    bcast = embeddings_stats(sf_dir)[0] <= BROADCAST_MAX_ROWS
     return chain_grads_gate(vec, broadcast_trg=bcast)
 
 
