@@ -332,21 +332,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (VERDICT r2 next #1): identical-schema families are merged into
     tagged unions (gram+relu, the 3 attention variants, the 3 gradient
     ops) or doc_id joins (text_stats+token_counts,
-    repetition_stats+word_entropy).  Rotation (VERDICT r3 next #2):
-    nine multiply-proven relational/event variants sit out this round
-    (quiet_customers, returning_customers, order_priority_pivot,
-    props_stats, user_value_movavg — out since r3 — plus
-    top_orders_per_customer, sales_rollup, high_value_customers,
-    time_since_last_error, green in CORRECTNESS r1–r3); all stay
-    exported and hash-checked against DuckDB in
-    tests/test_rotation.py.  In their place the round-3 corpus ops
-    vocab_build, bigram_pmi, semantic_dups, and cell_profile are now
-    driver-gated.
+    repetition_stats+word_entropy).
+
+    Round-4 rotation (VERDICT r3 next #2/#4/#7/#9): EIGHT new queries
+    entered the gate — the round-3 corpus ops (vocab_build, bigram_pmi,
+    semantic_dups, cell_profile), the chained-gradient composition
+    (chain_grads), the IVF-PQ ANN composition (ivfpq_topk), and the
+    iterative ops' one-step kernels (kmeans_assign_step, pca_moments).
+    THIRTEEN multiply-proven variants sit out (all green in at least
+    two prior CORRECTNESS rounds; all stay exported and hash-checked
+    against DuckDB in tests/test_rotation.py): quiet_customers,
+    returning_customers, order_priority_pivot, props_stats,
+    user_value_movavg (out since r3), top_orders_per_customer,
+    sales_rollup, high_value_customers, time_since_last_error,
+    embedding_dups, sliding_event_counts, user_activity_profile,
+    segment_quantiles.
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
-    driver-composed — not single-statement SQL)."""
+    driver-composed — not single-statement SQL); their distributed
+    per-step kernels ARE gated (kmeans_assign_step, pca_moments)."""
     from gemmsql.pipeline import (
         cluster,
         dedup,
