@@ -25,7 +25,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from gemmsql.caching import scoped_cache
-from gemmsql.ops.backward import mlp_bwd, xentropy_bwd
+from gemmsql.ops.backward import (
+    _merge_vec_partials,
+    attention_bwd,
+    mlp_bwd,
+    xentropy_bwd,
+)
 from gemmsql.ops.mlp import mlp
 
 
@@ -64,3 +69,38 @@ def xentropy_mlp_grads(
     gpred = scoped_cache(gpred)
     gx, gp, gq = mlp_bwd(x_vec.select("i", "vec"), gpred, p, q)
     return gx, gp, gq, gtrg
+
+
+def attention_mlp_grads(
+    x_vec: DataFrame,
+    g_vec: DataFrame,
+    p: np.ndarray,
+    q: np.ndarray,
+    *,
+    block: int = 4096,
+    broadcast_kv: bool | str = "auto",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Gradients of ``out = selfattention(mlp(x; P, Q))`` wrt
+    (X, P, Q), given per-row cotangent G on the attention output — the
+    chain rule across a DIFFERENT op pair than
+    :func:`xentropy_mlp_grads`, showing composition is generic: any
+    op's backward can feed any other's.
+
+    Self-attention reuses the intermediate ``pred`` as Q, K and V, so
+    the intermediate cotangent is the SUM of the three attention vjp
+    legs (the multivariable chain rule for a shared input):
+    ``g_pred = gQ + gK + gV``; that one merged vector-row table then
+    drives the MLP backward.  Returns ``(gx, gp, gq)``.
+    """
+    pred = scoped_cache(mlp(x_vec, p, q), fresh_scope=True)
+    gq_leg, gk_leg, gv_leg = attention_bwd(
+        pred, pred, g_vec, block=block, broadcast_kv=broadcast_kv
+    )
+    legs = (
+        gq_leg.select("i", "vec")
+        .unionByName(gk_leg.select("i", "vec"))
+        .unionByName(gv_leg.select("i", "vec"))
+    )
+    g_pred = scoped_cache(_merge_vec_partials(legs, ["i"]))
+    gx, gp, gq = mlp_bwd(x_vec.select("i", "vec"), g_pred, p, q)
+    return gx, gp, gq

@@ -162,6 +162,66 @@ def test_xentropy_mlp_grads_chain(spark, emb_matrix):
     assert abs((loss(x1, p) - loss(x2, p)) / (2 * eps) - gx_want[0, 0]) < 1e-4
 
 
+def test_attention_mlp_grads_chain(spark, emb_matrix):
+    """Second composed pair — selfattention(mlp(x)) — pinning that the
+    chain framework is generic and that a SHARED intermediate (pred is
+    Q, K and V at once) sums its three vjp legs before chaining."""
+    from gemmsql.ops.chain import attention_mlp_grads
+
+    _, xfull, _ = emb_matrix
+    n = 96
+    x = xfull[:n]
+    rng = np.random.default_rng(11)
+    d = x.shape[1]
+    p = rng.normal(size=(d, 24)) * 0.2
+    q = rng.normal(size=(24, d)) * 0.2
+    g = rng.normal(size=(n, d))
+    vec = _subset_vec(spark, n)
+    gdf = spark.createDataFrame(
+        pd.DataFrame({"i": np.arange(n), "vec": list(g)}),
+        "i long, vec array<double>",
+    )
+    gx, gp, gq = attention_mlp_grads(
+        vec.select("i", "vec"), gdf, p, q, block=48, broadcast_kv=False
+    )
+
+    # analytic chain: pred = relu(xP)Q; out = softmax(pred pred^T) pred
+    h = x @ p
+    a = np.maximum(h, 0.0)
+    pred = a @ q
+    s = pred @ pred.T
+    w = np.exp(s - s.max(1, keepdims=True))
+    w /= w.sum(1, keepdims=True)
+    gv = w.T @ g
+    gdot = g @ pred.T
+    r = (w * gdot).sum(1, keepdims=True)
+    gs = w * (gdot - r)
+    gpred = gs @ pred + gs.T @ pred + gv   # gQ + gK + gV (shared input)
+    gh = (gpred @ q.T) * (h > 0)
+    gx_want = gh @ p.T
+    gp_want = x.T @ gh
+    gq_want = a.T @ gpred
+
+    assert np.allclose(_dense(gx), gx_want)
+    got_gp = gp.orderBy("i", "j").toPandas()["v"].to_numpy().reshape(p.shape)
+    assert np.allclose(got_gp, gp_want)
+    got_gq = gq.orderBy("i", "j").toPandas()["v"].to_numpy().reshape(q.shape)
+    assert np.allclose(got_gq, gq_want)
+
+    # finite difference through the WHOLE composition wrt X[0,0]
+    def loss(x_in):
+        pr = np.maximum(x_in @ p, 0.0) @ q
+        ss = pr @ pr.T
+        ww = np.exp(ss - ss.max(1, keepdims=True))
+        ww /= ww.sum(1, keepdims=True)
+        return float(((ww @ pr) * g).sum())
+
+    eps = 1e-6
+    x1 = x.copy(); x1[0, 0] += eps
+    x2 = x.copy(); x2[0, 0] -= eps
+    assert abs((loss(x1) - loss(x2)) / (2 * eps) - gx_want[0, 0]) < 1e-4
+
+
 def test_xentropy_bwd(spark, emb_matrix):
     _, xfull, labfull = emb_matrix
     n = 96
