@@ -850,3 +850,112 @@ JOIN uc ca ON ca.word = bc.a
 JOIN uc cb ON cb.word = bc.b
 CROSS JOIN tot
 """
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring -> ``(doc_id, n_bigrams, xent)`` —
+    the CCNet/Gopher-style quality signal: documents whose token
+    transitions are improbable under a corpus language model score a
+    high cross-entropy and get filtered or down-weighted.
+
+    Model: add-one-smoothed bigram MLE over the corpus itself,
+    ``P(b|a) = (c(a,b) + 1) / (c(a) + V)``; per-document
+    ``xent = mean over positions of -ln P``.  Every ``ln`` is
+    quantized to the 1e-9 integer grid (the ``bigram_pmi`` /
+    ``word_entropy`` discipline) and the per-document sum is an exact
+    int64, so the DuckDB twin replays it to the rounded digit.
+
+    Spark shape (two corpus passes + one keyed join):
+
+    - pass 1 builds the bigram/unigram count tables (in-row bigram
+      construction — no positional self-join) with one hash-agg each;
+    - pass 2 re-explodes per-document bigrams and joins the count
+      tables: the bigram join keys on (a, b) — a co-partitioned
+      fact-fact shuffle, the honest corpus-scale cost of LM scoring —
+      while the unigram+V lookup broadcasts;
+    - one final doc_id aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= 2)
+    doc_bg = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS a, w[i + 1] AS b))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.a", "bg.b")
+    bigrams = doc_bg.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    vocab = uni.agg(
+        F.count("*").cast("long").alias("v")
+    ).withColumn("k", F.lit(1))
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1e9 + 0.5).cast("long")
+
+    ua = uni.select(F.col("word").alias("a"), F.col("c").alias("c_a"))
+    term = qln(F.col("c_a") + F.col("v")) - qln(F.col("c_ab") + F.lit(1))
+    scored = (
+        doc_bg.join(bigrams, ["a", "b"])
+        .join(F.broadcast(ua), "a")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(vocab), "k")
+        .select("doc_id", term.alias("t"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("t").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1e9),
+            6,
+        ).alias("xent"),
+    )
+
+
+DOC_PERPLEXITY_SQL = """
+WITH wpos AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+doc_bg AS (
+  SELECT w1.doc_id, w1.word AS a, w2.word AS b
+  FROM wpos w1 JOIN wpos w2
+    ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+),
+bigrams AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM doc_bg GROUP BY 1, 2
+),
+uni AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+unic AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY 1),
+vt AS (SELECT COUNT(*) AS v FROM unic),
+scored AS (
+  SELECT d.doc_id,
+         CAST(FLOOR(LN(CAST(u.c + vt.v AS DOUBLE)) * 1000000000.0 + 0.5)
+              AS BIGINT)
+         - CAST(FLOOR(LN(CAST(bg.c_ab + 1 AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS t
+  FROM doc_bg d
+  JOIN bigrams bg ON bg.a = d.a AND bg.b = d.b
+  JOIN unic u ON u.word = d.a
+  CROSS JOIN vt
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000000.0, 6) AS xent
+FROM scored GROUP BY doc_id
+"""

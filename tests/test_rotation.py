@@ -97,10 +97,20 @@ def _rotated():
     ]
 
 
+def _library_tier():
+    """Ops outside the 50-entry registry by design but with full SQL
+    twins — same hash parity, enforced here."""
+    from gemmsql.pipeline import text
+
+    return [
+        ("doc_perplexity", text.doc_perplexity, text.DOC_PERPLEXITY_SQL),
+    ]
+
+
 @pytest.mark.parametrize(
     "name,fn,sql",
-    _rotated(),
-    ids=[r[0] for r in _rotated()],
+    _rotated() + _library_tier(),
+    ids=[r[0] for r in _rotated() + _library_tier()],
 )
 def test_rotated_query_matches_oracle(spark, duck, name, fn, sql):
     sdf = fn(spark, SF_SMOKE).toPandas()
