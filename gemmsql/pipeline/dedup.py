@@ -710,3 +710,104 @@ SELECT doc_id, n_shingles, n_contaminated,
        ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_frac
 FROM hits WHERE n_contaminated > 0
 """
+
+
+def dup_spans(spark: SparkSession, sf_dir: str, *, n: int = 3) -> DataFrame:
+    """Exact duplicated-span detection -> ``(doc_id, span_start,
+    span_end, n_positions)`` — the substring-level dedup signal (Lee et
+    al. 2021 "Deduplicating Training Data Makes Language Models
+    Better"): positions whose word ``n``-gram occurs MORE THAN ONCE in
+    the corpus, merged into maximal per-document spans.  Pipelines cut
+    or down-weight these spans rather than dropping whole documents.
+
+    Scale shape — strictly linear, no pair join anywhere:
+
+    - positional n-grams form IN-ROW (transform over start indices —
+      no positional self-join on the engine side);
+    - the global "seen more than once" filter is one hash-agg on the
+      gram plus a semi-join back on the gram key (occurrences are
+      emitted one row per position, never per pair — a gram with 1e6
+      occurrences costs 1e6 rows, not 1e12);
+    - span merging is gaps-and-islands per document (window PARTITIONED
+      BY doc_id — never global): positions <= n apart fuse.
+
+    ``span_end`` is exclusive in word positions.  Deterministic, exact
+    integers end-to-end -> full oracle hash parity."""
+    assert n == 3, "word-trigram spans (matches the shingle family)"
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    starts = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+            ).alias("g"),
+        ),
+    )
+    pg = ws.select("doc_id", F.explode(grams).alias("x")).select(
+        "doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g")
+    )
+    pg = scoped_cache(pg, fresh_scope=True)
+    dupg = pg.groupBy("g").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    occ = pg.join(dupg.select("g"), "g", "left_semi")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(wd).isNull()
+        | (F.col("pos") - F.lag("pos").over(wd) > n),
+        1,
+    ).otherwise(0)
+    isl = occ.select("doc_id", "pos", brk.alias("brk"))
+    island = F.sum("brk").over(
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    grp = isl.select("doc_id", "pos", island.alias("island"))
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n)).cast("long").alias("span_end"),
+        F.count("*").cast("long").alias("n_positions"),
+    ).select("doc_id", "span_start", "span_end", "n_positions")
+
+
+DUP_SPANS_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+g AS (
+  SELECT w1.doc_id, w1.pos, w1.word || ' ' || w2.word || ' ' || w3.word AS g
+  FROM words w1
+  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+),
+dupg AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
+occ AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dupg)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+              THEN 1 ELSE 0 END AS brk
+  FROM occ
+),
+grp AS (
+  SELECT doc_id, pos, SUM(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
+       COUNT(*) AS n_positions
+FROM grp GROUP BY doc_id, island
+"""

@@ -100,10 +100,11 @@ def _rotated():
 def _library_tier():
     """Ops outside the 50-entry registry by design but with full SQL
     twins — same hash parity, enforced here."""
-    from gemmsql.pipeline import text
+    from gemmsql.pipeline import dedup, text
 
     return [
         ("doc_perplexity", text.doc_perplexity, text.DOC_PERPLEXITY_SQL),
+        ("dup_spans", dedup.dup_spans, dedup.DUP_SPANS_SQL),
     ]
 
 
