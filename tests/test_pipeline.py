@@ -799,3 +799,45 @@ def test_build_training_corpus_stages_compose(spark):
     )
     over = seq[seq["total"] > PACK_BUDGET]
     assert over["truncated"].all()
+
+
+def test_load_table_normalizes_events_ts_variants(spark, tmp_path):
+    """The driver has shipped events.ts as int64-nanos parquet AND as
+    tz-naive micros (Spark 4 reads TIMESTAMP_NTZ); load_table must
+    normalize BOTH to TIMESTAMP so unix_micros works downstream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gemmsql.datamodel import load_table
+
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    us = [1_700_000_000_000_000, 1_700_000_060_000_000]
+
+    ntz_dir = tmp_path / "ntz"
+    ntz_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(us, pa.timestamp("us"))}),
+        ntz_dir / "events.parquet",
+    )
+    nanos_dir = tmp_path / "nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([u * 1000 for u in us], pa.int64())}),
+        nanos_dir / "events.parquet",
+    )
+
+    from pyspark.sql import functions as F
+
+    for d in (ntz_dir, nanos_dir):
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", str(d)
+        got = sorted(
+            r[0] for r in df.select(F.unix_micros("ts")).collect()
+        )
+        assert got == us, str(d)
