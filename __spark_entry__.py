@@ -118,7 +118,7 @@ def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     relu(X W) W with W = X^T X / (1e12 N) from quantized inputs."""
     from gemmsql.ops.gate import mlp_gate
 
-    return mlp_gate(_vec(spark, sf_dir))
+    return mlp_gate(_vec(spark, sf_dir), cache_key=sf_dir)
 
 
 def q_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,7 +194,7 @@ def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcast = embeddings_stats(sf_dir)[0] <= BROADCAST_MAX_ROWS  # cached stats
     # attention + xentropy grads share the exact softmax chain: fused
     ax = attention_xe_grads_gate_fused(vec, broadcast_kv=bcast)
-    m = mlp_grads_gate(vec).select(
+    m = mlp_grads_gate(vec, cache_key=sf_dir).select(
         F.concat(F.lit("mlp_"), F.col("which")).alias("which"),
         "i", "d", "val",
     )
@@ -211,7 +211,7 @@ def q_chain_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vec = _vec(spark, sf_dir)
     bcast = embeddings_stats(sf_dir)[0] <= BROADCAST_MAX_ROWS
-    return chain_grads_gate(vec, broadcast_trg=bcast)
+    return chain_grads_gate(vec, broadcast_trg=bcast, cache_key=sf_dir)
 
 
 def q_attention_batched(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1015,19 +1015,32 @@ def mlp_weights_int(vec: DataFrame) -> tuple[np.ndarray, int]:
     return g, n
 
 
-def _mlp_wq(vec: DataFrame) -> np.ndarray:
+# session cache for the deterministic weight seed: W is a pure function
+# of the (immutable) embeddings table, so one gram collect serves every
+# mlp/ml_grads/chain_grads call against the same table — the same
+# catalog-statistics rationale as gemmsql.stats (the r3 bench re-ran
+# the corpus gram pass ~12x per session for identical bytes)
+_WQ_CACHE: dict[str, np.ndarray] = {}
+
+
+def _mlp_wq(vec: DataFrame, *, cache_key: str | None = None) -> np.ndarray:
+    if cache_key is not None and cache_key in _WQ_CACHE:
+        return _WQ_CACHE[cache_key]
     g_int, n = mlp_weights_int(vec)
     w = g_int.astype(np.float64) / (1e12 * float(n))
-    return np.floor(w * Q_IN + 0.5)                  # int-valued float64
+    wq = np.floor(w * Q_IN + 0.5)                    # int-valued float64
+    if cache_key is not None:
+        _WQ_CACHE[cache_key] = wq
+    return wq
 
 
-def mlp_gate(vec: DataFrame) -> DataFrame:
+def mlp_gate(vec: DataFrame, *, cache_key: str | None = None) -> DataFrame:
     """Quantized ``relu(X W) W`` twin (reference mlp.py:59-60 with
     P = Q = W = X^T X / N) -> ``(i, k, val)``.  Chain: exact
     ``h_int = relu(xq @ Wq)``; re-quantized ``hs = floor(h/1e12 * 1e6
     + .5)``; exact ``y_int = hs @ Wq``; ``val = y_int / 1e12``.  One
     narrow map — zero shuffle (the 100 TB shape for applying weights)."""
-    wq = _mlp_wq(vec)
+    wq = _mlp_wq(vec, cache_key=cache_key)
     spark = vec.sparkSession
     b = spark.sparkContext.broadcast(wq)
 
@@ -1052,12 +1065,14 @@ def mlp_gate(vec: DataFrame) -> DataFrame:
     return vec.select("i", "vec").mapInPandas(run, "i long, k long, val double")
 
 
-def mlp_grads_gate(vec: DataFrame) -> DataFrame:
+def mlp_grads_gate(
+    vec: DataFrame, *, cache_key: str | None = None
+) -> DataFrame:
     """Quantized MLP gradients (reference mlp.py:9-16, cotangent ones,
     P = Q = W) -> ``(which, i, d, val)``, which in {gx, gp, gq}:
     ``gh = 1[h>0] * rowsum(Wq)`` exact ints; gx a per-row exact dgemm;
     gp/gq per-partition int64 partials merged by ``sum(long)``."""
-    wq = _mlp_wq(vec)
+    wq = _mlp_wq(vec, cache_key=cache_key)
     qs_int = wq.sum(axis=1).astype(np.int64)         # 1e6-scaled row sums
     spark = vec.sparkSession
     b = spark.sparkContext.broadcast((wq, qs_int))
@@ -1137,7 +1152,11 @@ def _chain_pred(vec: DataFrame, wq: np.ndarray) -> DataFrame:
 
 
 def chain_grads_gate(
-    vec: DataFrame, *, block: int = 4096, broadcast_trg: bool | str = "auto"
+    vec: DataFrame,
+    *,
+    block: int = 4096,
+    broadcast_trg: bool | str = "auto",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """END-TO-END gradients of the composed op ``loss =
     xentropy(mlp(x), trg=x)`` — the reference's chained training step
@@ -1177,7 +1196,7 @@ def chain_grads_gate(
     (n_rows multiplies the bound), so they stay on the 1e6 grid; the
     float chain in :mod:`gemmsql.ops.chain` is the precision API.
     """
-    wq = _mlp_wq(vec)
+    wq = _mlp_wq(vec, cache_key=cache_key)
     pred = _chain_pred(vec, wq)
     trg = vec.select("i", "vec")
     parts_xe = _xe_grads_parts(
