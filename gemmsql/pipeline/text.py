@@ -959,3 +959,47 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
              / 1000000000.0, 6) AS xent
 FROM scored GROUP BY doc_id
 """
+
+
+def mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing -> the kept rows ``(doc_id, lang,
+    n_lang, n_min)`` of a deterministic uniform-target downsample:
+    every language is cut to ~the size of the rarest one (the static
+    domain-reweighting step of mixture tuning — a DoReMi-style target
+    of uniform domain shares, applied by subsampling).
+
+    Exact integer gate, no float rates: keep a doc when
+    ``md5(doc_id) mod n(lang) < n_min`` — expected kept per language is
+    n_min, the decision replays bit-for-bit on any engine, and task
+    retries keep the same rows (hash gate, not RNG).
+
+    Spark shape: one tiny language-count aggregate broadcast back onto
+    a narrow filter map — no corpus shuffle at all beyond the K-row
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    nmin = counts.agg(F.min("n_lang").alias("n_min")).withColumn(
+        "k", F.lit(1)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(nmin), "k")
+        .where(F.pmod(h, F.col("n_lang")) < F.col("n_min"))
+        .select("doc_id", "lang", "n_lang", "n_min")
+    )
+
+
+MIXTURE_BALANCE_SQL = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+nmin AS (SELECT MIN(n_lang) AS n_min FROM counts)
+SELECT d.doc_id, d.lang, c.n_lang, nmin.n_min
+FROM documents d
+JOIN counts c ON c.lang = d.lang
+CROSS JOIN nmin
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % c.n_lang < nmin.n_min
+"""

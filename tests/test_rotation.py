@@ -105,6 +105,7 @@ def _library_tier():
     return [
         ("doc_perplexity", text.doc_perplexity, text.DOC_PERPLEXITY_SQL),
         ("dup_spans", dedup.dup_spans, dedup.DUP_SPANS_SQL),
+        ("mixture_balance", text.mixture_balance, text.MIXTURE_BALANCE_SQL),
     ]
 
 
