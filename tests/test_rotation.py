@@ -1,13 +1,13 @@
-"""Oracle checks for the queries rotated OUT of the 50-entry driver
-registry this round (see ``__spark_entry__.queries`` docstring).
+"""Oracle checks for queries outside the 50-entry driver registry.
 
-The driver gate only sees the first 50 registered queries; these nine
-multiply-proven relational/event variants sit out the round-4 rotation
-(five since round 3, four newly rotated out to make room for the
-round-3 corpus ops vocab_build / bigram_pmi / semantic_dups /
-cell_profile) but must stay correct — the same Spark-vs-DuckDB hash
-comparison the driver runs, executed here in pytest so the hard
-signal never lapses.
+The driver gate only sees the first 50 registered queries.  Thirteen
+multiply-proven variants sit out the round-4 rotation (making room for
+the corpus ops, the chained-gradient composition, IVF-PQ, and the
+iterative-op kernels — see the ``__spark_entry__.queries`` docstring),
+and three library-tier ops (doc_perplexity, dup_spans,
+mixture_balance) live here by design.  All get the same Spark-vs-DuckDB
+hash comparison the driver runs, executed in pytest so the hard signal
+never lapses.
 """
 
 from __future__ import annotations
