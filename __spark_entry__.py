@@ -320,6 +320,12 @@ def _streaming_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_join_gate(spark, sf_dir)
 
 
+def _streaming_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.stateful import streaming_stateful_gate
+
+    return streaming_stateful_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -339,14 +345,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dups, cell_profile), the chained-gradient composition
     (chain_grads), the IVF-PQ ANN composition (ivfpq_topk), and the
     iterative ops' one-step kernels (kmeans_assign_step, pca_moments).
-    THIRTEEN multiply-proven variants sit out (all green in at least
-    two prior CORRECTNESS rounds; all stay exported and hash-checked
-    against DuckDB in tests/test_rotation.py): quiet_customers,
-    returning_customers, order_priority_pivot, props_stats,
-    user_value_movavg (out since r3), top_orders_per_customer,
-    sales_rollup, high_value_customers, time_since_last_error,
-    embedding_dups, sliding_event_counts, user_activity_profile,
-    segment_quantiles.
+    Late round-4: THREE more entered — bpe_pair_counts (the tokenizer-
+    training kernel), dsir_weights (DSIR importance resampling), and
+    streaming_stateful_gate (applyInPandasWithState user state vs the
+    batch oracle).  SIXTEEN multiply-proven variants sit out (all green
+    in at least two prior CORRECTNESS rounds; all stay exported and
+    hash-checked against DuckDB in tests/test_rotation.py):
+    quiet_customers, returning_customers, order_priority_pivot,
+    props_stats, user_value_movavg (out since r3),
+    top_orders_per_customer, sales_rollup, high_value_customers,
+    time_since_last_error, embedding_dups, sliding_event_counts,
+    user_activity_profile, segment_quantiles (out earlier in r4),
+    shipping_priority, nation_revenue, price_band_join (green r1-r3).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -354,8 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-composed — not single-statement SQL); their distributed
     per-step kernels ARE gated (kmeans_assign_step, pca_moments)."""
     from gemmsql.pipeline import (
+        bpe,
         cluster,
         dedup,
+        dsir,
         events,
         joins,
         relational,
@@ -404,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": text.corpus_profile,
         "vocab_build": text.vocab_build,
         "bigram_pmi": text.bigram_pmi,
+        "bpe_pair_counts": bpe.bpe_pair_counts,
+        "dsir_weights": dsir.dsir_weights,
         # --- embedding-space corpus ops ---
         "semantic_dups": similarity.semantic_dups,
         "cell_profile": similarity.cell_profile,
@@ -411,10 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_moments": cluster.pca_moments,
         # --- relational / OLAP ---
         "pricing_summary": relational.pricing_summary,
-        "shipping_priority": relational.shipping_priority,
-        "nation_revenue": relational.nation_revenue,
         "brand_sales_cube": relational.brand_sales_cube,
-        "price_band_join": relational.price_band_join,
         # --- event analytics ---
         "hourly_event_stats": events.hourly_event_stats,
         "sessionize": events.sessionize,
@@ -427,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_gate": _streaming_sessionize_query,
         "streaming_enrich_gate": _streaming_enrich_query,
         "streaming_join_gate": _streaming_join_query,
+        "streaming_stateful_gate": _streaming_stateful_query,
     }
 
 
@@ -723,8 +735,10 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.ops.sampling import sampling_sql
     from gemmsql.sketches import USER_REACH_SKETCH_SQL
     from gemmsql.pipeline import (
+        bpe,
         cluster,
         dedup,
+        dsir,
         events,
         joins,
         relational,
@@ -732,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         text,
     )
     from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
+    from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
         STREAMING_ENRICH_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
@@ -785,15 +800,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": text.CORPUS_PROFILE_SQL,
         "vocab_build": text.VOCAB_BUILD_SQL,
         "bigram_pmi": text.BIGRAM_PMI_SQL,
+        "bpe_pair_counts": bpe.BPE_PAIR_COUNTS_SQL,
+        "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
         "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
         "cell_profile": similarity.CELL_PROFILE_SQL,
         "kmeans_assign_step": cluster.KMEANS_ASSIGN_STEP_SQL,
         "pca_moments": cluster.PCA_MOMENTS_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
-        "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
-        "nation_revenue": relational.NATION_REVENUE_SQL,
         "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
-        "price_band_join": relational.PRICE_BAND_JOIN_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
@@ -802,4 +816,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_enrich_gate": STREAMING_ENRICH_GATE_SQL,
         "streaming_join_gate": STREAMING_JOIN_GATE_SQL,
+        "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
     }

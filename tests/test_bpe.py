@@ -1,0 +1,99 @@
+"""BPE vocabulary induction: pure-Python differential test for the
+iterative trainer, plus kernel edge cases.
+
+``bpe_pair_counts`` (the per-iteration distributed kernel) is
+driver-gated with a DuckDB twin; here the full iterative
+:func:`gemmsql.pipeline.bpe.bpe_learn` loop is checked merge-for-merge
+against a sequential reference implementation of the Sennrich et al.
+2016 algorithm (greedy non-overlapping left-to-right merge, argmax by
+count with lexicographic tie-break).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ref_learn(word_freqs: Counter, n_merges: int, min_count: int = 2):
+    syms = {w: list(w) for w in word_freqs}
+    out = []
+    for it in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        mx = max(pc.values())
+        if mx < min_count:
+            break
+        a, b = sorted(k for k, v in pc.items() if v == mx)[0]
+        out.append((it, a, b, mx))
+        ab = a + b
+        for w in syms:
+            ns: list[str] = []
+            for x in syms[w]:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = ab
+                else:
+                    ns.append(x)
+            syms[w] = ns
+    return out
+
+
+def test_bpe_learn_matches_sequential_reference(spark):
+    from gemmsql.pipeline import bpe
+
+    merges = bpe.bpe_learn(spark, SF_SMOKE, n_merges=6)
+    docs = [
+        r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wf = Counter(w for d in docs for w in d.split(" ") if len(w) >= 1)
+    assert merges == _ref_learn(wf, 6)
+    assert len(merges) == 6
+
+
+@pytest.mark.parametrize(
+    "word,pair,expected",
+    [
+        # greedy non-overlap: 'aaa' under (a,a) -> [aa, a]
+        ("aaa", ("a", "a"), ["aa", "a"]),
+        ("aaaa", ("a", "a"), ["aa", "aa"]),
+        ("abab", ("a", "b"), ["ab", "ab"]),
+        # merged symbol must not cascade within the same iteration
+        ("abb", ("a", "b"), ["ab", "b"]),
+        ("xy", ("y", "x"), ["x", "y"]),
+    ],
+    ids=["aaa", "aaaa", "abab", "abb", "no-pair"],
+)
+def test_merge_fold_greedy_semantics(spark, word, pair, expected):
+    from gemmsql.pipeline.bpe import merge_pair_expr
+
+    df = spark.createDataFrame([(list(word),)], "syms array<string>")
+    out = df.select(
+        F.expr(merge_pair_expr(*pair)).alias("m")
+    ).first()["m"]
+    assert out == expected
+
+
+def test_pair_counts_weighted_by_word_frequency(spark):
+    """'aa' appearing 3 times contributes 3 to the (a,a) count."""
+    from gemmsql.pipeline.bpe import _pair_counts_of
+
+    df = spark.createDataFrame(
+        [(["a", "a"], 3), (["a", "b"], 2)], "syms array<string>, f long"
+    )
+    rows = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in _pair_counts_of(df).collect()
+    }
+    assert rows == {("a", "a"): 3, ("a", "b"): 2}

@@ -1,10 +1,11 @@
 """Oracle checks for queries outside the 50-entry driver registry.
 
-The driver gate only sees the first 50 registered queries.  Thirteen
+The driver gate only sees the first 50 registered queries.  Sixteen
 multiply-proven variants sit out the round-4 rotation (making room for
-the corpus ops, the chained-gradient composition, IVF-PQ, and the
-iterative-op kernels — see the ``__spark_entry__.queries`` docstring),
-and three library-tier ops (doc_perplexity, dup_spans,
+the corpus ops, the chained-gradient composition, IVF-PQ, the
+iterative-op kernels, and late-r4 bpe_pair_counts / dsir_weights /
+streaming_stateful_gate — see the ``__spark_entry__.queries``
+docstring), and three library-tier ops (doc_perplexity, dup_spans,
 mixture_balance) live here by design.  All get the same Spark-vs-DuckDB
 hash comparison the driver runs, executed in pytest so the hard signal
 never lapses.
@@ -94,6 +95,14 @@ def _rotated():
          events.USER_ACTIVITY_PROFILE_SQL),
         ("segment_quantiles", relational.segment_quantiles,
          relational.SEGMENT_QUANTILES_SQL),
+        # rotated out late in r4 for bpe_pair_counts / dsir_weights /
+        # streaming_stateful_gate (green r1-r3)
+        ("shipping_priority", relational.shipping_priority,
+         relational.SHIPPING_PRIORITY_SQL),
+        ("nation_revenue", relational.nation_revenue,
+         relational.NATION_REVENUE_SQL),
+        ("price_band_join", relational.price_band_join,
+         relational.PRICE_BAND_JOIN_SQL),
     ]
 
 

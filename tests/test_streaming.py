@@ -71,6 +71,56 @@ def test_streaming_stateful_logsumexp(spark, stream_dir):
         assert math.isclose(row["z"], float(np.logaddexp.reduce(s)), rel_tol=1e-9)
 
 
+def test_streaming_user_profile_state_crosses_batches(spark, stream_dir):
+    """The stateful per-user profile must accumulate across micro-
+    batches: with 4 files per trigger the replay takes several batches,
+    users re-appear, and every re-appearance emits a strictly larger
+    running snapshot.  The final snapshot equals the batch aggregate."""
+    from gemmsql.streaming import read_events_stream, run_to_memory
+    from gemmsql.streaming.stateful import final_snapshots, streaming_user_profile
+    from gemmsql.datamodel import load_table
+
+    # sf0.001 stages as a single file -> force 4 files, 1 per trigger,
+    # so the state genuinely crosses micro-batches
+    d = tempfile.mkdtemp(prefix="gemmsql_stream_state_")
+    load_table(spark, SF_SMOKE, "events").repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(d)
+    ev = read_events_stream(spark, d, max_files_per_trigger=1)
+    snaps = run_to_memory(
+        streaming_user_profile(ev), "profile_s", output_mode="update"
+    )
+    n_snaps = snaps.count()
+    n_users = snaps.select("user_id").distinct().count()
+    assert n_snaps > n_users, "expected re-emissions across micro-batches"
+
+    got = (
+        final_snapshots(snaps)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("sum_micro"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purchase"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got[want.columns].astype("int64").equals(want.astype("int64"))
+
+
 def test_streaming_dedup_exact(spark, stream_dir):
     from gemmsql.streaming.windows import read_events_stream, streaming_dedup_exact
 
