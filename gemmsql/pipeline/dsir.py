@@ -16,12 +16,14 @@ Oracle-exactness: the bucket hash is the repo's standard md5 gate
 each ``ln`` is quantized to the 1e-9 integer grid (the ``bigram_pmi``
 discipline), and per-document sums are exact int64 — full hash parity.
 
-Scale shape (100 TB): one in-row explode builds the feature stream; the
-two distribution tables aggregate to at most ``N_BUCKETS`` rows each
-and are BROADCAST back onto the stream (no corpus-side shuffle for the
-lookup); the only corpus-scale shuffle is the final doc_id aggregation,
-co-keyed with the source read.  The target subset is a predicate on the
-same scan, not a second input.
+Scale shape (100 TB): exactly TWO corpus passes.  Pass 1 explodes the
+in-row feature stream into ONE hash aggregation producing both the raw
+and the target bucket counts (the target subset is a conditional sum on
+the same scan, not a second input); corpus totals reduce the
+``N_BUCKETS``-row count table, not the corpus.  Pass 2 re-explodes the
+features and joins the BROADCAST count table (no corpus-side shuffle
+for the lookup) into the final doc_id aggregation, co-keyed with the
+source read.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gemmsql.caching import scoped_cache
 from gemmsql.datamodel import load_table
 
 N_BUCKETS = 4096
@@ -42,24 +45,28 @@ def _qln(col):
 
 def _doc_features(docs: DataFrame) -> DataFrame:
     """(doc_id, source, bucket) — one row per unigram/bigram occurrence,
-    bucketed by the md5 gate.  In-row construction, no shuffle."""
+    bucketed by the md5 gate.
+
+    In-row construction via ONE concatenated array per document (the
+    unigrams followed by the joined bigrams), so each consumer of the
+    feature stream costs a single corpus scan — a union of two explodes
+    would double every scan."""
     w = docs.select(
         "doc_id", "source", F.split("text", " ").alias("w")
     )
-    uni = w.select(
-        "doc_id", "source", F.explode("w").alias("feat")
-    )
-    bg = w.where(F.size("w") >= 2).select(
-        "doc_id",
-        "source",
-        F.explode(
+    all_feats = F.concat(
+        F.col("w"),
+        F.when(
+            F.size("w") >= 2,
             F.expr(
                 "transform(sequence(0, size(w) - 2),"
                 " i -> concat(w[i], ' ', w[i + 1]))"
-            )
-        ).alias("feat"),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)")),
     )
-    feats = uni.unionByName(bg)
+    feats = w.select(
+        "doc_id", "source", F.explode(all_feats).alias("feat")
+    )
     bucket = F.pmod(
         F.conv(F.substring(F.md5("feat"), 1, 15), 16, 10).cast("long"),
         F.lit(N_BUCKETS),
@@ -76,33 +83,33 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = _doc_features(docs)
 
-    raw = feats.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("c_r")
-    )
-    tgt = (
-        feats.where(F.col("source") == TARGET_SOURCE)
-        .groupBy("bucket")
-        .agg(F.count("*").cast("long").alias("c_t"))
-    )
-    totals = (
-        feats.agg(
-            F.count("*").cast("long").alias("n_r"),
+    # ONE corpus-scale counting pass: raw and target bucket counts come
+    # out of the same hash aggregation; the corpus totals then reduce
+    # the <=N_BUCKETS-row count table, not the corpus.  The count table
+    # is scope-cached so the broadcast lookup and the totals reduction
+    # share one materialization instead of re-scanning the corpus.
+    counts = scoped_cache(
+        feats.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("c_r"),
             F.sum(
                 (F.col("source") == TARGET_SOURCE).cast("long")
-            ).cast("long").alias("n_t"),
-        )
-        .withColumn("k", F.lit(1))
+            ).cast("long").alias("c_t"),
+        ),
+        fresh_scope=True,
     )
+    totals = counts.agg(
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.sum("c_t").cast("long").alias("n_t"),
+    ).withColumn("k", F.lit(1))
 
     term = (
-        _qln(F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1))
+        _qln(F.col("c_t") + F.lit(1))
         - _qln(F.col("n_t") + F.lit(N_BUCKETS))
         - _qln(F.col("c_r") + F.lit(1))
         + _qln(F.col("n_r") + F.lit(N_BUCKETS))
     )
     scored = (
-        feats.join(F.broadcast(raw), "bucket")
-        .join(F.broadcast(tgt), "bucket", "left")
+        feats.join(F.broadcast(counts), "bucket")
         .withColumn("k", F.lit(1))
         .join(F.broadcast(totals), "k")
         .select("doc_id", term.alias("t"))

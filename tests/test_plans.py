@@ -467,3 +467,30 @@ def test_chain_grads_no_quadratic_join(spark):
     p = plan_of(e.q_chain_grads(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p or "i#" in p  # id-keyed only
+
+
+def test_dsir_weights_broadcast_counts_two_scans(spark):
+    """DSIR: the bucket-count lookup must BROADCAST (a corpus-side
+    shuffle of the feature stream for a 4096-row join is the scale
+    bug), and the whole query reads the documents parquet at most
+    twice (count pass + scoring pass)."""
+    from gemmsql.pipeline.dsir import dsir_weights
+
+    p = plan_of(dsir_weights(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, "bucket counts must broadcast"
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # live corpus scans (the cached count table repeats its defining
+    # scan once per InMemoryRelation occurrence in the plan text)
+    live = p.count("FileScan parquet") - p.count("InMemoryRelation")
+    assert live <= 1, f"{live} live corpus scans; expected the scoring pass only"
+
+
+def test_bpe_pair_counts_single_scan_two_aggs(spark):
+    """BPE kernel: one corpus scan into the word-frequency agg, in-row
+    pair construction (no positional self-join), one pair agg."""
+    from gemmsql.pipeline.bpe import bpe_pair_counts
+
+    p = plan_of(bpe_pair_counts(spark, SF_SMOKE))
+    assert p.count("FileScan parquet") == 1
+    assert "Join" not in p, "pair construction must be in-row"
+    assert "ReadSchema: struct<text:string>" in p, "must prune to text col"
