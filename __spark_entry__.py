@@ -345,18 +345,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dups, cell_profile), the chained-gradient composition
     (chain_grads), the IVF-PQ ANN composition (ivfpq_topk), and the
     iterative ops' one-step kernels (kmeans_assign_step, pca_moments).
-    Late round-4: THREE more entered — bpe_pair_counts (the tokenizer-
-    training kernel), dsir_weights (DSIR importance resampling), and
-    streaming_stateful_gate (applyInPandasWithState user state vs the
-    batch oracle).  SIXTEEN multiply-proven variants sit out (all green
-    in at least two prior CORRECTNESS rounds; all stay exported and
-    hash-checked against DuckDB in tests/test_rotation.py):
-    quiet_customers, returning_customers, order_priority_pivot,
-    props_stats, user_value_movavg (out since r3),
-    top_orders_per_customer, sales_rollup, high_value_customers,
-    time_since_last_error, embedding_dups, sliding_event_counts,
-    user_activity_profile, segment_quantiles (out earlier in r4),
-    shipping_priority, nation_revenue, price_band_join (green r1-r3).
+    Late round-4: FOUR more entered — bpe_pair_counts (the tokenizer-
+    training kernel), dsir_weights (DSIR importance resampling),
+    bm25_topk (lexical retrieval), and streaming_stateful_gate
+    (applyInPandasWithState user state vs the batch oracle).
+    SEVENTEEN multiply-proven variants sit out (all green in at least
+    two prior CORRECTNESS rounds; all stay exported and hash-checked
+    against DuckDB in tests/test_rotation.py): quiet_customers,
+    returning_customers, order_priority_pivot, props_stats,
+    user_value_movavg (out since r3), top_orders_per_customer,
+    sales_rollup, high_value_customers, time_since_last_error,
+    embedding_dups, sliding_event_counts, user_activity_profile,
+    segment_quantiles (out earlier in r4), shipping_priority,
+    nation_revenue, price_band_join, and batch sessionize — whose
+    gaps-and-islands semantics stay driver-gated through
+    streaming_sessionize_gate's oracle (all green r1-r3).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -371,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events,
         joins,
         relational,
+        retrieval,
         similarity,
         text,
     )
@@ -428,8 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_sales_cube": relational.brand_sales_cube,
         # --- event analytics ---
         "hourly_event_stats": events.hourly_event_stats,
-        "sessionize": events.sessionize,
         "last_order_before_event": joins.last_order_before_event,
+        # --- lexical retrieval ---
+        "bm25_topk": retrieval.bm25_topk,
         # approximate by design, but the md5-register HLL + exact
         # quantiles are fully replayable -> hash parity (r3)
         "user_reach_sketch": _sketch_query,
@@ -742,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         events,
         joins,
         relational,
+        retrieval,
         similarity,
         text,
     )
@@ -809,8 +815,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
         "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
-        "sessionize": events.SESSIONIZE_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
+        "bm25_topk": retrieval.bm25_topk_sql(),
         "user_reach_sketch": USER_REACH_SKETCH_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,

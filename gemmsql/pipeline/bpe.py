@@ -27,6 +27,7 @@ whole-stage-codegen ``aggregate`` fold — no Python UDF in the loop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,3 +180,80 @@ def bpe_learn(
     finally:
         syms.unpersist()
     return merges
+
+
+# ------------------------------------------------------------- encoding
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Sequential-reference BPE encode of one word: repeatedly merge
+    the LOWEST-RANK adjacent pair present (ties leftmost) until no
+    learned pair remains — the standard tokenizer inference rule,
+    equivalent to applying the merge list in learned order."""
+    s = list(word)
+    while len(s) >= 2:
+        best_rank = None
+        best_i = -1
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        s[best_i : best_i + 2] = [s[best_i] + s[best_i + 1]]
+    return s
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Tokenize ``documents`` rows with a learned merge list ->
+    ``(doc_id, tokens, n_tokens)``.
+
+    Scale shape: a NARROW Arrow-batched map — no shuffle, no join, no
+    vocabulary table to distribute; words repeat heavily inside a
+    batch, so a per-batch memo dict amortizes the merge loop to ~one
+    encode per word type per batch.  (For merge lists beyond closure
+    size, ship ``ranks`` with ``SparkContext.broadcast`` — the shape is
+    unchanged.)
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): it for it, a, b, _ in merges}
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc_text(t: str) -> list[str]:
+            out: list[str] = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return texts.map(enc_text)
+
+    return docs.select(
+        "doc_id", enc(F.col("text")).alias("tokens")
+    ).withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def apply_merges_expr(merges: list[tuple[int, str, str, int]]) -> str:
+    """JVM-only encode: the learned merges as a CHAIN of codegen
+    ``aggregate`` folds applied in learned order — equivalent to
+    :func:`encode_word`'s rank-priority rule for TRAINING-PRODUCED
+    merge lists (a pair involving a merged symbol always ranks after
+    the merge that created the symbol, so exhausting merge k before
+    k+1 is lowest-rank-first).  Practical for small merge lists; the
+    Pandas path is the production encoder."""
+    expr = (
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    for _, a, b, _ in merges:
+        expr = merge_pair_expr(a, b).replace("aggregate(syms,", f"aggregate({expr},", 1)
+    return expr

@@ -1,0 +1,181 @@
+"""BM25 keyword retrieval over ``documents`` — the lexical-search
+counterpart of the embedding ANN path (Robertson & Zaragoza 2009;
+the scoring rule behind Lucene/Elasticsearch ranking).
+
+``bm25_topk`` scores a fixed panel of keyword queries against every
+document and returns the top-10 per query:
+
+    score(d, q) = sum over t in q of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len_d / avgl))
+
+with k1 = 1.2, b = 0.75, idf = ln((N - df + .5)/(df + .5) + 1).
+
+Oracle-exactness: k1 and b are rationals (6/5, 3/4), so clearing
+denominators makes the tf-saturation ratio a ratio of exact int64s;
+it is quantized to the 1e-6 grid by half-away-from-zero integer
+division.  ``avgl`` is quantized to the 1e-3 grid the same way, and
+``idf = qln(2(N+1)) - qln(2df+1)`` is a difference of 1e-9-quantized
+lns of INTEGERS (the ``bigram_pmi`` discipline — never ln of a float
+quotient, which libm and Java may round differently).  The per-term
+products and document sums are exact int64 (|score_int| < 1e18 for
+query panels up to ~10 terms), so the DuckDB twin replays bit-for-bit.
+
+Scale shape (100 TB): one corpus scan explodes tokens and keeps ONLY
+the query-vocabulary terms (a pushed-down isin filter — the stream is
+|vocab|-sparse, not corpus-sized), one (doc, term) aggregation carrying
+len_d, then broadcast joins against the |vocab|-row df table, the
+1-row totals, and the query panel.  Per-query top-10 is a window
+PARTITIONED by query — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gemmsql.caching import scoped_cache
+from gemmsql.datamodel import load_table
+
+K = 10
+
+# (query_id, space-joined distinct terms) — the fixed evaluation panel
+QUERIES: list[tuple[int, str]] = [
+    (1, "table scan"),
+    (2, "hash join merge"),
+    (3, "window sort"),
+    (4, "spark batch value"),
+]
+
+
+def _qln(col):
+    return F.floor(F.log(col.cast("double")) * 1e9 + 0.5).cast("long")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``K`` documents per panel query ->
+    ``(query_id, doc_id, rank, score)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = sorted({t for _, q in QUERIES for t in q.split(" ")})
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("term"),
+        F.size(F.split("text", " ")).cast("long").alias("len_d"),
+    ).where(F.col("term").isin(vocab))
+    # scope-cached: consumed twice (df table + scoring) — one corpus
+    # scan instead of two; bounded by the matching (doc, term) pairs of
+    # the query vocabulary, not the corpus
+    tf = scoped_cache(
+        toks.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("len_d").alias("len_d"),
+        ),
+        fresh_scope=True,
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    totals = docs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("l"),
+    ).select(
+        "n",
+        # avgl on the 1e-3 grid: (2000 L + N) DIV (2 N), half away up
+        F.expr("(2000 * l + n) DIV (2 * n)").alias("avgq"),
+    ).withColumn("k", F.lit(1))
+
+    qpanel = spark.createDataFrame(
+        [(qid, t) for qid, q in QUERIES for t in q.split(" ")],
+        "query_id long, term string",
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(totals), "k")
+        .join(F.broadcast(qpanel), "term")
+    )
+    # tf ratio on the 1e-6 grid: 44 tf avgq / (20 tf avgq + 6 avgq
+    # + 18000 len_d), half away from zero in exact int64
+    ratio_q = F.expr(
+        "(2 * (44 * tf * avgq * 1000000) + (20 * tf * avgq + 6 * avgq"
+        " + 18000 * len_d)) DIV (2 * (20 * tf * avgq + 6 * avgq"
+        " + 18000 * len_d))"
+    )
+    idf_q = _qln(F.lit(2) * (F.col("n") + F.lit(1))) - _qln(
+        F.lit(2) * F.col("df") + F.lit(1)
+    )
+    per_doc = (
+        scored.select(
+            "query_id", "doc_id", (idf_q * ratio_q).alias("s")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").cast("long").alias("score_int"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_int"), "doc_id"
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("score_int").cast("double") / 1e15, 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def bm25_topk_sql() -> str:
+    vocab = sorted({t for _, q in QUERIES for t in q.split(" ")})
+    vocab_sql = ", ".join(f"'{t}'" for t in vocab)
+    panel_sql = ", ".join(
+        f"({qid}, '{t}')" for qid, q in QUERIES for t in q.split(" ")
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS len_d
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(len_d) AS len_d
+  FROM toks WHERE term IN ({vocab_sql}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+tot AS (
+  SELECT COUNT(*) AS n,
+         (2000 * SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+          + COUNT(*)) // (2 * COUNT(*)) AS avgq
+  FROM documents
+),
+panel(query_id, term) AS (VALUES {panel_sql}),
+scored AS (
+  SELECT p.query_id, tf.doc_id,
+    (  CAST(FLOOR(LN(CAST(2 * (tot.n + 1) AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT)
+     - CAST(FLOOR(LN(CAST(2 * dfreq.df + 1 AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT))
+    * ((2 * (44 * tf.tf * tot.avgq * 1000000)
+        + (20 * tf.tf * tot.avgq + 6 * tot.avgq + 18000 * tf.len_d))
+       // (2 * (20 * tf.tf * tot.avgq + 6 * tot.avgq
+                + 18000 * tf.len_d))) AS s
+  FROM tf
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN tot
+  JOIN panel p ON p.term = tf.term
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_int
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_int DESC, doc_id) AS rank
+  FROM per_doc
+)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(CAST(score_int AS DOUBLE) / 1000000000000000.0, 6) AS score
+FROM ranked WHERE rank <= {K}
+"""

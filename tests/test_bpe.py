@@ -97,3 +97,55 @@ def test_pair_counts_weighted_by_word_frequency(spark):
         for r in _pair_counts_of(df).collect()
     }
     assert rows == {("a", "a"): 3, ("a", "b"): 2}
+
+
+def test_bpe_encode_three_ways_agree(spark):
+    """The Arrow-batched rank-priority encoder, the JVM fold-chain
+    encoder, and the sequential Python reference must tokenize the
+    corpus identically for a learned (rank-consistent) merge list."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline import bpe
+
+    merges = bpe.bpe_learn(spark, SF_SMOKE, n_merges=5)
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+
+    ranks = {(a, b): it for it, a, b, _ in merges}
+    for r in docs.select("doc_id", "text").collect():
+        want = [
+            t
+            for w in r["text"].split(" ")
+            if w
+            for t in bpe.encode_word(w, ranks)
+        ]
+        assert got[r["doc_id"]] == want, f"doc {r['doc_id']}"
+
+    # JVM fold-chain on word types agrees with encode_word
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 1)
+        .distinct()
+    )
+    jvm = {
+        r["word"]: r["toks"]
+        for r in words.select(
+            "word", F.expr(bpe.apply_merges_expr(merges)).alias("toks")
+        ).collect()
+    }
+    for w, toks in jvm.items():
+        assert toks == bpe.encode_word(w, ranks), w
+
+
+def test_bpe_encode_is_narrow(spark):
+    """Tokenization must be a zero-shuffle narrow map."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline import bpe
+
+    merges = [(1, "e", "r", 0), (2, "o", "r", 0)]
+    df = bpe.bpe_encode(load_table(spark, SF_SMOKE, "documents"), merges)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "tokenization must not shuffle"

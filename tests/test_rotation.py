@@ -103,6 +103,10 @@ def _rotated():
          relational.NATION_REVENUE_SQL),
         ("price_band_join", relational.price_band_join,
          relational.PRICE_BAND_JOIN_SQL),
+        # rotated out for bm25_topk: batch sessionization — the same
+        # gaps-and-islands semantics stay driver-gated through
+        # streaming_sessionize_gate's oracle
+        ("sessionize", events.sessionize, events.SESSIONIZE_SQL),
     ]
 
 
