@@ -345,11 +345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dups, cell_profile), the chained-gradient composition
     (chain_grads), the IVF-PQ ANN composition (ivfpq_topk), and the
     iterative ops' one-step kernels (kmeans_assign_step, pca_moments).
-    Late round-4: FOUR more entered — bpe_pair_counts (the tokenizer-
+    Late round-4: FIVE more entered — bpe_pair_counts (the tokenizer-
     training kernel), dsir_weights (DSIR importance resampling),
-    bm25_topk (lexical retrieval), and streaming_stateful_gate
+    bm25_topk (lexical retrieval), dedup_keep_best (cluster
+    canonicalization), and streaming_stateful_gate
     (applyInPandasWithState user state vs the batch oracle).
-    SEVENTEEN multiply-proven variants sit out (all green in at least
+    EIGHTEEN multiply-proven variants sit out (all green in at least
     two prior CORRECTNESS rounds; all stay exported and hash-checked
     against DuckDB in tests/test_rotation.py): quiet_customers,
     returning_customers, order_priority_pivot, props_stats,
@@ -357,9 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sales_rollup, high_value_customers, time_since_last_error,
     embedding_dups, sliding_event_counts, user_activity_profile,
     segment_quantiles (out earlier in r4), shipping_priority,
-    nation_revenue, price_band_join, and batch sessionize — whose
-    gaps-and-islands semantics stay driver-gated through
-    streaming_sessionize_gate's oracle (all green r1-r3).
+    nation_revenue, price_band_join (green r1-r3), and the batch
+    sessionize / hourly_event_stats pair — whose windowed/gaps-and-
+    islands semantics stay driver-gated through the
+    streaming_sessionize_gate / streaming_hourly_gate oracles.
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -408,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "decontaminate": dedup.decontaminate,
         # --- text analysis ---
         "text_stats": q_text_stats,          # + token_counts columns
@@ -431,7 +434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": relational.pricing_summary,
         "brand_sales_cube": relational.brand_sales_cube,
         # --- event analytics ---
-        "hourly_event_stats": events.hourly_event_stats,
         "last_order_before_event": joins.last_order_before_event,
         # --- lexical retrieval ---
         "bm25_topk": retrieval.bm25_topk,
@@ -795,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
+        "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "decontaminate": dedup.decontaminate_sql(),
         "text_stats": text_stats_sql,
         "language_scores": text.language_scores_sql(),
@@ -814,7 +817,6 @@ def oracle_sql() -> dict[str, str]:
         "pca_moments": cluster.PCA_MOMENTS_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
-        "hourly_event_stats": events.HOURLY_EVENT_STATS_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
         "user_reach_sketch": USER_REACH_SKETCH_SQL,

@@ -811,3 +811,60 @@ SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
        COUNT(*) AS n_positions
 FROM grp GROUP BY doc_id, island
 """
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization -> ``(cluster_id, cluster_size,
+    kept_doc_id, quality)``: for every near-duplicate component pick
+    the member to KEEP — highest :func:`gemmsql.pipeline.text.
+    quality_score`, ties to the smallest doc_id.  This is the step
+    after clustering in a training pipeline: pairs say "a ~ b",
+    clusters say "these are one group", keep-best says which one
+    survives into the corpus.
+
+    Scale shape: reuses the cluster labels (min-label propagation,
+    skew-safe) and the per-doc quality scores (one explode + narrow
+    map); the selection itself is a window PARTITIONED by cluster_id —
+    components are tiny (duplicate groups), so no partition skew — and
+    both inputs join on doc_id, co-keyed.  Ordering ties on the
+    ROUNDED quality column, which both engines produce bit-identically
+    (quality_score is hash-green), so the argmax replays exactly.
+    """
+    from pyspark.sql import Window
+
+    from gemmsql.pipeline.text import quality_score
+
+    c = dedup_clusters(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    return (
+        c.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+        )
+    )
+
+
+def dedup_keep_best_sql(threshold: float = 0.1) -> str:
+    """Oracle: the clusters and quality twins as subqueries (DuckDB
+    nests WITH [RECURSIVE] inside a derived table), argmax by window."""
+    from gemmsql.pipeline.text import quality_score_sql
+
+    return f"""
+SELECT cluster_id, cluster_size, doc_id AS kept_doc_id, quality
+FROM (
+  SELECT c.cluster_id, c.cluster_size, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM ({dedup_clusters_sql(threshold)}) c
+  JOIN ({quality_score_sql()}) q ON q.doc_id = c.doc_id
+)
+WHERE rn = 1
+"""

@@ -103,10 +103,13 @@ def _rotated():
          relational.NATION_REVENUE_SQL),
         ("price_band_join", relational.price_band_join,
          relational.PRICE_BAND_JOIN_SQL),
-        # rotated out for bm25_topk: batch sessionization — the same
-        # gaps-and-islands semantics stay driver-gated through
-        # streaming_sessionize_gate's oracle
+        # rotated out for bm25_topk / dedup_keep_best: the batch
+        # sessionize + hourly pair — their windowed/gaps-and-islands
+        # semantics stay driver-gated through the streaming gates'
+        # oracles
         ("sessionize", events.sessionize, events.SESSIONIZE_SQL),
+        ("hourly_event_stats", events.hourly_event_stats,
+         events.HOURLY_EVENT_STATS_SQL),
     ]
 
 
