@@ -89,3 +89,47 @@ def build_training_corpus(
         spark, sf_dir, quality_floor=quality_floor
     )
     return pack_doc_frame(survivors, budget=budget, n_buckets=n_buckets)
+
+
+def build_tokenized_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_merges: int = 8,
+    quality_floor: float = QUALITY_FLOOR,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """The fully tokenized corpus build -> ``(seq_id, doc_id, n_tokens,
+    seq_tokens, truncated, tokens)``:
+
+        dedup -> quality filter -> sample        (corpus_survivors)
+        -> BPE tokenize                          (bpe.bpe_encode, with
+           merges learned on the full corpus by bpe.bpe_learn)
+        -> pack by REAL token counts             (pack_counted_frame)
+
+    vs :func:`build_training_corpus`, sequences are budgeted in actual
+    tokenizer tokens instead of the whitespace proxy — the number a
+    training loop bills against.  Still deterministic end to end: the
+    merge list is a pure function of the corpus, the encoder is
+    rank-priority, the pack buckets are md5 gates.
+
+    Scale note: merges are learned from the word-frequency table
+    (Heaps-sublinear) and the encode is a zero-shuffle narrow map, so
+    the tokenize stage adds no corpus-scale shuffle to the recipe."""
+    from gemmsql.pipeline.bpe import bpe_encode, bpe_learn
+    from gemmsql.pipeline.packing import pack_counted_frame
+
+    survivors = corpus_survivors(
+        spark, sf_dir, quality_floor=quality_floor
+    )
+    merges = bpe_learn(spark, sf_dir, n_merges=n_merges)
+    toks = bpe_encode(survivors, merges)
+    packed = pack_counted_frame(
+        toks.select("doc_id", "n_tokens"),
+        budget=budget,
+        n_buckets=n_buckets,
+    )
+    return packed.join(toks.select("doc_id", "tokens"), "doc_id").select(
+        "seq_id", "doc_id", "n_tokens", "seq_tokens", "truncated", "tokens"
+    )

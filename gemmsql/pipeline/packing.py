@@ -65,20 +65,40 @@ def pack_doc_frame(
 ) -> DataFrame:
     """Frame-level packing API: any ``(doc_id, text, ...)`` DataFrame
     (e.g. the survivor set of a dedup/quality/sampling chain —
-    ``corpus.build_training_corpus``) -> packed sequences."""
+    ``corpus.build_training_corpus``) -> packed sequences, with
+    whitespace token counts."""
     n_tokens = (
         F.length("text")
         - F.length(F.regexp_replace("text", " ", ""))
         + F.lit(1)
     ).cast("long")
+    return pack_counted_frame(
+        docs.select("doc_id", n_tokens.alias("n_tokens")),
+        budget=budget,
+        n_buckets=n_buckets,
+    )
+
+
+def pack_counted_frame(
+    counted: DataFrame,
+    *,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Core packing kernel over precomputed counts ``(doc_id,
+    n_tokens)`` — lets callers pack by REAL tokenizer counts
+    (``corpus.build_tokenized_corpus``) instead of the whitespace
+    proxy.  FFD inside md5 hash buckets, deterministic, no global
+    sort, no driver collect."""
     bucket = F.pmod(
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
         ).cast("long"),
         F.lit(n_buckets),
     )
-    keyed = docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), bucket.alias("bucket")
+    keyed = counted.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        bucket.alias("bucket"),
     )
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:

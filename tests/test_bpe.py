@@ -149,3 +149,57 @@ def test_bpe_encode_is_narrow(spark):
     df = bpe.bpe_encode(load_table(spark, SF_SMOKE, "documents"), merges)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "tokenization must not shuffle"
+
+
+def test_merge_fold_matches_python_on_adversarial_symbols(spark):
+    """Property check across adversarial words (repeats, overlaps,
+    quote/backslash symbols exercising the expr escaping): the JVM
+    fold merge must equal the sequential greedy merge."""
+    from gemmsql.pipeline.bpe import merge_pair_expr
+
+    words = [
+        "aaaa", "aabaa", "ababa", "bbb", "a", "",
+        "a'b", "''", "\\a", "a\\'b", "ab'ab",
+    ]
+    pairs = [("a", "a"), ("a", "b"), ("'", "b"), ("\\", "a"), ("'", "'")]
+
+    def ref_merge(s, a, b):
+        ns = []
+        for x in s:
+            if ns and ns[-1] == a and x == b:
+                ns[-1] = a + b
+            else:
+                ns.append(x)
+        return ns
+
+    rows = [(list(w),) for w in words]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    for a, b in pairs:
+        got = [
+            r["m"]
+            for r in df.select(
+                F.expr(merge_pair_expr(a, b)).alias("m")
+            ).collect()
+        ]
+        want = [ref_merge(list(w), a, b) for w in words]
+        assert got == want, (a, b)
+
+
+def test_tokenized_corpus_budget_and_coverage(spark):
+    """build_tokenized_corpus: every survivor packed exactly once,
+    n_tokens == len(tokens) (real tokenizer counts), seq_tokens is the
+    exact per-sequence sum, and the budget binds except for oversized
+    single docs (flagged truncated)."""
+    from gemmsql.pipeline.corpus import build_tokenized_corpus, corpus_survivors
+
+    out = build_tokenized_corpus(spark, SF_SMOKE, n_merges=4).toPandas()
+    n_surv = corpus_survivors(spark, SF_SMOKE).count()
+    assert len(out) == n_surv
+    assert out["doc_id"].is_unique
+    assert (out["n_tokens"] == out["tokens"].map(len)).all()
+    sums = out.groupby("seq_id")["n_tokens"].sum()
+    got = out.set_index("seq_id")["seq_tokens"]
+    assert all(sums[s] == v for s, v in got.items())
+    from gemmsql.pipeline.packing import PACK_BUDGET
+    over = out[out["seq_tokens"] > PACK_BUDGET]
+    assert (over["truncated"]).all() or len(over) == 0
