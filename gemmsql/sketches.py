@@ -194,3 +194,150 @@ SELECT q.event_type, CAST(FLOOR(hll.e + 0.5) AS BIGINT) AS approx_users,
        q.p50, q.p90, q.p99, q.n
 FROM q JOIN hll ON hll.event_type = q.event_type
 """
+
+
+# ------------------------------------------------------- Bloom filter
+
+BLOOM_WORDS = 512       # 512 x 32 bits = 16384-bit filter (~10+ bits
+                        # per benchmark shingle at sf0.01 -> <1% doc FP)
+BLOOM_BPW = 32          # bits per word, < 63 so masks stay positive
+BLOOM_K = 3             # hash functions
+
+
+def _bloom_positions_expr(col: str, k: int = BLOOM_K) -> str:
+    """SQL array<struct<word, mask>> of the K md5-derived bit positions
+    of ``col`` — one expression shared by build and probe so both sides
+    (and the DuckDB twin) replay the filter exactly."""
+    bits = BLOOM_WORDS * BLOOM_BPW
+    parts = []
+    for i in range(k):
+        h = (
+            f"pmod(CAST(conv(substring(md5(concat({col}, '#{i}')),"
+            f" 1, 15), 16, 10) AS BIGINT), {bits})"
+        )
+        parts.append(
+            f"struct(CAST(({h}) DIV {BLOOM_BPW} AS BIGINT) AS word,"
+            f" shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(({h}) % {BLOOM_BPW} AS INT)) AS mask)"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+def bloom_decontaminate(spark, sf_dir: str):
+    """Bloom-filter benchmark decontamination ->
+    ``(doc_id, n_shingles, n_flagged, flagged_frac)`` — the SCALE path
+    of ``dedup.decontaminate``: instead of broadcasting the benchmark's
+    raw distinct-shingle set (fine for MB-scale eval suites, not for a
+    multi-GB held-out corpus), compress it into a 4096-bit Bloom
+    filter (128 x int64 words, 3 md5-derived hashes) and broadcast
+    THAT.  Probing is a map-side join against a <=128-row table.
+
+    Approximate by design (Bloom false positives can over-flag), but
+    deterministic about its own construction: every bit position is an
+    md5 gate, so the DuckDB twin (:data:`BLOOM_DECONTAMINATE_SQL`)
+    replays the filter and the verdicts bit-for-bit — the same
+    discipline as the md5-register HLL above.
+
+    Scale shape: benchmark shingles -> K (word, mask) pairs -> one
+    tiny bit_or aggregation (<=128 rows, broadcast back); corpus
+    shingles probe with K lookups each; per-doc verdict is one
+    doc_id-keyed aggregation.  No pairwise join anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    from gemmsql.pipeline.dedup import BENCH_MOD, doc_shingles
+
+    sh = doc_shingles(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+
+    bench_pos = (
+        sh.where(is_bench)
+        .select("shingle")
+        .distinct()
+        .select(
+            F.explode(F.expr(_bloom_positions_expr("shingle"))).alias("p")
+        )
+        .select("p.word", "p.mask")
+    )
+    filt = bench_pos.groupBy("word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+
+    probe = (
+        sh.where(~is_bench)
+        .select(
+            "doc_id",
+            "shingle",
+            F.explode(F.expr(_bloom_positions_expr("shingle"))).alias("p"),
+        )
+        .select("doc_id", "shingle", "p.word", "p.mask")
+    )
+    checked = probe.join(F.broadcast(filt), "word", "left").withColumn(
+        "set", (F.expr("bits & mask") == F.col("mask")).cast("int")
+    )
+    per_shingle = checked.groupBy("doc_id", "shingle").agg(
+        (F.sum("set") == BLOOM_K).cast("int").alias("flagged")
+    )
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+        )
+        .where(F.col("n_flagged") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_shingles"), 6).alias(
+                "flagged_frac"
+            ),
+        )
+    )
+
+
+def bloom_decontaminate_sql() -> str:
+    from gemmsql.pipeline.dedup import BENCH_MOD, SHINGLES_CTE
+
+    bits = BLOOM_WORDS * BLOOM_BPW
+    ks = ", ".join(str(i) for i in range(BLOOM_K))
+    pos = (
+        f"CAST('0x' || substring(md5(shingle || '#' || i), 1, 15)"
+        f" AS BIGINT) % {bits}"
+    )
+    return f"""
+WITH {SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+),
+bpos AS (
+  SELECT ({pos}) // {BLOOM_BPW} AS word,
+         CAST(1 AS BIGINT) << CAST(({pos}) % {BLOOM_BPW} AS INT) AS mask
+  FROM bench, UNNEST([{ks}]) AS t(i)
+),
+filt AS (SELECT word, BIT_OR(mask) AS bits FROM bpos GROUP BY word),
+probe AS (
+  SELECT doc_id, shingle,
+         ({pos}) // {BLOOM_BPW} AS word,
+         CAST(1 AS BIGINT) << CAST(({pos}) % {BLOOM_BPW} AS INT) AS mask
+  FROM shingles, UNNEST([{ks}]) AS t(i)
+  WHERE doc_id % {BENCH_MOD} <> 0
+),
+checked AS (
+  SELECT p.doc_id, p.shingle,
+         CASE WHEN f.bits IS NOT NULL AND (f.bits & p.mask) = p.mask
+              THEN 1 ELSE 0 END AS is_set
+  FROM probe p LEFT JOIN filt f ON f.word = p.word
+),
+per_shingle AS (
+  SELECT doc_id, shingle,
+         CASE WHEN SUM(is_set) = {BLOOM_K} THEN 1 ELSE 0 END AS flagged
+  FROM checked GROUP BY doc_id, shingle
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       ROUND(CAST(SUM(flagged) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS flagged_frac
+FROM per_shingle GROUP BY doc_id
+HAVING SUM(flagged) > 0
+"""

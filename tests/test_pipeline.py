@@ -841,3 +841,22 @@ def test_load_table_normalizes_events_ts_variants(spark, tmp_path):
             r[0] for r in df.select(F.unix_micros("ts")).collect()
         )
         assert got == us, str(d)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom membership can over-flag (false positives) but must NEVER
+    miss a truly contaminated doc, and the FP overhead at the sized
+    filter should stay small."""
+    from gemmsql.pipeline.dedup import decontaminate
+    from gemmsql.sketches import bloom_decontaminate
+
+    from tests.conftest import SF_CORRECT
+
+    exact = {r["doc_id"] for r in decontaminate(spark, SF_CORRECT).collect()}
+    bloom = {
+        r["doc_id"] for r in bloom_decontaminate(spark, SF_CORRECT).collect()
+    }
+    assert exact <= bloom, "Bloom filter missed contaminated docs"
+    assert len(bloom - exact) <= max(10, len(exact) // 10), (
+        f"false-positive overhead too high: {len(bloom - exact)}"
+    )

@@ -118,10 +118,14 @@ def _library_tier():
     twins — same hash parity, enforced here."""
     from gemmsql.pipeline import dedup, text
 
+    from gemmsql.sketches import bloom_decontaminate, bloom_decontaminate_sql
+
     return [
         ("doc_perplexity", text.doc_perplexity, text.DOC_PERPLEXITY_SQL),
         ("dup_spans", dedup.dup_spans, dedup.DUP_SPANS_SQL),
         ("mixture_balance", text.mixture_balance, text.MIXTURE_BALANCE_SQL),
+        ("bloom_decontaminate", bloom_decontaminate,
+         bloom_decontaminate_sql()),
     ]
 
 
