@@ -18,12 +18,24 @@ from pyspark.sql import functions as F
 from gemmsql.datamodel import load_table
 
 
+# staged targets this process already wrote: the five gates replay the
+# same events table, so stage once per (sf_dir -> target) per session
+# instead of rewriting it per gate (in-process memo only — a fresh
+# process always overwrites, so stale tempdirs from earlier runs can't
+# leak in)
+_STAGED: set[tuple[str, str]] = set()
+
+
 def stage_stream_dir(spark: SparkSession, sf_dir: str, target_dir: str) -> str:
     """Materialize the (nanos-normalized) events table into a parquet
     directory usable as a file-stream source (testdata is read-only and
     single-file; streams want a directory they can list)."""
+    key = (sf_dir, target_dir)
+    if key in _STAGED:
+        return target_dir
     ev = load_table(spark, sf_dir, "events")
     ev.write.mode("overwrite").parquet(target_dir)
+    _STAGED.add(key)
     return target_dir
 
 
