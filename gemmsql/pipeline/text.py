@@ -1003,3 +1003,74 @@ CROSS JOIN nmin
 WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
       % c.n_lang < nmin.n_min
 """
+
+
+# PII patterns in the regex subset Java (Spark) and RE2 (DuckDB)
+# evaluate identically: literal classes, bounded ?/+ quantifiers, no
+# lookaround, no backreferences.  Leftmost-longest vs leftmost-greedy
+# divergence is avoided by anchoring each pattern's tail (the email
+# TLD, the full IP octets, the fixed phone shape).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "<EMAIL>"),
+    (
+        "ip",
+        r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?"
+        r"\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ][0-9][0-9][0-9][0-9]",
+        "<PHONE>",
+    ),
+]
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction -> ``(doc_id, redacted, n_email, n_ip, n_phone)``
+    — the privacy-hygiene stage of a pretraining pipeline: mask
+    emails, IPv4 addresses, and phone-shaped numbers with typed
+    placeholder tokens and count what was removed (the count feeds
+    doc-level drop rules, e.g. "drop docs with > N PII hits").
+
+    A pure narrow map (regexp_extract_all + chained regexp_replace) —
+    zero shuffle at any scale.  Patterns are deliberately restricted to
+    the Java/RE2-common subset so the same rule set replays on any
+    engine (``PII_SCRUB_SQL`` is the DuckDB twin over a ``docs`` view;
+    the synthetic corpus contains no PII, so parity is pinned on a
+    fixture table in ``tests/test_pipeline.py``).
+
+    Order matters and is fixed: emails first (an address can embed
+    digit runs), then IPs (dotted octets), then phones — each later
+    pattern sees the earlier placeholders, exactly as in the twin.
+    """
+    red = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, token)
+    return docs.select("doc_id", red.alias("redacted"), *counts)
+
+
+def _pii_scrub_sql_steps() -> tuple[str, list[str]]:
+    red = "text"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return red, counts
+
+
+PII_SCRUB_SQL = (
+    "SELECT doc_id, {red} AS redacted, {counts} FROM docs".format(
+        red=_pii_scrub_sql_steps()[0],
+        counts=", ".join(_pii_scrub_sql_steps()[1]),
+    )
+)

@@ -860,3 +860,52 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     assert len(bloom - exact) <= max(10, len(exact) // 10), (
         f"false-positive overhead too high: {len(bloom - exact)}"
     )
+
+
+def test_pii_scrub_matches_duckdb_on_fixture(spark):
+    """The synthetic corpus has no PII, so parity is pinned on a
+    fixture exercising every pattern, overlaps, and placeholder
+    interactions — Spark (Java regex) vs DuckDB (RE2) must agree on
+    both the redacted text and the typed counts."""
+    import duckdb
+    import pandas as pd
+
+    from gemmsql.pipeline.text import PII_SCRUB_SQL, pii_scrub
+
+    rows = [
+        (1, "contact a.b+spam@ex-mail.co or root@10.0.0.1 now"),
+        (2, "call 555-123-4567 or 555 123 4567 twice"),
+        (3, "server 192.168.001.255 and 1.2.3.4 up"),
+        (4, "no pii here just words"),
+        (5, "mixed x@y.io 10.1.2.3 555-000-1111 end"),
+        (6, "edge a@b.c single-letter tld stays"),
+        (7, "999-999-9999 and 1.2.3.4.5 overlap run"),
+    ]
+    sdf = (
+        pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    odf = (
+        con.sql(PII_SCRUB_SQL)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sdf.equals(odf[sdf.columns].astype(sdf.dtypes.to_dict())), (
+        sdf.compare(odf[sdf.columns].astype(sdf.dtypes.to_dict()))
+    )
+    # semantic spot checks
+    by_id = sdf.set_index("doc_id")
+    # root@10.0.0.1 is NOT an email (no letter TLD) — its host redacts
+    # as an IP instead
+    assert by_id.loc[1, "n_email"] == 1
+    assert "<EMAIL>" in by_id.loc[1, "redacted"]
+    assert "root@<IP>" in by_id.loc[1, "redacted"]
+    assert by_id.loc[2, "n_phone"] == 2
+    assert by_id.loc[4, "redacted"] == "no pii here just words"
