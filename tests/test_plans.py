@@ -494,3 +494,16 @@ def test_bpe_pair_counts_single_scan_two_aggs(spark):
     assert p.count("FileScan parquet") == 1
     assert "Join" not in p, "pair construction must be in-row"
     assert "ReadSchema: struct<text:string>" in p, "must prune to text col"
+
+
+def test_dedup_keep_best_partitions_by_cluster(spark):
+    """Survivor selection must window PER CLUSTER (components are
+    tiny, uniform keys) — never a global sort — and compose the
+    cluster/quality inputs by doc_id equi-join, no cartesian."""
+    from gemmsql.pipeline.dedup import dedup_keep_best
+
+    p = plan_of(dedup_keep_best(spark, SF_SMOKE))
+    assert "windowspecdefinition(cluster_id" in p, (
+        "keep-best window must partition by cluster_id"
+    )
+    assert "CartesianProduct" not in p
