@@ -70,7 +70,13 @@ def doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     parquet scan (the earlier formulation used two positional
     self-joins, i.e. two full-corpus shuffles, for the same rows)."""
     assert n == 3, "word-3-grams (reference pipeline default)"
-    docs = load_table(spark, sf_dir, "documents")
+    return frame_shingles(load_table(spark, sf_dir, "documents"), n=n)
+
+
+def frame_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Frame-level shingling: any ``(doc_id, text, ...)`` DataFrame ->
+    distinct ``(doc_id, shingle)`` word n-grams, same narrow in-row
+    construction as :func:`doc_shingles` (which delegates here)."""
     # materialize the split ONCE as a real column first: expressions
     # captured inside higher-order lambdas are re-evaluated per element
     # (no common-subexpression elimination), so an inline split() would
@@ -868,3 +874,106 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingestion dedup -> ``(doc_id, status, match_id,
+    jaccard)``: classify every NEW document against an already-ingested
+    corpus snapshot as
+
+    - ``exact`` — byte-identical text exists in the snapshot
+      (md5 equi-join; ``match_id`` = the smallest such seen doc),
+    - ``near``  — word-3-gram Jaccard >= ``threshold`` against some
+      seen doc (``match_id`` = best match, ties to smallest id),
+    - ``novel`` — neither.
+
+    This is the ongoing-crawl shape of :func:`dedup_exact` /
+    :func:`jaccard_pairs`: the batch ops dedup a corpus against
+    itself; this op dedups a DELTA against the accumulated corpus
+    without re-pairing the corpus with itself.
+
+    Scale shape: the exact check is one hash equi-join keyed on
+    md5(text).  The near check builds shingles for BOTH sides as
+    narrow maps, caps hot shingles on the SEEN side (df <= MAX_DF,
+    same bound as the batch pair ops), and joins new-shingles to
+    seen-shingles through the inverted index — cost is
+    O(new-shingle postings), proportional to the delta, never to
+    |seen| x |new|.  Candidates then verify with exact set sizes.
+    """
+    n_hash = F.md5("text").alias("h")
+    seen_h = (
+        seen_docs.select(n_hash, F.col("doc_id").alias("sid"))
+        .groupBy("h")
+        .agg(F.min("sid").alias("match_id"))
+    )
+    new_h = new_docs.select("doc_id", n_hash)
+    exact = (
+        new_h.join(seen_h, "h")
+        .select(
+            "doc_id",
+            F.lit("exact").alias("status"),
+            "match_id",
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    new_sh = frame_shingles(new_docs)
+    seen_sh = cap_shingles(frame_shingles(seen_docs))
+    new_sizes = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_sz"))
+    seen_sizes = seen_sh.groupBy("doc_id").agg(F.count("*").alias("s_sz"))
+    inter = (
+        new_sh.join(
+            seen_sh.select(
+                F.col("doc_id").alias("sid"), "shingle"
+            ),
+            "shingle",
+        )
+        .groupBy("doc_id", "sid")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(new_sizes, "doc_id")
+        .join(
+            seen_sizes.select(F.col("doc_id").alias("sid"), "s_sz"), "sid"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_sz") + F.col("s_sz") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "sid")
+    near = (
+        jac.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("near").alias("status"),
+            F.col("sid").alias("match_id"),
+            "jaccard",
+        )
+    )
+    flagged = exact.unionByName(near)
+    novel = (
+        new_docs.select("doc_id")
+        .join(flagged.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("novel").alias("status"),
+            F.lit(None).cast("long").alias("match_id"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return flagged.unionByName(novel)

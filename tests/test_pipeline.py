@@ -909,3 +909,49 @@ def test_pii_scrub_matches_duckdb_on_fixture(spark):
     assert "root@<IP>" in by_id.loc[1, "redacted"]
     assert by_id.loc[2, "n_phone"] == 2
     assert by_id.loc[4, "redacted"] == "no pii here just words"
+
+
+def test_dedup_incremental_classifies_delta(spark):
+    """Fixture: the delta holds an exact copy, a near-duplicate (one
+    word changed), and a novel doc — each must classify accordingly,
+    with the right match ids; plus a corpus-split smoke test."""
+    from gemmsql.pipeline.dedup import dedup_incremental
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("omicron", "CHANGED")
+    seen = spark.createDataFrame(
+        [(10, base), (11, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (20, base),                       # exact copy of 10
+            (21, near),                       # near-dup of 10
+            (22, "completely different words with zero overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_incremental(new, seen, threshold=0.5).collect()
+    }
+    assert out[20]["status"] == "exact" and out[20]["match_id"] == 10
+    assert out[21]["status"] == "near" and out[21]["match_id"] == 10
+    assert out[21]["jaccard"] >= 0.5
+    assert out[22]["status"] == "novel" and out[22]["match_id"] is None
+    assert len(out) == 3
+
+    # corpus smoke: split documents by parity; every delta doc gets
+    # exactly one verdict
+    from gemmsql.datamodel import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    seen_c = docs.where(F.col("doc_id") % 2 == 0)
+    new_c = docs.where(F.col("doc_id") % 2 == 1)
+    verdicts = dedup_incremental(new_c, seen_c)
+    assert verdicts.count() == new_c.count()
+    assert verdicts.select("doc_id").distinct().count() == new_c.count()
