@@ -339,12 +339,17 @@ def pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            xq = _quant(np.asarray(pdf["vec"].tolist(), dtype=np.float64))
-            g = (xq.T @ xq).astype(np.int64)     # exact: <= N * 3.6e12
+            xq = _quant(
+                np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            ).astype(np.int64)
+            # int64 matmul: exact for any Arrow batch size (per-cell
+            # bound batch * (2e6)^2 ~ 4e16 << 2^63), unlike a float64
+            # product which loses exactness past 2^53
+            g = xq.T @ xq
             yield pd.DataFrame({
                 "j1": np.arange(g.shape[0], dtype=np.int64),
                 "gn": list(g),
-                "sn": xq.sum(axis=0).astype(np.int64),
+                "sn": xq.sum(axis=0),
                 "n": len(pdf),
             })
 

@@ -899,9 +899,11 @@ def dedup_incremental(
 
     Scale shape: the exact check is one hash equi-join keyed on
     md5(text).  The near check builds shingles for BOTH sides as
-    narrow maps, caps hot shingles on the SEEN side (df <= MAX_DF,
-    same bound as the batch pair ops), and joins new-shingles to
-    seen-shingles through the inverted index — cost is
+    narrow maps, derives the hot-shingle set (df > MAX_DF, same bound
+    as the batch pair ops) from the SEEN corpus and removes it from
+    BOTH sides — so inter/n_sz/s_sz share one shingle universe and the
+    Jaccard estimate is symmetric — then joins new-shingles to
+    seen-shingles through the inverted index.  Cost is
     O(new-shingle postings), proportional to the delta, never to
     |seen| x |new|.  Candidates then verify with exact set sizes.
     """
@@ -922,8 +924,21 @@ def dedup_incremental(
         )
     )
 
-    new_sh = frame_shingles(new_docs)
-    seen_sh = cap_shingles(frame_shingles(seen_docs))
+    # hot set derived from the SEEN corpus, removed from BOTH sides so
+    # the Jaccard estimate is symmetric: inter, n_sz, and s_sz are all
+    # computed over the same df<=MAX_DF shingle universe (a new doc
+    # dominated by boilerplate no longer gets a deflated score)
+    seen_sh_raw = frame_shingles(seen_docs)
+    hot = (
+        seen_sh_raw.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > MAX_DF)
+        .select("shingle")
+    )
+    seen_sh = seen_sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
+    new_sh = frame_shingles(new_docs).join(
+        F.broadcast(hot), "shingle", "left_anti"
+    )
     new_sizes = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_sz"))
     seen_sizes = seen_sh.groupBy("doc_id").agg(F.count("*").alias("s_sz"))
     inter = (

@@ -228,9 +228,10 @@ def bloom_decontaminate(spark, sf_dir: str):
     ``(doc_id, n_shingles, n_flagged, flagged_frac)`` — the SCALE path
     of ``dedup.decontaminate``: instead of broadcasting the benchmark's
     raw distinct-shingle set (fine for MB-scale eval suites, not for a
-    multi-GB held-out corpus), compress it into a 4096-bit Bloom
-    filter (128 x int64 words, 3 md5-derived hashes) and broadcast
-    THAT.  Probing is a map-side join against a <=128-row table.
+    multi-GB held-out corpus), compress it into a
+    ``BLOOM_WORDS * BLOOM_BPW``-bit Bloom filter (512 x 32 = 16384
+    bits, ``BLOOM_K`` = 3 md5-derived hashes) and broadcast THAT.
+    Probing is a map-side join against a <= ``BLOOM_WORDS``-row table.
 
     Approximate by design (Bloom false positives can over-flag), but
     deterministic about its own construction: every bit position is an
@@ -239,7 +240,7 @@ def bloom_decontaminate(spark, sf_dir: str):
     discipline as the md5-register HLL above.
 
     Scale shape: benchmark shingles -> K (word, mask) pairs -> one
-    tiny bit_or aggregation (<=128 rows, broadcast back); corpus
+    tiny bit_or aggregation (<=512 rows, broadcast back); corpus
     shingles probe with K lookups each; per-doc verdict is one
     doc_id-keyed aggregation.  No pairwise join anywhere.
     """

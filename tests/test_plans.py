@@ -466,7 +466,11 @@ def test_chain_grads_no_quadratic_join(spark):
 
     p = plan_of(e.q_chain_grads(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
-    assert "SortMergeJoin" not in p or "i#" in p  # id-keyed only
+    # every SortMergeJoin must key on the row-id column `i` (the line
+    # itself carries the join keys, e.g. "SortMergeJoin [i#12L], ...")
+    smj = [ln for ln in p.splitlines() if "SortMergeJoin" in ln]
+    for ln in smj:
+        assert "i#" in ln, f"non-row-id SortMergeJoin: {ln.strip()}"
 
 
 def test_dsir_weights_broadcast_counts_two_scans(spark):
