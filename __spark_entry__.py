@@ -296,6 +296,12 @@ def _sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_reach_sketch(spark, sf_dir)
 
 
+def _bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.sketches import bloom_decontaminate
+
+    return bloom_decontaminate(spark, sf_dir)
+
+
 def _streaming_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.streaming.windows import streaming_hourly_gate
 
@@ -350,18 +356,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bm25_topk (lexical retrieval), dedup_keep_best (cluster
     canonicalization), and streaming_stateful_gate
     (applyInPandasWithState user state vs the batch oracle).
-    EIGHTEEN multiply-proven variants sit out (all green in at least
-    two prior CORRECTNESS rounds; all stay exported and hash-checked
-    against DuckDB in tests/test_rotation.py): quiet_customers,
-    returning_customers, order_priority_pivot, props_stats,
-    user_value_movavg (out since r3), top_orders_per_customer,
-    sales_rollup, high_value_customers, time_since_last_error,
-    embedding_dups, sliding_event_counts, user_activity_profile,
-    segment_quantiles (out earlier in r4), shipping_priority,
-    nation_revenue, price_band_join (green r1-r3), and the batch
-    sessionize / hourly_event_stats pair — whose windowed/gaps-and-
-    islands semantics stay driver-gated through the
-    streaming_sessionize_gate / streaming_hourly_gate oracles.
+
+    Round-5 rotation (VERDICT r4 next #1): the four SQL-twinned
+    rotation-tier ops entered the gate — doc_perplexity (bigram-LM
+    scoring), dup_spans (Lee et al. duplicated-span detection),
+    mixture_balance (domain rebalance gate), and bloom_decontaminate
+    (the 16384-bit broadcast-Bloom scale path of decontaminate) — in
+    place of dedup_exact, simhash, fingerprints, and language_scores
+    (each hash-green in ALL FOUR prior CORRECTNESS rounds).
+
+    TWENTY-TWO multiply-proven variants sit out (all green in at
+    least two prior CORRECTNESS rounds; all stay exported and
+    hash-checked against DuckDB in tests/test_rotation.py):
+    quiet_customers, returning_customers, order_priority_pivot,
+    props_stats, user_value_movavg (out since r3),
+    top_orders_per_customer, sales_rollup, high_value_customers,
+    time_since_last_error, embedding_dups, sliding_event_counts,
+    user_activity_profile, segment_quantiles (out earlier in r4),
+    shipping_priority, nation_revenue, price_band_join (green r1-r3),
+    the batch sessionize / hourly_event_stats pair — whose windowed/
+    gaps-and-islands semantics stay driver-gated through the
+    streaming_sessionize_gate / streaming_hourly_gate oracles — and
+    dedup_exact, simhash, fingerprints, language_scores (out in r5,
+    green r1-r4).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -405,17 +422,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal ---
         "payload_meta": payload_meta,
         # --- dedup ---
-        "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash": dedup.simhash,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_keep_best": dedup.dedup_keep_best,
         "decontaminate": dedup.decontaminate,
+        "dup_spans": dedup.dup_spans,
+        "bloom_decontaminate": _bloom_decontaminate_query,
         # --- text analysis ---
         "text_stats": q_text_stats,          # + token_counts columns
-        "language_scores": text.language_scores,
-        "fingerprints": text.fingerprints,
+        "doc_perplexity": text.doc_perplexity,
+        "mixture_balance": text.mixture_balance,
         "tfidf_top_terms": text.tfidf_top_terms,
         "quality_score": text.quality_score,
         "stratified_sample": text.stratified_sample,
@@ -740,7 +757,7 @@ def oracle_sql() -> dict[str, str]:
         " FROM ts JOIN mxt ON mxt.qi = ts.qi JOIN sden ON sden.qi = ts.qi"
     )
     from gemmsql.ops.sampling import sampling_sql
-    from gemmsql.sketches import USER_REACH_SKETCH_SQL
+    from gemmsql.sketches import USER_REACH_SKETCH_SQL, bloom_decontaminate_sql
     from gemmsql.pipeline import (
         bpe,
         cluster,
@@ -792,16 +809,16 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": PQ_TOPK_SQL,
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_meta": PAYLOAD_META_SQL,
-        "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
-        "simhash": dedup.simhash_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "decontaminate": dedup.decontaminate_sql(),
+        "dup_spans": dedup.DUP_SPANS_SQL,
+        "bloom_decontaminate": bloom_decontaminate_sql(),
         "text_stats": text_stats_sql,
-        "language_scores": text.language_scores_sql(),
-        "fingerprints": text.FINGERPRINTS_SQL,
+        "doc_perplexity": text.DOC_PERPLEXITY_SQL,
+        "mixture_balance": text.MIXTURE_BALANCE_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "quality_score": text.quality_score_sql(),
         "stratified_sample": text.stratified_sample_sql(),

@@ -1,14 +1,12 @@
 """Oracle checks for queries outside the 50-entry driver registry.
 
-The driver gate only sees the first 50 registered queries.  Sixteen
-multiply-proven variants sit out the round-4 rotation (making room for
-the corpus ops, the chained-gradient composition, IVF-PQ, the
-iterative-op kernels, and late-r4 bpe_pair_counts / dsir_weights /
-streaming_stateful_gate — see the ``__spark_entry__.queries``
-docstring), and three library-tier ops (doc_perplexity, dup_spans,
-mixture_balance) live here by design.  All get the same Spark-vs-DuckDB
-hash comparison the driver runs, executed in pytest so the hard signal
-never lapses.
+The driver gate only sees the first 50 registered queries.  Twenty-two
+multiply-proven variants sit out the round-4/round-5 rotations (making
+room for the corpus ops, the compositions, the iterative-op kernels,
+and the round-5 entrants doc_perplexity / dup_spans / mixture_balance
+/ bloom_decontaminate — see the ``__spark_entry__.queries``
+docstring).  All get the same Spark-vs-DuckDB hash comparison the
+driver runs, executed in pytest so the hard signal never lapses.
 """
 
 from __future__ import annotations
@@ -60,7 +58,14 @@ def duck():
 
 
 def _rotated():
-    from gemmsql.pipeline import events, joins, relational, similarity
+    from gemmsql.pipeline import (
+        dedup,
+        events,
+        joins,
+        relational,
+        similarity,
+        text,
+    )
 
     return [
         ("quiet_customers", relational.quiet_customers,
@@ -110,29 +115,20 @@ def _rotated():
         ("sessionize", events.sessionize, events.SESSIONIZE_SQL),
         ("hourly_event_stats", events.hourly_event_stats,
          events.HOURLY_EVENT_STATS_SQL),
-    ]
-
-
-def _library_tier():
-    """Ops outside the 50-entry registry by design but with full SQL
-    twins — same hash parity, enforced here."""
-    from gemmsql.pipeline import dedup, text
-
-    from gemmsql.sketches import bloom_decontaminate, bloom_decontaminate_sql
-
-    return [
-        ("doc_perplexity", text.doc_perplexity, text.DOC_PERPLEXITY_SQL),
-        ("dup_spans", dedup.dup_spans, dedup.DUP_SPANS_SQL),
-        ("mixture_balance", text.mixture_balance, text.MIXTURE_BALANCE_SQL),
-        ("bloom_decontaminate", bloom_decontaminate,
-         bloom_decontaminate_sql()),
+        # rotated out in round 5 for doc_perplexity / dup_spans /
+        # mixture_balance / bloom_decontaminate (green r1-r4)
+        ("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+        ("simhash", dedup.simhash, dedup.simhash_sql()),
+        ("fingerprints", text.fingerprints, text.FINGERPRINTS_SQL),
+        ("language_scores", text.language_scores,
+         text.language_scores_sql()),
     ]
 
 
 @pytest.mark.parametrize(
     "name,fn,sql",
-    _rotated() + _library_tier(),
-    ids=[r[0] for r in _rotated() + _library_tier()],
+    _rotated(),
+    ids=[r[0] for r in _rotated()],
 )
 def test_rotated_query_matches_oracle(spark, duck, name, fn, sql):
     sdf = fn(spark, SF_SMOKE).toPandas()
