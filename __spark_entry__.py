@@ -364,6 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the 16384-bit broadcast-Bloom scale path of decontaminate) — in
     place of dedup_exact, simhash, fingerprints, and language_scores
     (each hash-green in ALL FOUR prior CORRECTNESS rounds).
+    Round-5 #2 (VERDICT r4 next #2): payload_features entered — the
+    REAL-decode multimodal gate (PPM parser over md5-chain pixel
+    payloads, full DuckDB reconstruction parity) — in place of
+    stratified_sample (green r1-r4).
 
     TWENTY-TWO multiply-proven variants sit out (all green in at
     least two prior CORRECTNESS rounds; all stay exported and
@@ -397,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         text,
     )
-    from gemmsql.pipeline.multimodal import payload_meta
+    from gemmsql.pipeline.multimodal import payload_features, payload_meta
 
     return {
         # --- reference operator surface (SURVEY.md §2) ---
@@ -421,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         # --- multimodal ---
         "payload_meta": payload_meta,
+        "payload_features": payload_features,
         # --- dedup ---
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -435,7 +440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_balance": text.mixture_balance,
         "tfidf_top_terms": text.tfidf_top_terms,
         "quality_score": text.quality_score,
-        "stratified_sample": text.stratified_sample,
         "repetition_stats": q_repetition_stats,  # + word_entropy column
         "corpus_profile": text.corpus_profile,
         "vocab_build": text.vocab_build,
@@ -770,7 +774,10 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         text,
     )
-    from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
+    from gemmsql.pipeline.multimodal import (
+        PAYLOAD_FEATURES_SQL,
+        PAYLOAD_META_SQL,
+    )
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
         STREAMING_ENRICH_GATE_SQL,
@@ -809,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": PQ_TOPK_SQL,
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_meta": PAYLOAD_META_SQL,
+        "payload_features": PAYLOAD_FEATURES_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
@@ -821,7 +829,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_balance": text.MIXTURE_BALANCE_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "quality_score": text.quality_score_sql(),
-        "stratified_sample": text.stratified_sample_sql(),
         "repetition_stats": repetition_sql,
         "corpus_profile": text.CORPUS_PROFILE_SQL,
         "vocab_build": text.VOCAB_BUILD_SQL,

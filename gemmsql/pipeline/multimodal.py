@@ -1,12 +1,21 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
-metadata, processed with Arrow-batched ``mapInPandas`` kernels.
+metadata, processed with Arrow-batched ``mapInPandas`` kernels over
+REAL uncompressed media formats.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked stub (:func:`decode_image_stub` raises
-``NotImplementedError``; :func:`fake_decode_features` is the
-deterministic test double).  The Spark-side plumbing — schema, batch
-iteration, partition-preserving maps — is real and tested; swapping the
-stub for PIL/ffmpeg is a kernel-local change.
+The container has no codec libraries, so the formats are the
+dependency-free uncompressed ones — PPM (P6) for images, BMP (24-bit
+uncompressed) as a second image container, WAV (PCM16) for audio — with
+full encoders + decoders implemented here in pure Python/NumPy.  The
+compressed-format hooks (JPEG/PNG/MP3) remain kernel-local swaps: every
+query below goes through :func:`decode_image` / :func:`decode_wav`, so
+adding PIL/ffmpeg changes one dispatch line, not the plumbing.
+
+Payload synthesis is deterministic AND SQL-replayable: the synthetic
+PPM body is a chain of md5 digests keyed on ``(doc_id, tile)``, so the
+DuckDB oracle reconstructs the byte-identical payload with
+``unhex(string_agg(md5(...)))`` and the decode-dependent feature query
+(:func:`payload_features`) gets full hash parity — the decode step is
+verified end-to-end, not fixture-only.
 
 At 100 TB binary payloads dominate I/O: these maps are narrow (no
 shuffle), so throughput is bounded by scan + Python/Arrow transfer;
@@ -17,6 +26,7 @@ reads the blob (column pruning — verified in tests via the scan schema).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,89 +37,365 @@ from pyspark.sql import functions as F
 
 from gemmsql.datamodel import load_table
 
+# synthetic image geometry: width fixed, height varies per doc so the
+# decoder genuinely parses dimensions (and n_bytes differs across docs)
+PPM_W = 16
+PPM_H_BASE = 8
+PPM_H_MOD = 8   # H = PPM_H_BASE + doc_id % PPM_H_MOD, so 8..15
+_MD5_LEN = 16   # bytes per md5 digest tile
 
-def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attach a synthetic binary column (utf-8 text bytes standing in for
-    an image payload) + media metadata columns."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("image/fake").alias("media_type"),
-        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+
+# ------------------------------------------------------------------ codecs
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM is RGB; expected (H, W, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) uint8.  A real parser: handles
+    arbitrary whitespace and ``#`` comments in the header per the
+    netpbm spec, validates maxval and body length."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval; '#' starts a
+    # comment running to end-of-line; a single whitespace byte ends
+    # the header after maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    body = payload[pos : pos + w * h * 3]
+    if len(body) != w * h * 3:
+        raise ValueError("truncated PPM body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding, BGR byte order)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("BMP encoder expects (H, W, 3)")
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):           # bottom-up
+        row = img[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += row + b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB.  Handles the
+    standard BITMAPINFOHEADER layout: bottom-up or top-down rows
+    (negative height), 4-byte row padding, BGR order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP, got bpp={bpp}")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload[pixel_off : pixel_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]                    # bottom-up -> top-down
+    return rows[:, :, ::-1].copy()           # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(N,) or (N, C) int16 -> RIFF/WAVE PCM16 bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()                       # interleaved little-endian
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff = b"WAVE" + fmt + data_chunk
+    return struct.pack("<4sI", b"RIFF", len(riff)) + riff
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> ((N, C) int16 samples, sample_rate).  Walks
+    the chunk list (so extra chunks like LIST are skipped), PCM16 only.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, ch, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)             # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return np.frombuffer(data, dtype=np.int16).reshape(-1, ch), rate
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: PPM (P6) or 24-bit BMP -> (H, W, 3)
+    uint8 RGB.  Compressed formats (JPEG/PNG) would slot in here as
+    additional magic branches backed by a codec library."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+# ------------------------------------------------------- payload synthesis
+
+def _ppm_body(doc_id: int, h: int) -> bytes:
+    """Pixel byte stream for the synthetic image: 3*h md5 tiles of 16
+    bytes each == exactly W*h*3 bytes at W=16.  Keyed on (doc_id, tile)
+    so DuckDB replays it with unhex(string_agg(md5(...)))."""
+    n_tiles = (PPM_W * h * 3) // _MD5_LEN
+    return b"".join(
+        hashlib.md5(f"px:{doc_id}:{t}".encode()).digest()
+        for t in range(n_tiles)
     )
 
 
+def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL binary image column: a P6 PPM of W=16, H=8+doc_id%8
+    whose pixel bytes are a deterministic md5 chain (SQL-replayable),
+    plus media metadata columns.  Narrow Arrow-batched map."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                h = PPM_H_BASE + int(doc_id) % PPM_H_MOD
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (PPM_W, h)
+                    + _ppm_body(int(doc_id), h)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+# DuckDB twin of the payload bytes: header text + unhex'd md5 chain
+_PAYLOAD_CTE = f"""
+d AS (SELECT doc_id, {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h FROM documents),
+body AS (
+  SELECT d.doc_id, d.h,
+         unhex(string_agg(
+           md5('px:' || CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(s.t AS VARCHAR)), '' ORDER BY s.t)) AS px
+  FROM d JOIN generate_series(0, {3 * (PPM_H_BASE + PPM_H_MOD - 1) - 1}) s(t)
+    ON s.t < 3 * d.h
+  GROUP BY d.doc_id, d.h
+),
+payload AS (
+  SELECT doc_id, h,
+         encode('P6' || chr(10) || '{PPM_W} ' || CAST(h AS VARCHAR)
+                || chr(10) || '255' || chr(10)) || px AS p
+  FROM body
+)
+"""
+
+
+# ------------------------------------------------------------- metadata
+
 def payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata extraction over the binary column (hash + size) — the
-    query pattern for corpus stats that must NOT decode payloads."""
+    query pattern for corpus stats that must NOT decode payloads.
+    The digest is sha256 over hex(payload) because DuckDB's sha256 is
+    VARCHAR-only; both engines uppercase-hex identically."""
     b = with_binary_payload(spark, sf_dir)
     return b.select(
         "doc_id",
         "n_bytes",
-        F.sha2(F.col("payload"), 256).alias("sha256"),
+        F.sha2(F.hex("payload"), 256).alias("sha256"),
     )
 
 
-PAYLOAD_META_SQL = """
+PAYLOAD_META_SQL = f"""
+WITH {_PAYLOAD_CTE}
 SELECT doc_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  sha256(text) AS sha256
-FROM documents
+  CAST(octet_length(p) AS BIGINT) AS n_bytes,
+  sha256(hex(p)) AS sha256
+FROM payload
 """
 
 
-def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Real decoder hook — not available in this container."""
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/opencv) not present "
-        "in this environment; use fake_decode_features for tests"
+# ------------------------------------------------------- decode features
+
+def payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every payload with the REAL PPM parser and emit per-doc,
+    per-channel pixel statistics: ``(doc_id, channel, n_px, mean, std)``.
+
+    The kernel computes exact int64 (sum, sum_sq, count) partials from
+    the decoded array; mean/std are derived in Spark SQL expressions
+    written to mirror the oracle's double arithmetic term for term, so
+    the result hash-matches DuckDB's reconstruction of the same pixels.
+
+    Scale shape: one narrow Arrow-batched map (decode + 6 ints per
+    doc-channel), then a doc_id-keyed aggregation-free projection — no
+    shuffle at all; at 100 TB this is scan-bound, the right bound for
+    a decode pass."""
+    b = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, chans, ns, sums, sqs = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(p)).astype(np.int64)
+                n = img.shape[0] * img.shape[1]
+                for c in range(3):
+                    ch = img[:, :, c]
+                    ids.append(doc_id)
+                    chans.append(c)
+                    ns.append(n)
+                    sums.append(int(ch.sum()))
+                    sqs.append(int((ch * ch).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "channel": chans, "n_px": ns,
+                 "s": sums, "s2": sqs}
+            )
+
+    part = b.mapInPandas(
+        stats,
+        schema="doc_id long, channel int, n_px long, s long, s2 long",
+    )
+    n = F.col("n_px").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return part.select(
+        "doc_id",
+        F.col("channel").cast("long").alias("channel"),
+        "n_px",
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt((s2 - s * s / n) / n), 6).alias("std"),
     )
 
 
-def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic stand-in for decode+feature-extract: bytes ->
-    fixed-dim float vector via digest chunks."""
-    d = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype=np.uint32)
-    return (raw / np.float64(2**32)).astype(np.float64)
+# oracle: re-derive every pixel byte from the md5 chain by string
+# position (tile t = i DIV 16, hex pair at 2*(i%16)+1), channel = i%3
+PAYLOAD_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id, s.i % 3 AS channel,
+         CAST('0x' || substr(
+           md5('px:' || CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(s.i // {_MD5_LEN} AS VARCHAR)),
+           2 * (s.i % {_MD5_LEN}) + 1, 2) AS BIGINT) AS v
+  FROM d JOIN generate_series(0,
+         {PPM_W * 3 * (PPM_H_BASE + PPM_H_MOD - 1) - 1}) s(i)
+    ON s.i < {PPM_W} * 3 * d.h
+),
+agg AS (
+  SELECT doc_id, channel,
+         CAST(COUNT(*) AS BIGINT) AS n_px,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM px GROUP BY doc_id, channel
+)
+SELECT doc_id, channel, n_px,
+  ROUND(CAST(s AS DOUBLE) / CAST(n_px AS DOUBLE), 6) AS mean,
+  ROUND(SQRT((CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n_px AS DOUBLE))
+             / CAST(n_px AS DOUBLE)), 6) AS std
+FROM agg
+"""
 
 
 def extract_features(
-    df: DataFrame, *, dim: int = 16, decoder=fake_decode_features
+    df: DataFrame, *, decoder=decode_image
 ) -> DataFrame:
-    """payload binary -> feature vector, Arrow-batched; narrow map."""
+    """payload binary -> per-channel mean feature vector via the real
+    decoder, Arrow-batched; narrow map.  ``decoder`` is the kernel-local
+    hook where a codec library would slot in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [decoder(bytes(p), dim).tolist() for p in pdf["payload"]]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+            feats = [
+                decoder(bytes(p)).astype(np.float64)
+                .mean(axis=(0, 1)).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "features": feats}
+            )
 
     return df.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, features array<double>"
     )
 
 
-def resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize hook — needs a codec library, absent here."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv; use fake_resize for tests"
-    )
+# --------------------------------------------------------------- resize
 
-
-def fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic resize stand-in: re-digest the payload to a
-    pseudo-bitmap of exactly width*height bytes (correct output SIZE
-    contract without a codec)."""
-    d = hashlib.sha256(payload).digest()
-    need = width * height
-    return (d * (need // len(d) + 1))[:need]
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize: decode (PPM/BMP) -> index-sample ->
+    re-encode as PPM.  Pure NumPy, no codec dependency."""
+    img = decode_image(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_ppm(img[np.ix_(ys, xs)])
 
 
 def resize_images(
-    df: DataFrame, *, width: int = 8, height: int = 8, resizer=fake_resize
+    df: DataFrame, *, width: int = 8, height: int = 8, resizer=resize_image
 ) -> DataFrame:
     """payload -> resized payload + output dims.  Narrow Arrow-batched
     map; at 100 TB the input column stays in the scan's Arrow batches

@@ -82,20 +82,56 @@ def test_multimodal_features_deterministic(spark):
     from gemmsql.pipeline.multimodal import extract_features, with_binary_payload
 
     b = with_binary_payload(spark, SF_SMOKE)
-    f1 = extract_features(b, dim=8).orderBy("doc_id").toPandas()
-    f2 = extract_features(b, dim=8).orderBy("doc_id").toPandas()
+    f1 = extract_features(b).orderBy("doc_id").toPandas()
+    f2 = extract_features(b).orderBy("doc_id").toPandas()
     m1 = np.asarray(f1["features"].tolist())
-    assert m1.shape[1] == 8
-    assert ((m1 >= 0) & (m1 < 1)).all()
+    assert m1.shape[1] == 3          # per-channel means of decoded RGB
+    assert ((m1 >= 0) & (m1 < 256)).all()
     assert np.array_equal(m1, np.asarray(f2["features"].tolist()))
 
 
-def test_multimodal_decode_stub_raises(spark):
-    from gemmsql.pipeline.multimodal import decode_image_stub
-    import pytest
+def test_ppm_codec_roundtrip():
+    from gemmsql.pipeline.multimodal import decode_ppm, encode_ppm
 
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG")
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # spec corners: comments + arbitrary whitespace in the header
+    weird = b"P6 # magic\n# a comment line\n 9\t5 # dims\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(weird), img)
+    import pytest
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_bmp_codec_roundtrip():
+    from gemmsql.pipeline.multimodal import decode_bmp, decode_image, encode_bmp
+
+    rng = np.random.default_rng(8)
+    # width 5 forces nonzero row padding; decoder must strip it
+    img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    payload = encode_bmp(img)
+    assert payload[:2] == b"BM"
+    assert np.array_equal(decode_bmp(payload), img)
+    # decode_image dispatches on magic for both containers
+    assert np.array_equal(decode_image(payload), img)
+    import pytest
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG....")
+
+
+def test_wav_codec_roundtrip():
+    from gemmsql.pipeline.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-32768, 32767, size=200, dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (200, 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, size=(64, 2), dtype=np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100
+    assert np.array_equal(s2, stereo)
 
 
 def test_payload_meta_prunes_columns(spark):
@@ -259,15 +295,26 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_multimodal_resize_contract(spark):
-    from gemmsql.pipeline.multimodal import resize_images, resize_stub, with_binary_payload
+    from gemmsql.pipeline.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_image,
+        resize_images,
+        with_binary_payload,
+    )
 
     b = with_binary_payload(spark, SF_SMOKE)
     out = resize_images(b, width=4, height=3).toPandas()
-    assert (out["resized"].map(len) == 12).all(), "resized payload must be w*h bytes"
+    # resized payloads are valid PPMs of exactly the requested dims
+    for p in out["resized"]:
+        assert decode_ppm(bytes(p)).shape == (3, 4, 3)
     assert len(out) == b.count()
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        resize_stub(b"x", 2, 2)
+    # nearest-neighbor semantics on a known gradient: pixel (y, x) of
+    # the output must equal input pixel (y*H//h_out, x*W//w_out)
+    grad = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    small = decode_ppm(resize_image(encode_ppm(grad), 4, 3))
+    ys, xs = (np.arange(3) * 6) // 3, (np.arange(4) * 8) // 4
+    assert np.array_equal(small, grad[np.ix_(ys, xs)])
 
 
 def test_multimodal_frame_sampling(spark):

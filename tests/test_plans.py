@@ -511,3 +511,19 @@ def test_dedup_keep_best_partitions_by_cluster(spark):
         "keep-best window must partition by cluster_id"
     )
     assert "CartesianProduct" not in p
+
+
+def test_payload_queries_scan_only_doc_id(spark):
+    """Multimodal discipline: payload synthesis + metadata + decode
+    features must read ONLY doc_id from the documents parquet — the
+    blob pipeline never drags the text column through the scan, and
+    the decode map is narrow (no shuffle)."""
+    from gemmsql.pipeline.multimodal import payload_features, payload_meta
+
+    for fn in (payload_meta, payload_features):
+        p = plan_of(fn(spark, SF_SMOKE))
+        assert "ReadSchema: struct<doc_id:bigint>" in p, fn.__name__
+        assert "text" not in p, f"{fn.__name__} must not scan text"
+    assert "Exchange" not in plan_of(payload_features(spark, SF_SMOKE)), (
+        "decode feature pass must be shuffle-free"
+    )

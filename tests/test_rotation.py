@@ -122,6 +122,10 @@ def _rotated():
         ("fingerprints", text.fingerprints, text.FINGERPRINTS_SQL),
         ("language_scores", text.language_scores,
          text.language_scores_sql()),
+        # rotated out in round 5 for payload_features (the real-decode
+        # multimodal gate)
+        ("stratified_sample", text.stratified_sample,
+         text.stratified_sample_sql()),
     ]
 
 
