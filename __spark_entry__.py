@@ -214,6 +214,20 @@ def q_chain_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain_grads_gate(vec, broadcast_trg=bcast, cache_key=sf_dir)
 
 
+def q_chain2_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END gradients of the SECOND composed op pair
+    ``selfattention(CHAIN2_SCALE * mlp(x))`` (attention-head style,
+    cotangent ones/SCALE; float twin gemmsql/ops/chain.py
+    ``attention_mlp_grads``) — shows the factory ops compose
+    generically (reference core.py:37-58), not just into the loss-style
+    chain_grads pair.  ``which`` in {gx, gp, gq}."""
+    from gemmsql.ops.gate import BROADCAST_MAX_ROWS, chain2_grads_gate
+
+    vec = _vec(spark, sf_dir)
+    bcast = embeddings_stats(sf_dir)[0] <= BROADCAST_MAX_ROWS
+    return chain2_grads_gate(vec, broadcast_kv=bcast, cache_key=sf_dir)
+
+
 def q_attention_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.ops.gate import attention_batched_gate
 
@@ -368,6 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     REAL-decode multimodal gate (PPM parser over md5-chain pixel
     payloads, full DuckDB reconstruction parity) — in place of
     stratified_sample (green r1-r4).
+    Round-5 #3 (VERDICT r4 next #3): chain2_grads entered — the second
+    gradient composition, attention∘mlp (gate.chain2_grads_gate; float
+    twin chain.attention_mlp_grads) — in place of quality_score
+    (green r1-r4).
 
     TWENTY-TWO multiply-proven variants sit out (all green in at
     least two prior CORRECTNESS rounds; all stay exported and
@@ -415,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- backward passes (recompute-strategy second jobs) ---
         "ml_grads": q_ml_grads,          # att_g*/xe_g*/mlp_g* legs
         "chain_grads": q_chain_grads,    # end-to-end xentropy(mlp(x))
+        "chain2_grads": q_chain2_grads,  # end-to-end attention(mlp(x))
         # --- similarity search / ANN ---
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,  # approximate but deterministic: full parity
@@ -439,7 +458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": text.doc_perplexity,
         "mixture_balance": text.mixture_balance,
         "tfidf_top_terms": text.tfidf_top_terms,
-        "quality_score": text.quality_score,
         "repetition_stats": q_repetition_stats,  # + word_entropy column
         "corpus_profile": text.corpus_profile,
         "vocab_build": text.vocab_build,
@@ -678,6 +696,86 @@ UNION ALL
 SELECT 'gtrg', i, d, {_micro_sql("num", 1000000)} FROM gtrgn
 """
 
+# Second composition: grads of selfattention(1e4 * mlp(x)), cotangent
+# ones/1e4 (gate.chain2_grads_gate).  The quantized MLP forward scaled
+# by CHAIN2_SCALE on the integer grid, the attention-vjp chain over it
+# (vsq/rnum/jacobian gsq at 1e4, softmax weights at 1e9), the three
+# legs combined exactly on the common 1e10 grid (gq + gk + 10*gv),
+# then the MLP backward with every requantization in the same
+# association order as the NumPy kernel.
+CHAIN2_GRADS_SQL = f"""
+WITH {_QCOO},
+{_MLP_CHAIN},
+y AS (SELECT hs.i, w.k AS j, CAST(SUM(hs.hs * w.vq) AS BIGINT) AS y_int
+      FROM hs JOIN wq w ON hs.j = w.i GROUP BY hs.i, w.k),
+psq AS MATERIALIZED (SELECT i, j,
+          CAST(FLOOR(CAST(y_int AS DOUBLE) / 1000000000000.0 * 1000000.0
+               + 0.5) AS BIGINT) * 10000 AS vq
+        FROM y),
+qs2 AS MATERIALIZED (SELECT a.i AS qi, b.i AS ki, CAST(SUM(a.vq * b.vq) AS BIGINT) AS s_int
+        FROM psq a JOIN psq b USING (j) GROUP BY a.i, b.i),
+sc2 AS (SELECT qi, ki, CAST(s_int AS DOUBLE) / 1000000000000.0 AS s FROM qs2),
+mxt2 AS (SELECT qi, MAX(s) AS mx FROM sc2 GROUP BY qi),
+e2 AS MATERIALIZED (SELECT sc2.qi, sc2.ki,
+         CAST(FLOOR(EXP(sc2.s - mxt2.mx) * 1000000.0 + 0.5) AS BIGINT) AS e_int
+       FROM sc2 JOIN mxt2 USING (qi)),
+sden2 AS (SELECT qi, CAST(SUM(e_int) AS BIGINT) AS s FROM e2 GROUP BY qi),
+dims AS (SELECT DISTINCT j FROM qcoo),
+vs2 AS (SELECT i, CAST(SUM(vq) AS BIGINT) AS vsq FROM psq GROUP BY i),
+rn2 AS (SELECT e2.qi, CAST(SUM(e2.e_int * vs2.vsq) AS BIGINT) AS rnum
+        FROM e2 JOIN vs2 ON vs2.i = e2.ki GROUP BY e2.qi),
+gsq2 AS MATERIALIZED (SELECT e2.qi, e2.ki,
+           CAST(FLOOR((CAST(e2.e_int AS DOUBLE) / CAST(sden2.s AS DOUBLE))
+                * (CAST(vs2.vsq AS DOUBLE) / 1000000.0
+                   - CAST(rn2.rnum AS DOUBLE)
+                     / (CAST(sden2.s AS DOUBLE) * 1000000.0))
+                * 10000.0 + 0.5) AS BIGINT) AS g
+         FROM e2 JOIN sden2 USING (qi) JOIN rn2 USING (qi)
+         JOIN vs2 ON vs2.i = e2.ki),
+wq2 AS MATERIALIZED (SELECT e2.qi, e2.ki,
+          CAST(FLOOR((CAST(e2.e_int AS DOUBLE) / CAST(sden2.s AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS w
+        FROM e2 JOIN sden2 USING (qi)),
+gqn2 AS (SELECT gsq2.qi AS i, k.j AS d,
+           CAST(SUM(gsq2.g * k.vq) AS BIGINT) AS num
+         FROM gsq2 JOIN psq k ON k.i = gsq2.ki GROUP BY gsq2.qi, k.j),
+gkn2 AS (SELECT gsq2.ki AS i, q.j AS d,
+           CAST(SUM(gsq2.g * q.vq) AS BIGINT) AS num
+         FROM gsq2 JOIN psq q ON q.i = gsq2.qi GROUP BY gsq2.ki, q.j),
+gvn2 AS (SELECT ki AS i, CAST(SUM(w) AS BIGINT) AS num
+         FROM wq2 GROUP BY ki),
+gpredn AS MATERIALIZED (SELECT i, d, CAST(SUM(num) AS BIGINT) AS num FROM (
+             SELECT i, d, num FROM gqn2
+             UNION ALL SELECT i, d, num FROM gkn2
+             UNION ALL SELECT gvn2.i, dims.j AS d, 10 * gvn2.num
+             FROM gvn2 CROSS JOIN dims)
+           GROUP BY i, d),
+gs3 AS MATERIALIZED (SELECT i, d AS j,
+          CAST(FLOOR(CAST(num AS DOUBLE) / 10000000000.0 * 1000000.0
+               + 0.5) AS BIGINT) AS vq
+        FROM gpredn),
+gan3 AS (SELECT g.i, w.i AS j, CAST(SUM(g.vq * w.vq) AS BIGINT) AS num
+         FROM gs3 g JOIN wq w ON w.k = g.j GROUP BY g.i, w.i),
+gam3 AS (SELECT i, j,
+           CAST(FLOOR(CAST(num AS DOUBLE) / 1000000000000.0 * 1000000.0
+                + 0.5) AS BIGINT) AS vq
+         FROM gan3),
+ghq3 AS MATERIALIZED (SELECT gam3.i, gam3.j,
+           CASE WHEN h.h_int > 0 THEN gam3.vq ELSE 0 END AS vq
+         FROM gam3 JOIN h ON h.i = gam3.i AND h.j = gam3.j),
+gxn2 AS (SELECT g.i, w.i AS d, CAST(SUM(g.vq * w.vq) AS BIGINT) AS num
+         FROM ghq3 g JOIN wq w ON w.k = g.j GROUP BY g.i, w.i),
+gpn2 AS (SELECT x.j AS i, g.j AS d, CAST(SUM(x.vq * g.vq) AS BIGINT) AS num
+         FROM qcoo x JOIN ghq3 g ON g.i = x.i GROUP BY x.j, g.j),
+gqn3 AS (SELECT hs.j AS i, g.j AS d, CAST(SUM(hs.hs * g.vq) AS BIGINT) AS num
+         FROM hs JOIN gs3 g ON g.i = hs.i GROUP BY hs.j, g.j)
+SELECT 'gx' AS which, i, d, {_micro_sql("num", 1000000)} AS val FROM gxn2
+UNION ALL
+SELECT 'gp', i, d, {_micro_sql("num", 1000000)} FROM gpn2
+UNION ALL
+SELECT 'gq', i, d, {_micro_sql("num", 1000000)} FROM gqn3
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     gram_leg = (
@@ -808,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "sampling": sampling_sql(42),
         "ml_grads": ml_grads_sql,
         "chain_grads": CHAIN_GRADS_SQL,
+        "chain2_grads": CHAIN2_GRADS_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "lsh_topk": LSH_TOPK_SQL,
         "ivf_topk": IVF_TOPK_SQL,
@@ -828,7 +927,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_perplexity": text.DOC_PERPLEXITY_SQL,
         "mixture_balance": text.MIXTURE_BALANCE_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
-        "quality_score": text.quality_score_sql(),
         "repetition_stats": repetition_sql,
         "corpus_profile": text.CORPUS_PROFILE_SQL,
         "vocab_build": text.VOCAB_BUILD_SQL,

@@ -341,10 +341,24 @@ def attention_grads_gate(
       long-summed (S, rnum) stats, then per-tile gradient partials into
       the same scatter-add.  Tile order cannot change a single bit.
     """
+    return _grads_finalize(
+        _attention_grads_parts(vec, block=block, broadcast_kv=broadcast_kv)
+    )
+
+
+def _attention_grads_parts(
+    vec: DataFrame, *, block: int = 4096, broadcast_kv: bool | str = "auto"
+) -> DataFrame:
+    """Unmerged integer-numerator partials of the self-attention vjp ->
+    ``(which, i, nums)`` with gq/gk numerators on the 1e10 grid
+    (``Q_GS * Q_IN``) and gv on the 1e9 grid (``Q_W``).  Shared by
+    :func:`attention_grads_gate` (which merges + rounds) and
+    :func:`chain2_grads_gate` (which feeds the merged numerators into
+    the MLP backward — the composition must see pre-rounding ints)."""
     if broadcast_kv == "auto":
         broadcast_kv = vec.count() <= BROADCAST_MAX_ROWS
     if not broadcast_kv:
-        return _attention_grads_gate_blocked(vec, block=block)
+        return _attention_grads_parts_blocked(vec, block=block)
     rids, rq = _collect_kv(vec)
     vsq = rq.sum(axis=1)                            # int-valued, exact
     spark = vec.sparkSession
@@ -381,15 +395,15 @@ def attention_grads_gate(
             "nums": list(np.repeat(gv_acc[:, None], d, axis=1)),
         })
 
-    parts = vec.select("i", "vec").mapInPandas(
+    return vec.select("i", "vec").mapInPandas(
         run, "which string, i long, nums array<long>"
     )
-    return _grads_finalize(parts)
 
 
-def _attention_grads_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
-    """Large-KV tile path of :func:`attention_grads_gate` — bit-identical
-    to the broadcast path (exact integer merges at every stage)."""
+def _attention_grads_parts_blocked(vec: DataFrame, *, block: int) -> DataFrame:
+    """Large-KV tile path of :func:`_attention_grads_parts` —
+    bit-identical to the broadcast path (exact integer merges at every
+    stage)."""
     q = vec.select("i", "vec")
     mx = _blocked_mx(q, q, 1e12, block)
     q_mx = q.join(mx, "i")
@@ -445,11 +459,10 @@ def _attention_grads_gate_blocked(vec: DataFrame, *, block: int) -> DataFrame:
             ignore_index=True,
         )
 
-    parts = blocked_partials(
+    return blocked_partials(
         q_aug, q, leg_kernel, "which string, i long, nums array<long>",
         left_block=block, right_block=block, left_extra=("mx", "st", "rn"),
     )
-    return _grads_finalize(parts)
 
 
 def attention_batched_gate(bvec: DataFrame, *, scale: bool = True) -> DataFrame:
@@ -788,7 +801,10 @@ def attention_xe_grads_gate_fused(
         )
 
     if not broadcast_kv:
-        a = tag(_attention_grads_gate_blocked(vec, block=4096), "att_")
+        a = tag(
+            _grads_finalize(_attention_grads_parts_blocked(vec, block=4096)),
+            "att_",
+        )
         x = tag(_xentropy_grads_gate_blocked(vec, block=4096), "xe_")
         return a.unionByName(x)
 
@@ -1268,4 +1284,177 @@ def chain_grads_gate(
     return out.select(
         "which", "i", F.col("d").cast("long").alias("d"),
         (micro.cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+
+
+# ----------------------------------------- chained grads #2: att(mlp(x))
+
+# Softmax temperature for the composed op att(CHAIN2_SCALE * mlp(x)):
+# the gram-seeded MLP emits values ~1e-4 (measured at sf0.01/sf0.1), so
+# an unscaled self-attention over them would quantize to an exactly
+# uniform softmax (every e_int == 1e6) and the composition would gate
+# nothing.  Scaling the intermediate by 1e4 puts scores in O(1..100)
+# where the softmax — and its jacobian — are structurally non-trivial.
+# The gated quantity is grads of att(SCALE*mlp(x)) with cotangent
+# ones/SCALE: the two SCALEs cancel in the chain rule, so g_pred is
+# exactly the attention vjp evaluated at the scaled intermediate and no
+# extra rescaling enters the integer chain.
+CHAIN2_SCALE = 10_000
+
+
+def _chain_pred_scaled(vec: DataFrame, wq: np.ndarray) -> DataFrame:
+    """Quantized MLP forward, intermediate scaled by CHAIN2_SCALE on
+    the integer grid -> ``(i, vec)`` with ``vec = ps*SCALE/1e6`` (still
+    integer-valued/1e6, so downstream ``_quant`` recovers ``ps*SCALE``
+    exactly)."""
+    spark = vec.sparkSession
+    b = spark.sparkContext.broadcast(wq)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(_vec_mat(pdf["vec"]))
+            h_int = np.maximum(xq @ w, 0.0)
+            hs = np.floor(h_int / 1e12 * Q_IN + 0.5)
+            y_int = hs @ w
+            ps = np.floor(y_int / 1e12 * Q_IN + 0.5) * CHAIN2_SCALE
+            yield pd.DataFrame({
+                "i": pdf["i"].to_numpy(),
+                "vec": list(ps / Q_IN),
+            })
+
+    return vec.select("i", "vec").mapInPandas(
+        run, "i long, vec array<double>"
+    )
+
+
+def chain2_grads_gate(
+    vec: DataFrame,
+    *,
+    block: int = 4096,
+    broadcast_kv: bool | str = "auto",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """END-TO-END gradients of the composed op ``out =
+    selfattention(CHAIN2_SCALE * mlp(x))`` wrt (X, P, Q), cotangent
+    ``ones/CHAIN2_SCALE`` -> ``(which, i, d, val)``, which in
+    {gx, gp, gq}.  The SECOND composition pair (attention-head style,
+    float twin :func:`gemmsql.ops.chain.attention_mlp_grads`): the
+    reference's factory ops compose generically (reference
+    core.py:37-58), so the gate must show a different downstream op
+    driving the same upstream backward than
+    :func:`chain_grads_gate`'s loss-style xentropy∘mlp.
+
+    Chain-rule stages, each scale-shaped:
+
+    1. forward recompute ``pred_s = SCALE * relu(X W) W`` — narrow map;
+    2. downstream vjp: the self-attention gradient partials over
+       ``pred_s`` (:func:`_attention_grads_parts`, broadcast or
+       blocked-tile path).  ``pred_s`` is Q, K AND V, so the
+       intermediate cotangent is the SUM of the three legs
+       (multivariable chain rule): numerators combined exactly on the
+       common 1e10 grid as ``gq + gk + 10*gv``;
+    3. upstream vjp: join the merged numerators to the X rows (one
+       co-partitioned shuffle) and push through the MLP backward in one
+       narrow map — ``gs = floor(nums/1e10 * 1e6 + .5)``;
+       ``ga = gs W^T`` (int64); requantized ``gam``; relu mask;
+       ``gx = ghq W^T`` per row; map-side int64 accumulators for
+       ``gp = X^T ghq`` and ``gq = hs^T gs`` merged by ``sum(long)``.
+
+    Integer budget (measured |pred_s| <= ~2, W grid <= ~2e4, N <= 8192):
+    scores <= 64*(2e6)^2/1e12 ~ 2.6e2; gq row mass ``sum_k w = 1``
+    bounds the vjp dgemm partial sums at ~4e12 << 2^53; g_pred values
+    <= ~1e2 -> gs <= 1e8, ga <= 64*1e8*2e4 ~ 1.3e14 (int64), gp
+    partials <= rows*1e6*1.3e8 ~ 2e18 < 2^63.  Unlike
+    :func:`chain_grads_gate` the gx leg stays on the 1e6 grid — the
+    composed gradients here are O(1..100), not O(1e-4), so the coarse
+    grid already carries ~8 significant digits."""
+    wq = _mlp_wq(vec, cache_key=cache_key)
+    if broadcast_kv == "auto":
+        broadcast_kv = vec.count() <= BROADCAST_MAX_ROWS
+    pred_s = _chain_pred_scaled(vec, wq)
+    parts = _attention_grads_parts(
+        pred_s, block=block, broadcast_kv=broadcast_kv
+    )
+    # combine the three vjp legs on the common 1e10 grid (gv is 1e9)
+    combined = parts.select(
+        "i",
+        F.when(
+            F.col("which") == "gv",
+            F.transform("nums", lambda x: x * F.lit(10).cast("long")),
+        ).otherwise(F.col("nums")).alias("nums"),
+    )
+    gs_rows = _merge_long_arrays(combined, ["i"])
+    spark = vec.sparkSession
+
+    if broadcast_kv:
+        # the merged cotangent is N x D int64 with N <= BROADCAST_MAX_
+        # ROWS (same bound as the attention broadcast side, ~4 MB):
+        # collect + broadcast it and run stage 3 as a NARROW map over
+        # the X rows — no join, no second wide shuffle
+        gpdf = gs_rows.toPandas()
+        gmap = {
+            int(i): np.asarray(nums, dtype=np.float64)
+            for i, nums in zip(gpdf["i"], gpdf["nums"])
+        }
+        bg = spark.sparkContext.broadcast(gmap)
+    else:
+        bg = None
+    b = spark.sparkContext.broadcast(wq)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = b.value
+        wi = w.astype(np.int64)
+        d = w.shape[0]
+        gp_acc = np.zeros((d, d), dtype=np.int64)
+        gq_acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(_vec_mat(pdf["vec"]))
+            h_int = np.maximum(xq @ w, 0.0)
+            hs = np.floor(h_int / 1e12 * Q_IN + 0.5).astype(np.int64)
+            if bg is not None:
+                g = bg.value
+                nums = np.stack([g[int(i)] for i in pdf["i"]])
+            else:
+                nums = np.asarray(pdf["nums"].tolist(), dtype=np.float64)
+            gs = np.floor(nums / 1e10 * Q_IN + 0.5).astype(np.int64)
+            ga = gs @ wi.T                           # int64 exact
+            gam = np.floor(ga.astype(np.float64) / 1e12 * Q_IN + 0.5
+                           ).astype(np.int64)
+            ghq = np.where(h_int > 0, gam, np.int64(0))
+            gp_acc += xq.astype(np.int64).T @ ghq
+            gq_acc += hs.T @ gs
+            gx_num = ghq @ wi.T                      # 1e12-scaled
+            yield pd.DataFrame({
+                "which": "gx",
+                "i": pdf["i"].to_numpy(),
+                "nums": list(gx_num),
+            })
+        yield pd.DataFrame({
+            "which": "gp", "i": np.arange(d, dtype=np.int64),
+            "nums": list(gp_acc),
+        })
+        yield pd.DataFrame({
+            "which": "gq", "i": np.arange(d, dtype=np.int64),
+            "nums": list(gq_acc),
+        })
+
+    if bg is not None:
+        src = vec.select("i", "vec")
+    else:
+        from gemmsql.caching import scoped_cache
+
+        src = vec.select("i", "vec").join(
+            scoped_cache(gs_rows, fresh_scope=True), "i"
+        )
+    parts_c = src.mapInPandas(run, "which string, i long, nums array<long>")
+    merged = _merge_long_arrays(parts_c, ["which", "i"])
+    out = merged.select("which", "i", F.posexplode("nums").alias("d", "num"))
+    return out.select(
+        "which", "i", F.col("d").cast("long").alias("d"),
+        (_micro_col("num", 1_000_000).cast("double") / F.lit(Q_IN)).alias("val"),
     )

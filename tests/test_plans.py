@@ -527,3 +527,18 @@ def test_payload_queries_scan_only_doc_id(spark):
     assert "Exchange" not in plan_of(payload_features(spark, SF_SMOKE)), (
         "decode feature pass must be shuffle-free"
     )
+
+
+def test_chain2_grads_broadcast_path_is_narrow(spark):
+    """The attention∘mlp composition in broadcast mode: stage 3 is a
+    narrow map over the X rows (merged cotangent broadcast, no join),
+    so the WHOLE final job carries exactly one hash shuffle (the
+    partial-array merge) — and never a cartesian or row-pair join."""
+    import __spark_entry__ as e
+
+    p = plan_of(e.q_chain2_grads(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1, (
+        "broadcast-path chain2 must shuffle only at the merge"
+    )

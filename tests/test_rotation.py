@@ -126,6 +126,9 @@ def _rotated():
         # multimodal gate)
         ("stratified_sample", text.stratified_sample,
          text.stratified_sample_sql()),
+        # rotated out in round 5 for chain2_grads (the second
+        # gradient-composition gate)
+        ("quality_score", text.quality_score, text.quality_score_sql()),
     ]
 
 
