@@ -93,6 +93,18 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup": WARMUP,
                 "runs": RUNS,
+                # protocol label (VERDICT r4 next #9): this single-
+                # session run reports mean-of-RUNS after WARMUP; the
+                # BASELINE.md anchor tables are median-of-5 FULL bench
+                # runs (fresh session each, tools/bench_median.py).
+                # Compare a driver value against BASELINE's
+                # driver-protocol table (same single-session mean), or
+                # against the median table remembering single-session
+                # totals run ~±20% on this box.
+                "protocol": (
+                    f"single-session mean-of-{RUNS} after "
+                    f"{WARMUP} warmup, noop sink"
+                ),
             }
         )
     )

@@ -131,7 +131,9 @@ def attention_blocked(
         kernel = _attention_kernel(scale)
         right = kv_vec
     else:
-        k_dim = len(kv_vec.select("vec").first()[0])
+        from gemmsql.stats import list_dim
+
+        k_dim = list_dim(kv_vec, "vec")
         kernel = _attention_kernel(scale, k_dim)
         vv = v_vec.select("i", F.col("vec").alias("_vv"))
         right = kv_vec.join(vv, "i").select(
@@ -143,7 +145,9 @@ def attention_blocked(
         # joins: when the KV side fits in executor memory, replication
         # factor drops to 1 (narrow map, no shuffle); the blocked path
         # stays for genuinely large KV
-        broadcast_kv = kv_vec.count() <= BROADCAST_KV_MAX_ROWS
+        from gemmsql.stats import rows_for_choice
+
+        broadcast_kv = rows_for_choice(kv_vec) <= BROADCAST_KV_MAX_ROWS
     if broadcast_kv:
         partials = broadcast_right_partials(q_vec, right, kernel, schema)
     else:

@@ -166,7 +166,9 @@ def attention_bwd(
     if broadcast_kv == "auto":
         from gemmsql.ops.attention import BROADCAST_KV_MAX_ROWS
 
-        broadcast_kv = kv_vec.count() <= BROADCAST_KV_MAX_ROWS
+        from gemmsql.stats import rows_for_choice
+
+        broadcast_kv = rows_for_choice(kv_vec) <= BROADCAST_KV_MAX_ROWS
 
     q_g = q_vec.select("i", "vec").join(
         g_vec.select("i", F.col("vec").alias("gvec")), "i"
@@ -239,7 +241,9 @@ def xentropy_bwd(
     if broadcast_trg == "auto":
         from gemmsql.ops.attention import BROADCAST_KV_MAX_ROWS
 
-        broadcast_trg = trg_vec.count() <= BROADCAST_KV_MAX_ROWS
+        from gemmsql.stats import rows_for_choice
+
+        broadcast_trg = rows_for_choice(trg_vec) <= BROADCAST_KV_MAX_ROWS
 
     def z_kernel(lids, lmat, _extra, rids, rmat):
         s = lmat @ rmat.T

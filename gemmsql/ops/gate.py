@@ -81,6 +81,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gemmsql.ops._blocked import blocked_partials
+from gemmsql.stats import list_dim, rows_for_choice
 
 Q_IN = 1_000_000.0       # input quantization: v -> floor(v*1e6 + .5)
 Q_EXP = 1_000_000.0      # exp(score - max) quantization
@@ -194,7 +195,7 @@ def attention_gate(
     ``[S_tile, num_tile...]`` merged by ``sum(long)``.
     """
     if broadcast_kv == "auto":
-        broadcast_kv = kv_vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_kv = rows_for_choice(kv_vec) <= BROADCAST_MAX_ROWS
 
     if broadcast_kv:
         if v_vec is None:
@@ -237,13 +238,13 @@ def attention_gate(
         return out
 
     # ---- blocked path: two exact tile sweeps -------------------------
-    dim = len(q_vec.select("vec").first()[0])
+    dim = list_dim(q_vec, "vec")
     denom = 1e12 * np.sqrt(dim) if scale else 1e12
     if v_vec is None:
         k_dim = None
         right = kv_vec.select("i", "vec")
     else:
-        k_dim = len(kv_vec.select("vec").first()[0])
+        k_dim = list_dim(kv_vec, "vec")
         right = (
             kv_vec.select("i", "vec")
             .join(v_vec.select("i", F.col("vec").alias("_vv")), "i")
@@ -356,7 +357,7 @@ def _attention_grads_parts(
     :func:`chain2_grads_gate` (which feeds the merged numerators into
     the MLP backward — the composition must see pre-rounding ints)."""
     if broadcast_kv == "auto":
-        broadcast_kv = vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_kv = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
     if not broadcast_kv:
         return _attention_grads_parts_blocked(vec, block=block)
     rids, rq = _collect_kv(vec)
@@ -510,7 +511,7 @@ def xentropy_gate(
     blocked tile path (the true-class score merges by sum — exactly one
     tile contributes a non-zero, so the double sum is exact)."""
     if broadcast_trg == "auto":
-        broadcast_trg = vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_trg = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
     if not broadcast_trg:
         return _xentropy_gate_blocked(vec, block=block)
     rids, rq = _collect_kv(vec)
@@ -578,7 +579,7 @@ def entropy_gate(
     Large class tables take the blocked tile path (mx sweep, exact S
     merge, exact tsum merge)."""
     if broadcast_trg == "auto":
-        broadcast_trg = vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_trg = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
     if not broadcast_trg:
         return _entropy_gate_blocked(vec, block=block)
     _rids, rq = _collect_kv(vec)
@@ -674,7 +675,7 @@ def _xe_grads_parts(
     merged or micro-rounded) — the form a chained upstream backward
     consumes.  ``pred`` carries ``(i, vec, label)``."""
     if broadcast_trg == "auto":
-        broadcast_trg = trg.count() <= BROADCAST_MAX_ROWS
+        broadcast_trg = rows_for_choice(trg) <= BROADCAST_MAX_ROWS
     if not broadcast_trg:
         return _xe_grads_parts_blocked(pred, trg, block=block)
     rids, rq = _collect_kv(trg)
@@ -792,7 +793,7 @@ def attention_xe_grads_gate_fused(
     by test); large inputs fall back to the per-op blocked tile paths.
     """
     if broadcast_kv == "auto":
-        broadcast_kv = vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_kv = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
 
     def tag(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
@@ -960,7 +961,7 @@ def attention_gate_plain_kv(
     (the blocked path re-derives the chain per tile anyway)."""
     spark = q_vec.sparkSession
     if broadcast_kv == "auto":
-        broadcast_kv = kv_vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_kv = rows_for_choice(kv_vec) <= BROADCAST_MAX_ROWS
     if not broadcast_kv:
         plain = attention_gate(q_vec, kv_vec, broadcast_kv=False).select(
             F.lit("plain").alias("which"), "i", "d", "val"
@@ -1373,7 +1374,7 @@ def chain2_grads_gate(
     grid already carries ~8 significant digits."""
     wq = _mlp_wq(vec, cache_key=cache_key)
     if broadcast_kv == "auto":
-        broadcast_kv = vec.count() <= BROADCAST_MAX_ROWS
+        broadcast_kv = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
     pred_s = _chain_pred_scaled(vec, wq)
     parts = _attention_grads_parts(
         pred_s, block=block, broadcast_kv=broadcast_kv

