@@ -386,8 +386,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gradient composition, attention∘mlp (gate.chain2_grads_gate; float
     twin chain.attention_mlp_grads) — in place of quality_score
     (green r1-r4).
+    Round-5 #5/#6 (VERDICT r4 next #5/#6): the two fixture-tier ops
+    went corpus-scale and entered the gate — pii_scrub_corpus (scrubs
+    a deterministically PII-injected corpus; derivation + regexes
+    replay in DuckDB) and dedup_incremental (md5 snapshot/delta split
+    + cloned slice, full three-way exact/near/novel parity) — in place
+    of tfidf_top_terms and corpus_profile (green r1-r4).
 
-    TWENTY-TWO multiply-proven variants sit out (all green in at
+    TWENTY-FOUR multiply-proven variants sit out (all green in at
     least two prior CORRECTNESS rounds; all stay exported and
     hash-checked against DuckDB in tests/test_rotation.py):
     quiet_customers, returning_customers, order_priority_pivot,
@@ -399,8 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the batch sessionize / hourly_event_stats pair — whose windowed/
     gaps-and-islands semantics stay driver-gated through the
     streaming_sessionize_gate / streaming_hourly_gate oracles — and
-    dedup_exact, simhash, fingerprints, language_scores (out in r5,
-    green r1-r4).
+    dedup_exact, simhash, fingerprints, language_scores,
+    tfidf_top_terms, corpus_profile (out in r5, green r1-r4).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -457,9 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,          # + token_counts columns
         "doc_perplexity": text.doc_perplexity,
         "mixture_balance": text.mixture_balance,
-        "tfidf_top_terms": text.tfidf_top_terms,
+        "pii_scrub_corpus": text.pii_scrub_corpus,
         "repetition_stats": q_repetition_stats,  # + word_entropy column
-        "corpus_profile": text.corpus_profile,
+        "dedup_incremental": dedup.dedup_incremental_corpus,
         "vocab_build": text.vocab_build,
         "bigram_pmi": text.bigram_pmi,
         "bpe_pair_counts": bpe.bpe_pair_counts,
@@ -926,9 +932,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": text_stats_sql,
         "doc_perplexity": text.DOC_PERPLEXITY_SQL,
         "mixture_balance": text.MIXTURE_BALANCE_SQL,
-        "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
+        "pii_scrub_corpus": text.PII_SCRUB_CORPUS_SQL,
         "repetition_stats": repetition_sql,
-        "corpus_profile": text.CORPUS_PROFILE_SQL,
+        "dedup_incremental": dedup.dedup_incremental_sql(),
         "vocab_build": text.VOCAB_BUILD_SQL,
         "bigram_pmi": text.BIGRAM_PMI_SQL,
         "bpe_pair_counts": bpe.BPE_PAIR_COUNTS_SQL,

@@ -1074,3 +1074,104 @@ PII_SCRUB_SQL = (
         counts=", ".join(_pii_scrub_sql_steps()[1]),
     )
 )
+
+
+# ---- corpus-scale PII gate (VERDICT r4 next #5) ----------------------
+#
+# The synthetic corpus contains no real PII, so round-4's parity signal
+# for pii_scrub was a 6-row fixture.  Here a deterministic PII-bearing
+# text is DERIVED from the corpus itself — emails/IPs/phones
+# synthesized from md5(doc_id) and spliced around the real text — so
+# the scrub runs corpus-scale with a full DuckDB twin: the derivation,
+# the regex subset, and the replacement order all replay exactly.
+# Membership bits make coverage uneven (~50% email, ~33% IP, ~20%
+# phone, some docs clean) so the redaction counts actually vary.
+
+def _hex_int(h, start: int, length: int):
+    """Integer value of ``length`` hex chars of ``h`` at 1-based
+    ``start`` (Spark side; DuckDB twin: CAST('0x' || substring(...)
+    AS BIGINT))."""
+    return F.conv(F.substring(h, start, length), 16, 10).cast("long")
+
+
+def pii_dirty_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with synthesized PII spliced in: a leading email
+    for doc_ids with bit%2=0, a trailing IP for bit%3=0, a trailing
+    phone for bit%5=0 — all derived from md5(doc_id), a pure narrow
+    map."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    bit = _hex_int(h, 16, 2)
+    email = F.concat(
+        F.lit("u"), F.substring(h, 1, 6), F.lit("@"),
+        F.substring(h, 7, 5), F.lit(".com"),
+    )
+    ip = F.concat_ws(
+        ".",
+        *[
+            (_hex_int(h, 2 * k + 1, 2)).cast("string")
+            for k in range(4)
+        ],
+    )
+    phone = F.concat_ws(
+        "-",
+        (F.lit(100) + _hex_int(h, 1, 4) % 900).cast("string"),
+        (F.lit(100) + _hex_int(h, 5, 4) % 900).cast("string"),
+        (F.lit(1000) + _hex_int(h, 9, 4) % 9000).cast("string"),
+    )
+    dirty = F.concat(
+        F.when(bit % 2 == 0, F.concat(F.lit("contact "), email, F.lit(" ")))
+        .otherwise(F.lit("")),
+        F.col("text"),
+        F.when(bit % 3 == 0, F.concat(F.lit(" from "), ip)).otherwise(F.lit("")),
+        F.when(bit % 5 == 0, F.concat(F.lit(" tel "), phone)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", dirty.alias("text"))
+
+
+def pii_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form: scrub the PII-injected corpus.  Still a pure
+    narrow map end to end (derive + redact in one projection)."""
+    return pii_scrub(pii_dirty_docs(load_table(spark, sf_dir, "documents")))
+
+
+def _pii_dirty_cte() -> str:
+    def hx(start: int, length: int) -> str:
+        return (
+            f"CAST('0x' || substring(h, {start}, {length}) AS BIGINT)"
+        )
+
+    email = (
+        "'u' || substring(h, 1, 6) || '@' || substring(h, 7, 5) || '.com'"
+    )
+    ip = " || '.' || ".join(
+        f"CAST({hx(2 * k + 1, 2)} AS VARCHAR)" for k in range(4)
+    )
+    phone = (
+        f"CAST(100 + {hx(1, 4)} % 900 AS VARCHAR) || '-' || "
+        f"CAST(100 + {hx(5, 4)} % 900 AS VARCHAR) || '-' || "
+        f"CAST(1000 + {hx(9, 4)} % 9000 AS VARCHAR)"
+    )
+    return f"""
+hashed AS (
+  SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+dirty AS (
+  SELECT doc_id,
+         CASE WHEN {hx(16, 2)} % 2 = 0
+              THEN 'contact ' || {email} || ' ' ELSE '' END
+         || text
+         || CASE WHEN {hx(16, 2)} % 3 = 0
+                 THEN ' from ' || {ip} ELSE '' END
+         || CASE WHEN {hx(16, 2)} % 5 = 0
+                 THEN ' tel ' || {phone} ELSE '' END AS text
+  FROM hashed
+)"""
+
+
+PII_SCRUB_CORPUS_SQL = (
+    "WITH {cte} SELECT doc_id, {red} AS redacted, {counts} FROM dirty"
+).format(
+    cte=_pii_dirty_cte(),
+    red=_pii_scrub_sql_steps()[0],
+    counts=", ".join(_pii_scrub_sql_steps()[1]),
+)

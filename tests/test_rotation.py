@@ -1,12 +1,14 @@
 """Oracle checks for queries outside the 50-entry driver registry.
 
-The driver gate only sees the first 50 registered queries.  Twenty-two
-multiply-proven variants sit out the round-4/round-5 rotations (making
-room for the corpus ops, the compositions, the iterative-op kernels,
-and the round-5 entrants doc_perplexity / dup_spans / mixture_balance
-/ bloom_decontaminate — see the ``__spark_entry__.queries``
-docstring).  All get the same Spark-vs-DuckDB hash comparison the
-driver runs, executed in pytest so the hard signal never lapses.
+The driver gate only sees the first 50 registered queries.
+Twenty-four multiply-proven variants sit out the round-4/round-5
+rotations (making room for the corpus ops, the compositions, the
+iterative-op kernels, and the round-5 entrants doc_perplexity /
+dup_spans / mixture_balance / bloom_decontaminate / payload_features /
+chain2_grads / pii_scrub_corpus / dedup_incremental — see the
+``__spark_entry__.queries`` docstring).  All get the same
+Spark-vs-DuckDB hash comparison the driver runs, executed in pytest so
+the hard signal never lapses.
 """
 
 from __future__ import annotations
@@ -129,6 +131,13 @@ def _rotated():
         # rotated out in round 5 for chain2_grads (the second
         # gradient-composition gate)
         ("quality_score", text.quality_score, text.quality_score_sql()),
+        # rotated out in round 5 for pii_scrub_corpus /
+        # dedup_incremental (the corpus-scale oracles, VERDICT r4
+        # next #5/#6)
+        ("tfidf_top_terms", text.tfidf_top_terms,
+         text.TFIDF_TOP_TERMS_SQL),
+        ("corpus_profile", text.corpus_profile,
+         text.CORPUS_PROFILE_SQL),
     ]
 
 
