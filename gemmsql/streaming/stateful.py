@@ -183,6 +183,7 @@ def streaming_stateful_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_gate,
         read_events_stream,
         stage_stream_dir,
+        state_partitions,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -190,15 +191,16 @@ def streaming_stateful_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_stream_dir(spark, sf_dir, target)
     ev = read_events_stream(spark, target)
     name = "stream_gate_stateful"
-    q = (
-        streaming_user_profile(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_gate(q)
+    with state_partitions(spark):
+        q = (
+            streaming_user_profile(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
     return final_snapshots(spark.table(name)).select(
         "user_id",
         "n_events",

@@ -11,6 +11,7 @@ state store to ~2 hours of keys per executor.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -128,6 +129,32 @@ def run_to_memory(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+GATE_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = GATE_STATE_PARTITIONS):
+    """Pin ``spark.sql.shuffle.partitions`` (= streaming state
+    partitions) around a gate stream's start→drain, then restore.
+
+    Stateful streaming cost here is dominated by PER-STATE-PARTITION
+    overhead, not data: every micro-batch commits every state store
+    (a stream-stream join keeps four per partition), plus availableNow
+    runs one extra empty finalization batch to advance the watermark.
+    Measured on the sf0.1 join gate (100 k rows): 32 partitions →
+    ~10-12 s wall; 4-8 partitions → ~3.8-6 s first run, ~3.9 s warm
+    (≈26 k source rows/s).  State partitions should be sized to state
+    volume — at 100 TB/day you'd raise this (and it's baked into the
+    checkpoint at first batch, so production picks it once per
+    checkpoint lineage; the gates use fresh per-run checkpoints)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _await_gate(q, timeout: int = 300) -> None:
     """Wait for an ``availableNow`` gate query to self-terminate.
 
@@ -197,15 +224,16 @@ def streaming_hourly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_stream_dir(spark, sf_dir, target)
     ev = read_events_stream(spark, target)
     name = "stream_gate_hourly"
-    q = (
-        streaming_hourly_counts(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_gate(q)
+    with state_partitions(spark):
+        q = (
+            streaming_hourly_counts(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
     return spark.table(name)
 
 
@@ -235,15 +263,16 @@ def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_stream_dir(spark, sf_dir, target)
     ev = read_events_stream(spark, target)
     name = "stream_gate_sessions"
-    q = (
-        streaming_session_windows(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_gate(q)
+    with state_partitions(spark):
+        q = (
+            streaming_session_windows(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
     return spark.table(name)
 
 
@@ -293,14 +322,15 @@ def streaming_enrich_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
     name = "stream_gate_enrich"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_gate(q)
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
     return spark.table(name)
 
 
@@ -369,15 +399,16 @@ def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), f"gemmsql_ckpt_join_{tag}_{os.getpid()}"
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_gate(q)
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
     return spark.table(name)
 
 

@@ -240,3 +240,104 @@ def test_streaming_hll_registers_match_batch(spark, stream_dir):
         .reset_index(drop=True)
     )
     assert got.equals(want), "streaming HLL registers diverge from batch"
+
+
+def test_streaming_restart_recovers_exactly_once(spark):
+    """Checkpoint-recovery parity (VERDICT r4 next #8): run the
+    stream-stream join to a FILE sink, kill the query mid-replay,
+    restart from the same checkpoint, and assert the final committed
+    output still matches the batch oracle exactly — the recovery
+    property a production streaming deployment actually relies on
+    (file sink + checkpoint = exactly-once via the _spark_metadata
+    transaction log; no duplicated and no lost matches)."""
+    import os
+    import time
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.streaming.windows import (
+        state_partitions,
+        streaming_click_to_purchase,
+    )
+
+    base = tempfile.mkdtemp(prefix="gemmsql_restart_")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    # 8 source files + maxFilesPerTrigger=1 -> 8 micro-batches, so the
+    # mid-stream kill lands between committed batches
+    load_table(spark, SF_SMOKE, "events").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    def start():
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        clicks = ev.where(F.col("event_type") == "click")
+        purchases = ev.where(F.col("event_type") == "purchase")
+        return (
+            streaming_click_to_purchase(clicks, purchases)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with state_partitions(spark, 4):
+        q = start()
+        # kill after at least one batch committed but (normally) before
+        # the replay drains
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p["batchId"] >= 1:
+                break
+            if not q.isActive:
+                break
+            time.sleep(0.05)
+        killed_midway = q.isActive
+        q.stop()
+        q.awaitTermination(60)
+
+        # restart from the same checkpoint; availableNow drains the rest
+        q2 = start()
+        assert q2.awaitTermination(300), "restarted stream did not finish"
+        restart_batches = [p["batchId"] for p in q2.recentProgress]
+
+    got = (
+        spark.read.parquet(out_dir)  # reads only files in _spark_metadata
+        .toPandas()
+        .sort_values(["purchase_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.createOrReplaceTempView("events_restart")
+    want = (
+        spark.sql(
+            """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id
+            FROM events_restart p JOIN events_restart c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+            """
+        )
+        .toPandas()
+        .sort_values(["purchase_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.to_numpy() == want.to_numpy()).all()
+    # the recovery leg must actually have run: the kill lands
+    # mid-replay (8 batches, stopped at ~batch 1) and the restarted
+    # query continues from the checkpoint, processing further batches
+    assert killed_midway, "replay drained before the kill — not a recovery test"
+    assert restart_batches, "restart processed no batches"
