@@ -174,6 +174,18 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampling_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted-support sampling, tagged ``which`` in {topk, topp}:
+    top-k (k=16) and nucleus (p=0.9) clamping of the S-series sampler
+    with the same seeded quadratic-mix Gumbel noise, renormalized
+    choice probability (gemmsql/ops/sampling.py — the production
+    extensions the reference's sampler stops short of)."""
+    from gemmsql.ops.sampling import sampling_filtered
+
+    vec = _vec(spark, sf_dir).select("i", "vec")
+    return sampling_filtered(vec, vec)
+
+
 def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three backward passes (recompute-strategy second jobs)
     through the driver gate, one registered query — identical
@@ -392,8 +404,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replay in DuckDB) and dedup_incremental (md5 snapshot/delta split
     + cloned slice, full three-way exact/near/novel parity) — in place
     of tfidf_top_terms and corpus_profile (green r1-r4).
+    Late round-5 widening: FIVE new north-star ops entered —
+    doc_chunks (sliding context-window chunking), quality_classifier
+    (hashing-trick linear scorer, the model-based filter tier),
+    mixture_temperature (alpha=0.5 smoothed domain sampling),
+    corpus_diff (snapshot versioning: added/removed/changed), and
+    sampling_filtered (top-k + nucleus restriction of the S-series
+    sampler) — in place of pricing_summary, brand_sales_cube,
+    jaccard_pairs (exact tier of gated minhash_lsh_pairs),
+    decontaminate (scale path bloom_decontaminate stays gated), and
+    user_reach_sketch (all green r1-r4).
 
-    TWENTY-FOUR multiply-proven variants sit out (all green in at
+    TWENTY-NINE multiply-proven variants sit out (all green in at
     least two prior CORRECTNESS rounds; all stay exported and
     hash-checked against DuckDB in tests/test_rotation.py):
     quiet_customers, returning_customers, order_priority_pivot,
@@ -416,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from gemmsql.pipeline import (
         bpe,
         cluster,
+        corpus,
         dedup,
         dsir,
         events,
@@ -452,11 +475,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_meta": payload_meta,
         "payload_features": payload_features,
         # --- dedup ---
-        "jaccard_pairs": dedup.jaccard_pairs,
+        "doc_chunks": text.doc_chunks,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_keep_best": dedup.dedup_keep_best,
-        "decontaminate": dedup.decontaminate,
+        "quality_classifier": text.quality_classifier,
         "dup_spans": dedup.dup_spans,
         "bloom_decontaminate": _bloom_decontaminate_query,
         # --- text analysis ---
@@ -476,15 +499,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign_step": cluster.kmeans_assign_step,
         "pca_moments": cluster.pca_moments,
         # --- relational / OLAP ---
-        "pricing_summary": relational.pricing_summary,
-        "brand_sales_cube": relational.brand_sales_cube,
+        "mixture_temperature": text.mixture_temperature,
+        "corpus_diff": corpus.corpus_diff,
         # --- event analytics ---
         "last_order_before_event": joins.last_order_before_event,
         # --- lexical retrieval ---
         "bm25_topk": retrieval.bm25_topk,
         # approximate by design, but the md5-register HLL + exact
         # quantiles are fully replayable -> hash parity (r3)
-        "user_reach_sketch": _sketch_query,
+        "sampling_filtered": q_sampling_filtered,
         # --- structured streaming gates ---
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
@@ -864,11 +887,12 @@ def oracle_sql() -> dict[str, str]:
         " - CAST(ts.tsum AS DOUBLE) / 1000000000.0, 6) AS entropy"
         " FROM ts JOIN mxt ON mxt.qi = ts.qi JOIN sden ON sden.qi = ts.qi"
     )
-    from gemmsql.ops.sampling import sampling_sql
+    from gemmsql.ops.sampling import sampling_filtered_sql, sampling_sql
     from gemmsql.sketches import USER_REACH_SKETCH_SQL, bloom_decontaminate_sql
     from gemmsql.pipeline import (
         bpe,
         cluster,
+        corpus,
         dedup,
         dsir,
         events,
@@ -922,11 +946,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_meta": PAYLOAD_META_SQL,
         "payload_features": PAYLOAD_FEATURES_SQL,
-        "jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "doc_chunks": text.DOC_CHUNKS_SQL,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dedup_keep_best": dedup.dedup_keep_best_sql(),
-        "decontaminate": dedup.decontaminate_sql(),
+        "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dup_spans": dedup.DUP_SPANS_SQL,
         "bloom_decontaminate": bloom_decontaminate_sql(),
         "text_stats": text_stats_sql,
@@ -943,11 +967,11 @@ def oracle_sql() -> dict[str, str]:
         "cell_profile": similarity.CELL_PROFILE_SQL,
         "kmeans_assign_step": cluster.KMEANS_ASSIGN_STEP_SQL,
         "pca_moments": cluster.PCA_MOMENTS_SQL,
-        "pricing_summary": relational.PRICING_SUMMARY_SQL,
-        "brand_sales_cube": relational.BRAND_SALES_CUBE_SQL,
+        "mixture_temperature": text.MIXTURE_TEMPERATURE_SQL,
+        "corpus_diff": corpus.CORPUS_DIFF_SQL,
         "last_order_before_event": joins.LAST_ORDER_BEFORE_EVENT_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
-        "user_reach_sketch": USER_REACH_SKETCH_SQL,
+        "sampling_filtered": sampling_filtered_sql(),
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_enrich_gate": STREAMING_ENRICH_GATE_SQL,

@@ -150,3 +150,147 @@ def sample_categorical(
         F.exp(F.col("w.sc") - F.col("tzt")).alias("prob"),
         F.col("w.c").alias("choice"),
     )
+
+
+# ---- restricted-support sampling: top-k and nucleus (round 5) --------
+#
+# The standard inference-time variants of the S-series sampler: clamp
+# the categorical support to the K highest-scoring classes (top-k) or
+# to the smallest prefix of the score-ordered classes whose cumulative
+# probability reaches p (nucleus / top-p), then Gumbel-max sample
+# WITHIN the restricted set with the same seeded quadratic-mix noise
+# and report the renormalized probability of the choice.  The
+# reference stops at the unrestricted sampler (sampling.py:59-61);
+# these are its direct production extensions.
+
+TOPK_K = 16
+TOPP_P = 0.9
+
+
+def _filtered_kernel(seed: int, k: int, p: float):
+    def run(batches):
+        import pandas as pd
+
+        for pdf, rids, rmat in batches:
+            lids = pdf["i"].to_numpy(dtype=np.int64)
+            lmat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            s = lmat @ rmat.T
+            g = _gumbel_noise(seed, lids, rids)
+            pert = s + g
+            # rank classes per row by (score desc, class id asc)
+            order = np.lexsort((rids[None, :].repeat(len(lids), 0), -s), axis=1)
+            rows = np.arange(len(lids))[:, None]
+            s_ord = s[rows, order]
+            m = s.max(axis=1, keepdims=True)
+            e_ord = np.exp(s_ord - m)
+            z = e_ord.sum(axis=1, keepdims=True)
+            out = {"which": [], "i": [], "choice": [], "prob": []}
+            for which in ("topk", "topp"):
+                if which == "topk":
+                    kept = order[:, :k]
+                    ke = e_ord[:, :k]
+                else:
+                    cum_before = np.cumsum(e_ord, axis=1) - e_ord
+                    mask = cum_before < p * z
+                    # ragged kept set; handle per row
+                    kept = [order[r][mask[r]] for r in range(len(lids))]
+                    ke = [e_ord[r][mask[r]] for r in range(len(lids))]
+                for r in range(len(lids)):
+                    kr = np.asarray(kept[r])
+                    er = np.asarray(ke[r])
+                    w = np.argmax(pert[r, kr])
+                    out["which"].append(which)
+                    out["i"].append(lids[r])
+                    out["choice"].append(int(kr[w]))
+                    out["prob"].append(float(er[w] / er.sum()))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def sampling_filtered(
+    pred_vec: DataFrame,
+    trg_vec: DataFrame,
+    *,
+    k: int = TOPK_K,
+    p: float = TOPP_P,
+    seed: int = 42,
+) -> DataFrame:
+    """Tagged union ``(which, i, choice, prob)`` of top-k and nucleus
+    sampling (prob renormalized over the kept set, rounded 6).
+
+    Physical shape: the class side broadcasts (same exactness budget as
+    the unrestricted sampler's tiles) and each pred batch resolves its
+    restriction IN ROW — one narrow map, zero shuffle.  Genuinely huge
+    class tables would materialize the score table and restrict with a
+    per-row window (the cosine_topk shape); the restriction itself is
+    embarrassingly row-parallel either way."""
+    import pandas as pd
+
+    spark = pred_vec.sparkSession
+    pdf_trg = trg_vec.select("i", "vec").toPandas()
+    rids = pdf_trg["i"].to_numpy(dtype=np.int64)
+    rmat = np.asarray(pdf_trg["vec"].tolist(), dtype=np.float64)
+    b = spark.sparkContext.broadcast((rids, rmat))
+    kernel = _filtered_kernel(seed, k, p)
+
+    def run(batches):
+        _rids, _rmat = b.value
+        yield from kernel(
+            (pdf, _rids, _rmat) for pdf in batches if len(pdf)
+        )
+
+    out = pred_vec.select("i", "vec").mapInPandas(
+        run, "which string, i long, choice long, prob double"
+    )
+    return out.select("which", "i", "choice", F.round("prob", 6).alias("prob"))
+
+
+def sampling_filtered_sql(
+    k: int = TOPK_K, p: float = TOPP_P, seed: int = 42
+) -> str:
+    """DuckDB twin: same scores, same noise, rank/cumsum windows in the
+    same (score desc, class asc) order — the window cumsum folds left
+    to right exactly like the kernel's np.cumsum, so the only drift is
+    the accepted ~1-ulp raw-score wobble documented on the module."""
+    return f"""
+WITH coo AS (
+  SELECT vec_id AS i,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+scores AS (
+  SELECT a.i AS qi, b.i AS ki, SUM(a.v * b.v) AS s
+  FROM coo a JOIN coo b USING (j) GROUP BY a.i, b.i
+),
+nx AS (SELECT qi, ki,
+       (qi * 2654435761 + ki * 40503 + {seed}) % {MIX_P} AS x FROM scores),
+ny AS (SELECT qi, ki,
+       (x * x + 1103515245 * x + 12345) % {MIX_P} AS y FROM nx),
+pert AS (
+  SELECT s.qi, s.ki, s.s,
+         s.s - LN(-LN((((ny.y * ny.y + 69069 * ny.y + 362437) % {MIX_P})
+                       + 0.5) / {MIX_P}.0)) AS pp
+  FROM scores s JOIN ny ON ny.qi = s.qi AND ny.ki = s.ki
+),
+mx AS (SELECT qi, MAX(s) AS m FROM scores GROUP BY qi),
+ranked AS (
+  SELECT p.qi, p.ki, p.s, p.pp, EXP(p.s - mx.m) AS e,
+         ROW_NUMBER() OVER (PARTITION BY p.qi ORDER BY p.s DESC, p.ki) AS rk,
+         SUM(EXP(p.s - mx.m)) OVER (
+           PARTITION BY p.qi ORDER BY p.s DESC, p.ki
+           ROWS UNBOUNDED PRECEDING) - EXP(p.s - mx.m) AS cum_before,
+         SUM(EXP(p.s - mx.m)) OVER (PARTITION BY p.qi) AS z
+  FROM pert p JOIN mx ON mx.qi = p.qi
+),
+tk AS (SELECT * FROM ranked WHERE rk <= {k}),
+tp AS (SELECT * FROM ranked WHERE cum_before < {p} * z),
+wk AS (SELECT qi, arg_max(ki, pp) AS choice, arg_max(e, pp) AS we,
+              SUM(e) AS es FROM tk GROUP BY qi),
+wp AS (SELECT qi, arg_max(ki, pp) AS choice, arg_max(e, pp) AS we,
+              SUM(e) AS es FROM tp GROUP BY qi)
+SELECT 'topk' AS which, qi AS i, choice, ROUND(we / es, 6) AS prob FROM wk
+UNION ALL
+SELECT 'topp' AS which, qi AS i, choice, ROUND(we / es, 6) AS prob FROM wp
+"""

@@ -133,3 +133,90 @@ def build_tokenized_corpus(
     return packed.join(toks.select("doc_id", "tokens"), "doc_id").select(
         "seq_id", "doc_id", "n_tokens", "seq_tokens", "truncated", "tokens"
     )
+
+
+# ---- corpus snapshot diff (round 5 north-star widening) --------------
+#
+# Dataset versioning: every managed training corpus needs "what changed
+# between snapshot v1 and v2" — additions, removals, and in-place
+# edits — both for audit and for incremental reprocessing (only the
+# added/changed set re-enters the pipeline).  Content identity is
+# md5(text), so a renamed/moved doc with identical bytes is `changed`
+# only if the text changed.  The v2 snapshot here is DERIVED from v1
+# by deterministic md5 rules (drop h%7=0, clone-with-offset h%13=5,
+# append an edit marker to h%11=0) so the op runs corpus-scale with a
+# full DuckDB twin; diffing two real directories is the same
+# full-outer join.
+
+DIFF_CLONE_OFFSET = 20_000_000
+
+
+def _h60_str(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def corpus_v2(docs: DataFrame) -> DataFrame:
+    """The derived second snapshot: drops, edits, and additions."""
+    h = _h60_str(F.col("doc_id").cast("string"))
+    kept = docs.where(F.pmod(h, F.lit(7)) != 0)
+    edited = kept.select(
+        "doc_id",
+        F.when(
+            F.pmod(h, F.lit(11)) == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.pmod(h, F.lit(13)) == 5).select(
+        (F.col("doc_id") + DIFF_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return edited.unionByName(added)
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-> ``(doc_id, change)`` with change in {added, removed, changed}
+    between corpus v1 (the documents table) and the derived v2.
+
+    One full-outer join on doc_id comparing content hashes — a single
+    co-partitioned shuffle; unchanged docs (the overwhelming bulk at
+    100 TB) are filtered before anything else touches them."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h1"))
+    v2 = corpus_v2(docs.select("doc_id", "text")).select(
+        "doc_id", F.md5("text").alias("h2")
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("h1").isNull(), "added")
+            .when(F.col("h2").isNull(), "removed")
+            .when(F.col("h1") != F.col("h2"), "changed"),
+        )
+        .where(F.col("change").isNotNull())
+        .select("doc_id", "change")
+    )
+
+
+CORPUS_DIFF_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hh
+  FROM documents
+),
+v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN hh % 11 = 0 THEN text || ' rev2' ELSE text END) AS h2
+  FROM h WHERE hh % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_CLONE_OFFSET}, md5(text) FROM h WHERE hh % 13 = 5
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.h1 <> v2.h2 THEN 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h1 <> v2.h2)
+"""

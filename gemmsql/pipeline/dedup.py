@@ -927,7 +927,11 @@ def dedup_incremental(
     # hot set derived from the SEEN corpus, removed from BOTH sides so
     # the Jaccard estimate is symmetric: inter, n_sz, and s_sz are all
     # computed over the same df<=MAX_DF shingle universe (a new doc
-    # dominated by boilerplate no longer gets a deflated score)
+    # dominated by boilerplate no longer gets a deflated score).
+    # Both capped shingle tables are scoped-cached: each is consumed
+    # 2-3 times below (sizes + inverted-index join), and without the
+    # cache the whole split+shingle pipeline re-executes per consumer
+    # (measured 6.8 s -> ~1.5 s at sf0.01).
     seen_sh_raw = frame_shingles(seen_docs)
     hot = (
         seen_sh_raw.groupBy("shingle")
@@ -935,9 +939,12 @@ def dedup_incremental(
         .where(F.col("df") > MAX_DF)
         .select("shingle")
     )
-    seen_sh = seen_sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
-    new_sh = frame_shingles(new_docs).join(
-        F.broadcast(hot), "shingle", "left_anti"
+    seen_sh = scoped_cache(
+        seen_sh_raw.join(F.broadcast(hot), "shingle", "left_anti"),
+        fresh_scope=True,
+    )
+    new_sh = scoped_cache(
+        frame_shingles(new_docs).join(F.broadcast(hot), "shingle", "left_anti")
     )
     new_sizes = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_sz"))
     seen_sizes = seen_sh.groupBy("doc_id").agg(F.count("*").alias("s_sz"))
@@ -980,7 +987,9 @@ def dedup_incremental(
             "jaccard",
         )
     )
-    flagged = exact.unionByName(near)
+    # flagged is consumed twice (output + the novel anti-join); without
+    # the cache the whole exact+near pipeline executes twice
+    flagged = scoped_cache(exact.unionByName(near))
     novel = (
         new_docs.select("doc_id")
         .join(flagged.select("doc_id"), "doc_id", "left_anti")

@@ -1175,3 +1175,197 @@ PII_SCRUB_CORPUS_SQL = (
     red=_pii_scrub_sql_steps()[0],
     counts=", ".join(_pii_scrub_sql_steps()[1]),
 )
+
+
+# ---- context-window chunking (round 5 north-star widening) -----------
+
+CHUNK_WORDS = 64   # window size (words)
+CHUNK_STRIDE = 48  # window stride -> 16-word overlap between chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking -> ``(doc_id, chunk_idx,
+    n_words, chunk)``: overlapping ``CHUNK_WORDS``-word windows every
+    ``CHUNK_STRIDE`` words — how long documents become training-context
+    rows (the overlap preserves cross-boundary continuations).
+
+    A pure narrow map: split once, ``sequence`` over window starts,
+    in-row ``slice`` per start, one explode.  No shuffle at any scale —
+    chunking pipelines into the parquet scan exactly like shingling
+    (``dedup.frame_shingles``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.slice(w, s + 1, CHUNK_WORDS).alias("cw"),
+        ),
+    )
+    return (
+        ws.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.cw").cast("long").alias("n_words"),
+            F.concat_ws(" ", F.col("c.cw")).alias("chunk"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+starts AS (
+  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS s
+  FROM ws
+)
+SELECT doc_id, CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, s + 1, s + {CHUNK_WORDS})) AS BIGINT) AS n_words,
+       array_to_string(list_slice(w, s + 1, s + {CHUNK_WORDS}), ' ') AS chunk
+FROM starts
+"""
+
+
+# ---- hashed linear quality classifier (round 5 north-star widening) --
+#
+# The model-based quality-filter tier of a modern pretraining pipeline
+# (fastText-style classifiers in DCLM / FineWeb) in deterministic,
+# engine-portable form: the hashing trick (token -> bucket) with a
+# fixed md5-derived weight table, mean-pooled and thresholded.  No
+# learned weights ship in this sandbox, so the table is a deterministic
+# function of the bucket id — the Spark-side plumbing (in-row hashing,
+# zero-shuffle pooling, integer exactness) is exactly what a real
+# weight table needs (broadcast the table instead of deriving it).
+
+QC_BUCKETS = 4096
+QC_WEIGHT_SPAN = 2001  # integer weights in [-1000, 1000] micro-units
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-> ``(doc_id, n_tokens, score, keep)``: mean hashed-bucket
+    weight per document (micro-unit integers, exact), keep = score>0.
+
+    Fully in-row: ``transform`` maps every token to its integer weight
+    (md5 of the bucket id), ``aggregate`` sums them — no explode, no
+    shuffle; the only wide op is... nothing.  At 100 TB this is a
+    narrow map pipelined into the scan, the same shape as the real
+    classifier (dot product against a broadcast weight table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+
+    def weight(tok):
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+            F.lit(QC_BUCKETS),
+        )
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("qw"), bucket)), 1, 15),
+                16, 10,
+            ).cast("long")
+            % QC_WEIGHT_SPAN
+            - (QC_WEIGHT_SPAN - 1) // 2
+        )
+
+    total = F.aggregate(
+        F.transform(F.col("w"), weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n = F.size("w").cast("long")
+    score = F.round(total / (n * 1000.0), 6)
+    return ws.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+wts AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('qw' || CAST(
+             CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % {QC_BUCKETS}
+           AS VARCHAR)), 1, 15) AS BIGINT) % {QC_WEIGHT_SPAN}
+         - {(QC_WEIGHT_SPAN - 1) // 2} AS wt
+  FROM toks
+),
+pooled AS (
+  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS total, COUNT(*) AS n_tokens
+  FROM wts GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(total AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
+       ROUND(CAST(total AS DOUBLE) / (n_tokens * 1000.0), 6) > 0 AS keep
+FROM pooled
+"""
+
+
+# ---- temperature-smoothed mixture sampling (round 5 widening) --------
+#
+# mixture_balance (uniform target) has a sibling every multilingual /
+# multi-domain pretraining mix uses: alpha-smoothed sampling
+# (p_d^alpha / sum p^alpha, alpha=0.5 here) — upsample rare domains,
+# downsample dominant ones, without flattening to uniform.  All
+# arithmetic after one SQRT is integer-exact so the md5 keep-gate
+# replays bit-for-bit: s_d = floor(sqrt(n_d)*1e6) (IEEE sqrt is
+# correctly rounded on both engines), keep iff
+# h60(doc_id) mod (S*n_d) < min(s_d*T, S*n_d) where S = sum s_d and
+# T is the target sample size — P(keep) = (s_d/S)*(T/n_d), i.e.
+# domain share s_d/S spread over n_d docs.
+
+MIX_TEMP_SHARE = 2  # T = N // 2: sample half the corpus
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-> kept ``(doc_id, lang)`` rows of the alpha=0.5 smoothed mix.
+
+    One tiny domain-count aggregate (broadcast back), then a narrow
+    md5 keep-gate — two corpus passes, the same shape as
+    :func:`mixture_balance` and DSIR."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_d"))
+    counts = counts.withColumn(
+        "s_d",
+        F.floor(F.sqrt(F.col("n_d").cast("double")) * 1e6).cast("long"),
+    )
+    tot = counts.agg(
+        F.sum("s_d").alias("s_sum"), F.sum("n_d").alias("n_tot")
+    )
+    dom = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_d", "s_d", "s_sum",
+        (F.col("n_tot") / MIX_TEMP_SHARE).cast("long").alias("t"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(dom), "lang")
+        .where(
+            F.pmod(h, F.col("s_sum") * F.col("n_d"))
+            < F.least(
+                F.col("s_d") * F.col("t"), F.col("s_sum") * F.col("n_d")
+            )
+        )
+        .select("doc_id", "lang")
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_d,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS s_d
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(s_d) AS BIGINT) AS s_sum,
+               CAST(SUM(n_d) AS BIGINT) AS n_tot FROM counts)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN counts c ON c.lang = d.lang CROSS JOIN tot
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % (tot.s_sum * c.n_d)
+      < LEAST(c.s_d * (tot.n_tot // {MIX_TEMP_SHARE}), tot.s_sum * c.n_d)
+"""

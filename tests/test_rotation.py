@@ -59,6 +59,18 @@ def duck():
     con.close()
 
 
+def _sketch_rotated(spark, sf_dir):
+    from gemmsql.sketches import user_reach_sketch
+
+    return user_reach_sketch(spark, sf_dir)
+
+
+def _sketch_rotated_sql():
+    from gemmsql.sketches import USER_REACH_SKETCH_SQL
+
+    return USER_REACH_SKETCH_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         dedup,
@@ -138,6 +150,21 @@ def _rotated():
          text.TFIDF_TOP_TERMS_SQL),
         ("corpus_profile", text.corpus_profile,
          text.CORPUS_PROFILE_SQL),
+        # rotated out late in round 5 for the new north-star ops
+        # (doc_chunks, quality_classifier, mixture_temperature,
+        # corpus_diff, sampling_filtered).  jaccard_pairs is the exact
+        # verification tier of the gated minhash_lsh_pairs;
+        # decontaminate's scale path (bloom_decontaminate) stays gated.
+        ("pricing_summary", relational.pricing_summary,
+         relational.PRICING_SUMMARY_SQL),
+        ("brand_sales_cube", relational.brand_sales_cube,
+         relational.BRAND_SALES_CUBE_SQL),
+        ("jaccard_pairs", dedup.jaccard_pairs,
+         dedup.jaccard_pairs_sql()),
+        ("decontaminate", dedup.decontaminate,
+         dedup.decontaminate_sql()),
+        ("user_reach_sketch", _sketch_rotated,
+         _sketch_rotated_sql()),
     ]
 
 

@@ -1,0 +1,120 @@
+"""Round-5 north-star widening: property tests for doc_chunks,
+quality_classifier, mixture_temperature, corpus_diff, and
+sampling_filtered (their Spark-vs-DuckDB hash parity runs in the
+driver gate; these pin the semantics independently)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.text import CHUNK_STRIDE, CHUNK_WORDS, doc_chunks
+
+    chunks = doc_chunks(spark, SF_SMOKE).toPandas()
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    words = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    by_doc = chunks.groupby("doc_id")
+    for doc_id, grp in by_doc:
+        w = words[doc_id]
+        grp = grp.sort_values("chunk_idx")
+        # chunk count: one window per stride start
+        assert len(grp) == (len(w) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        for r in grp.itertuples():
+            start = r.chunk_idx * CHUNK_STRIDE
+            want = w[start : start + CHUNK_WORDS]
+            assert r.chunk.split(" ") == want
+            assert r.n_words == len(want)
+    # every word position is covered by at least one chunk
+    doc0 = min(words)
+    covered = np.zeros(len(words[doc0]), dtype=bool)
+    for r in by_doc.get_group(doc0).itertuples():
+        s = r.chunk_idx * CHUNK_STRIDE
+        covered[s : s + r.n_words] = True
+    assert covered.all()
+
+
+def test_quality_classifier_deterministic_and_bounded(spark):
+    from gemmsql.pipeline.text import quality_classifier
+
+    a = quality_classifier(spark, SF_SMOKE).toPandas().sort_values("doc_id")
+    b = quality_classifier(spark, SF_SMOKE).toPandas().sort_values("doc_id")
+    assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+    # mean of integer micro-weights in [-1000, 1000] -> score in [-1, 1]
+    assert a["score"].abs().max() <= 1.0
+    assert (a["keep"] == (a["score"] > 0)).all()
+
+
+def test_mixture_temperature_smooths_toward_rare_domains(spark):
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.text import mixture_temperature
+
+    kept = mixture_temperature(spark, SF_SMOKE).toPandas()
+    corpus = (
+        load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    rates = kept["lang"].value_counts().reindex(corpus.index).fillna(0) / corpus
+    # alpha < 1 upsamples rare domains RELATIVE to dominant ones: the
+    # largest domain's keep-rate must not exceed the smallest domain's
+    big, small = corpus.idxmax(), corpus.idxmin()
+    assert rates[big] <= rates[small] + 1e-9
+    # expected keep probability is (s_d/S)*(T/n_d); spot-check en
+    s = np.floor(np.sqrt(corpus.to_numpy(dtype=float)) * 1e6)
+    t = corpus.sum() // 2
+    expect = np.minimum(1.0, (s / s.sum()) * (t / corpus.to_numpy()))
+    got = rates.to_numpy()
+    assert np.abs(got - expect).max() < 0.25  # md5 gate is a fair coin
+
+
+def test_corpus_diff_matches_direct_comparison(spark):
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.corpus import corpus_diff, corpus_v2
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    v1 = docs.toPandas().set_index("doc_id")["text"]
+    v2 = corpus_v2(docs).toPandas().set_index("doc_id")["text"]
+    got = corpus_diff(spark, SF_SMOKE).toPandas().set_index("doc_id")["change"]
+    added = set(v2.index) - set(v1.index)
+    removed = set(v1.index) - set(v2.index)
+    both = set(v1.index) & set(v2.index)
+    changed = {d for d in both if v1[d] != v2[d]}
+    assert set(got[got == "added"].index) == added
+    assert set(got[got == "removed"].index) == removed
+    assert set(got[got == "changed"].index) == changed
+    assert len(got) == len(added) + len(removed) + len(changed)
+    for bucket in (added, removed, changed):
+        assert bucket, "derived v2 must exercise every change kind"
+
+
+def test_sampling_filtered_support_and_renorm(spark):
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops.sampling import TOPK_K, TOPP_P, sampling_filtered
+
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    out = sampling_filtered(vec, vec).toPandas()
+    pdf = vec.toPandas().sort_values("i")
+    ids = pdf["i"].to_numpy()
+    X = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    S = X @ X.T
+    pos = {int(v): k for k, v in enumerate(ids)}
+    assert (out["prob"] > 0).all() and (out["prob"] <= 1.0).all()
+    for r in out.itertuples():
+        ri = pos[r.i]
+        order = np.lexsort((ids, -S[ri]))
+        if r.which == "topk":
+            kept = set(ids[order[:TOPK_K]].tolist())
+        else:
+            e = np.exp(S[ri][order] - S[ri].max())
+            cum_before = np.cumsum(e) - e
+            kept = set(ids[order[cum_before < TOPP_P * e.sum()]].tolist())
+        assert r.choice in kept, (r.which, r.i)
