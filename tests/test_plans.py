@@ -542,3 +542,63 @@ def test_chain2_grads_broadcast_path_is_narrow(spark):
     assert p.count("Exchange hashpartitioning") == 1, (
         "broadcast-path chain2 must shuffle only at the merge"
     )
+
+
+def test_doc_chunks_zero_shuffle(spark):
+    """Chunking is a pure narrow map (split -> sequence -> slice ->
+    explode): at 100 TB it must pipeline into the scan."""
+    from gemmsql.pipeline.text import doc_chunks
+
+    p = plan_of(doc_chunks(spark, SF_SMOKE))
+    assert "Exchange" not in p, "chunking must not shuffle"
+    scan = next(l for l in p.splitlines() if "FileScan" in l)
+    assert "embedding" not in scan
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """The hashed linear scorer pools IN ROW (transform + aggregate):
+    no explode, no groupBy, no shuffle at any scale."""
+    from gemmsql.pipeline.text import quality_classifier
+
+    p = plan_of(quality_classifier(spark, SF_SMOKE))
+    assert "Exchange" not in p, "in-row pooling must not shuffle"
+    assert "Generate" not in p, "no explode: tokens stay in-row"
+
+
+def test_mixture_temperature_broadcasts_domain_table(spark):
+    """One tiny domain aggregate broadcast back over the corpus — the
+    keep-gate pass must be a broadcast join, never a corpus shuffle."""
+    from gemmsql.pipeline.text import mixture_temperature
+
+    p = plan_of(mixture_temperature(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # the only shuffles allowed are for the tiny domain-count aggregate
+    # (lang keys), never keyed on doc_id
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line, "corpus must not shuffle by doc_id"
+
+
+def test_corpus_diff_single_copartitioned_join(spark):
+    """Snapshot diff is ONE full-outer join on doc_id; both sides hash
+    to the same partitioning, no cartesian, no extra pass."""
+    from gemmsql.pipeline.corpus import corpus_diff
+
+    p = plan_of(corpus_diff(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert p.count("FullOuter") + p.count("full_outer") >= 1
+    scan = next(l for l in p.splitlines() if "FileScan" in l)
+    assert "lang" not in scan, "only doc_id+text may be read"
+
+
+def test_sampling_filtered_single_narrow_pass(spark):
+    """Restriction + Gumbel pick resolve in-row against the broadcast
+    class table: one mapInPandas, no shuffle, no window exec."""
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops.sampling import sampling_filtered
+
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    p = plan_of(sampling_filtered(vec, vec))
+    assert "Exchange" not in p, "broadcast path must not shuffle"
+    assert "Window" not in p
+    assert "MapInPandas" in p
