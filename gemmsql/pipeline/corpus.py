@@ -220,3 +220,58 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h1 <> v2.h2)
 """
+
+
+def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style snapshot update -> the next corpus version
+    ``(doc_id, content_hash, version)``: apply the derived v2 delta to
+    v1 with upsert semantics — updated docs take the new content
+    (version=2), unchanged keep version=1, new docs insert (version=2),
+    and docs absent from v2 are deleted (anti-join).
+
+    This is Delta/Iceberg ``MERGE INTO`` expressed as one full-outer
+    join — the co-partitioned single-shuffle shape a 100 TB snapshot
+    update needs (content hashes compare in place; text bytes move
+    only for inserted/updated rows in a real writer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h1"))
+    v2 = corpus_v2(docs.select("doc_id", "text")).select(
+        "doc_id", F.md5("text").alias("h2")
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .where(F.col("h2").isNotNull())  # deletes drop out
+        .select(
+            "doc_id",
+            F.col("h2").alias("content_hash"),
+            F.when(
+                F.col("h1").isNull() | (F.col("h1") != F.col("h2")), 2
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("version"),
+        )
+    )
+
+
+CORPUS_UPSERT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hh
+  FROM documents
+),
+v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN hh % 11 = 0 THEN text || ' rev2' ELSE text END) AS h2
+  FROM h WHERE hh % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_CLONE_OFFSET}, md5(text) FROM h WHERE hh % 13 = 5
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, v2.h2 AS content_hash,
+       CAST(CASE WHEN v1.h1 IS NULL OR v1.h1 <> v2.h2 THEN 2 ELSE 1 END
+            AS BIGINT) AS version
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v2.h2 IS NOT NULL
+"""

@@ -73,6 +73,7 @@ def _sketch_rotated_sql():
 
 def _rotated():
     from gemmsql.pipeline import (
+        corpus,
         dedup,
         events,
         joins,
@@ -165,6 +166,10 @@ def _rotated():
          dedup.decontaminate_sql()),
         ("user_reach_sketch", _sketch_rotated,
          _sketch_rotated_sql()),
+        # new in round 5 straight to the rotation tier (registry full):
+        # MERGE-style snapshot upsert, the third leg of the versioning
+        # trio (corpus_diff and dedup_incremental are driver-gated)
+        ("corpus_upsert", corpus.corpus_upsert, corpus.CORPUS_UPSERT_SQL),
     ]
 
 

@@ -341,3 +341,81 @@ def test_streaming_restart_recovers_exactly_once(spark):
     # query continues from the checkpoint, processing further batches
     assert killed_midway, "replay drained before the kill — not a recovery test"
     assert restart_batches, "restart processed no batches"
+
+
+def test_watermark_finalized_windows_drop_late_rows(spark):
+    """The watermark guarantee, pinned: append mode emits each window
+    EXACTLY ONCE after the watermark passes it, and a row arriving
+    after its window was finalized is dropped (reported in
+    numRowsDroppedByWatermark) — never resurrecting or duplicating the
+    emitted result.  (Late rows whose window is still in state MAY
+    merge — Spark's filter is best-effort on open state — so this
+    pins the stronger, load-bearing half: finalized means final.
+    Without it every straggler at 100 TB/day would reopen old windows
+    and state would never evict.)"""
+    import os
+
+    from gemmsql.streaming.windows import state_partitions
+
+    base = tempfile.mkdtemp(prefix="gemmsql_late_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    H = 3600 * 1_000_000
+    schema = (
+        "event_id long, ts_us long, user_id long, "
+        "event_type string, value double"
+    )
+
+    def write_batch(name, rows):
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+        )
+        df.coalesce(1).write.parquet(os.path.join(src_dir, name))
+        return df.schema
+
+    # batch 1: hours 0..9 -> watermark advances to 7 after the batch
+    sch = write_batch("b=1", [(i, i * H, 1, "e", 1.0) for i in range(10)])
+    # batch 2: hour 10 -> windows 0..6 finalize + emit; watermark -> 8
+    write_batch("b=2", [(200, 10 * H, 1, "e", 1.0)])
+    # batch 3: a straggler into ALREADY-EMITTED hour 1 + fresh hour 11
+    write_batch(
+        "b=3",
+        [(300, 1 * H + 60_000_000, 1, "e", 1.0), (301, 11 * H, 1, "e", 1.0)],
+    )
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/b=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("h_us"), "n")
+    )
+    name = "late_gate"
+    with state_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    rows = [(r["h_us"] // H, r["n"]) for r in spark.table(name).collect()]
+    # exactly-once emission: hours 0..8 (final watermark = 9), each
+    # window once, each n=1 — the hour-1 straggler did NOT resurrect
+    # or double-emit its finalized window
+    assert sorted(rows) == [(h, 1) for h in range(9)]
+    assert len(rows) == len({h for h, _ in rows}), "window emitted twice"
+    assert dropped == 1, "the post-finalization straggler must be dropped"
