@@ -223,6 +223,31 @@ def _bloom_positions_expr(col: str, k: int = BLOOM_K) -> str:
     return "array(" + ", ".join(parts) + ")"
 
 
+def _bloom_probe_expr(col: str, bits: list[int], k: int = BLOOM_K) -> str:
+    """SQL int (0/1): all K md5-derived bit positions of ``col`` set in
+    the collected filter ``bits`` (inlined as an array literal) — the
+    in-row probe twin of :func:`_bloom_positions_expr`."""
+    nbits = BLOOM_WORDS * BLOOM_BPW
+    arr = "array(" + ", ".join(f"{b}L" for b in bits) + ")"
+    checks = []
+    for i in range(k):
+        h = (
+            f"pmod(CAST(conv(substring(md5(concat({col}, '#{i}')),"
+            f" 1, 15), 16, 10) AS BIGINT), {nbits})"
+        )
+        mask = (
+            f"shiftleft(CAST(1 AS BIGINT), CAST(({h}) % {BLOOM_BPW} AS INT))"
+        )
+        # the array literal is foldable: ConstantFolding collapses it
+        # to one Literal per check at plan time, no per-row rebuild
+        checks.append(
+            f"((element_at({arr}, CAST(({h}) DIV {BLOOM_BPW} AS INT)"
+            f" + 1) & {mask}) = {mask})"
+        )
+    body = " AND ".join(checks)
+    return f"CAST(({body}) AS INT)"
+
+
 def bloom_decontaminate(spark, sf_dir: str):
     """Bloom-filter benchmark decontamination ->
     ``(doc_id, n_shingles, n_flagged, flagged_frac)`` — the SCALE path
@@ -240,9 +265,15 @@ def bloom_decontaminate(spark, sf_dir: str):
     discipline as the md5-register HLL above.
 
     Scale shape: benchmark shingles -> K (word, mask) pairs -> one
-    tiny bit_or aggregation (<=512 rows, broadcast back); corpus
-    shingles probe with K lookups each; per-doc verdict is one
-    doc_id-keyed aggregation.  No pairwise join anywhere.
+    tiny bit_or aggregation, COLLECTED to the driver (<= 512 longs,
+    O(const) like the IVF centroid collect) and re-broadcast as an
+    array LITERAL; every corpus shingle then probes all K bits IN ROW
+    (element_at + bitwise AND), so the only shuffle in the whole query
+    is the final doc_id aggregation.  Round-5 rewrite: the earlier
+    formulation exploded every corpus shingle xK and shuffled a
+    (doc_id, shingle) key to AND the probes back together — ~3x the
+    rows through the exchange for the same verdicts (2.35 s -> ~1.1 s
+    at sf0.1).  No pairwise join anywhere.
     """
     from pyspark.sql import functions as F
 
@@ -263,24 +294,19 @@ def bloom_decontaminate(spark, sf_dir: str):
     filt = bench_pos.groupBy("word").agg(
         F.expr("bit_or(mask)").alias("bits")
     )
+    bits = [0] * BLOOM_WORDS
+    for r in filt.collect():  # <= BLOOM_WORDS rows: O(const)
+        bits[int(r["word"])] = int(r["bits"])
 
-    probe = (
+    flagged = (
         sh.where(~is_bench)
         .select(
             "doc_id",
-            "shingle",
-            F.explode(F.expr(_bloom_positions_expr("shingle"))).alias("p"),
+            F.expr(_bloom_probe_expr("shingle", bits)).alias("flagged"),
         )
-        .select("doc_id", "shingle", "p.word", "p.mask")
-    )
-    checked = probe.join(F.broadcast(filt), "word", "left").withColumn(
-        "set", (F.expr("bits & mask") == F.col("mask")).cast("int")
-    )
-    per_shingle = checked.groupBy("doc_id", "shingle").agg(
-        (F.sum("set") == BLOOM_K).cast("int").alias("flagged")
     )
     return (
-        per_shingle.groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
             F.sum("flagged").cast("long").alias("n_flagged"),
