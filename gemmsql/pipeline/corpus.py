@@ -275,3 +275,71 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, v2.h2 AS content_hash,
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 WHERE v2.h2 IS NOT NULL
 """
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved training order -> ``(slot, doc_id,
+    lang)``: document k of each domain lands at slot
+    ``(k-1) * n_domains + domain_index``, with the within-domain order
+    an md5 shuffle — consecutive slots cycle through domains, so no
+    training batch is a long same-domain run (correlated-batch
+    mitigation), and the whole ordering is reproducible bit-for-bit.
+
+    Scale shape: NO global sort — the within-domain rank is a window
+    partitioned by lang (distributed), the domain index joins from a
+    broadcast n_domains-row table, and the slot is a closed-form
+    expression.  A writer would range-partition on slot; the slots are
+    unique by construction ((k, domain) is)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ranked = docs.withColumn(
+        "k",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+        ),
+    )
+    doms = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "dom_idx",
+            F.row_number().over(Window.orderBy("lang")) - 1,
+        )
+    )
+    n_dom = doms.agg(F.count("*").alias("n_dom"))
+    return (
+        ranked.join(F.broadcast(doms), "lang")
+        .crossJoin(F.broadcast(n_dom))
+        .select(
+            ((F.col("k") - 1) * F.col("n_dom") + F.col("dom_idx"))
+            .cast("long")
+            .alias("slot"),
+            "doc_id",
+            "lang",
+        )
+    )
+
+
+TRAINING_ORDER_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 15) AS BIGINT), doc_id
+         ) AS k
+  FROM documents
+),
+doms AS (
+  SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS dom_idx
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+n AS (SELECT COUNT(*) AS n_dom FROM doms)
+SELECT CAST((r.k - 1) * n.n_dom + d.dom_idx AS BIGINT) AS slot,
+       r.doc_id, r.lang
+FROM ranked r JOIN doms d ON d.lang = r.lang CROSS JOIN n
+"""

@@ -170,6 +170,10 @@ def _rotated():
         # MERGE-style snapshot upsert, the third leg of the versioning
         # trio (corpus_diff and dedup_incremental are driver-gated)
         ("corpus_upsert", corpus.corpus_upsert, corpus.CORPUS_UPSERT_SQL),
+        # deterministic domain-interleaved training order (closed-form
+        # slot; no global sort)
+        ("training_order", corpus.training_order,
+         corpus.TRAINING_ORDER_SQL),
     ]
 
 
