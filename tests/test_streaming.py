@@ -419,3 +419,93 @@ def test_watermark_finalized_windows_drop_late_rows(spark):
     assert sorted(rows) == [(h, 1) for h in range(9)]
     assert len(rows) == len({h for h, _ in rows}), "window emitted twice"
     assert dropped == 1, "the post-finalization straggler must be dropped"
+
+
+def test_streaming_sliding_matches_batch(spark, stream_dir):
+    """Sliding 1 h / 30 min windows: streaming replay == batch twin
+    (the one windowed shape that had no streaming-side test)."""
+    from gemmsql.pipeline.events import sliding_event_counts
+    from gemmsql.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_sliding_counts,
+    )
+
+    ev = read_events_stream(spark, stream_dir)
+    got = (
+        run_to_memory(streaming_sliding_counts(ev), "sliding_s")
+        .toPandas()
+        .sort_values(["w_start_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        sliding_event_counts(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["w_start_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    common = [c for c in want.columns if c in got.columns]
+    assert (
+        got[common].to_numpy() == want[common].to_numpy()
+    ).all(), "stream/batch sliding-window mismatch"
+
+
+def test_rocksdb_state_store_same_results(spark):
+    """The RocksDB state store — the provider a 100 TB deployment uses
+    when state outgrows executor heap — must produce the same
+    stream-stream join output as the default HDFS-backed store (state
+    providers change WHERE state lives, never WHAT is computed)."""
+    import os
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.streaming.windows import (
+        state_partitions,
+        streaming_click_to_purchase,
+    )
+
+    base = tempfile.mkdtemp(prefix="gemmsql_rocksdb_")
+    src_dir = os.path.join(base, "src")
+    load_table(spark, SF_SMOKE, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def run(tag):
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        joined = streaming_click_to_purchase(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(f"rdb_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.table(f"rdb_{tag}").collect()
+        }
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    with state_partitions(spark, 4):
+        default_out = run("hdfs")
+        try:
+            spark.conf.set(
+                key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            rocksdb_out = run("rocks")
+        finally:
+            spark.conf.set(key, old)
+    assert rocksdb_out == default_out
+    assert len(rocksdb_out) > 0
