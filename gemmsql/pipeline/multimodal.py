@@ -453,3 +453,126 @@ def sample_frames(
     return df.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, frame_idx int, frame binary"
     )
+
+
+# ------------------------------------------------- audio (WAV) features
+
+AUDIO_BLOCKS_BASE = 4   # md5 blocks per doc: 4 + doc_id % 5
+AUDIO_BLOCKS_MOD = 5
+AUDIO_RATE = 16000
+
+
+def with_audio_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL RIFF/WAVE PCM16 payload per document: int16
+    samples derived from an md5 chain (8 samples per md5 block,
+    4 + doc_id % 5 blocks), run through the real :func:`encode_wav`.
+    Narrow Arrow-batched map; the sample STREAM (not the container
+    bytes) is what the DuckDB twin reconstructs, so the oracle never
+    needs to model RIFF byte order."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                nb = AUDIO_BLOCKS_BASE + int(doc_id) % AUDIO_BLOCKS_MOD
+                vals = []
+                for t in range(nb):
+                    h = hashlib.md5(
+                        f"au:{int(doc_id)}:{t}".encode()
+                    ).hexdigest()
+                    vals.extend(
+                        int(h[4 * k : 4 * k + 4], 16) - 32768
+                        for k in range(8)
+                    )
+                payloads.append(
+                    encode_wav(
+                        np.asarray(vals, dtype=np.int16), AUDIO_RATE
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every WAV payload with the REAL RIFF parser and emit
+    per-doc sample statistics ``(doc_id, n_samples, sample_rate, peak,
+    mean, rms)`` — exact int64 (sum, sum_sq, max|v|) partials from the
+    decoded int16 stream; mean/rms derived to mirror the oracle's
+    double arithmetic term for term.  Zero shuffle (decode + 5 ints
+    per doc in one narrow map)."""
+    b = with_audio_payload(spark, sf_dir)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ns, rates, peaks, sums, sqs = [], [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(p))
+                v = samples.astype(np.int64).ravel()
+                ids.append(doc_id)
+                ns.append(len(v))
+                rates.append(rate)
+                peaks.append(int(np.abs(v).max()))
+                sums.append(int(v.sum()))
+                sqs.append(int((v * v).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n": ns, "rate": rates, "peak": peaks,
+                 "s": sums, "s2": sqs}
+            )
+
+    part = b.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, n long, rate long, peak long, s long, s2 long"
+        ),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return part.select(
+        "doc_id",
+        F.col("n").alias("n_samples"),
+        F.col("rate").alias("sample_rate"),
+        F.col("peak").alias("peak"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt(s2 / n), 6).alias("rms"),
+    )
+
+
+AUDIO_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {AUDIO_BLOCKS_BASE} + doc_id % {AUDIO_BLOCKS_MOD} AS nb
+  FROM documents
+),
+blocks AS (
+  SELECT d.doc_id, s.t,
+         md5('au:' || CAST(d.doc_id AS VARCHAR) || ':'
+             || CAST(s.t AS VARCHAR)) AS h
+  FROM d
+  JOIN generate_series(0, {AUDIO_BLOCKS_BASE + AUDIO_BLOCKS_MOD - 1}) s(t)
+    ON s.t < d.nb
+),
+samples AS (
+  SELECT b.doc_id,
+         CAST('0x' || substring(b.h, 4 * g.k + 1, 4) AS BIGINT)
+         - 32768 AS v
+  FROM blocks b JOIN generate_series(0, 7) g(k) ON TRUE
+)
+SELECT doc_id,
+       COUNT(*) AS n_samples,
+       CAST({AUDIO_RATE} AS BIGINT) AS sample_rate,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+       ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+FROM samples GROUP BY doc_id
+"""

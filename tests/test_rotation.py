@@ -1,14 +1,14 @@
 """Oracle checks for queries outside the 50-entry driver registry.
 
 The driver gate only sees the first 50 registered queries.
-Twenty-four multiply-proven variants sit out the round-4/round-5
+Thirty-one multiply-proven variants sit out the round-4/round-5
 rotations (making room for the corpus ops, the compositions, the
-iterative-op kernels, and the round-5 entrants doc_perplexity /
-dup_spans / mixture_balance / bloom_decontaminate / payload_features /
-chain2_grads / pii_scrub_corpus / dedup_incremental — see the
-``__spark_entry__.queries`` docstring).  All get the same
-Spark-vs-DuckDB hash comparison the driver runs, executed in pytest so
-the hard signal never lapses.
+iterative-op kernels, and the round-5 entrants — see the
+``__spark_entry__.queries`` docstring), plus three round-5 ops born
+straight into this tier because the registry is full (corpus_upsert,
+training_order, audio_features).  All get the same Spark-vs-DuckDB
+hash comparison the driver runs, executed in pytest so the hard
+signal never lapses.
 """
 
 from __future__ import annotations
@@ -69,6 +69,18 @@ def _sketch_rotated_sql():
     from gemmsql.sketches import USER_REACH_SKETCH_SQL
 
     return USER_REACH_SKETCH_SQL
+
+
+def _audio_features(spark, sf_dir):
+    from gemmsql.pipeline.multimodal import audio_features
+
+    return audio_features(spark, sf_dir)
+
+
+def _audio_features_sql():
+    from gemmsql.pipeline.multimodal import AUDIO_FEATURES_SQL
+
+    return AUDIO_FEATURES_SQL
 
 
 def _rotated():
@@ -174,6 +186,10 @@ def _rotated():
         # slot; no global sort)
         ("training_order", corpus.training_order,
          corpus.TRAINING_ORDER_SQL),
+        # audio tier through the REAL WAV codec: synthesized PCM16
+        # payloads encoded + decoded corpus-wide, stats vs the oracle's
+        # reconstruction of the same md5-derived sample stream
+        ("audio_features", _audio_features, _audio_features_sql()),
     ]
 
 
