@@ -118,3 +118,38 @@ def test_sampling_filtered_support_and_renorm(spark):
             cum_before = np.cumsum(e) - e
             kept = set(ids[order[cum_before < TOPP_P * e.sum()]].tolist())
         assert r.choice in kept, (r.which, r.i)
+
+
+def test_image_container_invariance_corpus_wide(spark):
+    """The SAME md5-derived pixels packed in PPM vs BMP containers
+    must decode identically through decode_image's magic-byte dispatch
+    — corpus-wide (the BMP leg was only fixture-tested before; this
+    exercises bottom-up row order + 4-byte row padding on every doc's
+    distinct geometry)."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.multimodal import (
+        PPM_H_BASE,
+        PPM_H_MOD,
+        PPM_W,
+        _ppm_body,
+        decode_image,
+        encode_bmp,
+    )
+
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    assert len(doc_ids) >= 50
+    for doc_id in doc_ids:
+        h = PPM_H_BASE + int(doc_id) % PPM_H_MOD
+        px = np.frombuffer(_ppm_body(int(doc_id), h), dtype=np.uint8)
+        img = px.reshape(h, PPM_W, 3)
+        ppm_payload = b"P6\n%d %d\n255\n" % (PPM_W, h) + px.tobytes()
+        bmp_payload = encode_bmp(img)
+        a = decode_image(ppm_payload)
+        b = decode_image(bmp_payload)
+        assert a.shape == b.shape == (h, PPM_W, 3)
+        assert np.array_equal(a, b), f"container mismatch for doc {doc_id}"
