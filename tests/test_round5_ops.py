@@ -153,3 +153,52 @@ def test_image_container_invariance_corpus_wide(spark):
         b = decode_image(bmp_payload)
         assert a.shape == b.shape == (h, PPM_W, 3)
         assert np.array_equal(a, b), f"container mismatch for doc {doc_id}"
+
+
+def test_new_text_ops_edge_cases(spark):
+    """Degenerate documents (empty text, single word) must not crash
+    or mis-shape the round-5 narrow-map ops."""
+    from gemmsql.pipeline.text import (
+        CHUNK_STRIDE,
+        pii_dirty_docs,
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "a b"), (4, " leading space")],
+        "doc_id long, text string",
+    )
+    # chunking logic is exercised via the same split/sequence/slice
+    # expressions doc_chunks uses, bound to this frame
+    from pyspark.sql import functions as F
+
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+    n_chunks = ws.select(
+        "doc_id", F.size(starts).alias("n")
+    ).toPandas().set_index("doc_id")["n"]
+    # split("") -> [""] (one token), so every doc has >= 1 chunk window
+    assert (n_chunks == 1).all()
+
+    scrubbed = pii_scrub(docs).toPandas().set_index("doc_id")
+    assert (scrubbed[["n_email", "n_ip", "n_phone"]].to_numpy() == 0).all()
+    assert scrubbed.loc[1, "redacted"] == ""
+
+    dirty = pii_dirty_docs(docs).toPandas()
+    assert len(dirty) == 4 and dirty["text"].notna().all()
+
+
+def test_sampling_filtered_handles_tiny_class_table(spark):
+    """k larger than the class count must clamp, not fail."""
+    import pandas as pd
+
+    from gemmsql.ops.sampling import sampling_filtered
+
+    pdf = pd.DataFrame(
+        {"i": [0, 1, 2], "vec": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]}
+    )
+    vec = spark.createDataFrame(pdf)
+    out = sampling_filtered(vec, vec, k=16).toPandas()
+    assert len(out) == 6  # 3 rows x {topk, topp}
+    assert set(out["choice"]) <= {0, 1, 2}
+    assert (out["prob"] > 0).all()
