@@ -1273,10 +1273,21 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("w"), weight), F.lit(0).cast("long"), lambda a, x: a + x
     )
     n = F.size("w").cast("long")
-    score = F.round(total / (n * 1000.0), 6)
-    return ws.select(
+    # score = total / (n * 1000) rounded 6, in EXACT integer arithmetic
+    # (half away from zero, the gate's _MICRO_RATIO discipline): the
+    # ratio of two integers lands exactly on x.xxxxxx5 often enough
+    # (e.g. total/80000 at sf0.1) that ROUND-of-double diverges between
+    # engines — Spark rounds the decimal string, DuckDB the binary.
+    t = total.alias("t")
+    pooled = ws.select("doc_id", n.alias("n_tokens"), t)
+    micro = F.expr(
+        "CASE WHEN t < 0 THEN -((-t * 2000 + n_tokens) DIV (2 * n_tokens))"
+        " ELSE (t * 2000 + n_tokens) DIV (2 * n_tokens) END"
+    )
+    score = micro.cast("double") / 1e6
+    return pooled.select(
         "doc_id",
-        n.alias("n_tokens"),
+        "n_tokens",
         score.alias("score"),
         (score > 0).alias("keep"),
     )
@@ -1299,8 +1310,14 @@ pooled AS (
   FROM wts GROUP BY 1
 )
 SELECT doc_id, n_tokens,
-       ROUND(CAST(total AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
-       ROUND(CAST(total AS DOUBLE) / (n_tokens * 1000.0), 6) > 0 AS keep
+       CAST(CASE WHEN total < 0
+            THEN -((-total * 2000 + n_tokens) // (2 * n_tokens))
+            ELSE (total * 2000 + n_tokens) // (2 * n_tokens)
+       END AS DOUBLE) / 1000000.0 AS score,
+       CAST(CASE WHEN total < 0
+            THEN -((-total * 2000 + n_tokens) // (2 * n_tokens))
+            ELSE (total * 2000 + n_tokens) // (2 * n_tokens)
+       END AS DOUBLE) / 1000000.0 > 0 AS keep
 FROM pooled
 """
 
