@@ -225,3 +225,212 @@ SELECT user_id, COUNT(*) AS n_events,
   epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
 FROM events GROUP BY 1
 """
+
+
+# --- funnel analysis -------------------------------------------------
+
+FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day conversion window
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view -> click -> purchase ->
+    ``(step_no, stage, n_users, frac)`` — the product-analytics
+    sequence-match pattern (no analog in the reference; north-star
+    event tier).
+
+    Semantics: per user, t1 = first 'view'; t2 = first 'click'
+    STRICTLY after t1; t3 = first 'purchase' STRICTLY after t2; steps
+    2-3 must land within ``FUNNEL_WINDOW_US`` of t1.  ``n_users`` =
+    users reaching each stage; ``frac`` = n_users / stage-1 users.
+
+    Scale shape: the event scan is filtered to the 3 funnel types
+    (pushed to parquet) and projected to (user_id, ts_us); each step
+    is a per-user min aggregation joined to the previous step ON
+    user_id — every shuffle and join keys on user_id, so AQE reuses
+    one co-partitioning; step tables only shrink.  The final result is
+    3 rows; the stage-1 total joins back as a broadcast literal.  No
+    window functions, no self cross-product.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("long").alias("step_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+
+    counts = (
+        stage(s1, 1, FUNNEL_STEPS[0])
+        .unionByName(stage(s2, 2, FUNNEL_STEPS[1]))
+        .unionByName(stage(s3, 3, FUNNEL_STEPS[2]))
+    )
+    base = s1.agg(F.count("*").cast("long").alias("base_n"))
+    return (
+        counts.crossJoin(F.broadcast(base))  # 3 rows x 1 row
+        .select(
+            "step_no",
+            "stage",
+            "n_users",
+            F.round(F.col("n_users") / F.col("base_n"), 6).alias("frac"),
+        )
+    )
+
+
+FUNNEL_COUNTS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT user_id, MIN(ts_us) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT ev.user_id, MIN(s1.t1) AS t1, MIN(ev.ts_us) AS t2
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  WHERE ev.event_type = 'click' AND ev.ts_us > s1.t1
+    AND ev.ts_us <= s1.t1 + {FUNNEL_WINDOW_US}
+  GROUP BY 1
+),
+s3 AS (
+  SELECT ev.user_id, MIN(ev.ts_us) AS t3
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.t2
+    AND ev.ts_us <= s2.t1 + {FUNNEL_WINDOW_US}
+  GROUP BY 1
+),
+counts AS (
+  SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS stage,
+         COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT step_no, stage, n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1), 6) AS frac
+FROM counts
+"""
+
+
+# --- cohort retention ------------------------------------------------
+
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly cohort retention over ``orders`` ->
+    ``(cohort_q, q_offset, n_custs, retention)`` — the classic
+    growth-analytics triangle.  Cohort = integer epoch-quarter of a
+    customer's FIRST order ((year*12 + month - 1) div 3 —
+    engine-agnostic integer arithmetic, no locale-dependent
+    date_trunc); ``q_offset`` = whole quarters between that first
+    order and each quarter the customer ordered in again;
+    ``retention`` = n_custs / cohort size (the offset-0 count, which
+    every customer is in by construction).  The orders table spans
+    1995-2001, so the triangle is ~27 cohorts deep with genuinely
+    decaying retention (~10 orders per customer over 80 months).
+
+    Scale shape: one per-customer min aggregation (shuffle on
+    o_custkey), one co-partitioned join back to the order scan on
+    o_custkey, one distinct on (cohort, offset, customer) — all keyed
+    so AQE reuses the custkey exchange — then a tiny per-cohort count
+    joined back as a BROADCAST (cohorts ~ timespan / quarter: O(100)
+    rows even for decades).  No window functions, no cross-product.
+    """
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "(year(o_orderdate) * 12 + month(o_orderdate) - 1) div 3"
+        ).alias("q"),
+    )
+    firsts = od.groupBy("o_custkey").agg(F.min("q").alias("first_q"))
+    active = (
+        od.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            F.col("first_q").alias("cohort_q"),
+            (F.col("q") - F.col("first_q")).alias("q_offset"),
+        )
+        .distinct()
+    )
+    per_cell = active.groupBy("cohort_q", "q_offset").agg(
+        F.count("*").cast("long").alias("n_custs")
+    )
+    sizes = (
+        active.where(F.col("q_offset") == 0)
+        .groupBy("cohort_q")
+        .agg(F.count("*").cast("long").alias("cohort_n"))
+    )
+    return (
+        per_cell.join(F.broadcast(sizes), "cohort_q")
+        .select(
+            "cohort_q",
+            "q_offset",
+            "n_custs",
+            F.round(F.col("n_custs") / F.col("cohort_n"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH od AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1) // 3 AS q
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey, MIN(q) AS first_q FROM od GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT od.o_custkey, firsts.first_q AS cohort_q,
+         od.q - firsts.first_q AS q_offset
+  FROM od JOIN firsts ON od.o_custkey = firsts.o_custkey
+),
+per_cell AS (
+  SELECT cohort_q, q_offset, COUNT(*) AS n_custs
+  FROM active GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_q, COUNT(*) AS cohort_n FROM active
+  WHERE q_offset = 0 GROUP BY 1
+)
+SELECT per_cell.cohort_q, per_cell.q_offset, per_cell.n_custs,
+       ROUND(CAST(per_cell.n_custs AS DOUBLE) / sizes.cohort_n, 6)
+         AS retention
+FROM per_cell JOIN sizes ON per_cell.cohort_q = sizes.cohort_q
+"""

@@ -602,3 +602,39 @@ def test_sampling_filtered_single_narrow_pass(spark):
     assert "Exchange" not in p, "broadcast path must not shuffle"
     assert "Window" not in p
     assert "MapInPandas" in p
+
+
+def test_funnel_counts_copartitioned_and_pushed(spark):
+    """Funnel: every step joins on user_id only (co-partitioned
+    equi-joins, never a range cross-product), and the 3-type filter
+    reaches the parquet scan."""
+    from gemmsql.pipeline.events import funnel_counts
+
+    p = plan_of(funnel_counts(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p or p.count(
+        "BroadcastNestedLoopJoin"
+    ) == 1, "only the 3x1 frac join may be nested-loop"
+    for ln in p.splitlines():
+        if "SortMergeJoin" in ln:
+            assert "user_id#" in ln, f"non-user-id SortMergeJoin: {ln.strip()}"
+    assert "PushedFilters" in p and "In(event_type" in p, (
+        "funnel-type filter must push to the scan"
+    )
+
+
+def test_cohort_retention_broadcasts_sizes_no_window(spark):
+    """Cohort triangle: the per-cohort size table (O(timespan) rows)
+    must BROADCAST back onto the cells, and no window function or
+    cross-product appears anywhere."""
+    from gemmsql.pipeline.events import cohort_retention
+
+    p = plan_of(cohort_retention(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, "cohort sizes must broadcast"
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    for ln in p.splitlines():
+        if "SortMergeJoin" in ln:
+            assert "o_custkey#" in ln, (
+                f"non-custkey SortMergeJoin: {ln.strip()}"
+            )

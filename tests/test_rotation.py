@@ -4,9 +4,9 @@ The driver gate only sees the first 50 registered queries.
 Thirty-one multiply-proven variants sit out the round-4/round-5
 rotations (making room for the corpus ops, the compositions, the
 iterative-op kernels, and the round-5 entrants — see the
-``__spark_entry__.queries`` docstring), plus three round-5 ops born
+``__spark_entry__.queries`` docstring), plus five round-5 ops born
 straight into this tier because the registry is full (corpus_upsert,
-training_order, audio_features).  All get the same Spark-vs-DuckDB
+training_order, audio_features, funnel_counts, cohort_retention).  All get the same Spark-vs-DuckDB
 hash comparison the driver runs, executed in pytest so the hard
 signal never lapses.
 """
@@ -190,6 +190,14 @@ def _rotated():
         # payloads encoded + decoded corpus-wide, stats vs the oracle's
         # reconstruction of the same md5-derived sample stream
         ("audio_features", _audio_features, _audio_features_sql()),
+        # late round-5 event-analytics widening, born into this tier:
+        # ordered 3-step sequence match (view->click->purchase within
+        # a 7-day window) and the quarterly first-order retention
+        # triangle over orders (23 cohorts deep at sf0.01)
+        ("funnel_counts", events.funnel_counts,
+         events.FUNNEL_COUNTS_SQL),
+        ("cohort_retention", events.cohort_retention,
+         events.COHORT_RETENTION_SQL),
     ]
 
 
