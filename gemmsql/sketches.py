@@ -368,3 +368,134 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
 FROM per_shingle GROUP BY doc_id
 HAVING SUM(flagged) > 0
 """
+
+
+# ------------------------------------------------- count-min sketch
+
+CM_D = 4                # hash rows
+CM_W = 1024             # counters per row; eps ~ e/W, delta ~ e^-D
+CM_PANEL_MOD = 101      # candidate panel: words of every 101st doc
+
+
+def _cm_pos_expr(col: str, k: int) -> str:
+    """SQL bigint: md5-derived counter index of ``col`` in hash row
+    ``k`` — shared by build and probe (and mirrored in the DuckDB
+    twin) so the sketch replays exactly."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat({col}, '#{k}')),"
+        f" 1, 15), 16, 10) AS BIGINT), {CM_W})"
+    )
+
+
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream ->
+    top-20 ``(word, est_count, exact_count)`` — the third sketch
+    family (HLL: distinct counts; Bloom: membership; count-min:
+    frequencies), i.e. the sub-linear path to "which tokens dominate
+    100 TB" without a vocabulary-sized exact count.
+
+    Construction (identical in :func:`cm_heavy_hitters_sql`):
+
+    - every corpus token increments ``CM_D`` = 4 md5-derived counters
+      (one per hash row) in a 4 x 1024 table — per-(row, counter) SUM
+      is a monoid, so Spark runs it as one partial+final aggregate
+      whose exchange carries at most D*W = 4096 keys no matter how
+      many tokens stream through (and the SAME groupBy would maintain
+      the sketch as streaming state, like the HLL registers);
+    - the probe panel is the distinct words of every
+      ``CM_PANEL_MOD``-th document (deterministic md5-free doc_id
+      gate) — the "candidate set" a production pipeline tracks
+      alongside the sketch;
+    - ``est_count`` = min over the D counters each panel word hashes
+      to (classic count-min upper bound: est >= exact always, with
+      overestimate ~ eps * stream length);
+    - ``exact_count`` rides along for the panel only (a panel-bounded
+      broadcast semi-join + count — cheap because the panel is small,
+      and it makes the sketch's guarantee auditable in the output);
+    - top-20 by (est_count DESC, word ASC) — a TakeOrderedAndProject,
+      never a global sort.
+
+    Scale shape: one corpus token pass into the 4096-key sketch agg,
+    one panel-filtered token pass for the exact counts; the sketch
+    (4096 rows) and the panel BROADCAST onto their joins.  No
+    vocabulary-sized shuffle anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+
+    pos_structs = ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS k,"
+        f" {_cm_pos_expr('word', k)} AS pos)"
+        for k in range(CM_D)
+    )
+    sketch = (
+        words.select(
+            F.explode(F.expr(f"array({pos_structs})")).alias("p")
+        )
+        .groupBy("p.k", "p.pos")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+    panel = (
+        words.where(F.col("doc_id") % CM_PANEL_MOD == 0)
+        .select("word")
+        .distinct()
+    )
+    est = (
+        panel.select(
+            "word", F.explode(F.expr(f"array({pos_structs})")).alias("p")
+        )
+        .select("word", F.col("p.k").alias("k"), F.col("p.pos").alias("pos"))
+        .join(F.broadcast(sketch), ["k", "pos"])
+        .groupBy("word")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        words.join(F.broadcast(panel), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "word")
+        .orderBy(F.col("est_count").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def cm_heavy_hitters_sql() -> str:
+    ks = ", ".join(str(k) for k in range(CM_D))
+    pos = (
+        f"CAST('0x' || substring(md5(word || '#' || k), 1, 15)"
+        f" AS BIGINT) % {CM_W}"
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+sketch AS (
+  SELECT t.k AS k, {pos.replace('|| k', '|| t.k')} AS pos, COUNT(*) AS c
+  FROM words, UNNEST([{ks}]) AS t(k)
+  GROUP BY 1, 2
+),
+panel AS (
+  SELECT DISTINCT word FROM words WHERE doc_id % {CM_PANEL_MOD} = 0
+),
+est AS (
+  SELECT panel.word, MIN(sketch.c) AS est_count
+  FROM panel, UNNEST([{ks}]) AS t(k)
+  JOIN sketch ON sketch.k = t.k
+    AND sketch.pos = ({pos.replace('word || ', 'panel.word || ').replace("|| k", "|| t.k")})
+  GROUP BY 1
+),
+exact AS (
+  SELECT words.word, COUNT(*) AS exact_count
+  FROM words JOIN panel ON words.word = panel.word
+  GROUP BY 1
+)
+SELECT est.word, est.est_count, exact.exact_count
+FROM est JOIN exact ON est.word = exact.word
+ORDER BY est.est_count DESC, est.word
+LIMIT 20
+"""

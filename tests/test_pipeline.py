@@ -1002,3 +1002,18 @@ def test_dedup_incremental_classifies_delta(spark):
     verdicts = dedup_incremental(new_c, seen_c)
     assert verdicts.count() == new_c.count()
     assert verdicts.select("doc_id").distinct().count() == new_c.count()
+
+
+def test_cm_heavy_hitters_never_underestimates(spark):
+    """The count-min guarantee: est_count >= exact_count for every
+    reported word (the sketch only ever overestimates), and at this
+    sketch width the heavy hitters should be near-exact."""
+    from gemmsql.sketches import cm_heavy_hitters
+
+    from tests.conftest import SF_SMOKE
+
+    pdf = cm_heavy_hitters(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 20
+    assert (pdf.est_count >= pdf.exact_count).all()
+    rel = ((pdf.est_count - pdf.exact_count) / pdf.exact_count).max()
+    assert rel < 0.05, f"heavy-hitter overestimate {rel:.3f} too large"

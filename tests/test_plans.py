@@ -638,3 +638,18 @@ def test_cohort_retention_broadcasts_sizes_no_window(spark):
             assert "o_custkey#" in ln, (
                 f"non-custkey SortMergeJoin: {ln.strip()}"
             )
+
+
+def test_cm_heavy_hitters_bounded_state_and_topk(spark):
+    """Count-min: the sketch (4096 rows) and the panel must BROADCAST
+    onto their joins, the top-20 must be a TakeOrderedAndProject (a
+    per-partition partial top-k, never a global sort), and no
+    cross-product appears."""
+    from gemmsql.sketches import cm_heavy_hitters
+
+    p = plan_of(cm_heavy_hitters(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, "top-20 must be partial top-k"
+    assert p.count("BroadcastHashJoin") >= 2, (
+        "sketch and panel must broadcast"
+    )
+    assert "CartesianProduct" not in p

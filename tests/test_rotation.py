@@ -83,6 +83,18 @@ def _audio_features_sql():
     return AUDIO_FEATURES_SQL
 
 
+def _cm_heavy_hitters(spark, sf_dir):
+    from gemmsql.sketches import cm_heavy_hitters
+
+    return cm_heavy_hitters(spark, sf_dir)
+
+
+def _cm_heavy_hitters_sql():
+    from gemmsql.sketches import cm_heavy_hitters_sql
+
+    return cm_heavy_hitters_sql()
+
+
 def _rotated():
     from gemmsql.pipeline import (
         corpus,
@@ -198,6 +210,11 @@ def _rotated():
          events.FUNNEL_COUNTS_SQL),
         ("cohort_retention", events.cohort_retention,
          events.COHORT_RETENTION_SQL),
+        # count-min sketch heavy hitters — the third sketch family
+        # (HLL: distinct, Bloom: membership, CM: frequency); md5
+        # counters replay in DuckDB, est >= exact by construction
+        ("cm_heavy_hitters", _cm_heavy_hitters,
+         _cm_heavy_hitters_sql()),
     ]
 
 
