@@ -1017,3 +1017,61 @@ def test_cm_heavy_hitters_never_underestimates(spark):
     assert (pdf.est_count >= pdf.exact_count).all()
     rel = ((pdf.est_count - pdf.exact_count) / pdf.exact_count).max()
     assert rel < 0.05, f"heavy-hitter overestimate {rel:.3f} too large"
+
+
+# ---- property-based codec laws (hypothesis) -------------------------
+# arbitrary shapes/values, not just the fixed seeds above: encode and
+# decode must be exact inverses for every legal image/sample array
+# (the container layer the 100 TB multimodal tier rests on).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(
+            st.integers(1, 16), st.integers(1, 16), st.just(3)
+        ),
+    )
+)
+def test_ppm_roundtrip_property(img):
+    from gemmsql.pipeline.multimodal import decode_ppm, encode_ppm
+
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(
+            st.integers(1, 16), st.integers(1, 16), st.just(3)
+        ),
+    )
+)
+def test_bmp_roundtrip_property(img):
+    # odd widths force nonzero BMP row padding; the strategy covers
+    # every width mod 4 residue
+    from gemmsql.pipeline.multimodal import decode_bmp, encode_bmp
+
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arrays(
+        np.int16,
+        st.tuples(st.integers(1, 128), st.integers(1, 2)),
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    from gemmsql.pipeline.multimodal import decode_wav, encode_wav
+
+    out, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate
+    assert np.array_equal(out, samples)
