@@ -140,3 +140,84 @@ def write_clustered(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+ZORDER_BITS = 16  # per-dimension resolution of the Morton curve
+
+
+def _morton_expr(cols: list[str], bits: int = ZORDER_BITS) -> str:
+    """SQL bigint: bit-interleave the already-scaled integer columns
+    ``cols`` (each in [0, 2^bits)) into one Morton (Z-order) value.
+    Pure JVM-side bitwise arithmetic — stays inside whole-stage
+    codegen; D * bits <= 63."""
+    d = len(cols)
+    terms = []
+    for ci, c in enumerate(cols):
+        for b in range(bits):
+            # bit b of col ci lands at interleaved position b*d + ci
+            terms.append(
+                f"(shiftleft(shiftright({c}, {b}) & 1, {b * d + ci}))"
+            )
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: tuple[str, ...],
+    n_files: int | None = None,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet sink: multi-dimensional
+    data skipping without a table format.
+
+    :func:`write_clustered` makes ONE column's per-file min/max stats
+    tight; a predicate on any other column still touches every file.
+    This sink scales each ``zorder_by`` column to a ``ZORDER_BITS``-bit
+    integer (min/max linear scaling — one tiny agg job over the input,
+    a write-path cost, never per-query), bit-interleaves them into a
+    Morton value, and range-splits + sorts on that value — so every
+    output file covers a small HYPERCUBE of the key space and parquet
+    row-group stats stay narrow on EVERY z-ordered dimension at once
+    (the Delta/Iceberg OPTIMIZE ZORDER story, done with plain Spark
+    exchanges).  The cost over a plain write is one agg job + one
+    range exchange, identical to single-key clustering.
+
+    At 100 TB: pick 2-4 columns that real predicates filter on
+    together (e.g. date x customer); more dimensions dilute the
+    per-dimension tightness (bits/dim shrink), which is why this takes
+    an explicit tuple rather than defaulting to "all columns".
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(zorder_by)
+    if not 1 <= len(cols) * ZORDER_BITS <= 63:
+        raise ValueError(f"need 1..3 z-order columns, got {len(cols)}")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << ZORDER_BITS) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = float(stats[f"lo_{i}"]), float(stats[f"hi_{i}"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            f"CAST(least({float(top)}, greatest(0.0D,"
+            f" (CAST({c} AS DOUBLE) - {lo!r}D) / {span!r}D"
+            f" * {float(top)}D)) AS BIGINT)"
+        )
+    z = df.withColumn("__z", F.expr(_morton_expr(scaled)))
+    if n_files is not None:
+        d = z.repartitionByRange(n_files, "__z")
+    else:
+        d = z.repartitionByRange("__z")
+    (
+        d.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -653,3 +653,60 @@ def test_cm_heavy_hitters_bounded_state_and_topk(spark):
         "sketch and panel must broadcast"
     )
     assert "CartesianProduct" not in p
+
+
+def test_zordered_write_tightens_stats_on_both_dims(spark, tmp_path):
+    """write_zordered: per-file parquet min/max spans must be narrow
+    on BOTH z-ordered dimensions (multi-dim data skipping), where a
+    single-key clustered write leaves the second dimension spanning
+    the full domain."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.sources import write_zordered
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(
+        orders, out, zorder_by=("o_custkey", "o_totalprice"), n_files=16
+    )
+
+    files = sorted(Path(out).glob("*.parquet"))
+    assert len(files) >= 8, "range split must produce many files"
+
+    def spans(col):
+        res, glo, ghi = [], None, None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            res.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return res, (ghi - glo) or 1
+
+    for col in ("o_custkey", "o_totalprice"):
+        sp, domain = spans(col)
+        # with 16 z-tiles over 2 dims each file covers ~1/4 of each
+        # axis; boundary tiles straddle quadrant jumps of the curve,
+        # so assert MOST files are narrow, on BOTH dims at once (a
+        # single-key clustered write leaves dim 2 at ~1.0 everywhere)
+        narrow = sum(1 for s in sp if s <= 0.6 * domain)
+        assert narrow >= len(sp) * 0.7, (
+            f"{col}: only {narrow}/{len(sp)} files have narrow spans"
+        )
+        assert sum(sp) / len(sp) <= 0.55 * domain, (
+            f"{col}: mean span {sum(sp) / len(sp):.2f} vs domain {domain}"
+        )
+
+    back = spark.read.parquet(out).where("o_totalprice < 1000.0")
+    p = plan_of(back)
+    assert re.search(r"PushedFilters: \[.*o_totalprice.*\]", p), (
+        "predicate on the second z-dim must reach the scan"
+    )
