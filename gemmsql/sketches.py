@@ -387,6 +387,33 @@ def _cm_pos_expr(col: str, k: int) -> str:
     )
 
 
+def _cm_pos_structs(col: str = "word") -> str:
+    return ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS k,"
+        f" {_cm_pos_expr(col, k)} AS pos)"
+        for k in range(CM_D)
+    )
+
+
+def cm_sketch(tokens: DataFrame, col: str = "word") -> DataFrame:
+    """Count-min sketch state of a token stream -> (k, pos, c) with
+    per-counter SUM aggregation.
+
+    Per-(row, counter) SUM is a monoid, so this SAME function works on
+    a STREAMING DataFrame unchanged: ``groupBy(k, pos).count()`` in
+    complete/update mode maintains the sketch as streaming state —
+    D * W longs total regardless of token cardinality (parity with the
+    batch sketch is asserted in tests/test_streaming.py, the same
+    discipline as :func:`hll_registers`)."""
+    return (
+        tokens.select(
+            F.explode(F.expr(f"array({_cm_pos_structs(col)})")).alias("p")
+        )
+        .groupBy("p.k", "p.pos")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
 def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the corpus token stream ->
     top-20 ``(word, est_count, exact_count)`` — the third sketch
@@ -425,18 +452,8 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
 
-    pos_structs = ", ".join(
-        f"struct(CAST({k} AS BIGINT) AS k,"
-        f" {_cm_pos_expr('word', k)} AS pos)"
-        for k in range(CM_D)
-    )
-    sketch = (
-        words.select(
-            F.explode(F.expr(f"array({pos_structs})")).alias("p")
-        )
-        .groupBy("p.k", "p.pos")
-        .agg(F.count("*").cast("long").alias("c"))
-    )
+    pos_structs = _cm_pos_structs()
+    sketch = cm_sketch(words)
 
     panel = (
         words.where(F.col("doc_id") % CM_PANEL_MOD == 0)

@@ -509,3 +509,34 @@ def test_rocksdb_state_store_same_results(spark):
             spark.conf.set(key, old)
     assert rocksdb_out == default_out
     assert len(rocksdb_out) > 0
+
+
+def test_streaming_cm_sketch_matches_batch(spark, stream_dir):
+    """The count-min sketch is a per-counter SUM monoid, so the SAME
+    cm_sketch() plan runs as a streaming aggregation with D*W bounded
+    state — and its final counters must be bit-identical to the batch
+    sketch's (stream/batch parity, like the HLL registers)."""
+    from pyspark.sql import functions as F
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.sketches import cm_sketch
+    from gemmsql.streaming import read_events_stream, run_to_memory
+
+    def tokens(ev):
+        return ev.select(F.col("event_type").alias("word"))
+
+    got = (
+        run_to_memory(tokens(read_events_stream(spark, stream_dir))
+                      .transform(cm_sketch), "cm_sketch_s")
+        .toPandas()
+        .sort_values(["k", "pos"])
+        .reset_index(drop=True)
+    )
+    want = (
+        cm_sketch(tokens(load_table(spark, SF_SMOKE, "events")))
+        .toPandas()
+        .sort_values(["k", "pos"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    assert got.equals(want), "streaming CM counters diverge from batch"
