@@ -4,9 +4,10 @@ The driver gate only sees the first 50 registered queries.
 Thirty-one multiply-proven variants sit out the round-4/round-5
 rotations (making room for the corpus ops, the compositions, the
 iterative-op kernels, and the round-5 entrants — see the
-``__spark_entry__.queries`` docstring), plus five round-5 ops born
+``__spark_entry__.queries`` docstring), plus six round-5 ops born
 straight into this tier because the registry is full (corpus_upsert,
-training_order, audio_features, funnel_counts, cohort_retention).  All get the same Spark-vs-DuckDB
+training_order, audio_features, funnel_counts, cohort_retention,
+cm_heavy_hitters).  All get the same Spark-vs-DuckDB
 hash comparison the driver runs, executed in pytest so the hard
 signal never lapses.
 """
