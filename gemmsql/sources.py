@@ -202,6 +202,11 @@ def write_zordered(
     top = (1 << ZORDER_BITS) - 1
     scaled = []
     for i, c in enumerate(cols):
+        if stats[f"lo_{i}"] is None or stats[f"hi_{i}"] is None:
+            raise ValueError(
+                f"z-order column {c!r} must be numeric and non-empty "
+                "(min/max cast to double returned null)"
+            )
         lo, hi = float(stats[f"lo_{i}"]), float(stats[f"hi_{i}"])
         span = (hi - lo) or 1.0
         scaled.append(
