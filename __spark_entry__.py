@@ -429,6 +429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_sessionize_gate / streaming_hourly_gate oracles — and
     dedup_exact, simhash, fingerprints, language_scores,
     tfidf_top_terms, corpus_profile (out in r5, green r1-r4).
+    Six late-round-5 ops were born straight into the rotation tier
+    (registry full, same Spark-vs-DuckDB hash gate in pytest):
+    corpus_upsert, training_order, audio_features, funnel_counts,
+    cohort_retention, cm_heavy_hitters.
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
