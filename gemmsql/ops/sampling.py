@@ -201,7 +201,11 @@ def _filtered_kernel(seed: int, k: int, p: float):
                     w = np.argmax(pert[r, kr])
                     out["which"].append(which)
                     out["i"].append(lids[r])
-                    out["choice"].append(int(kr[w]))
+                    # kr holds COLUMN POSITIONS into rmat (lexsort output);
+                    # the emitted choice must be the class id rids[...],
+                    # not the position — they only coincide when the class
+                    # table happens to arrive as 0..C-1 in order.
+                    out["choice"].append(int(rids[kr[w]]))
                     out["prob"].append(float(er[w] / er.sum()))
             yield pd.DataFrame(out)
 

@@ -1329,13 +1329,28 @@ FROM pooled
 # (p_d^alpha / sum p^alpha, alpha=0.5 here) — upsample rare domains,
 # downsample dominant ones, without flattening to uniform.  All
 # arithmetic after one SQRT is integer-exact so the md5 keep-gate
-# replays bit-for-bit: s_d = floor(sqrt(n_d)*1e6) (IEEE sqrt is
+# replays bit-for-bit: s_d = floor(sqrt(n_d)*SCALE) (IEEE sqrt is
 # correctly rounded on both engines), keep iff
 # h60(doc_id) mod (S*n_d) < min(s_d*T, S*n_d) where S = sum s_d and
 # T is the target sample size — P(keep) = (s_d/S)*(T/n_d), i.e.
 # domain share s_d/S spread over n_d docs.
+#
+# Overflow envelope (r5 review): the gate's products S*n_d and s_d*T
+# must stay below 2^63 for the Spark long multiply to be exact (Spark
+# wraps silently in non-ANSI mode; DuckDB raises).  With SCALE=1e3,
+# S <= 1e3 * D * sqrt(n_max), so S*n_max < 2^62 whenever
+# D * n_max^1.5 < 4.6e15 — e.g. 100 domains of up to ~1.2e9 docs each
+# (>1e11 docs total), comfortably past the ~1e10-doc / 100 TB regime.
+# (SCALE=1e6, the original choice, hit the wall at n_max ~ 2e7.)  The
+# share quantization error is <= SCALE^-1/sqrt(n_d) <= 0.1% relative —
+# invisible against the sampling noise.  Rather than trust the
+# envelope, the tiny D-row domain frame carries an assert_true guard:
+# an out-of-envelope corpus fails loudly in BOTH engines instead of
+# silently sampling a wrong subset.
 
 MIX_TEMP_SHARE = 2  # T = N // 2: sample half the corpus
+MIX_TEMP_SCALE = 1_000  # share fixed-point; see envelope note above
+_MIX_TEMP_BOUND = 1 << 62
 
 
 def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,7 +1363,9 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_d"))
     counts = counts.withColumn(
         "s_d",
-        F.floor(F.sqrt(F.col("n_d").cast("double")) * 1e6).cast("long"),
+        F.floor(
+            F.sqrt(F.col("n_d").cast("double")) * MIX_TEMP_SCALE
+        ).cast("long"),
     )
     tot = counts.agg(
         F.sum("s_d").alias("s_sum"), F.sum("n_d").alias("n_tot")
@@ -1357,6 +1374,17 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_d", "s_d", "s_sum",
         (F.col("n_tot") / MIX_TEMP_SHARE).cast("long").alias("t"),
     )
+    # loud failure outside the int64-exact envelope (D rows — free)
+    in_envelope = (
+        (F.col("s_sum") <= _MIX_TEMP_BOUND / F.col("n_d"))
+        & (F.col("s_d") <= _MIX_TEMP_BOUND / F.greatest(F.col("t"), F.lit(1)))
+    )
+    dom = dom.select(
+        "*",
+        F.assert_true(
+            in_envelope, F.lit("mixture_temperature: int64 gate overflow")
+        ).alias("_chk"),
+    ).drop("_chk")
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")

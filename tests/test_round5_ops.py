@@ -188,6 +188,58 @@ def test_new_text_ops_edge_cases(spark):
     assert len(dirty) == 4 and dirty["text"].notna().all()
 
 
+def test_sampling_filtered_non_identity_class_ids(spark):
+    """Regression (r5 review): the emitted `choice` must be the CLASS ID
+    rids[pos], not the column position.  Exercised with a class table
+    whose ids are neither 0-based nor contiguous (filtered to even ids,
+    then shifted by 100), cross-checked against an exact NumPy replay of
+    score + seeded Gumbel noise over the restricted support."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from gemmsql.datamodel import embeddings_vectors
+    from gemmsql.ops.sampling import (
+        TOPK_K,
+        TOPP_P,
+        _gumbel_noise,
+        sampling_filtered,
+    )
+
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    cls = (
+        vec.filter(F.col("i") % 2 == 0)
+        .select((F.col("i") + 100).alias("i"), "vec")
+    )
+    out = (
+        sampling_filtered(vec, cls, seed=7)
+        .toPandas()
+        .set_index(["which", "i"])
+        .sort_index()
+    )
+    lp = vec.toPandas().sort_values("i")
+    rp = cls.toPandas().sort_values("i")
+    lids = lp["i"].to_numpy(dtype=np.int64)
+    rids = rp["i"].to_numpy(dtype=np.int64)
+    L = np.asarray(lp["vec"].tolist(), dtype=np.float64)
+    R = np.asarray(rp["vec"].tolist(), dtype=np.float64)
+    assert set(out["choice"]) <= set(rids.tolist())
+    S = L @ R.T
+    G = _gumbel_noise(7, lids, rids)
+    checked = 0
+    for ri, i in enumerate(lids[:64]):
+        order = np.lexsort((rids, -S[ri]))
+        e = np.exp(S[ri][order] - S[ri].max())
+        for which, keep in (
+            ("topk", order[:TOPK_K]),
+            ("topp", order[(np.cumsum(e) - e) < TOPP_P * e.sum()]),
+        ):
+            w = keep[np.argmax((S + G)[ri, keep])]
+            assert out.loc[(which, i), "choice"] == rids[w], (which, i)
+            checked += 1
+    assert checked == 128
+
+
 def test_sampling_filtered_handles_tiny_class_table(spark):
     """k larger than the class count must clamp, not fail."""
     import pandas as pd
