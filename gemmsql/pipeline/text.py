@@ -1353,6 +1353,17 @@ MIX_TEMP_SCALE = 1_000  # share fixed-point; see envelope note above
 _MIX_TEMP_BOUND = 1 << 62
 
 
+def _guarded_long(cond, col, msg):
+    """``col`` if ``cond`` else raise — an executable assertion.
+
+    Catalyst prunes a projected-then-dropped ``assert_true`` column
+    (it is never consumed), so data-envelope guards must live inside
+    a column the query actually reads.  ``raise_error`` is NullType;
+    the CASE coerces to ``col``'s type.
+    """
+    return F.when(cond, col).otherwise(F.raise_error(F.lit(msg)))
+
+
 def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-> kept ``(doc_id, lang)`` rows of the alpha=0.5 smoothed mix.
 
@@ -1374,17 +1385,22 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_d", "s_d", "s_sum",
         (F.col("n_tot") / MIX_TEMP_SHARE).cast("long").alias("t"),
     )
-    # loud failure outside the int64-exact envelope (D rows — free)
+    # loud failure outside the int64-exact envelope (D rows — free).
+    # The guard rides INSIDE the consumed `t` column: a bare
+    # assert_true projected-then-dropped is pruned by Catalyst and
+    # never runs (r5 advisor finding), but `t` feeds the keep-gate's
+    # LEAST(s_d*t, ...) so this branch cannot be eliminated.
     in_envelope = (
         (F.col("s_sum") <= _MIX_TEMP_BOUND / F.col("n_d"))
         & (F.col("s_d") <= _MIX_TEMP_BOUND / F.greatest(F.col("t"), F.lit(1)))
     )
     dom = dom.select(
-        "*",
-        F.assert_true(
-            in_envelope, F.lit("mixture_temperature: int64 gate overflow")
-        ).alias("_chk"),
-    ).drop("_chk")
+        "lang", "n_d", "s_d", "s_sum",
+        _guarded_long(
+            in_envelope, F.col("t"),
+            "mixture_temperature: int64 gate overflow",
+        ).alias("t"),
+    )
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -1403,7 +1419,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_TEMPERATURE_SQL = f"""
 WITH counts AS (
   SELECT lang, COUNT(*) AS n_d,
-         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS s_d
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * {MIX_TEMP_SCALE}) AS BIGINT) AS s_d
   FROM documents GROUP BY 1
 ),
 tot AS (SELECT CAST(SUM(s_d) AS BIGINT) AS s_sum,

@@ -452,9 +452,15 @@ def test_ivfpq_topk_no_pair_join(spark):
     p = plan_of(ivfpq_topk(spark, SF_SMOKE))
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "FlatMapCoGroupsInPandas" in p, "per-cell scoring must cogroup"
-    for line in p.splitlines():
-        if "Window " in line:
-            assert "i#" in line.split("windowspecdefinition")[-1] or True
+    # the ranking window must partition on the query id `i` — a window
+    # spec that loses its partition keys becomes one global sort
+    win = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert win, "ranking window missing from the ivfpq_topk plan"
+    for line in win:
+        spec = line.split("windowspecdefinition", 1)[1]
+        assert spec.lstrip("(").startswith("i#"), (
+            f"window not partitioned by query id: {line.strip()}"
+        )
     assert p.count("FileScan parquet") == 1
 
 

@@ -69,11 +69,34 @@ def test_mixture_temperature_smooths_toward_rare_domains(spark):
     big, small = corpus.idxmax(), corpus.idxmin()
     assert rates[big] <= rates[small] + 1e-9
     # expected keep probability is (s_d/S)*(T/n_d); spot-check en
-    s = np.floor(np.sqrt(corpus.to_numpy(dtype=float)) * 1e6)
+    from gemmsql.pipeline.text import MIX_TEMP_SCALE
+
+    s = np.floor(np.sqrt(corpus.to_numpy(dtype=float)) * MIX_TEMP_SCALE)
     t = corpus.sum() // 2
     expect = np.minimum(1.0, (s / s.sum()) * (t / corpus.to_numpy()))
     got = rates.to_numpy()
     assert np.abs(got - expect).max() < 0.25  # md5 gate is a fair coin
+
+
+def test_guarded_long_fires_when_consumed(spark):
+    """The overflow guard must be an EXECUTABLE assertion: Catalyst
+    prunes a projected-then-dropped assert_true (r5 advisor finding),
+    so the guard rides inside a consumed column — an always-false
+    condition must raise even through an aggregate."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from gemmsql.pipeline.text import _guarded_long
+
+    good = spark.range(5).select(
+        _guarded_long(F.col("id") >= 0, F.col("id"), "never").alias("g")
+    )
+    assert good.agg(F.sum("g")).collect()[0][0] == 10
+    bad = spark.range(5).select(
+        _guarded_long(F.col("id") < 0, F.col("id"), "boom").alias("g")
+    )
+    with pytest.raises((PySparkException, Py4JJavaError), match="boom"):
+        bad.agg(F.sum("g")).collect()
 
 
 def test_corpus_diff_matches_direct_comparison(spark):
