@@ -171,14 +171,164 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype=np.int16).reshape(-1, ch), rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a scanline."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG (8-bit truecolor), stdlib zlib only.
+
+    The per-scanline filter is chosen as ``y % 5`` so every encoded
+    image exercises all five PNG filter types (None/Sub/Up/Average/
+    Paeth) — the decoder's unfilter path is therefore covered by any
+    round-trip, not just the trivial filter-0 case."""
+    import zlib
+
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PNG encoder expects (H, W, 3)")
+    img = img.astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        cur = img[y].reshape(-1)
+        ft = y % 5
+        if ft == 0:
+            out = cur
+        elif ft == 1:      # Sub: left neighbor (3 bytes back for RGB)
+            left = np.concatenate([np.zeros(3, np.uint8), cur[:-3]])
+            out = cur - left
+        elif ft == 2:      # Up
+            out = cur - prev
+        elif ft == 3:      # Average
+            left = np.concatenate([np.zeros(3, np.uint8), cur[:-3]])
+            avg = (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            out = cur - avg.astype(np.uint8)
+        else:              # Paeth
+            left = np.concatenate([np.zeros(3, np.uint8), cur[:-3]])
+            upleft = np.concatenate([np.zeros(3, np.uint8), prev[:-3]])
+            out = cur - _paeth(left, prev, upleft)
+        raw.append(ft)
+        raw += out.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit truecolor RGB, non-interlaced) -> (H, W, 3) uint8.
+
+    A real decoder over the compressed format, dependency-free: walks
+    the chunk list with CRC32 verification, inflates the concatenated
+    IDAT stream with stdlib zlib, and un-applies all five scanline
+    filters (incl. the Paeth predictor).  Palette/alpha/16-bit/
+    interlaced variants raise loudly rather than decode wrong."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported, "
+                    f"got depth={depth} color={ctype} interlace={inter}"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            cur = line
+        elif ft == 2:      # Up
+            cur = line + prev
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            cur = line
+            for x in range(stride):
+                left = cur[x - 3] if x >= 3 else 0
+                if ft == 1:
+                    cur[x] = (int(line[x]) + int(left)) & 0xFF
+                elif ft == 3:
+                    cur[x] = (
+                        int(line[x]) + (int(left) + int(prev[x])) // 2
+                    ) & 0xFF
+                else:
+                    ul = prev[x - 3] if x >= 3 else 0
+                    a, b, c = int(left), int(prev[x]), int(ul)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        img[y] = cur
+        prev = img[y]
+    return img.reshape(h, w, 3)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: PPM (P6) or 24-bit BMP -> (H, W, 3)
-    uint8 RGB.  Compressed formats (JPEG/PNG) would slot in here as
-    additional magic branches backed by a codec library."""
+    """Dispatch on magic bytes: PPM (P6), 24-bit BMP, or PNG (8-bit
+    RGB, the COMPRESSED format tier — stdlib-zlib decoder above) ->
+    (H, W, 3) uint8 RGB.  JPEG would slot in here as one more magic
+    branch backed by a codec library."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 
@@ -355,6 +505,90 @@ SELECT doc_id, channel, n_px,
              / CAST(n_px AS DOUBLE)), 6) AS std
 FROM agg
 """
+
+
+def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL compressed PNG payload per document: the same
+    md5-chain pixel stream as the PPM tier (prefix ``pn:``) run through
+    :func:`encode_png`, whose y%5 filter schedule guarantees every
+    payload exercises all five PNG filters.  Narrow Arrow-batched map;
+    the oracle reconstructs the PIXELS (not the container bytes), so
+    DuckDB never needs zlib."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                h = PPM_H_BASE + int(doc_id) % PPM_H_MOD
+                n_tiles = (PPM_W * h * 3) // _MD5_LEN
+                body = b"".join(
+                    hashlib.md5(f"pn:{int(doc_id)}:{t}".encode()).digest()
+                    for t in range(n_tiles)
+                )
+                img = np.frombuffer(body, dtype=np.uint8).reshape(
+                    h, PPM_W, 3
+                )
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every COMPRESSED payload with the real PNG decoder
+    (zlib inflate + CRC check + per-scanline unfilter) and emit the
+    same per-doc-channel exact-int64 pixel statistics as
+    :func:`payload_features`.  Proves the compressed-format tier
+    end-to-end: a wrong inflate, CRC skip, or filter bug changes the
+    pixels and breaks the value hash against DuckDB's md5-chain
+    reconstruction.  Zero shuffle — one narrow decode map."""
+    b = with_png_payload(spark, sf_dir)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, chans, ns, sums, sqs = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(p)).astype(np.int64)
+                n = img.shape[0] * img.shape[1]
+                for c in range(3):
+                    ch = img[:, :, c]
+                    ids.append(doc_id)
+                    chans.append(c)
+                    ns.append(n)
+                    sums.append(int(ch.sum()))
+                    sqs.append(int((ch * ch).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "channel": chans, "n_px": ns,
+                 "s": sums, "s2": sqs}
+            )
+
+    part = b.mapInPandas(
+        stats,
+        schema="doc_id long, channel int, n_px long, s long, s2 long",
+    )
+    n = F.col("n_px").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return part.select(
+        "doc_id",
+        F.col("channel").cast("long").alias("channel"),
+        "n_px",
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt((s2 - s * s / n) / n), 6).alias("std"),
+    )
+
+
+# oracle: identical pixel reconstruction to PAYLOAD_FEATURES_SQL but
+# over the pn: md5 chain — the compressed container is invisible to the
+# oracle because decode(encode_png(img)) == img exactly
+PNG_FEATURES_SQL = PAYLOAD_FEATURES_SQL.replace("md5('px:'", "md5('pn:'")
 
 
 def extract_features(

@@ -120,6 +120,42 @@ def test_bmp_codec_roundtrip():
         decode_image(b"\x89PNG....")
 
 
+def test_png_codec_roundtrip():
+    from gemmsql.pipeline.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(10)
+    # >= 5 rows so the y%5 filter schedule exercises ALL five PNG
+    # filter types (None/Sub/Up/Average/Paeth) in one round-trip;
+    # odd width stresses the per-pixel (3-byte-back) neighbor indexing
+    for shape in [(1, 1, 3), (5, 7, 3), (12, 16, 3), (40, 3, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = encode_png(img)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(decode_png(payload), img)
+        assert np.array_equal(decode_image(payload), img)
+    # corrupting any byte of the IDAT body must fail the CRC check,
+    # never decode silently wrong
+    import pytest
+    bad = bytearray(encode_png(img))
+    bad[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|zlib|length"):
+        decode_png(bytes(bad))
+    # unsupported variants raise loudly (grayscale color type 0)
+    import struct as _struct
+    import zlib as _zlib
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    chunk = (
+        _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
 def test_wav_codec_roundtrip():
     from gemmsql.pipeline.multimodal import decode_wav, encode_wav
 

@@ -72,28 +72,34 @@ def _sketch_rotated_sql():
     return USER_REACH_SKETCH_SQL
 
 
-def _audio_features(spark, sf_dir):
-    from gemmsql.pipeline.multimodal import audio_features
+def _entry(name):
+    import __spark_entry__ as entrymod
 
-    return audio_features(spark, sf_dir)
-
-
-def _audio_features_sql():
-    from gemmsql.pipeline.multimodal import AUDIO_FEATURES_SQL
-
-    return AUDIO_FEATURES_SQL
+    return getattr(entrymod, name)
 
 
-def _cm_heavy_hitters(spark, sf_dir):
-    from gemmsql.sketches import cm_heavy_hitters
+def _payload_meta(spark, sf_dir):
+    from gemmsql.pipeline.multimodal import payload_meta
 
-    return cm_heavy_hitters(spark, sf_dir)
+    return payload_meta(spark, sf_dir)
 
 
-def _cm_heavy_hitters_sql():
-    from gemmsql.sketches import cm_heavy_hitters_sql
+def _payload_meta_sql():
+    from gemmsql.pipeline.multimodal import PAYLOAD_META_SQL
 
-    return cm_heavy_hitters_sql()
+    return PAYLOAD_META_SQL
+
+
+def _bpe_pair_counts(spark, sf_dir):
+    from gemmsql.pipeline.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(spark, sf_dir)
+
+
+def _bpe_pair_counts_sql():
+    from gemmsql.pipeline.bpe import BPE_PAIR_COUNTS_SQL
+
+    return BPE_PAIR_COUNTS_SQL
 
 
 def _rotated():
@@ -191,31 +197,23 @@ def _rotated():
          dedup.decontaminate_sql()),
         ("user_reach_sketch", _sketch_rotated,
          _sketch_rotated_sql()),
-        # new in round 5 straight to the rotation tier (registry full):
-        # MERGE-style snapshot upsert, the third leg of the versioning
-        # trio (corpus_diff and dedup_incremental are driver-gated)
-        ("corpus_upsert", corpus.corpus_upsert, corpus.CORPUS_UPSERT_SQL),
-        # deterministic domain-interleaved training order (closed-form
-        # slot; no global sort)
-        ("training_order", corpus.training_order,
-         corpus.TRAINING_ORDER_SQL),
-        # audio tier through the REAL WAV codec: synthesized PCM16
-        # payloads encoded + decoded corpus-wide, stats vs the oracle's
-        # reconstruction of the same md5-derived sample stream
-        ("audio_features", _audio_features, _audio_features_sql()),
-        # late round-5 event-analytics widening, born into this tier:
-        # ordered 3-step sequence match (view->click->purchase within
-        # a 7-day window) and the quarterly first-order retention
-        # triangle over orders (23 cohorts deep at sf0.01)
-        ("funnel_counts", events.funnel_counts,
-         events.FUNNEL_COUNTS_SQL),
-        ("cohort_retention", events.cohort_retention,
-         events.COHORT_RETENTION_SQL),
-        # count-min sketch heavy hitters — the third sketch family
-        # (HLL: distinct, Bloom: membership, CM: frequency); md5
-        # counters replay in DuckDB, est >= exact by construction
-        ("cm_heavy_hitters", _cm_heavy_hitters,
-         _cm_heavy_hitters_sql()),
+        # rotated out in round 6 for the six promoted late-r5 ops
+        # (corpus_upsert, training_order, audio_features, funnel_counts,
+        # cohort_retention, cm_heavy_hitters) plus png_features:
+        # text_stats / last_order_before_event / cosine_topk / lsh_topk
+        # green r1-r5; payload_meta / pq_codes / bpe_pair_counts green
+        # r4-r5.  cosine_topk stays the exact-verification twin of the
+        # gated IVF/PQ scale paths; payload_meta keeps the metadata-
+        # only (never-decode) scan shape pinned here.
+        ("text_stats", _entry("q_text_stats"), text.TEXT_PROFILE_SQL),
+        ("last_order_before_event", joins.last_order_before_event,
+         joins.LAST_ORDER_BEFORE_EVENT_SQL),
+        ("cosine_topk", _entry("q_cosine_topk"),
+         similarity.COSINE_TOPK_SQL),
+        ("lsh_topk", _entry("q_lsh_topk"), similarity.LSH_TOPK_SQL),
+        ("payload_meta", _payload_meta, _payload_meta_sql()),
+        ("pq_codes", _entry("q_pq_codes"), similarity.PQ_CODES_SQL),
+        ("bpe_pair_counts", _bpe_pair_counts, _bpe_pair_counts_sql()),
     ]
 
 
