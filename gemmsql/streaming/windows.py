@@ -399,16 +399,33 @@ def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), f"gemmsql_ckpt_join_{tag}_{os.getpid()}"
     )
-    with state_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_gate(q)
+    # r6 (VERDICT r5 next #8): of the five gates, ONLY this one paid
+    # the empty watermark-finalization micro-batch (~0.9 s of a 2.4 s
+    # replay, measured via recentProgress: batch 1 rows=0 total=930ms
+    # stateCommit=2280ms; the complete/update-mode gates run exactly
+    # one batch).  For an INNER stream-stream join the no-data batch
+    # only EVICTS state — matches emit eagerly in the data batch — and
+    # an availableNow replay terminates right after, so eviction serves
+    # nobody: disabling it is output-identical (2198 rows, hash-gated
+    # by the driver) and cuts the replay 2.4 s -> 1.6 s.  Leave the
+    # default ON for outer joins / append-mode windowed aggs, where the
+    # no-data batch is what EMITS watermark-closed results.
+    no_data = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_no_data = spark.conf.get(no_data)
+    spark.conf.set(no_data, "false")
+    try:
+        with state_partitions(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_gate(q)
+    finally:
+        spark.conf.set(no_data, old_no_data)
     return spark.table(name)
 
 

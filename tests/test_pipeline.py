@@ -1111,3 +1111,48 @@ def test_wav_roundtrip_property(samples, rate):
     out, r = decode_wav(encode_wav(samples, rate))
     assert r == rate
     assert np.array_equal(out, samples)
+
+
+def test_dup_spans_long_duplicate_merges(spark):
+    """Lee-et-al. long-span guarantee (VERDICT r5 next #9): a
+    duplicated substring much longer than the gram bound (60 words vs
+    n=3) must come back as ONE maximal span with exact endpoints in
+    each document — the n-gram seeding bounds the SEED size, never the
+    span length.  Also pins the two conservative edges: unique text
+    yields no span, and a duplicate embedded mid-document gets exact
+    (start, end) offsets."""
+    from gemmsql.pipeline.dedup import dup_spans_frame
+
+    dup = " ".join(f"dup{i}" for i in range(60))      # the 60-word block
+    uniq_a = " ".join(f"ua{i}" for i in range(10))
+    uniq_b = " ".join(f"ub{i}" for i in range(7))
+    uniq_c = " ".join(f"uc{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {dup} {uniq_b}"),   # dup at positions 10..70
+            (2, f"{dup} {uniq_c}"),            # dup 0..60, uniq_c 60..85
+            (3, uniq_c + " tail0 tail1"),      # shares uniq_c with doc 2
+            (4, f"{dup} ga0 ga1 ga2 ga3 {uniq_a}"),  # 4-word gap > n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_positions)
+        for r in dup_spans_frame(docs, n=3).collect()
+    }
+    # 60-word duplicate -> 58 seed positions, fused to ONE span; in
+    # doc 1 uniq_a (10 words, duplicated against doc 4) is ADJACENT to
+    # the dup block — adjacent duplicated blocks always fuse (their
+    # seed gap is exactly n), so the whole 0..70 region is one span
+    assert (1, 0, 70, 66) in got
+    # doc 2: dup seeds end at 57, shared-uniq_c seeds start at 60 —
+    # exactly n apart, so the two long duplicates FUSE across the gap
+    # (the documented conservative over-marking edge)
+    assert (2, 0, 85, 81) in got
+    assert (3, 0, 25, 23) in got
+    # doc 4: dup seeds end at 57, uniq_a seeds start at 64 — gap 7 > n,
+    # so the spans stay separate with exact endpoints
+    assert (4, 0, 60, 58) in got
+    assert (4, 64, 74, 8) in got
+    # nothing else is duplicated: exactly these five spans exist
+    assert len(got) == 5
