@@ -285,11 +285,14 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     training batch is a long same-domain run (correlated-batch
     mitigation), and the whole ordering is reproducible bit-for-bit.
 
-    Scale shape: NO global sort — the within-domain rank is a window
-    partitioned by lang (distributed), the domain index joins from a
-    broadcast n_domains-row table, and the slot is a closed-form
-    expression.  A writer would range-partition on slot; the slots are
-    unique by construction ((k, domain) is)."""
+    Scale shape: NO global sort and NO global window — the
+    within-domain rank is a window partitioned by lang (distributed);
+    the domain index comes from a BOUNDED driver collect of the
+    distinct domains (O(D) rows — hundreds of languages at 100 TB,
+    the same bounded-broadcast pattern as the k-means centroids),
+    sorted driver-side and rejoined as a broadcast D-row table; the
+    slot is a closed-form expression.  A writer would range-partition
+    on slot; the slots are unique by construction ((k, domain) is)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -302,20 +305,18 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
         ),
     )
-    doms = (
-        docs.select("lang")
-        .distinct()
-        .withColumn(
-            "dom_idx",
-            F.row_number().over(Window.orderBy("lang")) - 1,
-        )
+    langs = sorted(
+        r[0] for r in docs.select("lang").distinct().collect()
+    )  # bounded: one row per domain
+    doms = docs.sparkSession.createDataFrame(
+        [(lang, idx) for idx, lang in enumerate(langs)],
+        "lang string, dom_idx int",
     )
-    n_dom = doms.agg(F.count("*").alias("n_dom"))
+    n_dom = len(langs)
     return (
         ranked.join(F.broadcast(doms), "lang")
-        .crossJoin(F.broadcast(n_dom))
         .select(
-            ((F.col("k") - 1) * F.col("n_dom") + F.col("dom_idx"))
+            ((F.col("k") - 1) * F.lit(n_dom) + F.col("dom_idx"))
             .cast("long")
             .alias("slot"),
             "doc_id",
