@@ -1214,10 +1214,21 @@ def chain_grads_gate(
     float chain in :mod:`gemmsql.ops.chain` is the precision API.
     """
     wq = _mlp_wq(vec, cache_key=cache_key)
+    if broadcast_trg == "auto":
+        broadcast_trg = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
+    if broadcast_trg:
+        # r6 fusion: in the broadcast path every row's gpred is COMPLETE
+        # within its batch (the full target table is broadcast), so the
+        # merge shuffle + row-id join that feed stage 3 exist only for
+        # the blocked path.  One narrow map computes forward, xe vjp
+        # and MLP backward together; the only exchange left is the
+        # final accumulator merge.  Bit-identical: the merged gpred of
+        # the unfused path is a sum over exactly one partial per row.
+        return _chain_grads_gate_fused(vec, wq)
     pred = _chain_pred(vec, wq)
     trg = vec.select("i", "vec")
     parts_xe = _xe_grads_parts(
-        pred, trg, block=block, broadcast_trg=broadcast_trg
+        pred, trg, block=block, broadcast_trg=False
     )
     from gemmsql.caching import scoped_cache
 
@@ -1279,6 +1290,91 @@ def chain_grads_gate(
     )
     out = merged.select("which", "i", F.posexplode("nums").alias("d", "num"))
     # gx runs on the 1e9 grid (1e15-scaled numerators); the rest 1e12
+    micro = F.when(
+        F.col("which") == "gx", _micro_col("num", 1_000_000_000)
+    ).otherwise(_micro_col("num", 1_000_000))
+    return out.select(
+        "which", "i", F.col("d").cast("long").alias("d"),
+        (micro.cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+
+
+def _chain_grads_gate_fused(vec: DataFrame, wq: np.ndarray) -> DataFrame:
+    """Broadcast-path fusion of :func:`chain_grads_gate`'s three
+    stages into ONE narrow map over the X rows: MLP forward (h, hs,
+    pred), xentropy vjp against the broadcast target table (delta,
+    gpred per row — complete in-batch — plus the cross-row gtrg
+    accumulator), and the MLP backward pushed immediately through the
+    in-hand h/hs/xq (gx per row on the fine 1e9 grid; gp/gq int64
+    accumulators).  Values are bit-identical to the unfused path — the
+    same integer grids in the same order, minus a no-op
+    sum-of-one-partial round trip through Spark longs (exact: all
+    numerators < 2^53).  Removes two exchanges and a second corpus
+    scan; the one shuffle left is the accumulator merge."""
+    rids, rq = _collect_kv(vec.select("i", "vec"))
+    pos = {int(r): k for k, r in enumerate(rids)}
+    spark = vec.sparkSession
+    b = spark.sparkContext.broadcast((rids, rq, pos, wq))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _rids, rmat, posmap, w = b.value
+        wi = w.astype(np.int64)
+        n, d = rmat.shape
+        gtrg_acc = np.zeros((n, d), dtype=np.int64)
+        gp_acc = np.zeros((d, d), dtype=np.int64)
+        gq_acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # --- stage 1: MLP forward (mlp_gate chain) ---
+            xq = _quant(_vec_mat(pdf["vec"]))
+            h_int = np.maximum(xq @ w, 0.0)
+            hs_f = np.floor(h_int / 1e12 * Q_IN + 0.5)
+            y_int = hs_f @ w
+            lq = np.floor(y_int / 1e12 * Q_IN + 0.5)  # == _quant(pred)
+            # --- stage 2: xentropy vjp vs the broadcast targets ---
+            _s, _mx, e, S = _softmax_den_num(lq, rmat, 1e12)
+            w_sm = e / S[:, None]
+            delta = np.floor(w_sm * Q_DELTA + 0.5)
+            cols = np.array([posmap[int(l)] for l in pdf["label"]])
+            delta[np.arange(len(pdf)), cols] -= Q_DELTA
+            nums = delta @ rmat                      # gpred, <= ~1.2e15
+            gtrg_acc += (delta.T @ lq).astype(np.int64)
+            # --- stage 3: MLP backward (chain_grads_gate chain) ---
+            hs = hs_f.astype(np.int64)
+            gs = np.floor(nums / 1e12 * Q_IN + 0.5).astype(np.int64)
+            ga = gs @ wi.T
+            gam = np.floor(ga.astype(np.float64) / 1e12 * Q_IN + 0.5
+                           ).astype(np.int64)
+            ghq = np.where(h_int > 0, gam, np.int64(0))
+            gp_acc += xq.astype(np.int64).T @ ghq
+            gq_acc += hs.T @ gs
+            gs9 = np.floor(nums / 1e12 * 1e9 + 0.5).astype(np.int64)
+            ga9 = gs9 @ wi.T
+            gam9 = np.floor(ga9.astype(np.float64) / 1e15 * 1e9 + 0.5
+                            ).astype(np.int64)
+            ghq9 = np.where(h_int > 0, gam9, np.int64(0))
+            gx_num = ghq9 @ wi.T                     # 1e15-scaled
+            yield pd.DataFrame({
+                "which": "gx",
+                "i": pdf["i"].to_numpy(),
+                "nums": list(gx_num),
+            })
+        yield pd.DataFrame({
+            "which": "gp", "i": np.arange(d, dtype=np.int64),
+            "nums": list(gp_acc),
+        })
+        yield pd.DataFrame({
+            "which": "gq", "i": np.arange(d, dtype=np.int64),
+            "nums": list(gq_acc),
+        })
+        yield pd.DataFrame({"which": "gtrg", "i": _rids, "nums": list(gtrg_acc)})
+
+    parts = vec.select("i", "vec", "label").mapInPandas(
+        run, "which string, i long, nums array<long>"
+    )
+    merged = _merge_long_arrays(parts, ["which", "i"])
+    out = merged.select("which", "i", F.posexplode("nums").alias("d", "num"))
     micro = F.when(
         F.col("which") == "gx", _micro_col("num", 1_000_000_000)
     ).otherwise(_micro_col("num", 1_000_000))
