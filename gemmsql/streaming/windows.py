@@ -378,6 +378,47 @@ def streaming_click_to_purchase(
     ).select("purchase_id", "click_id")
 
 
+def streaming_click_to_purchase_outer(
+    clicks: DataFrame, purchases: DataFrame, *, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, with its
+    preceding same-user click within 6 hours or NULL.  The attribution
+    report that must also show UNattributed purchases.
+
+    Semantics pinned by test: matched pairs emit eagerly (same as the
+    inner join); an UNMATCHED purchase emits with NULL click only once
+    the joint watermark ``min(max_click_ts, max_purchase_ts) - horizon``
+    passes its event time — before that the engine must hold it in
+    state (a matching click could still arrive).  This is why the
+    inner-join gate's noDataMicroBatches optimization MUST NOT be
+    applied to outer joins: the availableNow finalization batch is the
+    only batch whose watermark passes the replayed rows, so disabling
+    it silently drops every unmatched row
+    (tests/test_streaming.py::test_streaming_outer_join_*).
+
+    ``horizon`` here is a real production-style delay (unmatched rows
+    finalize ``horizon`` after the stream's frontier), unlike the inner
+    gate's replay-covering horizon — the outer join NEEDS the watermark
+    to pass rows for its null side to materialize at all."""
+    c = clicks.withWatermark("ts", horizon).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", horizon).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+
+
 def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate form of :func:`streaming_click_to_purchase`: replays
     the events table through TWO file-source streams (clicks and

@@ -540,3 +540,101 @@ def test_streaming_cm_sketch_matches_batch(spark, stream_dir):
     )
     assert len(want) > 0
     assert got.equals(want), "streaming CM counters diverge from batch"
+
+
+def _run_outer_join(spark, stream_dir, name):
+    from gemmsql.streaming.windows import (
+        read_events_stream,
+        streaming_click_to_purchase_outer,
+    )
+
+    clicks = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        streaming_click_to_purchase_outer(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.table(name).collect()
+    matched = {
+        (r["purchase_id"], r["click_id"]) for r in rows
+        if r["click_id"] is not None
+    }
+    unmatched = {r["purchase_id"] for r in rows if r["click_id"] is None}
+    return matched, unmatched
+
+
+def _outer_join_batch_expectation(spark):
+    """Batch twin: inner pairs + the unmatched purchases whose event
+    time the joint watermark min(max_c, max_p) - horizon passes."""
+    import datetime
+
+    from gemmsql.datamodel import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 6 HOURS"))
+            & (F.col("c.ts") <= F.col("p.ts")),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    max_c = c.agg(F.max("ts")).collect()[0][0]
+    max_p = p.agg(F.max("ts")).collect()[0][0]
+    watermark = min(max_c, max_p) - datetime.timedelta(hours=1)
+    matched_pids = {pid for pid, _ in inner}
+    unmatched = {
+        r["event_id"]
+        for r in p.select("p.event_id", "p.ts").collect()
+        if r["event_id"] not in matched_pids and r["ts"] < watermark
+    }
+    return inner, unmatched
+
+
+def test_streaming_outer_join_matches_batch(spark, stream_dir):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    inner join exactly; unmatched purchases emit with NULL click
+    exactly when the joint watermark passes their event time."""
+    got_m, got_u = _run_outer_join(spark, stream_dir, "outer_join_stream")
+    want_m, want_u = _outer_join_batch_expectation(spark)
+    assert got_m == want_m and len(want_m) > 0
+    assert got_u == want_u and len(want_u) > 0
+
+
+def test_streaming_outer_join_needs_finalization_batch(spark, stream_dir):
+    """The inner-join gate disables noDataMicroBatches (SCALE.md r6);
+    this pins WHY that must stay scoped: for an OUTER join the
+    availableNow finalization batch is what advances the watermark past
+    the replayed rows, so disabling it silently drops every unmatched
+    row while matched pairs still look correct — the nastiest kind of
+    wrong answer."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        got_m, got_u = _run_outer_join(
+            spark, stream_dir, "outer_join_stream_nodata"
+        )
+    finally:
+        spark.conf.set(key, old)
+    want_m, _ = _outer_join_batch_expectation(spark)
+    assert got_m == want_m          # matched legs still look fine...
+    assert got_u == set()           # ...but every unmatched row is gone
