@@ -340,10 +340,10 @@ def _streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize_gate(spark, sf_dir)
 
 
-def _streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.streaming.windows import streaming_enrich_gate
+def _streaming_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_outer_join_gate
 
-    return streaming_enrich_gate(spark, sf_dir)
+    return streaming_outer_join_gate(spark, sf_dir)
 
 
 def _streaming_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     identical hash gate in tests/test_rotation.py, and since round 6
     every ACTIVE entry is also hash-gated in-repo by
     tests/test_gate_parity.py (VERDICT r5 next #3).
+    Late round-6: streaming_outer_join_gate entered (LEFT OUTER
+    stream-stream join — watermark-timed NULL-side emission, the
+    least-proven streaming surface; in-repo parity in
+    tests/test_streaming.py) in place of streaming_enrich_gate
+    (stream-static broadcast enrich, green r3-r5), which keeps its
+    full availableNow-replay hash gate in tests/test_rotation.py.
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -533,8 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- structured streaming gates ---
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
-        "streaming_enrich_gate": _streaming_enrich_query,
         "streaming_join_gate": _streaming_join_query,
+        "streaming_outer_join_gate": _streaming_outer_join_query,
         "streaming_stateful_gate": _streaming_stateful_query,
     }
 
@@ -935,7 +941,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
-        STREAMING_ENRICH_GATE_SQL,
+        STREAMING_OUTER_JOIN_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
         STREAMING_JOIN_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
@@ -998,7 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "sampling_filtered": sampling_filtered_sql(),
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
-        "streaming_enrich_gate": STREAMING_ENRICH_GATE_SQL,
+        "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
         "streaming_join_gate": STREAMING_JOIN_GATE_SQL,
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
     }

@@ -477,3 +477,74 @@ FROM events p JOIN events c
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
 """
+
+
+def streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of :func:`streaming_click_to_purchase_outer`:
+    the LEFT OUTER stream-stream join behind the hard hash gate.
+
+    Unlike the inner gate, the horizon here is a REAL 1-hour watermark
+    delay — the outer join needs the watermark to pass rows for its
+    NULL side to materialize, and the oracle replays the exact emission
+    rule: matched pairs equal the batch inner join; an unmatched
+    purchase appears (NULL click) iff its event time precedes
+    ``min(max_click_ts, max_purchase_ts) - horizon``.  Determinism
+    requires the whole historical dump (whose file listing order is not
+    time order) to land in ONE micro-batch, so this gate reads with an
+    effectively unbounded maxFilesPerTrigger — batch 0 finds every
+    match, the availableNow finalization batch emits the watermark-
+    passed unmatched rows.  A production stream ingests in time order
+    and needs no such pinning.  noDataMicroBatches stays ON here: the
+    finalization batch IS the null-side emission (see
+    test_streaming_outer_join_needs_finalization_batch)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev_c = read_events_stream(
+        spark, target, max_files_per_trigger=1_000_000
+    ).where(F.col("event_type") == "click")
+    ev_p = read_events_stream(
+        spark, target, max_files_per_trigger=1_000_000
+    ).where(F.col("event_type") == "purchase")
+    joined = streaming_click_to_purchase_outer(ev_c, ev_p)
+    name = "stream_gate_outer_join"
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"gemmsql_ckpt_outer_join_{tag}_{os.getpid()}",
+    )
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    return spark.table(name)
+
+
+STREAMING_OUTER_JOIN_GATE_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.purchase_id, c.click_id
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+),
+wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+              - INTERVAL 1 HOUR AS w)
+SELECT purchase_id, click_id FROM matched
+UNION ALL
+SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+FROM p CROSS JOIN wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM matched m
+                  WHERE m.purchase_id = p.purchase_id)
+"""

@@ -102,6 +102,18 @@ def _bpe_pair_counts_sql():
     return BPE_PAIR_COUNTS_SQL
 
 
+def _streaming_enrich(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_enrich_gate
+
+    return streaming_enrich_gate(spark, sf_dir)
+
+
+def _streaming_enrich_sql():
+    from gemmsql.streaming.windows import STREAMING_ENRICH_GATE_SQL
+
+    return STREAMING_ENRICH_GATE_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         corpus,
@@ -214,6 +226,12 @@ def _rotated():
         ("payload_meta", _payload_meta, _payload_meta_sql()),
         ("pq_codes", _entry("q_pq_codes"), similarity.PQ_CODES_SQL),
         ("bpe_pair_counts", _bpe_pair_counts, _bpe_pair_counts_sql()),
+        # rotated out in round 6 for streaming_outer_join_gate (the
+        # LEFT OUTER stream-stream join, whose null-side emission is
+        # the least-proven streaming surface); the stream-static
+        # broadcast-enrich path keeps its full hash gate HERE — the
+        # gate fn replays the real availableNow stream
+        ("streaming_enrich_gate", _streaming_enrich, _streaming_enrich_sql()),
     ]
 
 

@@ -638,3 +638,28 @@ def test_streaming_outer_join_needs_finalization_batch(spark, stream_dir):
     want_m, _ = _outer_join_batch_expectation(spark)
     assert got_m == want_m          # matched legs still look fine...
     assert got_u == set()           # ...but every unmatched row is gone
+
+
+def test_streaming_outer_join_gate_oracle_parity(spark):
+    """In-repo twin of the driver's hash gate for the round-6 entrant
+    (VERDICT r5 next #3: no gate entrant without in-repo parity): the
+    outer-join gate vs its DuckDB oracle at the smoke tier."""
+    import duckdb
+
+    from gemmsql.streaming.windows import (
+        STREAMING_OUTER_JOIN_GATE_SQL,
+        streaming_outer_join_gate,
+    )
+    from tests.test_rotation import _hash
+
+    sdf = streaming_outer_join_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    odf = con.execute(STREAMING_OUTER_JOIN_GATE_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
+    assert sdf["click_id"].isna().any()     # the NULL side materialized
