@@ -38,6 +38,11 @@ import time
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 RUNS = int(os.environ.get("BENCH_RUNS", "1"))
 SESSIONS = int(os.environ.get("BENCH_SESSIONS", "3"))
+# wall budget for the whole multi-session run: stop launching sessions
+# when the elapsed time plus one more session (estimated from the
+# slowest so far) would exceed it, and hard-kill a hung session — the
+# driver must always get its one JSON line
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def run_action(df) -> None:
@@ -124,12 +129,30 @@ def main() -> None:
     else:
         per_q, per_s = [], []
         env = dict(os.environ, BENCH_CHILD="1")
+        t_start = time.perf_counter()
+        slowest = 0.0
         for r in range(SESSIONS):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
+            elapsed = time.perf_counter() - t_start
+            if per_q and elapsed + slowest > BUDGET_S:
+                print(
+                    f"# budget: {elapsed:.0f}s elapsed, skipping "
+                    f"session {r + 1} (medians over {len(per_q)})",
+                    file=sys.stderr,
+                )
+                break
+            t_sess = time.perf_counter()
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    timeout=max(BUDGET_S - elapsed, 120.0),
+                )
+            except subprocess.TimeoutExpired:
+                print(f"# session {r + 1} hit the wall budget, killed",
+                      file=sys.stderr)
+                continue
+            slowest = max(slowest, time.perf_counter() - t_sess)
             lines = [
                 ln for ln in out.stdout.splitlines() if ln.startswith("{")
             ]

@@ -26,6 +26,21 @@ from gemmsql.datamodel import load_table
 # leak in)
 _STAGED: set[tuple[str, str]] = set()
 
+# per-process invocation counter for gate checkpoint dirs: a memory-sink
+# stream cannot recover from an existing checkpoint, so a gate that runs
+# twice in one process (pytest runs them via several suites) needs a
+# fresh dir each time
+_CKPT_SEQ = [0]
+
+
+def _fresh_ckpt(prefix: str) -> str:
+    import tempfile
+
+    _CKPT_SEQ[0] += 1
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{_CKPT_SEQ[0]}"
+    )
+
 
 def stage_stream_dir(spark: SparkSession, sf_dir: str, target_dir: str) -> str:
     """Materialize the (nanos-normalized) events table into a parquet
@@ -437,9 +452,7 @@ def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = streaming_click_to_purchase(ev_c, ev_p)
     name = "stream_gate_join"
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"gemmsql_ckpt_join_{tag}_{os.getpid()}"
-    )
+    ckpt = _fresh_ckpt(f"gemmsql_ckpt_join_{tag}")
     # r6 (VERDICT r5 next #8): of the five gates, ONLY this one paid
     # the empty watermark-finalization micro-batch (~0.9 s of a 2.4 s
     # replay, measured via recentProgress: batch 1 rows=0 total=930ms
@@ -511,10 +524,7 @@ def streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("event_type") == "purchase")
     joined = streaming_click_to_purchase_outer(ev_c, ev_p)
     name = "stream_gate_outer_join"
-    ckpt = os.path.join(
-        tempfile.gettempdir(),
-        f"gemmsql_ckpt_outer_join_{tag}_{os.getpid()}",
-    )
+    ckpt = _fresh_ckpt(f"gemmsql_ckpt_outer_join_{tag}")
     with state_partitions(spark):
         q = (
             joined.writeStream.format("memory")
