@@ -689,6 +689,95 @@ def sample_frames(
     )
 
 
+def frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling made oracle-verifiable -> ``(doc_id, frame_idx,
+    byte_sum, byte_min, byte_max)``: the PPM payload corpus runs
+    through the REAL :func:`sample_frames` fan-out (4 evenly-spaced
+    32-byte windows per payload — the video frame-sampling shape), and
+    a second Arrow kernel reduces each frame to exact integer byte
+    statistics.  The DuckDB twin reconstructs every sampled byte from
+    first principles — header chars by string position, body bytes from
+    the md5 chain — so the offset arithmetic of the sampler itself is
+    hash-gated, not just its schema.
+
+    Scale shape: two chained narrow Arrow maps (synthesize+slice, then
+    reduce), zero shuffle; output is n_frames rows per doc."""
+    frames = sample_frames(with_binary_payload(spark, sf_dir))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.frombuffer(
+                b"".join(bytes(f) for f in pdf["frame"]), dtype=np.uint8
+            ).reshape(len(pdf), -1).astype(np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "frame_idx": pdf["frame_idx"].values,
+                "byte_sum": mats.sum(axis=1),
+                "byte_min": mats.min(axis=1),
+                "byte_max": mats.max(axis=1),
+            })
+
+    return frames.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, frame_idx int, byte_sum long, "
+            "byte_min long, byte_max long"
+        ),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "byte_sum", "byte_min", "byte_max",
+    )
+
+
+# oracle: re-derive each sampled byte by payload offset — header chars
+# (the 12/13-byte "P6\n16 {h}\n255\n" text) by string position, body
+# bytes from the md5 chain; frame f starts at ((plen-32)*f)//3
+FRAME_STATS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h FROM documents
+),
+geo AS (
+  SELECT doc_id, h,
+         'P6' || chr(10) || '{PPM_W} ' || CAST(h AS VARCHAR)
+              || chr(10) || '255' || chr(10) AS hdr
+  FROM d
+),
+g2 AS (
+  SELECT doc_id, h, hdr,
+         CAST(length(hdr) AS BIGINT) AS hl,
+         CAST(length(hdr) + 3 * {PPM_W} * h AS BIGINT) AS plen
+  FROM geo
+),
+pos AS (
+  SELECT g2.doc_id, CAST(fr.f AS BIGINT) AS frame_idx, g2.hdr, g2.hl,
+         ((g2.plen - 32) * fr.f) // 3 + k.k AS p
+  FROM g2
+  JOIN generate_series(0, 3) fr(f) ON TRUE
+  JOIN generate_series(0, 31) k(k) ON TRUE
+),
+byt AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN p < hl
+              THEN ascii(substr(hdr, CAST(p + 1 AS INT), 1))
+              ELSE CAST('0x' || substr(
+                     md5('px:' || CAST(doc_id AS VARCHAR) || ':'
+                         || CAST((p - hl) // {_MD5_LEN} AS VARCHAR)),
+                     CAST(2 * ((p - hl) % {_MD5_LEN}) + 1 AS INT), 2)
+                   AS BIGINT)
+         END AS v
+  FROM pos
+)
+SELECT doc_id, frame_idx,
+       CAST(SUM(v) AS BIGINT) AS byte_sum,
+       CAST(MIN(v) AS BIGINT) AS byte_min,
+       CAST(MAX(v) AS BIGINT) AS byte_max
+FROM byt GROUP BY doc_id, frame_idx
+"""
+
+
 # ------------------------------------------------- audio (WAV) features
 
 AUDIO_BLOCKS_BASE = 4   # md5 blocks per doc: 4 + doc_id % 5

@@ -114,6 +114,18 @@ def _streaming_enrich_sql():
     return STREAMING_ENRICH_GATE_SQL
 
 
+def _frame_stats(spark, sf_dir):
+    from gemmsql.pipeline.multimodal import frame_stats
+
+    return frame_stats(spark, sf_dir)
+
+
+def _frame_stats_sql():
+    from gemmsql.pipeline.multimodal import FRAME_STATS_SQL
+
+    return FRAME_STATS_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         corpus,
@@ -232,6 +244,14 @@ def _rotated():
         # broadcast-enrich path keeps its full hash gate HERE — the
         # gate fn replays the real availableNow stream
         ("streaming_enrich_gate", _streaming_enrich, _streaming_enrich_sql()),
+        # born into this tier in round 6 (registry full): the video
+        # frame-sampling shape made oracle-verifiable — the gated
+        # payload corpus through the REAL sample_frames fan-out, each
+        # 32-byte frame reduced to exact byte stats; the DuckDB twin
+        # re-derives every sampled byte by payload offset (header chars
+        # by string position, body bytes from the md5 chain), so the
+        # sampler's offset arithmetic itself is hash-gated
+        ("frame_stats", _frame_stats, _frame_stats_sql()),
     ]
 
 
