@@ -732,6 +732,86 @@ def frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W = 8
+RESIZE_H = 8
+
+
+def resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize made oracle-verifiable -> ``(doc_id, channel, px_sum,
+    px_min, px_max)``: the payload corpus through the REAL
+    :func:`resize_images` (decode -> nearest-neighbor index-sample ->
+    re-encode PPM) at 8x8, then the resized payloads decoded again and
+    reduced to exact per-channel stats.  The DuckDB twin re-derives
+    each of the 8x8x3 sampled pixels from the md5 chain via the same
+    index map ``src = ((y*h)//8*W + (x*W)//8)*3 + c`` — so both the
+    resize sampling arithmetic AND the encode/decode round-trip are
+    value-hash gated.  Two narrow Arrow maps, zero shuffle."""
+    resized = resize_images(
+        with_binary_payload(spark, sf_dir),
+        width=RESIZE_W, height=RESIZE_H,
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, chans, sums, mins, maxs = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["resized"]):
+                img = decode_image(bytes(p)).astype(np.int64)
+                for c in range(3):
+                    ch = img[:, :, c]
+                    ids.append(doc_id)
+                    chans.append(c)
+                    sums.append(int(ch.sum()))
+                    mins.append(int(ch.min()))
+                    maxs.append(int(ch.max()))
+            yield pd.DataFrame({
+                "doc_id": ids, "channel": chans, "px_sum": sums,
+                "px_min": mins, "px_max": maxs,
+            })
+
+    return resized.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, channel int, px_sum long, "
+            "px_min long, px_max long"
+        ),
+    ).select(
+        "doc_id",
+        F.col("channel").cast("long").alias("channel"),
+        "px_sum", "px_min", "px_max",
+    )
+
+
+RESIZE_STATS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id, c.c AS channel,
+         ((y.y * d.h) // {RESIZE_H} * {PPM_W}
+          + (x.x * {PPM_W}) // {RESIZE_W}) * 3 + c.c AS i
+  FROM d
+  JOIN generate_series(0, {RESIZE_H - 1}) y(y) ON TRUE
+  JOIN generate_series(0, {RESIZE_W - 1}) x(x) ON TRUE
+  JOIN generate_series(0, 2) c(c) ON TRUE
+),
+byt AS (
+  SELECT doc_id, channel,
+         CAST('0x' || substr(
+           md5('px:' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(i // {_MD5_LEN} AS VARCHAR)),
+           CAST(2 * (i % {_MD5_LEN}) + 1 AS INT), 2) AS BIGINT) AS v
+  FROM px
+)
+SELECT doc_id, channel,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS BIGINT) AS px_min,
+       CAST(MAX(v) AS BIGINT) AS px_max
+FROM byt GROUP BY doc_id, channel
+"""
+
+
 # oracle: re-derive each sampled byte by payload offset — header chars
 # (the 12/13-byte "P6\n16 {h}\n255\n" text) by string position, body
 # bytes from the md5 chain; frame f starts at ((plen-32)*f)//3

@@ -126,6 +126,18 @@ def _frame_stats_sql():
     return FRAME_STATS_SQL
 
 
+def _resize_stats(spark, sf_dir):
+    from gemmsql.pipeline.multimodal import resize_stats
+
+    return resize_stats(spark, sf_dir)
+
+
+def _resize_stats_sql():
+    from gemmsql.pipeline.multimodal import RESIZE_STATS_SQL
+
+    return RESIZE_STATS_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         corpus,
@@ -252,6 +264,12 @@ def _rotated():
         # by string position, body bytes from the md5 chain), so the
         # sampler's offset arithmetic itself is hash-gated
         ("frame_stats", _frame_stats, _frame_stats_sql()),
+        # resize made oracle-verifiable the same way: the corpus
+        # through the REAL resize_images (decode -> nearest-neighbor
+        # sample -> re-encode) at 8x8, re-decoded and reduced; the
+        # twin re-derives each sampled pixel via the identical index
+        # map, gating the resize arithmetic AND the codec round-trip
+        ("resize_stats", _resize_stats, _resize_stats_sql()),
     ]
 
 
