@@ -244,66 +244,75 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-3 must land within ``FUNNEL_WINDOW_US`` of t1.  ``n_users`` =
     users reaching each stage; ``frac`` = n_users / stage-1 users.
 
-    Scale shape: the event scan is filtered to the 3 funnel types
-    (pushed to parquet) and projected to (user_id, ts_us); each step
-    is a per-user min aggregation joined to the previous step ON
-    user_id — every shuffle and join keys on user_id, so AQE reuses
-    one co-partitioning; step tables only shrink.  The final result is
-    3 rows; the stage-1 total joins back as a broadcast literal.  No
-    window functions, no self cross-product.
+    Scale shape (r6 rewrite): ONE scan, ONE wide shuffle.  The event
+    scan is filtered to the 3 funnel types (pushed to parquet) and
+    hash-partitioned ONCE by user_id; the chained per-user minima are
+    three cascaded unordered windows over that same partitioning
+    (Catalyst inserts no further exchange — each t_k is a constant per
+    user that the next window's CASE may reference), then one per-user
+    reduce on the already-partitioned frame and a 1-row global count.
+    The previous shape (per-step min-agg joined to the previous step)
+    was semantically identical but cost 7 scans / 10 exchanges at the
+    same sf — step tables shrink, yet every one re-read the corpus.
+    No self cross-product; the final frame is 3 rows.
     """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id")
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type").isin(*FUNNEL_STEPS))
         .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
     )
-    s1 = (
-        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
+    ts, typ = F.col("ts_us"), F.col("event_type")
+    t1 = ev.withColumn(
+        "t1",
+        F.min(F.when(typ == FUNNEL_STEPS[0], ts)).over(w),
     )
-    s2 = (
-        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
-        .join(s1, "user_id")
-        .where(
-            (F.col("ts_us") > F.col("t1"))
-            & (F.col("ts_us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
-        )
-        .groupBy("user_id")
-        .agg(F.min("t1").alias("t1"), F.min("ts_us").alias("t2"))
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (typ == FUNNEL_STEPS[1])
+                & (ts > F.col("t1"))
+                & (ts <= F.col("t1") + F.lit(FUNNEL_WINDOW_US)),
+                ts,
+            )
+        ).over(w),
     )
-    s3 = (
-        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
-        .join(s2, "user_id")
-        .where(
-            (F.col("ts_us") > F.col("t2"))
-            & (F.col("ts_us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t3"))
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (typ == FUNNEL_STEPS[2])
+                & (ts > F.col("t2"))
+                & (ts <= F.col("t1") + F.lit(FUNNEL_WINDOW_US)),
+                ts,
+            )
+        ).over(w),
     )
-
-    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(no).cast("long").alias("step_no"),
-            F.lit(name).alias("stage"),
-            F.count("*").cast("long").alias("n_users"),
-        )
-
-    counts = (
-        stage(s1, 1, FUNNEL_STEPS[0])
-        .unionByName(stage(s2, 2, FUNNEL_STEPS[1]))
-        .unionByName(stage(s3, 3, FUNNEL_STEPS[2]))
+    users = t3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
     )
-    base = s1.agg(F.count("*").cast("long").alias("base_n"))
-    return (
-        counts.crossJoin(F.broadcast(base))  # 3 rows x 1 row
-        .select(
-            "step_no",
-            "stage",
-            "n_users",
-            F.round(F.col("n_users") / F.col("base_n"), 6).alias("frac"),
-        )
+    r = users.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return r.select(
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), '{s0}', n1,"
+            " CAST(2 AS BIGINT), '{s1}', n2,"
+            " CAST(3 AS BIGINT), '{s2}', n3)"
+            " AS (step_no, stage, n_users)".format(
+                s0=FUNNEL_STEPS[0], s1=FUNNEL_STEPS[1], s2=FUNNEL_STEPS[2]
+            )
+        ),
+        F.col("n1").alias("base_n"),
+    ).select(
+        "step_no", "stage", "n_users",
+        F.round(F.col("n_users") / F.col("base_n"), 6).alias("frac"),
     )
 
 

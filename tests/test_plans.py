@@ -716,3 +716,22 @@ def test_zordered_write_tightens_stats_on_both_dims(spark, tmp_path):
     assert re.search(r"PushedFilters: \[.*o_totalprice.*\]", p), (
         "predicate on the second z-dim must reach the scan"
     )
+
+
+def test_funnel_counts_single_scan(spark):
+    """The funnel reads the corpus ONCE: chained per-user minima are
+    cascaded windows over one user_id partitioning, not per-step
+    min-agg joins that each re-scan events (the r5 shape cost 7 scans
+    and 10 exchanges at the same sf)."""
+    from gemmsql.pipeline.events import funnel_counts
+
+    p = plan_of(funnel_counts(spark, SF_SMOKE))
+    assert p.count("FileScan parquet") == 1
+    assert "PushedFilters: [In(event_type" in p or "event_type" in p.split(
+        "PushedFilters"
+    )[1].split("]")[0], "funnel type filter must reach the scan"
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert shuffles <= 2, f"funnel re-shuffles: {shuffles}"
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id#" in line.split("windowspecdefinition")[1]
