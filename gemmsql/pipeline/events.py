@@ -372,36 +372,42 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     1995-2001, so the triangle is ~27 cohorts deep with genuinely
     decaying retention (~10 orders per customer over 80 months).
 
-    Scale shape: one per-customer min aggregation (shuffle on
-    o_custkey), one co-partitioned join back to the order scan on
-    o_custkey, one distinct on (cohort, offset, customer) — all keyed
-    so AQE reuses the custkey exchange — then a tiny per-cohort count
-    joined back as a BROADCAST (cohorts ~ timespan / quarter: O(100)
-    rows even for decades).  No window functions, no cross-product.
+    Scale shape (r6 rewrite): ONE scan, TWO shuffles.  first_q is an
+    unordered window over one o_custkey partitioning (no min-agg +
+    join-back, which re-scanned orders); the per-customer distinct
+    rides the SAME partitioning (custkey is a subset of the distinct
+    key, so EnsureRequirements inserts no exchange); the only other
+    shuffle is the tiny per-cell count.  Cohort sizes are read off
+    per_cell itself (the offset-0 row every customer is in by
+    construction) instead of recomputing the active frame, and join
+    back as a BROADCAST (cohorts ~ timespan / quarter: O(100) rows
+    even for decades).  No cross-product.
     """
+    from pyspark.sql import Window as W
+
     od = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.expr(
             "(year(o_orderdate) * 12 + month(o_orderdate) - 1) div 3"
         ).alias("q"),
     )
-    firsts = od.groupBy("o_custkey").agg(F.min("q").alias("first_q"))
+    first_q = F.min("q").over(W.partitionBy("o_custkey"))
     active = (
-        od.join(firsts, "o_custkey")
-        .select(
+        od.select(
             "o_custkey",
-            F.col("first_q").alias("cohort_q"),
-            (F.col("q") - F.col("first_q")).alias("q_offset"),
+            first_q.alias("cohort_q"),
+            (F.col("q") - first_q).alias("q_offset"),
         )
         .distinct()
     )
     per_cell = active.groupBy("cohort_q", "q_offset").agg(
         F.count("*").cast("long").alias("n_custs")
     )
-    sizes = (
-        active.where(F.col("q_offset") == 0)
-        .groupBy("cohort_q")
-        .agg(F.count("*").cast("long").alias("cohort_n"))
+    from gemmsql.caching import scoped_cache
+
+    per_cell = scoped_cache(per_cell, fresh_scope=True)  # O(cohorts^2) rows
+    sizes = per_cell.where(F.col("q_offset") == 0).select(
+        "cohort_q", F.col("n_custs").alias("cohort_n")
     )
     return (
         per_cell.join(F.broadcast(sizes), "cohort_q")

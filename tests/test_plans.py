@@ -735,3 +735,26 @@ def test_funnel_counts_single_scan(spark):
     for line in p.splitlines():
         if "windowspecdefinition" in line:
             assert "user_id#" in line.split("windowspecdefinition")[1]
+
+
+def test_cohort_retention_single_pass(spark):
+    """Cohort triangle: first-order quarter is a window over ONE
+    custkey partitioning (no min-agg + join-back re-scanning orders);
+    the per-customer distinct rides the same partitioning; cohort
+    sizes come from the cached per_cell frame, not a recompute — both
+    consumers must read the cache."""
+    from gemmsql.pipeline.events import cohort_retention
+
+    p = plan_of(cohort_retention(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("InMemoryTableScan") == 2, (
+        "per_cell must be cached and read by both the cell and the "
+        "cohort-size branch"
+    )
+    # every parquet scan in the plan must live inside a cache
+    # definition (the lineage prints once per consumer): a LIVE orders
+    # re-scan outside the cached per_cell build is the 100 TB bug
+    assert p.count("FileScan parquet") == p.count("InMemoryRelation")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "o_custkey#" in line.split("windowspecdefinition")[1]
