@@ -196,21 +196,13 @@ def q_ml_grads(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``xe_gpred/xe_gtrg``: cross-entropy grads (xentropy.py:15-37)
     - ``mlp_gx/mlp_gp/mlp_gq``: relu(X W) W grads (mlp.py:9-16)
     """
-    from gemmsql.ops.gate import (
-        BROADCAST_MAX_ROWS,
-        attention_xe_grads_gate_fused,
-        mlp_grads_gate,
-    )
+    from gemmsql.ops.gate import BROADCAST_MAX_ROWS, ml_grads_gate_fused
 
     vec = _vec(spark, sf_dir)
     bcast = embeddings_stats(sf_dir)[0] <= BROADCAST_MAX_ROWS  # cached stats
-    # attention + xentropy grads share the exact softmax chain: fused
-    ax = attention_xe_grads_gate_fused(vec, broadcast_kv=bcast)
-    m = mlp_grads_gate(vec, cache_key=sf_dir).select(
-        F.concat(F.lit("mlp_"), F.col("which")).alias("which"),
-        "i", "d", "val",
-    )
-    return ax.unionByName(m)
+    # all eight legs from ONE pass: the att/xe legs share the softmax
+    # chain, the mlp legs share the loaded batch — one scan, one merge
+    return ml_grads_gate_fused(vec, broadcast_kv=bcast, cache_key=sf_dir)
 
 
 def q_chain_grads(spark: SparkSession, sf_dir: str) -> DataFrame:

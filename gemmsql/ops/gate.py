@@ -872,6 +872,118 @@ def attention_xe_grads_gate_fused(
     )
 
 
+def ml_grads_gate_fused(
+    vec: DataFrame,
+    *,
+    broadcast_kv: bool | str = "auto",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """ALL EIGHT backward legs from ONE broadcast pass -> ``(which, i,
+    d, val)``, which in {att_gq, att_gk, att_gv, xe_gpred, xe_gtrg,
+    mlp_gx, mlp_gp, mlp_gq} — the r6 extension of
+    :func:`attention_xe_grads_gate_fused` that folds the MLP backward
+    into the same kernel: the attention/xentropy legs share the softmax
+    chain, the MLP legs share the already-loaded ``xq`` batch, and all
+    partials ride ONE merge exchange instead of two union branches each
+    scanning the corpus.  Values are bit-identical to the separate
+    kernels (exact int64 accumulators are partition-order-free).
+    Large inputs fall back to the existing blocked unions."""
+    if broadcast_kv == "auto":
+        broadcast_kv = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
+    if not broadcast_kv:
+        ax = attention_xe_grads_gate_fused(vec, broadcast_kv=False)
+        m = mlp_grads_gate(vec, cache_key=cache_key).select(
+            F.concat(F.lit("mlp_"), F.col("which")).alias("which"),
+            "i", "d", "val",
+        )
+        return ax.unionByName(m)
+
+    wq = _mlp_wq(vec, cache_key=cache_key)
+    qs_int = wq.sum(axis=1).astype(np.int64)
+    rids, rq = _collect_kv(vec)
+    vsq = rq.sum(axis=1)
+    pos = {int(r): k for k, r in enumerate(rids)}
+    spark = vec.sparkSession
+    b = spark.sparkContext.broadcast((rids, rq, vsq, pos, wq, qs_int))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _rids, rmat, vs, posmap, w, qs = b.value
+        n, d = rmat.shape
+        gk_acc = np.zeros((n, d), dtype=np.int64)
+        gv_acc = np.zeros(n, dtype=np.int64)
+        gtrg_acc = np.zeros((n, d), dtype=np.int64)
+        gp_acc = np.zeros((d, w.shape[1]), dtype=np.int64)
+        gq_acc = np.zeros(d, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lq = _quant(_vec_mat(pdf["vec"]))
+            # --- shared softmax chain (attention + xentropy legs) ---
+            _s, _mx, e, S = _softmax_den_num(lq, rmat, 1e12)
+            w_sm = e / S[:, None]
+            rnum = e.astype(np.int64) @ vs.astype(np.int64)
+            t = vs[None, :] / Q_IN - (rnum / (S * Q_IN))[:, None]
+            gs = np.floor(w_sm * t * Q_GS + 0.5)
+            wqn = np.floor(w_sm * Q_W + 0.5)
+            gk_acc += (gs.T @ lq).astype(np.int64)
+            gv_acc += wqn.sum(axis=0).astype(np.int64)
+            yield pd.DataFrame({
+                "which": "att_gq",
+                "i": pdf["i"].to_numpy(),
+                "nums": list((gs @ rmat).astype(np.int64)),
+            })
+            delta = np.floor(w_sm * Q_DELTA + 0.5)
+            cols = np.array([posmap[int(l)] for l in pdf["label"]])
+            delta[np.arange(len(pdf)), cols] -= Q_DELTA
+            gtrg_acc += (delta.T @ lq).astype(np.int64)
+            yield pd.DataFrame({
+                "which": "xe_gpred",
+                "i": pdf["i"].to_numpy(),
+                "nums": list((delta @ rmat).astype(np.int64)),
+            })
+            # --- MLP legs from the same xq batch (mlp_grads_gate) ---
+            h_int = np.maximum(lq @ w, 0.0)
+            hs = np.floor(h_int / 1e12 * Q_IN + 0.5)
+            gh = (h_int > 0) * qs[None, :].astype(np.float64)
+            gp_acc += lq.astype(np.int64).T @ gh.astype(np.int64)
+            gq_acc += hs.sum(axis=0).astype(np.int64)
+            yield pd.DataFrame({
+                "which": "mlp_gx",
+                "i": pdf["i"].to_numpy(),
+                "nums": list((gh @ w.T).astype(np.int64)),
+            })
+        yield pd.DataFrame({"which": "att_gk", "i": _rids, "nums": list(gk_acc)})
+        yield pd.DataFrame({
+            "which": "att_gv", "i": _rids,
+            "nums": list(np.repeat(gv_acc[:, None], d, axis=1)),
+        })
+        yield pd.DataFrame({"which": "xe_gtrg", "i": _rids, "nums": list(gtrg_acc)})
+        yield pd.DataFrame({
+            "which": "mlp_gp", "i": np.arange(d, dtype=np.int64),
+            "nums": list(gp_acc),
+        })
+        yield pd.DataFrame({
+            "which": "mlp_gq", "i": np.arange(d, dtype=np.int64),
+            "nums": list(np.repeat(gq_acc[:, None], w.shape[1], axis=1)),
+        })
+
+    parts = vec.select("i", "vec", "label").mapInPandas(
+        run, "which string, i long, nums array<long>"
+    )
+    merged = _merge_long_arrays(parts, ["which", "i"])
+    out = merged.select("which", "i", F.posexplode("nums").alias("d", "num"))
+    micro = (
+        F.when(F.col("which") == "att_gv", _micro_col("num", 1_000))
+        .when(F.col("which").isin("att_gq", "att_gk"), _micro_col("num", 10_000))
+        .when(F.col("which") == "mlp_gq", F.col("num"))
+        .otherwise(_micro_col("num", 1_000_000))  # xe + mlp_gx/gp: 1e12
+    )
+    return out.select(
+        "which", "i", F.col("d").cast("long").alias("d"),
+        (micro.cast("double") / F.lit(Q_IN)).alias("val"),
+    )
+
+
 # ------------------------------------------------------------ gram / mlp
 
 def gram_gate(vec: DataFrame, *, relu: bool = False) -> DataFrame:
