@@ -289,3 +289,36 @@ def test_chain_grads_gate_close_to_float_chain(spark, emb_matrix):
             .reshape(ref.shape)
         )
         assert np.allclose(got, ref, atol=tol[which]), which
+
+
+def test_ml_grads_fused_matches_separate_gates(spark):
+    """The r6 eight-leg fusion (att+xe+mlp from one kernel) must be
+    bit-identical to the three separate gates on BOTH physical paths —
+    the exact int64 accumulators make partition/batch boundaries
+    invisible, so fusing the MLP legs into the softmax-chain kernel
+    cannot move a single value."""
+    from pyspark.sql import functions as F
+
+    from gemmsql.ops.gate import (
+        attention_xe_grads_gate_fused,
+        ml_grads_gate_fused,
+        mlp_grads_gate,
+    )
+
+    vec = _vec(spark)
+    want = _hash(
+        attention_xe_grads_gate_fused(vec, broadcast_kv=True)
+        .unionByName(
+            mlp_grads_gate(vec).select(
+                F.concat(F.lit("mlp_"), F.col("which")).alias("which"),
+                "i", "d", "val",
+            )
+        )
+        .toPandas()
+    )
+    assert _hash(
+        ml_grads_gate_fused(vec, broadcast_kv=True).toPandas()
+    ) == want
+    assert _hash(
+        ml_grads_gate_fused(vec, broadcast_kv=False).toPandas()
+    ) == want
