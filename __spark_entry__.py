@@ -439,6 +439,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_streaming.py) in place of streaming_enrich_gate
     (stream-static broadcast enrich, green r3-r5), which keeps its
     full availableNow-replay hash gate in tests/test_rotation.py.
+    Also late round-6: FOUR brand-new surfaces entered — the graph
+    tier (triangle_count: colorful-sampled compact-forward triangle
+    participation; pagerank_step: the integer-exact PageRank
+    power-iteration kernel, both over the lineitem co-purchase
+    graph), the histogram quantile sketch (hist_quantiles — the
+    fourth sketch family), and the equi-key-bounded interval range
+    join (concurrent_orders) — in place of minhash_lsh_pairs /
+    dedup_clusters (green r1-r5; the dedup chain stays gated via
+    dedup_keep_best + dedup_incremental) and ivf_topk / pq_topk
+    (green r3/r4-r5; ivfpq_topk composes both ANN scale paths).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -452,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         dsir,
         events,
+        graph,
         joins,
         relational,
         retrieval,
@@ -463,7 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         payload_features,
         png_features,
     )
-    from gemmsql.sketches import cm_heavy_hitters
+    from gemmsql.sketches import cm_heavy_hitters, hist_quantiles
 
     return {
         # --- reference operator surface (SURVEY.md §2) ---
@@ -479,20 +490,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_grads": q_chain_grads,    # end-to-end xentropy(mlp(x))
         "chain2_grads": q_chain2_grads,  # end-to-end attention(mlp(x))
         # --- similarity search / ANN (cosine_topk / lsh_topk rotated
-        # out in r6, green r1-r5; ivf/ivfpq/pq are the scale paths) ---
-        "ivf_topk": q_ivf_topk,
+        # out in r6 green r1-r5, ivf_topk / pq_topk late in r6 green
+        # r3/r4-r5; ivfpq_topk stays — it composes both scale paths) ---
         "ivfpq_topk": q_ivfpq_topk,
-        "pq_topk": q_pq_topk,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         # --- multimodal: real codecs (PPM uncompressed tier, PNG
         # compressed tier, WAV audio tier) ---
         "payload_features": payload_features,
         "png_features": png_features,
         "audio_features": audio_features,
-        # --- dedup ---
+        # --- dedup (minhash_lsh_pairs / dedup_clusters rotated out
+        # late in r6, green r1-r5; keep-best + incremental keep the
+        # LSH->cluster->canonicalize chain gated) ---
         "doc_chunks": text.doc_chunks,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
         "dedup_keep_best": dedup.dedup_keep_best,
         "quality_classifier": text.quality_classifier,
         "dup_spans": dedup.dup_spans,
@@ -521,8 +531,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6, green r1-r5; the as-of-join shape stays rotation-gated)
         "funnel_counts": events.funnel_counts,
         "cohort_retention": events.cohort_retention,
-        # --- sketches (HLL + Bloom proven r1-r5; CM frequency tier)
+        # --- sketches (HLL + Bloom proven r1-r5; CM frequency tier;
+        # histogram quantile tier new late in r6) ---
         "cm_heavy_hitters": cm_heavy_hitters,
+        "hist_quantiles": hist_quantiles,
+        # --- graph analytics (new late in r6): colorful-sampled
+        # triangle participation + the PageRank power-iteration kernel
+        # over the co-purchase graph ---
+        "triangle_count": graph.triangle_count_gate,
+        "pagerank_step": graph.pagerank_step,
+        # --- interval analytics (new late in r6): equi-key-bounded
+        # range self-join ---
+        "concurrent_orders": joins.concurrent_orders,
         # --- lexical retrieval ---
         "bm25_topk": retrieval.bm25_topk,
         # approximate by design, but the md5-register HLL + exact
@@ -909,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.ops.sampling import sampling_filtered_sql, sampling_sql
     from gemmsql.sketches import (
+        HIST_QUANTILES_SQL,
         USER_REACH_SKETCH_SQL,
         bloom_decontaminate_sql,
         cm_heavy_hitters_sql,
@@ -920,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         dsir,
         events,
+        graph,
         joins,
         relational,
         retrieval,
@@ -940,9 +962,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.pipeline.similarity import (
         EMBEDDING_DUPS_LSH_SQL,
-        IVF_TOPK_SQL,
         IVFPQ_TOPK_SQL,
-        PQ_TOPK_SQL,
     )
 
     text_stats_sql = text.TEXT_PROFILE_SQL
@@ -959,16 +979,12 @@ def oracle_sql() -> dict[str, str]:
         "ml_grads": ml_grads_sql,
         "chain_grads": CHAIN_GRADS_SQL,
         "chain2_grads": CHAIN2_GRADS_SQL,
-        "ivf_topk": IVF_TOPK_SQL,
         "ivfpq_topk": IVFPQ_TOPK_SQL,
-        "pq_topk": PQ_TOPK_SQL,
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_features": PAYLOAD_FEATURES_SQL,
         "png_features": PNG_FEATURES_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "doc_chunks": text.DOC_CHUNKS_SQL,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
-        "dedup_clusters": dedup.dedup_clusters_sql(),
         "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dup_spans": dedup.DUP_SPANS_SQL,
@@ -992,6 +1008,10 @@ def oracle_sql() -> dict[str, str]:
         "funnel_counts": events.FUNNEL_COUNTS_SQL,
         "cohort_retention": events.COHORT_RETENTION_SQL,
         "cm_heavy_hitters": cm_heavy_hitters_sql(),
+        "hist_quantiles": HIST_QUANTILES_SQL,
+        "triangle_count": graph.TRIANGLE_COUNT_SQL,
+        "pagerank_step": graph.PAGERANK_STEP_SQL,
+        "concurrent_orders": joins.CONCURRENT_ORDERS_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
         "sampling_filtered": sampling_filtered_sql(),
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,

@@ -176,3 +176,111 @@ SELECT event_id, CAST(k AS BIGINT) AS user_id,
        CAST(COALESCE(date_diff('day', CAST(last_rts AS DATE), CAST(ts AS DATE)), -1) AS BIGINT) AS days_since
 FROM w WHERE is_left = 1
 """
+
+
+def interval_self_join(
+    frame: DataFrame,
+    *,
+    key: str,
+    id_col: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """All pairs of rows sharing ``key`` whose ``[start, end]``
+    intervals overlap (inclusive), each pair once (``id1 < id2``).
+
+    Scale shape: the overlap predicate alone is a range join — a
+    worst-case-quadratic shuffle — but bounded here by the equi-key:
+    Spark plans key-equality as the shuffle hash join and evaluates
+    the interval predicate as a residual filter, so cost is
+    sum_k C(n_k, 2) — per-key fan-out, never corpus-quadratic.  For
+    keyless interval joins, bucket both sides by coarse time chunk
+    (emitting one row per chunk an interval touches) and equi-join on
+    the chunk id — same trick, synthetic key."""
+    a = frame.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("id1"),
+        F.col(start).alias("s1"),
+        F.col(end).alias("e1"),
+    )
+    b = frame.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("id2"),
+        F.col(start).alias("s2"),
+        F.col(end).alias("e2"),
+    )
+    return (
+        a.join(b, "_k")
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1"))
+        )
+        .withColumnRenamed("_k", key)
+    )
+
+
+def concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer count of overlapping order intervals ->
+    ``(o_custkey, n_orders, n_overlapping)``.
+
+    An order's interval is ``[o_orderdate, max(l_shipdate)]`` (orders
+    with no lineitems drop out of the inner join).  The fulfillment
+    join is on ``l_orderkey`` (co-partitioned); the overlap pairing is
+    :func:`interval_self_join` keyed on the customer, so the range
+    predicate never sees more than one customer's orders at once."""
+    from gemmsql.datamodel import load_table
+
+    spans = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("ship_end"))
+    )
+    intervals = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(spans, "o_orderkey")
+    )
+    pairs = interval_self_join(
+        intervals,
+        key="o_custkey",
+        id_col="o_orderkey",
+        start="o_orderdate",
+        end="ship_end",
+    )
+    n_ord = intervals.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    n_ovl = pairs.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_overlapping")
+    )
+    return n_ord.join(n_ovl, "o_custkey", "left").select(
+        "o_custkey",
+        "n_orders",
+        F.coalesce(F.col("n_overlapping"), F.lit(0)).cast("long")
+        .alias("n_overlapping"),
+    )
+
+
+CONCURRENT_ORDERS_SQL = """
+WITH spans AS (
+  SELECT l_orderkey AS o_orderkey, MAX(l_shipdate) AS ship_end
+  FROM lineitem GROUP BY 1
+),
+iv AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, s.ship_end
+  FROM orders o JOIN spans s USING (o_orderkey)
+),
+pairs AS (
+  SELECT a.o_custkey
+  FROM iv a JOIN iv b
+    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+   AND a.o_orderdate <= b.ship_end AND b.o_orderdate <= a.ship_end
+),
+n_ovl AS (SELECT o_custkey, COUNT(*) AS n_overlapping FROM pairs GROUP BY 1)
+SELECT iv.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COALESCE(MAX(n_ovl.n_overlapping), 0) AS BIGINT)
+         AS n_overlapping
+FROM iv LEFT JOIN n_ovl ON n_ovl.o_custkey = iv.o_custkey
+GROUP BY 1
+"""

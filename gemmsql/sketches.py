@@ -516,3 +516,100 @@ FROM est JOIN exact ON est.word = exact.word
 ORDER BY est.est_count DESC, est.word
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch — the fourth sketch family (HLL: distinct
+# counts; Bloom: membership; count-min: frequency; histogram: rank /
+# quantiles)
+
+#: equi-width bin size for the order-price histogram (prices span
+#: ~1e3..5e5, so ~500 bins per group).
+HIST_BIN_W = 1_000
+#: percentile ranks the gated query reports.
+HIST_QS = (50, 90, 99)
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-priority price quantiles from a mergeable
+    equi-width histogram -> ``(o_orderpriority, n_orders, p50, p90,
+    p99)`` where each ``pXX`` is the lower edge of the bin holding
+    rank ``ceil(n * XX / 100)``.
+
+    Scale shape: the histogram ``groupBy(group, bin)`` is a mergeable
+    monoid — Spark's map-side partial aggregation compresses every
+    partition to at most ``n_bins`` rows before the shuffle, so the
+    exchanged volume is O(groups x bins) regardless of corpus size:
+    the classic way to get quantiles without a global sort (exact
+    distributed quantiles need one; cf. the rotation-tier
+    ``segment_quantiles``, which pays it).  The cumulative window runs
+    per group over <= n_bins rows — driver-free and skew-free.
+
+    Determinism: bin ids, counts and rank thresholds are integers
+    (``ceil`` via ``(n*q + 99) div 100``); the only float op is the
+    IEEE divide in ``floor(price / bin_w)``, identical on both
+    engines — so the sketch replays bit-for-bit in DuckDB."""
+    from pyspark.sql import Window as W
+
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") / HIST_BIN_W)
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("o_orderpriority", "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wcum = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {q} + 99) div 100"),
+                F.col("bin") * HIST_BIN_W,
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}")
+        for q in HIST_QS
+    ]
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"), *qcols
+    )
+
+
+_HIST_Q_COLS = ",\n".join(
+    f"       CAST(MIN(CASE WHEN cum >= (n * {q} + 99) // 100 "
+    f"THEN bin * {HIST_BIN_W} END) AS BIGINT) AS p{q}"
+    for q in HIST_QS
+)
+
+HIST_QUANTILES_SQL = f"""
+WITH hist AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice / {HIST_BIN_W}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, bin,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM hist
+)
+SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+{_HIST_Q_COLS}
+FROM cum GROUP BY 1
+"""

@@ -760,3 +760,55 @@ def test_cohort_retention_single_pass(spark):
     for line in p.splitlines():
         if "windowspecdefinition" in line:
             assert "o_custkey#" in line.split("windowspecdefinition")[1]
+
+
+def test_triangle_count_no_cartesian_one_scan(spark):
+    """The triangle pipeline must stay equi-join only (wedges are
+    generated in-row from the rank-sorted adjacency, the closure probe
+    is a hash join on (v1, v2)) and read lineitem exactly once."""
+    from gemmsql.pipeline.graph import triangle_count_gate
+
+    p = plan_of(triangle_count_gate(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the edge set and the oriented DAG are multiply consumed — they
+    # must come from the cache, not be re-derived per reference
+    assert "InMemoryTableScan" in p, "edge/oriented frames not cached"
+    # wedge generation must be the in-row explode, not a self-join of
+    # the oriented edge set on its tail
+    assert "Generate explode" in p
+
+
+def test_pagerank_step_single_scan_no_cartesian(spark):
+    from gemmsql.pipeline.graph import pagerank_step
+
+    p = plan_of(pagerank_step(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p, "edge frame not cached"
+
+
+def test_hist_quantiles_partial_agg_before_shuffle(spark):
+    """The histogram groupBy must partial-aggregate map-side (the
+    mergeable-sketch property: every partition compresses to <= n_bins
+    rows before the exchange) and prune the scan to the two columns."""
+    from gemmsql.sketches import hist_quantiles
+
+    p = plan_of(hist_quantiles(spark, SF_SMOKE))
+    assert "partial_count" in p, "map-side combine missing"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "o_orderpriority", "o_totalprice"
+    }, f"scan not pruned: {m and m.group(1)}"
+    assert "Exchange" in p  # exactly the post-partial shuffle exists
+
+
+def test_concurrent_orders_range_join_is_keyed(spark):
+    """The interval self-join must plan as an equi-join on the
+    customer key with the overlap predicate as a residual filter —
+    never a cartesian/nested-loop pair enumeration."""
+    from gemmsql.pipeline.joins import concurrent_orders
+
+    p = plan_of(concurrent_orders(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

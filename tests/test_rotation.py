@@ -270,6 +270,19 @@ def _rotated():
         # twin re-derives each sampled pixel via the identical index
         # map, gating the resize arithmetic AND the codec round-trip
         ("resize_stats", _resize_stats, _resize_stats_sql()),
+        # rotated out late in round 6 for the graph tier
+        # (triangle_count, pagerank_step), the histogram quantile
+        # sketch (hist_quantiles) and the interval range join
+        # (concurrent_orders): minhash_lsh_pairs / dedup_clusters
+        # green r1-r5 (keep-best + incremental keep the dedup chain
+        # gated); ivf_topk / pq_topk green r3/r4-r5 (ivfpq_topk
+        # composes both ANN scale paths)
+        ("minhash_lsh_pairs", dedup.minhash_lsh_pairs,
+         dedup.minhash_lsh_pairs_sql()),
+        ("dedup_clusters", dedup.dedup_clusters,
+         dedup.dedup_clusters_sql()),
+        ("ivf_topk", _entry("q_ivf_topk"), similarity.IVF_TOPK_SQL),
+        ("pq_topk", _entry("q_pq_topk"), similarity.PQ_TOPK_SQL),
     ]
 
 
