@@ -323,3 +323,69 @@ SELECT part,
             AS BIGINT) AS rank1
 FROM contrib GROUP BY 1
 """
+
+
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Full PageRank power iteration -> ``(part, rank)`` (library
+    tier: float ranks, NumPy-differential tested — the gated integer
+    kernel is :func:`pagerank_step`).
+
+    Driver loop over the one-shuffle scatter kernel: the edge set and
+    per-node degrees are cached once; each iteration joins the
+    current rank frame to the edges, scatters ``damping * rank / deg``
+    both ways, and sums per destination.  The rank frame is
+    re-persisted per iteration so lineage stays one fold deep (the
+    ``bpe.learn`` loop pattern); the graph never visits the driver.
+    Every node of the co-purchase graph has degree >= 1, so no
+    dangling-mass term is needed."""
+    edges = scoped_cache(copurchase_edges(spark, sf_dir), fresh_scope=True)
+    deg = scoped_cache(
+        edges.select(F.col("x").alias("n"))
+        .unionAll(edges.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ranks = deg.select("n", "d", F.lit(1.0).alias("rank")).persist()
+    for _ in range(iters):
+        rx = ranks.select(
+            F.col("n").alias("x"), (F.col("rank") / F.col("d")).alias("sx")
+        )
+        ry = ranks.select(
+            F.col("n").alias("y"), (F.col("rank") / F.col("d")).alias("sy")
+        )
+        contrib = (
+            edges.join(rx, "x")
+            .join(ry, "y")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("y").alias("n"), F.col("sx").alias("s")
+                        ),
+                        F.struct(
+                            F.col("x").alias("n"), F.col("sy").alias("s")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.n", "e.s")
+        )
+        nxt = (
+            contrib.groupBy("n")
+            .agg(
+                (F.lit(1.0 - damping) + damping * F.sum("s")).alias("rank")
+            )
+            .join(deg, "n")
+            .select("n", "d", "rank")
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = nxt
+    return ranks.select(F.col("n").alias("part"), "rank")

@@ -1,0 +1,179 @@
+"""NumPy-differential and invariant tests for the graph tier plus the
+histogram-quantile sketch and the interval range join.
+
+The gated queries' DuckDB hash parity lives in tests/test_gate_parity;
+these tests check the MATH against an independent formulation — brute
+force over the collected sf0.001 graph (200 nodes, ~9k edges), exactly
+the discipline the ML ops get from their NumPy twins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def adj(spark):
+    """Dense 0/1 adjacency of the sf0.001 co-purchase graph plus the
+    node-id index, from a single collect of the edge list."""
+    from gemmsql.pipeline.graph import copurchase_edges
+
+    edges = copurchase_edges(spark, SF_SMOKE).toPandas()
+    nodes = sorted(set(edges["x"]) | set(edges["y"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    a = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for x, y in zip(edges["x"], edges["y"]):
+        a[idx[x], idx[y]] = 1
+        a[idx[y], idx[x]] = 1
+    return a, nodes
+
+
+def test_triangle_count_exact_matches_bruteforce(spark, adj):
+    """colors=1 per-node counts == diag(A^3) / 2 (each triangle at a
+    node is a closed 3-walk in both directions)."""
+    from gemmsql.pipeline.graph import triangle_count
+
+    a, nodes = adj
+    per_node = np.diagonal(a @ a @ a) // 2
+    got = triangle_count(spark, SF_SMOKE).toPandas()
+    got_map = dict(zip(got["part"], got["n_triangles"]))
+    for n, want in zip(nodes, per_node):
+        assert got_map.get(n, 0) == want, f"node {n}"
+    # total triangles = trace(A^3) / 6
+    assert sum(got_map.values()) == int(np.trace(a @ a @ a)) // 2
+
+
+def test_colorful_sampling_is_induced_subgraph(spark, adj):
+    """The gated colorful counts must equal exact counting on the
+    monochromatic induced subgraph, and n_est = colors^2 * n."""
+    from gemmsql.pipeline.graph import TRI_COLORS, triangle_count_gate
+
+    a, nodes = adj
+    # replicate the md5 color: conv(substr(md5(str(n)),1,15),16,10) % c
+    import hashlib
+
+    def color(n):
+        h = int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+        return h % TRI_COLORS
+
+    c = np.array([color(n) for n in nodes])
+    mono = a * (c[:, None] == c[None, :])
+    per_node = np.diagonal(mono @ mono @ mono) // 2
+    got = triangle_count_gate(spark, SF_SMOKE).toPandas()
+    got_n = dict(zip(got["part"], got["n_triangles"]))
+    got_e = dict(zip(got["part"], got["n_est"]))
+    for n, want in zip(nodes, per_node):
+        assert got_n.get(n, 0) == want, f"node {n}"
+    for n, v in got_n.items():
+        assert got_e[n] == v * TRI_COLORS * TRI_COLORS
+
+
+def test_pagerank_step_matches_integer_model(spark, adj):
+    """The gated kernel == the integer model computed in NumPy."""
+    from gemmsql.pipeline.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        pagerank_step,
+    )
+
+    a, nodes = adj
+    deg = a.sum(axis=1)
+    share = (PR_DAMP_NUM * (PR_SCALE // deg)) // PR_DAMP_DEN
+    teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    want = a.T @ share + teleport
+    got = pagerank_step(spark, SF_SMOKE).toPandas()
+    got_map = dict(zip(got["part"], got["rank1"]))
+    for n, w in zip(nodes, want):
+        assert got_map[n] == w, f"node {n}"
+
+
+def test_pagerank_iterated_matches_numpy(spark, adj):
+    """The float library-tier power iteration tracks the NumPy
+    reference to float tolerance after several iterations."""
+    from gemmsql.pipeline.graph import pagerank
+
+    a, nodes = adj
+    deg = a.sum(axis=1).astype(float)
+    r = np.ones(len(nodes))
+    for _ in range(4):
+        r = 0.15 + 0.85 * (a.T @ (r / deg))
+    got = pagerank(spark, SF_SMOKE, iters=4).toPandas()
+    got_map = dict(zip(got["part"], got["rank"]))
+    for n, w in zip(nodes, r):
+        assert math.isclose(got_map[n], w, rel_tol=1e-9), f"node {n}"
+
+
+def test_hist_quantiles_bins_contain_exact_ranks(spark):
+    """Each reported pXX must be the lower edge of the bin holding the
+    exact rank-ceil(n*q/100) order statistic."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.sketches import HIST_BIN_W, HIST_QS, hist_quantiles
+
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    got = hist_quantiles(spark, SF_SMOKE).toPandas()
+    for _, row in got.iterrows():
+        vals = np.sort(
+            orders.loc[
+                orders["o_orderpriority"] == row["o_orderpriority"],
+                "o_totalprice",
+            ].to_numpy()
+        )
+        assert row["n_orders"] == len(vals)
+        for q in HIST_QS:
+            rank = -(-len(vals) * q // 100)  # ceil
+            exact = vals[rank - 1]
+            lo = row[f"p{q}"]
+            assert lo <= exact < lo + HIST_BIN_W, (
+                row["o_orderpriority"], q
+            )
+
+
+def test_concurrent_orders_matches_bruteforce(spark):
+    """Pair counts == brute-force O(n^2) overlap check per customer on
+    the collected sf0.001 intervals."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.joins import concurrent_orders
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_orderkey")
+        .agg({"l_shipdate": "max"})
+        .withColumnRenamed("max(l_shipdate)", "ship_end")
+        .toPandas()
+    )
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .toPandas()
+    )
+    iv = orders.merge(
+        li, left_on="o_orderkey", right_on="l_orderkey"
+    )
+    want: dict[int, int] = {}
+    for ck, grp in iv.groupby("o_custkey"):
+        rows = list(
+            zip(grp["o_orderkey"], grp["o_orderdate"], grp["ship_end"])
+        )
+        n = 0
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if a[1] <= b[2] and b[1] <= a[2]:
+                    n += 1
+        want[ck] = n
+    got = concurrent_orders(spark, SF_SMOKE).toPandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert row["n_overlapping"] == want[row["o_custkey"]], (
+            row["o_custkey"]
+        )
