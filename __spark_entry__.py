@@ -449,6 +449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_clusters (green r1-r5; the dedup chain stays gated via
     dedup_keep_best + dedup_incremental) and ivf_topk / pq_topk
     (green r3/r4-r5; ivfpq_topk composes both ANN scale paths).
+    And jpeg_features entered — the LOSSY compressed-format decode
+    gate (full baseline-JPEG codec in gemmsql/pipeline/jpeg.py;
+    payloads synthesized on the codec's flat-block exactness
+    subdomain so DuckDB re-derives every pixel from the md5 chain) —
+    in place of attention_batched (green r1-r5; the batched cogroup
+    shape keeps its identical hash gate in tests/test_rotation.py).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -463,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dsir,
         events,
         graph,
+        jpeg,
         joins,
         relational,
         retrieval,
@@ -481,7 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram": q_gram,                  # which in {gram, relu}
         "mlp": q_mlp,
         "attention": q_attention,        # which in {plain, scaled, kv}
-        "attention_batched": q_attention_batched,
+        # (attention_batched rotated out late in r6, green r1-r5; the
+        # batched cogroup shape keeps its hash gate in test_rotation)
         "xentropy": q_xentropy,
         "entropy": q_entropy,
         "sampling": q_sampling,  # seeded hash-noise: full oracle parity (r2)
@@ -495,9 +503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         # --- multimodal: real codecs (PPM uncompressed tier, PNG
-        # compressed tier, WAV audio tier) ---
+        # lossless-compressed tier, JPEG lossy-compressed tier on its
+        # exactness subdomain, WAV audio tier) ---
         "payload_features": payload_features,
         "png_features": png_features,
+        "jpeg_features": jpeg.jpeg_features,
         "audio_features": audio_features,
         # --- dedup (minhash_lsh_pairs / dedup_clusters rotated out
         # late in r6, green r1-r5; keep-best + incremental keep the
@@ -942,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         dsir,
         events,
         graph,
+        jpeg,
         joins,
         relational,
         retrieval,
@@ -972,7 +983,6 @@ def oracle_sql() -> dict[str, str]:
         "gram": gram_sql,
         "mlp": MLP_SQL,
         "attention": attention_sql,
-        "attention_batched": ATTENTION_BATCHED_SQL,
         "xentropy": xentropy_sql,
         "entropy": entropy_sql,
         "sampling": sampling_sql(42),
@@ -983,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_features": PAYLOAD_FEATURES_SQL,
         "png_features": PNG_FEATURES_SQL,
+        "jpeg_features": jpeg.JPEG_FEATURES_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "doc_chunks": text.DOC_CHUNKS_SQL,
         "dedup_keep_best": dedup.dedup_keep_best_sql(),

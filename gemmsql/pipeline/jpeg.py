@@ -1,0 +1,485 @@
+"""Baseline JPEG codec (grayscale JFIF), dependency-free, plus the
+gated corpus query that drives it.
+
+The container has no codec libraries, so this is a full pure-NumPy
+baseline-JPEG implementation: 8x8 forward/inverse DCT, quantization,
+zigzag, DC-difference + AC run-length entropy coding with the JPEG
+Annex K luminance Huffman tables, 0xFF byte stuffing, and a marker
+parser (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) on the decode side.  It rounds
+out the compressed-format tier next to the PNG decoder in
+``multimodal.py``: PNG gates inflate + filtering, JPEG gates entropy
+decoding + dequantization + IDCT.
+
+Hash-parity strategy for a LOSSY codec: the DuckDB oracle cannot run
+an IDCT, so the gated query synthesizes payloads inside the codec's
+EXACTNESS subdomain — images that are flat per 8x8 block.  A flat
+block's DCT is DC-only (DC = 8 * (v - 128), all AC = 0), and with the
+DC quantizer pinned to 8 the quantized coefficient is exactly
+``v - 128``: decode returns the input bit-for-bit (the float IDCT's
+~1e-13 drift is killed by the final round-to-integer).  The oracle
+therefore re-derives every block value from the md5 chain — exactly
+the ``payload_features`` pattern — while the bytes on the wire are
+REAL entropy-coded JPEG.  The lossy path (nonzero AC, magnitude
+categories, ZRL) is covered by round-trip property tests in
+``tests/test_pipeline.py`` instead (tolerance-based, as befits a
+lossy format).
+
+Scale shape: encode and decode are narrow Arrow-batched maps — no
+shuffle; at 100 TB a decode pass is scan-bound, which is the right
+bound.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+# ----------------------------------------------------------- constants
+
+#: zigzag scan order: zigzag index -> (row, col) raster index
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: quantization table (zigzag order).  q[0] = 8 pins the DC quantizer
+#: to the flat-block exactness subdomain (see module docstring); the
+#: AC entries are the JPEG Annex K luminance table, which only the
+#: lossy path exercises.
+_QUANT_AC_ANNEX_K = [
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24,
+    40, 26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60,
+    57, 51, 56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80,
+    109, 81, 87, 95, 98, 103, 104, 103, 62, 77, 113, 121, 112,
+    100, 120, 92, 101, 103, 99,
+]
+QUANT_TABLE = np.array([8] + _QUANT_AC_ANNEX_K[1:], dtype=np.int32)
+
+# Annex K luminance Huffman specs: (bits per code length 1..16, values)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal-free DCT basis per the JPEG spec convention:
+# S = (1/4) C diag-scaled cosine transform; implemented as matrix M
+# with M[u, x] = c(u)/2 * cos((2x+1) u pi / 16), so S = M @ B @ M.T
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _build_codes(bits, vals):
+    """Canonical Huffman assignment per the JPEG spec -> two maps:
+    symbol -> (code, length) and (length, code) -> symbol."""
+    enc, dec = {}, {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            dec[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+_DC_ENC, _DC_DEC = _build_codes(_DC_BITS, _DC_VALS)
+_AC_ENC, _AC_DEC = _build_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """(H, W) uint8 grayscale -> baseline JFIF bytes (single component,
+    quant table :data:`QUANT_TABLE`, Annex K luminance Huffman)."""
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1:h, :]        # edge replicate
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= 128.0
+
+    # all blocks at once: (nb, 8, 8) -> DCT -> quantize -> zigzag
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ux,bxy,vy->buv", _M, blocks, _M)
+    q = np.zeros((8, 8), dtype=np.int32)
+    q.flat[_ZIGZAG] = QUANT_TABLE
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, _ZIGZAG]  # (nb, 64) zigzag order
+
+    wr = _BitWriter()
+    pred = 0
+    for row in zz:
+        dc = int(row[0])
+        diff = dc - pred
+        pred = dc
+        s = _category(diff)
+        code, length = _DC_ENC[s]
+        wr.put(code, length)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(row[1:])[0]
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = _AC_ENC[0xF0]   # ZRL
+                wr.put(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = _AC_ENC[run * 16 + s]
+            wr.put(code, length)
+            wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, length = _AC_ENC[0x00]       # EOB
+            wr.put(code, length)
+    wr.flush()
+
+    dqt = bytes([0x00]) + bytes(int(v) for v in QUANT_TABLE)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"                                   # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+        + bytes(wr.out)
+        + b"\xff\xd9"                                 # EOI
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt != 0x00:
+                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+            self.pos += 1           # skip stuffed 0x00
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_read(r: _BitReader, dec) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = dec.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W) uint8 grayscale.  A real parser:
+    walks markers, reads DQT/SOF0/DHT from the stream (nothing is
+    assumed shared with the encoder), entropy-decodes the scan, then
+    dequantizes + IDCT + level shift."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hdec: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = 0
+    scan_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:          # EOI
+            break
+        ln = struct.unpack(">H", payload[pos:pos + 2])[0]
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:          # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables")
+                qtables[tq] = np.frombuffer(
+                    body[o + 1:o + 65], dtype=np.uint8
+                ).astype(np.int32)
+                o += 65
+        elif marker == 0xC0:        # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            comp_q = body[8]
+        elif marker == 0xC4:        # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17:o + 17 + nv])
+                _, dec = _build_codes(bits, vals)
+                hdec[(tc, th)] = dec
+                o += 17 + nv
+        elif marker == 0xDA:        # SOS: entropy data follows
+            dc_t, ac_t = body[2] >> 4, body[2] & 0xF
+            scan_start = pos
+            dc_dec, ac_dec = hdec[(0, dc_t)], hdec[(1, ac_t)]
+            break
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline (SOF0) supported")
+        # APPn / COM / anything else: skipped
+    if scan_start is None or h is None:
+        raise ValueError("no scan in stream")
+
+    q = qtables[comp_q]
+    r = _BitReader(payload[scan_start:])
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz = np.zeros((bh * bw, 64), dtype=np.int64)
+    pred = 0
+    for b in range(bh * bw):
+        s = _huff_read(r, dc_dec)
+        diff = _extend(r.bits(s), s) if s else 0
+        pred += diff
+        zz[b, 0] = pred
+        k = 1
+        while k < 64:
+            sym = _huff_read(r, ac_dec)
+            if sym == 0x00:         # EOB
+                break
+            if sym == 0xF0:         # ZRL
+                k += 16
+                continue
+            run, s = sym >> 4, sym & 0xF
+            k += run
+            zz[b, k] = _extend(r.bits(s), s)
+            k += 1
+
+    deq = (zz * q.astype(np.int64)[None, :])
+    blocks = np.zeros((bh * bw, 64), dtype=np.float64)
+    blocks[:, _ZIGZAG] = deq        # un-zigzag to raster
+    blocks = blocks.reshape(-1, 8, 8)
+    pix = np.einsum("xu,buv,yv->bxy", _M.T, blocks, _M.T)
+    img = (
+        pix.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
+    out = np.clip(np.round(img) + 128, 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
+# ------------------------------------------------- gated corpus query
+
+#: geometry: W = 16 (2 blocks/row), H = 8 * (1 + doc_id % JPEG_HB_MOD)
+JPEG_W = 16
+JPEG_HB_MOD = 7
+
+
+def _jpeg_block_values(doc_id: int, n_blocks: int) -> list[int]:
+    """Per-block gray values from the md5 chain keyed (doc_id, tile):
+    digest byte i of tile t feeds block 16*t + i."""
+    out: list[int] = []
+    for t in range(-(-n_blocks // 16)):
+        out.extend(hashlib.md5(f"jp:{doc_id}:{t}".encode()).digest())
+    return out[:n_blocks]
+
+
+def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload per document, synthesized
+    inside the codec's exactness subdomain: every 8x8 block is flat at
+    an md5-chain gray value, so decode == source bit-for-bit while the
+    wire bytes are genuinely entropy-coded (DC differences + EOBs
+    through the Annex K tables, with byte stuffing)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                hb = 1 + int(doc_id) % JPEG_HB_MOD
+                nb = hb * (JPEG_W // 8)
+                vals = _jpeg_block_values(int(doc_id), nb)
+                img = np.zeros((hb * 8, JPEG_W), dtype=np.uint8)
+                for b, v in enumerate(vals):
+                    by, bx = divmod(b, JPEG_W // 8)
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+                payloads.append(encode_jpeg_gray(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every JPEG payload with the REAL baseline decoder
+    (marker parse -> Huffman -> dequant -> IDCT) and emit exact-int64
+    grayscale statistics ``(doc_id, n_px, mean, std)``.
+
+    A wrong Huffman table, DC predictor, stuffing bug, or IDCT scale
+    changes the pixels and breaks the value hash against DuckDB's
+    md5-chain reconstruction.  Zero shuffle — one narrow decode map
+    (the ``payload_features`` shape; multimodal.py:426)."""
+    b = with_jpeg_payload(spark, sf_dir)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ns, sums, sqs = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_jpeg_gray(bytes(p)).astype(np.int64)
+                ids.append(doc_id)
+                ns.append(img.size)
+                sums.append(int(img.sum()))
+                sqs.append(int((img * img).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_px": ns, "s": sums, "s2": sqs}
+            )
+
+    part = b.mapInPandas(
+        stats, schema="doc_id long, n_px long, s long, s2 long"
+    )
+    n = F.col("n_px").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return part.select(
+        "doc_id",
+        "n_px",
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt((s2 - s * s / n) / n), 6).alias("std"),
+    )
+
+
+# oracle: block b of doc d is flat at byte (b % 16) of
+# md5('jp:d:' || b // 16); every block contributes 64 identical pixels
+JPEG_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % {JPEG_HB_MOD} AS hb FROM documents
+),
+blk AS (
+  SELECT d.doc_id, d.hb,
+         CAST('0x' || substr(
+           md5('jp:' || CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(s.b // 16 AS VARCHAR)),
+           2 * (s.b % 16) + 1, 2) AS BIGINT) AS v
+  FROM d JOIN generate_series(0, {2 * JPEG_HB_MOD - 1}) s(b)
+    ON s.b < d.hb * {JPEG_W // 8}
+),
+agg AS (
+  SELECT doc_id,
+         CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+         CAST(64 * SUM(v) AS BIGINT) AS s,
+         CAST(64 * SUM(v * v) AS BIGINT) AS s2
+  FROM blk GROUP BY doc_id
+)
+SELECT doc_id, n_px,
+  ROUND(CAST(s AS DOUBLE) / CAST(n_px AS DOUBLE), 6) AS mean,
+  ROUND(SQRT((CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n_px AS DOUBLE))
+             / CAST(n_px AS DOUBLE)), 6) AS std
+FROM agg
+"""

@@ -319,16 +319,21 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: PPM (P6), 24-bit BMP, or PNG (8-bit
-    RGB, the COMPRESSED format tier — stdlib-zlib decoder above) ->
-    (H, W, 3) uint8 RGB.  JPEG would slot in here as one more magic
-    branch backed by a codec library."""
+    """Dispatch on magic bytes: PPM (P6), 24-bit BMP, PNG (8-bit RGB,
+    stdlib-zlib inflate), or baseline JPEG (grayscale, the LOSSY
+    compressed tier — full pure-NumPy codec in ``jpeg.py``) ->
+    (H, W, 3) uint8 RGB (grayscale replicated across channels)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from gemmsql.pipeline.jpeg import decode_jpeg_gray
+
+        gray = decode_jpeg_gray(payload)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 

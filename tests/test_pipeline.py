@@ -1156,3 +1156,72 @@ def test_dup_spans_long_duplicate_merges(spark):
     assert (4, 64, 74, 8) in got
     # nothing else is duplicated: exactly these five spans exist
     assert len(got) == 5
+
+
+def test_jpeg_codec_flat_block_exactness():
+    """The gate's correctness foundation: images flat per 8x8 block
+    round-trip bit-exactly through the REAL entropy-coded JPEG (DC
+    quantizer pinned to 8 -> quantized DC == v - 128 exactly)."""
+    import numpy as np
+
+    from gemmsql.pipeline.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        hb, wb = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        vals = rng.integers(0, 256, size=(hb, wb))
+        img = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert np.array_equal(out, img)
+
+
+def test_jpeg_codec_lossy_roundtrip_bounds():
+    """Off the exactness subdomain the codec is genuinely lossy but
+    must stay within JPEG-typical error: smooth content reconstructs
+    within a few levels, any content within quantization bounds."""
+    import numpy as np
+
+    from gemmsql.pipeline.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    x = np.linspace(0, 255, 64)
+    smooth = np.tile(x, (32, 1)).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(smooth))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(24, 40)).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(noise))
+    err = np.abs(out.astype(int) - noise.astype(int))
+    # worst-case per-pixel error is bounded by half the largest AC
+    # quantizer times the basis sum; 121/2 * ~2 — use a generous cap
+    # that still catches any entropy-coding/IDCT bug (those produce
+    # errors ~128)
+    assert err.max() <= 110 and err.mean() <= 25
+
+
+def test_jpeg_non_multiple_of_8_and_dispatch():
+    """Edge-replicated padding must crop back to the requested size,
+    and decode_image must route JPEG magic to the codec as 3-channel."""
+    import numpy as np
+
+    from gemmsql.pipeline.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from gemmsql.pipeline.multimodal import decode_image
+
+    img = np.full((11, 13), 200, dtype=np.uint8)
+    payload = encode_jpeg_gray(img)
+    out = decode_jpeg_gray(payload)
+    assert out.shape == (11, 13) and np.array_equal(out, img)
+    rgb = decode_image(payload)
+    assert rgb.shape == (11, 13, 3)
+    assert np.array_equal(rgb[:, :, 0], out)
+
+
+def test_jpeg_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from gemmsql.pipeline.jpeg import decode_jpeg_gray
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x89PNG not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan

@@ -283,6 +283,10 @@ def _rotated():
          dedup.dedup_clusters_sql()),
         ("ivf_topk", _entry("q_ivf_topk"), similarity.IVF_TOPK_SQL),
         ("pq_topk", _entry("q_pq_topk"), similarity.PQ_TOPK_SQL),
+        # rotated out late in round 6 for jpeg_features (the lossy
+        # compressed-format decode gate), green r1-r5
+        ("attention_batched", _entry("q_attention_batched"),
+         _entry("ATTENTION_BATCHED_SQL")),
     ]
 
 
