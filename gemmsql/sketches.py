@@ -530,6 +530,27 @@ HIST_BIN_W = 1_000
 HIST_QS = (50, 90, 99)
 
 
+def value_histogram(
+    df: DataFrame, group_col: str, value_col: str, *, bin_w: int = HIST_BIN_W
+) -> DataFrame:
+    """Equi-width histogram state ``(g, bin, c)`` of ``value_col`` per
+    ``group_col`` — the mergeable monoid under per-bin SUM.
+
+    Like :func:`cm_sketch` and :func:`hll_registers`, this SAME plan
+    runs on a STREAMING DataFrame unchanged: ``groupBy(g, bin)`` in
+    complete/update mode maintains the histogram as bounded streaming
+    state (groups x bins rows, independent of stream length); batch
+    parity is asserted in tests/test_streaming.py."""
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.floor(F.col(value_col) / bin_w).cast("long").alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
 def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-priority price quantiles from a mergeable
     equi-width histogram -> ``(o_orderpriority, n_orders, p50, p90,
@@ -551,17 +572,10 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — so the sketch replays bit-for-bit in DuckDB."""
     from pyspark.sql import Window as W
 
-    hist = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderpriority",
-            F.floor(F.col("o_totalprice") / HIST_BIN_W)
-            .cast("long")
-            .alias("bin"),
-        )
-        .groupBy("o_orderpriority", "bin")
-        .agg(F.count("*").cast("long").alias("c"))
-    )
+    hist = value_histogram(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority",
+        "o_totalprice",
+    ).withColumnRenamed("g", "o_orderpriority")
     wcum = (
         W.partitionBy("o_orderpriority")
         .orderBy("bin")

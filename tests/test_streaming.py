@@ -663,3 +663,32 @@ def test_streaming_outer_join_gate_oracle_parity(spark):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert _hash(sdf) == _hash(odf)
     assert sdf["click_id"].isna().any()     # the NULL side materialized
+
+
+def test_streaming_value_histogram_matches_batch(spark, stream_dir):
+    """The histogram-quantile sketch's state is a per-bin SUM monoid,
+    so the SAME value_histogram() plan runs as a streaming aggregation
+    with groups x bins bounded state — final counters bit-identical to
+    batch (the CM/HLL stream/batch parity discipline)."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.sketches import value_histogram
+    from gemmsql.streaming import read_events_stream, run_to_memory
+
+    def hist(ev):
+        return value_histogram(ev, "event_type", "value", bin_w=10)
+
+    got = (
+        run_to_memory(hist(read_events_stream(spark, stream_dir)),
+                      "value_hist_s")
+        .toPandas()
+        .sort_values(["g", "bin"])
+        .reset_index(drop=True)
+    )
+    want = (
+        hist(load_table(spark, SF_SMOKE, "events"))
+        .toPandas()
+        .sort_values(["g", "bin"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    assert got.equals(want), "streaming histogram diverges from batch"
