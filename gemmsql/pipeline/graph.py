@@ -389,3 +389,102 @@ def pagerank(
         ranks.unpersist()
         ranks = nxt
     return ranks.select(F.col("n").alias("part"), "rank")
+
+
+#: neighbors kept per part by the similarity query.
+SIM_TOP_K = 5
+
+
+def item_similarity(
+    spark: SparkSession, sf_dir: str, *, k: int = SIM_TOP_K
+) -> DataFrame:
+    """Item-item Jaccard similarity over order baskets (the classic
+    collaborative-filtering primitive) -> top-``k`` neighbors per part:
+    ``(part, neighbor, co, sim, rank)`` with
+    ``sim = |orders(x) ∩ orders(y)| / |orders(x) ∪ orders(y)|``.
+
+    Scale shape: co-occurrence counts ride the same one-shuffle basket
+    pair expansion as :func:`copurchase_edges` (fan-out bounded by
+    basket size); part order-counts are a groupBy whose frame is
+    node-sized, so AQE broadcasts the two degree joins; ranking is a
+    per-part window (never global).  Determinism: ``co``/``union`` are
+    exact integers and the one IEEE divide produces identical doubles
+    on both engines, so ORDER BY (sim, neighbor) replays exactly."""
+    # consumed by both the pair counts and the degree counts — cache,
+    # or the basket groupBy runs twice
+    baskets = scoped_cache(
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps")),
+        fresh_scope=True,
+    )
+    pairs = F.expr(
+        "flatten(transform(ps, (p, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "q -> struct(p AS x, q AS y))))"
+    )
+    co = (
+        baskets.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    deg = (
+        baskets.select(F.explode("ps").alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    sym = co.join(dx, "x").join(dy, "y")
+    both = sym.select(
+        F.col("x").alias("part"), F.col("y").alias("neighbor"),
+        "co", (F.col("dx") + F.col("dy") - F.col("co")).alias("un"),
+    ).unionAll(
+        sym.select(
+            F.col("y").alias("part"), F.col("x").alias("neighbor"),
+            "co", (F.col("dx") + F.col("dy") - F.col("co")).alias("un"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    sim = F.col("co").cast("double") / F.col("un").cast("double")
+    w = W.partitionBy("part").orderBy(
+        sim.desc(), F.col("neighbor").asc()
+    )
+    return (
+        both.select(
+            "part", "neighbor", "co",
+            F.round(sim, 6).alias("sim"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+ITEM_SIMILARITY_SQL = f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+co AS (SELECT a.pk AS x, b.pk AS y, CAST(COUNT(*) AS BIGINT) AS co
+       FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+deg AS (SELECT pk AS n, CAST(COUNT(*) AS BIGINT) AS d FROM it GROUP BY 1),
+sym AS (SELECT co.x, co.y, co.co, dx.d AS dx, dy.d AS dy
+        FROM co JOIN deg dx ON dx.n = co.x JOIN deg dy ON dy.n = co.y),
+sides AS (
+  SELECT x AS part, y AS neighbor, co, dx + dy - co AS un FROM sym
+  UNION ALL
+  SELECT y, x, co, dx + dy - co FROM sym
+),
+ranked AS (
+  SELECT part, neighbor, co,
+         CAST(co AS DOUBLE) / CAST(un AS DOUBLE) AS sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY part
+            ORDER BY CAST(co AS DOUBLE) / CAST(un AS DOUBLE) DESC,
+                     neighbor) AS rank
+  FROM sides
+)
+SELECT part, neighbor, co, ROUND(sim_raw, 6) AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {SIM_TOP_K}
+"""

@@ -138,6 +138,18 @@ def _resize_stats_sql():
     return RESIZE_STATS_SQL
 
 
+def _item_similarity(spark, sf_dir):
+    from gemmsql.pipeline.graph import item_similarity
+
+    return item_similarity(spark, sf_dir)
+
+
+def _item_similarity_sql():
+    from gemmsql.pipeline.graph import ITEM_SIMILARITY_SQL
+
+    return ITEM_SIMILARITY_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         corpus,
@@ -287,6 +299,10 @@ def _rotated():
         # compressed-format decode gate), green r1-r5
         ("attention_batched", _entry("q_attention_batched"),
          _entry("ATTENTION_BATCHED_SQL")),
+        # born into this tier late in round 6 (registry full): item-item
+        # Jaccard similarity over order baskets — the collaborative-
+        # filtering primitive on the graph tier's basket machinery
+        ("item_similarity", _item_similarity, _item_similarity_sql()),
     ]
 
 
