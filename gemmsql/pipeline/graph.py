@@ -73,7 +73,11 @@ def _color_sql(expr: str, colors: int) -> str:
 
 
 def copurchase_edges(
-    spark: SparkSession, sf_dir: str, *, colors: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    colors: int = 1,
+    min_support: int = 1,
 ) -> DataFrame:
     """Distinct undirected co-purchase edges ``(x, y)`` with
     ``x < y`` — parts bought together in at least one order.
@@ -88,7 +92,11 @@ def copurchase_edges(
     triangle with probability ``colors^-2`` (both partners must match
     the third node's color), so downstream triangle counts scaled by
     ``colors^2`` are unbiased — the standard way to trade accuracy
-    for a ``colors^2`` cut in wedge volume on a 100 TB graph."""
+    for a ``colors^2`` cut in wedge volume on a 100 TB graph.
+
+    ``min_support > 1`` keeps only pairs co-purchased in at least that
+    many orders — the standard association-rule support floor that
+    turns the near-complete raw graph into a sparse backbone."""
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -124,11 +132,15 @@ def copurchase_edges(
             "transform(slice(ps, i + 2, size(ps) - i - 1), "
             "q -> struct(p AS x, q AS y))))"
         )
-    return (
-        baskets.select(F.explode(pairs).alias("e"))
-        .select("e.x", "e.y")
-        .distinct()
-    )
+    flat = baskets.select(F.explode(pairs).alias("e")).select("e.x", "e.y")
+    if min_support > 1:
+        return (
+            flat.groupBy("x", "y")
+            .agg(F.count("*").alias("w"))
+            .where(F.col("w") >= min_support)
+            .select("x", "y")
+        )
+    return flat.distinct()
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
@@ -487,4 +499,69 @@ ranked AS (
 SELECT part, neighbor, co, ROUND(sim_raw, 6) AS sim,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {SIM_TOP_K}
+"""
+
+
+#: support floor for the community query's edge backbone.
+COMMUNITY_SUPPORT = 2
+
+
+def part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-{COMMUNITY_SUPPORT}
+    co-purchase backbone -> ``(part, component, n_parts)`` where
+    ``component`` is the minimum part id of the component and
+    ``n_parts`` its size (parts with no supported edge are singleton
+    components of themselves).
+
+    Reuses the skew-safe large-star/small-star contraction from the
+    dedup tier (``dedup.connected_components_star`` — Kiveris et al.,
+    O(log n) rounds, hubs shrink instead of broadcasting; the 100 TB
+    CC algorithm).  The DuckDB twin is a recursive min-reachability
+    CTE — an independent formulation, so the contraction itself is
+    hash-gated."""
+    from gemmsql.pipeline.dedup import connected_components_star
+
+    edges = scoped_cache(
+        copurchase_edges(spark, sf_dir, min_support=COMMUNITY_SUPPORT),
+        fresh_scope=True,
+    )
+    bidir = edges.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionAll(edges.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+    nodes = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("doc_id"))
+        .distinct()
+    )
+    labels = connected_components_star(bidir, nodes)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("doc_id").alias("part"),
+        F.col("label").alias("component"),
+        "n_parts",
+    )
+
+
+PART_COMMUNITIES_SQL = f"""
+WITH RECURSIVE it AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+e2 AS (
+  SELECT a.pk AS x, b.pk AS y
+  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COMMUNITY_SUPPORT}
+),
+e AS (SELECT x AS src, y AS dst FROM e2 UNION ALL SELECT y, x FROM e2),
+reach(n, m) AS (
+  SELECT DISTINCT pk, pk FROM it
+  UNION
+  SELECT r.n, e.dst FROM reach r JOIN e ON e.src = r.m
+),
+lab AS (SELECT n AS part, MIN(m) AS component FROM reach GROUP BY 1),
+sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_parts
+       FROM lab GROUP BY 1)
+SELECT lab.part, lab.component, sz.n_parts
+FROM lab JOIN sz USING (component)
 """

@@ -150,6 +150,18 @@ def _item_similarity_sql():
     return ITEM_SIMILARITY_SQL
 
 
+def _part_communities(spark, sf_dir):
+    from gemmsql.pipeline.graph import part_communities
+
+    return part_communities(spark, sf_dir)
+
+
+def _part_communities_sql():
+    from gemmsql.pipeline.graph import PART_COMMUNITIES_SQL
+
+    return PART_COMMUNITIES_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         corpus,
@@ -303,6 +315,12 @@ def _rotated():
         # Jaccard similarity over order baskets — the collaborative-
         # filtering primitive on the graph tier's basket machinery
         ("item_similarity", _item_similarity, _item_similarity_sql()),
+        # born late in round 6: connected components of the support-2
+        # co-purchase backbone via the dedup tier's large-star/small-
+        # star contraction; the twin is an INDEPENDENT formulation
+        # (recursive min-reachability CTE), so the contraction itself
+        # is hash-gated
+        ("part_communities", _part_communities, _part_communities_sql()),
     ]
 
 
