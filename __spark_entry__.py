@@ -453,8 +453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate (full baseline-JPEG codec in gemmsql/pipeline/jpeg.py;
     payloads synthesized on the codec's flat-block exactness
     subdomain so DuckDB re-derives every pixel from the md5 chain) —
-    in place of attention_batched (green r1-r5; the batched cogroup
-    shape keeps its identical hash gate in tests/test_rotation.py).
+    in place of embedding_dups_lsh (green r3-r5; its hash gate moves
+    to tests/test_rotation.py and the embedding near-dup surface stays
+    gated via semantic_dups — the reference-surface attention_batched
+    stays in the gate).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -488,8 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram": q_gram,                  # which in {gram, relu}
         "mlp": q_mlp,
         "attention": q_attention,        # which in {plain, scaled, kv}
-        # (attention_batched rotated out late in r6, green r1-r5; the
-        # batched cogroup shape keeps its hash gate in test_rotation)
+        "attention_batched": q_attention_batched,
         "xentropy": q_xentropy,
         "entropy": q_entropy,
         "sampling": q_sampling,  # seeded hash-noise: full oracle parity (r2)
@@ -501,7 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out in r6 green r1-r5, ivf_topk / pq_topk late in r6 green
         # r3/r4-r5; ivfpq_topk stays — it composes both scale paths) ---
         "ivfpq_topk": q_ivfpq_topk,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
+        # (embedding_dups_lsh rotated out late in r6, green r3-r5; the
+        # embedding near-dup surface stays gated via semantic_dups and
+        # the hash gate moves to test_rotation)
         # --- multimodal: real codecs (PPM uncompressed tier, PNG
         # lossless-compressed tier, JPEG lossy-compressed tier on its
         # exactness subdomain, WAV audio tier) ---
@@ -971,10 +974,7 @@ def oracle_sql() -> dict[str, str]:
         STREAMING_JOIN_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
     )
-    from gemmsql.pipeline.similarity import (
-        EMBEDDING_DUPS_LSH_SQL,
-        IVFPQ_TOPK_SQL,
-    )
+    from gemmsql.pipeline.similarity import IVFPQ_TOPK_SQL
 
     text_stats_sql = text.TEXT_PROFILE_SQL
     repetition_sql = text.REPETITION_PROFILE_SQL
@@ -983,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "gram": gram_sql,
         "mlp": MLP_SQL,
         "attention": attention_sql,
+        "attention_batched": ATTENTION_BATCHED_SQL,
         "xentropy": xentropy_sql,
         "entropy": entropy_sql,
         "sampling": sampling_sql(42),
@@ -990,7 +991,6 @@ def oracle_sql() -> dict[str, str]:
         "chain_grads": CHAIN_GRADS_SQL,
         "chain2_grads": CHAIN2_GRADS_SQL,
         "ivfpq_topk": IVFPQ_TOPK_SQL,
-        "embedding_dups_lsh": EMBEDDING_DUPS_LSH_SQL,
         "payload_features": PAYLOAD_FEATURES_SQL,
         "png_features": PNG_FEATURES_SQL,
         "jpeg_features": jpeg.JPEG_FEATURES_SQL,

@@ -308,9 +308,10 @@ def _rotated():
         ("ivf_topk", _entry("q_ivf_topk"), similarity.IVF_TOPK_SQL),
         ("pq_topk", _entry("q_pq_topk"), similarity.PQ_TOPK_SQL),
         # rotated out late in round 6 for jpeg_features (the lossy
-        # compressed-format decode gate), green r1-r5
-        ("attention_batched", _entry("q_attention_batched"),
-         _entry("ATTENTION_BATCHED_SQL")),
+        # compressed-format decode gate), green r3-r5; the embedding
+        # near-dup surface stays driver-gated via semantic_dups
+        ("embedding_dups_lsh", _entry("q_embedding_dups_lsh"),
+         similarity.EMBEDDING_DUPS_LSH_SQL),
         # born into this tier late in round 6 (registry full): item-item
         # Jaccard similarity over order baskets — the collaborative-
         # filtering primitive on the graph tier's basket machinery
