@@ -449,3 +449,57 @@ SELECT per_cell.cohort_q, per_cell.q_offset, per_cell.n_custs,
          AS retention
 FROM per_cell JOIN sizes ON per_cell.cohort_q = sizes.cohort_q
 """
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts + value
+    totals at THREE time grains (hour / day / week) in ONE scan ->
+    ``(grain, bucket_ts, n_events, sum_value)``.
+
+    The naive form is three scans + a union; ``GROUPING SETS`` over
+    the three derived bucket columns expands map-side instead, so the
+    corpus is read once and each row fans out to its three buckets
+    before one shuffle — the TimescaleDB/Druid rollup shape, and on
+    100 TB the difference between one pass and three.  ``grain`` is
+    recovered from the grouping-id bitmask; week buckets are
+    Monday-anchored (``date_trunc('week')`` on both engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("week", F.col("ts")).alias("w"),
+        "value",
+    )
+    agg = ev.groupingSets(
+        [[F.col("h")], [F.col("d")], [F.col("w")]],
+        F.col("h"), F.col("d"), F.col("w"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    grain = (
+        F.when(F.col("h").isNotNull(), F.lit("hour"))
+        .when(F.col("d").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("week"))
+    )
+    return agg.select(
+        grain.alias("grain"),
+        F.coalesce("h", "d", "w").alias("bucket_ts"),
+        "n_events",
+        "sum_value",
+    )
+
+
+TIME_ROLLUP_SQL = """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         date_trunc('week', ts) AS w, value
+  FROM events
+)
+SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+            WHEN d IS NOT NULL THEN 'day' ELSE 'week' END AS grain,
+       COALESCE(h, d, w) AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
+FROM ev
+GROUP BY GROUPING SETS ((h), (d), (w))
+"""

@@ -56,16 +56,11 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 _RANK_SHIFT = 1 << 32  # (degree, node) -> degree * 2^32 + node
 
 
-def _color(col, colors: int):
-    """Deterministic node color in [0, colors) — the md5 gate every
-    sampled op in the repo uses, so DuckDB replays it bit-for-bit."""
-    h = F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    return F.pmod(h, F.lit(colors))
-
-
 def _color_sql(expr: str, colors: int) -> str:
+    """Deterministic node color in [0, colors) — the md5 gate every
+    sampled op in the repo uses (the Spark twin is the inline
+    ``pmod(conv(substring(md5(...))))`` in the basket pair expansion),
+    so DuckDB replays it bit-for-bit."""
     return (
         f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15) "
         f"AS BIGINT) % {colors}"

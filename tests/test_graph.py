@@ -177,3 +177,50 @@ def test_concurrent_orders_matches_bruteforce(spark):
         assert row["n_overlapping"] == want[row["o_custkey"]], (
             row["o_custkey"]
         )
+
+
+def test_orientation_of_empty_edge_frame(spark):
+    """An edge-free shard (all single-item baskets) must flow through
+    orientation as an empty frame with the right schema, not crash."""
+    from gemmsql.pipeline.graph import _oriented
+
+    empty = spark.createDataFrame([], "x long, y long")
+    o = _oriented(empty)
+    assert o.columns == ["u", "v", "rv"] and o.count() == 0
+
+
+def test_copurchase_min_support_filters(spark):
+    """Support-2 backbone must be a subset of the raw edge set and
+    every kept pair must genuinely repeat."""
+    from gemmsql.pipeline.graph import copurchase_edges
+
+    raw = copurchase_edges(spark, SF_SMOKE).toPandas()
+    s2 = copurchase_edges(spark, SF_SMOKE, min_support=2).toPandas()
+    raw_set = set(zip(raw["x"], raw["y"]))
+    s2_set = set(zip(s2["x"], s2["y"]))
+    assert s2_set <= raw_set
+    assert 0 < len(s2_set) < len(raw_set)
+
+
+def test_part_communities_are_consistent(spark):
+    """Labels must be component-consistent: both endpoints of every
+    supported edge share a component, and the component id is the
+    minimum member."""
+    from gemmsql.pipeline.graph import (
+        COMMUNITY_SUPPORT,
+        copurchase_edges,
+        part_communities,
+    )
+
+    labels = part_communities(spark, SF_SMOKE).toPandas()
+    lab = dict(zip(labels["part"], labels["component"]))
+    edges = copurchase_edges(
+        spark, SF_SMOKE, min_support=COMMUNITY_SUPPORT
+    ).toPandas()
+    for x, y in zip(edges["x"], edges["y"]):
+        assert lab[x] == lab[y], (x, y)
+    comp_min: dict[int, int] = {}
+    for p, c in lab.items():
+        comp_min[c] = min(comp_min.get(c, p), p)
+    for c, mn in comp_min.items():
+        assert c == mn, f"component {c} labeled above its minimum {mn}"

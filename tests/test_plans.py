@@ -812,3 +812,13 @@ def test_concurrent_orders_range_join_is_keyed(spark):
     p = plan_of(concurrent_orders(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_time_rollup_single_scan_expand(spark):
+    """The three-grain rollup must be ONE events scan with a map-side
+    Expand (GROUPING SETS), never three scans + union."""
+    from gemmsql.pipeline.events import time_rollup
+
+    p = plan_of(time_rollup(spark, SF_SMOKE))
+    assert p.count("FileScan parquet") == 1, "one events scan"
+    assert "Expand" in p, "GROUPING SETS must expand map-side"

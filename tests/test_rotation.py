@@ -322,6 +322,9 @@ def _rotated():
         # (recursive min-reachability CTE), so the contraction itself
         # is hash-gated
         ("part_communities", _part_communities, _part_communities_sql()),
+        # born late in round 6: hypertable-style continuous aggregate —
+        # hour/day/week rollup in one GROUPING SETS scan
+        ("time_rollup", events.time_rollup, events.TIME_ROLLUP_SQL),
     ]
 
 
