@@ -227,45 +227,49 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     )
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt != 0x00:
-                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
-            self.pos += 1           # skip stuffed 0x00
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+from functools import lru_cache
 
 
-def _huff_read(r: _BitReader, dec) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = dec.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+@lru_cache(maxsize=16)
+def _huff_lut(bits: bytes, vals: bytes):
+    """DHT spec -> (symbol, length) flat 16-bit-prefix lookup tables:
+    peek 16 bits, one index, done — instead of a bit-by-bit tree walk
+    per symbol.  Cached on the raw table bytes, so a corpus of
+    same-table images builds each LUT once per worker."""
+    _, dec = _build_codes(list(bits), list(vals))
+    sym = [-1] * (1 << 16)
+    ln = [0] * (1 << 16)
+    for (length, code), s in dec.items():
+        lo = code << (16 - length)
+        for v in range(lo, lo + (1 << (16 - length))):
+            sym[v] = s
+            ln[v] = length
+    return sym, ln
+
+
+def _scan_words(data: bytes):
+    """Destuffed entropy-coded scan -> list of 32-bit big-endian words
+    (word ``i`` holds bytes ``i..i+3``), so bits ``p..p+n-1`` are one
+    shift+mask on ``words[p >> 3]``.  The scan ends at the first real
+    marker (0xFF followed by non-zero); stuffed 0xFF 0x00 pairs become
+    a plain 0xFF byte.  Padding is 0xFF so a read past the end hits an
+    invalid Huffman prefix instead of decoding silence."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.where(arr[:-1] == 0xFF)[0]
+    markers = ff[arr[ff + 1] != 0]
+    end = int(markers[0]) if len(markers) else len(arr)
+    arr = arr[:end]
+    keep = np.ones(len(arr), dtype=bool)
+    ffpos = np.where(arr[:-1] == 0xFF)[0]
+    keep[ffpos + 1] = False          # the stuffed 0x00 after each 0xFF
+    d = np.concatenate([arr[keep], np.full(8, 0xFF, np.uint8)])
+    w = (
+        (d[:-3].astype(np.uint32) << 24)
+        | (d[1:-2].astype(np.uint32) << 16)
+        | (d[2:-1].astype(np.uint32) << 8)
+        | d[3:].astype(np.uint32)
+    )
+    return w.tolist()
 
 
 def _extend(v: int, s: int) -> int:
@@ -281,7 +285,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    hdec: dict[tuple[int, int], dict] = {}
+    hdec: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     h = w = None
     comp_q = 0
     scan_start = None
@@ -314,16 +318,19 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 tc, th = body[o] >> 4, body[o] & 0xF
-                bits = list(body[o + 1:o + 17])
-                nv = sum(bits)
-                vals = list(body[o + 17:o + 17 + nv])
-                _, dec = _build_codes(bits, vals)
-                hdec[(tc, th)] = dec
+                nv = sum(body[o + 1:o + 17])
+                # store the raw spec; the prefix LUT is built (and
+                # process-cached) from exactly these bytes
+                hdec[(tc, th)] = (
+                    bytes(body[o + 1:o + 17]),
+                    bytes(body[o + 17:o + 17 + nv]),
+                )
                 o += 17 + nv
         elif marker == 0xDA:        # SOS: entropy data follows
             dc_t, ac_t = body[2] >> 4, body[2] & 0xF
             scan_start = pos
-            dc_dec, ac_dec = hdec[(0, dc_t)], hdec[(1, ac_t)]
+            dc_sym, dc_len = _huff_lut(*hdec[(0, dc_t)])
+            ac_sym, ac_len = _huff_lut(*hdec[(1, ac_t)])
             break
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline (SOF0) supported")
@@ -332,18 +339,30 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         raise ValueError("no scan in stream")
 
     q = qtables[comp_q]
-    r = _BitReader(payload[scan_start:])
+    words = _scan_words(payload[scan_start:])
     bh, bw = -(-h // 8), -(-w // 8)
     zz = np.zeros((bh * bw, 64), dtype=np.int64)
     pred = 0
+    p = 0   # bit cursor; bits p..p+n-1 live in words[p >> 3]
     for b in range(bh * bw):
-        s = _huff_read(r, dc_dec)
-        diff = _extend(r.bits(s), s) if s else 0
-        pred += diff
+        peek = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        s = dc_sym[peek]
+        if s < 0:
+            raise ValueError("invalid Huffman code")
+        p += dc_len[peek]
+        if s:
+            off = p & 7
+            v = (words[p >> 3] >> (32 - off - s)) & ((1 << s) - 1)
+            pred += _extend(v, s)
+            p += s
         zz[b, 0] = pred
         k = 1
         while k < 64:
-            sym = _huff_read(r, ac_dec)
+            peek = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+            sym = ac_sym[peek]
+            if sym < 0:
+                raise ValueError("invalid Huffman code")
+            p += ac_len[peek]
             if sym == 0x00:         # EOB
                 break
             if sym == 0xF0:         # ZRL
@@ -351,7 +370,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 continue
             run, s = sym >> 4, sym & 0xF
             k += run
-            zz[b, k] = _extend(r.bits(s), s)
+            off = p & 7
+            v = (words[p >> 3] >> (32 - off - s)) & ((1 << s) - 1)
+            zz[b, k] = _extend(v, s)
+            p += s
             k += 1
 
     deq = (zz * q.astype(np.int64)[None, :])
