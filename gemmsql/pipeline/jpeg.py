@@ -370,6 +370,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 continue
             run, s = sym >> 4, sym & 0xF
             k += run
+            if k > 63:
+                raise ValueError("AC run past block end (corrupt scan)")
             off = p & 7
             v = (words[p >> 3] >> (32 - off - s)) & ((1 << s) - 1)
             zz[b, k] = _extend(v, s)

@@ -1225,3 +1225,44 @@ def test_jpeg_decoder_rejects_malformed():
         decode_jpeg_gray(b"\x89PNG not a jpeg")
     with _pytest.raises(ValueError):
         decode_jpeg_gray(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 4), st.integers(1, 4))),
+)
+def test_jpeg_flat_block_roundtrip_property(vals):
+    """The gate's exactness law, property-based: ANY per-8x8-block-flat
+    image round-trips bit-exactly through the real entropy-coded JPEG."""
+    from gemmsql.pipeline.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(8, 24), st.integers(8, 24))),
+    st.integers(0, 2),
+)
+def test_jpeg_decoder_never_hangs_on_corruption(img, mode):
+    """Truncated or bit-flipped payloads must either raise ValueError
+    (or IndexError from a truncated stream) or decode to SOME valid
+    uint8 image — never hang, loop, or return a wrong-shaped array."""
+    import struct
+
+    from gemmsql.pipeline.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    payload = bytearray(encode_jpeg_gray(img))
+    if mode == 0:
+        payload = payload[: max(4, int(len(payload) * 0.6))]
+    elif mode == 1 and len(payload) > 30:
+        payload[len(payload) // 2] ^= 0x55   # flip bits mid-stream
+    else:
+        payload[-10:-8] = b"\x00\x00"        # stomp near the tail
+    try:
+        out = decode_jpeg_gray(bytes(payload))
+    except (ValueError, IndexError, struct.error):
+        return
+    assert out.dtype == np.uint8 and out.ndim == 2
+
