@@ -277,7 +277,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("missing IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:   # uniform decode contract: ValueError
+        raise ValueError(f"PNG inflate failed: {e}") from e
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel stream length mismatch")

@@ -1266,3 +1266,33 @@ def test_jpeg_decoder_never_hangs_on_corruption(img, mode):
         return
     assert out.dtype == np.uint8 and out.ndim == 2
 
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(3)),
+    ),
+    st.integers(0, 2),
+)
+def test_png_decoder_never_hangs_on_corruption(img, mode):
+    """Same contract as the JPEG fuzz: truncation / bit flips / tail
+    stomps raise ValueError (CRC, inflate, or length check) or decode
+    to a valid RGB array — no raw zlib.error, no wrong shapes."""
+    import struct
+
+    from gemmsql.pipeline.multimodal import decode_png, encode_png
+
+    payload = bytearray(encode_png(img))
+    if mode == 0:
+        payload = payload[: max(8, int(len(payload) * 0.6))]
+    elif mode == 1:
+        payload[len(payload) // 2] ^= 0x55
+    else:
+        payload[-10:-8] = b"\x00\x00"
+    try:
+        out = decode_png(bytes(payload))
+    except (ValueError, IndexError, struct.error):
+        return
+    assert out.dtype == np.uint8 and out.ndim == 3
