@@ -560,3 +560,29 @@ sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_parts
 SELECT lab.part, lab.component, sz.n_parts
 FROM lab JOIN sz USING (component)
 """
+
+
+# exact twin of TRIANGLE_COUNT_SQL: no color filter, no estimate column
+TRIANGLE_COUNT_EXACT_SQL = f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (SELECT DISTINCT a.pk AS x, b.pk AS y
+      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+deg AS (SELECT n, COUNT(*) AS d
+        FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+o AS (SELECT CASE WHEN dx.d * {_RANK_SHIFT} + e.x < dy.d * {_RANK_SHIFT} + e.y
+                  THEN e.x ELSE e.y END AS u,
+             CASE WHEN dx.d * {_RANK_SHIFT} + e.x < dy.d * {_RANK_SHIFT} + e.y
+                  THEN e.y ELSE e.x END AS v,
+             CASE WHEN dx.d * {_RANK_SHIFT} + e.x < dy.d * {_RANK_SHIFT} + e.y
+                  THEN dy.d * {_RANK_SHIFT} + e.y
+                  ELSE dx.d * {_RANK_SHIFT} + e.x END AS rv
+      FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+tris AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+         FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.rv < e2.rv
+         JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+corners AS (SELECT u AS part FROM tris
+            UNION ALL SELECT v1 FROM tris
+            UNION ALL SELECT v2 FROM tris)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+"""

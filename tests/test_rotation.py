@@ -150,6 +150,18 @@ def _item_similarity_sql():
     return ITEM_SIMILARITY_SQL
 
 
+def _triangle_exact(spark, sf_dir):
+    from gemmsql.pipeline.graph import triangle_count
+
+    return triangle_count(spark, sf_dir)
+
+
+def _triangle_exact_sql():
+    from gemmsql.pipeline.graph import TRIANGLE_COUNT_EXACT_SQL
+
+    return TRIANGLE_COUNT_EXACT_SQL
+
+
 def _part_communities(spark, sf_dir):
     from gemmsql.pipeline.graph import part_communities
 
@@ -325,6 +337,10 @@ def _rotated():
         # born late in round 6: hypertable-style continuous aggregate —
         # hour/day/week rollup in one GROUPING SETS scan
         ("time_rollup", events.time_rollup, events.TIME_ROLLUP_SQL),
+        # the EXACT (colors=1) triangle path: the gated query samples
+        # (TRI_COLORS=4); this keeps full-graph DuckDB hash parity on
+        # the unsampled formulation alongside its NumPy differential
+        ("triangle_count_exact", _triangle_exact, _triangle_exact_sql()),
     ]
 
 
