@@ -224,3 +224,37 @@ def test_part_communities_are_consistent(spark):
         comp_min[c] = min(comp_min.get(c, p), p)
     for c, mn in comp_min.items():
         assert c == mn, f"component {c} labeled above its minimum {mn}"
+
+
+def test_new_ops_bit_stable_across_partitionings(spark):
+    """The late-round-6 gate entrants are integer/fixed-point exact, so
+    their results must be BIT-IDENTICAL under a different shuffle
+    partitioning (the ML gates' discipline) — any drift would mean an
+    order-dependent reduction snuck in."""
+    import pandas as pd
+
+    from gemmsql.pipeline.graph import pagerank_step, triangle_count_gate
+    from gemmsql.pipeline.joins import concurrent_orders
+    from gemmsql.sketches import hist_quantiles
+
+    cases = [
+        (triangle_count_gate, ["part"]),
+        (pagerank_step, ["part"]),
+        (hist_quantiles, ["o_orderpriority"]),
+        (concurrent_orders, ["o_custkey"]),
+    ]
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    outs = {}
+    try:
+        for parts in ("7", old):
+            spark.conf.set(key, parts)
+            for fn, by in cases:
+                df = fn(spark, SF_SMOKE).toPandas()
+                outs.setdefault(fn.__name__, []).append(
+                    df.sort_values(by).reset_index(drop=True)
+                )
+    finally:
+        spark.conf.set(key, old)
+    for name, (a, b) in outs.items():
+        pd.testing.assert_frame_equal(a, b, check_exact=True), name
