@@ -1296,3 +1296,68 @@ def test_png_decoder_never_hangs_on_corruption(img, mode):
     except (ValueError, IndexError, struct.error):
         return
     assert out.dtype == np.uint8 and out.ndim == 3
+
+
+def test_jpeg_color_flat_mcu_matches_integer_model():
+    """Color exactness law: per-16x16-MCU-flat RGB decodes to exactly
+    the integer pipeline model (forward JFIF conversion, exact codec,
+    inverse conversion) — the identity the color oracle relies on."""
+    from gemmsql.pipeline.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(13)
+    for _ in range(6):
+        mh, mw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        rgbs = rng.integers(0, 256, (mh, mw, 3))
+        img = np.repeat(np.repeat(rgbs, 16, 0), 16, 1).astype(np.uint8)
+        out = decode_jpeg_color(encode_jpeg_color(img))
+        ycc = rgb_to_ycbcr(img)
+        want = ycbcr_to_rgb(ycc[..., 0], ycc[..., 1], ycc[..., 2])
+        assert np.array_equal(out, want)
+
+
+def test_jpeg_color_smooth_and_odd_sizes():
+    from gemmsql.pipeline.jpeg import decode_jpeg_color, encode_jpeg_color
+
+    x = np.linspace(0, 255, 64)
+    img = np.stack(
+        [np.tile(x, (32, 1)), np.tile(x[::-1], (32, 1)),
+         np.full((32, 64), 128.0)],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg_color(encode_jpeg_color(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+    # non-multiple-of-16 shapes crop back exactly
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (19, 21, 3)).astype(np.uint8)
+    out = decode_jpeg_color(encode_jpeg_color(img))
+    assert out.shape == (19, 21, 3)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(8, 24), st.integers(8, 24),
+                               st.just(3))),
+    st.integers(0, 2),
+)
+def test_jpeg_color_decoder_never_hangs_on_corruption(img, mode):
+    import struct
+
+    from gemmsql.pipeline.jpeg import decode_jpeg_color, encode_jpeg_color
+
+    payload = bytearray(encode_jpeg_color(img))
+    if mode == 0:
+        payload = payload[: max(4, int(len(payload) * 0.6))]
+    elif mode == 1 and len(payload) > 30:
+        payload[len(payload) // 2] ^= 0x55
+    else:
+        payload[-10:-8] = b"\x00\x00"
+    try:
+        out = decode_jpeg_color(bytes(payload))
+    except (ValueError, IndexError, struct.error):
+        return
+    assert out.dtype == np.uint8 and out.ndim == 3

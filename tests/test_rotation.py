@@ -150,6 +150,18 @@ def _item_similarity_sql():
     return ITEM_SIMILARITY_SQL
 
 
+def _jpeg_color(spark, sf_dir):
+    from gemmsql.pipeline.jpeg import jpeg_color_features
+
+    return jpeg_color_features(spark, sf_dir)
+
+
+def _jpeg_color_sql():
+    from gemmsql.pipeline.jpeg import JPEG_COLOR_FEATURES_SQL
+
+    return JPEG_COLOR_FEATURES_SQL
+
+
 def _triangle_exact(spark, sf_dir):
     from gemmsql.pipeline.graph import triangle_count
 
@@ -341,6 +353,12 @@ def _rotated():
         # (TRI_COLORS=4); this keeps full-graph DuckDB hash parity on
         # the unsampled formulation alongside its NumPy differential
         ("triangle_count_exact", _triangle_exact, _triangle_exact_sql()),
+        # born late in round 6: the COLOR (YCbCr 4:2:0) JPEG tier —
+        # three interleaved scan components, four Huffman tables,
+        # chroma subsample/upsample and both color conversions, all
+        # replayed by the oracle as integer half-up formulas on the
+        # flat-MCU exactness subdomain
+        ("jpeg_color_features", _jpeg_color, _jpeg_color_sql()),
     ]
 
 
