@@ -235,15 +235,29 @@ def _put_block(wr: _BitWriter, row, pred: int, dc_enc, ac_enc) -> int:
     return dc
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray, *, restart_every: int | None = None
+) -> bytes:
     """(H, W) uint8 grayscale -> baseline JFIF bytes (single component,
-    quant table :data:`QUANT_TABLE`, Annex K luminance Huffman)."""
+    quant table :data:`QUANT_TABLE`, Annex K luminance Huffman).
+
+    ``restart_every`` emits a DRI segment and an RSTn marker after
+    every that-many MCUs (here one MCU = one block): the DC predictor
+    resets and the bitstream byte-aligns at each marker, which is what
+    makes camera JPEGs decodable — and at 100 TB, *parallelizable* —
+    in independent segments."""
     h, w = img.shape
     zz = _quantize_plane(_pad_plane(img, 8) - 128.0, QUANT_TABLE)
 
     wr = _BitWriter()
     pred = 0
-    for row in zz:
+    for i, row in enumerate(zz):
+        if restart_every and i and i % restart_every == 0:
+            wr.flush()
+            wr.out += bytes(
+                [0xFF, 0xD0 + (i // restart_every - 1) % 8]
+            )
+            pred = 0
         pred = _put_block(wr, row, pred, _DC_ENC, _AC_ENC)
     wr.flush()
 
@@ -252,6 +266,10 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_every))
+        if restart_every else b""
+    )
     return (
         b"\xff\xd8"                                   # SOI
         + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -259,6 +277,7 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
         + _seg(0xFFC0, sof)
         + _seg(0xFFC4, dht_dc)
         + _seg(0xFFC4, dht_ac)
+        + dri
         + _seg(0xFFDA, sos)
         + bytes(wr.out)
         + b"\xff\xd9"                                 # EOI
@@ -311,14 +330,18 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg_color(img: np.ndarray) -> bytes:
+def encode_jpeg_color(
+    img: np.ndarray, *, restart_every: int | None = None
+) -> bytes:
     """(H, W, 3) uint8 RGB -> baseline JFIF bytes, YCbCr 4:2:0: the
     real-world JPEG layout.  Three components (Y sampling 2x2, Cb/Cr
     1x1), two quant tables (luma / Annex K chroma, both DC-pinned to
     8), four Huffman tables, interleaved MCU entropy coding
     (Y1 Y2 Y3 Y4 Cb Cr per 16x16 MCU) with per-component DC
     predictors.  Chroma is box-subsampled 2x2 with half-up integer
-    averaging — deterministic and oracle-replayable."""
+    averaging — deterministic and oracle-replayable.
+    ``restart_every`` emits DRI + RSTn every that-many MCUs (see
+    :func:`encode_jpeg_gray`)."""
     h, w, _ = img.shape
     ycc = rgb_to_ycbcr(img)
     yp = _pad_plane(ycc[..., 0], 16)
@@ -337,8 +360,16 @@ def encode_jpeg_color(img: np.ndarray) -> bytes:
     ybw = yp.shape[1] // 8                   # Y blocks per row
     wr = _BitWriter()
     py = pcb = pcr = 0
+    n_mcu = 0
     for my in range(mbh):
         for mx in range(mbw):
+            if restart_every and n_mcu and n_mcu % restart_every == 0:
+                wr.flush()
+                wr.out += bytes(
+                    [0xFF, 0xD0 + (n_mcu // restart_every - 1) % 8]
+                )
+                py = pcb = pcr = 0
+            n_mcu += 1
             for dy in range(2):
                 for dx in range(2):
                     row = yzz[(2 * my + dy) * ybw + 2 * mx + dx]
@@ -363,6 +394,10 @@ def encode_jpeg_color(img: np.ndarray) -> bytes:
         + _seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_every))
+        if restart_every else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -370,6 +405,7 @@ def encode_jpeg_color(img: np.ndarray) -> bytes:
         + _seg(0xFFDB, dqt1)
         + _seg(0xFFC0, sof)
         + dht
+        + dri
         + _seg(0xFFDA, sos)
         + bytes(wr.out)
         + b"\xff\xd9"
@@ -425,6 +461,28 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _split_restarts(data: bytes) -> list[bytes]:
+    """Split raw entropy data at RSTn markers (0xFF 0xD0-0xD7).  A
+    stuffed 0xFF is always followed by 0x00, so any 0xFF + 0xD0-0xD7
+    pair is a true restart marker.  Each returned segment is
+    independently decodable (byte-aligned, predictors reset) — the
+    property that lets a 100 TB decode pass split ONE huge scan across
+    tasks, not just across files."""
+    segs = []
+    start = 0
+    i = 0
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            segs.append(data[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1 + (data[i] == 0xFF)   # skip stuffed pair atomically
+    segs.append(data[start:])
+    return segs
+
+
 def _parse_segments(payload: bytes):
     """Walk the marker stream -> (qtables, huffman specs, frame, scan
     components, scan byte offset).  Shared by the grayscale and color
@@ -437,6 +495,7 @@ def _parse_segments(payload: bytes):
     frame = None          # (h, w, [(cid, hs, vs, tq), ...])
     scan = None           # [(cid, dc_t, ac_t), ...]
     scan_start = None
+    dri = 0               # restart interval in MCUs (0 = none)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -476,6 +535,8 @@ def _parse_segments(payload: bytes):
                     bytes(body[o + 17:o + 17 + nv]),
                 )
                 o += 17 + nv
+        elif marker == 0xDD:        # DRI: restart interval
+            dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:        # SOS: entropy data follows
             ns = body[0]
             scan = [
@@ -490,7 +551,7 @@ def _parse_segments(payload: bytes):
         # APPn / COM / anything else: skipped
     if scan_start is None or frame is None:
         raise ValueError("no scan in stream")
-    return qtables, hspecs, frame, scan, scan_start
+    return qtables, hspecs, frame, scan, scan_start, dri
 
 
 def _read_block(words, p, dc_sym, dc_len, ac_sym, ac_len, pred, out):
@@ -551,8 +612,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     walks markers, reads DQT/SOF0/DHT from the stream (nothing is
     assumed shared with the encoder), entropy-decodes the scan, then
     dequantizes + IDCT + level shift."""
-    qtables, hspecs, (h, w, comps), scan, scan_start = _parse_segments(
-        payload
+    qtables, hspecs, (h, w, comps), scan, scan_start, dri = (
+        _parse_segments(payload)
     )
     if len(comps) != 1:
         raise ValueError(
@@ -563,12 +624,25 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     dc_sym, dc_len = _huff_lut(*hspecs[(0, dc_t)])
     ac_sym, ac_len = _huff_lut(*hspecs[(1, ac_t)])
     q = qtables[tq]
-    words = _scan_words(payload[scan_start:])
+    segs = (
+        _split_restarts(payload[scan_start:]) if dri
+        else [payload[scan_start:]]
+    )
+    words = _scan_words(segs[0])
+    seg = 0
     bh, bw = -(-h // 8), -(-w // 8)
     zz = np.zeros((bh * bw, 64), dtype=np.int64)
     pred = 0
     p = 0
     for b in range(bh * bw):
+        if dri and b and b % dri == 0:
+            # restart: next segment, byte-aligned, predictor reset
+            seg += 1
+            if seg >= len(segs):
+                raise ValueError("missing restart segment")
+            words = _scan_words(segs[seg])
+            p = 0
+            pred = 0
         p, pred = _read_block(
             words, p, dc_sym, dc_len, ac_sym, ac_len, pred, zz[b]
         )
@@ -584,8 +658,8 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     quant/Huffman tables and DC predictors, interleaved MCU entropy
     decoding (4 Y + Cb + Cr per 16x16), 2x nearest upsampling of the
     chroma planes, then the half-up JFIF YCbCr -> RGB conversion."""
-    qtables, hspecs, (h, w, comps), scan, scan_start = _parse_segments(
-        payload
+    qtables, hspecs, (h, w, comps), scan, scan_start, dri = (
+        _parse_segments(payload)
     )
     if len(comps) != 3:
         raise ValueError("color decoder: 3-component stream required")
@@ -601,7 +675,13 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     qs = {cid: qtables[tq] for cid, _, _, tq in comps}
     ids = [cid for cid, _, _, _ in comps]
 
-    words = _scan_words(payload[scan_start:])
+    segs = (
+        _split_restarts(payload[scan_start:]) if dri
+        else [payload[scan_start:]]
+    )
+    words = _scan_words(segs[0])
+    seg = 0
+    n_mcu = 0
     mbh, mbw = -(-h // 16), -(-w // 16)
     ybw = 2 * mbw
     yzz = np.zeros((4 * mbh * mbw, 64), dtype=np.int64)
@@ -611,6 +691,14 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     p = 0
     for my in range(mbh):
         for mx in range(mbw):
+            if dri and n_mcu and n_mcu % dri == 0:
+                seg += 1
+                if seg >= len(segs):
+                    raise ValueError("missing restart segment")
+                words = _scan_words(segs[seg])
+                p = 0
+                preds = {cid: 0 for cid in ids}
+            n_mcu += 1
             for dy in range(2):
                 for dx in range(2):
                     row = yzz[(2 * my + dy) * ybw + 2 * mx + dx]
@@ -678,7 +766,12 @@ def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b, v in enumerate(vals):
                     by, bx = divmod(b, JPEG_W // 8)
                     img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
-                payloads.append(encode_jpeg_gray(img))
+                # restart marker per block row: the gate exercises
+                # DRI/RSTn parsing too (pixels — and the oracle — are
+                # unchanged; pinned by test_jpeg_restart_markers)
+                payloads.append(
+                    encode_jpeg_gray(img, restart_every=JPEG_W // 8)
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
@@ -798,7 +891,10 @@ def with_color_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _jpeg_mcu_rgb(int(doc_id), mh * mw), dtype=np.uint8
                 ).reshape(mh, mw, 3)
                 img = np.repeat(np.repeat(rgbs, 16, axis=0), 16, axis=1)
-                payloads.append(encode_jpeg_color(img))
+                # one restart per MCU row (see the gray synth note)
+                payloads.append(
+                    encode_jpeg_color(img, restart_every=mw)
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )

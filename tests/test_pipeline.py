@@ -1361,3 +1361,37 @@ def test_jpeg_color_decoder_never_hangs_on_corruption(img, mode):
     except (ValueError, IndexError, struct.error):
         return
     assert out.dtype == np.uint8 and out.ndim == 3
+
+
+def test_jpeg_restart_markers_are_transparent():
+    """DRI/RSTn segmentation (what makes huge scans independently —
+    and in a 100 TB pass, parallel — decodable) must not change one
+    pixel: decode(encode(img, restart_every=k)) == decode(encode(img))
+    for gray and color, flat and lossy content alike."""
+    from gemmsql.pipeline.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    base = decode_jpeg_gray(encode_jpeg_gray(gray))
+    for k in (1, 2, 5, 100):
+        out = decode_jpeg_gray(encode_jpeg_gray(gray, restart_every=k))
+        assert np.array_equal(out, base), k
+    color = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    cbase = decode_jpeg_color(encode_jpeg_color(color))
+    for k in (1, 3):
+        out = decode_jpeg_color(
+            encode_jpeg_color(color, restart_every=k)
+        )
+        assert np.array_equal(out, cbase), k
+    # a flat image with restarts still round-trips exactly
+    flat = np.kron(
+        rng.integers(0, 256, (2, 3)), np.ones((8, 8), int)
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_gray(flat, restart_every=2)), flat
+    )
