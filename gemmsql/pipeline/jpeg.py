@@ -1020,3 +1020,14 @@ SELECT doc_id, CAST(channel AS BIGINT) AS channel, n_px,
              / CAST(n_px AS DOUBLE)), 6) AS std
 FROM agg
 """
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Route on the frame's component count: 1 -> grayscale replicated
+    to RGB, 3 -> the 4:2:0 color path.  The (H, W, 3) uint8 contract
+    of ``multimodal.decode_image``."""
+    _, _, (_, _, comps), _, _, _ = _parse_segments(payload)
+    if len(comps) == 1:
+        gray = decode_jpeg_gray(payload)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    return decode_jpeg_color(payload)

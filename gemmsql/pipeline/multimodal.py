@@ -2,13 +2,14 @@
 metadata, processed with Arrow-batched ``mapInPandas`` kernels over
 REAL uncompressed media formats.
 
-The container has no codec libraries, so the formats are the
-dependency-free uncompressed ones — PPM (P6) for images, BMP (24-bit
-uncompressed) as a second image container, WAV (PCM16) for audio — with
-full encoders + decoders implemented here in pure Python/NumPy.  The
-compressed-format hooks (JPEG/PNG/MP3) remain kernel-local swaps: every
-query below goes through :func:`decode_image` / :func:`decode_wav`, so
-adding PIL/ffmpeg changes one dispatch line, not the plumbing.
+The container has no codec libraries, so every codec here is
+dependency-free: PPM (P6) and BMP (24-bit) uncompressed images, WAV
+(PCM16) audio, PNG (stdlib-zlib inflate, all five scanline filters)
+and baseline JPEG — grayscale and YCbCr 4:2:0 color with restart
+markers, in ``jpeg.py`` — all full encoders + decoders in pure
+Python/NumPy.  Every query below goes through :func:`decode_image` /
+:func:`decode_wav`, so a library codec (MP3/AV1/...) would change one
+dispatch line, not the plumbing.
 
 Payload synthesis is deterministic AND SQL-replayable: the synthetic
 PPM body is a chain of md5 digests keyed on ``(doc_id, tile)``, so the
@@ -333,10 +334,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        from gemmsql.pipeline.jpeg import decode_jpeg_gray
+        from gemmsql.pipeline.jpeg import decode_jpeg
 
-        gray = decode_jpeg_gray(payload)
-        return np.repeat(gray[:, :, None], 3, axis=2)
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 

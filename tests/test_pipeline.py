@@ -1395,3 +1395,18 @@ def test_jpeg_restart_markers_are_transparent():
     assert np.array_equal(
         decode_jpeg_gray(encode_jpeg_gray(flat, restart_every=2)), flat
     )
+
+
+def test_decode_image_routes_both_jpeg_variants():
+    from gemmsql.pipeline.jpeg import encode_jpeg_color, encode_jpeg_gray
+    from gemmsql.pipeline.multimodal import decode_image
+
+    rng = np.random.default_rng(22)
+    gray = np.full((11, 13), 77, dtype=np.uint8)
+    rgb = decode_image(encode_jpeg_gray(gray))
+    assert rgb.shape == (11, 13, 3) and (rgb[..., 0] == 77).all()
+    color = np.repeat(
+        np.repeat(rng.integers(0, 256, (1, 1, 3)), 16, 0), 16, 1
+    ).astype(np.uint8)
+    out = decode_image(encode_jpeg_color(color))
+    assert out.shape == (16, 16, 3)
