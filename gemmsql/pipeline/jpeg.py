@@ -23,10 +23,14 @@ DC quantizer pinned to 8 the quantized coefficient is exactly
 ~1e-13 drift is killed by the final round-to-integer).  The oracle
 therefore re-derives every block value from the md5 chain — exactly
 the ``payload_features`` pattern — while the bytes on the wire are
-REAL entropy-coded JPEG.  The lossy path (nonzero AC, magnitude
-categories, ZRL) is covered by round-trip property tests in
-``tests/test_pipeline.py`` instead (tolerance-based, as befits a
-lossy format).
+REAL entropy-coded JPEG.  The color gate extends the same idea to
+flat 16x16 MCUs: subsampling is exact on flat regions and the two
+JFIF color conversions use half-up ``floor(x + 0.5)`` rounding, the
+one convention NumPy and DuckDB replay identically — so the oracle
+runs the ENTIRE pixel pipeline as SQL integer formulas.  The lossy
+path (nonzero AC, magnitude categories, ZRL) is covered by round-trip
+property tests in ``tests/test_pipeline.py`` instead
+(tolerance-based, as befits a lossy format).
 
 Scale shape: encode and decode are narrow Arrow-batched maps — no
 shuffle; at 100 TB a decode pass is scan-bound, which is the right
@@ -152,8 +156,9 @@ def _build_codes(bits, vals):
         code <<= 1
     return enc, dec
 
-_DC_ENC, _DC_DEC = _build_codes(_DC_BITS, _DC_VALS)
-_AC_ENC, _AC_DEC = _build_codes(_AC_BITS, _AC_VALS)
+# encode-side tables; the decoder builds its own from the DHT bytes
+_DC_ENC, _ = _build_codes(_DC_BITS, _DC_VALS)
+_AC_ENC, _ = _build_codes(_AC_BITS, _AC_VALS)
 _DC_ENC_C, _ = _build_codes(_DC_BITS_C, _DC_VALS_C)
 _AC_ENC_C, _ = _build_codes(_AC_BITS_C, _AC_VALS_C)
 
