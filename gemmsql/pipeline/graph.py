@@ -144,12 +144,30 @@ def _oriented(edges: DataFrame) -> DataFrame:
     ``(degree, id)`` rank to the larger; ``rv`` carries the head's
     packed rank so wedge endpoints can be ordered consistently with
     the orientation (plain id order would miss triangles whose closing
-    edge runs against id order)."""
+    edge runs against id order).
+
+    The packed-rank int64 envelope (node < 2^32, degree < 2^31) rides
+    as an EXECUTABLE guard inside the consumed ``d`` column — the
+    ``text._guarded_long`` discipline: a projected-then-dropped
+    assert_true is pruned by Catalyst, but this branch feeds every
+    rank, so an out-of-envelope graph fails loudly instead of
+    silently mis-orienting."""
+    in_envelope = (F.col("n") >= 0) & (F.col("n") < _RANK_SHIFT)
     deg = (
         edges.select(F.col("x").alias("n"))
         .unionAll(edges.select(F.col("y").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .select(
+            "n",
+            F.when(
+                in_envelope & (F.col("d") < _RANK_SHIFT // 2), F.col("d")
+            )
+            .otherwise(
+                F.raise_error(F.lit("graph rank packing: int64 overflow"))
+            )
+            .alias("d"),
+        )
     )
     dx = deg.select(
         F.col("n").alias("x"),
@@ -358,7 +376,13 @@ def pagerank(
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
-    ranks = deg.select("n", "d", F.lit(1.0).alias("rank")).persist()
+    # iteration frames: superseded ones are unpersisted eagerly below;
+    # the FINAL frame must stay cached for the caller, so it is also
+    # registered in the cache scope and ages out two queries later
+    # instead of leaking for the session
+    ranks = scoped_cache(
+        deg.select("n", "d", F.lit(1.0).alias("rank"))
+    )
     for _ in range(iters):
         rx = ranks.select(
             F.col("n").alias("x"), (F.col("rank") / F.col("d")).alias("sx")
@@ -383,14 +407,13 @@ def pagerank(
             )
             .select("e.n", "e.s")
         )
-        nxt = (
+        nxt = scoped_cache(
             contrib.groupBy("n")
             .agg(
                 (F.lit(1.0 - damping) + damping * F.sum("s")).alias("rank")
             )
             .join(deg, "n")
             .select("n", "d", "rank")
-            .persist()
         )
         nxt.count()  # materialize before dropping the parent
         ranks.unpersist()

@@ -258,3 +258,19 @@ def test_new_ops_bit_stable_across_partitionings(spark):
         spark.conf.set(key, old)
     for name, (a, b) in outs.items():
         pd.testing.assert_frame_equal(a, b, check_exact=True), name
+
+
+def test_orientation_guard_fires_outside_envelope(spark):
+    """A node id past 2^32 must fail the packed-rank envelope loudly —
+    the guard rides inside the consumed degree column, so Catalyst
+    cannot prune it (the mixture_temperature lesson)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from gemmsql.pipeline.graph import _oriented
+
+    edges = spark.createDataFrame(
+        [(1 << 33, 7), (7, 9)], "x long, y long"
+    )
+    with _pytest.raises((Py4JJavaError, Exception), match="overflow"):
+        _oriented(edges).collect()
