@@ -609,3 +609,115 @@ corners AS (SELECT u AS part FROM tris
 SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY 1
 """
+
+
+#: minimum pair support for emitted rules.
+RULE_MIN_SUPPORT = 2
+#: rules kept per antecedent.
+RULE_TOP_K = 3
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets ->
+    ``(antecedent, consequent, support, confidence, lift, rank)``:
+    the classic market-basket analysis (the pair level of Apriori —
+    deeper itemsets recurse on exactly this kernel).
+
+    support = co-purchase count, confidence = support / orders(A),
+    lift = support * N / (orders(A) * orders(B)); both rule
+    directions are emitted and the top-``RULE_TOP_K`` per antecedent
+    kept by (confidence, lift, consequent) — a per-key window.  Scale
+    shape is :func:`item_similarity`'s: one basket shuffle, node-sized
+    degree joins (AQE-broadcast), no pair ever materialized below the
+    support floor's groupBy."""
+    baskets = scoped_cache(
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps")),
+        fresh_scope=True,
+    )
+    n_orders = baskets.count()  # one long from an already-cached frame
+    pairs = F.expr(
+        "flatten(transform(ps, (p, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "q -> struct(p AS x, q AS y))))"
+    )
+    co = (
+        baskets.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= RULE_MIN_SUPPORT)
+    )
+    deg = (
+        baskets.select(F.explode("ps").alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    sym = co.join(dx, "x").join(dy, "y")
+    both = sym.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"),
+        "support", F.col("dx").alias("da"), F.col("dy").alias("db"),
+    ).unionAll(
+        sym.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"),
+            "support", F.col("dy").alias("da"), F.col("dx").alias("db"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    conf = F.col("support").cast("double") / F.col("da").cast("double")
+    lift = (
+        F.col("support").cast("double") * F.lit(float(n_orders))
+        / (F.col("da").cast("double") * F.col("db").cast("double"))
+    )
+    w = W.partitionBy("antecedent").orderBy(
+        conf.desc(), lift.desc(), F.col("consequent").asc()
+    )
+    return (
+        both.select(
+            "antecedent", "consequent", "support",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= RULE_TOP_K)
+    )
+
+
+BASKET_RULES_SQL = f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n_orders FROM it),
+co AS (SELECT a.pk AS x, b.pk AS y, CAST(COUNT(*) AS BIGINT) AS support
+       FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY 1, 2 HAVING COUNT(*) >= {RULE_MIN_SUPPORT}),
+deg AS (SELECT pk AS m, CAST(COUNT(*) AS BIGINT) AS d FROM it GROUP BY 1),
+sym AS (SELECT co.x, co.y, co.support, dx.d AS dx, dy.d AS dy
+        FROM co JOIN deg dx ON dx.m = co.x JOIN deg dy ON dy.m = co.y),
+sides AS (
+  SELECT x AS antecedent, y AS consequent, support, dx AS da, dy AS db
+  FROM sym
+  UNION ALL
+  SELECT y, x, support, dy, dx FROM sym
+),
+ranked AS (
+  SELECT antecedent, consequent, support,
+         CAST(support AS DOUBLE) / CAST(da AS DOUBLE) AS conf_raw,
+         CAST(support AS DOUBLE) * (SELECT n_orders FROM n)
+           / (CAST(da AS DOUBLE) * CAST(db AS DOUBLE)) AS lift_raw,
+         ROW_NUMBER() OVER (PARTITION BY antecedent ORDER BY
+           CAST(support AS DOUBLE) / CAST(da AS DOUBLE) DESC,
+           CAST(support AS DOUBLE) * (SELECT n_orders FROM n)
+             / (CAST(da AS DOUBLE) * CAST(db AS DOUBLE)) DESC,
+           consequent) AS rank
+  FROM sides
+)
+SELECT antecedent, consequent, support,
+       ROUND(conf_raw, 6) AS confidence, ROUND(lift_raw, 6) AS lift,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {RULE_TOP_K}
+"""

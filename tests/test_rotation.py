@@ -150,6 +150,18 @@ def _item_similarity_sql():
     return ITEM_SIMILARITY_SQL
 
 
+def _basket_rules(spark, sf_dir):
+    from gemmsql.pipeline.graph import basket_rules
+
+    return basket_rules(spark, sf_dir)
+
+
+def _basket_rules_sql():
+    from gemmsql.pipeline.graph import BASKET_RULES_SQL
+
+    return BASKET_RULES_SQL
+
+
 def _jpeg_color(spark, sf_dir):
     from gemmsql.pipeline.jpeg import jpeg_color_features
 
@@ -359,6 +371,10 @@ def _rotated():
         # replayed by the oracle as integer half-up formulas on the
         # flat-MCU exactness subdomain
         ("jpeg_color_features", _jpeg_color, _jpeg_color_sql()),
+        # born late in round 6: pairwise market-basket association
+        # rules (support / confidence / lift, top-3 per antecedent) —
+        # the Apriori pair kernel on the basket machinery
+        ("basket_rules", _basket_rules, _basket_rules_sql()),
     ]
 
 
