@@ -1,12 +1,12 @@
-"""Graph analytics over the co-purchase graph: triangles + PageRank.
+"""Graph analytics over the co-purchase graph: triangles, PageRank,
+communities, item similarity, association rules.
 
 The graph: undirected part co-purchase edges — ``(x, y)`` iff parts
 ``x`` and ``y`` appear in the same order (distinct pairs, derived from
-``lineitem`` by a self-join on ``l_orderkey``).  The reference has no
-graph surface at all; these are the two canonical large-graph kernels a
-corpus/feature pipeline needs (community structure via triangle
-participation, influence via PageRank), each expressed as plain
-equi-joins so Catalyst/AQE handle skew and physical strategy.
+``lineitem`` baskets).  The reference has no graph surface at all;
+these are the canonical large-graph kernels a corpus/feature pipeline
+needs, each expressed as plain equi-joins so Catalyst/AQE handle skew
+and physical strategy.
 
 Scale shapes (the part that must survive 100 TB):
 
