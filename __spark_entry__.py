@@ -458,24 +458,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gated via semantic_dups — the reference-surface attention_batched
     stays in the gate).
 
+    Round-7 rotation (VERDICT r6 next #1/#2/#5): EIGHT entries swapped.
+    In: pagerank_iter3 (the gated 3-iteration integer power LOOP — the
+    chained-CTE twin gates multi-iteration graph computation, not just
+    the kernel), flac_features (the lossless-COMPRESSED audio tier:
+    from-scratch FLAC-subset codec — Rice coding, fixed predictors,
+    CRC-8/16 + MD5 verification, gemmsql/pipeline/flac.py), and the
+    six late-r6 rotation-proven ops promoted to the driver gate:
+    jpeg_color_features, triangle_count_exact, part_communities,
+    item_similarity, basket_rules, time_rollup.  Out (each hash-green
+    in CORRECTNESS r4-r6 AND still hash-gated every pytest run in
+    tests/test_rotation.py): bigram_pmi, bm25_topk, cell_profile,
+    dedup_keep_best, dsir_weights, kmeans_assign_step, pca_moments,
+    semantic_dups.
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
     driver-composed — not single-statement SQL); their distributed
     per-step kernels ARE gated (kmeans_assign_step, pca_moments)."""
     from gemmsql.pipeline import (
-        bpe,
-        cluster,
         corpus,
         dedup,
-        dsir,
         events,
+        flac,
         graph,
         jpeg,
         joins,
-        relational,
-        retrieval,
-        similarity,
         text,
     )
     from gemmsql.pipeline.multimodal import (
@@ -507,16 +516,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the hash gate moves to test_rotation)
         # --- multimodal: real codecs (PPM uncompressed tier, PNG
         # lossless-compressed tier, JPEG lossy-compressed tier on its
-        # exactness subdomain, WAV audio tier) ---
+        # exactness subdomain — gray AND the full YCbCr 4:2:0 color
+        # path since r7, WAV uncompressed audio tier, FLAC
+        # lossless-COMPRESSED audio tier new in r7: Rice coding +
+        # fixed linear predictors + CRC-8/16/MD5 verifies) ---
         "payload_features": payload_features,
         "png_features": png_features,
         "jpeg_features": jpeg.jpeg_features,
+        "jpeg_color_features": jpeg.jpeg_color_features,
         "audio_features": audio_features,
+        "flac_features": flac.flac_features,
         # --- dedup (minhash_lsh_pairs / dedup_clusters rotated out
         # late in r6, green r1-r5; keep-best + incremental keep the
         # LSH->cluster->canonicalize chain gated) ---
         "doc_chunks": text.doc_chunks,
-        "dedup_keep_best": dedup.dedup_keep_best,
         "quality_classifier": text.quality_classifier,
         "dup_spans": dedup.dup_spans,
         "bloom_decontaminate": _bloom_decontaminate_query,
@@ -528,13 +541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,  # + word_entropy column
         "dedup_incremental": dedup.dedup_incremental_corpus,
         "vocab_build": text.vocab_build,
-        "bigram_pmi": text.bigram_pmi,
-        "dsir_weights": dsir.dsir_weights,
-        # --- embedding-space corpus ops ---
-        "semantic_dups": similarity.semantic_dups,
-        "cell_profile": similarity.cell_profile,
-        "kmeans_assign_step": cluster.kmeans_assign_step,
-        "pca_moments": cluster.pca_moments,
         # --- corpus versioning / mixture ---
         "mixture_temperature": text.mixture_temperature,
         "corpus_diff": corpus.corpus_diff,
@@ -548,16 +554,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram quantile tier new late in r6) ---
         "cm_heavy_hitters": cm_heavy_hitters,
         "hist_quantiles": hist_quantiles,
-        # --- graph analytics (new late in r6): colorful-sampled
-        # triangle participation + the PageRank power-iteration kernel
-        # over the co-purchase graph ---
+        # --- graph analytics (tier new late in r6, widened in r7):
+        # colorful-sampled AND exact triangle participation, the
+        # PageRank kernel AND the gated 3-iteration power loop,
+        # connected components, item-item similarity, association
+        # rules — all over the lineitem co-purchase graph ---
         "triangle_count": graph.triangle_count_gate,
+        "triangle_count_exact": graph.triangle_count,  # colors=1 default
         "pagerank_step": graph.pagerank_step,
+        "pagerank_iter3": graph.pagerank_iter3,
+        "part_communities": graph.part_communities,
+        "item_similarity": graph.item_similarity,
+        "basket_rules": graph.basket_rules,
         # --- interval analytics (new late in r6): equi-key-bounded
         # range self-join ---
         "concurrent_orders": joins.concurrent_orders,
-        # --- lexical retrieval ---
-        "bm25_topk": retrieval.bm25_topk,
+        # --- hypertable continuous aggregate (promoted in r7):
+        # hour/day/week rollup in ONE GROUPING SETS scan ---
+        "time_rollup": events.time_rollup,
         # approximate by design, but the md5-register HLL + exact
         # quantiles are fully replayable -> hash parity (r3)
         "sampling_filtered": q_sampling_filtered,
@@ -943,23 +957,17 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.ops.sampling import sampling_filtered_sql, sampling_sql
     from gemmsql.sketches import (
         HIST_QUANTILES_SQL,
-        USER_REACH_SKETCH_SQL,
         bloom_decontaminate_sql,
         cm_heavy_hitters_sql,
     )
     from gemmsql.pipeline import (
-        bpe,
-        cluster,
         corpus,
         dedup,
-        dsir,
         events,
+        flac,
         graph,
         jpeg,
         joins,
-        relational,
-        retrieval,
-        similarity,
         text,
     )
     from gemmsql.pipeline.multimodal import (
@@ -976,7 +984,6 @@ def oracle_sql() -> dict[str, str]:
     )
     from gemmsql.pipeline.similarity import IVFPQ_TOPK_SQL
 
-    text_stats_sql = text.TEXT_PROFILE_SQL
     repetition_sql = text.REPETITION_PROFILE_SQL
 
     return {
@@ -994,9 +1001,10 @@ def oracle_sql() -> dict[str, str]:
         "payload_features": PAYLOAD_FEATURES_SQL,
         "png_features": PNG_FEATURES_SQL,
         "jpeg_features": jpeg.JPEG_FEATURES_SQL,
+        "jpeg_color_features": jpeg.JPEG_COLOR_FEATURES_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
+        "flac_features": flac.FLAC_FEATURES_SQL,
         "doc_chunks": text.DOC_CHUNKS_SQL,
-        "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dup_spans": dedup.DUP_SPANS_SQL,
         "bloom_decontaminate": bloom_decontaminate_sql(),
@@ -1006,12 +1014,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": repetition_sql,
         "dedup_incremental": dedup.dedup_incremental_sql(),
         "vocab_build": text.VOCAB_BUILD_SQL,
-        "bigram_pmi": text.BIGRAM_PMI_SQL,
-        "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
-        "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
-        "cell_profile": similarity.CELL_PROFILE_SQL,
-        "kmeans_assign_step": cluster.KMEANS_ASSIGN_STEP_SQL,
-        "pca_moments": cluster.PCA_MOMENTS_SQL,
         "mixture_temperature": text.MIXTURE_TEMPERATURE_SQL,
         "corpus_diff": corpus.CORPUS_DIFF_SQL,
         "corpus_upsert": corpus.CORPUS_UPSERT_SQL,
@@ -1021,9 +1023,14 @@ def oracle_sql() -> dict[str, str]:
         "cm_heavy_hitters": cm_heavy_hitters_sql(),
         "hist_quantiles": HIST_QUANTILES_SQL,
         "triangle_count": graph.TRIANGLE_COUNT_SQL,
+        "triangle_count_exact": graph.TRIANGLE_COUNT_EXACT_SQL,
         "pagerank_step": graph.PAGERANK_STEP_SQL,
+        "pagerank_iter3": graph.PAGERANK_ITER3_SQL,
+        "part_communities": graph.PART_COMMUNITIES_SQL,
+        "item_similarity": graph.ITEM_SIMILARITY_SQL,
+        "basket_rules": graph.BASKET_RULES_SQL,
         "concurrent_orders": joins.CONCURRENT_ORDERS_SQL,
-        "bm25_topk": retrieval.bm25_topk_sql(),
+        "time_rollup": events.TIME_ROLLUP_SQL,
         "sampling_filtered": sampling_filtered_sql(),
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,

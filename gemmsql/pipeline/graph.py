@@ -349,6 +349,104 @@ SELECT part,
 FROM contrib GROUP BY 1
 """
 
+#: iterations run by the gated multi-step PageRank.
+PR_ITERS = 3
+
+
+def pagerank_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:data:`PR_ITERS` damped PageRank iterations from the uniform
+    start -> ``(part, rank3)`` in PR_SCALE fixed-point — the gated
+    version of the :func:`pagerank` power-iteration LOOP, not just the
+    per-step kernel.
+
+    Same integer contract as :func:`pagerank_step` applied
+    iteratively: rank0(u) = PR_SCALE; each iteration every node sends
+    ``(85 * (rank_t div outdeg)) div 100`` along each incident edge
+    and keeps the 15% teleport floor.  Both ``div``s are exact int64,
+    so the rank frame after any number of iterations is a pure
+    function of the edge set — bit-identical on Spark and DuckDB
+    regardless of partitioning or join order, which is what lets the
+    distributed loop (not merely one step) be hash-gated against the
+    chained-CTE twin :data:`PAGERANK_ITER3_SQL`.
+
+    Scale shape: identical to :func:`pagerank` — edges and degrees
+    cached once, each iteration is ONE shuffle (the contribution
+    scatter keyed on destination); the superseded rank frame is
+    unpersisted eagerly so state stays one iteration deep and the
+    driver never sees the graph.  Every co-purchase node has degree
+    >= 1, so no dangling-mass term exists on either engine."""
+    edges = scoped_cache(copurchase_edges(spark, sf_dir), fresh_scope=True)
+    deg = scoped_cache(
+        edges.select(F.col("x").alias("n"))
+        .unionAll(edges.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    ranks = scoped_cache(
+        deg.select("n", "d", F.lit(PR_SCALE).cast("long").alias("rank"))
+    )
+    share = f"({PR_DAMP_NUM} * (rank div d)) div {PR_DAMP_DEN}"
+    for _ in range(PR_ITERS):
+        rx = ranks.select(F.col("n").alias("x"), F.expr(share).alias("cx"))
+        ry = ranks.select(F.col("n").alias("y"), F.expr(share).alias("cy"))
+        contrib = (
+            edges.join(rx, "x")
+            .join(ry, "y")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("y").alias("n"), F.col("cx").alias("c")
+                        ),
+                        F.struct(
+                            F.col("x").alias("n"), F.col("cy").alias("c")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.n", "e.c")
+        )
+        nxt = scoped_cache(
+            contrib.groupBy("n")
+            .agg((F.sum("c") + F.lit(teleport)).cast("long").alias("rank"))
+            .join(deg, "n")
+            .select("n", "d", "rank")
+        )
+        nxt.count()  # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = nxt
+    return ranks.select(
+        F.col("n").alias("part"), F.col("rank").alias("rank3")
+    )
+
+
+def _pr_iter_cte(prev: str, cur: str) -> str:
+    """One chained-CTE PageRank iteration: rank frame ``prev`` ->
+    ``cur``, the SQL twin of the loop body in :func:`pagerank_iter3`."""
+    tele = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    return (
+        f"{cur} AS (SELECT d.dst AS n,"
+        f" CAST(SUM(({PR_DAMP_NUM} * (r.rank // od.od)) // {PR_DAMP_DEN})"
+        f" + {tele} AS BIGINT) AS rank"
+        f" FROM d JOIN od ON od.src = d.src"
+        f" JOIN {prev} r ON r.n = d.src GROUP BY 1)"
+    )
+
+
+PAGERANK_ITER3_SQL = f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (SELECT DISTINCT a.pk AS x, b.pk AS y
+      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+d AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+od AS (SELECT src, COUNT(*) AS od FROM d GROUP BY 1),
+r0 AS (SELECT src AS n, CAST({PR_SCALE} AS BIGINT) AS rank FROM od),
+{_pr_iter_cte('r0', 'r1')},
+{_pr_iter_cte('r1', 'r2')},
+{_pr_iter_cte('r2', 'r3')}
+SELECT n AS part, rank AS rank3 FROM r3
+"""
+
 
 def pagerank(
     spark: SparkSession,

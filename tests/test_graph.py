@@ -93,6 +93,31 @@ def test_pagerank_step_matches_integer_model(spark, adj):
         assert got_map[n] == w, f"node {n}"
 
 
+def test_pagerank_iter3_matches_integer_model(spark, adj):
+    """The gated 3-iteration loop == the integer model iterated in
+    NumPy (independent of the chained-CTE DuckDB twin, which
+    test_gate_parity checks)."""
+    from gemmsql.pipeline.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_iter3,
+    )
+
+    a, nodes = adj
+    deg = a.sum(axis=1)
+    teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    r = np.full(len(nodes), PR_SCALE, dtype=np.int64)
+    for _ in range(PR_ITERS):
+        share = (PR_DAMP_NUM * (r // deg)) // PR_DAMP_DEN
+        r = a.T @ share + teleport
+    got = pagerank_iter3(spark, SF_SMOKE).toPandas()
+    got_map = dict(zip(got["part"], got["rank3"]))
+    for n, w in zip(nodes, r):
+        assert got_map[n] == w, f"node {n}"
+
+
 def test_pagerank_iterated_matches_numpy(spark, adj):
     """The float library-tier power iteration tracks the NumPy
     reference to float tolerance after several iterations."""
