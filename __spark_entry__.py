@@ -332,6 +332,12 @@ def _streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize_gate(spark, sf_dir)
 
 
+def _streaming_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_hist_gate
+
+    return streaming_hist_gate(spark, sf_dir)
+
+
 def _streaming_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.streaming.windows import streaming_outer_join_gate
 
@@ -471,6 +477,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_rotation.py): bigram_pmi, bm25_topk, cell_profile,
     dedup_keep_best, dsir_weights, kmeans_assign_step, pca_moments,
     semantic_dups.
+    Round-7 second swap (VERDICT r6 next #3/#6): concurrent_events —
+    the KEYLESS interval join (time-chunk bucketing: a synthetic
+    bucket equi-key replaces the missing join key; first-cell dedupe,
+    no cartesian, plan-guarded) — and streaming_hist_gate — the
+    histogram-quantile sketch maintained by an append-mode watermarked
+    day-window stream, the 6th streaming gate, whose oracle replays
+    the watermark emission rule itself — in place of repetition_stats
+    and vocab_build (green r3-r6 / r4-r6, both still hash-gated in
+    tests/test_rotation.py).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -538,9 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": text.doc_perplexity,
         "mixture_balance": text.mixture_balance,
         "pii_scrub_corpus": text.pii_scrub_corpus,
-        "repetition_stats": q_repetition_stats,  # + word_entropy column
         "dedup_incremental": dedup.dedup_incremental_corpus,
-        "vocab_build": text.vocab_build,
         # --- corpus versioning / mixture ---
         "mixture_temperature": text.mixture_temperature,
         "corpus_diff": corpus.corpus_diff,
@@ -566,9 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_communities": graph.part_communities,
         "item_similarity": graph.item_similarity,
         "basket_rules": graph.basket_rules,
-        # --- interval analytics (new late in r6): equi-key-bounded
-        # range self-join ---
+        # --- interval analytics: equi-key-bounded range self-join
+        # (late r6) + the KEYLESS chunk-bucketed interval join (r7,
+        # VERDICT r6 next #3 — synthetic bucket key, no cartesian) ---
         "concurrent_orders": joins.concurrent_orders,
+        "concurrent_events": joins.concurrent_events,
         # --- hypertable continuous aggregate (promoted in r7):
         # hour/day/week rollup in ONE GROUPING SETS scan ---
         "time_rollup": events.time_rollup,
@@ -581,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_gate": _streaming_join_query,
         "streaming_outer_join_gate": _streaming_outer_join_query,
         "streaming_stateful_gate": _streaming_stateful_query,
+        "streaming_hist_gate": _streaming_hist_query,
     }
 
 
@@ -978,13 +994,13 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
         STREAMING_OUTER_JOIN_GATE_SQL,
+        STREAMING_HIST_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
         STREAMING_JOIN_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
     )
     from gemmsql.pipeline.similarity import IVFPQ_TOPK_SQL
 
-    repetition_sql = text.REPETITION_PROFILE_SQL
 
     return {
         "gram": gram_sql,
@@ -1011,9 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_perplexity": text.DOC_PERPLEXITY_SQL,
         "mixture_balance": text.MIXTURE_BALANCE_SQL,
         "pii_scrub_corpus": text.PII_SCRUB_CORPUS_SQL,
-        "repetition_stats": repetition_sql,
         "dedup_incremental": dedup.dedup_incremental_sql(),
-        "vocab_build": text.VOCAB_BUILD_SQL,
         "mixture_temperature": text.MIXTURE_TEMPERATURE_SQL,
         "corpus_diff": corpus.CORPUS_DIFF_SQL,
         "corpus_upsert": corpus.CORPUS_UPSERT_SQL,
@@ -1030,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "item_similarity": graph.ITEM_SIMILARITY_SQL,
         "basket_rules": graph.BASKET_RULES_SQL,
         "concurrent_orders": joins.CONCURRENT_ORDERS_SQL,
+        "concurrent_events": joins.CONCURRENT_EVENTS_SQL,
         "time_rollup": events.TIME_ROLLUP_SQL,
         "sampling_filtered": sampling_filtered_sql(),
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
@@ -1037,4 +1052,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
         "streaming_join_gate": STREAMING_JOIN_GATE_SQL,
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
+        "streaming_hist_gate": STREAMING_HIST_GATE_SQL,
     }

@@ -220,6 +220,146 @@ def interval_self_join(
     )
 
 
+def interval_join_keyless(
+    frame: DataFrame,
+    *,
+    id_col: str,
+    start: str,
+    end: str,
+    chunk: int,
+) -> DataFrame:
+    """All pairs of rows whose integer ``[start, end]`` intervals
+    overlap (inclusive) with NO shared equi-key — each pair once
+    (``id1 < id2``) -> ``(id1, s1, e1, id2, s2, e2)``.
+
+    The time-chunk bucketing :func:`interval_self_join` documents:
+    every interval emits one row per ``chunk``-sized time bucket it
+    touches (``start div chunk .. end div chunk``, an in-row sequence
+    explode), and the pairing is an EQUI-join on the bucket id — so
+    Catalyst plans a shuffle hash join on a synthetic key instead of a
+    cartesian range join, and AQE splits any hot bucket.  A pair that
+    shares several buckets would surface once per shared bucket; the
+    standard first-cell dedupe keeps it only in the bucket where the
+    later-starting interval begins (``greatest(s1, s2) div chunk ==
+    bucket``), which costs one integer comparison instead of a
+    corpus-wide DISTINCT shuffle.
+
+    Scale shape: cost is sum_b C(n_b, 2) over bucket populations —
+    bounded by interval density per chunk window, never by corpus
+    size; replication factor per interval is ``1 + span/chunk``, so
+    pick ``chunk`` on the order of the typical span (guidance in
+    SCALE.md).  Works at any skew because a bucket is a plain join
+    key: AQE skew-split applies, and there is NO cartesian anywhere
+    (plan-guarded in tests/test_plans.py)."""
+    sel = [
+        F.col(id_col),
+        F.col(start).cast("long"),
+        F.col(end).cast("long"),
+    ]
+    a = frame.select(
+        *sel,
+        F.explode(
+            F.expr(f"sequence({start} div {chunk}, {end} div {chunk})")
+        ).alias("_bucket"),
+    ).select(
+        "_bucket",
+        F.col(id_col).alias("id1"),
+        F.col(start).alias("s1"),
+        F.col(end).alias("e1"),
+    )
+    b = a.select(
+        "_bucket",
+        F.col("id1").alias("id2"),
+        F.col("s1").alias("s2"),
+        F.col("e1").alias("e2"),
+    )
+    return (
+        a.join(b, "_bucket")
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1"))
+            & (
+                F.expr(f"greatest(s1, s2) div {chunk}")
+                == F.col("_bucket")
+            )
+        )
+        .drop("_bucket")
+    )
+
+
+#: concurrency window after an error event (microseconds): two errors
+#: whose windows intersect are "concurrent" — a machine-wide burst.
+CE_WINDOW_US = 120_000_000
+#: bucket width for the keyless chunk join — same order as the span,
+#: so each interval lands in at most 2 buckets.
+CE_CHUNK_US = 300_000_000
+
+
+def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-wide concurrent error bursts -> ``(event_id,
+    n_concurrent)`` for every error event: how many OTHER error
+    events' 2-minute windows overlap this one's, across ALL users —
+    the keyless interval join :func:`interval_join_keyless` gates
+    (there is deliberately no equi-key; the bucket id is synthetic).
+
+    Determinism: endpoints are exact epoch microseconds
+    (``unix_micros`` / DuckDB ``epoch_us`` agree on UTC parquet
+    timestamps), counts are exact integers."""
+    from gemmsql.caching import scoped_cache
+    from gemmsql.datamodel import load_table
+
+    # consumed by the pair join (twice via a/b) and the zero-count
+    # left join — cache, or the scan+filter runs three times
+    iv = scoped_cache(
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(CE_WINDOW_US)).alias("e"),
+        ),
+        fresh_scope=True,
+    )
+    pairs = interval_join_keyless(
+        iv, id_col="event_id", start="s", end="e", chunk=CE_CHUNK_US
+    )
+    both = pairs.select(F.col("id1").alias("event_id")).unionAll(
+        pairs.select(F.col("id2").alias("event_id"))
+    )
+    counts = both.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_concurrent")
+    )
+    return iv.select("event_id").join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("n_concurrent"), F.lit(0))
+        .cast("long")
+        .alias("n_concurrent"),
+    )
+
+
+CONCURRENT_EVENTS_SQL = f"""
+WITH iv AS (
+  SELECT event_id, epoch_us(ts) AS s, epoch_us(ts) + {CE_WINDOW_US} AS e
+  FROM events WHERE event_type = 'error'
+),
+pairs AS (
+  SELECT a.event_id AS id1, b.event_id AS id2
+  FROM iv a JOIN iv b
+    ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+),
+cnt AS (
+  SELECT event_id, COUNT(*) AS n FROM (
+    SELECT id1 AS event_id FROM pairs
+    UNION ALL SELECT id2 FROM pairs
+  ) GROUP BY 1
+)
+SELECT iv.event_id AS event_id,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_concurrent
+FROM iv LEFT JOIN cnt ON cnt.event_id = iv.event_id
+"""
+
+
 def concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer count of overlapping order intervals ->
     ``(o_custkey, n_orders, n_overlapping)``.

@@ -570,20 +570,42 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ceil`` via ``(n*q + 99) div 100``); the only float op is the
     IEEE divide in ``floor(price / bin_w)``, identical on both
     engines — so the sketch replays bit-for-bit in DuckDB."""
-    from pyspark.sql import Window as W
-
     hist = value_histogram(
         load_table(spark, sf_dir, "orders"), "o_orderpriority",
         "o_totalprice",
     ).withColumnRenamed("g", "o_orderpriority")
+    return quantiles_from_histogram(
+        hist, ["o_orderpriority"], n_alias="n_orders"
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    group_cols: list[str],
+    *,
+    bin_w: int = HIST_BIN_W,
+    qs: tuple[int, ...] = HIST_QS,
+    n_alias: str = "n",
+) -> DataFrame:
+    """Rank-extraction over mergeable histogram state ``(*group_cols,
+    bin, c)`` -> ``(*group_cols, n_alias, p{q}...)``: each ``pXX`` is
+    the lower edge of the bin holding rank ``ceil(n * XX / 100)``.
+
+    Shared by the batch gate (:func:`hist_quantiles`) and the
+    streaming gate (``streaming.windows.streaming_hist_gate``), whose
+    state frames differ only in grouping columns.  The cumulative
+    window runs per group over <= n_bins rows — driver-free,
+    skew-free, integer-exact (``ceil`` as ``(n*q + 99) div 100``)."""
+    from pyspark.sql import Window as W
+
     wcum = (
-        W.partitionBy("o_orderpriority")
+        W.partitionBy(*group_cols)
         .orderBy("bin")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wall = W.partitionBy("o_orderpriority")
+    wall = W.partitionBy(*group_cols)
     cum = hist.select(
-        "o_orderpriority",
+        *group_cols,
         "bin",
         F.sum("c").over(wcum).alias("cum"),
         F.sum("c").over(wall).alias("n"),
@@ -592,15 +614,15 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(
                 F.col("cum") >= F.expr(f"(n * {q} + 99) div 100"),
-                F.col("bin") * HIST_BIN_W,
+                F.col("bin") * bin_w,
             )
         )
         .cast("long")
         .alias(f"p{q}")
-        for q in HIST_QS
+        for q in qs
     ]
-    return cum.groupBy("o_orderpriority").agg(
-        F.max("n").cast("long").alias("n_orders"), *qcols
+    return cum.groupBy(*group_cols).agg(
+        F.max("n").cast("long").alias(n_alias), *qcols
     )
 
 

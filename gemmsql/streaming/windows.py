@@ -538,6 +538,119 @@ def streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+#: bin width for the streaming histogram gate (event values span
+#: ~0..500 -> <= 50 bins per (day, type) group).
+HIST_GATE_BIN_W = 10
+#: watermark delay for the histogram gate's day windows.
+HIST_GATE_DELAY = "1 hour"
+
+
+def streaming_value_hist_windows(events: DataFrame) -> DataFrame:
+    """Day-windowed per-type value histogram under a 1-hour watermark
+    -> ``(day_us, event_type, bin, c)`` — the streaming form of
+    :func:`gemmsql.sketches.value_histogram` with a time window added:
+    state is (days x types x bins) rows and append mode emits each
+    day's histogram exactly once, when the watermark passes midnight.
+
+    This is the sketch tier's streaming story: the histogram is a
+    per-bin SUM monoid, so the windowed groupBy IS the merge — no
+    custom state handler needed, and the emitted state replays the
+    batch formula bit-for-bit."""
+    return (
+        events.withWatermark("ts", HIST_GATE_DELAY)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.floor(F.col("value") / HIST_GATE_BIN_W)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("day_us"),
+            "event_type",
+            "bin",
+            "c",
+        )
+    )
+
+
+def streaming_hist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of the histogram-quantile sketch under
+    watermarks -> ``(day_us, event_type, n_events, p50, p90, p99)``:
+    the day-windowed histogram state maintained by a REAL availableNow
+    stream in APPEND mode, then rank-extracted by the same
+    ``quantiles_from_histogram`` pass the batch gate uses.
+
+    The watermark is load-bearing in the HASH: append mode only emits
+    windows the watermark has passed, so the still-open final day is
+    withheld, and the oracle replays exactly that emission rule
+    (``day_end <= max(ts) - horizon``).  The whole dump lands in one
+    micro-batch (file listing order is not time order — a second
+    batch would see its rows as late and drop them; a production
+    stream ingests in time order and needs no such pinning), and the
+    availableNow finalization batch advances the watermark to emit
+    every closed day.  noDataMicroBatches stays ON: the finalization
+    batch IS the emission."""
+    import os
+    import tempfile
+
+    from gemmsql.sketches import quantiles_from_histogram
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = read_events_stream(spark, target, max_files_per_trigger=1_000_000)
+    name = "stream_gate_hist"
+    ckpt = _fresh_ckpt(f"gemmsql_ckpt_hist_{tag}")
+    with state_partitions(spark):
+        q = (
+            streaming_value_hist_windows(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    return quantiles_from_histogram(
+        spark.table(name),
+        ["day_us", "event_type"],
+        bin_w=HIST_GATE_BIN_W,
+        n_alias="n_events",
+    )
+
+
+_HIST_GATE_Q_COLS = ",\n".join(
+    f"       CAST(MIN(CASE WHEN cum >= (n * {q} + 99) // 100 "
+    f"THEN bin * {HIST_GATE_BIN_W} END) AS BIGINT) AS p{q}"
+    for q in (50, 90, 99)
+)
+
+STREAMING_HIST_GATE_SQL = f"""
+WITH closed AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(FLOOR(value / {HIST_GATE_BIN_W}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM events
+  GROUP BY 1, 2, 3
+  HAVING day + INTERVAL 1 DAY <=
+         (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+),
+cum AS (
+  SELECT day, event_type, bin,
+         SUM(c) OVER (PARTITION BY day, event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY day, event_type) AS n
+  FROM closed
+)
+SELECT epoch_us(day) AS day_us, event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+{_HIST_GATE_Q_COLS}
+FROM cum GROUP BY 1, 2
+"""
+
+
 STREAMING_OUTER_JOIN_GATE_SQL = """
 WITH p AS (SELECT event_id AS purchase_id, user_id, ts
            FROM events WHERE event_type = 'purchase'),

@@ -299,3 +299,62 @@ def test_orientation_guard_fires_outside_envelope(spark):
     )
     with _pytest.raises((Py4JJavaError, Exception), match="overflow"):
         _oriented(edges).collect()
+
+
+def test_interval_join_keyless_bruteforce_and_dedupe(spark):
+    """The chunk-bucketed keyless join must return every overlapping
+    pair EXACTLY once — including pairs whose intervals share several
+    buckets (the first-cell dedupe) and pairs spanning a bucket
+    boundary — against an O(n^2) brute force."""
+    from gemmsql.pipeline.joins import interval_join_keyless
+
+    rows = [
+        (1, 0, 250),     # spans buckets 0-2
+        (2, 100, 120),   # inside bucket 1 (overlaps 1 and 5)
+        (3, 240, 400),   # spans 2-4, overlaps 1 in bucket 2 only
+        (4, 500, 510),   # bucket 5, overlaps 3? no (400 < 500); 5 yes
+        (5, 95, 505),    # spans 0-5, overlaps everyone
+        (6, 600, 610),   # overlaps nothing
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    got = (
+        interval_join_keyless(df, id_col="id", start="s", end="e", chunk=100)
+        .select("id1", "id2")
+        .toPandas()
+    )
+    pairs = [tuple(r) for r in got.values]
+    want = {
+        (a, b)
+        for (a, sa, ea) in rows
+        for (b, sb, eb) in rows
+        if a < b and sa <= eb and sb <= ea
+    }
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    assert set(pairs) == want
+
+
+def test_concurrent_events_matches_bruteforce(spark):
+    """Gate counts == brute-force O(n^2) overlap on the collected
+    sf0.001 error events (independent of the DuckDB twin)."""
+    from gemmsql.datamodel import load_table
+    from gemmsql.pipeline.joins import CE_WINDOW_US, concurrent_events
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'error'")
+        .selectExpr("event_id", "unix_micros(ts) AS s")
+        .toPandas()
+    )
+    s = ev["s"].to_numpy()
+    e = s + CE_WINDOW_US
+    n = len(ev)
+    cnt = {int(i): 0 for i in ev["event_id"]}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if s[a] <= e[b] and s[b] <= e[a]:
+                cnt[int(ev["event_id"][a])] += 1
+                cnt[int(ev["event_id"][b])] += 1
+    got = concurrent_events(spark, SF_SMOKE).toPandas()
+    assert len(got) == n
+    for _, row in got.iterrows():
+        assert row["n_concurrent"] == cnt[int(row["event_id"])]

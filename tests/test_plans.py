@@ -822,3 +822,20 @@ def test_time_rollup_single_scan_expand(spark):
     p = plan_of(time_rollup(spark, SF_SMOKE))
     assert p.count("FileScan parquet") == 1, "one events scan"
     assert "Expand" in p, "GROUPING SETS must expand map-side"
+
+
+def test_concurrent_events_keyless_join_is_bucketed(spark):
+    """The KEYLESS interval join must plan as an equi-join on the
+    synthetic time-bucket key (chunk bucketing), never a cartesian /
+    nested-loop pair enumeration — that is the whole point of the
+    bucketing rewrite."""
+    from gemmsql.pipeline.joins import concurrent_events
+
+    p = plan_of(concurrent_events(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # bucket expansion is the in-row sequence explode
+    assert "Generate explode" in p
+    # the filtered interval frame is consumed three times (both join
+    # sides + the zero-count left join) — it must come from the cache
+    assert "InMemoryTableScan" in p, "interval frame not cached"

@@ -309,6 +309,11 @@ def _rotated():
         ("pca_moments", cluster.pca_moments, cluster.PCA_MOMENTS_SQL),
         ("semantic_dups", similarity.semantic_dups,
          similarity.SEMANTIC_DUPS_SQL),
+        # rotated out in the round-7 second swap for concurrent_events
+        # (the keyless interval join) and streaming_hist_gate
+        ("repetition_stats", _entry("q_repetition_stats"),
+         text.REPETITION_PROFILE_SQL),
+        ("vocab_build", text.vocab_build, text.VOCAB_BUILD_SQL),
     ]
 
 

@@ -692,3 +692,42 @@ def test_streaming_value_histogram_matches_batch(spark, stream_dir):
     )
     assert len(want) > 0
     assert got.equals(want), "streaming histogram diverges from batch"
+
+
+def test_streaming_hist_gate_oracle_parity_and_watermark(spark):
+    """In-repo twin of the driver's hash gate for the round-7 entrant
+    (no gate entrant without in-repo parity): the append-mode
+    day-windowed histogram-quantile gate vs its DuckDB oracle at the
+    smoke tier — and the watermark semantics must be load-bearing: the
+    final (still-open) day window is withheld by append mode, so it
+    must be absent from the result."""
+    import duckdb
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.streaming.windows import (
+        STREAMING_HIST_GATE_SQL,
+        streaming_hist_gate,
+    )
+    from pyspark.sql import functions as F
+    from tests.test_rotation import _hash
+
+    sdf = streaming_hist_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    odf = con.execute(STREAMING_HIST_GATE_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
+    # the last event's day is an open window — append mode withholds it
+    last_day_us = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.unix_micros(F.date_trunc("day", F.max("ts"))))
+        .collect()[0][0]
+    )
+    assert last_day_us not in set(sdf["day_us"]), (
+        "open day window leaked through the watermark gate"
+    )
+    assert len(sdf) > 0
