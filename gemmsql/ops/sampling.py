@@ -212,6 +212,104 @@ def _filtered_kernel(seed: int, k: int, p: float):
     return run
 
 
+#: class tables at or under this row count ride the broadcast kernel;
+#: larger ones take the materialized-score window path (same budget as
+#: the gate kernels' BROADCAST_MAX_ROWS, sized so the class matrix
+#: stays a few MB per executor).
+CLASS_BROADCAST_MAX_ROWS = 8_192
+
+_GUMBEL_SQL = (
+    "(-ln(-ln(((((y * y + 69069 * y + 362437) % {P}) + 0.5) / {P}.0))))"
+)
+
+
+def _filtered_windowed(
+    pred_vec: DataFrame,
+    trg_vec: DataFrame,
+    *,
+    k: int,
+    p: float,
+    seed: int,
+) -> DataFrame:
+    """The scale path of :func:`sampling_filtered`: materialize the
+    score table and restrict with per-row windows — NO driver collect,
+    no broadcast of the class side.
+
+    Physical shape (the cosine_topk shape the broadcast docstring
+    promises): scores are one shuffle (COO join on the feature index +
+    groupBy (qi, ki)); the rank / cumulative-mass restriction and the
+    Gumbel-max winner are per-``qi`` windows over <= C rows each —
+    all JVM-side, skew-free, linear in |pred| x |trg| pairs.  The
+    seeded quadratic-mix noise is replayed in exact BIGINT SQL, so
+    both paths draw identical Gumbel perturbations; float sums differ
+    from the NumPy kernel's fold order by the module's accepted ~1-ulp
+    budget, which ROUND(prob, 6) absorbs (equality of the two paths is
+    test-pinned in tests/test_ops.py)."""
+    from pyspark.sql import Window as W
+
+    a = pred_vec.select(
+        F.col("i").alias("qi"), F.posexplode("vec").alias("j", "va")
+    )
+    b = trg_vec.select(
+        F.col("i").alias("ki"), F.posexplode("vec").alias("j", "vb")
+    )
+    scores = (
+        a.join(b, "j")
+        .groupBy("qi", "ki")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+    )
+    noisy = (
+        scores.withColumn(
+            "x",
+            F.expr(f"(qi * 2654435761 + ki * 40503 + {seed}) % {MIX_P}"),
+        )
+        .withColumn(
+            "y", F.expr(f"(x * x + 1103515245 * x + 12345) % {MIX_P}")
+        )
+        .withColumn(
+            "pert", F.col("s") + F.expr(_GUMBEL_SQL.format(P=MIX_P))
+        )
+    )
+    w_ord = (
+        W.partitionBy("qi")
+        .orderBy(F.desc("s"), "ki")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("qi")
+    ranked = noisy.withColumn(
+        "e", F.exp(F.col("s") - F.max("s").over(w_all))
+    ).select(
+        "qi", "ki", "pert", "e",
+        F.row_number().over(
+            W.partitionBy("qi").orderBy(F.desc("s"), "ki")
+        ).alias("rk"),
+        (F.sum("e").over(w_ord) - F.col("e")).alias("cum_before"),
+        F.sum("e").over(w_all).alias("z"),
+    )
+    legs = []
+    for which, kept in (
+        ("topk", F.col("rk") <= k),
+        ("topp", F.col("cum_before") < p * F.col("z")),
+    ):
+        win = (
+            ranked.where(kept)
+            .groupBy("qi")
+            .agg(
+                F.max_by(F.struct("ki", "e"), "pert").alias("w"),
+                F.sum("e").alias("es"),
+            )
+        )
+        legs.append(
+            win.select(
+                F.lit(which).alias("which"),
+                F.col("qi").alias("i"),
+                F.col("w.ki").alias("choice"),
+                F.round(F.col("w.e") / F.col("es"), 6).alias("prob"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
 def sampling_filtered(
     pred_vec: DataFrame,
     trg_vec: DataFrame,
@@ -219,17 +317,31 @@ def sampling_filtered(
     k: int = TOPK_K,
     p: float = TOPP_P,
     seed: int = 42,
+    broadcast_classes: bool | None = None,
 ) -> DataFrame:
     """Tagged union ``(which, i, choice, prob)`` of top-k and nucleus
     sampling (prob renormalized over the kept set, rounded 6).
 
-    Physical shape: the class side broadcasts (same exactness budget as
-    the unrestricted sampler's tiles) and each pred batch resolves its
-    restriction IN ROW — one narrow map, zero shuffle.  Genuinely huge
-    class tables would materialize the score table and restrict with a
-    per-row window (the cosine_topk shape); the restriction itself is
-    embarrassingly row-parallel either way."""
+    Physical shape: with a bounded class table (the default here,
+    decided from the parquet footer via ``stats.rows_for_choice`` —
+    no Spark job) the class side broadcasts and each pred batch
+    resolves its restriction IN ROW — one narrow map, zero shuffle.
+    Past :data:`CLASS_BROADCAST_MAX_ROWS` the driver-side collect
+    would become the ceiling, so the pick flips to
+    :func:`_filtered_windowed` — materialized score table + per-row
+    windows, fully distributed.  Both paths are output-equal on the
+    gate grid (test-pinned); ``broadcast_classes`` forces a path for
+    tests."""
     import pandas as pd
+
+    from gemmsql.stats import rows_for_choice
+
+    if broadcast_classes is None:
+        broadcast_classes = (
+            rows_for_choice(trg_vec) <= CLASS_BROADCAST_MAX_ROWS
+        )
+    if not broadcast_classes:
+        return _filtered_windowed(pred_vec, trg_vec, k=k, p=p, seed=seed)
 
     spark = pred_vec.sparkSession
     pdf_trg = trg_vec.select("i", "vec").toPandas()

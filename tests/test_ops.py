@@ -212,3 +212,43 @@ def test_attention_three_way_differential(spark, emb_matrix):
     assert np.allclose(coo_out, want)
     assert np.allclose(blocked, coo_out)          # float paths agree tightly
     assert np.allclose(gate_out, want, atol=1e-4)  # quantized twin
+
+
+def test_sampling_filtered_paths_bit_equal_and_pick(spark):
+    """The broadcast kernel and the distributed window fallback of
+    sampling_filtered must produce identical (which, i, choice, prob)
+    on the gate grid — the VERDICT r6 #4 contract for removing the
+    class-table driver ceiling — and the automatic pick must resolve
+    from the parquet footer: the smoke class table is far under
+    CLASS_BROADCAST_MAX_ROWS, so the default plan is the narrow
+    mapInPandas (no Window), while the forced fallback plans Windows."""
+    from gemmsql.ops.sampling import (
+        CLASS_BROADCAST_MAX_ROWS,
+        sampling_filtered,
+    )
+    from gemmsql.stats import rows_for_choice
+
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    a = (
+        sampling_filtered(vec, vec, broadcast_classes=True)
+        .orderBy("which", "i")
+        .toPandas()
+    )
+    b = (
+        sampling_filtered(vec, vec, broadcast_classes=False)
+        .orderBy("which", "i")
+        .toPandas()
+    )
+    assert len(a) > 0
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # pick: footer stats resolve without a Spark job, and the chosen
+    # physical shapes differ as documented
+    assert rows_for_choice(vec) <= CLASS_BROADCAST_MAX_ROWS
+    auto_plan = sampling_filtered(vec, vec)._jdf.queryExecution().toString()
+    forced_plan = (
+        sampling_filtered(vec, vec, broadcast_classes=False)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "MapInPandas" in auto_plan and "Window" not in auto_plan
+    assert "Window" in forced_plan and "MapInPandas" not in forced_plan
