@@ -486,6 +486,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the watermark emission rule itself — in place of repetition_stats
     and vocab_build (green r3-r6 / r4-r6, both still hash-gated in
     tests/test_rotation.py).
+    Round-7 third swap (completing the multimodal codec matrix):
+    adpcm_features — the LOSSY compressed-audio tier (from-scratch
+    IMA-ADPCM codec, gemmsql/pipeline/adpcm.py, gated on its pinned
+    step-index exactness subdomain the way jpeg_features is) — and
+    video_features — the REAL video-container tier (RIFF/AVI MJPEG
+    parser composing the in-repo JPEG decoder, every-2nd-frame
+    sampling load-bearing in the hash, gemmsql/pipeline/video.py) —
+    in place of payload_features and audio_features (the UNCOMPRESSED
+    image/audio tiers, green r5-r6; both keep their full hash gates
+    in tests/test_rotation.py — every compressed/container tier in
+    the gate now rides a real codec: PNG, JPEG gray+color, FLAC,
+    ADPCM, AVI/MJPEG).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -502,11 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         joins,
         text,
     )
-    from gemmsql.pipeline.multimodal import (
-        audio_features,
-        payload_features,
-        png_features,
-    )
+    from gemmsql.pipeline import adpcm, video
+    from gemmsql.pipeline.multimodal import png_features
     from gemmsql.sketches import cm_heavy_hitters, hist_quantiles
 
     return {
@@ -529,18 +538,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (embedding_dups_lsh rotated out late in r6, green r3-r5; the
         # embedding near-dup surface stays gated via semantic_dups and
         # the hash gate moves to test_rotation)
-        # --- multimodal: real codecs (PPM uncompressed tier, PNG
-        # lossless-compressed tier, JPEG lossy-compressed tier on its
-        # exactness subdomain — gray AND the full YCbCr 4:2:0 color
-        # path since r7, WAV uncompressed audio tier, FLAC
-        # lossless-COMPRESSED audio tier new in r7: Rice coding +
-        # fixed linear predictors + CRC-8/16/MD5 verifies) ---
-        "payload_features": payload_features,
+        # --- multimodal: real codecs, every gate a COMPRESSED format
+        # or container (the uncompressed PPM/WAV tiers —
+        # payload_features, audio_features — rotated to
+        # tests/test_rotation.py in the r7 third swap): PNG lossless
+        # image, JPEG lossy image on its exactness subdomain (gray AND
+        # the full YCbCr 4:2:0 color path), FLAC lossless-compressed
+        # audio (Rice coding + fixed predictors + CRC-8/16/MD5),
+        # IMA-ADPCM lossy-compressed audio on its pinned-step-index
+        # subdomain, and AVI/MJPEG video (RIFF container walk +
+        # every-2nd-frame sampling + per-frame JPEG decode) ---
         "png_features": png_features,
         "jpeg_features": jpeg.jpeg_features,
         "jpeg_color_features": jpeg.jpeg_color_features,
-        "audio_features": audio_features,
         "flac_features": flac.flac_features,
+        "adpcm_features": adpcm.adpcm_features,
+        "video_features": video.video_features,
         # --- dedup (minhash_lsh_pairs / dedup_clusters rotated out
         # late in r6, green r1-r5; keep-best + incremental keep the
         # LSH->cluster->canonicalize chain gated) ---
@@ -986,11 +999,8 @@ def oracle_sql() -> dict[str, str]:
         joins,
         text,
     )
-    from gemmsql.pipeline.multimodal import (
-        AUDIO_FEATURES_SQL,
-        PAYLOAD_FEATURES_SQL,
-        PNG_FEATURES_SQL,
-    )
+    from gemmsql.pipeline import adpcm, video
+    from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
         STREAMING_OUTER_JOIN_GATE_SQL,
@@ -1014,12 +1024,12 @@ def oracle_sql() -> dict[str, str]:
         "chain_grads": CHAIN_GRADS_SQL,
         "chain2_grads": CHAIN2_GRADS_SQL,
         "ivfpq_topk": IVFPQ_TOPK_SQL,
-        "payload_features": PAYLOAD_FEATURES_SQL,
         "png_features": PNG_FEATURES_SQL,
         "jpeg_features": jpeg.JPEG_FEATURES_SQL,
         "jpeg_color_features": jpeg.JPEG_COLOR_FEATURES_SQL,
-        "audio_features": AUDIO_FEATURES_SQL,
         "flac_features": flac.FLAC_FEATURES_SQL,
+        "adpcm_features": adpcm.ADPCM_FEATURES_SQL,
+        "video_features": video.VIDEO_FEATURES_SQL,
         "doc_chunks": text.DOC_CHUNKS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dup_spans": dedup.DUP_SPANS_SQL,

@@ -1,0 +1,439 @@
+"""IMA-ADPCM codec (lossy compressed audio, 4 bits/sample) in its
+RIFF/WAVE container, dependency-free, plus the gated corpus query.
+
+This completes the audio tier the way JPEG completed the image tier:
+WAV gates the uncompressed path, FLAC the *lossless*-compressed path
+(Rice + prediction), and IMA-ADPCM gates the *lossy*-compressed path —
+the 4:1 step-size-adaptive delta format (IMA "DVI4" / WAV format tag
+0x0011) that real speech corpora actually carry.  Implemented from the
+public IMA/DVI specification: the 89-entry step-size table, the
+8-entry index-adjust table, per-block state headers (predictor sample
++ step index), low-nibble-first packing, the ADPCM ``fmt `` extension
+(``wSamplesPerBlock``) and the ``fact`` chunk that truncates the final
+block.
+
+Hash-parity strategy (the JPEG trick, adapted): ADPCM is lossy, so
+``decode(encode(x))`` cannot gate arbitrary signals — but the DECODED
+output of any given wire payload is exactly determined by the nibble
+stream, all in int arithmetic.  The gate synthesizes payloads whose
+nibbles are md5-chain bytes restricted to magnitudes 0-3 (sign bit
+free): every such nibble adjusts the step index by -1, so with the
+block header writing index 0 the index stays clamped at 0 and the
+step stays ``step_table[0] == 7`` for the whole block.  The decoded
+difference is then a PURE per-nibble function (0/±1/±3/±4), and the
+decoded block is ``predictor + running-sum(diff)`` — a window cumsum
+DuckDB replays exactly.  The wire bytes are genuine IMA-ADPCM (real
+nibble packing, real per-block headers, a real ``fact``-chunk
+truncation of the last block); the full decoder — step adaptation,
+both clamps, arbitrary nibbles — is differentially tested against a
+scalar reference in ``tests/test_multimodal.py``.
+
+Scale shape: encode and decode are narrow Arrow-batched maps — zero
+shuffle; the in-block sample recursion is sequential by nature of the
+format, so the decoder loops over the ~samples-per-block axis while
+staying NumPy-vectorized across blocks (the long axis).  At 100 TB an
+audio-decode pass is scan-bound, which is the right bound.  (No analog
+in the reference — its surface is ML operators,
+ref:gemm_map_reduce.py:1; this belongs to the training-data-pipeline
+tier of the brief.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+# ----------------------------------------------------------- constants
+
+#: IMA/DVI step-size table (89 entries, public spec).
+STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+], dtype=np.int64)
+
+#: index adjustment per nibble magnitude (bits 0-2); the sign bit
+#: (bit 3) never affects the index.
+INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+WAVE_FORMAT_IMA_ADPCM = 0x0011
+
+
+def _nibble_diff(nibbles: np.ndarray, steps: np.ndarray) -> np.ndarray:
+    """Exact integer-shift reconstruction of the IMA difference:
+    ``diff = (step>>3) + (step>>2 if b0) + (step>>1 if b1) +
+    (step if b2)``, negated when bit 3 is set."""
+    d = steps >> 3
+    d = d + np.where(nibbles & 1, steps >> 2, 0)
+    d = d + np.where(nibbles & 2, steps >> 1, 0)
+    d = d + np.where(nibbles & 4, steps, 0)
+    return np.where(nibbles & 8, -d, d)
+
+
+# ------------------------------------------------------------- encoder
+
+def encode_adpcm(
+    samples: np.ndarray, sample_rate: int = 16000, data_bytes_per_block: int = 16
+) -> bytes:
+    """(N,) int16 mono -> RIFF/WAVE IMA-ADPCM bytes (format tag
+    0x0011).  Each block is a 4-byte state header (int16 predictor =
+    the block's first sample verbatim, uint8 step index, reserved 0)
+    followed by ``data_bytes_per_block`` nibble bytes, i.e.
+    ``2*data_bytes_per_block + 1`` samples per block; the true sample
+    count is recorded in the ``fact`` chunk and the final block is
+    zero-nibble-padded on the wire.
+
+    The encoder carries the step index ACROSS blocks (standard
+    practice: only the predictor restarts from the header) and is
+    vectorized across blocks where the format allows — the in-block
+    recursion is inherently sequential, so the loop runs over the
+    samples-per-block axis.
+    """
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 1:
+        raise ValueError("mono only")
+    if len(s) == 0:
+        raise ValueError("empty signal")
+    spb = 2 * data_bytes_per_block + 1
+    n_blocks = -(-len(s) // spb)
+    # pad by repeating the last sample: zero diffs, cheapest nibbles
+    pad = np.full(n_blocks * spb - len(s), s[-1], dtype=np.int64)
+    sp = np.concatenate([s, pad]).reshape(n_blocks, spb)
+
+    nibbles = np.zeros((n_blocks, spb - 1), dtype=np.uint8)
+    headers = []
+    index = 0
+    for b in range(n_blocks):
+        pred = int(sp[b, 0])
+        headers.append(struct.pack("<hBB", pred, index, 0))
+        for t in range(1, spb):
+            step = int(STEP_TABLE[index])
+            delta = int(sp[b, t]) - pred
+            nib = 8 if delta < 0 else 0
+            if delta < 0:
+                delta = -delta
+            # greedy bit decomposition — the canonical IMA encoder
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            diff = int(_nibble_diff(np.array([nib]), np.array([step]))[0])
+            pred = max(-32768, min(32767, pred + diff))
+            index = max(0, min(88, index + int(INDEX_TABLE[nib & 7])))
+            nibbles[b, t - 1] = nib
+
+    lo = nibbles[:, 0::2]
+    hi = nibbles[:, 1::2]
+    data = b"".join(
+        headers[b] + (lo[b] | (hi[b] << 4)).astype(np.uint8).tobytes()
+        for b in range(n_blocks)
+    )
+
+    block_align = 4 + data_bytes_per_block
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<4sIHHIIHHHH", b"fmt ", 20, WAVE_FORMAT_IMA_ADPCM, 1,
+        sample_rate, byte_rate, block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<4sII", b"fact", 4, len(s))
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) & 1:
+        data_chunk += b"\0"
+    riff = b"WAVE" + fmt + fact + data_chunk
+    return struct.pack("<4sI", b"RIFF", len(riff)) + riff
+
+
+# ------------------------------------------------------------- decoder
+
+def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE IMA-ADPCM -> ((N,) int16 samples, sample_rate).
+
+    Full standard decode: walks the chunk list, requires format tag
+    0x0011 / 4 bits / mono, honours ``wSamplesPerBlock`` from the
+    ``fmt `` extension and the ``fact`` sample count (truncating the
+    final block), restarts the predictor AND step index from each
+    block header, and applies both clamps (predictor to int16, index
+    to [0, 88]).  Vectorized across blocks; the in-block recursion
+    loops over the samples-per-block axis only."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = block_align = spb = None
+    n_samples = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if sz < 20:
+                raise ValueError("ADPCM fmt chunk needs the extension")
+            (tag, ch, rate, _br, block_align, bits, cb, spb) = struct.unpack_from(
+                "<HHIIHHHH", body, 0
+            )
+            if tag != WAVE_FORMAT_IMA_ADPCM:
+                raise ValueError(f"not IMA-ADPCM (fmt tag 0x{tag:04x})")
+            if ch != 1 or bits != 4 or cb < 2:
+                raise ValueError("mono 4-bit IMA-ADPCM only")
+            if spb != 2 * (block_align - 4) + 1:
+                raise ValueError("wSamplesPerBlock inconsistent with block align")
+        elif cid == b"fact":
+            n_samples = struct.unpack_from("<I", body, 0)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(data) % block_align:
+        raise ValueError("data size not a whole number of blocks")
+    n_blocks = len(data) // block_align
+
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(n_blocks, block_align)
+    preds = raw[:, 0:2].copy().view("<i2")[:, 0].astype(np.int64)
+    indexes = raw[:, 2].astype(np.int64)
+    if raw[:, 3].any():
+        raise ValueError("nonzero reserved byte in block header")
+    if (indexes > 88).any():
+        raise ValueError("step index out of range")
+    packed = raw[:, 4:]
+    nibbles = np.empty((n_blocks, spb - 1), dtype=np.int64)
+    nibbles[:, 0::2] = packed & 0x0F
+    nibbles[:, 1::2] = packed >> 4
+
+    out = np.empty((n_blocks, spb), dtype=np.int64)
+    out[:, 0] = preds
+    pred = preds.copy()
+    index = indexes.copy()
+    for t in range(1, spb):
+        step = STEP_TABLE[index]
+        nib = nibbles[:, t - 1]
+        pred = np.clip(pred + _nibble_diff(nib, step), -32768, 32767)
+        index = np.clip(index + INDEX_TABLE[nib & 7], 0, 88)
+        out[:, t] = pred
+
+    flat = out.reshape(-1)
+    if n_samples is not None:
+        if n_samples > len(flat):
+            raise ValueError("fact count exceeds decoded samples")
+        flat = flat[:n_samples]
+    return flat.astype(np.int16), int(rate)
+
+
+# ---------------------------------------------------- gated corpus query
+
+ADPCM_RATE = 16000
+ADPCM_DATA_BYTES = 16          # nibble bytes per block
+ADPCM_SPB = 2 * ADPCM_DATA_BYTES + 1   # 33 samples per block
+ADPCM_BLOCKS_BASE = 4          # blocks per doc: 4 + doc_id % 5
+ADPCM_BLOCKS_MOD = 5
+ADPCM_TRUNC_MOD = 7            # fact trims doc_id % 7 tail samples
+
+#: decoded diff at step 7 (index pinned to 0) per nibble magnitude —
+#: (7>>3) + (7>>2 if b0) + (7>>1 if b1); magnitudes 4-7 never occur in
+#: the gate subdomain because they would raise the step index.
+_GATE_DIFF = {0: 0, 1: 1, 2: 3, 3: 4}
+
+
+def _gate_nibbles(doc_id: int, block: int) -> list[int]:
+    """32 exactness-subdomain nibbles for one block: md5-chain bytes
+    folded to magnitude 0-3 (``byte % 8``, values 4-7 carrying the
+    sign bit instead: 4..7 -> 8..11)."""
+    out: list[int] = []
+    for half in range(2):
+        h = hashlib.md5(f"adn:{doc_id}:{block}:{half}".encode()).digest()
+        for byte in h:
+            n = byte % 8
+            out.append(n + 4 if n >= 4 else n)
+    return out
+
+
+def _gate_pred(doc_id: int, block: int) -> int:
+    """Per-block header predictor: first two md5 bytes (big-endian, so
+    the oracle reads the same hex prefix) folded to [-1024, 1024)."""
+    h = hashlib.md5(f"adp:{doc_id}:{block}".encode()).digest()
+    return (h[0] << 8 | h[1]) % 2048 - 1024
+
+
+def with_adpcm_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL IMA-ADPCM WAV payload per document (narrow
+    Arrow-batched map), built on the decoder's exactness subdomain:
+    genuine per-block state headers, genuine low-first nibble packing,
+    a genuine ``fact`` truncation of the last block — with every
+    nibble magnitude <= 3 so the step index stays clamped at 0 and the
+    decode is oracle-replayable (module docstring)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for d in pdf["doc_id"]:
+                doc_id = int(d)
+                nb = ADPCM_BLOCKS_BASE + doc_id % ADPCM_BLOCKS_MOD
+                blocks = []
+                for b in range(nb):
+                    nibs = _gate_nibbles(doc_id, b)
+                    lo = np.array(nibs[0::2], dtype=np.uint8)
+                    hi = np.array(nibs[1::2], dtype=np.uint8)
+                    blocks.append(
+                        struct.pack("<hBB", _gate_pred(doc_id, b), 0, 0)
+                        + (lo | (hi << 4)).tobytes()
+                    )
+                data = b"".join(blocks)
+                n_samples = nb * ADPCM_SPB - doc_id % ADPCM_TRUNC_MOD
+                block_align = 4 + ADPCM_DATA_BYTES
+                byte_rate = (
+                    ADPCM_RATE * block_align + ADPCM_SPB - 1
+                ) // ADPCM_SPB
+                fmt = struct.pack(
+                    "<4sIHHIIHHHH", b"fmt ", 20, WAVE_FORMAT_IMA_ADPCM,
+                    1, ADPCM_RATE, byte_rate, block_align, 4, 2, ADPCM_SPB,
+                )
+                fact = struct.pack("<4sII", b"fact", 4, n_samples)
+                data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+                riff = b"WAVE" + fmt + fact + data_chunk
+                payloads.append(
+                    struct.pack("<4sI", b"RIFF", len(riff)) + riff
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every IMA-ADPCM payload with the REAL decoder (chunk
+    walk, fmt-extension validation, per-block state restart, nibble
+    unpack, step-table reconstruction, fact truncation) and emit
+    per-doc stats ``(doc_id, n_samples, sample_rate, n_blocks, peak,
+    mean, rms)`` — exact int64 partials, double derivation mirroring
+    the oracle term for term.  A wrong step table, nibble order, sign
+    rule, or fact handling changes the samples and breaks the value
+    hash.  Zero shuffle — one narrow decode map."""
+    b = with_adpcm_payload(spark, sf_dir)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ns, rates, nbs, peaks, sums, sqs = [], [], [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_adpcm(bytes(p))
+                v = samples.astype(np.int64)
+                ids.append(doc_id)
+                ns.append(len(v))
+                rates.append(rate)
+                nbs.append(-(-len(v) // ADPCM_SPB))
+                peaks.append(int(np.abs(v).max()))
+                sums.append(int(v.sum()))
+                sqs.append(int((v * v).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n": ns, "rate": rates, "nb": nbs,
+                 "peak": peaks, "s": sums, "s2": sqs}
+            )
+
+    part = b.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, n long, rate long, nb long, peak long,"
+            " s long, s2 long"
+        ),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return part.select(
+        "doc_id",
+        F.col("n").alias("n_samples"),
+        F.col("rate").alias("sample_rate"),
+        F.col("nb").alias("n_blocks"),
+        F.col("peak").alias("peak"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt(s2 / n), 6).alias("rms"),
+    )
+
+
+# oracle: block b of doc d decodes to pred(d,b) + cumsum(diff) where
+# diff is the pure per-nibble function of the step-7 subdomain; the
+# fact chunk drops the last (doc_id % 7) samples.
+ADPCM_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {ADPCM_BLOCKS_BASE} + doc_id % {ADPCM_BLOCKS_MOD} AS nb,
+         doc_id % {ADPCM_TRUNC_MOD} AS trunc
+  FROM documents
+),
+blk AS (
+  SELECT d.doc_id, d.nb, d.trunc, s.b,
+         CAST('0x' || substr(
+           md5('adp:' || CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(s.b AS VARCHAR)), 1, 4) AS BIGINT)
+         % 2048 - 1024 AS pred
+  FROM d
+  JOIN generate_series(0, {ADPCM_BLOCKS_BASE + ADPCM_BLOCKS_MOD - 1}) s(b)
+    ON s.b < d.nb
+),
+nib AS (
+  SELECT b.doc_id, b.nb, b.trunc, b.b, b.pred,
+         h.half * 16 + g.k AS t,
+         CAST('0x' || substr(
+           md5('adn:' || CAST(b.doc_id AS VARCHAR) || ':'
+               || CAST(b.b AS VARCHAR) || ':'
+               || CAST(h.half AS VARCHAR)), 2 * g.k + 1, 2) AS BIGINT)
+         % 8 AS mag
+  FROM blk b
+  JOIN generate_series(0, 1) h(half) ON TRUE
+  JOIN generate_series(0, 15) g(k) ON TRUE
+),
+diffs AS (
+  SELECT doc_id, nb, trunc, b, pred, t,
+         (CASE WHEN mag >= 4 THEN -1 ELSE 1 END)
+         * (CASE mag % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                         WHEN 2 THEN 3 ELSE 4 END) AS diff
+  FROM nib
+),
+smp AS (
+  SELECT doc_id, nb, trunc, b, 0 AS t, pred AS v FROM blk
+  UNION ALL
+  SELECT doc_id, nb, trunc, b, t + 1 AS t,
+         pred + SUM(diff) OVER (
+           PARTITION BY doc_id, b ORDER BY t
+           ROWS UNBOUNDED PRECEDING
+         ) AS v
+  FROM diffs
+),
+sel AS (
+  SELECT doc_id, nb, v FROM smp
+  WHERE b * {ADPCM_SPB} + t < nb * {ADPCM_SPB} - trunc
+)
+SELECT doc_id,
+       COUNT(*) AS n_samples,
+       CAST({ADPCM_RATE} AS BIGINT) AS sample_rate,
+       CAST((COUNT(*) + {ADPCM_SPB - 1}) // {ADPCM_SPB} AS BIGINT)
+         AS n_blocks,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+       ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+FROM sel GROUP BY doc_id, nb
+"""

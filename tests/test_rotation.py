@@ -137,6 +137,30 @@ def _resize_stats_sql():
     return RESIZE_STATS_SQL
 
 
+def _payload_features(spark, sf_dir):
+    from gemmsql.pipeline.multimodal import payload_features
+
+    return payload_features(spark, sf_dir)
+
+
+def _payload_features_sql():
+    from gemmsql.pipeline.multimodal import PAYLOAD_FEATURES_SQL
+
+    return PAYLOAD_FEATURES_SQL
+
+
+def _audio_features(spark, sf_dir):
+    from gemmsql.pipeline.multimodal import audio_features
+
+    return audio_features(spark, sf_dir)
+
+
+def _audio_features_sql():
+    from gemmsql.pipeline.multimodal import AUDIO_FEATURES_SQL
+
+    return AUDIO_FEATURES_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -314,6 +338,13 @@ def _rotated():
         ("repetition_stats", _entry("q_repetition_stats"),
          text.REPETITION_PROFILE_SQL),
         ("vocab_build", text.vocab_build, text.VOCAB_BUILD_SQL),
+        # rotated out in the round-7 third swap for adpcm_features and
+        # video_features (green r5-r6): the UNCOMPRESSED image/audio
+        # tiers — every driver-gated multimodal entry now rides a real
+        # compressed codec or container; the raw-PPM / raw-WAV decode
+        # paths keep their full hash gates here
+        ("payload_features", _payload_features, _payload_features_sql()),
+        ("audio_features", _audio_features, _audio_features_sql()),
     ]
 
 
