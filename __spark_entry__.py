@@ -356,6 +356,12 @@ def _streaming_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_stateful_gate(spark, sf_dir)
 
 
+def _streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_dedup_gate
+
+    return streaming_dedup_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -498,6 +504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in tests/test_rotation.py — every compressed/container tier in
     the gate now rides a real codec: PNG, JPEG gray+color, FLAC,
     ADPCM, AVI/MJPEG).
+    Round-7 fourth swap: streaming_dedup_gate — the SEVENTH streaming
+    gate: the real ``dropDuplicatesWithinWatermark`` state machine
+    over an availableNow replay, hash-equal to batch
+    ``SELECT DISTINCT`` (the property corpus exact-dedup relies on at
+    an ingest stream) — in place of doc_chunks (green r5-r6, hash
+    gate moved to tests/test_rotation.py).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -556,8 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": video.video_features,
         # --- dedup (minhash_lsh_pairs / dedup_clusters rotated out
         # late in r6, green r1-r5; keep-best + incremental keep the
-        # LSH->cluster->canonicalize chain gated) ---
-        "doc_chunks": text.doc_chunks,
+        # LSH->cluster->canonicalize chain gated; doc_chunks rotated
+        # out in the r7 fourth swap for streaming_dedup_gate) ---
         "quality_classifier": text.quality_classifier,
         "dup_spans": dedup.dup_spans,
         "bloom_decontaminate": _bloom_decontaminate_query,
@@ -610,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_outer_join_gate": _streaming_outer_join_query,
         "streaming_stateful_gate": _streaming_stateful_query,
         "streaming_hist_gate": _streaming_hist_query,
+        "streaming_dedup_gate": _streaming_dedup_query,
     }
 
 
@@ -1003,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
+        STREAMING_DEDUP_GATE_SQL,
         STREAMING_OUTER_JOIN_GATE_SQL,
         STREAMING_HIST_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
@@ -1030,7 +1044,6 @@ def oracle_sql() -> dict[str, str]:
         "flac_features": flac.FLAC_FEATURES_SQL,
         "adpcm_features": adpcm.ADPCM_FEATURES_SQL,
         "video_features": video.VIDEO_FEATURES_SQL,
-        "doc_chunks": text.DOC_CHUNKS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dup_spans": dedup.DUP_SPANS_SQL,
         "bloom_decontaminate": bloom_decontaminate_sql(),
@@ -1063,4 +1076,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_join_gate": STREAMING_JOIN_GATE_SQL,
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
         "streaming_hist_gate": STREAMING_HIST_GATE_SQL,
+        "streaming_dedup_gate": STREAMING_DEDUP_GATE_SQL,
     }

@@ -651,6 +651,76 @@ FROM cum GROUP BY 1, 2
 """
 
 
+#: dedup-state horizon for the dedup gate — the production state
+#: bound (state for a key expires ``within`` after its event time).
+DEDUP_GATE_WITHIN = "2 days"
+
+
+def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of :func:`streaming_dedup_exact` — streaming
+    exact deduplication under a watermark -> the distinct
+    ``(user_id, event_type, day_us)`` key set.
+
+    The REAL ``dropDuplicatesWithinWatermark`` operator runs over an
+    availableNow replay of the events table: every first-seen key row
+    is emitted, repeats within the 2-day horizon are absorbed by the
+    dedup state store, and the result is projected to the key columns
+    so the hash is independent of which physical instance arrived
+    first.  The batch oracle is plain ``SELECT DISTINCT`` — the gate
+    therefore enforces that the streaming dedup state machine
+    implements exact set semantics, the property the training-data
+    tier's exact dedup (`pipeline.dedup.dedup_exact`) relies on when
+    it moves from corpus batches to an ingest stream.
+
+    Determinism pinning: the dump replays as ONE micro-batch (file
+    listing order is not time order), so no key's state can expire
+    mid-replay and re-emit — within a batch the operator is a plain
+    aggregation.  Every in-data duplicate pair is well inside the
+    2-day horizon anyway (same calendar day, <= 24 h apart), which is
+    the API's guaranteed-dedup regime.  A production stream ingests in
+    time order across many batches and sizes ``within`` to its
+    replay/late-data window; the state bound (keys live ``within``
+    past their event time, then expire) is what makes exact dedup
+    viable on an unbounded stream at 100 TB/day."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = read_events_stream(spark, target, max_files_per_trigger=1_000_000)
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        "ts",
+    )
+    name = "stream_gate_dedup"
+    ckpt = _fresh_ckpt(f"gemmsql_ckpt_dedup_{tag}")
+    with state_partitions(spark):
+        q = (
+            keyed.withWatermark("ts", DEDUP_GATE_WITHIN)
+            .dropDuplicatesWithinWatermark(
+                ["user_id", "event_type", "day_us"]
+            )
+            .select("user_id", "event_type", "day_us")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    return spark.table(name)
+
+
+STREAMING_DEDUP_GATE_SQL = """
+SELECT DISTINCT user_id, event_type,
+       epoch_us(date_trunc('day', ts)) AS day_us
+FROM events
+"""
+
+
 STREAMING_OUTER_JOIN_GATE_SQL = """
 WITH p AS (SELECT event_id AS purchase_id, user_id, ts
            FROM events WHERE event_type = 'purchase'),

@@ -161,6 +161,18 @@ def _audio_features_sql():
     return AUDIO_FEATURES_SQL
 
 
+def _doc_chunks(spark, sf_dir):
+    from gemmsql.pipeline.text import doc_chunks
+
+    return doc_chunks(spark, sf_dir)
+
+
+def _doc_chunks_sql():
+    from gemmsql.pipeline.text import DOC_CHUNKS_SQL
+
+    return DOC_CHUNKS_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -345,6 +357,9 @@ def _rotated():
         # paths keep their full hash gates here
         ("payload_features", _payload_features, _payload_features_sql()),
         ("audio_features", _audio_features, _audio_features_sql()),
+        # rotated out in the round-7 fourth swap for
+        # streaming_dedup_gate (the 7th streaming gate): green r5-r6
+        ("doc_chunks", _doc_chunks, _doc_chunks_sql()),
     ]
 
 

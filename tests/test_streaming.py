@@ -731,3 +731,35 @@ def test_streaming_hist_gate_oracle_parity_and_watermark(spark):
         "open day window leaked through the watermark gate"
     )
     assert len(sdf) > 0
+
+
+def test_streaming_dedup_gate_oracle_parity_and_absorption(spark):
+    """In-repo twin of the driver's hash gate for the round-7 seventh
+    streaming gate (no gate entrant without in-repo parity): the
+    dropDuplicatesWithinWatermark replay must equal batch DISTINCT —
+    and the dedup state must actually absorb repeats (strictly fewer
+    output rows than input events), or the gate would be vacuous."""
+    import duckdb
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.streaming.windows import (
+        STREAMING_DEDUP_GATE_SQL,
+        streaming_dedup_gate,
+    )
+    from tests.test_rotation import _hash
+
+    sdf = streaming_dedup_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    odf = con.execute(STREAMING_DEDUP_GATE_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert 0 < len(sdf) < n_events, (
+        "dedup gate absorbed nothing — duplicate keys missing from the"
+        " fixture data"
+    )
