@@ -510,6 +510,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``SELECT DISTINCT`` (the property corpus exact-dedup relies on at
     an ingest stream) — in place of doc_chunks (green r5-r6, hash
     gate moved to tests/test_rotation.py).
+    Round-7 fifth swap: html_extract — the web-corpus ingestion stage
+    (strip script/style/comments with content, drop tags, decode
+    entities in HTML5 order, collapse whitespace; title + link-count
+    metadata) over deterministically synthesized pages, one
+    whole-stage-codegen narrow map (gemmsql/pipeline/html.py) — in
+    place of pii_scrub_corpus (green r4-r6; the same regex-hygiene
+    family keeps corpus-scale representation via html_extract, and
+    pii keeps its full hash gate in tests/test_rotation.py).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -526,7 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         joins,
         text,
     )
-    from gemmsql.pipeline import adpcm, video
+    from gemmsql.pipeline import adpcm, html, video
     from gemmsql.pipeline.multimodal import png_features
     from gemmsql.sketches import cm_heavy_hitters, hist_quantiles
 
@@ -577,7 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1-r5; the per-doc profile shape stays via repetition_stats)
         "doc_perplexity": text.doc_perplexity,
         "mixture_balance": text.mixture_balance,
-        "pii_scrub_corpus": text.pii_scrub_corpus,
+        "html_extract": html.html_extract_corpus,
         "dedup_incremental": dedup.dedup_incremental_corpus,
         # --- corpus versioning / mixture ---
         "mixture_temperature": text.mixture_temperature,
@@ -1012,7 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         joins,
         text,
     )
-    from gemmsql.pipeline import adpcm, video
+    from gemmsql.pipeline import adpcm, html, video
     from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
@@ -1049,7 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": bloom_decontaminate_sql(),
         "doc_perplexity": text.DOC_PERPLEXITY_SQL,
         "mixture_balance": text.MIXTURE_BALANCE_SQL,
-        "pii_scrub_corpus": text.PII_SCRUB_CORPUS_SQL,
+        "html_extract": html.HTML_EXTRACT_SQL,
         "dedup_incremental": dedup.dedup_incremental_sql(),
         "mixture_temperature": text.MIXTURE_TEMPERATURE_SQL,
         "corpus_diff": corpus.CORPUS_DIFF_SQL,

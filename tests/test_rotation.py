@@ -173,6 +173,18 @@ def _doc_chunks_sql():
     return DOC_CHUNKS_SQL
 
 
+def _pii_scrub_corpus(spark, sf_dir):
+    from gemmsql.pipeline.text import pii_scrub_corpus
+
+    return pii_scrub_corpus(spark, sf_dir)
+
+
+def _pii_scrub_corpus_sql():
+    from gemmsql.pipeline.text import PII_SCRUB_CORPUS_SQL
+
+    return PII_SCRUB_CORPUS_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -360,6 +372,10 @@ def _rotated():
         # rotated out in the round-7 fourth swap for
         # streaming_dedup_gate (the 7th streaming gate): green r5-r6
         ("doc_chunks", _doc_chunks, _doc_chunks_sql()),
+        # rotated out in the round-7 fifth swap for html_extract
+        # (green r4-r6; both are regex-hygiene narrow maps — the
+        # PII-injected corpus scrub keeps its full hash gate here)
+        ("pii_scrub_corpus", _pii_scrub_corpus, _pii_scrub_corpus_sql()),
     ]
 
 
