@@ -518,6 +518,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     place of pii_scrub_corpus (green r4-r6; the same regex-hygiene
     family keeps corpus-scale representation via html_extract, and
     pii keeps its full hash gate in tests/test_rotation.py).
+    Round-7 sixth swap: kmv_reach — the FIFTH sketch family (KMV
+    bottom-k distinct sketch, gemmsql/sketches.py), the only one with
+    set operations: per-event-type user-day reach plus pairwise
+    union / Jaccard / intersection estimates from fixed-size monoid
+    state, built on the reference mk_GeMMMapReduce contract via
+    make_monoid_op pandas partials — in place of mixture_balance
+    (green r4-r6; the mixture family stays gated via
+    mixture_temperature, and mixture_balance keeps its full hash gate
+    in tests/test_rotation.py).
 
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
@@ -536,7 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from gemmsql.pipeline import adpcm, html, video
     from gemmsql.pipeline.multimodal import png_features
-    from gemmsql.sketches import cm_heavy_hitters, hist_quantiles
+    from gemmsql.sketches import cm_heavy_hitters, hist_quantiles, kmv_reach
 
     return {
         # --- reference operator surface (SURVEY.md §2) ---
@@ -584,7 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis (text_stats rotated out in r6, green
         # r1-r5; the per-doc profile shape stays via repetition_stats)
         "doc_perplexity": text.doc_perplexity,
-        "mixture_balance": text.mixture_balance,
+        "kmv_reach": kmv_reach,
         "html_extract": html.html_extract_corpus,
         "dedup_incremental": dedup.dedup_incremental_corpus,
         # --- corpus versioning / mixture ---
@@ -1007,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.ops.sampling import sampling_filtered_sql, sampling_sql
     from gemmsql.sketches import (
         HIST_QUANTILES_SQL,
+        KMV_REACH_SQL,
         bloom_decontaminate_sql,
         cm_heavy_hitters_sql,
     )
@@ -1056,7 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": dedup.DUP_SPANS_SQL,
         "bloom_decontaminate": bloom_decontaminate_sql(),
         "doc_perplexity": text.DOC_PERPLEXITY_SQL,
-        "mixture_balance": text.MIXTURE_BALANCE_SQL,
+        "kmv_reach": KMV_REACH_SQL,
         "html_extract": html.HTML_EXTRACT_SQL,
         "dedup_incremental": dedup.dedup_incremental_sql(),
         "mixture_temperature": text.MIXTURE_TEMPERATURE_SQL,

@@ -649,3 +649,246 @@ SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
 {_HIST_Q_COLS}
 FROM cum GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the fifth sketch family,
+# and the only one with SET OPERATIONS: union, Jaccard, and
+# intersection estimates between groups from fixed-size state
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 unbiased estimator).
+# HLL registers union-merge but cannot intersect; KMV's state — the k
+# smallest distinct hash values — is a uniform bottom-k sample of the
+# key's hash space, so any set algebra that works on samples works on
+# sketches.
+
+KMV_K = 256                      # rel. std err ~ 1/sqrt(k-2) ~ 6.3%
+_KMV_SPACE = float(1 << 60)      # md5-derived h60 is uniform on [0, 2^60)
+
+
+def _h60_expr(id_col: str):
+    """First 60 bits of md5(id) — the same deterministic hash the HLL
+    sketch rides (:func:`hll_registers`), so both engines place every
+    id at the same point of the hash space and duplicates collapse
+    under set-union for free."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    *,
+    key: str = "event_type",
+    id_col: str = "user_id",
+    k: int = KMV_K,
+    strategy: str = "pandas",
+) -> DataFrame:
+    """``(key, s)`` with ``s`` = the ``k`` smallest DISTINCT 60-bit
+    hashes of ``id_col`` per key, ascending — built as a
+    ``make_monoid_op`` instance (the reference ``mk_GeMMMapReduce``
+    contract, ref core.py:15-64): ``zero`` = empty set, ``proj_fold``
+    = per-tile bottom-k, ``binary_reduce`` = union-then-cut (closed,
+    associative, commutative — a true monoid, so the result is
+    IDENTICAL under any partitioning / merge order, which is what lets
+    the DuckDB twin replay it with a window rank).
+
+    Scale shape: the Arrow path computes one bottom-k per (key, input
+    partition) — state k longs per group per tile, NEVER the distinct
+    key set — and the final merge shuffles only those partials:
+    exchanged volume is O(groups x partitions x k), independent of id
+    cardinality.  ``strategy="rows"`` runs the row-at-a-time
+    ``aggregateByKey`` twin (compatibility path; equality of the two
+    is pinned in tests/test_sketch_kmv.py).
+    """
+    from gemmsql.monoid import make_monoid_op
+
+    key_t = dict(zip(df.schema.names, df.schema))[key].dataType.simpleString()
+    out_schema = f"{key} {key_t}, s array<long>"
+    hashed = df.select(key, _h60_expr(id_col).alias("h60"))
+
+    if strategy == "rows":
+        op = make_monoid_op(
+            zero=tuple,
+            lift=lambda row, acc: tuple(sorted(set(acc) | {row["h60"]})[:k]),
+            merge=lambda a, b: tuple(sorted(set(a) | set(b))[:k]),
+            finish=lambda acc: {"s": list(acc)},
+            schema=out_schema,
+        )
+        return op(hashed, [key])
+
+    def partials(sdf: DataFrame, keys):
+        import numpy as np
+        import pandas as pd
+
+        def cut(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            u = np.unique(pdf["h60"].to_numpy())[:k]
+            return pd.DataFrame({key: [pdf[key].iloc[0]], "s": [u]})
+
+        return (
+            sdf.withColumn("_pid", F.spark_partition_id())
+            .groupBy(key, "_pid")
+            .applyInPandas(cut, f"{key} {key_t}, s array<long>")
+        )
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        u = np.unique(np.concatenate(list(pdf["s"])))[:k]
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "s": [u]})
+
+    op = make_monoid_op(
+        zero=tuple,
+        lift=lambda row, acc: acc,
+        merge=lambda a, b: a,
+        pandas_partials=partials,
+        pandas_merge=merge,
+        pandas_merge_schema=out_schema,
+    )
+    return op(hashed, [key])
+
+
+def _kmv_est(s, k: int = KMV_K):
+    """Cardinality estimate from an ascending KMV array: exact size
+    below saturation, else the Beyer et al. unbiased ``(k-1) * space /
+    h_(k)`` — one float division, identical tokens in the twin."""
+    return F.when(F.size(s) < k, F.size(s).cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
+        / F.element_at(s, k).cast("double")
+    )
+
+
+def kmv_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct USER-DAY cardinality (reach in user-day units — the
+    id cardinality that actually grows with corpus size, so the
+    saturated estimator branch is live at the gate tier while the
+    exact small-set branch is live at the pytest tier) AND set
+    algebra per event_type, from KMV sketches -> tagged union
+    ``(which, a, b, est)``:
+
+    - ``card``: per-type distinct user-day estimate;
+    - ``union`` / ``jaccard`` / ``inter``: for every type pair a < b,
+      the union estimate, the Jaccard estimate ``rho`` (= overlap of
+      the combined bottom-k with both sketches / k), and the
+      intersection estimate ``rho * union_est`` — the queries HLL
+      cannot answer (its registers destroy membership).
+
+    Scale shape: sketches are built once (bounded monoid state, see
+    :func:`kmv_sketch`); the pair stage is a self-join of GROUPS (a
+    handful of rows x k-long arrays), broadcast-trivial at any corpus
+    size — set algebra cost is O(groups^2 * k), corpus-independent.
+    All set ops are JVM array functions on sorted arrays; the DuckDB
+    twin replays them with list lambdas over the identical md5-derived
+    hash space, so even the approximate answers hash-match.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            "/",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("uid"),
+    )
+    sk = kmv_sketch(ev, id_col="uid")
+    k = KMV_K
+    card = sk.select(
+        F.lit("card").alias("which"),
+        F.col("event_type").alias("a"),
+        F.lit("").alias("b"),
+        F.round(_kmv_est(F.col("s")), 6).alias("est"),
+    )
+    x, y = sk.alias("x"), sk.alias("y")
+    pairs = x.join(y, F.col("x.event_type") < F.col("y.event_type")).select(
+        F.col("x.event_type").alias("a"),
+        F.col("y.event_type").alias("b"),
+        F.col("x.s").alias("sa"),
+        F.col("y.s").alias("sb"),
+    )
+    uf = F.array_sort(F.array_union(F.col("sa"), F.col("sb")))
+    p = pairs.select(
+        "a",
+        "b",
+        "sa",
+        "sb",
+        uf.alias("uf"),
+        F.slice(uf, 1, k).alias("ucut"),
+        F.least(F.lit(k), F.size(uf)).alias("ku"),
+    )
+    ue = _kmv_est(F.col("uf"))
+    n_common = F.size(
+        F.array_intersect(F.col("ucut"), F.array_intersect("sa", "sb"))
+    )
+    rho = n_common.cast("double") / F.col("ku").cast("double")
+    stats = p.select(
+        "a", "b",
+        F.round(ue, 6).alias("u_est"),
+        F.round(rho, 6).alias("j_est"),
+        F.round(rho * ue, 6).alias("i_est"),
+    )
+
+    def leg(which: str, col: str) -> DataFrame:
+        return stats.select(
+            F.lit(which).alias("which"), "a", "b", F.col(col).alias("est")
+        )
+
+    return card.unionByName(leg("union", "u_est")).unionByName(
+        leg("jaccard", "j_est")
+    ).unionByName(leg("inter", "i_est"))
+
+
+_KMV_UE = (
+    f"CASE WHEN len(uf) < {KMV_K} THEN CAST(len(uf) AS DOUBLE) "
+    f"ELSE {float(KMV_K - 1)} * {_KMV_SPACE} / CAST(uf[{KMV_K}] AS DOUBLE) END"
+)
+
+KMV_REACH_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(md5(
+              CAST(user_id AS VARCHAR) || '/' || strftime(ts, '%Y-%m-%d')
+         ), 1, 15) AS BIGINT) AS h60
+  FROM events
+),
+r AS (
+  SELECT event_type, h60,
+         row_number() OVER (PARTITION BY event_type ORDER BY h60) AS rk
+  FROM h
+),
+sk AS (
+  SELECT event_type, list(h60 ORDER BY h60) AS s
+  FROM r WHERE rk <= {KMV_K} GROUP BY 1
+),
+card AS (
+  SELECT 'card' AS which, event_type AS a, '' AS b,
+         ROUND(CASE WHEN len(s) < {KMV_K} THEN CAST(len(s) AS DOUBLE)
+                    ELSE {float(KMV_K - 1)} * {_KMV_SPACE}
+                         / CAST(s[{KMV_K}] AS DOUBLE) END, 6) AS est
+  FROM sk
+),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b, x.s AS sa, y.s AS sb,
+         list_sort(list_distinct(list_concat(x.s, y.s))) AS uf
+  FROM sk x JOIN sk y ON x.event_type < y.event_type
+),
+p AS (
+  SELECT a, b, sa, sb, uf, uf[1:{KMV_K}] AS ucut,
+         LEAST({KMV_K}, len(uf)) AS ku
+  FROM pairs
+),
+stats AS (
+  SELECT a, b,
+         ROUND({_KMV_UE}, 6) AS u_est,
+         ROUND(CAST(len(list_filter(ucut,
+                    z -> list_contains(sa, z) AND list_contains(sb, z)))
+                    AS DOUBLE) / CAST(ku AS DOUBLE), 6) AS j_est,
+         ROUND(CAST(len(list_filter(ucut,
+                    z -> list_contains(sa, z) AND list_contains(sb, z)))
+                    AS DOUBLE) / CAST(ku AS DOUBLE) * ({_KMV_UE}), 6) AS i_est
+  FROM p
+)
+SELECT 'card' AS which, a, b, est FROM card
+UNION ALL SELECT 'union', a, b, u_est FROM stats
+UNION ALL SELECT 'jaccard', a, b, j_est FROM stats
+UNION ALL SELECT 'inter', a, b, i_est FROM stats
+"""

@@ -185,6 +185,18 @@ def _pii_scrub_corpus_sql():
     return PII_SCRUB_CORPUS_SQL
 
 
+def _mixture_balance(spark, sf_dir):
+    from gemmsql.pipeline.text import mixture_balance
+
+    return mixture_balance(spark, sf_dir)
+
+
+def _mixture_balance_sql():
+    from gemmsql.pipeline.text import MIXTURE_BALANCE_SQL
+
+    return MIXTURE_BALANCE_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -376,6 +388,10 @@ def _rotated():
         # (green r4-r6; both are regex-hygiene narrow maps — the
         # PII-injected corpus scrub keeps its full hash gate here)
         ("pii_scrub_corpus", _pii_scrub_corpus, _pii_scrub_corpus_sql()),
+        # rotated out in the round-7 sixth swap for kmv_reach (the
+        # fifth sketch family): green r4-r6, mixture_temperature
+        # keeps the mixture family gated
+        ("mixture_balance", _mixture_balance, _mixture_balance_sql()),
     ]
 
 
