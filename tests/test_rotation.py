@@ -197,6 +197,18 @@ def _mixture_balance_sql():
     return MIXTURE_BALANCE_SQL
 
 
+def _jsonl_gz_ingest(spark, sf_dir):
+    from gemmsql.pipeline.jsonlgz import jsonl_gz_ingest
+
+    return jsonl_gz_ingest(spark, sf_dir)
+
+
+def _jsonl_gz_ingest_sql():
+    from gemmsql.pipeline.jsonlgz import JSONL_GZ_INGEST_SQL
+
+    return JSONL_GZ_INGEST_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -392,6 +404,12 @@ def _rotated():
         # fifth sketch family): green r4-r6, mixture_temperature
         # keeps the mixture family gated
         ("mixture_balance", _mixture_balance, _mixture_balance_sql()),
+        # born into this tier in round 7 (registry full): the ingest
+        # container — gzip-member JSONL shards through the REAL
+        # member-walk/CRC/from_json path, decode(encode(x)) == x
+        # corpus-wide (framing unit/corruption tier in
+        # tests/test_jsonlgz.py)
+        ("jsonl_gz_ingest", _jsonl_gz_ingest, _jsonl_gz_ingest_sql()),
     ]
 
 
