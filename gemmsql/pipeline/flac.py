@@ -170,12 +170,27 @@ class _BitReader:
         return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
 
     def read_unary(self) -> int:
+        """Zero-run length before the next 1 bit — scanned a byte
+        fragment at a time (bit_length finds the leading 1), not a
+        bit at a time."""
+        data = self._data
+        pos = self._pos
+        total = len(data) * 8
         q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 20:
-                raise ValueError("flac: runaway unary code")
-        return q
+        while True:
+            if pos >= total:
+                raise ValueError("flac: truncated stream")
+            avail = 8 - (pos & 7)
+            chunk = data[pos >> 3] & ((1 << avail) - 1)
+            if chunk == 0:
+                q += avail
+                pos += avail
+                if q > 1 << 20:
+                    raise ValueError("flac: runaway unary code")
+            else:
+                lz = avail - chunk.bit_length()
+                self._pos = pos + lz + 1
+                return q + lz
 
     def align(self) -> None:
         self._pos = (self._pos + 7) & ~7
@@ -232,18 +247,29 @@ def _zigzag(r: np.ndarray) -> np.ndarray:
     return np.where(r >= 0, 2 * r, -2 * r - 1).astype(np.int64)
 
 
+_RICE_PS = np.arange(15, dtype=np.int64)
+
+
 def _rice_cost(u: np.ndarray, p: int) -> int:
     return int((u >> p).sum()) + len(u) * (p + 1)
 
 
 def _best_rice(u: np.ndarray) -> tuple[int, int]:
-    """(param, cost_bits) minimizing the Rice size; param 0..14."""
-    best_p, best_c = 0, _rice_cost(u, 0)
-    for p in range(1, 15):
-        c = _rice_cost(u, p)
-        if c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
+    """(param, cost_bits) minimizing the Rice size; param 0..14 — all
+    15 costs in ONE vectorized shift/sum (argmin returns the first
+    minimum, i.e. the smallest p, matching the sequential strict-<
+    scan this replaced bit-for-bit)."""
+    costs = (u[None, :] >> _RICE_PS[:, None]).sum(axis=1) + len(u) * (
+        _RICE_PS + 1
+    )
+    p = int(np.argmin(costs))
+    return p, int(costs[p])
+
+
+def _raw_nbits(r: np.ndarray) -> int:
+    """Two's-complement width for a VERBATIM/escape run: bit length of
+    the largest magnitude plus the sign bit."""
+    return (int(np.abs(r).max()).bit_length() + 1) if r.size else 1
 
 
 def _write_residuals(w: _BitWriter, r: np.ndarray) -> None:
@@ -251,9 +277,7 @@ def _write_residuals(w: _BitWriter, r: np.ndarray) -> None:
     back to the escape partition when raw binary beats Rice."""
     u = _zigzag(r)
     p, rice_bits = _best_rice(u)
-    raw_nbits = max(
-        (int(v).bit_length() + 1 for v in r), default=1
-    )
+    raw_nbits = _raw_nbits(r)
     w.write(0, 2)   # coding method: Rice, 4-bit parameters
     w.write(0, 4)   # partition order 0 -> one partition
     if raw_nbits * len(r) < rice_bits:
@@ -263,9 +287,20 @@ def _write_residuals(w: _BitWriter, r: np.ndarray) -> None:
             w.write(int(v), raw_nbits)
     else:
         w.write(p, 4)
+        # one write per code: q>>p zero bits, the 1 terminator, then
+        # the p-bit tail — (1 << p) | tail emitted at that exact width
+        mask = (1 << p) - 1
         for q in u:
-            w.write_unary(int(q) >> p)
-            w.write(int(q), p)
+            q = int(q)
+            w.write((1 << p) | (q & mask), (q >> p) + 1 + p)
+
+
+def _residual_body_bits(r: np.ndarray) -> int:
+    """Residual-partition cost: the cheaper of Rice and the escape
+    partition (2+4+4 header bits are common; escape adds the 5-bit
+    width field)."""
+    _, rice_bits = _best_rice(_zigzag(r))
+    return min(rice_bits, 9 + _raw_nbits(r) * len(r))
 
 
 def _subframe_cost(samples: np.ndarray, order: int) -> tuple[int, int]:
@@ -273,14 +308,15 @@ def _subframe_cost(samples: np.ndarray, order: int) -> tuple[int, int]:
     r = np.diff(samples, n=order) if order else samples.copy()
     u = _zigzag(r)
     _, rice_bits = _best_rice(u)
-    raw_nbits = max((int(v).bit_length() + 1 for v in r), default=1)
-    body = min(rice_bits, 9 + raw_nbits * len(r))
+    body = min(rice_bits, 9 + _raw_nbits(r) * len(r))
     return 16 * order + 6 + body, rice_bits
 
 
 def _write_subframe(w: _BitWriter, samples: np.ndarray) -> None:
     """Pick the cheapest of CONSTANT / VERBATIM / FIXED(0..4) and emit
-    the subframe (wasted-bits flag always 0 on encode)."""
+    the subframe (wasted-bits flag always 0 on encode).  The residual
+    cascade is computed ONCE (each order is one more np.diff of the
+    previous), not re-derived from scratch per order."""
     bs = len(samples)
     if bs and (samples == samples[0]).all():
         w.write(0, 1)           # mandatory zero pad bit
@@ -289,8 +325,13 @@ def _write_subframe(w: _BitWriter, samples: np.ndarray) -> None:
         w.write(int(samples[0]), 16)
         return
     best_order, best_bits = None, 16 * bs  # verbatim baseline
+    cascade: list[np.ndarray] = []
+    r = samples.copy()
     for order in range(0, min(4, bs - 1) + 1):
-        bits, _ = _subframe_cost(samples, order)
+        if order:
+            r = np.diff(r)
+        cascade.append(r)
+        bits = 16 * order + 6 + _residual_body_bits(r)
         if bits < best_bits:
             best_order, best_bits = order, bits
     w.write(0, 1)
@@ -304,10 +345,7 @@ def _write_subframe(w: _BitWriter, samples: np.ndarray) -> None:
     w.write(0, 1)
     for v in samples[:best_order]:
         w.write(int(v), 16)     # warmup samples
-    r = (
-        np.diff(samples, n=best_order) if best_order else samples.copy()
-    )
-    _write_residuals(w, r)
+    _write_residuals(w, cascade[best_order])
 
 
 def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -416,16 +454,22 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
         order = stype - 8
         if order > bs:
             raise ValueError("flac: predictor order exceeds block")
-        warm = [r.read_signed(eff) for _ in range(order)]
+        warm = np.asarray(
+            [r.read_signed(eff) for _ in range(order)], dtype=np.int64
+        )
         res = _read_residuals(r, bs, order)
-        out = np.empty(bs, dtype=np.int64)
-        out[:order] = warm
-        coef = _FIXED_COEF[order]
-        for i in range(order, bs):
-            acc = int(res[i - order])
-            for j, c in enumerate(coef):
-                acc += c * int(out[i - 1 - j])
-            out[i] = acc
+        # The FIXED predictor of order k is the k-th-order polynomial
+        # predictor, so the residual stream IS the k-th backward
+        # difference: reconstruction = k cumulative sums, each seeded
+        # by the trailing (j-1)-th difference of the warmup samples —
+        # vectorized integration instead of a per-sample Python loop
+        # (bit-equality to the coefficient form pinned by the codec
+        # differential tests).
+        cur = res
+        for j in range(order, 0, -1):
+            seed = int(np.diff(warm, n=j - 1)[-1])
+            cur = seed + np.cumsum(cur)
+        out = np.concatenate([warm, cur]) if order else cur.copy()
     elif stype >= 32:
         raise ValueError("flac: LPC subframes outside decoder subset")
     else:

@@ -178,3 +178,43 @@ def test_synth_formula_matches_oracle_expression():
         )
     want = np.cumsum(deltas)
     assert np.array_equal(_synth_samples(doc_id), want.astype(np.int16))
+
+
+def test_cumsum_integration_equals_coefficient_predictor():
+    """The decoder reconstructs FIXED subframes as k seeded cumulative
+    sums; _FIXED_COEF is the spec's coefficient form.  Pin their
+    equivalence (and that the test would catch a wrong order) so the
+    vectorized path can never drift from the spec table."""
+    import numpy as np
+
+    from gemmsql.pipeline.flac import _FIXED_COEF
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(-30000, 30000, 64).astype(np.int64)
+    for order, coef in _FIXED_COEF.items():
+        res = np.diff(x, n=order)
+        warm = x[:order]
+        # vectorized integration (the decoder's path)
+        cur = res.copy()
+        for j in range(order, 0, -1):
+            seed = int(np.diff(warm, n=j - 1)[-1]) if order else 0
+            cur = seed + np.cumsum(cur)
+        got = np.concatenate([warm, cur])
+        # coefficient form (the spec table)
+        want = np.empty(len(x), dtype=np.int64)
+        want[:order] = warm
+        for i in range(order, len(x)):
+            acc = int(res[i - order])
+            for k, c in enumerate(coef):
+                acc += c * int(want[i - 1 - k])
+            want[i] = acc
+        assert (got == want).all(), order
+        assert (got == x).all(), order
+        if order:
+            wrong = np.concatenate(
+                [warm, int(np.diff(warm, n=order - 1)[-1]) + 1
+                 + np.cumsum(res)]
+            )
+            assert not (
+                np.concatenate([warm, wrong[order:]]) == x
+            ).all(), "test has no power"
