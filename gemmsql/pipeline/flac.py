@@ -280,7 +280,10 @@ def _write_residuals(w: _BitWriter, r: np.ndarray) -> None:
     raw_nbits = _raw_nbits(r)
     w.write(0, 2)   # coding method: Rice, 4-bit parameters
     w.write(0, 4)   # partition order 0 -> one partition
-    if raw_nbits * len(r) < rice_bits:
+    # escape vs Rice: the 4-bit param/escape-code fields cancel, so the
+    # true escape surcharge is the 5-bit width field — the SAME
+    # threshold _residual_body_bits charges for subframe-type choice
+    if raw_nbits * len(r) + 5 < rice_bits:
         w.write(0xF, 4)           # escape code
         w.write(raw_nbits, 5)
         for v in r:
@@ -297,19 +300,11 @@ def _write_residuals(w: _BitWriter, r: np.ndarray) -> None:
 
 def _residual_body_bits(r: np.ndarray) -> int:
     """Residual-partition cost: the cheaper of Rice and the escape
-    partition (2+4+4 header bits are common; escape adds the 5-bit
-    width field)."""
+    partition.  The 2+4 header and the 4-bit param/escape-code fields
+    are common to both, so only the escape's 5-bit width field is
+    charged — the same threshold _write_residuals selects with."""
     _, rice_bits = _best_rice(_zigzag(r))
-    return min(rice_bits, 9 + _raw_nbits(r) * len(r))
-
-
-def _subframe_cost(samples: np.ndarray, order: int) -> tuple[int, int]:
-    """(bits, rice_or_raw_cost) for a FIXED subframe of ``order``."""
-    r = np.diff(samples, n=order) if order else samples.copy()
-    u = _zigzag(r)
-    _, rice_bits = _best_rice(u)
-    body = min(rice_bits, 9 + _raw_nbits(r) * len(r))
-    return 16 * order + 6 + body, rice_bits
+    return min(rice_bits, 5 + _raw_nbits(r) * len(r))
 
 
 def _write_subframe(w: _BitWriter, samples: np.ndarray) -> None:

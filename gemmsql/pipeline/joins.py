@@ -324,8 +324,11 @@ def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = interval_join_keyless(
         iv, id_col="event_id", start="s", end="e", chunk=CE_CHUNK_US
     )
-    both = pairs.select(F.col("id1").alias("event_id")).unionAll(
-        pairs.select(F.col("id2").alias("event_id"))
+    # both endpoints in ONE pass (explode, not unionAll of two selects)
+    # so Catalyst derives the explode+join+filter pair plan once instead
+    # of re-deriving it per union branch
+    both = pairs.select(
+        F.explode(F.array("id1", "id2")).alias("event_id")
     )
     counts = both.groupBy("event_id").agg(
         F.count("*").cast("long").alias("n_concurrent")
