@@ -528,6 +528,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mixture_temperature, and mixture_balance keeps its full hash gate
     in tests/test_rotation.py).
 
+    Round-9 rotation (VERDICT r8 next #2 — unfreeze the registry):
+    FIVE entries swapped.  In: jsonl_gz_ingest (the ingest container —
+    RFC 1952 gzip-member JSONL shards through the real member-walk /
+    CRC / from_json path; born into the rotation tier in r7, now
+    driver-gated for the first time) plus four long-rotation-green
+    promotions returning to the gate — semantic_dups (embedding-cosine
+    near-dup), dedup_keep_best (LSH cluster canonicalization),
+    dsir_weights (DSIR importance resampling), bm25_topk (lexical
+    retrieval), each hash-green in CORRECTNESS r4-r6 and in every
+    pytest rotation sweep since.  Out (each green in at least four
+    consecutive driver rounds; every one keeps the identical hash gate
+    in tests/test_rotation.py): dup_spans, doc_perplexity,
+    bloom_decontaminate, sampling_filtered (green r5-r8), and
+    mixture_temperature (green r5-r8; the mixture family stays
+    rotation-gated via both mixture ops).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -543,7 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         joins,
         text,
     )
-    from gemmsql.pipeline import adpcm, html, video
+    from gemmsql.pipeline import adpcm, dsir, html, jsonlgz, retrieval, video
+    from gemmsql.pipeline import similarity
     from gemmsql.pipeline.multimodal import png_features
     from gemmsql.sketches import cm_heavy_hitters, hist_quantiles, kmv_reach
 
@@ -588,16 +605,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH->cluster->canonicalize chain gated; doc_chunks rotated
         # out in the r7 fourth swap for streaming_dedup_gate) ---
         "quality_classifier": text.quality_classifier,
-        "dup_spans": dedup.dup_spans,
-        "bloom_decontaminate": _bloom_decontaminate_query,
-        # --- text analysis (text_stats rotated out in r6, green
-        # r1-r5; the per-doc profile shape stays via repetition_stats)
-        "doc_perplexity": text.doc_perplexity,
+        # (dup_spans / bloom_decontaminate / doc_perplexity rotated
+        # out in r9, green r5-r8 — hash gates in test_rotation.py)
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "semantic_dups": similarity.semantic_dups,
+        # --- ingest: gzip-member JSONL shards (r9 — first driver
+        # gate for the container tier; rotation-green since r7) ---
+        "jsonl_gz_ingest": jsonlgz.jsonl_gz_ingest,
+        # --- text analysis / selection / retrieval ---
+        "dsir_weights": dsir.dsir_weights,
+        "bm25_topk": retrieval.bm25_topk,
         "kmv_reach": kmv_reach,
         "html_extract": html.html_extract_corpus,
         "dedup_incremental": dedup.dedup_incremental_corpus,
-        # --- corpus versioning / mixture ---
-        "mixture_temperature": text.mixture_temperature,
+        # --- corpus versioning (mixture_temperature rotated out in
+        # r9, green r5-r8 — both mixture ops hash-gated in rotation)
         "corpus_diff": corpus.corpus_diff,
         "corpus_upsert": corpus.corpus_upsert,
         "training_order": corpus.training_order,
@@ -629,9 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- hypertable continuous aggregate (promoted in r7):
         # hour/day/week rollup in ONE GROUPING SETS scan ---
         "time_rollup": events.time_rollup,
-        # approximate by design, but the md5-register HLL + exact
-        # quantiles are fully replayable -> hash parity (r3)
-        "sampling_filtered": q_sampling_filtered,
+        # (sampling_filtered rotated out in r9, green r5-r8; the
+        # S-series sampler stays gated via "sampling")
         # --- structured streaming gates ---
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
@@ -1013,11 +1034,10 @@ def oracle_sql() -> dict[str, str]:
         " - CAST(ts.tsum AS DOUBLE) / 1000000000.0, 6) AS entropy"
         " FROM ts JOIN mxt ON mxt.qi = ts.qi JOIN sden ON sden.qi = ts.qi"
     )
-    from gemmsql.ops.sampling import sampling_filtered_sql, sampling_sql
+    from gemmsql.ops.sampling import sampling_sql
     from gemmsql.sketches import (
         HIST_QUANTILES_SQL,
         KMV_REACH_SQL,
-        bloom_decontaminate_sql,
         cm_heavy_hitters_sql,
     )
     from gemmsql.pipeline import (
@@ -1030,7 +1050,8 @@ def oracle_sql() -> dict[str, str]:
         joins,
         text,
     )
-    from gemmsql.pipeline import adpcm, html, video
+    from gemmsql.pipeline import adpcm, dsir, html, jsonlgz, retrieval, video
+    from gemmsql.pipeline import similarity
     from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
@@ -1063,13 +1084,14 @@ def oracle_sql() -> dict[str, str]:
         "adpcm_features": adpcm.ADPCM_FEATURES_SQL,
         "video_features": video.VIDEO_FEATURES_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
-        "dup_spans": dedup.DUP_SPANS_SQL,
-        "bloom_decontaminate": bloom_decontaminate_sql(),
-        "doc_perplexity": text.DOC_PERPLEXITY_SQL,
+        "dedup_keep_best": dedup.dedup_keep_best_sql(),
+        "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
+        "jsonl_gz_ingest": jsonlgz.JSONL_GZ_INGEST_SQL,
+        "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
+        "bm25_topk": retrieval.bm25_topk_sql(),
         "kmv_reach": KMV_REACH_SQL,
         "html_extract": html.HTML_EXTRACT_SQL,
         "dedup_incremental": dedup.dedup_incremental_sql(),
-        "mixture_temperature": text.MIXTURE_TEMPERATURE_SQL,
         "corpus_diff": corpus.CORPUS_DIFF_SQL,
         "corpus_upsert": corpus.CORPUS_UPSERT_SQL,
         "training_order": corpus.TRAINING_ORDER_SQL,
@@ -1087,7 +1109,6 @@ def oracle_sql() -> dict[str, str]:
         "concurrent_orders": joins.CONCURRENT_ORDERS_SQL,
         "concurrent_events": joins.CONCURRENT_EVENTS_SQL,
         "time_rollup": events.TIME_ROLLUP_SQL,
-        "sampling_filtered": sampling_filtered_sql(),
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,

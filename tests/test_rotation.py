@@ -197,16 +197,16 @@ def _mixture_balance_sql():
     return MIXTURE_BALANCE_SQL
 
 
-def _jsonl_gz_ingest(spark, sf_dir):
-    from gemmsql.pipeline.jsonlgz import jsonl_gz_ingest
+def _bloom_decontaminate_sql():
+    from gemmsql.sketches import bloom_decontaminate_sql
 
-    return jsonl_gz_ingest(spark, sf_dir)
+    return bloom_decontaminate_sql()
 
 
-def _jsonl_gz_ingest_sql():
-    from gemmsql.pipeline.jsonlgz import JSONL_GZ_INGEST_SQL
+def _sampling_filtered_sql():
+    from gemmsql.ops.sampling import sampling_filtered_sql
 
-    return JSONL_GZ_INGEST_SQL
+    return sampling_filtered_sql()
 
 
 def _rotated():
@@ -370,17 +370,14 @@ def _rotated():
         # rotated out in round 7 for the promotions plus pagerank_iter3
         # and flac_features: each hash-green in CORRECTNESS r4-r6
         ("bigram_pmi", text.bigram_pmi, text.BIGRAM_PMI_SQL),
-        ("bm25_topk", retrieval.bm25_topk, retrieval.bm25_topk_sql()),
         ("cell_profile", similarity.cell_profile,
          similarity.CELL_PROFILE_SQL),
-        ("dedup_keep_best", dedup.dedup_keep_best,
-         dedup.dedup_keep_best_sql()),
-        ("dsir_weights", dsir.dsir_weights, dsir.DSIR_WEIGHTS_SQL),
         ("kmeans_assign_step", cluster.kmeans_assign_step,
          cluster.KMEANS_ASSIGN_STEP_SQL),
         ("pca_moments", cluster.pca_moments, cluster.PCA_MOMENTS_SQL),
-        ("semantic_dups", similarity.semantic_dups,
-         similarity.SEMANTIC_DUPS_SQL),
+        # (bm25_topk / dedup_keep_best / dsir_weights / semantic_dups
+        # promoted BACK to the driver gate in round 9 — VERDICT r8
+        # next #2; hash-checked by tests/test_gate_parity.py now)
         # rotated out in the round-7 second swap for concurrent_events
         # (the keyless interval join) and streaming_hist_gate
         ("repetition_stats", _entry("q_repetition_stats"),
@@ -404,12 +401,19 @@ def _rotated():
         # fifth sketch family): green r4-r6, mixture_temperature
         # keeps the mixture family gated
         ("mixture_balance", _mixture_balance, _mixture_balance_sql()),
-        # born into this tier in round 7 (registry full): the ingest
-        # container — gzip-member JSONL shards through the REAL
-        # member-walk/CRC/from_json path, decode(encode(x)) == x
-        # corpus-wide (framing unit/corruption tier in
-        # tests/test_jsonlgz.py)
-        ("jsonl_gz_ingest", _jsonl_gz_ingest, _jsonl_gz_ingest_sql()),
+        # (jsonl_gz_ingest, born into this tier in round 7, was
+        # promoted to the driver gate in round 9 — VERDICT r8 next #2)
+        # rotated out in round 9 for the jsonl_gz_ingest promotion and
+        # the four returning rotation entries: each green in at least
+        # FOUR consecutive driver rounds (r5-r8)
+        ("dup_spans", dedup.dup_spans, dedup.DUP_SPANS_SQL),
+        ("doc_perplexity", text.doc_perplexity, text.DOC_PERPLEXITY_SQL),
+        ("bloom_decontaminate", _entry("_bloom_decontaminate_query"),
+         _bloom_decontaminate_sql()),
+        ("sampling_filtered", _entry("q_sampling_filtered"),
+         _sampling_filtered_sql()),
+        ("mixture_temperature", text.mixture_temperature,
+         text.MIXTURE_TEMPERATURE_SQL),
     ]
 
 
