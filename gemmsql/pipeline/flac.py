@@ -2,14 +2,15 @@
 plus the gated corpus query that drives it.
 
 The container has no audio libraries, so this is a from-scratch FLAC
-implementation of the subset every real encoder emits for simple
-mono material: STREAMINFO metadata, fixed-blocksize frames with
+implementation of the subset real encoders emit for mono and stereo
+material: STREAMINFO metadata, fixed-blocksize frames with
 CRC-8-guarded headers and CRC-16-guarded bodies, UTF-8-coded frame
-numbers, and CONSTANT / VERBATIM / FIXED-predictor (orders 0-4)
+numbers, CONSTANT / VERBATIM / FIXED-predictor (orders 0-4) /
+LPC (orders 1-8, quantized coefficients + arithmetic shift, round 9)
 subframes with partitioned Rice-coded residuals (4- and 5-bit
-parameter widths, escape partitions) — the format of RFC 9639 minus
-LPC subframes and stereo decorrelation, which the decoder rejects
-explicitly rather than misparsing.  It completes the compressed-format
+parameter widths, escape partitions), and all four stereo channel
+assignments (independent, left/side, right/side, mid/side — the side
+channel at bps+1 bits, round 9).  It completes the compressed-format
 tier: PNG gates inflate+filtering, JPEG gates entropy
 decoding+IDCT+color, FLAC gates *lossless* audio compression — Rice
 entropy coding and linear prediction.
@@ -307,55 +308,189 @@ def _residual_body_bits(r: np.ndarray) -> int:
     return min(rice_bits, 5 + _raw_nbits(r) * len(r))
 
 
-def _write_subframe(w: _BitWriter, samples: np.ndarray) -> None:
-    """Pick the cheapest of CONSTANT / VERBATIM / FIXED(0..4) and emit
-    the subframe (wasted-bits flag always 0 on encode).  The residual
-    cascade is computed ONCE (each order is one more np.diff of the
-    previous), not re-derived from scratch per order."""
+_LPC_PRECISION = 12  # quantized-coefficient width the encoder emits
+_LPC_MAX_ORDER = 8
+
+
+def _lpc_candidate(
+    samples: np.ndarray, bps: int
+) -> tuple[int, int, list[int], np.ndarray, int] | None:
+    """Best quantized-LPC candidate for a block, or ``None`` when LPC
+    is inapplicable (too short / zero energy / degenerate fit).
+
+    Returns ``(order, shift, coefs, residuals, cost_bits)``: float
+    Levinson-Durbin coefficients per order 1..8, quantized to
+    :data:`_LPC_PRECISION` bits with a power-of-two shift, residuals
+    computed with the EXACT integer predictor the decoder will run —
+    the float fit only chooses the coefficients; the bitstream math is
+    all int64, so the round trip is lossless by construction."""
+    bs = len(samples)
+    max_order = min(_LPC_MAX_ORDER, bs - 1)
+    if max_order < 1:
+        return None
+    x = samples.astype(np.float64)
+    ac = [float(np.dot(x, x))]
+    if ac[0] == 0.0:
+        return None
+    for lag in range(1, max_order + 1):
+        ac.append(float(np.dot(x[lag:], x[:-lag])))
+    err = ac[0]
+    cur: list[float] = []
+    best: tuple[int, int, list[int], np.ndarray, int] | None = None
+    sarr = samples.astype(np.int64)
+    for i in range(max_order):
+        if err <= 0.0:
+            break
+        acc = ac[i + 1] - sum(cur[j] * ac[i - j] for j in range(i))
+        k = acc / err
+        cur = [cur[j] - k * cur[i - 1 - j] for j in range(i)] + [k]
+        err *= 1.0 - k * k
+        order = i + 1
+        cmax = max(abs(c) for c in cur)
+        if cmax == 0.0 or not np.isfinite(cmax):
+            continue
+        # shift so the largest coefficient uses the full precision
+        shift = _LPC_PRECISION - 1 - int(np.floor(np.log2(cmax)) + 1)
+        shift = max(0, min(15, shift))
+        lo, hi = -(1 << (_LPC_PRECISION - 1)), (1 << (_LPC_PRECISION - 1)) - 1
+        q = [
+            min(hi, max(lo, int(np.floor(c * (1 << shift) + 0.5))))
+            for c in cur
+        ]
+        if all(v == 0 for v in q):
+            continue
+        # exact integer residuals of the quantized predictor
+        acc_i = np.zeros(bs - order, dtype=np.int64)
+        for j in range(order):
+            acc_i += q[j] * sarr[order - 1 - j : bs - 1 - j]
+        res = sarr[order:] - (acc_i >> shift)
+        cost = (
+            bps * order + 6 + 4 + 5 + _LPC_PRECISION * order
+            + _residual_body_bits(res)
+        )
+        if best is None or cost < best[4]:
+            best = (order, shift, q, res, cost)
+    return best
+
+
+def _plan_subframe(
+    samples: np.ndarray, bps: int = 16, prefer_lpc: bool = False
+) -> tuple[tuple, int]:
+    """Choose the cheapest of CONSTANT / VERBATIM / FIXED(0..4) /
+    LPC(1..8) for one channel-block; returns ``(plan, cost_bits)``.
+    The residual cascade is computed ONCE (each FIXED order is one
+    more np.diff of the previous).  ``prefer_lpc`` forces the LPC
+    candidate whenever one is valid — used by the gate synthesizer so
+    a deterministic share of payloads exercises the LPC decode path
+    (lossless, so the decoded stats and the oracle are unchanged)."""
     bs = len(samples)
     if bs and (samples == samples[0]).all():
-        w.write(0, 1)           # mandatory zero pad bit
-        w.write(0, 6)           # type: CONSTANT
-        w.write(0, 1)           # wasted bits: none
-        w.write(int(samples[0]), 16)
-        return
-    best_order, best_bits = None, 16 * bs  # verbatim baseline
+        return ("const", int(samples[0]), bps), bps + 6
+    best_plan: tuple = ("verbatim", samples, bps)
+    best_bits = bps * bs + 6
     cascade: list[np.ndarray] = []
     r = samples.copy()
     for order in range(0, min(4, bs - 1) + 1):
         if order:
             r = np.diff(r)
         cascade.append(r)
-        bits = 16 * order + 6 + _residual_body_bits(r)
+        bits = bps * order + 6 + _residual_body_bits(r)
         if bits < best_bits:
-            best_order, best_bits = order, bits
-    w.write(0, 1)
-    if best_order is None:
+            best_plan = ("fixed", order, samples[:order], cascade[order], bps)
+            best_bits = bits
+    lpc = _lpc_candidate(samples, bps)
+    if lpc is not None and (prefer_lpc or lpc[4] < best_bits):
+        order, shift, q, res, cost = lpc
+        best_plan = ("lpc", order, samples[:order], shift, q, res, bps)
+        best_bits = cost
+    return best_plan, best_bits
+
+
+def _emit_subframe(w: _BitWriter, plan: tuple) -> None:
+    """Emit a planned subframe (wasted-bits flag always 0 on encode)."""
+    kind = plan[0]
+    w.write(0, 1)               # mandatory zero pad bit
+    if kind == "const":
+        _, v, bps = plan
+        w.write(0, 6)           # type: CONSTANT
+        w.write(0, 1)           # wasted bits: none
+        w.write(v, bps)
+    elif kind == "verbatim":
+        _, samples, bps = plan
         w.write(1, 6)           # type: VERBATIM
         w.write(0, 1)
         for v in samples:
-            w.write(int(v), 16)
-        return
-    w.write(8 + best_order, 6)  # type: FIXED, order 0..4
-    w.write(0, 1)
-    for v in samples[:best_order]:
-        w.write(int(v), 16)     # warmup samples
-    _write_residuals(w, cascade[best_order])
+            w.write(int(v), bps)
+    elif kind == "fixed":
+        _, order, warm, res, bps = plan
+        w.write(8 + order, 6)   # type: FIXED, order 0..4
+        w.write(0, 1)
+        for v in warm:
+            w.write(int(v), bps)
+        _write_residuals(w, res)
+    else:                       # lpc
+        _, order, warm, shift, q, res, bps = plan
+        w.write(32 + order - 1, 6)  # type: LPC, order 1..32
+        w.write(0, 1)
+        for v in warm:
+            w.write(int(v), bps)
+        w.write(_LPC_PRECISION - 1, 4)
+        w.write(shift, 5)
+        for c in q:
+            w.write(c, _LPC_PRECISION)
+        _write_residuals(w, res)
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Encode mono int16 samples as a real FLAC stream (STREAMINFO +
-    fixed-blocksize frames of :data:`FLAC_BLOCK` samples)."""
+def _write_subframe(
+    w: _BitWriter, samples: np.ndarray, bps: int = 16,
+    prefer_lpc: bool = False,
+) -> None:
+    plan, _ = _plan_subframe(samples, bps, prefer_lpc)
+    _emit_subframe(w, plan)
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int = 16000, *,
+    prefer_lpc: bool = False,
+) -> bytes:
+    """Encode int16 samples as a real FLAC stream (STREAMINFO +
+    fixed-blocksize frames of :data:`FLAC_BLOCK` samples).  Shape
+    ``(n,)`` encodes mono; ``(n, 2)`` encodes stereo, choosing the
+    cheapest channel assignment (independent / left-side / right-side
+    / mid-side) per frame by planned bit cost.  ``prefer_lpc`` forces
+    LPC subframes wherever a valid candidate exists (instead of only
+    when LPC is strictly cheapest) — lossless either way."""
     samples = np.asarray(samples, dtype=np.int64)
     if samples.size == 0:
         raise ValueError("flac: empty signal")
-    md5 = hashlib.md5(
-        samples.astype("<i2").tobytes()
-    ).digest()
+    stereo = samples.ndim == 2
+    if stereo and samples.shape[1] != 2:
+        raise ValueError("flac: only mono or 2-channel input")
+    n = len(samples)
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
     frames = []
-    for fno, start in enumerate(range(0, len(samples), FLAC_BLOCK)):
+    for fno, start in enumerate(range(0, n, FLAC_BLOCK)):
         block = samples[start : start + FLAC_BLOCK]
         bs = len(block)
+        if stereo:
+            left, right = block[:, 0], block[:, 1]
+            side = left - right
+            mid = (left + right) >> 1
+            cands = []
+            for code, specs in (
+                (1, ((left, 16), (right, 16))),
+                (8, ((left, 16), (side, 17))),
+                (9, ((side, 17), (right, 16))),
+                (10, ((mid, 16), (side, 17))),
+            ):
+                plans = [
+                    _plan_subframe(ch, bps, prefer_lpc) for ch, bps in specs
+                ]
+                cands.append((sum(p[1] for p in plans), code, plans))
+            _, chan_code, plans = min(cands, key=lambda c: (c[0], c[1]))
+        else:
+            chan_code = 0
+            plans = [_plan_subframe(block, 16, prefer_lpc)]
         w = _BitWriter()
         w.write(0b11111111111110, 14)  # sync
         w.write(0, 1)                  # reserved
@@ -363,7 +498,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         w.write(0b0110, 4)             # block size: 8-bit value at end
         rate_code = _RATE_CODES.get(sample_rate, 0b1101)
         w.write(rate_code, 4)
-        w.write(0, 4)                  # channel assignment: mono
+        w.write(chan_code, 4)          # mono / stereo assignment
         w.write(0b100, 3)              # sample size: 16-bit
         w.write(0, 1)                  # reserved
         for b in _utf8_encode(fno):
@@ -374,7 +509,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         w.align()
         header = w.getvalue()
         w.write(_crc8(header), 8)
-        _write_subframe(w, block)
+        for plan, _bits in plans:
+            _emit_subframe(w, plan)
         w.align()
         body = w.getvalue()
         frames.append(body + struct.pack(">H", _crc16(body)))
@@ -385,9 +521,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     si.write(min(frame_sizes), 24)
     si.write(max(frame_sizes), 24)
     si.write(sample_rate, 20)
-    si.write(0, 3)                     # channels - 1
+    si.write(1 if stereo else 0, 3)    # channels - 1
     si.write(15, 5)                    # bits per sample - 1
-    si.write(len(samples), 36)
+    si.write(n, 36)
     streaminfo = si.getvalue() + md5
     header = (
         b"fLaC"
@@ -437,6 +573,8 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
     wasted = 0
     if r.read(1):                      # wasted-bits-per-sample flag
         wasted = r.read_unary() + 1
+        if wasted >= bps:
+            raise ValueError("flac: wasted bits exceed sample size")
     eff = bps - wasted
     if stype == 0:                     # CONSTANT
         v = r.read_signed(eff)
@@ -465,8 +603,41 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
             seed = int(np.diff(warm, n=j - 1)[-1])
             cur = seed + np.cumsum(cur)
         out = np.concatenate([warm, cur]) if order else cur.copy()
-    elif stype >= 32:
-        raise ValueError("flac: LPC subframes outside decoder subset")
+    elif stype >= 32:                  # LPC, order 1..32 (round 9)
+        order = stype - 31
+        if order > bs:
+            raise ValueError("flac: predictor order exceeds block")
+        warm = [r.read_signed(eff) for _ in range(order)]
+        prec_code = r.read(4)
+        if prec_code == 15:
+            raise ValueError("flac: invalid LPC precision code")
+        prec = prec_code + 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        # coefs[0] applies to s[i-1] (RFC 9639 coefficient order)
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _read_residuals(r, bs, order)
+        # Exact int64 recurrence: s[i] = r[i] + (sum c[j]*s[i-1-j] >>
+        # shift); Python's >> on negative ints is the arithmetic
+        # (floor) shift the spec requires.  The recurrence is
+        # inherently sequential (each sample feeds the next
+        # prediction), so this is a per-sample loop over plain ints —
+        # order <= 8 from our encoder, bs = 32, so the window dot is
+        # a handful of multiplies.
+        outl = [int(v) for v in warm]
+        for rv in res:
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * outl[-1 - j]
+            v = int(rv) + (acc >> shift)
+            # corrupt coefficients make the recurrence explode
+            # exponentially into arbitrary-precision ints; any valid
+            # sample fits the 33-bit side-channel bound with margin
+            if v > (1 << 40) or v < -(1 << 40):
+                raise ValueError("flac: LPC reconstruction out of range")
+            outl.append(v)
+        out = np.asarray(outl, dtype=np.int64)
     else:
         raise ValueError("flac: reserved subframe type")
     return out << wasted
@@ -475,7 +646,9 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a FLAC-subset stream -> ``(int16 samples, sample_rate)``,
     verifying the CRC-8 of every frame header, the CRC-16 of every
-    frame, and the STREAMINFO MD5 of the decoded stream."""
+    frame, and the STREAMINFO MD5 of the decoded stream.  Mono streams
+    return shape ``(n,)``; stereo streams (independent, left/side,
+    right/side, or mid/side assignment per frame) return ``(n, 2)``."""
     if payload[:4] != b"fLaC":
         raise ValueError("flac: bad magic")
     pos = 4
@@ -501,8 +674,8 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             md5_ref = body[18:34]
     if rate is None:
         raise ValueError("flac: missing STREAMINFO")
-    if channels != 1:
-        raise ValueError("flac: only mono streams in decoder subset")
+    if channels not in (1, 2):
+        raise ValueError("flac: only mono/stereo streams in decoder subset")
     out: list[np.ndarray] = []
     got = 0
     r = _BitReader(payload, pos)
@@ -517,8 +690,13 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         chan = r.read(4)
         size_code = r.read(3)
         r.read(1)                      # reserved
-        if chan != 0:
-            raise ValueError("flac: non-mono channel assignment")
+        if channels == 1:
+            if chan != 0:
+                raise ValueError("flac: non-mono channel assignment")
+        elif chan not in (1, 8, 9, 10):
+            raise ValueError(
+                "flac: channel assignment inconsistent with stereo"
+            )
         _utf8_decode(r)
         if bs_code == 0b0110:
             bs = r.read(8) + 1
@@ -552,7 +730,31 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         crc8_ref = r.read(8)
         if _crc8(payload[frame_start : r.byte_pos - 1]) != crc8_ref:
             raise ValueError("flac: frame header CRC-8 mismatch")
-        block = _read_subframe(r, bs, bps)
+        if channels == 1:
+            block = _read_subframe(r, bs, bps)
+        else:
+            # Stereo decorrelation (round 9): the side channel of the
+            # left/side, right/side and mid/side assignments carries
+            # one extra bit (RFC 9639 §9.1.3) — differences of two
+            # bps-bit signals need bps+1 bits.
+            if chan == 1:              # independent L, R
+                left = _read_subframe(r, bs, bps)
+                right = _read_subframe(r, bs, bps)
+            elif chan == 8:            # left/side: side = L - R
+                left = _read_subframe(r, bs, bps)
+                side = _read_subframe(r, bs, bps + 1)
+                right = left - side
+            elif chan == 9:            # right/side
+                side = _read_subframe(r, bs, bps + 1)
+                right = _read_subframe(r, bs, bps)
+                left = right + side
+            else:                      # mid/side: mid = (L+R)>>1
+                mid = _read_subframe(r, bs, bps)
+                side = _read_subframe(r, bs, bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                left = (m2 + side) >> 1
+                right = (m2 - side) >> 1
+            block = np.stack([left, right], axis=1)
         r.align()
         crc16_ref = r.read(16)
         if _crc16(payload[frame_start : r.byte_pos - 2]) != crc16_ref:
@@ -596,7 +798,16 @@ def _synth_samples(doc_id: int) -> np.ndarray:
 
 def with_flac_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach a REAL FLAC payload per document (narrow Arrow-batched
-    map): the md5 random-walk signal run through :func:`encode_flac`."""
+    map): the md5 random-walk signal run through :func:`encode_flac`.
+
+    Docs with ``doc_id % 4 == 1`` are encoded with ``prefer_lpc`` —
+    every eligible block carries an LPC subframe instead of FIXED —
+    so ~25% of the gated corpus exercises the LPC decode path
+    (quantized-coefficient dot product + arithmetic shift).  FLAC is
+    lossless, so the decoded stats — and therefore the DuckDB oracle
+    and the value hash — are identical to the all-FIXED encoding; a
+    broken LPC decoder surfaces as an MD5/CRC failure or a wrong
+    sample, both of which break the gate."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -604,7 +815,10 @@ def with_flac_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             payloads = [
-                encode_flac(_synth_samples(int(d)), FLAC_RATE)
+                encode_flac(
+                    _synth_samples(int(d)), FLAC_RATE,
+                    prefer_lpc=int(d) % 4 == 1,
+                )
                 for d in pdf["doc_id"]
             ]
             yield pd.DataFrame(
