@@ -649,6 +649,31 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     frame, and the STREAMINFO MD5 of the decoded stream.  Mono streams
     return shape ``(n,)``; stereo streams (independent, left/side,
     right/side, or mid/side assignment per frame) return ``(n, 2)``."""
+    rate, channels, bps, total, md5_ref, pos = parse_streaminfo(payload)
+    out: list[np.ndarray] = []
+    got = 0
+    r = _BitReader(payload, pos)
+    while got < total:
+        block, _fno = _decode_one_frame(payload, r, rate, channels, bps)
+        out.append(block)
+        got += len(block)
+    if got != total:
+        raise ValueError("flac: sample count mismatch")
+    stream = np.concatenate(out) if out else np.empty(0, np.int64)
+    if (stream > 32767).any() or (stream < -32768).any():
+        raise ValueError("flac: decoded sample out of 16-bit range")
+    samples = stream.astype(np.int16)
+    if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_ref:
+        raise ValueError("flac: decoded-stream MD5 mismatch")
+    return samples, rate
+
+
+def parse_streaminfo(
+    payload: bytes,
+) -> tuple[int, int, int, int, bytes, int]:
+    """Walk the metadata blocks -> ``(rate, channels, bps, total
+    samples, md5, first_frame_byte_pos)`` — the cheap header-only read
+    a splittable reader does before handing out frame ranges."""
     if payload[:4] != b"fLaC":
         raise ValueError("flac: bad magic")
     pos = 4
@@ -676,100 +701,98 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("flac: missing STREAMINFO")
     if channels not in (1, 2):
         raise ValueError("flac: only mono/stereo streams in decoder subset")
-    out: list[np.ndarray] = []
-    got = 0
-    r = _BitReader(payload, pos)
-    while got < total:
-        frame_start = r.byte_pos
-        if r.read(14) != 0b11111111111110:
-            raise ValueError("flac: lost frame sync")
-        r.read(1)                      # reserved
-        r.read(1)                      # blocking strategy
-        bs_code = r.read(4)
-        rate_code = r.read(4)
-        chan = r.read(4)
-        size_code = r.read(3)
-        r.read(1)                      # reserved
-        if channels == 1:
-            if chan != 0:
-                raise ValueError("flac: non-mono channel assignment")
-        elif chan not in (1, 8, 9, 10):
-            raise ValueError(
-                "flac: channel assignment inconsistent with stereo"
-            )
-        _utf8_decode(r)
-        if bs_code == 0b0110:
-            bs = r.read(8) + 1
-        elif bs_code == 0b0111:
-            bs = r.read(16) + 1
-        elif bs_code == 0b0001:
-            bs = 192
-        elif 0b0010 <= bs_code <= 0b0101:
-            bs = 576 << (bs_code - 2)
-        elif bs_code >= 0b1000:
-            bs = 256 << (bs_code - 8)
-        else:
-            raise ValueError("flac: reserved block size code")
-        if rate_code == 0b1100:
-            frame_rate = r.read(8) * 1000
-        elif rate_code == 0b1101:
-            frame_rate = r.read(16)
-        elif rate_code == 0b1110:
-            frame_rate = r.read(16) * 10
-        elif rate_code in _RATE_FROM_CODE:
-            frame_rate = _RATE_FROM_CODE[rate_code]
-        else:
-            frame_rate = rate
-        if frame_rate != rate:
-            raise ValueError("flac: frame sample rate != STREAMINFO")
-        frame_bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(
-            size_code, bps
+    return rate, channels, bps, total, md5_ref, pos
+
+
+def _decode_one_frame(
+    payload: bytes, r: _BitReader, rate: int, channels: int, bps: int
+) -> tuple[np.ndarray, int]:
+    """Decode one frame at the reader's (byte-aligned) position:
+    sync + header + CRC-8, subframe(s), padding, CRC-16.  Returns
+    ``(block, coded frame number)`` — shape ``(bs,)`` mono or
+    ``(bs, 2)`` stereo.  Frames are self-contained (this is FLAC's
+    intra-file split point), so a range decoder can call this on any
+    byte slice that starts at a frame sync."""
+    frame_start = r.byte_pos
+    if r.read(14) != 0b11111111111110:
+        raise ValueError("flac: lost frame sync")
+    r.read(1)                      # reserved
+    r.read(1)                      # blocking strategy
+    bs_code = r.read(4)
+    rate_code = r.read(4)
+    chan = r.read(4)
+    size_code = r.read(3)
+    r.read(1)                      # reserved
+    if channels == 1:
+        if chan != 0:
+            raise ValueError("flac: non-mono channel assignment")
+    elif chan not in (1, 8, 9, 10):
+        raise ValueError(
+            "flac: channel assignment inconsistent with stereo"
         )
-        if frame_bps != bps:
-            raise ValueError("flac: frame sample size != STREAMINFO")
-        crc8_ref = r.read(8)
-        if _crc8(payload[frame_start : r.byte_pos - 1]) != crc8_ref:
-            raise ValueError("flac: frame header CRC-8 mismatch")
-        if channels == 1:
-            block = _read_subframe(r, bs, bps)
-        else:
-            # Stereo decorrelation (round 9): the side channel of the
-            # left/side, right/side and mid/side assignments carries
-            # one extra bit (RFC 9639 §9.1.3) — differences of two
-            # bps-bit signals need bps+1 bits.
-            if chan == 1:              # independent L, R
-                left = _read_subframe(r, bs, bps)
-                right = _read_subframe(r, bs, bps)
-            elif chan == 8:            # left/side: side = L - R
-                left = _read_subframe(r, bs, bps)
-                side = _read_subframe(r, bs, bps + 1)
-                right = left - side
-            elif chan == 9:            # right/side
-                side = _read_subframe(r, bs, bps + 1)
-                right = _read_subframe(r, bs, bps)
-                left = right + side
-            else:                      # mid/side: mid = (L+R)>>1
-                mid = _read_subframe(r, bs, bps)
-                side = _read_subframe(r, bs, bps + 1)
-                m2 = (mid << 1) | (side & 1)
-                left = (m2 + side) >> 1
-                right = (m2 - side) >> 1
-            block = np.stack([left, right], axis=1)
-        r.align()
-        crc16_ref = r.read(16)
-        if _crc16(payload[frame_start : r.byte_pos - 2]) != crc16_ref:
-            raise ValueError("flac: frame CRC-16 mismatch")
-        out.append(block)
-        got += bs
-    if got != total:
-        raise ValueError("flac: sample count mismatch")
-    stream = np.concatenate(out) if out else np.empty(0, np.int64)
-    if (stream > 32767).any() or (stream < -32768).any():
-        raise ValueError("flac: decoded sample out of 16-bit range")
-    samples = stream.astype(np.int16)
-    if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_ref:
-        raise ValueError("flac: decoded-stream MD5 mismatch")
-    return samples, rate
+    fno = _utf8_decode(r)
+    if bs_code == 0b0110:
+        bs = r.read(8) + 1
+    elif bs_code == 0b0111:
+        bs = r.read(16) + 1
+    elif bs_code == 0b0001:
+        bs = 192
+    elif 0b0010 <= bs_code <= 0b0101:
+        bs = 576 << (bs_code - 2)
+    elif bs_code >= 0b1000:
+        bs = 256 << (bs_code - 8)
+    else:
+        raise ValueError("flac: reserved block size code")
+    if rate_code == 0b1100:
+        frame_rate = r.read(8) * 1000
+    elif rate_code == 0b1101:
+        frame_rate = r.read(16)
+    elif rate_code == 0b1110:
+        frame_rate = r.read(16) * 10
+    elif rate_code in _RATE_FROM_CODE:
+        frame_rate = _RATE_FROM_CODE[rate_code]
+    else:
+        frame_rate = rate
+    if frame_rate != rate:
+        raise ValueError("flac: frame sample rate != STREAMINFO")
+    frame_bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(
+        size_code, bps
+    )
+    if frame_bps != bps:
+        raise ValueError("flac: frame sample size != STREAMINFO")
+    crc8_ref = r.read(8)
+    if _crc8(payload[frame_start : r.byte_pos - 1]) != crc8_ref:
+        raise ValueError("flac: frame header CRC-8 mismatch")
+    if channels == 1:
+        block = _read_subframe(r, bs, bps)
+    else:
+        # Stereo decorrelation (round 9): the side channel of the
+        # left/side, right/side and mid/side assignments carries
+        # one extra bit (RFC 9639 §9.1.3) — differences of two
+        # bps-bit signals need bps+1 bits.
+        if chan == 1:              # independent L, R
+            left = _read_subframe(r, bs, bps)
+            right = _read_subframe(r, bs, bps)
+        elif chan == 8:            # left/side: side = L - R
+            left = _read_subframe(r, bs, bps)
+            side = _read_subframe(r, bs, bps + 1)
+            right = left - side
+        elif chan == 9:            # right/side
+            side = _read_subframe(r, bs, bps + 1)
+            right = _read_subframe(r, bs, bps)
+            left = right + side
+        else:                      # mid/side: mid = (L+R)>>1
+            mid = _read_subframe(r, bs, bps)
+            side = _read_subframe(r, bs, bps + 1)
+            m2 = (mid << 1) | (side & 1)
+            left = (m2 + side) >> 1
+            right = (m2 - side) >> 1
+        block = np.stack([left, right], axis=1)
+    r.align()
+    crc16_ref = r.read(16)
+    if _crc16(payload[frame_start : r.byte_pos - 2]) != crc16_ref:
+        raise ValueError("flac: frame CRC-16 mismatch")
+    return block, fno
 
 
 # ---------------------------------------------------- gated corpus query

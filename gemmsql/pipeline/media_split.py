@@ -1,0 +1,352 @@
+"""Splittable media reader — intra-file parallel decode of large
+AVI and FLAC payloads (VERDICT r8 next #5).
+
+The codec tiers decode one payload per task, which is the right shape
+for a corpus of ordinary-sized files but leaves a 4 GB single payload
+as ONE task.  Both in-repo container formats carry the metadata a
+splittable reader needs, the same role parquet row groups play:
+
+- **AVI**: the ``idx1`` chunk is a table of (offset, size) entries —
+  O(1) seek to any frame — and every MJPEG frame is an independently
+  decodable SOI..EOI JPEG.  :func:`avi_frame_index` reads ONLY the
+  container skeleton (top-level chunk walk + idx1), no entropy
+  decode; :func:`split_avi` groups the indexed frames into byte
+  ranges.
+- **FLAC**: frames are self-contained after their 14-bit sync code
+  (header carries blocksize/rate/channels; CRC-8/CRC-16 guard each
+  frame independently).  :func:`flac_frame_index` scans for sync
+  candidates and validates each with the header CRC-8 plus the coded
+  frame number (defeating false syncs inside Rice residual bytes);
+  :func:`split_flac` cuts frame-aligned byte ranges.
+
+:func:`read_media_ranges` is the Spark op: stage 1 is a narrow
+Arrow-batched index map emitting one row per SPLIT (doc_id,
+split_idx, frame_lo, byte range content); a repartition then spreads
+the splits of one file across executors; stage 2 decodes each split
+independently and emits one row per frame with a pixel/sample MD5.
+Range-union equality with the whole-file decoders is pinned in
+tests/test_media_split.py.
+
+Scale shape: at 100 TB the index stage reads container skeletons
+(bytes-per-file ~ frames * 16, not the payload), the one shuffle
+moves each byte range exactly once to its decode task, and decode
+parallelism becomes min(frames, cluster cores) instead of
+files-count.  In production the stage-1 output would be (path,
+byte_lo, byte_hi) against object storage with executors range-reading
+— the descriptor algebra (what this module owns) is identical; here
+the range CONTENT rides the shuffle because testdata payloads are
+in-row binary columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.pipeline.flac import (
+    _BitReader,
+    _crc8,
+    _decode_one_frame,
+    parse_streaminfo,
+)
+from gemmsql.pipeline.jpeg import decode_jpeg_gray
+
+# ------------------------------------------------------------ AVI side
+
+
+def avi_frame_index(payload: bytes) -> list[tuple[int, int]]:
+    """Absolute (byte_offset, size) of every ``00dc`` frame chunk —
+    header + idx1 walk only, no frame decode.  The offset points at
+    the chunk header; frame bytes are ``payload[off+8 : off+8+size]``.
+    Falls back to walking ``movi`` chunk headers when idx1 is absent
+    (still O(frames) pointer hops)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    movi_fourcc_abs = None
+    movi_end = None
+    idx1 = None
+    while pos + 8 <= end:
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + sz > len(payload):
+            raise ValueError("truncated chunk")
+        if cid == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            movi_fourcc_abs = pos + 8
+            movi_end = pos + 8 + sz
+        elif cid == b"idx1":
+            idx1 = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if movi_fourcc_abs is None:
+        raise ValueError("missing movi list")
+    frames: list[tuple[int, int]] = []
+    if idx1 is not None:
+        if len(idx1) % 16:
+            raise ValueError("idx1 size not a multiple of 16")
+        for i in range(0, len(idx1), 16):
+            tag, _flags, off, isz = struct.unpack_from("<4sIII", idx1, i)
+            if tag != b"00dc":
+                raise ValueError(f"unexpected idx1 tag {tag!r}")
+            abs_off = movi_fourcc_abs + off
+            if payload[abs_off : abs_off + 4] != b"00dc":
+                raise ValueError("idx1 offset does not land on a frame chunk")
+            if struct.unpack_from("<I", payload, abs_off + 4)[0] != isz:
+                raise ValueError("idx1 size disagrees with chunk header")
+            frames.append((abs_off, isz))
+    else:
+        p = movi_fourcc_abs + 4
+        while p + 8 <= movi_end:
+            cid, sz = struct.unpack_from("<4sI", payload, p)
+            if cid != b"00dc":
+                raise ValueError(f"unexpected movi chunk {cid!r}")
+            frames.append((p, sz))
+            p += 8 + sz + (sz & 1)
+    return frames
+
+
+def split_avi(
+    payload: bytes, frames_per_split: int = 4
+) -> list[dict]:
+    """Cut the payload into frame-aligned byte ranges of up to
+    ``frames_per_split`` frames each: ``[{split_idx, frame_lo,
+    n_frames, chunk}]`` where ``chunk`` is the contiguous movi slice
+    covering those frame chunks."""
+    if frames_per_split < 1:
+        raise ValueError("frames_per_split must be >= 1")
+    idx = avi_frame_index(payload)
+    out = []
+    for s, lo in enumerate(range(0, len(idx), frames_per_split)):
+        part = idx[lo : lo + frames_per_split]
+        first_off = part[0][0]
+        last_off, last_sz = part[-1]
+        out.append({
+            "split_idx": s,
+            "frame_lo": lo,
+            "n_frames": len(part),
+            "chunk": payload[first_off : last_off + 8 + last_sz],
+        })
+    return out
+
+
+def decode_avi_range(chunk: bytes, n_frames: int) -> list[bytes]:
+    """Decode one split's byte range back into its JPEG frame
+    payloads by re-walking the ``00dc`` chunk headers."""
+    frames = []
+    pos = 0
+    for _ in range(n_frames):
+        if pos + 8 > len(chunk):
+            raise ValueError("split range truncated")
+        cid, sz = struct.unpack_from("<4sI", chunk, pos)
+        if cid != b"00dc":
+            raise ValueError(f"unexpected chunk {cid!r} in split range")
+        f = chunk[pos + 8 : pos + 8 + sz]
+        if len(f) < sz:
+            raise ValueError("truncated frame in split range")
+        if f[:2] != b"\xff\xd8" or f[-2:] != b"\xff\xd9":
+            raise ValueError("frame is not SOI..EOI framed")
+        frames.append(f)
+        pos += 8 + sz + (sz & 1)
+    return frames
+
+
+# ----------------------------------------------------------- FLAC side
+
+
+def flac_frame_index(payload: bytes) -> tuple[tuple[int, int, int], list[int]]:
+    """``((rate, channels, bps), [absolute frame sync offsets])`` via
+    frame-sync scan.  A candidate offset must carry the 14-bit sync
+    code, a CRC-8-valid frame header, AND the next expected coded
+    frame number — residual bytes that happen to contain 0xFF 0xF8/F9
+    fail one of the three.  Header-only work: no subframe decode."""
+    rate, channels, bps, _total, _md5, first = parse_streaminfo(payload)
+    offsets: list[int] = []
+    pos = first
+    expect = 0
+    n = len(payload)
+    while pos < n - 1:
+        b0, b1 = payload[pos], payload[pos + 1]
+        if b0 == 0xFF and (b1 & 0xFC) == 0xF8:
+            if _validate_frame_header(payload, pos, rate, bps, expect):
+                offsets.append(pos)
+                expect += 1
+                # skip the (>= 10 byte) header before rescanning so a
+                # frame's own header bytes can't double-match
+                pos += 10
+                continue
+        pos += 1
+    if not offsets:
+        raise ValueError("flac: no valid frame sync found")
+    return (rate, channels, bps), offsets
+
+
+def _validate_frame_header(
+    payload: bytes, pos: int, rate: int, bps: int, expect_fno: int
+) -> bool:
+    try:
+        r = _BitReader(payload, pos)
+        if r.read(14) != 0b11111111111110:
+            return False
+        r.read(2)
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        r.read(4)                  # channel assignment
+        r.read(4)                  # size code + reserved
+        from gemmsql.pipeline.flac import _utf8_decode
+
+        fno = _utf8_decode(r)
+        if fno != expect_fno:
+            return False
+        if bs_code == 0b0110:
+            r.read(8)
+        elif bs_code == 0b0111:
+            r.read(16)
+        if rate_code in (0b1100, 0b1101, 0b1110):
+            r.read(8 if rate_code == 0b1100 else 16)
+        crc8_ref = r.read(8)
+        return _crc8(payload[pos : r.byte_pos - 1]) == crc8_ref
+    except (ValueError, IndexError):
+        return False
+
+
+def split_flac(
+    payload: bytes, frames_per_split: int = 4
+) -> tuple[tuple[int, int, int], list[dict]]:
+    """``((rate, channels, bps), [{split_idx, frame_lo, n_frames,
+    chunk}])`` — frame-aligned byte ranges cut at sync offsets."""
+    if frames_per_split < 1:
+        raise ValueError("frames_per_split must be >= 1")
+    info, offsets = flac_frame_index(payload)
+    bounds = offsets + [len(payload)]
+    out = []
+    for s, lo in enumerate(range(0, len(offsets), frames_per_split)):
+        hi = min(lo + frames_per_split, len(offsets))
+        out.append({
+            "split_idx": s,
+            "frame_lo": lo,
+            "n_frames": hi - lo,
+            "chunk": payload[bounds[lo] : bounds[hi]],
+        })
+    return info, out
+
+
+def decode_flac_range(
+    chunk: bytes, rate: int, channels: int, bps: int, frame_lo: int,
+    n_frames: int,
+) -> np.ndarray:
+    """Decode one split's frames with full CRC-8/CRC-16 verification
+    and coded-frame-number validation.  Returns the concatenated
+    samples — ``(n,)`` mono or ``(n, 2)`` stereo.  (The STREAMINFO
+    MD5 is a whole-stream property; the union test covers it.)"""
+    r = _BitReader(chunk, 0)
+    blocks = []
+    for k in range(n_frames):
+        block, fno = _decode_one_frame(chunk, r, rate, channels, bps)
+        if fno != frame_lo + k:
+            raise ValueError("flac: split frame number mismatch")
+        blocks.append(block)
+    return np.concatenate(blocks)
+
+
+# ------------------------------------------------------------ Spark op
+
+_SPLIT_SCHEMA = (
+    "doc_id long, fmt string, split_idx long, frame_lo long,"
+    " n_frames long, rate long, channels long, bps long, chunk binary"
+)
+_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, n_values long, content_md5 string"
+)
+
+
+def read_media_ranges(
+    payloads: DataFrame, fmt: str, frames_per_split: int = 4
+) -> DataFrame:
+    """Distributed intra-file media decode: index each payload into
+    frame-aligned splits, spread the splits across the cluster, and
+    decode every split independently -> one row per frame
+    ``(doc_id, frame_idx, n_values, content_md5)``.
+
+    ``fmt`` is ``"avi"`` or ``"flac"``.  ``n_values`` is pixels per
+    frame (AVI) or interchannel samples per frame (FLAC);
+    ``content_md5`` hashes the decoded pixel/sample bytes, making the
+    union test exact.  The repartition on (doc_id, split_idx) is the
+    point of the op — it is what turns one 4 GB file into
+    ceil(frames / frames_per_split) concurrent decode tasks."""
+    if fmt not in ("avi", "flac"):
+        raise ValueError("fmt must be 'avi' or 'flac'")
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if fmt == "avi":
+                    info = (0, 0, 0)
+                    splits = split_avi(p, frames_per_split)
+                else:
+                    info, splits = split_flac(p, frames_per_split)
+                for s in splits:
+                    rows.append((
+                        int(doc_id), fmt, s["split_idx"], s["frame_lo"],
+                        s["n_frames"], info[0], info[1], info[2],
+                        s["chunk"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "split_idx", "frame_lo", "n_frames",
+                    "rate", "channels", "bps", "chunk",
+                ],
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fidx, nvals, md5s = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                chunk = bytes(row.chunk)
+                if row.fmt == "avi":
+                    for k, jpg in enumerate(
+                        decode_avi_range(chunk, int(row.n_frames))
+                    ):
+                        img = decode_jpeg_gray(jpg).astype(np.int16)
+                        ids.append(row.doc_id)
+                        fidx.append(row.frame_lo + k)
+                        nvals.append(img.size)
+                        md5s.append(hashlib.md5(img.tobytes()).hexdigest())
+                else:
+                    r = _BitReader(chunk, 0)
+                    for k in range(int(row.n_frames)):
+                        block, fno = _decode_one_frame(
+                            chunk, r, int(row.rate), int(row.channels),
+                            int(row.bps),
+                        )
+                        if fno != row.frame_lo + k:
+                            raise ValueError(
+                                "flac: split frame number mismatch"
+                            )
+                        samp = block.astype(np.int16)
+                        ids.append(row.doc_id)
+                        fidx.append(fno)
+                        nvals.append(len(block))
+                        md5s.append(
+                            hashlib.md5(samp.tobytes()).hexdigest()
+                        )
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": fidx, "n_values": nvals,
+                "content_md5": md5s,
+            })
+
+    splits = payloads.mapInPandas(index, schema=_SPLIT_SCHEMA)
+    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    return spread.mapInPandas(decode, schema=_FRAME_SCHEMA)
