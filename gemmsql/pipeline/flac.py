@@ -300,12 +300,15 @@ def _write_residuals(w: _BitWriter, r: np.ndarray) -> None:
 
 
 def _residual_body_bits(r: np.ndarray) -> int:
-    """Residual-partition cost: the cheaper of Rice and the escape
-    partition.  The 2+4 header and the 4-bit param/escape-code fields
-    are common to both, so only the escape's 5-bit width field is
-    charged — the same threshold _write_residuals selects with."""
+    """Residual-partition cost INCLUDING the constant 2+4+4-bit
+    coding-method / partition-order / parameter header (ADVICE r8:
+    omitting it biased FIXED over VERBATIM by the header width), as
+    the cheaper of Rice and the escape partition — whose 4-bit escape
+    code replaces the parameter field and adds the 5-bit width.  The
+    escape-vs-Rice threshold inside _write_residuals is unchanged:
+    the common 10 bits cancel there."""
     _, rice_bits = _best_rice(_zigzag(r))
-    return min(rice_bits, 5 + _raw_nbits(r) * len(r))
+    return 10 + min(rice_bits, 5 + _raw_nbits(r) * len(r))
 
 
 _LPC_PRECISION = 12  # quantized-coefficient width the encoder emits

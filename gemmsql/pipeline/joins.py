@@ -185,6 +185,8 @@ def interval_self_join(
     id_col: str,
     start: str,
     end: str,
+    hot_key_threshold: int | None = None,
+    chunk: int | None = None,
 ) -> DataFrame:
     """All pairs of rows sharing ``key`` whose ``[start, end]``
     intervals overlap (inclusive), each pair once (``id1 < id2``).
@@ -193,10 +195,48 @@ def interval_self_join(
     worst-case-quadratic shuffle — but bounded here by the equi-key:
     Spark plans key-equality as the shuffle hash join and evaluates
     the interval predicate as a residual filter, so cost is
-    sum_k C(n_k, 2) — per-key fan-out, never corpus-quadratic.  For
-    keyless interval joins, bucket both sides by coarse time chunk
-    (emitting one row per chunk an interval touches) and equi-join on
-    the chunk id — same trick, synthetic key."""
+    sum_k C(n_k, 2) — per-key fan-out, never corpus-quadratic.
+
+    ``hot_key_threshold`` turns on the SCALE.md hot-key mitigation
+    (round 9 — previously prose-only): a stats probe counts rows per
+    key, keys past the threshold are routed through time-chunk
+    bucketing with join key ``(key, bucket)`` — the
+    :func:`interval_join_keyless` trick with the real key retained —
+    so one key with 10^5 live intervals generates pairs per
+    (key, chunk) task instead of C(10^5, 2) on a single task, while
+    cold keys keep the plain equi-key plan.  ``chunk`` (required with
+    the threshold; ``start``/``end`` must be integral) should be on
+    the order of the typical span.  The probe's collect is bounded by
+    construction: at most N / threshold keys can exceed the
+    threshold.  The pair count itself is irreducible output — the
+    split caps per-TASK generation, not the answer size."""
+    if hot_key_threshold is not None:
+        if chunk is None:
+            raise ValueError("hot_key_threshold requires chunk")
+        counts = (
+            frame.groupBy(key).count()
+            .where(F.col("count") > hot_key_threshold)
+        )
+        hot = [row[0] for row in counts.collect()]
+        if hot:
+            cold = frame.where(~F.col(key).isin(hot))
+            hotf = frame.where(F.col(key).isin(hot))
+            return _equi_interval_pairs(
+                cold, key=key, id_col=id_col, start=start, end=end
+            ).unionByName(
+                _chunked_interval_pairs(
+                    hotf, key=key, id_col=id_col, start=start, end=end,
+                    chunk=chunk,
+                )
+            )
+    return _equi_interval_pairs(
+        frame, key=key, id_col=id_col, start=start, end=end
+    )
+
+
+def _equi_interval_pairs(
+    frame: DataFrame, *, key: str, id_col: str, start: str, end: str
+) -> DataFrame:
     a = frame.select(
         F.col(key).alias("_k"),
         F.col(id_col).alias("id1"),
@@ -216,6 +256,46 @@ def interval_self_join(
             & (F.col("s1") <= F.col("e2"))
             & (F.col("s2") <= F.col("e1"))
         )
+        .withColumnRenamed("_k", key)
+    )
+
+
+def _chunked_interval_pairs(
+    frame: DataFrame, *, key: str, id_col: str, start: str, end: str,
+    chunk: int,
+) -> DataFrame:
+    """Hot-key path: intervals explode into the ``chunk``-sized time
+    buckets they touch and pair on the COMPOSITE key (key, bucket) —
+    first-cell dedupe (pair kept only where the later-starting
+    interval begins) exactly as in :func:`interval_join_keyless`."""
+    a = frame.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("id1"),
+        F.col(start).cast("long").alias("s1"),
+        F.col(end).cast("long").alias("e1"),
+    ).withColumn(
+        "_bucket",
+        F.explode(F.expr(f"sequence(s1 div {chunk}, e1 div {chunk})")),
+    )
+    b = a.select(
+        "_k",
+        F.col("id1").alias("id2"),
+        F.col("s1").alias("s2"),
+        F.col("e1").alias("e2"),
+        "_bucket",
+    )
+    return (
+        a.join(b, ["_k", "_bucket"])
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1"))
+            & (
+                F.expr(f"greatest(s1, s2) div {chunk}")
+                == F.col("_bucket")
+            )
+        )
+        .drop("_bucket")
         .withColumnRenamed("_k", key)
     )
 

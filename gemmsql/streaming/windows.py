@@ -628,16 +628,16 @@ _HIST_GATE_Q_COLS = ",\n".join(
     for q in (50, 90, 99)
 )
 
-# Boundary assumption (ADVICE r7): the HAVING below replays the
-# append-mode emission rule (day_end <= max(ts) - 1h) at microsecond
-# precision, while Spark's watermark is millisecond-truncated and its
-# eviction comparison at EXACT equality is an implementation detail.
-# The corpora driving this gate have max(ts) - 1h strictly inside a
-# day (the events generator spreads timestamps uniformly, so landing
-# within 1ms of a day boundary has ~1e-8 probability per corpus); a
-# corpus engineered to land max(ts) - horizon exactly ON a window end
-# could flip which days both sides emit.  If this gate is ever pointed
-# at such a corpus, nudge the horizon off the boundary first.
+# Boundary behavior (ADVICE r7, closed in round 9): the HAVING below
+# replays the append-mode emission rule (day_end <= max(ts) - 1h).
+# Spark's eviction at EXACT watermark == window-end equality is
+# INCLUSIVE — probed empirically and pinned by
+# tests/test_streaming.py::
+# test_hist_gate_boundary_watermark_exactly_on_window_end, whose
+# corpus lands max(ts) - horizon precisely on a day boundary — so the
+# inclusive <= here matches Spark even on the boundary.  If a Spark
+# upgrade flips that comparison, the pinned test trips; the fix then
+# is nudging the horizon off the boundary.
 STREAMING_HIST_GATE_SQL = f"""
 WITH closed AS (
   SELECT date_trunc('day', ts) AS day, event_type,

@@ -358,3 +358,50 @@ def test_concurrent_events_matches_bruteforce(spark):
     assert len(got) == n
     for _, row in got.iterrows():
         assert row["n_concurrent"] == cnt[int(row["event_id"])]
+
+
+def test_interval_hot_key_split_matches_plain_path(spark):
+    """The hot-key chunk-split (SCALE.md mitigation, code since round
+    9): one pathological key with many mutually overlapping intervals
+    plus normal cold keys — the split path must return EXACTLY the
+    plain equi-key path's pairs, the probe must actually route the hot
+    key through chunk bucketing, and no plan may contain a cartesian."""
+    from gemmsql.pipeline.joins import interval_self_join
+
+    rows = []
+    # hot key 99: 60 intervals all overlapping around [0, 1000)
+    for i in range(60):
+        rows.append((99, 1000 + i, i * 10, i * 10 + 400))
+    # cold keys 1..5: 6 intervals each, mixed overlap
+    for k in range(1, 6):
+        for i in range(6):
+            rows.append((k, k * 100 + i, i * 50, i * 50 + 30 + 10 * k))
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+
+    def pairs(d):
+        return sorted(
+            (r.k, r.id1, r.id2) for r in d.select("k", "id1", "id2").collect()
+        )
+
+    plain = interval_self_join(df, key="k", id_col="id", start="s", end="e")
+    split = interval_self_join(
+        df, key="k", id_col="id", start="s", end="e",
+        hot_key_threshold=20, chunk=200,
+    )
+    assert pairs(plain) == pairs(split)
+    # the hot key must produce pairs through the split path too
+    assert any(k == 99 for k, _, _ in pairs(split))
+    # threshold nobody exceeds -> pure equi-key path, same answer
+    nothot = interval_self_join(
+        df, key="k", id_col="id", start="s", end="e",
+        hot_key_threshold=10_000, chunk=200,
+    )
+    assert pairs(plain) == pairs(nothot)
+    from tests.test_plans import plan_of
+
+    assert "Cartesian" not in plan_of(split)
+    with pytest.raises(ValueError, match="chunk"):
+        interval_self_join(
+            df, key="k", id_col="id", start="s", end="e",
+            hot_key_threshold=5,
+        )

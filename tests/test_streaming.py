@@ -763,3 +763,91 @@ def test_streaming_dedup_gate_oracle_parity_and_absorption(spark):
         "dedup gate absorbed nothing — duplicate keys missing from the"
         " fixture data"
     )
+
+
+def test_hist_gate_boundary_watermark_exactly_on_window_end(spark):
+    """ADVICE r7 closed properly (round 9): a pinned corpus whose
+    ``max(ts) - horizon`` lands EXACTLY on a day-window end, at
+    microsecond AND millisecond precision.  Probed empirically: Spark's
+    append-mode eviction is INCLUSIVE at equality (watermark ==
+    window.end emits the window), which matches the oracle's
+    ``day_end <= max(ts) - horizon`` rule — so both sides emit the
+    boundary day and agree; no horizon nudge needed.  If a Spark
+    upgrade ever flips the eviction comparison to strict, this test is
+    the tripwire (and the documented fix is nudging the horizon off
+    the boundary)."""
+    import os
+
+    import duckdb
+
+    from gemmsql.streaming.windows import (
+        STREAMING_HIST_GATE_SQL,
+        _await_gate,
+        _fresh_ckpt,
+        state_partitions,
+        streaming_value_hist_windows,
+    )
+    from gemmsql.sketches import quantiles_from_histogram
+    from gemmsql.streaming.windows import HIST_GATE_BIN_W
+    from tests.test_rotation import _hash
+
+    base = tempfile.mkdtemp(prefix="gemmsql_boundary_")
+    src = os.path.join(base, "src")
+    DAY = 86400 * 1_000_000
+    H = 3600 * 1_000_000
+    d0 = 19723 * DAY
+    # day0 rows; one row at day1 00:00 (keeps day1 open) and the max
+    # at day1 01:00 -> watermark = max - 1h = day1 00:00 == day0's
+    # window end, exactly.
+    rows = [(i, d0 + i * H, 1, "e", float(10 * i)) for i in range(5)]
+    rows.append((100, d0 + DAY, 1, "e", 42.0))
+    rows.append((101, d0 + DAY + H, 1, "e", 55.0))
+    schema = (
+        "event_id long, ts_us long, user_id long, "
+        "event_type string, value double"
+    )
+    df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+        .withColumn("props", F.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(src)
+    )
+    with state_partitions(spark):
+        q = (
+            streaming_value_hist_windows(ev)
+            .writeStream.format("memory")
+            .queryName("hist_boundary_gate")
+            .outputMode("append")
+            .option("checkpointLocation", _fresh_ckpt("gemmsql_ckpt_bnd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    sdf = quantiles_from_histogram(
+        spark.table("hist_boundary_gate"),
+        ["day_us", "event_type"],
+        bin_w=HIST_GATE_BIN_W,
+        n_alias="n_events",
+    ).toPandas()
+    # the boundary day is emitted (inclusive eviction) and the open
+    # day1 is withheld
+    assert set(sdf["day_us"]) == {d0}
+    # full-value agreement with the oracle's emission-rule replay
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{src}/*.parquet'")
+    odf = con.execute(STREAMING_HIST_GATE_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
