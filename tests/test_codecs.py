@@ -309,3 +309,25 @@ def test_video_payload_plan_is_narrow(spark):
 
     plan = video_features(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_adpcm_batch_decode_matches_per_payload():
+    """decode_adpcm_batch (one vectorized recursion across every
+    payload's blocks, round 9) must be sample-identical to mapping
+    decode_adpcm — mixed signals, block counts, and fact
+    truncations."""
+    import numpy as np
+
+    from gemmsql.pipeline.adpcm import decode_adpcm_batch
+
+    rng = np.random.default_rng(23)
+    payloads = []
+    for k in range(7):
+        n = 40 + 37 * k
+        sig = np.cumsum(rng.integers(-300, 300, n)).clip(-32768, 32767)
+        payloads.append(encode_adpcm(sig.astype(np.int16), 8000 + k))
+    batch = decode_adpcm_batch(payloads)
+    for p, (got_s, got_r) in zip(payloads, batch):
+        want_s, want_r = decode_adpcm(p)
+        assert got_r == want_r
+        assert np.array_equal(got_s, want_s)
