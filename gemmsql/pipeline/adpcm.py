@@ -86,34 +86,13 @@ def _nibble_diff(nibbles: np.ndarray, steps: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------- encoder
 
-def encode_adpcm(
-    samples: np.ndarray, sample_rate: int = 16000, data_bytes_per_block: int = 16
-) -> bytes:
-    """(N,) int16 mono -> RIFF/WAVE IMA-ADPCM bytes (format tag
-    0x0011).  Each block is a 4-byte state header (int16 predictor =
-    the block's first sample verbatim, uint8 step index, reserved 0)
-    followed by ``data_bytes_per_block`` nibble bytes, i.e.
-    ``2*data_bytes_per_block + 1`` samples per block; the true sample
-    count is recorded in the ``fact`` chunk and the final block is
-    zero-nibble-padded on the wire.
-
-    The encoder carries the step index ACROSS blocks (standard
-    practice: only the predictor restarts from the header) and is
-    vectorized across blocks where the format allows — the in-block
-    recursion is inherently sequential, so the loop runs over the
-    samples-per-block axis.
-    """
-    s = np.asarray(samples, dtype=np.int64)
-    if s.ndim != 1:
-        raise ValueError("mono only")
-    if len(s) == 0:
-        raise ValueError("empty signal")
-    spb = 2 * data_bytes_per_block + 1
-    n_blocks = -(-len(s) // spb)
-    # pad by repeating the last sample: zero diffs, cheapest nibbles
-    pad = np.full(n_blocks * spb - len(s), s[-1], dtype=np.int64)
-    sp = np.concatenate([s, pad]).reshape(n_blocks, spb)
-
+def _encode_channel(
+    sp: np.ndarray, spb: int
+) -> tuple[list[bytes], np.ndarray]:
+    """One channel's block loop -> (4-byte headers, nibble array).
+    The step index carries ACROSS blocks (standard practice: only the
+    predictor restarts from the header)."""
+    n_blocks = len(sp)
     nibbles = np.zeros((n_blocks, spb - 1), dtype=np.uint8)
     headers = []
     index = 0
@@ -139,21 +118,71 @@ def encode_adpcm(
             pred = max(-32768, min(32767, pred + diff))
             index = max(0, min(88, index + int(INDEX_TABLE[nib & 7])))
             nibbles[b, t - 1] = nib
+    return headers, nibbles
 
-    lo = nibbles[:, 0::2]
-    hi = nibbles[:, 1::2]
-    data = b"".join(
-        headers[b] + (lo[b] | (hi[b] << 4)).astype(np.uint8).tobytes()
-        for b in range(n_blocks)
-    )
 
-    block_align = 4 + data_bytes_per_block
+def _pack_nibbles(nibbles: np.ndarray) -> np.ndarray:
+    """(n_blocks, spb-1) nibbles -> (n_blocks, (spb-1)//2) bytes,
+    low nibble first."""
+    return (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+
+
+def encode_adpcm(
+    samples: np.ndarray, sample_rate: int = 16000, data_bytes_per_block: int = 16
+) -> bytes:
+    """int16 samples -> RIFF/WAVE IMA-ADPCM bytes (format tag 0x0011).
+    Shape ``(N,)`` encodes mono; ``(N, 2)`` encodes stereo (round 9)
+    with the standard layout: one 4-byte state header per channel at
+    the block start, then the nibble stream interleaved in 4-byte
+    (8-sample) groups per channel.  Each channel holds
+    ``2*data_bytes_per_block + 1`` samples per block (``fmt ``
+    extension ``wSamplesPerBlock``); the true per-channel sample
+    count is recorded in the ``fact`` chunk and the final block is
+    zero-nibble-padded on the wire.  For stereo,
+    ``data_bytes_per_block`` must be a multiple of 4 (the interleave
+    group size)."""
+    s = np.asarray(samples, dtype=np.int64)
+    stereo = s.ndim == 2
+    if stereo and s.shape[1] != 2:
+        raise ValueError("mono or 2-channel only")
+    if s.ndim > 2 or s.size == 0:
+        raise ValueError("empty or misshapen signal")
+    nch = 2 if stereo else 1
+    if stereo and data_bytes_per_block % 4:
+        raise ValueError("stereo needs data_bytes_per_block % 4 == 0")
+    spb = 2 * data_bytes_per_block + 1
+    n = len(s)
+    n_blocks = -(-n // spb)
+    # pad by repeating the last sample: zero diffs, cheapest nibbles
+    pad_shape = (n_blocks * spb - n,) + s.shape[1:]
+    pad = np.broadcast_to(s[-1], pad_shape)
+    sp = np.concatenate([s, pad]).reshape((n_blocks, spb) + s.shape[1:])
+
+    if stereo:
+        h0, nib0 = _encode_channel(sp[:, :, 0], spb)
+        h1, nib1 = _encode_channel(sp[:, :, 1], spb)
+        p0, p1 = _pack_nibbles(nib0), _pack_nibbles(nib1)
+        # interleave 4-byte groups: ch0[0:4] ch1[0:4] ch0[4:8] ...
+        g0 = p0.reshape(n_blocks, -1, 4)
+        g1 = p1.reshape(n_blocks, -1, 4)
+        inter = np.stack([g0, g1], axis=2).reshape(n_blocks, -1)
+        data = b"".join(
+            h0[b] + h1[b] + inter[b].tobytes() for b in range(n_blocks)
+        )
+    else:
+        headers, nibbles = _encode_channel(sp, spb)
+        packed = _pack_nibbles(nibbles)
+        data = b"".join(
+            headers[b] + packed[b].tobytes() for b in range(n_blocks)
+        )
+
+    block_align = 4 * nch + data_bytes_per_block * nch
     byte_rate = (sample_rate * block_align + spb - 1) // spb
     fmt = struct.pack(
-        "<4sIHHIIHHHH", b"fmt ", 20, WAVE_FORMAT_IMA_ADPCM, 1,
+        "<4sIHHIIHHHH", b"fmt ", 20, WAVE_FORMAT_IMA_ADPCM, nch,
         sample_rate, byte_rate, block_align, 4, 2, spb,
     )
-    fact = struct.pack("<4sII", b"fact", 4, len(s))
+    fact = struct.pack("<4sII", b"fact", 4, n)
     data_chunk = struct.pack("<4sI", b"data", len(data)) + data
     if len(data) & 1:
         data_chunk += b"\0"
@@ -165,13 +194,14 @@ def encode_adpcm(
 
 def _parse_adpcm(
     payload: bytes,
-) -> tuple[int, int, int, int | None, bytes]:
-    """Container walk -> ``(rate, block_align, samples_per_block,
-    fact_samples, data)`` — cheap struct reads, no sample decode."""
+) -> tuple[int, int, int, int, int | None, bytes]:
+    """Container walk -> ``(rate, channels, block_align,
+    samples_per_block, fact_samples, data)`` — cheap struct reads, no
+    sample decode."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    rate = block_align = spb = None
+    rate = channels = block_align = spb = None
     n_samples = None
     data = None
     while pos + 8 <= len(payload):
@@ -187,10 +217,16 @@ def _parse_adpcm(
             )
             if tag != WAVE_FORMAT_IMA_ADPCM:
                 raise ValueError(f"not IMA-ADPCM (fmt tag 0x{tag:04x})")
-            if ch != 1 or bits != 4 or cb < 2:
-                raise ValueError("mono 4-bit IMA-ADPCM only")
-            if spb != 2 * (block_align - 4) + 1:
+            if ch not in (1, 2) or bits != 4 or cb < 2:
+                raise ValueError("mono/stereo 4-bit IMA-ADPCM only")
+            if spb != 2 * (block_align - 4 * ch) // ch + 1:
                 raise ValueError("wSamplesPerBlock inconsistent with block align")
+            if ch == 2 and (block_align - 8) % 8:
+                raise ValueError(
+                    "stereo data bytes not a whole number of "
+                    "4-byte interleave groups"
+                )
+            channels = ch
         elif cid == b"fact":
             n_samples = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
@@ -200,7 +236,7 @@ def _parse_adpcm(
         raise ValueError("missing fmt/data chunk")
     if len(data) % block_align:
         raise ValueError("data size not a whole number of blocks")
-    return int(rate), int(block_align), int(spb), n_samples, data
+    return int(rate), int(channels), int(block_align), int(spb), n_samples, data
 
 
 def _decode_blocks(raw: np.ndarray, spb: int) -> np.ndarray:
@@ -233,24 +269,63 @@ def _decode_blocks(raw: np.ndarray, spb: int) -> np.ndarray:
     return out
 
 
-def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE IMA-ADPCM -> ((N,) int16 samples, sample_rate).
+def _virtual_mono_blocks(raw: np.ndarray, channels: int) -> np.ndarray:
+    """(n_blocks, block_align) physical blocks -> channel-major
+    virtual MONO blocks ((channels*n_blocks, 4 + dbpb_per_channel)):
+    stereo blocks carry one 4-byte header per channel then 4-byte
+    interleave groups, and each channel's recursion is independent —
+    so both channels decode in the same vectorized pass."""
+    if channels == 1:
+        return raw
+    n_blocks = len(raw)
+    heads = raw[:, :8].reshape(n_blocks, 2, 4)
+    groups = raw[:, 8:].reshape(n_blocks, -1, 2, 4)
+    return np.concatenate([
+        np.hstack(
+            [heads[:, c, :], groups[:, :, c, :].reshape(n_blocks, -1)]
+        )
+        for c in range(2)
+    ], axis=0)
 
-    Full standard decode: walks the chunk list, requires format tag
-    0x0011 / 4 bits / mono, honours ``wSamplesPerBlock`` from the
-    ``fmt `` extension and the ``fact`` sample count (truncating the
-    final block), restarts the predictor AND step index from each
-    block header, and applies both clamps (predictor to int16, index
-    to [0, 88]).  Vectorized across blocks; the in-block recursion
-    loops over the samples-per-block axis only."""
-    rate, block_align, spb, n_samples, data = _parse_adpcm(payload)
-    n_blocks = len(data) // block_align
-    raw = np.frombuffer(data, dtype=np.uint8).reshape(n_blocks, block_align)
-    flat = _decode_blocks(raw, spb).reshape(-1)
+
+def _assemble_channels(
+    out: np.ndarray, channels: int, n_samples: int | None
+) -> np.ndarray:
+    """Channel-major decoded blocks -> final sample array ((N,) mono
+    or (N, 2) stereo), fact-truncated (fact counts per-channel
+    samples = output rows)."""
+    if channels == 1:
+        flat = out.reshape(-1)
+    else:
+        half = len(out) // 2
+        flat = np.stack(
+            [out[:half].reshape(-1), out[half:].reshape(-1)], axis=1
+        )
     if n_samples is not None:
         if n_samples > len(flat):
             raise ValueError("fact count exceeds decoded samples")
         flat = flat[:n_samples]
+    return flat
+
+
+def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE IMA-ADPCM -> (int16 samples, sample_rate): ``(N,)``
+    for mono, ``(N, 2)`` for stereo (round 9).
+
+    Full standard decode: walks the chunk list, requires format tag
+    0x0011 / 4 bits / mono-or-stereo, honours ``wSamplesPerBlock``
+    from the ``fmt `` extension and the ``fact`` sample count
+    (truncating the final block), restarts the predictor AND step
+    index from each per-channel block header, de-interleaves the
+    stereo 4-byte nibble groups, and applies both clamps (predictor
+    to int16, index to [0, 88]).  Vectorized across blocks (and
+    channels); the in-block recursion loops over the
+    samples-per-block axis only."""
+    rate, channels, block_align, spb, n_samples, data = _parse_adpcm(payload)
+    n_blocks = len(data) // block_align
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(n_blocks, block_align)
+    out = _decode_blocks(_virtual_mono_blocks(raw, channels), spb)
+    flat = _assemble_channels(out, channels, n_samples)
     return flat.astype(np.int16), int(rate)
 
 
@@ -258,33 +333,38 @@ def decode_adpcm_batch(
     payloads: list[bytes],
 ) -> list[tuple[np.ndarray, int]]:
     """Decode MANY payloads with ONE vectorized recursion per
-    (block_align, spb) group: every block of every payload restarts
-    from its own header, so blocks from different payloads stack into
-    a single (total_blocks, block_align) array and the 33-step sample
-    loop runs over the whole batch instead of per-file (round 9:
-    per-payload arrays of 4-8 blocks left the loop numpy-overhead
-    bound — this is the same across-the-long-axis trick at one level
-    up).  Semantics are identical to mapping :func:`decode_adpcm`."""
+    (block_align, spb, channels) group: every (channel-)block of
+    every payload restarts from its own header, so blocks from
+    different payloads stack into a single (total_blocks,
+    4 + dbpb_per_channel) array and the 33-step sample loop runs over
+    the whole batch instead of per-file (round 9: per-payload arrays
+    of 4-8 blocks left the loop numpy-overhead bound — this is the
+    same across-the-long-axis trick at one level up).  Semantics are
+    identical to mapping :func:`decode_adpcm`."""
     parsed = [_parse_adpcm(p) for p in payloads]
-    groups: dict[tuple[int, int], list[int]] = {}
-    for i, (_rate, ba, spb, _ns, _data) in enumerate(parsed):
-        groups.setdefault((ba, spb), []).append(i)
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for i, (_rate, ch, ba, spb, _ns, _data) in enumerate(parsed):
+        groups.setdefault((ba, spb, ch), []).append(i)
     results: list[tuple[np.ndarray, int] | None] = [None] * len(payloads)
-    for (ba, spb), idxs in groups.items():
-        counts = [len(parsed[i][4]) // ba for i in idxs]
+    for (ba, spb, ch), idxs in groups.items():
+        counts = [len(parsed[i][5]) // ba for i in idxs]
+        total = sum(counts)
         raw = np.frombuffer(
-            b"".join(parsed[i][4] for i in idxs), dtype=np.uint8
-        ).reshape(sum(counts), ba)
-        out = _decode_blocks(raw, spb)
+            b"".join(parsed[i][5] for i in idxs), dtype=np.uint8
+        ).reshape(total, ba)
+        out = _decode_blocks(_virtual_mono_blocks(raw, ch), spb)
         lo = 0
         for i, nb in zip(idxs, counts):
-            rate, _ba, _spb, n_samples, _data = parsed[i]
-            flat = out[lo : lo + nb].reshape(-1)
+            rate, _ch, _ba, _spb, n_samples, _data = parsed[i]
+            if ch == 1:
+                mine = out[lo : lo + nb]
+            else:
+                # channel-major over the GROUP: ch0 rows then ch1 rows
+                mine = np.concatenate(
+                    [out[lo : lo + nb], out[total + lo : total + lo + nb]]
+                )
+            flat = _assemble_channels(mine, ch, n_samples)
             lo += nb
-            if n_samples is not None:
-                if n_samples > len(flat):
-                    raise ValueError("fact count exceeds decoded samples")
-                flat = flat[:n_samples]
             results[i] = (flat.astype(np.int16), rate)
     return results  # type: ignore[return-value]
 

@@ -331,3 +331,50 @@ def test_adpcm_batch_decode_matches_per_payload():
         want_s, want_r = decode_adpcm(p)
         assert got_r == want_r
         assert np.array_equal(got_s, want_s)
+
+
+def test_adpcm_stereo_roundtrip_and_channel_equivalence():
+    """Stereo IMA-ADPCM (round 9): per-channel 4-byte headers +
+    4-byte interleave groups.  The decoded stereo stream must equal
+    the per-channel MONO decode of the same signals (channel
+    recursions are independent; the container only interleaves), and
+    the lossy error stays step-bounded like mono."""
+    import numpy as np
+
+    from gemmsql.pipeline.adpcm import decode_adpcm_batch
+
+    rng = np.random.default_rng(29)
+    n = 150
+    l = np.cumsum(rng.integers(-200, 200, n)).clip(-32768, 32767)
+    r = np.cumsum(rng.integers(-200, 200, n)).clip(-32768, 32767)
+    st = np.stack([l, r], axis=1).astype(np.int16)
+    p = encode_adpcm(st, 16000)
+    dec, rate = decode_adpcm(p)
+    assert dec.shape == (n, 2) and rate == 16000
+    dl, _ = decode_adpcm(encode_adpcm(st[:, 0], 16000))
+    dr, _ = decode_adpcm(encode_adpcm(st[:, 1], 16000))
+    assert np.array_equal(dec[:, 0], dl)
+    assert np.array_equal(dec[:, 1], dr)
+    # mixed mono/stereo batch == per-payload decode
+    batch = decode_adpcm_batch([p, encode_adpcm(st[:, 0], 16000)])
+    assert np.array_equal(batch[0][0], dec)
+    assert np.array_equal(batch[1][0], dl)
+
+
+def test_adpcm_stereo_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    st = np.zeros((40, 2), np.int16)
+    with _pytest.raises(ValueError, match="multiple of 4|% 4"):
+        encode_adpcm(st, 8000, data_bytes_per_block=18)
+    # wSamplesPerBlock inconsistency detected on decode
+    p = bytearray(encode_adpcm(st, 8000))
+    # fmt chunk starts at byte 12; wSamplesPerBlock is the last H of
+    # the <4sIHHIIHHHH layout = offset 12+8+18 = 38
+    import struct as _struct
+
+    (spb,) = _struct.unpack_from("<H", p, 38)
+    _struct.pack_into("<H", p, 38, spb + 2)
+    with _pytest.raises(ValueError, match="wSamplesPerBlock"):
+        decode_adpcm(bytes(p))
