@@ -350,3 +350,137 @@ def read_media_ranges(
     splits = payloads.mapInPandas(index, schema=_SPLIT_SCHEMA)
     spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
     return spread.mapInPandas(decode, schema=_FRAME_SCHEMA)
+
+
+# ------------------------------------------- oracle-gated corpus query
+
+
+def flac_frame_stats(
+    spark: SparkSession, sf_dir: str, frames_per_split: int = 2
+) -> DataFrame:
+    """Per-FRAME stats of the staged FLAC corpus decoded through the
+    SPLIT path -> ``(doc_id, frame_idx, n_samples, frame_peak,
+    frame_sum)`` — the splittable reader under a value-hash gate.
+
+    Every stage of the reader is load-bearing in the hash: a sync
+    scan that misses or double-counts a frame changes frame_idx
+    assignment; a range cut through a frame breaks its CRC; a split
+    decoded with the wrong warm-up state changes the samples.  The
+    DuckDB oracle replays the synthesized signal formula grouped by
+    ``idx // FLAC_BLOCK`` — pure SQL, no decoder."""
+    from gemmsql.pipeline.flac import with_flac_payload
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(spark, sf_dir, "flac", with_flac_payload)
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                info, splits = split_flac(bytes(p), frames_per_split)
+                for s in splits:
+                    rows.append((
+                        int(doc_id), "flac", s["split_idx"], s["frame_lo"],
+                        s["n_frames"], info[0], info[1], info[2],
+                        s["chunk"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "split_idx", "frame_lo", "n_frames",
+                    "rate", "channels", "bps", "chunk",
+                ],
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fidx, ns, peaks, sums = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                samples = decode_flac_range(
+                    bytes(row.chunk), int(row.rate), int(row.channels),
+                    int(row.bps), int(row.frame_lo), int(row.n_frames),
+                )
+                # split back into frames: all but the last full frame
+                # in a split are FLAC_BLOCK (=32) samples
+                lo = 0
+                from gemmsql.pipeline.flac import FLAC_BLOCK
+
+                for k in range(int(row.n_frames)):
+                    blk = samples[lo : lo + FLAC_BLOCK]
+                    lo += len(blk)
+                    v = blk.astype(np.int64)
+                    ids.append(row.doc_id)
+                    fidx.append(row.frame_lo + k)
+                    ns.append(len(v))
+                    peaks.append(int(np.abs(v).max()))
+                    sums.append(int(v.sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": fidx, "n_samples": ns,
+                "frame_peak": peaks, "frame_sum": sums,
+            })
+
+    splits = b.mapInPandas(index, schema=_SPLIT_SCHEMA)
+    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    return spread.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_idx long, n_samples long,"
+            " frame_peak long, frame_sum long"
+        ),
+    )
+
+
+def flac_frame_stats_sql() -> str:
+    """DuckDB twin of :func:`flac_frame_stats`: the md5-chain signal
+    formula (flac.FLAC_FEATURES_SQL's derivation) grouped by frame
+    index ``idx // FLAC_BLOCK`` — pure SQL, no decoder, so every
+    reader stage (sync scan, range cut, split decode, frame-number
+    check) is hash-gated against an independent derivation."""
+    from gemmsql.pipeline.flac import (
+        FLAC_BLOCK,
+        FLAC_BLOCKS_BASE,
+        FLAC_BLOCKS_MOD,
+        _DELTAS_PER_BLOCK,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         {FLAC_BLOCKS_BASE} + doc_id % {FLAC_BLOCKS_MOD} AS nb
+  FROM documents
+),
+blocks AS (
+  SELECT d.doc_id, s.t,
+         md5('fl:' || CAST(d.doc_id AS VARCHAR) || ':'
+             || CAST(s.t AS VARCHAR)) AS h
+  FROM d
+  JOIN generate_series(0, {FLAC_BLOCKS_BASE + FLAC_BLOCKS_MOD - 1}) s(t)
+    ON s.t < d.nb
+),
+deltas AS (
+  SELECT b.doc_id,
+         b.t * {_DELTAS_PER_BLOCK} + g.k AS idx,
+         CAST('0x' || substring(b.h, 2 * g.k + 1, 2) AS BIGINT)
+         % 32 - 16 AS delta
+  FROM blocks b
+  JOIN generate_series(0, {_DELTAS_PER_BLOCK - 1}) g(k) ON TRUE
+),
+samples AS (
+  SELECT doc_id, idx,
+         SUM(delta) OVER (
+           PARTITION BY doc_id ORDER BY idx
+           ROWS UNBOUNDED PRECEDING
+         ) AS v
+  FROM deltas
+)
+SELECT doc_id,
+       CAST(idx // {FLAC_BLOCK} AS BIGINT) AS frame_idx,
+       COUNT(*) AS n_samples,
+       CAST(MAX(ABS(v)) AS BIGINT) AS frame_peak,
+       CAST(SUM(v) AS BIGINT) AS frame_sum
+FROM samples GROUP BY doc_id, frame_idx
+"""

@@ -209,6 +209,18 @@ def _sampling_filtered_sql():
     return sampling_filtered_sql()
 
 
+def _flac_frame_stats(spark, sf_dir):
+    from gemmsql.pipeline.media_split import flac_frame_stats
+
+    return flac_frame_stats(spark, sf_dir)
+
+
+def _flac_frame_stats_sql():
+    from gemmsql.pipeline.media_split import flac_frame_stats_sql
+
+    return flac_frame_stats_sql()
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -414,6 +426,12 @@ def _rotated():
          _sampling_filtered_sql()),
         ("mixture_temperature", text.mixture_temperature,
          text.MIXTURE_TEMPERATURE_SQL),
+        # born into this tier in round 9: the SPLITTABLE media reader
+        # under a value hash — per-frame FLAC stats decoded through
+        # sync-scan + range-cut + per-split decode (media_split.py),
+        # oracle = the signal formula grouped by frame (no decoder);
+        # range-union == whole-file parity in tests/test_media_split.py
+        ("flac_frame_stats", _flac_frame_stats, _flac_frame_stats_sql()),
     ]
 
 
