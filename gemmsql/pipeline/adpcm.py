@@ -411,7 +411,14 @@ def with_adpcm_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     a genuine ``fact`` truncation of the last block — with every
     nibble magnitude <= 3 so the step index stays clamped at 0 and the
     decode is oracle-replayable (module docstring)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -834,7 +834,14 @@ def with_flac_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the value hash — are identical to the all-FIXED encoding; a
     broken LPC decoder surfaces as an MD5/CRC failure or a wrong
     sample, both of which break the gate."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -756,7 +756,14 @@ def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     an md5-chain gray value, so decode == source bit-for-bit while the
     wire bytes are genuinely entropy-coded (DC differences + EOBs
     through the Annex K tables, with byte stuffing)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -886,7 +893,14 @@ def with_color_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat per 16x16 MCU at md5-chain RGB colors — the codec's exactness
     subdomain, so decode replays as pure integer formulas while the
     wire bytes exercise the full interleaved three-component scan."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

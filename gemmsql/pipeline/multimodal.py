@@ -357,7 +357,14 @@ def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach a REAL binary image column: a P6 PPM of W=16, H=8+doc_id%8
     whose pixel bytes are a deterministic md5 chain (SQL-replayable),
     plus media metadata columns.  Narrow Arrow-batched map."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -522,7 +529,14 @@ def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload exercises all five PNG filters.  Narrow Arrow-batched map;
     the oracle reconstructs the PIXELS (not the container bytes), so
     DuckDB never needs zlib."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -886,7 +900,14 @@ def with_audio_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs to model RIFF byte order."""
     import hashlib
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

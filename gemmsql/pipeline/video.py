@@ -286,7 +286,14 @@ def with_video_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched map): 4-8 flat-block JPEG frames through
     :func:`encode_avi_mjpeg` — genuine headers, chunk alignment and
     idx1 index over genuinely entropy-coded frames."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition the doc list: the single-file documents scan is one
+    # partition, which would serialize the Arrow synth/decode maps and
+    # the staged payload files on one core (round-9 fix)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -530,9 +530,15 @@ def test_payload_queries_scan_only_doc_id(spark):
         p = plan_of(fn(spark, SF_SMOKE))
         assert "ReadSchema: struct<doc_id:bigint>" in p, fn.__name__
         assert "text" not in p, f"{fn.__name__} must not scan text"
-    assert "Exchange" not in plan_of(payload_features(spark, SF_SMOKE)), (
-        "decode feature pass must be shuffle-free"
+    # round 9: the builders round-robin the doc_id list so the Arrow
+    # synth/decode maps parallelize past the single-file documents
+    # scan — exactly ONE exchange, and it moves only 8-byte ids, never
+    # payloads (the decode map itself stays narrow)
+    p = plan_of(payload_features(spark, SF_SMOKE))
+    assert p.count("Exchange") == 1, (
+        "decode pass must have exactly the doc_id fan-out exchange"
     )
+    assert "RoundRobinPartitioning" in p
 
 
 def test_chain2_grads_broadcast_path_is_narrow(spark):
