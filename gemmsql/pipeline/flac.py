@@ -956,3 +956,173 @@ SELECT doc_id,
        ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
 FROM samples GROUP BY doc_id
 """
+
+
+# ------------------------------------------- stereo gated corpus query
+
+
+def _synth_stereo(doc_id: int) -> np.ndarray:
+    """Deterministic per-doc STEREO signal, shape (n, 2).  The left
+    channel is the mono formula over an 'fls:' md5 chain; the right
+    channel branches on doc_id so every stereo assignment family is
+    live in the corpus: doc_id % 3 == 0 docs carry an INDEPENDENT
+    full-range walk ('flr:' chain, independent-channel coding wins),
+    all other docs carry R = L - small_walk (side amplitudes ~8x
+    smaller than L, so left/side / mid/side decorrelation wins)."""
+    nb = FLAC_BLOCKS_BASE + doc_id % FLAC_BLOCKS_MOD
+    d1, d2 = [], []
+    for t in range(nb):
+        h1 = hashlib.md5(f"fls:{doc_id}:{t}".encode()).digest()
+        h2 = hashlib.md5(f"flr:{doc_id}:{t}".encode()).digest()
+        d1.extend(b % 32 - 16 for b in h1)
+        if doc_id % 3 == 0:
+            d2.extend(b % 32 - 16 for b in h2)
+        else:
+            d2.extend(b % 8 - 4 for b in h2)
+    left = np.cumsum(np.asarray(d1, dtype=np.int64))
+    aux = np.cumsum(np.asarray(d2, dtype=np.int64))
+    right = aux if doc_id % 3 == 0 else left - aux
+    return np.stack([left, right], axis=1).astype(np.int16)
+
+
+def with_stereo_flac_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL stereo FLAC payload per document; docs with
+    ``doc_id % 4 == 1`` are forced-LPC as in the mono gate, so the
+    corpus crosses {independent, side-coded} x {FIXED, LPC}."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                encode_flac(
+                    _synth_stereo(int(d)), FLAC_RATE,
+                    prefer_lpc=int(d) % 4 == 1,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def flac_stereo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the STEREO corpus -> per-channel stats ``(doc_id,
+    channel, n_samples, n_frames, peak, mean, rms)`` — 2 rows per doc.
+
+    What the hash gates beyond the mono query: the per-frame channel
+    assignment choice, the side channel's bps+1 decode, and all three
+    decorrelation reconstructions (left/side, right/side, mid/side) —
+    any of them wrong changes the samples of SOME frame (the encoder
+    picks assignments per frame by cost) and breaks the value hash or
+    the stream MD5.  The DuckDB oracle replays both channels' closed-
+    form signal formulas; lossless decode means no codec math appears
+    in the oracle at all."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(
+        spark, sf_dir, "flac_stereo", with_stereo_flac_payload
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, chans, ns, nfs, peaks, sums, sqs = [], [], [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = decode_flac(bytes(p))
+                for c in range(2):
+                    v = samples[:, c].astype(np.int64)
+                    ids.append(doc_id)
+                    chans.append(c)
+                    ns.append(len(v))
+                    nfs.append(-(-len(v) // FLAC_BLOCK))
+                    peaks.append(int(np.abs(v).max()))
+                    sums.append(int(v.sum()))
+                    sqs.append(int((v * v).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "channel": chans, "n": ns, "nf": nfs,
+                 "peak": peaks, "s": sums, "s2": sqs}
+            )
+
+    part = b.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, channel long, n long, nf long, peak long,"
+            " s long, s2 long"
+        ),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return part.select(
+        "doc_id",
+        "channel",
+        F.col("n").alias("n_samples"),
+        F.col("nf").alias("n_frames"),
+        F.col("peak").alias("peak"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt(s2 / n), 6).alias("rms"),
+    )
+
+
+FLAC_STEREO_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {FLAC_BLOCKS_BASE} + doc_id % {FLAC_BLOCKS_MOD} AS nb
+  FROM documents
+),
+blocks AS (
+  SELECT d.doc_id, s.t,
+         md5('fls:' || CAST(d.doc_id AS VARCHAR) || ':'
+             || CAST(s.t AS VARCHAR)) AS h1,
+         md5('flr:' || CAST(d.doc_id AS VARCHAR) || ':'
+             || CAST(s.t AS VARCHAR)) AS h2
+  FROM d
+  JOIN generate_series(0, {FLAC_BLOCKS_BASE + FLAC_BLOCKS_MOD - 1}) s(t)
+    ON s.t < d.nb
+),
+deltas AS (
+  SELECT b.doc_id,
+         b.t * {_DELTAS_PER_BLOCK} + g.k AS idx,
+         CAST('0x' || substring(b.h1, 2 * g.k + 1, 2) AS BIGINT)
+         % 32 - 16 AS d1,
+         CASE WHEN b.doc_id % 3 = 0 THEN
+           CAST('0x' || substring(b.h2, 2 * g.k + 1, 2) AS BIGINT) % 32 - 16
+         ELSE
+           CAST('0x' || substring(b.h2, 2 * g.k + 1, 2) AS BIGINT) % 8 - 4
+         END AS d2
+  FROM blocks b
+  JOIN generate_series(0, {_DELTAS_PER_BLOCK - 1}) g(k) ON TRUE
+),
+samples AS (
+  SELECT doc_id, idx,
+         SUM(d1) OVER w AS lv,
+         SUM(d2) OVER w AS aux
+  FROM deltas
+  WINDOW w AS (PARTITION BY doc_id ORDER BY idx ROWS UNBOUNDED PRECEDING)
+),
+chan AS (
+  SELECT doc_id, 0 AS channel, idx, lv AS v FROM samples
+  UNION ALL
+  SELECT doc_id, 1, idx,
+         CASE WHEN doc_id % 3 = 0 THEN aux ELSE lv - aux END
+  FROM samples
+)
+SELECT doc_id,
+       CAST(channel AS BIGINT) AS channel,
+       COUNT(*) AS n_samples,
+       CAST((COUNT(*) + {FLAC_BLOCK - 1}) // {FLAC_BLOCK} AS BIGINT)
+         AS n_frames,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+       ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+FROM chan GROUP BY doc_id, channel
+"""

@@ -402,3 +402,30 @@ def test_cumsum_integration_equals_coefficient_predictor():
             assert not (
                 np.concatenate([warm, wrong[order:]]) == x
             ).all(), "test has no power"
+
+
+def test_stereo_gate_corpus_crosses_assignments_and_lpc():
+    """The stereo gate synth must actually produce the variety it
+    claims: independent-channel frames (doc % 3 == 0), side-coded
+    frames (other docs), and LPC subframes (doc % 4 == 1) — otherwise
+    the hash gate silently stops covering those decode paths."""
+    from gemmsql.pipeline.flac import _synth_stereo
+
+    def chan_codes(payload):
+        codes = []
+        pos = payload.index(b"\xff\xf8")
+        # frame headers: byte 3 high nibble = channel assignment
+        while True:
+            idx = payload.find(b"\xff\xf8", pos)
+            if idx < 0:
+                break
+            codes.append(payload[idx + 3] >> 4)
+            pos = idx + 2
+        return codes
+
+    indep = chan_codes(encode_flac(_synth_stereo(3), 16000))
+    side = chan_codes(encode_flac(_synth_stereo(2), 16000))
+    assert 1 in indep, indep
+    assert any(c in (8, 9, 10) for c in side), side
+    lpc_payload = encode_flac(_synth_stereo(5), 16000, prefer_lpc=True)
+    assert any(t >= 32 for t in _subframe_types(lpc_payload))

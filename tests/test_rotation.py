@@ -221,6 +221,18 @@ def _flac_frame_stats_sql():
     return flac_frame_stats_sql()
 
 
+def _flac_stereo_features(spark, sf_dir):
+    from gemmsql.pipeline.flac import flac_stereo_features
+
+    return flac_stereo_features(spark, sf_dir)
+
+
+def _flac_stereo_features_sql():
+    from gemmsql.pipeline.flac import FLAC_STEREO_FEATURES_SQL
+
+    return FLAC_STEREO_FEATURES_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -432,6 +444,12 @@ def _rotated():
         # oracle = the signal formula grouped by frame (no decoder);
         # range-union == whole-file parity in tests/test_media_split.py
         ("flac_frame_stats", _flac_frame_stats, _flac_frame_stats_sql()),
+        # also born in round 9: STEREO FLAC under a value hash — the
+        # corpus crosses {independent, side-coded} x {FIXED, LPC}
+        # payloads, so per-frame assignment choice, bps+1 side decode,
+        # and all three decorrelation reconstructions are load-bearing
+        ("flac_stereo_features", _flac_stereo_features,
+         _flac_stereo_features_sql()),
     ]
 
 
