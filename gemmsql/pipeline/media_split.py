@@ -484,3 +484,127 @@ SELECT doc_id,
        CAST(SUM(v) AS BIGINT) AS frame_sum
 FROM samples GROUP BY doc_id, frame_idx
 """
+
+
+def avi_frame_stats(
+    spark: SparkSession, sf_dir: str, frames_per_split: int = 2
+) -> DataFrame:
+    """Per-frame pixel stats of the staged AVI corpus decoded through
+    the SPLIT path -> ``(doc_id, frame_idx, n_px, mean, std)`` — the
+    AVI twin of :func:`flac_frame_stats`: idx1-driven range cut,
+    repartitioned per-split decode, every frame entropy-decoded by the
+    in-repo JPEG codec.  Unlike the stride-sampling ``video_features``
+    gate this decodes ALL frames (a split owns its whole range), so
+    the oracle is the flat-block formula without the stride filter."""
+    from gemmsql.pipeline.staging import stage_payload_table
+    from gemmsql.pipeline.video import with_video_payload
+
+    b = stage_payload_table(spark, sf_dir, "video", with_video_payload)
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for s in split_avi(bytes(p), frames_per_split):
+                    rows.append((
+                        int(doc_id), "avi", s["split_idx"], s["frame_lo"],
+                        s["n_frames"], 0, 0, 0, s["chunk"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "split_idx", "frame_lo", "n_frames",
+                    "rate", "channels", "bps", "chunk",
+                ],
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fidx, ns, sums, sqs = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                jpgs = decode_avi_range(bytes(row.chunk), int(row.n_frames))
+                for k, jpg in enumerate(jpgs):
+                    img = decode_jpeg_gray(jpg).astype(np.int64)
+                    ids.append(row.doc_id)
+                    fidx.append(row.frame_lo + k)
+                    ns.append(img.size)
+                    sums.append(int(img.sum()))
+                    sqs.append(int((img * img).sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": fidx, "n": ns,
+                "s": sums, "s2": sqs,
+            })
+
+    splits = b.mapInPandas(index, schema=_SPLIT_SCHEMA)
+    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    part = spread.mapInPandas(
+        decode,
+        schema="doc_id long, frame_idx long, n long, s long, s2 long",
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return part.select(
+        "doc_id",
+        "frame_idx",
+        F.col("n").alias("n_px"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt((s2 - s * s / n) / n), 6).alias("std"),
+    )
+
+
+def avi_frame_stats_sql() -> str:
+    """DuckDB twin of :func:`avi_frame_stats`: the flat-block frame
+    formula over ALL frames (no stride filter — the split path decodes
+    every frame in its range)."""
+    from gemmsql.pipeline.video import (
+        VIDEO_FRAMES_BASE,
+        VIDEO_FRAMES_MOD,
+        VIDEO_HB_MOD,
+        VIDEO_W,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % {VIDEO_HB_MOD} AS hb,
+         {VIDEO_FRAMES_BASE} + doc_id % {VIDEO_FRAMES_MOD} AS nf
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.hb, s.f
+  FROM d
+  JOIN generate_series(0, {VIDEO_FRAMES_BASE + VIDEO_FRAMES_MOD - 1}) s(f)
+    ON s.f < d.nf
+),
+blk AS (
+  SELECT fr.doc_id, fr.hb, fr.f,
+         CAST('0x' || substr(
+           md5('vf:' || CAST(fr.doc_id AS VARCHAR) || ':'
+               || CAST(fr.f AS VARCHAR)),
+           2 * s.b + 1, 2) AS BIGINT) AS v
+  FROM fr
+  JOIN generate_series(0, {2 * VIDEO_HB_MOD - 1}) s(b)
+    ON s.b < fr.hb * {VIDEO_W // 8}
+),
+agg AS (
+  SELECT doc_id, f,
+         CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+         CAST(64 * SUM(v) AS BIGINT) AS s,
+         CAST(64 * SUM(v * v) AS BIGINT) AS s2
+  FROM blk GROUP BY doc_id, f
+)
+SELECT doc_id,
+  CAST(f AS BIGINT) AS frame_idx,
+  n_px,
+  ROUND(CAST(s AS DOUBLE) / CAST(n_px AS DOUBLE), 6) AS mean,
+  ROUND(SQRT((CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n_px AS DOUBLE))
+             / CAST(n_px AS DOUBLE)), 6) AS std
+FROM agg
+"""

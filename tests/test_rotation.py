@@ -233,6 +233,18 @@ def _flac_stereo_features_sql():
     return FLAC_STEREO_FEATURES_SQL
 
 
+def _avi_frame_stats(spark, sf_dir):
+    from gemmsql.pipeline.media_split import avi_frame_stats
+
+    return avi_frame_stats(spark, sf_dir)
+
+
+def _avi_frame_stats_sql():
+    from gemmsql.pipeline.media_split import avi_frame_stats_sql
+
+    return avi_frame_stats_sql()
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -450,6 +462,10 @@ def _rotated():
         # and all three decorrelation reconstructions are load-bearing
         ("flac_stereo_features", _flac_stereo_features,
          _flac_stereo_features_sql()),
+        # the AVI twin of flac_frame_stats: idx1-driven range cut +
+        # per-split JPEG decode of EVERY frame (no stride), oracle =
+        # the flat-block formula without the sampling filter
+        ("avi_frame_stats", _avi_frame_stats, _avi_frame_stats_sql()),
     ]
 
 
