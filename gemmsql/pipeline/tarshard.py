@@ -1,0 +1,231 @@
+"""WebDataset-style tar shard ingestion — the wire format large-scale
+multimodal training corpora actually ship in: POSIX ustar archives of
+a few thousand samples each, one GROUP of members per sample sharing a
+basename stem (``0017.txt`` + ``0017.json`` [+ ``0017.jpg`` ...]),
+shards listed on object storage and streamed sequentially per task.
+
+From-scratch ustar framing on top of nothing (tar needs no
+compression library): :func:`tar_member` writes the 512-byte POSIX
+header — name, octal size/mtime/mode fields, the space-seeded header
+checksum, typeflag, ``ustar\\0`` magic — and pads data to block size;
+:func:`build_tar` appends the two-zero-block end-of-archive marker;
+:func:`parse_tar` walks headers, verifies EVERY checksum and the
+magic, parses octal sizes, and returns members in order.  The pairing
+step (:func:`pair_members`) groups members by basename stem — the
+WebDataset sample contract.
+
+The gate (:func:`tar_shard_ingest`) round-trips the documents table
+through real multi-member shards (one ``.txt`` + one ``.json`` member
+per doc, ~16 docs per shard) and hash-compares the RECOVERED text
+(via md5) and the parsed JSON metadata against the source columns in
+DuckDB — decode(encode(x)) == x corpus-wide, the jsonlgz pattern
+(`jsonlgz.py:23-29`) applied to the sample-container tier.
+
+Scale shape: the shard is the parallel unit, exactly like production
+(a tar member cannot be random-accessed without the header walk, but
+a SHARD streams independently); synthesis and ingest are narrow
+Arrow-batched maps with one groupBy to assemble shards — at 100 TB
+that is ~1M shards = ~1M independent tasks, and the member walk is
+O(bytes) sequential I/O per shard, the access pattern object storage
+rewards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+_BLOCK = 512
+#: docs per shard in the gate corpus — small so sf0.001 still makes
+#: multi-shard, multi-member archives.
+TAR_DOCS_PER_SHARD = 16
+
+
+def tar_member(name: str, data: bytes, *, mtime: int = 0) -> bytes:
+    """One POSIX ustar member: 512-byte header + data padded to the
+    block size."""
+    nb = name.encode()
+    if len(nb) > 100:
+        raise ValueError("member name over 100 bytes")
+    hdr = bytearray(_BLOCK)
+    hdr[0:len(nb)] = nb
+    hdr[100:108] = b"0000644\x00"                  # mode
+    hdr[108:116] = b"0000000\x00"                  # uid
+    hdr[116:124] = b"0000000\x00"                  # gid
+    hdr[124:136] = f"{len(data):011o}".encode() + b"\x00"
+    hdr[136:148] = f"{mtime:011o}".encode() + b"\x00"
+    hdr[148:156] = b" " * 8                        # chksum seed
+    hdr[156:157] = b"0"                            # typeflag: regular
+    hdr[257:263] = b"ustar\x00"                    # magic
+    hdr[263:265] = b"00"                           # version
+    chksum = sum(hdr)
+    hdr[148:156] = f"{chksum:06o}".encode() + b"\x00 "
+    pad = (-len(data)) % _BLOCK
+    return bytes(hdr) + data + b"\x00" * pad
+
+
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Members -> ustar archive with the two-zero-block terminator."""
+    return (
+        b"".join(tar_member(n, d) for n, d in members)
+        + b"\x00" * (2 * _BLOCK)
+    )
+
+
+def parse_tar(data: bytes) -> list[tuple[str, bytes]]:
+    """Walk an ustar archive -> ordered ``(name, bytes)`` members,
+    verifying the magic and the header checksum of EVERY member and
+    the two-zero-block terminator."""
+    out: list[tuple[str, bytes]] = []
+    pos = 0
+    n = len(data)
+    while True:
+        if pos + _BLOCK > n:
+            raise ValueError("tar: truncated header")
+        hdr = data[pos : pos + _BLOCK]
+        if hdr == b"\x00" * _BLOCK:
+            if data[pos + _BLOCK : pos + 2 * _BLOCK] != b"\x00" * _BLOCK:
+                raise ValueError("tar: missing second terminator block")
+            return out
+        if hdr[257:262] != b"ustar":
+            raise ValueError("tar: bad magic")
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError("tar: header checksum mismatch")
+        if hdr[156:157] not in (b"0", b"\x00"):
+            raise ValueError("tar: only regular members supported")
+        name = hdr[0:100].split(b"\x00")[0].decode()
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        body = data[pos + _BLOCK : pos + _BLOCK + size]
+        if len(body) != size:
+            raise ValueError("tar: truncated member data")
+        out.append((name, body))
+        pos += _BLOCK + size + ((-size) % _BLOCK)
+
+
+def pair_members(
+    members: list[tuple[str, bytes]],
+) -> dict[str, dict[str, bytes]]:
+    """WebDataset sample grouping: ``stem.ext`` members -> ``{stem:
+    {ext: bytes}}``, rejecting duplicate extensions within a stem."""
+    out: dict[str, dict[str, bytes]] = {}
+    for name, body in members:
+        stem, dot, ext = name.rpartition(".")
+        if not dot:
+            raise ValueError(f"tar: member {name!r} has no extension")
+        exts = out.setdefault(stem, {})
+        if ext in exts:
+            raise ValueError(f"tar: duplicate member {name!r}")
+        exts[ext] = body
+    return out
+
+
+def _doc_json(doc_id: int, lang: str, source: str) -> bytes:
+    """Canonical metadata member — key-ordered so DuckDB can replay
+    the exact bytes with string concatenation."""
+    return json.dumps(
+        {"doc_id": doc_id, "lang": lang, "source": source},
+        separators=(",", ":"), sort_keys=True,
+    ).encode()
+
+
+def with_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble the documents table into WebDataset-style shards ->
+    ``(shard_id, shard)``: docs grouped by ``doc_id div
+    TAR_DOCS_PER_SHARD``, each contributing ``{doc_id}.txt`` (the
+    text) and ``{doc_id}.json`` (canonical metadata), members in
+    doc_id order within the shard."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source",
+        (F.col("doc_id") / TAR_DOCS_PER_SHARD).cast("long")
+        .alias("shard_id"),
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members: list[tuple[str, bytes]] = []
+        for r in pdf.itertuples(index=False):
+            members.append((f"{int(r.doc_id)}.txt", r.text.encode()))
+            members.append((
+                f"{int(r.doc_id)}.json",
+                _doc_json(int(r.doc_id), r.lang, r.source),
+            ))
+        return pd.DataFrame(
+            {"shard_id": [key[0]], "shard": [build_tar(members)]}
+        )
+
+    return docs.groupBy("shard_id").applyInPandas(
+        assemble, schema="shard_id long, shard binary"
+    )
+
+
+def tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the shard corpus back -> per-doc ``(doc_id, lang,
+    source, n_chars, text_md5)`` recovered ENTIRELY from the tar
+    bytes (member walk + checksum verify + sample pairing + JSON
+    parse) — nothing read from the source table on the decode side.
+    The DuckDB twin derives the same columns from ``documents``
+    directly, so a wrong size parse, checksum skip, pairing bug, or
+    member-order dependence breaks the value hash."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    def builder(spark_, sf_dir_):
+        return with_tar_shards(spark_, sf_dir_).select(
+            F.col("shard_id").alias("doc_id"),
+            F.col("shard").alias("payload"),
+        )
+
+    shards = stage_payload_table(spark, sf_dir, "tarshard", builder)
+
+    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, langs, sources, ncs, md5s = [], [], [], [], []
+            for shard in pdf["payload"]:
+                samples = pair_members(parse_tar(bytes(shard)))
+                for stem, exts in samples.items():
+                    if set(exts) != {"txt", "json"}:
+                        raise ValueError(
+                            f"sample {stem}: members {sorted(exts)}"
+                        )
+                    meta = json.loads(exts["json"])
+                    if meta["doc_id"] != int(stem):
+                        raise ValueError("metadata/stem doc_id mismatch")
+                    text = exts["txt"].decode()
+                    ids.append(meta["doc_id"])
+                    langs.append(meta["lang"])
+                    sources.append(meta["source"])
+                    ncs.append(len(text))
+                    md5s.append(hashlib.md5(exts["txt"]).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": ids, "lang": langs, "source": sources,
+                "n_chars": ncs, "text_md5": md5s,
+            })
+
+    return shards.mapInPandas(
+        ingest,
+        schema=(
+            "doc_id long, lang string, source string, n_chars long,"
+            " text_md5 string"
+        ),
+    )
+
+
+#: ASCII-only corpus assumption: length(text) == byte length, and
+#: DuckDB's md5() hashes the same bytes Python hashed.
+TAR_SHARD_INGEST_SQL = """
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""

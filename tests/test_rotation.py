@@ -245,6 +245,18 @@ def _avi_frame_stats_sql():
     return avi_frame_stats_sql()
 
 
+def _tar_shard_ingest(spark, sf_dir):
+    from gemmsql.pipeline.tarshard import tar_shard_ingest
+
+    return tar_shard_ingest(spark, sf_dir)
+
+
+def _tar_shard_ingest_sql():
+    from gemmsql.pipeline.tarshard import TAR_SHARD_INGEST_SQL
+
+    return TAR_SHARD_INGEST_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -466,6 +478,12 @@ def _rotated():
         # per-split JPEG decode of EVERY frame (no stride), oracle =
         # the flat-block formula without the sampling filter
         ("avi_frame_stats", _avi_frame_stats, _avi_frame_stats_sql()),
+        # also born in round 9: WebDataset-style tar shard ingest —
+        # documents round-tripped through real multi-member ustar
+        # shards (member walk + checksum verify + sample pairing +
+        # JSON metadata parse; framing unit/interop/corruption tier in
+        # tests/test_tarshard.py)
+        ("tar_shard_ingest", _tar_shard_ingest, _tar_shard_ingest_sql()),
     ]
 
 
