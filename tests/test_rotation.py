@@ -257,6 +257,18 @@ def _tar_shard_ingest_sql():
     return TAR_SHARD_INGEST_SQL
 
 
+def _warc_ingest(spark, sf_dir):
+    from gemmsql.pipeline.warc import warc_ingest
+
+    return warc_ingest(spark, sf_dir)
+
+
+def _warc_ingest_sql():
+    from gemmsql.pipeline.warc import WARC_INGEST_SQL
+
+    return WARC_INGEST_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -484,6 +496,13 @@ def _rotated():
         # JSON metadata parse; framing unit/interop/corruption tier in
         # tests/test_tarshard.py)
         ("tar_shard_ingest", _tar_shard_ingest, _tar_shard_ingest_sql()),
+        # also born in round 9: WARC web-archive ingest (Common Crawl
+        # framing) — documents round-tripped through real .warc.gz
+        # shards: per-record gzip members (CDX-span random access),
+        # warcinfo + response records, id/date re-derivation, full
+        # application/http block parse; framing unit/corruption tier
+        # in tests/test_warc.py
+        ("warc_ingest", _warc_ingest, _warc_ingest_sql()),
     ]
 
 
