@@ -269,6 +269,18 @@ def _warc_ingest_sql():
     return WARC_INGEST_SQL
 
 
+def _gif_anim_features(spark, sf_dir):
+    from gemmsql.pipeline.gif import gif_anim_features
+
+    return gif_anim_features(spark, sf_dir)
+
+
+def _gif_anim_features_sql():
+    from gemmsql.pipeline.gif import GIF_ANIM_FEATURES_SQL
+
+    return GIF_ANIM_FEATURES_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -503,6 +515,14 @@ def _rotated():
         # application/http block parse; framing unit/corruption tier
         # in tests/test_warc.py
         ("warc_ingest", _warc_ingest, _warc_ingest_sql()),
+        # also born in round 9: GIF89a/LZW — the dictionary-coding
+        # family the codec matrix lacked.  The hash gates the LZW
+        # decode (md5-chain pixels), the 9->10-bit width change (the
+        # 512-px docs), de-interlacing + local-palette application
+        # (wsum is position- and palette-sensitive — odd frames carry
+        # complemented indices under a reversed local table), and the
+        # GCE/NETSCAPE extension parse (delay_cs / loop_count)
+        ("gif_anim_features", _gif_anim_features, _gif_anim_features_sql()),
     ]
 
 
