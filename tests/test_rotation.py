@@ -281,6 +281,21 @@ def _gif_anim_features_sql():
     return GIF_ANIM_FEATURES_SQL
 
 
+def _parquet_footer_stats(spark, sf_dir):
+    from gemmsql.pipeline.parquet_meta import parquet_footer_stats
+
+    return parquet_footer_stats(spark, sf_dir)
+
+
+def _parquet_footer_stats_sql():
+    # the Spark side (run first by this harness) stages the dataset;
+    # the oracle reads the SAME files with DuckDB's native
+    # parquet_metadata() — the path is deterministic per (sf, pid)
+    from gemmsql.pipeline.parquet_meta import parquet_footer_stats_sql
+
+    return parquet_footer_stats_sql(SF_SMOKE)
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -523,6 +538,16 @@ def _rotated():
         # complemented indices under a reversed local table), and the
         # GCE/NETSCAPE extension parse (delay_cs / loop_count)
         ("gif_anim_features", _gif_anim_features, _gif_anim_features_sql()),
+        # also born in round 9: the parquet FOOTER parser — a
+        # from-scratch Thrift compact-protocol read of FileMetaData
+        # (row groups, column chunks, statistics).  Three engines,
+        # one footer: Spark writes the dataset, our parser reads the
+        # stats back, DuckDB's parquet_metadata() is the oracle over
+        # the SAME files — INT64/INT32/UTF8/DATE stat renderings,
+        # counts, sizes and page offsets all hash-matched (pyarrow is
+        # the third pin, in tests/test_parquet_meta.py)
+        ("parquet_footer_stats", _parquet_footer_stats,
+         _parquet_footer_stats_sql()),
     ]
 
 
