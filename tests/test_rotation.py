@@ -287,6 +287,18 @@ def _parquet_footer_stats(spark, sf_dir):
     return parquet_footer_stats(spark, sf_dir)
 
 
+def _mp3_stream_stats(spark, sf_dir):
+    from gemmsql.pipeline.mp3 import mp3_stream_stats
+
+    return mp3_stream_stats(spark, sf_dir)
+
+
+def _mp3_stream_stats_sql():
+    from gemmsql.pipeline.mp3 import MP3_STREAM_STATS_SQL
+
+    return MP3_STREAM_STATS_SQL
+
+
 def _parquet_footer_stats_sql():
     # the Spark side (run first by this harness) stages the dataset;
     # the oracle reads the SAME files with DuckDB's native
@@ -548,6 +560,15 @@ def _rotated():
         # the third pin, in tests/test_parquet_meta.py)
         ("parquet_footer_stats", _parquet_footer_stats,
          _parquet_footer_stats_sql()),
+        # also born in round 9: the MP3 frame walker — the metadata-
+        # at-scan-speed audio primitive (frame counts, exact duration,
+        # bitrate profile, CRC-verified protected frames, Xing/Info
+        # cross-checks, ID3v2/v1 tag skip).  The oracle replays the
+        # per-frame closed-form formulas; the walk's structural
+        # validation (every byte it reads) is corruption-fuzzed in
+        # tests/test_mp3.py.  This retires the codec matrix's last
+        # import-gated caveat.
+        ("mp3_stream_stats", _mp3_stream_stats, _mp3_stream_stats_sql()),
     ]
 
 
