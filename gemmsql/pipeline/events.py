@@ -503,3 +503,133 @@ SELECT CASE WHEN h IS NOT NULL THEN 'hour'
 FROM ev
 GROUP BY GROUPING SETS ((h), (d), (w))
 """
+
+
+HOUR_US = 3_600_000_000
+
+
+def user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine densification — the metrics gap-fill every
+    monitoring/feature pipeline needs: per user, an HOURLY spine from
+    their first to last event hour, with missing hours materialized
+    and filled two ways -> ``(user_id, hour_us, n, is_gap,
+    ffill_value, interp_value)``.
+
+    - ``ffill_value``: the last observed hourly mean carried forward
+      (step interpolation);
+    - ``interp_value``: linear interpolation between the surrounding
+      anchor hours (exact at anchors).  The spine's endpoints are
+      anchors by construction, so neither fill is ever null.
+
+    Scale shape: the spine is an IN-ROW ``sequence()`` explode per
+    user (bounded by that user's own time span — sparse users cost
+    nothing), the hourly pre-aggregation is one shuffle, and both
+    fills are two window passes over the same user partitioning —
+    no self-join, no driver loop, and the per-user spine length
+    bounds the window sort exactly as sessionize's event count does."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "hour_us").agg(
+        F.count("*").alias("n"), F.avg("value").alias("av")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(lo, hi, {HOUR_US})")
+            ).alias("hour_us"),
+        )
+    )
+    j = spine.join(hourly, ["user_id", "hour_us"], "left")
+    anchor_t = F.when(F.col("av").isNotNull(), F.col("hour_us"))
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    f = j.select(
+        "user_id",
+        "hour_us",
+        "n",
+        "av",
+        F.last("av", ignorenulls=True).over(wp).alias("pv"),
+        F.last(anchor_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("av", ignorenulls=True).over(wn).alias("nv"),
+        F.first(anchor_t, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = F.when(F.col("av").isNotNull(), F.col("av")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("hour_us") - F.col("pt"))
+        / (F.col("nt") - F.col("pt"))
+    )
+    # interpolation lands on exact decimal midpoints (dyadic slope
+    # fractions), where Spark's half-up and DuckDB's half-even ROUND
+    # disagree — quantize with the repo-standard floor(x*1e6 + 0.5)
+    q = lambda c: (F.floor(c * 1e6 + F.lit(0.5)) / 1e6).cast("double")
+    return f.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "hour_us",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("long")
+        .alias("is_gap"),
+        q(F.col("pv")).alias("ffill_value"),
+        q(interp).alias("interp_value"),
+    )
+
+
+USER_VALUE_GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         COUNT(*) AS n, AVG(value) AS av
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+  FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT b.user_id, s.hour_us
+  FROM bounds b,
+       UNNEST(generate_series(b.lo, b.hi, {HOUR_US})) AS s(hour_us)
+),
+j AS (
+  SELECT s.user_id, s.hour_us, h.n, h.av
+  FROM spine s LEFT JOIN hourly h USING (user_id, hour_us)
+),
+w AS (
+  SELECT *,
+    last_value(av IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hour_us
+       ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN av IS NOT NULL THEN hour_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY hour_us
+            ROWS UNBOUNDED PRECEDING) AS pt,
+    first_value(av IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hour_us
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN av IS NOT NULL THEN hour_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY hour_us
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, hour_us,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n,
+  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+  CAST(FLOOR(CAST(pv AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+    AS ffill_value,
+  CAST(FLOOR(CAST(CASE WHEN av IS NOT NULL THEN av
+             ELSE pv + (nv - pv) * (hour_us - pt) / (nt - pt)
+        END AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS interp_value
+FROM w
+"""

@@ -569,6 +569,13 @@ def _rotated():
         # tests/test_mp3.py.  This retires the codec matrix's last
         # import-gated caveat.
         ("mp3_stream_stats", _mp3_stream_stats, _mp3_stream_stats_sql()),
+        # also born in round 9: time-spine densification — per-user
+        # hourly spine (in-row sequence explode bounded by each
+        # user's own span), gaps materialized, forward-fill AND
+        # linear interpolation via ignore-nulls window passes; the
+        # metrics gap-fill primitive
+        ("user_value_gapfill", events.user_value_gapfill,
+         events.USER_VALUE_GAPFILL_SQL),
     ]
 
 
