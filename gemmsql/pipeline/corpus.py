@@ -344,3 +344,97 @@ SELECT CAST((r.k - 1) * n.n_dom + d.dom_idx AS BIGINT) AS slot,
        r.doc_id, r.lang
 FROM ranked r JOIN doms d ON d.lang = r.lang CROSS JOIN n
 """
+
+
+def corpus_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history merge -> the full
+    versioned table ``(doc_id, content_hash, valid_from, valid_to,
+    is_current)``: v1 rows of changed/removed docs are CLOSED
+    (valid_to = 2, not current), their replacements and brand-new
+    docs open at generation 2, unchanged docs keep their open v1 row.
+    The lakehouse ``MERGE ... WHEN MATCHED THEN close + insert``
+    pattern (corpus_upsert is the SCD1 sibling that overwrites).
+
+    Scale shape: ONE co-partitioned full-outer join on doc_id; both
+    potential history rows are built as an in-row struct array and
+    exploded, so the join output is derived once — no unionAll
+    re-deriving the join per branch (the Catalyst multi-reference
+    trap), no second shuffle, no driver state.  Generations are
+    logical longs (1, 2), not wall-clock timestamps — deterministic
+    and replayable."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h1"))
+    v2 = corpus_v2(docs.select("doc_id", "text")).select(
+        "doc_id", F.md5("text").alias("h2")
+    )
+    h1, h2 = F.col("h1"), F.col("h2")
+    changed = h1.isNotNull() & h2.isNotNull() & (h1 != h2)
+    unchanged = h1.isNotNull() & h2.isNotNull() & (h1 == h2)
+    rows = (
+        v1.join(v2, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.when(
+                        h1.isNotNull(),
+                        F.struct(
+                            h1.alias("content_hash"),
+                            F.lit(1).cast("long").alias("valid_from"),
+                            F.when(~unchanged, F.lit(2)).cast("long")
+                            .alias("valid_to"),
+                            F.when(unchanged, 1).otherwise(0).cast("long")
+                            .alias("is_current"),
+                        ),
+                    ),
+                    F.when(
+                        h2.isNotNull() & (h1.isNull() | changed),
+                        F.struct(
+                            h2.alias("content_hash"),
+                            F.lit(2).cast("long").alias("valid_from"),
+                            F.lit(None).cast("long").alias("valid_to"),
+                            F.lit(1).cast("long").alias("is_current"),
+                        ),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select("doc_id", "r.*")
+    )
+    return rows
+
+
+CORPUS_SCD2_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hh
+  FROM documents
+),
+v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN hh % 11 = 0 THEN text || ' rev2' ELSE text END) AS h2
+  FROM h WHERE hh % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_CLONE_OFFSET}, md5(text) FROM h WHERE hh % 13 = 5
+),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, v1.h1, v2.h2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT doc_id, h1 AS content_hash,
+       CAST(1 AS BIGINT) AS valid_from,
+       CAST(CASE WHEN h2 IS NULL OR h1 <> h2 THEN 2 END AS BIGINT)
+         AS valid_to,
+       CAST(CASE WHEN h2 IS NOT NULL AND h1 = h2 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM j WHERE h1 IS NOT NULL
+UNION ALL
+SELECT doc_id, h2,
+       CAST(2 AS BIGINT),
+       CAST(NULL AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM j WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)
+"""

@@ -1,0 +1,234 @@
+"""Data-quality expectation engine: declarative rules evaluated in
+as few Spark jobs as the rule mix allows, plus the gated report
+query.
+
+The Great-Expectations-shaped primitive every production pipeline
+runs before (and after) itself: declare what must hold — not null,
+unique, in range, in set, matches regex, foreign key — and get back
+one row per rule with checked/violation counts.  At 100 TB the
+evaluation PLAN is what matters:
+
+- all ROW-LEVEL rules (not_null / in_range / in_set / regex) fuse
+  into ONE aggregate pass over the table — a single scan computing
+  ``SUM(CASE WHEN violated)`` per rule, however many rules there are;
+- each UNIQUE rule is one hash aggregation on its key columns
+  (``COUNT(*) - COUNT(DISTINCT ...)`` violations);
+- each FOREIGN-KEY rule is one left-anti-join count against the
+  referenced key set (broadcast when the dimension is small).
+
+Nothing is per-rule-per-scan, nothing collects rows to the driver —
+violation COUNTS are the report; violating-row extraction is a
+follow-up filter the caller runs on the one rule they care about.
+
+Regex rules use the portable subset (explicit character classes, no
+``\\s``-style aliases) so Spark's Java regex and the oracle's RE2
+agree — the repo-wide cross-engine regex discipline.
+
+(No analog in the reference, ref:gemm_map_reduce.py:1;
+training-data-pipeline tier.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemmsql.datamodel import load_table
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation.  ``kind`` in {not_null, in_range, in_set,
+    regex, unique, foreign_key}; row-level kinds use ``column`` +
+    ``params``; ``unique`` uses ``columns``; ``foreign_key`` uses
+    ``column`` and params ``ref`` (DataFrame) + ``ref_column``."""
+
+    name: str
+    kind: str
+    column: str | None = None
+    columns: tuple[str, ...] = ()
+    params: dict = field(default_factory=dict)
+
+
+def _violation_expr(rule: Rule):
+    c = F.col(rule.column)
+    if rule.kind == "not_null":
+        return c.isNull()
+    if rule.kind == "in_range":
+        lo, hi = rule.params["lo"], rule.params["hi"]
+        return c.isNull() | (c < lo) | (c > hi)
+    if rule.kind == "in_set":
+        return c.isNull() | ~c.isin(list(rule.params["values"]))
+    if rule.kind == "regex":
+        return c.isNull() | ~c.rlike(rule.params["pattern"])
+    raise ValueError(f"not a row-level rule: {rule.kind}")
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` -> one row per rule:
+    ``(rule, kind, n_checked, n_violations, passed)``.  Row-level
+    rules share one aggregate pass; see the module docstring for the
+    per-kind plan shapes."""
+    spark = df.sparkSession
+    row_rules = [
+        r for r in rules
+        if r.kind in ("not_null", "in_range", "in_set", "regex")
+    ]
+    out: DataFrame | None = None
+    if row_rules:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, r in enumerate(row_rules):
+            aggs.append(
+                F.sum(
+                    F.when(_violation_expr(r), 1).otherwise(0)
+                ).alias(f"__v{i}")
+            )
+        wide = df.agg(*aggs)
+        # one wide row -> one narrow row per rule, still JVM-side
+        stacked = wide.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r.name).alias("rule"),
+                        F.lit(r.kind).alias("kind"),
+                        F.col("__n").cast("long").alias("n_checked"),
+                        F.col(f"__v{i}").cast("long").alias("n_violations"),
+                    )
+                    for i, r in enumerate(row_rules)
+                ])
+            ).alias("r")
+        ).select("r.*")
+        out = stacked
+    for r in rules:
+        if r.kind == "unique":
+            cols = [F.col(c) for c in r.columns]
+            one = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_checked"),
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(*cols)
+                ).cast("long").alias("n_violations"),
+            ).select(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.kind).alias("kind"),
+                "n_checked",
+                "n_violations",
+            )
+            out = one if out is None else out.unionByName(one)
+        elif r.kind == "foreign_key":
+            ref = r.params["ref"].select(
+                F.col(r.params["ref_column"]).alias(r.column)
+            ).distinct()
+            orphans = df.select(r.column).join(
+                F.broadcast(ref) if r.params.get("broadcast", True) else ref,
+                r.column,
+                "left_anti",
+            )
+            one = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_checked")
+            ).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_violations")
+                )
+            ).select(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.kind).alias("kind"),
+                "n_checked",
+                "n_violations",
+            )
+            out = one if out is None else out.unionByName(one)
+        elif r.kind not in ("not_null", "in_range", "in_set", "regex"):
+            raise ValueError(f"unknown rule kind {r.kind}")
+    assert out is not None, "no rules given"
+    return out.select(
+        "rule",
+        "kind",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("long").alias("passed"),
+    )
+
+
+# ---------------------------------------------------- gated corpus query
+
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation suite over orders/lineitem — a mix chosen so
+    several rules FAIL with nonzero counts (counting is what the hash
+    gates, not just pass flags): a deliberately tight price range, a
+    status set missing 'P', plus structurally-true not-null / unique /
+    regex / FK rules."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        Rule("custkey_not_null", "not_null", column="o_custkey"),
+        Rule("price_band", "in_range", column="o_totalprice",
+             params={"lo": 1000.0, "hi": 300000.0}),
+        Rule("status_known", "in_set", column="o_orderstatus",
+             params={"values": ("O", "F")}),
+        Rule("priority_format", "regex", column="o_orderpriority",
+             params={"pattern": "^[1-5]-[A-Z]+$"}),
+        Rule("orderkey_unique", "unique", columns=("o_orderkey",)),
+        Rule("custkey_date_unique", "unique",
+             columns=("o_custkey", "o_orderdate")),
+    ]
+    report = validate(orders, rules)
+    fk = validate(
+        lineitem,
+        [Rule("lineitem_fk_orders", "foreign_key", column="l_orderkey",
+              params={"ref": orders, "ref_column": "o_orderkey"})],
+    )
+    return report.unionByName(fk)
+
+
+DQ_ORDERS_REPORT_SQL = """
+SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'price_band', 'in_range', COUNT(*),
+       SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1000.0
+                     OR o_totalprice > 300000.0 THEN 1 ELSE 0 END)
+FROM orders
+UNION ALL
+SELECT 'status_known', 'in_set', COUNT(*),
+       SUM(CASE WHEN o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O', 'F')
+                THEN 1 ELSE 0 END)
+FROM orders
+UNION ALL
+SELECT 'priority_format', 'regex', COUNT(*),
+       SUM(CASE WHEN o_orderpriority IS NULL
+                     OR NOT regexp_matches(o_orderpriority,
+                                           '^[1-5]-[A-Z]+$')
+                THEN 1 ELSE 0 END)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique', 'unique', COUNT(*),
+       COUNT(*) - COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'custkey_date_unique', 'unique', COUNT(*),
+       COUNT(*) - COUNT(DISTINCT (CAST(o_custkey AS VARCHAR) || '|'
+                                  || CAST(o_orderdate AS VARCHAR)))
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders', 'foreign_key',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+"""
+
+_DQ_WRAP = f"""
+SELECT rule, kind,
+       CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS passed
+FROM ({DQ_ORDERS_REPORT_SQL.strip()})
+"""
+DQ_ORDERS_REPORT_SQL = _DQ_WRAP

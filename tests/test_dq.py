@@ -1,0 +1,65 @@
+"""DQ expectation engine: known-violation unit fixtures and the
+one-scan plan pin for fused row-level rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from gemmsql.pipeline.dq import Rule, validate
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, 10.0, "O", "1-URGENT"),
+        (2, None, "F", "5-LOW"),        # null price
+        (2, 999.0, "X", "9-BAD"),       # dup key, bad status, bad regex
+        (3, 50.0, "O", None),           # null priority
+    ]
+    return spark.createDataFrame(
+        rows, "k long, price double, status string, prio string"
+    )
+
+
+def test_known_violation_counts(spark, frame):
+    ref = spark.createDataFrame([(1,), (3,)], "rk long")
+    out = {
+        r["rule"]: (r["n_checked"], r["n_violations"], r["passed"])
+        for r in validate(frame, [
+            Rule("k_not_null", "not_null", column="k"),
+            Rule("price_ok", "in_range", column="price",
+                 params={"lo": 0.0, "hi": 100.0}),
+            Rule("status_ok", "in_set", column="status",
+                 params={"values": ("O", "F")}),
+            Rule("prio_ok", "regex", column="prio",
+                 params={"pattern": "^[1-5]-[A-Z]+$"}),
+            Rule("k_unique", "unique", columns=("k",)),
+            Rule("k_fk", "foreign_key", column="k",
+                 params={"ref": ref, "ref_column": "rk"}),
+        ]).collect()
+    }
+    assert out["k_not_null"] == (4, 0, 1)
+    assert out["price_ok"] == (4, 2, 0)      # null + 999.0
+    assert out["status_ok"] == (4, 1, 0)     # 'X'
+    assert out["prio_ok"] == (4, 2, 0)       # '9-BAD' + null
+    assert out["k_unique"] == (4, 1, 0)      # k=2 twice
+    assert out["k_fk"] == (4, 2, 0)          # both k=2 rows orphaned
+
+
+def test_row_level_rules_fuse_into_one_scan(spark, frame):
+    """However many row-level rules, the plan must contain exactly
+    ONE scan of the input — the fused-aggregate contract that makes
+    a 50-rule suite affordable at 100 TB."""
+    plan = validate(frame, [
+        Rule("a", "not_null", column="k"),
+        Rule("b", "in_range", column="price", params={"lo": 0, "hi": 1}),
+        Rule("c", "in_set", column="status", params={"values": ("O",)}),
+        Rule("d", "regex", column="prio", params={"pattern": "^x$"}),
+    ])._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("LocalTableScan") + plan.count("Scan ")
+    assert scans == 1, plan
+
+
+def test_unknown_rule_kind_rejected(frame):
+    with pytest.raises(ValueError):
+        validate(frame, [Rule("zz", "between", column="k")])

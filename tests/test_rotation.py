@@ -281,6 +281,18 @@ def _gif_anim_features_sql():
     return GIF_ANIM_FEATURES_SQL
 
 
+def _dq_orders_report(spark, sf_dir):
+    from gemmsql.pipeline.dq import dq_orders_report
+
+    return dq_orders_report(spark, sf_dir)
+
+
+def _dq_orders_report_sql():
+    from gemmsql.pipeline.dq import DQ_ORDERS_REPORT_SQL
+
+    return DQ_ORDERS_REPORT_SQL
+
+
 def _parquet_footer_stats(spark, sf_dir):
     from gemmsql.pipeline.parquet_meta import parquet_footer_stats
 
@@ -576,6 +588,18 @@ def _rotated():
         # metrics gap-fill primitive
         ("user_value_gapfill", events.user_value_gapfill,
          events.USER_VALUE_GAPFILL_SQL),
+        # also born in round 9: SCD2 history merge — the versioned
+        # sibling of the gated corpus_upsert (close changed/removed
+        # rows, open replacements) as ONE full-outer join with both
+        # potential history rows built in-row and exploded (no
+        # unionAll re-deriving the join)
+        ("corpus_scd2", corpus.corpus_scd2, corpus.CORPUS_SCD2_SQL),
+        # also born in round 9: the data-quality expectation engine —
+        # row-level rules fused into one aggregate pass, unique rules
+        # as count-distinct aggs, FK as a broadcast anti-join count;
+        # several rules intentionally FAIL so the violation COUNTS
+        # (not just pass flags) are hash-load-bearing
+        ("dq_orders_report", _dq_orders_report, _dq_orders_report_sql()),
     ]
 
 
