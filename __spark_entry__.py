@@ -544,6 +544,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mixture_temperature (green r5-r8; the mixture family stays
     rotation-gated via both mixture ops).
 
+    Born into the rotation tier in round 9 (registry full; all with
+    full Spark-vs-DuckDB hash gates in tests/test_rotation.py,
+    promotable in the next rotation): flac_frame_stats +
+    avi_frame_stats (the splittable media reader end-to-end),
+    flac_stereo_features (stereo decorrelation), tar_shard_ingest
+    (WebDataset-style ustar shards), warc_ingest (Common Crawl WARC
+    framing), gif_anim_features (GIF89a/LZW — the dictionary-coding
+    codec family), parquet_footer_stats (from-scratch Thrift compact
+    FileMetaData parse, three-engine gated), mp3_stream_stats (MP3
+    frame walker: CRC-16, Xing cross-check, ID3 skip),
+    user_value_gapfill (time-spine densification: ffill + linear
+    interpolation), corpus_scd2 (SCD type-2 history merge), and
+    dq_orders_report (the data-quality expectation engine).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or

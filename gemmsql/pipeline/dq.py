@@ -232,3 +232,29 @@ SELECT rule, kind,
 FROM ({DQ_ORDERS_REPORT_SQL.strip()})
 """
 DQ_ORDERS_REPORT_SQL = _DQ_WRAP
+
+
+def violations(df: DataFrame, rule: Rule) -> DataFrame:
+    """The drill-down half of the report: the rows that violate ONE
+    rule.  Row-level kinds are a plain filter (predicate pushdown
+    applies — at 100 TB this is a pruned scan, not a second pass over
+    the report); ``unique`` returns every row of a duplicated key
+    group via a window count; ``foreign_key`` is the anti-join
+    itself."""
+    if rule.kind in ("not_null", "in_range", "in_set", "regex"):
+        return df.where(_violation_expr(rule))
+    if rule.kind == "unique":
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*[F.col(c) for c in rule.columns])
+        return (
+            df.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") > 1)
+            .drop("__n")
+        )
+    if rule.kind == "foreign_key":
+        ref = rule.params["ref"].select(
+            F.col(rule.params["ref_column"]).alias(rule.column)
+        ).distinct()
+        return df.join(F.broadcast(ref), rule.column, "left_anti")
+    raise ValueError(f"unknown rule kind {rule.kind}")

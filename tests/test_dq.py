@@ -63,3 +63,25 @@ def test_row_level_rules_fuse_into_one_scan(spark, frame):
 def test_unknown_rule_kind_rejected(frame):
     with pytest.raises(ValueError):
         validate(frame, [Rule("zz", "between", column="k")])
+
+
+def test_violations_extraction(spark, frame):
+    from gemmsql.pipeline.dq import violations
+
+    bad_range = violations(
+        frame,
+        Rule("r", "in_range", column="price", params={"lo": 0.0, "hi": 100.0}),
+    ).collect()
+    assert sorted(r["price"] for r in bad_range if r["price"] is not None) == [999.0]
+    assert len(bad_range) == 2  # the null price row too
+
+    dupes = violations(frame, Rule("u", "unique", columns=("k",))).collect()
+    assert sorted(r["k"] for r in dupes) == [2, 2]
+
+    ref = spark.createDataFrame([(1,), (3,)], "rk long")
+    orphans = violations(
+        frame,
+        Rule("f", "foreign_key", column="k",
+             params={"ref": ref, "ref_column": "rk"}),
+    ).collect()
+    assert sorted(r["k"] for r in orphans) == [2, 2]
