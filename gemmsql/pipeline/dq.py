@@ -121,8 +121,13 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             ref = r.params["ref"].select(
                 F.col(r.params["ref_column"]).alias(r.column)
             ).distinct()
+            # default NOT broadcast (ADVICE r9 #4): the referenced key
+            # set is often fact-scale (orders for a lineitem FK), and a
+            # forced broadcast of it OOMs at large sf.  Small-dimension
+            # suites opt in with params={"broadcast": True}; otherwise
+            # AQE picks the strategy from runtime sizes.
             orphans = df.select(r.column).join(
-                F.broadcast(ref) if r.params.get("broadcast", True) else ref,
+                F.broadcast(ref) if r.params.get("broadcast", False) else ref,
                 r.column,
                 "left_anti",
             )
@@ -256,5 +261,7 @@ def violations(df: DataFrame, rule: Rule) -> DataFrame:
         ref = rule.params["ref"].select(
             F.col(rule.params["ref_column"]).alias(rule.column)
         ).distinct()
-        return df.join(F.broadcast(ref), rule.column, "left_anti")
+        if rule.params.get("broadcast", False):
+            ref = F.broadcast(ref)
+        return df.join(ref, rule.column, "left_anti")
     raise ValueError(f"unknown rule kind {rule.kind}")

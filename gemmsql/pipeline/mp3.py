@@ -200,10 +200,32 @@ def walk_mp3(payload: bytes) -> dict:
         pos = id3v2_size
         if pos > end:
             raise ValueError("ID3v2 size exceeds the payload")
-    has_id3v1 = False
-    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
-        has_id3v1 = True
-        end -= 128
+    # A tail starting with b"TAG" is only *possibly* an ID3v1 tag —
+    # frame payload bytes can collide with it (~2^-24 per doc, ADVICE
+    # r9 #2).  Disambiguate structurally: try the tag interpretation
+    # first (the common case when the prefix matches), and fall back
+    # to walking the full stream if the stripped walk does not parse.
+    # The two can never both succeed: a frame boundary at end-128
+    # requires a 0xFF sync byte there, which b"TAG" is not.
+    tag_tail = end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG"
+    if tag_tail:
+        try:
+            out = _walk_frames(payload, pos, end - 128)
+            out["has_id3v1"] = True
+        except ValueError:
+            out = _walk_frames(payload, pos, end)
+            out["has_id3v1"] = False
+    else:
+        out = _walk_frames(payload, pos, end)
+        out["has_id3v1"] = False
+    out["id3v2_size"] = id3v2_size
+    return out
+
+
+def _walk_frames(payload: bytes, pos: int, end: int) -> dict:
+    """The frame-hop loop of :func:`walk_mp3` over ``payload[pos:end]``
+    (tags already sliced off); raises ``ValueError`` unless the range
+    parses as a whole number of valid frames."""
     n_frames = 0
     crc_frames = 0
     total = 0
@@ -298,8 +320,6 @@ def walk_mp3(payload: bytes) -> dict:
         "kbps_min": kbps_min,
         "kbps_max": kbps_max,
         "kbps_sum": kbps_sum,
-        "id3v2_size": id3v2_size,
-        "has_id3v1": has_id3v1,
         "info_frame": info is not None,
     }
 

@@ -379,9 +379,15 @@ def rowgroup_stats(spark: SparkSession, directory: str) -> DataFrame:
 # ---------------------------------------------------- gated corpus query
 
 def _staged_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # Stable inputs ONLY (leaf + full-path hash, no pid): the oracle SQL
+    # embeds this path, and the driver may build the SQL in a different
+    # process than the one that staged the files (ADVICE r9 #5).  The
+    # staged bytes are deterministic per sf_dir, so cross-process reuse
+    # is sound; publication is made atomic in stage_footer_corpus.
+    from gemmsql.pipeline.staging import staged_dir_tag
+
     return os.path.join(
-        tempfile.gettempdir(), f"gemmsql_pqmeta_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"gemmsql_pqmeta_{staged_dir_tag(sf_dir)}"
     )
 
 
@@ -392,9 +398,13 @@ def stage_footer_corpus(spark: SparkSession, sf_dir: str) -> str:
     """Write the deterministic 4-file dataset the footer gate reads:
     lineitem's (orderkey, linenumber, returnflag, shipdate-as-DATE),
     hash-repartitioned to 4 files and sorted within each so bytes —
-    and therefore footers — are run-to-run identical."""
+    and therefore footers — are run-to-run identical.  Written to a
+    pid-private temp dir and renamed into the stable path so a
+    concurrent stager can never expose a half-written directory."""
     target = _staged_dir(sf_dir)
-    if target in _PQMETA_STAGED and os.path.isdir(target):
+    done = os.path.join(target, "_SUCCESS")
+    if os.path.exists(done):
+        _PQMETA_STAGED.add(target)
         return target
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -402,13 +412,21 @@ def stage_footer_corpus(spark: SparkSession, sf_dir: str) -> str:
         "l_returnflag",
         F.col("l_shipdate").cast("date").alias("l_shipdate"),
     )
+    tmp = f"{target}.tmp{os.getpid()}"
     (
         li.repartition(4, "l_orderkey")
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .write.mode("overwrite")
         .option("compression", "snappy")
-        .parquet(target)
+        .parquet(tmp)
     )
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        # another process published the identical bytes first
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     _PQMETA_STAGED.add(target)
     return target
 

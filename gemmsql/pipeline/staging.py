@@ -22,6 +22,7 @@ partitioning so the decode map stays narrow.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from typing import Callable
@@ -34,6 +35,17 @@ from pyspark.sql import DataFrame, SparkSession
 _STAGED: set[tuple[str, str]] = set()
 
 
+def staged_dir_tag(sf_dir: str) -> str:
+    """Collision-free directory tag for ``sf_dir``: the leaf name for
+    readability plus a short hash of the FULL normalized path, so two
+    scale dirs sharing a leaf name (e.g. ``/a/sf0.01`` and ``/b/sf0.01``)
+    can never share a staged directory (ADVICE r9 #1)."""
+    norm = os.path.normpath(sf_dir)
+    leaf = os.path.basename(norm) or "sf"
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:8]
+    return f"{leaf}_{digest}"
+
+
 def stage_payload_table(
     spark: SparkSession,
     sf_dir: str,
@@ -43,10 +55,9 @@ def stage_payload_table(
     """Materialize ``builder(spark, sf_dir)`` (a ``doc_id, payload``
     synthesis map) to session-local parquet once; return a reader over
     it.  Idempotent per (name, sf_dir) per process."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     target = os.path.join(
         tempfile.gettempdir(),
-        f"gemmsql_payload_{name}_{tag}_{os.getpid()}",
+        f"gemmsql_payload_{name}_{staged_dir_tag(sf_dir)}_{os.getpid()}",
     )
     key = (name, sf_dir)
     if key not in _STAGED or not os.path.isdir(target):

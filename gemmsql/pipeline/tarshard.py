@@ -51,12 +51,23 @@ TAR_DOCS_PER_SHARD = 16
 
 def tar_member(name: str, data: bytes, *, mtime: int = 0) -> bytes:
     """One POSIX ustar member: 512-byte header + data padded to the
-    block size."""
+    block size.  Names over 100 bytes use the POSIX.1-1988 prefix
+    split (prefix field, header bytes 345-500) when a ``/`` permits
+    one; longer unsplittable names raise — ustar has no GNU longname
+    extension here by design."""
     nb = name.encode()
+    prefix = b""
     if len(nb) > 100:
-        raise ValueError("member name over 100 bytes")
+        cut = -1
+        for i, ch in enumerate(nb):
+            if ch == 0x2F and i <= 154 and len(nb) - i - 1 <= 100:
+                cut = i
+        if cut < 0:
+            raise ValueError("member name over 100 bytes with no ustar split")
+        prefix, nb = nb[:cut], nb[cut + 1 :]
     hdr = bytearray(_BLOCK)
     hdr[0:len(nb)] = nb
+    hdr[345 : 345 + len(prefix)] = prefix
     hdr[100:108] = b"0000644\x00"                  # mode
     hdr[108:116] = b"0000000\x00"                  # uid
     hdr[116:124] = b"0000000\x00"                  # gid
@@ -104,6 +115,12 @@ def parse_tar(data: bytes) -> list[tuple[str, bytes]]:
         if hdr[156:157] not in (b"0", b"\x00"):
             raise ValueError("tar: only regular members supported")
         name = hdr[0:100].split(b"\x00")[0].decode()
+        # ustar prefix field (POSIX.1-1988 path split for >100-char
+        # names): join it back so foreign archives aren't silently
+        # truncated to the name field (ADVICE r9 #3)
+        prefix = hdr[345:500].split(b"\x00")[0].decode()
+        if prefix:
+            name = f"{prefix}/{name}"
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         body = data[pos + _BLOCK : pos + _BLOCK + size]
         if len(body) != size:

@@ -178,3 +178,29 @@ def test_walker_strictness():
         walk_mp3(b"\x00" * 64)  # no sync
     with pytest.raises(ValueError):
         walk_mp3(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f")  # tag past end
+
+
+def test_tag_colliding_payload_tail_is_not_id3v1():
+    """A frame whose junk payload happens to spell 'TAG' at end-128
+    must NOT be sliced as an ID3v1 tag (ADVICE r9 #2): the stripped
+    interpretation fails to parse, so the walker falls back to the
+    full-stream walk."""
+    clean = encode_mp3_frames(
+        7, n_frames=3, sr_idx=0, mono=False,
+        bitrate_indices=[14, 14, 14], paddings=[0, 0, 0],
+        crc=False, id3v1=False,
+    )
+    base = walk_mp3(clean)
+    assert not base["has_id3v1"]
+    fake = bytearray(clean)
+    fake[-128:-125] = b"TAG"  # inside the last frame's junk body
+    m = walk_mp3(bytes(fake))
+    assert not m["has_id3v1"]
+    assert m == base  # payload bytes are outside the walk's contract
+
+
+def test_real_id3v1_still_detected():
+    p = synth_mp3_payload(4)  # doc_id % 4 == 0 -> id3v1 tail
+    assert _doc_params(4)["id3v1"]
+    m = walk_mp3(p)
+    assert m["has_id3v1"]

@@ -1410,3 +1410,26 @@ def test_decode_image_routes_both_jpeg_variants():
     ).astype(np.uint8)
     out = decode_image(encode_jpeg_color(color))
     assert out.shape == (16, 16, 3)
+
+
+def test_staged_dir_tag_distinguishes_same_leaf():
+    """Two scale dirs sharing a leaf name must never share a staged
+    payload directory (ADVICE r9 #1)."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    a = staged_dir_tag("/tmp/corpusA/sf0.01")
+    b = staged_dir_tag("/tmp/corpusB/sf0.01")
+    assert a != b
+    assert a.startswith("sf0.01_") and b.startswith("sf0.01_")
+    assert staged_dir_tag("/tmp/corpusA/sf0.01/") == a  # normalized
+
+
+def test_pqmeta_staged_dir_is_pid_free():
+    """The footer gate's oracle SQL embeds the staged path; it must be
+    derivable in a different process than the one that staged the
+    files (ADVICE r9 #5)."""
+    import os
+
+    from gemmsql.pipeline.parquet_meta import _staged_dir
+
+    assert str(os.getpid()) not in _staged_dir("/root/testdata/sf0.001")

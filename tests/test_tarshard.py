@@ -89,3 +89,34 @@ def test_pairing_contract():
 def test_long_name_rejected():
     with pytest.raises(ValueError, match="100"):
         tar_member("x" * 101, b"")
+
+
+LONG_NAME = "deep/nested/dir/" + "f" * 90 + ".txt"
+
+
+def test_prefix_split_roundtrip():
+    """Names over 100 bytes use the ustar prefix field (ADVICE r9 #3):
+    our writer splits, our reader joins, and both interop with the
+    stdlib in each direction."""
+    members = [(LONG_NAME, b"payload"), ("short.json", b"{}")]
+    t = build_tar(members)
+    assert parse_tar(t) == members
+    # stdlib reads our prefix member with the full path
+    tf = tarfile.open(fileobj=io.BytesIO(t))
+    assert [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()] \
+        == members
+    # and we read the stdlib's own prefix split
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            w.addfile(info, io.BytesIO(data))
+    assert parse_tar(buf.getvalue()) == members
+
+
+def test_unsplittable_long_name_raises():
+    with pytest.raises(ValueError):
+        tar_member("x" * 101, b"")
+    with pytest.raises(ValueError):
+        tar_member("a/" + "x" * 101, b"")  # name part itself too long
