@@ -558,6 +558,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     interpolation), corpus_scd2 (SCD type-2 history merge), and
     dq_orders_report (the data-quality expectation engine).
 
+    Round-10 rotation (VERDICT r9 next #1/#2/#6): SEVEN of the round-9
+    births promoted to the driver gate — flac_frame_stats +
+    avi_frame_stats (the splittable media reader, the 100 TB media
+    story: executors take byte/frame ranges of ONE payload),
+    warc_ingest, tar_shard_ingest, gif_anim_features,
+    mp3_stream_stats, and dq_orders_report — in place of seven
+    multiply-proven incumbents (every one keeps the identical hash
+    gate in tests/test_rotation.py): triangle_count_exact (the
+    7-second oracle-tier exact wedge join whose sampled production
+    twin triangle_count stays gated — VERDICT r9 wrong #2),
+    html_extract (green r7-r9), jsonl_gz_ingest (green in rotation
+    r7-r8 + driver r9; the ingest-container tier stays driver-gated
+    via warc_ingest AND tar_shard_ingest, both strictly richer
+    framings), corpus_diff + corpus_upsert (green r5-r9; the corpus
+    versioning family keeps training_order gated and gains the SCD2
+    rotation gate), and flac_features + video_features (green r7-r9;
+    the SAME codecs remain driver-gated through the frame-stats
+    entrants, which decode FLAC and AVI/MJPEG through the sync-scan +
+    range-cut reader — sharper coverage than the whole-file scans
+    they replace).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -567,14 +588,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus,
         dedup,
         events,
-        flac,
         graph,
         jpeg,
         joins,
         text,
     )
-    from gemmsql.pipeline import adpcm, dsir, html, jsonlgz, retrieval, video
-    from gemmsql.pipeline import similarity
+    from gemmsql.pipeline import adpcm, dq, dsir, gif, mp3, retrieval
+    from gemmsql.pipeline import media_split, similarity, tarshard, warc
     from gemmsql.pipeline.multimodal import png_features
     from gemmsql.sketches import cm_heavy_hitters, hist_quantiles, kmv_reach
 
@@ -611,9 +631,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_features": png_features,
         "jpeg_features": jpeg.jpeg_features,
         "jpeg_color_features": jpeg.jpeg_color_features,
-        "flac_features": flac.flac_features,
         "adpcm_features": adpcm.adpcm_features,
-        "video_features": video.video_features,
+        # --- splittable media reader (promoted r10, VERDICT r9 #6):
+        # FLAC sync-scan / AVI idx1 range cut, per-split decode of the
+        # SAME codecs the whole-file flac_features / video_features
+        # gates exercised (those keep hash gates in test_rotation) ---
+        "flac_frame_stats": media_split.flac_frame_stats,
+        "avi_frame_stats": media_split.avi_frame_stats,
+        # --- GIF89a / variable-width LZW (promoted r10): the
+        # dictionary-coding codec family ---
+        "gif_anim_features": gif.gif_anim_features,
+        # --- MP3 frame walker (promoted r10): metadata at scan speed,
+        # CRC-16, Xing cross-check, ID3v2/v1 disambiguation ---
+        "mp3_stream_stats": mp3.mp3_stream_stats,
         # --- dedup (minhash_lsh_pairs / dedup_clusters rotated out
         # late in r6, green r1-r5; keep-best + incremental keep the
         # LSH->cluster->canonicalize chain gated; doc_chunks rotated
@@ -623,19 +653,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out in r9, green r5-r8 — hash gates in test_rotation.py)
         "dedup_keep_best": dedup.dedup_keep_best,
         "semantic_dups": similarity.semantic_dups,
-        # --- ingest: gzip-member JSONL shards (r9 — first driver
-        # gate for the container tier; rotation-green since r7) ---
-        "jsonl_gz_ingest": jsonlgz.jsonl_gz_ingest,
-        # --- text analysis / selection / retrieval ---
+        # --- ingest containers (promoted r10 over jsonl_gz_ingest,
+        # green rotation r7-r8 + driver r9): WARC web-archive framing
+        # (per-record gzip members, the Common Crawl wire format) and
+        # WebDataset-style ustar tar shards — both strictly richer
+        # member-walk disciplines than the gzip JSONL shards ---
+        "warc_ingest": warc.warc_ingest,
+        "tar_shard_ingest": tarshard.tar_shard_ingest,
+        # --- data quality (promoted r10): the expectation engine —
+        # N row-rules fused into ONE scan, failing rules' violation
+        # counts hash-load-bearing ---
+        "dq_orders_report": dq.dq_orders_report,
+        # --- text analysis / selection / retrieval (html_extract
+        # rotated out r10, green r7-r9 — hash gate in rotation) ---
         "dsir_weights": dsir.dsir_weights,
         "bm25_topk": retrieval.bm25_topk,
         "kmv_reach": kmv_reach,
-        "html_extract": html.html_extract_corpus,
         "dedup_incremental": dedup.dedup_incremental_corpus,
-        # --- corpus versioning (mixture_temperature rotated out in
-        # r9, green r5-r8 — both mixture ops hash-gated in rotation)
-        "corpus_diff": corpus.corpus_diff,
-        "corpus_upsert": corpus.corpus_upsert,
+        # --- corpus versioning (corpus_diff + corpus_upsert rotated
+        # out r10, green r5-r9; training_order keeps the family gated
+        # and corpus_scd2 holds the history-merge rotation gate)
         "training_order": corpus.training_order,
         # --- event analytics (last_order_before_event rotated out in
         # r6, green r1-r5; the as-of-join shape stays rotation-gated)
@@ -650,8 +687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PageRank kernel AND the gated 3-iteration power loop,
         # connected components, item-item similarity, association
         # rules — all over the lineitem co-purchase graph ---
+        # (triangle_count_exact rotated out r10 — VERDICT r9 wrong #2:
+        # 7 s / 14% of bench wall cross-validating a query whose
+        # sampled production twin stays gated; the exact formulation
+        # keeps its hash gate in tests/test_rotation.py)
         "triangle_count": graph.triangle_count_gate,
-        "triangle_count_exact": graph.triangle_count,  # colors=1 default
         "pagerank_step": graph.pagerank_step,
         "pagerank_iter3": graph.pagerank_iter3,
         "part_communities": graph.part_communities,
@@ -1058,14 +1098,13 @@ def oracle_sql() -> dict[str, str]:
         corpus,
         dedup,
         events,
-        flac,
         graph,
         jpeg,
         joins,
         text,
     )
-    from gemmsql.pipeline import adpcm, dsir, html, jsonlgz, retrieval, video
-    from gemmsql.pipeline import similarity
+    from gemmsql.pipeline import adpcm, dq, dsir, gif, mp3, retrieval
+    from gemmsql.pipeline import media_split, similarity, tarshard, warc
     from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
@@ -1094,27 +1133,27 @@ def oracle_sql() -> dict[str, str]:
         "png_features": PNG_FEATURES_SQL,
         "jpeg_features": jpeg.JPEG_FEATURES_SQL,
         "jpeg_color_features": jpeg.JPEG_COLOR_FEATURES_SQL,
-        "flac_features": flac.FLAC_FEATURES_SQL,
         "adpcm_features": adpcm.ADPCM_FEATURES_SQL,
-        "video_features": video.VIDEO_FEATURES_SQL,
+        "flac_frame_stats": media_split.flac_frame_stats_sql(),
+        "avi_frame_stats": media_split.avi_frame_stats_sql(),
+        "gif_anim_features": gif.GIF_ANIM_FEATURES_SQL,
+        "mp3_stream_stats": mp3.MP3_STREAM_STATS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
-        "jsonl_gz_ingest": jsonlgz.JSONL_GZ_INGEST_SQL,
+        "warc_ingest": warc.WARC_INGEST_SQL,
+        "tar_shard_ingest": tarshard.TAR_SHARD_INGEST_SQL,
+        "dq_orders_report": dq.DQ_ORDERS_REPORT_SQL,
         "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
         "kmv_reach": KMV_REACH_SQL,
-        "html_extract": html.HTML_EXTRACT_SQL,
         "dedup_incremental": dedup.dedup_incremental_sql(),
-        "corpus_diff": corpus.CORPUS_DIFF_SQL,
-        "corpus_upsert": corpus.CORPUS_UPSERT_SQL,
         "training_order": corpus.TRAINING_ORDER_SQL,
         "funnel_counts": events.FUNNEL_COUNTS_SQL,
         "cohort_retention": events.COHORT_RETENTION_SQL,
         "cm_heavy_hitters": cm_heavy_hitters_sql(),
         "hist_quantiles": HIST_QUANTILES_SQL,
         "triangle_count": graph.TRIANGLE_COUNT_SQL,
-        "triangle_count_exact": graph.TRIANGLE_COUNT_EXACT_SQL,
         "pagerank_step": graph.PAGERANK_STEP_SQL,
         "pagerank_iter3": graph.PAGERANK_ITER3_SQL,
         "part_communities": graph.PART_COMMUNITIES_SQL,

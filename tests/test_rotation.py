@@ -209,18 +209,6 @@ def _sampling_filtered_sql():
     return sampling_filtered_sql()
 
 
-def _flac_frame_stats(spark, sf_dir):
-    from gemmsql.pipeline.media_split import flac_frame_stats
-
-    return flac_frame_stats(spark, sf_dir)
-
-
-def _flac_frame_stats_sql():
-    from gemmsql.pipeline.media_split import flac_frame_stats_sql
-
-    return flac_frame_stats_sql()
-
-
 def _flac_stereo_features(spark, sf_dir):
     from gemmsql.pipeline.flac import flac_stereo_features
 
@@ -233,88 +221,17 @@ def _flac_stereo_features_sql():
     return FLAC_STEREO_FEATURES_SQL
 
 
-def _avi_frame_stats(spark, sf_dir):
-    from gemmsql.pipeline.media_split import avi_frame_stats
-
-    return avi_frame_stats(spark, sf_dir)
-
-
-def _avi_frame_stats_sql():
-    from gemmsql.pipeline.media_split import avi_frame_stats_sql
-
-    return avi_frame_stats_sql()
-
-
-def _tar_shard_ingest(spark, sf_dir):
-    from gemmsql.pipeline.tarshard import tar_shard_ingest
-
-    return tar_shard_ingest(spark, sf_dir)
-
-
-def _tar_shard_ingest_sql():
-    from gemmsql.pipeline.tarshard import TAR_SHARD_INGEST_SQL
-
-    return TAR_SHARD_INGEST_SQL
-
-
-def _warc_ingest(spark, sf_dir):
-    from gemmsql.pipeline.warc import warc_ingest
-
-    return warc_ingest(spark, sf_dir)
-
-
-def _warc_ingest_sql():
-    from gemmsql.pipeline.warc import WARC_INGEST_SQL
-
-    return WARC_INGEST_SQL
-
-
-def _gif_anim_features(spark, sf_dir):
-    from gemmsql.pipeline.gif import gif_anim_features
-
-    return gif_anim_features(spark, sf_dir)
-
-
-def _gif_anim_features_sql():
-    from gemmsql.pipeline.gif import GIF_ANIM_FEATURES_SQL
-
-    return GIF_ANIM_FEATURES_SQL
-
-
-def _dq_orders_report(spark, sf_dir):
-    from gemmsql.pipeline.dq import dq_orders_report
-
-    return dq_orders_report(spark, sf_dir)
-
-
-def _dq_orders_report_sql():
-    from gemmsql.pipeline.dq import DQ_ORDERS_REPORT_SQL
-
-    return DQ_ORDERS_REPORT_SQL
-
-
 def _parquet_footer_stats(spark, sf_dir):
     from gemmsql.pipeline.parquet_meta import parquet_footer_stats
 
     return parquet_footer_stats(spark, sf_dir)
 
 
-def _mp3_stream_stats(spark, sf_dir):
-    from gemmsql.pipeline.mp3 import mp3_stream_stats
-
-    return mp3_stream_stats(spark, sf_dir)
-
-
-def _mp3_stream_stats_sql():
-    from gemmsql.pipeline.mp3 import MP3_STREAM_STATS_SQL
-
-    return MP3_STREAM_STATS_SQL
-
-
 def _parquet_footer_stats_sql():
     # the Spark side (run first by this harness) stages the dataset;
     # the oracle reads the SAME files with DuckDB's native
-    # parquet_metadata() — the path is deterministic per (sf, pid)
+    # parquet_metadata() — the path is deterministic per sf_dir
+    # (stable leaf+hash tag, no pid — ADVICE r9 #5)
     from gemmsql.pipeline.parquet_meta import parquet_footer_stats_sql
 
     return parquet_footer_stats_sql(SF_SMOKE)
@@ -327,11 +244,16 @@ def _rotated():
         dedup,
         dsir,
         events,
+        flac,
+        graph,
+        html,
         joins,
+        jsonlgz,
         relational,
         retrieval,
         similarity,
         text,
+        video,
     )
 
     return [
@@ -525,43 +447,17 @@ def _rotated():
          _sampling_filtered_sql()),
         ("mixture_temperature", text.mixture_temperature,
          text.MIXTURE_TEMPERATURE_SQL),
-        # born into this tier in round 9: the SPLITTABLE media reader
-        # under a value hash — per-frame FLAC stats decoded through
-        # sync-scan + range-cut + per-split decode (media_split.py),
-        # oracle = the signal formula grouped by frame (no decoder);
-        # range-union == whole-file parity in tests/test_media_split.py
-        ("flac_frame_stats", _flac_frame_stats, _flac_frame_stats_sql()),
-        # also born in round 9: STEREO FLAC under a value hash — the
+        # born in round 9: STEREO FLAC under a value hash — the
         # corpus crosses {independent, side-coded} x {FIXED, LPC}
         # payloads, so per-frame assignment choice, bps+1 side decode,
         # and all three decorrelation reconstructions are load-bearing
         ("flac_stereo_features", _flac_stereo_features,
          _flac_stereo_features_sql()),
-        # the AVI twin of flac_frame_stats: idx1-driven range cut +
-        # per-split JPEG decode of EVERY frame (no stride), oracle =
-        # the flat-block formula without the sampling filter
-        ("avi_frame_stats", _avi_frame_stats, _avi_frame_stats_sql()),
-        # also born in round 9: WebDataset-style tar shard ingest —
-        # documents round-tripped through real multi-member ustar
-        # shards (member walk + checksum verify + sample pairing +
-        # JSON metadata parse; framing unit/interop/corruption tier in
-        # tests/test_tarshard.py)
-        ("tar_shard_ingest", _tar_shard_ingest, _tar_shard_ingest_sql()),
-        # also born in round 9: WARC web-archive ingest (Common Crawl
-        # framing) — documents round-tripped through real .warc.gz
-        # shards: per-record gzip members (CDX-span random access),
-        # warcinfo + response records, id/date re-derivation, full
-        # application/http block parse; framing unit/corruption tier
-        # in tests/test_warc.py
-        ("warc_ingest", _warc_ingest, _warc_ingest_sql()),
-        # also born in round 9: GIF89a/LZW — the dictionary-coding
-        # family the codec matrix lacked.  The hash gates the LZW
-        # decode (md5-chain pixels), the 9->10-bit width change (the
-        # 512-px docs), de-interlacing + local-palette application
-        # (wsum is position- and palette-sensitive — odd frames carry
-        # complemented indices under a reversed local table), and the
-        # GCE/NETSCAPE extension parse (delay_cs / loop_count)
-        ("gif_anim_features", _gif_anim_features, _gif_anim_features_sql()),
+        # (flac_frame_stats / avi_frame_stats / tar_shard_ingest /
+        # warc_ingest / gif_anim_features / mp3_stream_stats /
+        # dq_orders_report — born here in round 9 — were promoted to
+        # the driver gate in round 10 (VERDICT r9 next #1/#6) and are
+        # now hash-checked by tests/test_gate_parity.py instead)
         # also born in round 9: the parquet FOOTER parser — a
         # from-scratch Thrift compact-protocol read of FileMetaData
         # (row groups, column chunks, statistics).  Three engines,
@@ -572,15 +468,6 @@ def _rotated():
         # the third pin, in tests/test_parquet_meta.py)
         ("parquet_footer_stats", _parquet_footer_stats,
          _parquet_footer_stats_sql()),
-        # also born in round 9: the MP3 frame walker — the metadata-
-        # at-scan-speed audio primitive (frame counts, exact duration,
-        # bitrate profile, CRC-verified protected frames, Xing/Info
-        # cross-checks, ID3v2/v1 tag skip).  The oracle replays the
-        # per-frame closed-form formulas; the walk's structural
-        # validation (every byte it reads) is corruption-fuzzed in
-        # tests/test_mp3.py.  This retires the codec matrix's last
-        # import-gated caveat.
-        ("mp3_stream_stats", _mp3_stream_stats, _mp3_stream_stats_sql()),
         # also born in round 9: time-spine densification — per-user
         # hourly spine (in-row sequence explode bounded by each
         # user's own span), gaps materialized, forward-fill AND
@@ -594,12 +481,25 @@ def _rotated():
         # potential history rows built in-row and exploded (no
         # unionAll re-deriving the join)
         ("corpus_scd2", corpus.corpus_scd2, corpus.CORPUS_SCD2_SQL),
-        # also born in round 9: the data-quality expectation engine —
-        # row-level rules fused into one aggregate pass, unique rules
-        # as count-distinct aggs, FK as a broadcast anti-join count;
-        # several rules intentionally FAIL so the violation COUNTS
-        # (not just pass flags) are hash-load-bearing
-        ("dq_orders_report", _dq_orders_report, _dq_orders_report_sql()),
+        # rotated out in round 10 for the seven r9-birth promotions
+        # (VERDICT r9 next #1/#2/#6).  triangle_count_exact is the
+        # deliberately-unsampled O(m^1.5) oracle-tier wedge join whose
+        # sampled production twin (triangle_count) stays driver-gated;
+        # html_extract green r7-r9; jsonl_gz_ingest green rotation
+        # r7-r8 + driver r9 (the container tier stays gated via
+        # warc_ingest + tar_shard_ingest); corpus_diff/corpus_upsert
+        # green r5-r9 (training_order keeps the family gated);
+        # flac_features/video_features green r7-r9 (the SAME codecs
+        # stay gated through the splittable-reader frame-stats gates)
+        ("triangle_count_exact", graph.triangle_count,
+         graph.TRIANGLE_COUNT_EXACT_SQL),
+        ("html_extract", html.html_extract_corpus, html.HTML_EXTRACT_SQL),
+        ("jsonl_gz_ingest", jsonlgz.jsonl_gz_ingest,
+         jsonlgz.JSONL_GZ_INGEST_SQL),
+        ("corpus_diff", corpus.corpus_diff, corpus.CORPUS_DIFF_SQL),
+        ("corpus_upsert", corpus.corpus_upsert, corpus.CORPUS_UPSERT_SQL),
+        ("flac_features", flac.flac_features, flac.FLAC_FEATURES_SQL),
+        ("video_features", video.video_features, video.VIDEO_FEATURES_SQL),
     ]
 
 
