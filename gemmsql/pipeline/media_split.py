@@ -254,6 +254,65 @@ def decode_flac_range(
     return np.concatenate(blocks)
 
 
+# ------------------------------------------------------------ MP3 side
+
+
+def split_mp3(
+    payload: bytes, frames_per_split: int = 4
+) -> tuple[tuple[int, int], list[dict]]:
+    """``((sample_rate, channels), [{split_idx, frame_lo, n_frames,
+    chunk}])`` — audio-frame-aligned byte ranges of an MP3 stream
+    (VERDICT r9 next #4: the long-podcast/audiobook hot case).
+
+    The index IS the full structural walk (``walk_mp3``: ID3v2
+    syncsafe skip, structural ID3v1 disambiguation, per-frame header
+    validation, CRC-16 on protected frames, Xing/Info cross-check), so
+    a stream that would not ingest whole cannot be split either.  The
+    Xing/Info metadata frame and both tags stay OUT of the ranges —
+    a split owns audio frames only.  Audio frames are back-to-back,
+    so each chunk is the contiguous byte run of its frames."""
+    from gemmsql.pipeline.mp3 import walk_mp3
+
+    if frames_per_split < 1:
+        raise ValueError("frames_per_split must be >= 1")
+    frames: list[tuple[int, int, int, int, int]] = []
+    m = walk_mp3(payload, collect=frames)
+    out = []
+    for s, lo in enumerate(range(0, len(frames), frames_per_split)):
+        part = frames[lo : lo + frames_per_split]
+        first_off = part[0][0]
+        last_off, last_sz = part[-1][0], part[-1][1]
+        out.append({
+            "split_idx": s,
+            "frame_lo": lo,
+            "n_frames": len(part),
+            "chunk": payload[first_off : last_off + last_sz],
+        })
+    return (m["sample_rate"], m["channels"]), out
+
+
+def walk_mp3_range(
+    chunk: bytes, sample_rate: int, channels: int, n_frames: int
+) -> list[tuple[int, int, int, int, int]]:
+    """Metadata walk of ONE split's byte range -> per-frame
+    ``(offset, size, kbps, pad, protected)`` with full header and
+    CRC-16 validation, pinned to the stream-level (rate, channels)
+    the index stage recorded.  ``allow_info=False``: a range never
+    contains the Xing/Info frame, so its first frame is audio even if
+    payload junk spells the tag."""
+    from gemmsql.pipeline.mp3 import _walk_frames
+
+    frames: list[tuple[int, int, int, int, int]] = []
+    stats = _walk_frames(
+        chunk, 0, len(chunk), collect=frames, allow_info=False
+    )
+    if stats["sample_rate"] != sample_rate or stats["channels"] != channels:
+        raise ValueError("mp3: split stream parameters mismatch")
+    if stats["n_frames"] != n_frames:
+        raise ValueError("mp3: split frame count mismatch")
+    return frames
+
+
 # ------------------------------------------------------------ Spark op
 
 _SPLIT_SCHEMA = (
@@ -607,4 +666,114 @@ SELECT doc_id,
                 / CAST(n_px AS DOUBLE))
              / CAST(n_px AS DOUBLE)), 6) AS std
 FROM agg
+"""
+
+
+def mp3_frame_stats(
+    spark: SparkSession, sf_dir: str, frames_per_split: int = 2
+) -> DataFrame:
+    """Per-FRAME metadata of the staged MP3 corpus walked through the
+    SPLIT path -> ``(doc_id, frame_idx, kbps, frame_bytes, padded,
+    protected)`` — the MP3 member of the splittable-reader family
+    (VERDICT r9 next #4), mirroring :func:`flac_frame_stats`.
+
+    Load-bearing in the hash: the sync walk's frame boundaries (a cut
+    through a frame breaks the next header), the per-frame bitrate /
+    padding parse, and CRC-16 verification on protected streams (a
+    corrupt split raises, not skips).  The DuckDB oracle replays the
+    closed-form (doc_id + i) bitrate/padding formulas — no walker."""
+    from gemmsql.pipeline.mp3 import with_mp3_payload
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    b = stage_payload_table(spark, sf_dir, "mp3", with_mp3_payload)
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                (sr, ch), splits = split_mp3(bytes(p), frames_per_split)
+                for s in splits:
+                    rows.append((
+                        int(doc_id), "mp3", s["split_idx"], s["frame_lo"],
+                        s["n_frames"], sr, ch, 0, s["chunk"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "split_idx", "frame_lo", "n_frames",
+                    "rate", "channels", "bps", "chunk",
+                ],
+            )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fidx, kbps_l, fb, pads, prots = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                frames = walk_mp3_range(
+                    bytes(row.chunk), int(row.rate), int(row.channels),
+                    int(row.n_frames),
+                )
+                for k, (_off, size, kbps, pad, prot) in enumerate(frames):
+                    ids.append(row.doc_id)
+                    fidx.append(row.frame_lo + k)
+                    kbps_l.append(kbps)
+                    fb.append(size)
+                    pads.append(pad)
+                    prots.append(prot)
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": fidx, "kbps": kbps_l,
+                "frame_bytes": fb, "padded": pads, "protected": prots,
+            })
+
+    splits = b.mapInPandas(index, schema=_SPLIT_SCHEMA)
+    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    return spread.mapInPandas(
+        walk,
+        schema=(
+            "doc_id long, frame_idx long, kbps long, frame_bytes long,"
+            " padded long, protected long"
+        ),
+    )
+
+
+def mp3_frame_stats_sql() -> str:
+    """DuckDB twin of :func:`mp3_frame_stats`: the synth corpus's
+    closed-form per-frame (doc_id + i) bitrate/padding formulas —
+    pure SQL, no walker, so the sync walk, range cut and split walk
+    are gated against an independent derivation."""
+    from gemmsql.pipeline.mp3 import (
+        _BR_CASE,
+        MP3_CRC_MOD,
+        MP3_FRAMES_BASE,
+        MP3_FRAMES_MOD,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         {MP3_FRAMES_BASE} + doc_id % {MP3_FRAMES_MOD} AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr,
+         CASE WHEN doc_id % {MP3_CRC_MOD} = 0 THEN 1 ELSE 0 END AS prot
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, s.i, d.sr, d.prot,
+         {_BR_CASE} AS kbps,
+         (doc_id + i) % 2 AS pad
+  FROM d
+  JOIN generate_series(0, {MP3_FRAMES_BASE + MP3_FRAMES_MOD - 2}) s(i)
+    ON s.i < d.nf
+)
+SELECT doc_id,
+  CAST(i AS BIGINT) AS frame_idx,
+  CAST(kbps AS BIGINT) AS kbps,
+  CAST(FLOOR(144000.0 * kbps / sr) AS BIGINT) + pad AS frame_bytes,
+  CAST(pad AS BIGINT) AS padded,
+  CAST(prot AS BIGINT) AS protected
+FROM fr
 """

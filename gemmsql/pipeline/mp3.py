@@ -168,12 +168,14 @@ def encode_mp3_frames(
 
 # ------------------------------------------------------------- walker
 
-def walk_mp3(payload: bytes) -> dict:
+def walk_mp3(payload: bytes, *, collect: list | None = None) -> dict:
     """Header-hopping metadata walk -> dict: ``n_frames`` (audio
     frames), ``sample_rate``, ``channels``, ``crc_frames``,
     ``total_audio_bytes``, ``duration_us`` (exact integer),
     ``kbps_min/kbps_max/kbps_sum``, ``id3v2_size``, ``has_id3v1``,
-    ``info_frame`` (bool).
+    ``info_frame`` (bool).  ``collect`` receives per-audio-frame
+    ``(offset, size, kbps, pad, protected)`` tuples when given (the
+    splittable reader's index hook).
 
     Validates: sync/version/layer bits per frame, bitrate and sample
     rate indices, CRC-16 over protected side info, Xing/Info counts
@@ -210,22 +212,39 @@ def walk_mp3(payload: bytes) -> dict:
     tag_tail = end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG"
     if tag_tail:
         try:
-            out = _walk_frames(payload, pos, end - 128)
+            out = _walk_frames(payload, pos, end - 128, collect=collect)
             out["has_id3v1"] = True
         except ValueError:
-            out = _walk_frames(payload, pos, end)
+            out = _walk_frames(payload, pos, end, collect=collect)
             out["has_id3v1"] = False
     else:
-        out = _walk_frames(payload, pos, end)
+        out = _walk_frames(payload, pos, end, collect=collect)
         out["has_id3v1"] = False
     out["id3v2_size"] = id3v2_size
     return out
 
 
-def _walk_frames(payload: bytes, pos: int, end: int) -> dict:
+def _walk_frames(
+    payload: bytes,
+    pos: int,
+    end: int,
+    *,
+    collect: list | None = None,
+    allow_info: bool = True,
+) -> dict:
     """The frame-hop loop of :func:`walk_mp3` over ``payload[pos:end]``
     (tags already sliced off); raises ``ValueError`` unless the range
-    parses as a whole number of valid frames."""
+    parses as a whole number of valid frames.
+
+    ``collect`` (splittable-reader hook, media_split.split_mp3): a
+    list to receive one ``(offset, size, kbps, pad, protected)`` tuple
+    per AUDIO frame, in stream order — cleared first, so a failed
+    attempt never leaks partial frames into a retry.  ``allow_info``
+    False disables the first-frame Xing/Info recognition: a split
+    range never contains the metadata frame, so its first frame must
+    count as audio even if junk payload bytes spell the tag."""
+    if collect is not None:
+        collect.clear()
     n_frames = 0
     crc_frames = 0
     total = 0
@@ -271,7 +290,7 @@ def _walk_frames(payload: bytes, pos: int, end: int) -> dict:
             body += 2
         side_end = body + _side_info_len(fmode == 0b11)
         tag = payload[side_end : side_end + 4]
-        if first and tag in (b"Xing", b"Info"):
+        if allow_info and first and tag in (b"Xing", b"Info"):
             flags, = struct.unpack_from(">I", payload, side_end + 4)
             if flags & ~0xF:
                 # defined bits: 1 frames, 2 bytes, 4 TOC, 8 quality —
@@ -295,6 +314,8 @@ def _walk_frames(payload: bytes, pos: int, end: int) -> dict:
             kbps_sum += kbps
             kbps_min = kbps if kbps_min is None else min(kbps_min, kbps)
             kbps_max = kbps if kbps_max is None else max(kbps_max, kbps)
+            if collect is not None:
+                collect.append((pos, size, kbps, pad, int(protected)))
         first = False
         pos += size
     if pos != end:

@@ -221,6 +221,18 @@ def _flac_stereo_features_sql():
     return FLAC_STEREO_FEATURES_SQL
 
 
+def _mp3_frame_stats(spark, sf_dir):
+    from gemmsql.pipeline.media_split import mp3_frame_stats
+
+    return mp3_frame_stats(spark, sf_dir)
+
+
+def _mp3_frame_stats_sql():
+    from gemmsql.pipeline.media_split import mp3_frame_stats_sql
+
+    return mp3_frame_stats_sql()
+
+
 def _parquet_footer_stats(spark, sf_dir):
     from gemmsql.pipeline.parquet_meta import parquet_footer_stats
 
@@ -491,6 +503,12 @@ def _rotated():
         # green r5-r9 (training_order keeps the family gated);
         # flac_features/video_features green r7-r9 (the SAME codecs
         # stay gated through the splittable-reader frame-stats gates)
+        # born into this tier in round 10: the MP3 member of the
+        # splittable-reader family (VERDICT r9 next #4) — sync-walk
+        # index, audio-frame-aligned range cut, per-split CRC-verified
+        # walk; range-union == whole-file parity and corrupt-split
+        # isolation pinned in tests/test_media_split.py
+        ("mp3_frame_stats", _mp3_frame_stats, _mp3_frame_stats_sql()),
         ("triangle_count_exact", graph.triangle_count,
          graph.TRIANGLE_COUNT_EXACT_SQL),
         ("html_extract", html.html_extract_corpus, html.HTML_EXTRACT_SQL),
