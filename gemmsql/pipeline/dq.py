@@ -52,6 +52,11 @@ class Rule:
     params: dict = field(default_factory=dict)
 
 
+#: kinds whose predicate is a pure per-row expression — these fuse
+#: into one scan in both validate() and quarantine()
+ROW_KINDS = ("not_null", "in_range", "in_set", "regex")
+
+
 def _violation_expr(rule: Rule):
     c = F.col(rule.column)
     if rule.kind == "not_null":
@@ -72,10 +77,7 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     rules share one aggregate pass; see the module docstring for the
     per-kind plan shapes."""
     spark = df.sparkSession
-    row_rules = [
-        r for r in rules
-        if r.kind in ("not_null", "in_range", "in_set", "regex")
-    ]
+    row_rules = [r for r in rules if r.kind in ROW_KINDS]
     out: DataFrame | None = None
     if row_rules:
         aggs = [F.count(F.lit(1)).alias("__n")]
@@ -144,7 +146,7 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 "n_violations",
             )
             out = one if out is None else out.unionByName(one)
-        elif r.kind not in ("not_null", "in_range", "in_set", "regex"):
+        elif r.kind not in ROW_KINDS:
             raise ValueError(f"unknown rule kind {r.kind}")
     assert out is not None, "no rules given"
     return out.select(
@@ -239,6 +241,74 @@ FROM ({DQ_ORDERS_REPORT_SQL.strip()})
 DQ_ORDERS_REPORT_SQL = _DQ_WRAP
 
 
+def quarantine(
+    df: DataFrame, rules: list[Rule], id_cols: list[str]
+) -> DataFrame:
+    """The expectations pattern's other half (VERDICT r9 next #5):
+    the violating ROWS of every row-level rule, routed out in ONE
+    scan -> ``(rule, *id_cols)``.
+
+    Each row evaluates the SAME per-rule predicates the fused report
+    uses (``_violation_expr``), collected into an array of failing
+    rule names; ``array_compact`` drops the passes and ``explode``
+    drops clean rows entirely — so a row violating k rules yields k
+    quarantine rows and a clean row costs nothing downstream.  No
+    join, no window, no second pass: at 100 TB this is the same
+    single pruned scan the report runs, emitting only the (rare)
+    violations.  Non-row-level kinds keep :func:`violations` (unique
+    needs a window, FK an anti-join — irreducibly more than a row
+    predicate)."""
+    row_rules = [r for r in rules if r.kind in ROW_KINDS]
+    if not row_rules:
+        raise ValueError("quarantine needs at least one row-level rule")
+    tags = F.array(*[
+        F.when(_violation_expr(r), F.lit(r.name)) for r in row_rules
+    ])
+    return df.select(
+        F.explode(F.array_compact(tags)).alias("rule"),
+        *[F.col(c) for c in id_cols],
+    )
+
+
+def dq_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated quarantine twin of :func:`dq_orders_report`: the
+    violating ROWS ``(rule, o_orderkey)`` of the same row-level suite
+    — the three deliberately failing rules contribute every row, the
+    structurally-true one contributes none, and the DuckDB oracle is
+    one WHERE-clause twin per rule, so row membership (not just the
+    counts) is hash-load-bearing."""
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        Rule("custkey_not_null", "not_null", column="o_custkey"),
+        Rule("price_band", "in_range", column="o_totalprice",
+             params={"lo": 1000.0, "hi": 300000.0}),
+        Rule("status_known", "in_set", column="o_orderstatus",
+             params={"values": ("O", "F")}),
+        Rule("priority_format", "regex", column="o_orderpriority",
+             params={"pattern": "^[1-5]-[A-Z]+$"}),
+    ]
+    return quarantine(orders, rules, ["o_orderkey"]).select(
+        "rule", F.col("o_orderkey").cast("long").alias("o_orderkey")
+    )
+
+
+DQ_ORDERS_QUARANTINE_SQL = """
+SELECT 'custkey_not_null' AS rule, CAST(o_orderkey AS BIGINT) AS o_orderkey
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'price_band', o_orderkey FROM orders
+WHERE o_totalprice IS NULL OR o_totalprice < 1000.0
+      OR o_totalprice > 300000.0
+UNION ALL
+SELECT 'status_known', o_orderkey FROM orders
+WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
+UNION ALL
+SELECT 'priority_format', o_orderkey FROM orders
+WHERE o_orderpriority IS NULL
+      OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+"""
+
+
 def violations(df: DataFrame, rule: Rule) -> DataFrame:
     """The drill-down half of the report: the rows that violate ONE
     rule.  Row-level kinds are a plain filter (predicate pushdown
@@ -246,7 +316,7 @@ def violations(df: DataFrame, rule: Rule) -> DataFrame:
     the report); ``unique`` returns every row of a duplicated key
     group via a window count; ``foreign_key`` is the anti-join
     itself."""
-    if rule.kind in ("not_null", "in_range", "in_set", "regex"):
+    if rule.kind in ROW_KINDS:
         return df.where(_violation_expr(rule))
     if rule.kind == "unique":
         from pyspark.sql import Window as W

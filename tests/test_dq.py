@@ -85,3 +85,70 @@ def test_violations_extraction(spark, frame):
              params={"ref": ref, "ref_column": "rk"}),
     ).collect()
     assert sorted(r["k"] for r in orphans) == [2, 2]
+
+
+def test_quarantine_rows(spark, frame):
+    """Quarantine returns (rule, id) for every row-level violation —
+    a row violating k rules yields k rows; clean rows vanish."""
+    from gemmsql.pipeline.dq import quarantine
+
+    rules = [
+        Rule("k_not_null", "not_null", column="k"),
+        Rule("price_ok", "in_range", column="price",
+             params={"lo": 0.0, "hi": 100.0}),
+        Rule("status_ok", "in_set", column="status",
+             params={"values": ("O", "F")}),
+        Rule("prio_ok", "regex", column="prio",
+             params={"pattern": "^[1-5]-[A-Z]+$"}),
+    ]
+    got = sorted(
+        (r["rule"], r["k"])
+        for r in quarantine(frame, rules, ["k"]).collect()
+    )
+    assert got == [
+        ("price_ok", 2), ("price_ok", 2),     # null price + 999.0
+        ("prio_ok", 2), ("prio_ok", 3),       # '9-BAD' + null prio
+        ("status_ok", 2),                     # 'X'
+    ]
+    with pytest.raises(ValueError):
+        quarantine(frame, [Rule("u", "unique", columns=("k",))], ["k"])
+
+
+def test_quarantine_is_one_scan(spark, frame):
+    """The quarantine projection must stay a single scan of the input
+    — the fused report's per-row verdicts reused as a filter, not a
+    per-rule pass."""
+    from gemmsql.pipeline.dq import quarantine
+
+    plan = quarantine(frame, [
+        Rule("a", "not_null", column="k"),
+        Rule("b", "in_range", column="price", params={"lo": 0, "hi": 1}),
+        Rule("c", "in_set", column="status", params={"values": ("O",)}),
+        Rule("d", "regex", column="prio", params={"pattern": "^x$"}),
+    ], ["k"])._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("LocalTableScan") + plan.count("Scan ")
+    assert scans == 1, plan
+
+
+def test_quarantine_counts_match_report(spark):
+    """Invariant tying the two halves together: per-rule quarantine
+    row counts == the fused report's n_violations, on the gate suite
+    itself."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from gemmsql.pipeline.dq import dq_orders_quarantine, dq_orders_report
+
+    q = {
+        r["rule"]: r["cnt"]
+        for r in dq_orders_quarantine(spark, SF_SMOKE)
+        .groupBy("rule").agg(F.count("*").alias("cnt")).collect()
+    }
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in dq_orders_report(spark, SF_SMOKE).collect()
+        if r["kind"] in ("not_null", "in_range", "in_set", "regex")
+    }
+    for rule, n in rep.items():
+        assert q.get(rule, 0) == n, rule
+    assert sum(rep.values()) > 0  # the suite's failing rules fail

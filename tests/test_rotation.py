@@ -221,6 +221,18 @@ def _flac_stereo_features_sql():
     return FLAC_STEREO_FEATURES_SQL
 
 
+def _dq_orders_quarantine(spark, sf_dir):
+    from gemmsql.pipeline.dq import dq_orders_quarantine
+
+    return dq_orders_quarantine(spark, sf_dir)
+
+
+def _dq_orders_quarantine_sql():
+    from gemmsql.pipeline.dq import DQ_ORDERS_QUARANTINE_SQL
+
+    return DQ_ORDERS_QUARANTINE_SQL
+
+
 def _mp3_frame_stats(spark, sf_dir):
     from gemmsql.pipeline.media_split import mp3_frame_stats
 
@@ -509,6 +521,14 @@ def _rotated():
         # walk; range-union == whole-file parity and corrupt-split
         # isolation pinned in tests/test_media_split.py
         ("mp3_frame_stats", _mp3_frame_stats, _mp3_frame_stats_sql()),
+        # also born in round 10: the quarantine half of the DQ engine
+        # (VERDICT r9 next #5) — violating ROWS routed out in the same
+        # ONE scan as the fused report (plan-pinned in tests/test_dq.py
+        # along with the quarantine-counts == report-counts invariant);
+        # oracle = one WHERE twin per rule, so row MEMBERSHIP is
+        # hash-load-bearing
+        ("dq_orders_quarantine", _dq_orders_quarantine,
+         _dq_orders_quarantine_sql()),
         ("triangle_count_exact", graph.triangle_count,
          graph.TRIANGLE_COUNT_EXACT_SQL),
         ("html_extract", html.html_extract_corpus, html.HTML_EXTRACT_SQL),
