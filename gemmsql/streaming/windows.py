@@ -751,3 +751,140 @@ WHERE p.ts < wm.w
   AND NOT EXISTS (SELECT 1 FROM matched m
                   WHERE m.purchase_id = p.purchase_id)
 """
+
+
+# --------------------------------------------------------- DQ gate (r10)
+
+#: the streaming DQ suite's thresholds — value_band and type_known
+#: FAIL by design (value > 150 and event_type = 'error' rows exist in
+#: every day window) so violation counts are hash-load-bearing.
+DQ_GATE_VALUE_HI = 150.0
+DQ_GATE_TYPES = ("click", "view", "purchase", "signup")
+DQ_GATE_PROPS_RE = '^\\{"k": [0-9]+\\}$'
+
+
+def streaming_dq_rules():
+    """The batch DQ engine's Rule objects, applied to the events
+    stream — same kinds, same ``_violation_expr`` predicates, so the
+    streaming gate runs the ENGINE's rules, not a reimplementation."""
+    from gemmsql.pipeline.dq import Rule
+
+    return [
+        Rule("user_not_null", "not_null", column="user_id"),
+        Rule("value_band", "in_range", column="value",
+             params={"lo": 0.0, "hi": DQ_GATE_VALUE_HI}),
+        Rule("type_known", "in_set", column="event_type",
+             params={"values": DQ_GATE_TYPES}),
+        Rule("props_format", "regex", column="props",
+             params={"pattern": DQ_GATE_PROPS_RE}),
+    ]
+
+
+def streaming_dq_windows(events: DataFrame) -> DataFrame:
+    """Day-windowed fused DQ aggregation under a 1 h watermark -> one
+    row per (closed day, rule): ``(day_us, rule, kind, n_checked,
+    n_violations, passed)``.
+
+    The batch engine's fused one-scan design IS a monoid (count +
+    per-rule violation sums), so it streams as a single windowed
+    aggregate — however many rules, ONE stateful operator; the
+    per-rule explode is a stateless projection after it."""
+    from gemmsql.pipeline.dq import _violation_expr
+
+    rules = streaming_dq_rules()
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(_violation_expr(r), 1).otherwise(0)).alias(f"__v{i}")
+        for i, r in enumerate(rules)
+    ]
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(*aggs)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("day_us"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col("__n").cast("long").alias("n_checked"),
+                    F.col(f"__v{i}").cast("long").alias("n_violations"),
+                )
+                for i, r in enumerate(rules)
+            ])).alias("r"),
+        )
+        .select(
+            "day_us",
+            "r.*",
+        )
+        .withColumn(
+            "passed", (F.col("n_violations") == 0).cast("long")
+        )
+    )
+
+
+def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of the DQ expectation engine under watermarks
+    (VERDICT r9 next #7): the fused rule suite maintained by a REAL
+    availableNow stream in APPEND mode — per closed day, per rule,
+    checked/violation counts.  The watermark is load-bearing in the
+    hash exactly as in the hist gate: append mode withholds the
+    still-open final day, and the oracle replays that emission rule
+    (``day_end <= max(ts) - 1h``; the inclusive boundary is pinned by
+    the hist gate's boundary test — same eviction machinery)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = read_events_stream(spark, target, max_files_per_trigger=1_000_000)
+    name = "stream_gate_dq"
+    ckpt = _fresh_ckpt(f"gemmsql_ckpt_dq_{tag}")
+    with state_partitions(spark):
+        q = (
+            streaming_dq_windows(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    return spark.table(name)
+
+
+STREAMING_DQ_GATE_SQL = """
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS day,
+         COUNT(*) AS n,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v0,
+         SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 150.0
+                  THEN 1 ELSE 0 END) AS v1,
+         SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+                       ('click', 'view', 'purchase', 'signup')
+                  THEN 1 ELSE 0 END) AS v2,
+         SUM(CASE WHEN props IS NULL
+                       OR NOT regexp_matches(props, '^\\{"k": [0-9]+\\}$')
+                  THEN 1 ELSE 0 END) AS v3
+  FROM events
+  GROUP BY 1
+  HAVING day + INTERVAL 1 DAY <=
+         (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+),
+rules AS (
+  SELECT day, 'user_not_null' AS rule, 'not_null' AS kind,
+         n AS n_checked, v0 AS n_violations FROM agg
+  UNION ALL
+  SELECT day, 'value_band', 'in_range', n, v1 FROM agg
+  UNION ALL
+  SELECT day, 'type_known', 'in_set', n, v2 FROM agg
+  UNION ALL
+  SELECT day, 'props_format', 'regex', n, v3 FROM agg
+)
+SELECT epoch_us(day) AS day_us, rule, kind,
+       CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS passed
+FROM rules
+"""

@@ -221,6 +221,18 @@ def _flac_stereo_features_sql():
     return FLAC_STEREO_FEATURES_SQL
 
 
+def _streaming_dq(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_dq_gate
+
+    return streaming_dq_gate(spark, sf_dir)
+
+
+def _streaming_dq_sql():
+    from gemmsql.streaming.windows import STREAMING_DQ_GATE_SQL
+
+    return STREAMING_DQ_GATE_SQL
+
+
 def _dq_orders_quarantine(spark, sf_dir):
     from gemmsql.pipeline.dq import dq_orders_quarantine
 
@@ -529,6 +541,14 @@ def _rotated():
         # hash-load-bearing
         ("dq_orders_quarantine", _dq_orders_quarantine,
          _dq_orders_quarantine_sql()),
+        # also born in round 10: the DQ engine's rule suite as a
+        # watermarked day-window STREAM (VERDICT r9 next #7) — the
+        # fused aggregate is a monoid, so the batch engine's
+        # _violation_expr predicates run under one stateful windowed
+        # agg; the oracle replays the append-mode emission rule, and
+        # the open final day's absence is pinned in
+        # tests/test_streaming.py
+        ("streaming_dq_gate", _streaming_dq, _streaming_dq_sql()),
         ("triangle_count_exact", graph.triangle_count,
          graph.TRIANGLE_COUNT_EXACT_SQL),
         ("html_extract", html.html_extract_corpus, html.HTML_EXTRACT_SQL),

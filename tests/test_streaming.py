@@ -851,3 +851,43 @@ def test_hist_gate_boundary_watermark_exactly_on_window_end(spark):
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert _hash(sdf) == _hash(odf)
+
+
+def test_streaming_dq_gate_oracle_parity_and_watermark(spark):
+    """In-repo twin of the round-10 streaming DQ gate (no gate entrant
+    without in-repo parity): the batch engine's fused rule suite run
+    as a day-windowed append-mode stream must hash-equal the batch
+    oracle, the open final day must be withheld by the watermark, and
+    the failing rules must actually fail (nonzero violation counts) or
+    the gate would be vacuous."""
+    import duckdb
+
+    from gemmsql.datamodel import load_table
+    from gemmsql.streaming.windows import (
+        STREAMING_DQ_GATE_SQL,
+        streaming_dq_gate,
+    )
+    from pyspark.sql import functions as F
+    from tests.test_rotation import _hash
+
+    sdf = streaming_dq_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    odf = con.execute(STREAMING_DQ_GATE_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
+    last_day_us = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.unix_micros(F.date_trunc("day", F.max("ts"))))
+        .collect()[0][0]
+    )
+    assert last_day_us not in set(sdf["day_us"]), (
+        "open day window leaked through the watermark gate"
+    )
+    by_rule = sdf.groupby("rule")["n_violations"].sum()
+    assert by_rule["value_band"] > 0 and by_rule["type_known"] > 0
+    assert by_rule["user_not_null"] == 0
