@@ -362,6 +362,12 @@ def _streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_gate(spark, sf_dir)
 
 
+def _streaming_dq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_dq_gate
+
+    return streaming_dq_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -579,6 +585,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     range-cut reader — sharper coverage than the whole-file scans
     they replace).
 
+    Round-11 rotation (VERDICT r10 next #1 — the LAST promotion
+    cohort: after it every built surface has held a driver row at
+    least once): the SEVEN remaining rotation-only surfaces promoted —
+    mp3_frame_stats (the third splittable-reader member: sync-walk
+    index, audio-frame-aligned range cut, per-split CRC-verified
+    walk), dq_orders_quarantine (violating ROWS routed out in the
+    report's single scan; row membership hash-load-bearing),
+    streaming_dq_gate (the DQ rule suite as a watermarked day-window
+    stream — the EIGHTH streaming gate), parquet_footer_stats (the
+    three-engine Thrift-compact footer parse; promotable since the
+    ADVICE-r9 pid-path fix made the cross-process oracle resolve),
+    corpus_scd2 (SCD type-2 history merge), user_value_gapfill
+    (time-spine densification: ffill + linear interpolation), and
+    flac_stereo_features (stereo decorrelation across
+    {independent, side-coded} x {FIXED, LPC}) — in place of seven
+    multiply-proven incumbents (every one keeps the identical hash
+    gate in tests/test_rotation.py): time_rollup, cohort_retention,
+    funnel_counts, training_order (green r6-r10), hist_quantiles,
+    cm_heavy_hitters (green r6/r7-r10), and kmv_reach (green r7-r10).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -588,15 +614,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus,
         dedup,
         events,
+        flac,
         graph,
         jpeg,
         joins,
+        parquet_meta,
         text,
     )
     from gemmsql.pipeline import adpcm, dq, dsir, gif, mp3, retrieval
     from gemmsql.pipeline import media_split, similarity, tarshard, warc
     from gemmsql.pipeline.multimodal import png_features
-    from gemmsql.sketches import cm_heavy_hitters, hist_quantiles, kmv_reach
 
     return {
         # --- reference operator surface (SURVEY.md §2) ---
@@ -638,6 +665,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates exercised (those keep hash gates in test_rotation) ---
         "flac_frame_stats": media_split.flac_frame_stats,
         "avi_frame_stats": media_split.avi_frame_stats,
+        # --- promoted r11 (VERDICT r10 #1, the last cohort): the MP3
+        # member of the splittable-reader family — sync-walk index,
+        # audio-frame-aligned range cut, per-split CRC-verified walk;
+        # range-union == whole-file pinned in tests/test_media_split.py
+        "mp3_frame_stats": media_split.mp3_frame_stats,
+        # --- promoted r11: STEREO FLAC — per-frame channel-assignment
+        # choice, bps+1 side decode, all three decorrelation
+        # reconstructions load-bearing under the value hash ---
+        "flac_stereo_features": flac.flac_stereo_features,
         # --- GIF89a / variable-width LZW (promoted r10): the
         # dictionary-coding codec family ---
         "gif_anim_features": gif.gif_anim_features,
@@ -664,24 +700,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # N row-rules fused into ONE scan, failing rules' violation
         # counts hash-load-bearing ---
         "dq_orders_report": dq.dq_orders_report,
+        # --- promoted r11: the quarantine half — violating ROWS
+        # routed out in the report's same single scan
+        # (array_compact + explode; clean rows emit nothing); oracle
+        # is one WHERE twin per rule, so row MEMBERSHIP is
+        # hash-load-bearing ---
+        "dq_orders_quarantine": dq.dq_orders_quarantine,
+        # --- promoted r11: the three-engine parquet-footer gate —
+        # Spark writes the corpus, the from-scratch Thrift compact
+        # parser reads the stats back, DuckDB's parquet_metadata()
+        # is the oracle over the SAME files (staged path is
+        # deterministic per sf_dir — no pid, ADVICE r9 #5) ---
+        "parquet_footer_stats": parquet_meta.parquet_footer_stats,
         # --- text analysis / selection / retrieval (html_extract
         # rotated out r10, green r7-r9 — hash gate in rotation) ---
         "dsir_weights": dsir.dsir_weights,
         "bm25_topk": retrieval.bm25_topk,
-        "kmv_reach": kmv_reach,
         "dedup_incremental": dedup.dedup_incremental_corpus,
-        # --- corpus versioning (corpus_diff + corpus_upsert rotated
-        # out r10, green r5-r9; training_order keeps the family gated
-        # and corpus_scd2 holds the history-merge rotation gate)
-        "training_order": corpus.training_order,
-        # --- event analytics (last_order_before_event rotated out in
-        # r6, green r1-r5; the as-of-join shape stays rotation-gated)
-        "funnel_counts": events.funnel_counts,
-        "cohort_retention": events.cohort_retention,
-        # --- sketches (HLL + Bloom proven r1-r5; CM frequency tier;
-        # histogram quantile tier new late in r6) ---
-        "cm_heavy_hitters": cm_heavy_hitters,
-        "hist_quantiles": hist_quantiles,
+        # --- corpus versioning (training_order rotated out r11, green
+        # r6-r10; the SCD2 history merge — the versioned sibling of
+        # corpus_upsert, promoted r11 — keeps the family gated) ---
+        "corpus_scd2": corpus.corpus_scd2,
+        # --- event analytics (funnel_counts / cohort_retention
+        # rotated out r11, green r6-r10; time-spine densification —
+        # ffill + linear interpolation over a per-user hourly spine,
+        # promoted r11 — keeps the family gated) ---
+        "user_value_gapfill": events.user_value_gapfill,
+        # (the sketch tier — cm_heavy_hitters, hist_quantiles,
+        # kmv_reach — rotated out r11, green r6/r7-r10; all five
+        # sketch families stay hash-gated in tests/test_rotation.py)
         # --- graph analytics (tier new late in r6, widened in r7):
         # colorful-sampled AND exact triangle participation, the
         # PageRank kernel AND the gated 3-iteration power loop,
@@ -702,11 +749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERDICT r6 next #3 — synthetic bucket key, no cartesian) ---
         "concurrent_orders": joins.concurrent_orders,
         "concurrent_events": joins.concurrent_events,
-        # --- hypertable continuous aggregate (promoted in r7):
-        # hour/day/week rollup in ONE GROUPING SETS scan ---
-        "time_rollup": events.time_rollup,
-        # (sampling_filtered rotated out in r9, green r5-r8; the
-        # S-series sampler stays gated via "sampling")
+        # (time_rollup — the GROUPING SETS hypertable rollup — rotated
+        # out r11, green r7-r10; sampling_filtered rotated out in r9,
+        # green r5-r8; the S-series sampler stays gated via "sampling")
         # --- structured streaming gates ---
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
@@ -715,6 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_gate": _streaming_stateful_query,
         "streaming_hist_gate": _streaming_hist_query,
         "streaming_dedup_gate": _streaming_dedup_query,
+        # promoted r11: the DQ rule suite as ONE watermarked
+        # day-window stateful aggregate (the fused report is a monoid)
+        "streaming_dq_gate": _streaming_dq_query,
     }
 
 
@@ -1088,19 +1136,18 @@ def oracle_sql() -> dict[str, str]:
         " - CAST(ts.tsum AS DOUBLE) / 1000000000.0, 6) AS entropy"
         " FROM ts JOIN mxt ON mxt.qi = ts.qi JOIN sden ON sden.qi = ts.qi"
     )
+    import os
+
     from gemmsql.ops.sampling import sampling_sql
-    from gemmsql.sketches import (
-        HIST_QUANTILES_SQL,
-        KMV_REACH_SQL,
-        cm_heavy_hitters_sql,
-    )
     from gemmsql.pipeline import (
         corpus,
         dedup,
         events,
+        flac,
         graph,
         jpeg,
         joins,
+        parquet_meta,
         text,
     )
     from gemmsql.pipeline import adpcm, dq, dsir, gif, mp3, retrieval
@@ -1109,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
         STREAMING_DEDUP_GATE_SQL,
+        STREAMING_DQ_GATE_SQL,
         STREAMING_OUTER_JOIN_GATE_SQL,
         STREAMING_HIST_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
@@ -1116,6 +1164,19 @@ def oracle_sql() -> dict[str, str]:
         STREAMING_SESSIONIZE_GATE_SQL,
     )
     from gemmsql.pipeline.similarity import IVFPQ_TOPK_SQL
+
+    # The footer oracle reads real staged FILES (DuckDB's native
+    # parquet_metadata() over the dataset the Spark side writes), so
+    # its SQL embeds the staged path for the sf tier the harness runs
+    # at.  The driver's correctness gate is pinned at sf0.01; in-repo
+    # harnesses (tests/test_gate_parity.py, tools/driver_check.py) set
+    # GEMMSQL_ORACLE_SF_DIR to the tier they actually use.  The staged
+    # path is deterministic per sf_dir — stable leaf+hash tag, no pid
+    # (ADVICE r9 #5) — and the Spark query runs before the oracle in
+    # every harness, staging the files the SQL reads.
+    _footer_sf = os.environ.get(
+        "GEMMSQL_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
 
     return {
@@ -1136,6 +1197,8 @@ def oracle_sql() -> dict[str, str]:
         "adpcm_features": adpcm.ADPCM_FEATURES_SQL,
         "flac_frame_stats": media_split.flac_frame_stats_sql(),
         "avi_frame_stats": media_split.avi_frame_stats_sql(),
+        "mp3_frame_stats": media_split.mp3_frame_stats_sql(),
+        "flac_stereo_features": flac.FLAC_STEREO_FEATURES_SQL,
         "gif_anim_features": gif.GIF_ANIM_FEATURES_SQL,
         "mp3_stream_stats": mp3.MP3_STREAM_STATS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
@@ -1144,15 +1207,15 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": warc.WARC_INGEST_SQL,
         "tar_shard_ingest": tarshard.TAR_SHARD_INGEST_SQL,
         "dq_orders_report": dq.DQ_ORDERS_REPORT_SQL,
+        "dq_orders_quarantine": dq.DQ_ORDERS_QUARANTINE_SQL,
+        "parquet_footer_stats": parquet_meta.parquet_footer_stats_sql(
+            _footer_sf
+        ),
         "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
-        "kmv_reach": KMV_REACH_SQL,
         "dedup_incremental": dedup.dedup_incremental_sql(),
-        "training_order": corpus.TRAINING_ORDER_SQL,
-        "funnel_counts": events.FUNNEL_COUNTS_SQL,
-        "cohort_retention": events.COHORT_RETENTION_SQL,
-        "cm_heavy_hitters": cm_heavy_hitters_sql(),
-        "hist_quantiles": HIST_QUANTILES_SQL,
+        "corpus_scd2": corpus.CORPUS_SCD2_SQL,
+        "user_value_gapfill": events.USER_VALUE_GAPFILL_SQL,
         "triangle_count": graph.TRIANGLE_COUNT_SQL,
         "pagerank_step": graph.PAGERANK_STEP_SQL,
         "pagerank_iter3": graph.PAGERANK_ITER3_SQL,
@@ -1161,7 +1224,6 @@ def oracle_sql() -> dict[str, str]:
         "basket_rules": graph.BASKET_RULES_SQL,
         "concurrent_orders": joins.CONCURRENT_ORDERS_SQL,
         "concurrent_events": joins.CONCURRENT_EVENTS_SQL,
-        "time_rollup": events.TIME_ROLLUP_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
@@ -1169,4 +1231,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
         "streaming_hist_gate": STREAMING_HIST_GATE_SQL,
         "streaming_dedup_gate": STREAMING_DEDUP_GATE_SQL,
+        "streaming_dq_gate": STREAMING_DQ_GATE_SQL,
     }

@@ -14,11 +14,17 @@ identical check; together the two files cover every oracle in the repo.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMOKE
 from tests.test_rotation import TABLES, _hash  # same comparator as driver
+
+# the parquet-footer oracle embeds the staged path for the sf tier it
+# runs at (the driver pins sf0.01; this harness runs the smoke tier)
+os.environ["GEMMSQL_ORACLE_SF_DIR"] = SF_SMOKE
 
 
 @pytest.fixture(scope="module")

@@ -209,68 +209,40 @@ def _sampling_filtered_sql():
     return sampling_filtered_sql()
 
 
-def _flac_stereo_features(spark, sf_dir):
-    from gemmsql.pipeline.flac import flac_stereo_features
+def _hist_quantiles(spark, sf_dir):
+    from gemmsql.sketches import hist_quantiles
 
-    return flac_stereo_features(spark, sf_dir)
-
-
-def _flac_stereo_features_sql():
-    from gemmsql.pipeline.flac import FLAC_STEREO_FEATURES_SQL
-
-    return FLAC_STEREO_FEATURES_SQL
+    return hist_quantiles(spark, sf_dir)
 
 
-def _streaming_dq(spark, sf_dir):
-    from gemmsql.streaming.windows import streaming_dq_gate
+def _hist_quantiles_sql():
+    from gemmsql.sketches import HIST_QUANTILES_SQL
 
-    return streaming_dq_gate(spark, sf_dir)
-
-
-def _streaming_dq_sql():
-    from gemmsql.streaming.windows import STREAMING_DQ_GATE_SQL
-
-    return STREAMING_DQ_GATE_SQL
+    return HIST_QUANTILES_SQL
 
 
-def _dq_orders_quarantine(spark, sf_dir):
-    from gemmsql.pipeline.dq import dq_orders_quarantine
+def _cm_heavy_hitters(spark, sf_dir):
+    from gemmsql.sketches import cm_heavy_hitters
 
-    return dq_orders_quarantine(spark, sf_dir)
-
-
-def _dq_orders_quarantine_sql():
-    from gemmsql.pipeline.dq import DQ_ORDERS_QUARANTINE_SQL
-
-    return DQ_ORDERS_QUARANTINE_SQL
+    return cm_heavy_hitters(spark, sf_dir)
 
 
-def _mp3_frame_stats(spark, sf_dir):
-    from gemmsql.pipeline.media_split import mp3_frame_stats
+def _cm_heavy_hitters_sql():
+    from gemmsql.sketches import cm_heavy_hitters_sql
 
-    return mp3_frame_stats(spark, sf_dir)
-
-
-def _mp3_frame_stats_sql():
-    from gemmsql.pipeline.media_split import mp3_frame_stats_sql
-
-    return mp3_frame_stats_sql()
+    return cm_heavy_hitters_sql()
 
 
-def _parquet_footer_stats(spark, sf_dir):
-    from gemmsql.pipeline.parquet_meta import parquet_footer_stats
+def _kmv_reach(spark, sf_dir):
+    from gemmsql.sketches import kmv_reach
 
-    return parquet_footer_stats(spark, sf_dir)
+    return kmv_reach(spark, sf_dir)
 
 
-def _parquet_footer_stats_sql():
-    # the Spark side (run first by this harness) stages the dataset;
-    # the oracle reads the SAME files with DuckDB's native
-    # parquet_metadata() — the path is deterministic per sf_dir
-    # (stable leaf+hash tag, no pid — ADVICE r9 #5)
-    from gemmsql.pipeline.parquet_meta import parquet_footer_stats_sql
+def _kmv_reach_sql():
+    from gemmsql.sketches import KMV_REACH_SQL
 
-    return parquet_footer_stats_sql(SF_SMOKE)
+    return KMV_REACH_SQL
 
 
 def _rotated():
@@ -483,40 +455,12 @@ def _rotated():
          _sampling_filtered_sql()),
         ("mixture_temperature", text.mixture_temperature,
          text.MIXTURE_TEMPERATURE_SQL),
-        # born in round 9: STEREO FLAC under a value hash — the
-        # corpus crosses {independent, side-coded} x {FIXED, LPC}
-        # payloads, so per-frame assignment choice, bps+1 side decode,
-        # and all three decorrelation reconstructions are load-bearing
-        ("flac_stereo_features", _flac_stereo_features,
-         _flac_stereo_features_sql()),
-        # (flac_frame_stats / avi_frame_stats / tar_shard_ingest /
-        # warc_ingest / gif_anim_features / mp3_stream_stats /
-        # dq_orders_report — born here in round 9 — were promoted to
-        # the driver gate in round 10 (VERDICT r9 next #1/#6) and are
-        # now hash-checked by tests/test_gate_parity.py instead)
-        # also born in round 9: the parquet FOOTER parser — a
-        # from-scratch Thrift compact-protocol read of FileMetaData
-        # (row groups, column chunks, statistics).  Three engines,
-        # one footer: Spark writes the dataset, our parser reads the
-        # stats back, DuckDB's parquet_metadata() is the oracle over
-        # the SAME files — INT64/INT32/UTF8/DATE stat renderings,
-        # counts, sizes and page offsets all hash-matched (pyarrow is
-        # the third pin, in tests/test_parquet_meta.py)
-        ("parquet_footer_stats", _parquet_footer_stats,
-         _parquet_footer_stats_sql()),
-        # also born in round 9: time-spine densification — per-user
-        # hourly spine (in-row sequence explode bounded by each
-        # user's own span), gaps materialized, forward-fill AND
-        # linear interpolation via ignore-nulls window passes; the
-        # metrics gap-fill primitive
-        ("user_value_gapfill", events.user_value_gapfill,
-         events.USER_VALUE_GAPFILL_SQL),
-        # also born in round 9: SCD2 history merge — the versioned
-        # sibling of the gated corpus_upsert (close changed/removed
-        # rows, open replacements) as ONE full-outer join with both
-        # potential history rows built in-row and exploded (no
-        # unionAll re-deriving the join)
-        ("corpus_scd2", corpus.corpus_scd2, corpus.CORPUS_SCD2_SQL),
+        # (the seven round-9/10 births — flac_stereo_features,
+        # parquet_footer_stats, user_value_gapfill, corpus_scd2,
+        # mp3_frame_stats, dq_orders_quarantine, streaming_dq_gate —
+        # were promoted to the driver gate in round 11 (VERDICT r10
+        # next #1, the LAST promotion cohort) and are now hash-checked
+        # by tests/test_gate_parity.py / tests/test_streaming.py)
         # rotated out in round 10 for the seven r9-birth promotions
         # (VERDICT r9 next #1/#2/#6).  triangle_count_exact is the
         # deliberately-unsampled O(m^1.5) oracle-tier wedge join whose
@@ -527,28 +471,6 @@ def _rotated():
         # green r5-r9 (training_order keeps the family gated);
         # flac_features/video_features green r7-r9 (the SAME codecs
         # stay gated through the splittable-reader frame-stats gates)
-        # born into this tier in round 10: the MP3 member of the
-        # splittable-reader family (VERDICT r9 next #4) — sync-walk
-        # index, audio-frame-aligned range cut, per-split CRC-verified
-        # walk; range-union == whole-file parity and corrupt-split
-        # isolation pinned in tests/test_media_split.py
-        ("mp3_frame_stats", _mp3_frame_stats, _mp3_frame_stats_sql()),
-        # also born in round 10: the quarantine half of the DQ engine
-        # (VERDICT r9 next #5) — violating ROWS routed out in the same
-        # ONE scan as the fused report (plan-pinned in tests/test_dq.py
-        # along with the quarantine-counts == report-counts invariant);
-        # oracle = one WHERE twin per rule, so row MEMBERSHIP is
-        # hash-load-bearing
-        ("dq_orders_quarantine", _dq_orders_quarantine,
-         _dq_orders_quarantine_sql()),
-        # also born in round 10: the DQ engine's rule suite as a
-        # watermarked day-window STREAM (VERDICT r9 next #7) — the
-        # fused aggregate is a monoid, so the batch engine's
-        # _violation_expr predicates run under one stateful windowed
-        # agg; the oracle replays the append-mode emission rule, and
-        # the open final day's absence is pinned in
-        # tests/test_streaming.py
-        ("streaming_dq_gate", _streaming_dq, _streaming_dq_sql()),
         ("triangle_count_exact", graph.triangle_count,
          graph.TRIANGLE_COUNT_EXACT_SQL),
         ("html_extract", html.html_extract_corpus, html.HTML_EXTRACT_SQL),
@@ -558,6 +480,23 @@ def _rotated():
         ("corpus_upsert", corpus.corpus_upsert, corpus.CORPUS_UPSERT_SQL),
         ("flac_features", flac.flac_features, flac.FLAC_FEATURES_SQL),
         ("video_features", video.video_features, video.VIDEO_FEATURES_SQL),
+        # rotated out in round 11 for the last promotion cohort
+        # (VERDICT r10 next #1) — each green in 4-5 consecutive driver
+        # rounds: time_rollup (r7-r10), cohort_retention / funnel_counts
+        # / training_order (r6-r10), hist_quantiles / cm_heavy_hitters
+        # (r6/r7-r10), kmv_reach (r7-r10).  The families stay
+        # driver-gated: events via user_value_gapfill, corpus
+        # versioning via corpus_scd2, and all five sketch families
+        # keep their identical hash gates here.
+        ("time_rollup", events.time_rollup, events.TIME_ROLLUP_SQL),
+        ("cohort_retention", events.cohort_retention,
+         events.COHORT_RETENTION_SQL),
+        ("funnel_counts", events.funnel_counts, events.FUNNEL_COUNTS_SQL),
+        ("training_order", corpus.training_order,
+         corpus.TRAINING_ORDER_SQL),
+        ("hist_quantiles", _hist_quantiles, _hist_quantiles_sql()),
+        ("cm_heavy_hitters", _cm_heavy_hitters, _cm_heavy_hitters_sql()),
+        ("kmv_reach", _kmv_reach, _kmv_reach_sql()),
     ]
 
 

@@ -44,6 +44,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the parquet-footer oracle embeds the staged path for the sf tier
+    # it runs at; point it at the one this run actually uses
+    import os
+
+    os.environ["GEMMSQL_ORACLE_SF_DIR"] = sf_dir
+
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from gemmsql import get_spark
