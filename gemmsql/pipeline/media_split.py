@@ -58,6 +58,36 @@ from gemmsql.pipeline.flac import (
 )
 from gemmsql.pipeline.jpeg import decode_jpeg_gray
 
+#: default split target in BYTES (VERDICT r10 next #6): decode tasks
+#: are sized like scan tasks — by data volume, not frame count.  A
+#: 4 GiB payload still becomes ~1024 concurrent tasks; a 100 KiB test
+#: fixture becomes ONE, so small-file corpora no longer pay the
+#: index/shuffle constant per tiny split.
+DEFAULT_SPLIT_BYTES = 4 * 1024 * 1024
+
+
+def _resolve_fps(
+    n_frames: int,
+    span_bytes: int,
+    frames_per_split: int | None,
+    target_split_bytes: int | None,
+) -> int:
+    """Frames per split for a payload whose indexed frames cover
+    ``span_bytes``.  An explicit ``frames_per_split`` wins (the parity
+    tests pin exact shapes); otherwise the count is sized so each
+    split carries ~``target_split_bytes`` of payload, never below one
+    frame."""
+    if frames_per_split is not None:
+        if frames_per_split < 1:
+            raise ValueError("frames_per_split must be >= 1")
+        return frames_per_split
+    tgt = DEFAULT_SPLIT_BYTES if target_split_bytes is None else target_split_bytes
+    if tgt < 1:
+        raise ValueError("target_split_bytes must be >= 1")
+    avg = max(1, span_bytes // max(1, n_frames))
+    return max(1, tgt // avg)
+
+
 # ------------------------------------------------------------ AVI side
 
 
@@ -112,15 +142,20 @@ def avi_frame_index(payload: bytes) -> list[tuple[int, int]]:
 
 
 def split_avi(
-    payload: bytes, frames_per_split: int = 4
+    payload: bytes,
+    frames_per_split: int | None = None,
+    target_split_bytes: int | None = None,
 ) -> list[dict]:
-    """Cut the payload into frame-aligned byte ranges of up to
-    ``frames_per_split`` frames each: ``[{split_idx, frame_lo,
-    n_frames, chunk}]`` where ``chunk`` is the contiguous movi slice
-    covering those frame chunks."""
-    if frames_per_split < 1:
-        raise ValueError("frames_per_split must be >= 1")
+    """Cut the payload into frame-aligned byte ranges: ``[{split_idx,
+    frame_lo, n_frames, chunk}]`` where ``chunk`` is the contiguous
+    movi slice covering those frame chunks.  Splits are sized by
+    BYTES (``target_split_bytes``, default :data:`DEFAULT_SPLIT_BYTES`)
+    unless an exact ``frames_per_split`` is pinned."""
     idx = avi_frame_index(payload)
+    span = idx[-1][0] + 8 + idx[-1][1] - idx[0][0] if idx else 0
+    frames_per_split = _resolve_fps(
+        len(idx), span, frames_per_split, target_split_bytes
+    )
     out = []
     for s, lo in enumerate(range(0, len(idx), frames_per_split)):
         part = idx[lo : lo + frames_per_split]
@@ -216,14 +251,19 @@ def _validate_frame_header(
 
 
 def split_flac(
-    payload: bytes, frames_per_split: int = 4
+    payload: bytes,
+    frames_per_split: int | None = None,
+    target_split_bytes: int | None = None,
 ) -> tuple[tuple[int, int, int], list[dict]]:
     """``((rate, channels, bps), [{split_idx, frame_lo, n_frames,
-    chunk}])`` — frame-aligned byte ranges cut at sync offsets."""
-    if frames_per_split < 1:
-        raise ValueError("frames_per_split must be >= 1")
+    chunk}])`` — frame-aligned byte ranges cut at sync offsets,
+    byte-sized like :func:`split_avi`."""
     info, offsets = flac_frame_index(payload)
     bounds = offsets + [len(payload)]
+    frames_per_split = _resolve_fps(
+        len(offsets), bounds[-1] - bounds[0], frames_per_split,
+        target_split_bytes,
+    )
     out = []
     for s, lo in enumerate(range(0, len(offsets), frames_per_split)):
         hi = min(lo + frames_per_split, len(offsets))
@@ -258,7 +298,9 @@ def decode_flac_range(
 
 
 def split_mp3(
-    payload: bytes, frames_per_split: int = 4
+    payload: bytes,
+    frames_per_split: int | None = None,
+    target_split_bytes: int | None = None,
 ) -> tuple[tuple[int, int], list[dict]]:
     """``((sample_rate, channels), [{split_idx, frame_lo, n_frames,
     chunk}])`` — audio-frame-aligned byte ranges of an MP3 stream
@@ -273,10 +315,14 @@ def split_mp3(
     so each chunk is the contiguous byte run of its frames."""
     from gemmsql.pipeline.mp3 import walk_mp3
 
-    if frames_per_split < 1:
-        raise ValueError("frames_per_split must be >= 1")
     frames: list[tuple[int, int, int, int, int]] = []
     m = walk_mp3(payload, collect=frames)
+    span = (
+        frames[-1][0] + frames[-1][1] - frames[0][0] if frames else 0
+    )
+    frames_per_split = _resolve_fps(
+        len(frames), span, frames_per_split, target_split_bytes
+    )
     out = []
     for s, lo in enumerate(range(0, len(frames), frames_per_split)):
         part = frames[lo : lo + frames_per_split]
@@ -325,7 +371,10 @@ _FRAME_SCHEMA = (
 
 
 def read_media_ranges(
-    payloads: DataFrame, fmt: str, frames_per_split: int = 4
+    payloads: DataFrame,
+    fmt: str,
+    frames_per_split: int | None = None,
+    target_split_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed intra-file media decode: index each payload into
     frame-aligned splits, spread the splits across the cluster, and
@@ -337,7 +386,9 @@ def read_media_ranges(
     ``content_md5`` hashes the decoded pixel/sample bytes, making the
     union test exact.  The repartition on (doc_id, split_idx) is the
     point of the op — it is what turns one 4 GB file into
-    ceil(frames / frames_per_split) concurrent decode tasks."""
+    ~payload_bytes / target_split_bytes concurrent decode tasks
+    (splits are byte-sized by default; ``frames_per_split`` pins an
+    exact shape for the parity tests)."""
     if fmt not in ("avi", "flac"):
         raise ValueError("fmt must be 'avi' or 'flac'")
 
@@ -350,9 +401,11 @@ def read_media_ranges(
                 p = bytes(p)
                 if fmt == "avi":
                     info = (0, 0, 0)
-                    splits = split_avi(p, frames_per_split)
+                    splits = split_avi(p, frames_per_split, target_split_bytes)
                 else:
-                    info, splits = split_flac(p, frames_per_split)
+                    info, splits = split_flac(
+                        p, frames_per_split, target_split_bytes
+                    )
                 for s in splits:
                     rows.append((
                         int(doc_id), fmt, s["split_idx"], s["frame_lo"],
@@ -415,7 +468,10 @@ def read_media_ranges(
 
 
 def flac_frame_stats(
-    spark: SparkSession, sf_dir: str, frames_per_split: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    frames_per_split: int | None = None,
+    target_split_bytes: int | None = None,
 ) -> DataFrame:
     """Per-FRAME stats of the staged FLAC corpus decoded through the
     SPLIT path -> ``(doc_id, frame_idx, n_samples, frame_peak,
@@ -438,7 +494,9 @@ def flac_frame_stats(
                 continue
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                info, splits = split_flac(bytes(p), frames_per_split)
+                info, splits = split_flac(
+                    bytes(p), frames_per_split, target_split_bytes
+                )
                 for s in splits:
                     rows.append((
                         int(doc_id), "flac", s["split_idx"], s["frame_lo"],
@@ -546,7 +604,10 @@ FROM samples GROUP BY doc_id, frame_idx
 
 
 def avi_frame_stats(
-    spark: SparkSession, sf_dir: str, frames_per_split: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    frames_per_split: int | None = None,
+    target_split_bytes: int | None = None,
 ) -> DataFrame:
     """Per-frame pixel stats of the staged AVI corpus decoded through
     the SPLIT path -> ``(doc_id, frame_idx, n_px, mean, std)`` — the
@@ -566,7 +627,9 @@ def avi_frame_stats(
                 continue
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                for s in split_avi(bytes(p), frames_per_split):
+                for s in split_avi(
+                    bytes(p), frames_per_split, target_split_bytes
+                ):
                     rows.append((
                         int(doc_id), "avi", s["split_idx"], s["frame_lo"],
                         s["n_frames"], 0, 0, 0, s["chunk"],
@@ -670,7 +733,10 @@ FROM agg
 
 
 def mp3_frame_stats(
-    spark: SparkSession, sf_dir: str, frames_per_split: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    frames_per_split: int | None = None,
+    target_split_bytes: int | None = None,
 ) -> DataFrame:
     """Per-FRAME metadata of the staged MP3 corpus walked through the
     SPLIT path -> ``(doc_id, frame_idx, kbps, frame_bytes, padded,
@@ -693,7 +759,9 @@ def mp3_frame_stats(
                 continue
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                (sr, ch), splits = split_mp3(bytes(p), frames_per_split)
+                (sr, ch), splits = split_mp3(
+                    bytes(p), frames_per_split, target_split_bytes
+                )
                 for s in splits:
                     rows.append((
                         int(doc_id), "mp3", s["split_idx"], s["frame_lo"],

@@ -263,3 +263,63 @@ def test_mp3_corrupt_split_is_isolated():
         walk_mp3_range(
             splits[0]["chunk"], sr + 1, ch, splits[0]["n_frames"]
         )
+
+
+# ----------------------------------------- byte-sized splits (r11 #6)
+
+
+@pytest.mark.parametrize("tgt", [1, 200, 10**9],
+                         ids=["one-frame", "mid", "whole-file"])
+def test_byte_sized_splits_union_parity(tgt):
+    """Splits sized by target BYTES (the production sizing — VERDICT
+    r10 next #6) yield the same union as the whole-file decode for
+    every format; tgt=1 degenerates to one frame per split, a huge
+    target to one split per file."""
+    # AVI
+    payload = _avi_payload()
+    whole, _ = decode_avi_mjpeg(payload)
+    splits = split_avi(payload, target_split_bytes=tgt)
+    got: list[bytes] = []
+    for s in splits:
+        assert s["frame_lo"] == len(got)
+        got.extend(decode_avi_range(s["chunk"], s["n_frames"]))
+    assert got == whole
+    if tgt == 1:
+        assert len(splits) == len(whole)
+    if tgt == 10**9:
+        assert len(splits) == 1
+    # FLAC (stereo — the hardest decode path)
+    fl = _flac_payloads()[2]
+    wf, _ = decode_flac(fl)
+    info, fsplits = split_flac(fl, target_split_bytes=tgt)
+    rate, channels, bps = info
+    parts = [
+        decode_flac_range(
+            s["chunk"], rate, channels, bps, s["frame_lo"], s["n_frames"]
+        )
+        for s in fsplits
+    ]
+    assert np.array_equal(np.concatenate(parts).astype(np.int16), wf)
+    if tgt == 10**9:
+        assert len(fsplits) == 1
+    # MP3
+    from gemmsql.pipeline.media_split import split_mp3, walk_mp3_range
+    from gemmsql.pipeline.mp3 import synth_mp3_payload, walk_mp3
+
+    p = synth_mp3_payload(5)
+    mwhole: list = []
+    m = walk_mp3(p, collect=mwhole)
+    (sr, ch), msplits = split_mp3(p, target_split_bytes=tgt)
+    mgot = []
+    for s in msplits:
+        fr = walk_mp3_range(s["chunk"], sr, ch, s["n_frames"])
+        mgot += [
+            (s["frame_lo"] + k, sz, kb, pad, pr)
+            for k, (_off, sz, kb, pad, pr) in enumerate(fr)
+        ]
+    assert mgot == [
+        (i, sz, kb, pad, pr)
+        for i, (_off, sz, kb, pad, pr) in enumerate(mwhole)
+    ]
+    if tgt == 10**9:
+        assert len(msplits) == 1
