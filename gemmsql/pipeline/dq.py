@@ -244,30 +244,65 @@ DQ_ORDERS_REPORT_SQL = _DQ_WRAP
 def quarantine(
     df: DataFrame, rules: list[Rule], id_cols: list[str]
 ) -> DataFrame:
-    """The expectations pattern's other half (VERDICT r9 next #5):
-    the violating ROWS of every row-level rule, routed out in ONE
-    scan -> ``(rule, *id_cols)``.
+    """The expectations pattern's other half (VERDICT r9 next #5, all
+    four kinds since r11 — VERDICT r10 next #3): the violating ROWS of
+    every rule, routed out as ``(rule, *id_cols)``.
 
-    Each row evaluates the SAME per-rule predicates the fused report
-    uses (``_violation_expr``), collected into an array of failing
-    rule names; ``array_compact`` drops the passes and ``explode``
-    drops clean rows entirely — so a row violating k rules yields k
-    quarantine rows and a clean row costs nothing downstream.  No
-    join, no window, no second pass: at 100 TB this is the same
-    single pruned scan the report runs, emitting only the (rare)
-    violations.  Non-row-level kinds keep :func:`violations` (unique
-    needs a window, FK an anti-join — irreducibly more than a row
-    predicate)."""
+    Plan shape per kind, mirroring :func:`validate`:
+
+    - **row-level** (not_null / in_range / in_set / regex): each row
+      evaluates the SAME per-rule predicates the fused report uses
+      (``_violation_expr``), collected into an array of failing rule
+      names; ``array_compact`` drops the passes and ``explode`` drops
+      clean rows entirely — a row violating k rules yields k
+      quarantine rows, a clean row costs nothing downstream, and ALL
+      row rules share ONE pruned scan however many there are.
+    - **unique**: every member of a duplicated key group via one
+      window count over the rule's columns (the projection of the
+      report's ``COUNT(*) - COUNT(DISTINCT)`` check).
+    - **foreign_key**: the left-anti join the report counts, keeping
+      the orphaned rows instead (broadcast of the referenced key set
+      stays opt-in — ADVICE r9 #4).
+
+    Unique/FK are irreducibly more than a row predicate (a shuffle on
+    the key), so they union onto the row-rule scan as their own
+    branches — nothing is per-rule-per-scan beyond that."""
+    from pyspark.sql import Window as W
+
     row_rules = [r for r in rules if r.kind in ROW_KINDS]
-    if not row_rules:
-        raise ValueError("quarantine needs at least one row-level rule")
-    tags = F.array(*[
-        F.when(_violation_expr(r), F.lit(r.name)) for r in row_rules
-    ])
-    return df.select(
-        F.explode(F.array_compact(tags)).alias("rule"),
-        *[F.col(c) for c in id_cols],
-    )
+    ids = [F.col(c) for c in id_cols]
+    out: DataFrame | None = None
+    if row_rules:
+        tags = F.array(*[
+            F.when(_violation_expr(r), F.lit(r.name)) for r in row_rules
+        ])
+        out = df.select(
+            F.explode(F.array_compact(tags)).alias("rule"), *ids
+        )
+    for r in rules:
+        if r.kind == "unique":
+            w = W.partitionBy(*[F.col(c) for c in r.columns])
+            one = (
+                df.withColumn("__n", F.count(F.lit(1)).over(w))
+                .where(F.col("__n") > 1)
+                .select(F.lit(r.name).alias("rule"), *ids)
+            )
+            out = one if out is None else out.unionByName(one)
+        elif r.kind == "foreign_key":
+            ref = r.params["ref"].select(
+                F.col(r.params["ref_column"]).alias(r.column)
+            ).distinct()
+            one = df.join(
+                F.broadcast(ref) if r.params.get("broadcast", False) else ref,
+                r.column,
+                "left_anti",
+            ).select(F.lit(r.name).alias("rule"), *ids)
+            out = one if out is None else out.unionByName(one)
+        elif r.kind not in ROW_KINDS:
+            raise ValueError(f"unknown rule kind {r.kind}")
+    if out is None:
+        raise ValueError("quarantine needs at least one rule")
+    return out
 
 
 def dq_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +341,72 @@ UNION ALL
 SELECT 'priority_format', o_orderkey FROM orders
 WHERE o_orderpriority IS NULL
       OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+"""
+
+
+def dq_orders_quarantine_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quarantine across ALL FOUR rule kinds (VERDICT r10 next #3)
+    -> ``(rule, o_orderkey)``: the three deliberately failing row
+    rules plus a structurally-true one, a unique rule with real
+    duplicate groups ((o_custkey, o_orderdate) pairs repeat), and a
+    foreign-key rule against a RESTRICTED customer set (non-BUILDING
+    segments) so the anti-join keeps real orphans.  Row membership of
+    every branch — the single-scan row explode, the window dup
+    projection, and the anti-join survivors — is hash-load-bearing."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        Rule("custkey_not_null", "not_null", column="o_custkey"),
+        Rule("price_band", "in_range", column="o_totalprice",
+             params={"lo": 1000.0, "hi": 300000.0}),
+        Rule("status_known", "in_set", column="o_orderstatus",
+             params={"values": ("O", "F")}),
+        Rule("priority_format", "regex", column="o_orderpriority",
+             params={"pattern": "^[1-5]-[A-Z]+$"}),
+        Rule("custkey_date_unique", "unique",
+             columns=("o_custkey", "o_orderdate")),
+        Rule("custkey_nonbuilding_fk", "foreign_key", column="o_custkey",
+             params={
+                 "ref": customer.where(
+                     F.col("c_mktsegment") != "BUILDING"
+                 ),
+                 "ref_column": "c_custkey",
+                 # the referenced key set is customer-dimension sized
+                 "broadcast": True,
+             }),
+    ]
+    return quarantine(orders, rules, ["o_orderkey"]).select(
+        "rule", F.col("o_orderkey").cast("long").alias("o_orderkey")
+    )
+
+
+DQ_ORDERS_QUARANTINE_FULL_SQL = """
+SELECT 'custkey_not_null' AS rule, CAST(o_orderkey AS BIGINT) AS o_orderkey
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'price_band', o_orderkey FROM orders
+WHERE o_totalprice IS NULL OR o_totalprice < 1000.0
+      OR o_totalprice > 300000.0
+UNION ALL
+SELECT 'status_known', o_orderkey FROM orders
+WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
+UNION ALL
+SELECT 'priority_format', o_orderkey FROM orders
+WHERE o_orderpriority IS NULL
+      OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+UNION ALL
+SELECT 'custkey_date_unique', o_orderkey FROM (
+  SELECT o_orderkey,
+         COUNT(*) OVER (PARTITION BY o_custkey, o_orderdate) AS n
+  FROM orders
+) WHERE n > 1
+UNION ALL
+SELECT 'custkey_nonbuilding_fk', o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment <> 'BUILDING')
 """
 
 

@@ -853,6 +853,61 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quarantine (VERDICT r10 next #4): the batch DQ
+    engine's row-routing (``pipeline.dq.quarantine`` — the SAME
+    function, same Rule objects as :func:`streaming_dq_gate`) run on
+    the live events stream -> ``(rule, event_id)`` per violation.
+
+    The row-rule projection (``array_compact`` + ``explode``) is
+    STATELESS — no aggregation, no watermark, no state store — so
+    append mode emits every violating row as its micro-batch arrives;
+    the operational half of streaming DQ (the windowed count gate is
+    the monitoring half).  The oracle is the batch WHERE-clause twin
+    per rule over the full table: with no watermark there is no
+    withheld tail, so row membership must match exactly."""
+    import tempfile
+
+    from gemmsql.pipeline.dq import quarantine
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = read_events_stream(spark, target, max_files_per_trigger=1_000_000)
+    routed = quarantine(ev, streaming_dq_rules(), ["event_id"]).select(
+        "rule", F.col("event_id").cast("long").alias("event_id")
+    )
+    name = "stream_gate_quarantine"
+    ckpt = _fresh_ckpt(f"gemmsql_ckpt_quarantine_{tag}")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_gate(q)
+    return spark.table(name)
+
+
+STREAMING_QUARANTINE_GATE_SQL = """
+SELECT 'user_not_null' AS rule, CAST(event_id AS BIGINT) AS event_id
+FROM events WHERE user_id IS NULL
+UNION ALL
+SELECT 'value_band', event_id FROM events
+WHERE value IS NULL OR value < 0.0 OR value > 150.0
+UNION ALL
+SELECT 'type_known', event_id FROM events
+WHERE event_type IS NULL
+      OR event_type NOT IN ('click', 'view', 'purchase', 'signup')
+UNION ALL
+SELECT 'props_format', event_id FROM events
+WHERE props IS NULL
+      OR NOT regexp_matches(props, '^\\{"k": [0-9]+\\}$')
+"""
+
+
 STREAMING_DQ_GATE_SQL = """
 WITH agg AS (
   SELECT date_trunc('day', ts) AS day,

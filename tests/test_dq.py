@@ -111,7 +111,31 @@ def test_quarantine_rows(spark, frame):
         ("status_ok", 2),                     # 'X'
     ]
     with pytest.raises(ValueError):
-        quarantine(frame, [Rule("u", "unique", columns=("k",))], ["k"])
+        quarantine(frame, [], ["k"])
+
+
+def test_quarantine_unique_and_fk_rows(spark, frame):
+    """All-kinds quarantine (r11): unique routes EVERY member of a
+    duplicated key group; foreign_key routes the anti-join survivors
+    — row membership, not counts."""
+    from gemmsql.pipeline.dq import quarantine
+
+    ref = spark.createDataFrame([(1,), (3,)], "rk long")
+    got = sorted(
+        (r["rule"], r["k"])
+        for r in quarantine(frame, [
+            Rule("price_ok", "in_range", column="price",
+                 params={"lo": 0.0, "hi": 100.0}),
+            Rule("k_unique", "unique", columns=("k",)),
+            Rule("k_fk", "foreign_key", column="k",
+                 params={"ref": ref, "ref_column": "rk"}),
+        ], ["k"]).collect()
+    )
+    assert got == [
+        ("k_fk", 2), ("k_fk", 2),             # both k=2 rows orphaned
+        ("k_unique", 2), ("k_unique", 2),     # both members of the group
+        ("price_ok", 2), ("price_ok", 2),     # null price + 999.0
+    ]
 
 
 def test_quarantine_is_one_scan(spark, frame):

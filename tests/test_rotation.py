@@ -209,6 +209,30 @@ def _sampling_filtered_sql():
     return sampling_filtered_sql()
 
 
+def _dq_quarantine_full(spark, sf_dir):
+    from gemmsql.pipeline.dq import dq_orders_quarantine_full
+
+    return dq_orders_quarantine_full(spark, sf_dir)
+
+
+def _dq_quarantine_full_sql():
+    from gemmsql.pipeline.dq import DQ_ORDERS_QUARANTINE_FULL_SQL
+
+    return DQ_ORDERS_QUARANTINE_FULL_SQL
+
+
+def _streaming_quarantine(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_quarantine_gate
+
+    return streaming_quarantine_gate(spark, sf_dir)
+
+
+def _streaming_quarantine_sql():
+    from gemmsql.streaming.windows import STREAMING_QUARANTINE_GATE_SQL
+
+    return STREAMING_QUARANTINE_GATE_SQL
+
+
 def _hist_quantiles(spark, sf_dir):
     from gemmsql.sketches import hist_quantiles
 
@@ -497,6 +521,20 @@ def _rotated():
         ("hist_quantiles", _hist_quantiles, _hist_quantiles_sql()),
         ("cm_heavy_hitters", _cm_heavy_hitters, _cm_heavy_hitters_sql()),
         ("kmv_reach", _kmv_reach, _kmv_reach_sql()),
+        # born in round 11 (VERDICT r10 next #3): quarantine across
+        # ALL FOUR rule kinds — the single-scan row explode, the
+        # window duplicate-group projection (real (custkey, orderdate)
+        # dups), and the anti-join survivors of a RESTRICTED customer
+        # FK — each branch's row MEMBERSHIP hash-load-bearing
+        ("dq_orders_quarantine_full", _dq_quarantine_full,
+         _dq_quarantine_full_sql()),
+        # also born in round 11 (VERDICT r10 next #4): the batch
+        # quarantine() projection run on the live events stream —
+        # stateless (no watermark, no state store), so append mode
+        # emits every violating row and the oracle is the plain batch
+        # WHERE twin with exact row-membership parity
+        ("streaming_quarantine_gate", _streaming_quarantine,
+         _streaming_quarantine_sql()),
     ]
 
 
