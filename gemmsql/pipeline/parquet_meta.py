@@ -442,6 +442,168 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rowgroup_stats(spark, stage_footer_corpus(spark, sf_dir))
 
 
+def _layout_dirs(sf_dir: str) -> tuple[str, str]:
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    tag = staged_dir_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"gemmsql_layout_c_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"gemmsql_layout_p_{tag}"),
+    )
+
+
+def stage_layout_corpora(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the SAME lineitem projection twice — once through
+    :func:`gemmsql.sources.write_clustered` (range-split + sorted on
+    ``l_orderkey``) and once hash-partitioned with no sort — so the
+    layout audit has a layout that SHOULD pass and one that should
+    not.  Atomic publication as in :func:`stage_footer_corpus`."""
+    from gemmsql.sources import write_clustered
+
+    c_dir, p_dir = _layout_dirs(sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    for target, kind in ((c_dir, "clustered"), (p_dir, "plain")):
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            continue
+        tmp = f"{target}.tmp{os.getpid()}"
+        if kind == "clustered":
+            write_clustered(li, tmp, cluster_by=("l_orderkey",), n_files=4)
+        else:
+            (
+                li.repartition(4, "l_orderkey")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return c_dir, p_dir
+
+
+#: audited leaf columns -> SQL snippet turning the rendered stat
+#: string into an orderable BIGINT (dates become days since epoch)
+_AUDIT_COLS = {
+    "l_orderkey": "CAST({v} AS BIGINT)",
+    "l_linenumber": "CAST({v} AS BIGINT)",
+    "l_shipdate": "CAST(CAST({v} AS DATE) - DATE '1970-01-01' AS BIGINT)",
+}
+
+
+def layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-layout quality audit a 100 TB lake runs (VERDICT r10
+    next #5): write a clustered and an unclustered copy of the same
+    data, read the row-group min/max statistics back with the
+    from-scratch Thrift footer parser, and judge per (layout, column)
+    whether the row-group key ranges are pairwise DISJOINT — the
+    property that makes parquet stats-based skipping effective.
+
+    One row per (layout, col): ``n_groups``, ``n_overlaps`` (count of
+    consecutive range pairs, ordered by min, where the previous max
+    reaches into the next min), ``clustered`` (the verdict:
+    overlaps == 0), and the global min/max.  The verdict is
+    hash-load-bearing BOTH ways: the range-sorted write must audit
+    clustered on its cluster key and NOT clustered on the others; the
+    hash-partitioned write must fail on every column.  Oracle: DuckDB
+    ``parquet_metadata()`` over the SAME files with the identical
+    window aggregation.
+
+    Scale shape: the audit reads footers only (``rowgroup_stats`` —
+    tail seeks, zero content bytes), and the overlap window runs over
+    one row per (file, row group, column) — metadata volume, ~1e-6 of
+    the data it audits."""
+    from pyspark.sql import Window as W
+
+    c_dir, p_dir = stage_layout_corpora(spark, sf_dir)
+    stats = rowgroup_stats(spark, c_dir).withColumn(
+        "layout", F.lit("clustered")
+    ).unionByName(
+        rowgroup_stats(spark, p_dir).withColumn("layout", F.lit("plain"))
+    )
+    typed = stats.where(
+        F.col("col").isin(*_AUDIT_COLS)
+    ).select(
+        "layout",
+        "col",
+        "fname",
+        "row_group",
+        "min_value",
+        "max_value",
+        F.when(
+            F.col("col") == "l_shipdate",
+            F.datediff(F.to_date("min_value"), F.lit("1970-01-01").cast("date")),
+        ).otherwise(F.col("min_value").cast("long")).alias("lo"),
+        F.when(
+            F.col("col") == "l_shipdate",
+            F.datediff(F.to_date("max_value"), F.lit("1970-01-01").cast("date")),
+        ).otherwise(F.col("max_value").cast("long")).alias("hi"),
+    )
+    w = W.partitionBy("layout", "col").orderBy(
+        "lo", "hi", "fname", "row_group"
+    )
+    flagged = typed.withColumn("prev_hi", F.lag("hi").over(w))
+    out = flagged.groupBy("layout", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.when(F.col("prev_hi") >= F.col("lo"), 1).otherwise(0)
+        ).cast("long").alias("n_overlaps"),
+        F.min("lo").cast("long").alias("min_key"),
+        F.max("hi").cast("long").alias("max_key"),
+    ).select(
+        "layout",
+        "col",
+        "n_groups",
+        "n_overlaps",
+        (F.col("n_overlaps") == 0).cast("long").alias("clustered"),
+        "min_key",
+        "max_key",
+    )
+    return out
+
+
+def layout_audit_sql(sf_dir: str) -> str:
+    """DuckDB twin over the same staged layouts: native
+    ``parquet_metadata()`` + the identical overlap window."""
+    c_dir, p_dir = _layout_dirs(sf_dir)
+    branches = []
+    for layout, d in (("clustered", c_dir), ("plain", p_dir)):
+        for col, cast in _AUDIT_COLS.items():
+            lo = cast.format(v="stats_min_value")
+            hi = cast.format(v="stats_max_value")
+            branches.append(f"""
+SELECT '{layout}' AS layout, path_in_schema AS col,
+       regexp_extract(file_name, '[^/]+$') AS fname,
+       CAST(row_group_id AS BIGINT) AS row_group,
+       {lo} AS lo, {hi} AS hi
+FROM parquet_metadata('{d}/*.parquet')
+WHERE path_in_schema = '{col}'""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH typed AS ({union}),
+flagged AS (
+  SELECT layout, col, lo, hi,
+         LAG(hi) OVER (PARTITION BY layout, col
+                       ORDER BY lo, hi, fname, row_group) AS prev_hi
+  FROM typed
+)
+SELECT layout, col,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN prev_hi >= lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlaps,
+       CAST(CASE WHEN SUM(CASE WHEN prev_hi >= lo THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS clustered,
+       CAST(MIN(lo) AS BIGINT) AS min_key,
+       CAST(MAX(hi) AS BIGINT) AS max_key
+FROM flagged GROUP BY layout, col
+"""
+
+
 def parquet_footer_stats_sql(sf_dir: str) -> str:
     """DuckDB twin over the same staged directory (the rotation
     harness runs the Spark side first, which stages it)."""

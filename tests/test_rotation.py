@@ -209,6 +209,21 @@ def _sampling_filtered_sql():
     return sampling_filtered_sql()
 
 
+def _layout_audit(spark, sf_dir):
+    from gemmsql.pipeline.parquet_meta import layout_audit
+
+    return layout_audit(spark, sf_dir)
+
+
+def _layout_audit_sql():
+    # same staged-path discipline as the promoted parquet_footer_stats:
+    # the Spark side (run first) stages both layouts; the oracle reads
+    # the SAME files with DuckDB's native parquet_metadata()
+    from gemmsql.pipeline.parquet_meta import layout_audit_sql
+
+    return layout_audit_sql(SF_SMOKE)
+
+
 def _dq_quarantine_full(spark, sf_dir):
     from gemmsql.pipeline.dq import dq_orders_quarantine_full
 
@@ -535,6 +550,14 @@ def _rotated():
         # WHERE twin with exact row-membership parity
         ("streaming_quarantine_gate", _streaming_quarantine,
          _streaming_quarantine_sql()),
+        # also born in round 11 (VERDICT r10 next #5): the data-layout
+        # tier — the clustered sink and the from-scratch footer parser
+        # composed into the audit a 100 TB lake runs: per (layout,
+        # column), are the row-group min/max ranges pairwise disjoint?
+        # The verdict is hash-load-bearing BOTH ways (range-sorted
+        # write passes on its cluster key and fails on the rest; the
+        # hash-partitioned write fails everywhere)
+        ("layout_audit", _layout_audit, _layout_audit_sql()),
     ]
 
 
