@@ -32,6 +32,26 @@ def test_every_oracle_key_has_query():
     assert no_oracle == set()
 
 
+def test_package_root_exports_resolve():
+    """Every name in gemmsql.__all__ must import from the package root
+    (VERDICT r10 next #8 — the reference's empty __init__.py is a
+    defect SURVEY.md §2 flags; ours stays current as ops are born)."""
+    import gemmsql
+
+    for name in gemmsql.__all__:
+        assert callable(getattr(gemmsql, name)) or name == "Rule" or \
+            getattr(gemmsql, name) is not None, name
+    # the rule dataclass and a sample of each tier resolve to the
+    # same objects as their home modules
+    from gemmsql.pipeline.dq import quarantine
+    from gemmsql.pipeline.media_split import split_mp3
+    from gemmsql.streaming.windows import streaming_dq_gate
+
+    assert gemmsql.quarantine is quarantine
+    assert gemmsql.split_mp3 is split_mp3
+    assert gemmsql.streaming_dq_gate is streaming_dq_gate
+
+
 def test_queries_run_at_smoke_tier(spark):
     from tests.conftest import SF_SMOKE
 
