@@ -521,12 +521,18 @@ def user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
       anchor hours (exact at anchors).  The spine's endpoints are
       anchors by construction, so neither fill is ever null.
 
-    Scale shape: the spine is an IN-ROW ``sequence()`` explode per
-    user (bounded by that user's own time span — sparse users cost
-    nothing), the hourly pre-aggregation is one shuffle, and both
-    fills are two window passes over the same user partitioning —
-    no self-join, no driver loop, and the per-user spine length
-    bounds the window sort exactly as sessionize's event count does."""
+    Scale shape (r11 rework — the r10 formulation joined a dense
+    spine back to the anchors and ran FOUR ignore-null window passes
+    over the EXPLODED rows; at sf0.1 that was the single most
+    expensive bench line): every anchor hour knows its next anchor
+    via one ``lead`` pass, so each anchor GENERATES its own gap rows
+    (in-row ``sequence`` explode up to the next anchor, exclusive)
+    with both fills computed at generation time — the previous
+    anchor's value IS the forward fill, and both interpolation
+    endpoints are in hand.  No spine join, no windows over the dense
+    output: one hourly aggregation shuffle, one anchors-only window
+    pass, one explode.  The per-user anchor count bounds the window
+    sort exactly as sessionize's event count does."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
@@ -535,55 +541,46 @@ def user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("user_id", "hour_us").agg(
         F.count("*").alias("n"), F.avg("value").alias("av")
     )
-    spine = (
-        hourly.groupBy("user_id")
-        .agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(
-                F.expr(f"sequence(lo, hi, {HOUR_US})")
-            ).alias("hour_us"),
-        )
-    )
-    j = spine.join(hourly, ["user_id", "hour_us"], "left")
-    anchor_t = F.when(F.col("av").isNotNull(), F.col("hour_us"))
-    wp = (
-        W.partitionBy("user_id")
-        .orderBy("hour_us")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wn = (
-        W.partitionBy("user_id")
-        .orderBy("hour_us")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    f = j.select(
+    w = W.partitionBy("user_id").orderBy("hour_us")
+    anchors = hourly.select(
         "user_id",
         "hour_us",
         "n",
         "av",
-        F.last("av", ignorenulls=True).over(wp).alias("pv"),
-        F.last(anchor_t, ignorenulls=True).over(wp).alias("pt"),
-        F.first("av", ignorenulls=True).over(wn).alias("nv"),
-        F.first(anchor_t, ignorenulls=True).over(wn).alias("nt"),
+        F.lead("hour_us").over(w).alias("nt"),
+        F.lead("av").over(w).alias("nv"),
     )
-    interp = F.when(F.col("av").isNotNull(), F.col("av")).otherwise(
-        F.col("pv")
-        + (F.col("nv") - F.col("pv"))
-        * (F.col("hour_us") - F.col("pt"))
-        / (F.col("nt") - F.col("pt"))
+    dense = anchors.select(
+        "user_id",
+        "n",
+        "av",
+        "hour_us",
+        "nt",
+        "nv",
+        F.explode(
+            F.expr(
+                f"sequence(hour_us,"
+                f" coalesce(nt - {HOUR_US}, hour_us), {HOUR_US})"
+            )
+        ).alias("h"),
+    )
+    at_anchor = F.col("h") == F.col("hour_us")
+    interp = F.when(at_anchor, F.col("av")).otherwise(
+        F.col("av")
+        + (F.col("nv") - F.col("av"))
+        * (F.col("h") - F.col("hour_us"))
+        / (F.col("nt") - F.col("hour_us"))
     )
     # interpolation lands on exact decimal midpoints (dyadic slope
     # fractions), where Spark's half-up and DuckDB's half-even ROUND
     # disagree — quantize with the repo-standard floor(x*1e6 + 0.5)
     q = lambda c: (F.floor(c * 1e6 + F.lit(0.5)) / 1e6).cast("double")
-    return f.select(
+    return dense.select(
         F.col("user_id").cast("long").alias("user_id"),
-        "hour_us",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        F.when(F.col("n").isNull(), 1).otherwise(0).cast("long")
-        .alias("is_gap"),
-        q(F.col("pv")).alias("ffill_value"),
+        F.col("h").alias("hour_us"),
+        F.when(at_anchor, F.col("n")).otherwise(0).cast("long").alias("n"),
+        F.when(at_anchor, 0).otherwise(1).cast("long").alias("is_gap"),
+        q(F.col("av")).alias("ffill_value"),
         q(interp).alias("interp_value"),
     )
 
