@@ -567,6 +567,140 @@ def layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _zorder_dirs(sf_dir: str) -> tuple[str, str, str]:
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    tag = staged_dir_tag(sf_dir)
+    return tuple(
+        os.path.join(tempfile.gettempdir(), f"gemmsql_zorder_{k}_{tag}")
+        for k in ("z", "c", "p")
+    )
+
+
+def stage_zorder_corpora(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Write the SAME 2-D lineitem projection three ways — Z-ordered
+    on (l_orderkey, l_partkey), range-clustered on l_orderkey alone,
+    and hash-partitioned unsorted — the three layouts whose stat
+    tightness the z-order story claims to rank."""
+    from gemmsql.sources import write_clustered, write_zordered
+
+    z_dir, c_dir, p_dir = _zorder_dirs(sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    for target, kind in ((z_dir, "z"), (c_dir, "c"), (p_dir, "p")):
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            continue
+        tmp = f"{target}.tmp{os.getpid()}"
+        if kind == "z":
+            write_zordered(
+                li, tmp, zorder_by=("l_orderkey", "l_partkey"), n_files=4
+            )
+        elif kind == "c":
+            write_clustered(li, tmp, cluster_by=("l_orderkey",), n_files=4)
+        else:
+            li.repartition(4, "l_orderkey").write.mode("overwrite").parquet(
+                tmp
+            )
+        # publish atomically; a losing concurrent stager discards its copy
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return z_dir, c_dir, p_dir
+
+
+#: round-half-up(1e6 * sum_width / (n * span)) in EXACT integer
+#: arithmetic — the cross-engine tightness quantizer (all inputs
+#: positive BIGINTs, so one expression serves Spark and DuckDB)
+_TIGHT_INT = (
+    "(2 * 1000000 * {sw} + {n} * {span}) {div} (2 * {n} * {span})"
+)
+
+
+def zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional layout audit (the measurement behind
+    SCALE.md's z-order claim): per (layout, column), the average
+    row-group stat width as a fraction of the column's global span,
+    quantized to micro units -> ``(layout, col, n_groups, span,
+    sum_width, tightness)``.
+
+    What the numbers must show — and the hash therefore pins:
+    Z-ordering makes EVERY interleaved dimension's row-group ranges
+    narrow at once (each file covers a hypercube: ~span/2 per dim at
+    4 files), single-key clustering makes only its own key narrow
+    (~span/4) while the other dimension stays full-width, and the
+    hash-partitioned write stays full-width everywhere.  Tightness is
+    computed in exact integer arithmetic so Spark and the DuckDB
+    ``parquet_metadata()`` twin agree bit-for-bit.
+
+    Scale shape: identical to :func:`layout_audit` — footers only."""
+    z_dir, c_dir, p_dir = stage_zorder_corpora(spark, sf_dir)
+    stats = None
+    for layout, d in (("zorder", z_dir), ("clustered", c_dir),
+                      ("plain", p_dir)):
+        s = rowgroup_stats(spark, d).withColumn("layout", F.lit(layout))
+        stats = s if stats is None else stats.unionByName(s)
+    typed = stats.where(
+        F.col("col").isin("l_orderkey", "l_partkey")
+    ).select(
+        "layout",
+        "col",
+        F.col("min_value").cast("long").alias("lo"),
+        F.col("max_value").cast("long").alias("hi"),
+    )
+    agg = typed.groupBy("layout", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        (F.max("hi") - F.min("lo")).cast("long").alias("span"),
+        F.sum(F.col("hi") - F.col("lo")).cast("long").alias("sum_width"),
+    )
+    tight = _TIGHT_INT.format(
+        sw="sum_width", n="n_groups", span="span", div="div"
+    )
+    return agg.select(
+        "layout",
+        "col",
+        "n_groups",
+        "span",
+        "sum_width",
+        F.expr(tight).cast("long").alias("tightness"),
+    )
+
+
+def zorder_audit_sql(sf_dir: str) -> str:
+    """DuckDB twin: native ``parquet_metadata()`` over the same three
+    staged layouts, identical integer tightness."""
+    z_dir, c_dir, p_dir = _zorder_dirs(sf_dir)
+    branches = " UNION ALL ".join(
+        f"""
+SELECT '{layout}' AS layout, path_in_schema AS col,
+       CAST(stats_min_value AS BIGINT) AS lo,
+       CAST(stats_max_value AS BIGINT) AS hi
+FROM parquet_metadata('{d}/*.parquet')
+WHERE path_in_schema IN ('l_orderkey', 'l_partkey')"""
+        for layout, d in (
+            ("zorder", z_dir), ("clustered", c_dir), ("plain", p_dir)
+        )
+    )
+    tight = _TIGHT_INT.format(
+        sw="SUM(hi - lo)", n="COUNT(*)",
+        span="(MAX(hi) - MIN(lo))", div="//",
+    )
+    return f"""
+WITH typed AS ({branches})
+SELECT layout, col,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MAX(hi) - MIN(lo) AS BIGINT) AS span,
+       CAST(SUM(hi - lo) AS BIGINT) AS sum_width,
+       CAST({tight} AS BIGINT) AS tightness
+FROM typed GROUP BY layout, col
+"""
+
+
 def layout_audit_sql(sf_dir: str) -> str:
     """DuckDB twin over the same staged layouts: native
     ``parquet_metadata()`` + the identical overlap window."""

@@ -224,6 +224,18 @@ def _layout_audit_sql():
     return layout_audit_sql(SF_SMOKE)
 
 
+def _zorder_audit(spark, sf_dir):
+    from gemmsql.pipeline.parquet_meta import zorder_audit
+
+    return zorder_audit(spark, sf_dir)
+
+
+def _zorder_audit_sql():
+    from gemmsql.pipeline.parquet_meta import zorder_audit_sql
+
+    return zorder_audit_sql(SF_SMOKE)
+
+
 def _dq_quarantine_full(spark, sf_dir):
     from gemmsql.pipeline.dq import dq_orders_quarantine_full
 
@@ -558,6 +570,13 @@ def _rotated():
         # write passes on its cluster key and fails on the rest; the
         # hash-partitioned write fails everywhere)
         ("layout_audit", _layout_audit, _layout_audit_sql()),
+        # also born in round 11: the multi-dimensional sibling — the
+        # measurement behind SCALE.md's z-order claim: per (layout,
+        # column) average row-group stat width over global span, in
+        # exact integer micro units; the Z-ordered write must be
+        # narrow on BOTH interleaved dimensions while single-key
+        # clustering is narrow on one and the hash write on neither
+        ("zorder_audit", _zorder_audit, _zorder_audit_sql()),
     ]
 
 
