@@ -59,10 +59,13 @@ _EXPORTS = {
     "read_footer_tail": "gemmsql.pipeline.parquet_meta",
     "rowgroup_stats": "gemmsql.pipeline.parquet_meta",
     "layout_audit": "gemmsql.pipeline.parquet_meta",
-    # layout-aware sinks
+    "zorder_audit": "gemmsql.pipeline.parquet_meta",
+    "compaction_audit": "gemmsql.pipeline.parquet_meta",
+    # layout-aware sinks + maintenance
     "write_clustered": "gemmsql.sources",
     "write_zordered": "gemmsql.sources",
     "write_bucketed_table": "gemmsql.sources",
+    "compact_parquet": "gemmsql.sources",
     # streaming DQ (r10/r11 births)
     "streaming_dq_gate": "gemmsql.streaming.windows",
     "streaming_quarantine_gate": "gemmsql.streaming.windows",

@@ -701,6 +701,139 @@ FROM typed GROUP BY layout, col
 """
 
 
+def _compaction_dirs(sf_dir: str) -> tuple[str, str]:
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    tag = staged_dir_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"gemmsql_compact_src_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"gemmsql_compact_dst_{tag}"),
+    )
+
+
+#: compaction gate's output-file sizing — small so the staged fixture
+#: compacts to SEVERAL files (>= 2 keeps the tightness metric
+#: meaningful: one file would trivially span the full domain)
+_COMPACT_TARGET_BYTES = 24 * 1024
+
+
+def stage_compaction_corpora(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Stage the small-files problem and its fix: a 64-file
+    hash-partitioned write of (l_orderkey, l_linenumber), then
+    :func:`gemmsql.sources.compact_parquet` over it (compact AND
+    re-cluster on l_orderkey, output count sized from actual source
+    bytes)."""
+    from gemmsql.sources import compact_parquet
+
+    src, dst = _compaction_dirs(sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        tmp = f"{src}.tmp{os.getpid()}"
+        li.repartition(64, "l_orderkey").write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, src)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        tmp = f"{dst}.tmp{os.getpid()}"
+        compact_parquet(
+            spark, src, tmp,
+            cluster_by=("l_orderkey",),
+            target_file_bytes=_COMPACT_TARGET_BYTES,
+        )
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return src, dst
+
+
+def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after audit of :func:`gemmsql.sources.compact_parquet`
+    -> one row per phase: ``(phase, n_files, n_groups, n_rows,
+    tightness, checksum)``.
+
+    The hash pins the three properties compaction must deliver
+    together: the file count COLLAPSES (64 tiny files -> a handful
+    sized from actual bytes), the cluster key's stat tightness is
+    RESTORED (the quantized width ratio drops from ~full-span to
+    ~span/n), and the DATA IS UNTOUCHED — ``checksum`` is computed
+    from the table contents of each directory (not its metadata), so
+    a rewrite that loses or duplicates any row cannot hash-match.
+    Metadata comes from the from-scratch footer parser; the DuckDB
+    twin re-derives every number from the same files
+    (``parquet_metadata()`` + a direct data scan)."""
+    src, dst = stage_compaction_corpora(spark, sf_dir)
+    out = None
+    for phase, d in (("before", src), ("after", dst)):
+        meta = rowgroup_stats(spark, d).where(
+            F.col("col") == "l_orderkey"
+        ).agg(
+            F.countDistinct("fname").cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("rg_rows").cast("long").alias("n_rows"),
+            (
+                F.max(F.col("max_value").cast("long"))
+                - F.min(F.col("min_value").cast("long"))
+            ).cast("long").alias("span"),
+            F.sum(
+                F.col("max_value").cast("long")
+                - F.col("min_value").cast("long")
+            ).cast("long").alias("sum_width"),
+        )
+        data = spark.read.parquet(d).agg(
+            F.sum(
+                F.col("l_orderkey") * 31 + F.col("l_linenumber")
+            ).cast("long").alias("checksum")
+        )
+        one = meta.crossJoin(data).select(
+            F.lit(phase).alias("phase"),
+            "n_files",
+            "n_groups",
+            "n_rows",
+            F.expr(_TIGHT_INT.format(
+                sw="sum_width", n="n_groups", span="span", div="div"
+            )).cast("long").alias("tightness"),
+            "checksum",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def compaction_audit_sql(sf_dir: str) -> str:
+    """DuckDB twin over the same staged directories."""
+    src, dst = _compaction_dirs(sf_dir)
+    tight = _TIGHT_INT.format(
+        sw="SUM(hi - lo)", n="COUNT(*)",
+        span="(MAX(hi) - MIN(lo))", div="//",
+    )
+    branches = " UNION ALL ".join(
+        f"""
+SELECT '{phase}' AS phase,
+       CAST(COUNT(DISTINCT file_name) AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(row_group_num_rows) AS BIGINT) AS n_rows,
+       CAST({tight} AS BIGINT) AS tightness,
+       (SELECT CAST(SUM(l_orderkey * 31 + l_linenumber) AS BIGINT)
+        FROM '{d}/*.parquet') AS checksum
+FROM (SELECT file_name, row_group_num_rows,
+             CAST(stats_min_value AS BIGINT) AS lo,
+             CAST(stats_max_value AS BIGINT) AS hi
+      FROM parquet_metadata('{d}/*.parquet')
+      WHERE path_in_schema = 'l_orderkey')"""
+        for phase, d in (("before", src), ("after", dst))
+    )
+    return branches
+
+
 def layout_audit_sql(sf_dir: str) -> str:
     """DuckDB twin over the same staged layouts: native
     ``parquet_metadata()`` + the identical overlap window."""

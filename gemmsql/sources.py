@@ -142,6 +142,49 @@ def write_clustered(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    cluster_by: tuple[str, ...],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction — the maintenance op every long-lived
+    lake runs (streaming sinks and incremental upserts accrete tiny
+    files; each one costs a task, an open, and a footer read on every
+    later scan).  Reads ``src_dir``, sizes the output file count from
+    the ACTUAL source bytes (``ceil(total / target_file_bytes)`` — a
+    driver-side metadata listing, no data pass), and rewrites through
+    :func:`write_clustered` so compaction also restores stat
+    tightness on ``cluster_by`` (compact-and-cluster, the OPTIMIZE
+    shape table formats ship).  Returns the output file count.
+
+    Scale shape: one range exchange + one write — the same cost as
+    any clustered write of the same volume; the sizing listing reads
+    directory metadata only."""
+    import math
+    import os as _os
+
+    total = sum(
+        e.stat().st_size
+        for e in _os.scandir(src_dir)
+        if e.name.endswith(".parquet")
+    )
+    if total == 0:
+        raise ValueError(f"no parquet bytes under {src_dir}")
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    write_clustered(
+        spark.read.parquet(src_dir),
+        dst_dir,
+        cluster_by=cluster_by,
+        n_files=n_files,
+        mode=mode,
+    )
+    return n_files
+
+
 ZORDER_BITS = 16  # per-dimension resolution of the Morton curve
 
 

@@ -236,6 +236,18 @@ def _zorder_audit_sql():
     return zorder_audit_sql(SF_SMOKE)
 
 
+def _compaction_audit(spark, sf_dir):
+    from gemmsql.pipeline.parquet_meta import compaction_audit
+
+    return compaction_audit(spark, sf_dir)
+
+
+def _compaction_audit_sql():
+    from gemmsql.pipeline.parquet_meta import compaction_audit_sql
+
+    return compaction_audit_sql(SF_SMOKE)
+
+
 def _dq_quarantine_full(spark, sf_dir):
     from gemmsql.pipeline.dq import dq_orders_quarantine_full
 
@@ -577,6 +589,13 @@ def _rotated():
         # narrow on BOTH interleaved dimensions while single-key
         # clustering is narrow on one and the hash write on neither
         ("zorder_audit", _zorder_audit, _zorder_audit_sql()),
+        # also born in round 11: small-file compaction
+        # (sources.compact_parquet — the OPTIMIZE maintenance op)
+        # audited before/after: the hash pins the file-count collapse,
+        # the restored cluster-key tightness, AND a content checksum
+        # computed from the table data itself, so a rewrite that
+        # loses or duplicates a row cannot match
+        ("compaction_audit", _compaction_audit, _compaction_audit_sql()),
     ]
 
 
