@@ -66,6 +66,9 @@ _EXPORTS = {
     "write_zordered": "gemmsql.sources",
     "write_bucketed_table": "gemmsql.sources",
     "compact_parquet": "gemmsql.sources",
+    # archive containers
+    "build_zip": "gemmsql.pipeline.zipshard",
+    "parse_zip": "gemmsql.pipeline.zipshard",
     # streaming DQ (r10/r11 births)
     "streaming_dq_gate": "gemmsql.streaming.windows",
     "streaming_quarantine_gate": "gemmsql.streaming.windows",

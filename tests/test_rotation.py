@@ -236,6 +236,18 @@ def _zorder_audit_sql():
     return zorder_audit_sql(SF_SMOKE)
 
 
+def _zip_shard_ingest(spark, sf_dir):
+    from gemmsql.pipeline.zipshard import zip_shard_ingest
+
+    return zip_shard_ingest(spark, sf_dir)
+
+
+def _zip_shard_ingest_sql():
+    from gemmsql.pipeline.zipshard import ZIP_SHARD_INGEST_SQL
+
+    return ZIP_SHARD_INGEST_SQL
+
+
 def _compaction_audit(spark, sf_dir):
     from gemmsql.pipeline.parquet_meta import compaction_audit
 
@@ -596,6 +608,13 @@ def _rotated():
         # computed from the table data itself, so a rewrite that
         # loses or duplicates a row cannot match
         ("compaction_audit", _compaction_audit, _compaction_audit_sql()),
+        # also born in round 11: the ZIP container (PKZIP framing from
+        # scratch on the public APPNOTE spec, raw-DEFLATE via stdlib
+        # zlib) — tail-first EOCD walk + central/local cross-check +
+        # CRC-32 verify; the per-member store-vs-deflate choice is a
+        # RECOVERED gated column, so both decode paths load-bear;
+        # stdlib-zipfile interop both ways in tests/test_zipshard.py
+        ("zip_shard_ingest", _zip_shard_ingest, _zip_shard_ingest_sql()),
     ]
 
 
