@@ -69,6 +69,10 @@ _EXPORTS = {
     # archive containers
     "build_zip": "gemmsql.pipeline.zipshard",
     "parse_zip": "gemmsql.pipeline.zipshard",
+    # tokenizer (train + apply)
+    "bpe_learn": "gemmsql.pipeline.bpe",
+    "bpe_encode": "gemmsql.pipeline.bpe",
+    "bpe_tokenize": "gemmsql.pipeline.bpe",
     # streaming DQ (r10/r11 births)
     "streaming_dq_gate": "gemmsql.streaming.windows",
     "streaming_quarantine_gate": "gemmsql.streaming.windows",

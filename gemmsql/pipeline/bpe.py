@@ -257,3 +257,94 @@ def apply_merges_expr(merges: list[tuple[int, str, str, int]]) -> str:
     for _, a, b, _ in merges:
         expr = merge_pair_expr(a, b).replace("aggregate(syms,", f"aggregate({expr},", 1)
     return expr
+
+
+# ----------------------------------------------- gated tokenizer apply
+
+#: the gate's fixed merge list — creation-ordered (every pair's parts
+#: exist before the pair is used: t+h before th+e, a+n before an+d),
+#: which is the property making rank-priority inference
+#: (:func:`encode_word`) equivalent to in-order merge application —
+#: the equivalence the oracle replays and therefore hash-pins
+BPE_GATE_PAIRS: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("e", "n"),
+    ("a", "t"), ("o", "r"),
+]
+BPE_GATE_MERGES = [(i, a, b, 0) for i, (a, b) in enumerate(BPE_GATE_PAIRS)]
+#: token joiner for the value hash — a control char the ASCII corpus
+#: never contains, so joined-token md5 uniquely encodes the token list
+BPE_TOKEN_SEP = "\x1f"
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-APPLY half of the BPE tier (the training kernel
+    ``bpe_pair_counts`` has been gated since r4): every document
+    encoded by the PRODUCTION encoder (:func:`bpe_encode` — the
+    Arrow-batched, per-batch-memoized rank-priority path) under the
+    fixed :data:`BPE_GATE_MERGES` -> ``(doc_id, n_tokens,
+    tokens_md5)``.  ``tokens_md5`` hashes the full separator-joined
+    token sequence, so token IDENTITY and ORDER — not just counts —
+    are load-bearing: a wrong merge order, a missed chain (t+h then
+    th+e), or a tie broken on the wrong side changes the hash.
+
+    The DuckDB twin re-encodes every word with a chain of scalar
+    string folds (``list_reduce`` per merge, applied in learned
+    order) — an independent implementation of greedy BPE whose
+    agreement with the rank-priority encoder is exactly the
+    equivalence :func:`apply_merges_expr` documents."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file source tables scan as ONE partition — spread before
+    # the Arrow-batched encode (the repo-wide mapInPandas discipline)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    enc = bpe_encode(docs, BPE_GATE_MERGES)
+    return enc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens"),
+        F.md5(F.concat_ws(BPE_TOKEN_SEP, F.col("tokens"))).alias(
+            "tokens_md5"
+        ),
+    )
+
+
+def bpe_tokenize_sql() -> str:
+    """DuckDB twin: per word, characters -> one scalar string fold
+    per merge in learned order (the accumulator is the sep-joined
+    symbol sequence; merging appends WITHOUT the separator, fusing
+    the tail symbol) -> per-doc ordered token join -> count + md5."""
+    sep = BPE_TOKEN_SEP
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    chars = "list_transform(range(1, length(word) + 1), i -> word[i])"
+    s = f"array_to_string({chars}, '{sep}')"
+    for a, b in BPE_GATE_PAIRS:
+        s = (
+            f"list_reduce(string_split({s}, '{sep}'), (acc, x) ->"
+            f" CASE WHEN x = '{q(b)}' AND (acc = '{q(a)}'"
+            f" OR ends_with(acc, '{sep}' || '{q(a)}'))"
+            f" THEN acc || x ELSE acc || '{sep}' || x END)"
+        )
+    return f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(words) AS word,
+         generate_subscripts(words, 1) AS ord
+  FROM wl
+),
+enc AS (SELECT doc_id, ord, {s} AS toks FROM w),
+agg AS (
+  SELECT doc_id, string_agg(toks, '{sep}' ORDER BY ord) AS all_toks
+  FROM enc GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(all_toks) - length(replace(all_toks, '{sep}', '')) + 1
+            AS BIGINT) AS n_tokens,
+       md5(all_toks) AS tokens_md5
+FROM agg
+"""

@@ -236,6 +236,18 @@ def _zorder_audit_sql():
     return zorder_audit_sql(SF_SMOKE)
 
 
+def _bpe_tokenize(spark, sf_dir):
+    from gemmsql.pipeline.bpe import bpe_tokenize
+
+    return bpe_tokenize(spark, sf_dir)
+
+
+def _bpe_tokenize_sql():
+    from gemmsql.pipeline.bpe import bpe_tokenize_sql
+
+    return bpe_tokenize_sql()
+
+
 def _zip_shard_ingest(spark, sf_dir):
     from gemmsql.pipeline.zipshard import zip_shard_ingest
 
@@ -615,6 +627,12 @@ def _rotated():
         # RECOVERED gated column, so both decode paths load-bear;
         # stdlib-zipfile interop both ways in tests/test_zipshard.py
         ("zip_shard_ingest", _zip_shard_ingest, _zip_shard_ingest_sql()),
+        # also born in round 11: the tokenizer-APPLY half of the BPE
+        # tier — the production Arrow-batched rank-priority encoder
+        # vs an independent DuckDB greedy-fold re-encode (one scalar
+        # string fold per merge, in learned order); token identity
+        # AND order ride the hash via the joined-token md5
+        ("bpe_tokenize", _bpe_tokenize, _bpe_tokenize_sql()),
     ]
 
 
