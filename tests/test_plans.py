@@ -845,3 +845,31 @@ def test_concurrent_events_keyless_join_is_bucketed(spark):
     # the filtered interval frame is consumed three times (both join
     # sides + the zero-count left join) — it must come from the cache
     assert "InMemoryTableScan" in p, "interval frame not cached"
+
+
+def test_user_value_gapfill_is_join_free(spark):
+    """The r11 gapfill rework: anchors generate their own gap rows, so
+    the plan must contain NO join of any kind (the old spine-join
+    formulation) and only the two exchanges the shape needs — the
+    hourly aggregation and the per-user window sort."""
+    from gemmsql.pipeline.events import user_value_gapfill
+
+    p = plan_of(user_value_gapfill(spark, SF_SMOKE))
+    for j in ("Join", "CartesianProduct"):
+        assert j not in p, p
+    assert p.count("Exchange") <= 2, p
+    assert "Generate" in p  # the in-row sequence explode survives
+
+
+def test_quarantine_full_row_rules_stay_one_scan(spark):
+    """Extending quarantine to unique/FK kinds must not multiply the
+    ROW-rule scan: the orders table is read once for the fused
+    row-level explode, once for the unique window, once for the FK
+    anti-join probe — never per-rule — and the FK dimension
+    broadcasts when asked to."""
+    from gemmsql.pipeline.dq import dq_orders_quarantine_full
+
+    p = plan_of(dq_orders_quarantine_full(spark, SF_SMOKE))
+    scans = len(re.findall(r"Scan parquet[^\n]*orders", p))
+    assert scans == 3, p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
