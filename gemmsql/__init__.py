@@ -69,6 +69,9 @@ _EXPORTS = {
     # archive containers
     "build_zip": "gemmsql.pipeline.zipshard",
     "parse_zip": "gemmsql.pipeline.zipshard",
+    # web-corpus normalization
+    "canonical_url": "gemmsql.pipeline.urls",
+    "canonicalize_urls": "gemmsql.pipeline.urls",
     # tokenizer (train + apply)
     "bpe_learn": "gemmsql.pipeline.bpe",
     "bpe_encode": "gemmsql.pipeline.bpe",

@@ -873,3 +873,13 @@ def test_quarantine_full_row_rules_stay_one_scan(spark):
     scans = len(re.findall(r"Scan parquet[^\n]*orders", p))
     assert scans == 3, p
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_url_canonical_is_zero_shuffle(spark):
+    """URL canonicalization must stay a codegen narrow map — no
+    exchange, no join; it runs at scan speed next to ingest."""
+    from gemmsql.pipeline.urls import url_canonical
+
+    p = plan_of(url_canonical(spark, SF_SMOKE))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p

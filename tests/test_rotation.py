@@ -236,6 +236,18 @@ def _zorder_audit_sql():
     return zorder_audit_sql(SF_SMOKE)
 
 
+def _url_canonical(spark, sf_dir):
+    from gemmsql.pipeline.urls import url_canonical
+
+    return url_canonical(spark, sf_dir)
+
+
+def _url_canonical_sql():
+    from gemmsql.pipeline.urls import URL_CANONICAL_SQL
+
+    return URL_CANONICAL_SQL
+
+
 def _bpe_tokenize(spark, sf_dir):
     from gemmsql.pipeline.bpe import bpe_tokenize
 
@@ -633,6 +645,12 @@ def _rotated():
         # string fold per merge, in learned order); token identity
         # AND order ride the hash via the joined-token md5
         ("bpe_tokenize", _bpe_tokenize, _bpe_tokenize_sql()),
+        # also born in round 11: URL canonicalization — the
+        # normalization web-corpus exact dedup keys on (case, default
+        # ports, dot-segment fold, query sort, fragment drop), a
+        # zero-shuffle codegen narrow map cross-checked against an
+        # independent DuckDB implementation of the same rules
+        ("url_canonical", _url_canonical, _url_canonical_sql()),
     ]
 
 
