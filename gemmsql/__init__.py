@@ -69,6 +69,10 @@ _EXPORTS = {
     # archive containers
     "build_zip": "gemmsql.pipeline.zipshard",
     "parse_zip": "gemmsql.pipeline.zipshard",
+    # temporal joins
+    "asof_join": "gemmsql.pipeline.joins",
+    "salted_join": "gemmsql.pipeline.joins",
+    "interval_self_join": "gemmsql.pipeline.joins",
     # web-corpus normalization
     "canonical_url": "gemmsql.pipeline.urls",
     "canonicalize_urls": "gemmsql.pipeline.urls",

@@ -36,16 +36,37 @@ def asof_join(
     right_ts: str,
     payload: dict[str, str],
     inclusive: bool = True,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the most recent right
-    row with ``right.right_ts <= left.left_ts`` (strictly ``<`` when
-    ``inclusive=False``) and the same ``key``.
+    """For each left row, attach the payload of the as-of right row
+    with the same ``key``:
+
+    - ``direction="backward"`` (default): the most recent right row
+      with ``right_ts <= left_ts`` (strict ``<`` when
+      ``inclusive=False``);
+    - ``"forward"``: the earliest right row with ``right_ts >=
+      left_ts`` (strict ``>`` when not inclusive);
+    - ``"nearest"``: whichever of the two is closer in time
+      (backward wins exact ties).
+
+    ``tolerance`` (optional) nulls the payload when the matched row is
+    farther than that from ``left_ts`` — pass a value comparable with
+    ``left_ts - right_ts`` (a number for numeric timestamps, an
+    INTERVAL column for real ones).
 
     ``payload`` maps right-column -> output-column.  Right rows must be
     unique per (key, right_ts) — pre-aggregate if not, or the result
     is nondeterministic.  Left columns pass through unchanged; rows
-    with no earlier right row get nulls.
-    """
+    with no as-of match get nulls.
+
+    Scale shape (why this is not a join): the union + window-fill
+    formulation is the distributed merge-asof — ONE shuffle on key,
+    per-key cost O((L_k + R_k) log) for the sort, never the
+    L_k x R_k fan-out a range join pays; ``nearest`` adds a second
+    windowed fill over the same exchange, not a second shuffle."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
     tagged_l = left.select(
         F.col(key).alias("_k"),
@@ -63,23 +84,75 @@ def asof_join(
         *[F.col(src).alias(dst) for src, dst in payload.items()],
     )
     both = tagged_l.unionByName(tagged_r)
-    # right rows sort before left rows at equal ts when inclusive, so a
-    # same-instant right row is visible to the left row
-    tie = F.col("_is_left") if inclusive else -F.col("_is_left")
-    w = (
-        W.partitionBy("_k")
-        .orderBy(F.col("_ts"), tie)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = both.select(
-        "*",
-        *[
-            F.last(dst, ignorenulls=True).over(w).alias(f"_f_{dst}")
+    want_b = direction in ("backward", "nearest")
+    want_f = direction in ("forward", "nearest")
+    fills = []
+    if want_b:
+        # right rows sort before left rows at equal ts when inclusive,
+        # so a same-instant right row is visible to the left row
+        tie = F.col("_is_left") if inclusive else -F.col("_is_left")
+        wb = (
+            W.partitionBy("_k")
+            .orderBy(F.col("_ts"), tie)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        fills += [
+            F.last(dst, ignorenulls=True).over(wb).alias(f"_b_{dst}")
             for dst in payload.values()
-        ],
-    )
-    return filled.where(F.col("_is_left") == 1).select(
-        *lcols, *[F.col(f"_f_{dst}").alias(dst) for dst in payload.values()]
+        ] + [
+            F.last(
+                F.when(F.col("_is_left") == 0, F.col("_ts")),
+                ignorenulls=True,
+            ).over(wb).alias("_b_ts")
+        ]
+    if want_f:
+        # mirrored: left rows first at equal ts when inclusive, so the
+        # same-instant right row falls inside the following frame
+        tie = -F.col("_is_left") if inclusive else F.col("_is_left")
+        wf = (
+            W.partitionBy("_k")
+            .orderBy(F.col("_ts"), tie)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        fills += [
+            F.first(dst, ignorenulls=True).over(wf).alias(f"_fw_{dst}")
+            for dst in payload.values()
+        ] + [
+            F.first(
+                F.when(F.col("_is_left") == 0, F.col("_ts")),
+                ignorenulls=True,
+            ).over(wf).alias("_fw_ts")
+        ]
+    filled = both.select("*", *fills).where(F.col("_is_left") == 1)
+
+    def _side(prefix: str, dist):
+        ok = F.col(f"{prefix}_ts").isNotNull()
+        if tolerance is not None:
+            ok = ok & (dist <= tolerance)
+        return ok
+
+    if direction == "backward":
+        dist = F.col("_ts") - F.col("_b_ts")
+        pick = {dst: F.when(_side("_b", dist), F.col(f"_b_{dst}"))
+                for dst in payload.values()}
+    elif direction == "forward":
+        dist = F.col("_fw_ts") - F.col("_ts")
+        pick = {dst: F.when(_side("_fw", dist), F.col(f"_fw_{dst}"))
+                for dst in payload.values()}
+    else:
+        bdist = F.col("_ts") - F.col("_b_ts")
+        fdist = F.col("_fw_ts") - F.col("_ts")
+        b_ok = _side("_b", bdist)
+        f_ok = _side("_fw", fdist)
+        use_b = b_ok & (~f_ok | (bdist <= fdist))
+        pick = {
+            dst: F.when(use_b, F.col(f"_b_{dst}")).otherwise(
+                F.when(f_ok, F.col(f"_fw_{dst}"))
+            )
+            for dst in payload.values()
+        }
+    return filled.select(
+        *lcols, *[expr.alias(dst) for dst, expr in pick.items()]
     )
 
 
@@ -506,4 +579,109 @@ SELECT iv.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
          AS n_overlapping
 FROM iv LEFT JOIN n_ovl ON n_ovl.o_custkey = iv.o_custkey
 GROUP BY 1
+"""
+
+
+def event_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three as-of directions in one gated query (tagged
+    ``which``): for every event, the customer's order nearest in time
+    under a 30-day tolerance -> ``(which, event_id, orderkey,
+    days_diff)``; -1 for no match within tolerance.
+
+    Timestamps are epoch DAYS (integers) so distance arithmetic and
+    the tolerance are exact on both engines.  The DuckDB twin uses
+    the engine's NATIVE ``ASOF JOIN`` (backward via ``<=``, forward
+    via ``>=``) — a genuinely independent as-of implementation, not a
+    replay of this module's union+window formulation."""
+    from gemmsql.datamodel import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("lts"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("rts"),
+            "ok",
+        )
+    )
+    out = None
+    for which in ("backward", "forward", "nearest"):
+        j = asof_join(
+            ev, orders,
+            key="user_id", left_ts="lts", right_ts="rts",
+            payload={"ok": "m_ok", "rts": "m_rts"},
+            direction=which, tolerance=30,
+        )
+        one = j.select(
+            F.lit(which).alias("which"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.coalesce(F.col("m_ok"), F.lit(-1)).cast("long")
+            .alias("orderkey"),
+            F.coalesce(
+                F.abs(F.col("lts") - F.col("m_rts")), F.lit(-1)
+            ).cast("long").alias("days_diff"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+EVENT_ORDER_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS lts
+  FROM events
+),
+r AS (
+  SELECT o_custkey AS user_id,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS rts,
+         MAX(o_orderkey) AS ok
+  FROM orders GROUP BY 1, 2
+),
+b AS (
+  SELECT e.event_id, r.ok, e.lts - r.rts AS dist
+  FROM e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND r.rts <= e.lts
+),
+f AS (
+  SELECT e.event_id, r.ok, r.rts - e.lts AS dist
+  FROM e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND r.rts >= e.lts
+),
+legs AS (
+  SELECT 'backward' AS which, event_id,
+         CASE WHEN dist <= 30 THEN ok END AS ok,
+         CASE WHEN dist <= 30 THEN dist END AS dist
+  FROM b
+  UNION ALL
+  SELECT 'forward', event_id,
+         CASE WHEN dist <= 30 THEN ok END,
+         CASE WHEN dist <= 30 THEN dist END
+  FROM f
+  UNION ALL
+  SELECT 'nearest', b.event_id,
+         CASE WHEN b.dist <= 30
+                   AND (f.dist IS NULL OR f.dist > 30
+                        OR b.dist <= f.dist) THEN b.ok
+              WHEN f.dist <= 30 THEN f.ok END,
+         CASE WHEN b.dist <= 30
+                   AND (f.dist IS NULL OR f.dist > 30
+                        OR b.dist <= f.dist) THEN b.dist
+              WHEN f.dist <= 30 THEN f.dist END
+  FROM b JOIN f USING (event_id)
+)
+SELECT which, CAST(event_id AS BIGINT) AS event_id,
+       CAST(COALESCE(ok, -1) AS BIGINT) AS orderkey,
+       CAST(COALESCE(dist, -1) AS BIGINT) AS days_diff
+FROM legs
 """

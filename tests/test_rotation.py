@@ -236,6 +236,18 @@ def _zorder_audit_sql():
     return zorder_audit_sql(SF_SMOKE)
 
 
+def _event_order_asof(spark, sf_dir):
+    from gemmsql.pipeline.joins import event_order_asof
+
+    return event_order_asof(spark, sf_dir)
+
+
+def _event_order_asof_sql():
+    from gemmsql.pipeline.joins import EVENT_ORDER_ASOF_SQL
+
+    return EVENT_ORDER_ASOF_SQL
+
+
 def _url_canonical(spark, sf_dir):
     from gemmsql.pipeline.urls import url_canonical
 
@@ -651,6 +663,13 @@ def _rotated():
         # zero-shuffle codegen narrow map cross-checked against an
         # independent DuckDB implementation of the same rules
         ("url_canonical", _url_canonical, _url_canonical_sql()),
+        # also born in round 11: the generalized as-of join — all
+        # three directions (backward / forward / nearest) under a
+        # 30-day tolerance in one tagged union, still the
+        # single-shuffle union+window merge-asof; the oracle is
+        # DuckDB's NATIVE ASOF JOIN (<= and >= legs composed), a
+        # genuinely independent as-of implementation
+        ("event_order_asof", _event_order_asof, _event_order_asof_sql()),
     ]
 
 
