@@ -76,6 +76,8 @@ _EXPORTS = {
     # web-corpus normalization
     "canonical_url": "gemmsql.pipeline.urls",
     "canonicalize_urls": "gemmsql.pipeline.urls",
+    # end-to-end curation composition
+    "curation_pipeline": "gemmsql.pipeline.corpus",
     # tokenizer (train + apply)
     "bpe_learn": "gemmsql.pipeline.bpe",
     "bpe_encode": "gemmsql.pipeline.bpe",

@@ -438,3 +438,112 @@ SELECT doc_id, h2,
        CAST(1 AS BIGINT)
 FROM j WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)
 """
+
+
+# ------------------------------------------- end-to-end curation gate
+
+#: quality floor for the composite pipeline — low enough that most
+#: docs survive, high enough that the filter REMOVES real rows (the
+#: hash must witness both outcomes)
+CURATION_MIN_WORDS = 8
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation chain as ONE composed plan (the
+    round-11 composition witness: profile -> quality-filter -> exact
+    dedup -> deterministic training order, each stage an operator
+    this engine gates separately) -> ``(slot, doc_id, lang,
+    n_words)``.
+
+    Stage shapes, all scale-honest: the word count is a narrow map
+    fused into the scan; the quality filter is a pushed predicate on
+    it; exact dedup is one window over md5(text) keeping the smallest
+    doc_id (one shuffle); the training order reuses
+    :func:`training_order`'s design — within-domain md5 rank
+    (window partitioned by lang) + a BOUNDED driver collect of the
+    surviving domains rejoined as a broadcast table + the closed-form
+    interleave slot.  No global sort, no global window anywhere.
+
+    The DuckDB twin recomputes the whole chain independently
+    (QUALIFY dedup, dense-rank domain index), so the hash pins every
+    stage AND their composition — drop one duplicate too many, or
+    filter at the wrong boundary, and every slot downstream moves."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    profiled = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).cast("long").alias("n_words"),
+    )
+    kept = profiled.where(F.col("n_words") >= CURATION_MIN_WORDS)
+    dedup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    unique = (
+        kept.withColumn("_rn", F.row_number().over(dedup_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "text")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ranked = unique.withColumn(
+        "k",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+        ),
+    )
+    langs = sorted(
+        r[0] for r in unique.select("lang").distinct().collect()
+    )  # bounded: one row per surviving domain
+    doms = spark.createDataFrame(
+        [(lang, idx) for idx, lang in enumerate(langs)],
+        "lang string, dom_idx int",
+    )
+    n_dom = len(langs)
+    return (
+        ranked.join(F.broadcast(doms), "lang")
+        .select(
+            ((F.col("k") - 1) * F.lit(n_dom) + F.col("dom_idx"))
+            .cast("long").alias("slot"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "n_words",
+        )
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH profiled AS (
+  SELECT doc_id, lang, text,
+         CAST(length(list_filter(string_split(text, ' '),
+                                 x -> x <> '')) AS BIGINT) AS n_words
+  FROM documents
+),
+kept AS (
+  SELECT * FROM profiled WHERE n_words >= {CURATION_MIN_WORDS}
+),
+unique_docs AS (
+  SELECT doc_id, lang, n_words FROM kept
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                             ORDER BY doc_id) = 1
+),
+ranked AS (
+  SELECT doc_id, lang, n_words,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substring(
+             md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+         ) AS k,
+         DENSE_RANK() OVER (ORDER BY lang) - 1 AS dom_idx
+  FROM unique_docs
+),
+n AS (SELECT COUNT(DISTINCT lang) AS n_dom FROM unique_docs)
+SELECT CAST((k - 1) * n.n_dom + dom_idx AS BIGINT) AS slot,
+       CAST(doc_id AS BIGINT) AS doc_id, lang, n_words
+FROM ranked CROSS JOIN n
+"""

@@ -236,6 +236,18 @@ def _zorder_audit_sql():
     return zorder_audit_sql(SF_SMOKE)
 
 
+def _curation_pipeline(spark, sf_dir):
+    from gemmsql.pipeline.corpus import curation_pipeline
+
+    return curation_pipeline(spark, sf_dir)
+
+
+def _curation_pipeline_sql():
+    from gemmsql.pipeline.corpus import CURATION_PIPELINE_SQL
+
+    return CURATION_PIPELINE_SQL
+
+
 def _event_order_asof(spark, sf_dir):
     from gemmsql.pipeline.joins import event_order_asof
 
@@ -670,6 +682,12 @@ def _rotated():
         # DuckDB's NATIVE ASOF JOIN (<= and >= legs composed), a
         # genuinely independent as-of implementation
         ("event_order_asof", _event_order_asof, _event_order_asof_sql()),
+        # also born in round 11: the end-to-end curation COMPOSITION
+        # witness — profile -> quality filter -> exact dedup ->
+        # deterministic interleaved training order as one composed
+        # plan; the hash pins every stage and their boundaries (a
+        # wrong filter/dedup interaction moves every slot downstream)
+        ("curation_pipeline", _curation_pipeline, _curation_pipeline_sql()),
     ]
 
 
