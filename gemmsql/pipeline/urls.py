@@ -14,7 +14,12 @@ conventional crawl ones), each hash-load-bearing in the gate:
    segments collapsed; ``..`` at root is a no-op; result always
    starts with ``/``, bare root is ``/``);
 5. query parameters sorted bytewise (empty parameters dropped; an
-   empty query loses its ``?``).
+   empty query loses its ``?``);
+6. percent-encoding normalized (RFC 3986 6.2.2.1-2): unreserved
+   octets decoded (``%7E`` -> ``~``), everything else uppercased
+   (``%2f`` -> ``%2F``), malformed escapes passed through verbatim.
+   Runs before the structural rules — decoding an unreserved octet
+   can never create a delimiter.
 
 Everything is built-in string/array expressions — a NARROW map inside
 whole-stage codegen (plan-pinned zero-shuffle): at 100 TB this runs
@@ -55,6 +60,27 @@ _PATH_FOLD = (
     " ELSE concat(acc, array(s)) END)"
 )
 
+#: RFC 3986 6.2.2.1-2 percent-encoding normalization, Spark dialect:
+#: split on '%'; every later piece starts with the two hex digits of
+#: one escape — decode it when the octet is UNRESERVED
+#: (ALPHA / DIGIT / - . _ ~; decoding those can never create a
+#: delimiter), uppercase the hex otherwise, and pass malformed
+#: escapes (non-hex, or a trailing lone '%') through verbatim
+_PCT_DECODED = "char(cast(conv(substring(p, 1, 2), 16, 10) as int))"
+_PCT_NORM = (
+    "concat(element_at(split({s}, '%'), 1),"
+    " array_join(transform("
+    "   slice(split({s}, '%'), 2,"
+    "         greatest(size(split({s}, '%')) - 1, 0)),"
+    "   p -> CASE"
+    "   WHEN NOT p rlike '^[0-9A-Fa-f][0-9A-Fa-f]'"
+    "     THEN concat('%', p)"
+    f"  WHEN {_PCT_DECODED} rlike '^[A-Za-z0-9._~-]$'"
+    f"    THEN concat({_PCT_DECODED}, substring(p, 3))"
+    "   ELSE concat('%', upper(substring(p, 1, 2)), substring(p, 3))"
+    "   END), ''))"
+)
+
 
 def canonical_url(url: Column | str) -> Column:
     """Canonical form of ``url`` as a single JVM-side expression."""
@@ -73,13 +99,19 @@ def canonical_url(url: Column | str) -> Column:
     portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
         F.lit("")
     )
-    # the fold is an expr string, so it references the column by NAME —
-    # callers go through canonicalize_urls, which guarantees ``url``
-    segs = F.expr(
-        _PATH_FOLD.format(p=f"regexp_extract(url, '{_RE_PATH}', 1)")
+    # the folds are expr strings, so they reference the column by NAME
+    # — callers go through canonicalize_urls, which guarantees ``url``.
+    # Percent-normalization runs FIRST (decoding unreserved octets can
+    # never create a '/' or '&' delimiter, so segment/parameter splits
+    # are unaffected), then the dot-segment fold.
+    norm_path = _PCT_NORM.format(
+        s=f"regexp_extract(url, '{_RE_PATH}', 1)"
     )
+    segs = F.expr(_PATH_FOLD.format(p=norm_path))
     path = F.concat(F.lit("/"), F.array_join(segs, "/"))
-    raw_q = F.regexp_extract(u, _RE_QUERY, 1)
+    raw_q = F.expr(
+        _PCT_NORM.format(s=f"regexp_extract(url, '{_RE_QUERY}', 1)")
+    )
     sorted_q = F.array_join(
         F.array_sort(F.filter(F.split(raw_q, "&"), lambda x: x != "")),
         "&",
@@ -125,9 +157,15 @@ def _messy_url_spark() -> Column:
         .otherwise(F.when(d % 4 == 1, F.lit("//d"))
                    .otherwise(F.when(d % 4 == 2, F.lit("/e/"))
                               .otherwise(F.lit("")))),
+        # percent-escape variants: decodable lowercase hex, a reserved
+        # octet that must only uppercase, and a malformed escape
+        F.when(d % 5 == 1, F.lit("/%7euser"))
+        .otherwise(F.when(d % 5 == 2, F.lit("/%2fraw"))
+                   .otherwise(F.when(d % 5 == 3, F.lit("/x%zz"))
+                              .otherwise(F.lit("")))),
     )
     query = (
-        F.when(d % 3 == 0, F.lit("?b=2&a=1"))
+        F.when(d % 3 == 0, F.lit("?b=%32&a=1"))
         .otherwise(F.when(d % 3 == 1, F.lit("?z=9&&m=1"))
                    .otherwise(F.lit("")))
     )
@@ -150,6 +188,23 @@ def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_urls(messy).select("doc_id", "url", "canon")
 
 
+def _pct_norm_duck(s: str) -> str:
+    """DuckDB dialect of :data:`_PCT_NORM` (chr/CAST-0x instead of
+    char/conv; empty-list array_to_string is NULL — coalesced)."""
+    dec = "chr(CAST('0x' || substring(p, 1, 2) AS INT))"
+    return (
+        f"string_split({s}, '%')[1] || coalesce(array_to_string("
+        f" list_transform(string_split({s}, '%')[2:],"
+        "   p -> CASE"
+        "   WHEN NOT regexp_matches(p, '^[0-9A-Fa-f][0-9A-Fa-f]')"
+        "     THEN '%' || p"
+        f"  WHEN regexp_matches({dec}, '^[A-Za-z0-9._~-]$')"
+        f"    THEN {dec} || substring(p, 3)"
+        "   ELSE '%' || upper(substring(p, 1, 2)) || substring(p, 3)"
+        "   END), ''), '')"
+    )
+
+
 URL_CANONICAL_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -164,7 +219,11 @@ WITH m AS (
                  WHEN doc_id % 4 = 1 THEN '//d'
                  WHEN doc_id % 4 = 2 THEN '/e/'
                  ELSE '' END
-         || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1'
+         || CASE WHEN doc_id % 5 = 1 THEN '/%7euser'
+                 WHEN doc_id % 5 = 2 THEN '/%2fraw'
+                 WHEN doc_id % 5 = 3 THEN '/x%zz'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '?b=%32&a=1'
                  WHEN doc_id % 3 = 1 THEN '?z=9&&m=1'
                  ELSE '' END
          || CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END AS url
@@ -176,10 +235,8 @@ parts AS (
            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          regexp_extract(url,
            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-         regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
-         -- DuckDB regexp_extract is NULL on no match (Spark: '')
-         coalesce(regexp_extract(url, '[?]([^#]*)', 1), '') AS raw_q
+         __PCT_PATH__ AS raw_path,
+         __PCT_QUERY__ AS raw_q
   FROM m
 ),
 split_hp AS (
@@ -219,3 +276,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
        AS canon
 FROM folded
 """
+
+# percent-normalize path and query in the oracle too; DuckDB
+# regexp_extract is NULL on no match (Spark: ''), so coalesce first
+URL_CANONICAL_SQL = URL_CANONICAL_SQL.replace(
+    "__PCT_PATH__",
+    _pct_norm_duck(
+        "coalesce(regexp_extract(url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
+    ),
+).replace(
+    "__PCT_QUERY__",
+    _pct_norm_duck(
+        "coalesce(regexp_extract(url, '[?]([^#]*)', 1), '')"
+    ),
+)

@@ -21,6 +21,13 @@ from gemmsql.pipeline.urls import canonicalize_urls
     ("http://h.com//x///y//", "http://h.com/x/y"),
     # empty query loses its '?'
     ("http://h.com/x?", "http://h.com/x"),
+    # percent-encoding: unreserved decodes, reserved uppercases,
+    # malformed passes through, and decode runs BEFORE segment fold
+    ("http://h.com/%7euser/%2fraw", "http://h.com/~user/%2Fraw"),
+    ("http://h.com/a%zz/b?q=%41%2b", "http://h.com/a%zz/b?q=A%2B"),
+    # %2e decodes to '.' (unreserved), so '/%2e%2e/x' becomes '/../x'
+    # BEFORE the fold — which pops at root, leaving '/x'
+    ("http://h.com/%2e%2e/x", "http://h.com/x"),
 ])
 def test_canonical_rules(spark, url, want):
     df = spark.createDataFrame([(url,)], "url string")
