@@ -883,3 +883,21 @@ def test_url_canonical_is_zero_shuffle(spark):
     p = plan_of(url_canonical(spark, SF_SMOKE))
     assert "Exchange" not in p, p
     assert "Join" not in p, p
+
+
+def test_curation_pipeline_no_global_sort_or_window(spark):
+    """The composed curation chain must keep training_order's scale
+    discipline end to end: every Window partitioned (md5-dedup and
+    per-lang rank), domains joined as a broadcast, no global Sort
+    feeding an unpartitioned window, no cartesian."""
+    from gemmsql.pipeline.corpus import curation_pipeline
+
+    p = plan_of(curation_pipeline(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p  # the D-row domain table
+    for line in p.splitlines():
+        if "Window " in line and "windowspecdefinition" in line:
+            m = re.search(r"Window \[[^\]]*\], \[([^\]]*)\]", line)
+            assert m and m.group(1).strip(), (
+                f"unpartitioned window: {line.strip()[:120]}"
+            )
