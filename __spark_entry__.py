@@ -368,6 +368,14 @@ def _streaming_dq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dq_gate(spark, sf_dir)
 
 
+def _streaming_quarantine_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_quarantine_gate
+
+    return streaming_quarantine_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -605,6 +613,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     funnel_counts, training_order (green r6-r10), hist_quantiles,
     cm_heavy_hitters (green r6/r7-r10), and kmv_reach (green r7-r10).
 
+    Round-12 rotation (VERDICT r11 next #1 — promote the round-11
+    births in one cohort): NINE of the ten r11 rotation births enter
+    the driver gate — url_canonical, event_order_asof,
+    curation_pipeline, zip_shard_ingest, bpe_tokenize, zorder_audit,
+    compaction_audit, streaming_quarantine_gate (the NINTH streaming
+    gate), and dq_orders_quarantine_full, which REPLACES
+    dq_orders_quarantine in place (it strictly supersedes the
+    row-rules-only quarantine: all four rule kinds — row, unique
+    window, FK anti-join — with row membership hash-load-bearing).
+    The tenth birth, layout_audit, stays rotation-gated by design:
+    zorder_audit subsumes its single-key row-group-disjointness check
+    with the stricter multi-dimension stat-width audit.  Out (each
+    keeps the identical hash gate in tests/test_rotation.py):
+    warc_ingest, tar_shard_ingest, gif_anim_features,
+    mp3_stream_stats (green rotation r9 + driver r10-r11),
+    dq_orders_report (green r10-r11; quarantine_full runs the same
+    fused single-scan rule suite and emits the violating rows the
+    report only counts; the streaming report shape stays driver-gated
+    via streaming_dq_gate), basket_rules, concurrent_events (green
+    r6/r7-r11), and pagerank_step (green r6-r11; pagerank_iter3
+    composes the identical kernel three times, so the step stays
+    driver-gated through it — the triangle_count_exact argument
+    from r10).  The promotion ledger lives in COVERAGE.md.
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -621,8 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parquet_meta,
         text,
     )
-    from gemmsql.pipeline import adpcm, dq, dsir, gif, mp3, retrieval
-    from gemmsql.pipeline import media_split, similarity, tarshard, warc
+    from gemmsql.pipeline import adpcm, bpe, dq, dsir, retrieval, urls
+    from gemmsql.pipeline import media_split, similarity, zipshard
     from gemmsql.pipeline.multimodal import png_features
 
     return {
@@ -674,12 +706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # choice, bps+1 side decode, all three decorrelation
         # reconstructions load-bearing under the value hash ---
         "flac_stereo_features": flac.flac_stereo_features,
-        # --- GIF89a / variable-width LZW (promoted r10): the
-        # dictionary-coding codec family ---
-        "gif_anim_features": gif.gif_anim_features,
-        # --- MP3 frame walker (promoted r10): metadata at scan speed,
-        # CRC-16, Xing cross-check, ID3v2/v1 disambiguation ---
-        "mp3_stream_stats": mp3.mp3_stream_stats,
+        # (gif_anim_features / mp3_stream_stats rotated out r12, green
+        # rotation r9 + driver r10-r11 — hash gates in test_rotation;
+        # the codec tier stays driver-gated via PNG/JPEG/ADPCM/FLAC
+        # and the three splittable frame-stats readers)
         # --- dedup (minhash_lsh_pairs / dedup_clusters rotated out
         # late in r6, green r1-r5; keep-best + incremental keep the
         # LSH->cluster->canonicalize chain gated; doc_chunks rotated
@@ -689,34 +719,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out in r9, green r5-r8 — hash gates in test_rotation.py)
         "dedup_keep_best": dedup.dedup_keep_best,
         "semantic_dups": similarity.semantic_dups,
-        # --- ingest containers (promoted r10 over jsonl_gz_ingest,
-        # green rotation r7-r8 + driver r9): WARC web-archive framing
-        # (per-record gzip members, the Common Crawl wire format) and
-        # WebDataset-style ustar tar shards — both strictly richer
-        # member-walk disciplines than the gzip JSONL shards ---
-        "warc_ingest": warc.warc_ingest,
-        "tar_shard_ingest": tarshard.tar_shard_ingest,
-        # --- data quality (promoted r10): the expectation engine —
-        # N row-rules fused into ONE scan, failing rules' violation
-        # counts hash-load-bearing ---
-        "dq_orders_report": dq.dq_orders_report,
-        # --- promoted r11: the quarantine half — violating ROWS
-        # routed out in the report's same single scan
-        # (array_compact + explode; clean rows emit nothing); oracle
-        # is one WHERE twin per rule, so row MEMBERSHIP is
-        # hash-load-bearing ---
-        "dq_orders_quarantine": dq.dq_orders_quarantine,
+        # --- ingest containers (warc_ingest / tar_shard_ingest rotated
+        # out r12, green rotation r9 + driver r10-r11 — hash gates in
+        # test_rotation): the ZIP/PKZIP member walk (promoted r12) is
+        # the WebDataset shard regime — tail-first EOCD walk, ZIP64,
+        # central/local cross-check, CRC-32 verify, per-member
+        # store-vs-deflate choice a recovered gated column ---
+        "zip_shard_ingest": zipshard.zip_shard_ingest,
+        # --- data quality (promoted r12, replacing BOTH the r11
+        # dq_orders_quarantine — row rules only — and the r10
+        # dq_orders_report, whose violation counts this derives):
+        # quarantine across ALL FOUR rule kinds — single-scan row
+        # explode, window duplicate-group projection, anti-join FK
+        # survivors — row MEMBERSHIP hash-load-bearing per branch;
+        # the report scan shape stays gated via streaming_dq_gate ---
+        "dq_orders_quarantine_full": dq.dq_orders_quarantine_full,
         # --- promoted r11: the three-engine parquet-footer gate —
         # Spark writes the corpus, the from-scratch Thrift compact
         # parser reads the stats back, DuckDB's parquet_metadata()
         # is the oracle over the SAME files (staged path is
         # deterministic per sf_dir — no pid, ADVICE r9 #5) ---
         "parquet_footer_stats": parquet_meta.parquet_footer_stats,
+        # --- promoted r12: the data-layout audits built ON the footer
+        # parser — zorder_audit (per (layout, column) row-group
+        # stat-width over global span in exact micro units: the
+        # Z-ordered write must be narrow on BOTH interleaved
+        # dimensions, single-key clustering on one, the hash write on
+        # neither; subsumes layout_audit's single-key disjointness
+        # check, which keeps its rotation gate) and compaction_audit
+        # (the OPTIMIZE maintenance op before/after: file-count
+        # collapse + restored cluster tightness + a content checksum
+        # so a lossy rewrite cannot hash-match) ---
+        "zorder_audit": parquet_meta.zorder_audit,
+        "compaction_audit": parquet_meta.compaction_audit,
         # --- text analysis / selection / retrieval (html_extract
         # rotated out r10, green r7-r9 — hash gate in rotation) ---
         "dsir_weights": dsir.dsir_weights,
         "bm25_topk": retrieval.bm25_topk,
         "dedup_incremental": dedup.dedup_incremental_corpus,
+        # --- promoted r12: URL canonicalization — the normalization
+        # web-corpus exact dedup keys on (case, default ports,
+        # dot-segment fold, query sort, fragment drop); zero-shuffle
+        # codegen narrow map, plan-pinned in test_plans.py ---
+        "url_canonical": urls.url_canonical,
+        # --- promoted r12: the tokenizer-APPLY half of the BPE tier —
+        # Arrow-batched rank-priority encoder vs an independent DuckDB
+        # greedy-fold re-encode; token identity AND order ride the
+        # hash via the joined-token md5 ---
+        "bpe_tokenize": bpe.bpe_tokenize,
+        # --- promoted r12: the end-to-end curation COMPOSITION gate —
+        # profile -> quality filter -> exact dedup -> deterministic
+        # interleaved training order as ONE composed plan (no global
+        # sort, partitioned windows, plan-pinned) ---
+        "curation_pipeline": corpus.curation_pipeline,
         # --- corpus versioning (training_order rotated out r11, green
         # r6-r10; the SCD2 history merge — the versioned sibling of
         # corpus_upsert, promoted r11 — keeps the family gated) ---
@@ -739,16 +794,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled production twin stays gated; the exact formulation
         # keeps its hash gate in tests/test_rotation.py)
         "triangle_count": graph.triangle_count_gate,
-        "pagerank_step": graph.pagerank_step,
+        # (pagerank_step rotated out r12, green r6-r11 — the iter3
+        # loop composes the identical kernel three times, so the step
+        # stays driver-gated through it; basket_rules rotated out r12,
+        # green r7-r11 — item_similarity keeps the co-occurrence
+        # family gated; both hash-gated in test_rotation)
         "pagerank_iter3": graph.pagerank_iter3,
         "part_communities": graph.part_communities,
         "item_similarity": graph.item_similarity,
-        "basket_rules": graph.basket_rules,
         # --- interval analytics: equi-key-bounded range self-join
-        # (late r6) + the KEYLESS chunk-bucketed interval join (r7,
-        # VERDICT r6 next #3 — synthetic bucket key, no cartesian) ---
+        # (late r6; the keyless chunk-bucketed concurrent_events
+        # rotated out r12, green r7-r11 — hash gate in rotation) ---
         "concurrent_orders": joins.concurrent_orders,
-        "concurrent_events": joins.concurrent_events,
+        # --- promoted r12: the generalized as-of join — all three
+        # directions (backward / forward / nearest) under a 30-day
+        # tolerance in one tagged union, single-shuffle union+window
+        # merge-asof; the oracle is DuckDB's NATIVE ASOF JOIN ---
+        "event_order_asof": joins.event_order_asof,
         # (time_rollup — the GROUPING SETS hypertable rollup — rotated
         # out r11, green r7-r10; sampling_filtered rotated out in r9,
         # green r5-r8; the S-series sampler stays gated via "sampling")
@@ -763,6 +825,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # promoted r11: the DQ rule suite as ONE watermarked
         # day-window stateful aggregate (the fused report is a monoid)
         "streaming_dq_gate": _streaming_dq_query,
+        # promoted r12: the NINTH streaming gate — the batch
+        # quarantine() projection on the live events stream; stateless
+        # (no watermark, no state store), append mode emits every
+        # violating row, oracle is the batch WHERE twin with exact
+        # row-membership parity
+        "streaming_quarantine_gate": _streaming_quarantine_query,
     }
 
 
@@ -1150,8 +1218,8 @@ def oracle_sql() -> dict[str, str]:
         parquet_meta,
         text,
     )
-    from gemmsql.pipeline import adpcm, dq, dsir, gif, mp3, retrieval
-    from gemmsql.pipeline import media_split, similarity, tarshard, warc
+    from gemmsql.pipeline import adpcm, bpe, dq, dsir, retrieval, urls
+    from gemmsql.pipeline import media_split, similarity, zipshard
     from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
@@ -1161,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         STREAMING_HIST_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
         STREAMING_JOIN_GATE_SQL,
+        STREAMING_QUARANTINE_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
     )
     from gemmsql.pipeline.similarity import IVFPQ_TOPK_SQL
@@ -1199,31 +1268,30 @@ def oracle_sql() -> dict[str, str]:
         "avi_frame_stats": media_split.avi_frame_stats_sql(),
         "mp3_frame_stats": media_split.mp3_frame_stats_sql(),
         "flac_stereo_features": flac.FLAC_STEREO_FEATURES_SQL,
-        "gif_anim_features": gif.GIF_ANIM_FEATURES_SQL,
-        "mp3_stream_stats": mp3.MP3_STREAM_STATS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
-        "warc_ingest": warc.WARC_INGEST_SQL,
-        "tar_shard_ingest": tarshard.TAR_SHARD_INGEST_SQL,
-        "dq_orders_report": dq.DQ_ORDERS_REPORT_SQL,
-        "dq_orders_quarantine": dq.DQ_ORDERS_QUARANTINE_SQL,
+        "zip_shard_ingest": zipshard.ZIP_SHARD_INGEST_SQL,
+        "dq_orders_quarantine_full": dq.DQ_ORDERS_QUARANTINE_FULL_SQL,
         "parquet_footer_stats": parquet_meta.parquet_footer_stats_sql(
             _footer_sf
         ),
+        "zorder_audit": parquet_meta.zorder_audit_sql(_footer_sf),
+        "compaction_audit": parquet_meta.compaction_audit_sql(_footer_sf),
         "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
         "dedup_incremental": dedup.dedup_incremental_sql(),
+        "url_canonical": urls.URL_CANONICAL_SQL,
+        "bpe_tokenize": bpe.bpe_tokenize_sql(),
+        "curation_pipeline": corpus.CURATION_PIPELINE_SQL,
         "corpus_scd2": corpus.CORPUS_SCD2_SQL,
         "user_value_gapfill": events.USER_VALUE_GAPFILL_SQL,
         "triangle_count": graph.TRIANGLE_COUNT_SQL,
-        "pagerank_step": graph.PAGERANK_STEP_SQL,
         "pagerank_iter3": graph.PAGERANK_ITER3_SQL,
         "part_communities": graph.PART_COMMUNITIES_SQL,
         "item_similarity": graph.ITEM_SIMILARITY_SQL,
-        "basket_rules": graph.BASKET_RULES_SQL,
         "concurrent_orders": joins.CONCURRENT_ORDERS_SQL,
-        "concurrent_events": joins.CONCURRENT_EVENTS_SQL,
+        "event_order_asof": joins.EVENT_ORDER_ASOF_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
@@ -1232,4 +1300,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hist_gate": STREAMING_HIST_GATE_SQL,
         "streaming_dedup_gate": STREAMING_DEDUP_GATE_SQL,
         "streaming_dq_gate": STREAMING_DQ_GATE_SQL,
+        "streaming_quarantine_gate": STREAMING_QUARANTINE_GATE_SQL,
     }

@@ -56,7 +56,7 @@ def test_queries_run_at_smoke_tier(spark):
     from tests.conftest import SF_SMOKE
 
     qs = entrymod.queries()
-    for name in ["gram", "quality_classifier", "warc_ingest",
+    for name in ["gram", "quality_classifier", "zip_shard_ingest",
                  "png_features"]:
         df = qs[name](spark, SF_SMOKE)
         assert df.count() > 0, name

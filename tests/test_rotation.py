@@ -224,112 +224,112 @@ def _layout_audit_sql():
     return layout_audit_sql(SF_SMOKE)
 
 
-def _zorder_audit(spark, sf_dir):
-    from gemmsql.pipeline.parquet_meta import zorder_audit
+def _warc_ingest(spark, sf_dir):
+    from gemmsql.pipeline.warc import warc_ingest
 
-    return zorder_audit(spark, sf_dir)
-
-
-def _zorder_audit_sql():
-    from gemmsql.pipeline.parquet_meta import zorder_audit_sql
-
-    return zorder_audit_sql(SF_SMOKE)
+    return warc_ingest(spark, sf_dir)
 
 
-def _curation_pipeline(spark, sf_dir):
-    from gemmsql.pipeline.corpus import curation_pipeline
+def _warc_ingest_sql():
+    from gemmsql.pipeline.warc import WARC_INGEST_SQL
 
-    return curation_pipeline(spark, sf_dir)
-
-
-def _curation_pipeline_sql():
-    from gemmsql.pipeline.corpus import CURATION_PIPELINE_SQL
-
-    return CURATION_PIPELINE_SQL
+    return WARC_INGEST_SQL
 
 
-def _event_order_asof(spark, sf_dir):
-    from gemmsql.pipeline.joins import event_order_asof
+def _tar_shard_ingest(spark, sf_dir):
+    from gemmsql.pipeline.tarshard import tar_shard_ingest
 
-    return event_order_asof(spark, sf_dir)
-
-
-def _event_order_asof_sql():
-    from gemmsql.pipeline.joins import EVENT_ORDER_ASOF_SQL
-
-    return EVENT_ORDER_ASOF_SQL
+    return tar_shard_ingest(spark, sf_dir)
 
 
-def _url_canonical(spark, sf_dir):
-    from gemmsql.pipeline.urls import url_canonical
+def _tar_shard_ingest_sql():
+    from gemmsql.pipeline.tarshard import TAR_SHARD_INGEST_SQL
 
-    return url_canonical(spark, sf_dir)
-
-
-def _url_canonical_sql():
-    from gemmsql.pipeline.urls import URL_CANONICAL_SQL
-
-    return URL_CANONICAL_SQL
+    return TAR_SHARD_INGEST_SQL
 
 
-def _bpe_tokenize(spark, sf_dir):
-    from gemmsql.pipeline.bpe import bpe_tokenize
+def _gif_anim_features(spark, sf_dir):
+    from gemmsql.pipeline.gif import gif_anim_features
 
-    return bpe_tokenize(spark, sf_dir)
-
-
-def _bpe_tokenize_sql():
-    from gemmsql.pipeline.bpe import bpe_tokenize_sql
-
-    return bpe_tokenize_sql()
+    return gif_anim_features(spark, sf_dir)
 
 
-def _zip_shard_ingest(spark, sf_dir):
-    from gemmsql.pipeline.zipshard import zip_shard_ingest
+def _gif_anim_features_sql():
+    from gemmsql.pipeline.gif import GIF_ANIM_FEATURES_SQL
 
-    return zip_shard_ingest(spark, sf_dir)
-
-
-def _zip_shard_ingest_sql():
-    from gemmsql.pipeline.zipshard import ZIP_SHARD_INGEST_SQL
-
-    return ZIP_SHARD_INGEST_SQL
+    return GIF_ANIM_FEATURES_SQL
 
 
-def _compaction_audit(spark, sf_dir):
-    from gemmsql.pipeline.parquet_meta import compaction_audit
+def _mp3_stream_stats(spark, sf_dir):
+    from gemmsql.pipeline.mp3 import mp3_stream_stats
 
-    return compaction_audit(spark, sf_dir)
-
-
-def _compaction_audit_sql():
-    from gemmsql.pipeline.parquet_meta import compaction_audit_sql
-
-    return compaction_audit_sql(SF_SMOKE)
+    return mp3_stream_stats(spark, sf_dir)
 
 
-def _dq_quarantine_full(spark, sf_dir):
-    from gemmsql.pipeline.dq import dq_orders_quarantine_full
+def _mp3_stream_stats_sql():
+    from gemmsql.pipeline.mp3 import MP3_STREAM_STATS_SQL
 
-    return dq_orders_quarantine_full(spark, sf_dir)
-
-
-def _dq_quarantine_full_sql():
-    from gemmsql.pipeline.dq import DQ_ORDERS_QUARANTINE_FULL_SQL
-
-    return DQ_ORDERS_QUARANTINE_FULL_SQL
+    return MP3_STREAM_STATS_SQL
 
 
-def _streaming_quarantine(spark, sf_dir):
-    from gemmsql.streaming.windows import streaming_quarantine_gate
+def _dq_orders_report(spark, sf_dir):
+    from gemmsql.pipeline.dq import dq_orders_report
 
-    return streaming_quarantine_gate(spark, sf_dir)
+    return dq_orders_report(spark, sf_dir)
 
 
-def _streaming_quarantine_sql():
-    from gemmsql.streaming.windows import STREAMING_QUARANTINE_GATE_SQL
+def _dq_orders_report_sql():
+    from gemmsql.pipeline.dq import DQ_ORDERS_REPORT_SQL
 
-    return STREAMING_QUARANTINE_GATE_SQL
+    return DQ_ORDERS_REPORT_SQL
+
+
+def _dq_orders_quarantine(spark, sf_dir):
+    from gemmsql.pipeline.dq import dq_orders_quarantine
+
+    return dq_orders_quarantine(spark, sf_dir)
+
+
+def _dq_orders_quarantine_sql():
+    from gemmsql.pipeline.dq import DQ_ORDERS_QUARANTINE_SQL
+
+    return DQ_ORDERS_QUARANTINE_SQL
+
+
+def _pagerank_step(spark, sf_dir):
+    from gemmsql.pipeline.graph import pagerank_step
+
+    return pagerank_step(spark, sf_dir)
+
+
+def _pagerank_step_sql():
+    from gemmsql.pipeline.graph import PAGERANK_STEP_SQL
+
+    return PAGERANK_STEP_SQL
+
+
+def _basket_rules(spark, sf_dir):
+    from gemmsql.pipeline.graph import basket_rules
+
+    return basket_rules(spark, sf_dir)
+
+
+def _basket_rules_sql():
+    from gemmsql.pipeline.graph import BASKET_RULES_SQL
+
+    return BASKET_RULES_SQL
+
+
+def _concurrent_events(spark, sf_dir):
+    from gemmsql.pipeline.joins import concurrent_events
+
+    return concurrent_events(spark, sf_dir)
+
+
+def _concurrent_events_sql():
+    from gemmsql.pipeline.joins import CONCURRENT_EVENTS_SQL
+
+    return CONCURRENT_EVENTS_SQL
 
 
 def _hist_quantiles(spark, sf_dir):
@@ -620,74 +620,48 @@ def _rotated():
         ("hist_quantiles", _hist_quantiles, _hist_quantiles_sql()),
         ("cm_heavy_hitters", _cm_heavy_hitters, _cm_heavy_hitters_sql()),
         ("kmv_reach", _kmv_reach, _kmv_reach_sql()),
-        # born in round 11 (VERDICT r10 next #3): quarantine across
-        # ALL FOUR rule kinds — the single-scan row explode, the
-        # window duplicate-group projection (real (custkey, orderdate)
-        # dups), and the anti-join survivors of a RESTRICTED customer
-        # FK — each branch's row MEMBERSHIP hash-load-bearing
-        ("dq_orders_quarantine_full", _dq_quarantine_full,
-         _dq_quarantine_full_sql()),
-        # also born in round 11 (VERDICT r10 next #4): the batch
-        # quarantine() projection run on the live events stream —
-        # stateless (no watermark, no state store), so append mode
-        # emits every violating row and the oracle is the plain batch
-        # WHERE twin with exact row-membership parity
-        ("streaming_quarantine_gate", _streaming_quarantine,
-         _streaming_quarantine_sql()),
-        # also born in round 11 (VERDICT r10 next #5): the data-layout
-        # tier — the clustered sink and the from-scratch footer parser
-        # composed into the audit a 100 TB lake runs: per (layout,
-        # column), are the row-group min/max ranges pairwise disjoint?
-        # The verdict is hash-load-bearing BOTH ways (range-sorted
-        # write passes on its cluster key and fails on the rest; the
-        # hash-partitioned write fails everywhere)
+        # (nine of the ten round-11 births — dq_orders_quarantine_full,
+        # streaming_quarantine_gate, zorder_audit, compaction_audit,
+        # zip_shard_ingest, bpe_tokenize, url_canonical,
+        # event_order_asof, curation_pipeline — were promoted to the
+        # driver gate in round 12 (VERDICT r11 next #1) and are now
+        # hash-checked by tests/test_gate_parity.py)
+        # layout_audit stays HERE by design: zorder_audit subsumes its
+        # single-key row-group-disjointness check with the stricter
+        # multi-dimension stat-width audit, so the simpler boolean
+        # formulation keeps its rotation gate instead of a driver slot
         ("layout_audit", _layout_audit, _layout_audit_sql()),
-        # also born in round 11: the multi-dimensional sibling — the
-        # measurement behind SCALE.md's z-order claim: per (layout,
-        # column) average row-group stat width over global span, in
-        # exact integer micro units; the Z-ordered write must be
-        # narrow on BOTH interleaved dimensions while single-key
-        # clustering is narrow on one and the hash write on neither
-        ("zorder_audit", _zorder_audit, _zorder_audit_sql()),
-        # also born in round 11: small-file compaction
-        # (sources.compact_parquet — the OPTIMIZE maintenance op)
-        # audited before/after: the hash pins the file-count collapse,
-        # the restored cluster-key tightness, AND a content checksum
-        # computed from the table data itself, so a rewrite that
-        # loses or duplicates a row cannot match
-        ("compaction_audit", _compaction_audit, _compaction_audit_sql()),
-        # also born in round 11: the ZIP container (PKZIP framing from
-        # scratch on the public APPNOTE spec, raw-DEFLATE via stdlib
-        # zlib) — tail-first EOCD walk + central/local cross-check +
-        # CRC-32 verify; the per-member store-vs-deflate choice is a
-        # RECOVERED gated column, so both decode paths load-bear;
-        # stdlib-zipfile interop both ways in tests/test_zipshard.py
-        ("zip_shard_ingest", _zip_shard_ingest, _zip_shard_ingest_sql()),
-        # also born in round 11: the tokenizer-APPLY half of the BPE
-        # tier — the production Arrow-batched rank-priority encoder
-        # vs an independent DuckDB greedy-fold re-encode (one scalar
-        # string fold per merge, in learned order); token identity
-        # AND order ride the hash via the joined-token md5
-        ("bpe_tokenize", _bpe_tokenize, _bpe_tokenize_sql()),
-        # also born in round 11: URL canonicalization — the
-        # normalization web-corpus exact dedup keys on (case, default
-        # ports, dot-segment fold, query sort, fragment drop), a
-        # zero-shuffle codegen narrow map cross-checked against an
-        # independent DuckDB implementation of the same rules
-        ("url_canonical", _url_canonical, _url_canonical_sql()),
-        # also born in round 11: the generalized as-of join — all
-        # three directions (backward / forward / nearest) under a
-        # 30-day tolerance in one tagged union, still the
-        # single-shuffle union+window merge-asof; the oracle is
-        # DuckDB's NATIVE ASOF JOIN (<= and >= legs composed), a
-        # genuinely independent as-of implementation
-        ("event_order_asof", _event_order_asof, _event_order_asof_sql()),
-        # also born in round 11: the end-to-end curation COMPOSITION
-        # witness — profile -> quality filter -> exact dedup ->
-        # deterministic interleaved training order as one composed
-        # plan; the hash pins every stage and their boundaries (a
-        # wrong filter/dedup interaction moves every slot downstream)
-        ("curation_pipeline", _curation_pipeline, _curation_pipeline_sql()),
+        # rotated out in round 12 for the r11-birth promotions — the
+        # ingest-container incumbents (green rotation r9 + driver
+        # r10-r11; the container tier stays driver-gated via
+        # zip_shard_ingest, the strictest member-walk discipline:
+        # central-directory index + CRC-32 + both compression modes)
+        ("warc_ingest", _warc_ingest, _warc_ingest_sql()),
+        ("tar_shard_ingest", _tar_shard_ingest, _tar_shard_ingest_sql()),
+        # the codec incumbents (green rotation r9 + driver r10-r11;
+        # the dictionary-coding and MP3-walk families keep their full
+        # hash gates here, and MP3 decode stays driver-gated via the
+        # splittable mp3_frame_stats)
+        ("gif_anim_features", _gif_anim_features, _gif_anim_features_sql()),
+        ("mp3_stream_stats", _mp3_stream_stats, _mp3_stream_stats_sql()),
+        # the DQ report + row-rules quarantine (green r10-r11/r11;
+        # superseded in the gate by dq_orders_quarantine_full, which
+        # runs the same fused single-scan rule suite and emits the
+        # violating rows the report only counts — the report's
+        # aggregate shape stays driver-gated via streaming_dq_gate)
+        ("dq_orders_report", _dq_orders_report, _dq_orders_report_sql()),
+        ("dq_orders_quarantine", _dq_orders_quarantine,
+         _dq_orders_quarantine_sql()),
+        # pagerank_step (green r6-r11): pagerank_iter3 composes the
+        # identical kernel three times, so the step stays driver-gated
+        # through it — the triangle_count_exact argument from r10
+        ("pagerank_step", _pagerank_step, _pagerank_step_sql()),
+        # basket_rules (green r7-r11; item_similarity keeps the
+        # co-occurrence family driver-gated) and concurrent_events
+        # (green r7-r11; concurrent_orders keeps the interval family
+        # driver-gated, and the as-of family gains event_order_asof)
+        ("basket_rules", _basket_rules, _basket_rules_sql()),
+        ("concurrent_events", _concurrent_events, _concurrent_events_sql()),
     ]
 
 

@@ -891,3 +891,31 @@ def test_streaming_dq_gate_oracle_parity_and_watermark(spark):
     by_rule = sdf.groupby("rule")["n_violations"].sum()
     assert by_rule["value_band"] > 0 and by_rule["type_known"] > 0
     assert by_rule["user_not_null"] == 0
+
+
+def test_streaming_quarantine_gate_oracle_parity(spark):
+    """In-repo twin of the round-12 streaming quarantine gate (no
+    gate entrant without in-repo parity; the rotation-tier copy moved
+    to the driver gate in r12): the stateless row-routing stream must
+    match the batch WHERE twins with exact row membership — no
+    watermark means no withheld tail — and at least one rule must
+    actually route rows or the gate would be vacuous."""
+    import duckdb
+
+    from gemmsql.streaming.windows import (
+        STREAMING_QUARANTINE_GATE_SQL,
+        streaming_quarantine_gate,
+    )
+    from tests.test_rotation import _hash
+
+    sdf = streaming_quarantine_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    odf = con.execute(STREAMING_QUARANTINE_GATE_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
+    assert (sdf["rule"] == "value_band").sum() > 0
