@@ -55,6 +55,12 @@ _DOS_TIME = 0
 _LOCAL_SIG = b"PK\x03\x04"
 _CENTRAL_SIG = b"PK\x01\x02"
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOCATOR_SIG = b"PK\x06\x07"
+#: the ZIP64 extended-information extra field id (APPNOTE 4.5.3)
+_ZIP64_EXTRA_ID = 0x0001
+_U16_MAX = 0xFFFF
+_U32_MAX = 0xFFFFFFFF
 STORE, DEFLATE = 0, 8
 
 
@@ -71,10 +77,30 @@ def _inflate(data: bytes, expect_size: int) -> bytes:
     return out
 
 
-def build_zip(members: list[tuple[str, bytes, int]]) -> bytes:
+def build_zip(
+    members: list[tuple[str, bytes, int]],
+    zip64: bool | frozenset[str] | set[str] = frozenset(),
+    eocd_zip64: bool = False,
+) -> bytes:
     """``(name, data, method)`` members -> one archive: local headers
     + data, then the central directory, then the EOCD record.  Method
-    is :data:`STORE` or :data:`DEFLATE` per member."""
+    is :data:`STORE` or :data:`DEFLATE` per member.
+
+    ZIP64 (APPNOTE 4.5): any member whose sizes or local-header
+    offset exceed 32 bits — or whose name is listed in ``zip64``
+    (``True`` = all; the ``force_zip64`` regime stdlib ``zipfile``
+    uses for testable small fixtures) — gets 0xFFFFFFFF sentinels in
+    the fixed fields and a 0x0001 extended-information extra carrying
+    the real 64-bit values, in both its local header (uncomp, comp)
+    and central entry (uncomp, comp, offset).  The archive gets a
+    ZIP64 end-of-central-directory record + locator when the member
+    count exceeds 65 535, the directory size/offset exceeds 32 bits,
+    or ``zip64 is True`` / ``eocd_zip64`` — with the classic EOCD
+    keeping real values where they fit and sentinels where they
+    don't, exactly the stdlib writer's discipline.  This is the production WebDataset
+    shard regime: >4 GiB shards saturate every classic offset field."""
+    force_all = zip64 is True
+    forced = frozenset() if isinstance(zip64, bool) else frozenset(zip64)
     blobs: list[bytes] = []
     central: list[bytes] = []
     offset = 0
@@ -84,44 +110,154 @@ def build_zip(members: list[tuple[str, bytes, int]]) -> bytes:
         nb = name.encode()
         comp = data if method == STORE else _deflate(data)
         crc = zlib.crc32(data) & 0xFFFFFFFF
-        local = (
-            _LOCAL_SIG
-            + struct.pack(
-                "<HHHHHIIIHH",
-                20, 0, method, _DOS_TIME, _DOS_DATE,
-                crc, len(comp), len(data), len(nb), 0,
-            )
-            + nb
+        m64 = (
+            force_all or name in forced
+            or len(comp) > _U32_MAX or len(data) > _U32_MAX
+            or offset > _U32_MAX
         )
-        central.append(
-            _CENTRAL_SIG
-            + struct.pack(
-                "<HHHHHHIIIHHHHHII",
-                20, 20, 0, method, _DOS_TIME, _DOS_DATE,
-                crc, len(comp), len(data), len(nb), 0, 0,
-                0, 0, 0, offset,
+        if m64:
+            lextra = struct.pack(
+                "<HHQQ", _ZIP64_EXTRA_ID, 16, len(data), len(comp)
             )
-            + nb
-        )
+            local = (
+                _LOCAL_SIG
+                + struct.pack(
+                    "<HHHHHIIIHH",
+                    45, 0, method, _DOS_TIME, _DOS_DATE,
+                    crc, _U32_MAX, _U32_MAX, len(nb), len(lextra),
+                )
+                + nb + lextra
+            )
+            cextra = struct.pack(
+                "<HHQQQ", _ZIP64_EXTRA_ID, 24,
+                len(data), len(comp), offset,
+            )
+            central.append(
+                _CENTRAL_SIG
+                + struct.pack(
+                    "<HHHHHHIIIHHHHHII",
+                    45, 45, 0, method, _DOS_TIME, _DOS_DATE,
+                    crc, _U32_MAX, _U32_MAX, len(nb), len(cextra), 0,
+                    0, 0, 0, _U32_MAX,
+                )
+                + nb + cextra
+            )
+        else:
+            local = (
+                _LOCAL_SIG
+                + struct.pack(
+                    "<HHHHHIIIHH",
+                    20, 0, method, _DOS_TIME, _DOS_DATE,
+                    crc, len(comp), len(data), len(nb), 0,
+                )
+                + nb
+            )
+            central.append(
+                _CENTRAL_SIG
+                + struct.pack(
+                    "<HHHHHHIIIHHHHHII",
+                    20, 20, 0, method, _DOS_TIME, _DOS_DATE,
+                    crc, len(comp), len(data), len(nb), 0, 0,
+                    0, 0, 0, offset,
+                )
+                + nb
+            )
         blobs.append(local + comp)
         offset += len(local) + len(comp)
     cd = b"".join(central)
-    eocd = _EOCD_SIG + struct.pack(
-        "<HHHHIIH",
-        0, 0, len(members), len(members), len(cd), offset, 0,
+    n = len(members)
+    need64 = (
+        force_all or eocd_zip64 or n > _U16_MAX
+        or len(cd) > _U32_MAX or offset > _U32_MAX
     )
-    return b"".join(blobs) + cd + eocd
+    out = [b"".join(blobs), cd]
+    if need64:
+        eocd64_at = offset + len(cd)
+        out.append(
+            _EOCD64_SIG
+            + struct.pack(
+                "<QHHIIQQQQ", 44, 45, 45, 0, 0, n, n, len(cd), offset
+            )
+        )
+        out.append(
+            _EOCD64_LOCATOR_SIG + struct.pack("<IQI", 0, eocd64_at, 1)
+        )
+    out.append(
+        _EOCD_SIG
+        + struct.pack(
+            "<HHHHIIH",
+            0, 0, min(n, _U16_MAX), min(n, _U16_MAX),
+            min(len(cd), _U32_MAX), min(offset, _U32_MAX), 0,
+        )
+    )
+    return b"".join(out)
 
 
-def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
-    """Tail-first archive walk -> ordered ``(name, bytes, method)``.
+def _zip64_extra(extra: bytes) -> bytes | None:
+    """Walk an extra-field block -> the 0x0001 ZIP64 body, or None."""
+    ep = 0
+    found = None
+    while ep + 4 <= len(extra):
+        eid, esz = struct.unpack_from("<HH", extra, ep)
+        if ep + 4 + esz > len(extra):
+            raise ValueError("zip: extra field overruns its block")
+        if eid == _ZIP64_EXTRA_ID:
+            if found is not None:
+                raise ValueError("zip: duplicate ZIP64 extra field")
+            found = extra[ep + 4 : ep + 4 + esz]
+        ep += 4 + esz
+    return found
+
+
+def _resolve_zip64(
+    extra: bytes | None, *fields: tuple[int, int]
+) -> tuple[list[int], bool]:
+    """Resolve 0xFFFFFFFF / 0xFFFF sentinels against a ZIP64 extra.
+
+    ``fields`` are ``(value, sentinel)`` pairs in APPNOTE 4.5.3 order
+    (uncompressed size, compressed size, local offset, disk number);
+    each sentineled field consumes its slot — 8 bytes, or 4 for the
+    disk number — from the extra body.  Returns the resolved values
+    plus whether anything was actually deferred to ZIP64."""
+    out: list[int] = []
+    zp = 0
+    used = False
+    for value, sentinel in fields:
+        if value == sentinel:
+            if extra is None:
+                raise ValueError(
+                    "zip: sentinel field without a ZIP64 extra"
+                )
+            width = 8 if sentinel == _U32_MAX else 4
+            if zp + width > len(extra):
+                raise ValueError("zip: ZIP64 extra too short")
+            value = int.from_bytes(
+                extra[zp : zp + width], "little"
+            )
+            zp += width
+            used = True
+        out.append(value)
+    return out, used
+
+
+def parse_zip_entries(
+    data: bytes,
+) -> list[tuple[str, bytes, int, bool]]:
+    """Tail-first archive walk -> ordered ``(name, bytes, method,
+    zip64)``.
 
     EOCD found by scanning back from the tail (comments bound the
-    scan to 64 KiB + 22 by spec); central directory entries decoded
-    and verified against each member's LOCAL header (signature, name,
-    method, sizes, CRC all must agree); every member decompressed and
-    CRC-32-checked.  Multi-disk archives, encryption, and
-    data-descriptor members are rejected."""
+    scan to 64 KiB + 22 by spec); when a ZIP64 EOCD locator sits
+    immediately before it, the ZIP64 EOCD record supplies the
+    authoritative count/size/offset and every classic field must
+    either agree or carry its sentinel.  Central directory entries
+    decoded (0xFFFFFFFF-sentineled sizes/offsets resolved from the
+    0x0001 extra) and verified against each member's LOCAL header
+    (signature, name, method, resolved sizes, CRC all must agree);
+    every member decompressed and CRC-32-checked.  ``zip64`` reports
+    whether the member's central entry deferred any field to a ZIP64
+    extra.  Multi-disk archives, encryption, and data-descriptor
+    members are rejected."""
     tail_from = max(0, len(data) - (0xFFFF + 22))
     eocd_at = data.rfind(_EOCD_SIG, tail_from)
     if eocd_at < 0 or eocd_at + 22 > len(data):
@@ -133,9 +269,45 @@ def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
         raise ValueError("zip: EOCD comment length disagrees with the tail")
     if disk or cd_disk or n_here != n_total:
         raise ValueError("zip: multi-disk archives unsupported")
-    if cd_off + cd_size != eocd_at:
+    cd_end = eocd_at
+    loc_at = eocd_at - 20
+    if loc_at >= 0 and data[loc_at : loc_at + 4] == _EOCD64_LOCATOR_SIG:
+        l_disk, eocd64_at, n_disks = struct.unpack_from(
+            "<IQI", data, loc_at + 4
+        )
+        if l_disk or n_disks != 1:
+            raise ValueError("zip: multi-disk archives unsupported")
+        if (
+            eocd64_at + 56 > len(data)
+            or data[eocd64_at : eocd64_at + 4] != _EOCD64_SIG
+        ):
+            raise ValueError("zip: bad ZIP64 EOCD record")
+        (
+            rec_size, _vm, _vn, disk64, cd_disk64,
+            n_here64, n_total64, cd_size64, cd_off64,
+        ) = struct.unpack_from("<QHHIIQQQQ", data, eocd64_at + 4)
+        if rec_size < 44:
+            raise ValueError("zip: bad ZIP64 EOCD record size")
+        if disk64 or cd_disk64 or n_here64 != n_total64:
+            raise ValueError("zip: multi-disk archives unsupported")
+        # every classic field must agree with the ZIP64 record or
+        # carry its sentinel (writers vary: stdlib sentinels only the
+        # overflowing fields, Info-ZIP sentinels all of them) — any
+        # OTHER value is corruption
+        for classic, real, sentinel in (
+            (n_total, n_total64, _U16_MAX),
+            (cd_size, cd_size64, _U32_MAX),
+            (cd_off, cd_off64, _U32_MAX),
+        ):
+            if classic != real and classic != sentinel:
+                raise ValueError(
+                    "zip: classic EOCD disagrees with the ZIP64 record"
+                )
+        n_total, cd_size, cd_off = n_total64, cd_size64, cd_off64
+        cd_end = eocd64_at
+    if cd_off + cd_size != cd_end:
         raise ValueError("zip: central directory does not abut the EOCD")
-    out: list[tuple[str, bytes, int]] = []
+    out: list[tuple[str, bytes, int, bool]] = []
     pos = cd_off
     for _ in range(n_total):
         if data[pos : pos + 4] != _CENTRAL_SIG:
@@ -143,7 +315,7 @@ def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
         (
             _ver_made, _ver_need, flags, method, _t, _d, crc,
             comp_size, uncomp_size, name_len, extra_len, comment_len2,
-            _disk, _iattr, _eattr, local_off,
+            disk_no, _iattr, _eattr, local_off,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
         if flags & 0x1:
             raise ValueError("zip: encrypted member")
@@ -152,6 +324,21 @@ def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
         if method not in (STORE, DEFLATE):
             raise ValueError(f"zip: unsupported method {method}")
         name = data[pos + 46 : pos + 46 + name_len].decode()
+        extra = data[
+            pos + 46 + name_len : pos + 46 + name_len + extra_len
+        ]
+        (
+            (uncomp_size, comp_size, local_off, disk_no),
+            member64,
+        ) = _resolve_zip64(
+            _zip64_extra(extra),
+            (uncomp_size, _U32_MAX),
+            (comp_size, _U32_MAX),
+            (local_off, _U32_MAX),
+            (disk_no, _U16_MAX),
+        )
+        if disk_no:
+            raise ValueError("zip: multi-disk archives unsupported")
         pos += 46 + name_len + extra_len + comment_len2
         # seek to the local header and cross-check it
         if data[local_off : local_off + 4] != _LOCAL_SIG:
@@ -161,6 +348,17 @@ def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
             lcomp, luncomp, lname_len, lextra_len,
         ) = struct.unpack_from("<HHHHHIIIHH", data, local_off + 4)
         lname = data[local_off + 30 : local_off + 30 + lname_len].decode()
+        lextra = data[
+            local_off + 30 + lname_len
+            : local_off + 30 + lname_len + lextra_len
+        ]
+        # local sizes may themselves defer to a ZIP64 extra (the
+        # stdlib force_zip64 local-header discipline)
+        (luncomp, lcomp), _ = _resolve_zip64(
+            _zip64_extra(lextra),
+            (luncomp, _U32_MAX),
+            (lcomp, _U32_MAX),
+        )
         if (lname, lmethod, lcrc, lcomp, luncomp, lflags) != (
             name, method, crc, comp_size, uncomp_size, flags
         ):
@@ -177,8 +375,13 @@ def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
             body = _inflate(comp, uncomp_size)
         if zlib.crc32(body) & 0xFFFFFFFF != crc:
             raise ValueError(f"zip: CRC-32 mismatch for {name!r}")
-        out.append((name, body, method))
+        out.append((name, body, method, member64))
     return out
+
+
+def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
+    """:func:`parse_zip_entries` without the per-member zip64 flag."""
+    return [(n, b, m) for n, b, m, _ in parse_zip_entries(data)]
 
 
 def _doc_json(doc_id: int, lang: str, source: str) -> bytes:
@@ -192,7 +395,14 @@ def with_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assemble the documents table into zip shards ->
     ``(shard_id, shard)``: ``{doc_id}.txt`` STORED for even doc_ids
     and DEFLATED for odd (both decode paths load-bearing) plus
-    ``{doc_id}.json`` (always deflated), members in doc_id order."""
+    ``{doc_id}.json`` (always deflated), members in doc_id order.
+
+    ZIP64 coverage (r12): the text member of every ``doc_id % 3 == 0``
+    doc is written with sentinel fields + ZIP64 extras (the
+    force-zip64 small-fixture regime), and every EVEN shard carries a
+    ZIP64 EOCD record + locator — so the ingest exercises classic and
+    ZIP64 framing side by side in one corpus, and the recovered
+    per-member flag is a gated column."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source",
         (F.col("doc_id") / ZIP_DOCS_PER_SHARD).cast("long")
@@ -202,16 +412,20 @@ def with_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         members: list[tuple[str, bytes, int]] = []
+        forced: set[str] = set()
         for r in pdf.itertuples(index=False):
             did = int(r.doc_id)
             method = STORE if did % 2 == 0 else DEFLATE
             members.append((f"{did}.txt", r.text.encode(), method))
+            if did % 3 == 0:
+                forced.add(f"{did}.txt")
             members.append((
                 f"{did}.json", _doc_json(did, r.lang, r.source), DEFLATE,
             ))
-        return pd.DataFrame(
-            {"shard_id": [key[0]], "shard": [build_zip(members)]}
+        shard = build_zip(
+            members, zip64=forced, eocd_zip64=int(key[0]) % 2 == 0
         )
+        return pd.DataFrame({"shard_id": [key[0]], "shard": [shard]})
 
     return docs.groupBy("shard_id").applyInPandas(
         assemble, schema="shard_id long, shard binary"
@@ -220,12 +434,14 @@ def with_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zip_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest the zip shard corpus back -> per-doc ``(doc_id, lang,
-    source, n_chars, text_md5, stored)`` recovered ENTIRELY from the
-    archive bytes (EOCD walk + central/local cross-check + inflate +
-    CRC verify + JSON parse).  ``stored`` is the method the walk
-    FOUND for the text member, so the per-doc store/deflate choice —
-    and therefore both decompression paths — is hash-load-bearing.
-    The DuckDB twin derives every column from ``documents``."""
+    source, n_chars, text_md5, stored, zip64)`` recovered ENTIRELY
+    from the archive bytes (EOCD / ZIP64-EOCD walk + central/local
+    cross-check + inflate + CRC verify + JSON parse).  ``stored`` is
+    the method the walk FOUND for the text member and ``zip64``
+    whether its central entry deferred fields to a ZIP64 extra — so
+    the per-doc store/deflate choice, both decompression paths, AND
+    both framing generations are hash-load-bearing.  The DuckDB twin
+    derives every column from ``documents``."""
     from gemmsql.pipeline.staging import stage_payload_table
 
     def builder(spark_, sf_dir_):
@@ -240,17 +456,22 @@ def zip_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, langs, sources, ncs, md5s, stored = [], [], [], [], [], []
+            cols: dict[str, list] = {
+                "doc_id": [], "lang": [], "source": [], "n_chars": [],
+                "text_md5": [], "stored": [], "zip64": [],
+            }
             for shard in pdf["payload"]:
-                samples: dict[str, dict[str, tuple[bytes, int]]] = {}
-                for name, body, method in parse_zip(bytes(shard)):
+                samples: dict[str, dict[str, tuple[bytes, int, bool]]] = {}
+                for name, body, method, m64 in parse_zip_entries(
+                    bytes(shard)
+                ):
                     stem, dot, ext = name.rpartition(".")
                     if not dot:
                         raise ValueError(f"zip: member {name!r} has no ext")
                     exts = samples.setdefault(stem, {})
                     if ext in exts:
                         raise ValueError(f"zip: duplicate member {name!r}")
-                    exts[ext] = (body, method)
+                    exts[ext] = (body, method, m64)
                 for stem, exts in samples.items():
                     if set(exts) != {"txt", "json"}:
                         raise ValueError(
@@ -259,34 +480,35 @@ def zip_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     meta = json.loads(exts["json"][0])
                     if meta["doc_id"] != int(stem):
                         raise ValueError("metadata/stem doc_id mismatch")
-                    body, method = exts["txt"]
-                    ids.append(meta["doc_id"])
-                    langs.append(meta["lang"])
-                    sources.append(meta["source"])
-                    ncs.append(len(body.decode()))
-                    md5s.append(hashlib.md5(body).hexdigest())
-                    stored.append(1 if method == STORE else 0)
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s, "stored": stored,
-            })
+                    body, method, m64 = exts["txt"]
+                    cols["doc_id"].append(meta["doc_id"])
+                    cols["lang"].append(meta["lang"])
+                    cols["source"].append(meta["source"])
+                    cols["n_chars"].append(len(body.decode()))
+                    cols["text_md5"].append(hashlib.md5(body).hexdigest())
+                    cols["stored"].append(1 if method == STORE else 0)
+                    cols["zip64"].append(1 if m64 else 0)
+            yield pd.DataFrame(cols)
 
     return shards.mapInPandas(
         ingest,
         schema=(
             "doc_id long, lang string, source string, n_chars long,"
-            " text_md5 string, stored long"
+            " text_md5 string, stored long, zip64 long"
         ),
     )
 
 
-#: ASCII-only corpus assumption, as in the tar twin; ``stored``
-#: replays the writer's parity rule, so the walk must RECOVER it
+#: ASCII-only corpus assumption, as in the tar twin; ``stored`` and
+#: ``zip64`` replay the writer's parity rules, so the walk must
+#: RECOVER both the compression method and the framing generation
 ZIP_SHARD_INGEST_SQL = """
 SELECT doc_id, lang, source,
        CAST(length(text) AS BIGINT) AS n_chars,
        md5(text) AS text_md5,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
-         AS stored
+         AS stored,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS zip64
 FROM documents
 """

@@ -106,6 +106,83 @@ def test_unsupported_members_rejected():
         parse_zip(local + comp + central + eocd)
 
 
+def test_zip64_round_trip_and_flag():
+    """Forced ZIP64 members round-trip; the parser reports exactly
+    which members rode ZIP64 framing (sentinels + 0x0001 extras)."""
+    from gemmsql.pipeline.zipshard import parse_zip_entries
+
+    data = build_zip(MEMBERS, zip64={"1.txt", "2.txt"}, eocd_zip64=True)
+    got = parse_zip_entries(data)
+    assert [(n, b, m) for n, b, m, _ in got] == MEMBERS
+    assert [n for n, _, _, m64 in got if m64] == ["1.txt", "2.txt"]
+    # and the all-forced variant
+    got_all = parse_zip_entries(build_zip(MEMBERS, zip64=True))
+    assert all(m64 for _, _, _, m64 in got_all)
+
+
+def test_zip64_stdlib_reads_ours():
+    data = build_zip(MEMBERS, zip64=True)
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        assert z.testzip() is None
+        for name, body, method in MEMBERS:
+            assert z.read(name) == body
+            assert z.getinfo(name).compress_type == method
+
+
+def test_zip64_we_read_stdlib_force_zip64():
+    """stdlib's force_zip64 writes ZIP64 extras in the LOCAL headers
+    only (sizes sentineled there, real in the extra) — the local-side
+    resolution path."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        with z.open("big.txt", "w", force_zip64=True) as f:
+            f.write(b"payload" * 100)
+        z.writestr("small.txt", b"tiny")
+    got = parse_zip(buf.getvalue())
+    assert [(n, b) for n, b, _ in got] == [
+        ("big.txt", b"payload" * 100), ("small.txt", b"tiny")
+    ]
+
+
+def test_zip64_we_read_stdlib_many_members():
+    """>65 535 members saturate the classic EOCD count, forcing
+    stdlib to emit the ZIP64 EOCD record + locator — the archive-side
+    resolution path, at a REAL overflow rather than a forced one."""
+    buf = io.BytesIO()
+    n = 0xFFFF + 2
+    with zipfile.ZipFile(buf, "w") as z:
+        for i in range(n):
+            z.writestr(f"{i}", b"")
+    got = parse_zip(buf.getvalue())
+    assert len(got) == n
+    assert got[0][0] == "0" and got[-1][0] == str(n - 1)
+
+
+def test_zip64_corruption_detected():
+    from gemmsql.pipeline.zipshard import _EOCD64_SIG
+
+    data = build_zip(MEMBERS, zip64=True)
+    # classic EOCD member count disagrees with the ZIP64 record
+    bad = bytearray(data)
+    eocd_at = bytes(bad).rfind(b"PK\x05\x06")
+    struct.pack_into("<HH", bad, eocd_at + 8,
+                     len(MEMBERS) + 1, len(MEMBERS) + 1)
+    with pytest.raises(ValueError, match="disagrees"):
+        parse_zip(bytes(bad))
+    # ZIP64 EOCD record signature destroyed -> locator points nowhere
+    bad2 = bytearray(data)
+    at64 = bytes(bad2).find(_EOCD64_SIG)
+    bad2[at64] ^= 0xFF
+    with pytest.raises(ValueError, match="ZIP64"):
+        parse_zip(bytes(bad2))
+    # sentinel sizes whose ZIP64 extra is missing
+    bad3 = bytearray(build_zip(MEMBERS))
+    cd_at = bytes(bad3).find(b"PK\x01\x02")
+    struct.pack_into("<I", bad3, cd_at + 20, 0xFFFFFFFF)  # comp_size
+    with pytest.raises(ValueError, match="sentinel"):
+        parse_zip(bytes(bad3))
+
+
 def test_spark_gate_runs(spark):
     from tests.conftest import SF_SMOKE
     from gemmsql.pipeline.zipshard import zip_shard_ingest
@@ -115,3 +192,5 @@ def test_spark_gate_runs(spark):
     assert len(rows) > 0
     by_parity = {r.doc_id % 2 for r in rows if r.stored == 1}
     assert by_parity == {0}  # even docs stored, odd deflated
+    z64 = {r.doc_id % 3 for r in rows if r.zip64 == 1}
+    assert z64 == {0}  # every third doc rides ZIP64 framing
