@@ -240,23 +240,24 @@ def _resolve_zip64(
     return out, used
 
 
-def parse_zip_entries(
-    data: bytes,
-) -> list[tuple[str, bytes, int, bool]]:
-    """Tail-first archive walk -> ordered ``(name, bytes, method,
-    zip64)``.
+def zip_central_index(data: bytes) -> list[dict]:
+    """Tail-first planning walk -> ordered per-member metadata, WITHOUT
+    touching any member data: the random-access index a 100 TB ingest
+    plans splits from (one tail read per shard, like a parquet
+    footer).
 
     EOCD found by scanning back from the tail (comments bound the
     scan to 64 KiB + 22 by spec); when a ZIP64 EOCD locator sits
     immediately before it, the ZIP64 EOCD record supplies the
     authoritative count/size/offset and every classic field must
     either agree or carry its sentinel.  Central directory entries
-    decoded (0xFFFFFFFF-sentineled sizes/offsets resolved from the
-    0x0001 extra) and verified against each member's LOCAL header
-    (signature, name, method, resolved sizes, CRC all must agree);
-    every member decompressed and CRC-32-checked.  ``zip64`` reports
-    whether the member's central entry deferred any field to a ZIP64
-    extra.  Multi-disk archives, encryption, and data-descriptor
+    decoded with 0xFFFFFFFF-sentineled sizes/offsets resolved from
+    the 0x0001 extra.  Each record carries ``name, method, flags,
+    crc, comp_size, uncomp_size, local_off, zip64, data_end`` —
+    ``data_end`` is the exclusive upper byte bound of the member's
+    local region (the next member's offset, or the central
+    directory's start), which is what makes byte-range split cutting
+    possible.  Multi-disk archives, encryption, and data-descriptor
     members are rejected."""
     tail_from = max(0, len(data) - (0xFFFF + 22))
     eocd_at = data.rfind(_EOCD_SIG, tail_from)
@@ -307,7 +308,7 @@ def parse_zip_entries(
         cd_end = eocd64_at
     if cd_off + cd_size != cd_end:
         raise ValueError("zip: central directory does not abut the EOCD")
-    out: list[tuple[str, bytes, int, bool]] = []
+    out: list[dict] = []
     pos = cd_off
     for _ in range(n_total):
         if data[pos : pos + 4] != _CENTRAL_SIG:
@@ -340,48 +341,139 @@ def parse_zip_entries(
         if disk_no:
             raise ValueError("zip: multi-disk archives unsupported")
         pos += 46 + name_len + extra_len + comment_len2
-        # seek to the local header and cross-check it
-        if data[local_off : local_off + 4] != _LOCAL_SIG:
-            raise ValueError("zip: bad local header signature")
-        (
-            _lver, lflags, lmethod, _lt, _ld, lcrc,
-            lcomp, luncomp, lname_len, lextra_len,
-        ) = struct.unpack_from("<HHHHHIIIHH", data, local_off + 4)
-        lname = data[local_off + 30 : local_off + 30 + lname_len].decode()
-        lextra = data[
-            local_off + 30 + lname_len
-            : local_off + 30 + lname_len + lextra_len
-        ]
-        # local sizes may themselves defer to a ZIP64 extra (the
-        # stdlib force_zip64 local-header discipline)
-        (luncomp, lcomp), _ = _resolve_zip64(
-            _zip64_extra(lextra),
-            (luncomp, _U32_MAX),
-            (lcomp, _U32_MAX),
+        out.append({
+            "name": name, "method": method, "flags": flags, "crc": crc,
+            "comp_size": comp_size, "uncomp_size": uncomp_size,
+            "local_off": local_off, "zip64": member64,
+        })
+    # exclusive byte bound of each member's local region: members are
+    # ordered by offset on the wire; the last one ends where the
+    # central directory starts
+    by_off = sorted(range(len(out)), key=lambda k: out[k]["local_off"])
+    for rank, k in enumerate(by_off):
+        nxt = (
+            out[by_off[rank + 1]]["local_off"]
+            if rank + 1 < len(by_off) else cd_off
         )
-        if (lname, lmethod, lcrc, lcomp, luncomp, lflags) != (
-            name, method, crc, comp_size, uncomp_size, flags
-        ):
-            raise ValueError(f"zip: local/central mismatch for {name!r}")
-        body_at = local_off + 30 + lname_len + lextra_len
-        comp = data[body_at : body_at + comp_size]
-        if len(comp) != comp_size:
-            raise ValueError("zip: truncated member data")
-        if method == STORE:
-            if comp_size != uncomp_size:
-                raise ValueError("zip: stored member size mismatch")
-            body = comp
-        else:
-            body = _inflate(comp, uncomp_size)
-        if zlib.crc32(body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"zip: CRC-32 mismatch for {name!r}")
-        out.append((name, body, method, member64))
+        out[k]["data_end"] = nxt
     return out
+
+
+def decode_zip_member(buf: bytes, base: int, m: dict) -> bytes:
+    """Decode ONE member from ``buf`` (= archive bytes ``base:``),
+    given its central-directory record: local-header cross-check
+    (signature, name, method, resolved sizes, CRC, flags all must
+    agree with the central entry), store/inflate, CRC-32 verify.
+    ``base`` is what makes this run on a cut byte RANGE instead of
+    the whole archive — the split path's decode unit."""
+    local_off = m["local_off"] - base
+    if local_off < 0 or buf[local_off : local_off + 4] != _LOCAL_SIG:
+        raise ValueError("zip: bad local header signature")
+    (
+        _lver, lflags, lmethod, _lt, _ld, lcrc,
+        lcomp, luncomp, lname_len, lextra_len,
+    ) = struct.unpack_from("<HHHHHIIIHH", buf, local_off + 4)
+    lname = buf[local_off + 30 : local_off + 30 + lname_len].decode()
+    lextra = buf[
+        local_off + 30 + lname_len
+        : local_off + 30 + lname_len + lextra_len
+    ]
+    # local sizes may themselves defer to a ZIP64 extra (the
+    # stdlib force_zip64 local-header discipline)
+    (luncomp, lcomp), _ = _resolve_zip64(
+        _zip64_extra(lextra),
+        (luncomp, _U32_MAX),
+        (lcomp, _U32_MAX),
+    )
+    if (lname, lmethod, lcrc, lcomp, luncomp, lflags) != (
+        m["name"], m["method"], m["crc"], m["comp_size"],
+        m["uncomp_size"], m["flags"],
+    ):
+        raise ValueError(f"zip: local/central mismatch for {lname!r}")
+    body_at = local_off + 30 + lname_len + lextra_len
+    comp = buf[body_at : body_at + m["comp_size"]]
+    if len(comp) != m["comp_size"]:
+        raise ValueError("zip: truncated member data")
+    if m["method"] == STORE:
+        if m["comp_size"] != m["uncomp_size"]:
+            raise ValueError("zip: stored member size mismatch")
+        body = comp
+    else:
+        body = _inflate(comp, m["uncomp_size"])
+    if zlib.crc32(body) & 0xFFFFFFFF != m["crc"]:
+        raise ValueError(f"zip: CRC-32 mismatch for {m['name']!r}")
+    return body
+
+
+def parse_zip_entries(
+    data: bytes,
+) -> list[tuple[str, bytes, int, bool]]:
+    """Whole-archive walk -> ordered ``(name, bytes, method, zip64)``:
+    :func:`zip_central_index` + :func:`decode_zip_member` over every
+    record.  ``zip64`` reports whether the member's central entry
+    deferred any field to a ZIP64 extra."""
+    return [
+        (m["name"], decode_zip_member(data, 0, m), m["method"], m["zip64"])
+        for m in zip_central_index(data)
+    ]
 
 
 def parse_zip(data: bytes) -> list[tuple[str, bytes, int]]:
     """:func:`parse_zip_entries` without the per-member zip64 flag."""
     return [(n, b, m) for n, b, m, _ in parse_zip_entries(data)]
+
+
+def split_zip(
+    data: bytes, target_split_bytes: int | None = None
+) -> list[dict]:
+    """Cut one archive into member-aligned byte-range splits of
+    ~``target_split_bytes`` (default the media tier's 4 MiB) ->
+    ``[{split_idx, base, chunk, members}]``, the central directory
+    used exactly as a parquet footer: one tail read plans every
+    split, then each split decodes independently from its OWN bytes.
+
+    Members are packed in wire (offset) order; a member never spans
+    splits (they are the atomic unit, like frames in the media
+    readers), so one multi-GiB WebDataset shard fans out to
+    ~archive_bytes / target concurrent decode tasks instead of one."""
+    from gemmsql.pipeline.media_split import DEFAULT_SPLIT_BYTES
+
+    tgt = (
+        DEFAULT_SPLIT_BYTES if target_split_bytes is None
+        else max(1, int(target_split_bytes))
+    )
+    idx = sorted(zip_central_index(data), key=lambda m: m["local_off"])
+    splits: list[dict] = []
+    cur: list[dict] = []
+    for m in idx:
+        cur.append(m)
+        lo = cur[0]["local_off"]
+        if m["data_end"] - lo >= tgt:
+            splits.append(cur)
+            cur = []
+    if cur:
+        splits.append(cur)
+    return [
+        {
+            "split_idx": k,
+            "base": grp[0]["local_off"],
+            "chunk": data[grp[0]["local_off"] : grp[-1]["data_end"]],
+            "members": grp,
+        }
+        for k, grp in enumerate(splits)
+    ]
+
+
+def decode_zip_range(
+    chunk: bytes, base: int, members: list[dict]
+) -> list[tuple[str, bytes, int, bool]]:
+    """Decode one split's members from its cut byte range — the
+    distributed unit :func:`zip_shard_ingest_split` runs per task."""
+    return [
+        (m["name"], decode_zip_member(chunk, base, m), m["method"],
+         m["zip64"])
+        for m in members
+    ]
 
 
 def _doc_json(doc_id: int, lang: str, source: str) -> bytes:
@@ -496,6 +588,138 @@ def zip_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, lang string, source string, n_chars long,"
             " text_md5 string, stored long, zip64 long"
         ),
+    )
+
+
+def zip_shard_ingest_split(
+    spark: SparkSession,
+    sf_dir: str,
+    target_split_bytes: int | None = None,
+) -> DataFrame:
+    """:func:`zip_shard_ingest` through the SPLITTABLE path — the
+    media tier's range machinery applied to the archive container:
+    stage 1 reads each shard's central directory ONCE and cuts
+    member-aligned byte-range splits (:func:`split_zip`); the splits
+    are spread across the cluster on ``(shard, split_idx)``; stage 2
+    decodes each split independently (:func:`decode_zip_range`) into
+    per-MEMBER rows; one final groupBy reassembles the txt/json pair
+    of each doc (the pair may land in different splits — wire order
+    packs members, not docs).
+
+    Identical output, schema, and hash to the whole-shard ingest —
+    pinned in tests/test_zipshard.py across several split sizes and
+    in tests/test_rotation.py against the documents-derived oracle.
+    At 100 TB this is the difference between one task per multi-GiB
+    WebDataset shard and ~shard_bytes / 4 MiB concurrent tasks."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    def builder(spark_, sf_dir_):
+        return with_zip_shards(spark_, sf_dir_).select(
+            F.col("shard_id").alias("doc_id"),
+            F.col("shard").alias("payload"),
+        )
+
+    shards = stage_payload_table(spark, sf_dir, "zipshard", builder)
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for shard_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for s in split_zip(bytes(p), target_split_bytes):
+                    rows.append((
+                        int(shard_id), s["split_idx"], s["base"],
+                        json.dumps(s["members"]), s["chunk"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id", "split_idx", "base", "members", "chunk",
+                ],
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols: dict[str, list] = {
+                "stem": [], "doc_id_meta": [], "lang": [], "source": [],
+                "n_chars": [], "text_md5": [], "stored": [], "zip64": [],
+            }
+            for row in pdf.itertuples(index=False):
+                members = json.loads(row.members)
+                for name, body, method, m64 in decode_zip_range(
+                    bytes(row.chunk), int(row.base), members
+                ):
+                    stem, dot, ext = name.rpartition(".")
+                    if not dot or ext not in ("txt", "json"):
+                        raise ValueError(f"zip: unexpected member {name!r}")
+                    if ext == "txt":
+                        cols["stem"].append(int(stem))
+                        cols["doc_id_meta"].append(None)
+                        cols["lang"].append(None)
+                        cols["source"].append(None)
+                        cols["n_chars"].append(len(body.decode()))
+                        cols["text_md5"].append(
+                            hashlib.md5(body).hexdigest()
+                        )
+                        cols["stored"].append(
+                            1 if method == STORE else 0
+                        )
+                        cols["zip64"].append(1 if m64 else 0)
+                    else:
+                        meta = json.loads(body)
+                        cols["stem"].append(int(stem))
+                        cols["doc_id_meta"].append(meta["doc_id"])
+                        cols["lang"].append(meta["lang"])
+                        cols["source"].append(meta["source"])
+                        cols["n_chars"].append(None)
+                        cols["text_md5"].append(None)
+                        cols["stored"].append(None)
+                        cols["zip64"].append(None)
+            # nullable Int64 so the half-populated numeric columns
+            # cross Arrow as int64-with-nulls, not NaN-poisoned floats
+            yield pd.DataFrame(cols).astype({
+                "doc_id_meta": "Int64", "n_chars": "Int64",
+                "stored": "Int64", "zip64": "Int64",
+            })
+
+    splits = shards.mapInPandas(
+        index,
+        schema=(
+            "shard_id long, split_idx long, base long, members string,"
+            " chunk binary"
+        ),
+    )
+    spread = splits.repartition(F.col("shard_id"), F.col("split_idx"))
+    parts = spread.mapInPandas(
+        decode,
+        schema=(
+            "stem long, doc_id_meta long, lang string, source string,"
+            " n_chars long, text_md5 string, stored long, zip64 long"
+        ),
+    )
+    # reassemble each doc's txt/json pair; the filter enforces the
+    # pairing invariants — a violation DROPS rows, which the
+    # row-count gate surfaces rather than hides
+    return (
+        parts.groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc_id_meta").alias("doc_id"),
+            F.max("lang").alias("lang"),
+            F.max("source").alias("source"),
+            F.max("n_chars").alias("n_chars"),
+            F.max("text_md5").alias("text_md5"),
+            F.max("stored").alias("stored"),
+            F.max("zip64").alias("zip64"),
+        )
+        .where((F.col("n_members") == 2) & (F.col("doc_id") == F.col("stem")))
+        .select(
+            "doc_id", "lang", "source", "n_chars", "text_md5",
+            "stored", "zip64",
+        )
     )
 
 

@@ -332,6 +332,19 @@ def _concurrent_events_sql():
     return CONCURRENT_EVENTS_SQL
 
 
+def _zip_split_ingest(spark, sf_dir):
+    from gemmsql.pipeline.zipshard import zip_shard_ingest_split
+
+    # 4 KiB target so the smoke corpus genuinely fans out per shard
+    return zip_shard_ingest_split(spark, sf_dir, target_split_bytes=4096)
+
+
+def _zip_split_ingest_sql():
+    from gemmsql.pipeline.zipshard import ZIP_SHARD_INGEST_SQL
+
+    return ZIP_SHARD_INGEST_SQL
+
+
 def _hist_quantiles(spark, sf_dir):
     from gemmsql.sketches import hist_quantiles
 
@@ -662,6 +675,15 @@ def _rotated():
         # driver-gated, and the as-of family gains event_order_asof)
         ("basket_rules", _basket_rules, _basket_rules_sql()),
         ("concurrent_events", _concurrent_events, _concurrent_events_sql()),
+        # born in round 12 (VERDICT r11 next #6): the SPLITTABLE zip
+        # member decode — the central directory used as the
+        # random-access split planner (the media tier's range
+        # machinery on the container tier): member-aligned byte-range
+        # cuts spread on (shard, split_idx), per-split decode, one
+        # groupBy to reassemble doc pairs that straddle splits; the
+        # oracle is the SAME documents-derived twin as the gated
+        # whole-shard ingest, so both paths must agree bit-for-bit
+        ("zip_split_ingest", _zip_split_ingest, _zip_split_ingest_sql()),
     ]
 
 

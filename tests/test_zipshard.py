@@ -183,6 +183,58 @@ def test_zip64_corruption_detected():
         parse_zip(bytes(bad3))
 
 
+@pytest.mark.parametrize("target", [1, 64, 4096, 10**9])
+def test_split_range_union_equals_whole_archive(target):
+    """Range-union == whole-archive at several split sizes (the media
+    readers' pinned property applied to the container tier): cutting
+    the archive into ~target-byte member-aligned ranges and decoding
+    each range independently must reproduce parse_zip_entries exactly
+    — 1 byte/split degenerates to one member per task, 1 GB/split to
+    one task for everything."""
+    from gemmsql.pipeline.zipshard import (
+        decode_zip_range,
+        parse_zip_entries,
+        split_zip,
+    )
+
+    data = build_zip(MEMBERS, zip64={"1.txt"})
+    whole = parse_zip_entries(data)
+    splits = split_zip(data, target)
+    got = [
+        e
+        for s in splits
+        for e in decode_zip_range(s["chunk"], s["base"], s["members"])
+    ]
+    assert sorted(got) == sorted(whole)
+    if target == 1:
+        assert len(splits) == len(MEMBERS)
+    if target == 10**9:
+        assert len(splits) == 1
+    # splits partition the member set — no overlap, no loss
+    names = [m["name"] for s in splits for m in s["members"]]
+    assert sorted(names) == sorted(n for n, _, _ in MEMBERS)
+
+
+def test_spark_split_ingest_matches_whole_shard(spark):
+    """The distributed split path must produce the identical result
+    set as the whole-shard ingest — at a split size small enough that
+    shards genuinely fan out and doc pairs straddle split boundaries."""
+    from tests.conftest import SF_SMOKE
+    from tests.test_rotation import _hash
+    from gemmsql.pipeline.zipshard import (
+        zip_shard_ingest,
+        zip_shard_ingest_split,
+    )
+
+    whole = zip_shard_ingest(spark, SF_SMOKE).toPandas()
+    split = zip_shard_ingest_split(
+        spark, SF_SMOKE, target_split_bytes=256
+    ).toPandas()
+    assert len(split) == len(whole)
+    assert sorted(split.columns) == sorted(whole.columns)
+    assert _hash(split) == _hash(whole)
+
+
 def test_spark_gate_runs(spark):
     from tests.conftest import SF_SMOKE
     from gemmsql.pipeline.zipshard import zip_shard_ingest
