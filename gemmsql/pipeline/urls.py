@@ -291,3 +291,187 @@ URL_CANONICAL_SQL = URL_CANONICAL_SQL.replace(
         "coalesce(regexp_extract(url, '[?]([^#]*)', 1), '')"
     ),
 )
+
+
+# ------------------------------------- web-ingest dedup composition gate
+
+def _messy_web_url() -> Column:
+    """Deterministic messy crawl URL from a WARC record's recovered
+    ``(doc_id, source)`` — every spelling variant canonicalizes AWAY,
+    so the canonical key is ``http://www.{source}.com/p/x{doc_id % 7}
+    /u~?a=1&b=2`` and ~7 docs per (source, path-slot) collide: the
+    dedup stage has real work at every sf tier."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http"))
+    host_lc = F.concat(F.lit("www."), F.col("source"), F.lit(".com"))
+    host = F.when(d % 3 == 0, F.upper(host_lc)).otherwise(host_lc)
+    port = F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p"),
+        F.when(d % 3 == 0, F.lit("/./x"))
+        .otherwise(F.when(d % 3 == 1, F.lit("//x"))
+                   .otherwise(F.lit("/q/../x"))),
+        (d % 7).cast("string"),
+        F.when(d % 2 == 0, F.lit("/u%7E")).otherwise(F.lit("/u~")),
+    )
+    query = F.when(
+        d % 2 == 0, F.lit("?b=2&a=1")
+    ).otherwise(F.lit("?a=1&b=2"))
+    frag = F.when(d % 5 == 0, F.lit("#top")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def web_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-ingest dedup chain (VERDICT r11 next #5) —
+    WARC walk -> messy crawl URL -> :func:`canonical_url` -> exact
+    dedup keeping the SMALLEST doc_id per canonical URL -> per-host
+    counts, as ONE composed plan -> ``(host, n_records, n_unique,
+    kept_doc_sum, kept_sig)``.
+
+    Every stage boundary is hash-load-bearing: records come from the
+    REAL ``.warc.gz`` member walk (`warc.warc_ingest` — gzip member
+    split, WARC parse, HTTP parse, md5 of the recovered body), the
+    URL is canonicalized BEFORE the dedup key is grouped on (running
+    the rules on the wrong column, or after grouping, collapses
+    different groups), keep-smallest is pinned per group by
+    ``kept_doc_sum`` AND by ``kept_sig`` (md5 over the sorted
+    ``canon:doc:md5`` membership strings — a wrong keeper or a lost
+    group cannot hash-match).
+
+    Scale shape: the member walk is a narrow Arrow map over shards;
+    canonicalization is zero-shuffle codegen; the chain shuffles
+    exactly twice — once on the canonical key (the dedup, unavoidable
+    and key-partitioned) and once on the ~|sources| hosts (tiny,
+    post-reduction).  The DuckDB twin recomputes the whole chain
+    independently from ``documents``."""
+    from gemmsql.pipeline.warc import warc_ingest
+
+    recs = warc_ingest(spark, sf_dir).select(
+        "doc_id", "source", "text_md5"
+    )
+    messy = recs.withColumn("url", _messy_web_url())
+    canon = canonicalize_urls(messy)
+    keyed = canon.select(
+        "doc_id", "text_md5", "canon",
+        F.regexp_extract("canon", "^[a-z]+://([^/:?#]*)", 1).alias("host"),
+    )
+    per_canon = keyed.groupBy("host", "canon").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.min("doc_id").alias("keep_doc"),
+        F.min_by("text_md5", "doc_id").alias("keep_md5"),
+    )
+    member = F.concat_ws(
+        ":", "canon", F.col("keep_doc").cast("string"), "keep_md5"
+    )
+    return per_canon.groupBy("host").agg(
+        F.sum("n_raw").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("keep_doc").cast("long").alias("kept_doc_sum"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list(member)))
+        ).alias("kept_sig"),
+    )
+
+
+#: the twin rebuilds the chain from ``documents`` alone: the walk's
+#: recovered md5 is md5(text) (ASCII corpus, `warc.py` twin), the
+#: messy formula is re-spelled, and canonicalization reuses the
+#: independent DuckDB rule implementations (pct-norm + path fold)
+WEB_DEDUP_PIPELINE_SQL = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS text_md5,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+         || '://'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN upper('www.' || source || '.com')
+                 ELSE 'www.' || source || '.com' END
+         || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+         || '/p'
+         || CASE WHEN doc_id % 3 = 0 THEN '/./x'
+                 WHEN doc_id % 3 = 1 THEN '//x'
+                 ELSE '/q/../x' END
+         || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/u%7E' ELSE '/u~' END
+         || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+                 ELSE '?a=1&b=2' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, text_md5,
+         lower(regexp_extract(url,
+           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         __PCT_PATH__ AS raw_path,
+         __PCT_QUERY__ AS raw_q
+  FROM m
+),
+split_hp AS (
+  SELECT *,
+         lower(CASE WHEN strpos(hostport, ':') > 0
+               THEN string_split(hostport, ':')[1]
+               ELSE hostport END) AS host,
+         CASE WHEN strpos(hostport, ':') > 0
+              THEN string_split(hostport, ':')[2] ELSE '' END AS port
+  FROM parts
+),
+folded AS (
+  SELECT *,
+         list_reduce(
+           list_prepend(chr(2), string_split(raw_path, '/')),
+           (acc, s) -> CASE
+             WHEN s = '' OR s = '.' THEN acc
+             WHEN s = '..' THEN
+               CASE WHEN acc = chr(2) THEN acc
+                    ELSE regexp_replace(acc, '/[^/]*$', '') END
+             ELSE acc || '/' || s END) AS pathacc,
+         coalesce(array_to_string(
+           list_sort(list_filter(string_split(raw_q, '&'),
+                                 x -> x <> '')), '&'), '') AS sorted_q
+  FROM split_hp
+),
+canonical AS (
+  SELECT doc_id, text_md5, host,
+         scheme || '://' || host
+         || CASE WHEN port = '' THEN ''
+                 WHEN scheme = 'http' AND port = '80' THEN ''
+                 WHEN scheme = 'https' AND port = '443' THEN ''
+                 ELSE ':' || port END
+         || CASE WHEN pathacc = chr(2) THEN '/'
+                 ELSE substring(pathacc, 2) END
+         || CASE WHEN sorted_q = '' THEN ''
+                 ELSE '?' || sorted_q END AS canon
+  FROM folded
+),
+per_canon AS (
+  SELECT host, canon,
+         COUNT(*) AS n_raw,
+         MIN(doc_id) AS keep_doc,
+         arg_min(text_md5, doc_id) AS keep_md5
+  FROM canonical
+  GROUP BY host, canon
+)
+SELECT host,
+       CAST(SUM(n_raw) AS BIGINT) AS n_records,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(keep_doc) AS BIGINT) AS kept_doc_sum,
+       md5(string_agg(
+         canon || ':' || CAST(keep_doc AS VARCHAR) || ':' || keep_md5,
+         ',' ORDER BY canon)) AS kept_sig
+FROM per_canon
+GROUP BY host
+"""
+
+WEB_DEDUP_PIPELINE_SQL = WEB_DEDUP_PIPELINE_SQL.replace(
+    "__PCT_PATH__",
+    _pct_norm_duck(
+        "coalesce(regexp_extract(url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
+    ),
+).replace(
+    "__PCT_QUERY__",
+    _pct_norm_duck(
+        "coalesce(regexp_extract(url, '[?]([^#]*)', 1), '')"
+    ),
+)

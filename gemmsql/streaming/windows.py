@@ -943,3 +943,119 @@ SELECT epoch_us(day) AS day_us, rule, kind,
          AS passed
 FROM rules
 """
+
+
+def streaming_asof_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment (VERDICT r11 next #7) — the one
+    join family the other nine gates don't cover: every event on the
+    live stream picks up the customer's most recent order on or
+    before it (backward as-of, 30-day tolerance) -> ``(event_id,
+    orderkey, days_diff)``, -1 for no match within tolerance.
+
+    Streaming formulation: the batch union+window merge-asof
+    (`pipeline.joins.asof_join`) needs an unbounded per-key sort, so
+    the stream side instead BOUNDS the candidate set with the
+    tolerance itself — a stream-static left join whose range
+    predicate (``0 <= lts - rts <= 30``) ships at most 31 days of the
+    broadcast order dimension per event — then a day-windowed
+    watermarked MAX(struct(rts, ok)) picks the as-of row per event in
+    append mode.  Bounded-tolerance pick-max == unbounded
+    pick-then-filter for the backward direction (backward distances
+    are ordered), which is what makes the batch twin exact.
+
+    The watermark is load-bearing exactly as in the DQ/hist gates:
+    append mode withholds the open final day, the oracle (DuckDB's
+    NATIVE ASOF JOIN, tolerance applied after the pick) replays the
+    same emission rule.  Scale shape: broadcast dimension, stateless
+    join, state = one struct per event for <= 1 open day + 1 h."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"gemmsql_stream_gate_{tag}")
+    stage_stream_dir(spark, sf_dir, target)
+    ev = (
+        read_events_stream(spark, target, max_files_per_trigger=1_000_000)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "event_id", "ts",
+            F.col("user_id").alias("ev_user"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("lts"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+        .select(
+            F.col("o_custkey").alias("ord_user"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("rts"),
+            "ok",
+        )
+    )
+    j = ev.join(
+        F.broadcast(orders),
+        (F.col("ev_user") == F.col("ord_user"))
+        & (F.col("rts") <= F.col("lts"))
+        & (F.col("lts") - F.col("rts") <= 30),
+        "left_outer",
+    )
+    agg = (
+        j.groupBy(F.window("ts", "1 day"), "event_id", "lts")
+        .agg(F.max(F.struct("rts", "ok")).alias("m"))
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.coalesce(F.col("m.ok"), F.lit(-1)).cast("long")
+            .alias("orderkey"),
+            F.coalesce(F.col("lts") - F.col("m.rts"), F.lit(-1))
+            .cast("long").alias("days_diff"),
+        )
+    )
+    name = "stream_gate_asof"
+    ckpt = _fresh_ckpt(f"gemmsql_ckpt_asof_{tag}")
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    return spark.table(name)
+
+
+#: DuckDB twin: native ASOF JOIN (a genuinely independent as-of
+#: implementation), tolerance applied after the pick, the day-window
+#: emission rule replayed verbatim from the DQ/hist gates
+STREAMING_ASOF_GATE_SQL = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS lts
+  FROM events
+  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <=
+        (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+),
+r AS (
+  SELECT o_custkey AS user_id,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS rts,
+         MAX(o_orderkey) AS ok
+  FROM orders GROUP BY 1, 2
+),
+b AS (
+  SELECT e.event_id, e.lts, r.ok, e.lts - r.rts AS dist
+  FROM e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND r.rts <= e.lts
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(COALESCE(CASE WHEN dist <= 30 THEN ok END, -1) AS BIGINT)
+         AS orderkey,
+       CAST(COALESCE(CASE WHEN dist <= 30 THEN dist END, -1) AS BIGINT)
+         AS days_diff
+FROM b
+"""

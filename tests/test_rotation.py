@@ -332,6 +332,30 @@ def _concurrent_events_sql():
     return CONCURRENT_EVENTS_SQL
 
 
+def _streaming_asof(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_asof_gate
+
+    return streaming_asof_gate(spark, sf_dir)
+
+
+def _streaming_asof_sql():
+    from gemmsql.streaming.windows import STREAMING_ASOF_GATE_SQL
+
+    return STREAMING_ASOF_GATE_SQL
+
+
+def _web_dedup_pipeline(spark, sf_dir):
+    from gemmsql.pipeline.urls import web_dedup_pipeline
+
+    return web_dedup_pipeline(spark, sf_dir)
+
+
+def _web_dedup_pipeline_sql():
+    from gemmsql.pipeline.urls import WEB_DEDUP_PIPELINE_SQL
+
+    return WEB_DEDUP_PIPELINE_SQL
+
+
 def _zip_split_ingest(spark, sf_dir):
     from gemmsql.pipeline.zipshard import zip_shard_ingest_split
 
@@ -684,6 +708,23 @@ def _rotated():
         # oracle is the SAME documents-derived twin as the gated
         # whole-shard ingest, so both paths must agree bit-for-bit
         ("zip_split_ingest", _zip_split_ingest, _zip_split_ingest_sql()),
+        # also born in round 12 (VERDICT r11 next #5): the web-ingest
+        # dedup COMPOSITION witness — real .warc.gz member walk ->
+        # messy crawl URL -> canonical_url -> exact dedup keeping the
+        # smallest doc_id per canonical key -> per-host counts, one
+        # composed plan; kept_sig (md5 over sorted canon:doc:md5
+        # membership) moves if canonicalization runs on the wrong
+        # column, after the grouping, or keeps the wrong doc
+        ("web_dedup_pipeline", _web_dedup_pipeline,
+         _web_dedup_pipeline_sql()),
+        # also born in round 12 (VERDICT r11 next #7): the streaming
+        # as-of enrichment — events stream as-of the static order
+        # dimension (backward, 30-day tolerance) via the
+        # tolerance-bounded broadcast join + watermarked day-window
+        # pick-max; the oracle is DuckDB's NATIVE ASOF JOIN plus the
+        # DQ/hist gates' emission rule, so both the as-of semantics
+        # and the watermark withholding are row-membership-gated
+        ("streaming_asof_gate", _streaming_asof, _streaming_asof_sql()),
     ]
 
 
