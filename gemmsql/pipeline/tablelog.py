@@ -1,0 +1,536 @@
+"""Transaction-log table format — snapshot replay, time travel,
+history audit, stats-based file skipping, and checkpoint compaction.
+
+The lakehouse tier so far audits *physical* layout (parquet footers,
+z-order tightness, compaction — `parquet_meta.py`); this module adds
+the *logical* layer above it: a minimal open-table-format commit log
+in the style the public Delta Lake protocol and Iceberg spec
+established (ordered JSON commits of add/remove file actions with
+per-file statistics; snapshot = replay; old versions stay readable
+because removed files are retained until vacuum).  The format here is
+deliberately minimal and our own — one JSONL file per commit under
+``<table>/log/`` (data files under ``<table>/data/``), each line one action::
+
+    {"v": 2, "a": "add",    "path": "C0.parquet", "n_rows": ...,
+     "n_bytes": ..., "min_key": ..., "max_key": ...,
+     "min_date": "YYYY-MM-DD", "max_date": "YYYY-MM-DD"}
+    {"v": 2, "a": "remove", "path": "A0.parquet"}
+
+Replay semantics (the Delta rule): for each path take the LAST action
+with version <= V — ties inside one commit resolve remove-beats-add —
+and the path is live iff that action is an ``add``.  A remove followed
+by a later re-add restores the file (exercised in tests).
+
+Why this matters at 100 TB: the log is *metadata* — kilobytes per
+commit — so computing a snapshot, a version diff, or a skip plan
+reads no data bytes at all.  Every op below that touches data reads
+the data directory EXACTLY ONCE and joins the (broadcast-sized)
+liveness frame against per-file pre-aggregates, so the full version
+history costs one scan, not one scan per version.  Checkpoints bound
+replay cost: a checkpoint parquet under ``log/`` materializes the
+live set at version V, and later snapshots replay only commits > V —
+O(commits since checkpoint), not O(all commits ever).
+
+The staged fixture (:func:`stage_versioned_table`) drives a realistic
+lifecycle over the ``orders`` table: two appends, a compaction
+(remove two files, add their union re-sorted), and a DML delete
+(rewrite one file dropping its ``o_orderstatus = 'F'`` rows) plus a
+concurrent append — four versions whose live sets differ in files
+AND rows, so a wrong replay moves every downstream hash.
+
+Log and data live in sibling subdirectories (``log/``, ``data/``)
+so each engine's scan globs exactly one of them — Spark's file index
+treats underscore-prefixed paths as hidden, which rules out Delta's
+in-table ``_delta_log`` placement for a plain JSON scan.
+
+(No analog in the reference — its surface is ML operators,
+ref:gemm_map_reduce.py:1; this is the table-format tier of the
+brief's lakehouse story.)
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gemmsql.datamodel import load_table
+
+LOG_SUBDIR = "log"
+DATA_SUBDIR = "data"
+
+LOG_SCHEMA = T.StructType([
+    T.StructField("v", T.LongType()),
+    T.StructField("a", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("min_key", T.LongType()),
+    T.StructField("max_key", T.LongType()),
+    T.StructField("min_date", T.StringType()),
+    T.StructField("max_date", T.StringType()),
+])
+
+# DuckDB twin of LOG_SCHEMA for read_json(columns=...)
+_LOG_COLS_SQL = (
+    "{'v':'BIGINT','a':'VARCHAR','path':'VARCHAR','n_rows':'BIGINT',"
+    "'n_bytes':'BIGINT','min_key':'BIGINT','max_key':'BIGINT',"
+    "'min_date':'VARCHAR','max_date':'VARCHAR'}"
+)
+
+# cents quantizer shared by engine and twin: o_totalprice carries two
+# decimals, so *100 sits within 1e-9 of an integer and floor(+0.5) is
+# the stable round on both engines (the repo-wide quantizer rule)
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+# --------------------------------------------------------------- staging
+
+def _table_dir(sf_dir: str) -> str:
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    return os.path.join(
+        tempfile.gettempdir(), f"gemmsql_tablelog_{staged_dir_tag(sf_dir)}"
+    )
+
+
+def _write_one_file(df: DataFrame, dest: str) -> None:
+    """Write ``df`` as a single sorted parquet file at exactly
+    ``dest`` (Spark names its own part files, so write to a scratch
+    dir and move the one part out)."""
+    scratch = f"{dest}.scratch"
+    (
+        df.coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+    part = _glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    os.replace(part, dest)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+# the lifecycle: slice name -> (key-range bucket, commit version).
+# buckets are o_orderkey div R (R = max_key/8) — RANGE slices, the
+# shape real ingest produces (files arrive key/time-ordered), so each
+# file's min/max stats are tight and the skip audit exercises real
+# skips.  Arithmetic, not Spark's hash: engine- and version-
+# independent.
+_V0 = [("A0", 0), ("A1", 1), ("A2", 2), ("A3", 3)]
+_V1 = [("B0", 4), ("B1", 5)]
+
+
+def stage_versioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build the four-version table once per sf tier (idempotent,
+    atomically published via rename like the parquet_meta stagers).
+
+    - v0 append:     A0..A3   (orders with o_orderkey div R in 0..3)
+    - v1 append:     B0, B1   (range buckets 4, 5)
+    - v2 compaction: remove A0, A1; add C0 = A0 ∪ A1 re-sorted
+    - v3 delete+append: remove B0; add D0 = B0 minus status-'F' rows;
+                        add E0 (range bucket 6)
+    """
+    target = _table_dir(sf_dir)
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # 1-row metadata
+    width = mx // 8 + 1
+    bucket = F.expr(f"o_orderkey div {width}").alias("bucket")
+
+    def _slice(b: int, drop_f: bool = False) -> DataFrame:
+        df = orders.filter(F.expr(f"o_orderkey div {width}") == b)
+        if drop_f:
+            df = df.filter(F.col("o_orderstatus") != "F")
+        return df
+
+    slices: dict[str, DataFrame] = {}
+    for name, b in _V0 + _V1:
+        slices[name] = _slice(b)
+    slices["C0"] = _slice(0).unionByName(_slice(1))
+    slices["D0"] = _slice(4, drop_f=True)
+    slices["E0"] = _slice(6)
+
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, LOG_SUBDIR))
+    os.makedirs(os.path.join(tmp, DATA_SUBDIR))
+
+    # one stats pass for all slices: tag rows with every slice they
+    # belong to, aggregate once, collect one row per slice (9 rows —
+    # the write-time stats a real committer records)
+    stats: dict[str, dict] = {}
+    tagged = orders.withColumn("bucket", bucket)
+    agg = (
+        tagged.groupBy("bucket", (F.col("o_orderstatus") != "F").alias("nf"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("mnk"),
+            F.max("o_orderkey").alias("mxk"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
+        )
+        .collect()
+    )  # bounded: <= 16 rows of metadata
+
+    def _merge(rows) -> dict:
+        return {
+            "n_rows": int(sum(r["n"] for r in rows)),
+            "min_key": int(min(r["mnk"] for r in rows)),
+            "max_key": int(max(r["mxk"] for r in rows)),
+            "min_date": min(r["mnd"] for r in rows),
+            "max_date": max(r["mxd"] for r in rows),
+        }
+
+    by_bucket = lambda b: [r for r in agg if r["bucket"] == b]  # noqa: E731
+    for name, b in _V0 + _V1 + [("E0", 6)]:
+        stats[name] = _merge(by_bucket(b))
+    stats["C0"] = _merge(by_bucket(0) + by_bucket(1))
+    stats["D0"] = _merge([r for r in agg if r["bucket"] == 4 and r["nf"]])
+
+    for name, df in slices.items():
+        dest = os.path.join(tmp, DATA_SUBDIR, f"{name}.parquet")
+        _write_one_file(df, dest)
+        stats[name]["n_bytes"] = os.path.getsize(dest)
+
+    def _add(name: str, v: int) -> str:
+        return json.dumps(
+            {"v": v, "a": "add", "path": f"{name}.parquet", **stats[name]}
+        )
+
+    def _rm(name: str, v: int) -> str:
+        return json.dumps({"v": v, "a": "remove", "path": f"{name}.parquet"})
+
+    commits = {
+        0: [_add(n, 0) for n, _ in _V0],
+        1: [_add(n, 1) for n, _ in _V1],
+        2: [_rm("A0", 2), _rm("A1", 2), _add("C0", 2)],
+        3: [_rm("B0", 3), _add("D0", 3), _add("E0", 3)],
+    }
+    for v, lines in commits.items():
+        with open(os.path.join(tmp, LOG_SUBDIR, f"{v:08d}.json"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+# --------------------------------------------------------------- replay
+
+def read_log(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The commit log as a DataFrame — schema-pinned JSONL scan."""
+    return spark.read.schema(LOG_SCHEMA).json(
+        os.path.join(table_dir, LOG_SUBDIR, "*.json")
+    )
+
+
+def _last_action_live(actions: DataFrame, extra_keys: list[str]) -> DataFrame:
+    """Delta replay rule over an action frame: last action per
+    (``*extra_keys``, path) by version wins; remove beats add inside
+    one version; live iff that action is an add."""
+    w = Window.partitionBy(*extra_keys, "path").orderBy(
+        F.col("v").desc(),
+        F.when(F.col("a") == "remove", 0).otherwise(1),
+    )
+    return (
+        actions.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("a") == "add"))
+        .drop("rn")
+    )
+
+
+def snapshot_files(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    *,
+    from_checkpoint: bool = False,
+) -> DataFrame:
+    """Live file records at ``version`` (latest when None).  With
+    ``from_checkpoint`` the replay starts from the newest checkpoint
+    at or below ``version`` and applies only later commits."""
+    log = read_log(spark, table_dir)
+    if version is not None:
+        log = log.filter(F.col("v") <= version)
+    if from_checkpoint:
+        ckpt_v = _latest_checkpoint_version(table_dir, version)
+        if ckpt_v is not None:
+            base = spark.read.parquet(_checkpoint_dir(table_dir, ckpt_v))
+            log = base.unionByName(log.filter(F.col("v") > ckpt_v))
+    return _last_action_live(log, [])
+
+
+def _checkpoint_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, LOG_SUBDIR, f"ckpt-{version:08d}")
+
+
+def _latest_checkpoint_version(
+    table_dir: str, at_or_below: int | None
+) -> int | None:
+    found = []
+    for p in _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "ckpt-*")):
+        v = int(os.path.basename(p).split("-")[1])
+        if at_or_below is None or v <= at_or_below:
+            found.append(v)
+    return max(found) if found else None
+
+
+def write_checkpoint(
+    spark: SparkSession, table_dir: str, version: int
+) -> str:
+    """Materialize the live set at ``version`` as a checkpoint
+    parquet under ``_log/`` — the replay shortcut.  The checkpoint
+    keeps each record's original add action (its commit version and
+    stats), so replay-from-checkpoint and full replay are the same
+    window over different prefixes."""
+    dest = _checkpoint_dir(table_dir, version)
+    snapshot_files(spark, table_dir, version).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    return dest
+
+
+# ----------------------------------------------------------------- ops
+
+def _per_version_live(spark: SparkSession, table_dir: str) -> DataFrame:
+    """(version, path) liveness for EVERY version in the log — the
+    metadata frame each data-touching op broadcasts.  Versions × log
+    actions is commit-count², all metadata."""
+    log = read_log(spark, table_dir)
+    versions = log.select(F.col("v").alias("version")).distinct()
+    acts = versions.join(log, F.col("v") <= F.col("version"))
+    return _last_action_live(acts, ["version"])
+
+
+def _data_with_path(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(table_dir, DATA_SUBDIR)).withColumn(
+        "path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+    )
+
+
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed time-travel witness: per-priority order counts and
+    cent totals AT EVERY VERSION, computed from ONE data scan — the
+    per-(file, priority) pre-aggregate joins the broadcast liveness
+    frame, so adding versions costs metadata, not scans.  A wrong
+    replay (missed remove, wrong tiebreak, dead file read) moves the
+    hash."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    live = _per_version_live(spark, table_dir).select("version", "path")
+    perfile = (
+        _data_with_path(spark, table_dir)
+        .groupBy("path", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(_CENTS)).alias("cents"),
+        )
+    )
+    return (
+        perfile.join(F.broadcast(live), "path")
+        .groupBy("version", "o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def table_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version log audit — metadata only, zero data bytes read:
+    action counts, rows added, rows REMOVED (a remove action carries
+    no stats, so the removed file's row count comes from joining back
+    to its unique add action — the lookup a real log reader does),
+    and running live file/row totals via a cumulative window."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    log = read_log(spark, table_dir)
+    adds = log.filter(F.col("a") == "add").select(
+        "path", F.col("n_rows").alias("add_rows")
+    )
+    acts = log.join(F.broadcast(adds), "path", "left")
+    per_v = acts.groupBy(F.col("v").alias("version")).agg(
+        F.sum(F.when(F.col("a") == "add", 1).otherwise(0))
+        .cast("long").alias("n_add"),
+        F.sum(F.when(F.col("a") == "remove", 1).otherwise(0))
+        .cast("long").alias("n_remove"),
+        F.sum(F.when(F.col("a") == "add", F.col("add_rows")).otherwise(0))
+        .cast("long").alias("rows_added"),
+        F.sum(F.when(F.col("a") == "remove", F.col("add_rows")).otherwise(0))
+        .cast("long").alias("rows_removed"),
+    )
+    w = Window.orderBy("version").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_v.select(
+        "version", "n_add", "n_remove", "rows_added", "rows_removed",
+        F.sum(F.col("n_add") - F.col("n_remove")).over(w)
+        .cast("long").alias("live_files"),
+        F.sum(F.col("rows_added") - F.col("rows_removed")).over(w)
+        .cast("long").alias("live_rows"),
+    )
+
+
+def stats_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping trust audit at the latest version: the skip
+    decision each live file's log stats imply for a fixed key-range
+    query, next to the TRUE matching row count from the data.  The
+    range derives from the log itself (35%..55% of the global max
+    key, integer arithmetic both engines), so the op is closed over
+    the fixture.  The invariant a planner relies on — candidate=0 ⟹
+    matches=0 — is also pinned in tests."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    live = snapshot_files(spark, table_dir)
+    bounds = live.agg(
+        F.expr("max(max_key) * 35 div 100").alias("lo"),
+        F.expr("max(max_key) * 55 div 100").alias("hi"),
+    )
+    decided = live.crossJoin(F.broadcast(bounds)).select(
+        "path",
+        F.when(
+            (F.col("max_key") < F.col("lo")) | (F.col("min_key") > F.col("hi")),
+            F.lit(0),
+        ).otherwise(1).cast("long").alias("candidate"),
+        "lo", "hi",
+    )
+    matches = (
+        _data_with_path(spark, table_dir)
+        .join(F.broadcast(decided.select("path", "lo", "hi")), "path")
+        .filter(
+            (F.col("o_orderkey") >= F.col("lo"))
+            & (F.col("o_orderkey") <= F.col("hi"))
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    return (
+        decided.join(matches, "path", "left")
+        .select(
+            "path", "candidate",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Files safe to physically delete: ever added but not live at
+    the latest version, with the bytes a vacuum would reclaim.
+    Metadata-only (the real deletion is an fs operation on this
+    list)."""
+    log = read_log(spark, table_dir)
+    adds = log.filter(F.col("a") == "add").select("path", "n_bytes").distinct()
+    live = snapshot_files(spark, table_dir).select("path")
+    return (
+        adds.join(live, "path", "left_anti")
+        .select("path", F.col("n_bytes").cast("long").alias("reclaim_bytes"))
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+def _log_rel(table_dir: str) -> str:
+    return (
+        f"read_json('{table_dir}/{LOG_SUBDIR}/*.json', "
+        f"format='newline_delimited', columns={_LOG_COLS_SQL})"
+    )
+
+
+def time_travel_read_sql(sf_dir: str) -> str:
+    """DuckDB twin: independent replay (window over versions × log)
+    joined to an independent per-file aggregate of the same parquet."""
+    d = _table_dir(sf_dir)
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+vs AS (SELECT DISTINCT v AS version FROM log),
+acts AS (SELECT vs.version, l.* FROM vs JOIN log l ON l.v <= vs.version),
+last AS (
+  SELECT version, path, a,
+         ROW_NUMBER() OVER (
+           PARTITION BY version, path
+           ORDER BY v DESC, CASE WHEN a = 'remove' THEN 0 ELSE 1 END
+         ) AS rn
+  FROM acts),
+live AS (SELECT version, path FROM last WHERE rn = 1 AND a = 'add'),
+perfile AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS path, o_orderpriority,
+         COUNT(*) AS n, SUM({_CENTS}) AS cents
+  FROM read_parquet('{d}/data/*.parquet', filename = true)
+  GROUP BY 1, 2)
+SELECT live.version, p.o_orderpriority,
+       CAST(SUM(p.n) AS BIGINT) AS n_orders,
+       CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+FROM live JOIN perfile p USING (path)
+GROUP BY 1, 2
+"""
+
+
+def table_history_audit_sql(sf_dir: str) -> str:
+    d = _table_dir(sf_dir)
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+adds AS (SELECT path, n_rows AS add_rows FROM log WHERE a = 'add'),
+acts AS (SELECT l.*, adds.add_rows FROM log l LEFT JOIN adds USING (path)),
+per_v AS (
+  SELECT v AS version,
+         CAST(SUM(CASE WHEN a = 'add' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_add,
+         CAST(SUM(CASE WHEN a = 'remove' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_remove,
+         CAST(SUM(CASE WHEN a = 'add' THEN add_rows ELSE 0 END) AS BIGINT)
+           AS rows_added,
+         CAST(SUM(CASE WHEN a = 'remove' THEN add_rows ELSE 0 END) AS BIGINT)
+           AS rows_removed
+  FROM acts GROUP BY v)
+SELECT version, n_add, n_remove, rows_added, rows_removed,
+       CAST(SUM(n_add - n_remove) OVER (
+         ORDER BY version ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS live_files,
+       CAST(SUM(rows_added - rows_removed) OVER (
+         ORDER BY version ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS live_rows
+FROM per_v
+"""
+
+
+def stats_skipping_audit_sql(sf_dir: str) -> str:
+    d = _table_dir(sf_dir)
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+last AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY path
+      ORDER BY v DESC, CASE WHEN a = 'remove' THEN 0 ELSE 1 END
+    ) AS rn
+  FROM log),
+live AS (SELECT * FROM last WHERE rn = 1 AND a = 'add'),
+bounds AS (
+  SELECT MAX(max_key) * 35 // 100 AS lo, MAX(max_key) * 55 // 100 AS hi
+  FROM live),
+decided AS (
+  SELECT path,
+         CAST(CASE WHEN max_key < lo OR min_key > hi THEN 0 ELSE 1 END
+              AS BIGINT) AS candidate,
+         lo, hi
+  FROM live CROSS JOIN bounds),
+matches AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS path, COUNT(*) AS n
+  FROM read_parquet('{d}/data/*.parquet', filename = true)
+  CROSS JOIN bounds
+  WHERE o_orderkey BETWEEN lo AND hi
+  GROUP BY 1)
+SELECT d.path, d.candidate,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matches
+FROM decided d LEFT JOIN matches m USING (path)
+"""

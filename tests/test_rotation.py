@@ -369,6 +369,42 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _time_travel_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import time_travel_read
+
+    return time_travel_read(spark, sf_dir)
+
+
+def _time_travel_read_sql():
+    from gemmsql.pipeline.tablelog import time_travel_read_sql
+
+    return time_travel_read_sql(SF_SMOKE)
+
+
+def _table_history_audit(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import table_history_audit
+
+    return table_history_audit(spark, sf_dir)
+
+
+def _table_history_audit_sql():
+    from gemmsql.pipeline.tablelog import table_history_audit_sql
+
+    return table_history_audit_sql(SF_SMOKE)
+
+
+def _stats_skipping_audit(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import stats_skipping_audit
+
+    return stats_skipping_audit(spark, sf_dir)
+
+
+def _stats_skipping_audit_sql():
+    from gemmsql.pipeline.tablelog import stats_skipping_audit_sql
+
+    return stats_skipping_audit_sql(SF_SMOKE)
+
+
 def _hist_quantiles(spark, sf_dir):
     from gemmsql.sketches import hist_quantiles
 
@@ -725,6 +761,24 @@ def _rotated():
         # DQ/hist gates' emission rule, so both the as-of semantics
         # and the watermark withholding are row-membership-gated
         ("streaming_asof_gate", _streaming_asof, _streaming_asof_sql()),
+        # born late in round 12: the table-format transaction-log tier
+        # (gemmsql/pipeline/tablelog.py) — a Delta-style JSON commit
+        # log over a staged four-version orders lifecycle (append,
+        # append, compaction, delete+append).  Three independent
+        # replays must agree: time_travel_read is the composed
+        # witness (per-version per-priority aggregates from ONE data
+        # scan joined to the replayed liveness frame — a missed
+        # remove, wrong tiebreak, or dead-file read moves the hash);
+        # table_history_audit is the metadata-only running ledger
+        # (remove rows resolved by joining back to their add action);
+        # stats_skipping_audit pins the planner trust contract
+        # (log-stats skip decision vs true per-file match counts,
+        # candidate=0 rows must show 0 matches)
+        ("time_travel_read", _time_travel_read, _time_travel_read_sql()),
+        ("table_history_audit", _table_history_audit,
+         _table_history_audit_sql()),
+        ("stats_skipping_audit", _stats_skipping_audit,
+         _stats_skipping_audit_sql()),
     ]
 
 

@@ -1,0 +1,172 @@
+"""Table-format transaction log: replay semantics, checkpoints,
+skipping invariants (`gemmsql/pipeline/tablelog.py`).
+
+The three gate ops' full Spark-vs-DuckDB hash parity runs in
+tests/test_rotation.py; this file pins the pieces parity alone can't
+see — the replay edge rules on synthetic logs, checkpoint-vs-full
+replay equality, the planner's candidate=0 ⟹ matches=0 trust
+invariant, and the staged fixture's lifecycle shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from tests.conftest import SF_SMOKE
+
+from gemmsql.pipeline import tablelog as tl
+
+
+def _mklog(tmp_path, commits):
+    """Materialize a synthetic table dir with only a log."""
+    d = tmp_path / "tbl"
+    (d / tl.LOG_SUBDIR).mkdir(parents=True)
+    (d / tl.DATA_SUBDIR).mkdir()
+    for v, lines in commits.items():
+        path = d / tl.LOG_SUBDIR / f"{v:08d}.json"
+        path.write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+    return str(d)
+
+
+def _add(v, path, rows=1):
+    return {"v": v, "a": "add", "path": path, "n_rows": rows,
+            "n_bytes": 10, "min_key": 0, "max_key": 9,
+            "min_date": "1992-01-01", "max_date": "1998-08-02"}
+
+
+def _rm(v, path):
+    return {"v": v, "a": "remove", "path": path}
+
+
+def _live(spark, d, version=None):
+    return sorted(
+        r["path"] for r in tl.snapshot_files(spark, d, version).collect()
+    )
+
+
+def test_replay_remove_then_readd_restores(spark, tmp_path):
+    d = _mklog(tmp_path, {
+        0: [_add(0, "f.parquet")],
+        1: [_rm(1, "f.parquet")],
+        2: [_add(2, "f.parquet")],
+    })
+    assert _live(spark, d, 0) == ["f.parquet"]
+    assert _live(spark, d, 1) == []
+    assert _live(spark, d, 2) == ["f.parquet"]
+    assert _live(spark, d) == ["f.parquet"]
+
+
+def test_replay_same_version_remove_beats_add(spark, tmp_path):
+    # the documented tiebreak: add+remove of one path inside a single
+    # commit resolves to remove, deterministically, on both engines
+    d = _mklog(tmp_path, {
+        0: [_add(0, "f.parquet")],
+        1: [_add(1, "f.parquet"), _rm(1, "f.parquet")],
+    })
+    assert _live(spark, d, 0) == ["f.parquet"]
+    assert _live(spark, d, 1) == []
+
+
+def test_replay_version_bound_filters_later_commits(spark, tmp_path):
+    d = _mklog(tmp_path, {
+        0: [_add(0, "a.parquet")],
+        1: [_add(1, "b.parquet")],
+        2: [_rm(2, "a.parquet")],
+    })
+    assert _live(spark, d, 0) == ["a.parquet"]
+    assert _live(spark, d, 1) == ["a.parquet", "b.parquet"]
+    assert _live(spark, d, 2) == ["b.parquet"]
+
+
+def test_fixture_lifecycle_live_sets(spark):
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    assert _live(spark, d, 0) == sorted(
+        f"A{i}.parquet" for i in range(4))
+    assert _live(spark, d, 1) == sorted(
+        [f"A{i}.parquet" for i in range(4)] + ["B0.parquet", "B1.parquet"])
+    assert _live(spark, d, 2) == sorted(
+        ["A2.parquet", "A3.parquet", "B0.parquet", "B1.parquet",
+         "C0.parquet"])
+    assert _live(spark, d, 3) == sorted(
+        ["A2.parquet", "A3.parquet", "B1.parquet", "C0.parquet",
+         "D0.parquet", "E0.parquet"])
+
+
+def test_fixture_compaction_preserves_rows_delete_drops_them(spark):
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    hist = {r["version"]: r for r in
+            tl.table_history_audit(spark, SF_SMOKE).collect()}
+    # v2 compaction: rows added == rows removed (pure rewrite)
+    assert hist[2]["rows_added"] == hist[2]["rows_removed"]
+    assert hist[2]["n_add"] == 1 and hist[2]["n_remove"] == 2
+    # v3 delete: strictly fewer rows come back than go (D0 < B0),
+    # net of the concurrent E0 append
+    snap = {r["path"]: r["n_rows"] for r in
+            tl.snapshot_files(spark, d).collect()}
+    log = {r["path"]: r["n_rows"] for r in
+           tl.read_log(spark, d).filter("a = 'add'").collect()}
+    assert snap["D0.parquet"] < log["B0.parquet"]
+    # running totals are consistent with the final snapshot
+    assert hist[3]["live_files"] == len(snap)
+    assert hist[3]["live_rows"] == sum(snap.values())
+
+
+def test_checkpoint_replay_equals_full_replay(spark):
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    ck = None
+    try:
+        ck = tl.write_checkpoint(spark, d, 2)
+        for v in (2, 3, None):
+            full = sorted(map(tuple, tl.snapshot_files(spark, d, v).collect()))
+            fast = sorted(map(tuple, tl.snapshot_files(
+                spark, d, v, from_checkpoint=True).collect()))
+            assert full == fast, f"version {v}"
+        # a checkpoint AFTER the asked-for version must not be used
+        before = sorted(map(tuple, tl.snapshot_files(
+            spark, d, 1, from_checkpoint=True).collect()))
+        plain = sorted(map(tuple, tl.snapshot_files(spark, d, 1).collect()))
+        assert before == plain
+    finally:
+        if ck:
+            shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_skipping_candidate_zero_implies_zero_matches(spark):
+    rows = tl.stats_skipping_audit(spark, SF_SMOKE).collect()
+    assert any(r["candidate"] == 0 for r in rows), "no skip exercised"
+    assert any(r["candidate"] == 1 and r["n_matches"] > 0 for r in rows)
+    for r in rows:
+        if r["candidate"] == 0:
+            assert r["n_matches"] == 0, r["path"]
+
+
+def test_vacuum_plan_is_exactly_the_dead_files(spark):
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    got = sorted(r["path"] for r in tl.vacuum_plan(spark, d).collect())
+    assert got == ["A0.parquet", "A1.parquet", "B0.parquet"]
+    # every planned path really exists on disk (time travel kept it)
+    for p in got:
+        assert os.path.exists(os.path.join(d, tl.DATA_SUBDIR, p))
+
+
+def test_time_travel_version_rowcounts_match_live_stats(spark):
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    ttr = tl.time_travel_read(spark, SF_SMOKE).collect()
+    by_v = {}
+    for r in ttr:
+        by_v[r["version"]] = by_v.get(r["version"], 0) + r["n_orders"]
+    for v in range(4):
+        stat_rows = sum(
+            r["n_rows"] for r in tl.snapshot_files(spark, d, v).collect()
+        )
+        assert by_v[v] == stat_rows, f"version {v}"
+
+
+def test_staging_is_idempotent(spark):
+    d1 = tl.stage_versioned_table(spark, SF_SMOKE)
+    mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
+    d2 = tl.stage_versioned_table(spark, SF_SMOKE)
+    assert d1 == d2
+    assert os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime
