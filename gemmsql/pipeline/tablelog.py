@@ -424,6 +424,53 @@ def stats_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def version_diff(
+    spark: SparkSession,
+    sf_dir: str,
+    v_from: int = 1,
+    v_to: int = 3,
+) -> DataFrame:
+    """Change data feed between two versions: row-level inserts and
+    deletes, computed by reading ONLY the files in the symmetric
+    difference of the two live sets — files live at both versions
+    cannot contribute changes, so a diff between adjacent versions of
+    a 100 TB table reads just the rewritten files.  The file lists
+    are a bounded driver collect (metadata — the same driver-side
+    planning every table format's CDF does).
+
+    The default window (v1 → v3) crosses the compaction commit, which
+    must contribute ZERO change rows (C0 re-sorts exactly A0 ∪ A1) —
+    a replay or diff bug that treats a rewrite as churn moves the
+    hash immediately."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    la = {r["path"] for r in
+          snapshot_files(spark, table_dir, v_from).collect()}
+    lb = {r["path"] for r in
+          snapshot_files(spark, table_dir, v_to).collect()}
+
+    cols = ["o_orderkey", "o_orderpriority"]
+
+    def _read(paths: set[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame(
+                [], "o_orderkey long, o_orderpriority string, cents long"
+            )
+        full = [os.path.join(table_dir, DATA_SUBDIR, p) for p in sorted(paths)]
+        return spark.read.parquet(*full).select(
+            *cols, F.expr(_CENTS).alias("cents")
+        )
+
+    rows_a = _read(la - lb)
+    rows_b = _read(lb - la)
+    deleted = rows_a.join(
+        rows_b.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).select(F.lit("delete").alias("change"), *cols, "cents")
+    inserted = rows_b.join(
+        rows_a.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).select(F.lit("insert").alias("change"), *cols, "cents")
+    return deleted.unionByName(inserted)
+
+
 def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
     """Files safe to physically delete: ever added but not live at
     the latest version, with the bytes a vacuum would reclaim.
@@ -501,6 +548,43 @@ SELECT version, n_add, n_remove, rows_added, rows_removed,
          ORDER BY version ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS live_rows
 FROM per_v
+"""
+
+
+def version_diff_sql(sf_dir: str, v_from: int = 1, v_to: int = 3) -> str:
+    """DuckDB twin: independent two-version replay, symmetric
+    difference, and row-level anti-joins (the oracle scans all files
+    and filters by path membership — pruning is the engine's job)."""
+    d = _table_dir(sf_dir)
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+vs AS (SELECT * FROM (VALUES ({v_from}), ({v_to})) AS t(version)),
+acts AS (SELECT vs.version, l.* FROM vs JOIN log l ON l.v <= vs.version),
+last AS (
+  SELECT version, path, a,
+         ROW_NUMBER() OVER (
+           PARTITION BY version, path
+           ORDER BY v DESC, CASE WHEN a = 'remove' THEN 0 ELSE 1 END
+         ) AS rn
+  FROM acts),
+live AS (SELECT version, path FROM last WHERE rn = 1 AND a = 'add'),
+only_a AS (
+  SELECT path FROM live WHERE version = {v_from}
+  EXCEPT SELECT path FROM live WHERE version = {v_to}),
+only_b AS (
+  SELECT path FROM live WHERE version = {v_to}
+  EXCEPT SELECT path FROM live WHERE version = {v_from}),
+data AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS path, o_orderkey,
+         o_orderpriority, {_CENTS} AS cents
+  FROM read_parquet('{d}/data/*.parquet', filename = true)),
+ra AS (SELECT * FROM data WHERE path IN (SELECT path FROM only_a)),
+rb AS (SELECT * FROM data WHERE path IN (SELECT path FROM only_b))
+SELECT 'delete' AS change, o_orderkey, o_orderpriority, cents
+FROM ra WHERE NOT EXISTS (SELECT 1 FROM rb WHERE rb.o_orderkey = ra.o_orderkey)
+UNION ALL
+SELECT 'insert' AS change, o_orderkey, o_orderpriority, cents
+FROM rb WHERE NOT EXISTS (SELECT 1 FROM ra WHERE ra.o_orderkey = rb.o_orderkey)
 """
 
 

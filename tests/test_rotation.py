@@ -405,6 +405,18 @@ def _stats_skipping_audit_sql():
     return stats_skipping_audit_sql(SF_SMOKE)
 
 
+def _version_diff(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import version_diff
+
+    return version_diff(spark, sf_dir)
+
+
+def _version_diff_sql():
+    from gemmsql.pipeline.tablelog import version_diff_sql
+
+    return version_diff_sql(SF_SMOKE)
+
+
 def _hist_quantiles(spark, sf_dir):
     from gemmsql.sketches import hist_quantiles
 
@@ -779,6 +791,12 @@ def _rotated():
          _table_history_audit_sql()),
         ("stats_skipping_audit", _stats_skipping_audit,
          _stats_skipping_audit_sql()),
+        # the change-data-feed witness over the same fixture: row-
+        # level insert/delete diff across v1 -> v3, reading ONLY the
+        # symmetric-difference files (plan-pinned in
+        # tests/test_tablelog.py); the window crosses the compaction
+        # commit, which must contribute zero change rows
+        ("version_diff", _version_diff, _version_diff_sql()),
     ]
 
 

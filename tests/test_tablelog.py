@@ -164,6 +164,38 @@ def test_time_travel_version_rowcounts_match_live_stats(spark):
         assert by_v[v] == stat_rows, f"version {v}"
 
 
+def test_version_diff_compaction_window_is_empty(spark):
+    # v1 -> v2 is the pure compaction commit: C0 re-sorts A0 ∪ A1,
+    # so the logical diff must be EMPTY even though three files
+    # changed hands
+    assert tl.version_diff(spark, SF_SMOKE, 1, 2).count() == 0
+
+
+def test_version_diff_delete_and_append(spark):
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    rows = tl.version_diff(spark, SF_SMOKE, 2, 3).collect()
+    deletes = {r["o_orderkey"] for r in rows if r["change"] == "delete"}
+    inserts = {r["o_orderkey"] for r in rows if r["change"] == "insert"}
+    b0 = spark.read.parquet(os.path.join(d, tl.DATA_SUBDIR, "B0.parquet"))
+    e0 = spark.read.parquet(os.path.join(d, tl.DATA_SUBDIR, "E0.parquet"))
+    want_del = {r["o_orderkey"] for r in
+                b0.filter("o_orderstatus = 'F'").collect()}
+    want_ins = {r["o_orderkey"] for r in e0.collect()}
+    assert deletes == want_del
+    assert inserts == want_ins
+
+
+def test_version_diff_reads_only_changed_files(spark):
+    # the CDF pruning contract: the plan's input files are exactly
+    # the symmetric difference of the two live sets, never the table
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    df = tl.version_diff(spark, SF_SMOKE, 1, 3)
+    names = {os.path.basename(p) for p in df.inputFiles()}
+    assert names == {"A0.parquet", "A1.parquet", "B0.parquet",
+                     "C0.parquet", "D0.parquet", "E0.parquet"}
+    assert "A2.parquet" not in names and "B1.parquet" not in names
+
+
 def test_staging_is_idempotent(spark):
     d1 = tl.stage_versioned_table(spark, SF_SMOKE)
     mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
