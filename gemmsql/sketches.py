@@ -62,10 +62,14 @@ def user_reach_approx(
 
 
 def hll_registers(
-    ev: DataFrame, *, key: str = "event_type", id_col: str = "user_id"
+    ev: DataFrame,
+    *,
+    key: str | list[str] = "event_type",
+    id_col: str = "user_id",
 ) -> DataFrame:
-    """md5-register HLL state per key -> (key, reg, rho) with
-    register-max aggregation.
+    """md5-register HLL state per key -> (*keys, reg, rho) with
+    register-max aggregation (``key`` may be one column or several —
+    e.g. ``["day", "event_type"]`` for the persisted sketch store).
 
     Register-max is a monoid, so this SAME function works on a
     STREAMING DataFrame unchanged: ``groupBy(key, reg).max(rho)`` in
@@ -73,12 +77,13 @@ def hll_registers(
     4096 longs per key regardless of user cardinality, the property
     that makes distinct-count viable on an unbounded stream (parity
     with the batch registers is asserted in tests/test_streaming.py)."""
+    keys = [key] if isinstance(key, str) else list(key)
     h60 = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("long")
     )
     return (
-        ev.select(key, h60.alias("h60"))
+        ev.select(*keys, h60.alias("h60"))
         .withColumn("reg", F.expr(f"h60 % {HLL_M}"))
         .withColumn("wbits", F.expr(f"h60 div {HLL_M}"))
         .withColumn(
@@ -87,8 +92,41 @@ def hll_registers(
                 F.lit(HLL_WBITS + 1) - F.length(F.bin("wbits"))
             ),
         )
-        .groupBy(key, "reg")
+        .groupBy(*keys, "reg")
         .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """The shared HLL estimator over a register frame: Flajolet's
+    ``alpha_m * m^2 / sum 2^-M_j`` with the harmonic sum carried as
+    the EXACT integer ``sum 2^(49 - rho)`` (empty registers
+    contribute 2^49) and the small-range linear-counting branch.
+    Token-identical to the oracle SQL's expression so merges of
+    persisted register states stay hash-reproducible."""
+    est = regs.groupBy(*keys).agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(HLL_WBITS + 1) - F.col("rho"))
+                .cast("long")
+            )
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(_TWO_W)
+        ).alias("s_total"),
+        (F.lit(HLL_M) - F.count("*")).alias("v"),
+    )
+    raw = (
+        F.lit(_ALPHA_NUM)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(_M_SQ)
+        * F.lit(float(_TWO_W))
+        / F.col("s_total").cast("double")
+    )
+    e = F.when(
+        (F.col("v") > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return est.select(
+        *keys, F.floor(e + F.lit(0.5)).cast("long").alias("approx_users")
     )
 
 
@@ -116,29 +154,10 @@ def user_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     regs = hll_registers(ev)
     # exact integer harmonic numerator: present registers contribute
-    # 2^(49-rho) (pow is exact for exponents <= 48), absent ones 2^49
-    est = regs.groupBy("event_type").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), F.lit(HLL_WBITS + 1) - F.col("rho")).cast("long"))
-            + (F.lit(HLL_M) - F.count("*")) * F.lit(_TWO_W)
-        ).alias("s_total"),
-        (F.lit(HLL_M) - F.count("*")).alias("v"),
-    )
-    # scalar association mirrored token-for-token in the oracle SQL
-    raw = (
-        F.lit(_ALPHA_NUM)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
-        * F.lit(_M_SQ)
-        * F.lit(float(_TWO_W))
-        / F.col("s_total").cast("double")
-    )
-    e = F.when(
-        (F.col("v") > 0) & (raw <= F.lit(2.5 * HLL_M)),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
-    ).otherwise(raw)
-    hll = est.select(
-        "event_type", F.floor(e + F.lit(0.5)).cast("long").alias("approx_users")
-    )
+    # 2^(49-rho) (pow is exact for exponents <= 48), absent ones 2^49;
+    # the scalar association is mirrored token-for-token in the oracle
+    # SQL (shared with the sketch-store rollup via hll_estimate)
+    hll = hll_estimate(regs, ["event_type"])
     q = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", 0.5), 6).alias("p50"),
         F.round(F.percentile("value", 0.9), 6).alias("p90"),
@@ -891,4 +910,129 @@ SELECT 'card' AS which, a, b, est FROM card
 UNION ALL SELECT 'union', a, b, u_est FROM stats
 UNION ALL SELECT 'jaccard', a, b, j_est FROM stats
 UNION ALL SELECT 'inter', a, b, i_est FROM stats
+"""
+
+
+# --------------------------------------------- persisted sketch store
+
+def _store_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    return os.path.join(
+        tempfile.gettempdir(), f"gemmsql_hllstore_{staged_dir_tag(sf_dir)}"
+    )
+
+
+def stage_sketch_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persist DAILY HLL register states for the events table — the
+    'sketch once, merge forever' half of incremental analytics.  In
+    production each day's ingest job appends its own (day, group,
+    reg, rho) partition; here all days are built in one pass and
+    published atomically (the staging discipline of
+    `pipeline/staging.py`).  The store is tiny by construction:
+    <= 4096 rows per (day, group) no matter how many events the day
+    held."""
+    import os
+    import shutil
+
+    target = _store_dir(sf_dir)
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    regs = hll_registers(ev, key=["day", "event_type"])
+    tmp = f"{target}.tmp{os.getpid()}"
+    regs.repartition(1, "day").write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def sketch_store_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reach rollups computed ONLY from persisted daily register
+    states — the raw events are never rescanned.  Because
+    register-max is the HLL merge monoid, merging stored day sketches
+    gives BIT-IDENTICAL estimates to sketching the raw union (the
+    direct-vs-incremental equality is pinned in
+    tests/test_sketch_store.py): per event_type this emits one row
+    per month-relative week ('2024-01-w2') plus an 'all' row.
+
+    At 100 TB this is the whole point of the store: a weekly or
+    lifetime reach query aggregates kilobytes of register state
+    instead of re-shuffling the event log; the merge is one
+    partial+final hash aggregate over (scope, group, reg).
+
+    Oracle (``SKETCH_STORE_ROLLUP_SQL``): DuckDB rebuilds the day
+    registers from raw events with the same md5 discipline and merges
+    them identically — if persistence dropped, duplicated, or mangled
+    one register, every downstream scope hash moves."""
+    store = spark.read.parquet(stage_sketch_store(spark, sf_dir))
+    week = F.expr(
+        "concat(substring(day, 1, 7), '-w', "
+        "cast((cast(substring(day, 9, 2) as int) - 1) div 7 + 1 as string))"
+    )
+    scoped = store.select(
+        week.alias("scope"), "event_type", "reg", "rho"
+    ).unionByName(
+        store.select(
+            F.lit("all").alias("scope"), "event_type", "reg", "rho"
+        )
+    )
+    merged = scoped.groupBy("scope", "event_type", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+    return hll_estimate(merged, ["scope", "event_type"])
+
+
+SKETCH_STORE_ROLLUP_SQL = f"""
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h60
+  FROM events
+),
+day_regs AS (
+  SELECT day, event_type, h60 % {HLL_M} AS reg,
+         MAX(CASE WHEN h60 // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(h60 // {HLL_M})) END)
+           AS rho
+  FROM h GROUP BY 1, 2, 3
+),
+scoped AS (
+  SELECT substring(day, 1, 7) || '-w' ||
+         CAST((CAST(substring(day, 9, 2) AS INT) - 1) // 7 + 1 AS VARCHAR)
+           AS scope,
+         event_type, reg, rho
+  FROM day_regs
+  UNION ALL
+  SELECT 'all' AS scope, event_type, reg, rho FROM day_regs
+),
+merged AS (
+  SELECT scope, event_type, reg, MAX(rho) AS rho
+  FROM scoped GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT scope, event_type,
+         CAST(SUM(CAST(POWER(2.0, {HLL_WBITS + 1} - rho) AS BIGINT)) AS BIGINT)
+           + ({HLL_M} - COUNT(*)) * {_TWO_W} AS s_total,
+         {HLL_M} - COUNT(*) AS v
+  FROM merged GROUP BY 1, 2
+)
+SELECT scope, event_type,
+       CAST(FLOOR(
+         CASE WHEN v > 0 AND
+                   {_ALPHA_NUM} / (1.0 + 1.079 / {float(HLL_M)})
+                   * {_M_SQ} * {float(_TWO_W)} / CAST(s_total AS DOUBLE)
+                   <= {2.5 * HLL_M}
+              THEN {float(HLL_M)} * LN({float(HLL_M)} / v)
+              ELSE {_ALPHA_NUM} / (1.0 + 1.079 / {float(HLL_M)})
+                   * {_M_SQ} * {float(_TWO_W)} / CAST(s_total AS DOUBLE)
+         END + 0.5) AS BIGINT) AS approx_users
+FROM est
 """

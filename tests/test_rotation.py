@@ -405,6 +405,18 @@ def _stats_skipping_audit_sql():
     return stats_skipping_audit_sql(SF_SMOKE)
 
 
+def _sketch_store_rollup(spark, sf_dir):
+    from gemmsql.sketches import sketch_store_rollup
+
+    return sketch_store_rollup(spark, sf_dir)
+
+
+def _sketch_store_rollup_sql():
+    from gemmsql.sketches import SKETCH_STORE_ROLLUP_SQL
+
+    return SKETCH_STORE_ROLLUP_SQL
+
+
 def _version_diff(spark, sf_dir):
     from gemmsql.pipeline.tablelog import version_diff
 
@@ -797,6 +809,16 @@ def _rotated():
         # tests/test_tablelog.py); the window crosses the compaction
         # commit, which must contribute zero change rows
         ("version_diff", _version_diff, _version_diff_sql()),
+        # also born late in round 12: the persisted-sketch rollup —
+        # daily HLL register states staged to a parquet sketch store,
+        # weekly + lifetime reach merged from the STORE ONLY (raw
+        # events never rescanned; register-max is the merge monoid so
+        # incremental == direct bit-for-bit, pinned in
+        # tests/test_sketch_store.py); the oracle rebuilds day
+        # registers from raw events and merges identically, so a
+        # store roundtrip that mangles one register moves the hash
+        ("sketch_store_rollup", _sketch_store_rollup,
+         _sketch_store_rollup_sql()),
     ]
 
 
