@@ -471,6 +471,61 @@ def version_diff(
     return deleted.unionByName(inserted)
 
 
+def cdf_ivm_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    v_from: int = 1,
+    v_to: int = 3,
+) -> DataFrame:
+    """Incremental view maintenance driven by the change feed: the
+    per-priority (n_orders, sum_cents) view at ``v_to`` is produced
+    by applying :func:`version_diff`'s inserts (+1/+cents) and
+    deletes (-1/-cents) to the ``v_from`` aggregate — the ``v_to``
+    live set is never scanned.  In production the base aggregate is a
+    materialized view and the delta arrives from the log tail, so a
+    100 TB table's view refresh costs O(changed rows), not a rescan.
+
+    The oracle computes the ``v_to`` aggregate DIRECTLY from an
+    independent replay, so the gate pins the algebra that makes IVM
+    sound: inserts and retractions must cancel exactly against the
+    base (count and sum are the group-abelian aggregates this works
+    for — min/max would need the full group rescan on retraction)."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    base_paths = {r["path"] for r in
+                  snapshot_files(spark, table_dir, v_from).collect()}
+    base = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p)
+              for p in sorted(base_paths)]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("bn"),
+            F.sum(F.expr(_CENTS)).alias("bc"),
+        )
+    )
+    sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        version_diff(spark, sf_dir, v_from, v_to)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * F.col("cents")).alias("dc"),
+        )
+    )
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long").alias("n_orders"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
     """Files safe to physically delete: ever added but not live at
     the latest version, with the bytes a vacuum would reclaim.
@@ -585,6 +640,31 @@ FROM ra WHERE NOT EXISTS (SELECT 1 FROM rb WHERE rb.o_orderkey = ra.o_orderkey)
 UNION ALL
 SELECT 'insert' AS change, o_orderkey, o_orderpriority, cents
 FROM rb WHERE NOT EXISTS (SELECT 1 FROM ra WHERE ra.o_orderkey = rb.o_orderkey)
+"""
+
+
+def cdf_ivm_rollup_sql(sf_dir: str, v_to: int = 3) -> str:
+    """DuckDB twin: the DIRECT ``v_to`` aggregate from an independent
+    replay — the incremental path must land on exactly this."""
+    d = _table_dir(sf_dir)
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+last AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY path
+      ORDER BY v DESC, CASE WHEN a = 'remove' THEN 0 ELSE 1 END
+    ) AS rn
+  FROM log WHERE v <= {v_to}),
+live AS (SELECT path FROM last WHERE rn = 1 AND a = 'add'),
+data AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS path, o_orderpriority,
+         {_CENTS} AS cents
+  FROM read_parquet('{d}/data/*.parquet', filename = true))
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM data WHERE path IN (SELECT path FROM live)
+GROUP BY 1
 """
 
 

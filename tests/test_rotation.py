@@ -405,6 +405,18 @@ def _stats_skipping_audit_sql():
     return stats_skipping_audit_sql(SF_SMOKE)
 
 
+def _cdf_ivm_rollup(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import cdf_ivm_rollup
+
+    return cdf_ivm_rollup(spark, sf_dir)
+
+
+def _cdf_ivm_rollup_sql():
+    from gemmsql.pipeline.tablelog import cdf_ivm_rollup_sql
+
+    return cdf_ivm_rollup_sql(SF_SMOKE)
+
+
 def _sketch_store_rollup(spark, sf_dir):
     from gemmsql.sketches import sketch_store_rollup
 
@@ -809,6 +821,12 @@ def _rotated():
         # tests/test_tablelog.py); the window crosses the compaction
         # commit, which must contribute zero change rows
         ("version_diff", _version_diff, _version_diff_sql()),
+        # the IVM composition over that change feed: the v3 aggregate
+        # maintained from the v1 base plus insert/retract deltas only
+        # (the v3 live set is never scanned); the oracle computes the
+        # v3 aggregate directly from an independent replay, pinning
+        # the retraction algebra
+        ("cdf_ivm_rollup", _cdf_ivm_rollup, _cdf_ivm_rollup_sql()),
         # also born late in round 12: the persisted-sketch rollup —
         # daily HLL register states staged to a parquet sketch store,
         # weekly + lifetime reach merged from the STORE ONLY (raw

@@ -196,6 +196,35 @@ def test_version_diff_reads_only_changed_files(spark):
     assert "A2.parquet" not in names and "B1.parquet" not in names
 
 
+def test_ivm_never_scans_the_target_live_set(spark):
+    # the IVM contract: inputs are the v_from snapshot plus the
+    # symmetric-difference files — B1 is live at BOTH v1 and v3 and
+    # untouched by the diff, so it may appear only via the v1 base
+    # read, and files born after v_from that persist (E0 arrives via
+    # the diff) must not be double-read
+    d = tl.stage_versioned_table(spark, SF_SMOKE)
+    df = tl.cdf_ivm_rollup(spark, SF_SMOKE, 1, 3)
+    names = sorted({os.path.basename(p) for p in df.inputFiles()})
+    v1_live = {"A0.parquet", "A1.parquet", "A2.parquet", "A3.parquet",
+               "B0.parquet", "B1.parquet"}
+    diff_files = {"A0.parquet", "A1.parquet", "B0.parquet",
+                  "C0.parquet", "D0.parquet", "E0.parquet"}
+    assert set(names) == v1_live | diff_files
+
+
+def test_ivm_equals_direct_time_travel(spark):
+    direct = {
+        (r["version"], r["o_orderpriority"]): (r["n_orders"], r["sum_cents"])
+        for r in tl.time_travel_read(spark, SF_SMOKE).collect()
+    }
+    ivm = {
+        r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+        for r in tl.cdf_ivm_rollup(spark, SF_SMOKE, 1, 3).collect()
+    }
+    want = {p: v for (ver, p), v in direct.items() if ver == 3}
+    assert ivm == want
+
+
 def test_staging_is_idempotent(spark):
     d1 = tl.stage_versioned_table(spark, SF_SMOKE)
     mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
