@@ -526,6 +526,110 @@ def cdf_ivm_rollup(
     )
 
 
+def _stage_change_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Write the v1 -> v3 change feed as four single-file parquet
+    slices (o_orderkey % 4) so the file stream replays it across
+    genuinely separate micro-batches — deletes and inserts for one
+    priority land in different batches and the running state must
+    carry across."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"gemmsql_cdcstream_{staged_dir_tag(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    diff = version_diff(spark, sf_dir, 1, 3)
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for k in range(4):
+        _write_one_file(
+            diff.filter(F.col("o_orderkey") % 4 == k),
+            os.path.join(tmp, f"{k:02d}.parquet"),
+        )
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def streaming_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of :func:`cdf_ivm_rollup`: the change feed
+    arrives as a real availableNow file stream (one file per
+    micro-batch), and the view's delta is maintained by the BUILT-IN
+    streaming aggregate in update mode — a retraction is just a
+    signed row, so count/sum IVM needs no custom state.  Each
+    emission carries the strictly-increasing per-group change count;
+    the final snapshot joins the v1 base batch-side.  Hash-gated
+    against the same direct-v3 oracle as the batch op, so stream
+    batching, state carry-over, and the retraction algebra are all
+    row-membership-checked."""
+    from gemmsql.streaming.windows import _await_gate, state_partitions
+
+    table_dir = stage_versioned_table(spark, sf_dir)
+    stream_dir = _stage_change_stream(spark, sf_dir)
+    schema = (
+        "change string, o_orderkey long, o_orderpriority string, cents long"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    agg = src.groupBy("o_orderpriority").agg(
+        F.sum(sign).alias("dn"),
+        F.sum(sign * F.col("cents")).alias("dc"),
+        F.count("*").alias("n_changes"),
+    )
+    name = "stream_gate_ivm"
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    final = (
+        spark.table(name)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("dn", "n_changes").alias("dn"),
+            F.max_by("dc", "n_changes").alias("dc"),
+        )
+    )
+    base_paths = {r["path"] for r in
+                  snapshot_files(spark, table_dir, 1).collect()}
+    base = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p)
+              for p in sorted(base_paths)]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("bn"),
+            F.sum(F.expr(_CENTS)).alias("bc"),
+        )
+    )
+    return (
+        base.join(final, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long").alias("n_orders"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
     """Files safe to physically delete: ever added but not live at
     the latest version, with the bytes a vacuum would reclaim.

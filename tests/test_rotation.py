@@ -417,6 +417,12 @@ def _cdf_ivm_rollup_sql():
     return cdf_ivm_rollup_sql(SF_SMOKE)
 
 
+def _streaming_ivm(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_ivm_gate
+
+    return streaming_ivm_gate(spark, sf_dir)
+
+
 def _sketch_store_rollup(spark, sf_dir):
     from gemmsql.sketches import sketch_store_rollup
 
@@ -827,6 +833,13 @@ def _rotated():
         # v3 aggregate directly from an independent replay, pinning
         # the retraction algebra
         ("cdf_ivm_rollup", _cdf_ivm_rollup, _cdf_ivm_rollup_sql()),
+        # the streaming form of the same IVM: the change feed replays
+        # as a 4-micro-batch availableNow file stream, the delta is a
+        # built-in update-mode streaming aggregate (retraction =
+        # signed row), and the final snapshot applies to the v1 base
+        # — hash-gated against the SAME direct-v3 oracle, so stream
+        # batching and state carry-over are row-membership-checked
+        ("streaming_ivm_gate", _streaming_ivm, _cdf_ivm_rollup_sql()),
         # also born late in round 12: the persisted-sketch rollup —
         # daily HLL register states staged to a parquet sketch store,
         # weekly + lifetime reach merged from the STORE ONLY (raw
