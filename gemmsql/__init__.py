@@ -85,6 +85,20 @@ _EXPORTS = {
     # streaming DQ (r10/r11 births)
     "streaming_dq_gate": "gemmsql.streaming.windows",
     "streaming_quarantine_gate": "gemmsql.streaming.windows",
+    # transaction-log table format (r12 births)
+    "read_log": "gemmsql.pipeline.tablelog",
+    "snapshot_files": "gemmsql.pipeline.tablelog",
+    "time_travel_read": "gemmsql.pipeline.tablelog",
+    "table_history_audit": "gemmsql.pipeline.tablelog",
+    "stats_skipping_audit": "gemmsql.pipeline.tablelog",
+    "version_diff": "gemmsql.pipeline.tablelog",
+    "cdf_ivm_rollup": "gemmsql.pipeline.tablelog",
+    "write_checkpoint": "gemmsql.pipeline.tablelog",
+    "vacuum_plan": "gemmsql.pipeline.tablelog",
+    # persisted sketch store (r12 birth)
+    "hll_registers": "gemmsql.sketches",
+    "hll_estimate": "gemmsql.sketches",
+    "sketch_store_rollup": "gemmsql.sketches",
 }
 
 

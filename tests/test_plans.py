@@ -901,3 +901,31 @@ def test_curation_pipeline_no_global_sort_or_window(spark):
             assert m and m.group(1).strip(), (
                 f"unpartitioned window: {line.strip()[:120]}"
             )
+
+
+def test_time_travel_read_is_one_data_scan(spark):
+    """The table-format promise: asking for EVERY version costs one
+    scan of the data directory (per-file pre-aggregates join the
+    broadcast liveness frame) — never one scan per version — and the
+    liveness side broadcasts."""
+    from gemmsql.pipeline.tablelog import time_travel_read
+
+    p = plan_of(time_travel_read(spark, SF_SMOKE))
+    data_scans = len(re.findall(r"Scan parquet[^\n]*gemmsql_tablelog"
+                                r"[^\n]*data", p))
+    assert data_scans == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_sketch_store_rollup_never_touches_raw_events(spark):
+    """The incremental-analytics promise: the rollup's inputs are the
+    persisted register store ONLY — the raw events table must not
+    appear in the plan's file set."""
+    from gemmsql.sketches import sketch_store_rollup
+
+    df = sketch_store_rollup(spark, SF_SMOKE)
+    files = df.inputFiles()
+    assert files, "expected store files"
+    assert all("gemmsql_hllstore" in f for f in files), files
+    assert not any("events.parquet" in f for f in files), files
