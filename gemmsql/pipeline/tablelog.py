@@ -630,6 +630,39 @@ def streaming_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pruned_scan_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end skip-plan witness: the same key-range predicate
+    :func:`stats_skipping_audit` grades is here USED — the log stats
+    select candidate files, the scan reads ONLY those (a bounded
+    metadata collect hands the pruned list to ``spark.read.parquet``,
+    the driver-side planning every table format does), and the
+    filtered per-priority aggregate must equal the oracle's answer
+    computed over ALL live files.  A skip decision that wrongly drops
+    a file loses rows and moves the hash; the pruning itself is
+    plan-pinned via ``inputFiles`` in tests."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    live = snapshot_files(spark, table_dir).collect()
+    gmax = max(r["max_key"] for r in live)
+    lo, hi = gmax * 35 // 100, gmax * 55 // 100
+    cand = sorted(
+        r["path"] for r in live
+        if not (r["max_key"] < lo or r["min_key"] > hi)
+    )
+    data = spark.read.parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in cand]
+    )
+    return (
+        data.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+        )
+    )
+
+
 def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
     """Files safe to physically delete: ever added but not live at
     the latest version, with the bytes a vacuum would reclaim.
@@ -768,6 +801,36 @@ SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM data WHERE path IN (SELECT path FROM live)
+GROUP BY 1
+"""
+
+
+def pruned_scan_read_sql(sf_dir: str) -> str:
+    """DuckDB twin: the UNPRUNED truth — every live file scanned with
+    the same predicate; the engine's pruned read must land on it."""
+    d = _table_dir(sf_dir)
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+last AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY path
+      ORDER BY v DESC, CASE WHEN a = 'remove' THEN 0 ELSE 1 END
+    ) AS rn
+  FROM log),
+live AS (SELECT * FROM last WHERE rn = 1 AND a = 'add'),
+bounds AS (
+  SELECT MAX(max_key) * 35 // 100 AS lo, MAX(max_key) * 55 // 100 AS hi
+  FROM live),
+data AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS path, o_orderkey,
+         o_orderpriority, {_CENTS} AS cents
+  FROM read_parquet('{d}/data/*.parquet', filename = true))
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM data CROSS JOIN bounds
+WHERE path IN (SELECT path FROM live)
+  AND o_orderkey BETWEEN lo AND hi
 GROUP BY 1
 """
 

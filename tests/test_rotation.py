@@ -417,6 +417,18 @@ def _cdf_ivm_rollup_sql():
     return cdf_ivm_rollup_sql(SF_SMOKE)
 
 
+def _pruned_scan_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import pruned_scan_read
+
+    return pruned_scan_read(spark, sf_dir)
+
+
+def _pruned_scan_read_sql():
+    from gemmsql.pipeline.tablelog import pruned_scan_read_sql
+
+    return pruned_scan_read_sql(SF_SMOKE)
+
+
 def _streaming_ivm(spark, sf_dir):
     from gemmsql.pipeline.tablelog import streaming_ivm_gate
 
@@ -840,6 +852,11 @@ def _rotated():
         # — hash-gated against the SAME direct-v3 oracle, so stream
         # batching and state carry-over are row-membership-checked
         ("streaming_ivm_gate", _streaming_ivm, _cdf_ivm_rollup_sql()),
+        # the skip plan USED: candidate files from log stats hand a
+        # pruned list to the scan (plan-pinned), and the filtered
+        # aggregate must equal the oracle computed over ALL live
+        # files — a wrong skip loses rows and moves the hash
+        ("pruned_scan_read", _pruned_scan_read, _pruned_scan_read_sql()),
         # also born late in round 12: the persisted-sketch rollup —
         # daily HLL register states staged to a parquet sketch store,
         # weekly + lifetime reach merged from the STORE ONLY (raw

@@ -225,6 +225,15 @@ def test_ivm_equals_direct_time_travel(spark):
     assert ivm == want
 
 
+def test_pruned_scan_reads_only_candidate_files(spark):
+    # the skip plan in use: only the two stats-candidate files reach
+    # the scan (A2/A3 overlap the 35-55% key range at latest; C0,
+    # D0, B1, E0 are skipped)
+    df = tl.pruned_scan_read(spark, SF_SMOKE)
+    names = sorted({os.path.basename(p) for p in df.inputFiles()})
+    assert names == ["A2.parquet", "A3.parquet"], names
+
+
 def test_staging_is_idempotent(spark):
     d1 = tl.stage_versioned_table(spark, SF_SMOKE)
     mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
