@@ -442,7 +442,21 @@ def version_diff(
     must contribute ZERO change rows (C0 re-sorts exactly A0 ∪ A1) —
     a replay or diff bug that treats a rewrite as churn moves the
     hash immediately."""
-    table_dir = stage_versioned_table(spark, sf_dir)
+    return version_diff_dir(
+        spark, stage_versioned_table(spark, sf_dir), v_from, v_to
+    )
+
+
+def version_diff_dir(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """:func:`version_diff` for an arbitrary logged table directory
+    (the gate wrapper stages the fixture; this is the library form —
+    also the post-condition check :func:`optimize_table` is tested
+    with, since an OPTIMIZE commit must diff empty)."""
     la = {r["path"] for r in
           snapshot_files(spark, table_dir, v_from).collect()}
     lb = {r["path"] for r in
@@ -628,6 +642,67 @@ def streaming_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    dest_dir: str,
+    *,
+    n_files: int = 2,
+) -> str:
+    """OPTIMIZE inside the log's transactional frame (the Delta
+    ``OPTIMIZE`` story): copy the table to ``dest_dir``, rewrite the
+    LATEST live set as ``n_files`` range-clustered files, and append
+    one compaction commit that removes every old live file and adds
+    the new ones — old versions stay time-travelable because removed
+    files are retained, and the new commit must be change-free
+    (``version_diff_dir`` across it is EMPTY, test-pinned).
+
+    At 100 TB this is the maintenance job that keeps both halves of
+    the layout story true: file counts collapse (small-file pressure)
+    and per-file key ranges stay disjoint (skip-plan tightness), all
+    without breaking a single reader — a concurrent snapshot at any
+    version sees exactly the files its replay names."""
+    shutil.copytree(table_dir, dest_dir)
+    log = read_log(spark, dest_dir)
+    latest = log.agg(F.max("v")).collect()[0][0]
+    new_v = int(latest) + 1
+    live = snapshot_files(spark, dest_dir).collect()
+    paths = sorted(r["path"] for r in live)
+    gmin = min(r["min_key"] for r in live)
+    gmax = max(r["max_key"] for r in live)
+    width = (gmax - gmin) // n_files + 1
+    df = spark.read.parquet(
+        *[os.path.join(dest_dir, DATA_SUBDIR, p) for p in paths]
+    )
+    lines = [json.dumps({"v": new_v, "a": "remove", "path": p})
+             for p in paths]
+    for k in range(n_files):
+        name = f"OPT{new_v}-{k}.parquet"
+        part = df.filter(
+            F.expr(f"(o_orderkey - {gmin}) div {width}") == k
+        )
+        dest = os.path.join(dest_dir, DATA_SUBDIR, name)
+        _write_one_file(part, dest)
+        st = part.agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("mnk"),
+            F.max("o_orderkey").alias("mxk"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
+        ).collect()[0]  # 1-row write-time stats
+        lines.append(json.dumps({
+            "v": new_v, "a": "add", "path": name,
+            "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
+            "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+            "min_date": st["mnd"], "max_date": st["mxd"],
+        }))
+    with open(
+        os.path.join(dest_dir, LOG_SUBDIR, f"{new_v:08d}.json"), "w"
+    ) as f:
+        f.write("\n".join(lines) + "\n")
+    return dest_dir
 
 
 def pruned_scan_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,6 +234,32 @@ def test_pruned_scan_reads_only_candidate_files(spark):
     assert names == ["A2.parquet", "A3.parquet"], names
 
 
+def test_optimize_is_transactional_and_change_free(spark, tmp_path):
+    src = tl.stage_versioned_table(spark, SF_SMOKE)
+    dest = str(tmp_path / "opt")
+    tl.optimize_table(spark, src, dest, n_files=2)
+    # the new latest is exactly the two OPT files
+    assert _live(spark, dest) == ["OPT4-0.parquet", "OPT4-1.parquet"]
+    # OPTIMIZE is change-free: the v3 -> v4 diff is empty
+    assert tl.version_diff_dir(spark, dest, 3, 4).count() == 0
+    # every OLD version still time-travels to the same live set
+    for v in range(4):
+        assert _live(spark, dest, v) == _live(spark, src, v)
+    # the rewrite collapsed six files to two with disjoint key ranges
+    snap = sorted(
+        (r["min_key"], r["max_key"]) for r in
+        tl.snapshot_files(spark, dest).collect()
+    )
+    assert len(snap) == 2
+    assert snap[0][1] < snap[1][0]
+    # and total live rows are preserved
+    hist = {r["version"]: r["live_rows"] for r in
+            tl.table_history_audit(spark, SF_SMOKE).collect()}
+    new_rows = sum(r["n_rows"] for r in
+                   tl.snapshot_files(spark, dest).collect())
+    assert new_rows == hist[3]
+
+
 def test_staging_is_idempotent(spark):
     d1 = tl.stage_versioned_table(spark, SF_SMOKE)
     mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
