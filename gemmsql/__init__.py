@@ -95,6 +95,11 @@ _EXPORTS = {
     "cdf_ivm_rollup": "gemmsql.pipeline.tablelog",
     "write_checkpoint": "gemmsql.pipeline.tablelog",
     "vacuum_plan": "gemmsql.pipeline.tablelog",
+    "pruned_scan_read": "gemmsql.pipeline.tablelog",
+    "snapshot_read": "gemmsql.pipeline.tablelog",
+    "optimize_table": "gemmsql.pipeline.tablelog",
+    "evolve_table": "gemmsql.pipeline.tablelog",
+    "evolved_schema": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

@@ -75,13 +75,17 @@ LOG_SCHEMA = T.StructType([
     T.StructField("max_key", T.LongType()),
     T.StructField("min_date", T.StringType()),
     T.StructField("max_date", T.StringType()),
+    # "meta" actions only: the table's column list after this commit
+    # (schema evolution — absent/null on add/remove actions)
+    T.StructField("schema_cols", T.ArrayType(T.StringType())),
 ])
 
 # DuckDB twin of LOG_SCHEMA for read_json(columns=...)
 _LOG_COLS_SQL = (
     "{'v':'BIGINT','a':'VARCHAR','path':'VARCHAR','n_rows':'BIGINT',"
     "'n_bytes':'BIGINT','min_key':'BIGINT','max_key':'BIGINT',"
-    "'min_date':'VARCHAR','max_date':'VARCHAR'}"
+    "'min_date':'VARCHAR','max_date':'VARCHAR',"
+    "'schema_cols':'VARCHAR[]'}"
 )
 
 # cents quantizer shared by engine and twin: o_totalprice carries two
@@ -698,6 +702,87 @@ def optimize_table(
             "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
             "min_date": st["mnd"], "max_date": st["mxd"],
         }))
+    with open(
+        os.path.join(dest_dir, LOG_SUBDIR, f"{new_v:08d}.json"), "w"
+    ) as f:
+        f.write("\n".join(lines) + "\n")
+    return dest_dir
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the data AS OF a version: replay the live set and hand
+    the (bounded, metadata-sized) file list to a ``mergeSchema``
+    scan, so files written before a schema evolution surface the
+    added columns as NULL — the reader-side half of evolution."""
+    paths = sorted(
+        r["path"] for r in snapshot_files(spark, table_dir, version).collect()
+    )
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
+    )
+
+
+def evolved_schema(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> list[str] | None:
+    """The declared column list as of ``version``: the latest "meta"
+    action at or below it (None when the log predates schema
+    tracking — readers then fall back to the physical file schemas,
+    which is exactly what :func:`snapshot_read` does anyway)."""
+    log = read_log(spark, table_dir).filter(F.col("a") == "meta")
+    if version is not None:
+        log = log.filter(F.col("v") <= version)
+    rows = log.orderBy(F.col("v").desc()).limit(1).collect()
+    return list(rows[0]["schema_cols"]) if rows else None
+
+
+def evolve_table(
+    spark: SparkSession, sf_dir: str, dest_dir: str
+) -> str:
+    """Schema evolution inside the log's transactional frame: copy
+    the staged table and append ONE commit that (a) adds a data file
+    carrying a NEW column (``price_band``, over the fixture's unused
+    top key-range bucket) and (b) records the widened column list as
+    a "meta" action.  Old files are untouched — evolution is
+    metadata plus new data, never a rewrite — and old versions still
+    replay to their original live sets and schemas.  The reader-side
+    contract (new column NULL-backfilled on pre-evolution files,
+    old-version reads unchanged) is pinned in tests."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    shutil.copytree(table_dir, dest_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    new = orders.filter(F.expr(f"o_orderkey div {width}") == 7).withColumn(
+        "price_band", F.floor(F.col("o_totalprice") / 1000).cast("long")
+    )
+    latest = int(read_log(spark, dest_dir).agg(F.max("v")).collect()[0][0])
+    new_v = latest + 1
+    name = f"F{new_v}.parquet"
+    dest = os.path.join(dest_dir, DATA_SUBDIR, name)
+    _write_one_file(new, dest)
+    st = new.agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("mnk"),
+        F.max("o_orderkey").alias("mxk"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
+    ).collect()[0]
+    cols = [f.name for f in new.schema.fields]
+    lines = [
+        json.dumps({"v": new_v, "a": "meta", "schema_cols": cols}),
+        json.dumps({
+            "v": new_v, "a": "add", "path": name,
+            "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
+            "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+            "min_date": st["mnd"], "max_date": st["mxd"],
+        }),
+    ]
     with open(
         os.path.join(dest_dir, LOG_SUBDIR, f"{new_v:08d}.json"), "w"
     ) as f:

@@ -260,6 +260,36 @@ def test_optimize_is_transactional_and_change_free(spark, tmp_path):
     assert new_rows == hist[3]
 
 
+def test_schema_evolution_is_metadata_plus_new_data(spark, tmp_path):
+    src = tl.stage_versioned_table(spark, SF_SMOKE)
+    dest = str(tmp_path / "evo")
+    tl.evolve_table(spark, SF_SMOKE, dest)
+    # the meta action declares the widened schema; pre-evolution
+    # versions declare none (readers use physical schemas)
+    assert tl.evolved_schema(spark, dest) == [
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "price_band",
+    ]
+    assert tl.evolved_schema(spark, dest, 3) is None
+    # old files untouched: every pre-evolution version replays and
+    # reads exactly as in the source table
+    for v in range(4):
+        assert _live(spark, dest, v) == _live(spark, src, v)
+    assert (tl.snapshot_read(spark, dest, 3).count()
+            == tl.snapshot_read(spark, src, 3).count())
+    # the merged read NULL-backfills the new column on old files and
+    # carries real values only for the new file's rows
+    cur = tl.snapshot_read(spark, dest)
+    assert "price_band" in cur.columns
+    n_new = tl.snapshot_read(spark, dest).filter(
+        "price_band IS NOT NULL").count()
+    added = {r["path"]: r["n_rows"] for r in
+             tl.snapshot_files(spark, dest).collect()}
+    assert n_new == added["F4.parquet"] > 0
+    # and the pre-evolution read has no such column at all
+    assert "price_band" not in tl.snapshot_read(spark, dest, 3).columns
+
+
 def test_staging_is_idempotent(spark):
     d1 = tl.stage_versioned_table(spark, SF_SMOKE)
     mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
