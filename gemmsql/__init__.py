@@ -100,6 +100,7 @@ _EXPORTS = {
     "optimize_table": "gemmsql.pipeline.tablelog",
     "evolve_table": "gemmsql.pipeline.tablelog",
     "evolved_schema": "gemmsql.pipeline.tablelog",
+    "commit_actions": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

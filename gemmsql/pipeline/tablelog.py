@@ -709,6 +709,38 @@ def optimize_table(
     return dest_dir
 
 
+def commit_actions(table_dir: str, actions: list[dict]) -> int:
+    """Optimistic-concurrency commit (the Delta protocol's mutual-
+    exclusion rule, done with the filesystem's ``O_EXCL``): the next
+    version number is claimed by exclusively creating its commit
+    file; losing a race to another writer means re-reading the log
+    tail and retrying at the next number.  Each action line gets the
+    won version stamped in, so callers never guess versions.
+
+    Returns the committed version.  At scale the same protocol runs
+    against object-store conditional puts; the invariant is
+    identical — one writer per version, no lost commits (the
+    concurrent-writers test pins all-distinct versions and a
+    complete log)."""
+    log_dir = os.path.join(table_dir, LOG_SUBDIR)
+    while True:
+        versions = [
+            int(os.path.basename(p).split(".")[0])
+            for p in _glob.glob(os.path.join(log_dir, "*.json"))
+        ]
+        v = (max(versions) + 1) if versions else 0
+        path = os.path.join(log_dir, f"{v:08d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — next number
+        with os.fdopen(fd, "w") as f:
+            f.write(
+                "\n".join(json.dumps({**a, "v": v}) for a in actions) + "\n"
+            )
+        return v
+
+
 def snapshot_read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:

@@ -290,6 +290,92 @@ def test_schema_evolution_is_metadata_plus_new_data(spark, tmp_path):
     assert "price_band" not in tl.snapshot_read(spark, dest, 3).columns
 
 
+def test_commit_actions_optimistic_concurrency(spark, tmp_path):
+    import threading
+
+    d = _mklog(tmp_path, {0: [_add(0, "base.parquet")]})
+    # a writer that loses the race retries at the next number
+    won = []
+
+    def worker(i):
+        v = tl.commit_actions(d, [{"a": "add", "path": f"w{i}.parquet",
+                                   "n_rows": 1, "n_bytes": 1,
+                                   "min_key": 0, "max_key": 0,
+                                   "min_date": "x", "max_date": "x"}])
+        won.append(v)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every writer got a DISTINCT version, nothing was lost
+    assert sorted(won) == list(range(1, 9))
+    live = _live(spark, d)
+    assert len(live) == 9  # base + all 8 writers
+    # and the stamped versions match the filenames they won
+    log = tl.read_log(spark, d)
+    for r in log.filter("path LIKE 'w%'").collect():
+        assert r["v"] in won
+
+
+def test_replay_matches_reference_model(spark, tmp_path):
+    """Property test: Spark's window replay == a trivial in-memory
+    reference over randomized action logs (last action <= V wins,
+    remove beats add within a version)."""
+    from hypothesis import given, settings, strategies as st
+
+    paths = [f"p{i}.parquet" for i in range(4)]
+
+    @st.composite
+    def logs(draw):
+        n_versions = draw(st.integers(min_value=1, max_value=4))
+        commits = {}
+        for v in range(n_versions):
+            acts = []
+            for p in draw(st.lists(st.sampled_from(paths), min_size=1,
+                                   max_size=3, unique=True)):
+                if draw(st.booleans()):
+                    acts.append(_add(v, p))
+                else:
+                    acts.append(_rm(v, p))
+            commits[v] = acts
+        return commits
+
+    @settings(max_examples=8, deadline=None)
+    @given(commits=logs())
+    def check(commits):
+        import shutil as _sh
+
+        d = tmp_path / "prop"
+        _sh.rmtree(d, ignore_errors=True)
+        dd = _mklog_at(d, commits)
+        n_versions = len(commits)
+        for v in (0, n_versions - 1):
+            # reference replay
+            state = {}
+            for cv in range(v + 1):
+                adds = {a["path"] for a in commits[cv] if a["a"] == "add"}
+                rms = {a["path"] for a in commits[cv] if a["a"] == "remove"}
+                for p in adds - rms:   # remove beats add in-version
+                    state[p] = True
+                for p in rms:
+                    state[p] = False
+            want = sorted(p for p, alive in state.items() if alive)
+            assert _live(spark, dd, v) == want, (v, commits)
+
+    check()
+
+
+def _mklog_at(d, commits):
+    (d / tl.LOG_SUBDIR).mkdir(parents=True)
+    (d / tl.DATA_SUBDIR).mkdir()
+    for v, lines in commits.items():
+        (d / tl.LOG_SUBDIR / f"{v:08d}.json").write_text(
+            "\n".join(json.dumps(x) for x in lines) + "\n")
+    return str(d)
+
+
 def test_staging_is_idempotent(spark):
     d1 = tl.stage_versioned_table(spark, SF_SMOKE)
     mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
