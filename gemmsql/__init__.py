@@ -105,6 +105,8 @@ _EXPORTS = {
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",
     "sketch_store_rollup": "gemmsql.sketches",
+    "sample_quantile_sketch": "gemmsql.sketches",
+    "sample_quantiles": "gemmsql.sketches",
 }
 
 

@@ -1036,3 +1036,159 @@ SELECT scope, event_type,
          END + 0.5) AS BIGINT) AS approx_users
 FROM est
 """
+
+
+# ------------------------------------- bottom-k sample quantile sketch
+
+SQK_K = 256                     # rank error ~ 1/sqrt(k) ~ 6%
+
+
+def sample_quantile_sketch(
+    df: DataFrame,
+    *,
+    key: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = SQK_K,
+) -> DataFrame:
+    """``(key, hs, vs)``: the ``k`` hash-smallest ROWS per key as a
+    paired (hash, value-micros) sample — the sixth sketch family.
+    ``md5(id)`` puts every row at a fixed point of the hash space, so
+    keeping the bottom-k rows by hash is a deterministic UNIFORM row
+    sample AND a monoid (merge = concatenate, re-sort by hash, cut to
+    k — closed, associative, commutative), which is what KMV proved
+    for distinct counting and this extends to order statistics:
+    quantiles of the sample estimate quantiles of the group with
+    ~1/sqrt(k) rank error (asserted in tests), and two sketches built
+    on disjoint halves merge into EXACTLY the whole's sketch
+    (test-pinned).
+
+    Scale shape (the KMV discipline, `kmv_sketch`): one bottom-k per
+    (key, input partition) — state is 2k longs per group per tile,
+    never the group's rows — and the final merge shuffles only those
+    partials: O(groups x partitions x k), independent of group size.
+    Values ride as exact micros so the estimator is integer-exact
+    until the final /1e6."""
+    from gemmsql.monoid import make_monoid_op
+
+    key_t = dict(zip(df.schema.names, df.schema))[key].dataType.simpleString()
+    out_schema = f"{key} {key_t}, hs array<long>, vs array<long>"
+    hashed = df.select(
+        key,
+        _h60_expr(id_col).alias("h60"),
+        F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+        .cast("long").alias("vm"),
+    )
+
+    def _cut(h, v):
+        import numpy as np
+
+        order = np.argsort(h, kind="stable")[:k]
+        return h[order], v[order]
+
+    def partials(sdf: DataFrame, keys):
+        import numpy as np
+        import pandas as pd
+
+        def cut(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            h, v = _cut(pdf["h60"].to_numpy(), pdf["vm"].to_numpy())
+            return pd.DataFrame(
+                {key: [pdf[key].iloc[0]], "hs": [h], "vs": [v]}
+            )
+
+        return (
+            sdf.withColumn("_pid", F.spark_partition_id())
+            .groupBy(key, "_pid")
+            .applyInPandas(cut, out_schema)
+        )
+
+    def merge(pdf: "pd.DataFrame"):
+        import numpy as np
+        import pandas as pd
+
+        h = np.concatenate(list(pdf["hs"]))
+        v = np.concatenate(list(pdf["vs"]))
+        h, v = _cut(h, v)
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "hs": [h], "vs": [v]})
+
+    op = make_monoid_op(
+        zero=tuple,
+        lift=lambda row, acc: acc,
+        merge=lambda a, b: a,
+        pandas_partials=partials,
+        pandas_merge=merge,
+        pandas_merge_schema=out_schema,
+    )
+    return op(hashed, [key])
+
+
+#: quantile fractions as exact integer (numerator, denominator) pairs
+#: so the order-statistic index floor(q * (n-1)) is computed with
+#: integer div on BOTH engines — no float q, no cross-engine ulp risk
+SQK_QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+                 ("p95", 19, 20))
+
+
+def sample_quantiles(
+    spark: SparkSession, sf_dir: str, *, k: int = 64
+) -> DataFrame:
+    """Per event_type: value quantiles estimated from the bottom-k
+    row sample -> (event_type, n_sample, p25, p50, p75, p95).  The
+    estimator is the plain order statistic at integer index
+    ``(num * (n-1)) div den`` over the sorted sample — exact integer
+    picks on exact integer micros, so the DuckDB twin
+    (``SAMPLE_QUANTILES_SQL``) reproduces it bit-for-bit via a window
+    rank over the SAME md5 bottom-k sample.  ``k=64`` at gate scale
+    so the cut genuinely discards rows."""
+    sk = sample_quantile_sketch(
+        load_table(spark, sf_dir, "events"), k=k
+    )
+    cols = [
+        F.round(
+            F.element_at(
+                F.array_sort("vs"),
+                F.expr(
+                    f"cast(({num} * (size(vs) - 1)) div {den} as int) + 1"
+                ),
+            ).cast("double") / F.lit(1e6),
+            6,
+        ).alias(name)
+        for name, num, den in SQK_QUANTILES
+    ]
+    return sk.select(
+        "event_type", F.size("vs").cast("long").alias("n_sample"), *cols
+    )
+
+
+def sample_quantiles_sql(k: int = 64) -> str:
+    """DuckDB twin: the same md5 bottom-k sample via window rank, the
+    same integer order-statistic picks."""
+    picks = ",\n       ".join(
+        f"ROUND(CAST(MAX(CASE WHEN vr = ({num} * (n - 1)) // {den} + 1 "
+        f"THEN vm END) AS DOUBLE) / 1000000.0, 6) AS {name}"
+        for name, num, den in SQK_QUANTILES
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h60,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+r AS (
+  SELECT event_type, vm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h60) AS rn
+  FROM h
+),
+s AS (SELECT event_type, vm FROM r WHERE rn <= {k}),
+o AS (
+  SELECT event_type, vm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+       {picks}
+FROM o GROUP BY event_type
+"""

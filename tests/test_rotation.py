@@ -435,6 +435,18 @@ def _streaming_ivm(spark, sf_dir):
     return streaming_ivm_gate(spark, sf_dir)
 
 
+def _sample_quantiles(spark, sf_dir):
+    from gemmsql.sketches import sample_quantiles
+
+    return sample_quantiles(spark, sf_dir)
+
+
+def _sample_quantiles_sql():
+    from gemmsql.sketches import sample_quantiles_sql
+
+    return sample_quantiles_sql()
+
+
 def _sketch_store_rollup(spark, sf_dir):
     from gemmsql.sketches import sketch_store_rollup
 
@@ -867,6 +879,13 @@ def _rotated():
         # store roundtrip that mangles one register moves the hash
         ("sketch_store_rollup", _sketch_store_rollup,
          _sketch_store_rollup_sql()),
+        # the SIXTH sketch family: bottom-k-by-md5 paired row sample
+        # (KMV's bottom-k monoid extended to carry values) feeding
+        # integer order-statistic quantile picks — the twin rebuilds
+        # the same sample with a window rank and must agree
+        # bit-for-bit; merge-equals-whole and rank-error bounds are
+        # pinned in tests/test_sketch_store.py
+        ("sample_quantiles", _sample_quantiles, _sample_quantiles_sql()),
     ]
 
 

@@ -88,3 +88,47 @@ def test_staging_is_idempotent(spark):
     d2 = sk.stage_sketch_store(spark, SF_SMOKE)
     assert d1 == d2
     assert os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime
+
+
+def test_sample_sketch_merge_equals_whole(spark):
+    """The bottom-k paired sample is a monoid: sketches of disjoint
+    halves merge into EXACTLY the whole's sketch."""
+    import numpy as np
+
+    from gemmsql.datamodel import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    whole = {r["event_type"]: (list(r["hs"]), list(r["vs"]))
+             for r in sk.sample_quantile_sketch(ev, k=64).collect()}
+    merged = {}
+    for half in ("event_id % 2 = 0", "event_id % 2 = 1"):
+        part = sk.sample_quantile_sketch(ev.filter(half), k=64)
+        for r in part.collect():
+            h, v = merged.get(r["event_type"], ([], []))
+            merged[r["event_type"]] = (h + list(r["hs"]),
+                                       v + list(r["vs"]))
+    for et, (h, v) in merged.items():
+        o = np.argsort(np.array(h), kind="stable")[:64]
+        assert (list(np.array(h)[o]), list(np.array(v)[o])) == whole[et]
+
+
+def test_sample_quantiles_rank_error_bounded(spark):
+    """The estimator contract: each sample quantile's TRUE rank in
+    the full group stays within ~2/sqrt(k) of the asked fraction."""
+    from gemmsql.datamodel import load_table
+
+    got = {r["event_type"]: r
+           for r in sk.sample_quantiles(spark, SF_SMOKE).collect()}
+    full = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for et, grp in full.groupby("event_type"):
+        vals = grp["value"].sort_values().to_numpy()
+        n = len(vals)
+        for name, q in (("p25", 0.25), ("p50", 0.5),
+                        ("p75", 0.75), ("p95", 0.95)):
+            est = got[et][name]
+            rank = (vals <= est).sum() / n
+            assert abs(rank - q) < 0.25, (et, name, rank, q)
