@@ -101,6 +101,7 @@ _EXPORTS = {
     "evolve_table": "gemmsql.pipeline.tablelog",
     "evolved_schema": "gemmsql.pipeline.tablelog",
     "commit_actions": "gemmsql.pipeline.tablelog",
+    "streaming_tablelog_gate": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

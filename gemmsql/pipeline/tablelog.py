@@ -822,6 +822,83 @@ def evolve_table(
     return dest_dir
 
 
+def streaming_tablelog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log as a STREAM source — the 'tail the table' half
+    of a table format (Delta's streaming source reads the same log
+    this way): commit files replay one per micro-batch, each batch's
+    actions enrich against the static add-index (a stream-static
+    broadcast join — a remove's row count lives in an EARLIER
+    commit, so the lookup must cross batches), and the per-version
+    ledger aggregates in update mode.  Output = the non-cumulative
+    columns of :func:`table_history_audit`; the oracle recomputes
+    them from the log in one batch, so file-to-batch slicing and the
+    static-join lookup are both row-checked."""
+    from gemmsql.streaming.windows import _await_gate, state_partitions
+
+    table_dir = stage_versioned_table(spark, sf_dir)
+    src = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    )
+    adds = (
+        read_log(spark, table_dir)
+        .filter(F.col("a") == "add")
+        .select("path", F.col("n_rows").alias("add_rows"))
+    )
+    agg = (
+        src.join(F.broadcast(adds), "path", "left")
+        .groupBy(F.col("v").alias("version"))
+        .agg(
+            F.sum(F.when(F.col("a") == "add", 1).otherwise(0))
+            .cast("long").alias("n_add"),
+            F.sum(F.when(F.col("a") == "remove", 1).otherwise(0))
+            .cast("long").alias("n_remove"),
+            F.sum(F.when(F.col("a") == "add", F.col("add_rows"))
+                  .otherwise(0)).cast("long").alias("rows_added"),
+            F.sum(F.when(F.col("a") == "remove", F.col("add_rows"))
+                  .otherwise(0)).cast("long").alias("rows_removed"),
+        )
+    )
+    name = "stream_gate_tablelog"
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_gate(q)
+    out = spark.table(name)
+    return out.groupBy("version").agg(
+        F.max("n_add").alias("n_add"),
+        F.max("n_remove").alias("n_remove"),
+        F.max("rows_added").alias("rows_added"),
+        F.max("rows_removed").alias("rows_removed"),
+    )
+
+
+def streaming_tablelog_gate_sql(sf_dir: str) -> str:
+    """Batch oracle: the same per-version ledger from one log read."""
+    d = _table_dir(sf_dir)
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+adds AS (SELECT path, n_rows AS add_rows FROM log WHERE a = 'add'),
+acts AS (SELECT l.*, adds.add_rows FROM log l LEFT JOIN adds USING (path))
+SELECT v AS version,
+       CAST(SUM(CASE WHEN a = 'add' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_add,
+       CAST(SUM(CASE WHEN a = 'remove' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_remove,
+       CAST(SUM(CASE WHEN a = 'add' THEN add_rows ELSE 0 END) AS BIGINT)
+         AS rows_added,
+       CAST(SUM(CASE WHEN a = 'remove' THEN add_rows ELSE 0 END) AS BIGINT)
+         AS rows_removed
+FROM acts GROUP BY v
+"""
+
+
 def pruned_scan_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end skip-plan witness: the same key-range predicate
     :func:`stats_skipping_audit` grades is here USED — the log stats

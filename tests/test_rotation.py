@@ -417,6 +417,18 @@ def _cdf_ivm_rollup_sql():
     return cdf_ivm_rollup_sql(SF_SMOKE)
 
 
+def _streaming_tablelog(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_tablelog_gate
+
+    return streaming_tablelog_gate(spark, sf_dir)
+
+
+def _streaming_tablelog_sql():
+    from gemmsql.pipeline.tablelog import streaming_tablelog_gate_sql
+
+    return streaming_tablelog_gate_sql(SF_SMOKE)
+
+
 def _pruned_scan_read(spark, sf_dir):
     from gemmsql.pipeline.tablelog import pruned_scan_read
 
@@ -869,6 +881,12 @@ def _rotated():
         # aggregate must equal the oracle computed over ALL live
         # files — a wrong skip loses rows and moves the hash
         ("pruned_scan_read", _pruned_scan_read, _pruned_scan_read_sql()),
+        # the log as a STREAM source (the twelfth streaming surface):
+        # commit files replay one per micro-batch, removes enrich
+        # against the static add-index across batches, per-version
+        # ledger in update mode — oracle recomputes it in one batch
+        ("streaming_tablelog_gate", _streaming_tablelog,
+         _streaming_tablelog_sql()),
         # also born late in round 12: the persisted-sketch rollup —
         # daily HLL register states staged to a parquet sketch store,
         # weekly + lifetime reach merged from the STORE ONLY (raw

@@ -382,3 +382,46 @@ def test_staging_is_idempotent(spark):
     d2 = tl.stage_versioned_table(spark, SF_SMOKE)
     assert d1 == d2
     assert os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime
+
+
+def test_maintenance_lifecycle_composes(spark, tmp_path):
+    """OPTIMIZE then EVOLVE on one table copy: the maintenance ops a
+    real table runs back to back must compose — every version still
+    replays, the evolved read sees both the rewritten layout and the
+    new column, and vacuum only names dead files."""
+    dest = str(tmp_path / "life")
+    src = tl.stage_versioned_table(spark, SF_SMOKE)
+    tl.optimize_table(spark, src, dest, n_files=2)          # commit v4
+    # evolve the OPTIMIZED copy: append the new-column commit on top
+    orders_cols = ["o_orderkey", "o_orderstatus", "o_totalprice",
+                   "o_orderdate", "o_orderpriority"]
+    from gemmsql.datamodel import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(*orders_cols)
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    new = orders.filter(F.expr(f"o_orderkey div {width} = 7")).withColumn(
+        "price_band", F.floor(F.col("o_totalprice") / 1000).cast("long"))
+    name = "F5.parquet"
+    path = os.path.join(dest, tl.DATA_SUBDIR, name)
+    tl._write_one_file(new, path)
+    v = tl.commit_actions(dest, [
+        {"a": "meta", "schema_cols": orders_cols + ["price_band"]},
+        {"a": "add", "path": name, "n_rows": new.count(),
+         "n_bytes": os.path.getsize(path), "min_key": 0, "max_key": int(mx),
+         "min_date": "x", "max_date": "x"},
+    ])
+    assert v == 5
+    assert _live(spark, dest) == ["F5.parquet", "OPT4-0.parquet",
+                                  "OPT4-1.parquet"]
+    for ver in range(4):
+        assert _live(spark, dest, ver) == _live(spark, src, ver)
+    cur = tl.snapshot_read(spark, dest)
+    assert "price_band" in cur.columns
+    assert cur.count() == (tl.snapshot_read(spark, src).count()
+                           + new.count())
+    dead = sorted(r["path"] for r in tl.vacuum_plan(spark, dest).collect())
+    live = set(_live(spark, dest))
+    assert live.isdisjoint(dead)
+    assert "A0.parquet" in dead and "C0.parquet" in dead
