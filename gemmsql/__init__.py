@@ -108,6 +108,10 @@ _EXPORTS = {
     "sketch_store_rollup": "gemmsql.sketches",
     "sample_quantile_sketch": "gemmsql.sketches",
     "sample_quantiles": "gemmsql.sketches",
+    # QOI codec (r12 birth)
+    "encode_qoi": "gemmsql.pipeline.qoi",
+    "decode_qoi": "gemmsql.pipeline.qoi",
+    "qoi_features": "gemmsql.pipeline.qoi",
 }
 
 

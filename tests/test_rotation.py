@@ -447,6 +447,18 @@ def _streaming_ivm(spark, sf_dir):
     return streaming_ivm_gate(spark, sf_dir)
 
 
+def _qoi_features(spark, sf_dir):
+    from gemmsql.pipeline.qoi import qoi_features
+
+    return qoi_features(spark, sf_dir)
+
+
+def _qoi_features_sql():
+    from gemmsql.pipeline.qoi import QOI_FEATURES_SQL
+
+    return QOI_FEATURES_SQL
+
+
 def _sample_quantiles(spark, sf_dir):
     from gemmsql.sketches import sample_quantiles
 
@@ -904,6 +916,13 @@ def _rotated():
         # bit-for-bit; merge-equals-whole and rank-error bounds are
         # pinned in tests/test_sketch_store.py
         ("sample_quantiles", _sample_quantiles, _sample_quantiles_sql()),
+        # the TENTH from-scratch codec: QOI (public spec) — run/
+        # index/diff/luma/rgb byte ops over a rolling 64-color hash
+        # table; the cumulative-delta corpus drives all five ops
+        # through the decoder and the oracle rebuilds the pixels
+        # with a windowed running sum, so any op mis-decode moves
+        # the hash (tests/test_qoi.py has per-op + fuzz coverage)
+        ("qoi_features", _qoi_features, _qoi_features_sql()),
     ]
 
 
