@@ -112,6 +112,11 @@ _EXPORTS = {
     "encode_qoi": "gemmsql.pipeline.qoi",
     "decode_qoi": "gemmsql.pipeline.qoi",
     "qoi_features": "gemmsql.pipeline.qoi",
+    # TFRecord shards (r12 birth)
+    "build_tfrecord": "gemmsql.pipeline.tfrecord",
+    "parse_tfrecord": "gemmsql.pipeline.tfrecord",
+    "crc32c": "gemmsql.pipeline.tfrecord",
+    "tfrecord_ingest": "gemmsql.pipeline.tfrecord",
 }
 
 

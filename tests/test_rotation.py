@@ -447,6 +447,18 @@ def _streaming_ivm(spark, sf_dir):
     return streaming_ivm_gate(spark, sf_dir)
 
 
+def _tfrecord_ingest(spark, sf_dir):
+    from gemmsql.pipeline.tfrecord import tfrecord_ingest
+
+    return tfrecord_ingest(spark, sf_dir)
+
+
+def _tfrecord_ingest_sql():
+    from gemmsql.pipeline.tfrecord import TFRECORD_INGEST_SQL
+
+    return TFRECORD_INGEST_SQL
+
+
 def _qoi_features(spark, sf_dir):
     from gemmsql.pipeline.qoi import qoi_features
 
@@ -923,6 +935,14 @@ def _rotated():
         # with a windowed running sum, so any op mis-decode moves
         # the hash (tests/test_qoi.py has per-op + fuzz coverage)
         ("qoi_features", _qoi_features, _qoi_features_sql()),
+        # the FOURTH training-shard container: TFRecord (public
+        # format) — uint64le length + masked CRC-32C of length +
+        # data + masked CRC-32C of data, Castagnoli table built from
+        # scratch; ingest recovers every column from the framed
+        # bytes, twin derives them from documents directly (the tar
+        # gate's discipline); CRC vectors + fuzz in
+        # tests/test_tfrecord.py
+        ("tfrecord_ingest", _tfrecord_ingest, _tfrecord_ingest_sql()),
     ]
 
 
