@@ -117,6 +117,8 @@ _EXPORTS = {
     "parse_tfrecord": "gemmsql.pipeline.tfrecord",
     "crc32c": "gemmsql.pipeline.tfrecord",
     "tfrecord_ingest": "gemmsql.pipeline.tfrecord",
+    "tfrecord_split_ingest": "gemmsql.pipeline.tfrecord",
+    "tfrecord_index": "gemmsql.pipeline.tfrecord",
 }
 
 

@@ -29,11 +29,13 @@ same columns from ``documents`` directly — the tar gate's
 discipline, so a length mis-parse, CRC skip, or mask error breaks
 the value hash.
 
-Scale shape: shard = Arrow batch row = task; records inside a shard
-are walked sequentially (the format has no central index — that is
-WHY the ecosystem moved to indexable containers; the docstring says
-so rather than pretending), but shards themselves fan out across
-the cluster, which is how TFRecord is consumed in practice.
+Scale shape: shard = Arrow batch row = task; the raw format has no
+central index, so records inside one shard walk sequentially — the
+ecosystem's fix is the offset-index sidecar, implemented here too
+(:func:`tfrecord_index` + :func:`tfrecord_split_ingest`): record-
+aligned byte ranges fan one shard across the cluster exactly like
+the media and ZIP split readers, and the split path must hash-equal
+the whole-shard walk.
 
 (No analog in the reference — its surface is ML operators,
 ref:gemm_map_reduce.py:1; this extends the brief's ingest tier.)
@@ -210,3 +212,133 @@ SELECT doc_id, lang, source,
        md5(text) AS text_md5
 FROM documents
 """
+
+
+# ------------------------------------------- splittable via the index
+
+def tfrecord_index(shard: bytes) -> list[int]:
+    """Framed-record lengths for a shard — the offset index the
+    ecosystem writes as a ``.index`` sidecar precisely because the
+    raw format cannot be split.  At write time this is free (the
+    writer knows every frame length); from bytes it is one strict
+    walk."""
+    lens: list[int] = []
+    pos = 0
+    for payload in parse_tfrecord(shard):
+        lens.append(12 + len(payload) + 4)
+        pos += lens[-1]
+    if pos != len(shard):
+        raise ValueError("index does not cover the shard")
+    return lens
+
+
+def with_tfrecord_indexed_shards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(shard_id, shard, rec_lens): shards plus their write-time
+    offset index, the pair a production TFRecord dataset ships."""
+    base = with_tfrecord_shards(spark, sf_dir)
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                "shard_id": pdf["shard_id"],
+                "shard": pdf["shard"],
+                "rec_lens": [
+                    tfrecord_index(bytes(s)) for s in pdf["shard"]
+                ],
+            })
+
+    return base.mapInPandas(
+        index, schema="shard_id long, shard binary, rec_lens array<long>"
+    )
+
+
+def tfrecord_split_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_split_bytes: int = 4096,
+) -> DataFrame:
+    """The splittable path: the index sidecar turns one sequential
+    shard into record-aligned byte ranges of ~``target_split_bytes``
+    that fan out as (shard, split_idx) tasks — the same range
+    machinery as the media and ZIP split readers.  Every split is a
+    valid TFRecord stream by construction (cuts land on frame
+    boundaries), each task re-verifies its own CRCs, and the result
+    must hash-equal the whole-shard ingest (range-union == whole is
+    also equality-tested at three split sizes)."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    def builder(spark_, sf_dir_):
+        return with_tfrecord_indexed_shards(spark_, sf_dir_).select(
+            F.col("shard_id").alias("doc_id"),
+            F.col("shard").alias("payload"),
+            "rec_lens",
+        )
+
+    shards = stage_payload_table(spark, sf_dir, "tfrecord_idx", builder)
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sids, idxs, chunks = [], [], []
+            for sid, payload, lens in zip(
+                pdf["doc_id"], pdf["payload"], pdf["rec_lens"]
+            ):
+                payload = bytes(payload)
+                start = pos = 0
+                split = 0
+                for ln in lens:
+                    pos += int(ln)
+                    if pos - start >= target_split_bytes:
+                        sids.append(sid)
+                        idxs.append(split)
+                        chunks.append(payload[start:pos])
+                        start = pos
+                        split += 1
+                if pos != len(payload):
+                    raise ValueError("index does not cover the shard")
+                if start < pos:
+                    sids.append(sid)
+                    idxs.append(split)
+                    chunks.append(payload[start:pos])
+            yield pd.DataFrame(
+                {"shard_id": sids, "split_idx": idxs, "chunk": chunks}
+            )
+
+    planned = shards.mapInPandas(
+        plan, schema="shard_id long, split_idx long, chunk binary"
+    ).repartition("shard_id", "split_idx")
+
+    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, langs, sources, ncs, md5s = [], [], [], [], []
+            for chunk in pdf["chunk"]:
+                for payload in parse_tfrecord(bytes(chunk)):
+                    meta = json.loads(payload)
+                    text = meta["text"]
+                    ids.append(meta["doc_id"])
+                    langs.append(meta["lang"])
+                    sources.append(meta["source"])
+                    ncs.append(len(text))
+                    md5s.append(
+                        hashlib.md5(text.encode()).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "doc_id": ids, "lang": langs, "source": sources,
+                "n_chars": ncs, "text_md5": md5s,
+            })
+
+    return planned.mapInPandas(
+        ingest,
+        schema=(
+            "doc_id long, lang string, source string, "
+            "n_chars long, text_md5 string"
+        ),
+    )

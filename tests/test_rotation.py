@@ -459,6 +459,12 @@ def _tfrecord_ingest_sql():
     return TFRECORD_INGEST_SQL
 
 
+def _tfrecord_split_ingest(spark, sf_dir):
+    from gemmsql.pipeline.tfrecord import tfrecord_split_ingest
+
+    return tfrecord_split_ingest(spark, sf_dir, target_split_bytes=4096)
+
+
 def _qoi_features(spark, sf_dir):
     from gemmsql.pipeline.qoi import qoi_features
 
@@ -943,6 +949,13 @@ def _rotated():
         # gate's discipline); CRC vectors + fuzz in
         # tests/test_tfrecord.py
         ("tfrecord_ingest", _tfrecord_ingest, _tfrecord_ingest_sql()),
+        # its splittable path: the offset-index sidecar cuts each
+        # shard into record-aligned ~4 KiB ranges spread on
+        # (shard, split_idx); every split re-verifies its own CRCs
+        # and the SAME documents-derived twin gates it, so split
+        # planning bugs lose or duplicate records visibly
+        ("tfrecord_split_ingest", _tfrecord_split_ingest,
+         _tfrecord_ingest_sql()),
     ]
 
 

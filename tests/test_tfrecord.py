@@ -62,3 +62,37 @@ def test_strict_parse_rejects_corruption():
     frame = huge + struct.pack("<I", masked_crc(huge)) + b"tiny"
     with pytest.raises(ValueError, match="truncated"):
         parse_tfrecord(frame)
+
+
+def test_index_covers_shard_and_splits_are_valid_streams():
+    from gemmsql.pipeline.tfrecord import tfrecord_index
+
+    recs = [bytes([i]) * (10 + 37 * i % 300) for i in range(40)]
+    blob = build_tfrecord(recs)
+    lens = tfrecord_index(blob)
+    assert sum(lens) == len(blob)
+    # cutting on any frame boundary yields two valid streams whose
+    # records concatenate to the original list
+    cut = sum(lens[:17])
+    left = parse_tfrecord(blob[:cut])
+    right = parse_tfrecord(blob[cut:])
+    assert left + right == recs
+
+
+def test_split_ingest_equals_whole_at_three_sizes(spark):
+    from tests.conftest import SF_SMOKE
+
+    from gemmsql.pipeline.tfrecord import (
+        tfrecord_ingest,
+        tfrecord_split_ingest,
+    )
+
+    whole = sorted(
+        map(tuple, tfrecord_ingest(spark, SF_SMOKE).collect())
+    )
+    for target in (512, 4096, 1 << 20):
+        split = sorted(
+            map(tuple, tfrecord_split_ingest(
+                spark, SF_SMOKE, target_split_bytes=target).collect())
+        )
+        assert split == whole, target
