@@ -127,3 +127,23 @@ def test_wraparound_deltas():
     enc = encode_qoi(img)
     assert np.array_equal(decode_qoi(enc), img)
     assert _ops(enc).get("diff", 0) >= 1
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**32 - 1),
+           st.integers(min_value=1, max_value=24),
+           st.integers(min_value=1, max_value=24))
+    def check(seed, h, w):
+        rng = np.random.default_rng(seed)
+        # mix smooth and noisy regions so every op family can fire
+        base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        smooth = np.cumsum(
+            rng.integers(-1, 3, size=(h, w, 3)), axis=1) % 256
+        img = np.where(rng.random((h, w, 1)) < 0.5,
+                       base, smooth).astype(np.uint8)
+        assert np.array_equal(decode_qoi(encode_qoi(img)), img)
+
+    check()

@@ -96,3 +96,14 @@ def test_split_ingest_equals_whole_at_three_sizes(spark):
                 spark, SF_SMOKE, target_split_bytes=target).collect())
         )
         assert split == whole, target
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=400), max_size=12))
+    def check(recs):
+        assert parse_tfrecord(build_tfrecord(recs)) == recs
+
+    check()
