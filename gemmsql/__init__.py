@@ -119,6 +119,7 @@ _EXPORTS = {
     "tfrecord_ingest": "gemmsql.pipeline.tfrecord",
     "tfrecord_split_ingest": "gemmsql.pipeline.tfrecord",
     "tfrecord_index": "gemmsql.pipeline.tfrecord",
+    "streaming_shard_ingest_gate": "gemmsql.pipeline.tfrecord",
 }
 
 

@@ -214,6 +214,119 @@ FROM documents
 """
 
 
+def _stage_shard_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the shard corpus as one ``.tfrecord`` FILE per
+    shard (a streaming file source lists a directory, not a column).
+    Files are written FROM THE EXECUTORS — the shape a distributed
+    writer has at scale — each atomically via tmp+rename, and the
+    directory publishes atomically behind a _SUCCESS marker."""
+    import os
+    import shutil
+    import tempfile
+
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"gemmsql_tfrstream_{staged_dir_tag(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for sid, shard in zip(pdf["shard_id"], pdf["shard"]):
+                dest = os.path.join(tmp, f"shard-{int(sid):05d}.tfrecord")
+                scratch = f"{dest}.part{os.getpid()}"
+                with open(scratch, "wb") as f:
+                    f.write(bytes(shard))
+                os.replace(scratch, dest)
+                yield pd.DataFrame({"shard_id": [int(sid)]})
+
+    n = with_tfrecord_shards(spark, sf_dir).mapInPandas(
+        write, schema="shard_id long"
+    ).count()  # bounded action: one row per shard
+    if n == 0:
+        raise ValueError("no shards staged")
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def streaming_shard_ingest_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary shard files as a STREAM: the ``binaryFile`` source
+    lists the staged ``.tfrecord`` directory a few files per
+    micro-batch, each batch's shards walk through the strict framed
+    parse (both CRCs re-verified), and the per-doc rows append — a
+    stateless decode, so append mode needs no watermark.  The SAME
+    documents-derived oracle gates it, so file discovery, batch
+    slicing, and the binary content hand-off are all row-checked.
+    This is the arrival shape of a production ingest: shards land in
+    object storage, the stream discovers and decodes them."""
+    from gemmsql.streaming.windows import _await_gate
+
+    target = _stage_shard_files(spark, sf_dir)
+    src = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", "4")
+        .load(target)
+        .select("content")
+    )
+
+    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, langs, sources, ncs, md5s = [], [], [], [], []
+            for shard in pdf["content"]:
+                for payload in parse_tfrecord(bytes(shard)):
+                    meta = json.loads(payload)
+                    text = meta["text"]
+                    ids.append(meta["doc_id"])
+                    langs.append(meta["lang"])
+                    sources.append(meta["source"])
+                    ncs.append(
+                        len(text)
+                    )
+                    md5s.append(
+                        hashlib.md5(text.encode()).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "doc_id": ids, "lang": langs, "source": sources,
+                "n_chars": ncs, "text_md5": md5s,
+            })
+
+    rows = src.mapInPandas(
+        ingest,
+        schema=(
+            "doc_id long, lang string, source string, "
+            "n_chars long, text_md5 string"
+        ),
+    )
+    name = "stream_gate_shard_ingest"
+    q = (
+        rows.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_gate(q)
+    return spark.table(name)
+
+
 # ------------------------------------------- splittable via the index
 
 def tfrecord_index(shard: bytes) -> list[int]:

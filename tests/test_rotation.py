@@ -459,6 +459,12 @@ def _tfrecord_ingest_sql():
     return TFRECORD_INGEST_SQL
 
 
+def _streaming_shard_ingest(spark, sf_dir):
+    from gemmsql.pipeline.tfrecord import streaming_shard_ingest_gate
+
+    return streaming_shard_ingest_gate(spark, sf_dir)
+
+
 def _tfrecord_split_ingest(spark, sf_dir):
     from gemmsql.pipeline.tfrecord import tfrecord_split_ingest
 
@@ -955,6 +961,13 @@ def _rotated():
         # and the SAME documents-derived twin gates it, so split
         # planning bugs lose or duplicate records visibly
         ("tfrecord_split_ingest", _tfrecord_split_ingest,
+         _tfrecord_ingest_sql()),
+        # the thirteenth streaming surface: binary shard files as a
+        # stream — the binaryFile source discovers the staged
+        # .tfrecord directory a few files per micro-batch, the
+        # strict framed parse runs per batch, rows append; same
+        # documents-derived oracle
+        ("streaming_shard_ingest_gate", _streaming_shard_ingest,
          _tfrecord_ingest_sql()),
     ]
 
