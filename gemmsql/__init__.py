@@ -120,6 +120,10 @@ _EXPORTS = {
     "tfrecord_split_ingest": "gemmsql.pipeline.tfrecord",
     "tfrecord_index": "gemmsql.pipeline.tfrecord",
     "streaming_shard_ingest_gate": "gemmsql.pipeline.tfrecord",
+    # Ogg container (r12 birth)
+    "build_ogg": "gemmsql.pipeline.ogg",
+    "parse_ogg": "gemmsql.pipeline.ogg",
+    "ogg_shard_ingest": "gemmsql.pipeline.ogg",
 }
 
 

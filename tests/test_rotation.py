@@ -459,6 +459,18 @@ def _tfrecord_ingest_sql():
     return TFRECORD_INGEST_SQL
 
 
+def _ogg_shard_ingest(spark, sf_dir):
+    from gemmsql.pipeline.ogg import ogg_shard_ingest
+
+    return ogg_shard_ingest(spark, sf_dir)
+
+
+def _ogg_shard_ingest_sql():
+    from gemmsql.pipeline.ogg import OGG_SHARD_INGEST_SQL
+
+    return OGG_SHARD_INGEST_SQL
+
+
 def _streaming_shard_ingest(spark, sf_dir):
     from gemmsql.pipeline.tfrecord import streaming_shard_ingest_gate
 
@@ -969,6 +981,15 @@ def _rotated():
         # documents-derived oracle
         ("streaming_shard_ingest_gate", _streaming_shard_ingest,
          _tfrecord_ingest_sql()),
+        # the FIFTH shard container: Ogg (RFC 3533) — capture-pattern
+        # pages, lacing-value packet segmentation, cross-page
+        # continuation (pages capped at 8 lacing values so spanning
+        # fires constantly), BOS/EOS/continued placement, and Ogg's
+        # own FORWARD CRC-32 variant built from scratch; ingest
+        # recovers all columns from the page walk, twin from
+        # documents directly; CRC vector + lacing/continuation fuzz
+        # in tests/test_ogg.py
+        ("ogg_shard_ingest", _ogg_shard_ingest, _ogg_shard_ingest_sql()),
     ]
 
 
