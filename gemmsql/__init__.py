@@ -124,6 +124,8 @@ _EXPORTS = {
     "build_ogg": "gemmsql.pipeline.ogg",
     "parse_ogg": "gemmsql.pipeline.ogg",
     "ogg_shard_ingest": "gemmsql.pipeline.ogg",
+    "ogg_split_ingest": "gemmsql.pipeline.ogg",
+    "ogg_page_index": "gemmsql.pipeline.ogg",
 }
 
 

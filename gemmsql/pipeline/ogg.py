@@ -153,16 +153,23 @@ def build_ogg(
     return b"".join(pages)
 
 
-def parse_ogg(data: bytes) -> tuple[int, list[bytes]]:
+def parse_ogg(data: bytes, *, fragment: bool = False) -> tuple[int, list[bytes]]:
     """Strict single-stream walk -> (serial, packets).  Validates
     magic, version, CRC, page sequence, BOS/EOS/continued placement,
-    and that the final packet is complete."""
+    and that the final packet is complete.
+
+    ``fragment=True`` is the SPLIT-READER mode: the bytes are a
+    page-aligned slice of a stream (cut only before pages that start
+    a fresh packet), so BOS/EOS may be absent, the sequence may start
+    anywhere (but must stay consecutive), and a leading continued
+    flag still rejects — a cut that lands mid-packet is a planner
+    bug, not something to paper over."""
     packets: list[bytes] = []
     cur = bytearray()
     open_packet = False
     pos = 0
     serial = None
-    expect_seq = 0
+    expect_seq = None
     saw_eos = False
     while pos < len(data):
         if saw_eos:
@@ -192,8 +199,9 @@ def parse_ogg(data: bytes) -> tuple[int, list[bytes]]:
             raise ValueError(f"page CRC mismatch at offset {pos}")
         if serial is None:
             serial = page_serial
-            if not flags & _F_BOS:
+            if not fragment and not flags & _F_BOS:
                 raise ValueError("first page missing BOS")
+            expect_seq = seq if fragment else 0
         else:
             if page_serial != serial:
                 raise ValueError("serial change inside a single stream")
@@ -222,7 +230,7 @@ def parse_ogg(data: bytes) -> tuple[int, list[bytes]]:
         pos = page_end
     if serial is None:
         raise ValueError("empty stream")
-    if not saw_eos:
+    if not saw_eos and not fragment:
         raise ValueError("stream missing EOS")
     if open_packet:
         raise ValueError("stream ends mid-packet")
@@ -320,3 +328,137 @@ SELECT doc_id, lang, source,
        md5(text) AS text_md5
 FROM documents
 """
+
+
+# ------------------------------------------------ splittable by pages
+
+def ogg_page_index(shard: bytes) -> tuple[list[int], list[bool]]:
+    """(page_lengths, page_starts_fresh_packet): the split planner's
+    index — one tail-free header walk (Ogg pages are self-delimiting
+    via the lacing table, the property that makes the format
+    seekable).  A cut is legal only BEFORE a page whose continued
+    flag is clear."""
+    lens: list[int] = []
+    fresh: list[bool] = []
+    pos = 0
+    while pos < len(shard):
+        if shard[pos:pos + 4] != _MAGIC:
+            raise ValueError(f"bad capture pattern at offset {pos}")
+        n_segs = shard[pos + 26]
+        body = sum(shard[pos + 27:pos + 27 + n_segs])
+        lens.append(27 + n_segs + body)
+        fresh.append(not shard[pos + 5] & _F_CONTINUED)
+        pos += lens[-1]
+    if pos != len(shard):
+        raise ValueError("index does not cover the shard")
+    return lens, fresh
+
+
+def ogg_split_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_split_bytes: int = 4096,
+) -> DataFrame:
+    """The splittable path: page-aligned byte ranges of
+    ~``target_split_bytes``, cut only where a fresh packet starts,
+    spread on (shard, split_idx) — the media/ZIP/TFRecord split
+    machinery applied to the one container that was DESIGNED for
+    resync (the capture pattern exists so readers can land
+    mid-stream).  Every split walks through the strict fragment
+    parser (CRCs re-verified, sequence continuity inside the
+    fragment, a mid-packet cut rejects), and the result must
+    hash-equal the whole-shard ingest."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    def builder(spark_, sf_dir_):
+        base = with_ogg_shards(spark_, sf_dir_)
+
+        def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                lens, fresh = zip(*[
+                    ogg_page_index(bytes(s)) for s in pdf["shard"]
+                ])
+                yield pd.DataFrame({
+                    "doc_id": pdf["shard_id"],
+                    "payload": pdf["shard"],
+                    "page_lens": list(lens),
+                    "page_fresh": list(fresh),
+                })
+
+        return base.mapInPandas(
+            index,
+            schema=(
+                "doc_id long, payload binary, "
+                "page_lens array<long>, page_fresh array<boolean>"
+            ),
+        )
+
+    shards = stage_payload_table(spark, sf_dir, "oggsplit", builder)
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sids, idxs, chunks = [], [], []
+            for sid, payload, lens, fresh in zip(
+                pdf["doc_id"], pdf["payload"],
+                pdf["page_lens"], pdf["page_fresh"],
+            ):
+                payload = bytes(payload)
+                start = pos = 0
+                split = 0
+                for ln, fr in zip(lens, fresh):
+                    # cut BEFORE this page when the budget is spent
+                    # and the page starts a fresh packet
+                    if pos - start >= target_split_bytes and fr:
+                        sids.append(sid)
+                        idxs.append(split)
+                        chunks.append(payload[start:pos])
+                        start = pos
+                        split += 1
+                    pos += int(ln)
+                if pos != len(payload):
+                    raise ValueError("index does not cover the shard")
+                sids.append(sid)
+                idxs.append(split)
+                chunks.append(payload[start:pos])
+            yield pd.DataFrame(
+                {"shard_id": sids, "split_idx": idxs, "chunk": chunks}
+            )
+
+    planned = shards.mapInPandas(
+        plan, schema="shard_id long, split_idx long, chunk binary"
+    ).repartition("shard_id", "split_idx")
+
+    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, langs, sources, ncs, md5s = [], [], [], [], []
+            for chunk in pdf["chunk"]:
+                _, packets = parse_ogg(bytes(chunk), fragment=True)
+                for payload in packets:
+                    meta = json.loads(payload)
+                    text = meta["text"]
+                    ids.append(meta["doc_id"])
+                    langs.append(meta["lang"])
+                    sources.append(meta["source"])
+                    ncs.append(len(text))
+                    md5s.append(
+                        hashlib.md5(text.encode()).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "doc_id": ids, "lang": langs, "source": sources,
+                "n_chars": ncs, "text_md5": md5s,
+            })
+
+    return planned.mapInPandas(
+        ingest,
+        schema=(
+            "doc_id long, lang string, source string, "
+            "n_chars long, text_md5 string"
+        ),
+    )

@@ -88,3 +88,45 @@ def test_roundtrip_property():
         assert got == packets
 
     check()
+
+
+def test_fragment_parse_modes():
+    from gemmsql.pipeline.ogg import ogg_page_index, parse_ogg
+
+    packets = [bytes([i]) * (200 * i % 700) for i in range(12)]
+    blob = build_ogg(2, packets, max_segs=3)
+    lens, fresh = ogg_page_index(blob)
+    assert sum(lens) == len(blob)
+    # cut at every legal boundary: fragments reassemble exactly
+    offs = [0]
+    pos = 0
+    for ln, fr in zip(lens, fresh):
+        if pos and fr:
+            offs.append(pos)
+        pos += ln
+    offs.append(len(blob))
+    got = []
+    for a, b in zip(offs, offs[1:]):
+        _, ps = parse_ogg(blob[a:b], fragment=True)
+        got.extend(ps)
+    assert got == packets
+    # a cut landing mid-packet must reject (leading continued flag)
+    bad_off = next(
+        o for o, fr in zip(
+            [sum(lens[:i]) for i in range(len(lens))], fresh)
+        if o and not fr
+    )
+    with pytest.raises(ValueError, match="continuation"):
+        parse_ogg(blob[bad_off:], fragment=True)
+
+
+def test_split_ingest_equals_whole_at_three_sizes(spark):
+    from tests.conftest import SF_SMOKE
+
+    from gemmsql.pipeline.ogg import ogg_shard_ingest, ogg_split_ingest
+
+    whole = sorted(map(tuple, ogg_shard_ingest(spark, SF_SMOKE).collect()))
+    for target in (512, 4096, 1 << 20):
+        split = sorted(map(tuple, ogg_split_ingest(
+            spark, SF_SMOKE, target_split_bytes=target).collect()))
+        assert split == whole, target

@@ -459,6 +459,12 @@ def _tfrecord_ingest_sql():
     return TFRECORD_INGEST_SQL
 
 
+def _ogg_split_ingest(spark, sf_dir):
+    from gemmsql.pipeline.ogg import ogg_split_ingest
+
+    return ogg_split_ingest(spark, sf_dir, target_split_bytes=4096)
+
+
 def _ogg_shard_ingest(spark, sf_dir):
     from gemmsql.pipeline.ogg import ogg_shard_ingest
 
@@ -990,6 +996,11 @@ def _rotated():
         # documents directly; CRC vector + lacing/continuation fuzz
         # in tests/test_ogg.py
         ("ogg_shard_ingest", _ogg_shard_ingest, _ogg_shard_ingest_sql()),
+        # its splittable path: page-aligned ranges cut only where a
+        # fresh packet starts (the capture pattern IS Ogg's resync
+        # design), each fragment re-walked by the strict parser with
+        # mid-packet cuts rejecting; same documents-derived twin
+        ("ogg_split_ingest", _ogg_split_ingest, _ogg_shard_ingest_sql()),
     ]
 
 
