@@ -126,6 +126,10 @@ _EXPORTS = {
     "ogg_shard_ingest": "gemmsql.pipeline.ogg",
     "ogg_split_ingest": "gemmsql.pipeline.ogg",
     "ogg_page_index": "gemmsql.pipeline.ogg",
+    # Avro OCF (r12 birth)
+    "build_avro": "gemmsql.pipeline.avro",
+    "parse_avro": "gemmsql.pipeline.avro",
+    "avro_shard_ingest": "gemmsql.pipeline.avro",
 }
 
 

@@ -1,0 +1,79 @@
+"""Avro OCF walker (`gemmsql/pipeline/avro.py`): zigzag vectors,
+container round-trips, strict-parse fuzz.  The corpus hash gate runs
+in tests/test_rotation.py (`avro_shard_ingest`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gemmsql.pipeline.avro import (
+    _read_long,
+    _sync_marker,
+    build_avro,
+    parse_avro,
+    zigzag_encode,
+)
+
+
+def test_zigzag_spec_vectors():
+    # the Avro specification's own encoding table
+    assert zigzag_encode(0) == b"\x00"
+    assert zigzag_encode(-1) == b"\x01"
+    assert zigzag_encode(1) == b"\x02"
+    assert zigzag_encode(-2) == b"\x03"
+    assert zigzag_encode(2) == b"\x04"
+    assert zigzag_encode(-64) == b"\x7f"
+    assert zigzag_encode(64) == b"\x80\x01"
+
+
+def test_varint_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def check(n):
+        assert _read_long(zigzag_encode(n), 0)[0] == n
+
+    check()
+
+
+def test_container_roundtrip_block_shapes():
+    rows = [(i, "en", "s%d" % (i % 3), "body " * (i % 11)) for i in range(40)]
+    for rpb in (1, 8, 40, 100):
+        assert parse_avro(build_avro(7, rows, recs_per_block=rpb)) == rows
+    assert parse_avro(build_avro(1, [])) == []
+
+
+def test_strict_parse_rejects_corruption():
+    rows = [(i, "en", "web", "hello world %d" % i) for i in range(20)]
+    blob = bytearray(build_avro(5, rows))
+    with pytest.raises(ValueError, match="not an Avro"):
+        parse_avro(b"Obj\x02" + bytes(blob[4:]))
+    # flip a byte inside the LAST sync marker
+    bad = bytearray(blob)
+    bad[-1] ^= 0x01
+    with pytest.raises(ValueError, match="sync"):
+        parse_avro(bytes(bad))
+    # truncate mid-block
+    with pytest.raises(ValueError):
+        parse_avro(bytes(blob[:-20]))
+    # corrupt the block byte-size so it disagrees with the records —
+    # find the first block header after the header sync
+    sync = _sync_marker(5)
+    first_block = bytes(blob).index(sync) + 16
+    bad = bytearray(blob)
+    bad[first_block + 1] ^= 0x02   # size varint (count is 1 byte here)
+    with pytest.raises(ValueError):
+        parse_avro(bytes(bad))
+
+
+def test_schema_and_codec_are_enforced():
+    rows = [(1, "en", "web", "x")]
+    blob = build_avro(2, rows)
+    # splice a different schema string into the metadata
+    other = blob.replace(b'"name":"doc"', b'"name":"dog"')
+    with pytest.raises(ValueError, match="schema mismatch"):
+        parse_avro(other)
+    deflated = blob.replace(b"null", b"zstd")
+    with pytest.raises(ValueError, match="codec"):
+        parse_avro(deflated)

@@ -459,6 +459,18 @@ def _tfrecord_ingest_sql():
     return TFRECORD_INGEST_SQL
 
 
+def _avro_shard_ingest(spark, sf_dir):
+    from gemmsql.pipeline.avro import avro_shard_ingest
+
+    return avro_shard_ingest(spark, sf_dir)
+
+
+def _avro_shard_ingest_sql():
+    from gemmsql.pipeline.avro import AVRO_SHARD_INGEST_SQL
+
+    return AVRO_SHARD_INGEST_SQL
+
+
 def _ogg_split_ingest(spark, sf_dir):
     from gemmsql.pipeline.ogg import ogg_split_ingest
 
@@ -1001,6 +1013,15 @@ def _rotated():
         # design), each fragment re-walked by the strict parser with
         # mid-packet cuts rejecting; same documents-derived twin
         ("ogg_split_ingest", _ogg_split_ingest, _ogg_shard_ingest_sql()),
+        # the SIXTH shard container: Avro OCF (public spec) — zigzag
+        # varint binary encoding built from the spec's own vectors,
+        # metadata map with REQUIRED schema match and null-codec
+        # enforcement, per-block count/size accounting, every sync
+        # marker checked against the header's; ingest recovers all
+        # columns from the container walk, twin from documents;
+        # vectors + corruption fuzz in tests/test_avro.py
+        ("avro_shard_ingest", _avro_shard_ingest,
+         _avro_shard_ingest_sql()),
     ]
 
 
