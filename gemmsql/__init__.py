@@ -130,6 +130,8 @@ _EXPORTS = {
     "build_avro": "gemmsql.pipeline.avro",
     "parse_avro": "gemmsql.pipeline.avro",
     "avro_shard_ingest": "gemmsql.pipeline.avro",
+    "avro_split_ingest": "gemmsql.pipeline.avro",
+    "avro_block_index": "gemmsql.pipeline.avro",
 }
 
 

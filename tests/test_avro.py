@@ -77,3 +77,39 @@ def test_schema_and_codec_are_enforced():
     deflated = blob.replace(b"null", b"zstd")
     with pytest.raises(ValueError, match="codec"):
         parse_avro(deflated)
+
+
+def test_block_index_and_fragment_walk():
+    from gemmsql.pipeline.avro import (
+        avro_block_index,
+        parse_avro_blocks,
+    )
+
+    rows = [(i, "en", "s", "b" * (i % 9)) for i in range(30)]
+    blob = build_avro(4, rows, recs_per_block=4)
+    header_end, sync, lens = avro_block_index(blob)
+    assert header_end + sum(lens) == len(blob)
+    assert sync == _sync_marker(4)
+    # every block-boundary cut yields valid fragments that reassemble
+    pos = header_end
+    got = []
+    for ln in lens:
+        got.extend(parse_avro_blocks(blob[pos:pos + ln], sync))
+        pos += ln
+    assert got == rows
+    # a wrong sync rejects the fragment
+    with pytest.raises(ValueError, match="sync"):
+        parse_avro_blocks(blob[header_end:header_end + lens[0]],
+                          b"\x00" * 16)
+
+
+def test_split_ingest_equals_whole_at_three_sizes(spark):
+    from tests.conftest import SF_SMOKE
+
+    from gemmsql.pipeline.avro import avro_shard_ingest, avro_split_ingest
+
+    whole = sorted(map(tuple, avro_shard_ingest(spark, SF_SMOKE).collect()))
+    for target in (512, 4096, 1 << 20):
+        split = sorted(map(tuple, avro_split_ingest(
+            spark, SF_SMOKE, target_split_bytes=target).collect()))
+        assert split == whole, target

@@ -459,6 +459,12 @@ def _tfrecord_ingest_sql():
     return TFRECORD_INGEST_SQL
 
 
+def _avro_split_ingest(spark, sf_dir):
+    from gemmsql.pipeline.avro import avro_split_ingest
+
+    return avro_split_ingest(spark, sf_dir, target_split_bytes=4096)
+
+
 def _avro_shard_ingest(spark, sf_dir):
     from gemmsql.pipeline.avro import avro_shard_ingest
 
@@ -1021,6 +1027,12 @@ def _rotated():
         # columns from the container walk, twin from documents;
         # vectors + corruption fuzz in tests/test_avro.py
         ("avro_shard_ingest", _avro_shard_ingest,
+         _avro_shard_ingest_sql()),
+        # its splittable path: block-aligned ranges (sync-delimited
+        # blocks ARE the spec's split unit); the planner verifies the
+        # header once and ships its sync with every range, each split
+        # re-runs the strict block walk; same documents-derived twin
+        ("avro_split_ingest", _avro_split_ingest,
          _avro_shard_ingest_sql()),
     ]
 
