@@ -305,6 +305,11 @@ def avro_block_index(shard: bytes) -> tuple[int, bytes, list[int]]:
         for _ in range(n):
             _, pos = _read_bytes(shard, pos)
             _, pos = _read_bytes(shard, pos)
+    if pos + 16 > len(shard):
+        # a header truncated at the sync must raise like parse_avro
+        # does — a short sync would otherwise yield an empty block
+        # list and silently drop the shard's rows (ADVICE r12 #3)
+        raise ValueError("truncated header sync marker")
     sync = shard[pos:pos + 16]
     header_end = pos + 16
     lens: list[int] = []

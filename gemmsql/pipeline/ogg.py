@@ -344,7 +344,13 @@ def ogg_page_index(shard: bytes) -> tuple[list[int], list[bool]]:
     while pos < len(shard):
         if shard[pos:pos + 4] != _MAGIC:
             raise ValueError(f"bad capture pattern at offset {pos}")
+        if pos + 27 > len(shard):
+            raise ValueError(f"truncated page header at offset {pos}")
         n_segs = shard[pos + 26]
+        if pos + 27 + n_segs > len(shard):
+            # a lacing table cut short must fail with the module's
+            # ValueError contract, not clamp silently (ADVICE r12 #4)
+            raise ValueError(f"truncated lacing table at offset {pos}")
         body = sum(shard[pos + 27:pos + 27 + n_segs])
         lens.append(27 + n_segs + body)
         fresh.append(not shard[pos + 5] & _F_CONTINUED)

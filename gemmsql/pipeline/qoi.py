@@ -143,10 +143,17 @@ def decode_qoi(data: bytes) -> np.ndarray:
             raise ValueError("pixel underrun: stream ended early")
         byte = data[pos]
         pos += 1
+        # operand bytes must also sit before the end marker — a
+        # multi-byte op starting at end_at-1 may not read into the
+        # end-marker region or past the buffer (ADVICE r12 #5)
         if byte == _OP_RGB:
+            if pos + 3 > end_at:
+                raise ValueError("pixel underrun: stream ended early")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif byte == _OP_RGBA:
+            if pos + 4 > end_at:
+                raise ValueError("pixel underrun: stream ended early")
             r, g, b, a = (data[pos], data[pos + 1], data[pos + 2],
                           data[pos + 3])
             pos += 4
@@ -164,6 +171,8 @@ def decode_qoi(data: bytes) -> np.ndarray:
                 b = (b + (byte & 3) - 2) % 256
             elif tag == _OP_LUMA:
                 dg = (byte & 0x3F) - 32
+                if pos + 1 > end_at:
+                    raise ValueError("pixel underrun: stream ended early")
                 nxt = data[pos]
                 pos += 1
                 r = (r + dg + ((nxt >> 4) & 0xF) - 8) % 256

@@ -356,15 +356,30 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-version log audit — metadata only, zero data bytes read:
     action counts, rows added, rows REMOVED (a remove action carries
-    no stats, so the removed file's row count comes from joining back
-    to its unique add action — the lookup a real log reader does),
-    and running live file/row totals via a cumulative window."""
-    table_dir = stage_versioned_table(spark, sf_dir)
+    no stats, so the removed file's row count comes from looking up
+    the latest add of that path at-or-below the remove's version —
+    the lookup a real log reader does), and running live file/row
+    totals via a cumulative window."""
+    return table_history_audit_dir(spark, stage_versioned_table(spark, sf_dir))
+
+
+def table_history_audit_dir(spark: SparkSession, table_dir: str) -> DataFrame:
     log = read_log(spark, table_dir)
-    adds = log.filter(F.col("a") == "add").select(
-        "path", F.col("n_rows").alias("add_rows")
+    # A remove's row count is the n_rows of the LATEST add of that
+    # path at-or-below the remove's version — NOT "the" add: a
+    # remove-then-re-add lifecycle (which replay supports) puts two
+    # adds on one path, and a plain path join would duplicate action
+    # rows (ADVICE r12 #1).  A running last-ignorenulls window over
+    # (path, v, add-before-remove) resolves the lookup in one pass.
+    wlk = Window.partitionBy("path").orderBy(
+        "v", F.when(F.col("a") == "add", 0).otherwise(1)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acts = log.withColumn(
+        "add_rows",
+        F.last(
+            F.when(F.col("a") == "add", F.col("n_rows")), ignorenulls=True
+        ).over(wlk),
     )
-    acts = log.join(F.broadcast(adds), "path", "left")
     per_v = acts.groupBy(F.col("v").alias("version")).agg(
         F.sum(F.when(F.col("a") == "add", 1).otherwise(0))
         .cast("long").alias("n_add"),
@@ -687,8 +702,6 @@ def optimize_table(
         part = df.filter(
             F.expr(f"(o_orderkey - {gmin}) div {width}") == k
         )
-        dest = os.path.join(dest_dir, DATA_SUBDIR, name)
-        _write_one_file(part, dest)
         st = part.agg(
             F.count("*").alias("n"),
             F.min("o_orderkey").alias("mnk"),
@@ -696,6 +709,13 @@ def optimize_table(
             F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
             F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
         ).collect()[0]  # 1-row write-time stats
+        if not st["n"]:
+            # an empty key-range bucket has no stats (min/max are
+            # NULL) and must produce neither a data file nor an add
+            # action (ADVICE r12 #2)
+            continue
+        dest = os.path.join(dest_dir, DATA_SUBDIR, name)
+        _write_one_file(part, dest)
         lines.append(json.dumps({
             "v": new_v, "a": "add", "path": name,
             "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
@@ -833,21 +853,48 @@ def streaming_tablelog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns of :func:`table_history_audit`; the oracle recomputes
     them from the log in one batch, so file-to-batch slicing and the
     static-join lookup are both row-checked."""
+    return streaming_tablelog_gate_dir(
+        spark, stage_versioned_table(spark, sf_dir)
+    )
+
+
+def streaming_tablelog_gate_dir(
+    spark: SparkSession, table_dir: str
+) -> DataFrame:
     from gemmsql.streaming.windows import _await_gate, state_partitions
 
-    table_dir = stage_versioned_table(spark, sf_dir)
     src = (
         spark.readStream.schema(LOG_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .json(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
     )
+    # Static add-index as VALIDITY INTERVALS: each add covers
+    # [its v, next add of the same path), so an action joins exactly
+    # the latest add at-or-below its version — re-add-safe (a plain
+    # path join duplicates action rows once a path is added twice,
+    # ADVICE r12 #1).  Stream-static equi+range join, still broadcast.
+    wnext = Window.partitionBy("path").orderBy("v")
     adds = (
         read_log(spark, table_dir)
         .filter(F.col("a") == "add")
-        .select("path", F.col("n_rows").alias("add_rows"))
+        .select(
+            "path",
+            F.col("v").alias("add_v"),
+            F.lead("v", default=2**62).over(wnext).alias("next_add_v"),
+            F.col("n_rows").alias("add_rows"),
+        )
     )
     agg = (
-        src.join(F.broadcast(adds), "path", "left")
+        src.join(
+            F.broadcast(adds),
+            on=[
+                src["path"] == adds["path"],
+                src["v"] >= adds["add_v"],
+                src["v"] < adds["next_add_v"],
+            ],
+            how="left",
+        )
+        .drop(adds["path"])
         .groupBy(F.col("v").alias("version"))
         .agg(
             F.sum(F.when(F.col("a") == "add", 1).otherwise(0))
@@ -884,8 +931,12 @@ def streaming_tablelog_gate_sql(sf_dir: str) -> str:
     d = _table_dir(sf_dir)
     return f"""
 WITH log AS (SELECT * FROM {_log_rel(d)}),
-adds AS (SELECT path, n_rows AS add_rows FROM log WHERE a = 'add'),
-acts AS (SELECT l.*, adds.add_rows FROM log l LEFT JOIN adds USING (path))
+acts AS (
+  SELECT *, LAST_VALUE(CASE WHEN a = 'add' THEN n_rows END IGNORE NULLS)
+    OVER (PARTITION BY path
+          ORDER BY v, CASE WHEN a = 'add' THEN 0 ELSE 1 END
+          ROWS UNBOUNDED PRECEDING) AS add_rows
+  FROM log)
 SELECT v AS version,
        CAST(SUM(CASE WHEN a = 'add' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_add,
@@ -938,7 +989,13 @@ def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
     Metadata-only (the real deletion is an fs operation on this
     list)."""
     log = read_log(spark, table_dir)
-    adds = log.filter(F.col("a") == "add").select("path", "n_bytes").distinct()
+    # latest add per path (re-add-safe, ADVICE r12 #1): two adds of
+    # one path must yield ONE plan row with the current byte size
+    adds = (
+        log.filter(F.col("a") == "add")
+        .groupBy("path")
+        .agg(F.max_by("n_bytes", "v").alias("n_bytes"))
+    )
     live = snapshot_files(spark, table_dir).select("path")
     return (
         adds.join(live, "path", "left_anti")
@@ -988,8 +1045,12 @@ def table_history_audit_sql(sf_dir: str) -> str:
     d = _table_dir(sf_dir)
     return f"""
 WITH log AS (SELECT * FROM {_log_rel(d)}),
-adds AS (SELECT path, n_rows AS add_rows FROM log WHERE a = 'add'),
-acts AS (SELECT l.*, adds.add_rows FROM log l LEFT JOIN adds USING (path)),
+acts AS (
+  SELECT *, LAST_VALUE(CASE WHEN a = 'add' THEN n_rows END IGNORE NULLS)
+    OVER (PARTITION BY path
+          ORDER BY v, CASE WHEN a = 'add' THEN 0 ELSE 1 END
+          ROWS UNBOUNDED PRECEDING) AS add_rows
+  FROM log),
 per_v AS (
   SELECT v AS version,
          CAST(SUM(CASE WHEN a = 'add' THEN 1 ELSE 0 END) AS BIGINT)

@@ -101,6 +101,11 @@ def test_block_index_and_fragment_walk():
     with pytest.raises(ValueError, match="sync"):
         parse_avro_blocks(blob[header_end:header_end + lens[0]],
                           b"\x00" * 16)
+    # a header truncated AT the sync marker must raise, not return a
+    # short sync + empty block list (ADVICE r12 #3: the split planner
+    # would silently drop the shard's rows)
+    with pytest.raises(ValueError, match="sync"):
+        avro_block_index(blob[:header_end - 10])
 
 
 def test_split_ingest_equals_whole_at_three_sizes(spark):

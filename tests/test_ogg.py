@@ -118,6 +118,14 @@ def test_fragment_parse_modes():
     )
     with pytest.raises(ValueError, match="continuation"):
         parse_ogg(blob[bad_off:], fragment=True)
+    # truncation inside a page header or its lacing table must fail
+    # with the module's ValueError contract, not IndexError / silent
+    # clamp (ADVICE r12 #4)
+    with pytest.raises(ValueError, match="truncated page header"):
+        ogg_page_index(blob[:20])
+    n_segs_at = 26
+    with pytest.raises(ValueError, match="truncated lacing"):
+        ogg_page_index(blob[:n_segs_at + 2])
 
 
 def test_split_ingest_equals_whole_at_three_sizes(spark):

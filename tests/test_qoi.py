@@ -118,6 +118,18 @@ def test_strict_parse_rejects_corruption():
         decode_qoi(small)
     with pytest.raises(ValueError):
         decode_qoi(enc[:12] + bytes([7]) + enc[13:])  # bad channels
+    # a multi-byte op whose operands spill into the end-marker region
+    # must raise ValueError, never IndexError (ADVICE r12 #5): splice
+    # an RGB op as the LAST byte before the end marker
+    one_px = encode_qoi(np.array([[[1, 2, 3]]], dtype=np.uint8))
+    body_end = len(one_px) - 8           # end marker is 8 bytes
+    clipped = one_px[:14] + b"\xfe" + one_px[body_end:]
+    with pytest.raises(ValueError, match="underrun"):
+        decode_qoi(clipped)
+    # same for LUMA's second byte
+    clipped = one_px[:14] + b"\x80" + one_px[body_end:]
+    with pytest.raises(ValueError, match="underrun"):
+        decode_qoi(clipped)
 
 
 def test_wraparound_deltas():

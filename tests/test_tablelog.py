@@ -69,6 +69,82 @@ def test_replay_same_version_remove_beats_add(spark, tmp_path):
     assert _live(spark, d, 1) == []
 
 
+def test_history_audit_readd_lifecycle(spark, tmp_path):
+    # ADVICE r12 #1: a remove-then-re-add path must NOT duplicate
+    # action rows, and each remove must count the rows of the LATEST
+    # add at-or-below it (10 at v1, 7 at v3 — not 10+7 at both)
+    d = _mklog(tmp_path, {
+        0: [_add(0, "f.parquet", rows=10)],
+        1: [_rm(1, "f.parquet")],
+        2: [_add(2, "f.parquet", rows=7)],
+        3: [_rm(3, "f.parquet")],
+    })
+    hist = {r["version"]: r for r in
+            tl.table_history_audit_dir(spark, d).collect()}
+    assert len(hist) == 4
+    assert (hist[0]["rows_added"], hist[0]["rows_removed"]) == (10, 0)
+    assert (hist[1]["rows_added"], hist[1]["rows_removed"]) == (0, 10)
+    assert (hist[2]["rows_added"], hist[2]["rows_removed"]) == (7, 0)
+    assert (hist[3]["rows_added"], hist[3]["rows_removed"]) == (0, 7)
+    assert [hist[v]["live_rows"] for v in range(4)] == [10, 0, 7, 0]
+    assert all(hist[v]["n_add"] + hist[v]["n_remove"] == 1 for v in range(4))
+    # the streaming ledger (interval-join lookup) agrees per version
+    stream = {r["version"]: r for r in
+              tl.streaming_tablelog_gate_dir(spark, d).collect()}
+    for v in range(4):
+        for c in ("n_add", "n_remove", "rows_added", "rows_removed"):
+            assert stream[v][c] == hist[v][c], (v, c)
+
+
+def test_vacuum_plan_readd_single_row(spark, tmp_path):
+    # a twice-added dead path yields ONE plan row with the LATEST
+    # byte size (ADVICE r12 #1's vacuum corollary)
+    big = dict(_add(2, "f.parquet"), n_bytes=20)
+    d = _mklog(tmp_path, {
+        0: [_add(0, "f.parquet"), _add(0, "keep.parquet")],
+        1: [_rm(1, "f.parquet")],
+        2: [big],
+        3: [_rm(3, "f.parquet")],
+    })
+    plan = tl.vacuum_plan(spark, d).collect()
+    assert [(r["path"], r["reclaim_bytes"]) for r in plan] == [
+        ("f.parquet", 20)
+    ]
+
+
+def test_optimize_skips_empty_buckets(spark, tmp_path):
+    # ADVICE r12 #2: a key distribution that leaves an optimize
+    # bucket empty must skip the bucket (no crash, no empty data
+    # file, no add action for it)
+    rows = [(k, "O", 10.0 + k, "1995-01-01", "1-URGENT")
+            for k in list(range(10)) + list(range(990, 1000))]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", tl.F.col("o_orderdate").cast("date"))
+    d = _mklog(tmp_path, {})
+    lo = df.filter("o_orderkey < 500")
+    hi = df.filter("o_orderkey >= 500")
+    for name, part in (("lo", lo), ("hi", hi)):
+        tl._write_one_file(
+            part, os.path.join(d, tl.DATA_SUBDIR, f"{name}.parquet"))
+    tl.commit_actions(d, [
+        {"a": "add", "path": "lo.parquet", "n_rows": 10, "n_bytes": 1,
+         "min_key": 0, "max_key": 9,
+         "min_date": "1995-01-01", "max_date": "1995-01-01"},
+        {"a": "add", "path": "hi.parquet", "n_rows": 10, "n_bytes": 1,
+         "min_key": 990, "max_key": 999,
+         "min_date": "1995-01-01", "max_date": "1995-01-01"},
+    ])
+    dest = str(tmp_path / "opt")
+    tl.optimize_table(spark, d, dest, n_files=4)  # middle buckets empty
+    live = _live(spark, dest)
+    assert live == ["OPT1-0.parquet", "OPT1-3.parquet"]
+    assert tl.snapshot_read(spark, dest).count() == 20
+    assert tl.version_diff_dir(spark, dest, 0, 1).count() == 0
+
+
 def test_replay_version_bound_filters_later_commits(spark, tmp_path):
     d = _mklog(tmp_path, {
         0: [_add(0, "a.parquet")],
