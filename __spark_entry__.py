@@ -376,6 +376,18 @@ def _streaming_quarantine_query(
     return streaming_quarantine_gate(spark, sf_dir)
 
 
+def _streaming_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.streaming.windows import streaming_asof_gate
+
+    return streaming_asof_gate(spark, sf_dir)
+
+
+def _streaming_ivm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemmsql.pipeline.tablelog import streaming_ivm_gate
+
+    return streaming_ivm_gate(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: feature gram matrix of the embeddings table at sf0.001 —
     map-side NumPy partials, O(D^2) shuffle (SURVEY.md §7 step 2)."""
@@ -637,25 +649,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-gated through it — the triangle_count_exact argument
     from r10).  The promotion ledger lives in COVERAGE.md.
 
+    Round-13 rotation (VERDICT r12 next #1 — promote the table-format
+    tier the driver has never checked): NINE r12 rotation births enter
+    the gate — the transaction-log tier's four independent-replay
+    witnesses (time_travel_read: per-version aggregates from ONE data
+    scan joined to the replayed liveness frame; version_diff: the CDF
+    across the compaction commit, reading only rewritten files;
+    cdf_ivm_rollup: the v3 aggregate maintained from the v1 base plus
+    signed deltas, never scanning the v3 live set; pruned_scan_read:
+    the log-stats skip plan USED, a wrong skip loses rows), the
+    TENTH streaming gate streaming_ivm_gate (the same IVM as a
+    4-micro-batch update-mode stream against the direct-v3 oracle)
+    and the ELEVENTH streaming_asof_gate (tolerance-bounded broadcast
+    as-of vs DuckDB's native ASOF JOIN), sketch_store_rollup (the
+    persisted-HLL store: weekly+lifetime reach merged from stored
+    registers only), web_dedup_pipeline (WARC → canonical URL → exact
+    dedup → host counts, one composed plan), and avro_split_ingest
+    (the newest container's block-aligned split path — zigzag varints
+    + sync-checked block walk per range).  Out (each keeps the
+    identical hash gate in tests/test_rotation.py): parquet_footer_
+    stats (green r9-r12; the footer parser stays driver-gated through
+    zorder_audit + compaction_audit, which are BUILT on it),
+    corpus_scd2, user_value_gapfill, mp3_frame_stats,
+    flac_stereo_features (green r11-r12 + rotation; FLAC/MP3 decode
+    stays gated via flac_frame_stats and the codec matrix),
+    concurrent_orders (green r6-r12; the interval family keeps
+    event_order_asof), pagerank_iter3 + triangle_count (green
+    r6/r7-r12; the graph tier keeps part_communities +
+    item_similarity), and jpeg_features (green r5-r12; the JPEG
+    codec stays driver-gated via jpeg_color_features, whose YCbCr
+    4:2:0 path composes the same luma DC chain plus chroma).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
     driver-composed — not single-statement SQL); their distributed
     per-step kernels ARE gated (kmeans_assign_step, pca_moments)."""
     from gemmsql.pipeline import (
+        avro,
         corpus,
         dedup,
-        events,
-        flac,
         graph,
         jpeg,
         joins,
         parquet_meta,
+        tablelog,
         text,
     )
     from gemmsql.pipeline import adpcm, bpe, dq, dsir, retrieval, urls
     from gemmsql.pipeline import media_split, similarity, zipshard
     from gemmsql.pipeline.multimodal import png_features
+    from gemmsql import sketches
 
     return {
         # --- reference operator surface (SURVEY.md §2) ---
@@ -688,7 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # subdomain, and AVI/MJPEG video (RIFF container walk +
         # every-2nd-frame sampling + per-frame JPEG decode) ---
         "png_features": png_features,
-        "jpeg_features": jpeg.jpeg_features,
+        # (jpeg_features — the grayscale tier — rotated out r13, green
+        # r5-r12; the codec stays gated via the color path, whose
+        # YCbCr 4:2:0 decode composes the same luma DC chain)
         "jpeg_color_features": jpeg.jpeg_color_features,
         "adpcm_features": adpcm.adpcm_features,
         # --- splittable media reader (promoted r10, VERDICT r9 #6):
@@ -697,15 +743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates exercised (those keep hash gates in test_rotation) ---
         "flac_frame_stats": media_split.flac_frame_stats,
         "avi_frame_stats": media_split.avi_frame_stats,
-        # --- promoted r11 (VERDICT r10 #1, the last cohort): the MP3
-        # member of the splittable-reader family — sync-walk index,
-        # audio-frame-aligned range cut, per-split CRC-verified walk;
-        # range-union == whole-file pinned in tests/test_media_split.py
-        "mp3_frame_stats": media_split.mp3_frame_stats,
-        # --- promoted r11: STEREO FLAC — per-frame channel-assignment
-        # choice, bps+1 side decode, all three decorrelation
-        # reconstructions load-bearing under the value hash ---
-        "flac_stereo_features": flac.flac_stereo_features,
+        # (mp3_frame_stats and flac_stereo_features rotated out r13,
+        # green r11-r12 — hash gates in test_rotation; FLAC/MP3 decode
+        # stays driver-gated via flac_frame_stats + the codec matrix)
         # (gif_anim_features / mp3_stream_stats rotated out r12, green
         # rotation r9 + driver r10-r11 — hash gates in test_rotation;
         # the codec tier stays driver-gated via PNG/JPEG/ADPCM/FLAC
@@ -726,6 +766,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # central/local cross-check, CRC-32 verify, per-member
         # store-vs-deflate choice a recovered gated column ---
         "zip_shard_ingest": zipshard.zip_shard_ingest,
+        # --- promoted r13: the SIXTH container's splittable path —
+        # Avro OCF block-aligned byte ranges (sync-delimited blocks
+        # ARE the spec's split unit), the planner verifies the header
+        # once and ships its sync with every range, each split re-runs
+        # the strict zigzag-varint block walk; documents-derived twin,
+        # so split planning bugs lose or duplicate records visibly ---
+        "avro_split_ingest": avro.avro_split_ingest,
+        # --- promoted r13: the web-ingest dedup COMPOSITION — real
+        # .warc.gz member walk -> messy crawl URL -> canonical_url ->
+        # exact dedup keeping the smallest doc_id per canonical key ->
+        # per-host counts, ONE composed plan with exactly two shuffles
+        # (plan-pinned); kept_sig moves if canonicalization runs on
+        # the wrong column or keeps the wrong doc ---
+        "web_dedup_pipeline": urls.web_dedup_pipeline,
         # --- data quality (promoted r12, replacing BOTH the r11
         # dq_orders_quarantine — row rules only — and the r10
         # dq_orders_report, whose violation counts this derives):
@@ -734,12 +788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survivors — row MEMBERSHIP hash-load-bearing per branch;
         # the report scan shape stays gated via streaming_dq_gate ---
         "dq_orders_quarantine_full": dq.dq_orders_quarantine_full,
-        # --- promoted r11: the three-engine parquet-footer gate —
-        # Spark writes the corpus, the from-scratch Thrift compact
-        # parser reads the stats back, DuckDB's parquet_metadata()
-        # is the oracle over the SAME files (staged path is
-        # deterministic per sf_dir — no pid, ADVICE r9 #5) ---
-        "parquet_footer_stats": parquet_meta.parquet_footer_stats,
+        # (parquet_footer_stats rotated out r13, green r9-r12 — hash
+        # gate in test_rotation; the from-scratch Thrift footer parser
+        # stays driver-gated through BOTH audits below, which are
+        # built on it)
         # --- promoted r12: the data-layout audits built ON the footer
         # parser — zorder_audit (per (layout, column) row-group
         # stat-width over global span in exact micro units: the
@@ -772,40 +824,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleaved training order as ONE composed plan (no global
         # sort, partitioned windows, plan-pinned) ---
         "curation_pipeline": corpus.curation_pipeline,
-        # --- corpus versioning (training_order rotated out r11, green
-        # r6-r10; the SCD2 history merge — the versioned sibling of
-        # corpus_upsert, promoted r11 — keeps the family gated) ---
-        "corpus_scd2": corpus.corpus_scd2,
-        # --- event analytics (funnel_counts / cohort_retention
-        # rotated out r11, green r6-r10; time-spine densification —
-        # ffill + linear interpolation over a per-user hourly spine,
-        # promoted r11 — keeps the family gated) ---
-        "user_value_gapfill": events.user_value_gapfill,
-        # (the sketch tier — cm_heavy_hitters, hist_quantiles,
-        # kmv_reach — rotated out r11, green r6/r7-r10; all five
-        # sketch families stay hash-gated in tests/test_rotation.py)
+        # (corpus_scd2 and user_value_gapfill rotated out r13, green
+        # r11-r12 — hash gates in test_rotation; corpus versioning
+        # stays represented via curation_pipeline, events via the
+        # streaming tier)
+        # --- promoted r13: the TABLE-FORMAT tier (VERDICT r12 #1 —
+        # the r12 flagship the driver had never checked).  Four
+        # independent-replay witnesses over the staged four-version
+        # orders lifecycle (append, append, compaction,
+        # delete+append):
+        # time_travel_read — per-version per-priority aggregates from
+        # ONE data scan joined to the broadcast liveness frame; a
+        # missed remove, wrong tiebreak, or dead-file read moves the
+        # hash ---
+        "time_travel_read": tablelog.time_travel_read,
+        # version_diff — the change-data-feed across v1 -> v3, reading
+        # ONLY the symmetric-difference files (plan-pinned via
+        # inputFiles in tests); the window crosses the compaction
+        # commit, which must contribute ZERO change rows ---
+        "version_diff": tablelog.version_diff,
+        # cdf_ivm_rollup — incremental view maintenance: the v3
+        # aggregate maintained from the v1 base plus signed
+        # insert/retract deltas only (the v3 live set is NEVER
+        # scanned); oracle computes v3 directly from an independent
+        # replay, pinning the retraction algebra ---
+        "cdf_ivm_rollup": tablelog.cdf_ivm_rollup,
+        # pruned_scan_read — the log-stats skip plan USED: candidate
+        # files hand a pruned list to the scan and the filtered
+        # aggregate must equal the oracle over ALL live files ---
+        "pruned_scan_read": tablelog.pruned_scan_read,
+        # --- promoted r13: the persisted-sketch rollup — daily HLL
+        # register states staged to a parquet store, weekly + lifetime
+        # reach merged from the STORE ONLY (raw events never
+        # rescanned; register-max merge monoid, incremental == direct
+        # bit-for-bit pinned in tests/test_sketch_store.py) ---
+        "sketch_store_rollup": sketches.sketch_store_rollup,
         # --- graph analytics (tier new late in r6, widened in r7):
         # colorful-sampled AND exact triangle participation, the
         # PageRank kernel AND the gated 3-iteration power loop,
         # connected components, item-item similarity, association
         # rules — all over the lineitem co-purchase graph ---
-        # (triangle_count_exact rotated out r10 — VERDICT r9 wrong #2:
-        # 7 s / 14% of bench wall cross-validating a query whose
-        # sampled production twin stays gated; the exact formulation
-        # keeps its hash gate in tests/test_rotation.py)
-        "triangle_count": graph.triangle_count_gate,
-        # (pagerank_step rotated out r12, green r6-r11 — the iter3
-        # loop composes the identical kernel three times, so the step
-        # stays driver-gated through it; basket_rules rotated out r12,
-        # green r7-r11 — item_similarity keeps the co-occurrence
-        # family gated; both hash-gated in test_rotation)
-        "pagerank_iter3": graph.pagerank_iter3,
+        # (triangle_count and pagerank_iter3 rotated out r13, green
+        # r6/r7-r12 — the longest-proven graph incumbents; the tier
+        # stays driver-gated via part_communities + item_similarity,
+        # and both keep hash gates in test_rotation alongside
+        # triangle_count_exact and pagerank_step)
         "part_communities": graph.part_communities,
         "item_similarity": graph.item_similarity,
-        # --- interval analytics: equi-key-bounded range self-join
-        # (late r6; the keyless chunk-bucketed concurrent_events
-        # rotated out r12, green r7-r11 — hash gate in rotation) ---
-        "concurrent_orders": joins.concurrent_orders,
+        # (concurrent_orders rotated out r13, green r6-r12 — the
+        # interval family stays driver-gated via event_order_asof)
         # --- promoted r12: the generalized as-of join — all three
         # directions (backward / forward / nearest) under a 30-day
         # tolerance in one tagged union, single-shuffle union+window
@@ -831,6 +898,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # violating row, oracle is the batch WHERE twin with exact
         # row-membership parity
         "streaming_quarantine_gate": _streaming_quarantine_query,
+        # promoted r13: the TENTH streaming gate — the IVM change feed
+        # replayed as a 4-micro-batch availableNow file stream, the
+        # delta a built-in update-mode streaming aggregate (retraction
+        # = signed row), final snapshot applied to the v1 base;
+        # hash-gated against the SAME direct-v3 oracle as the batch
+        # cdf_ivm_rollup, so stream batching and state carry-over are
+        # row-membership-checked
+        "streaming_ivm_gate": _streaming_ivm_query,
+        # promoted r13: the ELEVENTH streaming gate — events stream
+        # as-of the static order dimension (backward, 30-day
+        # tolerance) via tolerance-bounded broadcast join +
+        # watermarked day-window pick-max; oracle is DuckDB's NATIVE
+        # ASOF JOIN plus the emission rule, so both the as-of
+        # semantics and watermark withholding are row-checked
+        "streaming_asof_gate": _streaming_asof_query,
     }
 
 
@@ -1208,14 +1290,14 @@ def oracle_sql() -> dict[str, str]:
 
     from gemmsql.ops.sampling import sampling_sql
     from gemmsql.pipeline import (
+        avro,
         corpus,
         dedup,
-        events,
-        flac,
         graph,
         jpeg,
         joins,
         parquet_meta,
+        tablelog,
         text,
     )
     from gemmsql.pipeline import adpcm, bpe, dq, dsir, retrieval, urls
@@ -1223,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
+        STREAMING_ASOF_GATE_SQL,
         STREAMING_DEDUP_GATE_SQL,
         STREAMING_DQ_GATE_SQL,
         STREAMING_OUTER_JOIN_GATE_SQL,
@@ -1233,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         STREAMING_SESSIONIZE_GATE_SQL,
     )
     from gemmsql.pipeline.similarity import IVFPQ_TOPK_SQL
+    from gemmsql import sketches
 
     # The footer oracle reads real staged FILES (DuckDB's native
     # parquet_metadata() over the dataset the Spark side writes), so
@@ -1261,36 +1345,35 @@ def oracle_sql() -> dict[str, str]:
         "chain2_grads": CHAIN2_GRADS_SQL,
         "ivfpq_topk": IVFPQ_TOPK_SQL,
         "png_features": PNG_FEATURES_SQL,
-        "jpeg_features": jpeg.JPEG_FEATURES_SQL,
         "jpeg_color_features": jpeg.JPEG_COLOR_FEATURES_SQL,
         "adpcm_features": adpcm.ADPCM_FEATURES_SQL,
         "flac_frame_stats": media_split.flac_frame_stats_sql(),
         "avi_frame_stats": media_split.avi_frame_stats_sql(),
-        "mp3_frame_stats": media_split.mp3_frame_stats_sql(),
-        "flac_stereo_features": flac.FLAC_STEREO_FEATURES_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
         "zip_shard_ingest": zipshard.ZIP_SHARD_INGEST_SQL,
+        "avro_split_ingest": avro.AVRO_SHARD_INGEST_SQL,
+        "web_dedup_pipeline": urls.WEB_DEDUP_PIPELINE_SQL,
         "dq_orders_quarantine_full": dq.DQ_ORDERS_QUARANTINE_FULL_SQL,
-        "parquet_footer_stats": parquet_meta.parquet_footer_stats_sql(
-            _footer_sf
-        ),
         "zorder_audit": parquet_meta.zorder_audit_sql(_footer_sf),
         "compaction_audit": parquet_meta.compaction_audit_sql(_footer_sf),
+        # the tablelog oracles read the staged table's log/data the
+        # Spark side writes under the same deterministic per-sf_dir
+        # path (the parquet_footer_stats mechanism, ADVICE r9 #5)
+        "time_travel_read": tablelog.time_travel_read_sql(_footer_sf),
+        "version_diff": tablelog.version_diff_sql(_footer_sf),
+        "cdf_ivm_rollup": tablelog.cdf_ivm_rollup_sql(_footer_sf),
+        "pruned_scan_read": tablelog.pruned_scan_read_sql(_footer_sf),
+        "sketch_store_rollup": sketches.SKETCH_STORE_ROLLUP_SQL,
         "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
         "dedup_incremental": dedup.dedup_incremental_sql(),
         "url_canonical": urls.URL_CANONICAL_SQL,
         "bpe_tokenize": bpe.bpe_tokenize_sql(),
         "curation_pipeline": corpus.CURATION_PIPELINE_SQL,
-        "corpus_scd2": corpus.CORPUS_SCD2_SQL,
-        "user_value_gapfill": events.USER_VALUE_GAPFILL_SQL,
-        "triangle_count": graph.TRIANGLE_COUNT_SQL,
-        "pagerank_iter3": graph.PAGERANK_ITER3_SQL,
         "part_communities": graph.PART_COMMUNITIES_SQL,
         "item_similarity": graph.ITEM_SIMILARITY_SQL,
-        "concurrent_orders": joins.CONCURRENT_ORDERS_SQL,
         "event_order_asof": joins.EVENT_ORDER_ASOF_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
@@ -1301,4 +1384,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_gate": STREAMING_DEDUP_GATE_SQL,
         "streaming_dq_gate": STREAMING_DQ_GATE_SQL,
         "streaming_quarantine_gate": STREAMING_QUARANTINE_GATE_SQL,
+        # the streaming IVM must land on the SAME direct-v3 answer as
+        # the batch incremental path — one oracle gates both
+        "streaming_ivm_gate": tablelog.cdf_ivm_rollup_sql(_footer_sf),
+        "streaming_asof_gate": STREAMING_ASOF_GATE_SQL,
     }

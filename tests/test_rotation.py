@@ -332,30 +332,6 @@ def _concurrent_events_sql():
     return CONCURRENT_EVENTS_SQL
 
 
-def _streaming_asof(spark, sf_dir):
-    from gemmsql.streaming.windows import streaming_asof_gate
-
-    return streaming_asof_gate(spark, sf_dir)
-
-
-def _streaming_asof_sql():
-    from gemmsql.streaming.windows import STREAMING_ASOF_GATE_SQL
-
-    return STREAMING_ASOF_GATE_SQL
-
-
-def _web_dedup_pipeline(spark, sf_dir):
-    from gemmsql.pipeline.urls import web_dedup_pipeline
-
-    return web_dedup_pipeline(spark, sf_dir)
-
-
-def _web_dedup_pipeline_sql():
-    from gemmsql.pipeline.urls import WEB_DEDUP_PIPELINE_SQL
-
-    return WEB_DEDUP_PIPELINE_SQL
-
-
 def _zip_split_ingest(spark, sf_dir):
     from gemmsql.pipeline.zipshard import zip_shard_ingest_split
 
@@ -367,18 +343,6 @@ def _zip_split_ingest_sql():
     from gemmsql.pipeline.zipshard import ZIP_SHARD_INGEST_SQL
 
     return ZIP_SHARD_INGEST_SQL
-
-
-def _time_travel_read(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import time_travel_read
-
-    return time_travel_read(spark, sf_dir)
-
-
-def _time_travel_read_sql():
-    from gemmsql.pipeline.tablelog import time_travel_read_sql
-
-    return time_travel_read_sql(SF_SMOKE)
 
 
 def _table_history_audit(spark, sf_dir):
@@ -405,18 +369,6 @@ def _stats_skipping_audit_sql():
     return stats_skipping_audit_sql(SF_SMOKE)
 
 
-def _cdf_ivm_rollup(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import cdf_ivm_rollup
-
-    return cdf_ivm_rollup(spark, sf_dir)
-
-
-def _cdf_ivm_rollup_sql():
-    from gemmsql.pipeline.tablelog import cdf_ivm_rollup_sql
-
-    return cdf_ivm_rollup_sql(SF_SMOKE)
-
-
 def _streaming_tablelog(spark, sf_dir):
     from gemmsql.pipeline.tablelog import streaming_tablelog_gate
 
@@ -429,24 +381,6 @@ def _streaming_tablelog_sql():
     return streaming_tablelog_gate_sql(SF_SMOKE)
 
 
-def _pruned_scan_read(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import pruned_scan_read
-
-    return pruned_scan_read(spark, sf_dir)
-
-
-def _pruned_scan_read_sql():
-    from gemmsql.pipeline.tablelog import pruned_scan_read_sql
-
-    return pruned_scan_read_sql(SF_SMOKE)
-
-
-def _streaming_ivm(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import streaming_ivm_gate
-
-    return streaming_ivm_gate(spark, sf_dir)
-
-
 def _tfrecord_ingest(spark, sf_dir):
     from gemmsql.pipeline.tfrecord import tfrecord_ingest
 
@@ -457,12 +391,6 @@ def _tfrecord_ingest_sql():
     from gemmsql.pipeline.tfrecord import TFRECORD_INGEST_SQL
 
     return TFRECORD_INGEST_SQL
-
-
-def _avro_split_ingest(spark, sf_dir):
-    from gemmsql.pipeline.avro import avro_split_ingest
-
-    return avro_split_ingest(spark, sf_dir, target_split_bytes=4096)
 
 
 def _avro_shard_ingest(spark, sf_dir):
@@ -531,30 +459,6 @@ def _sample_quantiles_sql():
     return sample_quantiles_sql()
 
 
-def _sketch_store_rollup(spark, sf_dir):
-    from gemmsql.sketches import sketch_store_rollup
-
-    return sketch_store_rollup(spark, sf_dir)
-
-
-def _sketch_store_rollup_sql():
-    from gemmsql.sketches import SKETCH_STORE_ROLLUP_SQL
-
-    return SKETCH_STORE_ROLLUP_SQL
-
-
-def _version_diff(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import version_diff
-
-    return version_diff(spark, sf_dir)
-
-
-def _version_diff_sql():
-    from gemmsql.pipeline.tablelog import version_diff_sql
-
-    return version_diff_sql(SF_SMOKE)
-
-
 def _hist_quantiles(spark, sf_dir):
     from gemmsql.sketches import hist_quantiles
 
@@ -589,6 +493,42 @@ def _kmv_reach_sql():
     from gemmsql.sketches import KMV_REACH_SQL
 
     return KMV_REACH_SQL
+
+
+def _parquet_footer_stats(spark, sf_dir):
+    from gemmsql.pipeline.parquet_meta import parquet_footer_stats
+
+    return parquet_footer_stats(spark, sf_dir)
+
+
+def _parquet_footer_stats_sql():
+    from gemmsql.pipeline.parquet_meta import parquet_footer_stats_sql
+
+    return parquet_footer_stats_sql(SF_SMOKE)
+
+
+def _mp3_frame_stats_rot(spark, sf_dir):
+    from gemmsql.pipeline.media_split import mp3_frame_stats
+
+    return mp3_frame_stats(spark, sf_dir)
+
+
+def _mp3_frame_stats_rot_sql():
+    from gemmsql.pipeline.media_split import mp3_frame_stats_sql
+
+    return mp3_frame_stats_sql()
+
+
+def _jpeg_features_rot(spark, sf_dir):
+    from gemmsql.pipeline.jpeg import jpeg_features
+
+    return jpeg_features(spark, sf_dir)
+
+
+def _jpeg_features_rot_sql():
+    from gemmsql.pipeline.jpeg import JPEG_FEATURES_SQL
+
+    return JPEG_FEATURES_SQL
 
 
 def _rotated():
@@ -894,81 +834,30 @@ def _rotated():
         # oracle is the SAME documents-derived twin as the gated
         # whole-shard ingest, so both paths must agree bit-for-bit
         ("zip_split_ingest", _zip_split_ingest, _zip_split_ingest_sql()),
-        # also born in round 12 (VERDICT r11 next #5): the web-ingest
-        # dedup COMPOSITION witness — real .warc.gz member walk ->
-        # messy crawl URL -> canonical_url -> exact dedup keeping the
-        # smallest doc_id per canonical key -> per-host counts, one
-        # composed plan; kept_sig (md5 over sorted canon:doc:md5
-        # membership) moves if canonicalization runs on the wrong
-        # column, after the grouping, or keeps the wrong doc
-        ("web_dedup_pipeline", _web_dedup_pipeline,
-         _web_dedup_pipeline_sql()),
-        # also born in round 12 (VERDICT r11 next #7): the streaming
-        # as-of enrichment — events stream as-of the static order
-        # dimension (backward, 30-day tolerance) via the
-        # tolerance-bounded broadcast join + watermarked day-window
-        # pick-max; the oracle is DuckDB's NATIVE ASOF JOIN plus the
-        # DQ/hist gates' emission rule, so both the as-of semantics
-        # and the watermark withholding are row-membership-gated
-        ("streaming_asof_gate", _streaming_asof, _streaming_asof_sql()),
-        # born late in round 12: the table-format transaction-log tier
-        # (gemmsql/pipeline/tablelog.py) — a Delta-style JSON commit
-        # log over a staged four-version orders lifecycle (append,
-        # append, compaction, delete+append).  Three independent
-        # replays must agree: time_travel_read is the composed
-        # witness (per-version per-priority aggregates from ONE data
-        # scan joined to the replayed liveness frame — a missed
-        # remove, wrong tiebreak, or dead-file read moves the hash);
+        # (web_dedup_pipeline, streaming_asof_gate, time_travel_read,
+        # version_diff, cdf_ivm_rollup, streaming_ivm_gate,
+        # pruned_scan_read, sketch_store_rollup, and avro_split_ingest
+        # — all born into this tier in round 12 — were promoted to the
+        # driver gate in round 13 (VERDICT r12 next #1) and are now
+        # hash-checked by tests/test_gate_parity.py)
+        # the table-format births NOT in the r13 cohort keep their
+        # gates here (queued for r14 promotion — COVERAGE.md ledger):
         # table_history_audit is the metadata-only running ledger
-        # (remove rows resolved by joining back to their add action);
+        # (remove rows resolved to the latest add at-or-below the
+        # acting version — re-add-safe since ADVICE r12 #1);
         # stats_skipping_audit pins the planner trust contract
         # (log-stats skip decision vs true per-file match counts,
         # candidate=0 rows must show 0 matches)
-        ("time_travel_read", _time_travel_read, _time_travel_read_sql()),
         ("table_history_audit", _table_history_audit,
          _table_history_audit_sql()),
         ("stats_skipping_audit", _stats_skipping_audit,
          _stats_skipping_audit_sql()),
-        # the change-data-feed witness over the same fixture: row-
-        # level insert/delete diff across v1 -> v3, reading ONLY the
-        # symmetric-difference files (plan-pinned in
-        # tests/test_tablelog.py); the window crosses the compaction
-        # commit, which must contribute zero change rows
-        ("version_diff", _version_diff, _version_diff_sql()),
-        # the IVM composition over that change feed: the v3 aggregate
-        # maintained from the v1 base plus insert/retract deltas only
-        # (the v3 live set is never scanned); the oracle computes the
-        # v3 aggregate directly from an independent replay, pinning
-        # the retraction algebra
-        ("cdf_ivm_rollup", _cdf_ivm_rollup, _cdf_ivm_rollup_sql()),
-        # the streaming form of the same IVM: the change feed replays
-        # as a 4-micro-batch availableNow file stream, the delta is a
-        # built-in update-mode streaming aggregate (retraction =
-        # signed row), and the final snapshot applies to the v1 base
-        # — hash-gated against the SAME direct-v3 oracle, so stream
-        # batching and state carry-over are row-membership-checked
-        ("streaming_ivm_gate", _streaming_ivm, _cdf_ivm_rollup_sql()),
-        # the skip plan USED: candidate files from log stats hand a
-        # pruned list to the scan (plan-pinned), and the filtered
-        # aggregate must equal the oracle computed over ALL live
-        # files — a wrong skip loses rows and moves the hash
-        ("pruned_scan_read", _pruned_scan_read, _pruned_scan_read_sql()),
         # the log as a STREAM source (the twelfth streaming surface):
         # commit files replay one per micro-batch, removes enrich
         # against the static add-index across batches, per-version
         # ledger in update mode — oracle recomputes it in one batch
         ("streaming_tablelog_gate", _streaming_tablelog,
          _streaming_tablelog_sql()),
-        # also born late in round 12: the persisted-sketch rollup —
-        # daily HLL register states staged to a parquet sketch store,
-        # weekly + lifetime reach merged from the STORE ONLY (raw
-        # events never rescanned; register-max is the merge monoid so
-        # incremental == direct bit-for-bit, pinned in
-        # tests/test_sketch_store.py); the oracle rebuilds day
-        # registers from raw events and merges identically, so a
-        # store roundtrip that mangles one register moves the hash
-        ("sketch_store_rollup", _sketch_store_rollup,
-         _sketch_store_rollup_sql()),
         # the SIXTH sketch family: bottom-k-by-md5 paired row sample
         # (KMV's bottom-k monoid extended to carry values) feeding
         # integer order-statistic quantile picks — the twin rebuilds
@@ -1028,12 +917,43 @@ def _rotated():
         # vectors + corruption fuzz in tests/test_avro.py
         ("avro_shard_ingest", _avro_shard_ingest,
          _avro_shard_ingest_sql()),
-        # its splittable path: block-aligned ranges (sync-delimited
-        # blocks ARE the spec's split unit); the planner verifies the
-        # header once and ships its sync with every range, each split
-        # re-runs the strict block walk; same documents-derived twin
-        ("avro_split_ingest", _avro_split_ingest,
-         _avro_shard_ingest_sql()),
+        # (its splittable path, avro_split_ingest, was promoted to the
+        # driver gate in round 13)
+        # rotated out in round 13 for the r12-birth promotions —
+        # each keeps the identical hash gate here:
+        # parquet_footer_stats (green r9-r12; the Thrift footer parser
+        # stays driver-gated through zorder_audit + compaction_audit,
+        # which are built on it)
+        ("parquet_footer_stats", _parquet_footer_stats,
+         _parquet_footer_stats_sql()),
+        # corpus_scd2 / user_value_gapfill (green r11-r12; corpus
+        # versioning stays via curation_pipeline, events via the
+        # streaming tier)
+        ("corpus_scd2", corpus.corpus_scd2, corpus.CORPUS_SCD2_SQL),
+        ("user_value_gapfill", events.user_value_gapfill,
+         events.USER_VALUE_GAPFILL_SQL),
+        # mp3_frame_stats / flac_stereo_features (green r11-r12; the
+        # codec matrix stays driver-gated via flac_frame_stats /
+        # avi_frame_stats and PNG/JPEG-color/ADPCM)
+        ("mp3_frame_stats", _mp3_frame_stats_rot,
+         _mp3_frame_stats_rot_sql()),
+        ("flac_stereo_features", flac.flac_stereo_features,
+         flac.FLAC_STEREO_FEATURES_SQL),
+        # concurrent_orders (green r6-r12; event_order_asof keeps the
+        # interval family driver-gated)
+        ("concurrent_orders", joins.concurrent_orders,
+         joins.CONCURRENT_ORDERS_SQL),
+        # pagerank_iter3 / triangle_count (green r6/r7-r12 — the
+        # longest-proven graph incumbents; part_communities +
+        # item_similarity keep the tier driver-gated)
+        ("pagerank_iter3", graph.pagerank_iter3,
+         graph.PAGERANK_ITER3_SQL),
+        ("triangle_count", graph.triangle_count_gate,
+         graph.TRIANGLE_COUNT_SQL),
+        # jpeg_features (green r5-r12; the JPEG codec stays
+        # driver-gated via jpeg_color_features, whose YCbCr 4:2:0
+        # path composes the same luma DC chain plus chroma)
+        ("jpeg_features", _jpeg_features_rot, _jpeg_features_rot_sql()),
     ]
 
 

@@ -919,3 +919,52 @@ def test_streaming_quarantine_gate_oracle_parity(spark):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert _hash(sdf) == _hash(odf)
     assert (sdf["rule"] == "value_band").sum() > 0
+
+
+def test_streaming_asof_gate_oracle_parity(spark):
+    """In-repo twin of the round-13 streaming as-of gate (promoted
+    from rotation in r13 — no gate entrant without in-repo parity):
+    the tolerance-bounded broadcast as-of + watermarked day-window
+    pick-max must match DuckDB's NATIVE ASOF JOIN plus the emission
+    rule with exact row membership."""
+    import duckdb
+
+    from gemmsql.streaming.windows import (
+        STREAMING_ASOF_GATE_SQL,
+        streaming_asof_gate,
+    )
+    from tests.test_rotation import _hash
+
+    sdf = streaming_asof_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    odf = con.execute(STREAMING_ASOF_GATE_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
+
+
+def test_streaming_ivm_gate_oracle_parity(spark):
+    """In-repo twin of the round-13 streaming IVM gate: the change
+    feed replayed as a 4-micro-batch update-mode stream, snapshot
+    applied to the v1 base, must land on the direct-v3 aggregate the
+    batch oracle computes from an independent replay."""
+    import duckdb
+
+    from gemmsql.pipeline.tablelog import (
+        cdf_ivm_rollup_sql,
+        streaming_ivm_gate,
+    )
+    from tests.test_rotation import _hash
+
+    sdf = streaming_ivm_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    odf = con.execute(cdf_ivm_rollup_sql(SF_SMOKE)).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)
