@@ -102,6 +102,9 @@ _EXPORTS = {
     "evolved_schema": "gemmsql.pipeline.tablelog",
     "commit_actions": "gemmsql.pipeline.tablelog",
     "streaming_tablelog_gate": "gemmsql.pipeline.tablelog",
+    "merge_table": "gemmsql.pipeline.tablelog",
+    "tablelog_merge": "gemmsql.pipeline.tablelog",
+    "vacuum_table": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

@@ -771,6 +771,17 @@ def snapshot_read(
     paths = sorted(
         r["path"] for r in snapshot_files(spark, table_dir, version).collect()
     )
+    missing = [
+        p for p in paths
+        if not os.path.exists(os.path.join(table_dir, DATA_SUBDIR, p))
+    ]
+    if missing:
+        # the vacuum contract's loud half: a time-travel read below
+        # the vacuum horizon must fail, never return partial data
+        raise ValueError(
+            f"version {'latest' if version is None else version} reads "
+            f"vacuumed files: {missing}"
+        )
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
     )
@@ -1001,6 +1012,231 @@ def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
         adds.join(live, "path", "left_anti")
         .select("path", F.col("n_bytes").cast("long").alias("reclaim_bytes"))
     )
+
+
+def vacuum_table(spark: SparkSession, table_dir: str) -> list[str]:
+    """EXECUTE the vacuum plan (VERDICT r12 next #7): physically
+    delete every file :func:`vacuum_plan` names — dead at the latest
+    version — and return the deleted paths.  Like Delta's VACUUM this
+    is a filesystem operation, not a commit: the log keeps the full
+    action history, so the latest version (and any version whose live
+    set survives) still replays bit-identically, while a time-travel
+    read below the vacuum horizon now FAILS LOUDLY in
+    :func:`snapshot_read` (missing-file check) instead of silently
+    returning partial data."""
+    plan = vacuum_plan(spark, table_dir).collect()  # metadata-bounded
+    deleted = []
+    for r in plan:
+        p = os.path.join(table_dir, DATA_SUBDIR, r["path"])
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(r["path"])
+    return sorted(deleted)
+
+
+# ------------------------------------------------------------ MERGE
+
+def merge_table(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str = "o_orderkey",
+) -> int:
+    """Transactional MERGE INTO keyed on a business key (VERDICT r12
+    next #5) — the most common lakehouse write, done the way Delta's
+    MERGE planner does it, in two pruning phases so a 100 TB table
+    rewrites only the files it must:
+
+    1. *Stats prune*: candidate files are the live files whose
+       ``[min_key, max_key]`` intersects the source's global key
+       bounds (the same skip-plan machinery as
+       :func:`stats_skipping_audit`).
+    2. *Exact touch*: candidate rows (tagged with their file path)
+       inner-join the source keys; only files actually CONTAINING a
+       matched key are rewritten.  A candidate in range but without
+       matches is left untouched — no write amplification.
+
+    Matched rows take the source row (UPDATE SET *); source rows
+    matching no live row become inserts in one new file (WHEN NOT
+    MATCHED THEN INSERT *).  All removes and adds land in ONE commit
+    via :func:`commit_actions`, so history shows the merge as a
+    single version and concurrent readers never see a torn table.
+    Returns the committed version."""
+    bounds = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]  # 1-row metadata
+    if bounds["lo"] is None:
+        raise ValueError("empty merge source")
+    lo, hi = bounds["lo"], bounds["hi"]
+    live = snapshot_files(spark, table_dir).collect()  # metadata-bounded
+    cand = sorted(
+        r["path"] for r in live
+        if not (r["max_key"] < lo or r["min_key"] > hi)
+    )
+
+    touched: list[str] = []
+    tagged = None
+    if cand:
+        tagged = spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in cand]
+        ).withColumn(
+            "_path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+        )
+        touched = sorted(
+            r["_path"] for r in (
+                tagged.join(F.broadcast(source.select(key)), key)
+                .select("_path").distinct().collect()
+            )
+        )  # bounded by candidate count
+
+    versions = [
+        int(os.path.basename(p).split(".")[0])
+        for p in _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    ]
+    nonce = (max(versions) + 1) if versions else 0
+
+    def _stats_and_add(df: DataFrame, name: str) -> dict | None:
+        dest = os.path.join(table_dir, DATA_SUBDIR, name)
+        st = df.agg(
+            F.count("*").alias("n"),
+            F.min(key).alias("mnk"),
+            F.max(key).alias("mxk"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
+        ).collect()[0]
+        if not st["n"]:
+            return None
+        _write_one_file(df, dest)
+        return {
+            "a": "add", "path": name,
+            "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
+            "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+            "min_date": st["mnd"], "max_date": st["mxd"],
+        }
+
+    actions: list[dict] = []
+    inserts = source
+    if touched:
+        tgt = tagged.filter(F.col("_path").isin(touched))
+        upd_cols = [c for c in tgt.columns if c not in (key, "_path")]
+        joined = tgt.alias("t").join(
+            F.broadcast(source).alias("s"),
+            F.col(f"t.{key}") == F.col(f"s.{key}"),
+            "left",
+        )
+        rewritten = joined.select(
+            F.col(f"t.{key}").alias(key),
+            F.col("t._path").alias("_path"),
+            *[
+                F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}")).alias(c)
+                for c in upd_cols
+            ],
+        )
+        for k, name in enumerate(touched):
+            # per-ORIGIN-file rewrite preserves the table's
+            # clustering: each touched file maps to one replacement
+            # file carrying exactly its (updated) rows
+            part = rewritten.filter(F.col("_path") == name).drop("_path")
+            add = _stats_and_add(part, f"MRG{nonce}-{k}.parquet")
+            actions.append({"a": "remove", "path": name})
+            if add:
+                actions.append(add)
+        # inserts = source keys matching NO live row; a source key can
+        # only collide with candidate rows (stats bound every file),
+        # and any collision makes its file touched — so the touched
+        # files' keys are exactly the matched keys
+        inserts = source.join(tgt.select(key), key, "left_anti")
+    ins_add = _stats_and_add(inserts, f"MRG{nonce}-ins.parquet")
+    if ins_add:
+        actions.append(ins_add)
+    if not actions:
+        raise ValueError("merge produced no actions")
+    return commit_actions(table_dir, actions)
+
+
+def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's deterministic merge source, derived from ``orders``
+    with the fixture's own bucket arithmetic so DuckDB re-derives it
+    exactly: every bucket-2 row (all live in file A2 — UPDATEs that
+    must touch exactly one file) and every bucket-7 row (beyond every
+    staged file's key range — pure INSERTs), each with o_totalprice
+    raised by 1000.00."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # 1-row metadata
+    width = mx // 8 + 1
+    return orders.filter(
+        F.expr(f"o_orderkey div {width}").isin(2, 7)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+
+
+def stage_merged_table(spark: SparkSession, sf_dir: str) -> str:
+    """The versioned fixture copied and MERGEd once per sf tier
+    (idempotent, atomically published via rename)."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"gemmsql_tablemerge_{staged_dir_tag(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    base = stage_versioned_table(spark, sf_dir)
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(base, tmp)
+    merge_table(spark, tmp, _merge_source(spark, sf_dir))
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def tablelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE witness: per-priority counts and cent totals of the
+    merged table's LATEST snapshot.  The twin recomputes the merged
+    table independently from ``orders`` (replaying the staged
+    lifecycle's bucket arithmetic and the merge semantics in pure
+    SQL), so a wrong match, a lost unmatched row, a double-applied
+    update, or a rewrite that drops an untouched row all move the
+    hash; transactionality (ONE commit, removes == [A2], pre-merge
+    versions untouched) is pinned in tests/test_tablelog.py."""
+    d = stage_merged_table(spark, sf_dir)
+    return (
+        snapshot_read(spark, d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+        )
+    )
+
+
+TABLELOG_MERGE_SQL = f"""
+WITH w AS (SELECT MAX(o_orderkey) // 8 + 1 AS width FROM orders),
+t AS (SELECT o.*, o.o_orderkey // w.width AS b FROM orders o CROSS JOIN w),
+live AS (
+  SELECT * FROM t WHERE b <= 6 AND NOT (b = 4 AND o_orderstatus = 'F')),
+src AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS np FROM t WHERE b IN (2, 7)),
+merged AS (
+  SELECT l.o_orderpriority,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.np
+              ELSE l.o_totalprice END AS price
+  FROM live l LEFT JOIN src s ON l.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT t.o_orderpriority, s.np AS price
+  FROM src s JOIN t ON t.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM live))
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM merged GROUP BY o_orderpriority
+"""
 
 
 # ------------------------------------------------------------- oracles

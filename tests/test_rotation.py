@@ -345,6 +345,18 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _tablelog_merge(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import tablelog_merge
+
+    return tablelog_merge(spark, sf_dir)
+
+
+def _tablelog_merge_sql():
+    from gemmsql.pipeline.tablelog import TABLELOG_MERGE_SQL
+
+    return TABLELOG_MERGE_SQL
+
+
 def _table_history_audit(spark, sf_dir):
     from gemmsql.pipeline.tablelog import table_history_audit
 
@@ -954,6 +966,17 @@ def _rotated():
         # driver-gated via jpeg_color_features, whose YCbCr 4:2:0
         # path composes the same luma DC chain plus chroma)
         ("jpeg_features", _jpeg_features_rot, _jpeg_features_rot_sql()),
+        # born in round 13 (VERDICT r12 next #5): transactional MERGE
+        # INTO on the table-format tier — two-phase pruning (stats
+        # candidates -> exact-touch via the matched-key join), per-
+        # origin-file rewrites, unmatched source rows in one insert
+        # file, all committed as ONE version via commit_actions.  The
+        # twin recomputes the merged table independently from orders
+        # (bucket arithmetic + merge semantics in pure SQL), so a
+        # wrong match, lost insert, double-applied update, or a
+        # rewrite dropping untouched rows moves the hash;
+        # transactionality is pinned in tests/test_tablelog.py
+        ("tablelog_merge", _tablelog_merge, _tablelog_merge_sql()),
     ]
 
 

@@ -395,6 +395,116 @@ def test_commit_actions_optimistic_concurrency(spark, tmp_path):
         assert r["v"] in won
 
 
+def test_merge_is_one_atomic_version_touching_only_matched_files(
+    spark, tmp_path
+):
+    """MERGE INTO (VERDICT r12 next #5): the two-phase pruning must
+    rewrite ONLY the file that actually contains matched keys (A2 —
+    every bucket-2 key), record the whole merge as ONE commit, and
+    leave every pre-merge version time-travelable unchanged."""
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "mrg")
+    shutil.copytree(src_tbl, d)
+    source = tl._merge_source(spark, SF_SMOKE)
+    v = tl.merge_table(spark, d, source)
+    assert v == 4  # one commit on top of the 4-version fixture
+    log = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    removes = sorted(r["path"] for r in log if r["a"] == "remove")
+    adds = sorted(r["path"] for r in log if r["a"] == "add")
+    # stats-candidates include A3/B1/D0/E0 (in the source's global
+    # key range) but only A2 contains matched keys — exact-touch
+    # pruning must leave the others alone
+    assert removes == ["A2.parquet"]
+    assert adds == ["MRG4-0.parquet", "MRG4-ins.parquet"]
+    # every pre-merge version replays exactly as in the source table
+    for pv in range(4):
+        assert _live(spark, d, pv) == _live(spark, src_tbl, pv)
+    # row accounting: updates keep the count, inserts add bucket 7
+    n_before = tl.snapshot_read(spark, src_tbl).count()
+    n_inserted = next(
+        r["n_rows"] for r in log
+        if r["a"] == "add" and r["path"] == "MRG4-ins.parquet"
+    )
+    assert tl.snapshot_read(spark, d).count() == n_before + n_inserted
+    # the diff across the merge shows ONLY the inserted keys (updates
+    # keep their keys; version_diff is key-level)
+    diff = tl.version_diff_dir(spark, d, 3, 4)
+    assert diff.filter("change = 'delete'").count() == 0
+    assert diff.filter("change = 'insert'").count() == n_inserted
+    # and the updated file's rows really carry the +1000.00 price:
+    # the rewritten file's cents total exceeds A2's by exactly
+    # 100000 * its row count
+    import os as _os
+
+    old = spark.read.parquet(
+        _os.path.join(src_tbl, tl.DATA_SUBDIR, "A2.parquet"))
+    new = spark.read.parquet(
+        _os.path.join(d, tl.DATA_SUBDIR, "MRG4-0.parquet"))
+    assert new.count() == old.count()
+    cents = tl.F.expr(tl._CENTS)
+    delta = (new.agg(tl.F.sum(cents)).collect()[0][0]
+             - old.agg(tl.F.sum(cents)).collect()[0][0])
+    assert delta == 100000 * old.count()
+
+
+def test_merge_insert_only_source_skips_rewrites(spark, tmp_path):
+    # a source entirely beyond every file's key range must rewrite
+    # nothing: one insert file, no removes
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "mrgins")
+    shutil.copytree(src_tbl, d)
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    source = orders.filter(tl.F.expr(f"o_orderkey div {width}") == 7)
+    n_src = source.count()
+    assert n_src > 0
+    v = tl.merge_table(spark, d, source)
+    log = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    assert sorted(r["a"] for r in log) == ["add"]
+    assert tl.snapshot_read(spark, d).count() == (
+        tl.snapshot_read(spark, src_tbl).count() + n_src
+    )
+
+
+def test_vacuum_lifecycle_retained_reads_vacuumed_raise(spark, tmp_path):
+    """The executed-vacuum contract (VERDICT r12 next #7): dead files
+    are physically deleted, the latest version still replays
+    bit-identically, and a time-travel read below the horizon raises
+    loudly instead of returning partial data."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "vac")
+    shutil.copytree(src_tbl, d)
+    before = tl.snapshot_read(spark, d).count()
+    plan = sorted(r["path"] for r in tl.vacuum_plan(spark, d).collect())
+    deleted = tl.vacuum_table(spark, d)
+    assert deleted == plan == sorted(
+        ["A0.parquet", "A1.parquet", "B0.parquet"])
+    for p in deleted:
+        assert not os.path.exists(os.path.join(d, tl.DATA_SUBDIR, p))
+    # the latest version is untouched
+    assert tl.snapshot_read(spark, d).count() == before
+    assert _live(spark, d) == _live(spark, src_tbl)
+    # reads below the horizon fail loudly (v0/v1 live sets name
+    # vacuumed files)
+    with pytest.raises(ValueError, match="vacuumed"):
+        tl.snapshot_read(spark, d, 0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        tl.snapshot_read(spark, d, 1)
+    # v2 removed A0/A1 but still includes B0 -> also below horizon
+    with pytest.raises(ValueError, match="vacuumed"):
+        tl.snapshot_read(spark, d, 2)
+    # vacuum is idempotent: a second pass deletes nothing
+    assert tl.vacuum_table(spark, d) == []
+
+
 def test_replay_matches_reference_model(spark, tmp_path):
     """Property test: Spark's window replay == a trivial in-memory
     reference over randomized action logs (last action <= V wins,
