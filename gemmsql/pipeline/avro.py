@@ -117,6 +117,28 @@ def _sync_marker(shard_id: int) -> bytes:
     return hashlib.md5(f"avro-sync:{shard_id}".encode()).digest()
 
 
+def _deflate_raw(data: bytes) -> bytes:
+    """RFC 1951 raw deflate (no zlib header/trailer) — the framing the
+    Avro spec's required ``deflate`` codec uses for block bodies."""
+    import zlib
+
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    return c.compress(data) + c.flush()
+
+
+def _inflate_raw(data: bytes) -> bytes:
+    import zlib
+
+    d = zlib.decompressobj(-15)
+    try:
+        out = d.decompress(data) + d.flush()
+    except zlib.error as e:  # uniform decode contract: ValueError
+        raise ValueError(f"bad deflate block: {e}") from None
+    if not d.eof or d.unused_data:
+        raise ValueError("bad deflate block: trailing or unterminated data")
+    return out
+
+
 def _encode_record(doc_id: int, lang: str, source: str, text: str) -> bytes:
     return (
         zigzag_encode(doc_id)
@@ -131,15 +153,20 @@ def build_avro(
     rows: list[tuple[int, str, str, str]],
     *,
     recs_per_block: int = AVRO_RECS_PER_BLOCK,
+    codec: str = "null",
 ) -> bytes:
-    """One OCF: header (schema + null codec + our deterministic sync
-    marker), then blocks of ``recs_per_block`` records."""
+    """One OCF: header (schema + codec + our deterministic sync
+    marker), then blocks of ``recs_per_block`` records.  ``codec`` is
+    ``null`` or ``deflate`` (the spec's REQUIRED codec — raw RFC 1951
+    per block body, the byte-size prefix counting COMPRESSED bytes)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
     sync = _sync_marker(shard_id)
     meta = [
         (b"avro.schema",
          json.dumps(DOC_SCHEMA, separators=(",", ":"),
                     sort_keys=True).encode()),
-        (b"avro.codec", b"null"),
+        (b"avro.codec", codec.encode()),
     ]
     out = bytearray(_MAGIC)
     out += zigzag_encode(len(meta))
@@ -150,15 +177,36 @@ def build_avro(
     for i in range(0, len(rows), recs_per_block):
         chunk = rows[i:i + recs_per_block]
         body = b"".join(_encode_record(*r) for r in chunk)
+        if codec == "deflate":
+            body = _deflate_raw(body)
         out += zigzag_encode(len(chunk)) + zigzag_encode(len(body))
         out += body + sync
     return bytes(out)
 
 
+def _decode_records(body: bytes, count: int) -> list[tuple[int, str, str, str]]:
+    """Decode exactly ``count`` records, requiring them to consume the
+    whole (decompressed) block body — the per-block accounting both
+    codecs share."""
+    rows: list[tuple[int, str, str, str]] = []
+    pos = 0
+    for _ in range(count):
+        doc_id, pos = _read_long(body, pos)
+        lang, pos = _read_bytes(body, pos)
+        source, pos = _read_bytes(body, pos)
+        text, pos = _read_bytes(body, pos)
+        rows.append((doc_id, lang.decode(), source.decode(), text.decode()))
+    if pos != len(body):
+        raise ValueError("block size disagrees with its records")
+    return rows
+
+
 def parse_avro(data: bytes) -> list[tuple[int, str, str, str]]:
     """Strict OCF walk: magic, metadata map, REQUIRED schema match,
-    null codec only, per-block record-count/byte-size agreement, and
-    every sync marker equal to the header's."""
+    null or deflate codec (the spec's two required codecs), per-block
+    record-count/byte-size agreement — for deflate the size prefix
+    counts COMPRESSED bytes and the records must consume the inflated
+    body exactly — and every sync marker equal to the header's."""
     if data[:4] != _MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -174,7 +222,7 @@ def parse_avro(data: bytes) -> list[tuple[int, str, str, str]]:
             v, pos = _read_bytes(data, pos)
             meta[k] = v
     codec = meta.get(b"avro.codec", b"null")
-    if codec != b"null":
+    if codec not in (b"null", b"deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     schema = json.loads(meta[b"avro.schema"])
     if schema != DOC_SCHEMA:
@@ -183,24 +231,27 @@ def parse_avro(data: bytes) -> list[tuple[int, str, str, str]]:
         raise ValueError("truncated header sync marker")
     sync = data[pos:pos + 16]
     pos += 16
+    return _walk_blocks(data[pos:], sync, codec)
+
+
+def _walk_blocks(
+    chunk: bytes, sync: bytes, codec: bytes
+) -> list[tuple[int, str, str, str]]:
+    """The shared strict block loop (whole-file tail and split
+    fragments are the same byte language)."""
     rows: list[tuple[int, str, str, str]] = []
-    while pos < len(data):
-        count, pos = _read_long(data, pos)
-        size, pos = _read_long(data, pos)
-        if count <= 0 or size < 0 or pos + size + 16 > len(data):
+    pos = 0
+    while pos < len(chunk):
+        count, pos = _read_long(chunk, pos)
+        size, pos = _read_long(chunk, pos)
+        if count <= 0 or size < 0 or pos + size + 16 > len(chunk):
             raise ValueError("bad block header")
-        end = pos + size
-        for _ in range(count):
-            doc_id, pos = _read_long(data, pos)
-            lang, pos = _read_bytes(data, pos)
-            source, pos = _read_bytes(data, pos)
-            text, pos = _read_bytes(data, pos)
-            rows.append(
-                (doc_id, lang.decode(), source.decode(), text.decode())
-            )
-        if pos != end:
-            raise ValueError("block size disagrees with its records")
-        if data[pos:pos + 16] != sync:
+        body = chunk[pos:pos + size]
+        pos += size
+        if codec == b"deflate":
+            body = _inflate_raw(body)
+        rows.extend(_decode_records(body, count))
+        if chunk[pos:pos + 16] != sync:
             raise ValueError(f"sync marker mismatch at offset {pos}")
         pos += 16
     return rows
@@ -210,7 +261,11 @@ def parse_avro(data: bytes) -> list[tuple[int, str, str, str]]:
 
 def with_avro_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(shard_id, shard): one OCF per shard, one record per doc,
-    doc_id-sorted, small blocks so the block walk genuinely loops."""
+    doc_id-sorted, small blocks so the block walk genuinely loops.
+    MIXED-CODEC corpus (VERDICT r12 next #6): odd shards are
+    deflate-coded — real-world OCFs almost always are — even shards
+    null, so both decode paths carry gate weight under the same
+    documents-derived hash."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source",
         (F.col("doc_id") / AVRO_DOCS_PER_SHARD).cast("long")
@@ -223,9 +278,11 @@ def with_avro_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r.doc_id), r.lang, r.source, r.text)
             for r in pdf.itertuples(index=False)
         ]
+        sid = int(key[0])
+        codec = "deflate" if sid % 2 else "null"
         return pd.DataFrame({
-            "shard_id": [key[0]],
-            "shard": [build_avro(int(key[0]), rows)],
+            "shard_id": [sid],
+            "shard": [build_avro(sid, rows, codec=codec)],
         })
 
     return docs.groupBy("shard_id").applyInPandas(
@@ -288,14 +345,17 @@ FROM documents
 
 # ----------------------------------------------- splittable by blocks
 
-def avro_block_index(shard: bytes) -> tuple[int, bytes, list[int]]:
-    """(header_end, sync, block_lengths): one header walk — blocks
-    are Avro's split unit (each is count+size-prefixed and
+def avro_block_index(shard: bytes) -> tuple[int, bytes, list[int], bytes]:
+    """(header_end, sync, block_lengths, codec): one header walk —
+    blocks are Avro's split unit (each is count+size-prefixed and
     sync-terminated), so a reader can hand out block-aligned ranges
-    without decoding a record."""
+    without decoding a record; the codec rides along because the
+    fragment decoder needs it (the header lives only at file
+    start)."""
     if shard[:4] != _MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
+    codec = b"null"
     while True:
         n, pos = _read_long(shard, pos)
         if n == 0:
@@ -303,8 +363,12 @@ def avro_block_index(shard: bytes) -> tuple[int, bytes, list[int]]:
         if n < 0:
             n, pos = -n, _read_long(shard, pos)[1]
         for _ in range(n):
-            _, pos = _read_bytes(shard, pos)
-            _, pos = _read_bytes(shard, pos)
+            k, pos = _read_bytes(shard, pos)
+            v, pos = _read_bytes(shard, pos)
+            if k == b"avro.codec":
+                codec = v
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
     if pos + 16 > len(shard):
         # a header truncated at the sync must raise like parse_avro
         # does — a short sync would otherwise yield an empty block
@@ -322,38 +386,19 @@ def avro_block_index(shard: bytes) -> tuple[int, bytes, list[int]]:
         if pos > len(shard):
             raise ValueError("truncated block")
         lens.append(pos - start)
-    return header_end, sync, lens
+    return header_end, sync, lens, codec
 
 
 def parse_avro_blocks(
-    chunk: bytes, sync: bytes
+    chunk: bytes, sync: bytes, codec: bytes = b"null"
 ) -> list[tuple[int, str, str, str]]:
     """Fragment walk for the split reader: a run of whole blocks
     (the header lives only at file start, so the planner ships the
-    header's sync marker alongside each range).  Same strictness as
-    :func:`parse_avro`'s block loop."""
-    rows: list[tuple[int, str, str, str]] = []
-    pos = 0
-    while pos < len(chunk):
-        count, pos = _read_long(chunk, pos)
-        size, pos = _read_long(chunk, pos)
-        if count <= 0 or size < 0 or pos + size + 16 > len(chunk):
-            raise ValueError("bad block header")
-        end = pos + size
-        for _ in range(count):
-            doc_id, pos = _read_long(chunk, pos)
-            lang, pos = _read_bytes(chunk, pos)
-            source, pos = _read_bytes(chunk, pos)
-            text, pos = _read_bytes(chunk, pos)
-            rows.append(
-                (doc_id, lang.decode(), source.decode(), text.decode())
-            )
-        if pos != end:
-            raise ValueError("block size disagrees with its records")
-        if chunk[pos:pos + 16] != sync:
-            raise ValueError(f"sync marker mismatch at offset {pos}")
-        pos += 16
-    return rows
+    header's sync marker AND codec alongside each range).  Same
+    strictness as :func:`parse_avro`'s block loop."""
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    return _walk_blocks(chunk, sync, codec)
 
 
 def avro_split_ingest(
@@ -384,10 +429,10 @@ def avro_split_ingest(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sids, idxs, syncs, chunks = [], [], [], []
+            sids, idxs, syncs, codecs, chunks = [], [], [], [], []
             for sid, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                header_end, sync, lens = avro_block_index(payload)
+                header_end, sync, lens, codec = avro_block_index(payload)
                 start = pos = header_end
                 split = 0
                 for ln in lens:
@@ -396,6 +441,7 @@ def avro_split_ingest(
                         sids.append(sid)
                         idxs.append(split)
                         syncs.append(sync)
+                        codecs.append(codec)
                         chunks.append(payload[start:pos])
                         start = pos
                         split += 1
@@ -403,15 +449,19 @@ def avro_split_ingest(
                     sids.append(sid)
                     idxs.append(split)
                     syncs.append(sync)
+                    codecs.append(codec)
                     chunks.append(payload[start:pos])
             yield pd.DataFrame({
                 "shard_id": sids, "split_idx": idxs,
-                "sync": syncs, "chunk": chunks,
+                "sync": syncs, "codec": codecs, "chunk": chunks,
             })
 
     planned = shards.mapInPandas(
         plan,
-        schema="shard_id long, split_idx long, sync binary, chunk binary",
+        schema=(
+            "shard_id long, split_idx long, sync binary, "
+            "codec binary, chunk binary"
+        ),
     ).repartition("shard_id", "split_idx")
 
     def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -419,9 +469,11 @@ def avro_split_ingest(
             if len(pdf) == 0:
                 continue
             ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for sync, chunk in zip(pdf["sync"], pdf["chunk"]):
+            for sync, codec, chunk in zip(
+                pdf["sync"], pdf["codec"], pdf["chunk"]
+            ):
                 for doc_id, lang, source, text in parse_avro_blocks(
-                    bytes(chunk), bytes(sync)
+                    bytes(chunk), bytes(sync), bytes(codec)
                 ):
                     ids.append(doc_id)
                     langs.append(lang)

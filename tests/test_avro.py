@@ -74,9 +74,58 @@ def test_schema_and_codec_are_enforced():
     other = blob.replace(b'"name":"doc"', b'"name":"dog"')
     with pytest.raises(ValueError, match="schema mismatch"):
         parse_avro(other)
-    deflated = blob.replace(b"null", b"zstd")
+    zstd = blob.replace(b"null", b"zstd")
     with pytest.raises(ValueError, match="codec"):
-        parse_avro(deflated)
+        parse_avro(zstd)
+
+
+def test_deflate_codec_roundtrip_and_strictness():
+    """The spec's REQUIRED deflate codec (VERDICT r12 next #6): raw
+    RFC 1951 block bodies, size prefix counting compressed bytes."""
+    rows = [(i, "en", "s%d" % (i % 3), "body " * (i % 11))
+            for i in range(40)]
+    for rpb in (1, 8, 40):
+        blob = build_avro(7, rows, recs_per_block=rpb, codec="deflate")
+        assert parse_avro(blob) == rows
+        # deflate genuinely compresses the repetitive corpus
+        assert len(blob) < len(build_avro(7, rows, recs_per_block=rpb))
+    blob = build_avro(7, rows, codec="deflate")
+    # a corrupted compressed body must raise ValueError (not a raw
+    # zlib error, not silent garbage): flip a byte inside the first
+    # block body (after header sync, after the two varints)
+    from gemmsql.pipeline.avro import avro_block_index
+
+    header_end, sync, lens, codec = avro_block_index(blob)
+    assert codec == b"deflate"
+    bad = bytearray(blob)
+    bad[header_end + 4] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_avro(bytes(bad))
+    # truncating the compressed stream (shorter size prefix would be
+    # a different corruption): cut the blob mid-block
+    with pytest.raises(ValueError):
+        parse_avro(blob[:header_end + lens[0] // 2])
+
+
+def test_deflate_split_fragments_reassemble():
+    from gemmsql.pipeline.avro import avro_block_index, parse_avro_blocks
+
+    rows = [(i, "en", "s", "b" * (i % 9 + 40)) for i in range(30)]
+    blob = build_avro(4, rows, recs_per_block=4, codec="deflate")
+    header_end, sync, lens, codec = avro_block_index(blob)
+    assert header_end + sum(lens) == len(blob)
+    pos = header_end
+    got = []
+    for ln in lens:
+        got.extend(parse_avro_blocks(blob[pos:pos + ln], sync, codec))
+        pos += ln
+    assert got == rows
+    # decoding a deflate fragment as null must fail loudly (records
+    # can't consume a compressed body exactly by accident)
+    with pytest.raises(ValueError):
+        parse_avro_blocks(
+            blob[header_end:header_end + lens[0]], sync, b"null"
+        )
 
 
 def test_block_index_and_fragment_walk():
@@ -87,7 +136,8 @@ def test_block_index_and_fragment_walk():
 
     rows = [(i, "en", "s", "b" * (i % 9)) for i in range(30)]
     blob = build_avro(4, rows, recs_per_block=4)
-    header_end, sync, lens = avro_block_index(blob)
+    header_end, sync, lens, codec = avro_block_index(blob)
+    assert codec == b"null"
     assert header_end + sum(lens) == len(blob)
     assert sync == _sync_marker(4)
     # every block-boundary cut yields valid fragments that reassemble
