@@ -307,32 +307,18 @@ def avro_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = stage_payload_table(spark, sf_dir, "avroshard", builder)
 
+    from gemmsql.pipeline.shardsplit import DOC_OUT_SCHEMA, doc_rows_frame
+
     def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for shard in pdf["payload"]:
-                for doc_id, lang, source, text in parse_avro(bytes(shard)):
-                    ids.append(doc_id)
-                    langs.append(lang)
-                    sources.append(source)
-                    ncs.append(len(text))
-                    md5s.append(
-                        hashlib.md5(text.encode()).hexdigest()
-                    )
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
+            yield doc_rows_frame(
+                rec for shard in pdf["payload"]
+                for rec in parse_avro(bytes(shard))
+            )
 
-    return shards.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, "
-            "n_chars long, text_md5 string"
-        ),
-    )
+    return shards.mapInPandas(ingest, schema=DOC_OUT_SCHEMA)
 
 
 AVRO_SHARD_INGEST_SQL = """
@@ -414,7 +400,10 @@ def avro_split_ingest(
     the split unit in (that is what sync-marker-delimited blocks are
     for).  The planner verifies the header once and ships its sync
     marker with every range; each split re-runs the strict block
-    walk, and the result must hash-equal the whole-shard ingest."""
+    walk, and the result must hash-equal the whole-shard ingest.
+    Plan/spread/decode run through the shared split spine
+    (:func:`gemmsql.pipeline.shardsplit.split_ingest_frame`)."""
+    from gemmsql.pipeline.shardsplit import cut_ranges, split_ingest_frame
     from gemmsql.pipeline.staging import stage_payload_table
 
     def builder(spark_, sf_dir_):
@@ -425,72 +414,17 @@ def avro_split_ingest(
 
     shards = stage_payload_table(spark, sf_dir, "avroshard", builder)
 
-    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sids, idxs, syncs, codecs, chunks = [], [], [], [], []
-            for sid, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
-                header_end, sync, lens, codec = avro_block_index(payload)
-                start = pos = header_end
-                split = 0
-                for ln in lens:
-                    pos += ln
-                    if pos - start >= target_split_bytes:
-                        sids.append(sid)
-                        idxs.append(split)
-                        syncs.append(sync)
-                        codecs.append(codec)
-                        chunks.append(payload[start:pos])
-                        start = pos
-                        split += 1
-                if start < pos:
-                    sids.append(sid)
-                    idxs.append(split)
-                    syncs.append(sync)
-                    codecs.append(codec)
-                    chunks.append(payload[start:pos])
-            yield pd.DataFrame({
-                "shard_id": sids, "split_idx": idxs,
-                "sync": syncs, "codec": codecs, "chunk": chunks,
-            })
+    def plan_row(row, payload):
+        header_end, sync, lens, codec = avro_block_index(payload)
+        ranges = cut_ranges(lens, target_split_bytes, base=header_end)
+        return ranges, {"sync": sync, "codec": codec}
 
-    planned = shards.mapInPandas(
-        plan,
-        schema=(
-            "shard_id long, split_idx long, sync binary, "
-            "codec binary, chunk binary"
-        ),
-    ).repartition("shard_id", "split_idx")
+    def decode_chunk(chunk, row):
+        return parse_avro_blocks(
+            chunk, bytes(row["sync"]), bytes(row["codec"])
+        )
 
-    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for sync, codec, chunk in zip(
-                pdf["sync"], pdf["codec"], pdf["chunk"]
-            ):
-                for doc_id, lang, source, text in parse_avro_blocks(
-                    bytes(chunk), bytes(sync), bytes(codec)
-                ):
-                    ids.append(doc_id)
-                    langs.append(lang)
-                    sources.append(source)
-                    ncs.append(len(text))
-                    md5s.append(
-                        hashlib.md5(text.encode()).hexdigest()
-                    )
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
-
-    return planned.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, "
-            "n_chars long, text_md5 string"
-        ),
+    return split_ingest_frame(
+        shards, plan_row, decode_chunk,
+        extra_cols=(("sync", "binary"), ("codec", "binary")),
     )

@@ -47,7 +47,6 @@ ref:gemm_map_reduce.py:1; this extends the brief's ingest tier.)
 
 from __future__ import annotations
 
-import hashlib
 import json
 import struct
 from collections.abc import Iterator
@@ -289,37 +288,29 @@ def ogg_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = stage_payload_table(spark, sf_dir, "oggshard", builder)
 
+    from gemmsql.pipeline.shardsplit import (
+        DOC_OUT_SCHEMA,
+        doc_rows_frame,
+        meta_doc,
+    )
+
+    def _docs(sid, shard):
+        serial, packets = parse_ogg(bytes(shard))
+        if serial != int(sid):
+            raise ValueError("stream serial != shard id")
+        return (meta_doc(p) for p in packets)
+
     def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for sid, shard in zip(pdf["doc_id"], pdf["payload"]):
-                serial, packets = parse_ogg(bytes(shard))
-                if serial != int(sid):
-                    raise ValueError("stream serial != shard id")
-                for payload in packets:
-                    meta = json.loads(payload)
-                    text = meta["text"]
-                    ids.append(meta["doc_id"])
-                    langs.append(meta["lang"])
-                    sources.append(meta["source"])
-                    ncs.append(len(text))
-                    md5s.append(
-                        hashlib.md5(text.encode()).hexdigest()
-                    )
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
+            yield doc_rows_frame(
+                rec
+                for sid, shard in zip(pdf["doc_id"], pdf["payload"])
+                for rec in _docs(sid, shard)
+            )
 
-    return shards.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, "
-            "n_chars long, text_md5 string"
-        ),
-    )
+    return shards.mapInPandas(ingest, schema=DOC_OUT_SCHEMA)
 
 
 OGG_SHARD_INGEST_SQL = """
@@ -404,67 +395,21 @@ def ogg_split_ingest(
 
     shards = stage_payload_table(spark, sf_dir, "oggsplit", builder)
 
-    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sids, idxs, chunks = [], [], []
-            for sid, payload, lens, fresh in zip(
-                pdf["doc_id"], pdf["payload"],
-                pdf["page_lens"], pdf["page_fresh"],
-            ):
-                payload = bytes(payload)
-                start = pos = 0
-                split = 0
-                for ln, fr in zip(lens, fresh):
-                    # cut BEFORE this page when the budget is spent
-                    # and the page starts a fresh packet
-                    if pos - start >= target_split_bytes and fr:
-                        sids.append(sid)
-                        idxs.append(split)
-                        chunks.append(payload[start:pos])
-                        start = pos
-                        split += 1
-                    pos += int(ln)
-                if pos != len(payload):
-                    raise ValueError("index does not cover the shard")
-                sids.append(sid)
-                idxs.append(split)
-                chunks.append(payload[start:pos])
-            yield pd.DataFrame(
-                {"shard_id": sids, "split_idx": idxs, "chunk": chunks}
-            )
+    from gemmsql.pipeline.shardsplit import cut_ranges, split_ingest_frame
 
-    planned = shards.mapInPandas(
-        plan, schema="shard_id long, split_idx long, chunk binary"
-    ).repartition("shard_id", "split_idx")
+    def plan_row(row, payload):
+        # cut BEFORE a page only where it starts a fresh packet
+        ranges = cut_ranges(
+            row["page_lens"], target_split_bytes,
+            can_cut=row["page_fresh"], total=len(payload),
+        )
+        return ranges, {}
 
-    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for chunk in pdf["chunk"]:
-                _, packets = parse_ogg(bytes(chunk), fragment=True)
-                for payload in packets:
-                    meta = json.loads(payload)
-                    text = meta["text"]
-                    ids.append(meta["doc_id"])
-                    langs.append(meta["lang"])
-                    sources.append(meta["source"])
-                    ncs.append(len(text))
-                    md5s.append(
-                        hashlib.md5(text.encode()).hexdigest()
-                    )
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
+    def decode_chunk(chunk, row):
+        _, packets = parse_ogg(chunk, fragment=True)
+        for payload in packets:
+            meta = json.loads(payload)
+            yield (meta["doc_id"], meta["lang"], meta["source"],
+                   meta["text"])
 
-    return planned.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, "
-            "n_chars long, text_md5 string"
-        ),
-    )
+    return split_ingest_frame(shards, plan_row, decode_chunk)

@@ -32,7 +32,6 @@ rewards.
 
 from __future__ import annotations
 
-import hashlib
 import json
 from collections.abc import Iterator
 
@@ -203,39 +202,28 @@ def tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = stage_payload_table(spark, sf_dir, "tarshard", builder)
 
+    from gemmsql.pipeline.shardsplit import DOC_OUT_SCHEMA, doc_rows_frame
+
+    def _docs(shard):
+        samples = pair_members(parse_tar(bytes(shard)))
+        for stem, exts in samples.items():
+            if set(exts) != {"txt", "json"}:
+                raise ValueError(f"sample {stem}: members {sorted(exts)}")
+            meta = json.loads(exts["json"])
+            if meta["doc_id"] != int(stem):
+                raise ValueError("metadata/stem doc_id mismatch")
+            yield (meta["doc_id"], meta["lang"], meta["source"],
+                   exts["txt"].decode())
+
     def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for shard in pdf["payload"]:
-                samples = pair_members(parse_tar(bytes(shard)))
-                for stem, exts in samples.items():
-                    if set(exts) != {"txt", "json"}:
-                        raise ValueError(
-                            f"sample {stem}: members {sorted(exts)}"
-                        )
-                    meta = json.loads(exts["json"])
-                    if meta["doc_id"] != int(stem):
-                        raise ValueError("metadata/stem doc_id mismatch")
-                    text = exts["txt"].decode()
-                    ids.append(meta["doc_id"])
-                    langs.append(meta["lang"])
-                    sources.append(meta["source"])
-                    ncs.append(len(text))
-                    md5s.append(hashlib.md5(exts["txt"]).hexdigest())
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
+            yield doc_rows_frame(
+                rec for shard in pdf["payload"] for rec in _docs(shard)
+            )
 
-    return shards.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, n_chars long,"
-            " text_md5 string"
-        ),
-    )
+    return shards.mapInPandas(ingest, schema=DOC_OUT_SCHEMA)
 
 
 #: ASCII-only corpus assumption: length(text) == byte length, and

@@ -43,7 +43,6 @@ ref:gemm_map_reduce.py:1; this extends the brief's ingest tier.)
 
 from __future__ import annotations
 
-import hashlib
 import json
 import struct
 from collections.abc import Iterator
@@ -176,34 +175,23 @@ def tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = stage_payload_table(spark, sf_dir, "tfrecord", builder)
 
+    from gemmsql.pipeline.shardsplit import (
+        DOC_OUT_SCHEMA,
+        doc_rows_frame,
+        meta_doc,
+    )
+
     def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for shard in pdf["payload"]:
-                for payload in parse_tfrecord(bytes(shard)):
-                    meta = json.loads(payload)
-                    text = meta["text"]
-                    ids.append(meta["doc_id"])
-                    langs.append(meta["lang"])
-                    sources.append(meta["source"])
-                    ncs.append(len(text))
-                    md5s.append(
-                        hashlib.md5(text.encode()).hexdigest()
-                    )
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
+            yield doc_rows_frame(
+                meta_doc(payload)
+                for shard in pdf["payload"]
+                for payload in parse_tfrecord(bytes(shard))
+            )
 
-    return shards.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, "
-            "n_chars long, text_md5 string"
-        ),
-    )
+    return shards.mapInPandas(ingest, schema=DOC_OUT_SCHEMA)
 
 
 TFRECORD_INGEST_SQL = """
@@ -285,36 +273,23 @@ def streaming_shard_ingest_gate(
         .select("content")
     )
 
+    from gemmsql.pipeline.shardsplit import (
+        DOC_OUT_SCHEMA,
+        doc_rows_frame,
+        meta_doc,
+    )
+
     def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for shard in pdf["content"]:
-                for payload in parse_tfrecord(bytes(shard)):
-                    meta = json.loads(payload)
-                    text = meta["text"]
-                    ids.append(meta["doc_id"])
-                    langs.append(meta["lang"])
-                    sources.append(meta["source"])
-                    ncs.append(
-                        len(text)
-                    )
-                    md5s.append(
-                        hashlib.md5(text.encode()).hexdigest()
-                    )
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
+            yield doc_rows_frame(
+                meta_doc(payload)
+                for shard in pdf["content"]
+                for payload in parse_tfrecord(bytes(shard))
+            )
 
-    rows = src.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, "
-            "n_chars long, text_md5 string"
-        ),
-    )
+    rows = src.mapInPandas(ingest, schema=DOC_OUT_SCHEMA)
     name = "stream_gate_shard_ingest"
     q = (
         rows.writeStream.format("memory")
@@ -394,64 +369,17 @@ def tfrecord_split_ingest(
 
     shards = stage_payload_table(spark, sf_dir, "tfrecord_idx", builder)
 
-    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sids, idxs, chunks = [], [], []
-            for sid, payload, lens in zip(
-                pdf["doc_id"], pdf["payload"], pdf["rec_lens"]
-            ):
-                payload = bytes(payload)
-                start = pos = 0
-                split = 0
-                for ln in lens:
-                    pos += int(ln)
-                    if pos - start >= target_split_bytes:
-                        sids.append(sid)
-                        idxs.append(split)
-                        chunks.append(payload[start:pos])
-                        start = pos
-                        split += 1
-                if pos != len(payload):
-                    raise ValueError("index does not cover the shard")
-                if start < pos:
-                    sids.append(sid)
-                    idxs.append(split)
-                    chunks.append(payload[start:pos])
-            yield pd.DataFrame(
-                {"shard_id": sids, "split_idx": idxs, "chunk": chunks}
-            )
+    from gemmsql.pipeline.shardsplit import cut_ranges, split_ingest_frame
 
-    planned = shards.mapInPandas(
-        plan, schema="shard_id long, split_idx long, chunk binary"
-    ).repartition("shard_id", "split_idx")
+    def plan_row(row, payload):
+        return cut_ranges(
+            row["rec_lens"], target_split_bytes, total=len(payload)
+        ), {}
 
-    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids, langs, sources, ncs, md5s = [], [], [], [], []
-            for chunk in pdf["chunk"]:
-                for payload in parse_tfrecord(bytes(chunk)):
-                    meta = json.loads(payload)
-                    text = meta["text"]
-                    ids.append(meta["doc_id"])
-                    langs.append(meta["lang"])
-                    sources.append(meta["source"])
-                    ncs.append(len(text))
-                    md5s.append(
-                        hashlib.md5(text.encode()).hexdigest()
-                    )
-            yield pd.DataFrame({
-                "doc_id": ids, "lang": langs, "source": sources,
-                "n_chars": ncs, "text_md5": md5s,
-            })
+    def decode_chunk(chunk, row):
+        for payload in parse_tfrecord(chunk):
+            meta = json.loads(payload)
+            yield (meta["doc_id"], meta["lang"], meta["source"],
+                   meta["text"])
 
-    return planned.mapInPandas(
-        ingest,
-        schema=(
-            "doc_id long, lang string, source string, "
-            "n_chars long, text_md5 string"
-        ),
-    )
+    return split_ingest_frame(shards, plan_row, decode_chunk)
