@@ -111,6 +111,8 @@ _EXPORTS = {
     "sketch_store_rollup": "gemmsql.sketches",
     "sample_quantile_sketch": "gemmsql.sketches",
     "sample_quantiles": "gemmsql.sketches",
+    "segment_value_quantiles": "gemmsql.sketches",
+    "streaming_cdf_ivm_gate": "gemmsql.pipeline.tablelog",
     # QOI codec (r12 birth)
     "encode_qoi": "gemmsql.pipeline.qoi",
     "decode_qoi": "gemmsql.pipeline.qoi",

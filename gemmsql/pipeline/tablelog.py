@@ -663,6 +663,126 @@ def streaming_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cdf_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVM story end-to-end (VERDICT r12 next #9): a
+    view maintains itself from a LIVE commit stream.  The gate tails
+    the table's own log directory as a file stream; every commit's
+    actions expand to file-level SIGNED row deltas (an add contributes
+    its file's rows at +1, a remove its retained file's rows at -1 —
+    for the abelian count/sum view this is exactly the key-level
+    change feed's effect, compaction included: C0's +rows cancel
+    A0/A1's -rows per group), and the built-in update-mode streaming
+    aggregate folds them into the view.
+
+    The live half: drain 1 processes the staged table's first THREE
+    commits through a CHECKPOINT, then — while the stream is down —
+    :func:`commit_actions` lands the delete+append commit for real,
+    and drain 2 recovers from the checkpoint and refreshes the view
+    from ONLY the new commit file.  The final snapshot (last emission
+    per group across both drains, by the monotone per-group change
+    count) must hash-equal the direct latest-version aggregate the
+    oracle computes from an independent replay — so checkpoint
+    recovery, commit discovery, signed-delta expansion, and the
+    retraction algebra are all row-membership-checked.
+
+    At 100 TB: refresh cost per commit is O(rewritten files), the
+    stream never rescans the table, and the delta expansion runs
+    executor-side (each action row opens only its own file)."""
+    from gemmsql.streaming.windows import _await_gate, state_partitions
+
+    base = stage_versioned_table(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gemmsql_cdclive_")
+    table = os.path.join(work, "tbl")
+    os.makedirs(os.path.join(table, LOG_SUBDIR))
+    shutil.copytree(
+        os.path.join(base, DATA_SUBDIR), os.path.join(table, DATA_SUBDIR)
+    )
+    held_back = "00000003.json"
+    for p in sorted(_glob.glob(os.path.join(base, LOG_SUBDIR, "*.json"))):
+        if os.path.basename(p) != held_back:
+            shutil.copy(p, os.path.join(table, LOG_SUBDIR))
+    ckpt = os.path.join(work, "_ckpt")
+    data_dir = os.path.join(table, DATA_SUBDIR)
+
+    def expand(batches):
+        # executor-side delta expansion: each action row reads ONLY
+        # its own (retained) file; meta actions carry no rows
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                if row["a"] not in ("add", "remove") or not row["path"]:
+                    continue
+                sign = 1 if row["a"] == "add" else -1
+                part = _pd.read_parquet(
+                    os.path.join(data_dir, row["path"]),
+                    columns=["o_orderpriority", "o_totalprice"],
+                )
+                part["sign"] = sign
+                out.append(part)
+            if out:
+                yield _pd.concat(out, ignore_index=True)
+
+    emissions_dir = os.path.join(work, "emissions")
+
+    def drain() -> None:
+        src = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(os.path.join(table, LOG_SUBDIR, "*.json"))
+        )
+        deltas = src.mapInPandas(
+            expand,
+            schema="o_orderpriority string, o_totalprice double, sign int",
+        )
+        agg = deltas.groupBy("o_orderpriority").agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.expr(_CENTS)).alias("dc"),
+            F.count("*").alias("n_changes"),
+        )
+
+        def upsert(bdf: DataFrame, batch_id: int) -> None:
+            # the production IVM sink shape: each micro-batch's
+            # UPDATED groups upsert into the materialized view (here:
+            # appended emissions, resolved below by the monotone
+            # per-group change count)
+            bdf.write.mode("append").parquet(emissions_dir)
+
+        with state_partitions(spark):
+            q = (
+                agg.writeStream.foreachBatch(upsert)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_gate(q)
+
+    drain()
+    # the LIVE commit, landed while the stream is down: the fixture's
+    # own v3 actions (delete+append), replayed through the real
+    # optimistic-concurrency committer
+    with open(os.path.join(base, LOG_SUBDIR, held_back)) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    committed = commit_actions(table, [
+        {k: v for k, v in a.items() if k != "v"} for a in actions
+    ])
+    assert committed == 3
+    drain()
+
+    emissions = spark.read.parquet(emissions_dir)
+    final = emissions.groupBy("o_orderpriority").agg(
+        F.max_by("dn", "n_changes").alias("dn"),
+        F.max_by("dc", "n_changes").alias("dc"),
+    )
+    return final.select(
+        "o_orderpriority",
+        F.col("dn").cast("long").alias("n_orders"),
+        F.col("dc").cast("long").alias("sum_cents"),
+    ).filter(F.col("n_orders") > 0)
+
+
 def optimize_table(
     spark: SparkSession,
     table_dir: str,

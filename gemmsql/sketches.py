@@ -1129,6 +1129,26 @@ SQK_QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
                  ("p95", 19, 20))
 
 
+def _sqk_quantiles_frame(sk: DataFrame, key: str) -> DataFrame:
+    """The integer order-statistic picks over a paired bottom-k
+    sketch -> (key, n_sample, p25, p50, p75, p95)."""
+    cols = [
+        F.round(
+            F.element_at(
+                F.array_sort("vs"),
+                F.expr(
+                    f"cast(({num} * (size(vs) - 1)) div {den} as int) + 1"
+                ),
+            ).cast("double") / F.lit(1e6),
+            6,
+        ).alias(name)
+        for name, num, den in SQK_QUANTILES
+    ]
+    return sk.select(
+        key, F.size("vs").cast("long").alias("n_sample"), *cols
+    )
+
+
 def sample_quantiles(
     spark: SparkSession, sf_dir: str, *, k: int = 64
 ) -> DataFrame:
@@ -1143,26 +1163,40 @@ def sample_quantiles(
     sk = sample_quantile_sketch(
         load_table(spark, sf_dir, "events"), k=k
     )
-    cols = [
-        F.round(
-            F.element_at(
-                F.array_sort("vs"),
-                F.expr(
-                    f"cast(({num} * (size(vs) - 1)) div {den} as int) + 1"
-                ),
-            ).cast("double") / F.lit(1e6),
-            6,
-        ).alias(name)
-        for name, num, den in SQK_QUANTILES
-    ]
-    return sk.select(
-        "event_type", F.size("vs").cast("long").alias("n_sample"), *cols
+    return _sqk_quantiles_frame(sk, "event_type")
+
+
+def segment_value_quantiles(
+    spark: SparkSession, sf_dir: str, *, k: int = 64
+) -> DataFrame:
+    """The sketch family's production call site (VERDICT r12 next
+    #10, the segment_quantiles shape retired in r3): event-value
+    quantiles PER CUSTOMER MARKET SEGMENT — events enrich against the
+    broadcast customer dim, then the bottom-k paired sample folds per
+    segment.  At 100 TB the difference from the exact formulation is
+    the whole point: state per (segment, partition) is 2k longs, the
+    final shuffle moves only sketch partials, and no segment's rows
+    are ever collected or globally sorted.  The twin replays the SAME
+    md5 bottom-k sample bit-for-bit; the ~1/sqrt(k) rank-error bound
+    against EXACT quantiles is pinned in tests/test_sketch_store.py."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
     )
+    enriched = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"), "event_id", "value"
+        )
+    )
+    sk = sample_quantile_sketch(enriched, key="segment", k=k)
+    return _sqk_quantiles_frame(sk, "segment")
 
 
-def sample_quantiles_sql(k: int = 64) -> str:
-    """DuckDB twin: the same md5 bottom-k sample via window rank, the
-    same integer order-statistic picks."""
+def _sqk_quantiles_sql(key: str, src_rel: str, k: int) -> str:
+    """Shared DuckDB twin: the same md5 bottom-k sample via window
+    rank, the same integer order-statistic picks, over any
+    ``(key, event_id, value)`` relation."""
     picks = ",\n       ".join(
         f"ROUND(CAST(MAX(CASE WHEN vr = ({num} * (n - 1)) // {den} + 1 "
         f"THEN vm END) AS DOUBLE) / 1000000.0, 6) AS {name}"
@@ -1170,25 +1204,38 @@ def sample_quantiles_sql(k: int = 64) -> str:
     )
     return f"""
 WITH h AS (
-  SELECT event_type,
+  SELECT {key},
          CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
               AS BIGINT) AS h60,
          CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
-  FROM events
+  FROM {src_rel}
 ),
 r AS (
-  SELECT event_type, vm,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h60) AS rn
+  SELECT {key}, vm,
+         ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY h60) AS rn
   FROM h
 ),
-s AS (SELECT event_type, vm FROM r WHERE rn <= {k}),
+s AS (SELECT {key}, vm FROM r WHERE rn <= {k}),
 o AS (
-  SELECT event_type, vm,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS vr,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
+  SELECT {key}, vm,
+         ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY vm) AS vr,
+         COUNT(*) OVER (PARTITION BY {key}) AS n
   FROM s
 )
-SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+SELECT {key}, CAST(MAX(n) AS BIGINT) AS n_sample,
        {picks}
-FROM o GROUP BY event_type
+FROM o GROUP BY {key}
 """
+
+
+def sample_quantiles_sql(k: int = 64) -> str:
+    return _sqk_quantiles_sql("event_type", "events", k)
+
+
+def segment_value_quantiles_sql(k: int = 64) -> str:
+    return _sqk_quantiles_sql(
+        "segment",
+        "(SELECT c_mktsegment AS segment, event_id, value"
+        " FROM events JOIN customer ON user_id = c_custkey)",
+        k,
+    )

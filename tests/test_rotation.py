@@ -345,6 +345,30 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _segment_value_quantiles(spark, sf_dir):
+    from gemmsql.sketches import segment_value_quantiles
+
+    return segment_value_quantiles(spark, sf_dir)
+
+
+def _segment_value_quantiles_sql():
+    from gemmsql.sketches import segment_value_quantiles_sql
+
+    return segment_value_quantiles_sql()
+
+
+def _streaming_cdf_ivm(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_cdf_ivm_gate
+
+    return streaming_cdf_ivm_gate(spark, sf_dir)
+
+
+def _streaming_cdf_ivm_sql():
+    from gemmsql.pipeline.tablelog import cdf_ivm_rollup_sql
+
+    return cdf_ivm_rollup_sql(SF_SMOKE)
+
+
 def _tablelog_merge(spark, sf_dir):
     from gemmsql.pipeline.tablelog import tablelog_merge
 
@@ -977,6 +1001,27 @@ def _rotated():
         # rewrite dropping untouched rows moves the hash;
         # transactionality is pinned in tests/test_tablelog.py
         ("tablelog_merge", _tablelog_merge, _tablelog_merge_sql()),
+        # also born in round 13 (VERDICT r12 next #9): the LIVE
+        # streaming CDF/IVM composition — the view maintains itself
+        # from the table's own commit stream: drain 1 folds three
+        # commits through a checkpoint, a real commit_actions lands
+        # the delete+append commit while the stream is down, drain 2
+        # recovers and refreshes from ONLY the new commit file; the
+        # final snapshot must hash-equal the direct latest-version
+        # aggregate from an independent replay (same oracle as the
+        # staged-replay IVM gates, so all three IVM surfaces pin the
+        # same answer)
+        ("streaming_cdf_ivm_gate", _streaming_cdf_ivm,
+         _streaming_cdf_ivm_sql()),
+        # also born in round 13 (VERDICT r12 next #10): the bottom-k
+        # paired sample's PRODUCTION call site — event-value quantiles
+        # per customer market segment (broadcast dim enrich -> sketch
+        # fold per segment; 2k longs of state per group per partition,
+        # no global sort).  The twin replays the same md5 bottom-k
+        # sample bit-for-bit; the rank-error bound vs EXACT quantiles
+        # is pinned in tests/test_sketch_store.py
+        ("segment_value_quantiles", _segment_value_quantiles,
+         _segment_value_quantiles_sql()),
     ]
 
 

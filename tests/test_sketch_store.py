@@ -132,3 +132,31 @@ def test_sample_quantiles_rank_error_bounded(spark):
             est = got[et][name]
             rank = (vals <= est).sum() / n
             assert abs(rank - q) < 0.25, (et, name, rank, q)
+
+
+def test_segment_value_quantiles_rank_error_bounded(spark):
+    """The production call site's exact-quantile contract: each
+    per-segment sample quantile's TRUE rank in the segment's full
+    value distribution stays within ~2/sqrt(k) of the asked
+    fraction."""
+    from gemmsql.datamodel import load_table
+
+    got = {r["segment"]: r
+           for r in sk.segment_value_quantiles(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment")
+    full = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .select("c_mktsegment", "value")
+        .toPandas()
+    )
+    assert set(got) == set(full["c_mktsegment"].unique())
+    for seg, grp in full.groupby("c_mktsegment"):
+        vals = grp["value"].sort_values().to_numpy()
+        n = len(vals)
+        for name, q in (("p25", 0.25), ("p50", 0.5),
+                        ("p75", 0.75), ("p95", 0.95)):
+            est = got[seg][name]
+            rank = (vals <= est).sum() / n
+            assert abs(rank - q) < 0.25, (seg, name, rank, q)
