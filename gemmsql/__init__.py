@@ -135,6 +135,10 @@ _EXPORTS = {
     "build_avro": "gemmsql.pipeline.avro",
     "parse_avro": "gemmsql.pipeline.avro",
     "avro_shard_ingest": "gemmsql.pipeline.avro",
+    "seqfile_shard_ingest": "gemmsql.pipeline.seqfile",
+    "seqfile_split_ingest": "gemmsql.pipeline.seqfile",
+    "build_seqfile": "gemmsql.pipeline.seqfile",
+    "parse_seqfile": "gemmsql.pipeline.seqfile",
     "avro_split_ingest": "gemmsql.pipeline.avro",
     "avro_block_index": "gemmsql.pipeline.avro",
 }

@@ -345,6 +345,24 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _seqfile_shard_ingest(spark, sf_dir):
+    from gemmsql.pipeline.seqfile import seqfile_shard_ingest
+
+    return seqfile_shard_ingest(spark, sf_dir)
+
+
+def _seqfile_split_ingest(spark, sf_dir):
+    from gemmsql.pipeline.seqfile import seqfile_split_ingest
+
+    return seqfile_split_ingest(spark, sf_dir, target_split_bytes=4096)
+
+
+def _seqfile_ingest_sql():
+    from gemmsql.pipeline.seqfile import SEQFILE_SHARD_INGEST_SQL
+
+    return SEQFILE_SHARD_INGEST_SQL
+
+
 def _segment_value_quantiles(spark, sf_dir):
     from gemmsql.sketches import segment_value_quantiles
 
@@ -1022,6 +1040,21 @@ def _rotated():
         # is pinned in tests/test_sketch_store.py
         ("segment_value_quantiles", _segment_value_quantiles,
          _segment_value_quantiles_sql()),
+        # also born in round 13: the SEVENTH shard container — Hadoop
+        # SequenceFile (public format), the container that INVENTED
+        # the sync-escape split pattern.  From-scratch Hadoop
+        # VInt/VLong (the third wire family after zigzag varints and
+        # fixed-LE), Text framing, version-6 header with class-name
+        # and compression enforcement, record/key length accounting,
+        # every escape verified; the FIRST container built entirely
+        # on the shared split spine (shardsplit.py) — the r12 #8
+        # factoring's proof case.  Same documents-derived twin for
+        # both paths; VInt vectors + corruption fuzz + fragment
+        # rejection in tests/test_seqfile.py
+        ("seqfile_shard_ingest", _seqfile_shard_ingest,
+         _seqfile_ingest_sql()),
+        ("seqfile_split_ingest", _seqfile_split_ingest,
+         _seqfile_ingest_sql()),
     ]
 
 
