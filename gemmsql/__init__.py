@@ -105,6 +105,11 @@ _EXPORTS = {
     "merge_table": "gemmsql.pipeline.tablelog",
     "tablelog_merge": "gemmsql.pipeline.tablelog",
     "vacuum_table": "gemmsql.pipeline.tablelog",
+    "delete_keys_mor": "gemmsql.pipeline.tablelog",
+    "snapshot_read_mor": "gemmsql.pipeline.tablelog",
+    "snapshot_delete_files": "gemmsql.pipeline.tablelog",
+    "materialize_deletes": "gemmsql.pipeline.tablelog",
+    "mor_delete_read": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

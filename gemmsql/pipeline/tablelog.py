@@ -1136,13 +1136,17 @@ def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
     list)."""
     log = read_log(spark, table_dir)
     # latest add per path (re-add-safe, ADVICE r12 #1): two adds of
-    # one path must yield ONE plan row with the current byte size
+    # one path must yield ONE plan row with the current byte size.
+    # keydel-born equality-delete files are files too — a retired
+    # delete file (materialized away) is vacuumable like dead data.
     adds = (
-        log.filter(F.col("a") == "add")
+        log.filter(F.col("a").isin("add", "keydel"))
         .groupBy("path")
         .agg(F.max_by("n_bytes", "v").alias("n_bytes"))
     )
-    live = snapshot_files(spark, table_dir).select("path")
+    live = snapshot_files(spark, table_dir).select("path").unionByName(
+        snapshot_delete_files(spark, table_dir).select("path")
+    )
     return (
         adds.join(live, "path", "left_anti")
         .select("path", F.col("n_bytes").cast("long").alias("reclaim_bytes"))
@@ -1167,6 +1171,38 @@ def vacuum_table(spark: SparkSession, table_dir: str) -> list[str]:
             os.remove(p)
             deleted.append(r["path"])
     return sorted(deleted)
+
+
+def _next_version_nonce(table_dir: str) -> int:
+    versions = [
+        int(os.path.basename(p).split(".")[0])
+        for p in _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    ]
+    return (max(versions) + 1) if versions else 0
+
+
+def _write_with_add_action(
+    df: DataFrame, table_dir: str, name: str, *, key: str = "o_orderkey"
+) -> dict | None:
+    """Write ``df`` as one data file and return its add action with
+    write-time stats (None for an empty frame — no file, no action)."""
+    dest = os.path.join(table_dir, DATA_SUBDIR, name)
+    st = df.agg(
+        F.count("*").alias("n"),
+        F.min(key).alias("mnk"),
+        F.max(key).alias("mxk"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
+    ).collect()[0]
+    if not st["n"]:
+        return None
+    _write_one_file(df, dest)
+    return {
+        "a": "add", "path": name,
+        "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
+        "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+        "min_date": st["mnd"], "max_date": st["mxd"],
+    }
 
 
 # ------------------------------------------------------------ MERGE
@@ -1224,30 +1260,10 @@ def merge_table(
             )
         )  # bounded by candidate count
 
-    versions = [
-        int(os.path.basename(p).split(".")[0])
-        for p in _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
-    ]
-    nonce = (max(versions) + 1) if versions else 0
+    nonce = _next_version_nonce(table_dir)
 
     def _stats_and_add(df: DataFrame, name: str) -> dict | None:
-        dest = os.path.join(table_dir, DATA_SUBDIR, name)
-        st = df.agg(
-            F.count("*").alias("n"),
-            F.min(key).alias("mnk"),
-            F.max(key).alias("mxk"),
-            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
-            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
-        ).collect()[0]
-        if not st["n"]:
-            return None
-        _write_one_file(df, dest)
-        return {
-            "a": "add", "path": name,
-            "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
-            "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
-            "min_date": st["mnd"], "max_date": st["mxd"],
-        }
+        return _write_with_add_action(df, table_dir, name, key=key)
 
     actions: list[dict] = []
     inserts = source
@@ -1288,6 +1304,210 @@ def merge_table(
     if not actions:
         raise ValueError("merge produced no actions")
     return commit_actions(table_dir, actions)
+
+
+# --------------------------------------------- merge-on-read deletes
+
+def delete_keys_mor(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    *,
+    key: str = "o_orderkey",
+) -> int:
+    """Merge-on-read DELETE (Iceberg's equality-delete files / the
+    idea behind Delta's deletion vectors): instead of rewriting every
+    data file containing a deleted key (copy-on-write — what
+    :func:`merge_table` and the staged lifecycle's v3 do), write ONE
+    small file naming the deleted keys and commit a ``keydel`` action
+    carrying its key-range stats.  Readers subtract it at scan time;
+    :func:`materialize_deletes` folds it back into copy-on-write
+    later.  At 100 TB this turns a delete touching 10k files from a
+    10k-file rewrite into one KB-scale write + one commit — the
+    write-amplification trade every modern table format ships.
+
+    Returns the committed version."""
+    st = keys.agg(
+        F.count("*").alias("n"),
+        F.min(key).alias("mnk"),
+        F.max(key).alias("mxk"),
+    ).collect()[0]  # 1-row metadata
+    if not st["n"]:
+        raise ValueError("empty delete key set")
+    nonce = _next_version_nonce(table_dir)
+    name = f"KD{nonce}.parquet"
+    dest = os.path.join(table_dir, DATA_SUBDIR, name)
+    _write_one_file(keys.select(F.col(key).alias("o_orderkey")), dest)
+    return commit_actions(table_dir, [{
+        "a": "keydel", "path": name,
+        "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
+        "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+    }])
+
+
+def snapshot_delete_files(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Live equality-delete files at ``version`` — the same
+    last-action replay as :func:`snapshot_files`, with ``keydel`` as
+    the liveness-bearing action (a ``remove`` of the path — what
+    materialization commits — retires it)."""
+    log = read_log(spark, table_dir)
+    if version is not None:
+        log = log.filter(F.col("v") <= version)
+    w = Window.partitionBy("path").orderBy(
+        F.col("v").desc(),
+        F.when(F.col("a") == "remove", 0).otherwise(1),
+    )
+    return (
+        log.filter(F.col("a").isin("keydel", "remove"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("a") == "keydel"))
+        .drop("rn")
+    )
+
+
+def snapshot_read_mor(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    *,
+    key: str = "o_orderkey",
+) -> DataFrame:
+    """Read AS OF a version with merge-on-read semantics: the
+    copy-on-write live set minus every live equality-delete file's
+    keys (a broadcast anti-join — delete files are KB-scale by
+    design; their min/max stats would further let a planner skip
+    applying them to disjoint data files)."""
+    data = snapshot_read(spark, table_dir, version)
+    dels = sorted(
+        r["path"]
+        for r in snapshot_delete_files(spark, table_dir, version).collect()
+    )  # metadata-bounded
+    if not dels:
+        return data
+    keys = spark.read.parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in dels]
+    ).select(F.col("o_orderkey").alias(key)).distinct()
+    return data.join(F.broadcast(keys), key, "left_anti")
+
+
+def materialize_deletes(
+    spark: SparkSession, table_dir: str, *, key: str = "o_orderkey"
+) -> int:
+    """Fold merge-on-read deletes back into copy-on-write (Iceberg's
+    rewrite-data-files maintenance action): rewrite ONLY the data
+    files that actually contain deleted keys (the merge planner's
+    two-phase pruning), retire every live equality-delete file, all
+    in ONE commit.  A plain :func:`snapshot_read` afterwards equals
+    the :func:`snapshot_read_mor` view before (test-pinned).
+    Returns the committed version."""
+    dels = sorted(
+        r["path"]
+        for r in snapshot_delete_files(spark, table_dir).collect()
+    )
+    if not dels:
+        raise ValueError("no live delete files to materialize")
+    keys = spark.read.parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in dels]
+    ).select(F.col("o_orderkey").alias(key)).distinct()
+    b = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    live = snapshot_files(spark, table_dir).collect()
+    cand = sorted(
+        r["path"] for r in live
+        if not (r["max_key"] < b["lo"] or r["min_key"] > b["hi"])
+    )
+    actions: list[dict] = [{"a": "remove", "path": p} for p in dels]
+    if cand:
+        tagged = spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in cand]
+        ).withColumn(
+            "_path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+        )
+        touched = sorted(
+            r["_path"] for r in (
+                tagged.join(F.broadcast(keys), key)
+                .select("_path").distinct().collect()
+            )
+        )
+        nonce = _next_version_nonce(table_dir)
+        for k, name in enumerate(touched):
+            part = (
+                tagged.filter(F.col("_path") == name)
+                .join(F.broadcast(keys), key, "left_anti")
+                .drop("_path")
+            )
+            add = _write_with_add_action(
+                part, table_dir, f"MAT{nonce}-{k}.parquet", key=key
+            )
+            actions.append({"a": "remove", "path": name})
+            if add:
+                actions.append(add)
+    return commit_actions(table_dir, actions)
+
+
+def stage_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """The versioned fixture copied once per sf tier with one
+    merge-on-read delete committed on top: every bucket-3 key
+    divisible by 3 (derived from ``orders`` with the fixture's own
+    arithmetic, so DuckDB replays the key set exactly)."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"gemmsql_tablemor_{staged_dir_tag(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    base = stage_versioned_table(spark, sf_dir)
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(base, tmp)
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    keys = orders.filter(
+        (F.expr(f"o_orderkey div {width}") == 3)
+        & (F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey")
+    delete_keys_mor(spark, tmp, keys)
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read witness: per-priority counts and cent totals
+    of the MOR view at the latest version — the copy-on-write live
+    set minus the equality-delete file's keys, subtracted at scan
+    time.  The twin recomputes the same view independently from
+    ``orders`` (lifecycle arithmetic + the delete predicate in pure
+    SQL), so a delete applied to the wrong rows, not applied, or
+    applied twice moves the hash."""
+    d = stage_mor_table(spark, sf_dir)
+    return (
+        snapshot_read_mor(spark, d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+        )
+    )
+
+
+MOR_DELETE_READ_SQL = f"""
+WITH w AS (SELECT MAX(o_orderkey) // 8 + 1 AS width FROM orders),
+t AS (SELECT o.*, o.o_orderkey // w.width AS b FROM orders o CROSS JOIN w),
+live AS (
+  SELECT * FROM t WHERE b <= 6 AND NOT (b = 4 AND o_orderstatus = 'F')),
+mor AS (
+  SELECT * FROM live WHERE NOT (b = 3 AND o_orderkey % 3 = 0))
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM mor GROUP BY o_orderpriority
+"""
 
 
 def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:

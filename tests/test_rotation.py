@@ -345,6 +345,18 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _mor_delete_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import mor_delete_read
+
+    return mor_delete_read(spark, sf_dir)
+
+
+def _mor_delete_read_sql():
+    from gemmsql.pipeline.tablelog import MOR_DELETE_READ_SQL
+
+    return MOR_DELETE_READ_SQL
+
+
 def _seqfile_shard_ingest(spark, sf_dir):
     from gemmsql.pipeline.seqfile import seqfile_shard_ingest
 
@@ -1055,6 +1067,17 @@ def _rotated():
          _seqfile_ingest_sql()),
         ("seqfile_split_ingest", _seqfile_split_ingest,
          _seqfile_ingest_sql()),
+        # also born in round 13: MERGE-ON-READ equality deletes —
+        # Iceberg's delete files / the deletion-vector trade: a
+        # delete is ONE small key file + one keydel commit instead of
+        # a rewrite; the MOR read subtracts it with a broadcast
+        # anti-join at scan time.  The twin recomputes the view
+        # independently from orders (lifecycle arithmetic + the
+        # delete predicate in SQL); the full lifecycle — delete,
+        # time-travel below it, materialize back to copy-on-write
+        # with merge-planner pruning, vacuum the retired delete
+        # file — is pinned in tests/test_tablelog.py
+        ("mor_delete_read", _mor_delete_read, _mor_delete_read_sql()),
     ]
 
 

@@ -509,6 +509,67 @@ def test_vacuum_lifecycle_retained_reads_vacuumed_raise(spark, tmp_path):
     assert tl.vacuum_table(spark, d) == []
 
 
+def test_mor_delete_lifecycle(spark, tmp_path):
+    """Merge-on-read deletes: one KB-scale delete file instead of a
+    rewrite; the MOR view subtracts it at scan time; materialization
+    folds it back to copy-on-write with the merge planner's pruning;
+    retired delete files become vacuumable."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "mor")
+    shutil.copytree(src_tbl, d)
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    keys = orders.filter(
+        (tl.F.expr(f"o_orderkey div {width}") == 3)
+        & (tl.F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey")
+    n_del = keys.count()
+    assert n_del > 0
+    n_before = tl.snapshot_read(spark, d).count()
+
+    v = tl.delete_keys_mor(spark, d, keys)
+    # the delete is ONE commit and ONE small file; no data rewrite
+    log_v = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    assert [r["a"] for r in log_v] == ["keydel"]
+    # MOR view subtracts exactly the deleted keys; plain read doesn't
+    assert tl.snapshot_read_mor(spark, d).count() == n_before - n_del
+    assert tl.snapshot_read(spark, d).count() == n_before
+    # time travel BELOW the delete sees the full table
+    assert tl.snapshot_read_mor(spark, d, v - 1).count() == n_before
+    mor_rows = sorted(
+        map(tuple, tl.snapshot_read_mor(spark, d).collect()))
+
+    # materialize: one commit, only key-containing files rewritten,
+    # delete file retired, plain read == the previous MOR view
+    mv = tl.materialize_deletes(spark, d)
+    log_m = tl.read_log(spark, d).filter(f"v = {mv}").collect()
+    removes = sorted(r["path"] for r in log_m if r["a"] == "remove")
+    # bucket-3 keys live only in A3; the KD file retires with it
+    assert removes == [f"A3.parquet", f"KD{v}.parquet"]
+    assert tl.snapshot_delete_files(spark, d).count() == 0
+    assert sorted(
+        map(tuple, tl.snapshot_read(spark, d).collect())) == mor_rows
+    assert sorted(
+        map(tuple, tl.snapshot_read_mor(spark, d).collect())) == mor_rows
+    # the retired delete file (and old A3) are now vacuumable
+    plan = sorted(r["path"] for r in tl.vacuum_plan(spark, d).collect())
+    assert f"KD{v}.parquet" in plan and "A3.parquet" in plan
+    deleted = tl.vacuum_table(spark, d)
+    assert deleted == plan
+    # post-vacuum: latest still reads; the MOR-era version raises
+    assert tl.snapshot_read(spark, d).count() == n_before - n_del
+    with pytest.raises(ValueError, match="vacuumed"):
+        tl.snapshot_read_mor(spark, d, v)
+    # double-delete of the same keys is idempotent in the view
+    tl.delete_keys_mor(spark, d, keys.limit(max(n_del // 2, 1)))
+    assert tl.snapshot_read_mor(spark, d).count() == n_before - n_del
+
+
 def test_replay_matches_reference_model(spark, tmp_path):
     """Property test: Spark's window replay == a trivial in-memory
     reference over randomized action logs (last action <= V wins,
