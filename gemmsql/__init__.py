@@ -146,6 +146,10 @@ _EXPORTS = {
     "parse_seqfile": "gemmsql.pipeline.seqfile",
     "avro_split_ingest": "gemmsql.pipeline.avro",
     "avro_block_index": "gemmsql.pipeline.avro",
+    # perceptual image near-dup (r13 birth)
+    "dhash_bits": "gemmsql.pipeline.phash",
+    "dhash_bands": "gemmsql.pipeline.phash",
+    "image_near_dups": "gemmsql.pipeline.phash",
 }
 
 

@@ -345,6 +345,18 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _image_near_dups(spark, sf_dir):
+    from gemmsql.pipeline.phash import image_near_dups
+
+    return image_near_dups(spark, sf_dir)
+
+
+def _image_near_dups_sql():
+    from gemmsql.pipeline.phash import IMAGE_NEAR_DUPS_SQL
+
+    return IMAGE_NEAR_DUPS_SQL
+
+
 def _mor_delete_read(spark, sf_dir):
     from gemmsql.pipeline.tablelog import mor_delete_read
 
@@ -1078,6 +1090,19 @@ def _rotated():
         # with merge-planner pruning, vacuum the retired delete
         # file — is pinned in tests/test_tablelog.py
         ("mor_delete_read", _mor_delete_read, _mor_delete_read_sql()),
+        # also born in round 13: the IMAGE modality's near-dup pass —
+        # dHash (9x8 nearest-neighbor sample, integer luma, adjacent
+        # compare -> 64 bits) + 4x16-bit banded Hamming LSH, the
+        # perceptual-hash dedup production corpus pipelines run.
+        # Never all-pairs: candidates come from the band equi-join,
+        # only candidates pay the exact bit_count(xor) check.  The
+        # REAL decode path (staged QOI corpus through decode_qoi)
+        # plus planted one-pixel variants every 17th doc; the twin
+        # re-derives every sampled pixel from the md5 delta chain and
+        # recomputes bits/bands/join/distances, so the resize index
+        # map, luma weights, bit packing, banding, and radius are all
+        # hash-load-bearing
+        ("image_near_dups", _image_near_dups, _image_near_dups_sql()),
     ]
 
 
