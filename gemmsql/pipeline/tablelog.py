@@ -457,13 +457,15 @@ def version_diff(
     v_from: int = 1,
     v_to: int = 3,
 ) -> DataFrame:
-    """Change data feed between two versions: row-level inserts and
-    deletes, computed by reading ONLY the files in the symmetric
-    difference of the two live sets — files live at both versions
-    cannot contribute changes, so a diff between adjacent versions of
-    a 100 TB table reads just the rewritten files.  The file lists
-    are a bounded driver collect (metadata — the same driver-side
-    planning every table format's CDF does).
+    """Change data feed between two versions: row-level changes
+    (insert / delete / update_pre / update_post — a changed row whose
+    key survives both sides gets the Delta-CDF update labels),
+    computed by reading ONLY the files in the symmetric difference of
+    the two live sets — files live at both versions cannot contribute
+    changes, so a diff between adjacent versions of a 100 TB table
+    reads just the rewritten files.  The file lists are a bounded
+    driver collect (metadata — the same driver-side planning every
+    table format's CDF does).
 
     The default window (v1 → v3) crosses the compaction commit, which
     must contribute ZERO change rows (C0 re-sorts exactly A0 ∪ A1) —
@@ -504,17 +506,28 @@ def version_diff_dir(
     rows_a = _read(la - lb)
     rows_b = _read(lb - la)
     # VALUE-AWARE anti-joins (round 13): an UPDATE — same key, changed
-    # row, exactly what MERGE produces — must surface as a
-    # delete(before)/insert(after) pair, the classic CDC
-    # representation; a key-only anti-join would hide it.  A pure
-    # rewrite (compaction) still cancels: identical rows match on all
-    # columns.
+    # row, exactly what MERGE produces — must surface in the feed; a
+    # key-only anti-join would hide it.  A pure rewrite (compaction)
+    # still cancels: identical rows match on all columns.  Changed
+    # rows whose KEY survives both sides get Delta-CDF-style
+    # update_pre / update_post labels; true removals and arrivals
+    # stay delete / insert.
     on = ["o_orderkey", "o_orderpriority", "cents"]
-    deleted = rows_a.join(rows_b, on, "left_anti").select(
-        F.lit("delete").alias("change"), *cols, "cents"
+    del_rows = rows_a.join(rows_b, on, "left_anti")
+    ins_rows = rows_b.join(rows_a, on, "left_anti")
+    ukeys = (
+        del_rows.select("o_orderkey")
+        .join(ins_rows.select("o_orderkey"), "o_orderkey")
+        .distinct()
+        .withColumn("_u", F.lit(1))
     )
-    inserted = rows_b.join(rows_a, on, "left_anti").select(
-        F.lit("insert").alias("change"), *cols, "cents"
+    deleted = del_rows.join(ukeys, "o_orderkey", "left").select(
+        F.when(F.col("_u") == 1, "update_pre").otherwise("delete")
+        .alias("change"), *cols, "cents"
+    )
+    inserted = ins_rows.join(ukeys, "o_orderkey", "left").select(
+        F.when(F.col("_u") == 1, "update_post").otherwise("insert")
+        .alias("change"), *cols, "cents"
     )
     return deleted.unionByName(inserted)
 
@@ -552,7 +565,9 @@ def cdf_ivm_rollup(
             F.sum(F.expr(_CENTS)).alias("bc"),
         )
     )
-    sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    sign = F.when(
+        F.col("change").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))  # delete / update_pre retract
     delta = (
         version_diff(spark, sf_dir, v_from, v_to)
         .groupBy("o_orderpriority")
@@ -628,7 +643,9 @@ def streaming_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    sign = F.when(
+        F.col("change").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))  # delete / update_pre retract
     agg = src.groupBy("o_orderpriority").agg(
         F.sum(sign).alias("dn"),
         F.sum(sign * F.col("cents")).alias("dc"),
@@ -1692,16 +1709,28 @@ data AS (
          o_orderpriority, {_CENTS} AS cents
   FROM read_parquet('{d}/data/*.parquet', filename = true)),
 ra AS (SELECT * FROM data WHERE path IN (SELECT path FROM only_a)),
-rb AS (SELECT * FROM data WHERE path IN (SELECT path FROM only_b))
-SELECT 'delete' AS change, o_orderkey, o_orderpriority, cents
-FROM ra WHERE NOT EXISTS (
-  SELECT 1 FROM rb WHERE rb.o_orderkey = ra.o_orderkey
-    AND rb.o_orderpriority = ra.o_orderpriority AND rb.cents = ra.cents)
+rb AS (SELECT * FROM data WHERE path IN (SELECT path FROM only_b)),
+del0 AS (
+  SELECT * FROM ra WHERE NOT EXISTS (
+    SELECT 1 FROM rb WHERE rb.o_orderkey = ra.o_orderkey
+      AND rb.o_orderpriority = ra.o_orderpriority
+      AND rb.cents = ra.cents)),
+ins0 AS (
+  SELECT * FROM rb WHERE NOT EXISTS (
+    SELECT 1 FROM ra WHERE ra.o_orderkey = rb.o_orderkey
+      AND ra.o_orderpriority = rb.o_orderpriority
+      AND ra.cents = rb.cents)),
+ukeys AS (SELECT o_orderkey FROM del0
+          INTERSECT SELECT o_orderkey FROM ins0)
+SELECT CASE WHEN o_orderkey IN (SELECT o_orderkey FROM ukeys)
+            THEN 'update_pre' ELSE 'delete' END AS change,
+       o_orderkey, o_orderpriority, cents
+FROM del0
 UNION ALL
-SELECT 'insert' AS change, o_orderkey, o_orderpriority, cents
-FROM rb WHERE NOT EXISTS (
-  SELECT 1 FROM ra WHERE ra.o_orderkey = rb.o_orderkey
-    AND ra.o_orderpriority = rb.o_orderpriority AND ra.cents = rb.cents)
+SELECT CASE WHEN o_orderkey IN (SELECT o_orderkey FROM ukeys)
+            THEN 'update_post' ELSE 'insert' END AS change,
+       o_orderkey, o_orderpriority, cents
+FROM ins0
 """
 
 

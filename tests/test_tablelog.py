@@ -426,15 +426,16 @@ def test_merge_is_one_atomic_version_touching_only_matched_files(
         if r["a"] == "add" and r["path"] == "MRG4-ins.parquet"
     )
     assert tl.snapshot_read(spark, d).count() == n_before + n_inserted
-    # the VALUE-AWARE diff across the merge shows every update as a
-    # delete(before)/insert(after) pair plus the pure inserts: all of
-    # A2's rows changed price, so deletes == |A2| and inserts ==
-    # |A2| + the insert file's rows
+    # the VALUE-AWARE diff across the merge labels every changed row
+    # whose key survives as a Delta-CDF update pair; pure inserts
+    # stay inserts, and nothing was truly deleted
     n_a2 = spark.read.parquet(
         os.path.join(src_tbl, tl.DATA_SUBDIR, "A2.parquet")).count()
     diff = tl.version_diff_dir(spark, d, 3, 4)
-    assert diff.filter("change = 'delete'").count() == n_a2
-    assert diff.filter("change = 'insert'").count() == n_a2 + n_inserted
+    assert diff.filter("change = 'update_pre'").count() == n_a2
+    assert diff.filter("change = 'update_post'").count() == n_a2
+    assert diff.filter("change = 'insert'").count() == n_inserted
+    assert diff.filter("change = 'delete'").count() == 0
     # and the updated file's rows really carry the +1000.00 price:
     # the rewritten file's cents total exceeds A2's by exactly
     # 100000 * its row count
