@@ -110,6 +110,7 @@ _EXPORTS = {
     "snapshot_delete_files": "gemmsql.pipeline.tablelog",
     "materialize_deletes": "gemmsql.pipeline.tablelog",
     "mor_delete_read": "gemmsql.pipeline.tablelog",
+    "bloom_skipping_audit": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

@@ -1323,6 +1323,158 @@ def merge_table(
     return commit_actions(table_dir, actions)
 
 
+#: bloom index shape: 2^17 bits (expressed as set POSITIONS, not
+#: packed words — membership is then a pure relational join and the
+#: frame size is set-bit count, not filter width) and two md5-derived
+#: hash functions per key.  Sized so the sf0.1 fixture's largest file
+#: (~21k keys) sits under ~30% load (fp ~8%); a production writer
+#: sizes per file at ~10 bits/key the same way, which only changes
+#: this constant
+_BLOOM_BITS = 1 << 17
+
+
+def _bloom_positions(key_col: str) -> list[str]:
+    """The two md5-derived bit positions for a key — Spark SQL
+    expressions (DuckDB twin: the '0x'||substr form of the same)."""
+    return [
+        f"pmod(CAST(conv(substring(md5(concat('blm{i}:', "
+        f"CAST({key_col} AS STRING))), 1, 15), 16, 10) AS BIGINT), "
+        f"{_BLOOM_BITS})"
+        for i in (0, 1)
+    ]
+
+
+def bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-LOOKUP file skipping via per-file Bloom indexes — the
+    capability min/max range stats cannot give (the Delta bloom
+    index / Iceberg bloom story): a key INSIDE a file's key range but
+    absent from the file should skip it.  Per live file, the Bloom
+    set is the union of each key's two md5-derived bit positions; a
+    probe is a candidate for a file iff ALL its positions are set —
+    all expressed as relational joins (distinct (path, bit) tuples,
+    never packed words, never a UDF), so the same plan runs at any
+    scale with the bloom frame ~files x 256 rows of metadata.
+
+    Output per probe key (97 deterministic probes spanning the key
+    domain, derived from the table's own max key so DuckDB replays
+    them): candidate-file count vs TRUE containing-file count.  The
+    planner trust contract — truth never exceeds candidates, and a
+    present key's file is always a candidate (no false negatives) —
+    is what the hash pins, false-positive counts included (both
+    engines compute identical md5 bits)."""
+    table_dir = stage_versioned_table(spark, sf_dir)
+    live = snapshot_files(spark, table_dir)
+    gmax = live.agg(F.max("max_key")).collect()[0][0]  # 1-row metadata
+    data = (
+        _data_with_path(spark, table_dir)
+        .join(F.broadcast(live.select("path")), "path")
+        .select("path", "o_orderkey")
+    )
+    p0, p1 = _bloom_positions("o_orderkey")
+    bloom = (
+        data.select("path", F.expr(p0).alias("bit"))
+        .unionByName(data.select("path", F.expr(p1).alias("bit")))
+        .distinct()
+    )
+    probes = spark.range(1, 98).select(
+        F.expr(f"id * {int(gmax)} div 97").cast("long").alias("probe_key")
+    )
+    q0, q1 = _bloom_positions("probe_key")
+    probe_bits = (
+        probes.select("probe_key", F.expr(q0).alias("bit"))
+        .unionByName(probes.select("probe_key", F.expr(q1).alias("bit")))
+        .distinct()
+    )
+    need = probe_bits.groupBy("probe_key").agg(
+        F.count("*").alias("n_need")
+    )
+    cand = (
+        probe_bits.join(bloom, "bit")
+        .groupBy("probe_key", "path")
+        .agg(F.count("*").alias("n_hit"))
+        .join(F.broadcast(need), "probe_key")
+        .filter(F.col("n_hit") == F.col("n_need"))
+        .groupBy("probe_key")
+        .agg(F.count("*").alias("nc"))
+    )
+    truth = (
+        data.join(probes, data["o_orderkey"] == probes["probe_key"])
+        .select("probe_key", "path")
+        .distinct()
+        .groupBy("probe_key")
+        .agg(F.count("*").alias("nt"))
+    )
+    return (
+        probes.join(cand, "probe_key", "left")
+        .join(truth, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce("nc", F.lit(0)).cast("long")
+            .alias("n_candidate_files"),
+            F.coalesce("nt", F.lit(0)).cast("long").alias("n_true_files"),
+        )
+    )
+
+
+def bloom_skipping_audit_sql(sf_dir: str) -> str:
+    """DuckDB twin: the same blooms, probes, and joins rebuilt from
+    the staged table's log + data independently."""
+    d = _table_dir(sf_dir)
+
+    def pos(col: str, i: int) -> str:
+        return (
+            f"CAST('0x' || substring(md5('blm{i}:' || "
+            f"CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) % {_BLOOM_BITS}"
+        )
+
+    return f"""
+WITH log AS (SELECT * FROM {_log_rel(d)}),
+last AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY path
+      ORDER BY v DESC, CASE WHEN a = 'remove' THEN 0 ELSE 1 END
+    ) AS rn
+  FROM log WHERE a IN ('add', 'remove')),
+live AS (SELECT path FROM last WHERE rn = 1 AND a = 'add'),
+gmax AS (SELECT MAX(max_key) AS m FROM last WHERE rn = 1 AND a = 'add'),
+data AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS path, o_orderkey
+  FROM read_parquet('{d}/data/*.parquet', filename = true)
+  WHERE regexp_extract(filename, '[^/]+$') IN (SELECT path FROM live)),
+bloom AS (
+  SELECT DISTINCT path, bit FROM (
+    SELECT path, {pos('o_orderkey', 0)} AS bit FROM data
+    UNION ALL
+    SELECT path, {pos('o_orderkey', 1)} AS bit FROM data)),
+probes AS (
+  SELECT CAST(s.i * gmax.m // 97 AS BIGINT) AS probe_key
+  FROM generate_series(1, 97) s(i) CROSS JOIN gmax),
+probe_bits AS (
+  SELECT DISTINCT probe_key, bit FROM (
+    SELECT probe_key, {pos('probe_key', 0)} AS bit FROM probes
+    UNION ALL
+    SELECT probe_key, {pos('probe_key', 1)} AS bit FROM probes)),
+need AS (SELECT probe_key, COUNT(*) AS n_need FROM probe_bits GROUP BY 1),
+cand AS (
+  SELECT pb.probe_key, COUNT(*) AS nc FROM (
+    SELECT probe_bits.probe_key, bloom.path, COUNT(*) AS n_hit
+    FROM probe_bits JOIN bloom USING (bit)
+    GROUP BY 1, 2) pb
+  JOIN need ON need.probe_key = pb.probe_key AND pb.n_hit = need.n_need
+  GROUP BY 1),
+truth AS (
+  SELECT probes.probe_key, COUNT(DISTINCT data.path) AS nt
+  FROM data JOIN probes ON data.o_orderkey = probes.probe_key
+  GROUP BY 1)
+SELECT probes.probe_key,
+       CAST(COALESCE(cand.nc, 0) AS BIGINT) AS n_candidate_files,
+       CAST(COALESCE(truth.nt, 0) AS BIGINT) AS n_true_files
+FROM probes
+LEFT JOIN cand ON cand.probe_key = probes.probe_key
+LEFT JOIN truth ON truth.probe_key = probes.probe_key
+"""
+
+
 # --------------------------------------------- merge-on-read deletes
 
 def delete_keys_mor(

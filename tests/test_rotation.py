@@ -345,6 +345,18 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _bloom_skipping_audit(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import bloom_skipping_audit
+
+    return bloom_skipping_audit(spark, sf_dir)
+
+
+def _bloom_skipping_audit_sql():
+    from gemmsql.pipeline.tablelog import bloom_skipping_audit_sql
+
+    return bloom_skipping_audit_sql(SF_SMOKE)
+
+
 def _image_near_dups(spark, sf_dir):
     from gemmsql.pipeline.phash import image_near_dups
 
@@ -1103,6 +1115,18 @@ def _rotated():
         # map, luma weights, bit packing, banding, and radius are all
         # hash-load-bearing
         ("image_near_dups", _image_near_dups, _image_near_dups_sql()),
+        # also born in round 13: POINT-LOOKUP file skipping via
+        # per-file Bloom indexes — the capability min/max stats can't
+        # give (a key inside a file's range but absent should skip
+        # it; the Delta bloom index / Iceberg bloom story).  Blooms
+        # and probes are md5-derived and expressed as set POSITIONS
+        # joined relationally (no packed words, no UDFs); the twin
+        # rebuilds blooms, probes, and joins from the staged log+data
+        # independently, so the hash pins false-positive counts and
+        # the no-false-negative planner trust contract (also pinned
+        # directly in tests/test_tablelog.py)
+        ("bloom_skipping_audit", _bloom_skipping_audit,
+         _bloom_skipping_audit_sql()),
     ]
 
 

@@ -571,6 +571,26 @@ def test_mor_delete_lifecycle(spark, tmp_path):
     assert tl.snapshot_read_mor(spark, d).count() == n_before - n_del
 
 
+def test_bloom_skipping_trust_contract(spark):
+    """The planner trust contract for the Bloom point-lookup index:
+    NO false negatives (every true containing file is a candidate)
+    and absent probes genuinely skip (otherwise the index is
+    vacuous)."""
+    rows = {r["probe_key"]: r for r in
+            tl.bloom_skipping_audit(spark, SF_SMOKE).collect()}
+    assert len(rows) == 97
+    assert all(
+        r["n_true_files"] <= r["n_candidate_files"] for r in rows.values()
+    )
+    absent = [r for r in rows.values() if r["n_true_files"] == 0]
+    assert absent, "probe grid should include absent keys"
+    assert all(r["n_candidate_files"] == 0 for r in absent)
+    present = [r for r in rows.values() if r["n_true_files"] > 0]
+    assert present and all(
+        r["n_candidate_files"] >= 1 for r in present
+    )
+
+
 def test_replay_matches_reference_model(spark, tmp_path):
     """Property test: Spark's window replay == a trivial in-memory
     reference over randomized action logs (last action <= V wins,
