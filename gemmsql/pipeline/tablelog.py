@@ -505,31 +505,41 @@ def version_diff_dir(
 
     rows_a = _read(la - lb)
     rows_b = _read(lb - la)
-    # VALUE-AWARE anti-joins (round 13): an UPDATE — same key, changed
-    # row, exactly what MERGE produces — must surface in the feed; a
-    # key-only anti-join would hide it.  A pure rewrite (compaction)
-    # still cancels: identical rows match on all columns.  Changed
-    # rows whose KEY survives both sides get Delta-CDF-style
-    # update_pre / update_post labels; true removals and arrivals
-    # stay delete / insert.
+    # VALUE-AWARE feed (round 13): an UPDATE — same key, changed row,
+    # exactly what MERGE produces — must surface; a key-only
+    # anti-join would hide it.  A pure rewrite (compaction) still
+    # cancels: identical rows appear on both sides.  Single-pass
+    # shape: union the two sides, aggregate per full row (one
+    # shuffle) keeping rows present on exactly one side, then one
+    # key-window decides whether the key survives both sides —
+    # Delta-CDF update_pre / update_post — or is a true
+    # delete / insert.
+    tagged = (
+        rows_a.withColumn("_side", F.lit("a"))
+        .unionByName(rows_b.withColumn("_side", F.lit("b")))
+    )
     on = ["o_orderkey", "o_orderpriority", "cents"]
-    del_rows = rows_a.join(rows_b, on, "left_anti")
-    ins_rows = rows_b.join(rows_a, on, "left_anti")
-    ukeys = (
-        del_rows.select("o_orderkey")
-        .join(ins_rows.select("o_orderkey"), "o_orderkey")
-        .distinct()
-        .withColumn("_u", F.lit(1))
+    changed = (
+        tagged.groupBy(on)
+        .agg(
+            F.max(F.col("_side") == "a").alias("_ha"),
+            F.max(F.col("_side") == "b").alias("_hb"),
+        )
+        .filter(F.col("_ha") != F.col("_hb"))
     )
-    deleted = del_rows.join(ukeys, "o_orderkey", "left").select(
-        F.when(F.col("_u") == 1, "update_pre").otherwise("delete")
-        .alias("change"), *cols, "cents"
+    wk = Window.partitionBy("o_orderkey")
+    labeled = changed.withColumn(
+        "_upd",
+        F.max("_ha").over(wk) & F.max("_hb").over(wk),
     )
-    inserted = ins_rows.join(ukeys, "o_orderkey", "left").select(
-        F.when(F.col("_u") == 1, "update_post").otherwise("insert")
-        .alias("change"), *cols, "cents"
+    return labeled.select(
+        F.when(F.col("_ha") & F.col("_upd"), "update_pre")
+        .when(F.col("_ha"), "delete")
+        .when(F.col("_upd"), "update_post")
+        .otherwise("insert")
+        .alias("change"),
+        *cols, "cents",
     )
-    return deleted.unionByName(inserted)
 
 
 def cdf_ivm_rollup(
