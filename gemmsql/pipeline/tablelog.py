@@ -891,7 +891,62 @@ def optimize_table(
     return dest_dir
 
 
-def commit_actions(table_dir: str, actions: list[dict]) -> int:
+def add_check_constraint(table_dir: str, name: str, predicate: str) -> int:
+    """Record a CHECK constraint as table metadata (the Delta
+    ``ALTER TABLE ADD CONSTRAINT`` story): a ``constraint`` action
+    carrying a SQL predicate every future append must satisfy.
+    Constraints are replayed like schema metadata — the latest set of
+    named constraints at a version governs writes after it."""
+    return commit_actions(table_dir, [{
+        "a": "constraint", "path": f"constraint:{name}",
+        "min_date": predicate,   # predicate rides an existing string field
+    }])
+
+
+def table_constraints(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict[str, str]:
+    """Named CHECK predicates in force at ``version``."""
+    log = read_log(spark, table_dir).filter(F.col("a") == "constraint")
+    if version is not None:
+        log = log.filter(F.col("v") <= version)
+    rows = log.select("path", "min_date", "v").collect()  # metadata
+    out: dict[str, str] = {}
+    for r in sorted(rows, key=lambda r: r["v"]):
+        out[r["path"].split(":", 1)[1]] = r["min_date"]
+    return out
+
+
+def constrained_append(
+    spark: SparkSession, table_dir: str, df: DataFrame, name: str
+) -> int:
+    """Append ``df`` as one data file, REJECTING the whole commit if
+    any row violates any registered CHECK constraint — commit-time
+    enforcement, so a constraint violation can never become readable
+    state (the write-side half of the DQ story; the read-side audits
+    live in ``dq.py``).  One validation pass over the incoming rows
+    only — never a table rescan."""
+    checks = table_constraints(spark, table_dir)
+    if checks:
+        cond = " AND ".join(f"({p})" for p in checks.values())
+        n_bad = df.filter(~F.expr(cond)).count()
+        if n_bad:
+            raise ValueError(
+                f"constrained_append rejected: {n_bad} row(s) violate "
+                f"constraints {sorted(checks)}"
+            )
+    add = _write_with_add_action(df, table_dir, name)
+    if add is None:
+        raise ValueError("empty append")
+    return commit_actions(table_dir, [add])
+
+
+def commit_actions(
+    table_dir: str,
+    actions: list[dict],
+    *,
+    app_txn: tuple[str, int] | None = None,
+) -> int:
     """Optimistic-concurrency commit (the Delta protocol's mutual-
     exclusion rule, done with the filesystem's ``O_EXCL``): the next
     version number is claimed by exclusively creating its commit
@@ -903,23 +958,55 @@ def commit_actions(table_dir: str, actions: list[dict]) -> int:
     against object-store conditional puts; the invariant is
     identical — one writer per version, no lost commits (the
     concurrent-writers test pins all-distinct versions and a
-    complete log)."""
+    complete log).
+
+    ``app_txn=(app_id, txn_version)`` enables IDEMPOTENT writes (the
+    Delta ``txn`` action — the exactly-once contract streaming sinks
+    and retrying jobs rely on): the commit carries a ``txn`` action,
+    and a later attempt with the same (app_id, txn_version) — a
+    retry after a crash between commit and acknowledgment — is a
+    NO-OP returning the original version instead of double-applying
+    the write.  The check re-runs after every lost race, so two
+    concurrent retries of one txn cannot both land."""
     log_dir = os.path.join(table_dir, LOG_SUBDIR)
+    txn_tag = None
+    if app_txn is not None:
+        app_id, txn_v = app_txn
+        txn_tag = f"txn:{app_id}:{int(txn_v)}"
+        actions = [{"a": "txn", "path": txn_tag}, *actions]
     while True:
+        found = sorted(_glob.glob(os.path.join(log_dir, "*.json")))
+        if txn_tag is not None:
+            for p in found:
+                with open(p) as f:
+                    for ln in f:
+                        if ln.strip() and json.loads(ln).get("path") == \
+                                txn_tag:
+                            return int(os.path.basename(p).split(".")[0])
         versions = [
-            int(os.path.basename(p).split(".")[0])
-            for p in _glob.glob(os.path.join(log_dir, "*.json"))
+            int(os.path.basename(p).split(".")[0]) for p in found
         ]
         v = (max(versions) + 1) if versions else 0
         path = os.path.join(log_dir, f"{v:08d}.json")
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # lost the race — next number
-        with os.fdopen(fd, "w") as f:
+        # claim WITH content in one atomic step (hard link of a fully
+        # written temp file): a concurrent reader or txn re-check can
+        # never observe a claimed-but-empty commit file, which the
+        # old O_EXCL-then-write sequence allowed
+        import threading as _threading
+
+        tmp = os.path.join(
+            log_dir, f".tmp-{os.getpid()}-{_threading.get_ident()}"
+        )
+        with open(tmp, "w") as f:
             f.write(
                 "\n".join(json.dumps({**a, "v": v}) for a in actions) + "\n"
             )
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race — next number (and re-check txns)
+        os.remove(tmp)
         return v
 
 

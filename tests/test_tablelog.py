@@ -571,6 +571,83 @@ def test_mor_delete_lifecycle(spark, tmp_path):
     assert tl.snapshot_read_mor(spark, d).count() == n_before - n_del
 
 
+def test_check_constraints_enforced_at_commit(spark, tmp_path):
+    """CHECK constraints are table metadata enforced at write time:
+    a violating append REJECTS the whole commit (never readable
+    state); a clean append lands; constraints replay per version."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "ck")
+    shutil.copytree(src_tbl, d)
+    tl.add_check_constraint(d, "price_pos", "o_totalprice > 0")
+    v = tl.add_check_constraint(
+        d, "key_cap", "o_orderkey < 10000000000")
+    assert tl.table_constraints(spark, d) == {
+        "price_pos": "o_totalprice > 0",
+        "key_cap": "o_orderkey < 10000000000",
+    }
+    # constraints are versioned metadata: none in force before them
+    assert tl.table_constraints(spark, d, v - 2) == {}
+    rows = [(10_000_000, "O", 12.5, "1995-06-01", "1-URGENT"),
+            (10_000_001, "O", -1.0, "1995-06-01", "1-URGENT")]
+    schema = ("o_orderkey long, o_orderstatus string,"
+              " o_totalprice double, o_orderdate string,"
+              " o_orderpriority string")
+    bad = spark.createDataFrame(rows, schema).withColumn(
+        "o_orderdate", tl.F.col("o_orderdate").cast("timestamp_ntz"))
+    n0 = tl.snapshot_read(spark, d).count()
+    with pytest.raises(ValueError, match="price_pos"):
+        tl.constrained_append(spark, d, bad, "X0.parquet")
+    # the rejected commit left NO readable state and no data file
+    assert tl.snapshot_read(spark, d).count() == n0
+    assert not os.path.exists(os.path.join(d, tl.DATA_SUBDIR, "X0.parquet"))
+    good = bad.filter("o_totalprice > 0")
+    tl.constrained_append(spark, d, good, "X1.parquet")
+    assert tl.snapshot_read(spark, d).count() == n0 + 1
+
+
+def test_idempotent_txn_commits(spark, tmp_path):
+    """The exactly-once writer contract (Delta's txn action): a
+    retried commit with the same (app_id, txn_version) is a no-op
+    returning the original version; a new txn_version lands."""
+    d = _mklog(tmp_path, {0: [_add(0, "base.parquet")]})
+
+    def commit(txn_v, path):
+        return tl.commit_actions(
+            d, [_add(0, path) | {"a": "add"}], app_txn=("job", txn_v)
+        )
+
+    v1 = commit(1, "w1.parquet")
+    assert v1 == 1
+    # the crash-retry: same app txn, different payload name — no-op,
+    # original version returned, nothing new in the log
+    assert commit(1, "w1-retry.parquet") == v1
+    assert _live(spark, d) == ["base.parquet", "w1.parquet"]
+    # the next txn version is a real commit
+    v2 = commit(2, "w2.parquet")
+    assert v2 == 2
+    assert _live(spark, d) == [
+        "base.parquet", "w1.parquet", "w2.parquet"]
+    # concurrent retries of ONE txn: exactly one lands
+    import threading
+
+    results = []
+    threads = [
+        threading.Thread(
+            target=lambda i=i: results.append(commit(3, f"w3-{i}.parquet"))
+        )
+        for i in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(results)) == 1
+    live = _live(spark, d)
+    assert sum(1 for p in live if p.startswith("w3-")) == 1
+
+
 def test_bloom_skipping_trust_contract(spark):
     """The planner trust contract for the Bloom point-lookup index:
     NO false negatives (every true containing file is a candidate)
