@@ -111,6 +111,10 @@ _EXPORTS = {
     "materialize_deletes": "gemmsql.pipeline.tablelog",
     "mor_delete_read": "gemmsql.pipeline.tablelog",
     "bloom_skipping_audit": "gemmsql.pipeline.tablelog",
+    "add_check_constraint": "gemmsql.pipeline.tablelog",
+    "table_constraints": "gemmsql.pipeline.tablelog",
+    "constrained_append": "gemmsql.pipeline.tablelog",
+    "streaming_txn_sink_gate": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

@@ -825,6 +825,105 @@ def streaming_cdf_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_orders") > 0)
 
 
+def streaming_txn_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingest into a logged table — the
+    production use of :func:`commit_actions`'s ``app_txn`` (Delta's
+    idempotent ``foreachBatch`` pattern): each micro-batch (one
+    source file — ``maxFilesPerTrigger=1`` makes the txn unit
+    grouping-independent) writes a data file and commits it with a
+    CONTENT-DERIVED transaction id (the batch's min event_id), so any
+    re-delivery of the same data no-ops at the log instead of
+    double-appending.
+
+    The gate runs the ENTIRE stream TWICE — the second pass with a
+    FRESH checkpoint, the harshest duplicate scenario (a full job
+    retry that lost its progress): every second-pass commit must
+    no-op, and the final table must aggregate to exactly the source
+    (the oracle recomputes it from ``events`` directly, so one
+    double-applied batch moves the hash immediately)."""
+    from gemmsql.streaming.windows import (
+        _await_gate,
+        read_events_stream,
+        stage_stream_dir,
+        state_partitions,
+    )
+
+    # the shared stream-gate staging dir every streaming gate uses
+    stream_dir = stage_stream_dir(
+        spark, sf_dir,
+        os.path.join(
+            tempfile.gettempdir(),
+            f"gemmsql_stream_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="gemmsql_txnsink_")
+    table = os.path.join(work, "tbl")
+    os.makedirs(os.path.join(table, LOG_SUBDIR))
+    os.makedirs(os.path.join(table, DATA_SUBDIR))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        st = bdf.agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+        ).collect()[0]
+        if not st["n"]:
+            return
+        name = f"B{int(st['mn'])}.parquet"
+        dest = os.path.join(table, DATA_SUBDIR, name)
+        scratch = f"{dest}.scratch{batch_id}"
+        (
+            bdf.coalesce(1).sortWithinPartitions("event_id")
+            .write.mode("overwrite").parquet(scratch)
+        )
+        part = _glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        os.replace(part, dest)
+        shutil.rmtree(scratch, ignore_errors=True)
+        commit_actions(table, [{
+            "a": "add", "path": name, "n_rows": int(st["n"]),
+            "n_bytes": os.path.getsize(dest),
+            "min_key": int(st["mn"]), "max_key": int(st["mx"]),
+        }], app_txn=("ingest", int(st["mn"])))
+
+    def run(ck: str) -> None:
+        src = read_events_stream(
+            spark, stream_dir, max_files_per_trigger=1
+        )
+        with state_partitions(spark):
+            q = (
+                src.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(work, ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_gate(q)
+
+    run("ck1")
+    v_first = _next_version_nonce(table)
+    run("ck2")   # full re-delivery: every commit must no-op
+    assert _next_version_nonce(table) == v_first, \
+        "re-delivered batches double-committed"
+    return (
+        snapshot_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+            ).cast("long").alias("sum_micros"),
+        )
+    )
+
+
+STREAMING_TXN_SINK_GATE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_micros
+FROM events GROUP BY event_type
+"""
+
+
 def optimize_table(
     spark: SparkSession,
     table_dir: str,

@@ -345,6 +345,18 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
+def _streaming_txn_sink(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_txn_sink_gate
+
+    return streaming_txn_sink_gate(spark, sf_dir)
+
+
+def _streaming_txn_sink_sql():
+    from gemmsql.pipeline.tablelog import STREAMING_TXN_SINK_GATE_SQL
+
+    return STREAMING_TXN_SINK_GATE_SQL
+
+
 def _bloom_skipping_audit(spark, sf_dir):
     from gemmsql.pipeline.tablelog import bloom_skipping_audit
 
@@ -1127,6 +1139,18 @@ def _rotated():
         # directly in tests/test_tablelog.py)
         ("bloom_skipping_audit", _bloom_skipping_audit,
          _bloom_skipping_audit_sql()),
+        # also born in round 13: the EXACTLY-ONCE streaming sink —
+        # foreachBatch appends into a logged table, each commit
+        # carrying a content-derived writer transaction
+        # (commit_actions app_txn, Delta's txn action).  The gate
+        # replays the ENTIRE stream twice, the second pass with a
+        # FRESH checkpoint (a full job retry that lost its
+        # progress): every re-delivered commit must no-op at the log
+        # (version count pinned in-gate), and the final table must
+        # aggregate to exactly the source — one double-applied batch
+        # moves the hash immediately
+        ("streaming_txn_sink_gate", _streaming_txn_sink,
+         _streaming_txn_sink_sql()),
     ]
 
 
