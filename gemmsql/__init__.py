@@ -115,6 +115,7 @@ _EXPORTS = {
     "table_constraints": "gemmsql.pipeline.tablelog",
     "constrained_append": "gemmsql.pipeline.tablelog",
     "streaming_txn_sink_gate": "gemmsql.pipeline.tablelog",
+    "ConcurrentModificationError": "gemmsql.pipeline.tablelog",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",

@@ -1040,11 +1040,41 @@ def constrained_append(
     return commit_actions(table_dir, [add])
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A commit planned against a snapshot conflicts with a commit
+    that landed since (snapshot-isolation violation)."""
+
+
+def _live_paths_from_files(log_files: list[str]) -> set[str]:
+    """Driver-side replay of the live DATA-file set from raw commit
+    files — the conflict check runs inside the commit loop, where a
+    Spark job per retry would be absurd.  Metadata-sized: the same
+    last-action-wins rule as :func:`snapshot_files`."""
+    last: dict[str, tuple[int, int, str]] = {}
+    for p in log_files:
+        v = int(os.path.basename(p).split(".")[0])
+        with open(p) as f:
+            for i, ln in enumerate(f):
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                if a.get("a") not in ("add", "remove"):
+                    continue
+                # remove beats add within one version: rank removes
+                # higher at equal v
+                rank = (v, 0 if a["a"] == "remove" else -1)
+                cur = last.get(a["path"])
+                if cur is None or rank >= (cur[0], cur[1]):
+                    last[a["path"]] = (rank[0], rank[1], a["a"])
+    return {p for p, (_, _, act) in last.items() if act == "add"}
+
+
 def commit_actions(
     table_dir: str,
     actions: list[dict],
     *,
     app_txn: tuple[str, int] | None = None,
+    expects_live: list[str] | None = None,
 ) -> int:
     """Optimistic-concurrency commit (the Delta protocol's mutual-
     exclusion rule, done with the filesystem's ``O_EXCL``): the next
@@ -1066,7 +1096,17 @@ def commit_actions(
     retry after a crash between commit and acknowledgment — is a
     NO-OP returning the original version instead of double-applying
     the write.  The check re-runs after every lost race, so two
-    concurrent retries of one txn cannot both land."""
+    concurrent retries of one txn cannot both land.
+
+    ``expects_live`` enables SNAPSHOT-ISOLATION conflict detection
+    (Delta's commit-time conflict check): a writer that PLANNED
+    against a snapshot — a MERGE or delete-materialization that will
+    remove specific files — names them, and the commit ABORTS with
+    :class:`ConcurrentModificationError` if any is no longer live
+    (a concurrent commit rewrote it).  Without the check, two
+    concurrent MERGEs could both remove one file and silently lose
+    one side's update.  The check re-runs after every lost race, so
+    it holds against the log state the commit actually lands on."""
     log_dir = os.path.join(table_dir, LOG_SUBDIR)
     txn_tag = None
     if app_txn is not None:
@@ -1082,6 +1122,14 @@ def commit_actions(
                         if ln.strip() and json.loads(ln).get("path") == \
                                 txn_tag:
                             return int(os.path.basename(p).split(".")[0])
+        if expects_live:
+            live = _live_paths_from_files(found)
+            gone = sorted(set(expects_live) - live)
+            if gone:
+                raise ConcurrentModificationError(
+                    f"commit conflicts: planned-against files no longer "
+                    f"live: {gone}"
+                )
         versions = [
             int(os.path.basename(p).split(".")[0]) for p in found
         ]
@@ -1516,7 +1564,9 @@ def merge_table(
         actions.append(ins_add)
     if not actions:
         raise ValueError("merge produced no actions")
-    return commit_actions(table_dir, actions)
+    # snapshot-isolation: abort if a concurrent commit rewrote any
+    # file this merge planned to replace (lost-update protection)
+    return commit_actions(table_dir, actions, expects_live=touched)
 
 
 #: bloom index shape: 2^17 bits (expressed as set POSITIONS, not
@@ -1808,6 +1858,7 @@ def materialize_deletes(
             actions.append({"a": "remove", "path": name})
             if add:
                 actions.append(add)
+        return commit_actions(table_dir, actions, expects_live=touched)
     return commit_actions(table_dir, actions)
 
 

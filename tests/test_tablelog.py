@@ -648,6 +648,44 @@ def test_idempotent_txn_commits(spark, tmp_path):
     assert sum(1 for p in live if p.startswith("w3-")) == 1
 
 
+def test_commit_conflict_detection(spark, tmp_path):
+    """Snapshot-isolation at commit time: a writer that planned
+    against files a concurrent commit has since rewritten must ABORT
+    (lost-update protection), while non-conflicting commits land."""
+    import pytest
+
+    d = _mklog(tmp_path, {
+        0: [_add(0, "f.parquet"), _add(0, "g.parquet")],
+    })
+    # a concurrent writer rewrites f between our plan and our commit
+    tl.commit_actions(d, [_rm(1, "f.parquet"), _add(1, "f2.parquet")])
+    with pytest.raises(tl.ConcurrentModificationError, match="f.parquet"):
+        tl.commit_actions(
+            d,
+            [_rm(0, "f.parquet"), _add(0, "mine.parquet")],
+            expects_live=["f.parquet"],
+        )
+    # the aborted commit left nothing in the log
+    assert _live(spark, d) == ["f2.parquet", "g.parquet"]
+    # planning against a still-live file commits fine
+    v = tl.commit_actions(
+        d,
+        [_rm(0, "g.parquet"), _add(0, "g2.parquet")],
+        expects_live=["g.parquet"],
+    )
+    assert v == 2
+    assert _live(spark, d) == ["f2.parquet", "g2.parquet"]
+    # the driver-side replay honors remove-beats-add within a version
+    d2 = _mklog(tmp_path.joinpath("x"), {
+        0: [_add(0, "h.parquet")],
+        1: [_add(1, "h.parquet"), _rm(1, "h.parquet")],
+    })
+    with pytest.raises(tl.ConcurrentModificationError):
+        tl.commit_actions(
+            d2, [_rm(0, "h.parquet")], expects_live=["h.parquet"]
+        )
+
+
 def test_bloom_skipping_trust_contract(spark):
     """The planner trust contract for the Bloom point-lookup index:
     NO false negatives (every true containing file is a candidate)
