@@ -929,3 +929,34 @@ def test_sketch_store_rollup_never_touches_raw_events(spark):
     assert files, "expected store files"
     assert all("gemmsql_hllstore" in f for f in files), files
     assert not any("events.parquet" in f for f in files), files
+
+
+def test_image_near_dups_is_band_join_never_all_pairs(spark):
+    """The LSH promise: candidates come from a (band_idx, band_val)
+    equi-join — the plan must contain hash joins and no cartesian or
+    broadcast-nested-loop product of the hash frames."""
+    from gemmsql.pipeline.phash import image_near_dups
+
+    p = plan_of(image_near_dups(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_bloom_skipping_is_relational_no_cartesian(spark):
+    """The bloom membership test is a (bit) equi-join + counting —
+    never a per-(probe, file) product."""
+    from gemmsql.pipeline.tablelog import bloom_skipping_audit
+
+    p = plan_of(bloom_skipping_audit(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_merge_witness_reads_only_merged_table(spark):
+    """tablelog_merge's aggregate scans the MERGED staged table only
+    — never the base fixture or the raw orders parquet."""
+    from gemmsql.pipeline.tablelog import tablelog_merge
+
+    files = tablelog_merge(spark, SF_SMOKE).inputFiles()
+    assert files, "expected merged-table files"
+    assert all("gemmsql_tablemerge" in f for f in files), files

@@ -116,6 +116,37 @@ def test_segment_index_and_fragment_walk():
                       require_leading_sync=True)
 
 
+def test_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    txt = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=60,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2**40), st.sampled_from(["en", "de"]),
+                      txt, txt),
+            max_size=25,
+        ),
+        st.integers(1, 9),
+    )
+    def check(rows, rps):
+        rows = [(i, lang, src or "s", text) for i, lang, src, text in rows]
+        # doc_ids must be unique (key/value doc_id cross-check)
+        seen = set()
+        rows = [r for r in rows if r[0] not in seen and not seen.add(r[0])]
+        blob = build_seqfile(3, rows, recs_per_sync=rps)
+        assert parse_seqfile(blob) == rows
+        if rows:
+            body, sync, lens = seqfile_segment_index(blob)
+            assert body + sum(lens) == len(blob)
+
+    check()
+
+
 def test_split_ingest_equals_whole_at_three_sizes(spark):
     from tests.conftest import SF_SMOKE
 
