@@ -60,3 +60,23 @@ def test_queries_run_at_smoke_tier(spark):
                  "png_features"]:
         df = qs[name](spark, SF_SMOKE)
         assert df.count() > 0, name
+
+
+def test_promotion_queue_names_real_surfaces():
+    """The COVERAGE.md promotion queue (VERDICT r12 next #2) must
+    stay auditable: every queued surface is a live rotation entry,
+    and no queued surface is already in the driver gate."""
+    import re
+
+    from tests.test_rotation import _rotated
+
+    text = open("/root/repo/COVERAGE.md").read()
+    start = text.index("### Promotion queue")
+    block = text[start:text.index("### Round-13 births")]
+    queued = re.findall(r"^\| `([a-z0-9_]+)` \|", block, re.M)
+    assert len(queued) >= 12
+    rotation = {r[0] for r in _rotated()}
+    gated = set(entrymod.queries())
+    for name in queued:
+        assert name in rotation, f"queued {name} has no rotation gate"
+        assert name not in gated, f"queued {name} is already gated"
