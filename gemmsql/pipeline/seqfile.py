@@ -249,6 +249,10 @@ def seqfile_segment_index(shard: bytes) -> tuple[int, bytes, list[int]]:
     segment runs from one sync escape to the next, so segments are
     the legal cut units (a fragment must open with an escape)."""
     sync, body = _header_end(shard)
+    if body == len(shard):
+        # an empty (header-only) file has no segments — the
+        # whole-file parser accepts it, so the split planner must too
+        return body, sync, []
     esc = struct.pack(">i", -1) + sync
     pos = body
     if shard[pos:pos + 20] != esc:

@@ -55,7 +55,11 @@ def test_container_roundtrip_sync_shapes():
     for rps in (1, 8, 40, 100):
         assert parse_seqfile(
             build_seqfile(7, rows, recs_per_sync=rps)) == rows
-    assert parse_seqfile(build_seqfile(1, [])) == []
+    empty = build_seqfile(1, [])
+    assert parse_seqfile(empty) == []
+    # the split planner accepts the same empty file the parser does
+    body, sync, lens = seqfile_segment_index(empty)
+    assert lens == [] and body == len(empty)
 
 
 def test_strict_parse_rejects_corruption():
