@@ -86,10 +86,10 @@ def dhash_bands(img: np.ndarray) -> list[int]:
     return bands
 
 
-def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b, hamming): near-duplicate image pairs within
-    ``MAX_HAMMING`` of each other, via the band-join LSH plan.  Image
-    id = doc_id * 2 (+1 for the planted variant)."""
+def _bands_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form band rows (id, band_idx, band_val) carrying the FULL
+    hash (h0..h3) alongside, so the pair join resolves Hamming
+    distances inline without a second join back to the hash frame."""
     from gemmsql.pipeline.qoi import decode_qoi, with_qoi_payload
     from gemmsql.pipeline.staging import stage_payload_table
 
@@ -99,13 +99,19 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, bidx, bval = [], [], []
+            out: dict[str, list] = {
+                "id": [], "band_idx": [], "band_val": [],
+                "h0": [], "h1": [], "h2": [], "h3": [],
+            }
 
             def emit(image_id: int, img: np.ndarray) -> None:
-                for i, v in enumerate(dhash_bands(img)):
-                    ids.append(image_id)
-                    bidx.append(i)
-                    bval.append(v)
+                hs = dhash_bands(img)
+                for i, v in enumerate(hs):
+                    out["id"].append(image_id)
+                    out["band_idx"].append(i)
+                    out["band_val"].append(v)
+                    for j in range(4):
+                        out[f"h{j}"].append(hs[j])
 
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_qoi(bytes(p))
@@ -117,15 +123,35 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sx = _BUMP_X * w // _GX
                     var[sy, sx] = var[sy, sx] + np.uint8(_BUMP)  # mod 256
                     emit(int(doc_id) * 2 + 1, var)
-            yield pd.DataFrame(
-                {"id": ids, "band_idx": bidx, "band_val": bval}
-            )
+            yield pd.DataFrame(out)
 
-    bands = corpus.mapInPandas(
-        hash_batch, schema="id long, band_idx int, band_val long"
+    return corpus.mapInPandas(
+        hash_batch,
+        schema=(
+            "id long, band_idx int, band_val long, "
+            "h0 long, h1 long, h2 long, h3 long"
+        ),
     )
+
+
+def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate image pairs within
+    ``MAX_HAMMING`` of each other, via the band-join LSH plan.  Image
+    id = doc_id * 2 (+1 for the planted variant).  The hash frame is
+    STAGED once per sf tier (it is ~5 tiny rows per image), so the
+    pair self-join scans parquet twice instead of decoding every
+    image once per plan reference."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    bands = stage_payload_table(spark, sf_dir, "dhash_bands", _bands_builder)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    dist = sum(
+        F.bit_count(
+            F.col(f"a.h{j}").bitwiseXOR(F.col(f"b.h{j}"))
+        )
+        for j in range(4)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -133,26 +159,11 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("long").alias("hamming"),
         )
         .distinct()
-    )
-    ha, hb = bands.alias("ha"), bands.alias("hb")
-    return (
-        cand.join(ha, F.col("ha.id") == F.col("id_a"))
-        .join(
-            hb,
-            (F.col("hb.id") == F.col("id_b"))
-            & (F.col("hb.band_idx") == F.col("ha.band_idx")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(
-                F.bit_count(
-                    F.col("ha.band_val").bitwiseXOR(F.col("hb.band_val"))
-                )
-            ).cast("long").alias("hamming")
-        )
         .filter(F.col("hamming") <= MAX_HAMMING)
     )
 
