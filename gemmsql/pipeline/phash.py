@@ -17,7 +17,10 @@ complete candidate generator for them); candidates come from a
 band-equality equi-join (shuffle keyed on (band_idx, band_val)), and
 only candidates pay the exact 64-bit Hamming check (4 x
 ``bit_count(xor)``).  At 10^9 images that is a hash-partitioned join
-on 4B tiny rows, not a 10^18-pair product.
+on 4B tiny rows, not a 10^18-pair product — and a band bucket hotter
+than ``MAX_BAND_DF`` (constant-color letterboxing collapses many
+images to identical bands) is dropped from candidate generation
+before the join, so no single bucket can go quadratic.
 
 Gate (`image_near_dups`): the REAL decode path — the staged QOI
 corpus through :func:`decode_qoi` — hashed per image; every 17th doc
@@ -56,8 +59,22 @@ _GX, _GY = 9, 8
 #: planted-variant knobs: every 17th doc, bump the (x=4, y=3) sample
 _VARIANT_MOD = 17
 _BUMP_X, _BUMP_Y, _BUMP = 4, 3, 80
-#: near-dup radius (the planted pairs sit at <= 2)
-MAX_HAMMING = 4
+#: near-dup radius (the planted pairs sit at <= 2).  3 is the exact
+#: completeness radius of the 4 x 16-bit banding: pigeonhole
+#: guarantees a shared band only for pairs differing in <= 3 bits, so
+#: a larger radius would silently miss pairs with one differing bit
+#: per band (ADVICE r13 #2 — was 4, a best-effort tail the docstring
+#: contradicted)
+MAX_HAMMING = 3
+#: hot-band cap (the `max_df` discipline from dedup.py): a
+#: (band_idx, band_val) bucket seen in more than this many images is
+#: excluded from candidate generation — a production corpus is full
+#: of constant-color regions (letterboxing, white product shots)
+#: whose identical bands would otherwise go quadratic in one bucket.
+#: Pairs that ONLY share hot bands are dropped (the standard LSH
+#: recall trade, exactly like text max_df); the fixture corpora sit
+#: far below the cap, so gate hashes are unaffected
+MAX_BAND_DF = 64
 
 
 def dhash_bits(img: np.ndarray) -> np.ndarray:
@@ -134,17 +151,24 @@ def _bands_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b, hamming): near-duplicate image pairs within
-    ``MAX_HAMMING`` of each other, via the band-join LSH plan.  Image
-    id = doc_id * 2 (+1 for the planted variant).  The hash frame is
-    STAGED once per sf tier (it is ~5 tiny rows per image), so the
-    pair self-join scans parquet twice instead of decoding every
-    image once per plan reference."""
-    from gemmsql.pipeline.staging import stage_payload_table
+def near_dup_pairs(bands: DataFrame) -> DataFrame:
+    """The band-join LSH plan over a long-form band frame
+    (id, band_idx, band_val, h0..h3): hot-band skew guard, band
+    equi-join, inline exact Hamming.  Factored out of
+    :func:`image_near_dups` so the cap's behavior is testable on a
+    synthetic skew fixture without staging a corpus."""
+    from pyspark.sql import Window
 
-    bands = stage_payload_table(spark, sf_dir, "dhash_bands", _bands_builder)
-    a, b = bands.alias("a"), bands.alias("b")
+    # hot-band skew guard: attach each band bucket's document
+    # frequency via a window keyed on the SAME columns the self-join
+    # shuffles on (no driver-side hot list — at 10^9 images the hot
+    # set itself is unbounded), and drop over-cap buckets from
+    # candidate generation
+    cold = bands.withColumn(
+        "_df",
+        F.count("*").over(Window.partitionBy("band_idx", "band_val")),
+    ).filter(F.col("_df") <= MAX_BAND_DF).drop("_df")
+    a, b = cold.alias("a"), cold.alias("b")
     dist = sum(
         F.bit_count(
             F.col(f"a.h{j}").bitwiseXOR(F.col(f"b.h{j}"))
@@ -166,6 +190,19 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= MAX_HAMMING)
     )
+
+
+def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate image pairs within
+    ``MAX_HAMMING`` of each other, via the band-join LSH plan.  Image
+    id = doc_id * 2 (+1 for the planted variant).  The hash frame is
+    STAGED once per sf tier (it is ~5 tiny rows per image), so the
+    pair self-join scans parquet twice instead of decoding every
+    image once per plan reference."""
+    from gemmsql.pipeline.staging import stage_payload_table
+
+    bands = stage_payload_table(spark, sf_dir, "dhash_bands", _bands_builder)
+    return near_dup_pairs(bands)
 
 
 _H_EXPR = f"{PPM_H_BASE} + doc_id % {PPM_H_MOD}"
@@ -232,10 +269,16 @@ bands AS (
          CAST(SUM(bit << (15 - (y * 8 + x) % 16)) AS BIGINT) AS band_val
   FROM bits GROUP BY 1, 2
 ),
+cold AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS df
+    FROM bands)
+  WHERE df <= {MAX_BAND_DF}
+),
 cand AS (
   SELECT a.id AS id_a, b.id AS id_b
-  FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  FROM cold a
+  JOIN cold b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.id < b.id
   GROUP BY 1, 2
 )

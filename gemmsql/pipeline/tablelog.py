@@ -380,23 +380,41 @@ def table_history_audit_dir(spark: SparkSession, table_dir: str) -> DataFrame:
     # rows (ADVICE r12 #1).  A running last-ignorenulls window over
     # (path, v, add-before-remove) resolves the lookup in one pass.
     wlk = Window.partitionBy("path").orderBy(
-        "v", F.when(F.col("a") == "add", 0).otherwise(1)
+        "v", F.when(F.col("a").isin("add", "keydel"), 0).otherwise(1)
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     acts = log.withColumn(
         "add_rows",
         F.last(
             F.when(F.col("a") == "add", F.col("n_rows")), ignorenulls=True
         ).over(wlk),
+    ).withColumn(
+        # the birth kind of the path each action touches: a 'remove'
+        # retiring a keydel-born equality-delete file must NOT count
+        # against live_files/rows_removed — the keydel never counted
+        # toward them (ADVICE r13 #5; latent until a MOR table is
+        # audited)
+        "born_kind",
+        F.last(
+            F.when(F.col("a").isin("add", "keydel"), F.col("a")),
+            ignorenulls=True,
+        ).over(wlk),
     )
     per_v = acts.groupBy(F.col("v").alias("version")).agg(
         F.sum(F.when(F.col("a") == "add", 1).otherwise(0))
         .cast("long").alias("n_add"),
-        F.sum(F.when(F.col("a") == "remove", 1).otherwise(0))
-        .cast("long").alias("n_remove"),
+        F.sum(
+            F.when(
+                (F.col("a") == "remove") & (F.col("born_kind") == "add"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_remove"),
         F.sum(F.when(F.col("a") == "add", F.col("add_rows")).otherwise(0))
         .cast("long").alias("rows_added"),
-        F.sum(F.when(F.col("a") == "remove", F.col("add_rows")).otherwise(0))
-        .cast("long").alias("rows_removed"),
+        F.sum(
+            F.when(
+                (F.col("a") == "remove") & (F.col("born_kind") == "add"),
+                F.col("add_rows"),
+            ).otherwise(0)
+        ).cast("long").alias("rows_removed"),
     )
     w = Window.orderBy("version").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -510,7 +528,10 @@ def version_diff_dir(
     # anti-join would hide it.  A pure rewrite (compaction) still
     # cancels: identical rows appear on both sides.  Single-pass
     # shape: union the two sides, aggregate per full row (one
-    # shuffle) keeping rows present on exactly one side, then one
+    # shuffle) keeping NET per-side counts (bag semantics, ADVICE
+    # r13 #3 — a row present twice in A and once in B emits ONE
+    # delete instead of cancelling entirely; the surplus expands via
+    # explode so multiplicity survives into the feed), then one
     # key-window decides whether the key survives both sides —
     # Delta-CDF update_pre / update_post — or is a true
     # delete / insert.
@@ -522,10 +543,14 @@ def version_diff_dir(
     changed = (
         tagged.groupBy(on)
         .agg(
-            F.max(F.col("_side") == "a").alias("_ha"),
-            F.max(F.col("_side") == "b").alias("_hb"),
+            F.sum(F.when(F.col("_side") == "a", 1).otherwise(0))
+            .alias("_na"),
+            F.sum(F.when(F.col("_side") == "b", 1).otherwise(0))
+            .alias("_nb"),
         )
-        .filter(F.col("_ha") != F.col("_hb"))
+        .filter(F.col("_na") != F.col("_nb"))
+        .withColumn("_ha", F.col("_na") > F.col("_nb"))
+        .withColumn("_hb", F.col("_nb") > F.col("_na"))
     )
     wk = Window.partitionBy("o_orderkey")
     labeled = changed.withColumn(
@@ -539,7 +564,10 @@ def version_diff_dir(
         .otherwise("insert")
         .alias("change"),
         *cols, "cents",
-    )
+        F.explode(
+            F.sequence(F.lit(1), F.abs(F.col("_na") - F.col("_nb")))
+        ).alias("_i"),
+    ).drop("_i")
 
 
 def cdf_ivm_rollup(
@@ -1045,6 +1073,30 @@ class ConcurrentModificationError(RuntimeError):
     that landed since (snapshot-isolation violation)."""
 
 
+#: first-line txn tags per commit-file path.  Commit files are
+#: immutable once visible (link-with-content claims), so caching is
+#: sound; the cache turns the idempotent-txn re-check from O(total
+#: log bytes) per attempt into O(new commit files) (ADVICE r13 #4 —
+#: without it the streaming txn sink goes quadratic in commit count).
+_TXN_TAG_CACHE: dict[str, str | None] = {}
+
+
+def _txn_tag_of(commit_path: str) -> str | None:
+    """The ``txn`` tag carried by a commit file, or None.  The txn
+    action is always PREPENDED as the commit's first line
+    (:func:`commit_actions`), so only the first line is read."""
+    if commit_path in _TXN_TAG_CACHE:
+        return _TXN_TAG_CACHE[commit_path]
+    with open(commit_path) as f:
+        ln = f.readline()
+    if not ln.strip():
+        return None  # partially visible — do not cache
+    a = json.loads(ln)
+    tag = a.get("path") if a.get("a") == "txn" else None
+    _TXN_TAG_CACHE[commit_path] = tag
+    return tag
+
+
 def _live_paths_from_files(log_files: list[str]) -> set[str]:
     """Driver-side replay of the live DATA-file set from raw commit
     files — the conflict check runs inside the commit loop, where a
@@ -1117,11 +1169,8 @@ def commit_actions(
         found = sorted(_glob.glob(os.path.join(log_dir, "*.json")))
         if txn_tag is not None:
             for p in found:
-                with open(p) as f:
-                    for ln in f:
-                        if ln.strip() and json.loads(ln).get("path") == \
-                                txn_tag:
-                            return int(os.path.basename(p).split(".")[0])
+                if _txn_tag_of(p) == txn_tag:
+                    return int(os.path.basename(p).split(".")[0])
         if expects_live:
             live = _live_paths_from_files(found)
             gone = sorted(set(expects_live) - live)
@@ -1495,10 +1544,24 @@ def merge_table(
     single version and concurrent readers never see a torn table.
     Returns the committed version."""
     bounds = source.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.min(key).alias("lo"), F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("n_keys"),
     ).collect()[0]  # 1-row metadata
     if bounds["lo"] is None:
         raise ValueError("empty merge source")
+    if bounds["n"] != bounds["n_keys"]:
+        # Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW
+        # here for the same reason: a duplicate-keyed source would
+        # fan each matched target row out once per duplicate in the
+        # left join below, silently corrupting the rewritten file.
+        raise ValueError(
+            "merge source has duplicate keys: "
+            f"{int(bounds['n'])} rows over {int(bounds['n_keys'])} "
+            f"distinct {key!r} values; MERGE requires each target "
+            "row to match at most one source row — dedup the source "
+            "first"
+        )
     lo, hi = bounds["lo"], bounds["hi"]
     live = snapshot_files(spark, table_dir).collect()  # metadata-bounded
     cand = sorted(
@@ -2109,27 +2172,33 @@ data AS (
   FROM read_parquet('{d}/data/*.parquet', filename = true)),
 ra AS (SELECT * FROM data WHERE path IN (SELECT path FROM only_a)),
 rb AS (SELECT * FROM data WHERE path IN (SELECT path FROM only_b)),
-del0 AS (
-  SELECT * FROM ra WHERE NOT EXISTS (
-    SELECT 1 FROM rb WHERE rb.o_orderkey = ra.o_orderkey
-      AND rb.o_orderpriority = ra.o_orderpriority
-      AND rb.cents = ra.cents)),
-ins0 AS (
-  SELECT * FROM rb WHERE NOT EXISTS (
-    SELECT 1 FROM ra WHERE ra.o_orderkey = rb.o_orderkey
-      AND ra.o_orderpriority = rb.o_orderpriority
-      AND ra.cents = rb.cents)),
-ukeys AS (SELECT o_orderkey FROM del0
-          INTERSECT SELECT o_orderkey FROM ins0)
-SELECT CASE WHEN o_orderkey IN (SELECT o_orderkey FROM ukeys)
-            THEN 'update_pre' ELSE 'delete' END AS change,
-       o_orderkey, o_orderpriority, cents
-FROM del0
-UNION ALL
-SELECT CASE WHEN o_orderkey IN (SELECT o_orderkey FROM ukeys)
-            THEN 'update_post' ELSE 'insert' END AS change,
-       o_orderkey, o_orderpriority, cents
-FROM ins0
+-- bag semantics (ADVICE r13 #3): net per-side counts per full row;
+-- a row present twice in A and once in B emits ONE delete, and the
+-- surplus multiplicity expands via unnest(range(...))
+grp AS (
+  SELECT o_orderkey, o_orderpriority, cents,
+         SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM (SELECT *, 'a' AS side FROM ra
+        UNION ALL SELECT *, 'b' AS side FROM rb)
+  GROUP BY 1, 2, 3),
+chg AS (
+  SELECT *, (na > nb) AS ha, (nb > na) AS hb, abs(na - nb) AS mult
+  FROM grp WHERE na <> nb),
+lab AS (
+  SELECT *,
+         bool_or(ha) OVER (PARTITION BY o_orderkey)
+           AND bool_or(hb) OVER (PARTITION BY o_orderkey) AS upd
+  FROM chg)
+SELECT change, o_orderkey, o_orderpriority, cents
+FROM (
+  SELECT CASE WHEN ha AND upd THEN 'update_pre'
+              WHEN ha THEN 'delete'
+              WHEN upd THEN 'update_post'
+              ELSE 'insert' END AS change,
+         o_orderkey, o_orderpriority, cents,
+         unnest(range(1, CAST(mult AS BIGINT) + 1)) AS _i
+  FROM lab)
 """
 
 

@@ -76,3 +76,55 @@ def test_banding_is_complete_for_radius_three():
         for k in flips:
             mutated[k // 16] ^= 1 << (15 - k % 16)
         assert any(a == b for a, b in zip(base, mutated))
+
+
+def _band_rows(ids: list[int], hs: list[int]) -> list[tuple]:
+    rows = []
+    for i in ids:
+        for b in range(4):
+            rows.append((i, b, hs[b], hs[0], hs[1], hs[2], hs[3]))
+    return rows
+
+
+def test_hot_band_cap_bounds_skew_bucket(spark):
+    """A constant-color-style corpus — many IDENTICAL hashes — must
+    not go quadratic: over-cap band buckets are dropped from
+    candidate generation, so the hot cluster yields ZERO pairs while
+    a small cold near-dup pair still surfaces."""
+    from gemmsql.pipeline.phash import MAX_BAND_DF, near_dup_pairs
+
+    hot = _band_rows(list(range(3 * MAX_BAND_DF)), [7, 7, 7, 7])
+    # a cold pair one bit apart in band 0 (shares bands 1..3 too,
+    # but those buckets only hold the pair — far under the cap)
+    base = [0x1234, 0x2345, 0x3456, 0x4567]
+    near = [0x1235, 0x2345, 0x3456, 0x4567]
+    cold = _band_rows([100000], base) + _band_rows([100001], near)
+    bands = spark.createDataFrame(
+        hot + cold,
+        "id long, band_idx int, band_val long, "
+        "h0 long, h1 long, h2 long, h3 long",
+    )
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in near_dup_pairs(bands).collect()}
+    assert got == {(100000, 100001, 1)}, got
+
+
+def test_cap_keeps_pairs_sharing_any_cold_band(spark):
+    """The cap drops a BUCKET, not an image: a pair whose band-0
+    bucket is hot still surfaces through its cold bands 1..3."""
+    from gemmsql.pipeline.phash import MAX_BAND_DF, near_dup_pairs
+
+    crowd = _band_rows(
+        [10 + k for k in range(2 * MAX_BAND_DF)], [9, 100, 200, 300]
+    )
+    pair_a = [9, 1111, 2222, 3333]     # band 0 collides with the crowd
+    pair_b = [9, 1111, 2222, 3334 ^ 1]  # differs in band 3 by 1 bit
+    bands = spark.createDataFrame(
+        crowd + _band_rows([500000], pair_a) + _band_rows([500001], pair_b),
+        "id long, band_idx int, band_val long, "
+        "h0 long, h1 long, h2 long, h3 long",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(bands).collect()}
+    assert (500000, 500001) in got, got
+    # and nothing from the crowd's hot bucket
+    assert all(a >= 500000 for a, _ in got), got

@@ -812,3 +812,75 @@ def test_maintenance_lifecycle_composes(spark, tmp_path):
     live = set(_live(spark, dest))
     assert live.isdisjoint(dead)
     assert "A0.parquet" in dead and "C0.parquet" in dead
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """ADVICE r13 #1: a duplicate-keyed source would fan each matched
+    target row out once per duplicate — merge_table must refuse it
+    loudly (Delta's multiple-source-rows-matched error) instead of
+    silently corrupting the rewrite."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "mrgdup")
+    shutil.copytree(src_tbl, d)
+    source = tl._merge_source(spark, SF_SMOKE)
+    pre = _live(spark, d)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tl.merge_table(spark, d, source.unionByName(source))
+    # nothing committed: the table is untouched
+    assert _live(spark, d) == pre
+
+
+def test_history_audit_skips_keydel_removes(spark, tmp_path):
+    """ADVICE r13 #5: a 'remove' retiring a keydel-born equality-
+    delete file never counted toward live_files/rows_added, so it
+    must not decrement them either — running totals on a MOR table
+    stay non-negative and match the data-file lifecycle."""
+    d = _mklog(tmp_path, {
+        0: [_add(0, "f.parquet", rows=10)],
+        1: [{"v": 1, "a": "keydel", "path": "KD1.parquet", "n_rows": 3}],
+        2: [_rm(2, "KD1.parquet")],   # retire the delete file
+        3: [_rm(3, "f.parquet")],
+    })
+    rows = {r["version"]: r for r in
+            tl.table_history_audit_dir(spark, d).collect()}
+    assert rows[0]["live_files"] == 1 and rows[0]["rows_added"] == 10
+    # the keydel commit and its retirement are liveness no-ops
+    assert rows[1]["n_remove"] == 0 and rows[1]["live_files"] == 1
+    assert rows[2]["n_remove"] == 0 and rows[2]["live_files"] == 1
+    assert rows[2]["rows_removed"] == 0 and rows[2]["live_rows"] == 10
+    # the real data remove still counts
+    assert rows[3]["n_remove"] == 1 and rows[3]["live_files"] == 0
+    assert rows[3]["rows_removed"] == 10 and rows[3]["live_rows"] == 0
+
+
+def test_version_diff_preserves_row_multiplicity(spark, tmp_path):
+    """ADVICE r13 #3: the CDF must use BAG semantics — a full row
+    present twice at v0 and once at v1 emits exactly ONE delete (net
+    surplus), not zero (set cancellation) and not two."""
+    d = tmp_path / "dup"
+    (d / tl.LOG_SUBDIR).mkdir(parents=True)
+    (d / tl.DATA_SUBDIR).mkdir()
+    row = (1, "O", 10.0, "1995-01-01", "1-URGENT")
+    cols = ("o_orderkey o_orderstatus o_totalprice "
+            "o_orderdate o_orderpriority")
+    schema = ("o_orderkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+    for name, rows in (("dup2.parquet", [row, row]),
+                       ("dup1.parquet", [row])):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / "_stg"))
+        part = next((d / "_stg").glob("part-*.parquet"))
+        shutil.move(str(part), str(d / tl.DATA_SUBDIR / name))
+    shutil.rmtree(str(d / "_stg"))
+    (d / tl.LOG_SUBDIR / "00000000.json").write_text(
+        json.dumps(_add(0, "dup2.parquet", rows=2)) + "\n")
+    (d / tl.LOG_SUBDIR / "00000001.json").write_text(
+        "\n".join([json.dumps(_rm(1, "dup2.parquet")),
+                   json.dumps(_add(1, "dup1.parquet", rows=1))]) + "\n")
+    diff = tl.version_diff_dir(spark, str(d), 0, 1).collect()
+    assert len(diff) == 1
+    assert diff[0]["change"] == "delete"
+    assert diff[0]["o_orderkey"] == 1
