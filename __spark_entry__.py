@@ -332,12 +332,6 @@ def _streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize_gate(spark, sf_dir)
 
 
-def _streaming_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.streaming.windows import streaming_hist_gate
-
-    return streaming_hist_gate(spark, sf_dir)
-
-
 def _streaming_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.streaming.windows import streaming_outer_join_gate
 
@@ -680,6 +674,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     codec stays driver-gated via jpeg_color_features, whose YCbCr
     4:2:0 path composes the same luma DC chain plus chroma).
 
+    Round-14 rotation (VERDICT r13 next #1/#2 — drain the queue: an
+    ELEVEN-query cohort, the tablelog tier's completion): in come the
+    five batch tablelog witnesses (tablelog_merge, mor_delete_read,
+    bloom_skipping_audit, table_history_audit, stats_skipping_audit),
+    the TFRecord container pair (tfrecord_ingest +
+    tfrecord_split_ingest), and FOUR streaming surfaces
+    (streaming_tablelog_gate — the log as a stream source,
+    streaming_cdf_ivm_gate — the live commit-stream IVM,
+    streaming_txn_sink_gate — exactly-once foreachBatch replayed
+    against a fresh checkpoint, streaming_shard_ingest_gate —
+    binaryFile shard streaming).  Out (each keeps the identical hash
+    gate in tests/test_rotation.py): url_canonical, bpe_tokenize,
+    curation_pipeline, dq_orders_quarantine_full, zorder_audit,
+    compaction_audit, event_order_asof, dedup_keep_best (green
+    r12-r13 / r6-r13), png_features (green r4-r13), adpcm_features
+    (green r6-r13), and streaming_hist_gate (green r8-r13).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -687,18 +698,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-step kernels ARE gated (kmeans_assign_step, pca_moments)."""
     from gemmsql.pipeline import (
         avro,
-        corpus,
         dedup,
         graph,
         jpeg,
-        joins,
-        parquet_meta,
         tablelog,
         text,
+        tfrecord,
     )
-    from gemmsql.pipeline import adpcm, bpe, dq, dsir, retrieval, urls
+    from gemmsql.pipeline import dsir, retrieval, urls
     from gemmsql.pipeline import media_split, similarity, zipshard
-    from gemmsql.pipeline.multimodal import png_features
     from gemmsql import sketches
 
     return {
@@ -731,12 +739,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IMA-ADPCM lossy-compressed audio on its pinned-step-index
         # subdomain, and AVI/MJPEG video (RIFF container walk +
         # every-2nd-frame sampling + per-frame JPEG decode) ---
-        "png_features": png_features,
-        # (jpeg_features — the grayscale tier — rotated out r13, green
-        # r5-r12; the codec stays gated via the color path, whose
-        # YCbCr 4:2:0 decode composes the same luma DC chain)
+        # (png_features and adpcm_features rotated out r14, green
+        # r4/r6-r13 — hash gates in test_rotation; the codec matrix
+        # stays driver-gated via jpeg_color_features — the YCbCr
+        # 4:2:0 path composing the same luma DC chain — plus the
+        # FLAC/AVI splittable frame-stats readers)
         "jpeg_color_features": jpeg.jpeg_color_features,
-        "adpcm_features": adpcm.adpcm_features,
         # --- splittable media reader (promoted r10, VERDICT r9 #6):
         # FLAC sync-scan / AVI idx1 range cut, per-split decode of the
         # SAME codecs the whole-file flac_features / video_features
@@ -756,8 +764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out in the r7 fourth swap for streaming_dedup_gate) ---
         "quality_classifier": text.quality_classifier,
         # (dup_spans / bloom_decontaminate / doc_perplexity rotated
-        # out in r9, green r5-r8 — hash gates in test_rotation.py)
-        "dedup_keep_best": dedup.dedup_keep_best,
+        # out in r9, green r5-r8; dedup_keep_best rotated out r14,
+        # green r6-r13 — hash gates in test_rotation.py; the LSH->
+        # cluster chain stays driver-gated via dedup_incremental and
+        # web_dedup_pipeline)
         "semantic_dups": similarity.semantic_dups,
         # --- ingest containers (warc_ingest / tar_shard_ingest rotated
         # out r12, green rotation r9 + driver r10-r11 — hash gates in
@@ -780,54 +790,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (plan-pinned); kept_sig moves if canonicalization runs on
         # the wrong column or keeps the wrong doc ---
         "web_dedup_pipeline": urls.web_dedup_pipeline,
-        # --- data quality (promoted r12, replacing BOTH the r11
-        # dq_orders_quarantine — row rules only — and the r10
-        # dq_orders_report, whose violation counts this derives):
-        # quarantine across ALL FOUR rule kinds — single-scan row
-        # explode, window duplicate-group projection, anti-join FK
-        # survivors — row MEMBERSHIP hash-load-bearing per branch;
-        # the report scan shape stays gated via streaming_dq_gate ---
-        "dq_orders_quarantine_full": dq.dq_orders_quarantine_full,
-        # (parquet_footer_stats rotated out r13, green r9-r12 — hash
-        # gate in test_rotation; the from-scratch Thrift footer parser
-        # stays driver-gated through BOTH audits below, which are
-        # built on it)
-        # --- promoted r12: the data-layout audits built ON the footer
-        # parser — zorder_audit (per (layout, column) row-group
-        # stat-width over global span in exact micro units: the
-        # Z-ordered write must be narrow on BOTH interleaved
-        # dimensions, single-key clustering on one, the hash write on
-        # neither; subsumes layout_audit's single-key disjointness
-        # check, which keeps its rotation gate) and compaction_audit
-        # (the OPTIMIZE maintenance op before/after: file-count
-        # collapse + restored cluster tightness + a content checksum
-        # so a lossy rewrite cannot hash-match) ---
-        "zorder_audit": parquet_meta.zorder_audit,
-        "compaction_audit": parquet_meta.compaction_audit,
+        # (dq_orders_quarantine_full rotated out r14, green r12-r13 —
+        # hash gate in test_rotation; the DQ tier stays driver-gated
+        # via streaming_dq_gate + streaming_quarantine_gate)
+        # (parquet_footer_stats rotated out r13, green r9-r12;
+        # zorder_audit and compaction_audit rotated out r14, green
+        # r12-r13 — hash gates in test_rotation; the from-scratch
+        # Thrift footer parser keeps its rotation gates through all
+        # three, and the layout story stays driver-gated via
+        # pruned_scan_read + stats_skipping_audit)
         # --- text analysis / selection / retrieval (html_extract
-        # rotated out r10, green r7-r9 — hash gate in rotation) ---
+        # rotated out r10, green r7-r9; url_canonical, bpe_tokenize
+        # and curation_pipeline rotated out r14, green r12-r13 — hash
+        # gates in test_rotation; the text tier stays driver-gated
+        # via quality_classifier / dsir_weights / bm25_topk and the
+        # web_dedup_pipeline composition) ---
         "dsir_weights": dsir.dsir_weights,
         "bm25_topk": retrieval.bm25_topk,
         "dedup_incremental": dedup.dedup_incremental_corpus,
-        # --- promoted r12: URL canonicalization — the normalization
-        # web-corpus exact dedup keys on (case, default ports,
-        # dot-segment fold, query sort, fragment drop); zero-shuffle
-        # codegen narrow map, plan-pinned in test_plans.py ---
-        "url_canonical": urls.url_canonical,
-        # --- promoted r12: the tokenizer-APPLY half of the BPE tier —
-        # Arrow-batched rank-priority encoder vs an independent DuckDB
-        # greedy-fold re-encode; token identity AND order ride the
-        # hash via the joined-token md5 ---
-        "bpe_tokenize": bpe.bpe_tokenize,
-        # --- promoted r12: the end-to-end curation COMPOSITION gate —
-        # profile -> quality filter -> exact dedup -> deterministic
-        # interleaved training order as ONE composed plan (no global
-        # sort, partitioned windows, plan-pinned) ---
-        "curation_pipeline": corpus.curation_pipeline,
-        # (corpus_scd2 and user_value_gapfill rotated out r13, green
-        # r11-r12 — hash gates in test_rotation; corpus versioning
-        # stays represented via curation_pipeline, events via the
-        # streaming tier)
         # --- promoted r13: the TABLE-FORMAT tier (VERDICT r12 #1 —
         # the r12 flagship the driver had never checked).  Four
         # independent-replay witnesses over the staged four-version
@@ -853,6 +833,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # files hand a pruned list to the scan and the filtered
         # aggregate must equal the oracle over ALL live files ---
         "pruned_scan_read": tablelog.pruned_scan_read,
+        # --- promoted r14 (VERDICT r13 #1 — the tablelog tier's
+        # COMPLETION; all born r12/r13, rotation hash-green since).
+        # tablelog_merge — transactional MERGE INTO: two-phase pruning
+        # (stats key-range candidates -> exact-touch via the matched-
+        # key join), per-origin-file rewrites, unmatched rows in one
+        # insert file, ONE commit; twin recomputes the merged table
+        # from orders in pure SQL ---
+        "tablelog_merge": tablelog.tablelog_merge,
+        # mor_delete_read — merge-on-read equality deletes (Iceberg's
+        # delete-file trade): one small key file instead of a rewrite,
+        # subtracted at scan time via broadcast anti-join; twin
+        # recomputes the view from orders independently ---
+        "mor_delete_read": tablelog.mor_delete_read,
+        # bloom_skipping_audit — point-lookup file skipping beyond
+        # min/max stats: per-file relational Blooms (md5-derived set
+        # positions, no UDFs), probe candidacy via bit equi-joins;
+        # hash pins false-positive counts AND no-false-negatives ---
+        "bloom_skipping_audit": tablelog.bloom_skipping_audit,
+        # table_history_audit — the per-version metadata ledger (zero
+        # data bytes): action counts, rows added/removed with the
+        # remove-row lookup a real log reader does, cumulative live
+        # totals; keydel-born removes excluded (ADVICE r13 #5) ---
+        "table_history_audit": tablelog.table_history_audit,
+        # stats_skipping_audit — the planner trust contract: each live
+        # file's log-stats skip decision next to the TRUE matching
+        # count from data (candidate=0 must imply matches=0) ---
+        "stats_skipping_audit": tablelog.stats_skipping_audit,
+        # --- promoted r14: the FOURTH container pair — TFRecord
+        # (uint64le length + masked CRC-32C framing, Castagnoli table
+        # from scratch) whole-shard walk and its offset-index
+        # splittable path; documents-derived twin for both, so split
+        # planning bugs lose or duplicate records visibly ---
+        "tfrecord_ingest": tfrecord.tfrecord_ingest,
+        "tfrecord_split_ingest": tfrecord.tfrecord_split_ingest,
         # --- promoted r13: the persisted-sketch rollup — daily HLL
         # register states staged to a parquet store, weekly + lifetime
         # reach merged from the STORE ONLY (raw events never
@@ -871,13 +885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # triangle_count_exact and pagerank_step)
         "part_communities": graph.part_communities,
         "item_similarity": graph.item_similarity,
-        # (concurrent_orders rotated out r13, green r6-r12 — the
-        # interval family stays driver-gated via event_order_asof)
-        # --- promoted r12: the generalized as-of join — all three
-        # directions (backward / forward / nearest) under a 30-day
-        # tolerance in one tagged union, single-shuffle union+window
-        # merge-asof; the oracle is DuckDB's NATIVE ASOF JOIN ---
-        "event_order_asof": joins.event_order_asof,
+        # (concurrent_orders rotated out r13, green r6-r12;
+        # event_order_asof rotated out r14, green r12-r13 — hash
+        # gates in test_rotation; the as-of family stays driver-gated
+        # via streaming_asof_gate, whose oracle is DuckDB's native
+        # ASOF JOIN)
         # (time_rollup — the GROUPING SETS hypertable rollup — rotated
         # out r11, green r7-r10; sampling_filtered rotated out in r9,
         # green r5-r8; the S-series sampler stays gated via "sampling")
@@ -887,7 +899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_gate": _streaming_join_query,
         "streaming_outer_join_gate": _streaming_outer_join_query,
         "streaming_stateful_gate": _streaming_stateful_query,
-        "streaming_hist_gate": _streaming_hist_query,
+        # (streaming_hist_gate rotated out r14, green r8-r13 — hash
+        # gate in test_rotation; the windowed-histogram shape stays
+        # represented via streaming_hourly_gate + streaming_dq_gate)
         "streaming_dedup_gate": _streaming_dedup_query,
         # promoted r11: the DQ rule suite as ONE watermarked
         # day-window stateful aggregate (the fused report is a monoid)
@@ -913,6 +927,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ASOF JOIN plus the emission rule, so both the as-of
         # semantics and watermark withholding are row-checked
         "streaming_asof_gate": _streaming_asof_query,
+        # promoted r14: the TWELFTH streaming gate — the transaction
+        # LOG ITSELF as a stream source: commits tail in as files,
+        # actions expand to per-file signed row deltas executor-side,
+        # and an update-mode aggregate maintains the live per-priority
+        # ledger; oracle recomputes the same ledger in one batch
+        "streaming_tablelog_gate": tablelog.streaming_tablelog_gate,
+        # promoted r14: the LIVE CDF->IVM composition — the view
+        # maintains itself from the table's own commit stream through
+        # a checkpointed foreachBatch; a REAL commit_actions lands a
+        # delete+append commit while the stream is down, and recovery
+        # refreshes from only the new commit file; same direct-latest
+        # oracle as both staged-replay IVM gates
+        "streaming_cdf_ivm_gate": tablelog.streaming_cdf_ivm_gate,
+        # promoted r14: the EXACTLY-ONCE streaming sink — foreachBatch
+        # appends with content-derived writer txns (Delta's txn
+        # action); the gate replays the whole stream twice, the second
+        # pass with a FRESH checkpoint, and every re-delivered commit
+        # must no-op at the log
+        "streaming_txn_sink_gate": tablelog.streaming_txn_sink_gate,
+        # promoted r14: binary shard files AS a stream — binaryFile
+        # source discovers the staged .tfrecord dir a few files per
+        # micro-batch, the strict framed parse runs per batch; same
+        # documents-derived oracle as the batch walk
+        "streaming_shard_ingest_gate": tfrecord.streaming_shard_ingest_gate,
     }
 
 
@@ -1291,25 +1329,21 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.ops.sampling import sampling_sql
     from gemmsql.pipeline import (
         avro,
-        corpus,
         dedup,
         graph,
         jpeg,
-        joins,
-        parquet_meta,
         tablelog,
         text,
+        tfrecord,
     )
-    from gemmsql.pipeline import adpcm, bpe, dq, dsir, retrieval, urls
+    from gemmsql.pipeline import dsir, retrieval, urls
     from gemmsql.pipeline import media_split, similarity, zipshard
-    from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
         STREAMING_ASOF_GATE_SQL,
         STREAMING_DEDUP_GATE_SQL,
         STREAMING_DQ_GATE_SQL,
         STREAMING_OUTER_JOIN_GATE_SQL,
-        STREAMING_HIST_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
         STREAMING_JOIN_GATE_SQL,
         STREAMING_QUARANTINE_GATE_SQL,
@@ -1344,20 +1378,14 @@ def oracle_sql() -> dict[str, str]:
         "chain_grads": CHAIN_GRADS_SQL,
         "chain2_grads": CHAIN2_GRADS_SQL,
         "ivfpq_topk": IVFPQ_TOPK_SQL,
-        "png_features": PNG_FEATURES_SQL,
         "jpeg_color_features": jpeg.JPEG_COLOR_FEATURES_SQL,
-        "adpcm_features": adpcm.ADPCM_FEATURES_SQL,
         "flac_frame_stats": media_split.flac_frame_stats_sql(),
         "avi_frame_stats": media_split.avi_frame_stats_sql(),
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
-        "dedup_keep_best": dedup.dedup_keep_best_sql(),
         "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
         "zip_shard_ingest": zipshard.ZIP_SHARD_INGEST_SQL,
         "avro_split_ingest": avro.AVRO_SHARD_INGEST_SQL,
         "web_dedup_pipeline": urls.WEB_DEDUP_PIPELINE_SQL,
-        "dq_orders_quarantine_full": dq.DQ_ORDERS_QUARANTINE_FULL_SQL,
-        "zorder_audit": parquet_meta.zorder_audit_sql(_footer_sf),
-        "compaction_audit": parquet_meta.compaction_audit_sql(_footer_sf),
         # the tablelog oracles read the staged table's log/data the
         # Spark side writes under the same deterministic per-sf_dir
         # path (the parquet_footer_stats mechanism, ADVICE r9 #5)
@@ -1365,27 +1393,44 @@ def oracle_sql() -> dict[str, str]:
         "version_diff": tablelog.version_diff_sql(_footer_sf),
         "cdf_ivm_rollup": tablelog.cdf_ivm_rollup_sql(_footer_sf),
         "pruned_scan_read": tablelog.pruned_scan_read_sql(_footer_sf),
+        # promoted r14 — the tablelog completion tier.  The merge and
+        # MOR twins recompute their tables independently from orders
+        # (bucket arithmetic + semantics in pure SQL, no staged-path
+        # dependence); the audits and the log-stream ledger replay
+        # the staged log/data like the four above
+        "tablelog_merge": tablelog.TABLELOG_MERGE_SQL,
+        "mor_delete_read": tablelog.MOR_DELETE_READ_SQL,
+        "bloom_skipping_audit": tablelog.bloom_skipping_audit_sql(_footer_sf),
+        "table_history_audit": tablelog.table_history_audit_sql(_footer_sf),
+        "stats_skipping_audit": tablelog.stats_skipping_audit_sql(_footer_sf),
+        # promoted r14 — the TFRecord pair and its streaming twin all
+        # gate against the SAME documents-derived oracle: whole-shard
+        # walk, split walk, and stream batching must agree on every
+        # recovered row
+        "tfrecord_ingest": tfrecord.TFRECORD_INGEST_SQL,
+        "tfrecord_split_ingest": tfrecord.TFRECORD_INGEST_SQL,
         "sketch_store_rollup": sketches.SKETCH_STORE_ROLLUP_SQL,
         "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
         "bm25_topk": retrieval.bm25_topk_sql(),
         "dedup_incremental": dedup.dedup_incremental_sql(),
-        "url_canonical": urls.URL_CANONICAL_SQL,
-        "bpe_tokenize": bpe.bpe_tokenize_sql(),
-        "curation_pipeline": corpus.CURATION_PIPELINE_SQL,
         "part_communities": graph.PART_COMMUNITIES_SQL,
         "item_similarity": graph.ITEM_SIMILARITY_SQL,
-        "event_order_asof": joins.EVENT_ORDER_ASOF_SQL,
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
         "streaming_join_gate": STREAMING_JOIN_GATE_SQL,
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
-        "streaming_hist_gate": STREAMING_HIST_GATE_SQL,
         "streaming_dedup_gate": STREAMING_DEDUP_GATE_SQL,
         "streaming_dq_gate": STREAMING_DQ_GATE_SQL,
         "streaming_quarantine_gate": STREAMING_QUARANTINE_GATE_SQL,
-        # the streaming IVM must land on the SAME direct-v3 answer as
-        # the batch incremental path — one oracle gates both
+        # the streaming IVM surfaces must land on the SAME
+        # direct-latest answer as the batch incremental path — one
+        # oracle family gates all three
         "streaming_ivm_gate": tablelog.cdf_ivm_rollup_sql(_footer_sf),
+        "streaming_cdf_ivm_gate": tablelog.cdf_ivm_rollup_sql(_footer_sf),
         "streaming_asof_gate": STREAMING_ASOF_GATE_SQL,
+        "streaming_tablelog_gate":
+            tablelog.streaming_tablelog_gate_sql(_footer_sf),
+        "streaming_txn_sink_gate": tablelog.STREAMING_TXN_SINK_GATE_SQL,
+        "streaming_shard_ingest_gate": tfrecord.TFRECORD_INGEST_SQL,
     }

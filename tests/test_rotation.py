@@ -345,28 +345,112 @@ def _zip_split_ingest_sql():
     return ZIP_SHARD_INGEST_SQL
 
 
-def _streaming_txn_sink(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import streaming_txn_sink_gate
+def _url_canonical_rot(spark, sf_dir):
+    from gemmsql.pipeline.urls import url_canonical
 
-    return streaming_txn_sink_gate(spark, sf_dir)
-
-
-def _streaming_txn_sink_sql():
-    from gemmsql.pipeline.tablelog import STREAMING_TXN_SINK_GATE_SQL
-
-    return STREAMING_TXN_SINK_GATE_SQL
+    return url_canonical(spark, sf_dir)
 
 
-def _bloom_skipping_audit(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import bloom_skipping_audit
+def _url_canonical_rot_sql():
+    from gemmsql.pipeline.urls import URL_CANONICAL_SQL
 
-    return bloom_skipping_audit(spark, sf_dir)
+    return URL_CANONICAL_SQL
 
 
-def _bloom_skipping_audit_sql():
-    from gemmsql.pipeline.tablelog import bloom_skipping_audit_sql
+def _bpe_tokenize_rot(spark, sf_dir):
+    from gemmsql.pipeline.bpe import bpe_tokenize
 
-    return bloom_skipping_audit_sql(SF_SMOKE)
+    return bpe_tokenize(spark, sf_dir)
+
+
+def _bpe_tokenize_rot_sql():
+    from gemmsql.pipeline.bpe import bpe_tokenize_sql
+
+    return bpe_tokenize_sql()
+
+
+def _dq_quarantine_full_rot(spark, sf_dir):
+    from gemmsql.pipeline.dq import dq_orders_quarantine_full
+
+    return dq_orders_quarantine_full(spark, sf_dir)
+
+
+def _dq_quarantine_full_rot_sql():
+    from gemmsql.pipeline.dq import DQ_ORDERS_QUARANTINE_FULL_SQL
+
+    return DQ_ORDERS_QUARANTINE_FULL_SQL
+
+
+def _zorder_audit_rot(spark, sf_dir):
+    from gemmsql.pipeline.parquet_meta import zorder_audit
+
+    return zorder_audit(spark, sf_dir)
+
+
+def _zorder_audit_rot_sql():
+    from gemmsql.pipeline.parquet_meta import zorder_audit_sql
+
+    return zorder_audit_sql(SF_SMOKE)
+
+
+def _compaction_audit_rot(spark, sf_dir):
+    from gemmsql.pipeline.parquet_meta import compaction_audit
+
+    return compaction_audit(spark, sf_dir)
+
+
+def _compaction_audit_rot_sql():
+    from gemmsql.pipeline.parquet_meta import compaction_audit_sql
+
+    return compaction_audit_sql(SF_SMOKE)
+
+
+def _dedup_keep_best_rot(spark, sf_dir):
+    from gemmsql.pipeline.dedup import dedup_keep_best
+
+    return dedup_keep_best(spark, sf_dir)
+
+
+def _dedup_keep_best_rot_sql():
+    from gemmsql.pipeline.dedup import dedup_keep_best_sql
+
+    return dedup_keep_best_sql()
+
+
+def _png_features_rot(spark, sf_dir):
+    from gemmsql.pipeline.multimodal import png_features
+
+    return png_features(spark, sf_dir)
+
+
+def _png_features_rot_sql():
+    from gemmsql.pipeline.multimodal import PNG_FEATURES_SQL
+
+    return PNG_FEATURES_SQL
+
+
+def _adpcm_features_rot(spark, sf_dir):
+    from gemmsql.pipeline.adpcm import adpcm_features
+
+    return adpcm_features(spark, sf_dir)
+
+
+def _adpcm_features_rot_sql():
+    from gemmsql.pipeline.adpcm import ADPCM_FEATURES_SQL
+
+    return ADPCM_FEATURES_SQL
+
+
+def _streaming_hist_rot(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_hist_gate
+
+    return streaming_hist_gate(spark, sf_dir)
+
+
+def _streaming_hist_rot_sql():
+    from gemmsql.streaming.windows import STREAMING_HIST_GATE_SQL
+
+    return STREAMING_HIST_GATE_SQL
 
 
 def _image_near_dups(spark, sf_dir):
@@ -379,18 +463,6 @@ def _image_near_dups_sql():
     from gemmsql.pipeline.phash import IMAGE_NEAR_DUPS_SQL
 
     return IMAGE_NEAR_DUPS_SQL
-
-
-def _mor_delete_read(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import mor_delete_read
-
-    return mor_delete_read(spark, sf_dir)
-
-
-def _mor_delete_read_sql():
-    from gemmsql.pipeline.tablelog import MOR_DELETE_READ_SQL
-
-    return MOR_DELETE_READ_SQL
 
 
 def _seqfile_shard_ingest(spark, sf_dir):
@@ -423,78 +495,6 @@ def _segment_value_quantiles_sql():
     return segment_value_quantiles_sql()
 
 
-def _streaming_cdf_ivm(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import streaming_cdf_ivm_gate
-
-    return streaming_cdf_ivm_gate(spark, sf_dir)
-
-
-def _streaming_cdf_ivm_sql():
-    from gemmsql.pipeline.tablelog import cdf_ivm_rollup_sql
-
-    return cdf_ivm_rollup_sql(SF_SMOKE)
-
-
-def _tablelog_merge(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import tablelog_merge
-
-    return tablelog_merge(spark, sf_dir)
-
-
-def _tablelog_merge_sql():
-    from gemmsql.pipeline.tablelog import TABLELOG_MERGE_SQL
-
-    return TABLELOG_MERGE_SQL
-
-
-def _table_history_audit(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import table_history_audit
-
-    return table_history_audit(spark, sf_dir)
-
-
-def _table_history_audit_sql():
-    from gemmsql.pipeline.tablelog import table_history_audit_sql
-
-    return table_history_audit_sql(SF_SMOKE)
-
-
-def _stats_skipping_audit(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import stats_skipping_audit
-
-    return stats_skipping_audit(spark, sf_dir)
-
-
-def _stats_skipping_audit_sql():
-    from gemmsql.pipeline.tablelog import stats_skipping_audit_sql
-
-    return stats_skipping_audit_sql(SF_SMOKE)
-
-
-def _streaming_tablelog(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import streaming_tablelog_gate
-
-    return streaming_tablelog_gate(spark, sf_dir)
-
-
-def _streaming_tablelog_sql():
-    from gemmsql.pipeline.tablelog import streaming_tablelog_gate_sql
-
-    return streaming_tablelog_gate_sql(SF_SMOKE)
-
-
-def _tfrecord_ingest(spark, sf_dir):
-    from gemmsql.pipeline.tfrecord import tfrecord_ingest
-
-    return tfrecord_ingest(spark, sf_dir)
-
-
-def _tfrecord_ingest_sql():
-    from gemmsql.pipeline.tfrecord import TFRECORD_INGEST_SQL
-
-    return TFRECORD_INGEST_SQL
-
-
 def _avro_shard_ingest(spark, sf_dir):
     from gemmsql.pipeline.avro import avro_shard_ingest
 
@@ -523,18 +523,6 @@ def _ogg_shard_ingest_sql():
     from gemmsql.pipeline.ogg import OGG_SHARD_INGEST_SQL
 
     return OGG_SHARD_INGEST_SQL
-
-
-def _streaming_shard_ingest(spark, sf_dir):
-    from gemmsql.pipeline.tfrecord import streaming_shard_ingest_gate
-
-    return streaming_shard_ingest_gate(spark, sf_dir)
-
-
-def _tfrecord_split_ingest(spark, sf_dir):
-    from gemmsql.pipeline.tfrecord import tfrecord_split_ingest
-
-    return tfrecord_split_ingest(spark, sf_dir, target_split_bytes=4096)
 
 
 def _qoi_features(spark, sf_dir):
@@ -942,24 +930,11 @@ def _rotated():
         # — all born into this tier in round 12 — were promoted to the
         # driver gate in round 13 (VERDICT r12 next #1) and are now
         # hash-checked by tests/test_gate_parity.py)
-        # the table-format births NOT in the r13 cohort keep their
-        # gates here (queued for r14 promotion — COVERAGE.md ledger):
-        # table_history_audit is the metadata-only running ledger
-        # (remove rows resolved to the latest add at-or-below the
-        # acting version — re-add-safe since ADVICE r12 #1);
-        # stats_skipping_audit pins the planner trust contract
-        # (log-stats skip decision vs true per-file match counts,
-        # candidate=0 rows must show 0 matches)
-        ("table_history_audit", _table_history_audit,
-         _table_history_audit_sql()),
-        ("stats_skipping_audit", _stats_skipping_audit,
-         _stats_skipping_audit_sql()),
-        # the log as a STREAM source (the twelfth streaming surface):
-        # commit files replay one per micro-batch, removes enrich
-        # against the static add-index across batches, per-version
-        # ledger in update mode — oracle recomputes it in one batch
-        ("streaming_tablelog_gate", _streaming_tablelog,
-         _streaming_tablelog_sql()),
+        # (table_history_audit, stats_skipping_audit, and
+        # streaming_tablelog_gate — the rest of the r12 table-format
+        # births — were promoted to the driver gate in round 14
+        # (VERDICT r13 next #1) and are now hash-checked by
+        # tests/test_gate_parity.py)
         # the SIXTH sketch family: bottom-k-by-md5 paired row sample
         # (KMV's bottom-k monoid extended to carry values) feeding
         # integer order-statistic quantile picks — the twin rebuilds
@@ -974,28 +949,10 @@ def _rotated():
         # with a windowed running sum, so any op mis-decode moves
         # the hash (tests/test_qoi.py has per-op + fuzz coverage)
         ("qoi_features", _qoi_features, _qoi_features_sql()),
-        # the FOURTH training-shard container: TFRecord (public
-        # format) — uint64le length + masked CRC-32C of length +
-        # data + masked CRC-32C of data, Castagnoli table built from
-        # scratch; ingest recovers every column from the framed
-        # bytes, twin derives them from documents directly (the tar
-        # gate's discipline); CRC vectors + fuzz in
-        # tests/test_tfrecord.py
-        ("tfrecord_ingest", _tfrecord_ingest, _tfrecord_ingest_sql()),
-        # its splittable path: the offset-index sidecar cuts each
-        # shard into record-aligned ~4 KiB ranges spread on
-        # (shard, split_idx); every split re-verifies its own CRCs
-        # and the SAME documents-derived twin gates it, so split
-        # planning bugs lose or duplicate records visibly
-        ("tfrecord_split_ingest", _tfrecord_split_ingest,
-         _tfrecord_ingest_sql()),
-        # the thirteenth streaming surface: binary shard files as a
-        # stream — the binaryFile source discovers the staged
-        # .tfrecord directory a few files per micro-batch, the
-        # strict framed parse runs per batch, rows append; same
-        # documents-derived oracle
-        ("streaming_shard_ingest_gate", _streaming_shard_ingest,
-         _tfrecord_ingest_sql()),
+        # (the TFRecord trio — tfrecord_ingest, tfrecord_split_ingest,
+        # and streaming_shard_ingest_gate — was promoted to the driver
+        # gate in round 14 and is now hash-checked by
+        # tests/test_gate_parity.py)
         # the FIFTH shard container: Ogg (RFC 3533) — capture-pattern
         # pages, lacing-value packet segmentation, cross-page
         # continuation (pages capped at 8 lacing values so spanning
@@ -1056,30 +1013,10 @@ def _rotated():
         # driver-gated via jpeg_color_features, whose YCbCr 4:2:0
         # path composes the same luma DC chain plus chroma)
         ("jpeg_features", _jpeg_features_rot, _jpeg_features_rot_sql()),
-        # born in round 13 (VERDICT r12 next #5): transactional MERGE
-        # INTO on the table-format tier — two-phase pruning (stats
-        # candidates -> exact-touch via the matched-key join), per-
-        # origin-file rewrites, unmatched source rows in one insert
-        # file, all committed as ONE version via commit_actions.  The
-        # twin recomputes the merged table independently from orders
-        # (bucket arithmetic + merge semantics in pure SQL), so a
-        # wrong match, lost insert, double-applied update, or a
-        # rewrite dropping untouched rows moves the hash;
-        # transactionality is pinned in tests/test_tablelog.py
-        ("tablelog_merge", _tablelog_merge, _tablelog_merge_sql()),
-        # also born in round 13 (VERDICT r12 next #9): the LIVE
-        # streaming CDF/IVM composition — the view maintains itself
-        # from the table's own commit stream: drain 1 folds three
-        # commits through a checkpoint, a real commit_actions lands
-        # the delete+append commit while the stream is down, drain 2
-        # recovers and refreshes from ONLY the new commit file; the
-        # final snapshot must hash-equal the direct latest-version
-        # aggregate from an independent replay (same oracle as the
-        # staged-replay IVM gates, so all three IVM surfaces pin the
-        # same answer)
-        ("streaming_cdf_ivm_gate", _streaming_cdf_ivm,
-         _streaming_cdf_ivm_sql()),
-        # also born in round 13 (VERDICT r12 next #10): the bottom-k
+        # (tablelog_merge and streaming_cdf_ivm_gate — the r13
+        # tablelog births — were promoted to the driver gate in
+        # round 14 and are now hash-checked by test_gate_parity.py)
+        # born in round 13 (VERDICT r12 next #10): the bottom-k
         # paired sample's PRODUCTION call site — event-value quantiles
         # per customer market segment (broadcast dim enrich -> sketch
         # fold per segment; 2k longs of state per group per partition,
@@ -1103,17 +1040,8 @@ def _rotated():
          _seqfile_ingest_sql()),
         ("seqfile_split_ingest", _seqfile_split_ingest,
          _seqfile_ingest_sql()),
-        # also born in round 13: MERGE-ON-READ equality deletes —
-        # Iceberg's delete files / the deletion-vector trade: a
-        # delete is ONE small key file + one keydel commit instead of
-        # a rewrite; the MOR read subtracts it with a broadcast
-        # anti-join at scan time.  The twin recomputes the view
-        # independently from orders (lifecycle arithmetic + the
-        # delete predicate in SQL); the full lifecycle — delete,
-        # time-travel below it, materialize back to copy-on-write
-        # with merge-planner pruning, vacuum the retired delete
-        # file — is pinned in tests/test_tablelog.py
-        ("mor_delete_read", _mor_delete_read, _mor_delete_read_sql()),
+        # (mor_delete_read — the r13 merge-on-read birth — was
+        # promoted to the driver gate in round 14)
         # also born in round 13: the IMAGE modality's near-dup pass —
         # dHash (9x8 nearest-neighbor sample, integer luma, adjacent
         # compare -> 64 bits) + 4x16-bit banded Hamming LSH, the
@@ -1127,30 +1055,46 @@ def _rotated():
         # map, luma weights, bit packing, banding, and radius are all
         # hash-load-bearing
         ("image_near_dups", _image_near_dups, _image_near_dups_sql()),
-        # also born in round 13: POINT-LOOKUP file skipping via
-        # per-file Bloom indexes — the capability min/max stats can't
-        # give (a key inside a file's range but absent should skip
-        # it; the Delta bloom index / Iceberg bloom story).  Blooms
-        # and probes are md5-derived and expressed as set POSITIONS
-        # joined relationally (no packed words, no UDFs); the twin
-        # rebuilds blooms, probes, and joins from the staged log+data
-        # independently, so the hash pins false-positive counts and
-        # the no-false-negative planner trust contract (also pinned
-        # directly in tests/test_tablelog.py)
-        ("bloom_skipping_audit", _bloom_skipping_audit,
-         _bloom_skipping_audit_sql()),
-        # also born in round 13: the EXACTLY-ONCE streaming sink —
-        # foreachBatch appends into a logged table, each commit
-        # carrying a content-derived writer transaction
-        # (commit_actions app_txn, Delta's txn action).  The gate
-        # replays the ENTIRE stream twice, the second pass with a
-        # FRESH checkpoint (a full job retry that lost its
-        # progress): every re-delivered commit must no-op at the log
-        # (version count pinned in-gate), and the final table must
-        # aggregate to exactly the source — one double-applied batch
-        # moves the hash immediately
-        ("streaming_txn_sink_gate", _streaming_txn_sink,
-         _streaming_txn_sink_sql()),
+        # (bloom_skipping_audit and streaming_txn_sink_gate — the last
+        # two r13 tablelog births — were promoted to the driver gate
+        # in round 14, completing the tier's driver coverage)
+        # rotated out in round 14 for the r14 eleven-query promotion
+        # cohort — each keeps the identical hash gate here:
+        # url_canonical / bpe_tokenize / curation_pipeline /
+        # dq_orders_quarantine_full / zorder_audit / compaction_audit
+        # / event_order_asof (green r12-r13; the text tier stays
+        # driver-gated via quality_classifier, dsir_weights, bm25_topk
+        # and web_dedup_pipeline; the DQ tier via streaming_dq_gate +
+        # streaming_quarantine_gate; the layout story via
+        # pruned_scan_read + stats_skipping_audit; the as-of family
+        # via streaming_asof_gate)
+        ("url_canonical", _url_canonical_rot, _url_canonical_rot_sql()),
+        ("bpe_tokenize", _bpe_tokenize_rot, _bpe_tokenize_rot_sql()),
+        ("curation_pipeline", corpus.curation_pipeline,
+         corpus.CURATION_PIPELINE_SQL),
+        ("dq_orders_quarantine_full", _dq_quarantine_full_rot,
+         _dq_quarantine_full_rot_sql()),
+        ("zorder_audit", _zorder_audit_rot, _zorder_audit_rot_sql()),
+        ("compaction_audit", _compaction_audit_rot,
+         _compaction_audit_rot_sql()),
+        ("event_order_asof", joins.event_order_asof,
+         joins.EVENT_ORDER_ASOF_SQL),
+        # dedup_keep_best (green r6-r13 — among the longest-proven
+        # incumbents; the LSH->cluster->canonicalize chain stays
+        # driver-gated via dedup_incremental + web_dedup_pipeline)
+        ("dedup_keep_best", _dedup_keep_best_rot,
+         _dedup_keep_best_rot_sql()),
+        # png_features (green r4-r13) and adpcm_features (green
+        # r6-r13); the codec matrix stays driver-gated via
+        # jpeg_color_features and the FLAC/AVI splittable readers
+        ("png_features", _png_features_rot, _png_features_rot_sql()),
+        ("adpcm_features", _adpcm_features_rot,
+         _adpcm_features_rot_sql()),
+        # streaming_hist_gate (green r8-r13; the windowed-histogram
+        # shape stays represented via streaming_hourly_gate and
+        # streaming_dq_gate)
+        ("streaming_hist_gate", _streaming_hist_rot,
+         _streaming_hist_rot_sql()),
     ]
 
 
