@@ -80,3 +80,41 @@ def test_promotion_queue_names_real_surfaces():
     for name in queued:
         assert name in rotation, f"queued {name} has no rotation gate"
         assert name not in gated, f"queued {name} is already gated"
+
+
+def test_driver_ledger_matches_registry():
+    """The generated driver-verification ledger (VERDICT r13 next #9)
+    must track the registry exactly: every live query and every
+    rotation surface appears with the right tier, and the last-round
+    cells agree with a fresh parse of CORRECTNESS_r*.json — so a
+    registry swap that forgets `python tools/gen_ledger.py` fails
+    here instead of silently shipping a stale trust table."""
+    import re
+
+    from tests.test_rotation import _rotated
+    from tools.gen_ledger import BEGIN, END, last_driver_rounds
+
+    text = open("/root/repo/COVERAGE.md").read()
+    sec = text[text.index(BEGIN):text.index(END)]
+    rows = dict(re.findall(r"^\| `([a-z0-9_]+)` \| (driver gate|rotation) \|",
+                           sec, re.M))
+    live = set(entrymod.queries())
+    rotation = {r[0] for r in _rotated()}
+    assert {n for n, t in rows.items() if t == "driver gate"} == live
+    assert {n for n, t in rows.items() if t == "rotation"} == rotation
+    # the last-round cells match a fresh mechanical parse
+    last = last_driver_rounds()
+    cells = {
+        n: c.strip()
+        for n, c in re.findall(
+            r"^\| `([a-z0-9_]+)` \| (?:driver gate|rotation) \| ([^|]+) \|",
+            sec, re.M)
+    }
+    for name in live | rotation:
+        seen = last.get(name)
+        want = f"r{seen}" if seen else None
+        got = cells[name]
+        if want is None:
+            assert got in ("never",) or "pending" in got, (name, got)
+        else:
+            assert got == want, (name, got, want)
