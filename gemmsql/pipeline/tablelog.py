@@ -78,6 +78,14 @@ LOG_SCHEMA = T.StructType([
     # "meta" actions only: the table's column list after this commit
     # (schema evolution — absent/null on add/remove actions)
     T.StructField("schema_cols", T.ArrayType(T.StringType())),
+    # "meta" actions only: COLUMN MAPPING (the Delta column-mapping /
+    # Iceberg field-id indirection, round 14): each element is
+    # "fid|physical|logical|type".  Physical names are frozen at a
+    # field's first appearance and never change; a RENAME rewrites
+    # only the logical half of this list, a DROP removes its entry —
+    # data files are untouched by either, and old versions replay
+    # with the mapping (or raw physical schema) as of THEIR version
+    T.StructField("schema_map", T.ArrayType(T.StringType())),
 ])
 
 # DuckDB twin of LOG_SCHEMA for read_json(columns=...)
@@ -85,7 +93,7 @@ _LOG_COLS_SQL = (
     "{'v':'BIGINT','a':'VARCHAR','path':'VARCHAR','n_rows':'BIGINT',"
     "'n_bytes':'BIGINT','min_key':'BIGINT','max_key':'BIGINT',"
     "'min_date':'VARCHAR','max_date':'VARCHAR',"
-    "'schema_cols':'VARCHAR[]'}"
+    "'schema_cols':'VARCHAR[]','schema_map':'VARCHAR[]'}"
 )
 
 # cents quantizer shared by engine and twin: o_totalprice carries two
@@ -1296,6 +1304,281 @@ def evolve_table(
     ) as f:
         f.write("\n".join(lines) + "\n")
     return dest_dir
+
+
+# --------------------------------------------------- column mapping
+
+def _mapping_encode(entries: list[dict]) -> list[str]:
+    return [
+        f"{e['fid']}|{e['physical']}|{e['logical']}|{e['type']}"
+        for e in entries
+    ]
+
+
+def _mapping_decode(raw: list[str]) -> list[dict]:
+    out = []
+    for s in raw:
+        fid, physical, logical, typ = s.split("|")
+        out.append({
+            "fid": int(fid), "physical": physical,
+            "logical": logical, "type": typ,
+        })
+    return out
+
+
+def column_mapping(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> list[dict] | None:
+    """The column mapping as of ``version`` — the latest "meta"
+    action at or below it carrying a ``schema_map`` — or None when
+    the table (or that version) predates mapping, in which case
+    readers use raw physical schemas, exactly what pre-mapping
+    versions were written with.  Field ids (Iceberg) / physical-name
+    indirection (Delta column mapping) make RENAME and DROP pure
+    metadata: data files never rewrite, and every historical version
+    stays readable under the names it had then."""
+    log = read_log(spark, table_dir).filter(
+        (F.col("a") == "meta") & F.col("schema_map").isNotNull()
+    )
+    if version is not None:
+        log = log.filter(F.col("v") <= version)
+    rows = log.orderBy(F.col("v").desc()).limit(1).collect()
+    return _mapping_decode(list(rows[0]["schema_map"])) if rows else None
+
+
+def _max_fid_ever(spark: SparkSession, table_dir: str) -> int:
+    """The largest field id in ANY historical meta action — dropped
+    columns keep their ids retired forever, so a later add can never
+    reuse a dropped column's physical name (whose data still lives
+    in old files)."""
+    rows = (
+        read_log(spark, table_dir)
+        .filter(F.col("schema_map").isNotNull())
+        .select(F.explode("schema_map").alias("s"))
+        .select(F.split("s", "\\|").getItem(0).cast("long").alias("fid"))
+        .agg(F.max("fid"))
+        .collect()
+    )
+    mx = rows[0][0]
+    return int(mx) if mx is not None else -1
+
+
+def _current_mapping_or_identity(
+    spark: SparkSession, table_dir: str
+) -> list[dict]:
+    m = column_mapping(spark, table_dir)
+    if m is not None:
+        return m
+    base = snapshot_read(spark, table_dir)
+    return [
+        {
+            "fid": i, "physical": f.name, "logical": f.name,
+            "type": f.dataType.simpleString(),
+        }
+        for i, f in enumerate(base.schema.fields)
+    ]
+
+
+def rename_column(
+    spark: SparkSession, table_dir: str, old: str, new: str
+) -> int:
+    """RENAME COLUMN as pure metadata (VERDICT r13 next #4): rewrite
+    the logical half of the mapping in one committed meta action.
+    Zero data files touched; time travel below this commit still
+    reads the old name.  Returns the committed version."""
+    entries = _current_mapping_or_identity(spark, table_dir)
+    logicals = {e["logical"] for e in entries}
+    if old not in logicals:
+        raise ValueError(f"no such column: {old!r}")
+    if new in logicals:
+        raise ValueError(f"column already exists: {new!r}")
+    for e in entries:
+        if e["logical"] == old:
+            e["logical"] = new
+    return commit_actions(table_dir, [{
+        "a": "meta",
+        "schema_cols": [e["logical"] for e in entries],
+        "schema_map": _mapping_encode(entries),
+    }])
+
+
+def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
+    """DROP COLUMN as pure metadata: remove the field's mapping
+    entry.  Its physical data stays in existing files (readable by
+    time travel below this commit) and its field id is retired
+    forever, so no later column can collide with it."""
+    entries = _current_mapping_or_identity(spark, table_dir)
+    if name not in {e["logical"] for e in entries}:
+        raise ValueError(f"no such column: {name!r}")
+    kept = [e for e in entries if e["logical"] != name]
+    if not kept:
+        raise ValueError("cannot drop the last column")
+    return commit_actions(table_dir, [{
+        "a": "meta",
+        "schema_cols": [e["logical"] for e in kept],
+        "schema_map": _mapping_encode(kept),
+    }])
+
+
+def add_column_mapped(
+    spark: SparkSession, table_dir: str, logical: str, sql_type: str
+) -> int:
+    """ADD COLUMN under mapping: a fresh field id names a fresh
+    physical column (``fc{fid}``) that no historical file contains —
+    old files NULL-backfill it at read time, the add-column half of
+    evolution composed with mapping."""
+    entries = _current_mapping_or_identity(spark, table_dir)
+    if logical in {e["logical"] for e in entries}:
+        raise ValueError(f"column already exists: {logical!r}")
+    fid = max(
+        _max_fid_ever(spark, table_dir),
+        max(e["fid"] for e in entries),
+    ) + 1
+    entries.append({
+        "fid": fid, "physical": f"fc{fid}",
+        "logical": logical, "type": sql_type,
+    })
+    return commit_actions(table_dir, [{
+        "a": "meta",
+        "schema_cols": [e["logical"] for e in entries],
+        "schema_map": _mapping_encode(entries),
+    }])
+
+
+def snapshot_read_mapped(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """:func:`snapshot_read` through the column mapping AS OF the
+    requested version: physical columns alias to that version's
+    logical names, dropped fields are unselected, and a mapped field
+    absent from every live file (an add-column that no live file
+    carries yet) NULL-backfills with its declared type.  A version
+    below the first mapping commit reads raw physical schemas —
+    byte-identical to what that version always returned."""
+    base = snapshot_read(spark, table_dir, version)
+    m = column_mapping(spark, table_dir, version)
+    if m is None:
+        return base
+    cols = []
+    for e in m:
+        if e["physical"] in base.columns:
+            cols.append(F.col(e["physical"]).alias(e["logical"]))
+        else:
+            cols.append(
+                F.lit(None).cast(e["type"]).alias(e["logical"])
+            )
+    return base.select(*cols)
+
+
+def append_mapped(
+    spark: SparkSession, table_dir: str, df: DataFrame, name: str,
+    *, key: str = "o_orderkey"
+) -> int:
+    """Append a LOGICAL-schema frame under the current mapping: the
+    writer converts logical names to their frozen physical names
+    before the file lands, so files written across renames union
+    cleanly under ``mergeSchema`` forever."""
+    m = column_mapping(spark, table_dir)
+    if m is not None:
+        by_logical = {e["logical"]: e["physical"] for e in m}
+        missing = [c for c in df.columns if c not in by_logical]
+        if missing:
+            raise ValueError(f"columns not in mapping: {missing}")
+        df = df.select(
+            *[F.col(c).alias(by_logical[c]) for c in df.columns]
+        )
+    add = _write_with_add_action(df, table_dir, name, key=key)
+    if add is None:
+        raise ValueError("empty append")
+    return commit_actions(table_dir, [add])
+
+
+def stage_mapped_table(spark: SparkSession, sf_dir: str) -> str:
+    """The versioned fixture copied once per sf tier with the full
+    mapping lifecycle committed on top: v4 RENAME o_orderpriority ->
+    priority (metadata only), v5 APPEND the bucket-7 rows under the
+    renamed logical schema (physical names on disk), v6 DROP
+    o_orderstatus (metadata only)."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"gemmsql_tablemap_{staged_dir_tag(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    base = stage_versioned_table(spark, sf_dir)
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(base, tmp)
+    assert rename_column(spark, tmp, "o_orderpriority", "priority") == 4
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    newrows = orders.filter(
+        F.expr(f"o_orderkey div {width}") == 7
+    ).withColumnRenamed("o_orderpriority", "priority")
+    assert append_mapped(spark, tmp, newrows, "G5.parquet") == 5
+    assert drop_column(spark, tmp, "o_orderstatus") == 6
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The column-mapping witness (VERDICT r13 next #4): per-priority
+    aggregates at v3 (read under its ORIGINAL schema — time travel
+    below the rename) unioned with the latest version (read under
+    the renamed logical name, post-append, post-drop), each row
+    carrying the version label and that version's logical column
+    COUNT (so the drop is hash-visible).  The twin recomputes both
+    versions independently from ``orders`` with the fixture's bucket
+    arithmetic — a rename that loses rows, an append under the wrong
+    physical name, or a drop that leaks into time travel all move
+    the hash."""
+    d = stage_mapped_table(spark, sf_dir)
+    pre = snapshot_read_mapped(spark, d, 3)
+    post = snapshot_read_mapped(spark, d)
+    agg = lambda df, pcol, ver, ncols: (  # noqa: E731
+        df.groupBy(F.col(pcol).alias("priority")).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+        ).select(
+            F.lit(ver).alias("ver"),
+            F.lit(ncols).cast("long").alias("n_cols"),
+            "priority", "n_orders", "sum_cents",
+        )
+    )
+    return agg(pre, "o_orderpriority", "v3", len(pre.columns)).unionByName(
+        agg(post, "priority", "v6", len(post.columns))
+    )
+
+
+COLUMN_MAPPING_READ_SQL = f"""
+WITH w AS (SELECT MAX(o_orderkey) // 8 + 1 AS width FROM orders),
+t AS (SELECT o.*, o.o_orderkey // w.width AS b FROM orders o CROSS JOIN w),
+live AS (
+  SELECT * FROM t WHERE b <= 6 AND NOT (b = 4 AND o_orderstatus = 'F')),
+post AS (
+  SELECT o_orderpriority, o_totalprice FROM live
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM t WHERE b = 7)
+SELECT 'v3' AS ver, CAST(5 AS BIGINT) AS n_cols,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM live GROUP BY 3
+UNION ALL
+SELECT 'v6', CAST(4 AS BIGINT), o_orderpriority,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM({_CENTS}) AS BIGINT)
+FROM post GROUP BY 3
+"""
 
 
 def streaming_tablelog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -884,3 +884,95 @@ def test_version_diff_preserves_row_multiplicity(spark, tmp_path):
     assert len(diff) == 1
     assert diff[0]["change"] == "delete"
     assert diff[0]["o_orderkey"] == 1
+
+
+def test_column_mapping_lifecycle(spark, tmp_path):
+    """The rename/drop evolution matrix (VERDICT r13 next #4):
+    renames and drops are metadata-only, every historical version
+    reads under the names IT had, appends after a rename land under
+    frozen physical names, and adds under mapping NULL-backfill."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "map")
+    shutil.copytree(src_tbl, d)
+    base_cols = tl.snapshot_read(spark, d).columns
+    n3 = tl.snapshot_read(spark, d).count()
+
+    # RENAME: metadata only — zero data files written
+    files_before = sorted(os.listdir(os.path.join(d, tl.DATA_SUBDIR)))
+    v = tl.rename_column(spark, d, "o_orderpriority", "priority")
+    assert v == 4
+    assert sorted(os.listdir(os.path.join(d, tl.DATA_SUBDIR))) == \
+        files_before
+    # latest read shows the new name, same rows
+    cur = tl.snapshot_read_mapped(spark, d)
+    assert "priority" in cur.columns
+    assert "o_orderpriority" not in cur.columns
+    assert cur.count() == n3
+    # time travel BELOW the rename answers under the OLD name
+    old = tl.snapshot_read_mapped(spark, d, 3)
+    assert old.columns == base_cols
+    assert old.count() == n3
+    # collision / missing-column rejection
+    with pytest.raises(ValueError, match="already exists"):
+        tl.rename_column(spark, d, "o_orderkey", "priority")
+    with pytest.raises(ValueError, match="no such column"):
+        tl.rename_column(spark, d, "o_orderpriority", "x")
+
+    # APPEND under the renamed logical schema: physical name on disk
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    newrows = orders.filter(
+        tl.F.expr(f"o_orderkey div {width}") == 7
+    ).withColumnRenamed("o_orderpriority", "priority")
+    n_new = newrows.count()
+    assert tl.append_mapped(spark, d, newrows, "G5.parquet") == 5
+    import pyarrow.parquet as pq
+
+    phys = pq.read_schema(os.path.join(d, tl.DATA_SUBDIR, "G5.parquet"))
+    assert "o_orderpriority" in phys.names and "priority" not in phys.names
+    assert tl.snapshot_read_mapped(spark, d).count() == n3 + n_new
+    # an append naming an unmapped column rejects
+    with pytest.raises(ValueError, match="not in mapping"):
+        tl.append_mapped(
+            spark, d, newrows.withColumnRenamed("priority", "nope"),
+            "H6.parquet")
+
+    # DROP: metadata only; gone at latest, intact below
+    v = tl.drop_column(spark, d, "o_orderstatus")
+    cur = tl.snapshot_read_mapped(spark, d)
+    assert "o_orderstatus" not in cur.columns
+    assert "o_orderstatus" in tl.snapshot_read_mapped(spark, d, 3).columns
+    assert "o_orderstatus" in \
+        tl.snapshot_read_mapped(spark, d, 5).columns  # pre-drop, post-rename
+    # the physical bytes are untouched: re-adding is impossible under
+    # the same fid, and a NEW column never collides with the dropped
+    # one's physical name
+    v = tl.add_column_mapped(spark, d, "o_orderstatus", "string")
+    readd = tl.snapshot_read_mapped(spark, d)
+    # the re-added logical column is a FRESH field: NULL everywhere,
+    # not the dropped column's old bytes
+    assert readd.filter(tl.F.col("o_orderstatus").isNotNull()).count() == 0
+    # pre-drop reads still see the ORIGINAL values
+    assert tl.snapshot_read_mapped(spark, d, 5).filter(
+        tl.F.col("o_orderstatus").isNotNull()).count() > 0
+
+
+def test_column_mapping_predates_mapping_reads_raw(spark, tmp_path):
+    """A table with no mapping commits reads raw physical schemas —
+    snapshot_read_mapped is snapshot_read exactly."""
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "nomap")
+    shutil.copytree(src_tbl, d)
+    a = tl.snapshot_read(spark, d)
+    b = tl.snapshot_read_mapped(spark, d)
+    assert a.columns == b.columns
+    assert a.count() == b.count()
+    assert tl.column_mapping(spark, d) is None
