@@ -54,6 +54,7 @@ from __future__ import annotations
 import hashlib
 import json
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,6 +70,17 @@ SEQ_RECS_PER_SYNC = 8
 _MAGIC = b"SEQ\x06"
 _KEY_CLASS = b"org.apache.hadoop.io.Text"
 _VAL_CLASS = b"org.apache.hadoop.io.Text"
+#: Hadoop's DefaultCodec — zlib-wrapped DEFLATE (RFC 1950, unlike
+#: Avro's raw RFC 1951 blocks); the overwhelmingly common codec on
+#: real record-/block-compressed SequenceFiles (VERDICT r13 next #5)
+_CODEC_CLASS = b"org.apache.hadoop.io.compress.DefaultCodec"
+
+
+def _inflate(blob: bytes) -> bytes:
+    try:
+        return zlib.decompress(blob)
+    except zlib.error as e:  # corrupt stream -> the walker's loud lane
+        raise ValueError(f"bad deflate stream: {e}") from None
 
 
 # -------------------------------------------------- Hadoop VInt/VLong
@@ -142,29 +154,71 @@ def build_seqfile(
     rows: list[tuple[int, str, str, str]],
     *,
     recs_per_sync: int = SEQ_RECS_PER_SYNC,
+    compression: str = "none",
 ) -> bytes:
-    """One version-6 uncompressed SequenceFile: Text keys (the doc_id
-    digits), Text values (canonical JSON), a sync escape before every
-    ``recs_per_sync`` records so the body is exactly sync-delimited
-    segments."""
+    """One version-6 SequenceFile: Text keys (the doc_id digits),
+    Text values (canonical JSON), a sync escape before every
+    ``recs_per_sync`` records (or every record BLOCK) so the body is
+    exactly sync-delimited segments.
+
+    ``compression``:
+
+    - ``"none"`` — plain records.
+    - ``"record"`` — per-record value compression (keys stay plain,
+      the value's Text serialization deflates individually; the
+      DefaultCodec wire).
+    - ``"block"`` — Hadoop's block format: each sync-delimited block
+      is a record COUNT plus four length-prefixed deflate streams
+      (key lengths, keys, value lengths, values)."""
     sync = _sync_marker(shard_id)
     out = bytearray(_MAGIC)
     out += _write_text(_KEY_CLASS) + _write_text(_VAL_CLASS)
-    out += b"\x00\x00"                       # no (block) compression
+    if compression == "none":
+        out += b"\x00\x00"
+    elif compression == "record":
+        out += b"\x01\x00" + _write_text(_CODEC_CLASS)
+    elif compression == "block":
+        out += b"\x01\x01" + _write_text(_CODEC_CLASS)
+    else:
+        raise ValueError(f"unknown compression: {compression!r}")
     out += struct.pack(">i", 0)              # empty metadata
     out += sync
+    esc = struct.pack(">i", -1) + sync
+    if compression == "block":
+        for b0 in range(0, len(rows), recs_per_sync):
+            block = rows[b0:b0 + recs_per_sync]
+            keys = [_write_text(str(d).encode()) for d, _, _, _ in block]
+            vals = [
+                _write_text(_doc_value(d, lg, src, tx))
+                for d, lg, src, tx in block
+            ]
+            out += esc + write_vint(len(block))
+            for part in (
+                b"".join(write_vint(len(k)) for k in keys),
+                b"".join(keys),
+                b"".join(write_vint(len(v)) for v in vals),
+                b"".join(vals),
+            ):
+                z = zlib.compress(part)
+                out += write_vint(len(z)) + z
+        return bytes(out)
     for i, (doc_id, lang, source, text) in enumerate(rows):
         if i % recs_per_sync == 0:
-            out += struct.pack(">i", -1) + sync
+            out += esc
         key = _write_text(str(doc_id).encode())
         val = _write_text(_doc_value(doc_id, lang, source, text))
+        if compression == "record":
+            val = zlib.compress(val)
         out += struct.pack(">ii", len(key) + len(val), len(key))
         out += key + val
     return bytes(out)
 
 
-def _header_end(data: bytes) -> tuple[bytes, int]:
-    """Walk the header; return (sync, body_start)."""
+def _header_end(data: bytes) -> tuple[bytes, int, str]:
+    """Walk the header; return (sync, body_start, mode) with mode in
+    none/record/block.  A compressed file must name the DefaultCodec
+    — any other codec class rejects loudly at the header, the same
+    contract the Avro reader enforces."""
     if data[:4] != _MAGIC:
         raise ValueError("not a version-6 SequenceFile")
     pos = 4
@@ -174,9 +228,19 @@ def _header_end(data: bytes) -> tuple[bytes, int]:
         raise ValueError("key/value class mismatch: not a Text,Text file")
     if pos + 2 > len(data):
         raise ValueError("truncated compression flags")
-    if data[pos] != 0 or data[pos + 1] != 0:
-        raise ValueError("compressed SequenceFiles not supported")
+    compressed, blocked = data[pos], data[pos + 1]
     pos += 2
+    if compressed not in (0, 1) or blocked not in (0, 1):
+        raise ValueError("bad compression flags")
+    if blocked and not compressed:
+        raise ValueError("blockCompression without compression")
+    mode = "block" if blocked else ("record" if compressed else "none")
+    if compressed:
+        codec, pos = _read_text(data, pos)
+        if codec != _CODEC_CLASS:
+            raise ValueError(
+                f"unsupported codec: {codec!r} (DefaultCodec only)"
+            )
     if pos + 4 > len(data):
         raise ValueError("truncated metadata count")
     (n_meta,) = struct.unpack(">i", data[pos:pos + 4])
@@ -188,16 +252,30 @@ def _header_end(data: bytes) -> tuple[bytes, int]:
         _, pos = _read_text(data, pos)
     if pos + 16 > len(data):
         raise ValueError("truncated header sync marker")
-    return data[pos:pos + 16], pos + 16
+    return data[pos:pos + 16], pos + 16, mode
+
+
+def _pair_row(key: bytes, val: bytes) -> tuple[int, str, str, str]:
+    meta = json.loads(val)
+    if str(meta["doc_id"]).encode() != key:
+        raise ValueError("key/value doc_id mismatch")
+    return (meta["doc_id"], meta["lang"], meta["source"], meta["text"])
 
 
 def _walk_records(
-    chunk: bytes, sync: bytes, *, require_leading_sync: bool
+    chunk: bytes, sync: bytes, *, require_leading_sync: bool,
+    mode: str = "none",
 ) -> list[tuple[int, str, str, str]]:
     """The strict record walk shared by whole-file and fragment
     paths: every escape's sync must match, record/key lengths must
     agree with the decoded Texts, and a fragment must OPEN with an
-    escape (a mid-record cut cannot)."""
+    escape (a mid-record cut cannot).  ``mode="record"`` inflates
+    each value's deflate stream before the Text parse;
+    ``mode="block"`` dispatches to the block walk."""
+    if mode == "block":
+        return _walk_blocks(
+            chunk, sync, require_leading_sync=require_leading_sync
+        )
     rows: list[tuple[int, str, str, str]] = []
     pos = 0
     first = True
@@ -223,57 +301,143 @@ def _walk_records(
         key, kpos = _read_text(body, 0)
         if kpos != key_len:
             raise ValueError("key length disagrees with its Text")
-        val, vpos = _read_text(body, kpos)
-        if vpos != rec_len:
-            raise ValueError("record length disagrees with its Texts")
-        meta = json.loads(val)
-        if str(meta["doc_id"]).encode() != key:
-            raise ValueError("key/value doc_id mismatch")
-        rows.append(
-            (meta["doc_id"], meta["lang"], meta["source"], meta["text"])
-        )
+        if mode == "record":
+            vbytes = _inflate(body[kpos:])
+            val, vpos = _read_text(vbytes, 0)
+            if vpos != len(vbytes):
+                raise ValueError("inflated value disagrees with its Text")
+        else:
+            val, vpos = _read_text(body, kpos)
+            if vpos != rec_len:
+                raise ValueError("record length disagrees with its Texts")
+        rows.append(_pair_row(key, val))
         pos += 8 + rec_len
     return rows
 
 
+def _texts_from_block(
+    lens_blob: bytes, data_blob: bytes, n: int, what: str
+) -> list[bytes]:
+    """Split an inflated data block by its inflated VInt lengths
+    block; every byte of both must be accounted for."""
+    lens = []
+    pos = 0
+    for _ in range(n):
+        ln, pos = read_vint(lens_blob, pos)
+        if ln < 0:
+            raise ValueError(f"negative {what} length")
+        lens.append(ln)
+    if pos != len(lens_blob):
+        raise ValueError(f"{what} lengths block has trailing bytes")
+    if sum(lens) != len(data_blob):
+        raise ValueError(f"{what} block size disagrees with its lengths")
+    out, pos = [], 0
+    for ln in lens:
+        serialized = data_blob[pos:pos + ln]
+        text, tpos = _read_text(serialized, 0)
+        if tpos != ln:
+            raise ValueError(f"{what} serialization disagrees with Text")
+        out.append(text)
+        pos += ln
+    return out
+
+
+def _walk_blocks(
+    chunk: bytes, sync: bytes, *, require_leading_sync: bool
+) -> list[tuple[int, str, str, str]]:
+    """The block-compressed walk: every block opens with a sync
+    escape, then a record count and FOUR length-prefixed deflate
+    streams (key lengths, keys, value lengths, values)."""
+    # every block opens with an escape, so the fragment contract
+    # (require_leading_sync) is enforced by the loop's first pass in
+    # both whole-file and fragment walks
+    del require_leading_sync
+    rows: list[tuple[int, str, str, str]] = []
+    pos = 0
+    while pos < len(chunk):
+        if pos + 20 > len(chunk):
+            raise ValueError("truncated block escape")
+        (tag,) = struct.unpack(">i", chunk[pos:pos + 4])
+        if tag != -1 or chunk[pos + 4:pos + 20] != sync:
+            raise ValueError(f"sync marker mismatch at offset {pos}")
+        pos += 20
+        n, pos = read_vint(chunk, pos)
+        if n <= 0:
+            raise ValueError("bad block record count")
+        parts = []
+        for _ in range(4):
+            size, pos = read_vint(chunk, pos)
+            if size < 0 or pos + size > len(chunk):
+                raise ValueError("bad block stream size")
+            parts.append(_inflate(chunk[pos:pos + size]))
+            pos += size
+        keys = _texts_from_block(parts[0], parts[1], n, "key")
+        vals = _texts_from_block(parts[2], parts[3], n, "value")
+        rows.extend(_pair_row(k, v) for k, v in zip(keys, vals))
+    return rows
+
+
 def parse_seqfile(data: bytes) -> list[tuple[int, str, str, str]]:
-    """Strict whole-file walk: header (magic, Text classes,
-    uncompressed, metadata), then records with every sync escape
+    """Strict whole-file walk: header (magic, Text classes, codec
+    enforcement, metadata), then records — plain, record-deflate, or
+    block-deflate per the header flags — with every sync escape
     verified."""
-    sync, body = _header_end(data)
-    return _walk_records(data[body:], sync, require_leading_sync=False)
+    sync, body, mode = _header_end(data)
+    return _walk_records(
+        data[body:], sync, require_leading_sync=False, mode=mode
+    )
 
 
-def seqfile_segment_index(shard: bytes) -> tuple[int, bytes, list[int]]:
-    """(body_start, sync, segment_lengths): one metadata walk — each
-    segment runs from one sync escape to the next, so segments are
-    the legal cut units (a fragment must open with an escape)."""
-    sync, body = _header_end(shard)
+def seqfile_segment_index(
+    shard: bytes,
+) -> tuple[int, bytes, str, list[int]]:
+    """(body_start, sync, mode, segment_lengths): one metadata walk —
+    each segment runs from one sync escape to the next, so segments
+    are the legal cut units in EVERY mode (a fragment must open with
+    an escape; block mode's blocks are exactly the segments)."""
+    sync, body, mode = _header_end(shard)
     if body == len(shard):
         # an empty (header-only) file has no segments — the
         # whole-file parser accepts it, so the split planner must too
-        return body, sync, []
+        return body, sync, mode, []
     esc = struct.pack(">i", -1) + sync
     pos = body
     if shard[pos:pos + 20] != esc:
         raise ValueError("body does not start at a sync escape")
     starts = [pos]
     pos += 20
-    while pos < len(shard):
-        if pos + 4 > len(shard):
-            raise ValueError("truncated record length")
-        (rec_len,) = struct.unpack(">i", shard[pos:pos + 4])
-        if rec_len == -1:
-            if shard[pos + 4:pos + 20] != sync:
-                raise ValueError(f"sync marker mismatch at offset {pos}")
-            starts.append(pos)
-            pos += 20
-            continue
-        if rec_len < 0 or pos + 8 + rec_len > len(shard):
-            raise ValueError("bad record length")
-        pos += 8 + rec_len
+    if mode == "block":
+        while pos < len(shard):
+            if shard[pos:pos + 20] == esc:
+                starts.append(pos)
+                pos += 20
+                continue
+            n, pos = read_vint(shard, pos)
+            if n <= 0:
+                raise ValueError("bad block record count")
+            for _ in range(4):
+                size, pos = read_vint(shard, pos)
+                if size < 0 or pos + size > len(shard):
+                    raise ValueError("bad block stream size")
+                pos += size
+    else:
+        while pos < len(shard):
+            if pos + 4 > len(shard):
+                raise ValueError("truncated record length")
+            (rec_len,) = struct.unpack(">i", shard[pos:pos + 4])
+            if rec_len == -1:
+                if shard[pos + 4:pos + 20] != sync:
+                    raise ValueError(
+                        f"sync marker mismatch at offset {pos}"
+                    )
+                starts.append(pos)
+                pos += 20
+                continue
+            if rec_len < 0 or pos + 8 + rec_len > len(shard):
+                raise ValueError("bad record length")
+            pos += 8 + rec_len
     bounds = starts + [len(shard)]
-    return body, sync, [b - a for a, b in zip(bounds, bounds[1:])]
+    return body, sync, mode, [b - a for a, b in zip(bounds, bounds[1:])]
 
 
 # ----------------------------------------------------------- the gate
@@ -281,7 +445,10 @@ def seqfile_segment_index(shard: bytes) -> tuple[int, bytes, list[int]]:
 def with_seqfile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(shard_id, shard): one SequenceFile per shard, one record per
     doc, doc_id-sorted, frequent sync escapes so the segment walk
-    genuinely loops."""
+    genuinely loops.  MIXED-CODEC corpus (the Avro gate's discipline,
+    VERDICT r13 next #5): shard_id % 3 picks none / record-deflate /
+    block-deflate, so all three decode paths carry gate weight every
+    round under the same documents-derived hash."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source",
         (F.col("doc_id") / SEQ_DOCS_PER_SHARD).cast("long")
@@ -295,9 +462,10 @@ def with_seqfile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in pdf.itertuples(index=False)
         ]
         sid = int(key[0])
+        comp = ("none", "record", "block")[sid % 3]
         return pd.DataFrame({
             "shard_id": [sid],
-            "shard": [build_seqfile(sid, rows)],
+            "shard": [build_seqfile(sid, rows, compression=comp)],
         })
 
     return docs.groupBy("shard_id").applyInPandas(
@@ -353,17 +521,19 @@ def seqfile_split_ingest(
     shards = _staged_shards(spark, sf_dir)
 
     def plan_row(row, payload):
-        body, sync, seg_lens = seqfile_segment_index(payload)
+        body, sync, mode, seg_lens = seqfile_segment_index(payload)
         ranges = cut_ranges(seg_lens, target_split_bytes, base=body)
-        return ranges, {"sync": sync}
+        return ranges, {"sync": sync, "mode": mode}
 
     def decode_chunk(chunk, row):
         return _walk_records(
-            chunk, bytes(row["sync"]), require_leading_sync=True
+            chunk, bytes(row["sync"]), require_leading_sync=True,
+            mode=row["mode"],
         )
 
     return split_ingest_frame(
-        shards, plan_row, decode_chunk, extra_cols=(("sync", "binary"),)
+        shards, plan_row, decode_chunk,
+        extra_cols=(("sync", "binary"), ("mode", "string")),
     )
 
 
