@@ -525,6 +525,18 @@ def _ogg_shard_ingest_sql():
     return OGG_SHARD_INGEST_SQL
 
 
+def _streaming_mor_ivm(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_mor_ivm_gate
+
+    return streaming_mor_ivm_gate(spark, sf_dir)
+
+
+def _streaming_mor_ivm_sql():
+    from gemmsql.pipeline.tablelog import MOR_DELETE_READ_SQL
+
+    return MOR_DELETE_READ_SQL
+
+
 def _column_mapping_read(spark, sf_dir):
     from gemmsql.pipeline.tablelog import column_mapping_read
 
@@ -1123,6 +1135,18 @@ def _rotated():
         # NULL backfill) in tests/test_tablelog.py
         ("column_mapping_read", _column_mapping_read,
          _column_mapping_read_sql()),
+        # also born in round 14 (VERDICT r13 next #7): MOR deletes
+        # COMPOSED with the live streaming IVM — a delete_keys_mor
+        # commit lands MID-STREAM (one key file, zero rewrites) and
+        # the maintained view must retract exactly the deleted rows.
+        # The keydel expansion works like a real CDF reader over a
+        # deletion-vector commit: key file + metadata log replay +
+        # stats pruning, reading only the files a skip-planner would.
+        # Same key set as stage_mor_table, so the oracle is
+        # mor_delete_read's twin VERBATIM — the streamed view
+        # hash-equals the batch snapshot_read_mor recompute
+        ("streaming_mor_ivm_gate", _streaming_mor_ivm,
+         _streaming_mor_ivm_sql()),
     ]
 
 

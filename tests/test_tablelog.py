@@ -976,3 +976,60 @@ def test_column_mapping_predates_mapping_reads_raw(spark, tmp_path):
     assert a.columns == b.columns
     assert a.count() == b.count()
     assert tl.column_mapping(spark, d) is None
+
+
+def test_vacuum_across_streaming_checkpoint(spark, tmp_path):
+    """VERDICT r13 next #8: the commit-stream IVM survives a vacuum
+    of versions it already checkpointed past — recovery reads only
+    retained commits — and fails LOUDLY when the checkpoint horizon
+    itself is vacuumed away (a fresh checkpoint forces a full log
+    replay into deleted files)."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "vstream")
+    shutil.copytree(src_tbl, d)
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+
+    # drain 1: all four commits through the checkpoint (this opens
+    # A0/A1/B0 — the files the vacuum below deletes)
+    tl.ivm_drain(spark, d, ckpt, emissions)
+
+    # vacuum the dead files, then land a REAL new commit
+    deleted = tl.vacuum_table(spark, d)
+    assert sorted(deleted) == ["A0.parquet", "A1.parquet", "B0.parquet"]
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    add = tl._write_with_add_action(
+        orders.filter(tl.F.expr(f"o_orderkey div {width}") == 7),
+        d, "F5.parquet")
+    assert tl.commit_actions(d, [add]) == 4
+
+    # drain 2 (checkpoint recovery): processes ONLY the new commit —
+    # the vacuumed files are behind the checkpoint and never reopen
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+        for r in tl.ivm_view(spark, emissions).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+        for r in tl.snapshot_read(spark, d).groupBy("o_orderpriority").agg(
+            tl.F.count("*").cast("long").alias("n_orders"),
+            tl.F.sum(tl.F.expr(tl._CENTS)).cast("long").alias("sum_cents"),
+        ).collect()
+    }
+    assert got == want
+
+    # a FRESH checkpoint (lost progress) must fail loudly: the full
+    # replay reads commits whose files the vacuum deleted
+    with pytest.raises(Exception, match="vacuumed"):
+        tl.ivm_drain(
+            spark, d, str(tmp_path / "ckpt2"), str(tmp_path / "em2"))
