@@ -86,6 +86,12 @@ LOG_SCHEMA = T.StructType([
     # data files are untouched by either, and old versions replay
     # with the mapping (or raw physical schema) as of THEIR version
     T.StructField("schema_map", T.ArrayType(T.StringType())),
+    # "protocol" actions only (Delta's protocol action): reader
+    # features a client MUST understand to read at/above this
+    # version; an old reader on a feature-gated table fails loudly
+    # instead of silently mis-reading (e.g. returning physical names
+    # and dropped columns on a column-mapped table)
+    T.StructField("reader_features", T.ArrayType(T.StringType())),
 ])
 
 # DuckDB twin of LOG_SCHEMA for read_json(columns=...)
@@ -93,7 +99,8 @@ _LOG_COLS_SQL = (
     "{'v':'BIGINT','a':'VARCHAR','path':'VARCHAR','n_rows':'BIGINT',"
     "'n_bytes':'BIGINT','min_key':'BIGINT','max_key':'BIGINT',"
     "'min_date':'VARCHAR','max_date':'VARCHAR',"
-    "'schema_cols':'VARCHAR[]','schema_map':'VARCHAR[]'}"
+    "'schema_cols':'VARCHAR[]','schema_map':'VARCHAR[]',"
+    "'reader_features':'VARCHAR[]'}"
 )
 
 # cents quantizer shared by engine and twin: o_totalprice carries two
@@ -1384,13 +1391,70 @@ def commit_actions(
         return v
 
 
+#: per-commit-file protocol features (immutable files — same caching
+#: argument as _TXN_TAG_CACHE), so the reader-feature check costs a
+#: dict lookup per already-seen commit, not a Spark job per read
+_PROTOCOL_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _protocol_features_of(commit_path: str) -> tuple[str, ...]:
+    if commit_path in _PROTOCOL_CACHE:
+        return _PROTOCOL_CACHE[commit_path]
+    feats: list[str] = []
+    with open(commit_path) as f:
+        for ln in f:
+            if not ln.strip():
+                continue
+            a = json.loads(ln)
+            if a.get("a") == "protocol":
+                feats.extend(a.get("reader_features") or [])
+    out = tuple(feats)
+    _PROTOCOL_CACHE[commit_path] = out
+    return out
+
+
+def required_reader_features(
+    table_dir: str, version: int | None = None
+) -> set[str]:
+    """The union of reader features every protocol action at/below
+    ``version`` demands.  Per-version (stricter than Delta's
+    table-wide protocol): versions BELOW the feature-introducing
+    commit stay readable by old readers — time travel across a
+    column-mapping migration keeps working for clients that predate
+    it."""
+    feats: set[str] = set()
+    for p in sorted(_glob.glob(os.path.join(table_dir, LOG_SUBDIR,
+                                            "*.json"))):
+        if version is not None and \
+                int(os.path.basename(p).split(".")[0]) > version:
+            continue
+        feats.update(_protocol_features_of(p))
+    return feats
+
+
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession, table_dir: str, version: int | None = None,
+    *, reader_features: tuple[str, ...] = (),
 ) -> DataFrame:
     """Read the data AS OF a version: replay the live set and hand
     the (bounded, metadata-sized) file list to a ``mergeSchema``
     scan, so files written before a schema evolution surface the
-    added columns as NULL — the reader-side half of evolution."""
+    added columns as NULL — the reader-side half of evolution.
+
+    ``reader_features`` declares what this caller understands; if the
+    log's protocol actions at/below ``version`` require more, the
+    read fails LOUDLY (Delta's protocol contract) — the alternative
+    is an old reader silently returning physical column names and
+    dropped columns on a column-mapped table."""
+    need = required_reader_features(table_dir, version)
+    unsupported = need - set(reader_features)
+    if unsupported:
+        raise ValueError(
+            f"table requires reader features {sorted(unsupported)} at "
+            f"version {'latest' if version is None else version}; use "
+            "the feature-aware reader (e.g. snapshot_read_mapped for "
+            "column_mapping)"
+        )
     paths = sorted(
         r["path"] for r in snapshot_files(spark, table_dir, version).collect()
     )
@@ -1549,6 +1613,24 @@ def _current_mapping_or_identity(
     ]
 
 
+def _mapping_commit(table_dir: str, entries: list[dict]) -> int:
+    """Commit a mapping meta action, prepending the column_mapping
+    protocol action the FIRST time the table gains a mapping — from
+    then on every read at/above this version must go through the
+    feature-aware reader."""
+    actions: list[dict] = []
+    if "column_mapping" not in required_reader_features(table_dir):
+        actions.append({
+            "a": "protocol", "reader_features": ["column_mapping"],
+        })
+    actions.append({
+        "a": "meta",
+        "schema_cols": [e["logical"] for e in entries],
+        "schema_map": _mapping_encode(entries),
+    })
+    return commit_actions(table_dir, actions)
+
+
 def rename_column(
     spark: SparkSession, table_dir: str, old: str, new: str
 ) -> int:
@@ -1565,11 +1647,7 @@ def rename_column(
     for e in entries:
         if e["logical"] == old:
             e["logical"] = new
-    return commit_actions(table_dir, [{
-        "a": "meta",
-        "schema_cols": [e["logical"] for e in entries],
-        "schema_map": _mapping_encode(entries),
-    }])
+    return _mapping_commit(table_dir, entries)
 
 
 def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
@@ -1583,11 +1661,7 @@ def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
     kept = [e for e in entries if e["logical"] != name]
     if not kept:
         raise ValueError("cannot drop the last column")
-    return commit_actions(table_dir, [{
-        "a": "meta",
-        "schema_cols": [e["logical"] for e in kept],
-        "schema_map": _mapping_encode(kept),
-    }])
+    return _mapping_commit(table_dir, kept)
 
 
 def add_column_mapped(
@@ -1608,11 +1682,7 @@ def add_column_mapped(
         "fid": fid, "physical": f"fc{fid}",
         "logical": logical, "type": sql_type,
     })
-    return commit_actions(table_dir, [{
-        "a": "meta",
-        "schema_cols": [e["logical"] for e in entries],
-        "schema_map": _mapping_encode(entries),
-    }])
+    return _mapping_commit(table_dir, entries)
 
 
 def snapshot_read_mapped(
@@ -1625,8 +1695,11 @@ def snapshot_read_mapped(
     carries yet) NULL-backfills with its declared type.  A version
     below the first mapping commit reads raw physical schemas —
     byte-identical to what that version always returned."""
-    base = snapshot_read(spark, table_dir, version)
     m = column_mapping(spark, table_dir, version)
+    base = snapshot_read(
+        spark, table_dir, version,
+        reader_features=() if m is None else ("column_mapping",),
+    )
     if m is None:
         return base
     cols = []
@@ -1996,6 +2069,15 @@ def merge_table(
     via :func:`commit_actions`, so history shows the merge as a
     single version and concurrent readers never see a torn table.
     Returns the committed version."""
+    feats = required_reader_features(table_dir)
+    if feats:
+        # this writer predates the table's reader features (e.g.
+        # column mapping): a merge would join logical-named source
+        # rows against physical-named files — refuse loudly rather
+        # than corrupt
+        raise ValueError(
+            f"MERGE does not support reader features {sorted(feats)}"
+        )
     bounds = source.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi"),
         F.count(F.lit(1)).alias("n"),

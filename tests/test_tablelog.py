@@ -1033,3 +1033,42 @@ def test_vacuum_across_streaming_checkpoint(spark, tmp_path):
     with pytest.raises(Exception, match="vacuumed"):
         tl.ivm_drain(
             spark, d, str(tmp_path / "ckpt2"), str(tmp_path / "em2"))
+
+
+def test_reader_protocol_gates_old_readers(spark, tmp_path):
+    """The protocol contract (Delta's protocol action): once a table
+    gains column mapping, a reader that does not declare the feature
+    FAILS LOUDLY instead of silently returning physical names and
+    dropped columns — while versions BELOW the feature commit stay
+    readable by old readers (per-version gating)."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "proto")
+    shutil.copytree(src_tbl, d)
+    # pre-mapping: no features required anywhere
+    assert tl.required_reader_features(d) == set()
+    old_read_ok = tl.snapshot_read(spark, d).count()
+    v = tl.rename_column(spark, d, "o_orderpriority", "priority")
+    # the FIRST mapping commit carries the protocol action
+    assert tl.required_reader_features(d) == {"column_mapping"}
+    assert tl.required_reader_features(d, v - 1) == set()
+    # an old reader at latest fails loudly
+    with pytest.raises(ValueError, match="column_mapping"):
+        tl.snapshot_read(spark, d)
+    # ...but time travel below the migration still works for it
+    assert tl.snapshot_read(spark, d, v - 1).count() == old_read_ok
+    # the feature-aware reader works at every version
+    assert tl.snapshot_read_mapped(spark, d).count() == old_read_ok
+    assert tl.snapshot_read_mapped(spark, d, v - 1).count() == old_read_ok
+    # a second mapping commit does NOT re-emit the protocol action
+    tl.drop_column(spark, d, "o_orderstatus")
+    protos = tl.read_log(spark, d).filter("a = 'protocol'").collect()
+    assert len(protos) == 1
+    # MERGE (a logical-name writer without mapping support) refuses
+    source = tl._merge_source(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="reader features"):
+        tl.merge_table(spark, d, source)
+    # MOR reads ride snapshot_read, so they inherit the gate
+    with pytest.raises(ValueError, match="column_mapping"):
+        tl.snapshot_read_mor(spark, d)
