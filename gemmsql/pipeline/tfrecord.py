@@ -262,13 +262,24 @@ def streaming_shard_ingest_gate(
     from gemmsql.streaming.windows import _await_gate
 
     target = _stage_shard_files(spark, sf_dir)
+    # size the trigger to the corpus: ~5 micro-batches at every sf
+    # tier, so batch slicing is genuinely exercised without paying
+    # micro-batch scheduling overhead once per handful of files (at
+    # sf0.1 the old fixed 4-files/trigger meant 40 batches — 13 s of
+    # scheduler, 7.7k rows/s for a trivially parallel decode)
+    import os as _os
+
+    n_files = len([
+        f for f in _os.listdir(target) if f.endswith(".tfrecord")
+    ])
+    per_trigger = max(1, n_files // 5)
     src = (
         spark.readStream.format("binaryFile")
         .schema(
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .option("maxFilesPerTrigger", "4")
+        .option("maxFilesPerTrigger", str(per_trigger))
         .load(target)
         .select("content")
     )
