@@ -2068,16 +2068,38 @@ def merge_table(
     MATCHED THEN INSERT *).  All removes and adds land in ONE commit
     via :func:`commit_actions`, so history shows the merge as a
     single version and concurrent readers never see a torn table.
-    Returns the committed version."""
+    Returns the committed version.
+
+    On a COLUMN-MAPPED table ``key`` and the source's columns are
+    LOGICAL names: the source converts to frozen physical names at
+    the door (the :func:`append_mapped` contract), the join/rewrite
+    runs entirely on physical names, and rewritten files carry only
+    the MAPPED physical columns — a dropped column's bytes stay in
+    the old files (still served to time travel below the drop) and
+    simply don't propagate into post-drop rewrites, exactly Delta's
+    column-mapping rewrite semantics."""
     feats = required_reader_features(table_dir)
-    if feats:
-        # this writer predates the table's reader features (e.g.
-        # column mapping): a merge would join logical-named source
-        # rows against physical-named files — refuse loudly rather
-        # than corrupt
+    if feats - {"column_mapping"}:
         raise ValueError(
-            f"MERGE does not support reader features {sorted(feats)}"
+            f"MERGE does not support reader features "
+            f"{sorted(feats - {'column_mapping'})}"
         )
+    mapping = column_mapping(spark, table_dir)
+    if mapping is not None:
+        by_logical = {e["logical"]: e["physical"] for e in mapping}
+        if key not in by_logical:
+            raise ValueError(f"merge key {key!r} is not a mapped column")
+        missing = sorted(set(by_logical) - set(source.columns))
+        extra = sorted(set(source.columns) - set(by_logical))
+        if missing or extra:
+            raise ValueError(
+                f"merge source must carry exactly the logical schema; "
+                f"missing {missing}, unmapped {extra}"
+            )
+        source = source.select(
+            *[F.col(c).alias(by_logical[c]) for c in source.columns]
+        )
+        key = by_logical[key]
     bounds = source.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi"),
         F.count(F.lit(1)).alias("n"),
@@ -2107,9 +2129,20 @@ def merge_table(
     touched: list[str] = []
     tagged = None
     if cand:
-        tagged = spark.read.parquet(
+        tagged = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table_dir, DATA_SUBDIR, p) for p in cand]
-        ).withColumn(
+        )
+        if mapping is not None:
+            # rewrite in PHYSICAL mapped columns only: a column absent
+            # from every candidate file (an add-column no candidate
+            # carries yet) NULL-backfills with its declared type, and
+            # dropped physical columns are left behind in old files
+            tagged = tagged.select(*[
+                F.col(e["physical"]) if e["physical"] in tagged.columns
+                else F.lit(None).cast(e["type"]).alias(e["physical"])
+                for e in mapping
+            ])
+        tagged = tagged.withColumn(
             "_path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
         )
         touched = sorted(

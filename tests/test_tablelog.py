@@ -1065,10 +1065,71 @@ def test_reader_protocol_gates_old_readers(spark, tmp_path):
     tl.drop_column(spark, d, "o_orderstatus")
     protos = tl.read_log(spark, d).filter("a = 'protocol'").collect()
     assert len(protos) == 1
-    # MERGE (a logical-name writer without mapping support) refuses
-    source = tl._merge_source(spark, SF_SMOKE)
-    with pytest.raises(ValueError, match="reader features"):
-        tl.merge_table(spark, d, source)
     # MOR reads ride snapshot_read, so they inherit the gate
     with pytest.raises(ValueError, match="column_mapping"):
         tl.snapshot_read_mor(spark, d)
+
+
+def test_merge_under_column_mapping(spark, tmp_path):
+    """MERGE composes with column mapping: the source arrives under
+    LOGICAL names, the rewrite runs on frozen physical names, and a
+    dropped column's bytes stay in old files without propagating
+    into post-drop rewrites."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "mrgmap")
+    shutil.copytree(src_tbl, d)
+    assert tl.rename_column(spark, d, "o_orderpriority", "priority") == 4
+    assert tl.drop_column(spark, d, "o_orderstatus") == 5
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    # the source carries EXACTLY the logical schema (post-drop)
+    source = orders.filter(
+        tl.F.expr(f"o_orderkey div {width}").isin(2, 7)
+    ).select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        tl.F.col("o_orderpriority").alias("priority"),
+    ).withColumn("o_totalprice", tl.F.col("o_totalprice") + tl.F.lit(1000.0))
+
+    pre = tl.snapshot_read_mapped(spark, d)
+    n_pre = pre.count()
+    v = tl.merge_table(spark, d, source)
+    assert v == 6
+    log = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    removes = sorted(r["path"] for r in log if r["a"] == "remove")
+    assert removes == ["A2.parquet"]  # exact-touch pruning holds
+    # rewritten + insert files carry ONLY mapped physical columns:
+    # the dropped o_orderstatus does not propagate
+    for r in log:
+        if r["a"] == "add":
+            names = pq.read_schema(
+                os.path.join(d, tl.DATA_SUBDIR, r["path"])).names
+            assert "o_orderstatus" not in names, r["path"]
+            assert "o_orderpriority" in names  # frozen physical name
+    # the mapped read sees the merged state under logical names
+    post = tl.snapshot_read_mapped(spark, d)
+    n_ins = next(r["n_rows"] for r in log
+                 if r["a"] == "add" and r["path"].endswith("-ins.parquet"))
+    assert post.count() == n_pre + n_ins
+    assert "priority" in post.columns and \
+        "o_orderstatus" not in post.columns
+    # updated rows really carry the +1000.00
+    bump = source.count() - n_ins  # matched rows
+    cents = tl.F.expr(tl._CENTS)
+    delta = (post.agg(tl.F.sum(cents)).collect()[0][0]
+             - pre.agg(tl.F.sum(cents)).collect()[0][0]
+             - source.filter(
+                 tl.F.expr(f"o_orderkey div {width}") == 7
+             ).agg(tl.F.sum(cents)).collect()[0][0])
+    assert delta == 100000 * bump
+    # time travel below the drop still reads o_orderstatus
+    assert "o_orderstatus" in tl.snapshot_read_mapped(spark, d, 4).columns
+    # a source with a wrong/missing logical column refuses
+    with pytest.raises(ValueError, match="logical schema"):
+        tl.merge_table(spark, d, source.drop("priority"))
