@@ -1229,6 +1229,23 @@ def table_constraints(
     return out
 
 
+def _enforce_constraints(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> None:
+    """Commit-time CHECK enforcement: one validation pass over the
+    incoming (LOGICAL-named) rows only — never a table rescan.
+    Raises if any row violates any registered constraint."""
+    checks = table_constraints(spark, table_dir)
+    if checks:
+        cond = " AND ".join(f"({p})" for p in checks.values())
+        n_bad = df.filter(~F.expr(cond)).count()
+        if n_bad:
+            raise ValueError(
+                f"append rejected: {n_bad} row(s) violate "
+                f"constraints {sorted(checks)}"
+            )
+
+
 def constrained_append(
     spark: SparkSession, table_dir: str, df: DataFrame, name: str
 ) -> int:
@@ -1236,21 +1253,10 @@ def constrained_append(
     any row violates any registered CHECK constraint — commit-time
     enforcement, so a constraint violation can never become readable
     state (the write-side half of the DQ story; the read-side audits
-    live in ``dq.py``).  One validation pass over the incoming rows
-    only — never a table rescan."""
-    checks = table_constraints(spark, table_dir)
-    if checks:
-        cond = " AND ".join(f"({p})" for p in checks.values())
-        n_bad = df.filter(~F.expr(cond)).count()
-        if n_bad:
-            raise ValueError(
-                f"constrained_append rejected: {n_bad} row(s) violate "
-                f"constraints {sorted(checks)}"
-            )
-    add = _write_with_add_action(df, table_dir, name)
-    if add is None:
-        raise ValueError("empty append")
-    return commit_actions(table_dir, [add])
+    live in ``dq.py``).  Mapping-aware: this is :func:`append_mapped`
+    (constraints evaluate on LOGICAL names, files land under frozen
+    physical names)."""
+    return append_mapped(spark, table_dir, df, name)
 
 
 class ConcurrentModificationError(RuntimeError):
@@ -1613,6 +1619,28 @@ def _current_mapping_or_identity(
     ]
 
 
+def _refuse_constrained_column(
+    spark: SparkSession, table_dir: str, column: str, verb: str
+) -> None:
+    """Delta's rule: a column referenced by an active CHECK
+    constraint cannot be renamed or dropped — the constraint would
+    silently evaluate against a name that no longer exists.  The
+    reference test is a conservative word-boundary match on the
+    predicate text (may over-refuse on a column name inside a string
+    literal — the safe direction); drop the constraint first."""
+    import re as _re
+
+    hit = sorted(
+        n for n, pred in table_constraints(spark, table_dir).items()
+        if _re.search(rf"\b{_re.escape(column)}\b", pred)
+    )
+    if hit:
+        raise ValueError(
+            f"cannot {verb} column {column!r}: referenced by CHECK "
+            f"constraints {hit}; drop them first"
+        )
+
+
 def _mapping_commit(table_dir: str, entries: list[dict]) -> int:
     """Commit a mapping meta action, prepending the column_mapping
     protocol action the FIRST time the table gains a mapping — from
@@ -1638,6 +1666,7 @@ def rename_column(
     the logical half of the mapping in one committed meta action.
     Zero data files touched; time travel below this commit still
     reads the old name.  Returns the committed version."""
+    _refuse_constrained_column(spark, table_dir, old, "rename")
     entries = _current_mapping_or_identity(spark, table_dir)
     logicals = {e["logical"] for e in entries}
     if old not in logicals:
@@ -1655,6 +1684,7 @@ def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
     entry.  Its physical data stays in existing files (readable by
     time travel below this commit) and its field id is retired
     forever, so no later column can collide with it."""
+    _refuse_constrained_column(spark, table_dir, name, "drop")
     entries = _current_mapping_or_identity(spark, table_dir)
     if name not in {e["logical"] for e in entries}:
         raise ValueError(f"no such column: {name!r}")
@@ -1721,6 +1751,7 @@ def append_mapped(
     writer converts logical names to their frozen physical names
     before the file lands, so files written across renames union
     cleanly under ``mergeSchema`` forever."""
+    _enforce_constraints(spark, table_dir, df)  # logical names
     m = column_mapping(spark, table_dir)
     if m is not None:
         by_logical = {e["logical"]: e["physical"] for e in m}

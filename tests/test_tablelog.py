@@ -1133,3 +1133,52 @@ def test_merge_under_column_mapping(spark, tmp_path):
     # a source with a wrong/missing logical column refuses
     with pytest.raises(ValueError, match="logical schema"):
         tl.merge_table(spark, d, source.drop("priority"))
+
+
+def test_constraints_compose_with_mapping(spark, tmp_path):
+    """CHECK constraints and column mapping interact under Delta's
+    rules: a constrained column cannot rename or drop; every append
+    (mapped or not) enforces constraints on LOGICAL names; a
+    post-rename constraint governs mapped appends."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "conmap")
+    shutil.copytree(src_tbl, d)
+    tl.add_check_constraint(d, "pos_price", "o_totalprice > 0")
+    # a constrained column refuses rename and drop
+    with pytest.raises(ValueError, match="pos_price"):
+        tl.rename_column(spark, d, "o_totalprice", "price")
+    with pytest.raises(ValueError, match="pos_price"):
+        tl.drop_column(spark, d, "o_totalprice")
+    # an UNconstrained column still renames
+    v = tl.rename_column(spark, d, "o_orderpriority", "priority")
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", tl.F.col("o_orderpriority").alias("priority"),
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    bucket7 = orders.filter(tl.F.expr(f"o_orderkey div {width}") == 7)
+    # a violating mapped append rejects WHOLESALE at commit time
+    with pytest.raises(ValueError, match="pos_price"):
+        tl.append_mapped(
+            spark, d,
+            bucket7.withColumn("o_totalprice", tl.F.lit(-1.0)),
+            "BAD.parquet")
+    assert not os.path.exists(os.path.join(d, tl.DATA_SUBDIR,
+                                           "BAD.parquet"))
+    # a clean mapped append lands, and a post-rename constraint on
+    # the NEW logical name governs the next append
+    tl.append_mapped(spark, d, bucket7, "G.parquet")
+    tl.add_check_constraint(d, "urgentish", "priority LIKE '%-%'")
+    with pytest.raises(ValueError, match="urgentish"):
+        tl.append_mapped(
+            spark, d,
+            bucket7.withColumn("priority", tl.F.lit("nope")),
+            "BAD2.parquet")
+    n = tl.snapshot_read_mapped(spark, d).count()
+    assert n == tl.snapshot_read(spark, src_tbl).count() + bucket7.count()
