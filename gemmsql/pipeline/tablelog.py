@@ -290,14 +290,31 @@ def snapshot_files(
     that is a few hundred MB of driver strings; fine for this tier's
     fixtures, but a table with user-controlled file counts should
     page the list or push the downstream join fully distributed."""
+    present = _present_versions(table_dir)
+    ckpt_v = _latest_checkpoint_version(table_dir, version)
+    truncated = bool(present) and present[0] > 0
+    use_ckpt = ckpt_v is not None and (from_checkpoint or truncated)
+    base_v = ckpt_v if use_ckpt else -1
+    target = version if version is not None else (
+        present[-1] if present else base_v
+    )
+    pset = set(present)
+    missing = [v for v in range(base_v + 1, target + 1) if v not in pset]
+    if missing:
+        # the log-retention contract's loud half (the vacuum rule's
+        # metadata twin): a replay that would need expired commits
+        # fails, never returns a partial live set
+        raise ValueError(
+            f"log expired: version {target} needs commits {missing} "
+            f"(earliest retained: "
+            f"{present[0] if present else None}, checkpoint: {ckpt_v})"
+        )
     log = read_log(spark, table_dir)
     if version is not None:
         log = log.filter(F.col("v") <= version)
-    if from_checkpoint:
-        ckpt_v = _latest_checkpoint_version(table_dir, version)
-        if ckpt_v is not None:
-            base = spark.read.parquet(_checkpoint_dir(table_dir, ckpt_v))
-            log = base.unionByName(log.filter(F.col("v") > ckpt_v))
+    if use_ckpt:
+        base = spark.read.parquet(_checkpoint_dir(table_dir, ckpt_v))
+        log = base.unionByName(log.filter(F.col("v") > ckpt_v))
     return _last_action_live(log, [])
 
 
@@ -329,6 +346,66 @@ def write_checkpoint(
         "overwrite"
     ).parquet(dest)
     return dest
+
+
+def _present_versions(table_dir: str) -> list[int]:
+    return sorted(
+        int(os.path.basename(p).split(".")[0])
+        for p in _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    )
+
+
+def expire_log(
+    spark: SparkSession, table_dir: str, before_version: int
+) -> list[str]:
+    """Log RETENTION (Delta's metadata cleanup): checkpoint the state
+    at ``before_version - 1`` and physically delete the commit files
+    below ``before_version``.  After expiry, replay at retained
+    versions is checkpoint + retained commits (the default
+    :func:`snapshot_files` path detects the truncation); replay
+    BELOW the horizon raises loudly.
+
+    Guarded scope: a horizon that would expire METADATA-BEARING
+    actions (meta / protocol / constraint / txn / keydel) refuses —
+    those actions govern state at every later version, and this
+    checkpoint format carries only the live file set.  Tables using
+    column mapping, constraints, idempotent txns, or live MOR
+    deletes keep their full log until a metadata-carrying checkpoint
+    exists.  Run :func:`vacuum_table` BEFORE expiry: a dead file
+    whose add action is expired can no longer be planned for vacuum
+    (the safe direction — it leaks bytes, never data).
+
+    Returns the deleted commit file names."""
+    present = _present_versions(table_dir)
+    if not present or before_version > present[-1]:
+        raise ValueError(
+            f"cannot expire before v{before_version}: latest commit is "
+            f"{present[-1] if present else None}"
+        )
+    doomed = [v for v in present if v < before_version]
+    if not doomed:
+        return []
+    for v in doomed:
+        path = os.path.join(table_dir, LOG_SUBDIR, f"{v:08d}.json")
+        with open(path) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln).get("a")
+                if a not in ("add", "remove"):
+                    raise ValueError(
+                        f"cannot expire v{v}: it carries a {a!r} action; "
+                        "metadata-bearing commits (meta/protocol/"
+                        "constraint/txn/keydel) must stay until a "
+                        "metadata-carrying checkpoint exists"
+                    )
+    write_checkpoint(spark, table_dir, before_version - 1)
+    deleted = []
+    for v in doomed:
+        name = f"{v:08d}.json"
+        os.remove(os.path.join(table_dir, LOG_SUBDIR, name))
+        deleted.append(name)
+    return deleted
 
 
 # ----------------------------------------------------------------- ops
@@ -762,6 +839,17 @@ def ivm_drain(
     from gemmsql.streaming.windows import _await_gate, state_partitions
 
     data_dir = os.path.join(table_dir, DATA_SUBDIR)
+    present = _present_versions(table_dir)
+    if present and present[0] > 0 and not os.path.isdir(ckpt):
+        # a FRESH view build on an expired log would silently fold
+        # only the retained commits — a partial view; refuse loudly
+        # (an EXISTING checkpoint is fine: its progress covers the
+        # expired prefix)
+        raise ValueError(
+            f"log expired (earliest retained commit v{present[0]}): a "
+            "fresh IVM build must bootstrap from a snapshot, not the "
+            "log tail"
+        )
 
     def expand(batches):
         import pandas as _pd
@@ -894,8 +982,26 @@ def _live_adds_before(log_dir: str, v_limit: int) -> list[dict]:
     for versions BELOW ``v_limit``: the live add actions (path + key
     stats) a keydel commit's retraction must resolve against.
     Metadata-sized — KBs of JSONL — and runs inside the expansion
-    task, so the stream needs no driver round-trip per commit."""
+    task, so the stream needs no driver round-trip per commit.  On an
+    expired log the checkpoint parquet seeds the base state (it
+    carries full add actions, stats included)."""
     last: dict[str, tuple] = {}
+    files = sorted(_glob.glob(os.path.join(log_dir, "*.json")))
+    versions = [int(os.path.basename(p).split(".")[0]) for p in files]
+    if versions and min(versions) > 0:
+        table_dir = os.path.dirname(log_dir)
+        ckpt_v = _latest_checkpoint_version(table_dir, None)
+        if ckpt_v is None:
+            raise ValueError(
+                "log expired with no checkpoint: cannot resolve the "
+                "live set a keydel retraction applies to"
+            )
+        import pandas as _pd
+
+        base = _pd.read_parquet(_checkpoint_dir(table_dir, ckpt_v))
+        for r in base.to_dict("records"):
+            if r.get("a") == "add" and int(r["v"]) < v_limit:
+                last[r["path"]] = ((int(r["v"]), -1), dict(r))
     for p in sorted(_glob.glob(os.path.join(log_dir, "*.json"))):
         v = int(os.path.basename(p).split(".")[0])
         if v >= v_limit:
@@ -1292,8 +1398,35 @@ def _live_paths_from_files(log_files: list[str]) -> set[str]:
     """Driver-side replay of the live DATA-file set from raw commit
     files — the conflict check runs inside the commit loop, where a
     Spark job per retry would be absurd.  Metadata-sized: the same
-    last-action-wins rule as :func:`snapshot_files`."""
+    last-action-wins rule as :func:`snapshot_files`.  On an expired
+    (truncated) log the checkpoint parquet seeds the base state —
+    read driver-side with pandas, still no Spark job."""
     last: dict[str, tuple[int, int, str]] = {}
+    versions = [
+        int(os.path.basename(p).split(".")[0]) for p in log_files
+    ]
+    if versions and min(versions) > 0:
+        log_dir = os.path.dirname(log_files[0])
+        table_dir = os.path.dirname(log_dir)
+        ckpt_v = _latest_checkpoint_version(table_dir, None)
+        if ckpt_v is None or any(
+            v not in set(versions) for v in range(ckpt_v + 1,
+                                                  max(versions) + 1)
+        ):
+            raise ValueError(
+                "log expired with no covering checkpoint: cannot "
+                "replay the live set for the conflict check"
+            )
+        import pandas as _pd
+
+        base = _pd.read_parquet(_checkpoint_dir(table_dir, ckpt_v))
+        for r in base.to_dict("records"):
+            if r.get("a") == "add":
+                last[r["path"]] = (int(r["v"]), -1, "add")
+        log_files = [
+            p for p in log_files
+            if int(os.path.basename(p).split(".")[0]) > ckpt_v
+        ]
     for p in log_files:
         v = int(os.path.basename(p).split(".")[0])
         with open(p) as f:

@@ -1182,3 +1182,98 @@ def test_constraints_compose_with_mapping(spark, tmp_path):
             "BAD2.parquet")
     n = tl.snapshot_read_mapped(spark, d).count()
     assert n == tl.snapshot_read(spark, src_tbl).count() + bucket7.count()
+
+
+def test_log_expiry_lifecycle(spark, tmp_path):
+    """Log retention (Delta's metadata cleanup): expire_log
+    checkpoints the horizon state and deletes the commits below it;
+    retained reads replay identically through the checkpoint by
+    DEFAULT, below-horizon replay raises loudly, and new commits
+    (with the conflict check's driver-side replay now seeded from
+    the checkpoint) keep working."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "exp")
+    shutil.copytree(src_tbl, d)
+    want_live = _live(spark, d)
+    want_v2 = _live(spark, d, 2)
+    n_latest = tl.snapshot_read(spark, d).count()
+
+    deleted = tl.expire_log(spark, d, 2)
+    assert deleted == ["00000000.json", "00000001.json"]
+    # retained replay is identical, by default (no from_checkpoint)
+    assert _live(spark, d) == want_live
+    assert _live(spark, d, 2) == want_v2
+    assert tl.snapshot_read(spark, d).count() == n_latest
+    # below the checkpoint: loud, named error (v1 stays readable —
+    # it IS the checkpoint state; v0 is gone)
+    with pytest.raises(ValueError, match="log expired"):
+        tl.snapshot_files(spark, d, 0).collect()
+    # v1 state == checkpoint base exactly (checkpoint at horizon-1)
+    assert _live(spark, d, 1) == sorted(
+        r["path"] for r in spark.read.parquet(
+            tl._checkpoint_dir(d, 1)).collect())
+
+    # new commits land and the conflict check replays correctly
+    # against checkpoint + retained commits
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    add = tl._write_with_add_action(
+        orders.filter(tl.F.expr(f"o_orderkey div {width}") == 7),
+        d, "F4.parquet")
+    v = tl.commit_actions(d, [add], expects_live=["A2.parquet"])
+    assert v == 4
+    assert "F4.parquet" in _live(spark, d)
+    # expiring at a version carrying only add/remove actions is the
+    # supported scope; a metadata-bearing horizon refuses
+    d2 = str(tmp_path / "expmeta")
+    shutil.copytree(src_tbl, d2)
+    tl.add_check_constraint(d2, "pos", "o_totalprice > 0")   # v4
+    add2 = tl._write_with_add_action(
+        orders.filter(tl.F.expr(f"o_orderkey div {width}") == 7),
+        d2, "F5.parquet")
+    assert tl.commit_actions(d2, [add2]) == 5
+    # a horizon that would expire the v4 constraint action refuses
+    with pytest.raises(ValueError, match="metadata-bearing"):
+        tl.expire_log(spark, d2, 5)
+    # idempotent second expiry: nothing left below the horizon
+    assert tl.expire_log(spark, d, 2) == []
+
+
+def test_log_expiry_streaming_interplay(spark, tmp_path):
+    """The commit-stream IVM survives expiry of commits it already
+    checkpointed past, and a FRESH view build on an expired log
+    refuses loudly instead of folding a partial history."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "expstream")
+    shutil.copytree(src_tbl, d)
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+
+    tl.expire_log(spark, d, 2)
+    # recovery: file-source checkpoint progress covers the expired
+    # prefix; only new commits would process (none yet — a no-op
+    # drain must not fail)
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+           for r in tl.ivm_view(spark, emissions).collect()}
+    want = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+            for r in tl.snapshot_read(spark, d)
+            .groupBy("o_orderpriority").agg(
+                tl.F.count("*").cast("long").alias("n_orders"),
+                tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                .alias("sum_cents")).collect()}
+    assert got == want
+    # a fresh build (new checkpoint) on the expired log refuses
+    with pytest.raises(ValueError, match="bootstrap"):
+        tl.ivm_drain(spark, d, str(tmp_path / "c2"), str(tmp_path / "e2"))
