@@ -116,6 +116,20 @@ _EXPORTS = {
     "constrained_append": "gemmsql.pipeline.tablelog",
     "streaming_txn_sink_gate": "gemmsql.pipeline.tablelog",
     "ConcurrentModificationError": "gemmsql.pipeline.tablelog",
+    # column mapping + protocol + retention (r14 births)
+    "rename_column": "gemmsql.pipeline.tablelog",
+    "drop_column": "gemmsql.pipeline.tablelog",
+    "add_column_mapped": "gemmsql.pipeline.tablelog",
+    "column_mapping": "gemmsql.pipeline.tablelog",
+    "snapshot_read_mapped": "gemmsql.pipeline.tablelog",
+    "append_mapped": "gemmsql.pipeline.tablelog",
+    "column_mapping_read": "gemmsql.pipeline.tablelog",
+    "required_reader_features": "gemmsql.pipeline.tablelog",
+    "expire_log": "gemmsql.pipeline.tablelog",
+    "ivm_drain": "gemmsql.pipeline.tablelog",
+    "ivm_view": "gemmsql.pipeline.tablelog",
+    "streaming_mor_ivm_gate": "gemmsql.pipeline.tablelog",
+    "near_dup_pairs": "gemmsql.pipeline.phash",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",
     "hll_estimate": "gemmsql.sketches",
