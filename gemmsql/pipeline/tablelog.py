@@ -257,6 +257,26 @@ def read_log(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def _log_with_checkpoint_base(
+    spark: SparkSession, table_dir: str
+) -> DataFrame:
+    """The commit log, prepending the newest checkpoint's rows when
+    the log has been EXPIRED (earliest commit > 0) — checkpoints
+    carry the live add actions AND the metadata actions
+    (meta/protocol/constraint) from the expired prefix, so metadata
+    readers keep answering across retention."""
+    log = read_log(spark, table_dir)
+    present = _present_versions(table_dir)
+    if present and present[0] > 0:
+        ckpt_v = _latest_checkpoint_version(table_dir, None)
+        if ckpt_v is not None:
+            base = spark.read.parquet(_checkpoint_dir(table_dir, ckpt_v))
+            log = base.unionByName(
+                log.filter(F.col("v") > ckpt_v), allowMissingColumns=True
+            )
+    return log
+
+
 def _last_action_live(actions: DataFrame, extra_keys: list[str]) -> DataFrame:
     """Delta replay rule over an action frame: last action per
     (``*extra_keys``, path) by version wins; remove beats add inside
@@ -340,11 +360,21 @@ def write_checkpoint(
     parquet under ``_log/`` — the replay shortcut.  The checkpoint
     keeps each record's original add action (its commit version and
     stats), so replay-from-checkpoint and full replay are the same
-    window over different prefixes."""
+    window over different prefixes — and it CARRIES the metadata
+    actions (meta / protocol / constraint) at or below ``version``,
+    original versions stamped, so schema evolution, column mapping,
+    reader-feature gating, and CHECK constraints all survive log
+    expiry (chained: an existing checkpoint's metadata rows flow into
+    the next via the checkpoint-aware log view)."""
     dest = _checkpoint_dir(table_dir, version)
-    snapshot_files(spark, table_dir, version).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(dest)
+    live = snapshot_files(spark, table_dir, version)
+    metadata = _log_with_checkpoint_base(spark, table_dir).filter(
+        F.col("a").isin("meta", "protocol", "constraint")
+        & (F.col("v") <= version)
+    )
+    live.unionByName(metadata, allowMissingColumns=True).coalesce(
+        1
+    ).write.mode("overwrite").parquet(dest)
     return dest
 
 
@@ -365,15 +395,19 @@ def expire_log(
     :func:`snapshot_files` path detects the truncation); replay
     BELOW the horizon raises loudly.
 
-    Guarded scope: a horizon that would expire METADATA-BEARING
-    actions (meta / protocol / constraint / txn / keydel) refuses —
-    those actions govern state at every later version, and this
-    checkpoint format carries only the live file set.  Tables using
-    column mapping, constraints, idempotent txns, or live MOR
-    deletes keep their full log until a metadata-carrying checkpoint
-    exists.  Run :func:`vacuum_table` BEFORE expiry: a dead file
-    whose add action is expired can no longer be planned for vacuum
-    (the safe direction — it leaks bytes, never data).
+    The checkpoint CARRIES metadata actions (meta / protocol /
+    constraint) from the expired prefix with their original versions,
+    so column mapping, reader-feature gating, schema history, and
+    CHECK constraints all survive expiry — the metadata readers
+    consult the checkpoint-aware log view.  Two action kinds still
+    refuse below the horizon: ``txn`` (the idempotency scan reads
+    raw commit files; expiring one re-opens the very-late-retry
+    double-apply — Delta's txn retention caveat) and ``keydel``
+    (a live equality-delete is state the live-adds format doesn't
+    carry; :func:`materialize_deletes` first).  Run
+    :func:`vacuum_table` BEFORE expiry: a dead file whose add action
+    is expired can no longer be planned for vacuum (the safe
+    direction — it leaks bytes, never data).
 
     Returns the deleted commit file names."""
     present = _present_versions(table_dir)
@@ -392,12 +426,16 @@ def expire_log(
                 if not ln.strip():
                     continue
                 a = json.loads(ln).get("a")
-                if a not in ("add", "remove"):
+                if a in ("txn", "keydel"):
+                    # txn idempotency scans raw commit files (a very
+                    # late retry would double-apply — Delta's txn
+                    # retention caveat), and a LIVE keydel is state
+                    # the checkpoint's live-adds format doesn't carry;
+                    # both stay until retired
                     raise ValueError(
-                        f"cannot expire v{v}: it carries a {a!r} action; "
-                        "metadata-bearing commits (meta/protocol/"
-                        "constraint/txn/keydel) must stay until a "
-                        "metadata-carrying checkpoint exists"
+                        f"cannot expire v{v}: it carries a {a!r} "
+                        "action; txn/keydel commits must stay until "
+                        "retired (materialize deletes first)"
                     )
     write_checkpoint(spark, table_dir, before_version - 1)
     deleted = []
@@ -1325,7 +1363,8 @@ def table_constraints(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> dict[str, str]:
     """Named CHECK predicates in force at ``version``."""
-    log = read_log(spark, table_dir).filter(F.col("a") == "constraint")
+    log = _log_with_checkpoint_base(spark, table_dir).filter(
+        F.col("a") == "constraint")
     if version is not None:
         log = log.filter(F.col("v") <= version)
     rows = log.select("path", "min_date", "v").collect()  # metadata
@@ -1562,10 +1601,25 @@ def required_reader_features(
     column-mapping migration keeps working for clients that predate
     it."""
     feats: set[str] = set()
-    for p in sorted(_glob.glob(os.path.join(table_dir, LOG_SUBDIR,
-                                            "*.json"))):
-        if version is not None and \
-                int(os.path.basename(p).split(".")[0]) > version:
+    files = sorted(_glob.glob(os.path.join(table_dir, LOG_SUBDIR,
+                                           "*.json")))
+    versions = [int(os.path.basename(p).split(".")[0]) for p in files]
+    if versions and min(versions) > 0:
+        # expired log: the checkpoint carries the expired prefix's
+        # protocol actions (driver-side pandas read — checkpoints are
+        # overwritable, so no caching by path)
+        ckpt_v = _latest_checkpoint_version(table_dir, None)
+        if ckpt_v is not None:
+            import pandas as _pd
+
+            base = _pd.read_parquet(_checkpoint_dir(table_dir, ckpt_v))
+            for r in base.to_dict("records"):
+                if r.get("a") == "protocol" and (
+                    version is None or int(r["v"]) <= version
+                ):
+                    feats.update(list(r.get("reader_features") or []))
+    for p, v in zip(files, versions):
+        if version is not None and v > version:
             continue
         feats.update(_protocol_features_of(p))
     return feats
@@ -1620,7 +1674,8 @@ def evolved_schema(
     action at or below it (None when the log predates schema
     tracking — readers then fall back to the physical file schemas,
     which is exactly what :func:`snapshot_read` does anyway)."""
-    log = read_log(spark, table_dir).filter(F.col("a") == "meta")
+    log = _log_with_checkpoint_base(spark, table_dir).filter(
+        F.col("a") == "meta")
     if version is not None:
         log = log.filter(F.col("v") <= version)
     rows = log.orderBy(F.col("v").desc()).limit(1).collect()
@@ -1710,7 +1765,7 @@ def column_mapping(
     indirection (Delta column mapping) make RENAME and DROP pure
     metadata: data files never rewrite, and every historical version
     stays readable under the names it had then."""
-    log = read_log(spark, table_dir).filter(
+    log = _log_with_checkpoint_base(spark, table_dir).filter(
         (F.col("a") == "meta") & F.col("schema_map").isNotNull()
     )
     if version is not None:

@@ -1233,18 +1233,73 @@ def test_log_expiry_lifecycle(spark, tmp_path):
     assert "F4.parquet" in _live(spark, d)
     # expiring at a version carrying only add/remove actions is the
     # supported scope; a metadata-bearing horizon refuses
-    d2 = str(tmp_path / "expmeta")
-    shutil.copytree(src_tbl, d2)
-    tl.add_check_constraint(d2, "pos", "o_totalprice > 0")   # v4
-    add2 = tl._write_with_add_action(
-        orders.filter(tl.F.expr(f"o_orderkey div {width}") == 7),
-        d2, "F5.parquet")
-    assert tl.commit_actions(d2, [add2]) == 5
-    # a horizon that would expire the v4 constraint action refuses
-    with pytest.raises(ValueError, match="metadata-bearing"):
-        tl.expire_log(spark, d2, 5)
     # idempotent second expiry: nothing left below the horizon
     assert tl.expire_log(spark, d, 2) == []
+
+
+def test_log_expiry_carries_metadata(spark, tmp_path):
+    """Metadata-carrying checkpoints: expiring past meta / protocol /
+    constraint commits preserves them — mapped reads, old-reader
+    gating, schema history, and CHECK enforcement all keep working
+    from the checkpoint; txn and live-keydel horizons still refuse."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "expmeta")
+    shutil.copytree(src_tbl, d)
+    tl.add_check_constraint(d, "pos", "o_totalprice > 0")        # v4
+    assert tl.rename_column(spark, d, "o_orderpriority",
+                            "priority") == 5                      # v5
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", tl.F.col("o_orderpriority").alias("priority"),
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    b7 = orders.filter(tl.F.expr(f"o_orderkey div {width}") == 7)
+    assert tl.append_mapped(spark, d, b7, "G6.parquet") == 6      # v6
+    want = {r["priority"]: r["n"] for r in
+            tl.snapshot_read_mapped(spark, d)
+            .groupBy("priority").agg(tl.F.count("*").alias("n"))
+            .collect()}
+
+    # expire past the constraint AND the mapping commits
+    deleted = tl.expire_log(spark, d, 6)
+    assert len(deleted) == 6  # v0..v5 gone
+    # mapping survives: mapped read identical, logical names intact
+    got = {r["priority"]: r["n"] for r in
+           tl.snapshot_read_mapped(spark, d)
+           .groupBy("priority").agg(tl.F.count("*").alias("n"))
+           .collect()}
+    assert got == want
+    # protocol survives: an old reader still refuses
+    with pytest.raises(ValueError, match="column_mapping"):
+        tl.snapshot_read(spark, d)
+    assert tl.required_reader_features(d) == {"column_mapping"}
+    # constraints survive: a violating append still rejects
+    assert tl.table_constraints(spark, d) == {"pos": "o_totalprice > 0"}
+    with pytest.raises(ValueError, match="pos"):
+        tl.append_mapped(
+            spark, d, b7.withColumn("o_totalprice", tl.F.lit(-1.0)),
+            "BAD.parquet")
+    # schema history survives with original versions
+    assert "priority" in (tl.evolved_schema(spark, d) or [])
+    # a live keydel below the horizon refuses
+    d2 = str(tmp_path / "expkd")
+    shutil.copytree(src_tbl, d2)
+    keys = orders.filter(
+        (tl.F.expr(f"o_orderkey div {width}") == 3)
+        & (tl.F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey")
+    tl.delete_keys_mor(spark, d2, keys)                           # v4
+    add2 = tl._write_with_add_action(
+        orders.withColumnRenamed("priority", "o_orderpriority"),
+        d2, "F5.parquet")
+    assert tl.commit_actions(d2, [add2]) == 5
+    with pytest.raises(ValueError, match="keydel"):
+        tl.expire_log(spark, d2, 5)
 
 
 def test_log_expiry_streaming_interplay(spark, tmp_path):
