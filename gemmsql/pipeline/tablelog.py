@@ -1287,6 +1287,7 @@ def optimize_table(
     dest_dir: str,
     *,
     n_files: int = 2,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> str:
     """OPTIMIZE inside the log's transactional frame (the Delta
     ``OPTIMIZE`` story): copy the table to ``dest_dir``, rewrite the
@@ -1295,6 +1296,15 @@ def optimize_table(
     the new ones — old versions stay time-travelable because removed
     files are retained, and the new commit must be change-free
     (``version_diff_dir`` across it is EMPTY, test-pinned).
+
+    With ``zorder_by`` the rewrite clusters on the MORTON CURVE over
+    those columns instead of the single key range (Delta's OPTIMIZE
+    ZORDER BY): every output file covers a small hypercube of the
+    z-dimensions, so skip plans stay narrow on EVERY z-ordered
+    column at once — the trade is wider per-file ranges on any ONE
+    column than single-key clustering gives (documented in
+    SCALE.md's z-order section; the audit that ranks the layouts is
+    ``parquet_meta.zorder_audit``).
 
     At 100 TB this is the maintenance job that keeps both halves of
     the layout story true: file counts collapse (small-file pressure)
@@ -1307,19 +1317,30 @@ def optimize_table(
     new_v = int(latest) + 1
     live = snapshot_files(spark, dest_dir).collect()
     paths = sorted(r["path"] for r in live)
-    gmin = min(r["min_key"] for r in live)
-    gmax = max(r["max_key"] for r in live)
-    width = (gmax - gmin) // n_files + 1
     df = spark.read.parquet(
         *[os.path.join(dest_dir, DATA_SUBDIR, p) for p in paths]
     )
+    if zorder_by is not None:
+        from gemmsql.sources import zorder_value_expr
+
+        zdf = df.withColumn("__z", F.expr(zorder_value_expr(df, zorder_by)))
+        zb = zdf.agg(
+            F.min("__z").alias("lo"), F.max("__z").alias("hi")
+        ).collect()[0]
+        gmin, gmax = int(zb["lo"]), int(zb["hi"])
+        bucket_col, src = "__z", zdf
+    else:
+        gmin = min(r["min_key"] for r in live)
+        gmax = max(r["max_key"] for r in live)
+        bucket_col, src = "o_orderkey", df
+    width = (gmax - gmin) // n_files + 1
     lines = [json.dumps({"v": new_v, "a": "remove", "path": p})
              for p in paths]
     for k in range(n_files):
         name = f"OPT{new_v}-{k}.parquet"
-        part = df.filter(
-            F.expr(f"(o_orderkey - {gmin}) div {width}") == k
-        )
+        part = src.filter(
+            F.expr(f"({bucket_col} - {gmin}) div {width}") == k
+        ).drop("__z")
         st = part.agg(
             F.count("*").alias("n"),
             F.min("o_orderkey").alias("mnk"),

@@ -204,6 +204,40 @@ def _morton_expr(cols: list[str], bits: int = ZORDER_BITS) -> str:
     return " + ".join(terms)
 
 
+def zorder_value_expr(df: DataFrame, zorder_by: tuple[str, ...]) -> str:
+    """The Morton-value SQL expression for ``df`` over ``zorder_by``:
+    each column min/max-scales to ``ZORDER_BITS`` bits (one tiny agg
+    job over the input — a write-path cost, never per-query) and the
+    bits interleave.  Factored out of :func:`write_zordered` so the
+    transactional OPTIMIZE (``tablelog.optimize_table``) can cluster
+    its rewrite on the same curve."""
+    from pyspark.sql import functions as F
+
+    cols = list(zorder_by)
+    if not 1 <= len(cols) * ZORDER_BITS <= 63:
+        raise ValueError(f"need 1..3 z-order columns, got {len(cols)}")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << ZORDER_BITS) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        if stats[f"lo_{i}"] is None or stats[f"hi_{i}"] is None:
+            raise ValueError(
+                f"z-order column {c!r} must be numeric and non-empty "
+                "(min/max cast to double returned null)"
+            )
+        lo, hi = float(stats[f"lo_{i}"]), float(stats[f"hi_{i}"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            f"CAST(least({float(top)}, greatest(0.0D,"
+            f" (CAST({c} AS DOUBLE) - {lo!r}D) / {span!r}D"
+            f" * {float(top)}D)) AS BIGINT)"
+        )
+    return _morton_expr(scaled)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -235,29 +269,7 @@ def write_zordered(
     """
     from pyspark.sql import functions as F
 
-    cols = list(zorder_by)
-    if not 1 <= len(cols) * ZORDER_BITS <= 63:
-        raise ValueError(f"need 1..3 z-order columns, got {len(cols)}")
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cols)],
-    ).first()
-    top = (1 << ZORDER_BITS) - 1
-    scaled = []
-    for i, c in enumerate(cols):
-        if stats[f"lo_{i}"] is None or stats[f"hi_{i}"] is None:
-            raise ValueError(
-                f"z-order column {c!r} must be numeric and non-empty "
-                "(min/max cast to double returned null)"
-            )
-        lo, hi = float(stats[f"lo_{i}"]), float(stats[f"hi_{i}"])
-        span = (hi - lo) or 1.0
-        scaled.append(
-            f"CAST(least({float(top)}, greatest(0.0D,"
-            f" (CAST({c} AS DOUBLE) - {lo!r}D) / {span!r}D"
-            f" * {float(top)}D)) AS BIGINT)"
-        )
-    z = df.withColumn("__z", F.expr(_morton_expr(scaled)))
+    z = df.withColumn("__z", F.expr(zorder_value_expr(df, zorder_by)))
     if n_files is not None:
         d = z.repartitionByRange(n_files, "__z")
     else:

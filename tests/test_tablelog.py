@@ -1332,3 +1332,46 @@ def test_log_expiry_streaming_interplay(spark, tmp_path):
     # a fresh build (new checkpoint) on the expired log refuses
     with pytest.raises(ValueError, match="bootstrap"):
         tl.ivm_drain(spark, d, str(tmp_path / "c2"), str(tmp_path / "e2"))
+
+
+def test_optimize_zorder_is_transactional_and_change_free(spark, tmp_path):
+    """OPTIMIZE ZORDER BY inside the log's transactional frame: the
+    rewrite is change-free (the CDF across it is EMPTY), old versions
+    stay time-travelable, and the new files each cover a small
+    hypercube — per-file spans on BOTH z-dimensions are narrower than
+    the global span."""
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "optz")
+    tl.optimize_table(
+        spark, src_tbl, d, n_files=4,
+        zorder_by=("o_orderkey", "o_totalprice"),
+    )
+    latest = int(tl.read_log(spark, d).agg(tl.F.max("v")).collect()[0][0])
+    # change-free rewrite: the diff across the OPTIMIZE commit is empty
+    assert tl.version_diff_dir(spark, d, latest - 1, latest).count() == 0
+    # rows preserved, old versions intact
+    assert tl.snapshot_read(spark, d).count() == \
+        tl.snapshot_read(spark, src_tbl).count()
+    for pv in range(latest):
+        assert _live(spark, d, pv) == _live(spark, src_tbl, pv)
+    # every live file is an OPT file covering a hypercube: spans on
+    # BOTH dimensions beat the global span (a single-key clustering
+    # leaves o_totalprice spans at ~global width)
+    live = _live(spark, d)
+    assert all(p.startswith(f"OPT{latest}-") for p in live)
+    assert len(live) >= 3
+    full = tl.snapshot_read(spark, d)
+    g = full.agg(
+        (tl.F.max("o_orderkey") - tl.F.min("o_orderkey")).alias("sk"),
+        (tl.F.max("o_totalprice") - tl.F.min("o_totalprice")).alias("sp"),
+    ).collect()[0]
+    import os as _os
+    for p in live:
+        f = spark.read.parquet(_os.path.join(d, tl.DATA_SUBDIR, p))
+        st = f.agg(
+            (tl.F.max("o_orderkey") - tl.F.min("o_orderkey")).alias("sk"),
+            (tl.F.max("o_totalprice") - tl.F.min("o_totalprice"))
+            .alias("sp"),
+        ).collect()[0]
+        assert st["sk"] < g["sk"], p
+        assert st["sp"] < g["sp"], p
