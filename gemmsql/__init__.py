@@ -129,6 +129,7 @@ _EXPORTS = {
     "ivm_drain": "gemmsql.pipeline.tablelog",
     "ivm_view": "gemmsql.pipeline.tablelog",
     "streaming_mor_ivm_gate": "gemmsql.pipeline.tablelog",
+    "delete_positions_mor": "gemmsql.pipeline.tablelog",
     "near_dup_pairs": "gemmsql.pipeline.phash",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",

@@ -426,7 +426,7 @@ def expire_log(
                 if not ln.strip():
                     continue
                 a = json.loads(ln).get("a")
-                if a in ("txn", "keydel"):
+                if a in ("txn", "keydel", "posdel"):
                     # txn idempotency scans raw commit files (a very
                     # late retry would double-apply — Delta's txn
                     # retention caveat), and a LIVE keydel is state
@@ -434,8 +434,8 @@ def expire_log(
                     # both stay until retired
                     raise ValueError(
                         f"cannot expire v{v}: it carries a {a!r} "
-                        "action; txn/keydel commits must stay until "
-                        "retired (materialize deletes first)"
+                        "action; txn/keydel/posdel commits must stay "
+                        "until retired (materialize deletes first)"
                     )
     write_checkpoint(spark, table_dir, before_version - 1)
     deleted = []
@@ -510,7 +510,8 @@ def table_history_audit_dir(spark: SparkSession, table_dir: str) -> DataFrame:
     # rows (ADVICE r12 #1).  A running last-ignorenulls window over
     # (path, v, add-before-remove) resolves the lookup in one pass.
     wlk = Window.partitionBy("path").orderBy(
-        "v", F.when(F.col("a").isin("add", "keydel"), 0).otherwise(1)
+        "v",
+        F.when(F.col("a").isin("add", "keydel", "posdel"), 0).otherwise(1)
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     acts = log.withColumn(
         "add_rows",
@@ -525,7 +526,9 @@ def table_history_audit_dir(spark: SparkSession, table_dir: str) -> DataFrame:
         # audited)
         "born_kind",
         F.last(
-            F.when(F.col("a").isin("add", "keydel"), F.col("a")),
+            F.when(
+                F.col("a").isin("add", "keydel", "posdel"), F.col("a")
+            ),
             ignorenulls=True,
         ).over(wlk),
     )
@@ -2216,7 +2219,7 @@ def vacuum_plan(spark: SparkSession, table_dir: str) -> DataFrame:
     # keydel-born equality-delete files are files too — a retired
     # delete file (materialized away) is vacuumable like dead data.
     adds = (
-        log.filter(F.col("a").isin("add", "keydel"))
+        log.filter(F.col("a").isin("add", "keydel", "posdel"))
         .groupBy("path")
         .agg(F.max_by("n_bytes", "v").alias("n_bytes"))
     )
@@ -2631,6 +2634,48 @@ def delete_keys_mor(
     }])
 
 
+def delete_positions_mor(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+) -> int:
+    """Merge-on-read POSITIONAL delete (Iceberg's position-delete
+    files / the deletion-vector shape): instead of naming keys, name
+    (file, row position) pairs — the form a DELETE WHERE produces
+    when the predicate isn't on the clustering key.  Positions come
+    from the parquet scan's ``_metadata.row_index`` (stable per
+    immutable file by construction); one small PD file + one
+    ``posdel`` commit, zero data files rewritten.  Readers subtract
+    at scan time; :func:`materialize_deletes` folds back to
+    copy-on-write.  Returns the committed version."""
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    paths = sorted(r["path"] for r in live)
+    data = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
+    )
+    hits = (
+        data.select(
+            "*",
+            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
+            .alias("path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .filter(F.expr(predicate))
+        .select("path", "pos")
+    )
+    st = hits.agg(F.count("*").alias("n")).collect()[0]
+    if not st["n"]:
+        raise ValueError("positional delete matched no rows")
+    nonce = _next_version_nonce(table_dir)
+    name = f"PD{nonce}.parquet"
+    dest = os.path.join(table_dir, DATA_SUBDIR, name)
+    _write_one_file(hits, dest)
+    return commit_actions(table_dir, [{
+        "a": "posdel", "path": name,
+        "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
+    }])
+
+
 def snapshot_delete_files(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
@@ -2646,9 +2691,9 @@ def snapshot_delete_files(
         F.when(F.col("a") == "remove", 0).otherwise(1),
     )
     return (
-        log.filter(F.col("a").isin("keydel", "remove"))
+        log.filter(F.col("a").isin("keydel", "posdel", "remove"))
         .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("a") == "keydel"))
+        .filter((F.col("rn") == 1) & F.col("a").isin("keydel", "posdel"))
         .drop("rn")
     )
 
@@ -2666,16 +2711,32 @@ def snapshot_read_mor(
     design; their min/max stats would further let a planner skip
     applying them to disjoint data files)."""
     data = snapshot_read(spark, table_dir, version)
-    dels = sorted(
-        r["path"]
-        for r in snapshot_delete_files(spark, table_dir, version).collect()
-    )  # metadata-bounded
-    if not dels:
-        return data
-    keys = spark.read.parquet(
-        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in dels]
-    ).select(F.col("o_orderkey").alias(key)).distinct()
-    return data.join(F.broadcast(keys), key, "left_anti")
+    dels = snapshot_delete_files(spark, table_dir, version).collect()
+    kd = sorted(r["path"] for r in dels if r["a"] == "keydel")
+    pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
+    if pdl:
+        dv = spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in pdl]
+        ).select(
+            F.col("path").alias("__path"), F.col("pos").alias("__pos")
+        ).distinct()
+        data = (
+            data.select(
+                "*",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), "[^/]+$", 0
+                ).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            .join(F.broadcast(dv), ["__path", "__pos"], "left_anti")
+            .drop("__path", "__pos")
+        )
+    if kd:
+        keys = spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in kd]
+        ).select(F.col("o_orderkey").alias(key)).distinct()
+        data = data.join(F.broadcast(keys), key, "left_anti")
+    return data
 
 
 def materialize_deletes(
@@ -2688,41 +2749,73 @@ def materialize_deletes(
     in ONE commit.  A plain :func:`snapshot_read` afterwards equals
     the :func:`snapshot_read_mor` view before (test-pinned).
     Returns the committed version."""
-    dels = sorted(
-        r["path"]
-        for r in snapshot_delete_files(spark, table_dir).collect()
-    )
+    dels = snapshot_delete_files(spark, table_dir).collect()
     if not dels:
         raise ValueError("no live delete files to materialize")
-    keys = spark.read.parquet(
-        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in dels]
-    ).select(F.col("o_orderkey").alias(key)).distinct()
-    b = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    kd = sorted(r["path"] for r in dels if r["a"] == "keydel")
+    pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
+    keys = None
+    if kd:
+        keys = spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in kd]
+        ).select(F.col("o_orderkey").alias(key)).distinct()
+    dv = None
+    if pdl:
+        dv = spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in pdl]
+        ).select(
+            F.col("path").alias("_path"), F.col("pos").alias("_pos")
+        ).distinct()
     live = snapshot_files(spark, table_dir).collect()
-    cand = sorted(
-        r["path"] for r in live
-        if not (r["max_key"] < b["lo"] or r["min_key"] > b["hi"])
-    )
-    actions: list[dict] = [{"a": "remove", "path": p} for p in dels]
+    cand: set[str] = set()
+    if keys is not None:
+        b = keys.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        cand |= {
+            r["path"] for r in live
+            if not (r["max_key"] < b["lo"] or r["min_key"] > b["hi"])
+        }
+    if dv is not None:
+        # a posdel names its files EXACTLY — better than stats pruning
+        cand |= {r["_path"] for r in dv.select("_path").distinct()
+                 .collect()}
+    cand = sorted(cand)
+    actions: list[dict] = [
+        {"a": "remove", "path": r["path"]} for r in dels
+    ]
     if cand:
-        tagged = spark.read.parquet(
+        tagged = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table_dir, DATA_SUBDIR, p) for p in cand]
-        ).withColumn(
-            "_path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+        )
+        tagged = tagged.select(
+            "*",
+            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
+            .alias("_path"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        doomed = tagged
+        if keys is not None:
+            k_hits = tagged.join(F.broadcast(keys), key).select("_path")
+        if dv is not None:
+            p_hits = dv.select("_path")
+        hits = (
+            k_hits.unionByName(p_hits) if keys is not None and
+            dv is not None else (k_hits if keys is not None else p_hits)
         )
         touched = sorted(
-            r["_path"] for r in (
-                tagged.join(F.broadcast(keys), key)
-                .select("_path").distinct().collect()
-            )
+            r["_path"] for r in hits.distinct().collect()
         )
         nonce = _next_version_nonce(table_dir)
         for k, name in enumerate(touched):
-            part = (
-                tagged.filter(F.col("_path") == name)
-                .join(F.broadcast(keys), key, "left_anti")
-                .drop("_path")
-            )
+            part = doomed.filter(F.col("_path") == name)
+            if dv is not None:
+                part = part.join(
+                    F.broadcast(dv), ["_path", "_pos"], "left_anti"
+                )
+            if keys is not None:
+                part = part.join(F.broadcast(keys), key, "left_anti")
+            part = part.drop("_path", "_pos")
             add = _write_with_add_action(
                 part, table_dir, f"MAT{nonce}-{k}.parquet", key=key
             )

@@ -1375,3 +1375,64 @@ def test_optimize_zorder_is_transactional_and_change_free(spark, tmp_path):
         ).collect()[0]
         assert st["sk"] < g["sk"], p
         assert st["sp"] < g["sp"], p
+
+
+def test_positional_delete_lifecycle(spark, tmp_path):
+    """Positional MOR deletes (Iceberg position-delete files): a
+    DELETE WHERE on a non-key predicate lands as one (file, row
+    position) PD file, readers subtract at scan time via
+    _metadata.row_index, both delete kinds compose, and
+    materialize_deletes folds everything back to copy-on-write."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "posdel")
+    shutil.copytree(src_tbl, d)
+    files_before = sorted(os.listdir(os.path.join(d, tl.DATA_SUBDIR)))
+    pred = "o_orderstatus = 'F' AND o_orderkey % 7 = 0"
+    n_all = tl.snapshot_read(spark, d).count()
+    n_hit = tl.snapshot_read(spark, d).filter(pred).count()
+    assert n_hit > 0
+    v = tl.delete_positions_mor(spark, d, pred)
+    # zero data files rewritten: one PD file appeared, nothing else
+    files_after = sorted(os.listdir(os.path.join(d, tl.DATA_SUBDIR)))
+    assert files_after == sorted(files_before + [f"PD{v}.parquet"])
+    # the MOR read equals the filtered recompute
+    mor = tl.snapshot_read_mor(spark, d)
+    assert mor.count() == n_all - n_hit
+    assert mor.filter(pred).count() == 0
+    # time travel below the delete is untouched
+    assert tl.snapshot_read_mor(spark, d, v - 1).count() == n_all
+    # an empty predicate refuses
+    with pytest.raises(ValueError, match="matched no rows"):
+        tl.delete_positions_mor(spark, d, "o_orderkey < 0")
+
+    # COMPOSE with an equality delete
+    orders = load_table(spark, SF_SMOKE, "orders")
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    keys = orders.filter(
+        (tl.F.expr(f"o_orderkey div {width}") == 3)
+        & (tl.F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey")
+    tl.delete_keys_mor(spark, d, keys)
+    both = tl.snapshot_read_mor(spark, d)
+    want = both.count()
+    assert want < n_all - n_hit  # keydel removed more
+    assert both.filter(pred).count() == 0
+    # expiry refuses a live posdel horizon
+    with pytest.raises(ValueError, match="posdel"):
+        tl.expire_log(spark, d, v + 1)
+
+    # materialize folds BOTH kinds back to copy-on-write
+    before = {tuple(r) for r in both.collect()}
+    tl.materialize_deletes(spark, d)
+    plain = tl.snapshot_read(spark, d)
+    assert plain.count() == want
+    assert {tuple(r) for r in plain.collect()} == before
+    # the PD and KD files are retired -> vacuumable
+    plan = {r["path"] for r in tl.vacuum_plan(spark, d).collect()}
+    assert f"PD{v}.parquet" in plan
+    assert any(p.startswith("KD") for p in plan)
