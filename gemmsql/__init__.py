@@ -130,6 +130,7 @@ _EXPORTS = {
     "ivm_view": "gemmsql.pipeline.tablelog",
     "streaming_mor_ivm_gate": "gemmsql.pipeline.tablelog",
     "delete_positions_mor": "gemmsql.pipeline.tablelog",
+    "delete_where_cow": "gemmsql.pipeline.tablelog",
     "near_dup_pairs": "gemmsql.pipeline.phash",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",

@@ -2634,6 +2634,57 @@ def delete_keys_mor(
     }])
 
 
+def delete_where_cow(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    *,
+    key: str = "o_orderkey",
+) -> int:
+    """Copy-on-write DELETE WHERE — the fourth cell of the delete
+    matrix (CoW x equality/positional live as :func:`merge_table`'s
+    rewrites and the two MOR flavors): rewrite ONLY the files that
+    actually CONTAIN matching rows, each minus its matches, all in
+    ONE commit with snapshot-isolation conflict detection.  Touch
+    detection reads the predicate columns once over the live set
+    (tagged by ``_metadata.file_path``); files without matches are
+    never rewritten — the same no-write-amplification discipline as
+    the merge planner's exact-touch phase.  Returns the committed
+    version."""
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    paths = sorted(r["path"] for r in live)
+    tagged = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
+    )
+    tagged = tagged.select(
+        "*",
+        F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
+        .alias("_path"),
+    )
+    hit = F.expr(predicate)
+    touched = sorted(
+        r["_path"] for r in
+        tagged.filter(hit).select("_path").distinct().collect()
+    )  # bounded by live file count
+    if not touched:
+        raise ValueError("delete predicate matched no rows")
+    nonce = _next_version_nonce(table_dir)
+    actions: list[dict] = []
+    for k, name in enumerate(touched):
+        part = (
+            tagged.filter(F.col("_path") == name)
+            .filter(~hit)
+            .drop("_path")
+        )
+        add = _write_with_add_action(
+            part, table_dir, f"DEL{nonce}-{k}.parquet", key=key
+        )
+        actions.append({"a": "remove", "path": name})
+        if add:  # a fully-deleted file just removes
+            actions.append(add)
+    return commit_actions(table_dir, actions, expects_live=touched)
+
+
 def delete_positions_mor(
     spark: SparkSession,
     table_dir: str,

@@ -1436,3 +1436,43 @@ def test_positional_delete_lifecycle(spark, tmp_path):
     plan = {r["path"] for r in tl.vacuum_plan(spark, d).collect()}
     assert f"PD{v}.parquet" in plan
     assert any(p.startswith("KD") for p in plan)
+
+
+def test_delete_where_cow_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write DELETE WHERE: only files CONTAINING matches
+    rewrite, fully-deleted files just remove, the commit is one
+    atomic version, and the result equals the filtered recompute —
+    with time travel below the delete intact."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "cowdel")
+    shutil.copytree(src_tbl, d)
+    from gemmsql.datamodel import load_table
+
+    n_all = tl.snapshot_read(spark, d).count()
+    # every bucket-2 key with status F: contained entirely in A2
+    # (bucket arithmetic uses the ORDERS max, the fixture's width)
+    mx = load_table(spark, SF_SMOKE, "orders").agg(
+        tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    pred = f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'"
+    n_hit = tl.snapshot_read(spark, d).filter(pred).count()
+    assert n_hit > 0
+    v = tl.delete_where_cow(spark, d, pred)
+    log = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    removes = sorted(r["path"] for r in log if r["a"] == "remove")
+    assert removes == ["A2.parquet"]  # exact-touch: one file rewrote
+    after = tl.snapshot_read(spark, d)
+    assert after.count() == n_all - n_hit
+    assert after.filter(pred).count() == 0
+    assert tl.snapshot_read(spark, d, v - 1).count() == n_all
+    # no matches -> loud refusal, nothing committed
+    with pytest.raises(ValueError, match="matched no rows"):
+        tl.delete_where_cow(spark, d, "o_orderkey < 0")
+    # delete EVERYTHING in one file: the rewrite emits no add
+    pred_all = f"o_orderkey div {width} = 3"
+    v2 = tl.delete_where_cow(spark, d, pred_all)
+    log2 = tl.read_log(spark, d).filter(f"v = {v2}").collect()
+    assert sorted(r["a"] for r in log2).count("remove") >= 1
+    assert tl.snapshot_read(spark, d).filter(pred_all).count() == 0
