@@ -870,16 +870,28 @@ def ivm_drain(
     spark: SparkSession, table_dir: str, ckpt: str, emissions_dir: str
 ) -> None:
     """One availableNow drain of the commit-stream IVM: the log tails
-    in as a file stream, each action expands executor-side to its
-    file's signed rows (an action row reads ONLY its own retained
-    file; meta actions carry no rows; a vacuumed file referenced by a
-    NOT-yet-checkpointed commit fails loudly), and the update-mode
-    aggregate upserts emissions through the checkpoint.  Shared by
-    :func:`streaming_cdf_ivm_gate` and the vacuum-across-checkpoint
-    lifecycle tests, so both drive the same production path."""
+    in as a file stream, each action expands executor-side to signed
+    rows, and the update-mode aggregate upserts emissions through the
+    checkpoint.  The expansion covers EVERY liveness-bearing action
+    kind:
+
+    - ``add`` / ``remove`` — the action's own (retained) file at
+      +1 / -1; a vacuumed file behind a NOT-yet-checkpointed commit
+      fails loudly.
+    - ``keydel`` — the deletion-vector CDF read: the key file plus a
+      metadata log replay (:func:`_live_adds_before`) stats-pruned
+      by the keydel's key range, matching rows at -1.
+    - ``posdel`` — the positional twin: the PD file names its
+      (file, position) pairs EXACTLY; each named file's positions
+      retract at -1.
+
+    Shared by :func:`streaming_cdf_ivm_gate`,
+    :func:`streaming_mor_ivm_gate`, and the vacuum/expiry lifecycle
+    tests, so every caller drives the same production path."""
     from gemmsql.streaming.windows import _await_gate, state_partitions
 
     data_dir = os.path.join(table_dir, DATA_SUBDIR)
+    log_dir = os.path.join(table_dir, LOG_SUBDIR)
     present = _present_versions(table_dir)
     if present and present[0] > 0 and not os.path.isdir(ckpt):
         # a FRESH view build on an expired log would silently fold
@@ -891,27 +903,50 @@ def ivm_drain(
             "fresh IVM build must bootstrap from a snapshot, not the "
             "log tail"
         )
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
 
     def expand(batches):
         import pandas as _pd
 
+        def _read(path, columns):
+            full = os.path.join(data_dir, path)
+            if not os.path.exists(full):
+                raise ValueError(
+                    f"stream reads vacuumed file {path} — the "
+                    "checkpoint horizon was vacuumed away; rebuild "
+                    "the view from a snapshot"
+                )
+            return _pd.read_parquet(full, columns=columns)
+
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
-                if row["a"] not in ("add", "remove") or not row["path"]:
+                a, path = row["a"], row["path"]
+                if not path:
                     continue
-                full = os.path.join(data_dir, row["path"])
-                if not os.path.exists(full):
-                    raise ValueError(
-                        f"commit v{row['v']} reads vacuumed file "
-                        f"{row['path']} — the checkpoint horizon was "
-                        "vacuumed away; rebuild the view from a snapshot"
-                    )
-                part = _pd.read_parquet(
-                    full, columns=["o_orderpriority", "o_totalprice"]
-                )
-                part["sign"] = 1 if row["a"] == "add" else -1
-                out.append(part)
+                if a in ("add", "remove"):
+                    part = _read(path, cols[1:])
+                    part["sign"] = 1 if a == "add" else -1
+                    out.append(part)
+                elif a == "keydel":
+                    keys = set(_read(path, None)["o_orderkey"])
+                    lo, hi = row["min_key"], row["max_key"]
+                    for add in _live_adds_before(log_dir, int(row["v"])):
+                        if add["max_key"] < lo or add["min_key"] > hi:
+                            continue  # the CDF reader's skip plan
+                        part = _read(add["path"], cols)
+                        part = part[part["o_orderkey"].isin(keys)]
+                        if len(part):
+                            part = part[cols[1:]].copy()
+                            part["sign"] = -1
+                            out.append(part)
+                elif a == "posdel":
+                    pairs = _read(path, None)
+                    for fname, grp in pairs.groupby("path"):
+                        part = _read(fname, cols[1:])
+                        part = part.iloc[sorted(grp["pos"])].copy()
+                        part["sign"] = -1
+                        out.append(part)
             if out:
                 yield _pd.concat(out, ignore_index=True)
 
@@ -1067,13 +1102,13 @@ def streaming_mor_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``delete_keys_mor`` commit — one small key file, NO data-file
     rewrite — lands mid-stream.
 
-    The delta expansion handles the keydel action the way a real CDF
-    reader handles a deletion-vector commit: read the key file (its
-    own file), replay the metadata-sized log for the live adds BELOW
-    the commit's version, STATS-PRUNE them against the keydel's key
-    range, and emit only the matching rows at sign -1 — so the
-    retraction reads exactly the files a skip-planner would, never
-    the whole table.
+    Rides the shared :func:`ivm_drain`, whose expansion handles the
+    keydel action the way a real CDF reader handles a deletion-vector
+    commit: read the key file (its own file), replay the
+    metadata-sized log for the live adds BELOW the commit's version,
+    STATS-PRUNE them against the keydel's key range, and emit only
+    the matching rows at sign -1 — so the retraction reads exactly
+    the files a skip-planner would, never the whole table.
 
     Lifecycle: drain 1 folds the staged table's four commits through
     a checkpoint; while the stream is down, the REAL
@@ -1085,82 +1120,14 @@ def streaming_mor_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin performs from ``orders`` — stream batching, checkpoint
     recovery, keydel expansion, stats pruning, and the retraction
     algebra are all row-membership-checked."""
-    from gemmsql.streaming.windows import _await_gate, state_partitions
-
     base = stage_versioned_table(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="gemmsql_morlive_")
     table = os.path.join(work, "tbl")
     shutil.copytree(base, table)
     ckpt = os.path.join(work, "_ckpt")
     emissions_dir = os.path.join(work, "emissions")
-    data_dir = os.path.join(table, DATA_SUBDIR)
-    log_dir = os.path.join(table, LOG_SUBDIR)
-    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
 
-    def expand(batches):
-        import pandas as _pd
-
-        for pdf in batches:
-            out = []
-            for row in pdf.to_dict("records"):
-                a, path = row["a"], row["path"]
-                if not path:
-                    continue
-                if a in ("add", "remove"):
-                    part = _pd.read_parquet(
-                        os.path.join(data_dir, path), columns=cols[1:]
-                    )
-                    part["sign"] = 1 if a == "add" else -1
-                    out.append(part)
-                elif a == "keydel":
-                    keys = set(_pd.read_parquet(
-                        os.path.join(data_dir, path))["o_orderkey"])
-                    lo, hi = row["min_key"], row["max_key"]
-                    for add in _live_adds_before(log_dir, int(row["v"])):
-                        if add["max_key"] < lo or add["min_key"] > hi:
-                            continue  # the CDF reader's skip plan
-                        part = _pd.read_parquet(
-                            os.path.join(data_dir, add["path"]),
-                            columns=cols,
-                        )
-                        part = part[part["o_orderkey"].isin(keys)]
-                        if len(part):
-                            part = part[cols[1:]].copy()
-                            part["sign"] = -1
-                            out.append(part)
-            if out:
-                yield _pd.concat(out, ignore_index=True)
-
-    def drain() -> None:
-        src = (
-            spark.readStream.schema(LOG_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .json(os.path.join(log_dir, "*.json"))
-        )
-        deltas = src.mapInPandas(
-            expand,
-            schema="o_orderpriority string, o_totalprice double, sign int",
-        )
-        agg = deltas.groupBy("o_orderpriority").agg(
-            F.sum("sign").alias("dn"),
-            F.sum(F.col("sign") * F.expr(_CENTS)).alias("dc"),
-            F.count("*").alias("n_changes"),
-        )
-
-        def upsert(bdf: DataFrame, batch_id: int) -> None:
-            bdf.write.mode("append").parquet(emissions_dir)
-
-        with state_partitions(spark):
-            q = (
-                agg.writeStream.foreachBatch(upsert)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await_gate(q)
-
-    drain()
+    ivm_drain(spark, table, ckpt, emissions_dir)
     # the LIVE merge-on-read delete, landed while the stream is down
     # — one key file + one keydel commit, zero data files rewritten
     orders = load_table(spark, sf_dir, "orders")
@@ -1171,18 +1138,8 @@ def streaming_mor_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderkey") % 3 == 0)
     ).select("o_orderkey")
     assert delete_keys_mor(spark, table, keys) == 4
-    drain()
-
-    emissions = spark.read.parquet(emissions_dir)
-    final = emissions.groupBy("o_orderpriority").agg(
-        F.max_by("dn", "n_changes").alias("dn"),
-        F.max_by("dc", "n_changes").alias("dc"),
-    )
-    return final.select(
-        "o_orderpriority",
-        F.col("dn").cast("long").alias("n_orders"),
-        F.col("dc").cast("long").alias("sum_cents"),
-    ).filter(F.col("n_orders") > 0)
+    ivm_drain(spark, table, ckpt, emissions_dir)
+    return ivm_view(spark, emissions_dir)
 
 
 def streaming_txn_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

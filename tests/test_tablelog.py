@@ -1476,3 +1476,29 @@ def test_delete_where_cow_rewrites_only_touched_files(spark, tmp_path):
     log2 = tl.read_log(spark, d).filter(f"v = {v2}").collect()
     assert sorted(r["a"] for r in log2).count("remove") >= 1
     assert tl.snapshot_read(spark, d).filter(pred_all).count() == 0
+
+
+def test_posdel_mid_stream_retracts_from_ivm(spark, tmp_path):
+    """The positional twin of the streaming MOR composition: a
+    delete_positions_mor commit lands mid-stream and the maintained
+    view retracts exactly the named (file, position) rows — the view
+    after recovery hash-equals the batch MOR recompute."""
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "pdstream")
+    shutil.copytree(src_tbl, d)
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    # the live positional delete, while the stream is down
+    tl.delete_positions_mor(
+        spark, d, "o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+           for r in tl.ivm_view(spark, emissions).collect()}
+    want = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+            for r in tl.snapshot_read_mor(spark, d)
+            .groupBy("o_orderpriority").agg(
+                tl.F.count("*").cast("long").alias("n_orders"),
+                tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                .alias("sum_cents")).collect()}
+    assert got == want
