@@ -964,3 +964,32 @@ def test_merge_witness_reads_only_merged_table(spark):
     files = tablelog_merge(spark, SF_SMOKE).inputFiles()
     assert files, "expected merged-table files"
     assert all("gemmsql_tablemerge" in f for f in files), files
+
+
+def test_mor_read_with_both_delete_kinds_stays_relational(spark, tmp_path):
+    """snapshot_read_mor over a table carrying BOTH delete kinds:
+    the positional and equality subtractions are (broadcast)
+    anti-joins — never a cartesian or nested-loop product — and the
+    plan carries exactly the two anti-joins."""
+    import shutil
+
+    from gemmsql.pipeline import tablelog as tl
+
+    base = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "mordual")
+    shutil.copytree(base, d)
+    tl.delete_positions_mor(
+        spark, d, "o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    keys = orders.filter(
+        (tl.F.expr(f"o_orderkey div {mx // 8 + 1}") == 3)
+        & (tl.F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey")
+    tl.delete_keys_mor(spark, d, keys)
+    p = plan_of(tl.snapshot_read_mor(spark, d))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("LeftAnti") == 2, p
