@@ -131,6 +131,7 @@ _EXPORTS = {
     "streaming_mor_ivm_gate": "gemmsql.pipeline.tablelog",
     "delete_positions_mor": "gemmsql.pipeline.tablelog",
     "delete_where_cow": "gemmsql.pipeline.tablelog",
+    "snapshot_read_mor_mapped": "gemmsql.pipeline.tablelog",
     "near_dup_pairs": "gemmsql.pipeline.phash",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",

@@ -1899,8 +1899,13 @@ def snapshot_read_mapped(
         spark, table_dir, version,
         reader_features=() if m is None else ("column_mapping",),
     )
-    if m is None:
-        return base
+    return base if m is None else _apply_mapping(base, m)
+
+
+def _apply_mapping(base: DataFrame, m: list[dict]) -> DataFrame:
+    """Project a PHYSICAL-named frame to the mapping's logical
+    names; a mapped field absent from every underlying file
+    NULL-backfills with its declared type."""
     cols = []
     for e in m:
         if e["physical"] in base.columns:
@@ -1910,6 +1915,23 @@ def snapshot_read_mapped(
                 F.lit(None).cast(e["type"]).alias(e["logical"])
             )
     return base.select(*cols)
+
+
+def snapshot_read_mor_mapped(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """:func:`snapshot_read_mor` through the column mapping AS OF the
+    version: delete subtraction runs on frozen PHYSICAL names (keys
+    and positions are physical by construction), then the mapping
+    projects to that version's logical names."""
+    m = column_mapping(spark, table_dir, version)
+    data = snapshot_read_mor(
+        spark, table_dir, version,
+        reader_features=() if m is None else ("column_mapping",),
+    )
+    return data if m is None else _apply_mapping(data, m)
 
 
 def append_mapped(
@@ -2712,13 +2734,18 @@ def snapshot_read_mor(
     version: int | None = None,
     *,
     key: str = "o_orderkey",
+    reader_features: tuple[str, ...] = (),
 ) -> DataFrame:
     """Read AS OF a version with merge-on-read semantics: the
-    copy-on-write live set minus every live equality-delete file's
-    keys (a broadcast anti-join — delete files are KB-scale by
-    design; their min/max stats would further let a planner skip
-    applying them to disjoint data files)."""
-    data = snapshot_read(spark, table_dir, version)
+    copy-on-write live set minus every live delete file — equality
+    keys via a broadcast anti-join on the key, positions via a
+    broadcast anti-join on (file, row position) — both KB-scale by
+    design.  Inherits :func:`snapshot_read`'s protocol gate;
+    feature-aware callers come through
+    :func:`snapshot_read_mor_mapped`."""
+    data = snapshot_read(
+        spark, table_dir, version, reader_features=reader_features
+    )
     dels = snapshot_delete_files(spark, table_dir, version).collect()
     kd = sorted(r["path"] for r in dels if r["a"] == "keydel")
     pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")

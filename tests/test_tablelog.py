@@ -1502,3 +1502,75 @@ def test_posdel_mid_stream_retracts_from_ivm(spark, tmp_path):
                 tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
                 .alias("sum_cents")).collect()}
     assert got == want
+
+
+def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
+    """The capstone composition: one table driven through the entire
+    round-12..14 surface in sequence — append, MERGE, rename under
+    mapping, MOR delete, OPTIMIZE ZORDER, materialize, vacuum,
+    expire — with the running row-count/cents invariant checked at
+    every step and time travel spot-checked across the whole story."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "life")
+    shutil.copytree(src_tbl, d)
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    width = mx // 8 + 1
+    b = lambda k: tl.F.expr(f"o_orderkey div {width}") == k  # noqa: E731
+
+    def n(df):
+        return df.count()
+
+    n0 = n(tl.snapshot_read(spark, d))                        # v3 state
+    # v4: MERGE (updates bucket 2, inserts bucket 7)
+    v_merge = tl.merge_table(spark, d, tl._merge_source(spark, SF_SMOKE))
+    n_ins = n(orders.filter(b(7)))
+    assert n(tl.snapshot_read(spark, d)) == n0 + n_ins
+    # v5: RENAME under mapping (metadata only)
+    v_ren = tl.rename_column(spark, d, "o_orderpriority", "priority")
+    cur = tl.snapshot_read_mapped(spark, d)
+    assert "priority" in cur.columns and n(cur) == n0 + n_ins
+    # v6: MOR positional delete through the mapped table
+    pred = "o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    n_hit = n(tl.snapshot_read_mapped(spark, d).filter(pred))
+    assert n_hit > 0
+    tl.delete_positions_mor(spark, d, pred)
+    live_n = n0 + n_ins - n_hit
+    mor = tl.snapshot_read_mor_mapped(spark, d)
+    assert "priority" in mor.columns
+    assert n(mor) == live_n
+    # v7: MATERIALIZE back to copy-on-write
+    tl.materialize_deletes(spark, d)
+    assert n(tl.snapshot_read_mapped(spark, d)) == live_n
+    # v8: OPTIMIZE ZORDER in place (dest pattern needs a fresh dir)
+    d2 = str(tmp_path / "life_opt")
+    tl.optimize_table(spark, d, d2, n_files=3,
+                      zorder_by=("o_orderkey", "o_totalprice"))
+    latest = int(tl.read_log(spark, d2).agg(tl.F.max("v"))
+                 .collect()[0][0])
+    assert tl.version_diff_dir(spark, d2, latest - 1, latest).count() == 0
+    assert n(tl.snapshot_read_mapped(spark, d2)) == live_n
+    # BEFORE maintenance: time travel to the merge version answers
+    # under its ORIGINAL (pre-rename) column names
+    at_merge = tl.snapshot_read_mapped(spark, d2, v_merge)
+    assert "o_orderpriority" in at_merge.columns
+    assert n(at_merge) == n0 + n_ins
+    # VACUUM the dead files: v_merge drops below the data horizon
+    # (its files are dead at latest) and now fails LOUDLY
+    assert len(tl.vacuum_table(spark, d2)) > 0
+    with pytest.raises(ValueError, match="vacuumed"):
+        tl.snapshot_read_mapped(spark, d2, v_merge)
+    # EXPIRE the log past the merge — the metadata-carrying
+    # checkpoint keeps mapping + protocol alive at latest
+    tl.expire_log(spark, d2, v_merge + 1)
+    assert n(tl.snapshot_read_mapped(spark, d2)) == live_n
+    assert tl.required_reader_features(d2) == {"column_mapping"}
+    with pytest.raises(ValueError, match="column_mapping"):
+        tl.snapshot_read(spark, d2)
