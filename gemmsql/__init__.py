@@ -132,6 +132,10 @@ _EXPORTS = {
     "delete_positions_mor": "gemmsql.pipeline.tablelog",
     "delete_where_cow": "gemmsql.pipeline.tablelog",
     "snapshot_read_mor_mapped": "gemmsql.pipeline.tablelog",
+    "update_where_cow": "gemmsql.pipeline.tablelog",
+    "restore_table": "gemmsql.pipeline.tablelog",
+    "version_at_timestamp": "gemmsql.pipeline.tablelog",
+    "snapshot_read_at_timestamp": "gemmsql.pipeline.tablelog",
     "near_dup_pairs": "gemmsql.pipeline.phash",
     # persisted sketch store (r12 birth)
     "hll_registers": "gemmsql.sketches",

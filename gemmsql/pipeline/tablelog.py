@@ -2231,6 +2231,128 @@ def vacuum_table(spark: SparkSession, table_dir: str) -> list[str]:
     return sorted(deleted)
 
 
+def restore_table(
+    spark: SparkSession, table_dir: str, to_version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF (Delta's RESTORE, Iceberg's
+    rollback) — rollback as a FORWARD commit: a new version whose live
+    data-file AND delete-file state equals ``to_version``'s, built
+    entirely from metadata (removes for files live now but not then,
+    re-adds — original stats preserved — for files live then but not
+    now).  ZERO data bytes move: every re-add names a file already on
+    disk, so at 100 TB a restore is the same O(live-files) driver-side
+    commit as any other, not a rewrite.
+
+    History stays intact — the rolled-back versions remain time-
+    travelable above ``to_version`` (the difference from resetting the
+    log), and the restore itself is one more auditable version.  Like
+    Delta, data restores; table METADATA (column mapping, constraints,
+    protocol) stays current — the mapping reads AS OF the restore
+    commit's version, not the restored one.
+
+    Fails loudly when ``to_version``'s bytes are gone: a re-added file
+    that VACUUM already deleted aborts the restore before anything
+    commits (Delta's missing-files check), and a target below the log-
+    retention horizon fails in :func:`snapshot_files`.  Commits with
+    snapshot isolation against the planned-from live set.  Returns the
+    committed version."""
+    present = _present_versions(table_dir)
+    latest = present[-1] if present else -1
+    if to_version >= latest:
+        raise ValueError(
+            f"RESTORE target v{to_version} is not below the current "
+            f"version v{latest}"
+        )
+    want = {r["path"]: r for r in
+            snapshot_files(spark, table_dir, to_version).collect()}
+    have = {r["path"]: r for r in
+            snapshot_files(spark, table_dir).collect()}
+    want_del = {r["path"]: r for r in
+                snapshot_delete_files(spark, table_dir, to_version)
+                .collect()}
+    have_del = {r["path"]: r for r in
+                snapshot_delete_files(spark, table_dir).collect()}
+    re_adds = sorted(set(want) - set(have))
+    removes = sorted(set(have) - set(want))
+    del_re_adds = sorted(set(want_del) - set(have_del))
+    del_removes = sorted(set(have_del) - set(want_del))
+    if not (re_adds or removes or del_re_adds or del_removes):
+        raise ValueError(
+            f"RESTORE to v{to_version} is a no-op: the live state is "
+            "already identical"
+        )
+    missing = [
+        p for p in (*re_adds, *del_re_adds)
+        if not os.path.exists(os.path.join(table_dir, DATA_SUBDIR, p))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore to v{to_version}: its files were "
+            f"vacuumed: {missing}"
+        )
+
+    def _readd(rec, kind: str) -> dict:
+        # re-emit the ORIGINAL add/keydel/posdel action (stats and
+        # all) so skip-planning over the restored state is as precise
+        # as it was at to_version; replay-only fields stay behind
+        keep = ("path", "n_rows", "n_bytes", "min_key", "max_key",
+                "min_date", "max_date")
+        return {"a": kind, **{
+            k: rec[k] for k in keep if rec[k] is not None
+        }}
+
+    actions: list[dict] = (
+        [{"a": "remove", "path": p} for p in removes]
+        + [{"a": "remove", "path": p} for p in del_removes]
+        + [_readd(want[p], "add") for p in re_adds]
+        + [_readd(want_del[p], want_del[p]["a"]) for p in del_re_adds]
+    )
+    return commit_actions(
+        table_dir, actions, expects_live=sorted(have)
+    )
+
+
+def version_at_timestamp(table_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution, classic-Delta style: a commit's
+    timestamp is its commit FILE's mtime, adjusted to be monotonic
+    (a commit never timestamps before its predecessor — Delta's
+    in-commit-timestamp predecessor did the same adjustment); the
+    answer is the greatest retained version at or below ``ts``.
+
+    Log retention bounds timestamp travel exactly as it does in
+    Delta: expired commits take their mtimes with them, so a ``ts``
+    before the earliest retained commit raises loudly instead of
+    silently snapping forward."""
+    present = _present_versions(table_dir)
+    if not present:
+        raise ValueError(f"no commits in {table_dir}")
+    best, last = None, float("-inf")
+    for v in present:
+        m = os.path.getmtime(
+            os.path.join(table_dir, LOG_SUBDIR, f"{v:08d}.json")
+        )
+        last = max(last, m)  # monotonic adjustment
+        if last <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the earliest retained commit "
+            f"v{present[0]} (log retention bounds timestamp travel)"
+        )
+    return best
+
+
+def snapshot_read_at_timestamp(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """:func:`snapshot_read` AS OF a wall-clock timestamp — the
+    mapping-aware read at :func:`version_at_timestamp`'s answer, so
+    a ``ts`` below a rename answers under the names of its day."""
+    return snapshot_read_mapped(
+        spark, table_dir, version_at_timestamp(table_dir, ts)
+    )
+
+
 def _next_version_nonce(table_dir: str) -> int:
     versions = [
         int(os.path.basename(p).split(".")[0])
@@ -2661,6 +2783,103 @@ def delete_where_cow(
         actions.append({"a": "remove", "path": name})
         if add:  # a fully-deleted file just removes
             actions.append(add)
+    return commit_actions(table_dir, actions, expects_live=touched)
+
+
+def update_where_cow(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    *,
+    key: str = "o_orderkey",
+) -> int:
+    """Copy-on-write UPDATE ... SET ... WHERE — the last cell of the
+    DML matrix (INSERT = append, MERGE, DELETE CoW/MOR, and now
+    UPDATE): rewrite ONLY the files that CONTAIN matching rows, each
+    with its matches transformed by ``set_exprs`` (``{col: sql_expr}``,
+    simultaneous-assignment semantics — every expression evaluates
+    against the PRE-update row, like SQL UPDATE), all in ONE commit
+    with snapshot-isolation conflict detection.  Files without
+    matches never rewrite (:func:`delete_where_cow`'s exact-touch
+    discipline); row counts are invariant by construction, so
+    history shows the update as a same-rows rewrite version.
+
+    On a COLUMN-MAPPED table the predicate and ``set_exprs`` use
+    LOGICAL names (the reader's vocabulary); the rewrite lands under
+    frozen physical names carrying only the mapped columns — the
+    same rewrite semantics as :func:`merge_table` under mapping.
+
+    CHECK constraints are re-validated on the UPDATED rows before
+    anything lands: an UPDATE that would write a violating value is
+    rejected whole, never partially applied.  Returns the committed
+    version."""
+    feats = required_reader_features(table_dir)
+    if feats - {"column_mapping"}:
+        raise ValueError(
+            f"UPDATE does not support reader features "
+            f"{sorted(feats - {'column_mapping'})}"
+        )
+    mapping = column_mapping(spark, table_dir)
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    paths = sorted(r["path"] for r in live)
+    base = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
+    )
+    base = base.withColumn(
+        "_path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+    )
+    if mapping is not None:
+        # logical projection: predicate + SET expressions speak the
+        # reader's names; absent mapped fields NULL-backfill typed
+        base = base.select(*[
+            (F.col(e["physical"]) if e["physical"] in base.columns
+             else F.lit(None).cast(e["type"])).alias(e["logical"])
+            for e in mapping
+        ], "_path")
+    cols = [c for c in base.columns if c != "_path"]
+    bad = sorted(set(set_exprs) - set(cols))
+    if bad:
+        raise ValueError(f"SET names unknown columns: {bad}")
+    hit = F.expr(predicate)
+    touched = sorted(
+        r["_path"] for r in
+        base.filter(hit).select("_path").distinct().collect()
+    )  # bounded by live file count
+    if not touched:
+        raise ValueError("update predicate matched no rows")
+    # one select computes every post-update column from the ORIGINAL
+    # row (simultaneous assignment), gated per-row by the predicate
+    rewritten = base.filter(F.col("_path").isin(touched)).select(
+        *[
+            F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c))
+            .alias(c) if c in set_exprs else F.col(c)
+            for c in cols
+        ],
+        "_path",
+    )
+    # commit-time CHECK enforcement on exactly the rows that change
+    # (logical names — the constraint vocabulary), never a rescan of
+    # untouched files
+    _enforce_constraints(spark, table_dir, rewritten.filter(hit))
+    phys_key = key
+    if mapping is not None:
+        by_logical = {e["logical"]: e["physical"] for e in mapping}
+        if key not in by_logical:
+            raise ValueError(f"stats key {key!r} is not a mapped column")
+        phys_key = by_logical[key]
+        rewritten = rewritten.select(
+            *[F.col(c).alias(by_logical[c]) for c in cols], "_path"
+        )
+    nonce = _next_version_nonce(table_dir)
+    actions: list[dict] = []
+    for k, name in enumerate(touched):
+        part = rewritten.filter(F.col("_path") == name).drop("_path")
+        add = _write_with_add_action(
+            part, table_dir, f"UPD{nonce}-{k}.parquet", key=phys_key
+        )
+        actions.append({"a": "remove", "path": name})
+        actions.append(add)  # same rows back — never empty
     return commit_actions(table_dir, actions, expects_live=touched)
 
 

@@ -1574,3 +1574,273 @@ def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     assert tl.required_reader_features(d2) == {"column_mapping"}
     with pytest.raises(ValueError, match="column_mapping"):
         tl.snapshot_read(spark, d2)
+
+
+# --------------------------------------------------- UPDATE WHERE (CoW)
+
+def _fixture_copy(spark, tmp_path, name):
+    src = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / name)
+    shutil.copytree(src, d)
+    return d
+
+
+def _bucket_width(spark):
+    from gemmsql.datamodel import load_table
+
+    mx = load_table(spark, SF_SMOKE, "orders").agg(
+        tl.F.max("o_orderkey")).collect()[0][0]
+    return mx // 8 + 1
+
+
+def test_update_where_cow_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write UPDATE: only files CONTAINING matches rewrite,
+    row counts are invariant, the SET is simultaneous-assignment
+    against the pre-update row, and time travel below the update is
+    intact."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "cowupd")
+    width = _bucket_width(spark)
+    pred = f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'"
+    before = tl.snapshot_read(spark, d)
+    n_all = before.count()
+    n_hit = before.filter(pred).count()
+    assert n_hit > 0
+    cents0 = before.agg(
+        tl.F.sum(tl.F.expr(tl._CENTS))).collect()[0][0]
+    v = tl.update_where_cow(spark, d, pred, {
+        "o_totalprice": "o_totalprice + 1",
+        "o_orderpriority": "'9-UPDATED'",
+    })
+    log = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    removes = sorted(r["path"] for r in log if r["a"] == "remove")
+    assert removes == ["A2.parquet"]  # exact-touch: one file rewrote
+    after = tl.snapshot_read(spark, d)
+    assert after.count() == n_all  # UPDATE never changes row counts
+    assert after.filter("o_orderpriority = '9-UPDATED'").count() == n_hit
+    # +1 dollar per hit = exactly +100 cents per hit (quantizer-safe)
+    cents1 = after.agg(tl.F.sum(tl.F.expr(tl._CENTS))).collect()[0][0]
+    assert cents1 == cents0 + 100 * n_hit
+    # time travel below the update: untouched
+    assert tl.snapshot_read(spark, d, v - 1).filter(
+        "o_orderpriority = '9-UPDATED'").count() == 0
+    with pytest.raises(ValueError, match="matched no rows"):
+        tl.update_where_cow(spark, d, "o_orderkey < 0",
+                            {"o_totalprice": "0"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        tl.update_where_cow(spark, d, pred, {"nope": "1"})
+
+
+def test_update_rejects_constraint_violations(spark, tmp_path):
+    """Commit-time CHECK enforcement on the UPDATED rows: an UPDATE
+    that would write a violating value rejects whole — nothing
+    commits, nothing lands."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "cowupdck")
+    width = _bucket_width(spark)
+    pred = f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'"
+    tl.add_check_constraint(d, "pos_price", "o_totalprice > 0")
+    v_before = max(tl._present_versions(d))
+    with pytest.raises(ValueError, match="violate"):
+        tl.update_where_cow(spark, d, pred, {"o_totalprice": "-1"})
+    assert max(tl._present_versions(d)) == v_before  # nothing landed
+    # a compliant update still passes the same constraint
+    v = tl.update_where_cow(spark, d, pred,
+                            {"o_totalprice": "o_totalprice + 1"})
+    assert v == v_before + 1
+
+
+def test_update_under_column_mapping(spark, tmp_path):
+    """UPDATE on a column-mapped table speaks LOGICAL names in both
+    the predicate and the SET; rewrites land under frozen physical
+    names carrying only mapped columns (the merge-under-mapping
+    rewrite semantics)."""
+    src = tl.stage_mapped_table(spark, SF_SMOKE)
+    d = str(tmp_path / "updmap")
+    shutil.copytree(src, d)
+    width = _bucket_width(spark)
+    cur = tl.snapshot_read_mapped(spark, d)
+    assert "priority" in cur.columns
+    assert "o_orderstatus" not in cur.columns
+    n_all = cur.count()
+    pred = f"o_orderkey div {width} = 2 AND priority = '1-URGENT'"
+    n_hit = cur.filter(pred).count()
+    assert n_hit > 0
+    v = tl.update_where_cow(spark, d, pred, {"priority": "'0-UPDATED'"})
+    log = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    removes = sorted(r["path"] for r in log if r["a"] == "remove")
+    assert removes == ["A2.parquet"]
+    after = tl.snapshot_read_mapped(spark, d)
+    assert after.count() == n_all
+    assert after.filter("priority = '0-UPDATED'").count() == n_hit
+    assert after.filter(pred).count() == 0
+    # time travel below the RENAME still answers under the old name
+    at3 = tl.snapshot_read_mapped(spark, d, 3)
+    assert "o_orderpriority" in at3.columns
+    assert at3.filter("o_orderpriority = '0-UPDATED'").count() == 0
+
+
+def test_update_mid_stream_applies_to_ivm(spark, tmp_path):
+    """An update_where_cow commit lands mid-stream and the maintained
+    view applies the value change through the signed remove+add
+    deltas — the view hash-equals the batch recompute."""
+    d = _fixture_copy(spark, tmp_path, "updstream")
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    tl.update_where_cow(
+        spark, d, "o_orderstatus = 'F' AND o_orderkey % 7 = 0",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+           for r in tl.ivm_view(spark, emissions).collect()}
+    want = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+            for r in tl.snapshot_read(spark, d)
+            .groupBy("o_orderpriority").agg(
+                tl.F.count("*").cast("long").alias("n_orders"),
+                tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                .alias("sum_cents")).collect()}
+    assert got == want
+
+
+# ------------------------------------------------------------ RESTORE
+
+def test_restore_lifecycle(spark, tmp_path):
+    """RESTORE TO VERSION: rollback as a forward commit — the
+    restored live set equals the target's exactly, ZERO data bytes
+    move (every re-add names a pre-existing file), the rolled-back
+    versions stay time-travelable, and degenerate targets refuse."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "restore")
+    width = _bucket_width(spark)
+    pred = f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'"
+    base = tl.snapshot_read(spark, d)
+    n3 = base.count()
+    cents3 = base.agg(tl.F.sum(tl.F.expr(tl._CENTS))).collect()[0][0]
+    n_hit = base.filter(pred).count()
+    v_del = tl.delete_where_cow(spark, d, pred)  # v4
+    assert tl.snapshot_read(spark, d).count() == n3 - n_hit
+    with pytest.raises(ValueError, match="not below"):
+        tl.restore_table(spark, d, v_del)
+    v_res = tl.restore_table(spark, d, 3)  # v5
+    after = tl.snapshot_read(spark, d)
+    assert after.count() == n3
+    assert after.agg(
+        tl.F.sum(tl.F.expr(tl._CENTS))).collect()[0][0] == cents3
+    assert _live(spark, d) == _live(spark, d, 3)  # exact file set
+    # zero data bytes moved: every add at v_res names a v3-live file
+    log = tl.read_log(spark, d).filter(f"v = {v_res}").collect()
+    adds = sorted(r["path"] for r in log if r["a"] == "add")
+    assert adds and set(adds) <= set(_live(spark, d, 3))
+    # re-adds carry the ORIGINAL stats (skip-planning stays precise)
+    v3_stats = {r["path"]: (r["n_rows"], r["min_key"], r["max_key"])
+                for r in tl.snapshot_files(spark, d, 3).collect()}
+    for r in log:
+        if r["a"] == "add":
+            assert (r["n_rows"], r["min_key"], r["max_key"]) == \
+                v3_stats[r["path"]]
+    # the rolled-back version is still history, not erased
+    assert tl.snapshot_read(spark, d, v_del).count() == n3 - n_hit
+    # restoring to the state we're already in refuses loudly
+    with pytest.raises(ValueError, match="no-op"):
+        tl.restore_table(spark, d, 3)
+
+
+def test_restore_reinstates_mor_state(spark, tmp_path):
+    """RESTORE moves delete-file liveness BOTH directions: back below
+    a keydel retires it (the MOR view heals), and restoring TO the
+    keydel version re-instates the delete file without touching
+    data."""
+    d = _fixture_copy(spark, tmp_path, "restoremor")
+    n3 = tl.snapshot_read(spark, d).count()
+    keys = tl.snapshot_read(spark, d).filter(
+        "o_orderstatus = 'F' AND o_orderkey % 3 = 0"
+    ).select("o_orderkey").distinct()
+    n_del = keys.count()
+    assert n_del > 0
+    v_kd = tl.delete_keys_mor(spark, d, keys)
+    n_mor = tl.snapshot_read_mor(spark, d).count()
+    assert n_mor < n3
+    tl.restore_table(spark, d, v_kd - 1)
+    assert tl.snapshot_read_mor(spark, d).count() == n3
+    assert tl.snapshot_delete_files(spark, d).count() == 0
+    tl.restore_table(spark, d, v_kd)
+    assert tl.snapshot_read_mor(spark, d).count() == n_mor
+    assert tl.snapshot_delete_files(spark, d).count() == 1
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    """The missing-files check: a restore whose re-adds were
+    physically vacuumed aborts BEFORE committing anything."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "restorevac")
+    width = _bucket_width(spark)
+    v_del = tl.delete_where_cow(
+        spark, d, f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'")
+    assert "A2.parquet" in tl.vacuum_table(spark, d)
+    v_latest = max(tl._present_versions(d))
+    with pytest.raises(ValueError, match="vacuumed"):
+        tl.restore_table(spark, d, v_del - 1)
+    assert max(tl._present_versions(d)) == v_latest  # nothing landed
+
+
+def test_restore_mid_stream_flows_through_ivm(spark, tmp_path):
+    """A restore commit lands mid-stream and the maintained view
+    rolls back with it — removes and re-adds flow through the same
+    signed-delta expansion as any other commit."""
+    d = _fixture_copy(spark, tmp_path, "restorestream")
+    width = _bucket_width(spark)
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    v_del = tl.delete_where_cow(
+        spark, d, f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    tl.restore_table(spark, d, v_del - 1)
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+           for r in tl.ivm_view(spark, emissions).collect()}
+    want = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+            for r in tl.snapshot_read(spark, d)
+            .groupBy("o_orderpriority").agg(
+                tl.F.count("*").cast("long").alias("n_orders"),
+                tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                .alias("sum_cents")).collect()}
+    assert got == want
+
+
+# ------------------------------------------------- TIMESTAMP AS OF
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commit mtimes resolve to versions with the
+    Delta monotonic adjustment; reads at a timestamp equal the reads
+    at its resolved version; a timestamp below the earliest retained
+    commit refuses."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "tstravel")
+    base_ts = 1_700_000_000
+    for v in range(4):
+        os.utime(os.path.join(d, tl.LOG_SUBDIR, f"{v:08d}.json"),
+                 (base_ts + v * 100,) * 2)
+    assert tl.version_at_timestamp(d, base_ts) == 0
+    assert tl.version_at_timestamp(d, base_ts + 150) == 1
+    assert tl.version_at_timestamp(d, base_ts + 300) == 3
+    assert tl.version_at_timestamp(d, base_ts + 10**6) == 3
+    with pytest.raises(ValueError, match="predates"):
+        tl.version_at_timestamp(d, base_ts - 1)
+    for ts, v in ((base_ts + 150, 1), (base_ts + 250, 2)):
+        assert (tl.snapshot_read_at_timestamp(spark, d, ts).count()
+                == tl.snapshot_read(spark, d, v).count())
+    # monotonic adjustment (writer clock skew): v2's mtime is set
+    # BEFORE v1's, so v2 adopts v1's effective timestamp — a later
+    # version can never resolve earlier than its predecessor
+    os.utime(os.path.join(d, tl.LOG_SUBDIR, "00000002.json"),
+             (base_ts + 50,) * 2)
+    assert tl.version_at_timestamp(d, base_ts + 150) == 2
+    assert tl.version_at_timestamp(d, base_ts + 50) == 0
