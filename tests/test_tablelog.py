@@ -1506,10 +1506,12 @@ def test_posdel_mid_stream_retracts_from_ivm(spark, tmp_path):
 
 def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     """The capstone composition: one table driven through the entire
-    round-12..14 surface in sequence — append, MERGE, rename under
-    mapping, MOR delete, OPTIMIZE ZORDER, materialize, vacuum,
-    expire — with the running row-count/cents invariant checked at
-    every step and time travel spot-checked across the whole story."""
+    round-12..14 surface in sequence — append, MERGE, UPDATE WHERE,
+    rename under mapping, MOR delete, materialize, RESTORE both
+    directions around the materialization, OPTIMIZE ZORDER, vacuum,
+    expire, TIMESTAMP AS OF — with the running row-count/cents
+    invariant checked at every step and time travel spot-checked
+    across the whole story."""
     import pytest
 
     from gemmsql.datamodel import load_table
@@ -1533,7 +1535,12 @@ def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     v_merge = tl.merge_table(spark, d, tl._merge_source(spark, SF_SMOKE))
     n_ins = n(orders.filter(b(7)))
     assert n(tl.snapshot_read(spark, d)) == n0 + n_ins
-    # v5: RENAME under mapping (metadata only)
+    # v5: UPDATE WHERE (CoW) — row counts invariant by construction
+    tl.update_where_cow(
+        spark, d, "o_orderstatus = 'F' AND o_orderkey % 11 = 0",
+        {"o_totalprice": "o_totalprice + 1"})
+    assert n(tl.snapshot_read(spark, d)) == n0 + n_ins
+    # v6: RENAME under mapping (metadata only)
     v_ren = tl.rename_column(spark, d, "o_orderpriority", "priority")
     cur = tl.snapshot_read_mapped(spark, d)
     assert "priority" in cur.columns and n(cur) == n0 + n_ins
@@ -1546,10 +1553,19 @@ def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     mor = tl.snapshot_read_mor_mapped(spark, d)
     assert "priority" in mor.columns
     assert n(mor) == live_n
-    # v7: MATERIALIZE back to copy-on-write
-    tl.materialize_deletes(spark, d)
+    # v8: MATERIALIZE back to copy-on-write
+    v_mat = tl.materialize_deletes(spark, d)
     assert n(tl.snapshot_read_mapped(spark, d)) == live_n
-    # v8: OPTIMIZE ZORDER in place (dest pattern needs a fresh dir)
+    # RESTORE both directions around the materialization: back to
+    # the MOR version (the posdel file is LIVE again, zero data
+    # moved), then forward to the copy-on-write state
+    tl.restore_table(spark, d, v_mat - 1)
+    assert n(tl.snapshot_read_mor_mapped(spark, d)) == live_n
+    assert tl.snapshot_delete_files(spark, d).count() == 1
+    tl.restore_table(spark, d, v_mat)
+    assert n(tl.snapshot_read_mapped(spark, d)) == live_n
+    assert tl.snapshot_delete_files(spark, d).count() == 0
+    # OPTIMIZE ZORDER in place (dest pattern needs a fresh dir)
     d2 = str(tmp_path / "life_opt")
     tl.optimize_table(spark, d, d2, n_files=3,
                       zorder_by=("o_orderkey", "o_totalprice"))
@@ -1574,6 +1590,14 @@ def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     assert tl.required_reader_features(d2) == {"column_mapping"}
     with pytest.raises(ValueError, match="column_mapping"):
         tl.snapshot_read(spark, d2)
+    # TIMESTAMP AS OF across the whole story: "now" resolves to the
+    # latest version; a timestamp below the expiry horizon refuses
+    import time
+
+    assert tl.version_at_timestamp(d2, time.time() + 60) == \
+        max(tl._present_versions(d2))
+    with pytest.raises(ValueError, match="predates"):
+        tl.version_at_timestamp(d2, 0.0)
 
 
 # --------------------------------------------------- UPDATE WHERE (CoW)
