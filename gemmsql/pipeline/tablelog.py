@@ -2312,6 +2312,91 @@ def restore_table(
     )
 
 
+def clone_table(
+    spark: SparkSession, src_dir: str, dest_dir: str
+) -> str:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+    a new INDEPENDENT table whose initial state references the
+    source's live bytes with zero copy.  On a shared filesystem the
+    reference is a hard link per live file — the local twin of the
+    manifest-reference clone an object store gets, with the same
+    reclamation rule for free: VACUUM on either table unlinks only
+    its own directory entry, and the inode's bytes release when the
+    LAST reference drops (exactly the refcounting a manifest GC
+    does).
+
+    The clone's single v0 commit carries the source's CURRENT state,
+    not its history (Delta clone semantics — the clone's history
+    starts at the clone):
+
+    - every live add action with its ORIGINAL stats, so skip plans
+      on the clone are as tight as on the source;
+    - live keydel/posdel delete-file actions — merge-on-read state
+      clones too, still zero-copy;
+    - the current column mapping AND declared schema (one merged
+      ``meta`` action), the protocol's reader features, and every
+      CHECK constraint — mapped reads, old-reader gating, and
+      commit-time enforcement behave identically on the clone.
+
+    After the clone the tables evolve independently: each side's
+    writes land in its own data dir under its own log.  Cross-device
+    destinations refuse (``os.link`` raises ``OSError``) — a
+    production cross-store clone ships the manifest and leaves the
+    bytes where they are, which is this function's whole point.
+    Returns ``dest_dir``."""
+    if os.path.exists(dest_dir):
+        raise ValueError(f"clone destination exists: {dest_dir}")
+    live = snapshot_files(spark, src_dir).collect()  # metadata
+    dels = snapshot_delete_files(spark, src_dir).collect()
+    feats = sorted(required_reader_features(src_dir))
+    mapping = column_mapping(spark, src_dir)
+    checks = table_constraints(spark, src_dir)
+    meta_log = _log_with_checkpoint_base(spark, src_dir)
+    sc_rows = (
+        meta_log.filter(
+            (F.col("a") == "meta") & F.col("schema_cols").isNotNull()
+        ).orderBy(F.col("v").desc()).limit(1).collect()
+    )
+    os.makedirs(os.path.join(dest_dir, LOG_SUBDIR))
+    os.makedirs(os.path.join(dest_dir, DATA_SUBDIR))
+    for r in (*live, *dels):
+        os.link(
+            os.path.join(src_dir, DATA_SUBDIR, r["path"]),
+            os.path.join(dest_dir, DATA_SUBDIR, r["path"]),
+        )
+    keep = ("path", "n_rows", "n_bytes", "min_key", "max_key",
+            "min_date", "max_date")
+
+    def _act(rec, kind: str) -> dict:
+        return {"a": kind, **{
+            k: rec[k] for k in keep if rec[k] is not None
+        }}
+
+    actions: list[dict] = []
+    if feats:
+        actions.append({"a": "protocol", "reader_features": feats})
+    meta: dict = {}
+    if mapping is not None:
+        meta["schema_map"] = _mapping_encode(mapping)
+    if sc_rows:
+        meta["schema_cols"] = list(sc_rows[0]["schema_cols"])
+    if meta:
+        # ONE merged meta action: two meta rows in one version would
+        # leave evolved_schema/column_mapping racing on intra-version
+        # order
+        actions.append({"a": "meta", **meta})
+    for name in sorted(checks):
+        actions.append({
+            "a": "constraint", "path": f"constraint:{name}",
+            "min_date": checks[name],
+        })
+    actions += [_act(r, "add") for r in live]
+    actions += [_act(r, r["a"]) for r in dels]
+    v = commit_actions(dest_dir, actions)
+    assert v == 0, "a fresh clone directory must commit at v0"
+    return dest_dir
+
+
 def version_at_timestamp(table_dir: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution, classic-Delta style: a commit's
     timestamp is its commit FILE's mtime, adjusted to be monotonic

@@ -1868,3 +1868,89 @@ def test_timestamp_time_travel(spark, tmp_path):
              (base_ts + 50,) * 2)
     assert tl.version_at_timestamp(d, base_ts + 150) == 2
     assert tl.version_at_timestamp(d, base_ts + 50) == 0
+
+
+# -------------------------------------------------------- SHALLOW CLONE
+
+def test_clone_is_zero_copy_and_reads_equal(spark, tmp_path):
+    """A shallow clone reads identically to its source, references
+    the SAME bytes (hard links — no copy), and carries the original
+    per-file stats."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "clonesrc")
+    c = str(tmp_path / "clonedst")
+    tl.clone_table(spark, d, c)
+    assert (tl.snapshot_read(spark, c).count()
+            == tl.snapshot_read(spark, d).count())
+    assert _live(spark, c) == _live(spark, d)
+    # zero-copy: every cloned file is the same inode as the source's
+    for p in _live(spark, c):
+        src = os.stat(os.path.join(d, tl.DATA_SUBDIR, p))
+        dst = os.stat(os.path.join(c, tl.DATA_SUBDIR, p))
+        assert (src.st_ino, src.st_dev) == (dst.st_ino, dst.st_dev)
+        assert src.st_nlink >= 2
+    # stats cloned intact
+    src_stats = {r["path"]: (r["n_rows"], r["min_key"], r["max_key"])
+                 for r in tl.snapshot_files(spark, d).collect()}
+    dst_stats = {r["path"]: (r["n_rows"], r["min_key"], r["max_key"])
+                 for r in tl.snapshot_files(spark, c).collect()}
+    assert src_stats == dst_stats
+    # the clone's history starts at the clone: one version, v0
+    assert tl._present_versions(c) == [0]
+    with pytest.raises(ValueError, match="destination exists"):
+        tl.clone_table(spark, d, c)
+
+
+def test_clone_evolves_independently(spark, tmp_path):
+    """Post-clone writes diverge: a delete on the clone leaves the
+    source untouched, and vacuum on the clone unlinks only its own
+    directory entry — the source still reads its bytes."""
+    d = _fixture_copy(spark, tmp_path, "divsrc")
+    c = str(tmp_path / "divdst")
+    tl.clone_table(spark, d, c)
+    n_src = tl.snapshot_read(spark, d).count()
+    width = _bucket_width(spark)
+    pred = f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'"
+    n_hit = tl.snapshot_read(spark, c).filter(pred).count()
+    tl.delete_where_cow(spark, c, pred)
+    assert tl.snapshot_read(spark, c).count() == n_src - n_hit
+    assert tl.snapshot_read(spark, d).count() == n_src  # untouched
+    # vacuum the clone: A2 is dead THERE; the shared inode survives
+    # through the source's link
+    assert "A2.parquet" in tl.vacuum_table(spark, c)
+    assert not os.path.exists(os.path.join(c, tl.DATA_SUBDIR,
+                                           "A2.parquet"))
+    assert os.path.exists(os.path.join(d, tl.DATA_SUBDIR, "A2.parquet"))
+    assert tl.snapshot_read(spark, d).count() == n_src
+
+
+def test_clone_carries_metadata_and_mor_state(spark, tmp_path):
+    """Cloning a column-mapped table with live MOR deletes and a
+    CHECK constraint: the clone enforces the constraint, gates old
+    readers, answers under logical names, and subtracts the cloned
+    delete files — all from its single v0 commit."""
+    import pytest
+
+    src = tl.stage_mapped_table(spark, SF_SMOKE)
+    d = str(tmp_path / "mapsrc")
+    shutil.copytree(src, d)
+    tl.add_check_constraint(d, "pos_price", "o_totalprice > 0")
+    keys = tl.snapshot_read_mapped(spark, d).filter(
+        "o_orderkey % 13 = 0").select("o_orderkey").distinct()
+    tl.delete_keys_mor(spark, d, keys)
+    n_mor = tl.snapshot_read_mor_mapped(spark, d).count()
+    c = str(tmp_path / "mapdst")
+    tl.clone_table(spark, d, c)
+    got = tl.snapshot_read_mor_mapped(spark, c)
+    assert "priority" in got.columns
+    assert got.count() == n_mor
+    assert tl.required_reader_features(c) == {"column_mapping"}
+    with pytest.raises(ValueError, match="column_mapping"):
+        tl.snapshot_read(spark, c)
+    assert tl.table_constraints(spark, c) == {
+        "pos_price": "o_totalprice > 0"}
+    bad = tl.snapshot_read_mapped(spark, c).limit(1).withColumn(
+        "o_totalprice", tl.F.lit(-5.0))
+    with pytest.raises(ValueError, match="violate"):
+        tl.constrained_append(spark, c, bad, "BAD.parquet")
