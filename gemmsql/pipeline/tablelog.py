@@ -2820,6 +2820,71 @@ def delete_keys_mor(
     }])
 
 
+def _live_logical_tagged(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    op: str,
+    with_pos: bool = False,
+) -> tuple[DataFrame, list[dict] | None]:
+    """The shared front door of the predicate DML ops (UPDATE WHERE,
+    DELETE WHERE, positional MOR delete): the live set tagged with
+    its origin file name (``_path``, and optionally its row position
+    ``_pos``), projected to LOGICAL names on a column-mapped table so
+    predicates speak the reader's vocabulary — with the reader-
+    feature gate refusing unknown protocol features BEFORE any data
+    reads.  Returns (frame, mapping)."""
+    feats = required_reader_features(table_dir)
+    if feats - {"column_mapping"}:
+        raise ValueError(
+            f"{op} does not support reader features "
+            f"{sorted(feats - {'column_mapping'})}"
+        )
+    mapping = column_mapping(spark, table_dir)
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    paths = sorted(r["path"] for r in live)
+    base = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
+    )
+    tags = [
+        F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
+        .alias("_path"),
+    ]
+    if with_pos:
+        tags.append(F.col("_metadata.row_index").alias("_pos"))
+    base = base.select("*", *tags)
+    if mapping is not None:
+        # logical projection: an absent mapped field (an add-column
+        # no live file carries yet) NULL-backfills with its type
+        base = base.select(*[
+            (F.col(e["physical"]) if e["physical"] in base.columns
+             else F.lit(None).cast(e["type"])).alias(e["logical"])
+            for e in mapping
+        ], "_path", *(["_pos"] if with_pos else []))
+    return base, mapping
+
+
+def _to_physical(
+    part: DataFrame, mapping: list[dict] | None, key: str
+) -> tuple[DataFrame, str]:
+    """Project a LOGICAL-named rewrite back to frozen physical names
+    (identity when unmapped).  Rewrites carry ONLY mapped columns —
+    a dropped column's bytes stay in old files without propagating
+    into post-drop rewrites (the merge-under-mapping semantics)."""
+    if mapping is None:
+        return part, key
+    by_logical = {e["logical"]: e["physical"] for e in mapping}
+    if key not in by_logical:
+        raise ValueError(f"stats key {key!r} is not a mapped column")
+    cols = [c for c in part.columns if c not in ("_path", "_pos")]
+    extra = sorted(set(cols) - set(by_logical))
+    assert not extra, f"unmapped columns in rewrite: {extra}"
+    keep = [c for c in part.columns if c in ("_path", "_pos")]
+    return part.select(
+        *[F.col(c).alias(by_logical[c]) for c in cols], *keep
+    ), by_logical[key]
+
+
 def delete_where_cow(
     spark: SparkSession,
     table_dir: str,
@@ -2835,17 +2900,14 @@ def delete_where_cow(
     detection reads the predicate columns once over the live set
     (tagged by ``_metadata.file_path``); files without matches are
     never rewritten — the same no-write-amplification discipline as
-    the merge planner's exact-touch phase.  Returns the committed
-    version."""
-    live = snapshot_files(spark, table_dir).collect()  # metadata
-    paths = sorted(r["path"] for r in live)
-    tagged = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
-    )
-    tagged = tagged.select(
-        "*",
-        F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
-        .alias("_path"),
+    the merge planner's exact-touch phase.
+
+    On a COLUMN-MAPPED table the predicate speaks LOGICAL names and
+    rewrites land under frozen physical names carrying only mapped
+    columns (the merge/update-under-mapping semantics).  Returns the
+    committed version."""
+    tagged, mapping = _live_logical_tagged(
+        spark, table_dir, op="DELETE"
     )
     hit = F.expr(predicate)
     touched = sorted(
@@ -2857,13 +2919,11 @@ def delete_where_cow(
     nonce = _next_version_nonce(table_dir)
     actions: list[dict] = []
     for k, name in enumerate(touched):
-        part = (
-            tagged.filter(F.col("_path") == name)
-            .filter(~hit)
-            .drop("_path")
-        )
+        part = tagged.filter(F.col("_path") == name).filter(~hit)
+        part, phys_key = _to_physical(part, mapping, key)
         add = _write_with_add_action(
-            part, table_dir, f"DEL{nonce}-{k}.parquet", key=key
+            part.drop("_path"), table_dir,
+            f"DEL{nonce}-{k}.parquet", key=phys_key,
         )
         actions.append({"a": "remove", "path": name})
         if add:  # a fully-deleted file just removes
@@ -2899,29 +2959,9 @@ def update_where_cow(
     anything lands: an UPDATE that would write a violating value is
     rejected whole, never partially applied.  Returns the committed
     version."""
-    feats = required_reader_features(table_dir)
-    if feats - {"column_mapping"}:
-        raise ValueError(
-            f"UPDATE does not support reader features "
-            f"{sorted(feats - {'column_mapping'})}"
-        )
-    mapping = column_mapping(spark, table_dir)
-    live = snapshot_files(spark, table_dir).collect()  # metadata
-    paths = sorted(r["path"] for r in live)
-    base = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
+    base, mapping = _live_logical_tagged(
+        spark, table_dir, op="UPDATE"
     )
-    base = base.withColumn(
-        "_path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
-    )
-    if mapping is not None:
-        # logical projection: predicate + SET expressions speak the
-        # reader's names; absent mapped fields NULL-backfill typed
-        base = base.select(*[
-            (F.col(e["physical"]) if e["physical"] in base.columns
-             else F.lit(None).cast(e["type"])).alias(e["logical"])
-            for e in mapping
-        ], "_path")
     cols = [c for c in base.columns if c != "_path"]
     bad = sorted(set(set_exprs) - set(cols))
     if bad:
@@ -2947,15 +2987,7 @@ def update_where_cow(
     # (logical names — the constraint vocabulary), never a rescan of
     # untouched files
     _enforce_constraints(spark, table_dir, rewritten.filter(hit))
-    phys_key = key
-    if mapping is not None:
-        by_logical = {e["logical"]: e["physical"] for e in mapping}
-        if key not in by_logical:
-            raise ValueError(f"stats key {key!r} is not a mapped column")
-        phys_key = by_logical[key]
-        rewritten = rewritten.select(
-            *[F.col(c).alias(by_logical[c]) for c in cols], "_path"
-        )
+    rewritten, phys_key = _to_physical(rewritten, mapping, key)
     nonce = _next_version_nonce(table_dir)
     actions: list[dict] = []
     for k, name in enumerate(touched):
@@ -2981,21 +3013,16 @@ def delete_positions_mor(
     immutable file by construction); one small PD file + one
     ``posdel`` commit, zero data files rewritten.  Readers subtract
     at scan time; :func:`materialize_deletes` folds back to
-    copy-on-write.  Returns the committed version."""
-    live = snapshot_files(spark, table_dir).collect()  # metadata
-    paths = sorted(r["path"] for r in live)
-    data = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
+    copy-on-write.  On a COLUMN-MAPPED table the predicate speaks
+    LOGICAL names (positions are vocabulary-free, so the PD file
+    needs no translation).  Returns the committed version."""
+    data, _ = _live_logical_tagged(
+        spark, table_dir, op="positional DELETE", with_pos=True
     )
     hits = (
-        data.select(
-            "*",
-            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
-            .alias("path"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
-        .filter(F.expr(predicate))
-        .select("path", "pos")
+        data.filter(F.expr(predicate))
+        .select(F.col("_path").alias("path"),
+                F.col("_pos").alias("pos"))
     )
     st = hits.agg(F.count("*").alias("n")).collect()[0]
     if not st["n"]:

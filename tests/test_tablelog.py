@@ -1954,3 +1954,54 @@ def test_clone_carries_metadata_and_mor_state(spark, tmp_path):
         "o_totalprice", tl.F.lit(-5.0))
     with pytest.raises(ValueError, match="violate"):
         tl.constrained_append(spark, c, bad, "BAD.parquet")
+
+
+def test_delete_where_cow_under_column_mapping(spark, tmp_path):
+    """DELETE WHERE on a column-mapped table: the predicate speaks
+    LOGICAL names, only containing files rewrite, and rewritten
+    files carry ONLY mapped physical columns — a dropped column's
+    bytes do not propagate into post-drop rewrites."""
+    src = tl.stage_mapped_table(spark, SF_SMOKE)
+    d = str(tmp_path / "delmap")
+    shutil.copytree(src, d)
+    width = _bucket_width(spark)
+    cur = tl.snapshot_read_mapped(spark, d)
+    n_all = cur.count()
+    pred = f"o_orderkey div {width} = 2 AND priority = '1-URGENT'"
+    n_hit = cur.filter(pred).count()
+    assert n_hit > 0
+    v = tl.delete_where_cow(spark, d, pred)
+    log = tl.read_log(spark, d).filter(f"v = {v}").collect()
+    removes = sorted(r["path"] for r in log if r["a"] == "remove")
+    assert removes == ["A2.parquet"]
+    adds = sorted(r["path"] for r in log if r["a"] == "add")
+    after = tl.snapshot_read_mapped(spark, d)
+    assert after.count() == n_all - n_hit
+    assert after.filter(pred).count() == 0
+    # the rewrite landed under frozen PHYSICAL names, WITHOUT the
+    # dropped o_orderstatus column (merge-under-mapping semantics)
+    raw = spark.read.parquet(
+        os.path.join(d, tl.DATA_SUBDIR, adds[0]))
+    assert "o_orderpriority" in raw.columns  # frozen physical name
+    assert "o_orderstatus" not in raw.columns  # dropped: not dragged
+    # time travel below the delete still carries the dropped bytes
+    at3 = tl.snapshot_read(spark, d, 3)
+    assert "o_orderstatus" in at3.columns
+
+
+def test_posdel_under_column_mapping(spark, tmp_path):
+    """Positional MOR delete on a column-mapped table: the predicate
+    speaks LOGICAL names; positions are vocabulary-free so the read
+    path subtracts them unchanged."""
+    src = tl.stage_mapped_table(spark, SF_SMOKE)
+    d = str(tmp_path / "pdmap")
+    shutil.copytree(src, d)
+    cur = tl.snapshot_read_mapped(spark, d)
+    n_all = cur.count()
+    pred = "priority = '1-URGENT' AND o_orderkey % 2 = 0"
+    n_hit = cur.filter(pred).count()
+    assert n_hit > 0
+    tl.delete_positions_mor(spark, d, pred)
+    got = tl.snapshot_read_mor_mapped(spark, d)
+    assert got.count() == n_all - n_hit
+    assert got.filter(pred).count() == 0
