@@ -125,6 +125,7 @@ _EXPORTS = {
     "append_mapped": "gemmsql.pipeline.tablelog",
     "column_mapping_read": "gemmsql.pipeline.tablelog",
     "required_reader_features": "gemmsql.pipeline.tablelog",
+    "required_writer_features": "gemmsql.pipeline.tablelog",
     "expire_log": "gemmsql.pipeline.tablelog",
     "ivm_drain": "gemmsql.pipeline.tablelog",
     "ivm_view": "gemmsql.pipeline.tablelog",

@@ -92,6 +92,12 @@ LOG_SCHEMA = T.StructType([
     # instead of silently mis-reading (e.g. returning physical names
     # and dropped columns on a column-mapped table)
     T.StructField("reader_features", T.ArrayType(T.StringType())),
+    # "protocol" actions only: WRITER features a client must
+    # understand to COMMIT to this table (Delta's writer-feature
+    # half) — an old writer that doesn't know CHECK constraints or
+    # column mapping must refuse at the commit choke point rather
+    # than land violating rows or logical-named files
+    T.StructField("writer_features", T.ArrayType(T.StringType())),
 ])
 
 # DuckDB twin of LOG_SCHEMA for read_json(columns=...)
@@ -100,7 +106,7 @@ _LOG_COLS_SQL = (
     "'n_bytes':'BIGINT','min_key':'BIGINT','max_key':'BIGINT',"
     "'min_date':'VARCHAR','max_date':'VARCHAR',"
     "'schema_cols':'VARCHAR[]','schema_map':'VARCHAR[]',"
-    "'reader_features':'VARCHAR[]'}"
+    "'reader_features':'VARCHAR[]','writer_features':'VARCHAR[]'}"
 )
 
 # cents quantizer shared by engine and twin: o_totalprice carries two
@@ -1333,11 +1339,21 @@ def add_check_constraint(table_dir: str, name: str, predicate: str) -> int:
     ``ALTER TABLE ADD CONSTRAINT`` story): a ``constraint`` action
     carrying a SQL predicate every future append must satisfy.
     Constraints are replayed like schema metadata — the latest set of
-    named constraints at a version governs writes after it."""
-    return commit_actions(table_dir, [{
+    named constraints at a version governs writes after it.  The
+    FIRST constraint also commits the ``check_constraints`` WRITER
+    feature (same atomic version), so a legacy writer that wouldn't
+    enforce it refuses at the commit choke point from then on —
+    constraints are meaningless if an old writer can bypass them."""
+    actions: list[dict] = []
+    if "check_constraints" not in required_writer_features(table_dir):
+        actions.append({
+            "a": "protocol", "writer_features": ["check_constraints"],
+        })
+    actions.append({
         "a": "constraint", "path": f"constraint:{name}",
         "min_date": predicate,   # predicate rides an existing string field
-    }])
+    })
+    return commit_actions(table_dir, actions)
 
 
 def table_constraints(
@@ -1388,6 +1404,12 @@ def constrained_append(
 class ConcurrentModificationError(RuntimeError):
     """A commit planned against a snapshot conflicts with a commit
     that landed since (snapshot-isolation violation)."""
+
+
+#: every writer feature THIS engine's writers implement; the default
+#: a commit claims to understand.  A simulated legacy writer passes a
+#: smaller set and is refused at the choke point
+ALL_WRITER_FEATURES = frozenset({"check_constraints", "column_mapping"})
 
 
 #: first-line txn tags per commit-file path.  Commit files are
@@ -1471,6 +1493,7 @@ def commit_actions(
     *,
     app_txn: tuple[str, int] | None = None,
     expects_live: list[str] | None = None,
+    writer_features: frozenset[str] | set[str] = ALL_WRITER_FEATURES,
 ) -> int:
     """Optimistic-concurrency commit (the Delta protocol's mutual-
     exclusion rule, done with the filesystem's ``O_EXCL``): the next
@@ -1494,6 +1517,14 @@ def commit_actions(
     the write.  The check re-runs after every lost race, so two
     concurrent retries of one txn cannot both land.
 
+    ``writer_features`` names the protocol writer features THIS
+    writer understands (defaults to everything this engine
+    implements): if the table's protocol demands a feature outside
+    the set — CHECK constraints it wouldn't enforce, a column
+    mapping it wouldn't translate — the commit REFUSES at this choke
+    point (Delta's writer-protocol rule), re-checked after every
+    lost race so a feature landing concurrently still gates.
+
     ``expects_live`` enables SNAPSHOT-ISOLATION conflict detection
     (Delta's commit-time conflict check): a writer that PLANNED
     against a snapshot — a MERGE or delete-materialization that will
@@ -1511,6 +1542,21 @@ def commit_actions(
         actions = [{"a": "txn", "path": txn_tag}, *actions]
     while True:
         found = sorted(_glob.glob(os.path.join(log_dir, "*.json")))
+        needed = required_writer_features(table_dir)
+        unknown = needed - set(writer_features)
+        # a protocol-carrying commit may declare the very features it
+        # introduces — the migrating writer understands them
+        unknown -= {
+            f for a in actions if a.get("a") == "protocol"
+            for f in (a.get("writer_features") or [])
+        }
+        if unknown:
+            raise ValueError(
+                f"commit refused: table requires writer features "
+                f"{sorted(unknown)} this writer does not implement "
+                "(protocol gate — an unchecked write here could land "
+                "constraint-violating rows or unmapped files)"
+            )
         if txn_tag is not None:
             for p in found:
                 if _txn_tag_of(p) == txn_tag:
@@ -1553,34 +1599,37 @@ def commit_actions(
 #: per-commit-file protocol features (immutable files — same caching
 #: argument as _TXN_TAG_CACHE), so the reader-feature check costs a
 #: dict lookup per already-seen commit, not a Spark job per read
-_PROTOCOL_CACHE: dict[str, tuple[str, ...]] = {}
+_PROTOCOL_CACHE: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {}
 
 
-def _protocol_features_of(commit_path: str) -> tuple[str, ...]:
+def _protocol_features_of(
+    commit_path: str,
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(reader_features, writer_features) demanded by the protocol
+    actions in one immutable commit file, cached per path."""
     if commit_path in _PROTOCOL_CACHE:
         return _PROTOCOL_CACHE[commit_path]
-    feats: list[str] = []
+    readers: list[str] = []
+    writers: list[str] = []
     with open(commit_path) as f:
         for ln in f:
             if not ln.strip():
                 continue
             a = json.loads(ln)
             if a.get("a") == "protocol":
-                feats.extend(a.get("reader_features") or [])
-    out = tuple(feats)
+                readers.extend(a.get("reader_features") or [])
+                writers.extend(a.get("writer_features") or [])
+    out = (tuple(readers), tuple(writers))
     _PROTOCOL_CACHE[commit_path] = out
     return out
 
 
-def required_reader_features(
-    table_dir: str, version: int | None = None
+def _required_features(
+    table_dir: str, version: int | None, kind: str
 ) -> set[str]:
-    """The union of reader features every protocol action at/below
-    ``version`` demands.  Per-version (stricter than Delta's
-    table-wide protocol): versions BELOW the feature-introducing
-    commit stay readable by old readers — time travel across a
-    column-mapping migration keeps working for clients that predate
-    it."""
+    """Shared replay for both protocol halves (``kind`` is
+    ``reader_features`` or ``writer_features``)."""
+    idx = 0 if kind == "reader_features" else 1
     feats: set[str] = set()
     files = sorted(_glob.glob(os.path.join(table_dir, LOG_SUBDIR,
                                            "*.json")))
@@ -1598,11 +1647,37 @@ def required_reader_features(
                 if r.get("a") == "protocol" and (
                     version is None or int(r["v"]) <= version
                 ):
-                    feats.update(list(r.get("reader_features") or []))
+                    got = r.get(kind)
+                    feats.update([] if got is None else list(got))
     for p, v in zip(files, versions):
         if version is not None and v > version:
             continue
-        feats.update(_protocol_features_of(p))
+        feats.update(_protocol_features_of(p)[idx])
+    return feats
+
+
+def required_writer_features(
+    table_dir: str, version: int | None = None
+) -> set[str]:
+    """The union of WRITER features every protocol action at/below
+    ``version`` demands (Delta's writer-feature half): a client that
+    doesn't understand them must refuse to COMMIT — an old writer on
+    a constrained table would land violating rows unchecked, and on
+    a mapped table would land logical-named files.  Enforced at the
+    :func:`commit_actions` choke point."""
+    return _required_features(table_dir, version, "writer_features")
+
+
+def required_reader_features(
+    table_dir: str, version: int | None = None
+) -> set[str]:
+    """The union of reader features every protocol action at/below
+    ``version`` demands.  Per-version (stricter than Delta's
+    table-wide protocol): versions BELOW the feature-introducing
+    commit stay readable by old readers — time travel across a
+    column-mapping migration keeps working for clients that predate
+    it."""
+    feats = _required_features(table_dir, version, "reader_features")
     return feats
 
 
@@ -1819,6 +1894,9 @@ def _mapping_commit(table_dir: str, entries: list[dict]) -> int:
     if "column_mapping" not in required_reader_features(table_dir):
         actions.append({
             "a": "protocol", "reader_features": ["column_mapping"],
+            # the writer half: a legacy writer that wouldn't
+            # translate logical->physical names refuses from here on
+            "writer_features": ["column_mapping"],
         })
     actions.append({
         "a": "meta",
@@ -2349,6 +2427,7 @@ def clone_table(
     live = snapshot_files(spark, src_dir).collect()  # metadata
     dels = snapshot_delete_files(spark, src_dir).collect()
     feats = sorted(required_reader_features(src_dir))
+    wfeats = sorted(required_writer_features(src_dir))
     mapping = column_mapping(spark, src_dir)
     checks = table_constraints(spark, src_dir)
     meta_log = _log_with_checkpoint_base(spark, src_dir)
@@ -2373,8 +2452,13 @@ def clone_table(
         }}
 
     actions: list[dict] = []
-    if feats:
-        actions.append({"a": "protocol", "reader_features": feats})
+    if feats or wfeats:
+        proto: dict = {"a": "protocol"}
+        if feats:
+            proto["reader_features"] = feats
+        if wfeats:
+            proto["writer_features"] = wfeats
+        actions.append(proto)
     meta: dict = {}
     if mapping is not None:
         meta["schema_map"] = _mapping_encode(mapping)

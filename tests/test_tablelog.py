@@ -2005,3 +2005,56 @@ def test_posdel_under_column_mapping(spark, tmp_path):
     got = tl.snapshot_read_mor_mapped(spark, d)
     assert got.count() == n_all - n_hit
     assert got.filter(pred).count() == 0
+
+
+# --------------------------------------------------- WRITER PROTOCOL
+
+def test_writer_feature_gating(spark, tmp_path):
+    """The writer half of the protocol action (Delta's writer
+    features): the first CHECK constraint and the first mapping
+    commit each demand their writer feature, a legacy writer that
+    doesn't implement them refuses at the commit choke point, and
+    the demands survive log expiry through the metadata-carrying
+    checkpoint."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "wfeat")
+    assert tl.required_writer_features(d) == set()
+    # a pre-feature table accepts ANY writer
+    tl.commit_actions(d, [{"a": "remove", "path": "E0.parquet"}],
+                      writer_features=frozenset())
+    tl.add_check_constraint(d, "pos_price", "o_totalprice > 0")
+    assert tl.required_writer_features(d) == {"check_constraints"}
+    # readers are NOT gated by a constraint (reads stay open)
+    assert tl.required_reader_features(d) == set()
+    # a legacy writer now refuses, loudly, before anything lands
+    v_before = max(tl._present_versions(d))
+    with pytest.raises(ValueError, match="writer features"):
+        tl.commit_actions(d, [{"a": "remove", "path": "D0.parquet"}],
+                          writer_features=frozenset())
+    assert max(tl._present_versions(d)) == v_before
+    # a current writer commits fine
+    tl.commit_actions(d, [{"a": "remove", "path": "D0.parquet"}])
+    # the first mapping commit demands BOTH halves
+    tl.rename_column(spark, d, "o_orderpriority", "priority")
+    assert tl.required_writer_features(d) == {
+        "check_constraints", "column_mapping"}
+    assert tl.required_reader_features(d) == {"column_mapping"}
+    with pytest.raises(ValueError, match="writer features"):
+        tl.commit_actions(d, [{"a": "remove", "path": "C0.parquet"}],
+                          writer_features=frozenset({"column_mapping"}))
+    # the demands survive expiry past the feature-introducing commits
+    latest = max(tl._present_versions(d))
+    tl.expire_log(spark, d, latest)
+    assert tl.required_writer_features(d) == {
+        "check_constraints", "column_mapping"}
+    assert tl.table_constraints(spark, d) == {
+        "pos_price": "o_totalprice > 0"}
+    # a clone of the gated table carries the writer demands
+    c = str(tmp_path / "wfeatclone")
+    tl.clone_table(spark, d, c)
+    assert tl.required_writer_features(c) == {
+        "check_constraints", "column_mapping"}
+    with pytest.raises(ValueError, match="writer features"):
+        tl.commit_actions(c, [{"a": "remove", "path": "C0.parquet"}],
+                          writer_features=frozenset())
