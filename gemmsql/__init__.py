@@ -135,6 +135,7 @@ _EXPORTS = {
     "snapshot_read_mor_mapped": "gemmsql.pipeline.tablelog",
     "update_where_cow": "gemmsql.pipeline.tablelog",
     "clone_table": "gemmsql.pipeline.tablelog",
+    "table_detail": "gemmsql.pipeline.tablelog",
     "restore_table": "gemmsql.pipeline.tablelog",
     "version_at_timestamp": "gemmsql.pipeline.tablelog",
     "snapshot_read_at_timestamp": "gemmsql.pipeline.tablelog",

@@ -2481,6 +2481,37 @@ def clone_table(
     return dest_dir
 
 
+def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL (the Delta command): ONE metadata row
+    summarizing the table's current state — latest version, live
+    file/row/byte counts, live delete-file count (the merge-on-read
+    debt a maintenance schedule watches), constraint count, whether
+    column mapping is active, and both protocol halves.  Entirely
+    driver-side metadata — the same replay every read plans with; no
+    data file opens, so it answers in commit-log time on a 100 TB
+    table."""
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    dels = snapshot_delete_files(spark, table_dir).collect()
+    m = column_mapping(spark, table_dir)
+    return spark.createDataFrame(
+        [(
+            max(_present_versions(table_dir)),
+            len(live),
+            int(sum(r["n_rows"] or 0 for r in live)),
+            int(sum(r["n_bytes"] or 0 for r in live)),
+            len(dels),
+            len(table_constraints(spark, table_dir)),
+            m is not None,
+            sorted(required_reader_features(table_dir)),
+            sorted(required_writer_features(table_dir)),
+        )],
+        "version long, n_live_files long, n_rows long, n_bytes long, "
+        "n_delete_files long, n_constraints long, "
+        "column_mapping boolean, reader_features array<string>, "
+        "writer_features array<string>",
+    )
+
+
 def version_at_timestamp(table_dir: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution, classic-Delta style: a commit's
     timestamp is its commit FILE's mtime, adjusted to be monotonic

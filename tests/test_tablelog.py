@@ -2058,3 +2058,52 @@ def test_writer_feature_gating(spark, tmp_path):
     with pytest.raises(ValueError, match="writer features"):
         tl.commit_actions(c, [{"a": "remove", "path": "C0.parquet"}],
                           writer_features=frozenset())
+
+
+def test_update_surfaces_in_change_feed_as_update_pairs(spark, tmp_path):
+    """The CDF composition pin for UPDATE: the change feed across an
+    update_where_cow version is exactly n_hit update_pre + n_hit
+    update_post rows — never deletes or inserts — because the key
+    survives both sides with a changed row."""
+    d = _fixture_copy(spark, tmp_path, "updcdf")
+    width = _bucket_width(spark)
+    pred = f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'"
+    n_hit = tl.snapshot_read(spark, d).filter(pred).count()
+    v = tl.update_where_cow(spark, d, pred,
+                            {"o_totalprice": "o_totalprice + 1"})
+    feed = tl.version_diff_dir(spark, d, v - 1, v)
+    by_kind = {r["change"]: r["n"] for r in feed.groupBy("change")
+               .agg(tl.F.count("*").alias("n")).collect()}
+    assert by_kind == {"update_pre": n_hit, "update_post": n_hit}
+
+
+def test_table_detail_describes_current_state(spark, tmp_path):
+    """DESCRIBE DETAIL: the one-row summary tracks versions, live
+    counts, MOR debt, constraints, mapping, and both protocol
+    halves as the table evolves."""
+    d = _fixture_copy(spark, tmp_path, "detail")
+    r = tl.table_detail(spark, d).collect()[0]
+    live = tl.snapshot_files(spark, d).collect()
+    assert r["version"] == 3
+    assert r["n_live_files"] == len(live)
+    assert r["n_rows"] == sum(x["n_rows"] for x in live)
+    assert r["n_bytes"] == sum(x["n_bytes"] for x in live)
+    assert r["n_delete_files"] == 0
+    assert r["n_constraints"] == 0
+    assert not r["column_mapping"]
+    assert list(r["reader_features"]) == []
+    assert list(r["writer_features"]) == []
+    # evolve: constraint, MOR delete, rename — the row follows
+    tl.add_check_constraint(d, "pos_price", "o_totalprice > 0")
+    keys = tl.snapshot_read(spark, d).filter(
+        "o_orderkey % 17 = 0").select("o_orderkey").distinct()
+    tl.delete_keys_mor(spark, d, keys)
+    tl.rename_column(spark, d, "o_orderpriority", "priority")
+    r2 = tl.table_detail(spark, d).collect()[0]
+    assert r2["version"] == 6
+    assert r2["n_delete_files"] == 1
+    assert r2["n_constraints"] == 1
+    assert r2["column_mapping"]
+    assert list(r2["reader_features"]) == ["column_mapping"]
+    assert list(r2["writer_features"]) == [
+        "check_constraints", "column_mapping"]
