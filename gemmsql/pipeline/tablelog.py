@@ -1277,6 +1277,7 @@ def optimize_table(
     and per-file key ranges stay disjoint (skip-plan tightness), all
     without breaking a single reader — a concurrent snapshot at any
     version sees exactly the files its replay names."""
+    _refuse_live_deletes(spark, table_dir, "OPTIMIZE")
     shutil.copytree(table_dir, dest_dir)
     log = read_log(spark, dest_dir)
     latest = log.agg(F.max("v")).collect()[0][0]
@@ -1434,6 +1435,70 @@ def _txn_tag_of(commit_path: str) -> str | None:
     tag = a.get("path") if a.get("a") == "txn" else None
     _TXN_TAG_CACHE[commit_path] = tag
     return tag
+
+
+#: per-commit-file delete-bearing action lines (immutable files —
+#: the _TXN_TAG_CACHE caching argument), so the live-delete gate in
+#: snapshot_read costs cached dict lookups, not a Spark job per read
+_DELLINE_CACHE: dict[str, tuple[tuple[int, str, str], ...]] = {}
+
+
+def _delete_lines_of(commit_path: str) -> tuple[tuple[int, str, str], ...]:
+    if commit_path in _DELLINE_CACHE:
+        return _DELLINE_CACHE[commit_path]
+    out: list[tuple[int, str, str]] = []
+    with open(commit_path) as f:
+        for ln in f:
+            if not ln.strip():
+                continue
+            a = json.loads(ln)
+            if a.get("a") in ("keydel", "posdel", "remove"):
+                out.append((int(a["v"]), a["a"], a["path"]))
+    res = tuple(out)
+    _DELLINE_CACHE[commit_path] = res
+    return res
+
+
+def _live_delete_paths(
+    table_dir: str, version: int | None = None
+) -> set[str]:
+    """Driver-side live delete-file set at ``version`` — the same
+    last-action replay as :func:`snapshot_delete_files`, from cached
+    per-file parses so the read-path gate adds no Spark job.  The
+    expired prefix can carry no keydel/posdel actions (expiry refuses
+    them until retired), so no checkpoint seeding is needed."""
+    last: dict[str, tuple[int, int, str]] = {}
+    for p in sorted(
+        _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    ):
+        for v, a, path in _delete_lines_of(p):
+            if version is not None and v > version:
+                continue
+            rank = (v, 1 if a == "remove" else 0)
+            cur = last.get(path)
+            if cur is None or rank >= cur[:2]:
+                last[path] = (*rank, a)
+    return {p for p, (_, _, a) in last.items()
+            if a in ("keydel", "posdel")}
+
+
+def _refuse_live_deletes(
+    spark: SparkSession, table_dir: str, op: str
+) -> None:
+    """Data-file-REWRITING ops refuse while delete files are live: a
+    rewrite re-positions rows (breaking every positional delete's
+    (file, pos) references — silent resurrection) and re-adds rows at
+    a later version (putting them above every equality delete's
+    sequence horizon — same resurrection, other flavor).  Iceberg
+    splits its maintenance actions on exactly this line; the loud
+    contract here is :func:`materialize_deletes` first."""
+    dels = _live_delete_paths(table_dir)
+    if dels:
+        raise ValueError(
+            f"{op} refused: live delete files exist ({sorted(dels)}); "
+            "run materialize_deletes first — rewriting data files "
+            "would break positional references and delete sequencing"
+        )
 
 
 def _live_paths_from_files(log_files: list[str]) -> set[str]:
@@ -1704,6 +1769,20 @@ def snapshot_read(
             "the feature-aware reader (e.g. snapshot_read_mapped for "
             "column_mapping)"
         )
+    if "merge_on_read" not in reader_features:
+        # STATE-based gate (stricter than a sticky protocol flag, so
+        # it clears the moment deletes materialize): a plain read of
+        # a table with LIVE delete files would silently resurrect
+        # deleted rows — the worst failure class a table format has
+        live_dels = _live_delete_paths(table_dir, version)
+        if live_dels:
+            raise ValueError(
+                f"version {'latest' if version is None else version} "
+                f"has live delete files {sorted(live_dels)}; a plain "
+                "read would silently include deleted rows — use "
+                "snapshot_read_mor (or declare the merge_on_read "
+                "reader feature to read the raw physical set)"
+            )
     paths = sorted(
         r["path"] for r in snapshot_files(spark, table_dir, version).collect()
     )
@@ -1853,7 +1932,11 @@ def _current_mapping_or_identity(
     m = column_mapping(spark, table_dir)
     if m is not None:
         return m
-    base = snapshot_read(spark, table_dir)
+    # schema inference only — delete files don't change the schema,
+    # so this internal read declares merge_on_read legitimately
+    base = snapshot_read(
+        spark, table_dir, reader_features=("merge_on_read",)
+    )
     return [
         {
             "fid": i, "physical": f.name, "logical": f.name,
@@ -2622,6 +2705,7 @@ def merge_table(
     the old files (still served to time travel below the drop) and
     simply don't propagate into post-drop rewrites, exactly Delta's
     column-mapping rewrite semantics."""
+    _refuse_live_deletes(spark, table_dir, "MERGE")
     feats = required_reader_features(table_dir)
     if feats - {"column_mapping"}:
         raise ValueError(
@@ -3021,6 +3105,7 @@ def delete_where_cow(
     rewrites land under frozen physical names carrying only mapped
     columns (the merge/update-under-mapping semantics).  Returns the
     committed version."""
+    _refuse_live_deletes(spark, table_dir, "DELETE")
     tagged, mapping = _live_logical_tagged(
         spark, table_dir, op="DELETE"
     )
@@ -3074,6 +3159,7 @@ def update_where_cow(
     anything lands: an UPDATE that would write a violating value is
     rejected whole, never partially applied.  Returns the committed
     version."""
+    _refuse_live_deletes(spark, table_dir, "UPDATE")
     base, mapping = _live_logical_tagged(
         spark, table_dir, op="UPDATE"
     )
@@ -3186,38 +3272,77 @@ def snapshot_read_mor(
     copy-on-write live set minus every live delete file — equality
     keys via a broadcast anti-join on the key, positions via a
     broadcast anti-join on (file, row position) — both KB-scale by
-    design.  Inherits :func:`snapshot_read`'s protocol gate;
-    feature-aware callers come through
-    :func:`snapshot_read_mor_mapped`."""
+    design.  Declares the ``merge_on_read`` reader feature on the
+    underlying :func:`snapshot_read` (which refuses plain readers on
+    MOR-live state); feature-aware mapped callers come through
+    :func:`snapshot_read_mor_mapped`.
+
+    Equality deletes follow the SEQUENCE RULE (Iceberg v2 sequence
+    numbers — and the rule the streaming IVM expansion already
+    applies via its lives-below-the-keydel replay): a keydel
+    subtracts a key only from rows in files ADDED AT OR BELOW the
+    delete's version.  A row (re-)appended after the delete is a new
+    row, visible — without this, batch reads and the maintained
+    streaming view diverge the first time an append lands after a
+    delete."""
     data = snapshot_read(
-        spark, table_dir, version, reader_features=reader_features
+        spark, table_dir, version,
+        reader_features=tuple(reader_features) + ("merge_on_read",),
     )
     dels = snapshot_delete_files(spark, table_dir, version).collect()
-    kd = sorted(r["path"] for r in dels if r["a"] == "keydel")
+    kd = sorted((r["path"], int(r["v"]))
+                for r in dels if r["a"] == "keydel")
     pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
+    if not (kd or pdl):
+        return data
+    data = data.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), "[^/]+$", 0
+        ).alias("__path"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
     if pdl:
         dv = spark.read.parquet(
             *[os.path.join(table_dir, DATA_SUBDIR, p) for p in pdl]
         ).select(
             F.col("path").alias("__path"), F.col("pos").alias("__pos")
         ).distinct()
-        data = (
-            data.select(
-                "*",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), "[^/]+$", 0
-                ).alias("__path"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-            .join(F.broadcast(dv), ["__path", "__pos"], "left_anti")
-            .drop("__path", "__pos")
-        )
+        data = data.join(F.broadcast(dv), ["__path", "__pos"],
+                         "left_anti")
     if kd:
-        keys = spark.read.parquet(
-            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in kd]
-        ).select(F.col("o_orderkey").alias(key)).distinct()
-        data = data.join(F.broadcast(keys), key, "left_anti")
-    return data
+        # one row per deleted key with the NEWEST deleting version —
+        # "exists a keydel at/above this row's file version" is then
+        # max_kd_v >= add_v, one non-equi conjunct on the hash
+        # anti-join (still a broadcast hash join: the key equality
+        # pair drives it)
+        frames = [
+            spark.read.parquet(os.path.join(table_dir, DATA_SUBDIR, p))
+            .select(F.col("o_orderkey").alias("__del_key"),
+                    F.lit(v).alias("__kd_v"))
+            for p, v in kd
+        ]
+        keys = frames[0]
+        for fr in frames[1:]:
+            keys = keys.unionByName(fr)
+        keys = keys.groupBy("__del_key").agg(
+            F.max("__kd_v").alias("__kd_v"))
+        addv = spark.createDataFrame(
+            [(r["path"], int(r["v"])) for r in
+             snapshot_files(spark, table_dir, version).collect()],
+            "__path string, __add_v long",
+        )
+        data = (
+            data.join(F.broadcast(addv), "__path")
+            .join(
+                F.broadcast(keys),
+                (F.col(key) == F.col("__del_key"))
+                & (F.col("__kd_v") >= F.col("__add_v")),
+                "left_anti",
+            )
+            .drop("__add_v")
+        )
+    return data.drop("__path", "__pos")
 
 
 def materialize_deletes(
@@ -3233,13 +3358,25 @@ def materialize_deletes(
     dels = snapshot_delete_files(spark, table_dir).collect()
     if not dels:
         raise ValueError("no live delete files to materialize")
-    kd = sorted(r["path"] for r in dels if r["a"] == "keydel")
+    kd = sorted((r["path"], int(r["v"]))
+                for r in dels if r["a"] == "keydel")
     pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
     keys = None
     if kd:
-        keys = spark.read.parquet(
-            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in kd]
-        ).select(F.col("o_orderkey").alias(key)).distinct()
+        # the SEQUENCE RULE (see snapshot_read_mor): each key rides
+        # its newest deleting version, and subtraction below applies
+        # only to files added at/below it — materialization must drop
+        # exactly what the MOR read hides, nothing newer
+        frames = [
+            spark.read.parquet(os.path.join(table_dir, DATA_SUBDIR, p))
+            .select(F.col("o_orderkey").alias(key),
+                    F.lit(v).alias("__kd_v"))
+            for p, v in kd
+        ]
+        keys = frames[0]
+        for fr in frames[1:]:
+            keys = keys.unionByName(fr)
+        keys = keys.groupBy(key).agg(F.max("__kd_v").alias("__kd_v"))
     dv = None
     if pdl:
         dv = spark.read.parquet(
@@ -3276,8 +3413,20 @@ def materialize_deletes(
             F.col("_metadata.row_index").alias("_pos"),
         )
         doomed = tagged
+        addv = {r["path"]: int(r["v"]) for r in live}
         if keys is not None:
-            k_hits = tagged.join(F.broadcast(keys), key).select("_path")
+            # a file is touched only by keys whose deleting version
+            # is at/above the file's add version (sequence rule) —
+            # a file appended after every delete never rewrites
+            addv_df = spark.createDataFrame(
+                sorted(addv.items()), "_path string, _add_v long"
+            )
+            k_hits = (
+                tagged.join(F.broadcast(keys), key)
+                .join(F.broadcast(addv_df), "_path")
+                .filter(F.col("__kd_v") >= F.col("_add_v"))
+                .select("_path")
+            )
         if dv is not None:
             p_hits = dv.select("_path")
         hits = (
@@ -3295,7 +3444,14 @@ def materialize_deletes(
                     F.broadcast(dv), ["_path", "_pos"], "left_anti"
                 )
             if keys is not None:
-                part = part.join(F.broadcast(keys), key, "left_anti")
+                part = part.join(
+                    F.broadcast(
+                        keys.filter(
+                            F.col("__kd_v") >= int(addv[name])
+                        ).drop("__kd_v")
+                    ),
+                    key, "left_anti",
+                )
             part = part.drop("_path", "_pos")
             add = _write_with_add_action(
                 part, table_dir, f"MAT{nonce}-{k}.parquet", key=key

@@ -537,9 +537,15 @@ def test_mor_delete_lifecycle(spark, tmp_path):
     # the delete is ONE commit and ONE small file; no data rewrite
     log_v = tl.read_log(spark, d).filter(f"v = {v}").collect()
     assert [r["a"] for r in log_v] == ["keydel"]
-    # MOR view subtracts exactly the deleted keys; plain read doesn't
+    # MOR view subtracts exactly the deleted keys; a PLAIN read now
+    # REFUSES (it would silently resurrect deleted rows); a reader
+    # declaring merge_on_read may ask for the raw physical set
     assert tl.snapshot_read_mor(spark, d).count() == n_before - n_del
-    assert tl.snapshot_read(spark, d).count() == n_before
+    with pytest.raises(ValueError, match="merge_on_read"):
+        tl.snapshot_read(spark, d)
+    assert tl.snapshot_read(
+        spark, d, reader_features=("merge_on_read",)
+    ).count() == n_before
     # time travel BELOW the delete sees the full table
     assert tl.snapshot_read_mor(spark, d, v - 1).count() == n_before
     mor_rows = sorted(
@@ -1950,7 +1956,7 @@ def test_clone_carries_metadata_and_mor_state(spark, tmp_path):
         tl.snapshot_read(spark, c)
     assert tl.table_constraints(spark, c) == {
         "pos_price": "o_totalprice > 0"}
-    bad = tl.snapshot_read_mapped(spark, c).limit(1).withColumn(
+    bad = tl.snapshot_read_mor_mapped(spark, c).limit(1).withColumn(
         "o_totalprice", tl.F.lit(-5.0))
     with pytest.raises(ValueError, match="violate"):
         tl.constrained_append(spark, c, bad, "BAD.parquet")
@@ -2107,3 +2113,85 @@ def test_table_detail_describes_current_state(spark, tmp_path):
     assert list(r2["reader_features"]) == ["column_mapping"]
     assert list(r2["writer_features"]) == [
         "check_constraints", "column_mapping"]
+
+
+# ------------------------------------------- MOR CORRECTNESS GUARDS
+
+def test_rewrites_refuse_live_delete_files(spark, tmp_path):
+    """Every data-file-rewriting op (MERGE, UPDATE, DELETE CoW,
+    OPTIMIZE) refuses while delete files are live: a rewrite would
+    break positional (file, pos) references and lift rows above the
+    equality-delete sequence horizon — both silent resurrection.
+    materialize_deletes clears the state and the ops work again."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "morguard")
+    width = _bucket_width(spark)
+    tl.delete_positions_mor(
+        spark, d, "o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    pred = f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'"
+    with pytest.raises(ValueError, match="live delete files"):
+        tl.update_where_cow(spark, d, pred, {"o_totalprice": "0.01"})
+    with pytest.raises(ValueError, match="live delete files"):
+        tl.delete_where_cow(spark, d, pred)
+    with pytest.raises(ValueError, match="live delete files"):
+        tl.merge_table(spark, d, tl._merge_source(spark, SF_SMOKE))
+    with pytest.raises(ValueError, match="live delete files"):
+        tl.optimize_table(spark, d, str(tmp_path / "optdst"))
+    tl.materialize_deletes(spark, d)
+    assert tl.delete_where_cow(spark, d, pred) > 0  # works again
+
+
+def test_equality_delete_sequence_rule(spark, tmp_path):
+    """The Iceberg v2 sequence rule, pinned end to end: a key
+    re-appended AFTER its equality delete is a NEW row — visible in
+    the MOR read, preserved by materialization, and in agreement
+    with the streaming IVM view (whose keydel expansion always
+    replayed only the lives below the delete)."""
+    d = _fixture_copy(spark, tmp_path, "morseq")
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    base = tl.snapshot_read(spark, d)
+    n_before = base.count()
+    # delete one concrete key, then re-append a row with THE SAME key
+    row = base.filter("o_orderstatus = 'F'").orderBy(
+        "o_orderkey").limit(1)
+    k = row.collect()[0]["o_orderkey"]
+    n_k = base.filter(f"o_orderkey = {k}").count()
+    tl.delete_keys_mor(
+        spark, d, base.filter(f"o_orderkey = {k}")
+        .select("o_orderkey").distinct())
+    assert tl.snapshot_read_mor(spark, d) \
+        .filter(f"o_orderkey = {k}").count() == 0
+    tl.constrained_append(
+        spark, d, row.withColumn("o_orderpriority",
+                                 tl.F.lit("9-REBORN")),
+        "REBORN.parquet")
+    # the re-appended row is NEW — above the delete's sequence
+    # horizon — while the original rows stay deleted
+    mor = tl.snapshot_read_mor(spark, d)
+    reborn = mor.filter(f"o_orderkey = {k}").collect()
+    assert len(reborn) == 1
+    assert reborn[0]["o_orderpriority"] == "9-REBORN"
+    assert mor.count() == n_before - n_k + 1
+    # the streaming view agrees (its expansion always sequenced)
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+           for r in tl.ivm_view(spark, emissions).collect()}
+    want = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+            for r in mor.groupBy("o_orderpriority").agg(
+                tl.F.count("*").cast("long").alias("n_orders"),
+                tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                .alias("sum_cents")).collect()}
+    assert got == want
+    # materialization drops exactly what the MOR read hides: the
+    # reborn row survives, the file added after the delete is
+    # never rewritten
+    before = {tuple(r) for r in mor.collect()}
+    v_mat = tl.materialize_deletes(spark, d)
+    log_m = tl.read_log(spark, d).filter(f"v = {v_mat}").collect()
+    removes = {r["path"] for r in log_m if r["a"] == "remove"}
+    assert "REBORN.parquet" not in removes
+    assert {tuple(r) for r in
+            tl.snapshot_read(spark, d).collect()} == before
