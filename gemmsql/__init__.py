@@ -136,6 +136,9 @@ _EXPORTS = {
     "update_where_cow": "gemmsql.pipeline.tablelog",
     "clone_table": "gemmsql.pipeline.tablelog",
     "table_detail": "gemmsql.pipeline.tablelog",
+    "set_table_properties": "gemmsql.pipeline.tablelog",
+    "unset_table_properties": "gemmsql.pipeline.tablelog",
+    "table_properties": "gemmsql.pipeline.tablelog",
     "restore_table": "gemmsql.pipeline.tablelog",
     "version_at_timestamp": "gemmsql.pipeline.tablelog",
     "snapshot_read_at_timestamp": "gemmsql.pipeline.tablelog",

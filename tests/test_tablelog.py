@@ -2195,3 +2195,60 @@ def test_equality_delete_sequence_rule(spark, tmp_path):
     assert "REBORN.parquet" not in removes
     assert {tuple(r) for r in
             tl.snapshot_read(spark, d).collect()} == before
+
+
+# ------------------------------------------------ TBLPROPERTIES
+
+def test_table_properties_lifecycle(spark, tmp_path):
+    """SET/UNSET TBLPROPERTIES: latest action per key wins, unsets
+    are versioned history (properties AS OF an older version still
+    answer), and properties survive log expiry through the
+    metadata-carrying checkpoint."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "props")
+    assert tl.table_properties(spark, d) == {}
+    v1 = tl.set_table_properties(d, {"owner": "etl", "tier": "gold"})
+    assert tl.table_properties(spark, d) == {
+        "owner": "etl", "tier": "gold"}
+    tl.set_table_properties(d, {"tier": "silver"})  # override
+    tl.unset_table_properties(d, ["owner"])
+    assert tl.table_properties(spark, d) == {"tier": "silver"}
+    # AS OF: the first property version still answers in full
+    assert tl.table_properties(spark, d, v1) == {
+        "owner": "etl", "tier": "gold"}
+    with pytest.raises(ValueError, match="no properties"):
+        tl.set_table_properties(d, {})
+    # survive expiry via the checkpoint
+    latest = max(tl._present_versions(d))
+    tl.expire_log(spark, d, latest)
+    assert tl.table_properties(spark, d) == {"tier": "silver"}
+
+
+def test_vacuum_retention_protects_time_travel(spark, tmp_path):
+    """Vacuum retention (Delta's deletedFileRetentionDuration, in
+    versions): with retain_versions=1 the newest below-latest
+    version keeps its files and stays time-travelable; retain 0
+    reclaims them and the read below the horizon fails loudly.  The
+    table property drives the default; the explicit argument
+    overrides."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "vacret")
+    width = _bucket_width(spark)
+    n3 = tl.snapshot_read(spark, d).count()
+    v_del = tl.delete_where_cow(
+        spark, d, f"o_orderkey div {width} = 2 AND o_orderstatus = 'F'")
+    # property-driven: retain one below-latest version -> A2 survives
+    tl.set_table_properties(d, {"vacuum.retain_versions": "2"})
+    plan = {r["path"] for r in tl.vacuum_plan(spark, d).collect()}
+    assert "A2.parquet" not in plan
+    assert tl.vacuum_table(spark, d) == sorted(plan)
+    assert tl.snapshot_read(spark, d, v_del - 1).count() == n3
+    # explicit override: retain nothing below latest -> A2 reclaimed
+    deleted = tl.vacuum_table(spark, d, retain_versions=0)
+    assert "A2.parquet" in deleted
+    with pytest.raises(ValueError, match="vacuumed"):
+        tl.snapshot_read(spark, d, v_del - 1)
+    assert tl.snapshot_read(spark, d).count() == \
+        tl.snapshot_read(spark, d, v_del).count()
