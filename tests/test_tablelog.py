@@ -2252,3 +2252,123 @@ def test_vacuum_retention_protects_time_travel(spark, tmp_path):
         tl.snapshot_read(spark, d, v_del - 1)
     assert tl.snapshot_read(spark, d).count() == \
         tl.snapshot_read(spark, d, v_del).count()
+
+
+# ---------------------------------------- DuckDB parity (library DML)
+
+def test_update_restore_hash_parity_with_duckdb(spark, tmp_path):
+    """Oracle-grade trust for the new DML without a gate slot: the
+    per-priority rollup after an UPDATE, and again after a RESTORE,
+    hash-equal an independent DuckDB recompute from the raw orders
+    parquet (the same order-insensitive value hash the driver's
+    correctness gate uses)."""
+    import hashlib
+
+    import duckdb
+
+    def _norm(v):
+        if isinstance(v, float):
+            return repr(round(v, 6))
+        return repr(v)
+
+    def _hash(pdf):
+        cols = sorted(pdf.columns)
+        rows = sorted(
+            "|".join(_norm(v) for v in row)
+            for row in pdf[cols].itertuples(index=False)
+        )
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(r.encode() + b"\n")
+        return h.hexdigest()
+
+    d = _fixture_copy(spark, tmp_path, "dmlparity")
+    w = _bucket_width(spark)
+    pred = f"o_orderkey div {w} = 2 AND o_orderstatus = 'F'"
+    v_upd = tl.update_where_cow(
+        spark, d, pred, {"o_totalprice": "o_totalprice + 2.5"})
+
+    def _rollup():
+        return (
+            tl.snapshot_read(spark, d)
+            .groupBy("o_orderpriority")
+            .agg(tl.F.count("*").cast("long").alias("n_orders"),
+                 tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                 .alias("sum_cents"))
+            .toPandas()
+        )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    # the fixture's v3 live rows, derived independently: buckets 0-6,
+    # minus bucket-4 status-'F' rows (the staged lifecycle's delete)
+    v3 = f"""
+        SELECT * FROM orders
+        WHERE o_orderkey // {w} <= 6
+          AND NOT (o_orderkey // {w} = 4 AND o_orderstatus = 'F')
+    """
+    upd_sql = f"""
+        WITH v3 AS ({v3}), upd AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderkey // {w} = 2
+                       AND o_orderstatus = 'F'
+                      THEN o_totalprice + 2.5
+                      ELSE o_totalprice END AS p
+          FROM v3)
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM upd GROUP BY 1
+    """
+    assert _hash(_rollup()) == _hash(con.execute(upd_sql).df())
+    # RESTORE back below the update: the rollup equals the plain v3
+    # recompute again
+    tl.restore_table(spark, d, v_upd - 1)
+    v3_sql = f"""
+        WITH v3 AS ({v3})
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM v3 GROUP BY 1
+    """
+    assert _hash(_rollup()) == _hash(con.execute(v3_sql).df())
+    con.close()
+
+
+def test_restore_sequencing_with_live_keydel(spark, tmp_path):
+    """The trickiest restore/MOR interaction, traced and pinned: a
+    file appended AFTER a live equality delete, removed by a restore
+    (it wasn't live at the target), then brought back by restoring
+    forward again — its re-add lands above the keydel's version, so
+    its rows stay un-subtracted, exactly the target state's
+    semantics.  (The rewrite-refusal guards make this the only way a
+    data file can die while a keydel lives, which is what keeps
+    re-stamped versions sequence-safe.)"""
+    d = _fixture_copy(spark, tmp_path, "restoreseq")
+    base = tl.snapshot_read(spark, d)
+    k = base.filter("o_orderstatus = 'F'").orderBy(
+        "o_orderkey").limit(1).collect()[0]["o_orderkey"]
+    tl.delete_keys_mor(
+        spark, d,
+        base.filter(f"o_orderkey = {k}").select("o_orderkey").distinct())
+    # append a reborn row for the deleted key (above the horizon)
+    row = base.filter(f"o_orderkey = {k}").limit(1).withColumn(
+        "o_orderpriority", tl.F.lit("9-REBORN"))
+    v_app = tl.constrained_append(spark, d, row, "REBORN2.parquet")
+    n_with = tl.snapshot_read_mor(spark, d).count()
+    # restore to BEFORE the append: the reborn file is removed, the
+    # keydel survives untouched
+    tl.restore_table(spark, d, v_app - 1)
+    assert tl.snapshot_read_mor(spark, d).count() == n_with - 1
+    assert tl.snapshot_delete_files(spark, d).count() == 1
+    # restore FORWARD to the append version: the reborn file re-adds
+    # ABOVE the keydel — visible again, original rows still deleted
+    tl.restore_table(spark, d, v_app)
+    mor = tl.snapshot_read_mor(spark, d)
+    assert mor.count() == n_with
+    got = mor.filter(f"o_orderkey = {k}").collect()
+    assert [r["o_orderpriority"] for r in got] == ["9-REBORN"]
