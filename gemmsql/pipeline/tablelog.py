@@ -98,6 +98,14 @@ LOG_SCHEMA = T.StructType([
     # column mapping must refuse at the commit choke point rather
     # than land violating rows or logical-named files
     T.StructField("writer_features", T.ArrayType(T.StringType())),
+    # DATA SEQUENCE NUMBER (Iceberg's v2 mechanism, carried
+    # explicitly): ordering for the equality-delete rule.  Absent on
+    # organic commits (the commit version IS the sequence); set by
+    # RESTORE and CLONE when they re-emit add/keydel/posdel actions
+    # at a new version, so the re-stamped action keeps its ORIGINAL
+    # place in the delete ordering instead of jumping above every
+    # later append
+    T.StructField("seq", T.LongType()),
 ])
 
 # DuckDB twin of LOG_SCHEMA for read_json(columns=...)
@@ -106,8 +114,23 @@ _LOG_COLS_SQL = (
     "'n_bytes':'BIGINT','min_key':'BIGINT','max_key':'BIGINT',"
     "'min_date':'VARCHAR','max_date':'VARCHAR',"
     "'schema_cols':'VARCHAR[]','schema_map':'VARCHAR[]',"
-    "'reader_features':'VARCHAR[]','writer_features':'VARCHAR[]'}"
+    "'reader_features':'VARCHAR[]','writer_features':'VARCHAR[]',"
+    "'seq':'BIGINT'}"
 )
+
+
+def _seq_of(rec) -> int:
+    """A record's data sequence number: the explicit ``seq`` when a
+    RESTORE/CLONE re-emit carried one, else the commit version (the
+    organic case — Iceberg's rule that sequence == snapshot order
+    until something preserves an older ordering)."""
+    try:
+        s = rec["seq"]
+    except (KeyError, ValueError, IndexError):
+        s = None
+    if s is None or s != s:  # None or NaN (pandas records)
+        return int(rec["v"])
+    return int(s)
 
 # cents quantizer shared by engine and twin: o_totalprice carries two
 # decimals, so *100 sits within 1e-9 of an integer and floor(+0.5) is
@@ -340,7 +363,11 @@ def snapshot_files(
         log = log.filter(F.col("v") <= version)
     if use_ckpt:
         base = spark.read.parquet(_checkpoint_dir(table_dir, ckpt_v))
-        log = base.unionByName(log.filter(F.col("v") > ckpt_v))
+        # allowMissingColumns: a checkpoint written before a LOG_SCHEMA
+        # widening (writer_features, seq) must stay readable forever
+        log = base.unionByName(
+            log.filter(F.col("v") > ckpt_v), allowMissingColumns=True
+        )
     return _last_action_live(log, [])
 
 
@@ -881,15 +908,24 @@ def ivm_drain(
     checkpoint.  The expansion covers EVERY liveness-bearing action
     kind:
 
-    - ``add`` / ``remove`` — the action's own (retained) file at
-      +1 / -1; a vacuumed file behind a NOT-yet-checkpointed commit
-      fails loudly.
+    - ``add`` / ``remove`` of a DATA file — the action's own
+      (retained) file at +1 / -1; a vacuumed file behind a NOT-yet-
+      checkpointed commit fails loudly.
     - ``keydel`` — the deletion-vector CDF read: the key file plus a
       metadata log replay (:func:`_live_adds_before`) stats-pruned
-      by the keydel's key range, matching rows at -1.
+      by the keydel's key range, matching rows at -1 — SEQUENCE-
+      FILTERED (only files sequenced strictly below the delete, the
+      same rule the batch MOR read applies), and including same-
+      commit adds below the delete's sequence (a RESTORE commit
+      carries both).
     - ``posdel`` — the positional twin: the PD file names its
       (file, position) pairs EXACTLY; each named file's positions
       retract at -1.
+    - ``remove`` of a DELETE file — the INVERSE retraction
+      (materialization or a rolling-back RESTORE retires the delete
+      mid-stream): the original keydel/posdel subtraction replays
+      with sign +1, so the removed data files' full -1 rows net to
+      exactly the surviving content.
 
     Shared by :func:`streaming_cdf_ivm_gate`,
     :func:`streaming_mor_ivm_gate`, and the vacuum/expiry lifecycle
@@ -924,35 +960,102 @@ def ivm_drain(
                 )
             return _pd.read_parquet(full, columns=columns)
 
+        def _keydel_rows(kd_action, batch_adds, batch_removed, sign,
+                         v_limit=None):
+            """The keydel subtraction (sign=-1) or its exact inverse
+            (sign=+1, for a remove-of-the-key-file): matching rows of
+            every file sequenced strictly below the delete — lives
+            below the delete's COMMIT, minus same-commit removes,
+            plus same-commit adds (a RESTORE carries both).  The
+            inverse passes ``v_limit = kd commit + 1``: the as-of-end
+            replay already folds that commit's own adds/removes in,
+            and every below-sequence file it saw is still live (the
+            rewrite guards make a dead file below a live keydel
+            unreachable), so the mirror is exact."""
+            keys = set(_read(kd_action["path"], None)["o_orderkey"])
+            lo, hi = kd_action["min_key"], kd_action["max_key"]
+            kd_seq = _seq_of(kd_action)
+            if v_limit is None:
+                v_limit = int(kd_action["v"])
+            lives = [
+                ad for ad in _live_adds_before(log_dir, v_limit)
+                if ad["path"] not in batch_removed
+            ] + batch_adds
+            parts = []
+            for add in lives:
+                if _seq_of(add) >= kd_seq:
+                    continue  # the sequence rule
+                if add["max_key"] < lo or add["min_key"] > hi:
+                    continue  # the CDF reader's skip plan
+                part = _read(add["path"], cols)
+                part = part[part["o_orderkey"].isin(keys)]
+                if len(part):
+                    part = part[cols[1:]].copy()
+                    part["sign"] = sign
+                    parts.append(part)
+            return parts
+
+        def _posdel_rows(pd_path, sign):
+            pairs = _read(pd_path, None)
+            parts = []
+            for fname, grp in pairs.groupby("path"):
+                part = _read(fname, cols[1:])
+                part = part.iloc[sorted(grp["pos"])].copy()
+                part["sign"] = sign
+                parts.append(part)
+            return parts
+
         for pdf in batches:
             out = []
-            for row in pdf.to_dict("records"):
+            recs = [r for r in pdf.to_dict("records") if r["path"]]
+            batch_adds = [r for r in recs if r["a"] == "add"]
+            batch_removed = {r["path"] for r in recs
+                             if r["a"] == "remove"}
+            # delete-bearing history for this commit's removes: a
+            # removed path with a prior keydel/posdel action is a
+            # DELETE file retiring (materialize / rolling-back
+            # restore) and expands as the INVERSE retraction
+            del_history: dict[str, dict] = {}
+            if batch_removed:
+                v_now = min(int(r["v"]) for r in recs)
+                for p in sorted(_glob.glob(
+                        os.path.join(log_dir, "*.json"))):
+                    if int(os.path.basename(p).split(".")[0]) >= v_now:
+                        continue
+                    with open(p) as f:
+                        for ln in f:
+                            if not ln.strip():
+                                continue
+                            act = json.loads(ln)
+                            if (act.get("a") in ("keydel", "posdel")
+                                    and act.get("path")
+                                    in batch_removed):
+                                cur = del_history.get(act["path"])
+                                if cur is None or act["v"] >= cur["v"]:
+                                    del_history[act["path"]] = act
+            for row in recs:
                 a, path = row["a"], row["path"]
-                if not path:
-                    continue
-                if a in ("add", "remove"):
+                if a == "add":
                     part = _read(path, cols[1:])
-                    part["sign"] = 1 if a == "add" else -1
+                    part["sign"] = 1
                     out.append(part)
-                elif a == "keydel":
-                    keys = set(_read(path, None)["o_orderkey"])
-                    lo, hi = row["min_key"], row["max_key"]
-                    for add in _live_adds_before(log_dir, int(row["v"])):
-                        if add["max_key"] < lo or add["min_key"] > hi:
-                            continue  # the CDF reader's skip plan
-                        part = _read(add["path"], cols)
-                        part = part[part["o_orderkey"].isin(keys)]
-                        if len(part):
-                            part = part[cols[1:]].copy()
-                            part["sign"] = -1
-                            out.append(part)
-                elif a == "posdel":
-                    pairs = _read(path, None)
-                    for fname, grp in pairs.groupby("path"):
-                        part = _read(fname, cols[1:])
-                        part = part.iloc[sorted(grp["pos"])].copy()
+                elif a == "remove":
+                    prior = del_history.get(path)
+                    if prior is None:  # a data file
+                        part = _read(path, cols[1:])
                         part["sign"] = -1
                         out.append(part)
+                    elif prior["a"] == "keydel":
+                        out.extend(_keydel_rows(
+                            prior, [], set(), 1,
+                            v_limit=int(prior["v"]) + 1))
+                    else:  # a retiring posdel: inverse +1
+                        out.extend(_posdel_rows(path, 1))
+                elif a == "keydel":
+                    out.extend(_keydel_rows(
+                        row, batch_adds, batch_removed, -1))
+                elif a == "posdel":
+                    out.extend(_posdel_rows(path, -1))
             if out:
                 yield _pd.concat(out, ignore_index=True)
 
@@ -2479,6 +2582,24 @@ def vacuum_table(
     return sorted(deleted)
 
 
+def _action_from_record(rec, kind: str) -> dict:
+    """Re-emit an add/keydel/posdel action from a replayed live
+    record (stats and all, so skip-planning over the re-emitted
+    state is as precise as the original) — CARRYING the record's
+    data sequence number, so a RESTORE or CLONE re-stamp at a new
+    commit version keeps its original place in the equality-delete
+    ordering (the Iceberg sequence-number move; without it a
+    re-added keydel would jump above every later append and delete
+    rows that were visible at the source state)."""
+    keep = ("path", "n_rows", "n_bytes", "min_key", "max_key",
+            "min_date", "max_date")
+    return {
+        "a": kind,
+        **{k: rec[k] for k in keep if rec[k] is not None},
+        "seq": _seq_of(rec),
+    }
+
+
 def restore_table(
     spark: SparkSession, table_dir: str, to_version: int
 ) -> int:
@@ -2539,21 +2660,12 @@ def restore_table(
             f"vacuumed: {missing}"
         )
 
-    def _readd(rec, kind: str) -> dict:
-        # re-emit the ORIGINAL add/keydel/posdel action (stats and
-        # all) so skip-planning over the restored state is as precise
-        # as it was at to_version; replay-only fields stay behind
-        keep = ("path", "n_rows", "n_bytes", "min_key", "max_key",
-                "min_date", "max_date")
-        return {"a": kind, **{
-            k: rec[k] for k in keep if rec[k] is not None
-        }}
-
     actions: list[dict] = (
         [{"a": "remove", "path": p} for p in removes]
         + [{"a": "remove", "path": p} for p in del_removes]
-        + [_readd(want[p], "add") for p in re_adds]
-        + [_readd(want_del[p], want_del[p]["a"]) for p in del_re_adds]
+        + [_action_from_record(want[p], "add") for p in re_adds]
+        + [_action_from_record(want_del[p], want_del[p]["a"])
+           for p in del_re_adds]
     )
     return commit_actions(
         table_dir, actions, expects_live=sorted(have)
@@ -2600,6 +2712,7 @@ def clone_table(
     wfeats = sorted(required_writer_features(src_dir))
     mapping = column_mapping(spark, src_dir)
     checks = table_constraints(spark, src_dir)
+    props = table_properties(spark, src_dir)
     meta_log = _log_with_checkpoint_base(spark, src_dir)
     sc_rows = (
         meta_log.filter(
@@ -2613,14 +2726,6 @@ def clone_table(
             os.path.join(src_dir, DATA_SUBDIR, r["path"]),
             os.path.join(dest_dir, DATA_SUBDIR, r["path"]),
         )
-    keep = ("path", "n_rows", "n_bytes", "min_key", "max_key",
-            "min_date", "max_date")
-
-    def _act(rec, kind: str) -> dict:
-        return {"a": kind, **{
-            k: rec[k] for k in keep if rec[k] is not None
-        }}
-
     actions: list[dict] = []
     if feats or wfeats:
         proto: dict = {"a": "protocol"}
@@ -2644,8 +2749,16 @@ def clone_table(
             "a": "constraint", "path": f"constraint:{name}",
             "min_date": checks[name],
         })
-    actions += [_act(r, "add") for r in live]
-    actions += [_act(r, r["a"]) for r in dels]
+    for k in sorted(props):
+        # TBLPROPERTIES clone too (Delta's SHALLOW CLONE carries
+        # them) — without this the clone's vacuum would ignore the
+        # retention the operator configured on the source
+        actions.append({
+            "a": "property", "path": f"property:{k}",
+            "min_date": props[k],
+        })
+    actions += [_action_from_record(r, "add") for r in live]
+    actions += [_action_from_record(r, r["a"]) for r in dels]
     v = commit_actions(dest_dir, actions)
     assert v == 0, "a fresh clone directory must commit at v0"
     return dest_dir
@@ -3262,7 +3375,11 @@ def update_where_cow(
     if not touched:
         raise ValueError("update predicate matched no rows")
     # one select computes every post-update column from the ORIGINAL
-    # row (simultaneous assignment), gated per-row by the predicate
+    # row (simultaneous assignment), gated per-row by the predicate —
+    # which is ALSO materialized as a pre-update boolean here, because
+    # re-evaluating it against post-update values would let an UPDATE
+    # whose new values fall out of its own predicate dodge the CHECK
+    # validation below (code-review finding, r14 second session)
     rewritten = base.filter(F.col("_path").isin(touched)).select(
         *[
             F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c))
@@ -3270,11 +3387,16 @@ def update_where_cow(
             for c in cols
         ],
         "_path",
+        hit.alias("__hit"),
     )
     # commit-time CHECK enforcement on exactly the rows that change
     # (logical names — the constraint vocabulary), never a rescan of
     # untouched files
-    _enforce_constraints(spark, table_dir, rewritten.filter(hit))
+    _enforce_constraints(
+        spark, table_dir,
+        rewritten.filter("__hit").drop("__hit", "_path"),
+    )
+    rewritten = rewritten.drop("__hit")
     rewritten, phys_key = _to_physical(rewritten, mapping, key)
     nonce = _next_version_nonce(table_dir)
     actions: list[dict] = []
@@ -3367,17 +3489,19 @@ def snapshot_read_mor(
     Equality deletes follow the SEQUENCE RULE (Iceberg v2 sequence
     numbers — and the rule the streaming IVM expansion already
     applies via its lives-below-the-keydel replay): a keydel
-    subtracts a key only from rows in files ADDED AT OR BELOW the
-    delete's version.  A row (re-)appended after the delete is a new
-    row, visible — without this, batch reads and the maintained
-    streaming view diverge the first time an append lands after a
-    delete."""
+    subtracts a key only from rows in files whose data sequence
+    number is STRICTLY BELOW the delete's (Iceberg's exact
+    comparison; sequence = commit version on organic actions, the
+    carried ``seq`` on RESTORE/CLONE re-emits).  A row (re-)appended
+    after the delete is a new row, visible — without this, batch
+    reads and the maintained streaming view diverge the first time
+    an append lands after a delete."""
     data = snapshot_read(
         spark, table_dir, version,
         reader_features=tuple(reader_features) + ("merge_on_read",),
     )
     dels = snapshot_delete_files(spark, table_dir, version).collect()
-    kd = sorted((r["path"], int(r["v"]))
+    kd = sorted((r["path"], _seq_of(r))
                 for r in dels if r["a"] == "keydel")
     pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
     if not (kd or pdl):
@@ -3398,24 +3522,9 @@ def snapshot_read_mor(
         data = data.join(F.broadcast(dv), ["__path", "__pos"],
                          "left_anti")
     if kd:
-        # one row per deleted key with the NEWEST deleting version —
-        # "exists a keydel at/above this row's file version" is then
-        # max_kd_v >= add_v, one non-equi conjunct on the hash
-        # anti-join (still a broadcast hash join: the key equality
-        # pair drives it)
-        frames = [
-            spark.read.parquet(os.path.join(table_dir, DATA_SUBDIR, p))
-            .select(F.col("o_orderkey").alias("__del_key"),
-                    F.lit(v).alias("__kd_v"))
-            for p, v in kd
-        ]
-        keys = frames[0]
-        for fr in frames[1:]:
-            keys = keys.unionByName(fr)
-        keys = keys.groupBy("__del_key").agg(
-            F.max("__kd_v").alias("__kd_v"))
+        keys = _keydel_keys_with_seq(spark, table_dir, kd, "__del_key")
         addv = spark.createDataFrame(
-            [(r["path"], int(r["v"])) for r in
+            [(r["path"], _seq_of(r)) for r in
              snapshot_files(spark, table_dir, version).collect()],
             "__path string, __add_v long",
         )
@@ -3424,12 +3533,36 @@ def snapshot_read_mor(
             .join(
                 F.broadcast(keys),
                 (F.col(key) == F.col("__del_key"))
-                & (F.col("__kd_v") >= F.col("__add_v")),
+                & (F.col("__kd_v") > F.col("__add_v")),
                 "left_anti",
             )
             .drop("__add_v")
         )
     return data.drop("__path", "__pos")
+
+
+def _keydel_keys_with_seq(
+    spark: SparkSession,
+    table_dir: str,
+    kd: list[tuple[str, int]],
+    out_name: str,
+) -> DataFrame:
+    """One row per deleted key with the NEWEST deleting sequence —
+    "exists a keydel strictly above this row's file sequence" is
+    then ``max_kd_v > add_v``, one non-equi conjunct on the hash
+    anti-join (still a broadcast hash join: the key equality pair
+    drives it).  Shared by the MOR read and materialization so the
+    two can never drift."""
+    frames = [
+        spark.read.parquet(os.path.join(table_dir, DATA_SUBDIR, p))
+        .select(F.col("o_orderkey").alias(out_name),
+                F.lit(v).alias("__kd_v"))
+        for p, v in kd
+    ]
+    keys = frames[0]
+    for fr in frames[1:]:
+        keys = keys.unionByName(fr)
+    return keys.groupBy(out_name).agg(F.max("__kd_v").alias("__kd_v"))
 
 
 def materialize_deletes(
@@ -3445,25 +3578,16 @@ def materialize_deletes(
     dels = snapshot_delete_files(spark, table_dir).collect()
     if not dels:
         raise ValueError("no live delete files to materialize")
-    kd = sorted((r["path"], int(r["v"]))
+    kd = sorted((r["path"], _seq_of(r))
                 for r in dels if r["a"] == "keydel")
     pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
     keys = None
     if kd:
         # the SEQUENCE RULE (see snapshot_read_mor): each key rides
-        # its newest deleting version, and subtraction below applies
-        # only to files added at/below it — materialization must drop
-        # exactly what the MOR read hides, nothing newer
-        frames = [
-            spark.read.parquet(os.path.join(table_dir, DATA_SUBDIR, p))
-            .select(F.col("o_orderkey").alias(key),
-                    F.lit(v).alias("__kd_v"))
-            for p, v in kd
-        ]
-        keys = frames[0]
-        for fr in frames[1:]:
-            keys = keys.unionByName(fr)
-        keys = keys.groupBy(key).agg(F.max("__kd_v").alias("__kd_v"))
+        # its newest deleting sequence, and subtraction applies only
+        # to files sequenced strictly below it — materialization must
+        # drop exactly what the MOR read hides, nothing newer
+        keys = _keydel_keys_with_seq(spark, table_dir, kd, key)
     dv = None
     if pdl:
         dv = spark.read.parquet(
@@ -3500,18 +3624,18 @@ def materialize_deletes(
             F.col("_metadata.row_index").alias("_pos"),
         )
         doomed = tagged
-        addv = {r["path"]: int(r["v"]) for r in live}
+        addv = {r["path"]: _seq_of(r) for r in live}
         if keys is not None:
-            # a file is touched only by keys whose deleting version
-            # is at/above the file's add version (sequence rule) —
-            # a file appended after every delete never rewrites
+            # a file is touched only by keys whose deleting sequence
+            # is strictly above the file's sequence (the rule) — a
+            # file appended after every delete never rewrites
             addv_df = spark.createDataFrame(
                 sorted(addv.items()), "_path string, _add_v long"
             )
             k_hits = (
                 tagged.join(F.broadcast(keys), key)
                 .join(F.broadcast(addv_df), "_path")
-                .filter(F.col("__kd_v") >= F.col("_add_v"))
+                .filter(F.col("__kd_v") > F.col("_add_v"))
                 .select("_path")
             )
         if dv is not None:
@@ -3534,7 +3658,7 @@ def materialize_deletes(
                 part = part.join(
                     F.broadcast(
                         keys.filter(
-                            F.col("__kd_v") >= int(addv[name])
+                            F.col("__kd_v") > int(addv[name])
                         ).drop("__kd_v")
                     ),
                     key, "left_anti",

@@ -2372,3 +2372,116 @@ def test_restore_sequencing_with_live_keydel(spark, tmp_path):
     assert mor.count() == n_with
     got = mor.filter(f"o_orderkey = {k}").collect()
     assert [r["o_orderpriority"] for r in got] == ["9-REBORN"]
+
+
+# --------------------------------- code-review regressions (r14 s2)
+
+def test_update_constraint_check_uses_pre_update_predicate(
+        spark, tmp_path):
+    """Review finding 1: a SET that pushes rows OUT of its own
+    predicate must not dodge CHECK validation — the hit set is
+    evaluated against PRE-update values."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "updckpre")
+    tl.add_check_constraint(d, "pos_price", "o_totalprice > 0")
+    v_before = max(tl._present_versions(d))
+    with pytest.raises(ValueError, match="violate"):
+        tl.update_where_cow(spark, d, "o_totalprice > 500",
+                            {"o_totalprice": "-o_totalprice"})
+    assert max(tl._present_versions(d)) == v_before
+
+
+def test_restore_reemitted_keydel_keeps_its_sequence(spark, tmp_path):
+    """Review finding 2: restoring to a state where a keydel was
+    live must not lift the re-emitted keydel above files appended
+    after the original delete — the carried seq keeps the reborn
+    row visible, exactly as it was at the target version."""
+    d = _fixture_copy(spark, tmp_path, "kdseqres")
+    base = tl.snapshot_read(spark, d)
+    k = base.filter("o_orderstatus = 'F'").orderBy(
+        "o_orderkey").limit(1).collect()[0]["o_orderkey"]
+    tl.delete_keys_mor(
+        spark, d,
+        base.filter(f"o_orderkey = {k}").select("o_orderkey").distinct())
+    row = base.filter(f"o_orderkey = {k}").limit(1).withColumn(
+        "o_orderpriority", tl.F.lit("9-REBORN"))
+    v_app = tl.constrained_append(spark, d, row, "REBORN3.parquet")
+    n_at_app = tl.snapshot_read_mor(spark, d).count()
+    tl.materialize_deletes(spark, d)
+    # restore to the keydel-live + reborn-live state
+    tl.restore_table(spark, d, v_app)
+    mor = tl.snapshot_read_mor(spark, d)
+    assert mor.count() == n_at_app
+    got = mor.filter(f"o_orderkey = {k}").collect()
+    assert [r["o_orderpriority"] for r in got] == ["9-REBORN"]
+
+
+def test_clone_preserves_delete_sequencing_and_properties(
+        spark, tmp_path):
+    """Review findings 3 and 6: a clone's flattened v0 commit
+    carries each action's ORIGINAL sequence, so a row appended
+    after the source's equality delete stays visible on the clone
+    (batch AND a fresh streaming IVM agree) — and TBLPROPERTIES
+    clone too."""
+    d = _fixture_copy(spark, tmp_path, "cloneseq")
+    tl.set_table_properties(d, {"vacuum.retain_versions": "2"})
+    base = tl.snapshot_read(spark, d)
+    k = base.filter("o_orderstatus = 'F'").orderBy(
+        "o_orderkey").limit(1).collect()[0]["o_orderkey"]
+    tl.delete_keys_mor(
+        spark, d,
+        base.filter(f"o_orderkey = {k}").select("o_orderkey").distinct())
+    row = base.filter(f"o_orderkey = {k}").limit(1).withColumn(
+        "o_orderpriority", tl.F.lit("9-REBORN"))
+    tl.constrained_append(spark, d, row, "REBORN4.parquet")
+    c = str(tmp_path / "cloneseqdst")
+    tl.clone_table(spark, d, c)
+    assert tl.table_properties(spark, c) == {
+        "vacuum.retain_versions": "2"}
+    mor = tl.snapshot_read_mor(spark, c)
+    got = mor.filter(f"o_orderkey = {k}").collect()
+    assert [r["o_orderpriority"] for r in got] == ["9-REBORN"]
+    assert mor.count() == tl.snapshot_read_mor(spark, d).count()
+    # a FRESH streaming IVM over the clone's single commit agrees
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+    tl.ivm_drain(spark, c, ckpt, emissions)
+    got_v = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+             for r in tl.ivm_view(spark, emissions).collect()}
+    want_v = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+              for r in mor.groupBy("o_orderpriority").agg(
+                  tl.F.count("*").cast("long").alias("n_orders"),
+                  tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                  .alias("sum_cents")).collect()}
+    assert got_v == want_v
+
+
+def test_materialize_mid_stream_retires_through_ivm(spark, tmp_path):
+    """The inverse expansion: a materialization commit (removes of
+    data files + the delete file + MAT adds) lands mid-stream and
+    the maintained view nets to exactly the surviving content —
+    for BOTH delete kinds."""
+    d = _fixture_copy(spark, tmp_path, "matstream")
+    ckpt = str(tmp_path / "ckpt")
+    emissions = str(tmp_path / "emissions")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    keys = tl.snapshot_read(spark, d).filter(
+        "o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    ).select("o_orderkey").distinct()
+    tl.delete_keys_mor(spark, d, keys)
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    tl.delete_positions_mor(
+        spark, d, "o_orderstatus = 'O' AND o_orderkey % 11 = 0")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    tl.materialize_deletes(spark, d)
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+           for r in tl.ivm_view(spark, emissions).collect()}
+    want = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+            for r in tl.snapshot_read(spark, d)
+            .groupBy("o_orderpriority").agg(
+                tl.F.count("*").cast("long").alias("n_orders"),
+                tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                .alias("sum_cents")).collect()}
+    assert got == want
