@@ -1589,47 +1589,55 @@ def _txn_tag_of(commit_path: str) -> str | None:
 
 #: per-commit-file delete-bearing action lines (immutable files —
 #: the _TXN_TAG_CACHE caching argument), so the live-delete gate in
-#: snapshot_read costs cached dict lookups, not a Spark job per read
-_DELLINE_CACHE: dict[str, tuple[tuple[int, str, str], ...]] = {}
+#: snapshot_read AND the MOR read's delete-file resolution cost
+#: cached dict lookups, not a Spark job per read
+_DELLINE_CACHE: dict[str, tuple[dict, ...]] = {}
 
 
-def _delete_lines_of(commit_path: str) -> tuple[tuple[int, str, str], ...]:
+def _delete_lines_of(commit_path: str) -> tuple[dict, ...]:
     if commit_path in _DELLINE_CACHE:
         return _DELLINE_CACHE[commit_path]
-    out: list[tuple[int, str, str]] = []
+    out: list[dict] = []
     with open(commit_path) as f:
         for ln in f:
             if not ln.strip():
                 continue
             a = json.loads(ln)
             if a.get("a") in ("keydel", "posdel", "remove"):
-                out.append((int(a["v"]), a["a"], a["path"]))
+                out.append(a)
     res = tuple(out)
     _DELLINE_CACHE[commit_path] = res
     return res
 
 
-def _live_delete_paths(
+def _live_delete_actions(
     table_dir: str, version: int | None = None
-) -> set[str]:
-    """Driver-side live delete-file set at ``version`` — the same
+) -> list[dict]:
+    """Driver-side live delete-file ACTIONS at ``version`` — the same
     last-action replay as :func:`snapshot_delete_files`, from cached
-    per-file parses so the read-path gate adds no Spark job.  The
-    expired prefix can carry no keydel/posdel actions (expiry refuses
-    them until retired), so no checkpoint seeding is needed."""
-    last: dict[str, tuple[int, int, str]] = {}
+    per-file parses so the read path adds no Spark job.  The expired
+    prefix can carry no keydel/posdel actions (expiry refuses them
+    until retired), so no checkpoint seeding is needed."""
+    last: dict[str, tuple[int, int, dict]] = {}
     for p in sorted(
         _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
     ):
-        for v, a, path in _delete_lines_of(p):
+        for a in _delete_lines_of(p):
+            v = int(a["v"])
             if version is not None and v > version:
                 continue
-            rank = (v, 1 if a == "remove" else 0)
-            cur = last.get(path)
+            rank = (v, 1 if a["a"] == "remove" else 0)
+            cur = last.get(a["path"])
             if cur is None or rank >= cur[:2]:
-                last[path] = (*rank, a)
-    return {p for p, (_, _, a) in last.items()
-            if a in ("keydel", "posdel")}
+                last[a["path"]] = (*rank, a)
+    return [a for (_, _, a) in last.values()
+            if a["a"] in ("keydel", "posdel")]
+
+
+def _live_delete_paths(
+    table_dir: str, version: int | None = None
+) -> set[str]:
+    return {a["path"] for a in _live_delete_actions(table_dir, version)}
 
 
 def _refuse_live_deletes(table_dir: str, op: str) -> None:
@@ -1908,6 +1916,15 @@ def snapshot_read(
     read fails LOUDLY (Delta's protocol contract) — the alternative
     is an old reader silently returning physical column names and
     dropped columns on a column-mapped table."""
+    _check_reader_features(table_dir, version, reader_features)
+    return _snapshot_read_with_live(spark, table_dir, version)[0]
+
+
+def _check_reader_features(
+    table_dir: str,
+    version: int | None,
+    reader_features: tuple[str, ...],
+) -> None:
     need = required_reader_features(table_dir, version)
     unsupported = need - set(reader_features)
     if unsupported:
@@ -1931,9 +1948,17 @@ def snapshot_read(
                 "snapshot_read_mor (or declare the merge_on_read "
                 "reader feature to read the raw physical set)"
             )
-    paths = sorted(
-        r["path"] for r in snapshot_files(spark, table_dir, version).collect()
-    )
+
+
+def _snapshot_read_with_live(
+    spark: SparkSession, table_dir: str, version: int | None
+) -> tuple[DataFrame, list]:
+    """The replay + scan shared by :func:`snapshot_read` and the MOR
+    reader — ONE live-set replay job serves both the scan's file
+    list and the MOR path's add-sequence map (a second replay here
+    doubled the read's planning cost, bench-caught)."""
+    live = snapshot_files(spark, table_dir, version).collect()
+    paths = sorted(r["path"] for r in live)
     missing = [
         p for p in paths
         if not os.path.exists(os.path.join(table_dir, DATA_SUBDIR, p))
@@ -1947,7 +1972,7 @@ def snapshot_read(
         )
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
-    )
+    ), live
 
 
 def evolved_schema(
@@ -3496,23 +3521,37 @@ def snapshot_read_mor(
     after the delete is a new row, visible — without this, batch
     reads and the maintained streaming view diverge the first time
     an append lands after a delete."""
-    data = snapshot_read(
-        spark, table_dir, version,
-        reader_features=tuple(reader_features) + ("merge_on_read",),
+    _check_reader_features(
+        table_dir, version,
+        tuple(reader_features) + ("merge_on_read",),
     )
-    dels = snapshot_delete_files(spark, table_dir, version).collect()
+    data, live = _snapshot_read_with_live(spark, table_dir, version)
+    # delete-file resolution from the cached driver-side replay —
+    # the Spark-job twin (snapshot_delete_files) doubled this read's
+    # planning cost, bench-caught
+    dels = _live_delete_actions(table_dir, version)
     kd = sorted((r["path"], _seq_of(r))
                 for r in dels if r["a"] == "keydel")
     pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
     if not (kd or pdl):
         return data
-    data = data.select(
-        "*",
-        F.regexp_extract(
-            F.col("_metadata.file_path"), "[^/]+$", 0
-        ).alias("__path"),
-        F.col("_metadata.row_index").alias("__pos"),
+    # FAST PATH for the dominant shape (every live file sequenced
+    # strictly below every delete — always true until something is
+    # appended after a delete): the sequence comparison is vacuously
+    # satisfied, so the equality subtraction needs no add-sequence
+    # join — one broadcast anti-join on the key, the minimal plan
+    all_below = (not kd) or all(
+        _seq_of(r) < min(v for _, v in kd) for r in live
     )
+    need_tag = bool(pdl) or (kd and not all_below)
+    if need_tag:
+        data = data.select(
+            "*",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "[^/]+$", 0
+            ).alias("__path"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
     if pdl:
         dv = spark.read.parquet(
             *[os.path.join(table_dir, DATA_SUBDIR, p) for p in pdl]
@@ -3522,23 +3561,30 @@ def snapshot_read_mor(
         data = data.join(F.broadcast(dv), ["__path", "__pos"],
                          "left_anti")
     if kd:
-        keys = _keydel_keys_with_seq(spark, table_dir, kd, "__del_key")
-        addv = spark.createDataFrame(
-            [(r["path"], _seq_of(r)) for r in
-             snapshot_files(spark, table_dir, version).collect()],
-            "__path string, __add_v long",
-        )
-        data = (
-            data.join(F.broadcast(addv), "__path")
-            .join(
-                F.broadcast(keys),
-                (F.col(key) == F.col("__del_key"))
-                & (F.col("__kd_v") > F.col("__add_v")),
-                "left_anti",
+        if all_below:
+            keys = spark.read.parquet(
+                *[os.path.join(table_dir, DATA_SUBDIR, p)
+                  for p, _ in kd]
+            ).select(F.col("o_orderkey").alias(key)).distinct()
+            data = data.join(F.broadcast(keys), key, "left_anti")
+        else:
+            keys = _keydel_keys_with_seq(
+                spark, table_dir, kd, "__del_key")
+            addv = spark.createDataFrame(
+                [(r["path"], _seq_of(r)) for r in live],
+                "__path string, __add_v long",
             )
-            .drop("__add_v")
-        )
-    return data.drop("__path", "__pos")
+            data = (
+                data.join(F.broadcast(addv), "__path")
+                .join(
+                    F.broadcast(keys),
+                    (F.col(key) == F.col("__del_key"))
+                    & (F.col("__kd_v") > F.col("__add_v")),
+                    "left_anti",
+                )
+                .drop("__add_v")
+            )
+    return data.drop("__path", "__pos") if need_tag else data
 
 
 def _keydel_keys_with_seq(
