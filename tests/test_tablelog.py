@@ -1515,7 +1515,8 @@ def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     round-12..14 surface in sequence — append, MERGE, UPDATE WHERE,
     rename under mapping, MOR delete, materialize, RESTORE both
     directions around the materialization, OPTIMIZE ZORDER, vacuum,
-    expire, TIMESTAMP AS OF — with the running row-count/cents
+    expire, TIMESTAMP AS OF, TBLPROPERTIES, DESCRIBE DETAIL,
+    and a post-expiry SHALLOW CLONE — with the running row-count/cents
     invariant checked at every step and time travel spot-checked
     across the whole story."""
     import pytest
@@ -1604,6 +1605,20 @@ def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
         max(tl._present_versions(d2))
     with pytest.raises(ValueError, match="predates"):
         tl.version_at_timestamp(d2, 0.0)
+    # SECOND-SESSION surfaces composed on the same table: properties
+    # land post-expiry, DESCRIBE DETAIL reads the final state, and a
+    # shallow CLONE of the expired+vacuumed+mapped table still reads
+    # identically (live set from the checkpoint-aware replay, zero
+    # bytes copied)
+    tl.set_table_properties(d2, {"tier": "gold"})
+    det = tl.table_detail(spark, d2).collect()[0]
+    assert det["column_mapping"] and det["n_delete_files"] == 0
+    assert det["n_rows"] == live_n
+    c = str(tmp_path / "life_clone")
+    tl.clone_table(spark, d2, c)
+    assert tl.table_properties(spark, c) == {"tier": "gold"}
+    assert n(tl.snapshot_read_mapped(spark, c)) == live_n
+    assert tl.required_reader_features(c) == {"column_mapping"}
 
 
 # --------------------------------------------------- UPDATE WHERE (CoW)
