@@ -2500,3 +2500,56 @@ def test_materialize_mid_stream_retires_through_ivm(spark, tmp_path):
                 tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
                 .alias("sum_cents")).collect()}
     assert got == want
+
+
+def test_restore_matches_reference_model(spark, tmp_path):
+    """Property test: RESTORE to any historical version reproduces
+    exactly that version's live set (or refuses as a no-op when the
+    sets already match) over randomized add/remove logs — with the
+    rolled-back history still replayable above the target."""
+    from hypothesis import given, settings, strategies as st
+
+    paths = [f"p{i}.parquet" for i in range(4)]
+
+    @st.composite
+    def logs(draw):
+        n_versions = draw(st.integers(min_value=2, max_value=4))
+        commits = {}
+        for v in range(n_versions):
+            acts = []
+            for p in draw(st.lists(st.sampled_from(paths), min_size=1,
+                                   max_size=3, unique=True)):
+                if draw(st.booleans()):
+                    acts.append(_add(v, p))
+                else:
+                    acts.append(_rm(v, p))
+            commits[v] = acts
+        return commits
+
+    @settings(max_examples=8, deadline=None)
+    @given(commits=logs(), data=st.data())
+    def check(commits, data):
+        import shutil as _sh
+
+        import pytest as _pytest
+
+        d = tmp_path / "resprop"
+        _sh.rmtree(d, ignore_errors=True)
+        dd = _mklog_at(d, commits)
+        for p in paths:  # restore's missing-file check wants bytes
+            open(os.path.join(dd, tl.DATA_SUBDIR, p), "w").close()
+        latest = len(commits) - 1
+        v = data.draw(st.integers(min_value=0, max_value=latest - 1))
+        live_latest = _live(spark, dd, latest)
+        want = _live(spark, dd, v)
+        if want == live_latest:
+            with _pytest.raises(ValueError, match="no-op"):
+                tl.restore_table(spark, dd, v)
+            return
+        v_res = tl.restore_table(spark, dd, v)
+        assert v_res == latest + 1
+        assert _live(spark, dd) == want
+        # history above the target is rolled back, never erased
+        assert _live(spark, dd, latest) == live_latest
+
+    check()
