@@ -2744,13 +2744,24 @@ def clone_table(
             (F.col("a") == "meta") & F.col("schema_cols").isNotNull()
         ).orderBy(F.col("v").desc()).limit(1).collect()
     )
-    os.makedirs(os.path.join(dest_dir, LOG_SUBDIR))
-    os.makedirs(os.path.join(dest_dir, DATA_SUBDIR))
-    for r in (*live, *dels):
-        os.link(
-            os.path.join(src_dir, DATA_SUBDIR, r["path"]),
-            os.path.join(dest_dir, DATA_SUBDIR, r["path"]),
-        )
+    # Build into a temp sibling and rename into place so a mid-loop
+    # os.link failure (cross-device dest, permissions) can't leave a
+    # half-built dest_dir that blocks the retry with "destination
+    # exists" — the same publish-by-rename _write_one_file uses.
+    tmp_dir = dest_dir.rstrip("/") + ".__clone_tmp__"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(os.path.join(tmp_dir, LOG_SUBDIR))
+    os.makedirs(os.path.join(tmp_dir, DATA_SUBDIR))
+    try:
+        for r in (*live, *dels):
+            os.link(
+                os.path.join(src_dir, DATA_SUBDIR, r["path"]),
+                os.path.join(tmp_dir, DATA_SUBDIR, r["path"]),
+            )
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
     actions: list[dict] = []
     if feats or wfeats:
         proto: dict = {"a": "protocol"}
@@ -2782,10 +2793,31 @@ def clone_table(
             "a": "property", "path": f"property:{k}",
             "min_date": props[k],
         })
-    actions += [_action_from_record(r, "add") for r in live]
-    actions += [_action_from_record(r, r["a"]) for r in dels]
-    v = commit_actions(dest_dir, actions)
+    # SEQUENCE BASELINE REMAP: the clone's organic commits restart at
+    # v1, so a carried SOURCE sequence (say 6) would out-sequence the
+    # clone's first five appends and an inherited equality delete
+    # would silently remove them — the exact resurrection/loss the
+    # sequence rule exists to prevent, just mirrored.  Re-stamp the
+    # preserved sequences onto an order-preserving range <= 0
+    # (dense rank minus count over the distinct source seqs): their
+    # RELATIVE order — all the MOR semantics need — survives, and
+    # every future organic seq (== commit version >= 1) sorts
+    # strictly above the entire cloned state, matching Iceberg's
+    # carry of last-sequence-number into the new table's metadata.
+    data_actions = [_action_from_record(r, "add") for r in live]
+    data_actions += [_action_from_record(r, r["a"]) for r in dels]
+    src_seqs = sorted({a["seq"] for a in data_actions})
+    seq_remap = {s: i + 1 - len(src_seqs) for i, s in enumerate(src_seqs)}
+    for a in data_actions:
+        a["seq"] = seq_remap[a["seq"]]
+    actions += data_actions
+    v = commit_actions(tmp_dir, actions)
     assert v == 0, "a fresh clone directory must commit at v0"
+    try:
+        os.rename(tmp_dir, dest_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
     return dest_dir
 
 
@@ -2834,12 +2866,16 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
     present = _present_versions(table_dir)
     if not present:
         raise ValueError(f"no commits in {table_dir}")
-    best, last = None, float("-inf")
+    best, last = None, None
     for v in present:
         m = os.path.getmtime(
             os.path.join(table_dir, LOG_SUBDIR, f"{v:08d}.json")
         )
-        last = max(last, m)  # monotonic adjustment
+        # STRICTLY-increasing adjustment (Delta bumps the later commit
+        # to predecessor+1ms): plain max() would give a regressed
+        # commit exactly its predecessor's timestamp, making the
+        # earlier version unreachable by TIMESTAMP AS OF
+        last = m if last is None else max(m, last + 1e-3)
         if last <= ts:
             best = v
     if best is None:

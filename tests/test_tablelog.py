@@ -2553,3 +2553,143 @@ def test_restore_matches_reference_model(spark, tmp_path):
         assert _live(spark, dd, latest) == live_latest
 
     check()
+
+
+def test_clone_append_of_deleted_key_stays_visible(spark, tmp_path):
+    """ADVICE r14 #1 (high): the clone's v0 re-emits carry source
+    sequence numbers, but the clone's ORGANIC commits restart at v1 —
+    without the seq-baseline remap an inherited equality delete (src
+    seq 6) out-sequences the clone's first appends and silently
+    removes them.  The remap pins every cloned seq <= 0, so a row
+    appended to the CLONE after the clone is visible in batch MOR,
+    the streaming IVM, and post-materialization reads."""
+    d = _fixture_copy(spark, tmp_path, "cloneapp")
+    base = tl.snapshot_read(spark, d)
+    k = base.orderBy("o_orderkey").limit(1).collect()[0]["o_orderkey"]
+    tl.delete_keys_mor(
+        spark, d,
+        base.filter(f"o_orderkey = {k}").select("o_orderkey").distinct())
+    c = str(tmp_path / "cloneappdst")
+    tl.clone_table(spark, d, c)
+    # the cloned keydel is live on the clone and still subtracts k
+    assert tl.snapshot_read_mor(spark, c).filter(
+        f"o_orderkey = {k}").count() == 0
+    # append the DELETED key to the clone (organic commit, seq >= 1)
+    row = base.filter(f"o_orderkey = {k}").limit(1).withColumn(
+        "o_orderpriority", tl.F.lit("9-POSTCLONE"))
+    tl.constrained_append(spark, c, row, "POSTCLONE.parquet")
+    mor = tl.snapshot_read_mor(spark, c)
+    got = mor.filter(f"o_orderkey = {k}").collect()
+    assert [r["o_orderpriority"] for r in got] == ["9-POSTCLONE"]
+    # a fresh streaming IVM over the clone's log agrees
+    ckpt = str(tmp_path / "cloneapp_ckpt")
+    emissions = str(tmp_path / "cloneapp_emissions")
+    tl.ivm_drain(spark, c, ckpt, emissions)
+    got_v = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+             for r in tl.ivm_view(spark, emissions).collect()}
+    want_v = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+              for r in mor.groupBy("o_orderpriority").agg(
+                  tl.F.count("*").cast("long").alias("n_orders"),
+                  tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                  .alias("sum_cents")).collect()}
+    assert got_v == want_v
+    # materialization applies the same sequence filter and keeps it
+    tl.materialize_deletes(spark, c)
+    got2 = tl.snapshot_read(spark, c).filter(
+        f"o_orderkey = {k}").collect()
+    assert [r["o_orderpriority"] for r in got2] == ["9-POSTCLONE"]
+    # and the source is untouched: k is still deleted there
+    assert tl.snapshot_read_mor(spark, d).filter(
+        f"o_orderkey = {k}").count() == 0
+
+
+def test_clone_of_clone_preserves_relative_sequencing(spark, tmp_path):
+    """The remap must be order-preserving and idempotent under
+    re-cloning: a clone of a clone (whose seqs are already <= 0)
+    keeps the delete-before-append ordering bit-identical."""
+    d = _fixture_copy(spark, tmp_path, "clone2src")
+    base = tl.snapshot_read(spark, d)
+    ks = [r["o_orderkey"] for r in
+          base.select("o_orderkey").distinct().orderBy(
+              "o_orderkey").limit(2).collect()]
+    tl.delete_keys_mor(
+        spark, d,
+        base.filter(f"o_orderkey = {ks[0]}")
+        .select("o_orderkey").distinct())
+    row = base.filter(f"o_orderkey = {ks[0]}").limit(1).withColumn(
+        "o_orderpriority", tl.F.lit("9-REBORN2"))
+    tl.constrained_append(spark, d, row, "REBORN_C2.parquet")
+    c1 = str(tmp_path / "clone2a")
+    tl.clone_table(spark, d, c1)
+    c2 = str(tmp_path / "clone2b")
+    tl.clone_table(spark, c1, c2)
+    want = sorted(
+        tuple(r) for r in tl.snapshot_read_mor(spark, d).collect())
+    assert sorted(
+        tuple(r) for r in
+        tl.snapshot_read_mor(spark, c2).collect()) == want
+    # and the double-clone still accepts a fresh append of a key
+    # whose delete it inherited twice
+    row2 = base.filter(f"o_orderkey = {ks[0]}").limit(1).withColumn(
+        "o_orderpriority", tl.F.lit("9-REBORN3"))
+    tl.constrained_append(spark, c2, row2, "REBORN_C3.parquet")
+    pris = sorted(
+        r["o_orderpriority"] for r in tl.snapshot_read_mor(spark, c2)
+        .filter(f"o_orderkey = {ks[0]}").collect())
+    assert pris == ["9-REBORN2", "9-REBORN3"]
+
+
+def test_clone_failure_is_atomic(spark, tmp_path, monkeypatch):
+    """ADVICE r14 #3 (low): a mid-link OSError (cross-device dest,
+    permissions) must not leave a half-built destination that blocks
+    the retry with 'clone destination exists'."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "cloneatomic")
+    c = str(tmp_path / "cloneatomicdst")
+    real_link = os.link
+    calls = {"n": 0}
+
+    def flaky_link(src, dst, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("simulated cross-device link")
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(tl.os, "link", flaky_link)
+    with pytest.raises(OSError, match="cross-device"):
+        tl.clone_table(spark, d, c)
+    monkeypatch.setattr(tl.os, "link", real_link)
+    assert not os.path.exists(c)
+    assert not os.path.exists(c + ".__clone_tmp__")
+    # the retry succeeds — no stale 'destination exists' refusal
+    tl.clone_table(spark, d, c)
+    assert tl.snapshot_read(spark, c).count() == \
+        tl.snapshot_read(spark, d).count()
+
+
+def test_timestamp_adjustment_keeps_every_version_addressable(
+        spark, tmp_path):
+    """ADVICE r14 #2 (low): with plain max() a commit whose mtime
+    regresses collapses onto its predecessor's timestamp, making the
+    predecessor unreachable by TIMESTAMP AS OF.  The strictly-
+    increasing adjustment (Delta's predecessor+1ms bump) keeps every
+    retained version addressable."""
+    d = _mklog(tmp_path, {
+        0: [_add(0, "A0.parquet")],
+        1: [_add(1, "A1.parquet")],
+        2: [_add(2, "A2.parquet")],
+    })
+    p0 = os.path.join(d, tl.LOG_SUBDIR, "00000000.json")
+    p1 = os.path.join(d, tl.LOG_SUBDIR, "00000001.json")
+    p2 = os.path.join(d, tl.LOG_SUBDIR, "00000002.json")
+    t0 = 1_700_000_000.0
+    os.utime(p0, (t0, t0))
+    os.utime(p1, (t0 + 10, t0 + 10))
+    os.utime(p2, (t0 + 5, t0 + 5))  # regressed mtime (clock skew)
+    # v1 stays addressable at its own timestamp...
+    assert tl.version_at_timestamp(d, t0 + 10) == 1
+    # ...and v2 resolves strictly after it (adjusted to t1+1ms)
+    assert tl.version_at_timestamp(d, t0 + 10 + 2e-3) == 2
+    assert tl.version_at_timestamp(d, t0 + 11) == 2
+    assert tl.version_at_timestamp(d, t0) == 0
