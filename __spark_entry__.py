@@ -691,6 +691,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12-r13 / r6-r13), png_features (green r4-r13), adpcm_features
     (green r6-r13), and streaming_hist_gate (green r8-r13).
 
+    Round-15 rotation (VERDICT r14 next #2): the slated ten-query
+    cohort entered exactly as queued — ogg_shard_ingest +
+    ogg_split_ingest (the 5th container pair, forward CRC-32 and
+    page-aligned splits), avro_shard_ingest (whole-shard twin of the
+    r13-gated split path), zip_split_ingest (member-aligned split
+    path; the whole-shard walk rotates out), sample_quantiles +
+    segment_value_quantiles (the 6th sketch family and its production
+    call site), qoi_features (10th codec), image_near_dups (the image
+    modality's near-dup pass), column_mapping_read (field-id schema
+    evolution), and streaming_mor_ivm_gate (a MOR delete retracting
+    from the live streamed view) — in place of TEN multiply-proven
+    incumbents: semantic_dups (green r4-r14), dsir_weights (r4-r14),
+    quality_classifier (r5-r14), jpeg_color_features (r7-r14),
+    flac_frame_stats (r10-r14), zip_shard_ingest (r12-r14),
+    avro_split_ingest / time_travel_read / sketch_store_rollup
+    (r13-r14), and streaming_join_gate (r3-r14, the longest-proven
+    streaming incumbent — outer-join keeps the stream-stream
+    machinery gated).  Every leaver keeps the identical hash gate in
+    tests/test_rotation.py.
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -700,13 +720,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         avro,
         dedup,
         graph,
-        jpeg,
+        ogg,
+        phash,
+        qoi,
         tablelog,
-        text,
         tfrecord,
     )
-    from gemmsql.pipeline import dsir, retrieval, urls
-    from gemmsql.pipeline import media_split, similarity, zipshard
+    from gemmsql.pipeline import retrieval, urls
+    from gemmsql.pipeline import media_split, zipshard
     from gemmsql import sketches
 
     return {
@@ -744,13 +765,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays driver-gated via jpeg_color_features — the YCbCr
         # 4:2:0 path composing the same luma DC chain — plus the
         # FLAC/AVI splittable frame-stats readers)
-        "jpeg_color_features": jpeg.jpeg_color_features,
+        # (jpeg_color_features rotated out r15, green r7-r14, and
+        # flac_frame_stats rotated out r15, green r10-r14 — hash
+        # gates in test_rotation; the codec matrix stays driver-gated
+        # via qoi_features plus avi_frame_stats, whose MJPEG path
+        # decodes a real JPEG per sampled frame, and the splittable
+        # media reader keeps its driver gate via avi_frame_stats)
         # --- splittable media reader (promoted r10, VERDICT r9 #6):
-        # FLAC sync-scan / AVI idx1 range cut, per-split decode of the
-        # SAME codecs the whole-file flac_features / video_features
-        # gates exercised (those keep hash gates in test_rotation) ---
-        "flac_frame_stats": media_split.flac_frame_stats,
+        # AVI idx1 range cut, per-split decode of the same MJPEG
+        # codec the whole-file video_features gate exercised ---
         "avi_frame_stats": media_split.avi_frame_stats,
+        # --- promoted r15: the TENTH from-scratch codec — QOI
+        # (public spec): run/index/diff/luma/rgb byte ops over the
+        # rolling 64-color hash table, driven by the cumulative-delta
+        # corpus so every op is hash-load-bearing; per-op + fuzz
+        # coverage in tests/test_qoi.py ---
+        "qoi_features": qoi.qoi_features,
+        # --- promoted r15: the IMAGE modality's near-dup pass —
+        # dHash (9x8 nearest-neighbor sample, integer luma -> 64
+        # bits) + 4x16-bit banded Hamming LSH with the MAX_BAND_DF
+        # hot-band cap (r14); candidates only from the band
+        # equi-join, never all-pairs; REAL decode over the staged QOI
+        # corpus with planted one-pixel variants every 17th doc ---
+        "image_near_dups": phash.image_near_dups,
         # (mp3_frame_stats and flac_stereo_features rotated out r13,
         # green r11-r12 — hash gates in test_rotation; FLAC/MP3 decode
         # stays driver-gated via flac_frame_stats + the codec matrix)
@@ -762,27 +799,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late in r6, green r1-r5; keep-best + incremental keep the
         # LSH->cluster->canonicalize chain gated; doc_chunks rotated
         # out in the r7 fourth swap for streaming_dedup_gate) ---
-        "quality_classifier": text.quality_classifier,
+        # (quality_classifier rotated out r15, green r5-r14 — among
+        # the longest-proven text incumbents; the model-based filter
+        # tier keeps its hash gate in test_rotation and the text tier
+        # stays driver-gated via bm25_topk + web_dedup_pipeline)
         # (dup_spans / bloom_decontaminate / doc_perplexity rotated
         # out in r9, green r5-r8; dedup_keep_best rotated out r14,
         # green r6-r13 — hash gates in test_rotation.py; the LSH->
         # cluster chain stays driver-gated via dedup_incremental and
         # web_dedup_pipeline)
-        "semantic_dups": similarity.semantic_dups,
+        # (semantic_dups rotated out r15, green r4-r14 — the
+        # longest-proven pipeline incumbent; the embedding near-dup
+        # surface keeps its hash gate in test_rotation, the ANN scale
+        # paths stay driver-gated via ivfpq_topk, and the image
+        # modality's near-dup pass enters as image_near_dups)
         # --- ingest containers (warc_ingest / tar_shard_ingest rotated
         # out r12, green rotation r9 + driver r10-r11 — hash gates in
         # test_rotation): the ZIP/PKZIP member walk (promoted r12) is
         # the WebDataset shard regime — tail-first EOCD walk, ZIP64,
         # central/local cross-check, CRC-32 verify, per-member
         # store-vs-deflate choice a recovered gated column ---
-        "zip_shard_ingest": zipshard.zip_shard_ingest,
+        # (zip_shard_ingest rotated out r15, green r12-r14 — its
+        # splittable twin takes the slot: the central directory used
+        # as a random-access split planner, member-aligned byte-range
+        # cuts spread on (shard, split_idx), per-split decode, the
+        # SAME documents-derived oracle — so the member walk, CRC-32
+        # verify, and both compression modes stay driver-gated
+        # through the strictly-larger machinery)
+        "zip_split_ingest": zipshard.zip_shard_ingest_split,
         # --- promoted r13: the SIXTH container's splittable path —
         # Avro OCF block-aligned byte ranges (sync-delimited blocks
         # ARE the spec's split unit), the planner verifies the header
         # once and ships its sync with every range, each split re-runs
         # the strict zigzag-varint block walk; documents-derived twin,
         # so split planning bugs lose or duplicate records visibly ---
-        "avro_split_ingest": avro.avro_split_ingest,
+        # (avro_split_ingest rotated out r15, green r13-r14 — its
+        # whole-shard twin takes the slot, so the zigzag-varint block
+        # walk, metadata-map schema enforcement, and sync-marker
+        # checks stay driver-gated; the split planner keeps its hash
+        # gate in test_rotation)
+        "avro_shard_ingest": avro.avro_shard_ingest,
+        # --- promoted r15: the FIFTH shard container — Ogg (RFC
+        # 3533): capture-pattern pages, lacing-value packet
+        # segmentation, cross-page continuation (pages capped at 8
+        # lacing values so spanning fires constantly), BOS/EOS
+        # placement, and Ogg's FORWARD CRC-32 variant built from
+        # scratch; plus its splittable path — page-aligned ranges cut
+        # only where a fresh packet starts (the capture pattern IS
+        # Ogg's resync design).  Same documents-derived twin for
+        # both, so split planning bugs lose or duplicate records
+        # visibly; CRC vectors + lacing/continuation fuzz in
+        # tests/test_ogg.py ---
+        "ogg_shard_ingest": ogg.ogg_shard_ingest,
+        "ogg_split_ingest": ogg.ogg_split_ingest,
         # --- promoted r13: the web-ingest dedup COMPOSITION — real
         # .warc.gz member walk -> messy crawl URL -> canonical_url ->
         # exact dedup keeping the smallest doc_id per canonical key ->
@@ -805,7 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates in test_rotation; the text tier stays driver-gated
         # via quality_classifier / dsir_weights / bm25_topk and the
         # web_dedup_pipeline composition) ---
-        "dsir_weights": dsir.dsir_weights,
+        # (dsir_weights rotated out r15, green r4-r14 — the
+        # importance-resampling selector keeps its hash gate in
+        # test_rotation; the selection/retrieval tier stays
+        # driver-gated via bm25_topk)
         "bm25_topk": retrieval.bm25_topk,
         "dedup_incremental": dedup.dedup_incremental_corpus,
         # --- promoted r13: the TABLE-FORMAT tier (VERDICT r12 #1 —
@@ -817,7 +889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ONE data scan joined to the broadcast liveness frame; a
         # missed remove, wrong tiebreak, or dead-file read moves the
         # hash ---
-        "time_travel_read": tablelog.time_travel_read,
+        # (time_travel_read rotated out r15, green r13-r14 — hash
+        # gate in test_rotation; versioned reads stay driver-gated
+        # via version_diff, cdf_ivm_rollup, and the promoted
+        # column_mapping_read, which reads AS OF two versions through
+        # the mapping indirection)
         # version_diff — the change-data-feed across v1 -> v3, reading
         # ONLY the symmetric-difference files (plan-pinned via
         # inputFiles in tests); the window crosses the compaction
@@ -860,6 +936,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # file's log-stats skip decision next to the TRUE matching
         # count from data (candidate=0 must imply matches=0) ---
         "stats_skipping_audit": tablelog.stats_skipping_audit,
+        # --- promoted r15 (born r14, VERDICT r13 next #4): COLUMN
+        # MAPPING — Delta column-mapping / Iceberg field-id
+        # indirection.  Physical parquet names freeze at a field's
+        # first appearance; RENAME rewrites only the logical half of
+        # the committed mapping, DROP retires the field id forever,
+        # appends convert logical->physical at write time, reads
+        # apply the mapping AS OF the requested version.  The gate
+        # reads v3 (pre-rename schema) and v6 (renamed + appended +
+        # dropped); the twin recomputes both versions from orders ---
+        "column_mapping_read": tablelog.column_mapping_read,
         # --- promoted r14: the FOURTH container pair — TFRecord
         # (uint64le length + masked CRC-32C framing, Castagnoli table
         # from scratch) whole-shard walk and its offset-index
@@ -872,7 +958,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reach merged from the STORE ONLY (raw events never
         # rescanned; register-max merge monoid, incremental == direct
         # bit-for-bit pinned in tests/test_sketch_store.py) ---
-        "sketch_store_rollup": sketches.sketch_store_rollup,
+        # (sketch_store_rollup rotated out r15, green r13-r14 — hash
+        # gate in test_rotation; the persisted-HLL register-merge
+        # monoid keeps its bit-for-bit pins in
+        # tests/test_sketch_store.py, and the sketch tier gains two
+        # driver gates below)
+        # --- promoted r15: the SIXTH sketch family — bottom-k-by-md5
+        # PAIRED row sample (KMV's bottom-k monoid extended to carry
+        # values) feeding integer order-statistic quantile picks; the
+        # twin rebuilds the same sample with a window rank and must
+        # agree bit-for-bit; merge-equals-whole + rank-error bounds
+        # pinned in tests/test_sketch_store.py ---
+        "sample_quantiles": sketches.sample_quantiles,
+        # --- promoted r15: the bottom-k sample's PRODUCTION call
+        # site — event-value quantiles per customer market segment
+        # (broadcast dim enrich -> sketch fold per segment; 2k longs
+        # of state per group per partition, no global sort) ---
+        "segment_value_quantiles": sketches.segment_value_quantiles,
         # --- graph analytics (tier new late in r6, widened in r7):
         # colorful-sampled AND exact triangle participation, the
         # PageRank kernel AND the gated 3-iteration power loop,
@@ -896,7 +998,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- structured streaming gates ---
         "streaming_hourly_gate": _streaming_gate_query,
         "streaming_sessionize_gate": _streaming_sessionize_query,
-        "streaming_join_gate": _streaming_join_query,
+        # (streaming_join_gate rotated out r15, green r3-r14 — the
+        # longest-proven streaming incumbent; its full availableNow
+        # replay keeps a hash gate in test_rotation, and the
+        # stream-stream join machinery stays driver-gated via
+        # streaming_outer_join_gate, whose LEFT OUTER watermark-timed
+        # NULL-side emission strictly contains the inner join path)
         "streaming_outer_join_gate": _streaming_outer_join_query,
         "streaming_stateful_gate": _streaming_stateful_query,
         # (streaming_hist_gate rotated out r14, green r8-r13 — hash
@@ -951,6 +1058,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batch, the strict framed parse runs per batch; same
         # documents-derived oracle as the batch walk
         "streaming_shard_ingest_gate": tfrecord.streaming_shard_ingest_gate,
+        # promoted r15 (born r14, VERDICT r13 next #7): MOR deletes
+        # COMPOSED with the live streaming IVM — a delete_keys_mor
+        # commit (one key file, zero rewrites) lands MID-STREAM and
+        # the maintained view retracts exactly the deleted rows; the
+        # keydel expansion replays the metadata log, stats-prunes the
+        # below-sequence adds, and reads only the files a
+        # skip-planner would.  Same key set as stage_mor_table, so
+        # the oracle is mor_delete_read's twin verbatim
+        "streaming_mor_ivm_gate": tablelog.streaming_mor_ivm_gate,
     }
 
 
@@ -1331,13 +1447,14 @@ def oracle_sql() -> dict[str, str]:
         avro,
         dedup,
         graph,
-        jpeg,
+        ogg,
+        phash,
+        qoi,
         tablelog,
-        text,
         tfrecord,
     )
-    from gemmsql.pipeline import dsir, retrieval, urls
-    from gemmsql.pipeline import media_split, similarity, zipshard
+    from gemmsql.pipeline import retrieval, urls
+    from gemmsql.pipeline import media_split, zipshard
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
         STREAMING_ASOF_GATE_SQL,
@@ -1345,7 +1462,6 @@ def oracle_sql() -> dict[str, str]:
         STREAMING_DQ_GATE_SQL,
         STREAMING_OUTER_JOIN_GATE_SQL,
         STREAMING_HOURLY_GATE_SQL,
-        STREAMING_JOIN_GATE_SQL,
         STREAMING_QUARANTINE_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
     )
@@ -1378,18 +1494,28 @@ def oracle_sql() -> dict[str, str]:
         "chain_grads": CHAIN_GRADS_SQL,
         "chain2_grads": CHAIN2_GRADS_SQL,
         "ivfpq_topk": IVFPQ_TOPK_SQL,
-        "jpeg_color_features": jpeg.JPEG_COLOR_FEATURES_SQL,
-        "flac_frame_stats": media_split.flac_frame_stats_sql(),
         "avi_frame_stats": media_split.avi_frame_stats_sql(),
-        "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
-        "semantic_dups": similarity.SEMANTIC_DUPS_SQL,
-        "zip_shard_ingest": zipshard.ZIP_SHARD_INGEST_SQL,
-        "avro_split_ingest": avro.AVRO_SHARD_INGEST_SQL,
+        # promoted r15 — the QOI codec and the image near-dup pass:
+        # both twins re-derive every sampled pixel from the md5 delta
+        # chain, so the decoder ops and the dHash/band/radius
+        # arithmetic are all hash-load-bearing
+        "qoi_features": qoi.QOI_FEATURES_SQL,
+        "image_near_dups": phash.IMAGE_NEAR_DUPS_SQL,
+        # promoted r15 — the ZIP splittable path and the Avro
+        # whole-shard walk gate against the SAME documents-derived
+        # twins as their already-proven siblings, so the two paths of
+        # each container must agree bit-for-bit
+        "zip_split_ingest": zipshard.ZIP_SHARD_INGEST_SQL,
+        "avro_shard_ingest": avro.AVRO_SHARD_INGEST_SQL,
+        # promoted r15 — the Ogg pair shares one documents-derived
+        # twin: whole-shard page walk and page-aligned split walk
+        # must recover identical rows
+        "ogg_shard_ingest": ogg.OGG_SHARD_INGEST_SQL,
+        "ogg_split_ingest": ogg.OGG_SHARD_INGEST_SQL,
         "web_dedup_pipeline": urls.WEB_DEDUP_PIPELINE_SQL,
         # the tablelog oracles read the staged table's log/data the
         # Spark side writes under the same deterministic per-sf_dir
         # path (the parquet_footer_stats mechanism, ADVICE r9 #5)
-        "time_travel_read": tablelog.time_travel_read_sql(_footer_sf),
         "version_diff": tablelog.version_diff_sql(_footer_sf),
         "cdf_ivm_rollup": tablelog.cdf_ivm_rollup_sql(_footer_sf),
         "pruned_scan_read": tablelog.pruned_scan_read_sql(_footer_sf),
@@ -1403,14 +1529,20 @@ def oracle_sql() -> dict[str, str]:
         "bloom_skipping_audit": tablelog.bloom_skipping_audit_sql(_footer_sf),
         "table_history_audit": tablelog.table_history_audit_sql(_footer_sf),
         "stats_skipping_audit": tablelog.stats_skipping_audit_sql(_footer_sf),
+        # promoted r15 — column mapping's twin recomputes both the
+        # pre-rename (v3) and post-rename (v6) reads from orders, no
+        # staged-path dependence
+        "column_mapping_read": tablelog.COLUMN_MAPPING_READ_SQL,
         # promoted r14 — the TFRecord pair and its streaming twin all
         # gate against the SAME documents-derived oracle: whole-shard
         # walk, split walk, and stream batching must agree on every
         # recovered row
         "tfrecord_ingest": tfrecord.TFRECORD_INGEST_SQL,
         "tfrecord_split_ingest": tfrecord.TFRECORD_INGEST_SQL,
-        "sketch_store_rollup": sketches.SKETCH_STORE_ROLLUP_SQL,
-        "dsir_weights": dsir.DSIR_WEIGHTS_SQL,
+        # promoted r15 — the bottom-k paired sample twins rebuild the
+        # same md5 bottom-k sample with a window rank, bit-for-bit
+        "sample_quantiles": sketches.sample_quantiles_sql(),
+        "segment_value_quantiles": sketches.segment_value_quantiles_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "dedup_incremental": dedup.dedup_incremental_sql(),
         "part_communities": graph.PART_COMMUNITIES_SQL,
@@ -1418,7 +1550,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
-        "streaming_join_gate": STREAMING_JOIN_GATE_SQL,
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
         "streaming_dedup_gate": STREAMING_DEDUP_GATE_SQL,
         "streaming_dq_gate": STREAMING_DQ_GATE_SQL,
@@ -1433,4 +1564,8 @@ def oracle_sql() -> dict[str, str]:
             tablelog.streaming_tablelog_gate_sql(_footer_sf),
         "streaming_txn_sink_gate": tablelog.STREAMING_TXN_SINK_GATE_SQL,
         "streaming_shard_ingest_gate": tfrecord.TFRECORD_INGEST_SQL,
+        # promoted r15 — the streamed MOR view must land on the same
+        # answer as the batch snapshot_read_mor recompute, so the
+        # oracle is mor_delete_read's twin verbatim
+        "streaming_mor_ivm_gate": tablelog.MOR_DELETE_READ_SQL,
     }

@@ -220,22 +220,49 @@ def main() -> None:
         }
 
     total = round(sum(v for v in results.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "gemmsql total median sec across queries",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "streaming": streaming,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warmup": WARMUP,
-                "runs": RUNS,
-                "sessions": len(per_q),
-                "protocol": protocol,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "gemmsql total median sec across queries",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "streaming": streaming,
+        "sf": sf_val,
+        "warmup": WARMUP,
+        "runs": RUNS,
+        "sessions": len(per_q),
+        "protocol": protocol,
+    }
+    # Round-15 protocol (VERDICT r14 missing #3): the driver's capture
+    # window keeps only the LAST ~2000 chars of output, and the full
+    # verbose line (~3 KB) starts mid-stream in BENCH_r*.json, losing
+    # the first ~11 queries' timings every round.  Emit the verbose
+    # line FIRST (tools/bench_median.py selects it by its "protocol"
+    # key), persist it as a sidecar next to this script, and END with
+    # a compact line — batch AND streaming seconds folded into one
+    # "queries" map, minimal separators — sized to fit the capture
+    # window whole, so every registered query's driver timing survives
+    # into the round artifact.
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
-    )
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+    print(json.dumps(full))
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            **results,
+            **{n: s["sec"] for n, s in streaming.items()},
+        },
+        "sf": sf_val,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -124,12 +124,19 @@ _EXPORTS = {
     "snapshot_read_mapped": "gemmsql.pipeline.tablelog",
     "append_mapped": "gemmsql.pipeline.tablelog",
     "column_mapping_read": "gemmsql.pipeline.tablelog",
+    "set_partition_spec": "gemmsql.pipeline.tablelog",
+    "partition_spec": "gemmsql.pipeline.tablelog",
+    "append_partitioned": "gemmsql.pipeline.tablelog",
+    "partition_candidate_files": "gemmsql.pipeline.tablelog",
+    "partition_pruned_read": "gemmsql.pipeline.tablelog",
+    "partition_pruning_read": "gemmsql.pipeline.tablelog",
     "required_reader_features": "gemmsql.pipeline.tablelog",
     "required_writer_features": "gemmsql.pipeline.tablelog",
     "expire_log": "gemmsql.pipeline.tablelog",
     "ivm_drain": "gemmsql.pipeline.tablelog",
     "ivm_view": "gemmsql.pipeline.tablelog",
     "streaming_mor_ivm_gate": "gemmsql.pipeline.tablelog",
+    "streaming_mapped_ivm_gate": "gemmsql.pipeline.tablelog",
     "delete_positions_mor": "gemmsql.pipeline.tablelog",
     "delete_where_cow": "gemmsql.pipeline.tablelog",
     "snapshot_read_mor_mapped": "gemmsql.pipeline.tablelog",

@@ -56,7 +56,7 @@ def test_queries_run_at_smoke_tier(spark):
     from tests.conftest import SF_SMOKE
 
     qs = entrymod.queries()
-    for name in ["gram", "quality_classifier", "zip_shard_ingest",
+    for name in ["gram", "qoi_features", "zip_split_ingest",
                  "tfrecord_ingest"]:
         df = qs[name](spark, SF_SMOKE)
         assert df.count() > 0, name
@@ -72,7 +72,8 @@ def test_promotion_queue_names_real_surfaces():
 
     text = open("/root/repo/COVERAGE.md").read()
     start = text.rindex("### Promotion queue")
-    block = text[start:text.index("### Round-14 births")]
+    nxt = text.find("\n### ", start + 10)
+    block = text[start:nxt if nxt != -1 else len(text)]
     queued = re.findall(r"^\| `([a-z0-9_]+)` \|", block, re.M)
     assert queued, "promotion queue table is empty or unparseable"
     rotation = {r[0] for r in _rotated()}

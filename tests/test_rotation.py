@@ -645,6 +645,138 @@ def _jpeg_features_rot_sql():
     return JPEG_FEATURES_SQL
 
 
+def _semantic_dups_rot(spark, sf_dir):
+    from gemmsql.pipeline.similarity import semantic_dups
+
+    return semantic_dups(spark, sf_dir)
+
+
+def _semantic_dups_rot_sql():
+    from gemmsql.pipeline.similarity import SEMANTIC_DUPS_SQL
+
+    return SEMANTIC_DUPS_SQL
+
+
+def _quality_classifier_rot(spark, sf_dir):
+    from gemmsql.pipeline.text import quality_classifier
+
+    return quality_classifier(spark, sf_dir)
+
+
+def _quality_classifier_rot_sql():
+    from gemmsql.pipeline.text import QUALITY_CLASSIFIER_SQL
+
+    return QUALITY_CLASSIFIER_SQL
+
+
+def _dsir_weights_rot(spark, sf_dir):
+    from gemmsql.pipeline.dsir import dsir_weights
+
+    return dsir_weights(spark, sf_dir)
+
+
+def _dsir_weights_rot_sql():
+    from gemmsql.pipeline.dsir import DSIR_WEIGHTS_SQL
+
+    return DSIR_WEIGHTS_SQL
+
+
+def _jpeg_color_features_rot(spark, sf_dir):
+    from gemmsql.pipeline.jpeg import jpeg_color_features
+
+    return jpeg_color_features(spark, sf_dir)
+
+
+def _jpeg_color_features_rot_sql():
+    from gemmsql.pipeline.jpeg import JPEG_COLOR_FEATURES_SQL
+
+    return JPEG_COLOR_FEATURES_SQL
+
+
+def _flac_frame_stats_rot(spark, sf_dir):
+    from gemmsql.pipeline.media_split import flac_frame_stats
+
+    return flac_frame_stats(spark, sf_dir)
+
+
+def _flac_frame_stats_rot_sql():
+    from gemmsql.pipeline.media_split import flac_frame_stats_sql
+
+    return flac_frame_stats_sql()
+
+
+def _zip_shard_ingest_rot(spark, sf_dir):
+    from gemmsql.pipeline.zipshard import zip_shard_ingest
+
+    return zip_shard_ingest(spark, sf_dir)
+
+
+def _avro_split_ingest_rot(spark, sf_dir):
+    from gemmsql.pipeline.avro import avro_split_ingest
+
+    return avro_split_ingest(spark, sf_dir, target_split_bytes=4096)
+
+
+def _time_travel_read_rot(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import time_travel_read
+
+    return time_travel_read(spark, sf_dir)
+
+
+def _time_travel_read_rot_sql():
+    from gemmsql.pipeline.tablelog import time_travel_read_sql
+
+    return time_travel_read_sql(SF_SMOKE)
+
+
+def _sketch_store_rollup_rot(spark, sf_dir):
+    from gemmsql.sketches import sketch_store_rollup
+
+    return sketch_store_rollup(spark, sf_dir)
+
+
+def _sketch_store_rollup_rot_sql():
+    from gemmsql.sketches import SKETCH_STORE_ROLLUP_SQL
+
+    return SKETCH_STORE_ROLLUP_SQL
+
+
+def _streaming_join_rot(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_join_gate
+
+    return streaming_join_gate(spark, sf_dir)
+
+
+def _streaming_join_rot_sql():
+    from gemmsql.streaming.windows import STREAMING_JOIN_GATE_SQL
+
+    return STREAMING_JOIN_GATE_SQL
+
+
+def _streaming_mapped_ivm(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_mapped_ivm_gate
+
+    return streaming_mapped_ivm_gate(spark, sf_dir)
+
+
+def _streaming_mapped_ivm_sql():
+    from gemmsql.pipeline.tablelog import STREAMING_MAPPED_IVM_GATE_SQL
+
+    return STREAMING_MAPPED_IVM_GATE_SQL
+
+
+def _partition_pruning_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import partition_pruning_read
+
+    return partition_pruning_read(spark, sf_dir)
+
+
+def _partition_pruning_read_sql():
+    from gemmsql.pipeline.tablelog import PARTITION_PRUNING_READ_SQL
+
+    return PARTITION_PRUNING_READ_SQL
+
+
 def _rotated():
     from gemmsql.pipeline import (
         cluster,
@@ -939,15 +1071,12 @@ def _rotated():
         # driver-gated, and the as-of family gains event_order_asof)
         ("basket_rules", _basket_rules, _basket_rules_sql()),
         ("concurrent_events", _concurrent_events, _concurrent_events_sql()),
-        # born in round 12 (VERDICT r11 next #6): the SPLITTABLE zip
-        # member decode — the central directory used as the
-        # random-access split planner (the media tier's range
-        # machinery on the container tier): member-aligned byte-range
-        # cuts spread on (shard, split_idx), per-split decode, one
-        # groupBy to reassemble doc pairs that straddle splits; the
-        # oracle is the SAME documents-derived twin as the gated
-        # whole-shard ingest, so both paths must agree bit-for-bit
-        ("zip_split_ingest", _zip_split_ingest, _zip_split_ingest_sql()),
+        # (zip_split_ingest — born r12 — was promoted to the driver
+        # gate in round 15; the whole-shard walk zip_shard_ingest,
+        # green r12-r14, rotated back HERE with the splittable path
+        # taking the driver slot)
+        ("zip_shard_ingest", _zip_shard_ingest_rot,
+         _zip_split_ingest_sql()),
         # (web_dedup_pipeline, streaming_asof_gate, time_travel_read,
         # version_diff, cdf_ivm_rollup, streaming_ivm_gate,
         # pruned_scan_read, sketch_store_rollup, and avro_split_ingest
@@ -959,38 +1088,16 @@ def _rotated():
         # births — were promoted to the driver gate in round 14
         # (VERDICT r13 next #1) and are now hash-checked by
         # tests/test_gate_parity.py)
-        # the SIXTH sketch family: bottom-k-by-md5 paired row sample
-        # (KMV's bottom-k monoid extended to carry values) feeding
-        # integer order-statistic quantile picks — the twin rebuilds
-        # the same sample with a window rank and must agree
-        # bit-for-bit; merge-equals-whole and rank-error bounds are
-        # pinned in tests/test_sketch_store.py
-        ("sample_quantiles", _sample_quantiles, _sample_quantiles_sql()),
-        # the TENTH from-scratch codec: QOI (public spec) — run/
-        # index/diff/luma/rgb byte ops over a rolling 64-color hash
-        # table; the cumulative-delta corpus drives all five ops
-        # through the decoder and the oracle rebuilds the pixels
-        # with a windowed running sum, so any op mis-decode moves
-        # the hash (tests/test_qoi.py has per-op + fuzz coverage)
-        ("qoi_features", _qoi_features, _qoi_features_sql()),
+        # (sample_quantiles and qoi_features — born r12 — were
+        # promoted to the driver gate in round 15 (VERDICT r14 next
+        # #2) and are now hash-checked by tests/test_gate_parity.py)
         # (the TFRecord trio — tfrecord_ingest, tfrecord_split_ingest,
         # and streaming_shard_ingest_gate — was promoted to the driver
         # gate in round 14 and is now hash-checked by
         # tests/test_gate_parity.py)
-        # the FIFTH shard container: Ogg (RFC 3533) — capture-pattern
-        # pages, lacing-value packet segmentation, cross-page
-        # continuation (pages capped at 8 lacing values so spanning
-        # fires constantly), BOS/EOS/continued placement, and Ogg's
-        # own FORWARD CRC-32 variant built from scratch; ingest
-        # recovers all columns from the page walk, twin from
-        # documents directly; CRC vector + lacing/continuation fuzz
-        # in tests/test_ogg.py
-        ("ogg_shard_ingest", _ogg_shard_ingest, _ogg_shard_ingest_sql()),
-        # its splittable path: page-aligned ranges cut only where a
-        # fresh packet starts (the capture pattern IS Ogg's resync
-        # design), each fragment re-walked by the strict parser with
-        # mid-packet cuts rejecting; same documents-derived twin
-        ("ogg_split_ingest", _ogg_split_ingest, _ogg_shard_ingest_sql()),
+        # (the Ogg pair — ogg_shard_ingest + ogg_split_ingest, born
+        # r12 — was promoted to the driver gate in round 15 and is
+        # now hash-checked by tests/test_gate_parity.py)
         # the SIXTH shard container: Avro OCF (public spec) — zigzag
         # varint binary encoding built from the spec's own vectors,
         # metadata map with REQUIRED schema match and null-codec
@@ -998,10 +1105,12 @@ def _rotated():
         # marker checked against the header's; ingest recovers all
         # columns from the container walk, twin from documents;
         # vectors + corruption fuzz in tests/test_avro.py
-        ("avro_shard_ingest", _avro_shard_ingest,
+        # (avro_shard_ingest — born r12 — was promoted to the driver
+        # gate in round 15; its splittable path avro_split_ingest was
+        # promoted in round 13 and rotated back HERE in round 15 with
+        # the shard walk taking the driver slot)
+        ("avro_split_ingest", _avro_split_ingest_rot,
          _avro_shard_ingest_sql()),
-        # (its splittable path, avro_split_ingest, was promoted to the
-        # driver gate in round 13)
         # rotated out in round 13 for the r12-birth promotions —
         # each keeps the identical hash gate here:
         # parquet_footer_stats (green r9-r12; the Thrift footer parser
@@ -1040,15 +1149,8 @@ def _rotated():
         # (tablelog_merge and streaming_cdf_ivm_gate — the r13
         # tablelog births — were promoted to the driver gate in
         # round 14 and are now hash-checked by test_gate_parity.py)
-        # born in round 13 (VERDICT r12 next #10): the bottom-k
-        # paired sample's PRODUCTION call site — event-value quantiles
-        # per customer market segment (broadcast dim enrich -> sketch
-        # fold per segment; 2k longs of state per group per partition,
-        # no global sort).  The twin replays the same md5 bottom-k
-        # sample bit-for-bit; the rank-error bound vs EXACT quantiles
-        # is pinned in tests/test_sketch_store.py
-        ("segment_value_quantiles", _segment_value_quantiles,
-         _segment_value_quantiles_sql()),
+        # (segment_value_quantiles — born r13 — was promoted to the
+        # driver gate in round 15 alongside sample_quantiles)
         # also born in round 13: the SEVENTH shard container — Hadoop
         # SequenceFile (public format), the container that INVENTED
         # the sync-escape split pattern.  From-scratch Hadoop
@@ -1066,19 +1168,9 @@ def _rotated():
          _seqfile_ingest_sql()),
         # (mor_delete_read — the r13 merge-on-read birth — was
         # promoted to the driver gate in round 14)
-        # also born in round 13: the IMAGE modality's near-dup pass —
-        # dHash (9x8 nearest-neighbor sample, integer luma, adjacent
-        # compare -> 64 bits) + 4x16-bit banded Hamming LSH, the
-        # perceptual-hash dedup production corpus pipelines run.
-        # Never all-pairs: candidates come from the band equi-join,
-        # only candidates pay the exact bit_count(xor) check.  The
-        # REAL decode path (staged QOI corpus through decode_qoi)
-        # plus planted one-pixel variants every 17th doc; the twin
-        # re-derives every sampled pixel from the md5 delta chain and
-        # recomputes bits/bands/join/distances, so the resize index
-        # map, luma weights, bit packing, banding, and radius are all
-        # hash-load-bearing
-        ("image_near_dups", _image_near_dups, _image_near_dups_sql()),
+        # (image_near_dups — born r13 — was promoted to the driver
+        # gate in round 15 and is now hash-checked by
+        # tests/test_gate_parity.py)
         # (bloom_skipping_audit and streaming_txn_sink_gate — the last
         # two r13 tablelog births — were promoted to the driver gate
         # in round 14, completing the tier's driver coverage)
@@ -1119,34 +1211,80 @@ def _rotated():
         # streaming_dq_gate)
         ("streaming_hist_gate", _streaming_hist_rot,
          _streaming_hist_rot_sql()),
-        # born in round 14 (VERDICT r13 next #4): COLUMN MAPPING —
-        # the Delta column-mapping / Iceberg field-id indirection.
-        # Physical parquet names freeze at a field's first
-        # appearance; RENAME rewrites only the logical half of the
-        # committed mapping, DROP removes its entry (id retired
-        # forever), appends convert logical->physical at write time,
-        # and reads apply the mapping AS OF the requested version —
-        # so time travel below the rename still answers under the
-        # old name.  The gate reads v3 (pre-rename schema) and v6
-        # (renamed + appended + dropped) with per-version logical
-        # column counts riding the hash; the twin recomputes both
-        # versions from orders.  Lifecycle matrix (old-name reads,
-        # collision rejection, drop leak-through, add-under-mapping
-        # NULL backfill) in tests/test_tablelog.py
-        ("column_mapping_read", _column_mapping_read,
-         _column_mapping_read_sql()),
-        # also born in round 14 (VERDICT r13 next #7): MOR deletes
-        # COMPOSED with the live streaming IVM — a delete_keys_mor
-        # commit lands MID-STREAM (one key file, zero rewrites) and
-        # the maintained view must retract exactly the deleted rows.
-        # The keydel expansion works like a real CDF reader over a
-        # deletion-vector commit: key file + metadata log replay +
-        # stats pruning, reading only the files a skip-planner would.
-        # Same key set as stage_mor_table, so the oracle is
-        # mor_delete_read's twin VERBATIM — the streamed view
-        # hash-equals the batch snapshot_read_mor recompute
-        ("streaming_mor_ivm_gate", _streaming_mor_ivm,
-         _streaming_mor_ivm_sql()),
+        # (column_mapping_read and streaming_mor_ivm_gate — the two
+        # r14 births — were promoted to the driver gate in round 15;
+        # column_mapping_read is hash-checked by
+        # tests/test_gate_parity.py and the streaming MOR-IVM
+        # composition keeps its full replay parity in
+        # tests/test_streaming.py)
+        # rotated out in round 15 for the ten-query r15 promotion
+        # cohort (VERDICT r14 next #2) — each keeps the identical
+        # hash gate here.  semantic_dups (green r4-r14) and
+        # dsir_weights (r4-r14): the longest-proven pipeline
+        # incumbents; the embedding near-dup family stays
+        # driver-gated via ivfpq_topk + image_near_dups, text
+        # selection via bm25_topk + web_dedup_pipeline
+        ("semantic_dups", _semantic_dups_rot, _semantic_dups_rot_sql()),
+        ("dsir_weights", _dsir_weights_rot, _dsir_weights_rot_sql()),
+        # quality_classifier (green r5-r14): the model-based filter
+        # tier's hashing-trick scorer
+        ("quality_classifier", _quality_classifier_rot,
+         _quality_classifier_rot_sql()),
+        # jpeg_color_features (green r7-r14) and flac_frame_stats
+        # (green r10-r14): the codec matrix stays driver-gated via
+        # qoi_features and avi_frame_stats (whose MJPEG path decodes
+        # a real JPEG per sampled frame); FLAC decode keeps its
+        # whole-file gates here too (flac_features,
+        # flac_stereo_features)
+        ("jpeg_color_features", _jpeg_color_features_rot,
+         _jpeg_color_features_rot_sql()),
+        ("flac_frame_stats", _flac_frame_stats_rot,
+         _flac_frame_stats_rot_sql()),
+        # time_travel_read (green r13-r14): versioned reads stay
+        # driver-gated via version_diff / cdf_ivm_rollup /
+        # column_mapping_read
+        ("time_travel_read", _time_travel_read_rot,
+         _time_travel_read_rot_sql()),
+        # sketch_store_rollup (green r13-r14): the persisted-HLL
+        # store; the sketch tier's driver slots pass to the bottom-k
+        # paired sample pair
+        ("sketch_store_rollup", _sketch_store_rollup_rot,
+         _sketch_store_rollup_rot_sql()),
+        # streaming_join_gate (green r3-r14 — the longest-proven
+        # streaming incumbent): the full availableNow replay keeps
+        # its hash gate HERE; the stream-stream join machinery stays
+        # driver-gated via streaming_outer_join_gate
+        ("streaming_join_gate", _streaming_join_rot,
+         _streaming_join_rot_sql()),
+        # born in round 15 (VERDICT r14 missing #2): PARTITIONED BY
+        # as first-class stats — Iceberg identity-transform model
+        # (source columns stay in the data, recorded "col=value"
+        # strings are pure skip metadata riding the same add actions,
+        # replay, checkpoints, and RESTORE/CLONE re-emits), spec
+        # stored as a table property so PARTITION SPEC EVOLUTION is
+        # one metadata commit.  The staged lifecycle holds files
+        # under TWO specs (per-year, then evolved to per-priority);
+        # the gate reads under o_year='1995', which must keep exactly
+        # one year file plus every priority file (no o_year value
+        # recorded — the evolution safety rule) with the residual
+        # filter trimming the latter; candidates-only scanning is
+        # inputFiles-pinned in tests/test_tablelog.py
+        ("partition_pruning_read", _partition_pruning_read,
+         _partition_pruning_read_sql()),
+        # also born in round 15 (VERDICT r14 next #7): COLUMN MAPPING
+        # composed with the live streaming IVM — a rename_column
+        # lands MID-STREAM (metadata-only commit, zero row deltas)
+        # followed by an append under the RENAMED logical schema;
+        # the maintained view keeps folding because physical names
+        # are frozen at field birth (the whole point of the
+        # indirection), and the gate presents the final view under
+        # the current logical names via the same mapping projection
+        # the batch read uses.  The twin recomputes the post-append
+        # state from orders directly, so a rename leaking into the
+        # data path or an append under the wrong physical name moves
+        # the hash
+        ("streaming_mapped_ivm_gate", _streaming_mapped_ivm,
+         _streaming_mapped_ivm_sql()),
     ]
 
 

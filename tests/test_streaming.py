@@ -968,3 +968,29 @@ def test_streaming_ivm_gate_oracle_parity(spark):
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert _hash(sdf) == _hash(odf)
+
+
+def test_streaming_mor_ivm_gate_oracle_parity(spark):
+    """In-repo twin of the round-15 streaming MOR-IVM gate (promoted
+    from rotation in r15 — no gate entrant without in-repo parity):
+    a delete_keys_mor commit landing mid-stream must leave the
+    maintained view hash-equal to the batch snapshot_read_mor
+    recompute, which is mor_delete_read's DuckDB twin verbatim."""
+    import duckdb
+
+    from gemmsql.pipeline.tablelog import (
+        MOR_DELETE_READ_SQL,
+        streaming_mor_ivm_gate,
+    )
+    from tests.test_rotation import _hash
+
+    sdf = streaming_mor_ivm_gate(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    odf = con.execute(MOR_DELETE_READ_SQL).df()
+    con.close()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _hash(sdf) == _hash(odf)

@@ -2693,3 +2693,93 @@ def test_timestamp_adjustment_keeps_every_version_addressable(
     assert tl.version_at_timestamp(d, t0 + 10 + 2e-3) == 2
     assert tl.version_at_timestamp(d, t0 + 11) == 2
     assert tl.version_at_timestamp(d, t0) == 0
+
+
+def test_partition_pruning_reads_only_matching_files(spark):
+    """VERDICT r14 next #4: partition pruning must hand the scan
+    ONLY the year-matched file plus the priority-partitioned files
+    (which recorded no o_year value — the spec-evolution safety
+    rule), and the residual filter keeps the answer exact."""
+    d = tl.stage_partitioned_table(spark, SF_SMOKE)
+    cand = tl.partition_candidate_files(spark, d, {"o_year": "1995"})
+    names = sorted(r["path"] for r in cand)
+    assert names == sorted(
+        ["P-o_year=1995.parquet"]
+        + [p for p in (r["path"] for r in
+                       tl.snapshot_files(spark, d).collect())
+           if p.startswith("Q-")]
+    )
+    # the scan's actual inputs are exactly the candidates (plan pin)
+    from urllib.parse import unquote
+
+    df = tl.partition_pruned_read(spark, d, {"o_year": "1995"})
+    got_inputs = {unquote(os.path.basename(p)) for p in df.inputFiles()}
+    assert got_inputs == set(names)
+    # and the pruned answer equals the unpruned recompute
+    want = (
+        tl.partition_pruned_read(spark, d, {})
+        .filter("o_year = '1995'")
+        .groupBy("o_orderpriority").count().collect()
+    )
+    got = df.groupBy("o_orderpriority").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_partition_spec_evolution_prunes_per_spec(spark):
+    """Filtering on the EVOLVED spec column prunes the post-evolution
+    files to one and keeps every pre-evolution file (no recorded
+    value) as a candidate — evolution degrades precision, never
+    correctness."""
+    d = tl.stage_partitioned_table(spark, SF_SMOKE)
+    cand = sorted(
+        r["path"] for r in tl.partition_candidate_files(
+            spark, d, {"o_orderpriority": "5-LOW"})
+    )
+    assert [p for p in cand if p.startswith("Q-")] == \
+        ["Q-o_orderpriority=5-LOW.parquet"]
+    assert len([p for p in cand if p.startswith("P-")]) == \
+        len([r for r in tl.snapshot_files(spark, d).collect()
+             if r["path"].startswith("P-")])
+    got = tl.partition_pruned_read(
+        spark, d, {"o_orderpriority": "5-LOW"}).count()
+    want = tl.partition_pruned_read(spark, d, {}).filter(
+        "o_orderpriority = '5-LOW'").count()
+    assert got == want > 0
+
+
+def test_append_partitioned_refuses_bad_input(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "partbad")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").limit(10)
+    with pytest.raises(ValueError, match="no partition spec"):
+        tl.append_partitioned(spark, d, orders, "X")
+    tl.set_partition_spec(d, ["o_year"])
+    with pytest.raises(ValueError, match="missing partition columns"):
+        tl.append_partitioned(spark, d, orders, "X")
+    with pytest.raises(ValueError, match="unencodable"):
+        tl.set_partition_spec(d, ["bad=name"])
+    with pytest.raises(ValueError, match="at least one column"):
+        tl.set_partition_spec(d, [])
+
+
+def test_partition_values_survive_clone_and_restore(spark, tmp_path):
+    """RESTORE/CLONE re-emits carry `part`, so pruning keeps its
+    precision across time travel — a re-added year file still prunes
+    by year on the clone."""
+    base = tl.stage_partitioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "partsrc")
+    shutil.copytree(base, d)
+    c = str(tmp_path / "partclone")
+    tl.clone_table(spark, d, c)
+    cand = tl.partition_candidate_files(spark, c, {"o_year": "1995"})
+    assert sorted(r["path"] for r in cand if r["path"].startswith("P-")) \
+        == ["P-o_year=1995.parquet"]
+    # restore below the evolution: v1 state = year files only
+    tl.restore_table(spark, d, 1)
+    cand2 = tl.partition_candidate_files(spark, d, {"o_year": "1995"})
+    assert sorted(r["path"] for r in cand2) == ["P-o_year=1995.parquet"]

@@ -31,8 +31,11 @@ def main() -> None:
             [sys.executable, "bench.py"],
             capture_output=True, text=True, env=env,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        res = json.loads(line)
+        cands = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        # bench.py ends with a compact capture-window line (r15
+        # protocol); the verbose result is the one carrying "protocol"
+        verbose = [l for l in cands if '"protocol"' in l]
+        res = json.loads((verbose or cands)[-1])
         totals.append(res["value"])
         for q, t in res["queries"].items():
             per.setdefault(q, []).append(t)
