@@ -993,3 +993,38 @@ def test_mor_read_with_both_delete_kinds_stays_relational(spark, tmp_path):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("LeftAnti") == 2, p
+
+
+def test_ml_gate_exchange_budgets(spark):
+    """VERDICT r14 next #9: hard EXCHANGE CEILINGS for the ML-tier
+    gate queries.  The shape pins above say where a shuffle may sit;
+    this pins HOW MANY total exchanges each physical plan is allowed
+    — measured on today's plans — so a Spark upgrade or refactor
+    that silently adds a shuffle anywhere in the tree fails here
+    even if every shape assertion still passes.  Budgets are the
+    CURRENT counts, not aspirations: lowering one is a win worth
+    re-pinning, raising one needs the same adjudication a new
+    shuffle would."""
+    import __spark_entry__ as entrymod
+
+    budgets = {
+        "gram": 2,               # one per gram/relu leg's merge agg
+        "mlp": 0,                # broadcast weights, narrow kernel
+        "attention": 0,          # partial+final agg, no repartition
+        "attention_batched": 2,  # per-batch merge + final agg
+        "xentropy": 0,
+        "entropy": 0,
+        "sampling": 6,           # seeded noise join + top-k monoid
+        "ml_grads": 1,           # the one scatter-add merge
+        "chain_grads": 1,
+        "chain2_grads": 1,
+        "ivfpq_topk": 3,         # assign + per-cell topk + final k
+    }
+    qs = entrymod.queries()
+    for name, budget in budgets.items():
+        p = plan_of(qs[name](spark, SF_SMOKE))
+        n = p.count("Exchange ")
+        assert n <= budget, (
+            f"{name}: {n} exchanges in the physical plan, budget is "
+            f"{budget} — a shuffle crept in"
+        )

@@ -2783,3 +2783,62 @@ def test_partition_values_survive_clone_and_restore(spark, tmp_path):
     tl.restore_table(spark, d, 1)
     cand2 = tl.partition_candidate_files(spark, d, {"o_year": "1995"})
     assert sorted(r["path"] for r in cand2) == ["P-o_year=1995.parquet"]
+
+
+def test_vacuum_after_clone_matrix(spark, tmp_path):
+    """VERDICT r14 next #8: the clone x vacuum matrix.  A shallow
+    clone's bytes are hard links, so vacuum on either side unlinks
+    only its own directory entry:
+
+    - vacuum on the SOURCE (after a CoW delete dead-ends the shared
+      files there) must leave the clone reading bit-identically —
+      the inode survives through the clone's link;
+    - the source's own below-horizon time travel fails loudly
+      naming the vacuumed files;
+    - vacuum on the CLONE afterwards reclaims only clone-dead files
+      and leaves the source's latest read intact."""
+    import pytest
+
+    d = _fixture_copy(spark, tmp_path, "vacclone")
+    c = str(tmp_path / "vaccloneDst")
+    tl.clone_table(spark, d, c)
+    before = sorted(
+        tuple(r) for r in tl.snapshot_read(spark, c).collect())
+    # source evolves: CoW delete rewrites every touched file, then
+    # vacuum physically reclaims the now-dead originals THERE
+    tl.delete_where_cow(spark, d, "o_orderstatus = 'F'")
+    deleted = tl.vacuum_table(spark, d, retain_versions=0)
+    assert deleted, "the CoW delete must have dead-ended files"
+    # the clone still reads bit-identically through its own links
+    after = sorted(
+        tuple(r) for r in tl.snapshot_read(spark, c).collect())
+    assert after == before
+    # the source's below-horizon time travel fails LOUDLY
+    with pytest.raises(ValueError, match="vacuumed files"):
+        tl.snapshot_read(spark, d, 3).collect()
+    # and its latest read still works
+    assert tl.snapshot_read(spark, d).filter(
+        "o_orderstatus = 'F'").count() == 0
+    # vacuum the CLONE: nothing is dead there (single flattened v0),
+    # so nothing reclaims and both sides keep reading
+    assert tl.vacuum_table(spark, c, retain_versions=0) == []
+    assert sorted(
+        tuple(r) for r in tl.snapshot_read(spark, c).collect()
+    ) == before
+
+
+def test_vacuum_after_clone_with_clone_side_delete(spark, tmp_path):
+    """The other diagonal: the CLONE CoW-deletes and vacuums —
+    reclaiming its links to files the SOURCE still holds live — and
+    the source must keep reading every byte (the refcount rule)."""
+    d = _fixture_copy(spark, tmp_path, "vacclone2")
+    c = str(tmp_path / "vacclone2Dst")
+    tl.clone_table(spark, d, c)
+    src_before = sorted(
+        tuple(r) for r in tl.snapshot_read(spark, d).collect())
+    tl.delete_where_cow(spark, c, "o_orderstatus = 'O'")
+    deleted = tl.vacuum_table(spark, c, retain_versions=0)
+    assert deleted
+    assert sorted(
+        tuple(r) for r in tl.snapshot_read(spark, d).collect()
+    ) == src_before
