@@ -711,6 +711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     machinery gated).  Every leaver keeps the identical hash gate in
     tests/test_rotation.py.
 
+    Late round-15 (VERDICT r14 next #6, taken early): the SequenceFile
+    pair promoted ahead of its r16 slate — the queue's last container
+    — in place of web_dedup_pipeline and cdf_ivm_rollup (both green
+    r13-r14; the composition keeps its plan pin + rotation gate, and
+    the direct-v3 IVM oracle still drives streaming_ivm_gate AND
+    streaming_cdf_ivm_gate in this registry every round).  TWELVE
+    promotions total this round, TWO births — the carried promotion
+    queue is EMPTY for the first time.
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -723,10 +732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ogg,
         phash,
         qoi,
+        seqfile,
         tablelog,
         tfrecord,
     )
-    from gemmsql.pipeline import retrieval, urls
+    from gemmsql.pipeline import retrieval
     from gemmsql.pipeline import media_split, zipshard
     from gemmsql import sketches
 
@@ -852,13 +862,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_ogg.py ---
         "ogg_shard_ingest": ogg.ogg_shard_ingest,
         "ogg_split_ingest": ogg.ogg_split_ingest,
-        # --- promoted r13: the web-ingest dedup COMPOSITION — real
-        # .warc.gz member walk -> messy crawl URL -> canonical_url ->
-        # exact dedup keeping the smallest doc_id per canonical key ->
-        # per-host counts, ONE composed plan with exactly two shuffles
-        # (plan-pinned); kept_sig moves if canonicalization runs on
-        # the wrong column or keeps the wrong doc ---
-        "web_dedup_pipeline": urls.web_dedup_pipeline,
+        # --- promoted r15 (VERDICT r14 next #6 — early, the queue's
+        # last container): the SEVENTH shard container — Hadoop
+        # SequenceFile, the format that INVENTED the sync-escape
+        # split pattern: from-scratch Hadoop VInt/VLong wire, Text
+        # framing, version-6 header enforcement, record/block
+        # DefaultCodec compression (r14), every sync escape
+        # verified; the splittable path rides the shared spine
+        # (shardsplit.py).  Same documents-derived twin for both
+        # paths — with this pair every container in the repo has
+        # driver coverage ---
+        "seqfile_shard_ingest": seqfile.seqfile_shard_ingest,
+        "seqfile_split_ingest": seqfile.seqfile_split_ingest,
+        # (web_dedup_pipeline rotated out r15, green r13-r14, to make
+        # room for the early seqfile promotion — the composition
+        # keeps its identical hash gate in test_rotation, exact
+        # dedup stays driver-gated via dedup_incremental, and URL
+        # canonicalization keeps its own rotation gate)
         # (dq_orders_quarantine_full rotated out r14, green r12-r13 —
         # hash gate in test_rotation; the DQ tier stays driver-gated
         # via streaming_dq_gate + streaming_quarantine_gate)
@@ -899,12 +919,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inputFiles in tests); the window crosses the compaction
         # commit, which must contribute ZERO change rows ---
         "version_diff": tablelog.version_diff,
-        # cdf_ivm_rollup — incremental view maintenance: the v3
-        # aggregate maintained from the v1 base plus signed
-        # insert/retract deltas only (the v3 live set is NEVER
-        # scanned); oracle computes v3 directly from an independent
-        # replay, pinning the retraction algebra ---
-        "cdf_ivm_rollup": tablelog.cdf_ivm_rollup,
+        # (cdf_ivm_rollup rotated out r15, green r13-r14, to make
+        # room for the early seqfile promotion — its DIRECT-v3
+        # oracle still drives TWO live driver gates every round
+        # (streaming_ivm_gate and streaming_cdf_ivm_gate share the
+        # SQL verbatim), so the retraction algebra never left the
+        # gate; the batch formulation keeps its hash gate in
+        # test_rotation)
         # pruned_scan_read — the log-stats skip plan USED: candidate
         # files hand a pruned list to the scan and the filtered
         # aggregate must equal the oracle over ALL live files ---
@@ -1450,10 +1471,11 @@ def oracle_sql() -> dict[str, str]:
         ogg,
         phash,
         qoi,
+        seqfile,
         tablelog,
         tfrecord,
     )
-    from gemmsql.pipeline import retrieval, urls
+    from gemmsql.pipeline import retrieval
     from gemmsql.pipeline import media_split, zipshard
     from gemmsql.streaming.stateful import STREAMING_STATEFUL_GATE_SQL
     from gemmsql.streaming.windows import (
@@ -1512,12 +1534,15 @@ def oracle_sql() -> dict[str, str]:
         # must recover identical rows
         "ogg_shard_ingest": ogg.OGG_SHARD_INGEST_SQL,
         "ogg_split_ingest": ogg.OGG_SHARD_INGEST_SQL,
-        "web_dedup_pipeline": urls.WEB_DEDUP_PIPELINE_SQL,
+        # promoted r15 (early, VERDICT r14 next #6) — the seqfile
+        # pair shares one documents-derived twin: VInt wire walk and
+        # sync-escape split walk must recover identical rows
+        "seqfile_shard_ingest": seqfile.SEQFILE_SHARD_INGEST_SQL,
+        "seqfile_split_ingest": seqfile.SEQFILE_SHARD_INGEST_SQL,
         # the tablelog oracles read the staged table's log/data the
         # Spark side writes under the same deterministic per-sf_dir
         # path (the parquet_footer_stats mechanism, ADVICE r9 #5)
         "version_diff": tablelog.version_diff_sql(_footer_sf),
-        "cdf_ivm_rollup": tablelog.cdf_ivm_rollup_sql(_footer_sf),
         "pruned_scan_read": tablelog.pruned_scan_read_sql(_footer_sf),
         # promoted r14 — the tablelog completion tier.  The merge and
         # MOR twins recompute their tables independently from orders

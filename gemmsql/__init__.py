@@ -127,6 +127,8 @@ _EXPORTS = {
     "set_partition_spec": "gemmsql.pipeline.tablelog",
     "partition_spec": "gemmsql.pipeline.tablelog",
     "append_partitioned": "gemmsql.pipeline.tablelog",
+    "replace_partitions": "gemmsql.pipeline.tablelog",
+    "compact_partition": "gemmsql.pipeline.tablelog",
     "partition_candidate_files": "gemmsql.pipeline.tablelog",
     "partition_pruned_read": "gemmsql.pipeline.tablelog",
     "partition_pruning_read": "gemmsql.pipeline.tablelog",

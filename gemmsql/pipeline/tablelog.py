@@ -116,6 +116,14 @@ LOG_SCHEMA = T.StructType([
     # never pruned by a partition predicate (spec evolution's safety
     # rule).
     T.StructField("part", T.ArrayType(T.StringType())),
+    # IN-COMMIT TIMESTAMP (round 15 — Delta's inCommitTimestamps
+    # feature): the commit's wall-clock stamped INTO the commit file
+    # at write time, made strictly increasing against the
+    # predecessor at the choke point, so TIMESTAMP AS OF survives
+    # file copies, mtime-less object stores, and clock skew.  Legacy
+    # commits without it fall back to mtime with the
+    # strictly-increasing read-side adjustment.
+    T.StructField("ts", T.DoubleType()),
 ])
 
 # DuckDB twin of LOG_SCHEMA for read_json(columns=...)
@@ -125,7 +133,7 @@ _LOG_COLS_SQL = (
     "'min_date':'VARCHAR','max_date':'VARCHAR',"
     "'schema_cols':'VARCHAR[]','schema_map':'VARCHAR[]',"
     "'reader_features':'VARCHAR[]','writer_features':'VARCHAR[]',"
-    "'seq':'BIGINT','part':'VARCHAR[]'}"
+    "'seq':'BIGINT','part':'VARCHAR[]','ts':'DOUBLE'}"
 )
 
 
@@ -1654,6 +1662,27 @@ ALL_WRITER_FEATURES = frozenset({"check_constraints", "column_mapping"})
 _TXN_TAG_CACHE: dict[str, str | None] = {}
 
 
+#: per-commit-file in-commit timestamp (immutable files — the
+#: _TXN_TAG_CACHE caching argument); None = legacy commit, mtime rules
+_COMMIT_TS_CACHE: dict[str, float | None] = {}
+
+
+def _commit_ts_of(commit_path: str) -> float | None:
+    """The in-commit timestamp stamped by :func:`commit_actions`
+    (every line carries it — the first suffices), or None for a
+    commit written before the feature."""
+    if commit_path in _COMMIT_TS_CACHE:
+        return _COMMIT_TS_CACHE[commit_path]
+    with open(commit_path) as f:
+        ln = f.readline()
+    if not ln.strip():
+        return None  # partially visible — do not cache
+    ts = json.loads(ln).get("ts")
+    out = float(ts) if ts is not None else None
+    _COMMIT_TS_CACHE[commit_path] = out
+    return out
+
+
 def _txn_tag_of(commit_path: str) -> str | None:
     """The ``txn`` tag carried by a commit file, or None.  The txn
     action is always PREPENDED as the commit's first line
@@ -1878,6 +1907,20 @@ def commit_actions(
         ]
         v = (max(versions) + 1) if versions else 0
         path = os.path.join(log_dir, f"{v:08d}.json")
+        # IN-COMMIT TIMESTAMP: strictly above the predecessor's
+        # (its own in-commit ts, else its mtime — the legacy
+        # fallback), so TIMESTAMP AS OF never collapses two versions
+        # no matter what the filesystem does to mtimes.  Computed
+        # per attempt: a lost race re-reads the new predecessor.
+        import time as _time
+
+        ts = _time.time()
+        if versions:
+            prev = os.path.join(log_dir, f"{max(versions):08d}.json")
+            prev_ts = _commit_ts_of(prev)
+            if prev_ts is None:
+                prev_ts = os.path.getmtime(prev)
+            ts = max(ts, prev_ts + 1e-3)
         # claim WITH content in one atomic step (hard link of a fully
         # written temp file): a concurrent reader or txn re-check can
         # never observe a claimed-but-empty commit file, which the
@@ -1889,7 +1932,9 @@ def commit_actions(
         )
         with open(tmp, "w") as f:
             f.write(
-                "\n".join(json.dumps({**a, "v": v}) for a in actions) + "\n"
+                "\n".join(
+                    json.dumps({**a, "v": v, "ts": ts}) for a in actions
+                ) + "\n"
             )
         try:
             os.link(tmp, path)
@@ -2687,6 +2732,26 @@ def append_partitioned(
     per-partition add actions a Delta/Iceberg committer records.
     Partitions-per-append is writer-bounded (a day's ingest touches
     a day's partitions), never corpus-bounded."""
+    return commit_actions(
+        table_dir,
+        _stage_partitioned_files(spark, table_dir, df, prefix, key=key),
+    )
+
+
+def _stage_partitioned_files(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    prefix: str,
+    *,
+    key: str = "o_orderkey",
+) -> list[dict]:
+    """Write ``df`` one-file-per-partition-value under the current
+    spec and return the add actions WITHOUT committing — shared by
+    :func:`append_partitioned` (adds only) and
+    :func:`replace_partitions` (removes + adds in one version).
+    Staged files are invisible to readers until a commit references
+    them, so the split costs nothing in atomicity."""
     spec = partition_spec(spark, table_dir)
     if not spec:
         raise ValueError(
@@ -2732,6 +2797,15 @@ def append_partitioned(
             raise RuntimeError(f"partition write produced no file at {sub}")
         name = f"{prefix}-{'-'.join(parts)}.parquet"
         dest = os.path.join(table_dir, DATA_SUBDIR, name)
+        if os.path.exists(dest):
+            # loud: overwriting bytes a previous version still
+            # references would corrupt time travel — every write
+            # batch picks a fresh prefix (the immutable-file rule)
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise ValueError(
+                f"data file exists: {name} — reuse a fresh prefix "
+                "per write batch"
+            )
         if len(files) == 1:
             os.replace(files[0], dest)
         else:
@@ -2747,7 +2821,7 @@ def append_partitioned(
             "min_date": r["mnd"], "max_date": r["mxd"],
         })
     shutil.rmtree(scratch, ignore_errors=True)
-    return commit_actions(table_dir, actions)
+    return actions
 
 
 def partition_candidate_files(
@@ -2792,12 +2866,124 @@ def partition_pruned_read(
             snapshot_files(spark, table_dir, version).collect(),
         )
         return base.filter(F.lit(False))
-    data = spark.read.parquet(
+    data = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
     for c, v in eq.items():
         data = data.filter(F.col(c).cast("string") == F.lit(str(v)))
     return data
+
+
+def replace_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    prefix: str,
+    *,
+    key: str = "o_orderkey",
+) -> int:
+    """DYNAMIC PARTITION OVERWRITE (Spark's
+    ``partitionOverwriteMode=dynamic`` / Delta's ``replaceWhere`` on
+    partition values): atomically replace EXACTLY the partitions the
+    incoming frame touches — ONE commit carrying removes for every
+    live file whose recorded values match a touched partition plus
+    the fresh adds, so readers flip from old to new content in one
+    version and untouched partitions never move.
+
+    The touched set is the staged adds' own value tuples (no extra
+    job — the stats pass already computed them).  Files with NO
+    recorded value for some spec column (unpartitioned or
+    earlier-spec writes) are NEVER removed — the same safety rule as
+    pruning: an overwrite must not drop rows it cannot prove belong
+    to a touched partition.  Callers migrating an evolved table
+    rewrite those files explicitly first.
+
+    Commits with snapshot-isolation conflict detection on the
+    removed files (``expects_live``), so a concurrent writer
+    rewriting the same partition aborts loudly instead of losing one
+    side's overwrite."""
+    spec = partition_spec(spark, table_dir)
+    adds = _stage_partitioned_files(
+        spark, table_dir, df, prefix, key=key
+    )
+    touched = {tuple(a["part"]) for a in adds}
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    removes = []
+    for r in live:
+        vals = dict(p.split("=", 1) for p in (r["part"] or []))
+        if any(c not in vals for c in spec):
+            continue  # no recorded value -> never overwrite-removed
+        if tuple(f"{c}={vals[c]}" for c in spec) in touched:
+            removes.append(r["path"])
+    actions = [{"a": "remove", "path": p} for p in sorted(removes)]
+    actions += adds
+    return commit_actions(table_dir, actions, expects_live=removes)
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_dir: str,
+    eq: dict[str, object],
+    prefix: str,
+    *,
+    key: str = "o_orderkey",
+) -> int:
+    """Partition-scoped OPTIMIZE — the 100 TB maintenance unit:
+    compact the small files of EXACTLY ONE partition into a single
+    range-sorted file carrying the SAME ``part`` values (so pruning
+    precision survives compaction — the whole-table
+    :func:`optimize_table` rewrite would drop them), in one commit
+    with snapshot-isolation on the removed files.  Only files whose
+    recorded values exactly match ``eq`` compact; unpartitioned and
+    other-spec files are untouched, and the commit is change-free by
+    construction (remove+add of identical content).
+
+    This is why partitions earn their place next to stats skipping:
+    the maintenance planner lists one partition's files from
+    metadata and never plans over the rest of a 100 TB live set."""
+    spec = partition_spec(spark, table_dir)
+    if not spec:
+        raise ValueError(f"{table_dir} has no partition spec")
+    if set(eq) != set(spec):
+        raise ValueError(
+            f"compact_partition pins every spec column {spec}, got "
+            f"{sorted(eq)}"
+        )
+    want = [_encode_part_value(c, eq[c]) for c in spec]
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    victims = [
+        r for r in live
+        if sorted(r["part"] or []) == sorted(want)
+    ]
+    if len(victims) < 2:
+        raise ValueError(
+            f"partition {want} has {len(victims)} live file(s) — "
+            "nothing to compact"
+        )
+    name = f"{prefix}-{'-'.join(want)}.parquet"
+    dest = os.path.join(table_dir, DATA_SUBDIR, name)
+    if os.path.exists(dest):
+        raise ValueError(
+            f"data file exists: {name} — reuse a fresh prefix"
+        )
+    data = spark.read.parquet(*[
+        os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in victims
+    ])
+    _write_one_file(data.sortWithinPartitions(key), dest)
+    add = {
+        "a": "add", "path": name, "part": want,
+        "n_rows": int(sum(r["n_rows"] for r in victims)),
+        "n_bytes": os.path.getsize(dest),
+        "min_key": min(r["min_key"] for r in victims),
+        "max_key": max(r["max_key"] for r in victims),
+        "min_date": min(r["min_date"] for r in victims),
+        "max_date": max(r["max_date"] for r in victims),
+    }
+    removed = [r["path"] for r in victims]
+    actions = [{"a": "remove", "path": p} for p in sorted(removed)]
+    return commit_actions(
+        table_dir, actions + [add], expects_live=removed
+    )
 
 
 def stage_partitioned_table(spark: SparkSession, sf_dir: str) -> str:
@@ -3231,9 +3417,13 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
         raise ValueError(f"no commits in {table_dir}")
     best, last = None, None
     for v in present:
-        m = os.path.getmtime(
-            os.path.join(table_dir, LOG_SUBDIR, f"{v:08d}.json")
-        )
+        p = os.path.join(table_dir, LOG_SUBDIR, f"{v:08d}.json")
+        # prefer the IN-COMMIT timestamp (write-time monotonic, the
+        # Delta inCommitTimestamps feature) — exact across file
+        # copies and mtime-less stores; mtime is the legacy fallback
+        m = _commit_ts_of(p)
+        if m is None:
+            m = os.path.getmtime(p)
         # STRICTLY-increasing adjustment (Delta bumps the later commit
         # to predecessor+1ms): plain max() would give a regressed
         # commit exactly its predecessor's timestamp, making the

@@ -753,6 +753,30 @@ def _streaming_join_rot_sql():
     return STREAMING_JOIN_GATE_SQL
 
 
+def _web_dedup_rot(spark, sf_dir):
+    from gemmsql.pipeline.urls import web_dedup_pipeline
+
+    return web_dedup_pipeline(spark, sf_dir)
+
+
+def _web_dedup_rot_sql():
+    from gemmsql.pipeline.urls import WEB_DEDUP_PIPELINE_SQL
+
+    return WEB_DEDUP_PIPELINE_SQL
+
+
+def _cdf_ivm_rollup_rot(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import cdf_ivm_rollup
+
+    return cdf_ivm_rollup(spark, sf_dir)
+
+
+def _cdf_ivm_rollup_rot_sql():
+    from gemmsql.pipeline.tablelog import cdf_ivm_rollup_sql
+
+    return cdf_ivm_rollup_sql(SF_SMOKE)
+
+
 def _streaming_mapped_ivm(spark, sf_dir):
     from gemmsql.pipeline.tablelog import streaming_mapped_ivm_gate
 
@@ -1162,10 +1186,11 @@ def _rotated():
         # factoring's proof case.  Same documents-derived twin for
         # both paths; VInt vectors + corruption fuzz + fragment
         # rejection in tests/test_seqfile.py
-        ("seqfile_shard_ingest", _seqfile_shard_ingest,
-         _seqfile_ingest_sql()),
-        ("seqfile_split_ingest", _seqfile_split_ingest,
-         _seqfile_ingest_sql()),
+        # (the SequenceFile pair — seqfile_shard_ingest +
+        # seqfile_split_ingest, born r13 — was promoted to the
+        # driver gate in round 15 EARLY per VERDICT r14 next #6,
+        # completing driver coverage of every container; both are
+        # now hash-checked by tests/test_gate_parity.py)
         # (mor_delete_read — the r13 merge-on-read birth — was
         # promoted to the driver gate in round 14)
         # (image_near_dups — born r13 — was promoted to the driver
@@ -1256,6 +1281,15 @@ def _rotated():
         # driver-gated via streaming_outer_join_gate
         ("streaming_join_gate", _streaming_join_rot,
          _streaming_join_rot_sql()),
+        # web_dedup_pipeline and cdf_ivm_rollup (green r13-r14):
+        # rotated out for the EARLY seqfile promotion (VERDICT r14
+        # next #6).  The web-ingest composition keeps its two-shuffle
+        # plan pin and this hash gate; cdf_ivm_rollup's direct-v3
+        # oracle still drives streaming_ivm_gate AND
+        # streaming_cdf_ivm_gate in the live registry every round
+        ("web_dedup_pipeline", _web_dedup_rot, _web_dedup_rot_sql()),
+        ("cdf_ivm_rollup", _cdf_ivm_rollup_rot,
+         _cdf_ivm_rollup_rot_sql()),
         # born in round 15 (VERDICT r14 missing #2): PARTITIONED BY
         # as first-class stats — Iceberg identity-transform model
         # (source columns stay in the data, recorded "col=value"

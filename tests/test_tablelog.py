@@ -2842,3 +2842,167 @@ def test_vacuum_after_clone_with_clone_side_delete(spark, tmp_path):
     assert sorted(
         tuple(r) for r in tl.snapshot_read(spark, d).collect()
     ) == src_before
+
+
+def test_replace_partitions_is_atomic_and_exact(spark, tmp_path):
+    """Dynamic partition overwrite: ONE commit replaces exactly the
+    touched partitions — untouched partitions keep their files, the
+    flip is a single version, and time travel below it still reads
+    the old content."""
+    from gemmsql.datamodel import load_table
+
+    base = tl.stage_partitioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "dpo")
+    shutil.copytree(base, d)
+    v_before = max(tl._present_versions(d))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).withColumn("o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    # spec is o_orderpriority after the staged evolution; overwrite
+    # ONE priority with a thinned replacement
+    repl = orders.filter(
+        (tl.F.col("o_orderpriority") == "5-LOW")
+        & (tl.F.col("o_orderkey") % 2 == 0)
+    )
+    v = tl.replace_partitions(spark, d, repl, "R")
+    assert v == v_before + 1  # one atomic version
+    live = tl.snapshot_files(spark, d).collect()
+    by_name = {r["path"] for r in live}
+    # the old 5-LOW file is gone, the new one is live, the other
+    # priorities and ALL year files (different spec — never
+    # overwrite-removed) survive
+    assert "Q-o_orderpriority=5-LOW.parquet" not in by_name
+    assert "R-o_orderpriority=5-LOW.parquet" in by_name
+    assert "Q-o_orderpriority=1-URGENT.parquet" in by_name
+    assert all(
+        f"P-o_year={y}.parquet" in by_name
+        for y in ("1995", "1996"))
+    # content: 5-LOW rows from partitioned files = the replacement
+    cand = tl.partition_candidate_files(
+        spark, d, {"o_orderpriority": "5-LOW"})
+    q_rows = [r for r in cand if r["path"].startswith(("Q-", "R-"))]
+    assert len(q_rows) == 1 and q_rows[0]["n_rows"] == repl.count()
+    # time travel below the overwrite reads the OLD partition
+    old = tl.partition_candidate_files(
+        spark, d, {"o_orderpriority": "5-LOW"}, version=v_before)
+    assert any(r["path"] == "Q-o_orderpriority=5-LOW.parquet"
+               for r in old)
+
+
+def test_replace_partitions_conflicts_with_concurrent_writer(
+        spark, tmp_path):
+    """Two overwrites of the SAME partition cannot both land: the
+    second aborts on the snapshot-isolation check (its planned
+    removes are no longer live)."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    base = tl.stage_partitioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "dpoconf")
+    shutil.copytree(base, d)
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    repl = orders.filter("o_orderpriority = '2-HIGH'").limit(5)
+    # writer A stages AND commits first
+    tl.replace_partitions(spark, d, repl, "RA")
+    # writer B planned against the old snapshot: simulate by naming
+    # the file A already removed
+    with pytest.raises(tl.ConcurrentModificationError):
+        tl.commit_actions(
+            d,
+            [{"a": "remove", "path": "Q-o_orderpriority=2-HIGH.parquet"}],
+            expects_live=["Q-o_orderpriority=2-HIGH.parquet"],
+        )
+    # prefix reuse refuses loudly instead of corrupting history
+    with pytest.raises(ValueError, match="fresh prefix"):
+        tl.replace_partitions(spark, d, repl, "RA")
+
+
+def test_compact_partition_preserves_part_and_content(spark, tmp_path):
+    """Partition-scoped OPTIMIZE: two appends leave two files in a
+    partition; compacting merges them into ONE file that KEEPS the
+    part values (pruning precision survives), content is unchanged
+    (change-free commit), and other partitions are untouched."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    base = tl.stage_partitioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "pcompact")
+    shutil.copytree(base, d)
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).withColumn("o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    # second wave into the priority spec -> 2 files per priority
+    tl.append_partitioned(
+        spark, d, orders.filter("o_orderkey % 3 = 0"), "S")
+    eq = {"o_orderpriority": "1-URGENT"}
+    before = sorted(
+        tuple(r) for r in tl.partition_pruned_read(spark, d, eq)
+        .collect())
+    n_before = len(tl.partition_candidate_files(spark, d, eq))
+    tl.compact_partition(spark, d, eq, "C")
+    after_files = [
+        r for r in tl.partition_candidate_files(spark, d, eq)
+        if r["path"].startswith(("Q-", "S-", "C-"))
+    ]
+    assert [r["path"] for r in after_files] == \
+        ["C-o_orderpriority=1-URGENT.parquet"]
+    assert list(after_files[0]["part"]) == \
+        ["o_orderpriority=1-URGENT"]
+    after = sorted(
+        tuple(r) for r in tl.partition_pruned_read(spark, d, eq)
+        .collect())
+    assert after == before
+    # other partitions untouched: still two files each
+    other = [
+        r for r in tl.partition_candidate_files(
+            spark, d, {"o_orderpriority": "2-HIGH"})
+        if r["path"].startswith(("Q-", "S-"))
+    ]
+    assert len(other) == 2
+    assert len(tl.partition_candidate_files(spark, d, eq)) == \
+        n_before - 1  # two partition files became one
+    # a single-file partition refuses (nothing to compact)
+    with pytest.raises(ValueError, match="nothing to compact"):
+        tl.compact_partition(spark, d, eq, "C2")
+
+
+def test_in_commit_timestamps_survive_mtime_loss(spark, tmp_path):
+    """Delta's inCommitTimestamps: the commit stamps its own
+    wall-clock (strictly above its predecessor's) into the commit
+    file, so TIMESTAMP AS OF resolves correctly even after every
+    mtime is destroyed (a file copy, an object store)."""
+    d = str(tmp_path / "icts")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    for p in ("A0.parquet", "A1.parquet"):
+        open(os.path.join(d, tl.DATA_SUBDIR, p), "w").close()
+    v0 = tl.commit_actions(d, [{
+        "a": "add", "path": "A0.parquet", "n_rows": 1, "n_bytes": 1,
+        "min_key": 0, "max_key": 9,
+        "min_date": "1995-01-01", "max_date": "1995-12-31"}])
+    v1 = tl.commit_actions(d, [{
+        "a": "add", "path": "A1.parquet", "n_rows": 1, "n_bytes": 1,
+        "min_key": 10, "max_key": 19,
+        "min_date": "1996-01-01", "max_date": "1996-12-31"}])
+    p0 = os.path.join(d, tl.LOG_SUBDIR, f"{v0:08d}.json")
+    p1 = os.path.join(d, tl.LOG_SUBDIR, f"{v1:08d}.json")
+    t0, t1 = tl._commit_ts_of(p0), tl._commit_ts_of(p1)
+    assert t0 is not None and t1 is not None and t1 > t0
+    # destroy the mtimes entirely (both to epoch 0): resolution must
+    # not change — the in-commit stamps rule
+    os.utime(p0, (0, 0))
+    os.utime(p1, (0, 0))
+    assert tl.version_at_timestamp(d, t0) == v0
+    assert tl.version_at_timestamp(d, (t0 + t1) / 2) == v0
+    assert tl.version_at_timestamp(d, t1) == v1
+    import pytest
+
+    with pytest.raises(ValueError, match="predates"):
+        tl.version_at_timestamp(d, t0 - 1.0)
