@@ -53,6 +53,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import re
 import shutil
 import tempfile
 
@@ -1304,16 +1305,9 @@ def streaming_mapped_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mid-stream: the metadata-only rename, then an append under the
     # RENAMED logical schema (stage_mapped_table's v4/v5, live)
     assert rename_column(spark, table, "o_orderpriority", "priority") == 4
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    )
-    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # metadata
-    width = mx // 8 + 1
-    newrows = orders.filter(
-        F.expr(f"o_orderkey div {width}") == 7
-    ).withColumnRenamed("o_orderpriority", "priority")
-    assert append_mapped(spark, table, newrows, "H5.parquet") == 5
+    assert append_mapped(
+        spark, table, _bucket7_renamed_rows(spark, sf_dir), "H5.parquet"
+    ) == 5
     ivm_drain(spark, table, ckpt, emissions_dir)
     view = ivm_view(spark, emissions_dir)  # physical names
     m = column_mapping(spark, table)
@@ -1826,6 +1820,7 @@ def commit_actions(
     *,
     app_txn: tuple[str, int] | None = None,
     expects_live: list[str] | None = None,
+    expects_latest_version: int | None = None,
     writer_features: frozenset[str] | set[str] = ALL_WRITER_FEATURES,
 ) -> int:
     """Optimistic-concurrency commit (the Delta protocol's mutual-
@@ -1857,6 +1852,14 @@ def commit_actions(
     mapping it wouldn't translate — the commit REFUSES at this choke
     point (Delta's writer-protocol rule), re-checked after every
     lost race so a feature landing concurrently still gates.
+
+    ``expects_latest_version`` upgrades to the SERIALIZABLE pin
+    (Delta's level for blind overwrites): the commit aborts unless
+    the table is still exactly at the version the caller planned
+    against — required when the plan depends on the whole snapshot
+    (a dynamic partition overwrite must conflict with concurrently
+    ADDED files too, which a removals-only check cannot express).
+    Re-checked after every lost race.
 
     ``expects_live`` enables SNAPSHOT-ISOLATION conflict detection
     (Delta's commit-time conflict check): a writer that PLANNED
@@ -1905,6 +1908,19 @@ def commit_actions(
         versions = [
             int(os.path.basename(p).split(".")[0]) for p in found
         ]
+        if expects_latest_version is not None:
+            now_v = max(versions) if versions else -1
+            if now_v != expects_latest_version:
+                # SERIALIZABLE pin (Delta's blind-overwrite level):
+                # the caller's plan depends on the WHOLE snapshot —
+                # e.g. a dynamic partition overwrite must also see
+                # files a concurrent append ADDED, which expects_live
+                # (removals-only) cannot express
+                raise ConcurrentModificationError(
+                    f"commit conflicts: planned against v"
+                    f"{expects_latest_version} but the table is at "
+                    f"v{now_v}"
+                )
         v = (max(versions) + 1) if versions else 0
         path = os.path.join(log_dir, f"{v:08d}.json")
         # IN-COMMIT TIMESTAMP: strictly above the predecessor's
@@ -2420,6 +2436,23 @@ def append_mapped(
     return commit_actions(table_dir, [add])
 
 
+def _bucket7_renamed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-7 orders slice under the RENAMED logical schema —
+    the v5 append shared verbatim by :func:`stage_mapped_table` and
+    the live :func:`streaming_mapped_ivm_gate`, so the staged
+    lifecycle and the mid-stream gate can never drift apart on the
+    fixture's bucket arithmetic."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # metadata
+    width = mx // 8 + 1
+    return orders.filter(
+        F.expr(f"o_orderkey div {width}") == 7
+    ).withColumnRenamed("o_orderpriority", "priority")
+
+
 def stage_mapped_table(spark: SparkSession, sf_dir: str) -> str:
     """The versioned fixture copied once per sf tier with the full
     mapping lifecycle committed on top: v4 RENAME o_orderpriority ->
@@ -2438,16 +2471,9 @@ def stage_mapped_table(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.copytree(base, tmp)
     assert rename_column(spark, tmp, "o_orderpriority", "priority") == 4
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    )
-    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
-    width = mx // 8 + 1
-    newrows = orders.filter(
-        F.expr(f"o_orderkey div {width}") == 7
-    ).withColumnRenamed("o_orderpriority", "priority")
-    assert append_mapped(spark, tmp, newrows, "G5.parquet") == 5
+    assert append_mapped(
+        spark, tmp, _bucket7_renamed_rows(spark, sf_dir), "G5.parquet"
+    ) == 5
     assert drop_column(spark, tmp, "o_orderstatus") == 6
     with open(os.path.join(tmp, "_SUCCESS"), "w"):
         pass
@@ -2702,12 +2728,23 @@ def partition_spec(
     return [c for c in raw.split(",") if c]
 
 
+_PART_VALUE_OK = re.compile(r"[A-Za-z0-9._\- ]+\Z")
+
+
 def _encode_part_value(col: str, val) -> str:
-    s = "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
-    if "/" in s or "=" in s:
-        # loud instead of Hive's URL-escaping: the gate corpora never
-        # need escaped values, and a silent mis-encode would corrupt
-        # pruning forever
+    if val is None:
+        # Spark's writer maps NULL to this directory name; encoding
+        # the same token keeps the scratch-dir walk and the recorded
+        # metadata aligned
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    s = str(val)
+    if not _PART_VALUE_OK.match(s):
+        # loud instead of Hive's URL-escaping: Spark percent-escapes
+        # chars like ':' '#' '%' in partition DIRECTORY names, which
+        # would silently desync the scratch walk from the recorded
+        # value — refuse anything outside the charset Spark writes
+        # literally (empty string refuses too: the writer maps it to
+        # the null-partition directory)
         raise ValueError(f"unencodable partition value {col}={s!r}")
     return f"{col}={s}"
 
@@ -2745,14 +2782,19 @@ def _stage_partitioned_files(
     prefix: str,
     *,
     key: str = "o_orderkey",
+    spec: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` one-file-per-partition-value under the current
     spec and return the add actions WITHOUT committing — shared by
     :func:`append_partitioned` (adds only) and
     :func:`replace_partitions` (removes + adds in one version).
     Staged files are invisible to readers until a commit references
-    them, so the split costs nothing in atomicity."""
-    spec = partition_spec(spark, table_dir)
+    them, so the split costs nothing in atomicity.  ``spec`` lets a
+    caller that already read the spec pin it — a concurrent spec
+    evolution between two reads would otherwise desync the staged
+    values from the caller's planning."""
+    if spec is None:
+        spec = partition_spec(spark, table_dir)
     if not spec:
         raise ValueError(
             f"{table_dir} has no partition spec "
@@ -2785,6 +2827,11 @@ def _stage_partitioned_files(
         )
         .collect()
     )  # bounded by partitions touched
+    if not st:
+        # the append_mapped rule: an empty write must refuse, not
+        # burn a version on a zero-action (blank) commit file
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise ValueError("empty append")
     actions = []
     for r in sorted(st, key=lambda r: tuple(str(r[c]) for c in spec)):
         parts = [_encode_part_value(c, r[c]) for c in spec]
@@ -2861,16 +2908,22 @@ def partition_pruned_read(
     transform), load-bearing on files with no recorded value."""
     cand = partition_candidate_files(spark, table_dir, eq, version)
     if not cand:
-        base = _snapshot_read_with_live(
-            spark, table_dir,
-            snapshot_files(spark, table_dir, version).collect(),
-        )
+        base, _ = _snapshot_read_with_live(spark, table_dir, version)
         return base.filter(F.lit(False))
     data = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
     for c, v in eq.items():
-        data = data.filter(F.col(c).cast("string") == F.lit(str(v)))
+        if v is None:
+            # the null partition: encode matched
+            # __HIVE_DEFAULT_PARTITION__, the data rows are NULL —
+            # `col == "None"` would be NULL for every row and return
+            # an empty frame instead of the partition
+            data = data.filter(F.col(c).isNull())
+        else:
+            data = data.filter(
+                F.col(c).cast("string") == F.lit(str(v))
+            )
     return data
 
 
@@ -2898,16 +2951,21 @@ def replace_partitions(
     to a touched partition.  Callers migrating an evolved table
     rewrite those files explicitly first.
 
-    Commits with snapshot-isolation conflict detection on the
-    removed files (``expects_live``), so a concurrent writer
-    rewriting the same partition aborts loudly instead of losing one
-    side's overwrite."""
+    Conflict detection is SERIALIZABLE for this op: beyond
+    ``expects_live`` on the planned removes, the commit pins the
+    table version it planned against (``expects_latest_version``) —
+    a concurrent append into a touched partition would otherwise
+    survive the overwrite unseen (Delta's replaceWhere conflicts on
+    concurrently ADDED files matching the predicate; pinning the
+    planning version is the log-level way to get the same
+    guarantee)."""
     spec = partition_spec(spark, table_dir)
+    planned_v = max(_present_versions(table_dir), default=-1)
     adds = _stage_partitioned_files(
-        spark, table_dir, df, prefix, key=key
+        spark, table_dir, df, prefix, key=key, spec=spec
     )
     touched = {tuple(a["part"]) for a in adds}
-    live = snapshot_files(spark, table_dir).collect()  # metadata
+    live = snapshot_files(spark, table_dir, planned_v).collect()
     removes = []
     for r in live:
         vals = dict(p.split("=", 1) for p in (r["part"] or []))
@@ -2917,7 +2975,10 @@ def replace_partitions(
             removes.append(r["path"])
     actions = [{"a": "remove", "path": p} for p in sorted(removes)]
     actions += adds
-    return commit_actions(table_dir, actions, expects_live=removes)
+    return commit_actions(
+        table_dir, actions, expects_live=removes,
+        expects_latest_version=planned_v,
+    )
 
 
 def compact_partition(

@@ -3006,3 +3006,67 @@ def test_in_commit_timestamps_survive_mtime_loss(spark, tmp_path):
 
     with pytest.raises(ValueError, match="predates"):
         tl.version_at_timestamp(d, t0 - 1.0)
+
+
+def test_partition_review_findings_r15(spark, tmp_path):
+    """Round-15 review findings on the partition tier, pinned:
+
+    1. a partition filter matching NOTHING returns an empty frame
+       (the old fallback crashed on a mis-passed argument);
+    2. the NULL partition reads back its rows (the residual filter
+       must use isNull, not == "None");
+    3. an overwrite planned before a concurrent append into the SAME
+       table aborts on the serializable version pin;
+    4. an empty partitioned append refuses instead of burning a
+       blank commit;
+    5. values Spark would percent-escape in directory names refuse
+       loudly at encode time."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "reviewpart")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["o_year"])
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ).withColumn(
+        "o_year",
+        tl.F.when(
+            tl.F.col("o_orderkey") % 10 == 0, tl.F.lit(None)
+        ).otherwise(tl.F.date_format("o_orderdate", "yyyy")),
+    )
+    tl.append_partitioned(spark, d, orders, "P")
+    # (1) no partition matches -> empty frame, no crash
+    assert tl.partition_pruned_read(
+        spark, d, {"o_year": "2099"}).count() == 0
+    # (2) the NULL partition round-trips
+    n_null = orders.filter("o_year IS NULL").count()
+    assert n_null > 0
+    got = tl.partition_pruned_read(spark, d, {"o_year": None})
+    assert got.count() == n_null
+    assert [r["path"] for r in tl.partition_candidate_files(
+        spark, d, {"o_year": None})] == \
+        ["P-o_year=__HIVE_DEFAULT_PARTITION__.parquet"]
+    # (3) overwrite vs concurrent append: serializable pin aborts
+    planned_v = max(tl._present_versions(d))
+    repl = orders.filter("o_year = '1995'")
+    adds = tl._stage_partitioned_files(spark, d, repl, "R1")
+    tl.append_partitioned(spark, d, orders.filter(
+        "o_year = '1995' AND o_orderkey % 5 = 0"), "CONC")
+    with pytest.raises(tl.ConcurrentModificationError,
+                       match="planned against"):
+        tl.commit_actions(
+            d, adds, expects_latest_version=planned_v)
+    # (the live replace_partitions path replans and succeeds)
+    tl.replace_partitions(spark, d, repl, "R2")
+    # (4) empty append refuses
+    with pytest.raises(ValueError, match="empty append"):
+        tl.append_partitioned(spark, d, orders.limit(0), "E")
+    # (5) escapable values refuse loudly
+    with pytest.raises(ValueError, match="unencodable"):
+        tl._encode_part_value("c", "a:b")
+    with pytest.raises(ValueError, match="unencodable"):
+        tl._encode_part_value("c", "")
