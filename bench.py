@@ -252,6 +252,10 @@ def main() -> None:
     except OSError as e:
         print(f"# sidecar write failed: {e}", file=sys.stderr)
     print(json.dumps(full))
+    if os.environ.get("BENCH_CHILD"):
+        # a child's LAST line must stay the verbose result — the
+        # parent parses lines[-1] for the batch/streaming split
+        return
     compact = {
         "metric": full["metric"],
         "value": total,
