@@ -129,6 +129,9 @@ _EXPORTS = {
     "append_partitioned": "gemmsql.pipeline.tablelog",
     "replace_partitions": "gemmsql.pipeline.tablelog",
     "compact_partition": "gemmsql.pipeline.tablelog",
+    "transform_partition_value": "gemmsql.pipeline.tablelog",
+    "partition_pruned_read_where": "gemmsql.pipeline.tablelog",
+    "partition_transform_read": "gemmsql.pipeline.tablelog",
     "partition_candidate_files": "gemmsql.pipeline.tablelog",
     "partition_pruned_read": "gemmsql.pipeline.tablelog",
     "partition_pruning_read": "gemmsql.pipeline.tablelog",

@@ -2700,16 +2700,95 @@ def pruned_scan_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARTITION_SPEC_PROP = "partition.by"
 
 
+#: HIDDEN PARTITIONING transforms (Iceberg's headline beyond
+#: identity): a spec entry is a bare column (identity) or one of
+#: year(col) / month(col) / bucket(N,col) / truncate(W,col).  The
+#: transform expression string IS the partition key everywhere —
+#: recorded in `part`, matched by pruning, named in file names — so
+#: the identity machinery needs no special cases.  bucket() is a
+#: portable modulo on the integral key (cross-engine replayable,
+#: documented divergence from Iceberg's murmur3); truncate() is a
+#: string prefix.
+_TRANSFORM_RE = re.compile(
+    r"^(year|month|bucket|truncate)\(([^()]*)\)\Z"
+)
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _parse_spec_entry(entry: str):
+    """-> (kind, source_col, arg) where kind is 'identity' or the
+    transform name; raises on malformed entries."""
+    m = _TRANSFORM_RE.match(entry)
+    if not m:
+        if not _IDENT_RE.match(entry):
+            raise ValueError(f"malformed partition spec entry {entry!r}")
+        return ("identity", entry, None)
+    kind, inner = m.groups()
+    if kind in ("year", "month"):
+        col = inner.strip()
+        if not _IDENT_RE.match(col):
+            raise ValueError(f"malformed partition spec entry {entry!r}")
+        return (kind, col, None)
+    # bucket(N,col) / truncate(W,col)
+    arg, _, col = inner.partition(",")
+    col = col.strip()
+    if not col or not _IDENT_RE.match(col) or not arg.strip().isdigit():
+        raise ValueError(f"malformed partition spec entry {entry!r}")
+    n = int(arg)
+    if n <= 0:
+        raise ValueError(f"malformed partition spec entry {entry!r}")
+    return (kind, col, n)
+
+
+def _spec_expr(entry: str):
+    """The Spark Column computing a spec entry's partition VALUE (as
+    a string) from the data — used by the writer's routing, the
+    stats pass, and the residual read filter, so all three can never
+    disagree on a value."""
+    kind, col, arg = _parse_spec_entry(entry)
+    if kind == "identity":
+        return F.col(col).cast("string")
+    if kind == "year":
+        return F.date_format(F.col(col), "yyyy")
+    if kind == "month":
+        return F.date_format(F.col(col), "yyyy-MM")
+    if kind == "bucket":
+        return F.pmod(F.col(col).cast("long"), F.lit(arg)).cast("string")
+    return F.substring(F.col(col).cast("string"), 1, arg)  # truncate
+
+
+def _split_spec(raw: str) -> list[str]:
+    """Split the stored spec on TOP-LEVEL commas only —
+    ``bucket(8,o_orderkey)`` carries its own comma."""
+    out, depth, cur = [], 0, []
+    for ch in raw:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [e for e in (e.strip() for e in out) if e]
+
+
 def set_partition_spec(table_dir: str, cols: list[str]) -> int:
     """PARTITIONED BY / spec evolution as ONE property commit.  Only
     FUTURE :func:`append_partitioned` writes follow the new spec;
     existing files keep their recorded values (Iceberg's evolution
-    rule — no data rewrite, ever)."""
+    rule — no data rewrite, ever).  Entries are identity columns or
+    hidden-partitioning transforms (``year(c)``, ``month(c)``,
+    ``bucket(N,c)``, ``truncate(W,c)``)."""
     if not cols:
         raise ValueError("partition spec needs at least one column")
-    bad = [c for c in cols if "," in c or "=" in c or "/" in c]
-    if bad:
-        raise ValueError(f"unencodable partition column names: {bad}")
+    for c in cols:
+        _parse_spec_entry(c)  # loud on malformed entries
+        if "=" in c or "/" in c:
+            raise ValueError(f"unencodable partition column names: [{c!r}]")
     return set_table_properties(
         table_dir, {PARTITION_SPEC_PROP: ",".join(cols)}
     )
@@ -2718,14 +2797,14 @@ def set_partition_spec(table_dir: str, cols: list[str]) -> int:
 def partition_spec(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> list[str]:
-    """The partition columns in force at ``version`` ([] when the
-    table is unpartitioned)."""
+    """The partition spec entries in force at ``version`` ([] when
+    the table is unpartitioned)."""
     if not _present_versions(table_dir):
         return []  # zero commits: unpartitioned, nothing to read
     raw = table_properties(spark, table_dir, version).get(
         PARTITION_SPEC_PROP, ""
     )
-    return [c for c in raw.split(",") if c]
+    return _split_spec(raw)
 
 
 _PART_VALUE_OK = re.compile(r"[A-Za-z0-9._\- ]+\Z")
@@ -2800,13 +2879,19 @@ def _stage_partitioned_files(
             f"{table_dir} has no partition spec "
             f"(set_partition_spec first)"
         )
-    missing = [c for c in spec if c not in df.columns]
+    missing = sorted({
+        _parse_spec_entry(e)[1] for e in spec
+    } - set(df.columns))
     if missing:
         raise ValueError(f"append is missing partition columns {missing}")
-    shadow = [f"_p_{c}" for c in spec]
+    # positional shadow names: transform entries like
+    # bucket(8,o_orderkey) are not legal column names, and the
+    # writer only needs a routing column — the recorded key stays
+    # the spec entry string
+    shadow = [f"_p_{i}" for i in range(len(spec))]
     routed = df
-    for c, s in zip(spec, shadow):
-        routed = routed.withColumn(s, F.col(c).cast("string"))
+    for e, s in zip(spec, shadow):
+        routed = routed.withColumn(s, _spec_expr(e))
     scratch = os.path.join(table_dir, DATA_SUBDIR, f"{prefix}.scratch")
     (
         routed.repartition(*[F.col(s) for s in shadow])
@@ -2817,7 +2902,9 @@ def _stage_partitioned_files(
     )
     # one stats pass for every partition this append touches
     st = (
-        df.groupBy(*[F.col(c).cast("string").alias(c) for c in spec])
+        df.groupBy(*[
+            _spec_expr(e).alias(s) for e, s in zip(spec, shadow)
+        ])
         .agg(
             F.count("*").alias("n"),
             F.min(key).alias("mnk"),
@@ -2833,11 +2920,16 @@ def _stage_partitioned_files(
         shutil.rmtree(scratch, ignore_errors=True)
         raise ValueError("empty append")
     actions = []
-    for r in sorted(st, key=lambda r: tuple(str(r[c]) for c in spec)):
-        parts = [_encode_part_value(c, r[c]) for c in spec]
+    for r in sorted(st, key=lambda r: tuple(str(r[s]) for s in shadow)):
+        vals = [r[s] for s in shadow]
+        parts = [
+            _encode_part_value(e, v) for e, v in zip(spec, vals)
+        ]
         sub = os.path.join(
-            scratch, *[f"_p_{c}={_encode_part_value(c, r[c]).split('=', 1)[1]}"
-                       for c in spec]
+            scratch, *[
+                f"{s}={p.split('=', 1)[1]}"
+                for s, p in zip(shadow, parts)
+            ]
         )
         files = sorted(_glob.glob(os.path.join(sub, "part-*.parquet")))
         if not files:
@@ -2914,16 +3006,99 @@ def partition_pruned_read(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
     for c, v in eq.items():
+        # the residual compares the spec entry's own VALUE expression
+        # (identity or transform), so the filter and the recorded
+        # metadata can never disagree
         if v is None:
             # the null partition: encode matched
             # __HIVE_DEFAULT_PARTITION__, the data rows are NULL —
             # `col == "None"` would be NULL for every row and return
             # an empty frame instead of the partition
-            data = data.filter(F.col(c).isNull())
+            data = data.filter(_spec_expr(c).isNull())
         else:
-            data = data.filter(
-                F.col(c).cast("string") == F.lit(str(v))
+            data = data.filter(_spec_expr(c) == F.lit(str(v)))
+    return data
+
+
+def transform_partition_value(entry: str, source_value) -> str:
+    """HIDDEN PARTITIONING's payoff: convert an equality on the
+    SOURCE column into the spec entry's partition value — Iceberg's
+    predicate conversion, the step that lets ``WHERE o_orderdate =
+    X`` prune ``month(o_orderdate)`` files without the user knowing
+    the layout.  Driver-side twin of :func:`_spec_expr` for a single
+    literal."""
+    kind, _, arg = _parse_spec_entry(entry)
+    if source_value is None:
+        raise ValueError("cannot convert a NULL source equality")
+    if kind == "identity":
+        return str(source_value)
+    if kind in ("year", "month"):
+        s = str(source_value)
+        if len(s) < (7 if kind == "month" else 4):
+            raise ValueError(
+                f"source value {s!r} too short for {kind}()"
             )
+        return s[:4] if kind == "year" else s[:7]
+    if kind == "bucket":
+        return str(int(source_value) % arg)
+    return str(source_value)[:arg]  # truncate
+
+
+def partition_pruned_read_where(
+    spark: SparkSession,
+    table_dir: str,
+    source_eq: dict[str, object],
+    version: int | None = None,
+) -> DataFrame:
+    """Read under SOURCE-column equality predicates with hidden
+    partitioning doing the pruning: each predicate converts to a
+    transform-space equality for every spec entry derived from its
+    column (identity included), candidates prune on those, and the
+    ORIGINAL predicates apply as residual data filters.  A predicate
+    on a column no spec entry derives from still narrows the data,
+    it just can't prune files."""
+    live = snapshot_files(spark, table_dir, version).collect()
+    # convert for every derivable key: the CURRENT spec plus every
+    # key any live file recorded — files written under a PREVIOUS
+    # spec that also derived from the filtered column prune too
+    keys = set(partition_spec(spark, table_dir, version))
+    keys |= {
+        p.split("=", 1)[0] for r in live for p in (r["part"] or [])
+    }
+    eq: dict[str, str] = {}
+    for entry in keys:
+        try:
+            _, src, _ = _parse_spec_entry(entry)
+        except ValueError:
+            continue
+        if src in source_eq and source_eq[src] is not None:
+            eq[entry] = transform_partition_value(
+                entry, source_eq[src]
+            )
+    want = {c: _encode_part_value(c, v).split("=", 1)[1]
+            for c, v in eq.items()}
+    cand = [
+        r for r in live
+        if all(
+            c not in (vals := dict(
+                p.split("=", 1) for p in (r["part"] or [])
+            )) or vals[c] == w
+            for c, w in want.items()
+        )
+    ]
+    if not cand:
+        base, _ = _snapshot_read_with_live(spark, table_dir, version)
+        data = base.filter(F.lit(False))
+    else:
+        data = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, r["path"])
+              for r in cand]
+        )
+    for c, v in source_eq.items():
+        data = data.filter(
+            F.col(c).isNull() if v is None
+            else F.col(c).cast("string") == F.lit(str(v))
+        )
     return data
 
 
@@ -3104,6 +3279,69 @@ def partition_pruning_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
         )
     )
+
+
+def stage_transform_table(spark: SparkSession, sf_dir: str) -> str:
+    """A hidden-partitioning lifecycle staged once per sf tier: spec
+    ``month(o_orderdate)`` (a value no data column materializes),
+    one append of orders routed by the derived month."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"gemmsql_tablepartx_{staged_dir_tag(sf_dir)}",
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, LOG_SUBDIR))
+    os.makedirs(os.path.join(tmp, DATA_SUBDIR))
+    assert set_partition_spec(tmp, ["month(o_orderdate)"]) == 0
+    assert append_partitioned(spark, tmp, orders, "M") == 1
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def partition_transform_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The HIDDEN-PARTITIONING witness: a plain source equality
+    (``o_orderdate`` between two dates is overkill here — the gate
+    uses the month prune directly) reads the staged
+    month-partitioned table under ``month(o_orderdate) = '1995-03'``
+    — exactly ONE month file scans (inputFiles-pinned in tests), and
+    the per-priority aggregate must equal the twin's recompute over
+    ALL of orders.  A mis-derived month value, a wrong transform
+    conversion, or an over-pruned candidate list moves the hash."""
+    d = stage_transform_table(spark, sf_dir)
+    return (
+        partition_pruned_read(
+            spark, d, {"month(o_orderdate)": "1995-03"}
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+        )
+    )
+
+
+PARTITION_TRANSFORM_READ_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+GROUP BY 1
+"""
 
 
 PARTITION_PRUNING_READ_SQL = f"""

@@ -789,6 +789,18 @@ def _streaming_mapped_ivm_sql():
     return STREAMING_MAPPED_IVM_GATE_SQL
 
 
+def _partition_transform_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import partition_transform_read
+
+    return partition_transform_read(spark, sf_dir)
+
+
+def _partition_transform_read_sql():
+    from gemmsql.pipeline.tablelog import PARTITION_TRANSFORM_READ_SQL
+
+    return PARTITION_TRANSFORM_READ_SQL
+
+
 def _partition_pruning_read(spark, sf_dir):
     from gemmsql.pipeline.tablelog import partition_pruning_read
 
@@ -1319,6 +1331,19 @@ def _rotated():
         # the hash
         ("streaming_mapped_ivm_gate", _streaming_mapped_ivm,
          _streaming_mapped_ivm_sql()),
+        # third round-15 birth: HIDDEN PARTITIONING (Iceberg's
+        # transform tier on top of the identity model) — spec entries
+        # year(c) / month(c) / bucket(N,c) / truncate(W,c) route
+        # writes by DERIVED values the user never materializes, and
+        # plain source equalities prune through the driver-side
+        # transform conversion (transform_partition_value /
+        # partition_pruned_read_where).  The gate prunes the staged
+        # month-partitioned orders to month(o_orderdate)='1995-03'
+        # (one file scans, inputFiles-pinned in test_tablelog) and
+        # the twin recomputes from ALL of orders, so a mis-derived
+        # month or over-pruned candidate moves the hash
+        ("partition_transform_read", _partition_transform_read,
+         _partition_transform_read_sql()),
     ]
 
 
