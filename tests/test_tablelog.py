@@ -3142,3 +3142,110 @@ def test_partition_transform_read_scans_one_month_file(spark):
     assert inputs == {"M-month(o_orderdate)=1995-03.parquet"}
     n_all = len(tl.snapshot_files(spark, d).collect())
     assert n_all > 12  # genuinely many months staged
+
+
+def test_partition_ops_property_vs_model(spark, tmp_path):
+    """Hypothesis property: random sequences of partitioned
+    append / dynamic-overwrite / compact against a driver-side dict
+    model — after every op, each partition's pruned read returns
+    EXACTLY the model's row multiset and the candidate file count
+    matches the model's file count.  The same replay-model pattern
+    the RESTORE property suite pins."""
+    from hypothesis import given, settings, strategies as st
+
+    YEARS = ["1995", "1996", "1997"]
+
+    def _frame(batch_id, years):
+        # deterministic synthetic rows per (batch, year)
+        rows = []
+        for y in years:
+            for i in range(2):
+                k = batch_id * 100 + int(y) * 10 + i
+                rows.append((
+                    k, float(k) + 0.25, f"{y}-03-1{i + 1}",
+                    "1-URGENT" if i == 0 else "5-LOW", y,
+                ))
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_totalprice double, o_orderdate string,"
+            " o_orderpriority string, o_year string",
+        ).withColumn("o_orderdate", tl.F.to_date("o_orderdate"))
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"),
+                      st.sets(st.sampled_from(YEARS), min_size=1)),
+            st.tuples(st.just("replace"),
+                      st.sets(st.sampled_from(YEARS), min_size=1)),
+            st.tuples(st.just("compact"), st.sampled_from(YEARS)),
+        ),
+        min_size=1, max_size=5,
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(seq=ops)
+    def check(seq):
+        counter["n"] += 1
+        d = str(tmp_path / f"proppart{counter['n']}")
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.set_partition_spec(d, ["o_year"])
+        model: dict[str, list[tuple]] = {y: [] for y in YEARS}
+        files: dict[str, int] = {y: 0 for y in YEARS}
+        for i, (op, arg) in enumerate(seq):
+            if op == "append":
+                years = sorted(arg)
+                df = _frame(i, years)
+                tl.append_partitioned(spark, d, df, f"A{i}")
+                batch = {
+                    y: [tuple(r) for r in
+                        df.filter(tl.F.col("o_year") == y).collect()]
+                    for y in years
+                }
+                for y in years:
+                    model[y] += batch[y]
+                    files[y] += 1
+            elif op == "replace":
+                years = sorted(arg)
+                df = _frame(i, years)
+                tl.replace_partitions(spark, d, df, f"R{i}")
+                for y in years:
+                    model[y] = [
+                        tuple(r) for r in
+                        df.filter(tl.F.col("o_year") == y).collect()
+                    ]
+                    files[y] = 1
+            else:  # compact
+                y = arg
+                if files[y] < 2:
+                    import pytest as _pytest
+
+                    if files[y] <= 1:
+                        with _pytest.raises(ValueError):
+                            tl.compact_partition(
+                                spark, d, {"o_year": y}, f"C{i}")
+                    continue
+                tl.compact_partition(spark, d, {"o_year": y}, f"C{i}")
+                files[y] = 1
+            for y in YEARS:
+                cand = tl.partition_candidate_files(
+                    spark, d, {"o_year": y})
+                assert len(cand) == files[y], (y, seq)
+                if files[y]:
+                    got = sorted(
+                        tuple(r) for r in tl.partition_pruned_read(
+                            spark, d, {"o_year": y}
+                        ).withColumn(
+                            "o_orderdate",
+                            tl.F.col("o_orderdate").cast("string"),
+                        ).collect()
+                    )
+                    want = sorted(
+                        (a, b, str(c), p, yy)
+                        for (a, b, c, p, yy) in model[y]
+                    )
+                    assert got == want, (y, seq)
+
+    check()
