@@ -3249,3 +3249,38 @@ def test_partition_ops_property_vs_model(spark, tmp_path):
                     assert got == want, (y, seq)
 
     check()
+
+
+def test_partitioned_commits_flow_through_ivm(spark, tmp_path):
+    """Cross-tier composition: partitioned appends and a dynamic
+    partition OVERWRITE land mid-stream, and the maintained view
+    nets to exactly the final table content — the overwrite's
+    removes retract the replaced partition's rows through the same
+    signed-delta algebra as any other remove."""
+    from gemmsql.datamodel import load_table
+
+    base = tl.stage_partitioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "ivmpart")
+    shutil.copytree(base, d)
+    ckpt = str(tmp_path / "ivmpart_ckpt")
+    emissions = str(tmp_path / "ivmpart_emissions")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    # mid-stream: overwrite ONE priority partition with a thinned set
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).withColumn("o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    repl = orders.filter(
+        (tl.F.col("o_orderpriority") == "3-MEDIUM")
+        & (tl.F.col("o_orderkey") % 3 == 0))
+    tl.replace_partitions(spark, d, repl, "W")
+    tl.ivm_drain(spark, d, ckpt, emissions)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+           for r in tl.ivm_view(spark, emissions).collect()}
+    want = {r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+            for r in tl.snapshot_read(spark, d)
+            .groupBy("o_orderpriority").agg(
+                tl.F.count("*").cast("long").alias("n_orders"),
+                tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                .alias("sum_cents")).collect()}
+    assert got == want
