@@ -1028,3 +1028,33 @@ def test_ml_gate_exchange_budgets(spark):
             f"{name}: {n} exchanges in the physical plan, budget is "
             f"{budget} — a shuffle crept in"
         )
+
+
+def test_r15_entrant_exchange_budgets(spark):
+    """The same hard ceilings for the round-15 promotion cohort —
+    container walks must stay narrow (0-2 exchanges: the split
+    planners' spread + regroup), the near-dup LSH is bounded by its
+    band join, and the sketch folds by their partial+final aggs."""
+    import __spark_entry__ as entrymod
+
+    budgets = {
+        "qoi_features": 0,            # one narrow Arrow decode map
+        "avro_shard_ingest": 0,
+        "ogg_shard_ingest": 0,
+        "seqfile_shard_ingest": 0,
+        "ogg_split_ingest": 1,        # spread on (shard, split_idx)
+        "seqfile_split_ingest": 1,
+        "zip_split_ingest": 2,        # spread + straddle regroup
+        "column_mapping_read": 2,     # one agg per mapped version
+        "sample_quantiles": 2,        # partial+final bottom-k fold
+        "segment_value_quantiles": 3, # + broadcast-dim enrich agg
+        "image_near_dups": 4,         # band join + hot-band cap
+    }
+    qs = entrymod.queries()
+    for name, budget in budgets.items():
+        p = plan_of(qs[name](spark, SF_SMOKE))
+        n = p.count("Exchange ")
+        assert n <= budget, (
+            f"{name}: {n} exchanges in the physical plan, budget is "
+            f"{budget} — a shuffle crept in"
+        )
