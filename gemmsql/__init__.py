@@ -132,6 +132,10 @@ _EXPORTS = {
     "transform_partition_value": "gemmsql.pipeline.tablelog",
     "partition_pruned_read_where": "gemmsql.pipeline.tablelog",
     "partition_transform_read": "gemmsql.pipeline.tablelog",
+    "compact_partitions": "gemmsql.pipeline.tablelog",
+    "append_with_stats": "gemmsql.pipeline.tablelog",
+    "candidate_files_where": "gemmsql.pipeline.tablelog",
+    "stats_pruned_read_where": "gemmsql.pipeline.tablelog",
     "partition_candidate_files": "gemmsql.pipeline.tablelog",
     "partition_pruned_read": "gemmsql.pipeline.tablelog",
     "partition_pruning_read": "gemmsql.pipeline.tablelog",

@@ -125,6 +125,15 @@ LOG_SCHEMA = T.StructType([
     # commits without it fall back to mtime with the
     # strictly-increasing read-side adjustment.
     T.StructField("ts", T.DoubleType()),
+    # GENERALIZED PER-COLUMN BOUNDS (late round 15 — the Iceberg
+    # column-stats map): ``col -> [type, min, max]`` recorded by
+    # :func:`append_with_stats` for ANY column, widening skip plans
+    # beyond the key/date pair every writer records.  Library-tier:
+    # no gated oracle replays it, so the DuckDB twin schema
+    # deliberately omits it (read_json ignores unknown keys).
+    T.StructField(
+        "cstats", T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+    ),
 ])
 
 # DuckDB twin of LOG_SCHEMA for read_json(columns=...)
@@ -3281,6 +3290,176 @@ def partition_pruning_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    prefix: str,
+    *,
+    key: str = "o_orderkey",
+) -> int | None:
+    """Whole-table partition maintenance: ONE commit compacting
+    EVERY partition that holds two or more files (each merges into a
+    single range-sorted file keeping its ``part`` values), with
+    snapshot isolation over all removed files.  Partitions already
+    at one file, unpartitioned files, and files under other specs
+    are untouched.  Returns the committed version, or None when no
+    partition needs compaction — the idempotent nightly-maintenance
+    shape: at 100 TB the planner groups a metadata list, never scans
+    data it won't rewrite."""
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    groups: dict[tuple, list] = {}
+    for r in live:
+        if r["part"]:
+            groups.setdefault(tuple(sorted(r["part"])), []).append(r)
+    victims = {g: rs for g, rs in groups.items() if len(rs) >= 2}
+    if not victims:
+        return None
+    actions: list[dict] = []
+    removed: list[str] = []
+    for g in sorted(victims):
+        rs = victims[g]
+        name = f"{prefix}-{'-'.join(g)}.parquet"
+        dest = os.path.join(table_dir, DATA_SUBDIR, name)
+        if os.path.exists(dest):
+            raise ValueError(
+                f"data file exists: {name} — reuse a fresh prefix"
+            )
+        data = spark.read.option("mergeSchema", "true").parquet(*[
+            os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in rs
+        ])
+        _write_one_file(data.sortWithinPartitions(key), dest)
+        actions.append({
+            "a": "add", "path": name, "part": list(g),
+            "n_rows": int(sum(r["n_rows"] for r in rs)),
+            "n_bytes": os.path.getsize(dest),
+            "min_key": min(r["min_key"] for r in rs),
+            "max_key": max(r["max_key"] for r in rs),
+            "min_date": min(r["min_date"] for r in rs),
+            "max_date": max(r["max_date"] for r in rs),
+        })
+        removed.extend(r["path"] for r in rs)
+    actions = [{"a": "remove", "path": p}
+               for p in sorted(removed)] + actions
+    return commit_actions(table_dir, actions, expects_live=removed)
+
+
+# ------------------------------------- generalized per-column bounds
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "long",
+                     "float", "double", "decimal")
+
+
+def _cstat_type(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t.startswith(_NUMERIC_PREFIXES):
+        return "num"
+    return "str"  # strings, dates, timestamps: lexicographic-safe
+
+
+def append_with_stats(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    name: str,
+    stat_cols: list[str],
+    *,
+    key: str = "o_orderkey",
+) -> int:
+    """Append ``df`` as one data file whose add action carries
+    per-column [type, min, max] bounds for EVERY ``stat_cols`` entry
+    (the Iceberg column-stats map) on top of the usual key/date
+    stats — so skip plans can prune on arbitrary predicates, not
+    just the key.  ONE aggregation pass computes every bound.
+    Numeric columns record canonical ``repr`` forms compared
+    numerically at prune time; everything else compares
+    lexicographically (safe for ISO dates/timestamps)."""
+    missing = [c for c in stat_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"stat columns not in frame: {missing}")
+    types = dict(df.dtypes)
+    add = _write_with_add_action(df, table_dir, name, key=key)
+    if add is None:
+        raise ValueError("empty append")
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    st = df.agg(*aggs).collect()[0]
+    cstats = {}
+    for c in stat_cols:
+        mn, mx = st[f"mn_{c}"], st[f"mx_{c}"]
+        if mn is None:
+            continue  # all-NULL column: no bound, never pruned
+        cstats[c] = [_cstat_type(types[c]), str(mn), str(mx)]
+    add["cstats"] = cstats
+    return commit_actions(table_dir, [add])
+
+
+def _cstat_intersects(entry: list[str], lo, hi) -> bool:
+    """Does a recorded [type, min, max] bound intersect [lo, hi]?
+    (None = unbounded side.)"""
+    kind, mn, mx = entry[0], entry[1], entry[2]
+    if kind == "num":
+        mn, mx = float(mn), float(mx)
+        lo = None if lo is None else float(lo)
+        hi = None if hi is None else float(hi)
+    else:
+        lo = None if lo is None else str(lo)
+        hi = None if hi is None else str(hi)
+    if hi is not None and mn > hi:
+        return False
+    if lo is not None and mx < lo:
+        return False
+    return True
+
+
+def candidate_files_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> list:
+    """Live file records surviving a range predicate ``lo <= col <=
+    hi`` against the generalized column bounds.  Files with no
+    recorded bound for ``col`` ALWAYS stay candidates — the same
+    never-lose-rows rule as partition and key-stats pruning."""
+    live = snapshot_files(spark, table_dir, version).collect()
+    out = []
+    for r in live:
+        cs = r["cstats"] or {}
+        entry = cs.get(col)
+        if entry is None or _cstat_intersects(list(entry), lo, hi):
+            out.append(r)
+    return out
+
+
+def stats_pruned_read_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read under ``lo <= col <= hi`` with the generalized bounds
+    doing the file pruning and the predicate applied as the residual
+    data filter."""
+    cand = candidate_files_where(spark, table_dir, col, lo, hi, version)
+    if not cand:
+        base, _ = _snapshot_read_with_live(spark, table_dir, version)
+        return base.filter(F.lit(False))
+    data = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
+    )
+    if lo is not None:
+        data = data.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        data = data.filter(F.col(col) <= F.lit(hi))
+    return data
+
+
 def stage_transform_table(spark: SparkSession, sf_dir: str) -> str:
     """A hidden-partitioning lifecycle staged once per sf tier: spec
     ``month(o_orderdate)`` (a value no data column materializes),
@@ -3462,14 +3641,21 @@ def _action_from_record(rec, kind: str) -> dict:
         **{k: rec[k] for k in keep if rec[k] is not None},
         "seq": _seq_of(rec),
     }
-    # partition values re-emit too — a RESTORE/CLONE must not degrade
-    # partition pruning on the files it re-adds
+    # partition values and column bounds re-emit too — a
+    # RESTORE/CLONE must not degrade ANY pruning on the files it
+    # re-adds
     try:
         part = rec["part"]
     except (KeyError, ValueError, IndexError):
         part = None
     if part is not None and not isinstance(part, float):
         out["part"] = list(part)
+    try:
+        cs = rec["cstats"]
+    except (KeyError, ValueError, IndexError):
+        cs = None
+    if cs:
+        out["cstats"] = {k: list(v) for k, v in dict(cs).items()}
     return out
 
 

@@ -3284,3 +3284,128 @@ def test_partitioned_commits_flow_through_ivm(spark, tmp_path):
                 tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
                 .alias("sum_cents")).collect()}
     assert got == want
+
+
+def test_generalized_column_bounds_prune_and_round_trip(spark, tmp_path):
+    """Iceberg-style per-column bounds: append_with_stats records
+    [type, min, max] for arbitrary columns; range predicates prune
+    files typed-correctly (numeric vs lexicographic), files without
+    a bound always stay candidates, and pruned reads equal the full
+    recompute."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "cbounds")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    w = mx // 4 + 1
+    for b in range(4):
+        tl.append_with_stats(
+            spark, d,
+            orders.filter(tl.F.expr(f"o_orderkey div {w}") == b),
+            f"S{b}.parquet",
+            ["o_totalprice", "o_orderstatus"],
+        )
+    # a file WITHOUT bounds (plain writer) must stay a candidate
+    tl.constrained_append(
+        spark, d, orders.filter("o_orderkey % 97 = 0"), "NB.parquet")
+    live = tl.snapshot_files(spark, d).collect()
+    assert sum(1 for r in live if r["cstats"]) == 4
+    # numeric range prune on o_totalprice
+    prices = sorted(
+        r["o_totalprice"] for r in orders.select("o_totalprice")
+        .collect())
+    lo, hi = prices[len(prices) // 3], prices[len(prices) // 2]
+    cand = tl.candidate_files_where(spark, d, "o_totalprice", lo, hi)
+    names = {r["path"] for r in cand}
+    assert "NB.parquet" in names  # unbounded file never pruned
+    got = sorted(
+        tuple(r) for r in tl.stats_pruned_read_where(
+            spark, d, "o_totalprice", lo, hi).collect())
+    want = sorted(
+        tuple(r) for r in tl.snapshot_read(spark, d).filter(
+            (tl.F.col("o_totalprice") >= lo)
+            & (tl.F.col("o_totalprice") <= hi)).collect())
+    assert got == want and got
+    # a price range ABOVE every bound prunes all 4 stat-ed files
+    cand2 = tl.candidate_files_where(
+        spark, d, "o_totalprice", prices[-1] + 1, prices[-1] + 2)
+    assert {r["path"] for r in cand2} == {"NB.parquet"}
+    # string (lexicographic) prune on o_orderstatus
+    cand3 = tl.candidate_files_where(spark, d, "o_orderstatus", "Z", None)
+    assert {r["path"] for r in cand3} == {"NB.parquet"}
+    got3 = tl.stats_pruned_read_where(
+        spark, d, "o_orderstatus", "O", "O")
+    assert got3.count() == tl.snapshot_read(spark, d).filter(
+        "o_orderstatus = 'O'").count() > 0
+    # unknown stat column refuses at write time
+    with pytest.raises(ValueError, match="stat columns not in frame"):
+        tl.append_with_stats(spark, d, orders, "X.parquet", ["nope"])
+
+
+def test_column_bounds_survive_clone(spark, tmp_path):
+    """Clone re-emits carry cstats — generalized pruning keeps its
+    precision on the clone."""
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "cbclone")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    tl.append_with_stats(
+        spark, d, orders, "S.parquet", ["o_totalprice"])
+    c = str(tmp_path / "cbcloneDst")
+    tl.clone_table(spark, d, c)
+    top = orders.agg(tl.F.max("o_totalprice")).collect()[0][0]
+    assert tl.candidate_files_where(
+        spark, c, "o_totalprice", top + 1, None) == []
+    assert len(tl.candidate_files_where(
+        spark, c, "o_totalprice", None, top)) == 1
+
+
+def test_compact_partitions_whole_table(spark, tmp_path):
+    """The nightly-maintenance verb: one commit compacts EVERY
+    multi-file partition, keeps single-file partitions untouched,
+    preserves content exactly, and is idempotent (second run
+    no-ops)."""
+    from gemmsql.datamodel import load_table
+
+    base = tl.stage_partitioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "pcompactall")
+    shutil.copytree(base, d)
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).withColumn("o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    # second wave -> every priority partition holds 2 files; the
+    # year files stay single
+    tl.append_partitioned(
+        spark, d, orders.filter("o_orderkey % 3 = 0"), "T")
+    before = sorted(
+        tuple(r) for r in tl.snapshot_read(spark, d).collect())
+    n_year = len([r for r in tl.snapshot_files(spark, d).collect()
+                  if r["path"].startswith("P-")])
+    v = tl.compact_partitions(spark, d, "CA")
+    assert v is not None
+    live = tl.snapshot_files(spark, d).collect()
+    # every priority partition is now ONE CA- file with part kept
+    pr = [r for r in live if "o_orderpriority=" in r["path"]]
+    assert all(r["path"].startswith("CA-") for r in pr)
+    assert all(r["part"] for r in pr)
+    assert len(pr) == 5
+    # the single-file year partitions were not rewritten
+    assert len([r for r in live if r["path"].startswith("P-")]) == n_year
+    after = sorted(
+        tuple(r) for r in tl.snapshot_read(spark, d).collect())
+    assert after == before
+    # idempotent: nothing left to compact
+    assert tl.compact_partitions(spark, d, "CB") is None
