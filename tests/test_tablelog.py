@@ -3409,3 +3409,57 @@ def test_compact_partitions_whole_table(spark, tmp_path):
     assert after == before
     # idempotent: nothing left to compact
     assert tl.compact_partitions(spark, d, "CB") is None
+
+
+def test_column_bounds_property_vs_model(spark, tmp_path):
+    """Hypothesis property for the generalized bounds: random
+    appends (with and without stats) and random numeric range
+    queries — the pruned read always equals the model filter, and
+    pruning never drops a file whose range intersects."""
+    from hypothesis import given, settings, strategies as st
+
+    counter = {"n": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        batches=st.lists(
+            st.tuples(
+                st.lists(st.integers(min_value=0, max_value=99),
+                         min_size=1, max_size=6),
+                st.booleans(),  # record stats?
+            ),
+            min_size=1, max_size=4,
+        ),
+        q=st.tuples(st.integers(min_value=-5, max_value=105),
+                    st.integers(min_value=-5, max_value=105)),
+    )
+    def check(batches, q):
+        counter["n"] += 1
+        d = str(tmp_path / f"cbprop{counter['n']}")
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        all_vals: list[int] = []
+        for i, (vals, with_stats) in enumerate(batches):
+            rows = [(j + i * 1000, float(v), "1995-01-01", "X")
+                    for j, v in enumerate(vals)]
+            df = spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_totalprice double,"
+                " o_orderdate string, o_orderpriority string",
+            ).withColumn("o_orderdate", tl.F.to_date("o_orderdate"))
+            if with_stats:
+                tl.append_with_stats(
+                    spark, d, df, f"B{i}.parquet", ["o_totalprice"])
+            else:
+                add = tl._write_with_add_action(df, d, f"B{i}.parquet")
+                tl.commit_actions(d, [add])
+            all_vals += vals
+        lo, hi = sorted(q)
+        got = sorted(
+            r["o_totalprice"] for r in tl.stats_pruned_read_where(
+                spark, d, "o_totalprice", float(lo), float(hi)
+            ).collect())
+        want = sorted(float(v) for v in all_vals if lo <= v <= hi)
+        assert got == want, (batches, q)
+
+    check()
