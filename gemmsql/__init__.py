@@ -133,6 +133,7 @@ _EXPORTS = {
     "partition_pruned_read_where": "gemmsql.pipeline.tablelog",
     "partition_transform_read": "gemmsql.pipeline.tablelog",
     "compact_partitions": "gemmsql.pipeline.tablelog",
+    "drop_partitions": "gemmsql.pipeline.tablelog",
     "append_with_stats": "gemmsql.pipeline.tablelog",
     "candidate_files_where": "gemmsql.pipeline.tablelog",
     "stats_pruned_read_where": "gemmsql.pipeline.tablelog",

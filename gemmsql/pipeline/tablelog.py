@@ -3290,6 +3290,54 @@ def partition_pruning_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drop_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    eq: dict[str, object],
+) -> int:
+    """DELETE at partition granularity (Hive's ``DROP PARTITION``,
+    Delta's replaceWhere-to-empty): one commit of removes for every
+    live file whose recorded values match ``eq`` — ZERO data bytes
+    move, the cheapest delete a lakehouse has.
+
+    Completeness is enforced LOUDLY: if any live file lacks a
+    recorded value for one of ``eq``'s keys (unpartitioned writes,
+    or writes under a spec without that entry), this refuses and
+    names them — such files might hold rows of the dropped partition
+    that a metadata-only delete would silently leave behind.  Route
+    those through :func:`delete_where_cow` first, or compact them
+    into the partition layout."""
+    if not eq:
+        raise ValueError("drop_partitions needs at least one key")
+    want = {c: _encode_part_value(c, v).split("=", 1)[1]
+            for c, v in eq.items()}
+    live = snapshot_files(spark, table_dir).collect()  # metadata
+    blind = []
+    victims = []
+    for r in live:
+        vals = dict(p.split("=", 1) for p in (r["part"] or []))
+        missing = [c for c in want if c not in vals]
+        if missing:
+            blind.append(r["path"])
+            continue
+        if all(vals[c] == w for c, w in want.items()):
+            victims.append(r["path"])
+    if blind:
+        raise ValueError(
+            "drop_partitions cannot prove completeness: files with no "
+            f"recorded value for {sorted(want)}: {sorted(blind)[:5]} — "
+            "rewrite them into the partition layout (or use "
+            "delete_where_cow) first"
+        )
+    if not victims:
+        raise ValueError(f"no live files match partition {sorted(want)}")
+    return commit_actions(
+        table_dir,
+        [{"a": "remove", "path": p} for p in sorted(victims)],
+        expects_live=victims,
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     table_dir: str,

@@ -3463,3 +3463,46 @@ def test_column_bounds_property_vs_model(spark, tmp_path):
         assert got == want, (batches, q)
 
     check()
+
+
+def test_drop_partitions_metadata_only_and_loud(spark, tmp_path):
+    """DROP PARTITION: on a table where every file records the key,
+    one commit of removes drops the partition with zero bytes moved
+    and time travel below still reads it; on a mixed table
+    (pre-evolution files lack the key) it REFUSES loudly instead of
+    silently leaving rows behind."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    # clean hidden-partition table: every file records year+bucket
+    d = str(tmp_path / "droppart")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["year(o_orderdate)"])
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    tl.append_partitioned(spark, d, orders, "Y")
+    v_before = max(tl._present_versions(d))
+    n_files = len(tl.snapshot_files(spark, d).collect())
+    want_left = orders.filter(
+        tl.F.date_format("o_orderdate", "yyyy") != "1995").count()
+    v = tl.drop_partitions(spark, d, {"year(o_orderdate)": "1995"})
+    assert v == v_before + 1
+    assert tl.snapshot_read(spark, d).count() == want_left
+    assert len(tl.snapshot_files(spark, d).collect()) == n_files - 1
+    # zero bytes moved: the dropped file still exists on disk and
+    # time travel below the drop reads it
+    assert tl.snapshot_read(spark, d, v_before).count() == \
+        orders.count()
+    # double drop refuses (nothing matches)
+    with pytest.raises(ValueError, match="no live files match"):
+        tl.drop_partitions(spark, d, {"year(o_orderdate)": "1995"})
+    # mixed table (the staged two-spec fixture): year files lack the
+    # priority key -> loud refusal
+    base = tl.stage_partitioned_table(spark, SF_SMOKE)
+    m = str(tmp_path / "droppartmixed")
+    shutil.copytree(base, m)
+    with pytest.raises(ValueError, match="cannot prove completeness"):
+        tl.drop_partitions(spark, m, {"o_orderpriority": "5-LOW"})
