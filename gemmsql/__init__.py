@@ -134,6 +134,7 @@ _EXPORTS = {
     "partition_transform_read": "gemmsql.pipeline.tablelog",
     "compact_partitions": "gemmsql.pipeline.tablelog",
     "drop_partitions": "gemmsql.pipeline.tablelog",
+    "storage_partitioned_join": "gemmsql.pipeline.tablelog",
     "append_with_stats": "gemmsql.pipeline.tablelog",
     "candidate_files_where": "gemmsql.pipeline.tablelog",
     "stats_pruned_read_where": "gemmsql.pipeline.tablelog",

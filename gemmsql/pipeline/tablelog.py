@@ -2909,18 +2909,27 @@ def _stage_partitioned_files(
         .partitionBy(*shadow)
         .parquet(scratch)
     )
-    # one stats pass for every partition this append touches
+    # one stats pass for every partition this append touches; the
+    # date pair records only when the fixture column exists (the
+    # stats model's date half is optional on arbitrary frames)
+    aggs = [
+        F.count("*").alias("n"),
+        F.min(key).alias("mnk"),
+        F.max(key).alias("mxk"),
+    ]
+    has_date = "o_orderdate" in df.columns
+    if has_date:
+        aggs += [
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd"))
+            .alias("mnd"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd"))
+            .alias("mxd"),
+        ]
     st = (
         df.groupBy(*[
             _spec_expr(e).alias(s) for e, s in zip(spec, shadow)
         ])
-        .agg(
-            F.count("*").alias("n"),
-            F.min(key).alias("mnk"),
-            F.max(key).alias("mxk"),
-            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
-            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
-        )
+        .agg(*aggs)
         .collect()
     )  # bounded by partitions touched
     if not st:
@@ -2962,12 +2971,15 @@ def _stage_partitioned_files(
             # merged here only if Spark ever splits a value (it does
             # not under repartition-by-value; kept for safety)
             _write_one_file(spark.read.parquet(*files), dest)
-        actions.append({
+        act = {
             "a": "add", "path": name, "part": parts,
             "n_rows": int(r["n"]), "n_bytes": os.path.getsize(dest),
             "min_key": int(r["mnk"]), "max_key": int(r["mxk"]),
-            "min_date": r["mnd"], "max_date": r["mxd"],
-        })
+        }
+        if has_date:
+            act["min_date"] = r["mnd"]
+            act["max_date"] = r["mxd"]
+        actions.append(act)
     shutil.rmtree(scratch, ignore_errors=True)
     return actions
 
@@ -3221,8 +3233,7 @@ def compact_partition(
         "n_bytes": os.path.getsize(dest),
         "min_key": min(r["min_key"] for r in victims),
         "max_key": max(r["max_key"] for r in victims),
-        "min_date": min(r["min_date"] for r in victims),
-        "max_date": max(r["max_date"] for r in victims),
+        **_merged_date_bounds(victims),
     }
     removed = [r["path"] for r in victims]
     actions = [{"a": "remove", "path": p} for p in sorted(removed)]
@@ -3288,6 +3299,92 @@ def partition_pruning_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
         )
     )
+
+
+def _merged_date_bounds(recs) -> dict:
+    """min/max o_orderdate bounds merged across records, skipping
+    records that never recorded the optional date pair."""
+    mns = [r["min_date"] for r in recs if r["min_date"] is not None]
+    mxs = [r["max_date"] for r in recs if r["max_date"] is not None]
+    out = {}
+    if len(mns) == len(recs):
+        out["min_date"] = min(mns)
+    if len(mxs) == len(recs):
+        out["max_date"] = max(mxs)
+    return out
+
+
+def storage_partitioned_join(
+    spark: SparkSession,
+    dir_a: str,
+    dir_b: str,
+    key: str = "o_orderkey",
+    *,
+    how: str = "inner",
+) -> DataFrame:
+    """STORAGE-PARTITIONED JOIN (Iceberg + Spark 3.3's headline
+    shuffle elimination): when BOTH tables are partitioned by the
+    same ``bucket(N,key)`` spec, rows with equal keys live in
+    same-numbered buckets by construction — so the join runs
+    per-bucket over the already-co-located files and NEITHER side
+    shuffles.  At 100 TB this is the difference between joining two
+    tables in place and paying two full-table exchanges.
+
+    Plan shape: a union of per-bucket joins, each side a bounded
+    file-list scan; no ``Exchange hashpartitioning`` anywhere
+    (plan-pinned in tests).  Both tables must carry an identical
+    single-entry ``bucket(N,key)`` spec — anything else refuses (a
+    mismatched N would silently drop matches)."""
+    def _bucket_spec(d: str) -> int:
+        spec = partition_spec(spark, d)
+        if len(spec) != 1:
+            raise ValueError(
+                f"storage-partitioned join needs a single-entry "
+                f"bucket spec, {d} has {spec}"
+            )
+        kind, col, arg = _parse_spec_entry(spec[0])
+        if kind != "bucket" or col != key:
+            raise ValueError(
+                f"storage-partitioned join needs bucket(N,{key}), "
+                f"{d} has {spec[0]}"
+            )
+        return arg
+    n_a, n_b = _bucket_spec(dir_a), _bucket_spec(dir_b)
+    if n_a != n_b:
+        raise ValueError(
+            f"bucket counts differ: {n_a} vs {n_b} — co-location "
+            "does not hold"
+        )
+    entry = f"bucket({n_a},{key})"
+
+    def _files_by_bucket(d: str) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for r in snapshot_files(spark, d).collect():  # metadata
+            vals = dict(p.split("=", 1) for p in (r["part"] or []))
+            b = vals.get(entry)
+            if b is None:
+                raise ValueError(
+                    f"{d} holds files outside the bucket layout: "
+                    f"{r['path']}"
+                )
+            out.setdefault(b, []).append(
+                os.path.join(d, DATA_SUBDIR, r["path"])
+            )
+        return out
+    fa, fb = _files_by_bucket(dir_a), _files_by_bucket(dir_b)
+    parts = []
+    for b in sorted(set(fa) & set(fb)):
+        left = spark.read.parquet(*fa[b])
+        right = spark.read.parquet(*fb[b])
+        parts.append(left.join(right.withColumnsRenamed(
+            {c: f"r_{c}" for c in right.columns if c != key}
+        ), on=key, how=how))
+    if not parts:
+        raise ValueError("no overlapping buckets — nothing to join")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def drop_partitions(
@@ -3382,8 +3479,7 @@ def compact_partitions(
             "n_bytes": os.path.getsize(dest),
             "min_key": min(r["min_key"] for r in rs),
             "max_key": max(r["max_key"] for r in rs),
-            "min_date": min(r["min_date"] for r in rs),
-            "max_date": max(r["max_date"] for r in rs),
+            **_merged_date_bounds(rs),
         })
         removed.extend(r["path"] for r in rs)
     actions = [{"a": "remove", "path": p}

@@ -3506,3 +3506,46 @@ def test_drop_partitions_metadata_only_and_loud(spark, tmp_path):
     shutil.copytree(base, m)
     with pytest.raises(ValueError, match="cannot prove completeness"):
         tl.drop_partitions(spark, m, {"o_orderpriority": "5-LOW"})
+
+
+def test_storage_partitioned_join_no_shuffle(spark, tmp_path):
+    """Iceberg's storage-partitioned join: two tables bucketed by
+    the same bucket(4,o_orderkey) spec join per-bucket with NO
+    Exchange hashpartitioning on either side, and the result equals
+    the plain shuffled join."""
+    import pytest
+
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+    )
+    dims = orders.select(
+        "o_orderkey",
+        tl.F.col("o_orderpriority").alias("prio2"),
+    ).filter("o_orderkey % 2 = 0")
+    da, db = str(tmp_path / "spjA"), str(tmp_path / "spjB")
+    for d, df in ((da, orders), (db, dims)):
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.set_partition_spec(d, ["bucket(4,o_orderkey)"])
+        tl.append_partitioned(spark, d, df, "B")
+    got = tl.storage_partitioned_join(spark, da, db)
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p, (
+        "co-located join must not shuffle either side"
+    )
+    want = orders.join(
+        dims.withColumnsRenamed({"prio2": "r_prio2"}),
+        on="o_orderkey",
+    )
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # mismatched bucket counts refuse
+    dc = str(tmp_path / "spjC")
+    os.makedirs(os.path.join(dc, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(dc, tl.DATA_SUBDIR))
+    tl.set_partition_spec(dc, ["bucket(8,o_orderkey)"])
+    tl.append_partitioned(spark, dc, dims, "B")
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        tl.storage_partitioned_join(spark, da, dc)
