@@ -3549,3 +3549,33 @@ def test_storage_partitioned_join_no_shuffle(spark, tmp_path):
     tl.append_partitioned(spark, dc, dims, "B")
     with pytest.raises(ValueError, match="bucket counts differ"):
         tl.storage_partitioned_join(spark, da, dc)
+
+
+def test_spj_survives_partition_compaction(spark, tmp_path):
+    """Composition: compacting one side's multi-file buckets keeps
+    the bucket layout, so the storage-partitioned join still plans
+    shuffle-free and returns the same rows."""
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+    )
+    da, db = str(tmp_path / "spjcA"), str(tmp_path / "spjcB")
+    for d in (da, db):
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.set_partition_spec(d, ["bucket(4,o_orderkey)"])
+    tl.append_partitioned(spark, da, orders, "B1")
+    tl.append_partitioned(
+        spark, da, orders.filter("o_orderkey % 7 = 0"), "B2")
+    tl.append_partitioned(
+        spark, db,
+        orders.select("o_orderkey",
+                      tl.F.col("o_orderpriority").alias("p2")), "B1")
+    before = sorted(map(tuple, tl.storage_partitioned_join(
+        spark, da, db).collect()))
+    assert tl.compact_partitions(spark, da, "C") is not None
+    after_df = tl.storage_partitioned_join(spark, da, db)
+    p = after_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    assert sorted(map(tuple, after_df.collect())) == before
