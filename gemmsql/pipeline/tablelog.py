@@ -4247,6 +4247,7 @@ def merge_table(
                 for c in upd_cols
             ],
         )
+        part_of = {r["path"]: r for r in live}
         for k, name in enumerate(touched):
             # per-ORIGIN-file rewrite preserves the table's
             # clustering: each touched file maps to one replacement
@@ -4255,6 +4256,7 @@ def merge_table(
             add = _stats_and_add(part, f"MRG{nonce}-{k}.parquet")
             actions.append({"a": "remove", "path": name})
             if add:
+                _carry_part(add, part_of.get(name))
                 actions.append(add)
         # inserts = source keys matching NO live row; a source key can
         # only collide with candidate rows (stats bound every file),
@@ -4475,7 +4477,8 @@ def _live_logical_tagged(
     ``_pos``), projected to LOGICAL names on a column-mapped table so
     predicates speak the reader's vocabulary — with the reader-
     feature gate refusing unknown protocol features BEFORE any data
-    reads.  Returns (frame, mapping)."""
+    reads.  Returns (frame, mapping, live-record-by-path) — the live
+    map lets rewrites carry each origin file's partition values."""
     feats = required_reader_features(table_dir)
     if feats - {"column_mapping"}:
         raise ValueError(
@@ -4503,7 +4506,7 @@ def _live_logical_tagged(
              else F.lit(None).cast(e["type"])).alias(e["logical"])
             for e in mapping
         ], "_path", *(["_pos"] if with_pos else []))
-    return base, mapping
+    return base, mapping, {r["path"]: r for r in live}
 
 
 def _to_physical(
@@ -4525,6 +4528,22 @@ def _to_physical(
     return part.select(
         *[F.col(c).alias(by_logical[c]) for c in cols], *keep
     ), by_logical[key]
+
+
+def _carry_part(add: dict, origin) -> None:
+    """A per-origin-file rewrite holds EXACTLY a subset of its
+    origin's rows, so the origin's partition values remain true of
+    the replacement — carry them, or DML on a partitioned table
+    silently degrades pruning (the same rule as RESTORE/CLONE
+    re-emits)."""
+    if origin is None:
+        return
+    try:
+        part = origin["part"]
+    except (KeyError, ValueError, IndexError):
+        part = None
+    if part:
+        add["part"] = list(part)
 
 
 def delete_where_cow(
@@ -4549,7 +4568,7 @@ def delete_where_cow(
     columns (the merge/update-under-mapping semantics).  Returns the
     committed version."""
     _refuse_live_deletes(table_dir, "DELETE")
-    tagged, mapping = _live_logical_tagged(
+    tagged, mapping, live_by_path = _live_logical_tagged(
         spark, table_dir, op="DELETE"
     )
     hit = F.expr(predicate)
@@ -4570,6 +4589,7 @@ def delete_where_cow(
         )
         actions.append({"a": "remove", "path": name})
         if add:  # a fully-deleted file just removes
+            _carry_part(add, live_by_path.get(name))
             actions.append(add)
     return commit_actions(table_dir, actions, expects_live=touched)
 
@@ -4603,7 +4623,7 @@ def update_where_cow(
     rejected whole, never partially applied.  Returns the committed
     version."""
     _refuse_live_deletes(table_dir, "UPDATE")
-    base, mapping = _live_logical_tagged(
+    base, mapping, live_by_path = _live_logical_tagged(
         spark, table_dir, op="UPDATE"
     )
     cols = [c for c in base.columns if c != "_path"]
@@ -4649,6 +4669,7 @@ def update_where_cow(
             part, table_dir, f"UPD{nonce}-{k}.parquet", key=phys_key
         )
         actions.append({"a": "remove", "path": name})
+        _carry_part(add, live_by_path.get(name))
         actions.append(add)  # same rows back — never empty
     return commit_actions(table_dir, actions, expects_live=touched)
 
@@ -4669,7 +4690,7 @@ def delete_positions_mor(
     copy-on-write.  On a COLUMN-MAPPED table the predicate speaks
     LOGICAL names (positions are vocabulary-free, so the PD file
     needs no translation).  Returns the committed version."""
-    data, _ = _live_logical_tagged(
+    data, _, _live_unused = _live_logical_tagged(
         spark, table_dir, op="positional DELETE", with_pos=True
     )
     hits = (

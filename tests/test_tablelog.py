@@ -3579,3 +3579,41 @@ def test_spj_survives_partition_compaction(spark, tmp_path):
     p = after_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in p
     assert sorted(map(tuple, after_df.collect())) == before
+
+
+def test_cow_dml_carries_partition_values(spark, tmp_path):
+    """DML on a partitioned table must not degrade pruning: a CoW
+    DELETE's and UPDATE's per-origin rewrites carry the origin
+    file's part values (the rewrite holds a subset of its rows, so
+    the values remain true), and pruning precision survives."""
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "dmlpart")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["o_year"])
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).withColumn("o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    tl.append_partitioned(spark, d, orders, "P")
+    n_years = len(tl.snapshot_files(spark, d).collect())
+    tl.delete_where_cow(spark, d, "o_orderkey % 5 = 0")
+    live = tl.snapshot_files(spark, d).collect()
+    assert all(r["part"] for r in live), \
+        "a CoW delete rewrite dropped partition values"
+    # pruning is as tight as before the delete
+    cand = tl.partition_candidate_files(spark, d, {"o_year": "1995"})
+    assert len(cand) == 1
+    got = tl.partition_pruned_read(spark, d, {"o_year": "1995"}).count()
+    want = tl.snapshot_read(spark, d).filter("o_year = '1995'").count()
+    assert got == want > 0
+    # UPDATE keeps them too
+    tl.update_where_cow(
+        spark, d, "o_orderkey % 7 = 0",
+        {"o_orderpriority": "'9-UPD'"})
+    live2 = tl.snapshot_files(spark, d).collect()
+    assert all(r["part"] for r in live2)
+    assert len(tl.partition_candidate_files(
+        spark, d, {"o_year": "1995"})) == 1
+    assert len(live2) == n_years
