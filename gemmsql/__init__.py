@@ -143,6 +143,8 @@ _EXPORTS = {
     "partition_pruning_read": "gemmsql.pipeline.tablelog",
     "required_reader_features": "gemmsql.pipeline.tablelog",
     "required_writer_features": "gemmsql.pipeline.tablelog",
+    "widen_column_type": "gemmsql.pipeline.tablelog",
+    "append_auto_evolve": "gemmsql.pipeline.tablelog",
     "expire_log": "gemmsql.pipeline.tablelog",
     "ivm_drain": "gemmsql.pipeline.tablelog",
     "ivm_view": "gemmsql.pipeline.tablelog",

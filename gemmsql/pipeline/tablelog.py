@@ -176,14 +176,16 @@ def _table_dir(sf_dir: str) -> str:
     )
 
 
-def _write_one_file(df: DataFrame, dest: str) -> None:
+def _write_one_file(
+    df: DataFrame, dest: str, *, sort_key: str = "o_orderkey"
+) -> None:
     """Write ``df`` as a single sorted parquet file at exactly
     ``dest`` (Spark names its own part files, so write to a scratch
     dir and move the one part out)."""
     scratch = f"{dest}.scratch"
     (
         df.coalesce(1)
-        .sortWithinPartitions("o_orderkey")
+        .sortWithinPartitions(sort_key)
         .write.mode("overwrite")
         .parquet(scratch)
     )
@@ -308,10 +310,15 @@ def stage_versioned_table(spark: SparkSession, sf_dir: str) -> str:
 # --------------------------------------------------------------- replay
 
 def read_log(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The commit log as a DataFrame — schema-pinned JSONL scan."""
-    return spark.read.schema(LOG_SCHEMA).json(
-        os.path.join(table_dir, LOG_SUBDIR, "*.json")
-    )
+    """The commit log as a DataFrame — schema-pinned JSONL scan.
+    A table with no commits yet reads as an EMPTY log (the glob scan
+    would refuse on zero matches), so metadata readers — mapping,
+    constraints, protocol — answer their none-yet defaults before
+    the first write instead of crashing a first-append path."""
+    pat = os.path.join(table_dir, LOG_SUBDIR, "*.json")
+    if not _glob.glob(pat):
+        return spark.createDataFrame([], LOG_SCHEMA)
+    return spark.read.schema(LOG_SCHEMA).json(pat)
 
 
 def _log_with_checkpoint_base(
@@ -2057,7 +2064,7 @@ def required_reader_features(
 
 def snapshot_read(
     spark: SparkSession, table_dir: str, version: int | None = None,
-    *, reader_features: tuple[str, ...] = (),
+    *, reader_features: tuple[str, ...] = (), read_schema=None,
 ) -> DataFrame:
     """Read the data AS OF a version: replay the live set and hand
     the (bounded, metadata-sized) file list to a ``mergeSchema``
@@ -2070,7 +2077,9 @@ def snapshot_read(
     is an old reader silently returning physical column names and
     dropped columns on a column-mapped table."""
     _check_reader_features(table_dir, version, reader_features)
-    return _snapshot_read_with_live(spark, table_dir, version)[0]
+    return _snapshot_read_with_live(
+        spark, table_dir, version, read_schema=read_schema
+    )[0]
 
 
 def _check_reader_features(
@@ -2104,12 +2113,19 @@ def _check_reader_features(
 
 
 def _snapshot_read_with_live(
-    spark: SparkSession, table_dir: str, version: int | None
+    spark: SparkSession, table_dir: str, version: int | None,
+    *, read_schema=None,
 ) -> tuple[DataFrame, list]:
     """The replay + scan shared by :func:`snapshot_read` and the MOR
     reader — ONE live-set replay job serves both the scan's file
     list and the MOR path's add-sequence map (a second replay here
-    doubled the read's planning cost, bench-caught)."""
+    doubled the read's planning cost, bench-caught).
+
+    ``read_schema`` (the mapped readers' explicit physical schema)
+    replaces the ``mergeSchema`` footer union: required once a
+    column TYPE has been widened (heterogeneous footers refuse to
+    merge), and strictly cheaper even without one — no footer-merge
+    pass, and unmapped columns never decode."""
     live = snapshot_files(spark, table_dir, version).collect()
     paths = sorted(r["path"] for r in live)
     missing = [
@@ -2123,7 +2139,11 @@ def _snapshot_read_with_live(
             f"version {'latest' if version is None else version} reads "
             f"vacuumed files: {missing}"
         )
-    return spark.read.option("mergeSchema", "true").parquet(
+    reader = (
+        spark.read.schema(read_schema) if read_schema is not None
+        else spark.read.option("mergeSchema", "true")
+    )
+    return reader.parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
     ), live
 
@@ -2294,11 +2314,13 @@ def _refuse_constrained_column(
         )
 
 
-def _mapping_commit(table_dir: str, entries: list[dict]) -> int:
-    """Commit a mapping meta action, prepending the column_mapping
-    protocol action the FIRST time the table gains a mapping — from
-    then on every read at/above this version must go through the
-    feature-aware reader."""
+def _mapping_actions(table_dir: str, entries: list[dict]) -> list[dict]:
+    """The action list committing a mapping change: the meta action,
+    prepended by the column_mapping protocol action the FIRST time
+    the table gains a mapping — from then on every read at/above
+    this version must go through the feature-aware reader.  Exposed
+    separately from :func:`_mapping_commit` so a writer can land a
+    schema change and its data in ONE commit (auto-evolving append)."""
     actions: list[dict] = []
     if "column_mapping" not in required_reader_features(table_dir):
         actions.append({
@@ -2312,7 +2334,11 @@ def _mapping_commit(table_dir: str, entries: list[dict]) -> int:
         "schema_cols": [e["logical"] for e in entries],
         "schema_map": _mapping_encode(entries),
     })
-    return commit_actions(table_dir, actions)
+    return actions
+
+
+def _mapping_commit(table_dir: str, entries: list[dict]) -> int:
+    return commit_actions(table_dir, _mapping_actions(table_dir, entries))
 
 
 def rename_column(
@@ -2371,6 +2397,79 @@ def add_column_mapped(
     return _mapping_commit(table_dir, entries)
 
 
+#: TYPE WIDENING (Delta 3.x type widening / Iceberg schema
+#: evolution): the promotions the Spark 4 vectorized parquet reader
+#: performs AT SCAN TIME when the requested schema is wider than a
+#: file's physical type (SPARK-40876) — verified in this build for
+#: every pair below.  Widening is therefore pure METADATA here: the
+#: mapping entry's type changes, zero files rewrite, and the mapped
+#: read's explicit schema (see _mapping_read_schema) widens old
+#: files as it scans them.
+_WIDENINGS: dict[str, tuple[str, ...]] = {
+    "tinyint": ("smallint", "int", "bigint", "double"),
+    "smallint": ("int", "bigint", "double"),
+    "int": ("bigint", "double"),
+    "float": ("double",),
+}
+
+
+def _is_widening(old: str, new: str) -> bool:
+    o, n = old.lower().strip(), new.lower().strip()
+    if o == n:
+        return False
+    return n in _WIDENINGS.get(o, ())
+
+
+def widen_column_type(
+    spark: SparkSession, table_dir: str, logical: str, new_type: str
+) -> int:
+    """ALTER COLUMN TYPE as pure metadata — the widening half of
+    schema evolution (Delta's type-widening table feature, Iceberg's
+    int->long/float->double promotion rules): one committed meta
+    action changes the mapping entry's declared type; data files
+    NEVER rewrite.  Old files keep their narrow physical encoding
+    and the mapped read's explicit schema widens them at scan time
+    (the Spark 4 parquet reader performs the promotion
+    column-decode-side, so this costs nothing over a normal scan);
+    new appends land in the wide type directly.  Time travel below
+    this commit still reads the narrow type — the mapping is always
+    applied AS OF the requested version.
+
+    Only the promotions in ``_WIDENINGS`` are legal: a NARROWING
+    (bigint->int) could silently truncate values a future file
+    writes, and an unrelated change (string->int) has no scan-time
+    conversion — both refuse.  Returns the committed version."""
+    entries = _current_mapping_or_identity(spark, table_dir)
+    by_logical = {e["logical"]: e for e in entries}
+    if logical not in by_logical:
+        raise ValueError(f"no such column: {logical!r}")
+    old = by_logical[logical]["type"]
+    if not _is_widening(old, new_type):
+        raise ValueError(
+            f"cannot widen {logical!r} from {old!r} to {new_type!r}: "
+            f"legal promotions from {old!r} are "
+            f"{list(_WIDENINGS.get(old.lower().strip(), ()))} "
+            "(narrowing or unrelated changes would corrupt or refuse "
+            "at scan time)"
+        )
+    by_logical[logical]["type"] = new_type
+    return _mapping_commit(table_dir, entries)
+
+
+def _mapping_read_schema(spark: SparkSession, m: list[dict]):
+    """The EXPLICIT physical read schema for a mapped scan: every
+    mapped physical column at its DECLARED (possibly widened) type.
+    An explicit schema replaces ``mergeSchema`` on mapped tables
+    because (a) a widened column makes the live set's file footers
+    type-heterogeneous, which mergeSchema refuses outright
+    (CANNOT_MERGE_SCHEMAS), while the explicit wider schema decodes
+    every vintage in one scan; and (b) it doubles as column pruning
+    at the footer level — dropped columns' bytes are never decoded."""
+    return spark.range(0).select(*[
+        F.lit(None).cast(e["type"]).alias(e["physical"]) for e in m
+    ]).schema
+
+
 def snapshot_read_mapped(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
@@ -2385,6 +2484,7 @@ def snapshot_read_mapped(
     base = snapshot_read(
         spark, table_dir, version,
         reader_features=() if m is None else ("column_mapping",),
+        read_schema=None if m is None else _mapping_read_schema(spark, m),
     )
     return base if m is None else _apply_mapping(base, m)
 
@@ -2417,6 +2517,7 @@ def snapshot_read_mor_mapped(
     data = snapshot_read_mor(
         spark, table_dir, version,
         reader_features=() if m is None else ("column_mapping",),
+        read_schema=None if m is None else _mapping_read_schema(spark, m),
     )
     return data if m is None else _apply_mapping(data, m)
 
@@ -2443,6 +2544,83 @@ def append_mapped(
     if add is None:
         raise ValueError("empty append")
     return commit_actions(table_dir, [add])
+
+
+def append_auto_evolve(
+    spark: SparkSession, table_dir: str, df: DataFrame, name: str,
+    *, key: str = "o_orderkey",
+) -> int:
+    """Schema-evolving append (Delta's ``mergeSchema`` write /
+    ``autoMerge``): the schema change and the data file land in ONE
+    atomic commit —
+
+    - a column the table has NEVER seen is ADDED, under a fresh
+      field id and physical name (old files NULL-backfill it);
+    - a known column arriving at a WIDER type WIDENS the table's
+      declared type (see :func:`widen_column_type` — metadata only);
+    - a known column arriving NARROWER appends as-is: the mapped
+      read's explicit schema decodes the narrow physical encoding
+      under the declared wide type, so nothing is lost;
+    - an INCOMPATIBLE type change refuses whole;
+    - mapped columns ``df`` lacks are fine — readers NULL-backfill
+      them per file, the add-column contract.
+
+    A first write to an empty, unmapped table is a plain append (a
+    first schema is not an evolution — the table stays readable by
+    plain readers until something actually evolves)."""
+    if key not in df.columns:
+        raise ValueError(f"append frame must carry the key {key!r}")
+    _enforce_constraints(spark, table_dir, df)  # logical names
+    if not _present_versions(table_dir) \
+            and column_mapping(spark, table_dir) is None:
+        add = _write_with_add_action(df, table_dir, name, key=key)
+        if add is None:
+            raise ValueError("empty append")
+        return commit_actions(table_dir, [add])
+    entries = _current_mapping_or_identity(spark, table_dir)
+    by_logical = {e["logical"]: e for e in entries}
+    types = dict(df.dtypes)
+    changed = False
+    for c in df.columns:
+        e = by_logical.get(c)
+        if e is None:
+            continue
+        old = e["type"].lower().strip()
+        new = types[c].lower().strip()
+        if old == new or _is_widening(new, old):
+            continue  # equal, or incoming narrower: read-side widening
+        if _is_widening(old, new):
+            e["type"] = types[c]
+            changed = True
+        else:
+            raise ValueError(
+                f"column {c!r} arrives as {types[c]!r} but the table "
+                f"declares {e['type']!r} — not a legal widening"
+            )
+    new_cols = [c for c in df.columns if c not in by_logical]
+    if new_cols:
+        fid = max(
+            _max_fid_ever(spark, table_dir),
+            max(e["fid"] for e in entries),
+        ) + 1
+        for c in new_cols:
+            entries.append({
+                "fid": fid, "physical": f"fc{fid}",
+                "logical": c, "type": types[c],
+            })
+            fid += 1
+        changed = True
+    log2phys = {e["logical"]: e["physical"] for e in entries}
+    phys = df.select(
+        *[F.col(c).alias(log2phys[c]) for c in df.columns]
+    )
+    add = _write_with_add_action(
+        phys, table_dir, name, key=log2phys[key]
+    )
+    if add is None:
+        raise ValueError("empty append")
+    actions = _mapping_actions(table_dir, entries) if changed else []
+    return commit_actions(table_dir, actions + [add])
 
 
 def _bucket7_renamed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3223,10 +3401,14 @@ def compact_partition(
         raise ValueError(
             f"data file exists: {name} — reuse a fresh prefix"
         )
-    data = spark.read.parquet(*[
+    # mergeSchema: files in one partition can diverge after schema
+    # evolution; a single-footer read would silently drop the
+    # columns the chosen file lacks
+    data = spark.read.option("mergeSchema", "true").parquet(*[
         os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in victims
     ])
     _write_one_file(data.sortWithinPartitions(key), dest)
+    merged_cs = _merged_cstats(victims)
     add = {
         "a": "add", "path": name, "part": want,
         "n_rows": int(sum(r["n_rows"] for r in victims)),
@@ -3234,6 +3416,7 @@ def compact_partition(
         "min_key": min(r["min_key"] for r in victims),
         "max_key": max(r["max_key"] for r in victims),
         **_merged_date_bounds(victims),
+        **({"cstats": merged_cs} if merged_cs else {}),
     }
     removed = [r["path"] for r in victims]
     actions = [{"a": "remove", "path": p} for p in sorted(removed)]
@@ -3314,6 +3497,42 @@ def _merged_date_bounds(recs) -> dict:
     return out
 
 
+def _merged_cstats(recs) -> dict:
+    """Generalized column bounds merged across records — a column
+    keeps a bound only when EVERY record bounds it under the same
+    type tag (the `_merged_date_bounds` rule: one unbounded input
+    makes the merged file unbounded for that column, because a
+    too-narrow carried bound would let the skip plan lose rows).
+    Numeric mins/maxes compare numerically, everything else
+    lexicographically — the same rules `_cstat_intersects` prunes
+    with, so merge and prune can never disagree."""
+    maps = []
+    for r in recs:
+        try:
+            cs = r["cstats"]
+        except (KeyError, ValueError, IndexError):
+            cs = None
+        if not cs:
+            return {}
+        maps.append({c: list(b) for c, b in dict(cs).items()})
+    common = set(maps[0])
+    for m in maps[1:]:
+        common &= set(m)
+    out = {}
+    for c in sorted(common):
+        kinds = {m[c][0] for m in maps}
+        if len(kinds) != 1:
+            continue
+        kind = kinds.pop()
+        key = float if kind == "num" else str
+        out[c] = [
+            kind,
+            min((m[c][1] for m in maps), key=key),
+            max((m[c][2] for m in maps), key=key),
+        ]
+    return out
+
+
 def storage_partitioned_join(
     spark: SparkSession,
     dir_a: str,
@@ -3372,10 +3591,32 @@ def storage_partitioned_join(
             )
         return out
     fa, fb = _files_by_bucket(dir_a), _files_by_bucket(dir_b)
+    if not fa or not fb:
+        raise ValueError("a side has no live files — nothing to join")
+    # bucket coverage follows the join type: an fa-only bucket's rows
+    # have NO match on the right BY CONSTRUCTION (equal keys share a
+    # bucket number), so inner/semi joins skip it — but left/full/
+    # anti joins must still EMIT those rows (null-extended or passed
+    # through); skipping them would silently drop the unmatched side.
+    left_keep = how in ("left", "leftouter", "left_outer",
+                        "full", "fullouter", "full_outer", "outer",
+                        "anti", "leftanti", "left_anti")
+    right_keep = how in ("right", "rightouter", "right_outer",
+                         "full", "fullouter", "full_outer", "outer")
+    buckets = set(fa) & set(fb)
+    if left_keep:
+        buckets |= set(fa)
+    if right_keep:
+        buckets |= set(fb)
+    # representative zero-row frames give a missing side its schema
+    any_a = next(iter(fa.values()))[0]
+    any_b = next(iter(fb.values()))[0]
     parts = []
-    for b in sorted(set(fa) & set(fb)):
-        left = spark.read.parquet(*fa[b])
-        right = spark.read.parquet(*fb[b])
+    for b in sorted(buckets):
+        left = (spark.read.parquet(*fa[b]) if b in fa
+                else spark.read.parquet(any_a).limit(0))
+        right = (spark.read.parquet(*fb[b]) if b in fb
+                 else spark.read.parquet(any_b).limit(0))
         parts.append(left.join(right.withColumnsRenamed(
             {c: f"r_{c}" for c in right.columns if c != key}
         ), on=key, how=how))
@@ -3473,6 +3714,7 @@ def compact_partitions(
             os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in rs
         ])
         _write_one_file(data.sortWithinPartitions(key), dest)
+        merged_cs = _merged_cstats(rs)
         actions.append({
             "a": "add", "path": name, "part": list(g),
             "n_rows": int(sum(r["n_rows"] for r in rs)),
@@ -3480,6 +3722,7 @@ def compact_partitions(
             "min_key": min(r["min_key"] for r in rs),
             "max_key": max(r["max_key"] for r in rs),
             **_merged_date_bounds(rs),
+            **({"cstats": merged_cs} if merged_cs else {}),
         })
         removed.extend(r["path"] for r in rs)
     actions = [{"a": "remove", "path": p}
@@ -3528,7 +3771,12 @@ def append_with_stats(
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"mn_{c}"))
         aggs.append(F.max(c).alias(f"mx_{c}"))
-    st = df.agg(*aggs).collect()[0]
+    # bound the BYTES ON DISK, not a re-evaluation of ``df`` — same
+    # desync rule as _write_with_add_action
+    written = spark.read.parquet(
+        os.path.join(table_dir, DATA_SUBDIR, name)
+    )
+    st = written.agg(*aggs).collect()[0]
     cstats = {}
     for c in stat_cols:
         mn, mx = st[f"mn_{c}"], st[f"mx_{c}"]
@@ -4091,24 +4339,44 @@ def _write_with_add_action(
     df: DataFrame, table_dir: str, name: str, *, key: str = "o_orderkey"
 ) -> dict | None:
     """Write ``df`` as one data file and return its add action with
-    write-time stats (None for an empty frame — no file, no action)."""
+    write-time stats (None for an empty frame — no file, no action).
+
+    Stats are computed FROM THE WRITTEN FILE, not from ``df``: a
+    second evaluation of ``df`` could disagree with the bytes on
+    disk (any nondeterminism in the rewrite frame would desync the
+    skip bounds from the data they describe, and a skip plan with
+    too-narrow bounds LOSES rows), and it would also evaluate an
+    expensive DML rewrite frame twice — writing first makes the
+    stats pass a scan of one local columnar file."""
     dest = os.path.join(table_dir, DATA_SUBDIR, name)
-    st = df.agg(
+    _write_one_file(df, dest, sort_key=key)
+    written = df.sparkSession.read.parquet(dest)
+    aggs = [
         F.count("*").alias("n"),
         F.min(key).alias("mnk"),
         F.max(key).alias("mxk"),
-        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd"),
-        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd"),
-    ).collect()[0]
+    ]
+    has_date = "o_orderdate" in written.columns
+    if has_date:
+        aggs.append(
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd")
+        )
+        aggs.append(
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd")
+        )
+    st = written.agg(*aggs).collect()[0]
     if not st["n"]:
+        os.remove(dest)
         return None
-    _write_one_file(df, dest)
-    return {
+    add = {
         "a": "add", "path": name,
         "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
         "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
-        "min_date": st["mnd"], "max_date": st["mxd"],
     }
+    if has_date:
+        add["min_date"] = st["mnd"]
+        add["max_date"] = st["mxd"]
+    return add
 
 
 # ------------------------------------------------------------ MERGE
@@ -4118,6 +4386,8 @@ def merge_table(
     table_dir: str,
     source: DataFrame,
     key: str = "o_orderkey",
+    *,
+    auto_evolve: bool = False,
 ) -> int:
     """Transactional MERGE INTO keyed on a business key (VERDICT r12
     next #5) — the most common lakehouse write, done the way Delta's
@@ -4155,7 +4425,46 @@ def merge_table(
             f"MERGE does not support reader features "
             f"{sorted(feats - {'column_mapping'})}"
         )
+    if auto_evolve:
+        # Delta's autoMerge for MERGE INTO: source columns the table
+        # has never seen ADD to the mapping first (a metadata commit
+        # — the data commit follows; matched rewrites then carry the
+        # new physical column, unmatched target rows NULL-backfill
+        # it).  Columns the source LACKS still refuse below: a merge
+        # that can't state every target column would have to guess.
+        entries = _current_mapping_or_identity(spark, table_dir)
+        known = {e["logical"] for e in entries}
+        extra = [c for c in source.columns if c not in known]
+        if extra:
+            types = dict(source.dtypes)
+            fid = max(
+                _max_fid_ever(spark, table_dir),
+                max(e["fid"] for e in entries),
+            ) + 1
+            for c in extra:
+                entries.append({
+                    "fid": fid, "physical": f"fc{fid}",
+                    "logical": c, "type": types[c],
+                })
+                fid += 1
+            _mapping_commit(table_dir, entries)
     mapping = column_mapping(spark, table_dir)
+    if mapping is None:
+        # the exact-schema contract holds for UNMAPPED tables too:
+        # without this, an extra source column would silently land in
+        # the insert file only (matched rewrites use target columns),
+        # surfacing for half the rows — worse than refusing
+        tbl_cols = set(snapshot_read(
+            spark, table_dir, reader_features=("merge_on_read",)
+        ).columns)
+        missing = sorted(tbl_cols - set(source.columns))
+        extra = sorted(set(source.columns) - tbl_cols)
+        if missing or extra:
+            raise ValueError(
+                f"merge source must carry exactly the table schema; "
+                f"missing {missing}, unmapped {extra} (auto_evolve=True "
+                "adds never-seen source columns)"
+            )
     if mapping is not None:
         by_logical = {e["logical"]: e["physical"] for e in mapping}
         if key not in by_logical:
@@ -4200,7 +4509,12 @@ def merge_table(
     touched: list[str] = []
     tagged = None
     if cand:
-        tagged = spark.read.option("mergeSchema", "true").parquet(
+        reader = (
+            spark.read.schema(_mapping_read_schema(spark, mapping))
+            if mapping is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        tagged = reader.parquet(
             *[os.path.join(table_dir, DATA_SUBDIR, p) for p in cand]
         )
         if mapping is not None:
@@ -4248,6 +4562,14 @@ def merge_table(
             ],
         )
         part_of = {r["path"]: r for r in live}
+        # MERGE assigns every non-key column on matched rows, so only
+        # key-derived partition values (bucket specs) and key bounds
+        # survive the carry — see _carry_part's loss rule
+        assigned = set(upd_cols)
+        if mapping is not None:
+            phys2log = {e["physical"]: e["logical"] for e in mapping}
+            assigned |= {phys2log[c] for c in upd_cols if c in phys2log}
+        assigned = frozenset(assigned)
         for k, name in enumerate(touched):
             # per-ORIGIN-file rewrite preserves the table's
             # clustering: each touched file maps to one replacement
@@ -4256,7 +4578,7 @@ def merge_table(
             add = _stats_and_add(part, f"MRG{nonce}-{k}.parquet")
             actions.append({"a": "remove", "path": name})
             if add:
-                _carry_part(add, part_of.get(name))
+                _carry_part(add, part_of.get(name), assigned)
                 actions.append(add)
         # inserts = source keys matching NO live row; a source key can
         # only collide with candidate rows (stats bound every file),
@@ -4488,7 +4810,15 @@ def _live_logical_tagged(
     mapping = column_mapping(spark, table_dir)
     live = snapshot_files(spark, table_dir).collect()  # metadata
     paths = sorted(r["path"] for r in live)
-    base = spark.read.option("mergeSchema", "true").parquet(
+    # mapped tables scan under the explicit declared-type schema so
+    # type-widened live sets (heterogeneous footers) stay readable —
+    # same rule as _snapshot_read_with_live
+    reader = (
+        spark.read.schema(_mapping_read_schema(spark, mapping))
+        if mapping is not None
+        else spark.read.option("mergeSchema", "true")
+    )
+    base = reader.parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
     )
     tags = [
@@ -4530,20 +4860,51 @@ def _to_physical(
     ), by_logical[key]
 
 
-def _carry_part(add: dict, origin) -> None:
+def _carry_part(
+    add: dict, origin, assigned: frozenset = frozenset()
+) -> None:
     """A per-origin-file rewrite holds EXACTLY a subset of its
-    origin's rows, so the origin's partition values remain true of
-    the replacement — carry them, or DML on a partitioned table
-    silently degrades pruning (the same rule as RESTORE/CLONE
-    re-emits)."""
-    if origin is None:
+    origin's rows, so the origin's partition values and generalized
+    column bounds remain true of the replacement — carry them, or
+    DML on a partitioned/stats-bounded table silently degrades
+    pruning (the same rule as RESTORE/CLONE re-emits).
+
+    EXCEPT for anything derived from a column the rewrite ASSIGNS
+    (UPDATE/MERGE SET): the origin's recorded value is no longer
+    provably true of the rewritten rows, and a stale partition value
+    or bound would let pruning skip this file and LOSE the moved
+    rows (e.g. ``UPDATE SET o_year='1996'`` under a ``o_year`` spec
+    — a read of o_year=1996 must scan the rewrite).  Such entries
+    are dropped, falling back to the never-lose-rows rule: a file
+    with no recorded value is always a candidate."""
+    if add is None or origin is None:
         return
     try:
         part = origin["part"]
     except (KeyError, ValueError, IndexError):
         part = None
     if part:
-        add["part"] = list(part)
+        kept = []
+        for p in part:
+            try:
+                _, src, _ = _parse_spec_entry(p.split("=", 1)[0])
+            except ValueError:
+                continue  # unparseable entry: never carry it
+            if src not in assigned:
+                kept.append(p)
+        if kept:
+            add["part"] = kept
+    try:
+        cstats = origin["cstats"]
+    except (KeyError, ValueError, IndexError):
+        cstats = None
+    if cstats:
+        kept_cs = {
+            c: list(b) for c, b in dict(cstats).items()
+            if c not in assigned
+        }
+        if kept_cs:
+            add["cstats"] = kept_cs
 
 
 def delete_where_cow(
@@ -4669,7 +5030,14 @@ def update_where_cow(
             part, table_dir, f"UPD{nonce}-{k}.parquet", key=phys_key
         )
         actions.append({"a": "remove", "path": name})
-        _carry_part(add, live_by_path.get(name))
+        # assigned columns (logical AND frozen physical names) can't
+        # carry their origin's partition values / bounds — see
+        # _carry_part's loss rule
+        assigned = set(set_exprs)
+        if mapping is not None:
+            log2phys = {e["logical"]: e["physical"] for e in mapping}
+            assigned |= {log2phys[c] for c in set_exprs if c in log2phys}
+        _carry_part(add, live_by_path.get(name), frozenset(assigned))
         actions.append(add)  # same rows back — never empty
     return commit_actions(table_dir, actions, expects_live=touched)
 
@@ -4740,6 +5108,7 @@ def snapshot_read_mor(
     *,
     key: str = "o_orderkey",
     reader_features: tuple[str, ...] = (),
+    read_schema=None,
 ) -> DataFrame:
     """Read AS OF a version with merge-on-read semantics: the
     copy-on-write live set minus every live delete file — equality
@@ -4764,7 +5133,9 @@ def snapshot_read_mor(
         table_dir, version,
         tuple(reader_features) + ("merge_on_read",),
     )
-    data, live = _snapshot_read_with_live(spark, table_dir, version)
+    data, live = _snapshot_read_with_live(
+        spark, table_dir, version, read_schema=read_schema
+    )
     # delete-file resolution from the cached driver-side replay —
     # the Spark-job twin (snapshot_delete_files) doubled this read's
     # planning cost, bench-caught

@@ -3617,3 +3617,320 @@ def test_cow_dml_carries_partition_values(spark, tmp_path):
     assert len(tl.partition_candidate_files(
         spark, d, {"o_year": "1995"})) == 1
     assert len(live2) == n_years
+
+
+def test_update_of_partition_column_drops_stale_carry(spark, tmp_path):
+    """The carry rule's OTHER half (r15 third-session review): when
+    an UPDATE assigns a partition-spec column, the origin's recorded
+    value is no longer true of the rewritten rows — carrying it
+    would let a pruned read of the NEW value skip the rewrite and
+    LOSE the moved rows.  The rewrite must drop that entry (file
+    becomes a never-pruned candidate) while reads of old and new
+    values both stay exact."""
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "updpart")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["o_year"])
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ).withColumn("o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    tl.append_partitioned(spark, d, orders, "P")
+    moved = tl.snapshot_read(spark, d).filter(
+        "o_year = '1995' AND o_orderkey % 3 = 0").count()
+    assert moved > 0
+    tl.update_where_cow(
+        spark, d, "o_year = '1995' AND o_orderkey % 3 = 0",
+        {"o_year": "'2099'"},
+    )
+    # the moved rows are FINDABLE under the new value: the rewrite
+    # must be a candidate for o_year=2099
+    got = tl.partition_pruned_read(
+        spark, d, {"o_year": "2099"}).count()
+    assert got == moved, (
+        "rows moved to a new partition value were lost to pruning — "
+        "the rewrite carried its origin's stale o_year"
+    )
+    # and the rewritten file no longer claims the stale value
+    live = tl.snapshot_files(spark, d).collect()
+    rewrites = [r for r in live if r["path"].startswith("UPD")]
+    assert rewrites
+    for r in rewrites:
+        vals = dict(p.split("=", 1) for p in (r["part"] or []))
+        assert "o_year" not in vals
+    # the old partition still reads exactly (residual filter)
+    got95 = tl.partition_pruned_read(
+        spark, d, {"o_year": "1995"}).count()
+    want95 = tl.snapshot_read(spark, d).filter(
+        "o_year = '1995'").count()
+    assert got95 == want95
+
+
+def test_update_of_transform_source_drops_stale_carry(spark, tmp_path):
+    """Hidden-partitioning twin: updating the SOURCE column of a
+    ``month(o_orderdate)`` spec invalidates the derived month value —
+    the rewrite drops the entry, and a pruned read of the months the
+    rows moved INTO still finds them."""
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "updtrans")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["month(o_orderdate)"])
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+    )
+    tl.append_partitioned(spark, d, orders, "M")
+    moved = tl.snapshot_read(spark, d).filter(
+        "date_format(o_orderdate, 'yyyy-MM') = '1995-03'").count()
+    assert moved > 0
+    tl.update_where_cow(
+        spark, d, "date_format(o_orderdate, 'yyyy-MM') = '1995-03'",
+        {"o_orderdate": "date_add(o_orderdate, 365)"},
+    )
+    # rows now live in 1996-02/1996-03; both must be findable
+    want = tl.snapshot_read(spark, d).filter(
+        "date_format(o_orderdate, 'yyyy-MM') IN "
+        "('1996-02', '1996-03')").count()
+    got = (
+        tl.partition_pruned_read(
+            spark, d, {"month(o_orderdate)": "1996-02"}).count()
+        + tl.partition_pruned_read(
+            spark, d, {"month(o_orderdate)": "1996-03"}).count()
+    )
+    assert got == want >= moved > 0
+    # untouched months keep their carried values (precision survives
+    # for entries the update did not invalidate... the spec has one
+    # entry here, so only rewrites lose it)
+    live = tl.snapshot_files(spark, d).collect()
+    untouched = [r for r in live if r["path"].startswith("M-")]
+    assert untouched and all(r["part"] for r in untouched)
+
+
+def test_merge_drops_nonkey_carry_keeps_bucket(spark, tmp_path):
+    """MERGE assigns every non-key column on matched rows, so a
+    value-column partition entry cannot carry — but a
+    ``bucket(N,key)`` entry derives from the UNASSIGNED merge key
+    and must survive, keeping the storage-partitioned-join layout
+    intact across merges."""
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    # bucket-spec table: carry survives a merge
+    d = str(tmp_path / "mrgbucket")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["bucket(4,o_orderkey)"])
+    tl.append_partitioned(spark, d, orders, "B")
+    source = orders.filter("o_orderkey % 11 = 0").withColumn(
+        "o_orderpriority", tl.F.lit("9-MRG"))
+    tl.merge_table(spark, d, source)
+    live = tl.snapshot_files(spark, d).collect()
+    rewrites = [r for r in live if r["path"].startswith("MRG")
+                and not r["path"].endswith("-ins.parquet")]
+    assert rewrites
+    for r in rewrites:
+        vals = dict(p.split("=", 1) for p in (r["part"] or []))
+        assert "bucket(4,o_orderkey)" in vals, (
+            "merge dropped a key-derived bucket value the rewrite "
+            "provably preserves"
+        )
+    # year-spec table: the o_year entry is assigned by the merge's
+    # column update and must NOT carry — rows whose year the source
+    # moved stay findable under the new value
+    d2 = str(tmp_path / "mrgyear")
+    os.makedirs(os.path.join(d2, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d2, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d2, ["o_year"])
+    w_year = orders.withColumn(
+        "o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    tl.append_partitioned(spark, d2, w_year, "P")
+    src2 = w_year.filter("o_year = '1995' AND o_orderkey % 3 = 0") \
+        .withColumn("o_year", tl.F.lit("2099"))
+    n_moved = src2.count()
+    assert n_moved > 0
+    tl.merge_table(spark, d2, src2)
+    got = tl.partition_pruned_read(
+        spark, d2, {"o_year": "2099"}).count()
+    assert got == n_moved, (
+        "merge-moved rows were lost to pruning — a stale o_year "
+        "carried through the rewrite"
+    )
+
+
+def test_cstats_carry_through_dml(spark, tmp_path):
+    """Generalized column bounds survive DML exactly like partition
+    values: a DELETE rewrite holds a subset of its origin's rows, so
+    the origin's bounds stay true and carry; an UPDATE that assigns
+    the bounded column drops ITS bound (a stale one would lose the
+    moved rows) while unassigned bounds carry."""
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "cstatsdml")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    for i, status in enumerate(("1-URGENT", "3-MEDIUM", "5-LOW")):
+        part = orders.filter(
+            tl.F.col("o_orderpriority") == status)
+        if part.limit(1).count() == 0:
+            continue
+        tl.append_with_stats(
+            spark, d, part, f"S{i}.parquet",
+            ["o_totalprice", "o_orderpriority"],
+        )
+    n_files = len(tl.snapshot_files(spark, d).collect())
+    assert n_files >= 2
+    # bounds prune before DML
+    cand0 = tl.candidate_files_where(
+        spark, d, "o_orderpriority", "1-URGENT", "1-URGENT")
+    assert len(cand0) == 1
+    # DELETE: bounds carry, pruning stays as tight
+    tl.delete_where_cow(spark, d, "o_orderkey % 5 = 0")
+    cand1 = tl.candidate_files_where(
+        spark, d, "o_orderpriority", "1-URGENT", "1-URGENT")
+    assert len(cand1) == 1, (
+        "a CoW delete rewrite dropped its origin's column bounds"
+    )
+    got = tl.stats_pruned_read_where(
+        spark, d, "o_orderpriority", "1-URGENT", "1-URGENT").count()
+    want = tl.snapshot_read(spark, d).filter(
+        "o_orderpriority = '1-URGENT'").count()
+    assert got == want > 0
+    # UPDATE assigning the bounded column: ITS bound drops, the
+    # moved rows stay findable, the OTHER column's bound carries
+    tl.update_where_cow(
+        spark, d, "o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0",
+        {"o_orderpriority": "'9-MOVED'"},
+    )
+    moved = tl.snapshot_read(spark, d).filter(
+        "o_orderpriority = '9-MOVED'").count()
+    assert moved > 0
+    got9 = tl.stats_pruned_read_where(
+        spark, d, "o_orderpriority", "9-MOVED", "9-MOVED").count()
+    assert got9 == moved, (
+        "update-moved rows were lost to a stale carried bound"
+    )
+    live = tl.snapshot_files(spark, d).collect()
+    upd = [r for r in live if r["path"].startswith("UPD")]
+    assert upd
+    for r in upd:
+        cs = dict(r["cstats"] or {})
+        assert "o_orderpriority" not in cs
+        assert "o_totalprice" in cs, (
+            "an unassigned column's bound should carry through UPDATE"
+        )
+
+
+def test_merged_cstats_and_compaction_carry(spark, tmp_path):
+    """Compaction merges generalized bounds defensively: a column
+    keeps a bound only when EVERY victim bounds it under one type
+    tag (numeric compare for nums, lexicographic otherwise); any
+    unbounded victim makes the merged file unbounded."""
+    # unit: the merge rules
+    a = {"cstats": {"x": ["num", "10", "90"], "s": ["str", "b", "d"]}}
+    b = {"cstats": {"x": ["num", "9", "100"], "s": ["str", "a", "c"],
+                    "only_b": ["num", "1", "2"]}}
+    got = tl._merged_cstats([a, b])
+    assert got == {"x": ["num", "9", "100"], "s": ["str", "a", "d"]}
+    # numeric compare, not lexicographic: "9" < "10" numerically
+    assert got["x"][1] == "9"
+    # one unbounded victim -> no bounds at all
+    assert tl._merged_cstats([a, {"cstats": None}]) == {}
+    # type-tag mismatch drops the column
+    c = {"cstats": {"x": ["str", "0", "z"]}}
+    assert tl._merged_cstats([a, c]) == {}
+
+    # composition: partitioned files that ALSO carry bounds keep a
+    # merged bound through compact_partitions (white-box staging:
+    # the partition writer records key stats; attach column bounds
+    # to its adds the way append_with_stats does)
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "cstatscomp")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["o_year"])
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+    ).withColumn("o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    for tag, flt in (("A", "o_orderkey % 2 = 0"),
+                     ("B", "o_orderkey % 2 = 1")):
+        adds = tl._stage_partitioned_files(
+            spark, d, orders.filter(flt), tag)
+        for add in adds:
+            f = spark.read.parquet(
+                os.path.join(d, tl.DATA_SUBDIR, add["path"]))
+            st = f.agg(tl.F.min("o_totalprice").alias("mn"),
+                       tl.F.max("o_totalprice").alias("mx")).collect()[0]
+            add["cstats"] = {
+                "o_totalprice": ["num", str(st["mn"]), str(st["mx"])]}
+        tl.commit_actions(d, adds)
+    assert tl.compact_partitions(spark, d, "C") is not None
+    live = tl.snapshot_files(spark, d).collect()
+    compacted = [r for r in live if r["path"].startswith("C-")]
+    assert compacted
+    for r in compacted:
+        cs = dict(r["cstats"] or {})
+        assert "o_totalprice" in cs, (
+            "compaction dropped bounds every victim carried"
+        )
+    # and the merged bound still prunes correctly
+    hi = tl.snapshot_read(spark, d).agg(
+        tl.F.max("o_totalprice")).collect()[0][0]
+    got = tl.stats_pruned_read_where(
+        spark, d, "o_totalprice", float(hi), None).count()
+    want = tl.snapshot_read(spark, d).filter(
+        tl.F.col("o_totalprice") >= float(hi)).count()
+    assert got == want > 0
+
+
+def test_spj_outer_joins_keep_unmatched_buckets(spark, tmp_path):
+    """Join-type bucket coverage (r15 third-session review): a
+    bucket with files on only ONE side still emits rows under
+    left/anti/full joins — skipping it (correct for inner/semi)
+    would silently drop every unmatched row in that bucket."""
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+    )
+    # right side holds ONLY bucket 0 (keys % 4 == 0)
+    dims = orders.select(
+        "o_orderkey",
+        tl.F.col("o_orderpriority").alias("prio2"),
+    ).filter("o_orderkey % 4 = 0")
+    da, db = str(tmp_path / "spjoA"), str(tmp_path / "spjoB")
+    for d, df in ((da, orders), (db, dims)):
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.set_partition_spec(d, ["bucket(4,o_orderkey)"])
+        tl.append_partitioned(spark, d, df, "B")
+    want_left = orders.join(
+        dims.withColumnsRenamed({"prio2": "r_prio2"}),
+        on="o_orderkey", how="left",
+    )
+    got_left = tl.storage_partitioned_join(
+        spark, da, db, how="left")
+    assert sorted(map(tuple, got_left.collect())) == \
+        sorted(map(tuple, want_left.collect()))
+    assert got_left.count() == orders.count()  # no left row lost
+    # anti: buckets 1-3 pass through wholesale
+    want_anti = orders.join(dims, on="o_orderkey", how="left_anti")
+    got_anti = tl.storage_partitioned_join(
+        spark, da, db, how="left_anti")
+    assert sorted(map(tuple, got_anti.collect())) == \
+        sorted(map(tuple, want_anti.collect()))
+    # inner stays intersection-only and shuffle-free
+    got_inner = tl.storage_partitioned_join(spark, da, db)
+    p = got_inner._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    assert got_inner.count() == dims.count()

@@ -1,0 +1,238 @@
+"""TYPE WIDENING + schema auto-evolution
+(`gemmsql/pipeline/tablelog.py`): widen_column_type is metadata-only
+(the Spark 4 parquet reader performs the promotion at scan time
+under the mapped read's explicit schema — SPARK-40876 public
+behavior, verified here), append_auto_evolve lands schema change and
+data in ONE commit, and MERGE auto-evolves extra source columns.
+
+Reference parity note: the reference engine has no table format at
+all — this tier follows Delta Lake's type-widening / autoMerge and
+Iceberg's schema-evolution promotion rules as public prior art.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from gemmsql.datamodel import load_table
+from gemmsql.pipeline import tablelog as tl
+
+
+def _fresh(tmp_path, name):
+    d = str(tmp_path / name)
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    return d
+
+
+def _orders_qty(spark, qty_type="int"):
+    """Orders slice with a cast quantity column to widen."""
+    return load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        (tl.F.col("o_orderkey") % 1000).cast(qty_type).alias("o_qty"),
+    )
+
+
+def test_widen_int_to_bigint_lifecycle(spark, tmp_path):
+    d = _fresh(tmp_path, "widen")
+    base = _orders_qty(spark, "int")
+    tl.append_mapped(spark, d, base.filter("o_orderkey % 2 = 0"),
+                     "A.parquet")
+    v_narrow = 0
+    assert dict(tl.snapshot_read_mapped(spark, d).dtypes)["o_qty"] \
+        == "int"
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    # post-widen append carries values an int cannot hold
+    wide = base.filter("o_orderkey % 2 = 1").withColumn(
+        "o_qty", tl.F.col("o_orderkey").cast("bigint")
+        + tl.F.lit(3_000_000_000).cast("bigint"))
+    tl.append_mapped(spark, d, wide, "B.parquet")
+    got = tl.snapshot_read_mapped(spark, d)
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    # the widened scan decodes BOTH vintages exactly
+    n_old = base.filter("o_orderkey % 2 = 0").count()
+    assert got.filter("o_qty < 1000").count() == n_old
+    assert got.filter("o_qty > 3000000000").count() == wide.count()
+    want_sum = (
+        base.filter("o_orderkey % 2 = 0")
+        .agg(tl.F.sum(tl.F.col("o_qty").cast("bigint")))
+        .collect()[0][0]
+        + wide.agg(tl.F.sum("o_qty")).collect()[0][0]
+    )
+    assert got.agg(tl.F.sum("o_qty")).collect()[0][0] == want_sum
+    # time travel below the widen still reads the NARROW type
+    old = tl.snapshot_read_mapped(spark, d, version=v_narrow)
+    assert dict(old.dtypes)["o_qty"] == "int"
+    assert old.count() == n_old
+    # plain readers refuse: widening rides the column_mapping gate
+    with pytest.raises(ValueError, match="column_mapping"):
+        tl.snapshot_read(spark, d)
+
+
+def test_widen_refusals(spark, tmp_path):
+    d = _fresh(tmp_path, "widenref")
+    tl.append_mapped(spark, d, _orders_qty(spark, "int"), "A.parquet")
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    with pytest.raises(ValueError, match="cannot widen"):
+        tl.widen_column_type(spark, d, "o_qty", "int")  # narrowing
+    with pytest.raises(ValueError, match="cannot widen"):
+        tl.widen_column_type(spark, d, "o_qty", "string")
+    with pytest.raises(ValueError, match="cannot widen"):
+        tl.widen_column_type(spark, d, "o_qty", "bigint")  # no-op
+    with pytest.raises(ValueError, match="no such column"):
+        tl.widen_column_type(spark, d, "nope", "bigint")
+
+
+def test_widen_then_dml(spark, tmp_path):
+    """The DML matrix stays whole on a width-heterogeneous live set
+    (narrow files + wide files under one declared type): UPDATE,
+    DELETE, and MERGE all read through the explicit mapped schema."""
+    d = _fresh(tmp_path, "widendml")
+    base = _orders_qty(spark, "int")
+    tl.append_mapped(spark, d, base.filter("o_orderkey % 2 = 0"),
+                     "A.parquet")
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    tl.append_mapped(
+        spark, d,
+        base.filter("o_orderkey % 2 = 1").withColumn(
+            "o_qty", tl.F.col("o_qty").cast("bigint")),
+        "B.parquet")
+    n0 = tl.snapshot_read_mapped(spark, d).count()
+    # UPDATE across both vintages
+    tl.update_where_cow(
+        spark, d, "o_qty < 10", {"o_qty": "CAST(9999999999 AS BIGINT)"})
+    got = tl.snapshot_read_mapped(spark, d)
+    assert got.count() == n0
+    assert got.filter("o_qty = 9999999999").count() > 0
+    assert got.filter("o_qty < 10").count() == 0
+    # DELETE across both vintages
+    n_del = got.filter("o_qty = 9999999999").count()
+    tl.delete_where_cow(spark, d, "o_qty = 9999999999")
+    assert tl.snapshot_read_mapped(spark, d).count() == n0 - n_del
+    # MERGE: source speaks the logical schema at the WIDE type
+    src = tl.snapshot_read_mapped(spark, d).filter(
+        "o_orderkey % 13 = 0").withColumn(
+        "o_qty", tl.F.lit(7_000_000_007).cast("bigint"))
+    n_src = src.count()
+    assert n_src > 0
+    tl.merge_table(spark, d, src)
+    assert tl.snapshot_read_mapped(spark, d).filter(
+        "o_qty = 7000000007").count() == n_src
+
+
+def test_widen_composes_with_rename(spark, tmp_path):
+    d = _fresh(tmp_path, "widenren")
+    tl.append_mapped(spark, d, _orders_qty(spark, "int"), "A.parquet")
+    v0 = 0
+    tl.rename_column(spark, d, "o_qty", "qty")
+    tl.widen_column_type(spark, d, "qty", "bigint")
+    got = tl.snapshot_read_mapped(spark, d)
+    assert dict(got.dtypes)["qty"] == "bigint"
+    # below the rename: old name AND old type
+    old = tl.snapshot_read_mapped(spark, d, version=v0)
+    assert dict(old.dtypes)["o_qty"] == "int"
+
+
+def test_append_auto_evolve_adds_columns(spark, tmp_path):
+    d = _fresh(tmp_path, "autoadd")
+    base = _orders_qty(spark, "int")
+    # first write to an empty table: PLAIN append, no mapping gate
+    tl.append_auto_evolve(spark, d, base.filter("o_orderkey % 2 = 0"),
+                          "A.parquet")
+    assert tl.column_mapping(spark, d) is None
+    tl.snapshot_read(spark, d)  # plain readers still fine
+    # a frame with a never-seen column evolves + appends in ONE commit
+    v_before = max(tl._present_versions(d))
+    extra = base.filter("o_orderkey % 2 = 1").withColumn(
+        "score", (tl.F.col("o_orderkey") % 97).cast("double"))
+    v = tl.append_auto_evolve(spark, d, extra, "B.parquet")
+    assert v == v_before + 1, "schema change + data must be ONE commit"
+    m = {e["logical"]: e for e in tl.column_mapping(spark, d)}
+    assert m["score"]["physical"].startswith("fc")
+    assert m["score"]["type"] == "double"
+    assert m["o_qty"]["physical"] == "o_qty"  # identity preserved
+    got = tl.snapshot_read_mapped(spark, d)
+    # old files NULL-backfill the new column; new rows carry it
+    assert got.filter("score IS NULL").count() == \
+        base.filter("o_orderkey % 2 = 0").count()
+    assert got.filter("score IS NOT NULL").count() == extra.count()
+    # an exact-schema follow-up appends WITHOUT another meta action
+    v2 = tl.append_auto_evolve(spark, d, extra.limit(0).unionByName(
+        extra.filter("o_orderkey % 100 = 1")), "C.parquet")
+    log = tl.read_log(spark, d).filter(
+        (tl.F.col("v") == v2) & (tl.F.col("a") == "meta")).count()
+    assert log == 0
+
+
+def test_append_auto_evolve_widens_and_refuses(spark, tmp_path):
+    d = _fresh(tmp_path, "autowiden")
+    base = _orders_qty(spark, "int")
+    tl.append_auto_evolve(spark, d, base.filter("o_orderkey % 3 = 0"),
+                          "A.parquet")
+    # incoming WIDER type widens the declared type in the same commit
+    wide = base.filter("o_orderkey % 3 = 1").withColumn(
+        "o_qty", tl.F.col("o_qty").cast("bigint"))
+    tl.append_auto_evolve(spark, d, wide, "B.parquet")
+    got = tl.snapshot_read_mapped(spark, d)
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    assert got.count() == base.filter("o_orderkey % 3 < 2").count()
+    # incoming NARROWER type appends as-is (read widens it)
+    tl.append_auto_evolve(
+        spark, d,
+        base.filter("o_orderkey % 3 = 2"), "C.parquet")
+    assert tl.snapshot_read_mapped(spark, d).count() == base.count()
+    # incompatible type refuses whole
+    bad = base.limit(5).withColumn(
+        "o_qty", tl.F.col("o_qty").cast("string"))
+    with pytest.raises(ValueError, match="not a legal widening"):
+        tl.append_auto_evolve(spark, d, bad, "D.parquet")
+    # the key column is required (stats need it)
+    with pytest.raises(ValueError, match="key"):
+        tl.append_auto_evolve(
+            spark, d, base.drop("o_orderkey"), "E.parquet")
+
+
+def test_merge_auto_evolve(spark, tmp_path):
+    d = _fresh(tmp_path, "mrgevolve")
+    base = _orders_qty(spark, "int")
+    tl.append_auto_evolve(spark, d, base, "A.parquet")
+    src = base.filter("o_orderkey % 11 = 0").withColumn(
+        "flag", tl.F.lit("HOT"))
+    # without the flag: extra source columns refuse (exact-schema rule)
+    with pytest.raises(ValueError, match="unmapped"):
+        tl.merge_table(spark, d, src)
+    tl.merge_table(spark, d, src, auto_evolve=True)
+    got = tl.snapshot_read_mapped(spark, d)
+    assert got.filter("flag = 'HOT'").count() == src.count()
+    assert got.filter("flag IS NULL").count() == \
+        base.count() - src.count()
+    assert got.count() == base.count()
+
+
+def test_widen_then_mor_delete_read(spark, tmp_path):
+    """MOR equality deletes subtract through the widened explicit
+    schema too (the mapped MOR reader threads the same read
+    schema)."""
+    d = _fresh(tmp_path, "widenmor")
+    base = _orders_qty(spark, "int")
+    tl.append_mapped(spark, d, base.filter("o_orderkey % 2 = 0"),
+                     "A.parquet")
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    tl.append_mapped(
+        spark, d,
+        base.filter("o_orderkey % 2 = 1").withColumn(
+            "o_qty", tl.F.col("o_qty").cast("bigint")),
+        "B.parquet")
+    keys_df = tl.snapshot_read_mapped(spark, d).filter(
+        "o_orderkey % 10 = 4").select("o_orderkey")
+    n_del = keys_df.count()
+    assert n_del > 0
+    tl.delete_keys_mor(spark, d, keys_df)
+    got = tl.snapshot_read_mor_mapped(spark, d)
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    assert got.filter("o_orderkey % 10 = 4").count() == 0
+    assert got.count() == base.count() - n_del
