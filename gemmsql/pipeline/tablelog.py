@@ -314,8 +314,14 @@ def read_log(spark: SparkSession, table_dir: str) -> DataFrame:
     A table with no commits yet reads as an EMPTY log (the glob scan
     would refuse on zero matches), so metadata readers — mapping,
     constraints, protocol — answer their none-yet defaults before
-    the first write instead of crashing a first-append path."""
-    pat = os.path.join(table_dir, LOG_SUBDIR, "*.json")
+    the first write instead of crashing a first-append path.  A
+    MISSING log directory still refuses: a typo'd table path must
+    never read as an empty table."""
+    log_dir = os.path.join(table_dir, LOG_SUBDIR)
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"not a logged table (no {LOG_SUBDIR}/): "
+                         f"{table_dir}")
+    pat = os.path.join(log_dir, "*.json")
     if not _glob.glob(pat):
         return spark.createDataFrame([], LOG_SCHEMA)
     return spark.read.schema(LOG_SCHEMA).json(pat)
@@ -2314,6 +2320,43 @@ def _refuse_constrained_column(
         )
 
 
+def _refuse_spec_source_column(
+    spark: SparkSession, table_dir: str, column: str, verb: str
+) -> None:
+    """The partition-spec twin of the constraint guard: a spec entry
+    derives its values from a SOURCE column by name (`_spec_expr`,
+    the residual read filter, and predicate conversion all resolve
+    it), so renaming or dropping that column would silently break
+    every partitioned write and pruned read.  Evolve the spec away
+    from the column first (`set_partition_spec`)."""
+    hit = sorted(
+        e for e in partition_spec(spark, table_dir)
+        if _parse_spec_entry(e)[1] == column
+    )
+    if hit:
+        raise ValueError(
+            f"cannot {verb} column {column!r}: the partition spec "
+            f"derives {hit} from it; evolve the spec first"
+        )
+
+
+def _refuse_case_collision(
+    entries: list[dict], incoming: list[str]
+) -> None:
+    """Spark resolves column names CASE-INSENSITIVELY, so a new
+    logical name differing from an existing one only by case would
+    make every `F.col` reference ambiguous-but-silently-resolved —
+    Delta refuses the same way."""
+    by_fold = {e["logical"].lower(): e["logical"] for e in entries}
+    for c in incoming:
+        hit = by_fold.get(c.lower())
+        if hit is not None and hit != c:
+            raise ValueError(
+                f"column {c!r} collides case-insensitively with "
+                f"existing column {hit!r}"
+            )
+
+
 def _mapping_actions(table_dir: str, entries: list[dict]) -> list[dict]:
     """The action list committing a mapping change: the meta action,
     prepended by the column_mapping protocol action the FIRST time
@@ -2349,6 +2392,7 @@ def rename_column(
     Zero data files touched; time travel below this commit still
     reads the old name.  Returns the committed version."""
     _refuse_constrained_column(spark, table_dir, old, "rename")
+    _refuse_spec_source_column(spark, table_dir, old, "rename")
     entries = _current_mapping_or_identity(spark, table_dir)
     logicals = {e["logical"] for e in entries}
     if old not in logicals:
@@ -2367,6 +2411,7 @@ def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
     time travel below this commit) and its field id is retired
     forever, so no later column can collide with it."""
     _refuse_constrained_column(spark, table_dir, name, "drop")
+    _refuse_spec_source_column(spark, table_dir, name, "drop")
     entries = _current_mapping_or_identity(spark, table_dir)
     if name not in {e["logical"] for e in entries}:
         raise ValueError(f"no such column: {name!r}")
@@ -2386,6 +2431,7 @@ def add_column_mapped(
     entries = _current_mapping_or_identity(spark, table_dir)
     if logical in {e["logical"] for e in entries}:
         raise ValueError(f"column already exists: {logical!r}")
+    _refuse_case_collision(entries, [logical])
     fid = max(
         _max_fid_ever(spark, table_dir),
         max(e["fid"] for e in entries),
@@ -2468,6 +2514,20 @@ def _mapping_read_schema(spark: SparkSession, m: list[dict]):
     return spark.range(0).select(*[
         F.lit(None).cast(e["type"]).alias(e["physical"]) for e in m
     ]).schema
+
+
+def _table_reader(spark: SparkSession, table_dir: str):
+    """A DataFrameReader for this table's data files: the explicit
+    declared-type schema on a MAPPED table (required once a widen
+    makes footers heterogeneous — mergeSchema refuses those), the
+    usual mergeSchema footer union otherwise.  Shared by every
+    data-path reader that scans raw physical files (partition /
+    stats pruned reads, the storage-partitioned join, compaction),
+    so a type widening can't strand any of them."""
+    m = column_mapping(spark, table_dir)
+    if m is not None:
+        return spark.read.schema(_mapping_read_schema(spark, m))
+    return spark.read.option("mergeSchema", "true")
 
 
 def snapshot_read_mapped(
@@ -2599,6 +2659,7 @@ def append_auto_evolve(
             )
     new_cols = [c for c in df.columns if c not in by_logical]
     if new_cols:
+        _refuse_case_collision(entries, new_cols)
         fid = max(
             _max_fid_ever(spark, table_dir),
             max(e["fid"] for e in entries),
@@ -3059,6 +3120,19 @@ def _stage_partitioned_files(
     caller that already read the spec pin it — a concurrent spec
     evolution between two reads would otherwise desync the staged
     values from the caller's planning."""
+    m = column_mapping(spark, table_dir)
+    if m is not None and any(e["physical"] != e["logical"] for e in m):
+        # the partitioned writer lays ``df`` down AS GIVEN — on a
+        # table whose mapping has diverged (renamed or fc-added
+        # fields) that writes LOGICAL names into physical footers,
+        # and the mapped read would silently NULL-backfill the real
+        # physical column.  Refuse until the vocabularies re-align.
+        raise ValueError(
+            "partitioned writes do not compose with a diverged column "
+            "mapping (renamed/added fields): the writer would record "
+            "logical names as physical ones — append via "
+            "append_mapped, or keep the mapping identity"
+        )
     if spec is None:
         spec = partition_spec(spark, table_dir)
     if not spec:
@@ -3199,9 +3273,8 @@ def partition_pruned_read(
     transform), load-bearing on files with no recorded value."""
     cand = partition_candidate_files(spark, table_dir, eq, version)
     if not cand:
-        base, _ = _snapshot_read_with_live(spark, table_dir, version)
-        return base.filter(F.lit(False))
-    data = spark.read.option("mergeSchema", "true").parquet(
+        return _empty_snapshot(spark, table_dir, version)
+    data = _table_reader(spark, table_dir).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
     for c, v in eq.items():
@@ -3216,7 +3289,41 @@ def partition_pruned_read(
             data = data.filter(_spec_expr(c).isNull())
         else:
             data = data.filter(_spec_expr(c) == F.lit(str(v)))
-    return data
+    return _project_logical(spark, table_dir, data, version)
+
+
+def _project_logical(
+    spark: SparkSession,
+    table_dir: str,
+    data: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """Project a PHYSICAL-named pruned scan to the mapping's logical
+    names AS OF ``version`` (identity when unmapped), so the pruned
+    readers answer in the same vocabulary as snapshot_read_mapped.
+    Residual filters run BEFORE this — spec entries and cstats keys
+    name the written (physical) vocabulary, and spec/stat source
+    columns cannot rename (the `_refuse_spec_source_column` guard),
+    so filter-then-project is always safe."""
+    m = column_mapping(spark, table_dir, version)
+    return data if m is None else _apply_mapping(data, m)
+
+
+def _empty_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """A zero-row frame in the table's (mapped, logical) read schema
+    — the pruned readers' no-candidates result.  Threads the
+    explicit mapped schema so it cannot crash on a width-
+    heterogeneous (type-widened) live set the way a mergeSchema
+    footer union would."""
+    m = column_mapping(spark, table_dir, version)
+    rs = None if m is None else _mapping_read_schema(spark, m)
+    base, _ = _snapshot_read_with_live(
+        spark, table_dir, version, read_schema=rs
+    )
+    data = base.filter(F.lit(False))
+    return data if m is None else _apply_mapping(data, m)
 
 
 def transform_partition_value(entry: str, source_value) -> str:
@@ -3286,19 +3393,17 @@ def partition_pruned_read_where(
         )
     ]
     if not cand:
-        base, _ = _snapshot_read_with_live(spark, table_dir, version)
-        data = base.filter(F.lit(False))
-    else:
-        data = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_dir, DATA_SUBDIR, r["path"])
-              for r in cand]
-        )
+        return _empty_snapshot(spark, table_dir, version)
+    data = _table_reader(spark, table_dir).parquet(
+        *[os.path.join(table_dir, DATA_SUBDIR, r["path"])
+          for r in cand]
+    )
     for c, v in source_eq.items():
         data = data.filter(
             F.col(c).isNull() if v is None
             else F.col(c).cast("string") == F.lit(str(v))
         )
-    return data
+    return _project_logical(spark, table_dir, data, version)
 
 
 def replace_partitions(
@@ -3401,10 +3506,10 @@ def compact_partition(
         raise ValueError(
             f"data file exists: {name} — reuse a fresh prefix"
         )
-    # mergeSchema: files in one partition can diverge after schema
-    # evolution; a single-footer read would silently drop the
-    # columns the chosen file lacks
-    data = spark.read.option("mergeSchema", "true").parquet(*[
+    # mergeSchema (or the mapped explicit schema): files in one
+    # partition can diverge after schema evolution; a single-footer
+    # read would silently drop the columns the chosen file lacks
+    data = _table_reader(spark, table_dir).parquet(*[
         os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in victims
     ])
     _write_one_file(data.sortWithinPartitions(key), dest)
@@ -3710,7 +3815,7 @@ def compact_partitions(
             raise ValueError(
                 f"data file exists: {name} — reuse a fresh prefix"
             )
-        data = spark.read.option("mergeSchema", "true").parquet(*[
+        data = _table_reader(spark, table_dir).parquet(*[
             os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in rs
         ])
         _write_one_file(data.sortWithinPartitions(key), dest)
@@ -3840,16 +3945,15 @@ def stats_pruned_read_where(
     data filter."""
     cand = candidate_files_where(spark, table_dir, col, lo, hi, version)
     if not cand:
-        base, _ = _snapshot_read_with_live(spark, table_dir, version)
-        return base.filter(F.lit(False))
-    data = spark.read.option("mergeSchema", "true").parquet(
+        return _empty_snapshot(spark, table_dir, version)
+    data = _table_reader(spark, table_dir).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
     if lo is not None:
         data = data.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
         data = data.filter(F.col(col) <= F.lit(hi))
-    return data
+    return _project_logical(spark, table_dir, data, version)
 
 
 def stage_transform_table(spark: SparkSession, sf_dir: str) -> str:
@@ -4436,6 +4540,7 @@ def merge_table(
         known = {e["logical"] for e in entries}
         extra = [c for c in source.columns if c not in known]
         if extra:
+            _refuse_case_collision(entries, extra)
             types = dict(source.dtypes)
             fid = max(
                 _max_fid_ever(spark, table_dir),
@@ -5270,7 +5375,7 @@ def materialize_deletes(
         {"a": "remove", "path": r["path"]} for r in dels
     ]
     if cand:
-        tagged = spark.read.option("mergeSchema", "true").parquet(
+        tagged = _table_reader(spark, table_dir).parquet(
             *[os.path.join(table_dir, DATA_SUBDIR, p) for p in cand]
         )
         tagged = tagged.select(

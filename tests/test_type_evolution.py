@@ -236,3 +236,109 @@ def test_widen_then_mor_delete_read(spark, tmp_path):
     assert dict(got.dtypes)["o_qty"] == "bigint"
     assert got.filter("o_orderkey % 10 = 4").count() == 0
     assert got.count() == base.count() - n_del
+
+
+def test_widen_composes_with_checkpoint_expiry(spark, tmp_path):
+    """The widen is a meta action, so checkpoints CARRY it across
+    log expiry: post-expiry mapped reads still decode every retained
+    vintage under the wide type, and replay below the horizon
+    refuses loudly."""
+    d = _fresh(tmp_path, "widenckpt")
+    base = _orders_qty(spark, "int")
+    tl.append_mapped(spark, d, base.filter("o_orderkey % 2 = 0"),
+                     "A.parquet")                                  # v0
+    tl.widen_column_type(spark, d, "o_qty", "bigint")              # v1+
+    v_wide = max(tl._present_versions(d))
+    tl.append_mapped(
+        spark, d,
+        base.filter("o_orderkey % 2 = 1").withColumn(
+            "o_qty", tl.F.col("o_qty").cast("bigint")),
+        "B.parquet")
+    v_last = max(tl._present_versions(d))
+    tl.expire_log(spark, d, v_last)
+    got = tl.snapshot_read_mapped(spark, d)
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    assert got.count() == base.count()
+    with pytest.raises(ValueError, match="log expired"):
+        tl.snapshot_read_mapped(spark, d, version=v_wide - 1)
+
+
+def test_widen_composes_with_restore_and_clone(spark, tmp_path):
+    """RESTORE below the widen restores DATA, not metadata (Delta's
+    rule, already the documented contract): the mapping stays wide,
+    and the wide read of the restored narrow files is exact.  A
+    shallow CLONE of a widened table carries the wide mapping in its
+    v0 meta action."""
+    d = _fresh(tmp_path, "widenrest")
+    base = _orders_qty(spark, "int")
+    tl.append_mapped(spark, d, base.filter("o_orderkey % 2 = 0"),
+                     "A.parquet")                                  # v0
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    tl.append_mapped(
+        spark, d,
+        base.filter("o_orderkey % 2 = 1").withColumn(
+            "o_qty", tl.F.col("o_qty").cast("bigint")),
+        "B.parquet")
+    n_v0 = base.filter("o_orderkey % 2 = 0").count()
+    tl.restore_table(spark, d, 0)
+    got = tl.snapshot_read_mapped(spark, d)
+    assert got.count() == n_v0
+    assert dict(got.dtypes)["o_qty"] == "bigint"  # metadata stays
+    # clone carries the wide mapping
+    dc = str(tmp_path / "widenclone")
+    tl.clone_table(spark, d, dc)
+    m = {e["logical"]: e["type"]
+         for e in tl.column_mapping(spark, dc)}
+    assert m["o_qty"] == "bigint"
+    gc = tl.snapshot_read_mapped(spark, dc)
+    assert gc.count() == n_v0
+    assert dict(gc.dtypes)["o_qty"] == "bigint"
+
+
+def test_evolution_guards(spark, tmp_path):
+    """The loud-refusal edges around evolution (third-session
+    review): case-colliding adds, rename/drop of a partition-spec
+    source column, partitioned writes on a diverged mapping, and a
+    typo'd table path never reading as an empty table."""
+    d = _fresh(tmp_path, "guards")
+    base = _orders_qty(spark, "int")
+    tl.append_auto_evolve(spark, d, base, "A.parquet")
+    # case collision: Spark resolves names case-insensitively
+    with pytest.raises(ValueError, match="case-insensitively"):
+        tl.append_auto_evolve(
+            spark, d,
+            base.withColumn("O_QTY", tl.F.lit(1)), "B.parquet")
+    with pytest.raises(ValueError, match="case-insensitively"):
+        tl.add_column_mapped(spark, d, "O_Qty", "int")
+    with pytest.raises(ValueError, match="case-insensitively"):
+        tl.merge_table(
+            spark, d, base.withColumn("O_QTY", tl.F.lit(1)),
+            auto_evolve=True)
+    # a typo'd path refuses instead of reading as an empty table
+    with pytest.raises(ValueError, match="not a logged table"):
+        tl.snapshot_read(spark, str(tmp_path / "no_such_table"))
+    # spec-source rename/drop refuses; evolve the spec first
+    dp = _fresh(tmp_path, "guardspart")
+    tl.set_partition_spec(dp, ["month(o_orderdate)"])
+    tl.append_partitioned(
+        spark, dp,
+        base.select("o_orderkey", "o_totalprice", "o_orderdate"), "P")
+    with pytest.raises(ValueError, match="partition spec derives"):
+        tl.rename_column(spark, dp, "o_orderdate", "od")
+    with pytest.raises(ValueError, match="partition spec derives"):
+        tl.drop_column(spark, dp, "o_orderdate")
+    # a non-spec column still renames fine on a partitioned table...
+    tl.rename_column(spark, dp, "o_totalprice", "price")
+    # ...after which the mapping has DIVERGED, so partitioned writes
+    # refuse (they would record logical names as physical)
+    with pytest.raises(ValueError, match="diverged column mapping"):
+        tl.append_partitioned(
+            spark, dp,
+            base.select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumnRenamed("o_totalprice", "price"), "Q")
+    # the pruned read still answers under the mapping-aware reader
+    got = tl.partition_pruned_read(
+        spark, dp, {"month(o_orderdate)": "1995-03"})
+    want = base.filter(
+        "date_format(o_orderdate, 'yyyy-MM') = '1995-03'").count()
+    assert got.count() == want > 0
