@@ -2284,6 +2284,14 @@ def _current_mapping_or_identity(
     m = column_mapping(spark, table_dir)
     if m is not None:
         return m
+    if not snapshot_files(spark, table_dir).limit(1).count():
+        # an unmapped table with no data has NO schema to evolve —
+        # raw Spark would throw UNABLE_TO_INFER_SCHEMA from the
+        # empty scan; name the actual problem instead
+        raise ValueError(
+            f"{table_dir} has no schema yet (no data files, no "
+            "mapping): append first, then evolve"
+        )
     # schema inference only — delete files don't change the schema,
     # so this internal read declares merge_on_read legitimately
     base = snapshot_read(

@@ -342,3 +342,167 @@ def test_evolution_guards(spark, tmp_path):
     want = base.filter(
         "date_format(o_orderdate, 'yyyy-MM') = '1995-03'").count()
     assert got.count() == want > 0
+
+
+def test_evolution_property_vs_model(spark, tmp_path):
+    """Hypothesis property: a random interleaving of auto-evolving
+    appends (same-width, widening, new-column), WIDEN, RENAME, ADD
+    COLUMN, and DROP COLUMN against a driver-side model — after
+    every op the mapped read returns EXACTLY the model's rows under
+    the model's current logical schema and declared types, and at
+    the end EVERY recorded version time-travels to its own model
+    snapshot (the replay-model pattern the RESTORE and partition
+    property suites pin)."""
+    import copy
+
+    from hypothesis import given, settings, strategies as st
+
+    NAMES = ["v1", "v2", "va", "vb"]
+
+    ops = st.lists(
+        st.one_of(
+            st.just(("append",)),
+            st.just(("append_wide",)),
+            st.tuples(st.just("append_new"), st.sampled_from(NAMES)),
+            st.tuples(st.just("widen"), st.sampled_from(NAMES)),
+            st.tuples(st.just("rename"), st.sampled_from(NAMES),
+                      st.sampled_from(NAMES)),
+            st.tuples(st.just("add"), st.sampled_from(NAMES)),
+            st.tuples(st.just("drop"), st.sampled_from(NAMES)),
+        ),
+        min_size=1, max_size=6,
+    )
+
+    counter = {"n": 0}
+
+    def _mk_df(schema, rows):
+        """A frame with EXACTLY the model's declared types."""
+        fields = ", ".join(
+            f"{c} {t}" for c, t in schema.items()
+        )
+        return spark.createDataFrame(
+            [tuple(r.get(c) for c in schema) for r in rows], fields
+        )
+
+    def _normalize(schema, r):
+        out = []
+        for c, t in schema.items():
+            v = r.get(c)
+            out.append(None if v is None
+                       else float(v) if t == "double" else int(v))
+        return tuple(out)
+
+    @settings(max_examples=5, deadline=None)
+    @given(seq=ops)
+    def check(seq):
+        counter["n"] += 1
+        d = str(tmp_path / f"propevo{counter['n']}")
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        # model: ordered logical schema {name: type} + row dicts
+        schema = {"o_orderkey": "bigint", "v1": "int"}
+        rows: list[dict] = []
+        history: list[tuple[int, dict, list]] = []
+        kbase = counter["n"] * 100_000
+
+        def _verify(got, schema_at, rows_at):
+            assert dict(got.dtypes) == dict(schema_at), seq
+            want = sorted(_normalize(schema_at, r) for r in rows_at)
+            have = sorted(
+                tuple(x) for x in got.select(*schema_at).collect()
+            )
+            have = sorted(
+                _normalize(schema_at,
+                           dict(zip(schema_at, h))) for h in have
+            )
+            assert have == want, seq
+
+        for i, op in enumerate(seq):
+            kind = op[0]
+            if not rows and kind not in (
+                    "append", "append_wide", "append_new"):
+                # schema ops on an empty unmapped table refuse loudly
+                with pytest.raises(ValueError, match="no schema yet"):
+                    tl.widen_column_type(spark, d, "v1", "bigint")
+                continue
+            if kind in ("append", "append_wide", "append_new"):
+                k0 = kbase + i * 10
+                batch_schema = dict(schema)
+                batch = [
+                    {"o_orderkey": k0 + j,
+                     **{c: (float((k0 + j) % 97)
+                            if schema[c] == "double"
+                            else (k0 + j) % 97)
+                        for c in schema if c != "o_orderkey"}}
+                    for j in range(2)
+                ]
+                if kind == "append_wide":
+                    # v-columns arrive as bigint with values an int
+                    # cannot hold -> the table widens
+                    for c in batch_schema:
+                        if batch_schema[c] == "int":
+                            batch_schema[c] = "bigint"
+                    for r in batch:
+                        for c in batch_schema:
+                            if c != "o_orderkey" \
+                                    and batch_schema[c] == "bigint":
+                                r[c] = 3_000_000_000 + r["o_orderkey"]
+                elif kind == "append_new":
+                    c_new = op[1]
+                    if c_new in schema:
+                        continue  # only never-seen columns add
+                    if c_new.lower() in {s.lower() for s in schema}:
+                        continue
+                    batch_schema[c_new] = "double"
+                    for r in batch:
+                        r[c_new] = float(r["o_orderkey"]) / 2
+                v = tl.append_auto_evolve(
+                    spark, d, _mk_df(batch_schema, batch),
+                    f"A{i}.parquet")
+                for c, t in batch_schema.items():
+                    if schema.get(c) != t:
+                        schema[c] = t  # widened or added
+                rows += batch
+            elif kind == "widen":
+                c = op[1]
+                if schema.get(c) != "int":
+                    continue
+                v = tl.widen_column_type(spark, d, c, "bigint")
+                schema[c] = "bigint"
+            elif kind == "rename":
+                _, old, new = op
+                if old not in schema or old == "o_orderkey":
+                    continue
+                if new.lower() in {s.lower() for s in schema}:
+                    continue
+                v = tl.rename_column(spark, d, old, new)
+                schema = {new if c == old else c: t
+                          for c, t in schema.items()}
+                rows = [
+                    {new if c == old else c: x for c, x in r.items()}
+                    for r in rows
+                ]
+            elif kind == "add":
+                c = op[1]
+                if c.lower() in {s.lower() for s in schema}:
+                    continue
+                v = tl.add_column_mapped(spark, d, c, "double")
+                schema[c] = "double"
+            else:  # drop
+                c = op[1]
+                if c not in schema or c == "o_orderkey" \
+                        or len(schema) <= 2:
+                    continue
+                v = tl.drop_column(spark, d, c)
+                schema = {s: t for s, t in schema.items() if s != c}
+                rows = [{s: x for s, x in r.items() if s != c}
+                        for r in rows]
+            _verify(tl.snapshot_read_mapped(spark, d), schema, rows)
+            history.append(
+                (v, copy.deepcopy(schema), copy.deepcopy(rows)))
+        # every recorded version time-travels to its own snapshot
+        for v, schema_at, rows_at in history:
+            _verify(tl.snapshot_read_mapped(spark, d, version=v),
+                    schema_at, rows_at)
+
+    check()
