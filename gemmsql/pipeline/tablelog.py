@@ -1494,7 +1494,10 @@ def optimize_table(
     new_v = int(latest) + 1
     live = snapshot_files(spark, dest_dir).collect()
     paths = sorted(r["path"] for r in live)
-    df = spark.read.parquet(
+    # the shared reader: a single-footer read would silently drop
+    # columns on a schema-divergent live set, and a widened one
+    # needs the explicit declared-type schema
+    df = _table_reader(spark, dest_dir).parquet(
         *[os.path.join(dest_dir, DATA_SUBDIR, p) for p in paths]
     )
     if zorder_by is not None:
