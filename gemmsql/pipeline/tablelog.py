@@ -2527,15 +2527,20 @@ def _mapping_read_schema(spark: SparkSession, m: list[dict]):
     ]).schema
 
 
-def _table_reader(spark: SparkSession, table_dir: str):
+def _table_reader(
+    spark: SparkSession, table_dir: str, version: int | None = None
+):
     """A DataFrameReader for this table's data files: the explicit
     declared-type schema on a MAPPED table (required once a widen
     makes footers heterogeneous — mergeSchema refuses those), the
     usual mergeSchema footer union otherwise.  Shared by every
     data-path reader that scans raw physical files (partition /
     stats pruned reads, the storage-partitioned join, compaction),
-    so a type widening can't strand any of them."""
-    m = column_mapping(spark, table_dir)
+    so a type widening can't strand any of them.  ``version`` pins
+    the mapping AS OF a time-travel read — a versioned read below a
+    widen must decode (and answer in) the NARROW type of its day,
+    exactly like snapshot_read_mapped."""
+    m = column_mapping(spark, table_dir, version)
     if m is not None:
         return spark.read.schema(_mapping_read_schema(spark, m))
     return spark.read.option("mergeSchema", "true")
@@ -3285,7 +3290,7 @@ def partition_pruned_read(
     cand = partition_candidate_files(spark, table_dir, eq, version)
     if not cand:
         return _empty_snapshot(spark, table_dir, version)
-    data = _table_reader(spark, table_dir).parquet(
+    data = _table_reader(spark, table_dir, version).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
     for c, v in eq.items():
@@ -3405,7 +3410,7 @@ def partition_pruned_read_where(
     ]
     if not cand:
         return _empty_snapshot(spark, table_dir, version)
-    data = _table_reader(spark, table_dir).parquet(
+    data = _table_reader(spark, table_dir, version).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"])
           for r in cand]
     )
@@ -3957,7 +3962,7 @@ def stats_pruned_read_where(
     cand = candidate_files_where(spark, table_dir, col, lo, hi, version)
     if not cand:
         return _empty_snapshot(spark, table_dir, version)
-    data = _table_reader(spark, table_dir).parquet(
+    data = _table_reader(spark, table_dir, version).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
     if lo is not None:

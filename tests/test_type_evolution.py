@@ -506,3 +506,41 @@ def test_evolution_property_vs_model(spark, tmp_path):
                     schema_at, rows_at)
 
     check()
+
+
+def test_widen_on_partitioned_table_and_versioned_prunes(
+        spark, tmp_path):
+    """Widening composes with partitioning: the mapping stays
+    IDENTITY (no renames), so partitioned writes keep working, and
+    the pruned readers decode mixed-width partitions under the
+    declared type.  A VERSIONED pruned read below the widen answers
+    in the NARROW type of its day — the same AS-OF rule as
+    snapshot_read_mapped."""
+    d = _fresh(tmp_path, "widenpart")
+    base = _orders_qty(spark, "int").withColumn(
+        "o_year", tl.F.date_format("o_orderdate", "yyyy"))
+    tl.set_partition_spec(d, ["o_year"])                           # v0
+    tl.append_partitioned(spark, d, base, "P")                     # v1
+    v_narrow = 1
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    # post-widen partitioned append: wide values land per partition
+    wide = base.filter("o_orderkey % 9 = 0").withColumn(
+        "o_qty", tl.F.col("o_orderkey").cast("bigint")
+        + tl.F.lit(5_000_000_000).cast("bigint"))
+    tl.append_partitioned(spark, d, wide, "Q")
+    got = tl.partition_pruned_read(spark, d, {"o_year": "1995"})
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    want_n = base.filter("o_year = '1995'").count() + \
+        wide.filter("o_year = '1995'").count()
+    assert got.count() == want_n
+    assert got.filter("o_qty > 5000000000").count() == \
+        wide.filter("o_year = '1995'").count()
+    # versioned pruned read BELOW the widen: narrow type, old rows
+    old = tl.partition_pruned_read(
+        spark, d, {"o_year": "1995"}, version=v_narrow)
+    assert dict(old.dtypes)["o_qty"] == "int"
+    assert old.count() == base.filter("o_year = '1995'").count()
+    # the generalized-bounds reader agrees on the AS-OF rule
+    old2 = tl.stats_pruned_read_where(
+        spark, d, "o_qty", 0, None, version=v_narrow)
+    assert dict(old2.dtypes)["o_qty"] == "int"
