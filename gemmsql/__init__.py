@@ -145,6 +145,7 @@ _EXPORTS = {
     "required_writer_features": "gemmsql.pipeline.tablelog",
     "widen_column_type": "gemmsql.pipeline.tablelog",
     "append_auto_evolve": "gemmsql.pipeline.tablelog",
+    "type_widening_read": "gemmsql.pipeline.tablelog",
     "expire_log": "gemmsql.pipeline.tablelog",
     "ivm_drain": "gemmsql.pipeline.tablelog",
     "ivm_view": "gemmsql.pipeline.tablelog",

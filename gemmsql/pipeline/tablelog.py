@@ -2798,6 +2798,109 @@ FROM post GROUP BY 3
 """
 
 
+def stage_widened_table(spark: SparkSession, sf_dir: str) -> str:
+    """The TYPE-WIDENING lifecycle staged once per sf tier
+    (idempotent, published by rename): v0 appends the even-key
+    orders slice with ``o_qty`` as INT (``o_orderkey % 1000``), v1
+    widens ``o_qty`` to BIGINT (one metadata commit — the
+    column_mapping protocol + meta action), v2 is an AUTO-EVOLVING
+    append of the odd-key slice whose ``o_qty`` values exceed the
+    int range AND which carries a never-seen ``q_score`` double
+    column (added under a fresh field id in the same commit as the
+    data).  The table then holds width-heterogeneous footers — the
+    state only the explicit declared-type scan can read."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"gemmsql_tablewide_{staged_dir_tag(sf_dir)}"
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+    )
+    narrow = orders.filter("o_orderkey % 2 = 0").withColumn(
+        "o_qty", (F.col("o_orderkey") % 1000).cast("int")
+    )
+    wide = orders.filter("o_orderkey % 2 = 1").withColumn(
+        "o_qty",
+        (F.col("o_orderkey") + F.lit(3_000_000_000)).cast("bigint"),
+    ).withColumn(
+        "q_score", (F.col("o_orderkey") % 97).cast("double") / 2
+    )
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, LOG_SUBDIR))
+    os.makedirs(os.path.join(tmp, DATA_SUBDIR))
+    assert append_mapped(spark, tmp, narrow, "W0.parquet") == 0
+    assert widen_column_type(spark, tmp, "o_qty", "bigint") == 1
+    assert append_auto_evolve(spark, tmp, wide, "W2.parquet") == 2
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TYPE-WIDENING witness: per-bucket aggregates of the
+    staged table at v0 (time travel below the widen — the NARROW
+    int column, no ``q_score``) unioned with the LATEST read (the
+    widened bigint column whose sums exceed the int range, plus the
+    auto-added ``q_score``).  A scan that decodes a narrow file
+    wrongly under the wide schema, loses the widen on time travel,
+    or drops the auto-added column moves the hash — the DuckDB twin
+    recomputes both legs from ``orders`` directly."""
+    d = stage_widened_table(spark, sf_dir)
+    v0 = (
+        snapshot_read_mapped(spark, d, version=0)
+        .withColumn("tag", F.lit("v0"))
+        .withColumn("o_qty", F.col("o_qty").cast("bigint"))
+        .withColumn("q_score", F.lit(None).cast("double"))
+    )
+    latest = snapshot_read_mapped(spark, d).withColumn(
+        "tag", F.lit("latest")
+    )
+    u = v0.select("tag", "o_orderkey", "o_qty", "q_score").unionByName(
+        latest.select("tag", "o_orderkey", "o_qty", "q_score")
+    )
+    return (
+        u.groupBy("tag", (F.col("o_orderkey") % 4).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_qty").cast("long").alias("sum_qty"),
+            F.round(F.sum("q_score").cast("double"), 6)
+            .alias("sum_score"),
+        )
+    )
+
+
+TYPE_WIDENING_READ_SQL = """
+WITH narrow AS (
+  SELECT 'v0' AS tag, o_orderkey,
+         CAST(o_orderkey % 1000 AS BIGINT) AS qty,
+         CAST(NULL AS DOUBLE) AS score
+  FROM orders WHERE o_orderkey % 2 = 0),
+latest AS (
+  SELECT 'latest' AS tag, o_orderkey,
+         CAST(o_orderkey % 1000 AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'latest', o_orderkey,
+         CAST(o_orderkey + 3000000000 AS BIGINT),
+         CAST(o_orderkey % 97 AS DOUBLE) / 2
+  FROM orders WHERE o_orderkey % 2 = 1),
+allr AS (SELECT * FROM narrow UNION ALL SELECT * FROM latest)
+SELECT tag, CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       ROUND(CAST(SUM(score) AS DOUBLE), 6) AS sum_score
+FROM allr GROUP BY 1, 2
+"""
+
+
 def streaming_tablelog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The commit log as a STREAM source — the 'tail the table' half
     of a table format (Delta's streaming source reads the same log

@@ -801,6 +801,18 @@ def _partition_transform_read_sql():
     return PARTITION_TRANSFORM_READ_SQL
 
 
+def _type_widening_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import type_widening_read
+
+    return type_widening_read(spark, sf_dir)
+
+
+def _type_widening_read_sql():
+    from gemmsql.pipeline.tablelog import TYPE_WIDENING_READ_SQL
+
+    return TYPE_WIDENING_READ_SQL
+
+
 def _partition_pruning_read(spark, sf_dir):
     from gemmsql.pipeline.tablelog import partition_pruning_read
 
@@ -1344,6 +1356,19 @@ def _rotated():
         # month or over-pruned candidate moves the hash
         ("partition_transform_read", _partition_transform_read,
          _partition_transform_read_sql()),
+        # born in the round-15 THIRD session: TYPE WIDENING + schema
+        # auto-evolution (Delta 3.x type widening / Iceberg promotion
+        # rules as public prior art).  The staged lifecycle appends
+        # an INT column, widens it to BIGINT in one metadata commit,
+        # then auto-evolving-appends values beyond the int range plus
+        # a never-seen double column (schema change + data in ONE
+        # commit).  The gate unions the v0 time travel (narrow type
+        # of its day) with the latest widened read; sums exceed the
+        # int range, so a mis-decoded narrow file, a lost widen, or a
+        # dropped auto-added column moves the hash.  The twin
+        # recomputes both legs from orders directly.
+        ("type_widening_read", _type_widening_read,
+         _type_widening_read_sql()),
     ]
 
 
