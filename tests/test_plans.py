@@ -1058,3 +1058,18 @@ def test_r15_entrant_exchange_budgets(spark):
             f"{name}: {n} exchanges in the physical plan, budget is "
             f"{budget} — a shuffle crept in"
         )
+
+
+def test_type_widening_read_exchange_budget(spark):
+    """The third-session birth keeps the same ceiling discipline as
+    the promotion cohorts: two mapped explicit-schema scans union
+    into ONE final aggregate exchange — the explicit schema replaces
+    the mergeSchema footer job, it must never ADD a shuffle."""
+    from gemmsql.pipeline.tablelog import type_widening_read
+
+    p = plan_of(type_widening_read(spark, SF_SMOKE))
+    n = p.count("Exchange ")
+    assert n <= 1, (
+        f"type_widening_read: {n} exchanges, budget is 1 — a shuffle "
+        "crept in"
+    )
