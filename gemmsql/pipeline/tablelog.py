@@ -2391,8 +2391,31 @@ def _mapping_actions(table_dir: str, entries: list[dict]) -> list[dict]:
     return actions
 
 
-def _mapping_commit(table_dir: str, entries: list[dict]) -> int:
-    return commit_actions(table_dir, _mapping_actions(table_dir, entries))
+def _latest_version(table_dir: str) -> int:
+    present = _present_versions(table_dir)
+    return present[-1] if present else -1
+
+
+def _mapping_commit(
+    table_dir: str, entries: list[dict], planned_v: int | None = None
+) -> int:
+    """Commit a mapping replacement under the SERIALIZABLE version
+    pin: the schema_map meta action REPLACES the whole mapping, so
+    two concurrent schema changes planned from the same base would
+    silently drop each other's edits (the second writer's list lacks
+    the first's column while its data file stays live) — the pin
+    aborts the loser with ConcurrentModificationError instead, the
+    same rule Delta applies to metadata transactions.  ``planned_v``
+    is the version the caller read the mapping AT (captured BEFORE
+    the read, so the pin covers the whole read-edit-commit window);
+    a spurious abort from an interleaved append is the safe
+    direction — the caller replans."""
+    if planned_v is None:
+        planned_v = _latest_version(table_dir)
+    return commit_actions(
+        table_dir, _mapping_actions(table_dir, entries),
+        expects_latest_version=planned_v,
+    )
 
 
 def rename_column(
@@ -2404,6 +2427,7 @@ def rename_column(
     reads the old name.  Returns the committed version."""
     _refuse_constrained_column(spark, table_dir, old, "rename")
     _refuse_spec_source_column(spark, table_dir, old, "rename")
+    planned_v = _latest_version(table_dir)
     entries = _current_mapping_or_identity(spark, table_dir)
     logicals = {e["logical"] for e in entries}
     if old not in logicals:
@@ -2413,7 +2437,7 @@ def rename_column(
     for e in entries:
         if e["logical"] == old:
             e["logical"] = new
-    return _mapping_commit(table_dir, entries)
+    return _mapping_commit(table_dir, entries, planned_v)
 
 
 def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
@@ -2423,13 +2447,14 @@ def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
     forever, so no later column can collide with it."""
     _refuse_constrained_column(spark, table_dir, name, "drop")
     _refuse_spec_source_column(spark, table_dir, name, "drop")
+    planned_v = _latest_version(table_dir)
     entries = _current_mapping_or_identity(spark, table_dir)
     if name not in {e["logical"] for e in entries}:
         raise ValueError(f"no such column: {name!r}")
     kept = [e for e in entries if e["logical"] != name]
     if not kept:
         raise ValueError("cannot drop the last column")
-    return _mapping_commit(table_dir, kept)
+    return _mapping_commit(table_dir, kept, planned_v)
 
 
 def add_column_mapped(
@@ -2439,6 +2464,7 @@ def add_column_mapped(
     physical column (``fc{fid}``) that no historical file contains —
     old files NULL-backfill it at read time, the add-column half of
     evolution composed with mapping."""
+    planned_v = _latest_version(table_dir)
     entries = _current_mapping_or_identity(spark, table_dir)
     if logical in {e["logical"] for e in entries}:
         raise ValueError(f"column already exists: {logical!r}")
@@ -2451,7 +2477,7 @@ def add_column_mapped(
         "fid": fid, "physical": f"fc{fid}",
         "logical": logical, "type": sql_type,
     })
-    return _mapping_commit(table_dir, entries)
+    return _mapping_commit(table_dir, entries, planned_v)
 
 
 #: TYPE WIDENING (Delta 3.x type widening / Iceberg schema
@@ -2496,6 +2522,7 @@ def widen_column_type(
     (bigint->int) could silently truncate values a future file
     writes, and an unrelated change (string->int) has no scan-time
     conversion — both refuse.  Returns the committed version."""
+    planned_v = _latest_version(table_dir)
     entries = _current_mapping_or_identity(spark, table_dir)
     by_logical = {e["logical"]: e for e in entries}
     if logical not in by_logical:
@@ -2510,7 +2537,7 @@ def widen_column_type(
             "at scan time)"
         )
     by_logical[logical]["type"] = new_type
-    return _mapping_commit(table_dir, entries)
+    return _mapping_commit(table_dir, entries, planned_v)
 
 
 def _mapping_read_schema(spark: SparkSession, m: list[dict]):
@@ -2653,6 +2680,7 @@ def append_auto_evolve(
         if add is None:
             raise ValueError("empty append")
         return commit_actions(table_dir, [add])
+    planned_v = _latest_version(table_dir)
     entries = _current_mapping_or_identity(spark, table_dir)
     by_logical = {e["logical"]: e for e in entries}
     types = dict(df.dtypes)
@@ -2696,8 +2724,14 @@ def append_auto_evolve(
     )
     if add is None:
         raise ValueError("empty append")
-    actions = _mapping_actions(table_dir, entries) if changed else []
-    return commit_actions(table_dir, actions + [add])
+    if not changed:
+        return commit_actions(table_dir, [add])
+    # schema change + data in one commit, under the serializable pin
+    # the mapping was read at (see _mapping_commit's lost-edit rule)
+    return commit_actions(
+        table_dir, _mapping_actions(table_dir, entries) + [add],
+        expects_latest_version=planned_v,
+    )
 
 
 def _bucket7_renamed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4655,6 +4689,7 @@ def merge_table(
         # new physical column, unmatched target rows NULL-backfill
         # it).  Columns the source LACKS still refuse below: a merge
         # that can't state every target column would have to guess.
+        planned_v = _latest_version(table_dir)
         entries = _current_mapping_or_identity(spark, table_dir)
         known = {e["logical"] for e in entries}
         extra = [c for c in source.columns if c not in known]
@@ -4671,7 +4706,7 @@ def merge_table(
                     "logical": c, "type": types[c],
                 })
                 fid += 1
-            _mapping_commit(table_dir, entries)
+            _mapping_commit(table_dir, entries, planned_v)
     mapping = column_mapping(spark, table_dir)
     if mapping is None:
         # the exact-schema contract holds for UNMAPPED tables too:

@@ -544,3 +544,33 @@ def test_widen_on_partitioned_table_and_versioned_prunes(
     old2 = tl.stats_pruned_read_where(
         spark, d, "o_qty", 0, None, version=v_narrow)
     assert dict(old2.dtypes)["o_qty"] == "int"
+
+
+def test_concurrent_schema_changes_cannot_lose_edits(spark, tmp_path):
+    """The schema_map meta action replaces the WHOLE mapping, so two
+    schema changes planned from the same base would silently drop
+    each other's edits.  The serializable pin aborts the loser with
+    ConcurrentModificationError (simulated by staging the first
+    writer's planning, letting a second land, then committing)."""
+    d = _fresh(tmp_path, "schemaraces")
+    base = _orders_qty(spark, "int")
+    tl.append_auto_evolve(spark, d, base, "A.parquet")
+    # writer 1 plans an ADD from the current base...
+    planned_v = tl._latest_version(d)
+    entries = tl._current_mapping_or_identity(spark, d)
+    entries.append({"fid": 99, "physical": "fc99",
+                    "logical": "w1_col", "type": "int"})
+    # ...writer 2 lands a widen in between...
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    # ...writer 1's commit must ABORT, not overwrite the widen
+    with pytest.raises(tl.ConcurrentModificationError):
+        tl._mapping_commit(d, entries, planned_v)
+    m = {e["logical"]: e["type"]
+         for e in tl.column_mapping(spark, d)}
+    assert m["o_qty"] == "bigint"
+    assert "w1_col" not in m
+    # a replanned retry (fresh read) succeeds and keeps BOTH edits
+    tl.add_column_mapped(spark, d, "w1_col", "int")
+    m2 = {e["logical"]: e["type"]
+          for e in tl.column_mapping(spark, d)}
+    assert m2["o_qty"] == "bigint" and m2["w1_col"] == "int"
