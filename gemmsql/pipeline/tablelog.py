@@ -2495,12 +2495,35 @@ _WIDENINGS: dict[str, tuple[str, ...]] = {
     "float": ("double",),
 }
 
+#: integer digits a decimal target must reserve to hold every value
+#: of the source integer type (bigint max is 19 digits)
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+
+_DECIMAL_RE = re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\Z")
+
 
 def _is_widening(old: str, new: str) -> bool:
+    """The promotions the Spark 4 parquet reader performs at scan
+    time (all probed in this build): up the integer chain, to
+    double, integer→decimal with enough integer digits, and
+    decimal→decimal where neither the integer digits nor the scale
+    shrink (Delta's type-widening matrix)."""
     o, n = old.lower().strip(), new.lower().strip()
     if o == n:
         return False
-    return n in _WIDENINGS.get(o, ())
+    if n in _WIDENINGS.get(o, ()):
+        return True
+    dn = _DECIMAL_RE.match(n)
+    if dn is None:
+        return False
+    p2, s2 = int(dn.group(1)), int(dn.group(2))
+    if o in _INT_DIGITS:
+        return p2 - s2 >= _INT_DIGITS[o]
+    do = _DECIMAL_RE.match(o)
+    if do is None:
+        return False
+    p1, s1 = int(do.group(1)), int(do.group(2))
+    return s2 >= s1 and p2 - s2 >= p1 - s1
 
 
 def widen_column_type(

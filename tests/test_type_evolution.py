@@ -574,3 +574,50 @@ def test_concurrent_schema_changes_cannot_lose_edits(spark, tmp_path):
     m2 = {e["logical"]: e["type"]
           for e in tl.column_mapping(spark, d)}
     assert m2["o_qty"] == "bigint" and m2["w1_col"] == "int"
+
+
+def test_widen_decimal_and_int_to_decimal(spark, tmp_path):
+    """The decimal half of the widening matrix (probed against this
+    build's parquet reader): decimal→decimal where neither integer
+    digits nor scale shrink, and integer→decimal with enough integer
+    digits.  Narrowing either dimension refuses."""
+    d = _fresh(tmp_path, "widendec")
+    base = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        tl.F.col("o_totalprice").cast("decimal(10,2)").alias("price"),
+        (tl.F.col("o_orderkey") % 1000).cast("int").alias("o_qty"),
+    )
+    tl.append_mapped(spark, d, base.filter("o_orderkey % 2 = 0"),
+                     "A.parquet")
+    tl.widen_column_type(spark, d, "price", "decimal(20,4)")
+    tl.widen_column_type(spark, d, "o_qty", "decimal(12,2)")
+    tl.append_mapped(
+        spark, d,
+        base.filter("o_orderkey % 2 = 1").select(
+            "o_orderkey",
+            tl.F.col("price").cast("decimal(20,4)").alias("price"),
+            (tl.F.col("o_orderkey") + tl.F.lit(2_000_000_000))
+            .cast("decimal(12,2)").alias("o_qty"),
+        ),
+        "B.parquet")
+    got = tl.snapshot_read_mapped(spark, d)
+    dt = dict(got.dtypes)
+    assert dt["price"] == "decimal(20,4)"
+    assert dt["o_qty"] == "decimal(12,2)"
+    assert got.count() == base.count()
+    # values decode exactly across both vintages
+    want = base.agg(
+        tl.F.sum(tl.F.col("price").cast("decimal(20,4)"))
+    ).collect()[0][0]
+    assert got.agg(tl.F.sum("price")).collect()[0][0] == want
+    # narrowing refuses on both dimensions
+    with pytest.raises(ValueError, match="cannot widen"):
+        tl.widen_column_type(spark, d, "price", "decimal(18,4)")
+    with pytest.raises(ValueError, match="cannot widen"):
+        tl.widen_column_type(spark, d, "price", "decimal(20,2)")
+    # int->decimal without enough integer digits refuses
+    d2 = _fresh(tmp_path, "widendec2")
+    tl.append_mapped(
+        spark, d2, base.select("o_orderkey", "o_qty"), "A.parquet")
+    with pytest.raises(ValueError, match="cannot widen"):
+        tl.widen_column_type(spark, d2, "o_qty", "decimal(9,0)")
