@@ -3889,15 +3889,19 @@ def storage_partitioned_join(
         buckets |= set(fa)
     if right_keep:
         buckets |= set(fb)
-    # representative zero-row frames give a missing side its schema
+    # representative zero-row frames give a missing side its schema;
+    # both sides scan through the shared table reader so a
+    # type-widened bucket layout (heterogeneous footers) still joins
+    rd_a = _table_reader(spark, dir_a)
+    rd_b = _table_reader(spark, dir_b)
     any_a = next(iter(fa.values()))[0]
     any_b = next(iter(fb.values()))[0]
     parts = []
     for b in sorted(buckets):
-        left = (spark.read.parquet(*fa[b]) if b in fa
-                else spark.read.parquet(any_a).limit(0))
-        right = (spark.read.parquet(*fb[b]) if b in fb
-                 else spark.read.parquet(any_b).limit(0))
+        left = (rd_a.parquet(*fa[b]) if b in fa
+                else rd_a.parquet(any_a).limit(0))
+        right = (rd_b.parquet(*fb[b]) if b in fb
+                 else rd_b.parquet(any_b).limit(0))
         parts.append(left.join(right.withColumnsRenamed(
             {c: f"r_{c}" for c in right.columns if c != key}
         ), on=key, how=how))

@@ -621,3 +621,44 @@ def test_widen_decimal_and_int_to_decimal(spark, tmp_path):
         spark, d2, base.select("o_orderkey", "o_qty"), "A.parquet")
     with pytest.raises(ValueError, match="cannot widen"):
         tl.widen_column_type(spark, d2, "o_qty", "decimal(9,0)")
+
+
+def test_widen_composes_with_storage_partitioned_join(
+        spark, tmp_path):
+    """A widened bucket layout still joins shuffle-free: both sides
+    scan through the shared reader's explicit schema, so narrow and
+    wide files co-exist inside one bucket."""
+    base = _orders_qty(spark, "int")
+    da, db = str(tmp_path / "spjwA"), str(tmp_path / "spjwB")
+    for d in (da, db):
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.set_partition_spec(d, ["bucket(4,o_orderkey)"])
+    tl.append_partitioned(
+        spark, da, base.filter("o_orderkey % 2 = 0"), "B1")
+    dims = base.select(
+        "o_orderkey", tl.F.col("o_qty").alias("q2"))
+    tl.append_partitioned(spark, db, dims, "B1")
+    # widen the left table's o_qty; append wide rows into the SAME
+    # buckets (identity mapping keeps partitioned writes legal)
+    tl.widen_column_type(spark, da, "o_qty", "bigint")
+    tl.append_partitioned(
+        spark, da,
+        base.filter("o_orderkey % 2 = 1").withColumn(
+            "o_qty", tl.F.col("o_orderkey").cast("bigint")
+            + tl.F.lit(4_000_000_000)),
+        "B2")
+    got = tl.storage_partitioned_join(spark, da, db)
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    want = base.withColumn(
+        "o_qty",
+        tl.F.when(tl.F.col("o_orderkey") % 2 == 1,
+                  tl.F.col("o_orderkey").cast("bigint")
+                  + tl.F.lit(4_000_000_000))
+        .otherwise(tl.F.col("o_qty").cast("bigint"))
+    ).join(dims.withColumnsRenamed({"q2": "r_q2"}), on="o_orderkey")
+    assert got.count() == want.count() > 0
+    assert got.agg(tl.F.sum("o_qty")).collect()[0][0] == \
+        want.agg(tl.F.sum("o_qty")).collect()[0][0]
