@@ -2434,6 +2434,11 @@ def rename_column(
         raise ValueError(f"no such column: {old!r}")
     if new in logicals:
         raise ValueError(f"column already exists: {new!r}")
+    # same rule as add/auto-evolve (ADVICE r15 low): 'QTY' next to
+    # 'qty' would make case-insensitive F.col references ambiguous
+    _refuse_case_collision(
+        [e for e in entries if e["logical"] != old], [new]
+    )
     for e in entries:
         if e["logical"] == old:
             e["logical"] = new
@@ -2544,7 +2549,18 @@ def widen_column_type(
     Only the promotions in ``_WIDENINGS`` are legal: a NARROWING
     (bigint->int) could silently truncate values a future file
     writes, and an unrelated change (string->int) has no scan-time
-    conversion — both refuse.  Returns the committed version."""
+    conversion — both refuse.  A widening that changes a value's
+    CANONICAL STRING FORM (int->double turns '123' into '123.0')
+    refuses on a partition-spec SOURCE column (ADVICE r15 medium):
+    partition values are recorded as strings, so new writes would
+    record values that no longer match the stringified predicates
+    `transform_partition_value` converts — pruned reads would then
+    silently skip those files.  Integer-chain widenings keep the
+    string form and stay legal on spec sources.  Returns the
+    committed version."""
+    nl = new_type.lower().strip()
+    if nl in ("float", "double") or _DECIMAL_RE.match(nl):
+        _refuse_spec_source_column(spark, table_dir, logical, "widen")
     planned_v = _latest_version(table_dir)
     entries = _current_mapping_or_identity(spark, table_dir)
     by_logical = {e["logical"]: e for e in entries}
@@ -2686,7 +2702,11 @@ def append_auto_evolve(
       declared type (see :func:`widen_column_type` — metadata only);
     - a known column arriving NARROWER appends as-is: the mapped
       read's explicit schema decodes the narrow physical encoding
-      under the declared wide type, so nothing is lost;
+      under the declared wide type, so nothing is lost — on a table
+      that was never mapped, the identity mapping commits WITH the
+      data (ADVICE r15 high: without it the narrow file lands in a
+      mergeSchema table whose int-vs-bigint footers refuse to merge,
+      bricking every subsequent read);
     - an INCOMPATIBLE type change refuses whole;
     - mapped columns ``df`` lacks are fine — readers NULL-backfill
       them per file, the add-column contract.
@@ -2704,6 +2724,7 @@ def append_auto_evolve(
             raise ValueError("empty append")
         return commit_actions(table_dir, [add])
     planned_v = _latest_version(table_dir)
+    mapped = column_mapping(spark, table_dir) is not None
     entries = _current_mapping_or_identity(spark, table_dir)
     by_logical = {e["logical"]: e for e in entries}
     types = dict(df.dtypes)
@@ -2714,8 +2735,18 @@ def append_auto_evolve(
             continue
         old = e["type"].lower().strip()
         new = types[c].lower().strip()
-        if old == new or _is_widening(new, old):
-            continue  # equal, or incoming narrower: read-side widening
+        if old == new:
+            continue
+        if _is_widening(new, old):
+            # incoming NARROWER: the declared wide type stays and the
+            # explicit-schema read widens the narrow file at scan
+            # time — but that read path only exists under a mapping,
+            # so a never-mapped table must gain its identity mapping
+            # in this same commit (else mergeSchema refuses the now
+            # type-heterogeneous footers and the table is unreadable)
+            if not mapped:
+                changed = True
+            continue
         if _is_widening(old, new):
             e["type"] = types[c]
             changed = True
@@ -3821,6 +3852,7 @@ def storage_partitioned_join(
     key: str = "o_orderkey",
     *,
     how: str = "inner",
+    max_branches: int = 32,
 ) -> DataFrame:
     """STORAGE-PARTITIONED JOIN (Iceberg + Spark 3.3's headline
     shuffle elimination): when BOTH tables are partitioned by the
@@ -3830,11 +3862,23 @@ def storage_partitioned_join(
     shuffles.  At 100 TB this is the difference between joining two
     tables in place and paying two full-table exchanges.
 
-    Plan shape: a union of per-bucket joins, each side a bounded
-    file-list scan; no ``Exchange hashpartitioning`` anywhere
+    Plan shape: a union of per-bucket-group joins, each side a
+    bounded file-list scan; no ``Exchange hashpartitioning`` anywhere
     (plan-pinned in tests).  Both tables must carry an identical
     single-entry ``bucket(N,key)`` spec — anything else refuses (a
-    mismatched N would silently drop matches)."""
+    mismatched N would silently drop matches).
+
+    ``max_branches`` bounds the union's plan size (VERDICT r15 perf
+    caveat): buckets group into at most that many branches, each
+    branch joining the group's files from both sides.  Grouping
+    whole buckets preserves correctness — equal keys share a bucket
+    number by construction, so no match can cross group boundaries —
+    while a 1024-bucket table plans 32 branches instead of 1024.
+    Spark's native SPJ pushes the same idea into the scan's reported
+    partitioning; here it is explicit in the plan.  Each side scans
+    through the shared table reader and projects to LOGICAL names
+    (ADVICE r15 low: an auto-evolved bucket table would otherwise
+    leak physical ``fcN`` names into the join output)."""
     def _bucket_spec(d: str) -> int:
         spec = partition_spec(spark, d)
         if len(spec) != 1:
@@ -3891,17 +3935,35 @@ def storage_partitioned_join(
         buckets |= set(fb)
     # representative zero-row frames give a missing side its schema;
     # both sides scan through the shared table reader so a
-    # type-widened bucket layout (heterogeneous footers) still joins
+    # type-widened bucket layout (heterogeneous footers) still joins,
+    # then project to LOGICAL names (mapped tables would otherwise
+    # leak fcN physical columns into the output)
     rd_a = _table_reader(spark, dir_a)
     rd_b = _table_reader(spark, dir_b)
+    m_a = column_mapping(spark, dir_a)
+    m_b = column_mapping(spark, dir_b)
     any_a = next(iter(fa.values()))[0]
     any_b = next(iter(fb.values()))[0]
+    if max_branches < 1:
+        raise ValueError("max_branches must be >= 1")
+    ordered = sorted(buckets)
+    # contiguous bucket groups, at most max_branches of them: whole
+    # buckets never split, so co-location holds within every branch
+    # and the join stays exchange-free regardless of bucket count
+    groups = [
+        ordered[i::max_branches] for i in range(max_branches)
+        if ordered[i::max_branches]
+    ]
     parts = []
-    for b in sorted(buckets):
-        left = (rd_a.parquet(*fa[b]) if b in fa
-                else rd_a.parquet(any_a).limit(0))
-        right = (rd_b.parquet(*fb[b]) if b in fb
-                 else rd_b.parquet(any_b).limit(0))
+    for grp in groups:
+        la = [p for b in grp for p in fa.get(b, ())]
+        lb = [p for b in grp for p in fb.get(b, ())]
+        left = rd_a.parquet(*la) if la else rd_a.parquet(any_a).limit(0)
+        right = rd_b.parquet(*lb) if lb else rd_b.parquet(any_b).limit(0)
+        if m_a is not None:
+            left = _apply_mapping(left, m_a)
+        if m_b is not None:
+            right = _apply_mapping(right, m_b)
         parts.append(left.join(right.withColumnsRenamed(
             {c: f"r_{c}" for c in right.columns if c != key}
         ), on=key, how=how))
@@ -4709,20 +4771,52 @@ def merge_table(
             f"MERGE does not support reader features "
             f"{sorted(feats - {'column_mapping'})}"
         )
+    mapping_acts: list[dict] = []
+    planned_map_v: int | None = None
+    evolved: list[dict] | None = None
     if auto_evolve:
         # Delta's autoMerge for MERGE INTO: source columns the table
-        # has never seen ADD to the mapping first (a metadata commit
-        # — the data commit follows; matched rewrites then carry the
-        # new physical column, unmatched target rows NULL-backfill
-        # it).  Columns the source LACKS still refuse below: a merge
-        # that can't state every target column would have to guess.
+        # has never seen ADD to the mapping, known columns arriving
+        # WIDER widen the declared type, and a NARROWER arrival on a
+        # never-mapped table forces the identity mapping (the same
+        # type rules as append_auto_evolve — ADVICE r15 high: name
+        # checks alone let a narrow file brick a mergeSchema table).
+        # The mapping actions land IN the data commit below (ADVICE
+        # r15 low: a separate up-front metadata commit leaves an
+        # observable schema-change-without-data version if the merge
+        # aborts between the two).  Columns the source LACKS still
+        # refuse below: a merge that can't state every target column
+        # would have to guess.
         planned_v = _latest_version(table_dir)
+        mapped0 = column_mapping(spark, table_dir) is not None
         entries = _current_mapping_or_identity(spark, table_dir)
-        known = {e["logical"] for e in entries}
-        extra = [c for c in source.columns if c not in known]
+        by_logical = {e["logical"]: e for e in entries}
+        types = dict(source.dtypes)
+        changed = False
+        for c in source.columns:
+            e = by_logical.get(c)
+            if e is None:
+                continue
+            old = e["type"].lower().strip()
+            new = types[c].lower().strip()
+            if old == new:
+                continue
+            if _is_widening(new, old):
+                if not mapped0:
+                    changed = True  # identity mapping must commit
+                continue
+            if _is_widening(old, new):
+                e["type"] = types[c]
+                changed = True
+            else:
+                raise ValueError(
+                    f"column {c!r} arrives as {types[c]!r} but the "
+                    f"table declares {e['type']!r} — not a legal "
+                    "widening"
+                )
+        extra = [c for c in source.columns if c not in by_logical]
         if extra:
             _refuse_case_collision(entries, extra)
-            types = dict(source.dtypes)
             fid = max(
                 _max_fid_ever(spark, table_dir),
                 max(e["fid"] for e in entries),
@@ -4733,8 +4827,13 @@ def merge_table(
                     "logical": c, "type": types[c],
                 })
                 fid += 1
-            _mapping_commit(table_dir, entries, planned_v)
-    mapping = column_mapping(spark, table_dir)
+            changed = True
+        if changed:
+            mapping_acts = _mapping_actions(table_dir, entries)
+            planned_map_v = planned_v
+            evolved = entries
+    mapping = evolved if evolved is not None \
+        else column_mapping(spark, table_dir)
     if mapping is None:
         # the exact-schema contract holds for UNMAPPED tables too:
         # without this, an extra source column would silently land in
@@ -4877,8 +4976,13 @@ def merge_table(
     if not actions:
         raise ValueError("merge produced no actions")
     # snapshot-isolation: abort if a concurrent commit rewrote any
-    # file this merge planned to replace (lost-update protection)
-    return commit_actions(table_dir, actions, expects_live=touched)
+    # file this merge planned to replace (lost-update protection);
+    # an auto-evolved schema change rides the SAME commit under the
+    # serializable pin its mapping was read at
+    return commit_actions(
+        table_dir, mapping_acts + actions, expects_live=touched,
+        expects_latest_version=planned_map_v,
+    )
 
 
 #: bloom index shape: 2^17 bits (expressed as set POSITIONS, not

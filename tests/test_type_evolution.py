@@ -662,3 +662,161 @@ def test_widen_composes_with_storage_partitioned_join(
     assert got.count() == want.count() > 0
     assert got.agg(tl.F.sum("o_qty")).collect()[0][0] == \
         want.agg(tl.F.sum("o_qty")).collect()[0][0]
+
+
+def test_append_auto_evolve_narrower_on_unmapped(spark, tmp_path):
+    """ADVICE r16 high: a NARROWER arrival on a table that was never
+    mapped must commit the identity mapping WITH the data — without
+    it the narrow file lands in a mergeSchema table whose
+    int-vs-bigint footers refuse to merge, bricking every read (and
+    recovery via widen_column_type, which infers the identity
+    mapping through the same broken read)."""
+    d = _fresh(tmp_path, "autonarrow")
+    base = _orders_qty(spark, "bigint")  # declared wide from day one
+    tl.append_auto_evolve(spark, d, base.filter("o_orderkey % 2 = 0"),
+                          "A.parquet")
+    assert tl.column_mapping(spark, d) is None  # plain first write
+    v_before = max(tl._present_versions(d))
+    narrow = _orders_qty(spark, "int").filter("o_orderkey % 2 = 1")
+    v = tl.append_auto_evolve(spark, d, narrow, "B.parquet")
+    # schema (identity mapping, declared bigint) + data in ONE commit
+    assert v == v_before + 1
+    m = {e["logical"]: e for e in tl.column_mapping(spark, d)}
+    assert m["o_qty"]["type"] == "bigint"
+    got = tl.snapshot_read_mapped(spark, d)
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    assert got.count() == base.count()
+    want = base.agg(tl.F.sum("o_qty")).collect()[0][0]
+    assert got.agg(tl.F.sum("o_qty")).collect()[0][0] == want
+
+
+def test_merge_auto_evolve_types_on_unmapped(spark, tmp_path):
+    """merge_table's type half of the same hole: a narrower source
+    on a never-mapped table forces the identity mapping, a wider
+    source widens the declared type, an incompatible one refuses."""
+    d = _fresh(tmp_path, "mrgnarrow")
+    base = _orders_qty(spark, "bigint")
+    tl.append_auto_evolve(spark, d, base, "A.parquet")
+    assert tl.column_mapping(spark, d) is None
+    # NARROWER source: inserts land narrow, so the identity mapping
+    # (declared bigint) must ride the merge commit
+    src = _orders_qty(spark, "int").filter("o_orderkey % 7 = 0") \
+        .withColumn("o_orderkey", tl.F.col("o_orderkey")
+                    + tl.F.lit(10_000_000))
+    tl.merge_table(spark, d, src, auto_evolve=True)
+    m = {e["logical"]: e for e in tl.column_mapping(spark, d)}
+    assert m["o_qty"]["type"] == "bigint"
+    got = tl.snapshot_read_mapped(spark, d)
+    assert dict(got.dtypes)["o_qty"] == "bigint"
+    assert got.count() == base.count() + src.count()
+    # incompatible type refuses whole
+    bad = base.limit(5).withColumn(
+        "o_qty", tl.F.col("o_qty").cast("string"))
+    with pytest.raises(ValueError, match="not a legal widening"):
+        tl.merge_table(spark, d, bad, auto_evolve=True)
+
+
+def test_merge_auto_evolve_single_commit(spark, tmp_path):
+    """ADVICE r16 low: the auto-evolved mapping change lands IN the
+    merge's data commit — one version, no observable
+    schema-change-without-data intermediate."""
+    d = _fresh(tmp_path, "mrgatomic")
+    base = _orders_qty(spark, "int")
+    tl.append_auto_evolve(spark, d, base, "A.parquet")
+    v_before = max(tl._present_versions(d))
+    src = base.filter("o_orderkey % 11 = 0").withColumn(
+        "flag", tl.F.lit("HOT"))
+    v = tl.merge_table(spark, d, src, auto_evolve=True)
+    assert v == v_before + 1, "mapping + merge must be ONE commit"
+    # the single commit carries both the meta action and data actions
+    log = tl.read_log(spark, d).filter(tl.F.col("v") == v)
+    assert log.filter(tl.F.col("a") == "meta").count() == 1
+    assert log.filter(tl.F.col("a") == "add").count() >= 1
+
+
+def test_widen_refuses_string_form_change_on_spec_source(
+        spark, tmp_path):
+    """ADVICE r16 medium: widening a partition-spec source column to
+    double/decimal changes the canonical string form ('123' ->
+    '123.0'), desyncing recorded partition values from converted
+    predicates — refuse; the integer chain keeps the form and stays
+    legal."""
+    d = _fresh(tmp_path, "widenspec")
+    base = _orders_qty(spark, "int")
+    tl.set_partition_spec(d, ["o_qty"])
+    tl.append_partitioned(
+        spark, d, base.filter("o_orderkey % 100 < 3"), "B1")
+    with pytest.raises(ValueError, match="partition spec"):
+        tl.widen_column_type(spark, d, "o_qty", "double")
+    # integer-chain widening keeps '123' == '123' and stays legal
+    tl.widen_column_type(spark, d, "o_qty", "bigint")
+    probe = base.filter("o_orderkey % 100 < 3") \
+        .select("o_qty").limit(1).collect()[0][0]
+    got = tl.partition_pruned_read(spark, d, {"o_qty": int(probe)})
+    want = base.filter("o_orderkey % 100 < 3") \
+        .filter(tl.F.col("o_qty") == int(probe)).count()
+    assert got.count() == want > 0
+
+
+def test_rename_refuses_case_collision(spark, tmp_path):
+    """ADVICE r16 low: renaming a column to 'QTY' next to 'qty'
+    would make every case-insensitive F.col reference
+    ambiguous-but-silently-resolved — refuse like add/auto-evolve."""
+    d = _fresh(tmp_path, "renamecase")
+    base = _orders_qty(spark, "int")
+    tl.append_mapped(spark, d, base, "A.parquet")
+    with pytest.raises(ValueError, match="case-insensitively"):
+        tl.rename_column(spark, d, "o_totalprice", "O_QTY")
+    # a case-only rename of the SAME column is not a collision
+    tl.rename_column(spark, d, "o_qty", "o_QTY")
+    assert "o_QTY" in tl.snapshot_read_mapped(spark, d).columns
+
+
+def test_spj_mapped_table_keeps_logical_names(spark, tmp_path):
+    """ADVICE r16 low: storage_partitioned_join on a side whose
+    mapping diverged (auto-evolved fcN column) must project to
+    LOGICAL names instead of leaking fc3/r_fc3 into the output."""
+    base = _orders_qty(spark, "int")
+    da, db = str(tmp_path / "spjmA"), str(tmp_path / "spjmB")
+    for d in (da, db):
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.set_partition_spec(d, ["bucket(4,o_orderkey)"])
+    tl.append_partitioned(spark, da, base, "B1")
+    dims = base.select("o_orderkey",
+                       tl.F.col("o_qty").alias("q2"))
+    tl.append_partitioned(spark, db, dims, "B1")
+    # evolve the RIGHT side with a never-seen column (fcN physical)
+    tl.add_column_mapped(spark, db, "score", "double")
+    got = tl.storage_partitioned_join(spark, da, db)
+    assert "r_score" in got.columns
+    assert not [c for c in got.columns if "fc" in c.lower()], \
+        got.columns
+    # the fcN-backed column NULL-backfills; row algebra unchanged
+    assert got.filter("r_score IS NULL").count() == got.count() \
+        == base.count()
+
+
+def test_spj_bucket_grouping_bounds_plan(spark, tmp_path):
+    """VERDICT r15 perf caveat: the per-bucket union is O(buckets) in
+    plan size — max_branches groups whole buckets so a wide layout
+    plans a bounded union, result-identical and still exchange-free."""
+    base = _orders_qty(spark, "int")
+    da, db = str(tmp_path / "spjgA"), str(tmp_path / "spjgB")
+    for d in (da, db):
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.set_partition_spec(d, ["bucket(16,o_orderkey)"])
+    tl.append_partitioned(spark, da, base.filter("o_orderkey % 3 > 0"),
+                          "B1")
+    dims = base.select("o_orderkey", tl.F.col("o_qty").alias("q2"))
+    tl.append_partitioned(spark, db, dims, "B1")
+    wide = tl.storage_partitioned_join(spark, da, db)
+    tight = tl.storage_partitioned_join(spark, da, db, max_branches=4)
+    p = tight._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    # 4 branches, not 16: count the per-branch joins in the plan
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 4
+    a = sorted(wide.collect())
+    b = sorted(tight.collect())
+    assert a == b and len(a) == base.filter("o_orderkey % 3 > 0").count()
