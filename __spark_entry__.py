@@ -720,6 +720,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     promotions total this round, TWO births — the carried promotion
     queue is EMPTY for the first time.
 
+    Round-16 rotation (VERDICT r15 next #1 — promote the four r15
+    births, the round's headline partition/schema-evolution tier):
+    in come partition_pruning_read (identity partitions + spec
+    evolution, candidates-only scan), partition_transform_read
+    (hidden partitioning: the month() transform pruned through
+    driver-side predicate conversion), type_widening_read (TYPE
+    WIDENING + auto-evolving append: v0 time travel in the narrow
+    type of its day unioned with the widened latest read), and
+    streaming_mapped_ivm_gate (a rename_column landing MID-STREAM,
+    the maintained view folding on frozen physical names).  Out
+    (every one keeps the identical hash gate in
+    tests/test_rotation.py): streaming_hourly_gate (green r1-r15,
+    the longest-proven streaming incumbent; the watermarked
+    windowed-agg shape stays driver-gated via streaming_dq_gate's
+    day windows and streaming_sessionize_gate), dedup_incremental
+    (green r5-r15; exact+near dedup stays driver-gated via
+    image_near_dups' banded LSH and the chain keeps its rotation
+    gates), pruned_scan_read (green r13-r15; the skip-plan story
+    stays driver-gated via stats_skipping_audit +
+    bloom_skipping_audit, and partition_pruning_read is the same
+    plan-used contract one tier up), and version_diff (green
+    r13-r15; the CDF algebra stays driver-gated via
+    streaming_cdf_ivm_gate + streaming_ivm_gate, which share the
+    direct-latest oracle, and type_widening_read keeps versioned
+    reads in the gate).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -727,7 +753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-step kernels ARE gated (kmeans_assign_step, pca_moments)."""
     from gemmsql.pipeline import (
         avro,
-        dedup,
         graph,
         ogg,
         phash,
@@ -899,7 +924,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_rotation; the selection/retrieval tier stays
         # driver-gated via bm25_topk)
         "bm25_topk": retrieval.bm25_topk,
-        "dedup_incremental": dedup.dedup_incremental_corpus,
+        # (dedup_incremental rotated out r16, green r5-r15 — among
+        # the longest-proven pipeline incumbents; exact+near dedup
+        # stays driver-gated via image_near_dups' banded LSH pass and
+        # the snapshot/delta chain keeps its full hash gate in
+        # test_rotation)
         # --- promoted r13: the TABLE-FORMAT tier (VERDICT r12 #1 —
         # the r12 flagship the driver had never checked).  Four
         # independent-replay witnesses over the staged four-version
@@ -914,11 +943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via version_diff, cdf_ivm_rollup, and the promoted
         # column_mapping_read, which reads AS OF two versions through
         # the mapping indirection)
-        # version_diff — the change-data-feed across v1 -> v3, reading
-        # ONLY the symmetric-difference files (plan-pinned via
-        # inputFiles in tests); the window crosses the compaction
-        # commit, which must contribute ZERO change rows ---
-        "version_diff": tablelog.version_diff,
+        # (version_diff rotated out r16, green r13-r15 — the CDF
+        # algebra stays driver-gated via streaming_cdf_ivm_gate +
+        # streaming_ivm_gate, which share the direct-latest oracle,
+        # and the batch formulation keeps its inputFiles plan pin +
+        # hash gate in test_rotation)
         # (cdf_ivm_rollup rotated out r15, green r13-r14, to make
         # room for the early seqfile promotion — its DIRECT-v3
         # oracle still drives TWO live driver gates every round
@@ -926,10 +955,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL verbatim), so the retraction algebra never left the
         # gate; the batch formulation keeps its hash gate in
         # test_rotation)
-        # pruned_scan_read — the log-stats skip plan USED: candidate
-        # files hand a pruned list to the scan and the filtered
-        # aggregate must equal the oracle over ALL live files ---
-        "pruned_scan_read": tablelog.pruned_scan_read,
+        # (pruned_scan_read rotated out r16, green r13-r15 — the
+        # skip-plan-USED contract stays driver-gated via
+        # stats_skipping_audit + bloom_skipping_audit and moves one
+        # tier up through partition_pruning_read below; the log-stats
+        # formulation keeps its hash gate in test_rotation)
+        # --- promoted r16 (born r15, VERDICT r15 next #1): the
+        # PARTITION tier.  partition_pruning_read — identity
+        # PARTITIONED BY + spec evolution: the staged lifecycle holds
+        # files under TWO specs (per-year, evolved to per-priority);
+        # the gate reads o_year='1995', which must keep exactly one
+        # year file plus every priority file (no o_year recorded —
+        # the evolution safety rule) with the residual filter
+        # trimming the latter; candidates-only scanning is
+        # inputFiles-pinned in tests ---
+        "partition_pruning_read": tablelog.partition_pruning_read,
+        # partition_transform_read — HIDDEN PARTITIONING (Iceberg's
+        # transform tier): month(o_orderdate) routes writes by
+        # derived values and a plain source equality prunes through
+        # driver-side transform conversion; one file scans
+        # (inputFiles-pinned), the twin recomputes from ALL orders ---
+        "partition_transform_read": tablelog.partition_transform_read,
+        # type_widening_read — TYPE WIDENING + auto-evolution: INT
+        # column widened to BIGINT in one metadata commit, then an
+        # auto-evolving append lands beyond-int-range values plus a
+        # never-seen double column (schema + data in ONE commit);
+        # the gate unions the v0 time travel (narrow type of its
+        # day) with the widened latest read — sums exceed the int
+        # range, so a mis-decoded narrow file moves the hash ---
+        "type_widening_read": tablelog.type_widening_read,
         # --- promoted r14 (VERDICT r13 #1 — the tablelog tier's
         # COMPLETION; all born r12/r13, rotation hash-green since).
         # tablelog_merge — transactional MERGE INTO: two-phase pruning
@@ -1017,7 +1071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out r11, green r7-r10; sampling_filtered rotated out in r9,
         # green r5-r8; the S-series sampler stays gated via "sampling")
         # --- structured streaming gates ---
-        "streaming_hourly_gate": _streaming_gate_query,
+        # (streaming_hourly_gate rotated out r16, green r1-r15 — the
+        # longest-proven streaming incumbent; its full availableNow
+        # replay keeps a hash gate in test_rotation, and the
+        # watermarked windowed-agg shape stays driver-gated via
+        # streaming_dq_gate's day windows + streaming_sessionize_gate)
         "streaming_sessionize_gate": _streaming_sessionize_query,
         # (streaming_join_gate rotated out r15, green r3-r14 — the
         # longest-proven streaming incumbent; its full availableNow
@@ -1088,6 +1146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skip-planner would.  Same key set as stage_mor_table, so
         # the oracle is mor_delete_read's twin verbatim
         "streaming_mor_ivm_gate": tablelog.streaming_mor_ivm_gate,
+        # promoted r16 (born r15, VERDICT r14 next #7): COLUMN
+        # MAPPING composed with the live streaming IVM — a
+        # rename_column lands MID-STREAM (metadata-only commit, zero
+        # row deltas) followed by an append under the RENAMED logical
+        # schema; the maintained view keeps folding because physical
+        # names freeze at field birth, and the gate presents the
+        # final view under the current logical names via the same
+        # mapping projection the batch read uses
+        "streaming_mapped_ivm_gate": tablelog.streaming_mapped_ivm_gate,
     }
 
 
@@ -1466,7 +1533,6 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.ops.sampling import sampling_sql
     from gemmsql.pipeline import (
         avro,
-        dedup,
         graph,
         ogg,
         phash,
@@ -1483,7 +1549,6 @@ def oracle_sql() -> dict[str, str]:
         STREAMING_DEDUP_GATE_SQL,
         STREAMING_DQ_GATE_SQL,
         STREAMING_OUTER_JOIN_GATE_SQL,
-        STREAMING_HOURLY_GATE_SQL,
         STREAMING_QUARANTINE_GATE_SQL,
         STREAMING_SESSIONIZE_GATE_SQL,
     )
@@ -1539,11 +1604,13 @@ def oracle_sql() -> dict[str, str]:
         # sync-escape split walk must recover identical rows
         "seqfile_shard_ingest": seqfile.SEQFILE_SHARD_INGEST_SQL,
         "seqfile_split_ingest": seqfile.SEQFILE_SHARD_INGEST_SQL,
-        # the tablelog oracles read the staged table's log/data the
-        # Spark side writes under the same deterministic per-sf_dir
-        # path (the parquet_footer_stats mechanism, ADVICE r9 #5)
-        "version_diff": tablelog.version_diff_sql(_footer_sf),
-        "pruned_scan_read": tablelog.pruned_scan_read_sql(_footer_sf),
+        # promoted r16 — the partition/widening tier's twins
+        # recompute from ALL of orders with the fixture's derivation
+        # arithmetic, so over-pruning (lost rows) and under-pruning
+        # are both hash-visible
+        "partition_pruning_read": tablelog.PARTITION_PRUNING_READ_SQL,
+        "partition_transform_read": tablelog.PARTITION_TRANSFORM_READ_SQL,
+        "type_widening_read": tablelog.TYPE_WIDENING_READ_SQL,
         # promoted r14 — the tablelog completion tier.  The merge and
         # MOR twins recompute their tables independently from orders
         # (bucket arithmetic + semantics in pure SQL, no staged-path
@@ -1569,10 +1636,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_quantiles": sketches.sample_quantiles_sql(),
         "segment_value_quantiles": sketches.segment_value_quantiles_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
-        "dedup_incremental": dedup.dedup_incremental_sql(),
         "part_communities": graph.PART_COMMUNITIES_SQL,
         "item_similarity": graph.ITEM_SIMILARITY_SQL,
-        "streaming_hourly_gate": STREAMING_HOURLY_GATE_SQL,
         "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
@@ -1593,4 +1658,9 @@ def oracle_sql() -> dict[str, str]:
         # answer as the batch snapshot_read_mor recompute, so the
         # oracle is mor_delete_read's twin verbatim
         "streaming_mor_ivm_gate": tablelog.MOR_DELETE_READ_SQL,
+        # promoted r16 — the mid-stream rename's twin recomputes the
+        # post-append view from orders directly, so a rename leaking
+        # into the data path or an append under the wrong physical
+        # name moves the hash
+        "streaming_mapped_ivm_gate": tablelog.STREAMING_MAPPED_IVM_GATE_SQL,
     }

@@ -1060,6 +1060,32 @@ def test_r15_entrant_exchange_budgets(spark):
         )
 
 
+def test_r16_entrant_exchange_budgets(spark):
+    """VERDICT r15 next #8: every promotion entrant carries an
+    exchange budget from its first driver round.  The partition
+    reads are candidates-only scans into one final aggregate; the
+    mid-stream-rename IVM's final projection folds to one
+    update-mode aggregate exchange (measured on the post-drain
+    view — the stream side's state exchanges are pinned in
+    tests/test_streaming.py)."""
+    import __spark_entry__ as entrymod
+
+    budgets = {
+        "partition_pruning_read": 1,    # pruned scan -> final agg
+        "partition_transform_read": 1,  # one transform-pruned file
+        "streaming_mapped_ivm_gate": 1,  # maintained-view final agg
+        # type_widening_read's budget (1) is pinned in its own test
+    }
+    qs = entrymod.queries()
+    for name, budget in budgets.items():
+        p = plan_of(qs[name](spark, SF_SMOKE))
+        n = p.count("Exchange ")
+        assert n <= budget, (
+            f"{name}: {n} exchanges in the physical plan, budget is "
+            f"{budget} — a shuffle crept in"
+        )
+
+
 def test_type_widening_read_exchange_budget(spark):
     """The third-session birth keeps the same ceiling discipline as
     the promotion cohorts: two mapped explicit-schema scans union

