@@ -1038,10 +1038,22 @@ def ivm_drain(
 
         def _posdel_rows(pd_path, sign):
             pairs = _read(pd_path, None)
+            if "bitmap" in pairs.columns:  # r16 deletion vectors
+                from gemmsql.pipeline.dvbitmap import decode_positions
+
+                groups = [
+                    (path, decode_positions(bytes(blob)))
+                    for path, blob in zip(pairs["path"], pairs["bitmap"])
+                ]
+            else:  # legacy (path, pos) row list
+                groups = [
+                    (fname, sorted(grp["pos"]))
+                    for fname, grp in pairs.groupby("path")
+                ]
             parts = []
-            for fname, grp in pairs.groupby("path"):
+            for fname, positions in groups:
                 part = _read(fname, cols[1:])
-                part = part.iloc[sorted(grp["pos"])].copy()
+                part = part.iloc[list(positions)].copy()
                 part["sign"] = sign
                 parts.append(part)
             return parts
@@ -5437,14 +5449,20 @@ def delete_positions_mor(
     table_dir: str,
     predicate: str,
 ) -> int:
-    """Merge-on-read POSITIONAL delete (Iceberg's position-delete
-    files / the deletion-vector shape): instead of naming keys, name
+    """Merge-on-read POSITIONAL delete stored as DELETION VECTORS
+    (Delta's deletion-vector table feature / Iceberg v3 DVs): name
     (file, row position) pairs — the form a DELETE WHERE produces
-    when the predicate isn't on the clustering key.  Positions come
-    from the parquet scan's ``_metadata.row_index`` (stable per
+    when the predicate isn't on the clustering key — and store ONE
+    roaring-style position bitmap per named file
+    (:mod:`gemmsql.pipeline.dvbitmap`, ~2 bytes/position worst case
+    vs ~20 for a literal row list; VERDICT r15 next #3).  Positions
+    come from the parquet scan's ``_metadata.row_index`` (stable per
     immutable file by construction); one small PD file + one
-    ``posdel`` commit, zero data files rewritten.  Readers subtract
-    at scan time; :func:`materialize_deletes` folds back to
+    ``posdel`` commit, zero data files rewritten.  The bitmaps build
+    EXECUTOR-side (one vectorized NumPy pass per file's position
+    group), so the driver never materializes the position list.
+    Readers subtract at scan time (:func:`_posdel_pairs` decodes
+    either encoding); :func:`materialize_deletes` folds back to
     copy-on-write.  On a COLUMN-MAPPED table the predicate speaks
     LOGICAL names (positions are vocabulary-free, so the PD file
     needs no translation).  Returns the committed version."""
@@ -5459,14 +5477,75 @@ def delete_positions_mor(
     st = hits.agg(F.count("*").alias("n")).collect()[0]
     if not st["n"]:
         raise ValueError("positional delete matched no rows")
+
+    def _build(pdf):
+        import pandas as _pd
+
+        from gemmsql.pipeline.dvbitmap import encode_positions
+
+        return _pd.DataFrame({
+            "path": [pdf["path"].iloc[0]],
+            "bitmap": [encode_positions(pdf["pos"].to_numpy())],
+        })
+
+    dv = hits.groupBy("path").applyInPandas(
+        _build, schema="path string, bitmap binary"
+    )
     nonce = _next_version_nonce(table_dir)
     name = f"PD{nonce}.parquet"
     dest = os.path.join(table_dir, DATA_SUBDIR, name)
-    _write_one_file(hits, dest)
+    _write_one_file(dv, dest, sort_key="path")
     return commit_actions(table_dir, [{
         "a": "posdel", "path": name,
         "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
     }])
+
+
+def _posdel_pairs(
+    spark: SparkSession, table_dir: str, pdl: list[str]
+) -> DataFrame:
+    """The named live positional-delete files as distinct
+    ``(__path, __pos)`` pairs, whatever encoding each carries: r16
+    deletion-vector rows (``path, bitmap``) decode EXECUTOR-side —
+    one vectorized NumPy pass per bitmap inside ``mapInPandas``, so
+    the position list never lands on the driver — and legacy
+    row-list files (``path, pos``) pass straight through (format
+    evolution: old PD files stay readable forever).  Shared by the
+    MOR read and materialization so the two can never drift."""
+    paths = [os.path.join(table_dir, DATA_SUBDIR, p) for p in pdl]
+    legacy = [p for p in paths
+              if "bitmap" not in spark.read.parquet(p).columns]
+    dvs = [p for p in paths if p not in legacy]
+    frames = []
+    if legacy:
+        frames.append(
+            spark.read.parquet(*legacy).select(
+                F.col("path").alias("__path"),
+                F.col("pos").alias("__pos"),
+            )
+        )
+    if dvs:
+        def _expand(batches):
+            import pandas as _pd
+
+            from gemmsql.pipeline.dvbitmap import decode_positions
+
+            for pdf in batches:
+                for path, blob in zip(pdf["path"], pdf["bitmap"]):
+                    yield _pd.DataFrame({
+                        "__path": path,
+                        "__pos": decode_positions(bytes(blob)),
+                    })
+
+        frames.append(
+            spark.read.parquet(*dvs).mapInPandas(
+                _expand, schema="__path string, __pos long"
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.distinct()
 
 
 def snapshot_delete_files(
@@ -5553,11 +5632,7 @@ def snapshot_read_mor(
             F.col("_metadata.row_index").alias("__pos"),
         )
     if pdl:
-        dv = spark.read.parquet(
-            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in pdl]
-        ).select(
-            F.col("path").alias("__path"), F.col("pos").alias("__pos")
-        ).distinct()
+        dv = _posdel_pairs(spark, table_dir, pdl)
         data = data.join(F.broadcast(dv), ["__path", "__pos"],
                          "left_anti")
     if kd:
@@ -5636,11 +5711,10 @@ def materialize_deletes(
         keys = _keydel_keys_with_seq(spark, table_dir, kd, key)
     dv = None
     if pdl:
-        dv = spark.read.parquet(
-            *[os.path.join(table_dir, DATA_SUBDIR, p) for p in pdl]
-        ).select(
-            F.col("path").alias("_path"), F.col("pos").alias("_pos")
-        ).distinct()
+        dv = _posdel_pairs(spark, table_dir, pdl).select(
+            F.col("__path").alias("_path"),
+            F.col("__pos").alias("_pos"),
+        )
     live = snapshot_files(spark, table_dir).collect()
     cand: set[str] = set()
     if keys is not None:
