@@ -2347,11 +2347,14 @@ def _refuse_spec_source_column(
     spark: SparkSession, table_dir: str, column: str, verb: str
 ) -> None:
     """The partition-spec twin of the constraint guard: a spec entry
-    derives its values from a SOURCE column by name (`_spec_expr`,
-    the residual read filter, and predicate conversion all resolve
-    it), so renaming or dropping that column would silently break
-    every partitioned write and pruned read.  Evolve the spec away
-    from the column first (`set_partition_spec`)."""
+    derives its values from a SOURCE column, so DROPPING that column
+    (or WIDENING it to a type whose canonical string form changes —
+    recorded values would desync from converted predicates) would
+    silently break every partitioned write and pruned read.  Evolve
+    the spec away from the column first (`set_partition_spec`).
+    RENAME no longer refuses: the spec entry follows the new name in
+    the same commit and old recorded values resolve through the
+    field-id alias map (r16, VERDICT r15 next #5)."""
     hit = sorted(
         e for e in partition_spec(spark, table_dir)
         if _parse_spec_entry(e)[1] == column
@@ -2436,9 +2439,16 @@ def rename_column(
     """RENAME COLUMN as pure metadata (VERDICT r13 next #4): rewrite
     the logical half of the mapping in one committed meta action.
     Zero data files touched; time travel below this commit still
-    reads the old name.  Returns the committed version."""
+    reads the old name.
+
+    A PARTITION-SPEC SOURCE column renames too (VERDICT r15 next #5,
+    the Iceberg field-id rule): the affected spec entries rewrite to
+    the new name IN THE SAME COMMIT, and partition values recorded
+    under the old name keep pruning through the plan-time alias
+    resolution (:func:`_spec_alias_map`) — so the rename round-trips
+    through write, prune, and time travel instead of refusing.
+    Returns the committed version."""
     _refuse_constrained_column(spark, table_dir, old, "rename")
-    _refuse_spec_source_column(spark, table_dir, old, "rename")
     planned_v = _latest_version(table_dir)
     entries = _current_mapping_or_identity(spark, table_dir)
     logicals = {e["logical"] for e in entries}
@@ -2454,7 +2464,24 @@ def rename_column(
     for e in entries:
         if e["logical"] == old:
             e["logical"] = new
-    return _mapping_commit(table_dir, entries, planned_v)
+    # spec entries deriving from the renamed column follow it in the
+    # SAME commit (a separate property commit would leave a window
+    # where the spec names a column that no longer exists)
+    spec = partition_spec(spark, table_dir)
+    spec_acts: list[dict] = []
+    if any(_parse_spec_entry(e)[1] == old for e in spec):
+        new_spec = [
+            _rebuild_spec_entry(k, new if c == old else c, a)
+            for k, c, a in map(_parse_spec_entry, spec)
+        ]
+        spec_acts = [{
+            "a": "property", "path": f"property:{PARTITION_SPEC_PROP}",
+            "min_date": ",".join(new_spec),
+        }]
+    return commit_actions(
+        table_dir, _mapping_actions(table_dir, entries) + spec_acts,
+        expects_latest_version=planned_v,
+    )
 
 
 def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
@@ -3224,6 +3251,74 @@ def _spec_expr(entry: str):
     return F.substring(F.col(col).cast("string"), 1, arg)  # truncate
 
 
+def _rebuild_spec_entry(kind: str, col: str, arg) -> str:
+    """The inverse of :func:`_parse_spec_entry` — one canonical
+    string per (kind, source, arg)."""
+    if kind == "identity":
+        return col
+    if kind in ("year", "month"):
+        return f"{kind}({col})"
+    return f"{kind}({arg},{col})"  # bucket / truncate
+
+
+def _spec_alias_map(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict[str, str]:
+    """alias entry string -> CURRENT (as-of-``version``) entry string
+    for every entry of the spec in force, across every logical name
+    the entry's source FIELD ID has ever carried (VERDICT r15 next
+    #5: Iceberg specs reference sources by field id and survive
+    renames; this build records the name of the day on each entry
+    and resolves the history at plan time — driver-side metadata,
+    one pass over the meta actions).  Identity map when the table is
+    unmapped or never renamed."""
+    spec = partition_spec(spark, table_dir, version)
+    out = {e: e for e in spec}
+    if not spec:
+        return out
+    m = column_mapping(spark, table_dir, version)
+    if m is None:
+        return out
+    fid_of = {e["logical"]: e["fid"] for e in m}
+    log = _log_with_checkpoint_base(spark, table_dir).filter(
+        (F.col("a") == "meta") & F.col("schema_map").isNotNull()
+    )
+    if version is not None:
+        log = log.filter(F.col("v") <= version)
+    hist = [
+        _mapping_decode(list(r["schema_map"]))
+        for r in log.collect()  # metadata: one row per schema commit
+    ]
+    for entry in spec:
+        kind, col, arg = _parse_spec_entry(entry)
+        fid = fid_of.get(col)
+        if fid is None:
+            continue
+        # every logical name the fid ever carried, PLUS its frozen
+        # physical name — files written before the table's first
+        # mapping commit recorded entries under the original name,
+        # which survives only as the physical half (names freeze at
+        # field birth)
+        names = {col} | {
+            n for mm in [m, *hist] for e in mm if e["fid"] == fid
+            for n in (e["logical"], e["physical"])
+        }
+        for n in names:
+            out[_rebuild_spec_entry(kind, n, arg)] = entry
+    return out
+
+
+def _canon_part_vals(parts, alias_map: dict[str, str]) -> dict[str, str]:
+    """A file's recorded ``part`` strings as a dict keyed by the
+    CURRENT entry string (aliases of a renamed source resolve to the
+    live entry; unrelated historical entries pass through)."""
+    vals: dict[str, str] = {}
+    for p in (parts or []):
+        k, _, v = p.partition("=")
+        vals[alias_map.get(k, k)] = v
+    return vals
+
+
 def _split_spec(raw: str) -> list[str]:
     """Split the stored spec on TOP-LEVEL commas only —
     ``bucket(8,o_orderkey)`` carries its own comma."""
@@ -3340,18 +3435,22 @@ def _stage_partitioned_files(
     evolution between two reads would otherwise desync the staged
     values from the caller's planning."""
     m = column_mapping(spark, table_dir)
+    log2phys: dict[str, str] | None = None
     if m is not None and any(e["physical"] != e["logical"] for e in m):
-        # the partitioned writer lays ``df`` down AS GIVEN — on a
-        # table whose mapping has diverged (renamed or fc-added
-        # fields) that writes LOGICAL names into physical footers,
-        # and the mapped read would silently NULL-backfill the real
-        # physical column.  Refuse until the vocabularies re-align.
-        raise ValueError(
-            "partitioned writes do not compose with a diverged column "
-            "mapping (renamed/added fields): the writer would record "
-            "logical names as physical ones — append via "
-            "append_mapped, or keep the mapping identity"
-        )
+        # diverged mapping (renamed or fc-added fields): the writer
+        # converts LOGICAL names to their frozen physical names at
+        # the door — the append_mapped contract — so routing, stats,
+        # and recorded partition keys all speak the logical (spec)
+        # vocabulary while footers stay physical (r16: required for
+        # renamed spec sources, VERDICT r15 next #5)
+        by_logical = {e["logical"]: e["physical"] for e in m}
+        unmapped = [c for c in df.columns if c not in by_logical]
+        if unmapped:
+            raise ValueError(
+                f"columns not in mapping: {unmapped} — partitioned "
+                "appends speak the logical schema"
+            )
+        log2phys = by_logical
     if spec is None:
         spec = partition_spec(spark, table_dir)
     if not spec:
@@ -3372,10 +3471,20 @@ def _stage_partitioned_files(
     routed = df
     for e, s in zip(spec, shadow):
         routed = routed.withColumn(s, _spec_expr(e))
+    sort_key = key
+    if log2phys is not None:
+        # logical -> physical conversion AFTER routing (the spec and
+        # its value expressions speak logical names), BEFORE the
+        # bytes land (footers must carry frozen physical names)
+        routed = routed.select(
+            *[F.col(c).alias(log2phys[c]) for c in df.columns],
+            *[F.col(s) for s in shadow],
+        )
+        sort_key = log2phys[key]
     scratch = os.path.join(table_dir, DATA_SUBDIR, f"{prefix}.scratch")
     (
         routed.repartition(*[F.col(s) for s in shadow])
-        .sortWithinPartitions(key)
+        .sortWithinPartitions(sort_key)
         .write.mode("overwrite")
         .partitionBy(*shadow)
         .parquet(scratch)
@@ -3467,13 +3576,16 @@ def partition_candidate_files(
     mismatches.  Files with no recorded value (unpartitioned writes,
     or writes under an earlier spec that lacked the column) always
     stay candidates: pruning may never lose rows, so spec evolution
-    degrades skip precision, not correctness."""
+    degrades skip precision, not correctness.  Values recorded under
+    a since-RENAMED source column's old name resolve through the
+    field-id alias map, so a rename costs no pruning precision."""
     live = snapshot_files(spark, table_dir, version).collect()  # metadata
+    alias_map = _spec_alias_map(spark, table_dir, version)
     want = {c: _encode_part_value(c, v).split("=", 1)[1]
             for c, v in eq.items()}
     out = []
     for r in live:
-        vals = dict(p.split("=", 1) for p in (r["part"] or []))
+        vals = _canon_part_vals(r["part"], alias_map)
         if all(c not in vals or vals[c] == w for c, w in want.items()):
             out.append(r)
     return out
@@ -3496,6 +3608,10 @@ def partition_pruned_read(
     data = _table_reader(spark, table_dir, version).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
+    # project to LOGICAL names FIRST (r16): spec entries speak the
+    # logical vocabulary as of the version, which a renamed source
+    # column's physical name no longer matches
+    data = _project_logical(spark, table_dir, data, version)
     for c, v in eq.items():
         # the residual compares the spec entry's own VALUE expression
         # (identity or transform), so the filter and the recorded
@@ -3508,7 +3624,7 @@ def partition_pruned_read(
             data = data.filter(_spec_expr(c).isNull())
         else:
             data = data.filter(_spec_expr(c) == F.lit(str(v)))
-    return _project_logical(spark, table_dir, data, version)
+    return data
 
 
 def _project_logical(
@@ -3520,10 +3636,10 @@ def _project_logical(
     """Project a PHYSICAL-named pruned scan to the mapping's logical
     names AS OF ``version`` (identity when unmapped), so the pruned
     readers answer in the same vocabulary as snapshot_read_mapped.
-    Residual filters run BEFORE this — spec entries and cstats keys
-    name the written (physical) vocabulary, and spec/stat source
-    columns cannot rename (the `_refuse_spec_source_column` guard),
-    so filter-then-project is always safe."""
+    The PARTITION readers project FIRST and filter after (r16: spec
+    entries speak logical names, which a renamed source's physical
+    name no longer matches); the cstats reader still filters first,
+    on the written physical vocabulary its per-file stats record."""
     m = column_mapping(spark, table_dir, version)
     return data if m is None else _apply_mapping(data, m)
 
@@ -3583,12 +3699,16 @@ def partition_pruned_read_where(
     on a column no spec entry derives from still narrows the data,
     it just can't prune files."""
     live = snapshot_files(spark, table_dir, version).collect()
+    alias_map = _spec_alias_map(spark, table_dir, version)
     # convert for every derivable key: the CURRENT spec plus every
-    # key any live file recorded — files written under a PREVIOUS
-    # spec that also derived from the filtered column prune too
+    # key any live file recorded (canonicalized through the rename
+    # alias map) — files written under a PREVIOUS spec that also
+    # derived from the filtered column prune too
     keys = set(partition_spec(spark, table_dir, version))
     keys |= {
-        p.split("=", 1)[0] for r in live for p in (r["part"] or [])
+        alias_map.get(k, k)
+        for r in live for p in (r["part"] or [])
+        for k in (p.split("=", 1)[0],)
     }
     eq: dict[str, str] = {}
     for entry in keys:
@@ -3605,9 +3725,8 @@ def partition_pruned_read_where(
     cand = [
         r for r in live
         if all(
-            c not in (vals := dict(
-                p.split("=", 1) for p in (r["part"] or [])
-            )) or vals[c] == w
+            c not in (vals := _canon_part_vals(r["part"], alias_map))
+            or vals[c] == w
             for c, w in want.items()
         )
     ]
@@ -3617,12 +3736,15 @@ def partition_pruned_read_where(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"])
           for r in cand]
     )
+    # logical names first (r16): source_eq speaks the vocabulary of
+    # the requested version, renamed columns included
+    data = _project_logical(spark, table_dir, data, version)
     for c, v in source_eq.items():
         data = data.filter(
             F.col(c).isNull() if v is None
             else F.col(c).cast("string") == F.lit(str(v))
         )
-    return _project_logical(spark, table_dir, data, version)
+    return data
 
 
 def replace_partitions(
@@ -3664,9 +3786,13 @@ def replace_partitions(
     )
     touched = {tuple(a["part"]) for a in adds}
     live = snapshot_files(spark, table_dir, planned_v).collect()
+    alias_map = _spec_alias_map(spark, table_dir)
     removes = []
     for r in live:
-        vals = dict(p.split("=", 1) for p in (r["part"] or []))
+        # recorded values under a renamed source's old name resolve
+        # to the current entry — an overwrite must replace them too,
+        # or the touched partition would keep duplicate rows
+        vals = _canon_part_vals(r["part"], alias_map)
         if any(c not in vals for c in spec):
             continue  # no recorded value -> never overwrite-removed
         if tuple(f"{c}={vals[c]}" for c in spec) in touched:
@@ -3710,9 +3836,17 @@ def compact_partition(
         )
     want = [_encode_part_value(c, eq[c]) for c in spec]
     live = snapshot_files(spark, table_dir).collect()  # metadata
+    alias_map = _spec_alias_map(spark, table_dir)
+    canon_want = sorted(
+        f"{alias_map.get(k, k)}={v}"
+        for k, v in (w.split("=", 1) for w in want)
+    )
     victims = [
         r for r in live
-        if sorted(r["part"] or []) == sorted(want)
+        if sorted(
+            f"{c}={v}"
+            for c, v in _canon_part_vals(r["part"], alias_map).items()
+        ) == canon_want
     ]
     if len(victims) < 2:
         raise ValueError(
@@ -4009,10 +4143,11 @@ def drop_partitions(
     want = {c: _encode_part_value(c, v).split("=", 1)[1]
             for c, v in eq.items()}
     live = snapshot_files(spark, table_dir).collect()  # metadata
+    alias_map = _spec_alias_map(spark, table_dir)
     blind = []
     victims = []
     for r in live:
-        vals = dict(p.split("=", 1) for p in (r["part"] or []))
+        vals = _canon_part_vals(r["part"], alias_map)
         missing = [c for c in want if c not in vals]
         if missing:
             blind.append(r["path"])

@@ -317,31 +317,40 @@ def test_evolution_guards(spark, tmp_path):
     # a typo'd path refuses instead of reading as an empty table
     with pytest.raises(ValueError, match="not a logged table"):
         tl.snapshot_read(spark, str(tmp_path / "no_such_table"))
-    # spec-source rename/drop refuses; evolve the spec first
+    # spec-source DROP refuses; RENAME follows the spec (r16 — the
+    # field-id rule, round-tripped in test_spec_source_rename_*)
     dp = _fresh(tmp_path, "guardspart")
     tl.set_partition_spec(dp, ["month(o_orderdate)"])
     tl.append_partitioned(
         spark, dp,
         base.select("o_orderkey", "o_totalprice", "o_orderdate"), "P")
     with pytest.raises(ValueError, match="partition spec derives"):
-        tl.rename_column(spark, dp, "o_orderdate", "od")
-    with pytest.raises(ValueError, match="partition spec derives"):
         tl.drop_column(spark, dp, "o_orderdate")
-    # a non-spec column still renames fine on a partitioned table...
+    # a non-spec column renames fine on a partitioned table, and the
+    # DIVERGED mapping no longer blocks partitioned writes: the
+    # writer converts logical->physical at the door (r16)
     tl.rename_column(spark, dp, "o_totalprice", "price")
-    # ...after which the mapping has DIVERGED, so partitioned writes
-    # refuse (they would record logical names as physical)
-    with pytest.raises(ValueError, match="diverged column mapping"):
+    tl.append_partitioned(
+        spark, dp,
+        base.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter("o_orderkey % 2 = 0")
+        .withColumnRenamed("o_totalprice", "price"), "Q")
+    # an unmapped extra column still refuses loudly
+    with pytest.raises(ValueError, match="not in mapping"):
         tl.append_partitioned(
             spark, dp,
-            base.select("o_orderkey", "o_totalprice", "o_orderdate")
-            .withColumnRenamed("o_totalprice", "price"), "Q")
-    # the pruned read still answers under the mapping-aware reader
+            base.select("o_orderkey", "o_orderdate")
+            .withColumn("mystery", tl.F.lit(1)), "R")
+    # the pruned read answers under the mapping-aware reader, both
+    # vintages included
     got = tl.partition_pruned_read(
         spark, dp, {"month(o_orderdate)": "1995-03"})
-    want = base.filter(
-        "date_format(o_orderdate, 'yyyy-MM') = '1995-03'").count()
+    in_month = base.filter(
+        "date_format(o_orderdate, 'yyyy-MM') = '1995-03'")
+    want = in_month.count() + in_month.filter(
+        "o_orderkey % 2 = 0").count()
     assert got.count() == want > 0
+    assert "price" in got.columns
 
 
 def test_evolution_property_vs_model(spark, tmp_path):
@@ -820,3 +829,87 @@ def test_spj_bucket_grouping_bounds_plan(spark, tmp_path):
     a = sorted(wide.collect())
     b = sorted(tight.collect())
     assert a == b and len(a) == base.filter("o_orderkey % 3 > 0").count()
+
+
+def test_spec_source_rename_roundtrip(spark, tmp_path):
+    """VERDICT r15 next #5 (the field-id rule): renaming a partition
+    SOURCE column works — the spec entry follows in the SAME commit,
+    values recorded under the old name keep pruning via the alias
+    map, post-rename writes land under the new vocabulary, and time
+    travel below the rename reads the old names."""
+    d = _fresh(tmp_path, "specrename")
+    base = _orders_qty(spark, "int")
+    tl.set_partition_spec(d, ["o_qty"])                          # v0
+    tl.append_partitioned(
+        spark, d, base.filter("o_orderkey % 100 < 3"), "P")      # v1
+    probe = int(base.filter("o_orderkey % 100 < 3")
+                .select("o_qty").limit(1).collect()[0][0])
+    pre = tl.partition_pruned_read(spark, d, {"o_qty": probe})
+    n_pre = pre.count()
+    assert n_pre > 0
+    v_rename = tl.rename_column(spark, d, "o_qty", "qty2")       # v2
+    # ONE commit: mapping meta + spec property
+    assert tl.partition_spec(spark, d) == ["qty2"]
+    assert tl.partition_spec(spark, d, v_rename - 1) == ["o_qty"]
+    # post-rename partitioned WRITE under the new logical name
+    extra = base.filter("o_orderkey % 100 = 3") \
+        .withColumnRenamed("o_qty", "qty2")
+    tl.append_partitioned(spark, d, extra, "Q")                  # v3
+    # PRUNE under the new entry: old-name-recorded files still prune
+    got = tl.partition_pruned_read(spark, d, {"qty2": probe})
+    want = (base.filter("o_orderkey % 100 < 4")
+            .filter(tl.F.col("o_qty") == probe).count())
+    assert got.count() == want
+    assert "qty2" in got.columns and "o_qty" not in got.columns
+    # the candidate list actually PRUNED (not scan-everything)
+    cand = tl.partition_candidate_files(spark, d, {"qty2": probe})
+    all_live = tl.snapshot_files(spark, d).count()
+    assert 0 < len(cand) < all_live
+    # source-predicate conversion prunes through the rename too
+    got_w = tl.partition_pruned_read_where(spark, d, {"qty2": probe})
+    assert got_w.count() == want
+    # TIME TRAVEL below the rename: old vocabulary, old rows only
+    old = tl.partition_pruned_read(
+        spark, d, {"o_qty": probe}, version=v_rename - 1)
+    assert old.count() == n_pre
+    assert "o_qty" in old.columns
+    # dynamic partition overwrite replaces BOTH vintages of a
+    # touched partition (old-name and new-name recorded files)
+    ow = (base.filter("o_orderkey % 100 < 4")
+          .filter(tl.F.col("o_qty") == probe)
+          .withColumn("o_totalprice", tl.F.lit(0.0))
+          .withColumnRenamed("o_qty", "qty2"))
+    tl.replace_partitions(spark, d, ow, "OW")                    # v4
+    after = tl.partition_pruned_read(spark, d, {"qty2": probe})
+    assert after.count() == want
+    assert after.filter("o_totalprice != 0.0").count() == 0
+
+
+def test_spec_source_rename_compacts_and_drops(spark, tmp_path):
+    """compact_partition and drop_partitions resolve old-name
+    recorded values through the same alias map."""
+    d = _fresh(tmp_path, "specrencomp")
+    base = _orders_qty(spark, "int")
+    tl.set_partition_spec(d, ["o_qty"])
+    tl.append_partitioned(
+        spark, d, base.filter("o_orderkey % 100 < 2"), "P")
+    tl.rename_column(spark, d, "o_qty", "qty2")
+    extra = base.filter("o_orderkey % 100 = 2") \
+        .withColumnRenamed("o_qty", "qty2")
+    tl.append_partitioned(spark, d, extra, "Q")
+    probe = int(base.filter("o_orderkey % 100 < 2")
+                .select("o_qty").limit(1).collect()[0][0])
+    both = tl.partition_candidate_files(spark, d, {"qty2": probe})
+    if len(both) >= 2:
+        tl.compact_partition(spark, d, {"qty2": probe}, "C")
+        got = tl.partition_pruned_read(spark, d, {"qty2": probe})
+        want = (base.filter("o_orderkey % 100 < 3")
+                .filter(tl.F.col("o_qty") == probe).count())
+        assert got.count() == want
+    # drop a partition across both vintages
+    probe2 = int(base.filter("o_orderkey % 100 < 3")
+                 .filter(tl.F.col("o_qty") != probe)
+                 .select("o_qty").limit(1).collect()[0][0])
+    tl.drop_partitions(spark, d, {"qty2": probe2})
+    assert tl.partition_pruned_read(
+        spark, d, {"qty2": probe2}).count() == 0
