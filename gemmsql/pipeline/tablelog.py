@@ -1354,6 +1354,75 @@ def streaming_mapped_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_partition_ivm_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONS composed with the live streaming IVM (VERDICT r15
+    next #7): a DYNAMIC PARTITION OVERWRITE (:func:`replace_partitions`)
+    landing MID-STREAM must drain as remove+add retractions like
+    every other action kind — the overwritten partition's old rows
+    retract at -1, its replacement rows fold in at +1, and untouched
+    partitions never move.
+
+    Lifecycle on a PARTITIONED table (spec ``o_orderpriority``, one
+    file per priority): v0 sets the spec, v1 appends the
+    ``key % 3 != 0`` slice partition-laid-out; drain 1 folds both
+    through a checkpoint (the spec property commit expands to ZERO
+    row deltas).  While the stream is down, the REAL
+    :func:`replace_partitions` overwrites the ``1-URGENT`` partition
+    with its even-key subset (removes + adds in ONE commit under the
+    serializable pin) and :func:`append_partitioned` lands the
+    ``key % 3 == 0`` non-urgent delta; drain 2 recovers from the
+    checkpoint and refreshes from only the two new commit files.
+    The final view must hash-equal the batch recompute the twin
+    performs from ``orders`` — final state is exactly
+    ``priority != '1-URGENT' OR key % 2 = 0`` — so a missed remove
+    (duplicate rows behind the overwrite), a dropped add, or an
+    overwrite bleeding into untouched partitions all move the hash."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    work = tempfile.mkdtemp(prefix="gemmsql_partlive_")
+    table = os.path.join(work, "tbl")
+    os.makedirs(os.path.join(table, LOG_SUBDIR))
+    os.makedirs(os.path.join(table, DATA_SUBDIR))
+    ckpt = os.path.join(work, "_ckpt")
+    emissions_dir = os.path.join(work, "emissions")
+    assert set_partition_spec(table, ["o_orderpriority"]) == 0
+    assert append_partitioned(
+        spark, table, orders.filter("o_orderkey % 3 != 0"), "P"
+    ) == 1
+    ivm_drain(spark, table, ckpt, emissions_dir)
+    # mid-stream: overwrite ONE partition, then append a delta
+    assert replace_partitions(
+        spark, table,
+        orders.filter(
+            "o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0"
+        ),
+        "OW",
+    ) == 2
+    assert append_partitioned(
+        spark, table,
+        orders.filter(
+            "o_orderkey % 3 = 0 AND o_orderpriority != '1-URGENT'"
+        ),
+        "Q",
+    ) == 3
+    ivm_drain(spark, table, ckpt, emissions_dir)
+    return ivm_view(spark, emissions_dir)
+
+
+STREAMING_PARTITION_IVM_GATE_SQL = f"""
+WITH final AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM final GROUP BY 1
+"""
+
+
 STREAMING_MAPPED_IVM_GATE_SQL = f"""
 WITH w AS (SELECT MAX(o_orderkey) // 8 + 1 AS width FROM orders),
 t AS (SELECT o.*, o.o_orderkey // w.width AS b FROM orders o CROSS JOIN w),

@@ -813,6 +813,18 @@ def _dedup_incremental_rot_sql():
     return dedup_incremental_sql()
 
 
+def _streaming_partition_ivm(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_partition_ivm_gate
+
+    return streaming_partition_ivm_gate(spark, sf_dir)
+
+
+def _streaming_partition_ivm_sql():
+    from gemmsql.pipeline.tablelog import STREAMING_PARTITION_IVM_GATE_SQL
+
+    return STREAMING_PARTITION_IVM_GATE_SQL
+
+
 def _streaming_hourly_rot(spark, sf_dir):
     from gemmsql.streaming.windows import streaming_hourly_gate
 
@@ -1338,6 +1350,15 @@ def _rotated():
         # full availableNow replay keeps its hash gate HERE
         ("streaming_hourly_gate", _streaming_hourly_rot,
          _streaming_hourly_rot_sql()),
+        # born in round 16 (VERDICT r15 next #7): PARTITIONS composed
+        # with the live streaming IVM — a replace_partitions (dynamic
+        # partition overwrite) lands MID-STREAM and must drain as
+        # remove+add retractions; a missed remove leaves duplicate
+        # rows behind the overwrite, a dropped add loses the
+        # replacement, and both move the hash against the batch
+        # recompute from orders
+        ("streaming_partition_ivm_gate", _streaming_partition_ivm,
+         _streaming_partition_ivm_sql()),
     ]
 
 
