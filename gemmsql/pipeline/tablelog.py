@@ -1001,19 +1001,111 @@ def ivm_drain(
                 )
             return _pd.read_parquet(full, columns=columns)
 
+        _pairs_cache: dict[str, set] = {}
+        _keys_cache: dict[str, set] = {}
+
+        def _pd_pairs(pd_path):
+            """(file, pos) pair set of a positional-delete file —
+            either encoding (r16 deletion vectors or the legacy row
+            list); cached, KB-scale metadata."""
+            if pd_path not in _pairs_cache:
+                pairs = _read(pd_path, None)
+                if "bitmap" in pairs.columns:
+                    from gemmsql.pipeline.dvbitmap import (
+                        decode_positions,
+                    )
+
+                    _pairs_cache[pd_path] = {
+                        (path, int(pos))
+                        for path, blob in zip(
+                            pairs["path"], pairs["bitmap"])
+                        for pos in decode_positions(bytes(blob))
+                    }
+                else:
+                    _pairs_cache[pd_path] = {
+                        (p, int(x))
+                        for p, x in zip(pairs["path"], pairs["pos"])
+                    }
+            return _pairs_cache[pd_path]
+
+        def _kd_keys(kd_path):
+            if kd_path not in _keys_cache:
+                _keys_cache[kd_path] = set(
+                    _read(kd_path, None)["o_orderkey"])
+            return _keys_cache[kd_path]
+
+        def _live_deletes_below(v_limit):
+            """Live keydel/posdel ACTIONS strictly below commit
+            ``v_limit`` — last-action-wins replay over the raw log
+            (metadata-sized; the expired prefix can carry no delete
+            actions, expiry refuses them until retired)."""
+            last: dict[str, tuple] = {}
+            for p in sorted(
+                    _glob.glob(os.path.join(log_dir, "*.json"))):
+                v = int(os.path.basename(p).split(".")[0])
+                if v >= v_limit:
+                    continue
+                with open(p) as f:
+                    for ln in f:
+                        if not ln.strip():
+                            continue
+                        act = json.loads(ln)
+                        if act.get("a") not in (
+                                "keydel", "posdel", "remove"):
+                            continue
+                        rank = (v, 1 if act["a"] == "remove" else 0)
+                        cur = last.get(act["path"])
+                        if cur is None or rank >= cur[0]:
+                            last[act["path"]] = (rank, act)
+            return [a for (_, a) in last.values()
+                    if a["a"] in ("keydel", "posdel")]
+
+        def _drop_already_dead(part, fname, file_seq, baseline):
+            """Remove from ``part`` (indexed by row POSITION in
+            ``fname``) every row the ``baseline`` delete state
+            already kills — the overlap rule: a row can only die (or
+            resurrect) ONCE no matter how many delete files name it.
+            The batch MOR read composes anti-join FILTERS, so
+            overlap is free there; the IVM is arithmetic and must
+            dedupe explicitly (r16 fix — two overlapping deletes
+            double-retracted before)."""
+            kd_base, pos_base = baseline
+            if pos_base:
+                hit = [i for i in part.index if (fname, i) in pos_base]
+                if hit:
+                    part = part.drop(index=hit)
+            for keys, seq in kd_base:
+                if seq > file_seq and len(part):
+                    part = part[~part["o_orderkey"].isin(keys)]
+            return part
+
+        def _baseline_of(actions):
+            """(keydel (keys, seq) list, posdel pair set) of a
+            delete-action list."""
+            kd = [(_kd_keys(a["path"]), _seq_of(a))
+                  for a in actions if a["a"] == "keydel"]
+            pos = set()
+            for a in actions:
+                if a["a"] == "posdel":
+                    pos |= _pd_pairs(a["path"])
+            return kd, pos
+
         def _keydel_rows(kd_action, batch_adds, batch_removed, sign,
-                         v_limit=None):
+                         baseline, v_limit=None):
             """The keydel subtraction (sign=-1) or its exact inverse
             (sign=+1, for a remove-of-the-key-file): matching rows of
             every file sequenced strictly below the delete — lives
             below the delete's COMMIT, minus same-commit removes,
-            plus same-commit adds (a RESTORE carries both).  The
-            inverse passes ``v_limit = kd commit + 1``: the as-of-end
-            replay already folds that commit's own adds/removes in,
-            and every below-sequence file it saw is still live (the
-            rewrite guards make a dead file below a live keydel
-            unreachable), so the mirror is exact."""
-            keys = set(_read(kd_action["path"], None)["o_orderkey"])
+            plus same-commit adds (a RESTORE carries both) — MINUS
+            rows the ``baseline`` delete state already kills (for
+            -1: already dead before this delete; for +1: still dead
+            after the retire).  The inverse passes ``v_limit = kd
+            commit + 1``: the as-of-end replay already folds that
+            commit's own adds/removes in, and every below-sequence
+            file it saw is still live (the rewrite guards make a
+            dead file below a live keydel unreachable), so the
+            mirror is exact."""
+            keys = _kd_keys(kd_action["path"])
             lo, hi = kd_action["min_key"], kd_action["max_key"]
             kd_seq = _seq_of(kd_action)
             if v_limit is None:
@@ -1023,6 +1115,7 @@ def ivm_drain(
                 if ad["path"] not in batch_removed
             ] + batch_adds
             parts = []
+            touched = []
             for add in lives:
                 if _seq_of(add) >= kd_seq:
                     continue  # the sequence rule
@@ -1030,33 +1123,42 @@ def ivm_drain(
                     continue  # the CDF reader's skip plan
                 part = _read(add["path"], cols)
                 part = part[part["o_orderkey"].isin(keys)]
+                part = _drop_already_dead(
+                    part, add["path"], _seq_of(add), baseline)
                 if len(part):
+                    touched.extend(
+                        (add["path"], int(i)) for i in part.index)
                     part = part[cols[1:]].copy()
                     part["sign"] = sign
                     parts.append(part)
-            return parts
+            return parts, touched
 
-        def _posdel_rows(pd_path, sign):
-            pairs = _read(pd_path, None)
-            if "bitmap" in pairs.columns:  # r16 deletion vectors
-                from gemmsql.pipeline.dvbitmap import decode_positions
-
-                groups = [
-                    (path, decode_positions(bytes(blob)))
-                    for path, blob in zip(pairs["path"], pairs["bitmap"])
-                ]
-            else:  # legacy (path, pos) row list
-                groups = [
-                    (fname, sorted(grp["pos"]))
-                    for fname, grp in pairs.groupby("path")
-                ]
+        def _posdel_rows(pd_path, sign, baseline, lives_seq):
+            """Positional retraction (-1) or its inverse (+1), MINUS
+            pairs the ``baseline`` delete state already covers (the
+            same overlap rule as _keydel_rows — a compaction commit
+            that retires three PD files and adds their union must
+            net to ZERO)."""
+            by_file: dict[str, list] = {}
+            kd_base, pos_base = baseline
+            for fname, pos in _pd_pairs(pd_path):
+                if (fname, pos) not in pos_base:
+                    by_file.setdefault(fname, []).append(pos)
             parts = []
-            for fname, positions in groups:
-                part = _read(fname, cols[1:])
-                part = part.iloc[list(positions)].copy()
-                part["sign"] = sign
-                parts.append(part)
-            return parts
+            touched = []
+            for fname, positions in sorted(by_file.items()):
+                part = _read(fname, cols).iloc[sorted(positions)]
+                if kd_base:
+                    part = _drop_already_dead(
+                        part, fname, lives_seq.get(fname, -1),
+                        (kd_base, set()))
+                if len(part):
+                    touched.extend(
+                        (fname, int(i)) for i in part.index)
+                    part = part[cols[1:]].copy()
+                    part["sign"] = sign
+                    parts.append(part)
+            return parts, touched
 
         for pdf in batches:
             out = []
@@ -1064,13 +1166,16 @@ def ivm_drain(
             batch_adds = [r for r in recs if r["a"] == "add"]
             batch_removed = {r["path"] for r in recs
                              if r["a"] == "remove"}
+            new_dels = [r for r in recs
+                        if r["a"] in ("keydel", "posdel")]
+            v_now = min((int(r["v"]) for r in recs), default=0)
             # delete-bearing history for this commit's removes: a
             # removed path with a prior keydel/posdel action is a
             # DELETE file retiring (materialize / rolling-back
-            # restore) and expands as the INVERSE retraction
+            # restore / delete-file compaction) and expands as the
+            # INVERSE retraction
             del_history: dict[str, dict] = {}
             if batch_removed:
-                v_now = min(int(r["v"]) for r in recs)
                 for p in sorted(_glob.glob(
                         os.path.join(log_dir, "*.json"))):
                     if int(os.path.basename(p).split(".")[0]) >= v_now:
@@ -1086,6 +1191,33 @@ def ivm_drain(
                                 cur = del_history.get(act["path"])
                                 if cur is None or act["v"] >= cur["v"]:
                                     del_history[act["path"]] = act
+            # OVERLAP BASELINES (r16): a row dies (or resurrects)
+            # exactly ONCE no matter how many delete files name it —
+            # new deletes retract only rows the PRE-commit state left
+            # alive; retiring deletes resurrect only rows the
+            # POST-commit state stops killing.  A compaction commit
+            # (retire N posdels, add their union) therefore nets to
+            # zero, and two overlapping DELETEs never double-retract.
+            # Both baselines grow as the commit's actions process, so
+            # same-commit overlaps count once too.
+            retiring = [p for p in batch_removed if p in del_history]
+            pre_base = ([], set())
+            post_base = ([], set())
+            lives_seq: dict[str, int] = {}
+            if new_dels or retiring:
+                pre_dels = _live_deletes_below(v_now)
+                post_dels = [
+                    a for a in pre_dels
+                    if a["path"] not in batch_removed
+                ] + new_dels
+                pre_base = _baseline_of(pre_dels)
+                post_base = _baseline_of(post_dels)
+                lives_seq = {
+                    ad["path"]: _seq_of(ad)
+                    for ad in _live_adds_before(log_dir, v_now)
+                }
+                for ad in batch_adds:
+                    lives_seq[ad["path"]] = _seq_of(ad)
             for row in recs:
                 a, path = row["a"], row["path"]
                 if a == "add":
@@ -1099,16 +1231,26 @@ def ivm_drain(
                         part["sign"] = -1
                         out.append(part)
                     elif prior["a"] == "keydel":
-                        out.extend(_keydel_rows(
-                            prior, [], set(), 1,
-                            v_limit=int(prior["v"]) + 1))
+                        parts, touched = _keydel_rows(
+                            prior, [], set(), 1, post_base,
+                            v_limit=int(prior["v"]) + 1)
+                        out.extend(parts)
+                        post_base[1].update(touched)
                     else:  # a retiring posdel: inverse +1
-                        out.extend(_posdel_rows(path, 1))
+                        parts, touched = _posdel_rows(
+                            path, 1, post_base, lives_seq)
+                        out.extend(parts)
+                        post_base[1].update(touched)
                 elif a == "keydel":
-                    out.extend(_keydel_rows(
-                        row, batch_adds, batch_removed, -1))
+                    parts, touched = _keydel_rows(
+                        row, batch_adds, batch_removed, -1, pre_base)
+                    out.extend(parts)
+                    pre_base[1].update(touched)
                 elif a == "posdel":
-                    out.extend(_posdel_rows(path, -1))
+                    parts, touched = _posdel_rows(
+                        path, -1, pre_base, lives_seq)
+                    out.extend(parts)
+                    pre_base[1].update(touched)
             if out:
                 yield _pd.concat(out, ignore_index=True)
 
@@ -5750,6 +5892,67 @@ def _posdel_pairs(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.distinct()
+
+
+def compact_delete_files(spark: SparkSession, table_dir: str) -> int:
+    """Rewrite-position-deletes maintenance (Iceberg's
+    ``rewrite_position_delete_files`` action): merge every LIVE
+    positional-delete file into ONE deletion-vector file — retire
+    the olds and add the merged file in a single commit.  A
+    long-lived MOR table accumulates one small PD file per DELETE;
+    each adds a scan-time anti-join source and a per-plan metadata
+    row, so periodic compaction keeps the delete side O(1) files.
+
+    Safe by construction: positional deletes are position-exact and
+    sequence-free (unlike keydels), so merging is a pure pair-set
+    union — and the streaming IVM stays correct automatically
+    because the expansion treats the removes as retiring posdels
+    (inverse +1) and the new posdel as -1, netting zero row deltas.
+    Equality-delete (keydel) files are left untouched — their
+    sequence numbers order them against data files and cannot merge.
+    Commits under the SERIALIZABLE pin (a concurrent delete or
+    materialization between plan and commit aborts this compaction,
+    which replans — the safe direction).  Returns the committed
+    version."""
+    planned_v = _latest_version(table_dir)
+    dels = _live_delete_actions(table_dir, None)
+    pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
+    if len(pdl) < 2:
+        raise ValueError(
+            f"{len(pdl)} live positional-delete file(s) — nothing to "
+            "compact"
+        )
+    pairs = _posdel_pairs(spark, table_dir, pdl).select(
+        F.col("__path").alias("path"), F.col("__pos").alias("pos")
+    )
+    n = pairs.count()
+
+    def _build(pdf):
+        import pandas as _pd
+
+        from gemmsql.pipeline.dvbitmap import encode_positions
+
+        return _pd.DataFrame({
+            "path": [pdf["path"].iloc[0]],
+            "bitmap": [encode_positions(pdf["pos"].to_numpy())],
+        })
+
+    dv = pairs.groupBy("path").applyInPandas(
+        _build, schema="path string, bitmap binary"
+    )
+    nonce = _next_version_nonce(table_dir)
+    name = f"PD{nonce}-compact.parquet"
+    dest = os.path.join(table_dir, DATA_SUBDIR, name)
+    _write_one_file(dv, dest, sort_key="path")
+    return commit_actions(
+        table_dir,
+        [{"a": "remove", "path": p} for p in pdl]
+        + [{
+            "a": "posdel", "path": name,
+            "n_rows": int(n), "n_bytes": os.path.getsize(dest),
+        }],
+        expects_latest_version=planned_v,
+    )
 
 
 def snapshot_delete_files(

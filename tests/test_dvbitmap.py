@@ -175,3 +175,94 @@ def test_encodings_agree_and_materialize(spark, tmp_path):
     am = sorted(tl.snapshot_read(spark, dirs["dv"]).collect())
     bm = sorted(tl.snapshot_read(spark, dirs["legacy"]).collect())
     assert am == bm == a
+
+
+def test_compact_delete_files(spark, tmp_path):
+    """Iceberg's rewrite-position-deletes maintenance: several small
+    PD files merge into ONE DV file in one commit — the MOR view is
+    unchanged, the live delete-file count drops to 1, and the
+    mid-stream IVM nets ZERO row deltas from the compaction commit
+    (retiring posdels expand as inverse +1 against the new -1)."""
+    from gemmsql.pipeline.tablelog import (
+        ivm_drain,
+        ivm_view,
+        snapshot_delete_files,
+    )
+
+    d = str(tmp_path / "dvcompact")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tl.commit_actions(d, [tl._write_with_add_action(
+        orders, d, "A.parquet")])
+    tl.delete_positions_mor(spark, d, "o_orderkey % 5 = 0")
+    tl.delete_positions_mor(spark, d, "o_orderkey % 7 = 1")
+    tl.delete_positions_mor(spark, d, "o_orderkey % 11 = 3")
+    before = sorted(tl.snapshot_read_mor(spark, d).collect())
+    assert snapshot_delete_files(spark, d).count() == 3
+    # the IVM view BEFORE compaction
+    ckpt = str(tmp_path / "dvc_ckpt")
+    em = str(tmp_path / "dvc_emissions")
+    ivm_drain(spark, d, ckpt, em)
+    view_before = sorted(ivm_view(spark, em).collect())
+    tl.compact_delete_files(spark, d)
+    assert snapshot_delete_files(spark, d).count() == 1
+    after = sorted(tl.snapshot_read_mor(spark, d).collect())
+    assert after == before and len(after) > 0
+    # the compaction commit drains as a NET-ZERO change
+    ivm_drain(spark, d, ckpt, em)
+    assert sorted(ivm_view(spark, em).collect()) == view_before
+    # fewer than 2 live PD files refuses
+    with pytest.raises(ValueError, match="nothing to compact"):
+        tl.compact_delete_files(spark, d)
+    # materialization folds the compacted DV exactly
+    tl.materialize_deletes(spark, d)
+    assert sorted(tl.snapshot_read(spark, d).collect()) == before
+
+
+def test_overlapping_deletes_retract_once_in_ivm(spark, tmp_path):
+    """The r16 overlap fix: the batch MOR read composes anti-join
+    FILTERS (a row dies once however many delete files name it), but
+    the streaming IVM is arithmetic — before the fix two overlapping
+    positional deletes (or a keydel crossing a posdel) retracted
+    overlap rows TWICE, silently diverging the maintained view.  Two
+    overlapping posdels plus a keydel covering part of both must
+    leave the IVM view hash-equal to the batch recompute."""
+    from gemmsql.pipeline.tablelog import ivm_drain, ivm_view
+
+    d = str(tmp_path / "dvoverlap")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tl.commit_actions(d, [tl._write_with_add_action(
+        orders, d, "A.parquet")])
+    ckpt = str(tmp_path / "ovl_ckpt")
+    em = str(tmp_path / "ovl_emissions")
+    ivm_drain(spark, d, ckpt, em)
+    # two OVERLAPPING positional deletes (k%6=0 rows are in both),
+    # then an equality delete crossing both (k%4=0 overlaps k%2=0)
+    tl.delete_positions_mor(spark, d, "o_orderkey % 2 = 0")
+    ivm_drain(spark, d, ckpt, em)
+    tl.delete_positions_mor(spark, d, "o_orderkey % 3 = 0")
+    ivm_drain(spark, d, ckpt, em)
+    keys = orders.filter("o_orderkey % 4 = 0").select("o_orderkey")
+    tl.delete_keys_mor(spark, d, keys)
+    ivm_drain(spark, d, ckpt, em)
+    want = sorted(
+        tl.snapshot_read_mor(spark, d)
+        .groupBy("o_orderpriority")
+        .agg(tl.F.count("*").cast("long").alias("n_orders"),
+             tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+             .alias("sum_cents"))
+        .collect())
+    got = sorted(ivm_view(spark, em).collect())
+    assert got == want and len(got) > 0
+    # and materialization folds the overlapping state exactly once
+    tl.materialize_deletes(spark, d)
+    ivm_drain(spark, d, ckpt, em)
+    assert sorted(ivm_view(spark, em).collect()) == want
+    want_rows = orders.filter(
+        "o_orderkey % 2 != 0 AND o_orderkey % 3 != 0").count()
+    assert tl.snapshot_read(spark, d).count() == want_rows
