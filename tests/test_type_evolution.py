@@ -913,3 +913,96 @@ def test_spec_source_rename_compacts_and_drops(spark, tmp_path):
     tl.drop_partitions(spark, d, {"qty2": probe2})
     assert tl.partition_pruned_read(
         spark, d, {"qty2": probe2}).count() == 0
+
+
+def test_partition_rename_property_vs_model(spark, tmp_path):
+    """Hypothesis property for the r16 field-id spec path: a random
+    interleaving of partitioned appends, SPEC-SOURCE RENAMES (the
+    name cycles, so recorded values span several vocabularies),
+    dynamic partition overwrites, and DROP PARTITION — after every
+    op, each partition's pruned read returns EXACTLY the model's
+    rows, whatever name its files were recorded under."""
+    from hypothesis import given, settings, strategies as st
+
+    NAMES = ["pv", "pv_x", "pcol", "bucketv"]
+    VALS = [0, 1, 2]
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"),
+                      st.sampled_from(VALS), st.sampled_from(VALS)),
+            st.just(("rename",)),
+            st.tuples(st.just("overwrite"), st.sampled_from(VALS)),
+            st.tuples(st.just("drop"), st.sampled_from(VALS)),
+        ),
+        min_size=2, max_size=7,
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(seq=ops)
+    def check(seq):
+        counter["n"] += 1
+        d = str(tmp_path / f"proppart{counter['n']}")
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        name_i = 0
+        cur = NAMES[name_i]
+        tl.set_partition_spec(d, [cur])
+        model: dict[int, set[int]] = {}  # partition val -> key set
+        kbase = counter["n"] * 1_000_000
+
+        def _frame(pairs):
+            """(key, val) rows under the CURRENT logical name."""
+            return spark.createDataFrame(
+                [(k, v, float(k % 997)) for k, v in pairs],
+                f"o_orderkey bigint, {cur} int, o_totalprice double",
+            )
+
+        wrote = False
+        for i, op in enumerate(seq):
+            kind = op[0]
+            if kind == "append":
+                pairs = [(kbase + i * 10 + j, op[1 + (j % 2)])
+                         for j in range(4)]
+                tl.append_partitioned(spark, d, _frame(pairs), f"A{i}")
+                for k, v in pairs:
+                    model.setdefault(v, set()).add(k)
+                wrote = True
+            elif kind == "rename":
+                if not wrote:
+                    continue  # nothing mapped yet; rename needs data
+                name_i += 1
+                new = NAMES[name_i % len(NAMES)] + (
+                    f"_{name_i}" if name_i >= len(NAMES) else "")
+                tl.rename_column(spark, d, cur, new)
+                cur = new
+            elif kind == "overwrite":
+                val = op[1]
+                if not model.get(val):
+                    continue  # overwrite of an absent partition: the
+                    # staged adds would create it; keep model simple
+                pairs = [(kbase + i * 10 + j + 5, val)
+                         for j in range(2)]
+                tl.replace_partitions(spark, d, _frame(pairs), f"O{i}")
+                model[val] = {k for k, _ in pairs}
+            else:  # drop
+                val = op[1]
+                if not model.get(val):
+                    continue
+                tl.drop_partitions(spark, d, {cur: val})
+                model[val] = set()
+            # every partition's pruned read == the model, exactly
+            for val, keys in model.items():
+                got = {
+                    r["o_orderkey"] for r in tl.partition_pruned_read(
+                        spark, d, {cur: val}).collect()
+                }
+                assert got == keys, (seq, val, cur)
+            # and nothing exists outside the model
+            total = sum(len(s) for s in model.values())
+            from gemmsql.pipeline.tablelog import snapshot_read_mapped
+            assert snapshot_read_mapped(spark, d).count() == total, seq
+
+    check()
