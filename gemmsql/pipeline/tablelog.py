@@ -6201,6 +6201,78 @@ def materialize_deletes(
     return commit_actions(table_dir, actions)
 
 
+def stage_posdel_compact_table(spark: SparkSession, sf_dir: str) -> str:
+    """A deletion-vector lifecycle staged once per sf tier: v0
+    appends all of orders as one file, v1/v2 land two OVERLAPPING
+    positional deletes (``key % 5 == 0`` and ``key % 7 == 1`` — rows
+    divisible by 35 with remainder patterns hitting both), v3
+    compacts the two PD files into ONE deletion vector
+    (:func:`compact_delete_files`).  Deterministic derivations so
+    DuckDB replays the final row set exactly."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"gemmsql_tabledvc_{staged_dir_tag(sf_dir)}",
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, LOG_SUBDIR))
+    os.makedirs(os.path.join(tmp, DATA_SUBDIR))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    assert commit_actions(tmp, [_write_with_add_action(
+        orders, tmp, "A.parquet")]) == 0
+    assert delete_positions_mor(spark, tmp, "o_orderkey % 5 = 0") == 1
+    assert delete_positions_mor(spark, tmp, "o_orderkey % 7 = 1") == 2
+    assert compact_delete_files(spark, tmp) == 3
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def posdel_compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion-vector witness (r16): per-priority aggregates of
+    the MOR view AFTER two overlapping positional deletes compacted
+    into one DV file — plus the live delete-file COUNT as a
+    hash-load-bearing column, so a compaction that loses pairs,
+    resurrects the overlap, or fails to retire the old PD files all
+    move the hash.  The twin recomputes the surviving rows from
+    ``orders`` with the two predicates in pure SQL."""
+    d = stage_posdel_compact_table(spark, sf_dir)
+    n_del = snapshot_delete_files(spark, d).count()  # metadata
+    return (
+        snapshot_read_mor(spark, d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.lit(int(n_del)).cast("long").alias("n_delete_files"),
+            "o_orderpriority", "n_orders", "sum_cents",
+        )
+    )
+
+
+POSDEL_COMPACTION_READ_SQL = f"""
+SELECT CAST(1 AS BIGINT) AS n_delete_files,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM orders
+WHERE NOT (o_orderkey % 5 = 0 OR o_orderkey % 7 = 1)
+GROUP BY o_orderpriority
+"""
+
+
 def stage_mor_table(spark: SparkSession, sf_dir: str) -> str:
     """The versioned fixture copied once per sf tier with one
     merge-on-read delete committed on top: every bucket-3 key

@@ -825,6 +825,18 @@ def _streaming_partition_ivm_sql():
     return STREAMING_PARTITION_IVM_GATE_SQL
 
 
+def _posdel_compaction_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import posdel_compaction_read
+
+    return posdel_compaction_read(spark, sf_dir)
+
+
+def _posdel_compaction_read_sql():
+    from gemmsql.pipeline.tablelog import POSDEL_COMPACTION_READ_SQL
+
+    return POSDEL_COMPACTION_READ_SQL
+
+
 def _streaming_hourly_rot(spark, sf_dir):
     from gemmsql.streaming.windows import streaming_hourly_gate
 
@@ -1359,6 +1371,14 @@ def _rotated():
         # recompute from orders
         ("streaming_partition_ivm_gate", _streaming_partition_ivm,
          _streaming_partition_ivm_sql()),
+        # second round-16 birth: DELETION VECTORS witnessed through
+        # the oracle — two OVERLAPPING positional deletes compact
+        # into one DV file (rewrite-position-deletes), and the MOR
+        # view plus the live delete-file COUNT must hash-equal the
+        # pure-SQL recompute; lost pairs, a resurrected overlap, or
+        # unretired PD files all move the hash
+        ("posdel_compaction_read", _posdel_compaction_read,
+         _posdel_compaction_read_sql()),
     ]
 
 
