@@ -266,3 +266,64 @@ def test_overlapping_deletes_retract_once_in_ivm(spark, tmp_path):
     want_rows = orders.filter(
         "o_orderkey % 2 != 0 AND o_orderkey % 3 != 0").count()
     assert tl.snapshot_read(spark, d).count() == want_rows
+
+
+def test_overlapping_keydels_retract_once_in_ivm(spark, tmp_path):
+    """The keydel half of the overlap rule: two equality deletes
+    with intersecting key sets (k%4=0 is inside k%2=0) must retract
+    each row once in the maintained view."""
+    from gemmsql.pipeline.tablelog import ivm_drain, ivm_view
+
+    d = str(tmp_path / "kdoverlap")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tl.commit_actions(d, [tl._write_with_add_action(
+        orders, d, "A.parquet")])
+    ckpt = str(tmp_path / "kdo_ckpt")
+    em = str(tmp_path / "kdo_emissions")
+    ivm_drain(spark, d, ckpt, em)
+    tl.delete_keys_mor(
+        spark, d, orders.filter("o_orderkey % 2 = 0")
+        .select("o_orderkey"))
+    ivm_drain(spark, d, ckpt, em)
+    tl.delete_keys_mor(
+        spark, d, orders.filter("o_orderkey % 4 = 0")
+        .select("o_orderkey"))  # strictly inside the first delete
+    ivm_drain(spark, d, ckpt, em)
+    want = sorted(
+        tl.snapshot_read_mor(spark, d)
+        .groupBy("o_orderpriority")
+        .agg(tl.F.count("*").cast("long").alias("n_orders"),
+             tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+             .alias("sum_cents"))
+        .collect())
+    got = sorted(ivm_view(spark, em).collect())
+    assert got == want and len(got) > 0
+
+
+def test_compaction_time_travel(spark, tmp_path):
+    """Time travel below a delete-file compaction reads through the
+    ORIGINAL PD files (retired, not erased): the MOR view at the
+    pre-compaction version equals the view after — compaction is
+    change-free by construction — and the version below the second
+    delete subtracts only the first."""
+    d = str(tmp_path / "dvtt")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tl.commit_actions(d, [tl._write_with_add_action(
+        orders, d, "A.parquet")])                                # v0
+    tl.delete_positions_mor(spark, d, "o_orderkey % 5 = 0")      # v1
+    tl.delete_positions_mor(spark, d, "o_orderkey % 7 = 1")      # v2
+    v_compact = tl.compact_delete_files(spark, d)                # v3
+    assert v_compact == 3
+    latest = sorted(tl.snapshot_read_mor(spark, d).collect())
+    at_v2 = sorted(tl.snapshot_read_mor(spark, d, 2).collect())
+    assert latest == at_v2  # change-free commit
+    at_v1 = tl.snapshot_read_mor(spark, d, 1)
+    assert at_v1.filter("o_orderkey % 5 = 0").count() == 0
+    want_v1 = orders.filter("o_orderkey % 5 != 0").count()
+    assert at_v1.count() == want_v1
