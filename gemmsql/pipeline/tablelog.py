@@ -5790,6 +5790,112 @@ def update_where_cow(
     return commit_actions(table_dir, actions, expects_live=touched)
 
 
+def update_where_mor(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    *,
+    key: str = "o_orderkey",
+) -> int:
+    """DELETION-VECTOR-backed UPDATE (the path Delta takes when DVs
+    are enabled): instead of rewriting every touched file
+    (:func:`update_where_cow`), mark the matched rows dead in ONE
+    per-file position bitmap and append the updated rows as ONE new
+    file — posdel + add in a single atomic commit, zero existing
+    data files rewritten.  At 100 TB an update touching 1% of rows
+    spread over thousands of files costs one small DV file + one new
+    data file instead of thousands of full-file rewrites; readers
+    come through :func:`snapshot_read_mor`, and the streaming IVM
+    drains the commit as -old rows / +new rows with no new
+    machinery.
+
+    Composes with LIVE POSITIONAL deletes (positions stay stable —
+    nothing rewrites; already-dead rows are excluded from the match,
+    so an UPDATE can never resurrect a deleted row).  Live EQUALITY
+    deletes refuse: their sequence rule orders them against data
+    files, and the appended update file would re-expose updated rows
+    whose keys a later keydel should hide — run
+    :func:`materialize_deletes` first.  ``set_exprs`` follows
+    :func:`update_where_cow`'s simultaneous-assignment semantics and
+    CHECK validation.  Returns the committed version."""
+    planned_v = _latest_version(table_dir)
+    dels = _live_delete_actions(table_dir, None)
+    if any(r["a"] == "keydel" for r in dels):
+        raise ValueError(
+            "UPDATE (MOR) does not compose with live equality "
+            "deletes (the sequence rule would re-order them against "
+            "the appended rows) — materialize_deletes first"
+        )
+    pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
+    tagged, mapping, _live = _live_logical_tagged(
+        spark, table_dir, op="positional UPDATE", with_pos=True
+    )
+    if pdl:
+        dead = _posdel_pairs(spark, table_dir, pdl) \
+            .withColumnsRenamed({"__path": "_path", "__pos": "_pos"})
+        tagged = tagged.join(
+            F.broadcast(dead), ["_path", "_pos"], "left_anti"
+        )
+    cols = [c for c in tagged.columns if c not in ("_path", "_pos")]
+    bad = sorted(set(set_exprs) - set(cols))
+    if bad:
+        raise ValueError(f"SET names unknown columns: {bad}")
+    hit = F.expr(predicate)
+    matched = tagged.filter(hit)
+    # each SET expression casts to the column's DECLARED type: the
+    # appended file holds only updated rows, so without the cast a
+    # literal like 0.0 (decimal(1,1)) would drift the footer type
+    # and refuse to merge with the table (the CoW path gets this for
+    # free from its when/otherwise coercion)
+    types = dict(tagged.dtypes)
+    updated = matched.select(*[
+        F.expr(set_exprs[c]).cast(types[c]).alias(c)
+        if c in set_exprs else F.col(c)
+        for c in cols
+    ])
+    _enforce_constraints(spark, table_dir, updated)
+    nonce = _next_version_nonce(table_dir)
+
+    def _build(pdf):
+        import pandas as _pd
+
+        from gemmsql.pipeline.dvbitmap import encode_positions
+
+        return _pd.DataFrame({
+            "path": [pdf["_path"].iloc[0]],
+            "bitmap": [encode_positions(pdf["_pos"].to_numpy())],
+        })
+
+    dv = matched.select("_path", "_pos").groupBy("_path").applyInPandas(
+        _build, schema="path string, bitmap binary"
+    )
+    pd_name = f"PD{nonce}-upd.parquet"
+    pd_dest = os.path.join(table_dir, DATA_SUBDIR, pd_name)
+    _write_one_file(dv, pd_dest, sort_key="path")
+    from gemmsql.pipeline.dvbitmap import cardinality as _dv_card
+    import pandas as _pd_drv
+
+    n_dead = int(sum(
+        _dv_card(bytes(b))
+        for b in _pd_drv.read_parquet(pd_dest)["bitmap"]
+    ))  # KB-scale metadata read
+    if not n_dead:
+        os.remove(pd_dest)
+        raise ValueError("update predicate matched no rows")
+    phys, phys_key = _to_physical(updated, mapping, key)
+    add = _write_with_add_action(
+        phys, table_dir, f"UPD{nonce}-mor.parquet", key=phys_key
+    )
+    return commit_actions(table_dir, [
+        {
+            "a": "posdel", "path": pd_name,
+            "n_rows": n_dead, "n_bytes": os.path.getsize(pd_dest),
+        },
+        add,
+    ], expects_latest_version=planned_v)
+
+
 def delete_positions_mor(
     spark: SparkSession,
     table_dir: str,

@@ -327,3 +327,94 @@ def test_compaction_time_travel(spark, tmp_path):
     assert at_v1.filter("o_orderkey % 5 = 0").count() == 0
     want_v1 = orders.filter("o_orderkey % 5 != 0").count()
     assert at_v1.count() == want_v1
+
+
+def test_update_where_mor_equals_cow(spark, tmp_path):
+    """DV-backed UPDATE (update_where_mor) lands posdel + one new
+    file in ONE commit, zero rewrites — and must produce exactly the
+    same table as the copy-on-write UPDATE, compose with a prior
+    positional delete (already-dead rows never update), drain
+    through the IVM, and refuse on live equality deletes."""
+    from gemmsql.pipeline.tablelog import ivm_drain, ivm_view
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    dirs = {}
+    for name in ("mor", "cow"):
+        d = str(tmp_path / f"updmor_{name}")
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.commit_actions(d, [tl._write_with_add_action(
+            orders.filter("o_orderkey % 2 = 0"), d, "A.parquet")])
+        tl.commit_actions(d, [tl._write_with_add_action(
+            orders.filter("o_orderkey % 2 = 1"), d, "B.parquet")])
+        dirs[name] = d
+    pred = "o_orderkey % 9 = 2"
+    sets = {"o_totalprice": "o_totalprice * 2 + 1"}
+    dm = dirs["mor"]
+    ckpt = str(tmp_path / "upd_ckpt")
+    em = str(tmp_path / "upd_emissions")
+    ivm_drain(spark, dm, ckpt, em)
+    v0 = max(tl._present_versions(dm))
+    v = tl.update_where_mor(spark, dm, pred, sets)
+    assert v == v0 + 1, "posdel + add must be ONE commit"
+    tl.update_where_cow(spark, dirs["cow"], pred, sets)
+    got = sorted(tl.snapshot_read_mor(spark, dm).collect())
+    want = sorted(tl.snapshot_read(spark, dirs["cow"]).collect())
+    assert got == want and len(got) == orders.count()
+    # ZERO data files rewritten: both original files still live
+    live = {r["path"] for r in tl.snapshot_files(spark, dm).collect()}
+    assert {"A.parquet", "B.parquet"} <= live
+    # the IVM drains the commit as -old/+new
+    ivm_drain(spark, dm, ckpt, em)
+    want_view = sorted(
+        tl.snapshot_read_mor(spark, dm)
+        .groupBy("o_orderpriority")
+        .agg(tl.F.count("*").cast("long").alias("n_orders"),
+             tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+             .alias("sum_cents"))
+        .collect())
+    assert sorted(ivm_view(spark, em).collect()) == want_view
+    # composes with a prior posdel: deleted rows never update
+    tl.delete_positions_mor(spark, dm, "o_orderkey % 9 = 4")
+    n_before = tl.snapshot_read_mor(spark, dm).count()
+    tl.update_where_mor(
+        spark, dm, "o_orderkey % 9 IN (4, 5)",
+        {"o_totalprice": "0.0"})
+    after = tl.snapshot_read_mor(spark, dm)
+    assert after.count() == n_before  # nothing resurrected
+    assert after.filter("o_orderkey % 9 = 4").count() == 0
+    assert after.filter(
+        "o_orderkey % 9 = 5 AND o_totalprice != 0.0").count() == 0
+    # live equality deletes refuse
+    tl.delete_keys_mor(
+        spark, dm,
+        orders.filter("o_orderkey % 11 = 6").select("o_orderkey"))
+    with pytest.raises(ValueError, match="equality"):
+        tl.update_where_mor(spark, dm, pred, sets)
+    # no-match predicate refuses without burning a version
+    d2 = dirs["cow"]
+    v_before = max(tl._present_versions(d2))
+    with pytest.raises(ValueError, match="matched no rows"):
+        tl.update_where_mor(spark, d2, "o_orderkey < 0",
+                            {"o_totalprice": "1.0"})
+    assert max(tl._present_versions(d2)) == v_before
+
+
+def test_update_where_mor_under_mapping(spark, tmp_path):
+    """The DV-backed UPDATE speaks LOGICAL names on a mapped table
+    and its appended file lands under frozen physical names."""
+    d = str(tmp_path / "updmormap")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tl.append_mapped(spark, d, orders, "A.parquet")
+    tl.rename_column(spark, d, "o_totalprice", "price")
+    tl.update_where_mor(
+        spark, d, "o_orderkey % 13 = 3", {"price": "price + 1000000"})
+    got = tl.snapshot_read_mor_mapped(spark, d)
+    assert "price" in got.columns
+    n = orders.filter("o_orderkey % 13 = 3").count()
+    assert got.filter("price > 900000").count() == n > 0
+    assert got.count() == orders.count()
