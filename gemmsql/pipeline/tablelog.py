@@ -5896,6 +5896,109 @@ def update_where_mor(
     ], expects_latest_version=planned_v)
 
 
+def merge_table_mor(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str = "o_orderkey",
+) -> int:
+    """DV-backed MERGE INTO — the last cell of the deletion-vector
+    DML matrix (DELETE :func:`delete_positions_mor`, UPDATE
+    :func:`update_where_mor`, now MERGE): matched target rows mark
+    dead in ONE per-file position bitmap, and ALL source rows — the
+    updated versions of matched keys plus the unmatched inserts —
+    land in ONE new file; posdel + add in a single atomic commit,
+    zero existing data files rewritten.  Same result as
+    :func:`merge_table` (WHEN MATCHED THEN UPDATE SET *, WHEN NOT
+    MATCHED THEN INSERT *) when the business key is unique in the
+    target — the standard MERGE contract; the duplicate-SOURCE-key
+    refusal below is shared with the CoW path.
+
+    At 100 TB this is Delta's DV MERGE trade: a merge touching rows
+    spread over thousands of files costs one small DV + one data
+    file instead of per-origin-file rewrites (the CoW path preserves
+    clustering better; the DV path wins when matches are sparse and
+    wide).  Composes with live positional deletes; live equality
+    deletes refuse (sequence-rule re-ordering) — materialize first.
+    Readers come through :func:`snapshot_read_mor`; the streaming
+    IVM drains the commit as -matched/+source with no new
+    machinery.  Returns the committed version."""
+    planned_v = _latest_version(table_dir)
+    dels = _live_delete_actions(table_dir, None)
+    if any(r["a"] == "keydel" for r in dels):
+        raise ValueError(
+            "MERGE (MOR) does not compose with live equality deletes "
+            "— materialize_deletes first"
+        )
+    pdl = sorted(r["path"] for r in dels if r["a"] == "posdel")
+    tagged, mapping, _live = _live_logical_tagged(
+        spark, table_dir, op="positional MERGE", with_pos=True
+    )
+    if pdl:
+        dead = _posdel_pairs(spark, table_dir, pdl) \
+            .withColumnsRenamed({"__path": "_path", "__pos": "_pos"})
+        tagged = tagged.join(
+            F.broadcast(dead), ["_path", "_pos"], "left_anti"
+        )
+    cols = [c for c in tagged.columns if c not in ("_path", "_pos")]
+    missing = sorted(set(cols) - set(source.columns))
+    extra = sorted(set(source.columns) - set(cols))
+    if missing or extra:
+        raise ValueError(
+            f"merge source must carry exactly the logical schema; "
+            f"missing {missing}, unmapped {extra}"
+        )
+    bounds = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("n_keys"),
+    ).collect()[0]  # 1-row metadata
+    if not bounds["n"]:
+        raise ValueError("empty merge source")
+    if bounds["n"] != bounds["n_keys"]:
+        raise ValueError(
+            "merge source has duplicate keys: "
+            f"{int(bounds['n'])} rows over {int(bounds['n_keys'])} "
+            f"distinct {key!r} values — dedup the source first"
+        )
+    _enforce_constraints(spark, table_dir, source)
+    matched = tagged.join(
+        F.broadcast(source.select(key)), key
+    ).select("_path", "_pos")
+    nonce = _next_version_nonce(table_dir)
+
+    def _build(pdf):
+        import pandas as _pd
+
+        from gemmsql.pipeline.dvbitmap import encode_positions
+
+        return _pd.DataFrame({
+            "path": [pdf["_path"].iloc[0]],
+            "bitmap": [encode_positions(pdf["_pos"].to_numpy())],
+        })
+
+    actions: list[dict] = []
+    n_dead = int(matched.count())
+    if n_dead:
+        dv = matched.groupBy("_path").applyInPandas(
+            _build, schema="path string, bitmap binary"
+        )
+        pd_name = f"PD{nonce}-mrg.parquet"
+        pd_dest = os.path.join(table_dir, DATA_SUBDIR, pd_name)
+        _write_one_file(dv, pd_dest, sort_key="path")
+        actions.append({
+            "a": "posdel", "path": pd_name,
+            "n_rows": n_dead, "n_bytes": os.path.getsize(pd_dest),
+        })
+    phys, phys_key = _to_physical(source.select(*cols), mapping, key)
+    add = _write_with_add_action(
+        phys, table_dir, f"MRG{nonce}-mor.parquet", key=phys_key
+    )
+    actions.append(add)
+    return commit_actions(
+        table_dir, actions, expects_latest_version=planned_v
+    )
+
+
 def delete_positions_mor(
     spark: SparkSession,
     table_dir: str,

@@ -418,3 +418,70 @@ def test_update_where_mor_under_mapping(spark, tmp_path):
     n = orders.filter("o_orderkey % 13 = 3").count()
     assert got.filter("price > 900000").count() == n > 0
     assert got.count() == orders.count()
+
+
+def test_merge_table_mor_equals_cow(spark, tmp_path):
+    """DV-backed MERGE: posdel of the matched target rows + ONE file
+    of all source rows, zero rewrites — same table as the CoW MERGE,
+    IVM-drainable, keydel-refusing, duplicate-source-refusing."""
+    from gemmsql.pipeline.tablelog import ivm_drain, ivm_view
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    dirs = {}
+    for name in ("mor", "cow"):
+        d = str(tmp_path / f"mrgmor_{name}")
+        os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+        os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+        tl.commit_actions(d, [tl._write_with_add_action(
+            orders.filter("o_orderkey % 2 = 0"), d, "A.parquet")])
+        tl.commit_actions(d, [tl._write_with_add_action(
+            orders.filter("o_orderkey % 2 = 1"), d, "B.parquet")])
+        dirs[name] = d
+    # source: updates for % 9 = 2 keys plus brand-new keys
+    src = orders.filter("o_orderkey % 9 = 2").withColumn(
+        "o_totalprice", tl.F.col("o_totalprice") * 3).unionByName(
+        orders.filter("o_orderkey % 9 = 5").withColumn(
+            "o_orderkey", tl.F.col("o_orderkey") + 50_000_000))
+    dm = dirs["mor"]
+    ckpt = str(tmp_path / "mrg_ckpt")
+    em = str(tmp_path / "mrg_emissions")
+    ivm_drain(spark, dm, ckpt, em)
+    v0 = max(tl._present_versions(dm))
+    v = tl.merge_table_mor(spark, dm, src)
+    assert v == v0 + 1, "posdel + add must be ONE commit"
+    tl.merge_table(spark, dirs["cow"], src)
+    got = sorted(tl.snapshot_read_mor(spark, dm).collect())
+    want = sorted(tl.snapshot_read(spark, dirs["cow"]).collect())
+    assert got == want and len(got) > orders.count()
+    # zero rewrites: both original files still live
+    live = {r["path"] for r in tl.snapshot_files(spark, dm).collect()}
+    assert {"A.parquet", "B.parquet"} <= live
+    # IVM parity across the merge commit
+    ivm_drain(spark, dm, ckpt, em)
+    want_view = sorted(
+        tl.snapshot_read_mor(spark, dm)
+        .groupBy("o_orderpriority")
+        .agg(tl.F.count("*").cast("long").alias("n_orders"),
+             tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+             .alias("sum_cents"))
+        .collect())
+    assert sorted(ivm_view(spark, em).collect()) == want_view
+    # a second DV merge composes with the first's posdel state
+    src2 = orders.filter("o_orderkey % 9 = 2").withColumn(
+        "o_totalprice", tl.F.lit(7.0))
+    tl.merge_table_mor(spark, dm, src2)
+    after = tl.snapshot_read_mor(spark, dm)
+    assert after.count() == len(got)
+    assert after.filter(
+        "o_orderkey % 9 = 2 AND o_orderkey < 50000000 "
+        "AND o_totalprice != 7.0").count() == 0
+    # duplicate source keys refuse
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tl.merge_table_mor(spark, dm, src2.unionByName(src2))
+    # live equality deletes refuse
+    tl.delete_keys_mor(
+        spark, dm,
+        orders.filter("o_orderkey % 11 = 1").select("o_orderkey"))
+    with pytest.raises(ValueError, match="equality"):
+        tl.merge_table_mor(spark, dm, src2)
