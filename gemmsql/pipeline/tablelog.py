@@ -6482,6 +6482,102 @@ GROUP BY o_orderpriority
 """
 
 
+def stage_mor_dml_table(spark: SparkSession, sf_dir: str) -> str:
+    """The full DV-DML lifecycle staged once per sf tier: v0 appends
+    orders, v1 DV-UPDATEs the ``key % 10 == 3`` rows
+    (``price * 2 + 1``), v2 DV-MERGEs a source of ``key % 10 == 7``
+    updates (price 1000.5) plus brand-new ``key + 90M`` inserts
+    (price 42.0), v3 DV-DELETEs the ``key % 10 == 9`` rows.  All
+    predicates disjoint and derivable from ``orders``, so DuckDB
+    replays the final state exactly."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"gemmsql_tablemordml_{staged_dir_tag(sf_dir)}",
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, LOG_SUBDIR))
+    os.makedirs(os.path.join(tmp, DATA_SUBDIR))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    assert commit_actions(tmp, [_write_with_add_action(
+        orders, tmp, "A.parquet")]) == 0
+    assert update_where_mor(
+        spark, tmp, "o_orderkey % 10 = 3",
+        {"o_totalprice": "o_totalprice * 2 + 1"},
+    ) == 1
+    src = orders.filter("o_orderkey % 10 = 7").withColumn(
+        "o_totalprice", F.lit(1000.5)
+    ).unionByName(
+        orders.filter("o_orderkey % 10 = 7").select(
+            (F.col("o_orderkey") + 90_000_000).alias("o_orderkey"),
+            "o_orderpriority",
+            F.lit(42.0).alias("o_totalprice"),
+        )
+    )
+    assert merge_table_mor(spark, tmp, src) == 2
+    assert delete_positions_mor(
+        spark, tmp, "o_orderkey % 10 = 9") == 3
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def mor_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DV-DML matrix witness (r16): per-priority aggregates of
+    the MOR view after a DV-UPDATE, a DV-MERGE (updates + inserts),
+    and a DV-DELETE — plus the live delete-file count (three DVs) as
+    a hash-load-bearing column.  A lost bitmap, a resurrected row, a
+    double-dead overlap, or an insert under the wrong key all move
+    the hash; the twin recomputes the final state from ``orders`` in
+    pure SQL."""
+    d = stage_mor_dml_table(spark, sf_dir)
+    n_del = snapshot_delete_files(spark, d).count()  # metadata
+    return (
+        snapshot_read_mor(spark, d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.lit(int(n_del)).cast("long").alias("n_delete_files"),
+            "o_orderpriority", "n_orders", "sum_cents",
+        )
+    )
+
+
+MOR_DML_READ_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 7 THEN 1000.5
+              WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders),
+ins AS (
+  SELECT o_orderkey + 90000000 AS o_orderkey, o_orderpriority,
+         42.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 7),
+final AS (
+  SELECT * FROM base WHERE o_orderkey % 10 != 9
+  UNION ALL SELECT * FROM ins)
+SELECT CAST(3 AS BIGINT) AS n_delete_files,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM final GROUP BY o_orderpriority
+"""
+
+
 def stage_mor_table(spark: SparkSession, sf_dir: str) -> str:
     """The versioned fixture copied once per sf tier with one
     merge-on-read delete committed on top: every bucket-3 key

@@ -837,6 +837,18 @@ def _posdel_compaction_read_sql():
     return POSDEL_COMPACTION_READ_SQL
 
 
+def _mor_dml_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import mor_dml_read
+
+    return mor_dml_read(spark, sf_dir)
+
+
+def _mor_dml_read_sql():
+    from gemmsql.pipeline.tablelog import MOR_DML_READ_SQL
+
+    return MOR_DML_READ_SQL
+
+
 def _streaming_hourly_rot(spark, sf_dir):
     from gemmsql.streaming.windows import streaming_hourly_gate
 
@@ -1379,6 +1391,11 @@ def _rotated():
         # unretired PD files all move the hash
         ("posdel_compaction_read", _posdel_compaction_read,
          _posdel_compaction_read_sql()),
+        # third round-16 birth: the DV-DML MATRIX through the oracle
+        # — DV-UPDATE, DV-MERGE (updates + inserts), DV-DELETE in one
+        # staged lifecycle; the MOR view plus the three-DV
+        # delete-file count must equal the pure-SQL recompute
+        ("mor_dml_read", _mor_dml_read, _mor_dml_read_sql()),
     ]
 
 
