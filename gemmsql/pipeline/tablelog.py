@@ -3519,6 +3519,37 @@ def _spec_alias_map(
     return out
 
 
+def _source_alias_to_current(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict[str, str]:
+    """Any name a mapped field ever carried (logical history +
+    frozen physical) -> its CURRENT (as-of-``version``) logical name.
+    Lets :func:`partition_pruned_read_where` convert predicates for
+    entries of an EARLIER spec whose source column was later renamed
+    — the recorded entry speaks the old name, the caller speaks the
+    new one.  Empty when unmapped."""
+    m = column_mapping(spark, table_dir, version)
+    if m is None:
+        return {}
+    cur_of_fid = {e["fid"]: e["logical"] for e in m}
+    out: dict[str, str] = {}
+    log = _log_with_checkpoint_base(spark, table_dir).filter(
+        (F.col("a") == "meta") & F.col("schema_map").isNotNull()
+    )
+    if version is not None:
+        log = log.filter(F.col("v") <= version)
+    for r in log.collect():  # metadata: one row per schema commit
+        for e in _mapping_decode(list(r["schema_map"])):
+            cur = cur_of_fid.get(e["fid"])
+            if cur is not None:
+                out[e["logical"]] = cur
+                out[e["physical"]] = cur
+    for e in m:
+        out[e["logical"]] = e["logical"]
+        out[e["physical"]] = e["logical"]
+    return out
+
+
 def _canon_part_vals(parts, alias_map: dict[str, str]) -> dict[str, str]:
     """A file's recorded ``part`` strings as a dict keyed by the
     CURRENT entry string (aliases of a renamed source resolve to the
@@ -3921,15 +3952,20 @@ def partition_pruned_read_where(
         for r in live for p in (r["part"] or [])
         for k in (p.split("=", 1)[0],)
     }
+    col_alias = _source_alias_to_current(spark, table_dir, version)
     eq: dict[str, str] = {}
     for entry in keys:
         try:
             _, src, _ = _parse_spec_entry(entry)
         except ValueError:
             continue
-        if src in source_eq and source_eq[src] is not None:
+        # an EARLIER spec's entry may name a source column under a
+        # name it carried then — resolve to the caller's (current)
+        # vocabulary through the field-id history
+        cur_src = col_alias.get(src, src)
+        if cur_src in source_eq and source_eq[cur_src] is not None:
             eq[entry] = transform_partition_value(
-                entry, source_eq[src]
+                entry, source_eq[cur_src]
             )
     want = {c: _encode_part_value(c, v).split("=", 1)[1]
             for c, v in eq.items()}

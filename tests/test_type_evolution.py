@@ -1006,3 +1006,32 @@ def test_partition_rename_property_vs_model(spark, tmp_path):
             assert snapshot_read_mapped(spark, d).count() == total, seq
 
     check()
+
+
+def test_pruned_read_where_converts_for_earlier_spec_renamed_source(
+        spark, tmp_path):
+    """An entry of an EARLIER spec whose source column was later
+    renamed still prunes: the recorded "o_qty=..." files convert the
+    caller's predicate on the CURRENT name (qty2) through the
+    field-id history."""
+    d = _fresh(tmp_path, "oldspecren")
+    base = _orders_qty(spark, "int")
+    tl.set_partition_spec(d, ["o_qty"])
+    tl.append_partitioned(
+        spark, d, base.filter("o_orderkey % 100 < 3"), "P")
+    # spec evolves AWAY from o_qty, then the column renames
+    tl.set_partition_spec(d, ["year(o_orderdate)"])
+    tl.append_partitioned(
+        spark, d, base.filter("o_orderkey % 100 = 3"), "Q")
+    tl.rename_column(spark, d, "o_qty", "qty2")
+    probe = int(base.filter("o_orderkey % 100 < 3")
+                .select("o_qty").limit(1).collect()[0][0])
+    got = tl.partition_pruned_read_where(spark, d, {"qty2": probe})
+    want = (base.filter("o_orderkey % 100 < 4")
+            .filter(tl.F.col("o_qty") == probe).count())
+    assert got.count() == want > 0
+    # and the old-spec files actually PRUNED: fewer input files than
+    # the live count (P files mismatching the probe value skip)
+    n_inputs = len(got.inputFiles())
+    all_live = tl.snapshot_files(spark, d).count()
+    assert 0 < n_inputs < all_live
