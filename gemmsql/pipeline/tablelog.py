@@ -2375,6 +2375,31 @@ def _snapshot_read_with_live(
         spark.read.schema(read_schema) if read_schema is not None
         else spark.read.option("mergeSchema", "true")
     )
+    if not paths:
+        # a FULLY-EMPTIED table (every file deleted/dropped) is legal
+        # state — DROP PARTITION of the last partition, a DELETE of
+        # everything — and must read as an EMPTY frame, not crash the
+        # zero-file scan.  Schema source: the explicit mapped schema
+        # when given, else the newest removed file's footer (removes
+        # are logical; the bytes are still there until vacuum)
+        if read_schema is not None:
+            return spark.createDataFrame([], read_schema), live
+        last_add = (
+            read_log(spark, table_dir)
+            .filter(F.col("a") == "add")
+            .orderBy(F.col("v").desc())
+            .limit(1)
+            .collect()
+        )
+        if last_add:
+            p = os.path.join(
+                table_dir, DATA_SUBDIR, last_add[0]["path"])
+            if os.path.exists(p):
+                return spark.read.parquet(p).filter(F.lit(False)), live
+        raise ValueError(
+            f"{table_dir} has no live files and no retained footer "
+            "to answer a schema from (vacuumed empty table)"
+        )
     return reader.parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
     ), live

@@ -1035,3 +1035,40 @@ def test_pruned_read_where_converts_for_earlier_spec_renamed_source(
     n_inputs = len(got.inputFiles())
     all_live = tl.snapshot_files(spark, d).count()
     assert 0 < n_inputs < all_live
+
+
+def test_fully_emptied_table_reads_empty(spark, tmp_path):
+    """Dropping the last partition (or deleting every row) is legal
+    state: reads answer an EMPTY frame in the last-known schema
+    instead of crashing the zero-file scan — found by the partition
+    property suite (append -> drop of the only partition)."""
+    # unmapped: schema comes from the newest removed file's footer
+    d = _fresh(tmp_path, "emptyun")
+    base = _orders_qty(spark, "int")
+    tl.set_partition_spec(d, ["o_qty"])
+    tl.append_partitioned(
+        spark, d, base.filter("o_orderkey % 500 = 7"), "P")
+    vals = [int(r["o_qty"]) for r in tl.snapshot_read(spark, d)
+            .select("o_qty").distinct().collect()]
+    for v in vals:
+        tl.drop_partitions(spark, d, {"o_qty": v})
+    got = tl.snapshot_read(spark, d)
+    assert got.count() == 0
+    assert "o_qty" in got.columns
+    # pruned reads of the emptied table answer empty too
+    assert tl.partition_pruned_read(
+        spark, d, {"o_qty": vals[0]}).count() == 0
+    # and new writes resurrect the table
+    tl.append_partitioned(
+        spark, d, base.filter("o_orderkey % 500 = 9"), "Q")
+    assert tl.snapshot_read(spark, d).count() == \
+        base.filter("o_orderkey % 500 = 9").count()
+    # mapped: the explicit declared schema answers directly
+    d2 = _fresh(tmp_path, "emptymap")
+    tl.append_mapped(spark, d2, base.filter("o_orderkey % 500 = 3"),
+                     "A.parquet")
+    tl.rename_column(spark, d2, "o_qty", "qty2")
+    tl.delete_where_cow(spark, d2, "qty2 IS NOT NULL OR qty2 IS NULL")
+    got2 = tl.snapshot_read_mapped(spark, d2)
+    assert got2.count() == 0
+    assert "qty2" in got2.columns
