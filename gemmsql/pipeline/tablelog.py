@@ -2535,10 +2535,13 @@ def _current_mapping_or_identity(
     m = column_mapping(spark, table_dir)
     if m is not None:
         return m
-    if not snapshot_files(spark, table_dir).limit(1).count():
-        # an unmapped table with no data has NO schema to evolve —
+    if not _present_versions(table_dir):
+        # an unmapped table with no commits has NO schema to evolve —
         # raw Spark would throw UNABLE_TO_INFER_SCHEMA from the
-        # empty scan; name the actual problem instead
+        # empty scan; name the actual problem instead.  A table that
+        # HAS history but zero live files (everything dropped) still
+        # evolves: the read below answers its schema from the newest
+        # removed footer (the r16 emptied-table rule)
         raise ValueError(
             f"{table_dir} has no schema yet (no data files, no "
             "mapping): append first, then evolve"
