@@ -485,3 +485,58 @@ def test_merge_table_mor_equals_cow(spark, tmp_path):
         orders.filter("o_orderkey % 11 = 1").select("o_orderkey"))
     with pytest.raises(ValueError, match="equality"):
         tl.merge_table_mor(spark, dm, src2)
+
+
+def test_restore_over_overlapping_deletes_in_ivm(spark, tmp_path):
+    """RESTORE composed with OVERLAPPING delete state (the r17
+    pointer, taken early): rolling back past a delete retires it
+    (inverse baseline — rows still covered by the surviving delete
+    must NOT resurrect), and restoring forward re-emits it (new
+    baseline — rows already dead must not double-retract).  The
+    maintained view must equal the batch MOR recompute after every
+    drain."""
+    from gemmsql.pipeline.tablelog import (
+        ivm_drain,
+        ivm_view,
+        restore_table,
+    )
+
+    d = str(tmp_path / "restovl")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tl.commit_actions(d, [tl._write_with_add_action(
+        orders, d, "A.parquet")])                                # v0
+    ckpt = str(tmp_path / "ro_ckpt")
+    em = str(tmp_path / "ro_emissions")
+
+    def _check():
+        ivm_drain(spark, d, ckpt, em)
+        want = sorted(
+            tl.snapshot_read_mor(spark, d)
+            .groupBy("o_orderpriority")
+            .agg(tl.F.count("*").cast("long").alias("n_orders"),
+                 tl.F.sum(tl.F.expr(tl._CENTS)).cast("long")
+                 .alias("sum_cents"))
+            .collect())
+        got = sorted(ivm_view(spark, em).collect())
+        assert got == want and len(got) > 0
+
+    _check()                                                     # v0
+    tl.delete_positions_mor(spark, d, "o_orderkey % 2 = 0")      # v1
+    _check()
+    tl.delete_positions_mor(spark, d, "o_orderkey % 3 = 0")      # v2
+    _check()
+    # roll back past the SECOND delete: its retirement must not
+    # resurrect the k%6=0 overlap rows the first delete still kills
+    restore_table(spark, d, 1)                                   # v3
+    _check()
+    n_after_back = tl.snapshot_read_mor(spark, d).count()
+    assert n_after_back == orders.filter("o_orderkey % 2 != 0").count()
+    # restore FORWARD to the both-deletes state: the re-emitted
+    # posdel must not double-retract the already-dead overlap
+    restore_table(spark, d, 2)                                   # v4
+    _check()
+    assert tl.snapshot_read_mor(spark, d).count() == orders.filter(
+        "o_orderkey % 2 != 0 AND o_orderkey % 3 != 0").count()
