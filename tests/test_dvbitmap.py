@@ -540,3 +540,42 @@ def test_restore_over_overlapping_deletes_in_ivm(spark, tmp_path):
     _check()
     assert tl.snapshot_read_mor(spark, d).count() == orders.filter(
         "o_orderkey % 2 != 0 AND o_orderkey % 3 != 0").count()
+
+
+def test_clone_and_vacuum_compose_with_dv_state(spark, tmp_path):
+    """CLONE carries live deletion vectors (the cloned MOR view
+    equals the source's), and VACUUM reclaims compaction-retired PD
+    files while the merged DV keeps subtracting."""
+    from gemmsql.pipeline.tablelog import (
+        clone_table,
+        snapshot_delete_files,
+        vacuum_plan,
+        vacuum_table,
+    )
+
+    d = str(tmp_path / "dvclone_src")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tl.commit_actions(d, [tl._write_with_add_action(
+        orders, d, "A.parquet")])
+    tl.delete_positions_mor(spark, d, "o_orderkey % 4 = 1")
+    tl.delete_positions_mor(spark, d, "o_orderkey % 4 = 2")
+    want = sorted(tl.snapshot_read_mor(spark, d).collect())
+    # CLONE: the new table's MOR view equals the source's
+    dest = str(tmp_path / "dvclone_dst")
+    clone_table(spark, d, dest)
+    got = sorted(tl.snapshot_read_mor(spark, dest).collect())
+    assert got == want and len(got) > 0
+    # compaction retires the two PD files; vacuum reclaims them
+    tl.compact_delete_files(spark, d)
+    plan = {r["path"] for r in vacuum_plan(spark, d).collect()}
+    retired = {"PD1.parquet", "PD2.parquet"}
+    assert retired <= plan, (retired, plan)
+    deleted = set(vacuum_table(spark, d))
+    assert retired <= deleted
+    # the merged DV still subtracts; the clone (its own hard links)
+    # is untouched by the source's vacuum
+    assert sorted(tl.snapshot_read_mor(spark, d).collect()) == want
+    assert sorted(tl.snapshot_read_mor(spark, dest).collect()) == want
