@@ -2384,12 +2384,16 @@ def _snapshot_read_with_live(
         # are logical; the bytes are still there until vacuum)
         if read_schema is not None:
             return spark.createDataFrame([], read_schema), live
+        adds = read_log(spark, table_dir).filter(F.col("a") == "add")
+        if version is not None:
+            # the footer lookup honors the requested version (ADVICE
+            # r16 low): a time-travel read of an empty HISTORICAL
+            # version must answer its schema from a footer of its own
+            # era, never leak post-widening / auto-evolved columns
+            # from a future add
+            adds = adds.filter(F.col("v") <= version)
         last_add = (
-            read_log(spark, table_dir)
-            .filter(F.col("a") == "add")
-            .orderBy(F.col("v").desc())
-            .limit(1)
-            .collect()
+            adds.orderBy(F.col("v").desc()).limit(1).collect()
         )
         if last_add:
             p = os.path.join(
@@ -3543,7 +3547,18 @@ def _spec_alias_map(
             for n in (e["logical"], e["physical"])
         }
         for n in names:
-            out[_rebuild_spec_entry(kind, n, arg)] = entry
+            alias = _rebuild_spec_entry(kind, n, arg)
+            # an alias must NEVER shadow a LIVE entry (ADVICE r16
+            # medium): after a rename frees a spec source's old name,
+            # a NEW column added under that name and included in the
+            # spec owns the entry string — mapping it to the renamed
+            # entry would mis-key recorded values in _canon_part_vals
+            # (silent wrong pruning, wrong overwrite/drop victims).
+            # Identity seeds win; setdefault keeps first-resolution
+            # on (harmless) historical-alias collisions too.
+            if alias != entry and alias in spec:
+                continue
+            out.setdefault(alias, entry)
     return out
 
 
@@ -5906,7 +5921,15 @@ def update_where_mor(
     if bad:
         raise ValueError(f"SET names unknown columns: {bad}")
     hit = F.expr(predicate)
-    matched = tagged.filter(hit)
+    # the matched scan is evaluated ONCE (ADVICE r16 low): the DV
+    # build and the appended replacement rows both derive from this
+    # materialized set, so a non-deterministic predicate (rand(),
+    # current_timestamp-dependent) cannot mark one row set dead while
+    # appending a different set — which would silently lose or
+    # duplicate rows in one commit.  localCheckpoint cuts the
+    # lineage, so no consumer can re-run the filter; it is sized to
+    # the UPDATE's matched rows, not the table
+    matched = tagged.filter(hit).localCheckpoint(eager=True)
     # each SET expression casts to the column's DECLARED type: the
     # appended file holds only updated rows, so without the cast a
     # literal like 0.0 (decimal(1,1)) would drift the footer type
@@ -6012,6 +6035,12 @@ def merge_table_mor(
             f"merge source must carry exactly the logical schema; "
             f"missing {missing}, unmapped {extra}"
         )
+    # evaluate the source ONCE (ADVICE r16 low, the merge half): the
+    # duplicate-key check, the matched-position join, and the
+    # appended file all read this materialized set — a source with
+    # non-deterministic expressions can no longer kill one key set
+    # and append another in the same commit
+    source = source.localCheckpoint(eager=True)
     bounds = source.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(key)).alias("n_keys"),

@@ -3934,3 +3934,138 @@ def test_spj_outer_joins_keep_unmatched_buckets(spark, tmp_path):
     p = got_inner._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in p
     assert got_inner.count() == dims.count()
+
+
+def test_spec_alias_never_shadows_live_entry(spark, tmp_path):
+    """ADVICE r16 (medium): after a rename frees a spec source's old
+    name, a NEW column added under that freed name and included in
+    the spec must OWN its entry string — the renamed entry's
+    historical alias may not shadow it.  Pre-fix, _spec_alias_map
+    mapped 'o_orderpriority' -> 'prio', so _canon_part_vals keyed the
+    new column's recorded values under the renamed entry and a pruned
+    read on the OLD entry compared against the wrong value — pruning
+    away matching files (lost rows)."""
+    from gemmsql.datamodel import load_table
+
+    d = str(tmp_path / "aliasshadow")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).filter("o_orderkey % 3 = 0")
+    tl.set_partition_spec(d, ["o_orderpriority"])
+    tl.append_partitioned(spark, d, orders, "A")
+    # free the name: rename the spec source (the spec follows in the
+    # same commit — the r16 field-id feature)
+    tl.rename_column(spark, d, "o_orderpriority", "prio")
+    assert tl.partition_spec(spark, d) == ["prio"]
+    # reuse the freed name for a brand-new column, bring it into the
+    # spec, and land files recording values for BOTH entries
+    tl.add_column_mapped(spark, d, "o_orderpriority", "string")
+    # the NEW column FIRST: the shadow only fires when the renamed
+    # entry's historical-alias loop runs AFTER the new entry seeded
+    # its identity (spec order is entry-processing order)
+    tl.set_partition_spec(d, ["o_orderpriority", "prio"])
+    fresh = orders.withColumnsRenamed(
+        {"o_orderpriority": "prio"}
+    ).withColumn(
+        "o_orderpriority",
+        tl.F.when(tl.F.col("o_orderkey") % 2 == 0, "even")
+        .otherwise("odd"),
+    )
+    tl.append_partitioned(spark, d, fresh, "B")
+    # identity seeds win: the live entry maps to ITSELF, never to
+    # the renamed entry whose source once carried the name
+    am = tl._spec_alias_map(spark, d)
+    assert am["o_orderpriority"] == "o_orderpriority"
+    assert am["prio"] == "prio"
+    # behavior: pruning on the RENAMED entry keeps every file of that
+    # priority from BOTH appends (pre-fix the B files' recorded
+    # o_orderpriority=even/odd value shadowed their prio value and
+    # pruned matching files — rows silently lost)
+    prio_val = orders.select("o_orderpriority").first()[0]
+    got = tl.partition_pruned_read(spark, d, {"prio": prio_val})
+    want_n = (
+        orders.filter(tl.F.col("o_orderpriority") == prio_val).count()
+        + fresh.filter(tl.F.col("prio") == prio_val).count()
+    )
+    assert got.count() == want_n
+    # and pruning on the NEW entry returns exactly its rows (old
+    # files have no recorded value -> candidates, NULL-backfilled
+    # residual filters them out)
+    got_new = tl.partition_pruned_read(
+        spark, d, {"o_orderpriority": "even"})
+    assert got_new.count() == fresh.filter("prio IS NOT NULL")\
+        .filter(tl.F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_empty_version_time_travel_answers_schema_of_its_era(
+    spark, tmp_path
+):
+    """ADVICE r16 (low): a time-travel read of a fully-emptied
+    HISTORICAL version on an unmapped table answers its schema from
+    a footer of its OWN era — post-dated columns from a future add
+    must not leak into the empty frame's schema."""
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice")
+    d = str(tmp_path / "emptyera")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    a = orders.limit(5)
+    tl._write_one_file(a, os.path.join(d, tl.DATA_SUBDIR, "A.parquet"))
+    b = orders.limit(3).withColumn("extra", tl.F.lit(1.0))
+    tl._write_one_file(b, os.path.join(d, tl.DATA_SUBDIR, "B.parquet"))
+    commits = {
+        0: [_add(0, "A.parquet", rows=5)],
+        1: [_rm(1, "A.parquet")],
+        2: [_add(2, "B.parquet", rows=3)],
+    }
+    for v, lines in commits.items():
+        with open(os.path.join(
+                d, tl.LOG_SUBDIR, f"{v:08d}.json"), "w") as f:
+            f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+    got = tl.snapshot_read(spark, d, 1)
+    assert got.count() == 0
+    assert got.columns == a.columns, got.columns  # no 'extra' leak
+    # latest still reads B's schema
+    assert "extra" in tl.snapshot_read(spark, d).columns
+
+
+def test_mor_update_nondeterministic_predicate_single_evaluation(
+    spark, tmp_path
+):
+    """ADVICE r16 (low): update_where_mor evaluates its matched scan
+    ONCE — a non-deterministic predicate cannot mark one row set
+    dead while appending a different set.  Pre-fix the DV build and
+    the appended rows re-ran the filter independently: rows lost
+    (marked dead, not re-appended) and duplicated (appended without
+    dying) in the same commit.  (Plain rand() would NOT catch this:
+    Spark assigns it a fixed seed at analysis time, so the shared
+    `matched` plan replays identically — the registered
+    nondeterministic UDF below genuinely re-draws per job, the way
+    AQE-relayouted rand() partitions or wall-clock-dependent
+    predicates do at scale.)"""
+    import random
+
+    from pyspark.sql.functions import udf
+
+    spark.udf.register(
+        "nd_half",
+        udf(lambda k: random.random() < 0.5, "boolean")
+        .asNondeterministic(),
+    )
+    base = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "ndupd")
+    shutil.copytree(base, d)
+    n0 = tl.snapshot_read(spark, d).count()
+    tl.update_where_mor(
+        spark, d, "nd_half(o_orderkey) AND o_orderstatus = 'O'",
+        {"o_totalprice": "o_totalprice + 1"},
+    )
+    mor = tl.snapshot_read_mor(spark, d)
+    assert mor.count() == n0
+    assert mor.groupBy("o_orderkey").count()\
+        .filter("count > 1").count() == 0
