@@ -386,12 +386,33 @@ def test_update_where_mor_equals_cow(spark, tmp_path):
     assert after.filter("o_orderkey % 9 = 4").count() == 0
     assert after.filter(
         "o_orderkey % 9 = 5 AND o_totalprice != 0.0").count() == 0
-    # live equality deletes refuse
-    tl.delete_keys_mor(
-        spark, dm,
-        orders.filter("o_orderkey % 11 = 6").select("o_orderkey"))
-    with pytest.raises(ValueError, match="equality"):
-        tl.update_where_mor(spark, dm, pred, sets)
+    # live equality deletes COMPOSE (r17, VERDICT r16 missing #3):
+    # keydel-dead rows are never matched (nothing resurrects), live
+    # rows update, and the appended file outranks the keydel by
+    # sequence so the updated rows stay visible
+    kd_keys = orders.filter("o_orderkey % 11 = 6").select("o_orderkey")
+    tl.delete_keys_mor(spark, dm, kd_keys)
+    n_live = tl.snapshot_read_mor(spark, dm).count()
+    tl.update_where_mor(
+        spark, dm, "o_orderkey % 11 IN (6, 7)",
+        {"o_totalprice": "-5.0"})
+    after2 = tl.snapshot_read_mor(spark, dm)
+    assert after2.count() == n_live  # dead rows stay dead
+    assert after2.join(kd_keys, "o_orderkey").count() == 0
+    assert after2.filter(
+        "o_orderkey % 11 = 7 AND o_totalprice != -5.0").count() == 0
+    # a further update now runs with live files ABOVE the keydel's
+    # sequence (the prior update's appended file) — the DML-side
+    # exclusion takes the sequence-aware branch, original dead rows
+    # stay excluded, everything else updates
+    tl.update_where_mor(
+        spark, dm, "o_orderkey % 11 IN (6, 8)",
+        {"o_totalprice": "-6.0"})
+    after3 = tl.snapshot_read_mor(spark, dm)
+    assert after3.count() == n_live
+    assert after3.join(kd_keys, "o_orderkey").count() == 0
+    assert after3.filter(
+        "o_orderkey % 11 = 8 AND o_totalprice != -6.0").count() == 0
     # no-match predicate refuses without burning a version
     d2 = dirs["cow"]
     v_before = max(tl._present_versions(d2))
@@ -423,7 +444,7 @@ def test_update_where_mor_under_mapping(spark, tmp_path):
 def test_merge_table_mor_equals_cow(spark, tmp_path):
     """DV-backed MERGE: posdel of the matched target rows + ONE file
     of all source rows, zero rewrites — same table as the CoW MERGE,
-    IVM-drainable, keydel-refusing, duplicate-source-refusing."""
+    IVM-drainable, keydel-composing, duplicate-source-refusing."""
     from gemmsql.pipeline.tablelog import ivm_drain, ivm_view
 
     orders = load_table(spark, SF_SMOKE, "orders").select(
@@ -479,12 +500,30 @@ def test_merge_table_mor_equals_cow(spark, tmp_path):
     # duplicate source keys refuse
     with pytest.raises(ValueError, match="duplicate keys"):
         tl.merge_table_mor(spark, dm, src2.unionByName(src2))
-    # live equality deletes refuse
-    tl.delete_keys_mor(
-        spark, dm,
-        orders.filter("o_orderkey % 11 = 1").select("o_orderkey"))
-    with pytest.raises(ValueError, match="equality"):
-        tl.merge_table_mor(spark, dm, src2)
+    # live equality deletes COMPOSE (r17, VERDICT r16 missing #3):
+    # a keydel-dead target row is an INSERT slot — the merge re-adds
+    # its key at a higher sequence — while live matched rows die
+    # once in the DV; non-source dead rows stay dead
+    kd_keys = orders.filter("o_orderkey % 11 = 1").select("o_orderkey")
+    tl.delete_keys_mor(spark, dm, kd_keys)
+    n_live = tl.snapshot_read_mor(spark, dm).count()
+    src3 = orders.filter("o_orderkey % 9 = 2").withColumn(
+        "o_totalprice", tl.F.lit(9.0))
+    n_dead_in_src = src3.join(kd_keys, "o_orderkey").count()
+    assert n_dead_in_src > 0  # the composition is actually exercised
+    tl.merge_table_mor(spark, dm, src3)
+    after2 = tl.snapshot_read_mor(spark, dm)
+    assert after2.filter(
+        "o_orderkey % 9 = 2 AND o_orderkey < 50000000 "
+        "AND o_totalprice != 9.0").count() == 0
+    # every source key visible exactly once
+    assert after2.join(
+        src3.select("o_orderkey"), "o_orderkey").count() == src3.count()
+    # keydel-dead rows outside the source stay dead
+    assert after2.join(kd_keys, "o_orderkey").join(
+        src3.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count() == 0
+    assert after2.count() == n_live + n_dead_in_src
 
 
 def test_restore_over_overlapping_deletes_in_ivm(spark, tmp_path):
