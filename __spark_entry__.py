@@ -326,12 +326,6 @@ def _streaming_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_hourly_gate(spark, sf_dir)
 
 
-def _streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemmsql.streaming.windows import streaming_sessionize_gate
-
-    return streaming_sessionize_gate(spark, sf_dir)
-
-
 def _streaming_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemmsql.streaming.windows import streaming_outer_join_gate
 
@@ -746,6 +740,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     direct-latest oracle, and type_widening_read keeps versioned
     reads in the gate).
 
+    Round-17 rotation (VERDICT r16 next #1 — promote the three r16
+    births, the deletion-vector tier's oracle witnesses): in come
+    posdel_compaction_read (overlapping posdels compacted to ONE
+    deletion vector; MOR view + live delete-file count in the hash),
+    mor_dml_read (the DV-DML lifecycle: DV-UPDATE -> DV-MERGE ->
+    DV-DELETE vs the pure-SQL recompute), and
+    streaming_partition_ivm_gate (a dynamic partition overwrite
+    landing MID-STREAM, drained as remove+add retractions — the
+    FIFTEENTH streaming gate).  Out (every one keeps its identical
+    hash gate in tests/test_rotation.py): part_communities +
+    item_similarity (green r7-r16, the longest-proven batch
+    pipeline incumbents — the graph tier stays rotation-gated via
+    triangle_count_exact + pagerank_step + both leavers) and
+    streaming_sessionize_gate (green r2-r16, the longest-proven
+    streaming incumbent left — the session_window machine keeps its
+    full availableNow-replay hash gate, and stateful streaming
+    stays driver-gated via streaming_stateful_gate).
+
     Library tier (outside the 50 by design): kmeans_embeddings,
     pca_project, pack_sequences, and build_training_corpus are
     NumPy-differential / invariant-tested (iterative or
@@ -753,7 +765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-step kernels ARE gated (kmeans_assign_step, pca_moments)."""
     from gemmsql.pipeline import (
         avro,
-        graph,
         ogg,
         phash,
         qoi,
@@ -1060,8 +1071,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays driver-gated via part_communities + item_similarity,
         # and both keep hash gates in test_rotation alongside
         # triangle_count_exact and pagerank_step)
-        "part_communities": graph.part_communities,
-        "item_similarity": graph.item_similarity,
+        # (part_communities and item_similarity rotated out r17,
+        # green r7-r16 — the longest-proven batch pipeline
+        # incumbents; both keep identical hash gates in
+        # test_rotation alongside triangle_count_exact and
+        # pagerank_step, so the graph tier stays rotation-gated)
+        # --- promoted r17 (born r16, VERDICT r16 next #1): the
+        # DELETION-VECTOR tier through the oracle.
+        # posdel_compaction_read — two OVERLAPPING positional
+        # deletes compact into ONE DV file
+        # (rewrite-position-deletes); the MOR view plus the live
+        # delete-file COUNT hash-equal the pure-SQL recompute, so
+        # lost pairs, a resurrected overlap, or unretired PD files
+        # all move the hash ---
+        "posdel_compaction_read": tablelog.posdel_compaction_read,
+        # mor_dml_read — the DV-DML matrix: DV-UPDATE -> DV-MERGE
+        # (updates + inserts) -> DV-DELETE in one staged lifecycle,
+        # MOR view + three-DV delete-file count vs the pure-SQL
+        # recompute ---
+        "mor_dml_read": tablelog.mor_dml_read,
         # (concurrent_orders rotated out r13, green r6-r12;
         # event_order_asof rotated out r14, green r12-r13 — hash
         # gates in test_rotation; the as-of family stays driver-gated
@@ -1076,7 +1104,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay keeps a hash gate in test_rotation, and the
         # watermarked windowed-agg shape stays driver-gated via
         # streaming_dq_gate's day windows + streaming_sessionize_gate)
-        "streaming_sessionize_gate": _streaming_sessionize_query,
+        # (streaming_sessionize_gate rotated out r17, green r2-r16
+        # — the longest-proven streaming incumbent left; its full
+        # availableNow replay keeps a hash gate in test_rotation,
+        # and stateful streaming stays driver-gated via
+        # streaming_stateful_gate + the IVM gates)
+        # --- promoted r17 (born r16, VERDICT r15 next #7): the
+        # FIFTEENTH streaming gate — PARTITIONS composed with the
+        # live streaming IVM: a replace_partitions (dynamic
+        # partition overwrite) lands MID-STREAM and drains as
+        # remove+add retractions; a missed remove leaves duplicate
+        # rows behind the overwrite and moves the hash against the
+        # batch recompute from orders ---
+        "streaming_partition_ivm_gate":
+            tablelog.streaming_partition_ivm_gate,
         # (streaming_join_gate rotated out r15, green r3-r14 — the
         # longest-proven streaming incumbent; its full availableNow
         # replay keeps a hash gate in test_rotation, and the
@@ -1533,7 +1574,6 @@ def oracle_sql() -> dict[str, str]:
     from gemmsql.ops.sampling import sampling_sql
     from gemmsql.pipeline import (
         avro,
-        graph,
         ogg,
         phash,
         qoi,
@@ -1550,7 +1590,6 @@ def oracle_sql() -> dict[str, str]:
         STREAMING_DQ_GATE_SQL,
         STREAMING_OUTER_JOIN_GATE_SQL,
         STREAMING_QUARANTINE_GATE_SQL,
-        STREAMING_SESSIONIZE_GATE_SQL,
     )
     from gemmsql.pipeline.similarity import IVFPQ_TOPK_SQL
     from gemmsql import sketches
@@ -1636,9 +1675,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_quantiles": sketches.sample_quantiles_sql(),
         "segment_value_quantiles": sketches.segment_value_quantiles_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
-        "part_communities": graph.PART_COMMUNITIES_SQL,
-        "item_similarity": graph.ITEM_SIMILARITY_SQL,
-        "streaming_sessionize_gate": STREAMING_SESSIONIZE_GATE_SQL,
+        # promoted r17 — the DV tier's twins recompute from orders
+        # with the staged lifecycles' derivation arithmetic; the
+        # delete-file counts ride the hash so compaction and the
+        # DML matrix's commit shapes are oracle-visible
+        "posdel_compaction_read": tablelog.POSDEL_COMPACTION_READ_SQL,
+        "mor_dml_read": tablelog.MOR_DML_READ_SQL,
         "streaming_outer_join_gate": STREAMING_OUTER_JOIN_GATE_SQL,
         "streaming_stateful_gate": STREAMING_STATEFUL_GATE_SQL,
         "streaming_dedup_gate": STREAMING_DEDUP_GATE_SQL,
@@ -1663,4 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         # into the data path or an append under the wrong physical
         # name moves the hash
         "streaming_mapped_ivm_gate": tablelog.STREAMING_MAPPED_IVM_GATE_SQL,
+        # promoted r17 — the mid-stream dynamic partition overwrite's
+        # twin recomputes the final state from orders directly
+        "streaming_partition_ivm_gate":
+            tablelog.STREAMING_PARTITION_IVM_GATE_SQL,
     }

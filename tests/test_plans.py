@@ -1108,9 +1108,6 @@ def test_remaining_exchange_budgets(spark):
         "stats_skipping_audit": 10,  # per-file skip plan vs true counts
         "tfrecord_ingest": 0,        # one narrow framed-parse map
         "tfrecord_split_ingest": 1,  # spread on (shard, split_idx)
-        "part_communities": 8,       # star-contraction rounds
-        "item_similarity": 17,       # basket pair expansion + co-occ
-        "streaming_sessionize_gate": 0,
         "streaming_outer_join_gate": 0,
         "streaming_stateful_gate": 1,
         "streaming_dedup_gate": 0,
@@ -1123,6 +1120,30 @@ def test_remaining_exchange_budgets(spark):
         "streaming_txn_sink_gate": 1,
         "streaming_shard_ingest_gate": 0,
         "streaming_mor_ivm_gate": 1,
+    }
+    qs = entrymod.queries()
+    for name, budget in budgets.items():
+        p = plan_of(qs[name](spark, SF_SMOKE))
+        n = p.count("Exchange ")
+        assert n <= budget, (
+            f"{name}: {n} exchanges in the physical plan, budget is "
+            f"{budget} — a shuffle crept in"
+        )
+
+
+def test_r17_entrant_exchange_budgets(spark):
+    """The r17 promotion cohort's ceilings, measured at promotion
+    time (the completion pin below fails without them): the DV
+    witnesses are staged-lifecycle reads into bounded anti-join +
+    final-aggregate plans; the partition-IVM gate measures its
+    post-drain maintained-view projection (stream-side state
+    exchanges pinned in tests/test_streaming.py)."""
+    import __spark_entry__ as entrymod
+
+    budgets = {
+        "posdel_compaction_read": 3,  # MOR anti-join + agg + count
+        "mor_dml_read": 3,
+        "streaming_partition_ivm_gate": 1,  # maintained-view agg
     }
     qs = entrymod.queries()
     for name, budget in budgets.items():

@@ -849,6 +849,42 @@ def _mor_dml_read_sql():
     return MOR_DML_READ_SQL
 
 
+def _part_communities_rot(spark, sf_dir):
+    from gemmsql.pipeline.graph import part_communities
+
+    return part_communities(spark, sf_dir)
+
+
+def _part_communities_rot_sql():
+    from gemmsql.pipeline.graph import PART_COMMUNITIES_SQL
+
+    return PART_COMMUNITIES_SQL
+
+
+def _item_similarity_rot(spark, sf_dir):
+    from gemmsql.pipeline.graph import item_similarity
+
+    return item_similarity(spark, sf_dir)
+
+
+def _item_similarity_rot_sql():
+    from gemmsql.pipeline.graph import ITEM_SIMILARITY_SQL
+
+    return ITEM_SIMILARITY_SQL
+
+
+def _streaming_sessionize_rot(spark, sf_dir):
+    from gemmsql.streaming.windows import streaming_sessionize_gate
+
+    return streaming_sessionize_gate(spark, sf_dir)
+
+
+def _streaming_sessionize_rot_sql():
+    from gemmsql.streaming.windows import STREAMING_SESSIONIZE_GATE_SQL
+
+    return STREAMING_SESSIONIZE_GATE_SQL
+
+
 def _streaming_hourly_rot(spark, sf_dir):
     from gemmsql.streaming.windows import streaming_hourly_gate
 
@@ -1374,28 +1410,26 @@ def _rotated():
         # full availableNow replay keeps its hash gate HERE
         ("streaming_hourly_gate", _streaming_hourly_rot,
          _streaming_hourly_rot_sql()),
-        # born in round 16 (VERDICT r15 next #7): PARTITIONS composed
-        # with the live streaming IVM — a replace_partitions (dynamic
-        # partition overwrite) lands MID-STREAM and must drain as
-        # remove+add retractions; a missed remove leaves duplicate
-        # rows behind the overwrite, a dropped add loses the
-        # replacement, and both move the hash against the batch
-        # recompute from orders
-        ("streaming_partition_ivm_gate", _streaming_partition_ivm,
-         _streaming_partition_ivm_sql()),
-        # second round-16 birth: DELETION VECTORS witnessed through
-        # the oracle — two OVERLAPPING positional deletes compact
-        # into one DV file (rewrite-position-deletes), and the MOR
-        # view plus the live delete-file COUNT must hash-equal the
-        # pure-SQL recompute; lost pairs, a resurrected overlap, or
-        # unretired PD files all move the hash
-        ("posdel_compaction_read", _posdel_compaction_read,
-         _posdel_compaction_read_sql()),
-        # third round-16 birth: the DV-DML MATRIX through the oracle
-        # — DV-UPDATE, DV-MERGE (updates + inserts), DV-DELETE in one
-        # staged lifecycle; the MOR view plus the three-DV
-        # delete-file count must equal the pure-SQL recompute
-        ("mor_dml_read", _mor_dml_read, _mor_dml_read_sql()),
+        # (the three r16 births — streaming_partition_ivm_gate,
+        # posdel_compaction_read, mor_dml_read — promoted to the
+        # driver gate in r17; their live parity runs in
+        # tests/test_gate_parity.py every pytest sweep)
+        # rotated out r17 (green r7-r16 — the longest-proven batch
+        # pipeline incumbents): the graph tier's star-contraction
+        # connected components and the item-item Jaccard top-k keep
+        # their identical hash gates HERE; triangle_count_exact and
+        # pagerank_step already gate the tier's other members below
+        ("part_communities", _part_communities_rot,
+         _part_communities_rot_sql()),
+        ("item_similarity", _item_similarity_rot,
+         _item_similarity_rot_sql()),
+        # rotated out r17 (green r2-r16 — the longest-proven
+        # streaming incumbent left): the session_window state
+        # machine's full availableNow replay keeps its hash gate
+        # HERE; user-defined streaming state stays driver-gated via
+        # streaming_stateful_gate
+        ("streaming_sessionize_gate", _streaming_sessionize_rot,
+         _streaming_sessionize_rot_sql()),
     ]
 
 
