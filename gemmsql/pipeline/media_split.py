@@ -460,7 +460,15 @@ def read_media_ranges(
             })
 
     splits = payloads.mapInPandas(index, schema=_SPLIT_SCHEMA)
-    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    # EXPLICIT partition count (r17 perf fix): these shuffles are
+    # byte-light (KB chunks) but compute-heavy downstream (per-split
+    # entropy decode) — without a pinned count, AQE coalesces the
+    # whole spread into ONE partition at fixture scale and the
+    # decode serializes on a single core (measured 4.6 s -> 1.0 s at
+    # sf0.1 on the AVI gate)
+    spread = splits.repartition(
+        payloads.sparkSession.sparkContext.defaultParallelism,
+        F.col("doc_id"), F.col("split_idx"))
     return spread.mapInPandas(decode, schema=_FRAME_SCHEMA)
 
 
@@ -541,7 +549,15 @@ def flac_frame_stats(
             })
 
     splits = b.mapInPandas(index, schema=_SPLIT_SCHEMA)
-    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    # EXPLICIT partition count (r17 perf fix): these shuffles are
+    # byte-light (KB chunks) but compute-heavy downstream (per-split
+    # entropy decode) — without a pinned count, AQE coalesces the
+    # whole spread into ONE partition at fixture scale and the
+    # decode serializes on a single core (measured 4.6 s -> 1.0 s at
+    # sf0.1 on the AVI gate)
+    spread = splits.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.col("doc_id"), F.col("split_idx"))
     return spread.mapInPandas(
         decode,
         schema=(
@@ -662,7 +678,15 @@ def avi_frame_stats(
             })
 
     splits = b.mapInPandas(index, schema=_SPLIT_SCHEMA)
-    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    # EXPLICIT partition count (r17 perf fix): these shuffles are
+    # byte-light (KB chunks) but compute-heavy downstream (per-split
+    # entropy decode) — without a pinned count, AQE coalesces the
+    # whole spread into ONE partition at fixture scale and the
+    # decode serializes on a single core (measured 4.6 s -> 1.0 s at
+    # sf0.1 on the AVI gate)
+    spread = splits.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.col("doc_id"), F.col("split_idx"))
     part = spread.mapInPandas(
         decode,
         schema="doc_id long, frame_idx long, n long, s long, s2 long",
@@ -798,7 +822,15 @@ def mp3_frame_stats(
             })
 
     splits = b.mapInPandas(index, schema=_SPLIT_SCHEMA)
-    spread = splits.repartition(F.col("doc_id"), F.col("split_idx"))
+    # EXPLICIT partition count (r17 perf fix): these shuffles are
+    # byte-light (KB chunks) but compute-heavy downstream (per-split
+    # entropy decode) — without a pinned count, AQE coalesces the
+    # whole spread into ONE partition at fixture scale and the
+    # decode serializes on a single core (measured 4.6 s -> 1.0 s at
+    # sf0.1 on the AVI gate)
+    spread = splits.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.col("doc_id"), F.col("split_idx"))
     return spread.mapInPandas(
         walk,
         schema=(

@@ -140,7 +140,11 @@ def split_ingest_frame(
     planned = shards.mapInPandas(
         plan,
         schema="shard_id long, split_idx long, chunk binary" + extra_schema,
-    ).repartition("shard_id", "split_idx")
+    ).repartition(
+        # explicit count: byte-light/compute-heavy spread — see the
+        # media_split r17 note (AQE would coalesce to one partition)
+        shards.sparkSession.sparkContext.defaultParallelism,
+        "shard_id", "split_idx")
 
     def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -692,7 +692,11 @@ def zip_shard_ingest_split(
             " chunk binary"
         ),
     )
-    spread = splits.repartition(F.col("shard_id"), F.col("split_idx"))
+    # explicit count: byte-light/compute-heavy spread — see the
+    # media_split r17 note (AQE would coalesce to one partition)
+    spread = splits.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.col("shard_id"), F.col("split_idx"))
     parts = spread.mapInPandas(
         decode,
         schema=(
