@@ -1572,6 +1572,85 @@ FROM final GROUP BY 1
 """
 
 
+def streaming_dml_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DV-DML MATRIX composed with the live streaming IVM (r17
+    birth): ``update_where_mor``, ``merge_table_mor``, and
+    ``delete_positions_mor`` commits land MID-STREAM and the
+    maintained view must fold each as its true delta — the UPDATE's
+    posdel retracts the old rows while its appended file folds the
+    new values in, the MERGE retracts matched targets and folds all
+    source rows (updates + inserts), and the DELETE retracts its
+    positions once (the r16 overlap baselines).
+
+    Lifecycle: v0 appends orders; drain 1 folds it through a
+    checkpoint.  While the stream is down, the REAL
+    :func:`update_where_mor` doubles-plus-one the ``key % 10 == 3``
+    prices (v1) and :func:`merge_table_mor` lands the
+    ``key % 10 == 7`` updates plus ``key + 90M`` inserts (v2) —
+    drain 2 recovers and refreshes from only those two commits.
+    Then :func:`delete_positions_mor` kills the ``key % 10 == 9``
+    rows (v3) and drain 3 folds the retraction.  The final view must
+    hash-equal the batch recompute the twin performs from ``orders``
+    (the same arithmetic as ``mor_dml_read``'s twin, without the
+    delete-file count) — a double-applied update, a lost merge
+    insert, a resurrected delete, or a drifted recovery all move the
+    hash."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="gemmsql_dmllive_")
+    table = os.path.join(work, "tbl")
+    os.makedirs(os.path.join(table, LOG_SUBDIR))
+    os.makedirs(os.path.join(table, DATA_SUBDIR))
+    ckpt = os.path.join(work, "_ckpt")
+    emissions_dir = os.path.join(work, "emissions")
+    assert commit_actions(table, [_write_with_add_action(
+        orders, table, "A.parquet")]) == 0
+    ivm_drain(spark, table, ckpt, emissions_dir)
+    # mid-stream: the DV-UPDATE and the DV-MERGE
+    assert update_where_mor(
+        spark, table, "o_orderkey % 10 = 3",
+        {"o_totalprice": "o_totalprice * 2 + 1"},
+    ) == 1
+    src = orders.filter("o_orderkey % 10 = 7").withColumn(
+        "o_totalprice", F.lit(1000.5)
+    ).unionByName(
+        orders.filter("o_orderkey % 10 = 7").select(
+            (F.col("o_orderkey") + 90_000_000).alias("o_orderkey"),
+            "o_orderpriority",
+            F.lit(42.0).alias("o_totalprice"),
+        )
+    )
+    assert merge_table_mor(spark, table, src) == 2
+    ivm_drain(spark, table, ckpt, emissions_dir)
+    # mid-stream again: the DV-DELETE, then the final drain
+    assert delete_positions_mor(
+        spark, table, "o_orderkey % 10 = 9") == 3
+    ivm_drain(spark, table, ckpt, emissions_dir)
+    return ivm_view(spark, emissions_dir)
+
+
+STREAMING_DML_IVM_GATE_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 7 THEN 1000.5
+              WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders),
+ins AS (
+  SELECT o_orderkey + 90000000 AS o_orderkey, o_orderpriority,
+         42.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 7),
+final AS (
+  SELECT * FROM base WHERE o_orderkey % 10 != 9
+  UNION ALL SELECT * FROM ins)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM final GROUP BY o_orderpriority
+"""
+
+
 STREAMING_MAPPED_IVM_GATE_SQL = f"""
 WITH w AS (SELECT MAX(o_orderkey) // 8 + 1 AS width FROM orders),
 t AS (SELECT o.*, o.o_orderkey // w.width AS b FROM orders o CROSS JOIN w),

@@ -849,6 +849,18 @@ def _mor_dml_read_sql():
     return MOR_DML_READ_SQL
 
 
+def _streaming_dml_ivm(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import streaming_dml_ivm_gate
+
+    return streaming_dml_ivm_gate(spark, sf_dir)
+
+
+def _streaming_dml_ivm_sql():
+    from gemmsql.pipeline.tablelog import STREAMING_DML_IVM_GATE_SQL
+
+    return STREAMING_DML_IVM_GATE_SQL
+
+
 def _part_communities_rot(spark, sf_dir):
     from gemmsql.pipeline.graph import part_communities
 
@@ -1414,6 +1426,15 @@ def _rotated():
         # posdel_compaction_read, mor_dml_read — promoted to the
         # driver gate in r17; their live parity runs in
         # tests/test_gate_parity.py every pytest sweep)
+        # born in round 17: the DV-DML MATRIX composed with the live
+        # streaming IVM — update_where_mor + merge_table_mor land
+        # mid-stream (drain 2 recovers from only those commits),
+        # then delete_positions_mor before drain 3; the maintained
+        # view must equal the batch recompute from orders, so a
+        # double-applied update, lost insert, or resurrected delete
+        # moves the hash.  Slated for promotion r18.
+        ("streaming_dml_ivm_gate", _streaming_dml_ivm,
+         _streaming_dml_ivm_sql()),
         # rotated out r17 (green r7-r16 — the longest-proven batch
         # pipeline incumbents): the graph tier's star-contraction
         # connected components and the item-item Jaccard top-k keep
