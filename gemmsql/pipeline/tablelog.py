@@ -3962,6 +3962,41 @@ def partition_candidate_files(
     return out
 
 
+def _pruned_mor_subtract(
+    spark: SparkSession,
+    table_dir: str,
+    data: DataFrame,
+    cand: list,
+    version: int | None = None,
+    key: str = "o_orderkey",
+) -> DataFrame:
+    """Apply the LIVE MOR delete state to a candidates-only pruned
+    scan (r17 fix — found by the partitioned-DV-DML composition
+    test): the pruned readers built their scans straight from the
+    candidate file list, bypassing snapshot_read's state-based gate,
+    so a pruned read of a MOR-live table silently RESURRECTED
+    deleted rows — the failure class the gate exists to prevent.
+    Runs the same subtraction as :func:`snapshot_read_mor` via
+    :func:`_mor_exclude_dead` on the PHYSICAL scan (the key column's
+    physical name is frozen at birth, so keydel files match it
+    regardless of later renames); a table without live deletes pays
+    nothing.  ``cand`` supplies the scanned files' sequence numbers
+    for the keydel rule."""
+    dels = _live_delete_actions(table_dir, version)
+    if not dels:
+        return data
+    tagged = data.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), "[^/]+$", 0).alias("_path"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    tagged = _mor_exclude_dead(
+        spark, table_dir, tagged, dels, list(cand), key
+    )
+    return tagged.drop("_path", "_pos")
+
+
 def partition_pruned_read(
     spark: SparkSession,
     table_dir: str,
@@ -3979,6 +4014,7 @@ def partition_pruned_read(
     data = _table_reader(spark, table_dir, version).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
+    data = _pruned_mor_subtract(spark, table_dir, data, cand, version)
     # project to LOGICAL names FIRST (r16): spec entries speak the
     # logical vocabulary as of the version, which a renamed source
     # column's physical name no longer matches
@@ -4112,6 +4148,7 @@ def partition_pruned_read_where(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"])
           for r in cand]
     )
+    data = _pruned_mor_subtract(spark, table_dir, data, cand, version)
     # logical names first (r16): source_eq speaks the vocabulary of
     # the requested version, renamed columns included
     data = _project_logical(spark, table_dir, data, version)
@@ -4714,6 +4751,7 @@ def stats_pruned_read_where(
     data = _table_reader(spark, table_dir, version).parquet(
         *[os.path.join(table_dir, DATA_SUBDIR, r["path"]) for r in cand]
     )
+    data = _pruned_mor_subtract(spark, table_dir, data, cand, version)
     if lo is not None:
         data = data.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -6196,11 +6234,25 @@ def update_where_mor(
     if not n_dead:
         os.remove(pd_dest)
         raise ValueError("update predicate matched no rows")
-    phys, phys_key = _to_physical(updated, mapping, key)
-    adds = _write_with_add_actions(
-        phys, table_dir, f"UPD{nonce}-mor.parquet", key=phys_key,
-        n_rows=n_dead,
-    )
+    spec = partition_spec(spark, table_dir)
+    if spec:
+        # a PARTITIONED table's DML append routes one file per
+        # touched partition value with ``part`` metadata recorded
+        # (r17): without it every DML append is a never-pruned
+        # candidate forever and partition precision decays with each
+        # UPDATE.  Values compute from the UPDATED rows, so an
+        # UPDATE that assigns a spec column records the NEW
+        # partition — rows move partitions correctly by construction
+        adds = _stage_partitioned_files(
+            spark, table_dir, updated, f"UPD{nonce}-mor", key=key,
+            spec=spec,
+        )
+    else:
+        phys, phys_key = _to_physical(updated, mapping, key)
+        adds = _write_with_add_actions(
+            phys, table_dir, f"UPD{nonce}-mor.parquet", key=phys_key,
+            n_rows=n_dead,
+        )
     return commit_actions(table_dir, [
         {
             "a": "posdel", "path": pd_name, "enc": "dv",
@@ -6302,11 +6354,21 @@ def merge_table_mor(
             "a": "posdel", "path": pd_name, "enc": "dv",
             "n_rows": n_dead, "n_bytes": os.path.getsize(pd_dest),
         })
-    phys, phys_key = _to_physical(source.select(*cols), mapping, key)
-    actions.extend(_write_with_add_actions(
-        phys, table_dir, f"MRG{nonce}-mor.parquet", key=phys_key,
-        n_rows=int(bounds["n"]),
-    ))
+    spec = partition_spec(spark, table_dir)
+    if spec:
+        # partitioned MERGE appends route per partition value too —
+        # updates AND inserts land pruning-precise (see the UPDATE
+        # note above)
+        actions.extend(_stage_partitioned_files(
+            spark, table_dir, source.select(*cols),
+            f"MRG{nonce}-mor", key=key, spec=spec,
+        ))
+    else:
+        phys, phys_key = _to_physical(source.select(*cols), mapping, key)
+        actions.extend(_write_with_add_actions(
+            phys, table_dir, f"MRG{nonce}-mor.parquet", key=phys_key,
+            n_rows=int(bounds["n"]),
+        ))
     return commit_actions(
         table_dir, actions, expects_latest_version=planned_v
     )
@@ -6931,6 +6993,99 @@ SELECT CAST(3 AS BIGINT) AS n_delete_files,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
 FROM final GROUP BY o_orderpriority
+"""
+
+
+def stage_partition_dml_table(spark: SparkSession, sf_dir: str) -> str:
+    """The partitions × DV-DML lifecycle staged once per sf tier
+    (r17): v0 sets spec ``o_orderpriority``, v1 partition-appends
+    orders, v2 DV-UPDATEs the ``key % 4 == 1`` prices
+    (``price * 2 + 1`` — the rewrite routes per partition with part
+    values recorded), v3 DV-UPDATEs ``key % 4 == 2`` ASSIGNING
+    ``o_orderpriority = 'MOVED'`` — rows change partitions: the DV
+    kills their old positions and the routed append records the new
+    value.  Disjoint predicates, all derivable from ``orders``."""
+    from gemmsql.pipeline.staging import staged_dir_tag
+
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"gemmsql_tablepartdml_{staged_dir_tag(sf_dir)}",
+    )
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return target
+    tmp = f"{target}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, LOG_SUBDIR))
+    os.makedirs(os.path.join(tmp, DATA_SUBDIR))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    assert set_partition_spec(tmp, ["o_orderpriority"]) == 0
+    assert append_partitioned(spark, tmp, orders, "A") == 1
+    assert update_where_mor(
+        spark, tmp, "o_orderkey % 4 = 1",
+        {"o_totalprice": "o_totalprice * 2 + 1"},
+    ) == 2
+    assert update_where_mor(
+        spark, tmp, "o_orderkey % 4 = 2",
+        {"o_orderpriority": "'MOVED'"},
+    ) == 3
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def partition_mor_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitions × DV-DML witness (r17 birth): per-partition
+    aggregates assembled from PARTITION-PRUNED reads — every
+    partition read through :func:`partition_pruned_read`, which
+    must both prune to the partition's candidates AND subtract the
+    live deletion vectors (the r17 pruned-reader MOR fix) — plus
+    the live delete-file count.  A resurrected dead row, a
+    replacement landing unrouted, a moved row still visible in its
+    old partition, or a lost DV all move the hash; the twin
+    recomputes the final state from ``orders`` in pure SQL."""
+    d = stage_partition_dml_table(spark, sf_dir)
+    n_del = snapshot_delete_files(spark, d).count()  # metadata
+    parts = sorted({
+        v for r in snapshot_files(spark, d).collect()
+        for p in (r["part"] or [])
+        for v in (p.split("=", 1)[1],)
+    })  # metadata-sized: the touched partition values
+    out = None
+    for val in parts:
+        part = (
+            partition_pruned_read(spark, d, {"o_orderpriority": val})
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(F.expr(_CENTS)).cast("long").alias("sum_cents"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        F.lit(int(n_del)).cast("long").alias("n_delete_files"),
+        "o_orderpriority", "n_orders", "sum_cents",
+    )
+
+
+PARTITION_MOR_DML_READ_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 2 THEN 'MOVED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 2 + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders)
+SELECT CAST(2 AS BIGINT) AS n_delete_files,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM upd GROUP BY o_orderpriority
 """
 
 

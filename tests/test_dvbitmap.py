@@ -820,3 +820,82 @@ def test_dv_dml_interleaving_property_vs_model(spark, tmp_path):
         assert got_view == want_view, seq
 
     check()
+
+
+def test_dv_dml_on_partitioned_table_routes_partitions(spark, tmp_path):
+    """r17: on a PARTITIONED table, DV-DML appends route one file per
+    touched partition value with ``part`` metadata recorded — the
+    rewrite stays pruning-precise instead of decaying into
+    never-pruned candidates.  An UPDATE that ASSIGNS the spec column
+    records the NEW partition (rows move partitions); MERGE inserts
+    land routed too."""
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    d = str(tmp_path / "dvpart")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["o_orderpriority"])
+    tl.append_partitioned(spark, d, orders, "A")
+    prios = [r[0] for r in orders.select("o_orderpriority")
+             .distinct().collect()]
+    # DV-UPDATE touching every partition
+    v = tl.update_where_mor(
+        spark, d, "o_orderkey % 4 = 1",
+        {"o_totalprice": "o_totalprice + 1"})
+    acts = [json.loads(ln) for ln in open(os.path.join(
+        d, tl.LOG_SUBDIR, f"{v:08d}.json")) if ln.strip()]
+    adds = [a for a in acts if a["a"] == "add"]
+    assert len(adds) == len(prios)  # one routed file per partition
+    assert all(a.get("part") for a in adds), adds
+    # pruned read per partition equals the recompute — and the scan
+    # lists ONLY that partition's files (base + its one DML file)
+    for p in prios:
+        got = tl.partition_pruned_read(spark, d, {"o_orderpriority": p})
+        want = orders.filter(tl.F.col("o_orderpriority") == p)
+        assert got.count() == want.count()
+        cand = tl.partition_candidate_files(
+            spark, d, {"o_orderpriority": p})
+        assert len(cand) == 2, [r["path"] for r in cand]
+    # the MOR view matches the plain recompute
+    want_sum = orders.withColumn(
+        "o_totalprice",
+        tl.F.when(tl.F.col("o_orderkey") % 4 == 1,
+                  tl.F.col("o_totalprice") + 1)
+        .otherwise(tl.F.col("o_totalprice")))
+    assert sorted(tl.snapshot_read_mor(spark, d).collect()) == \
+        sorted(want_sum.collect())
+    # an UPDATE that ASSIGNS the spec column moves rows: the new
+    # partition's file records the NEW value and pruning finds it
+    n_moved = tl.snapshot_read_mor(spark, d)\
+        .filter("o_orderkey % 4 = 2").count()
+    tl.update_where_mor(
+        spark, d, "o_orderkey % 4 = 2",
+        {"o_orderpriority": "'MOVED'"})
+    got_moved = tl.partition_pruned_read(
+        spark, d, {"o_orderpriority": "MOVED"})
+    assert got_moved.count() == n_moved > 0
+    for p in prios:
+        got = tl.partition_pruned_read(spark, d, {"o_orderpriority": p})
+        want = want_sum.filter(
+            (tl.F.col("o_orderpriority") == p)
+            & (tl.F.col("o_orderkey") % 4 != 2))
+        assert got.count() == want.count(), p
+    # MERGE inserts route into their partitions as well
+    src = tl.snapshot_read_mor(spark, d).filter("o_orderkey % 9 = 4")\
+        .withColumn("o_totalprice", tl.F.lit(7.0)).unionByName(
+            orders.filter("o_orderkey % 9 = 1").select(
+                (tl.F.col("o_orderkey") + 70_000_000)
+                .alias("o_orderkey"),
+                tl.F.lit("NEWPART").alias("o_orderpriority"),
+                tl.F.lit(3.0).alias("o_totalprice")))
+    v2 = tl.merge_table_mor(spark, d, src)
+    acts2 = [json.loads(ln) for ln in open(os.path.join(
+        d, tl.LOG_SUBDIR, f"{v2:08d}.json")) if ln.strip()]
+    adds2 = [a for a in acts2 if a["a"] == "add"]
+    assert all(a.get("part") for a in adds2), adds2
+    got_new = tl.partition_pruned_read(
+        spark, d, {"o_orderpriority": "NEWPART"})
+    n_ins = orders.filter("o_orderkey % 9 = 1").count()
+    assert got_new.count() == n_ins > 0

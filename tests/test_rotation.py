@@ -861,6 +861,18 @@ def _streaming_dml_ivm_sql():
     return STREAMING_DML_IVM_GATE_SQL
 
 
+def _partition_mor_dml_read(spark, sf_dir):
+    from gemmsql.pipeline.tablelog import partition_mor_dml_read
+
+    return partition_mor_dml_read(spark, sf_dir)
+
+
+def _partition_mor_dml_read_sql():
+    from gemmsql.pipeline.tablelog import PARTITION_MOR_DML_READ_SQL
+
+    return PARTITION_MOR_DML_READ_SQL
+
+
 def _part_communities_rot(spark, sf_dir):
     from gemmsql.pipeline.graph import part_communities
 
@@ -1435,6 +1447,15 @@ def _rotated():
         # moves the hash.  Slated for promotion r18.
         ("streaming_dml_ivm_gate", _streaming_dml_ivm,
          _streaming_dml_ivm_sql()),
+        # second round-17 birth: partitions × DV-DML through the
+        # oracle — a partition-routed DV-UPDATE (prices) then a
+        # partition-MOVING DV-UPDATE (assigns the spec column); the
+        # gate reads every partition through partition_pruned_read,
+        # which must prune AND subtract the live DVs (the r17
+        # pruned-reader MOR fix), plus the delete-file count.
+        # Slated for promotion r18.
+        ("partition_mor_dml_read", _partition_mor_dml_read,
+         _partition_mor_dml_read_sql()),
         # rotated out r17 (green r7-r16 — the longest-proven batch
         # pipeline incumbents): the graph tier's star-contraction
         # connected components and the item-item Jaccard top-k keep

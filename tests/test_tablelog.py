@@ -4209,3 +4209,48 @@ def test_spj_branch_plan_beyond_broadcast_boundary(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_pruned_reads_subtract_live_mor_deletes(spark, tmp_path):
+    """r17 regression (found by the partitioned-DV-DML composition
+    test): the pruned readers built scans straight from the
+    candidate list, bypassing snapshot_read's state-based MOR gate —
+    a pruned read of a table with LIVE delete files silently
+    RESURRECTED deleted rows.  All three row-returning pruned
+    readers now run the snapshot_read_mor subtraction on the pruned
+    scan (posdel pairs + sequence-rule keydels)."""
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        "o_orderdate")
+    d = str(tmp_path / "prunemor")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["o_orderpriority"])
+    tl.append_partitioned(spark, d, orders, "A")
+    prio = orders.select("o_orderpriority").first()[0]
+    # a positional delete AND an equality delete, both live
+    tl.delete_positions_mor(spark, d, "o_orderkey % 6 = 1")
+    kd_keys = orders.filter("o_orderkey % 6 = 3")\
+        .select("o_orderkey")
+    tl.delete_keys_mor(spark, d, kd_keys)
+    alive = orders.filter(
+        "o_orderkey % 6 NOT IN (1, 3)")
+    # identity-partition pruned read
+    got = tl.partition_pruned_read(
+        spark, d, {"o_orderpriority": prio})
+    want = alive.filter(tl.F.col("o_orderpriority") == prio)
+    assert got.count() == want.count()
+    assert got.filter("o_orderkey % 6 IN (1, 3)").count() == 0
+    # source-predicate pruned read
+    got2 = tl.partition_pruned_read_where(
+        spark, d, {"o_orderpriority": prio})
+    assert got2.count() == want.count()
+    # generalized-bounds pruned read (no cstats recorded -> all
+    # files candidates; the subtraction must still apply)
+    mx = orders.agg(tl.F.max("o_orderkey")).collect()[0][0]
+    got3 = tl.stats_pruned_read_where(
+        spark, d, "o_orderkey", 0, mx)
+    assert got3.count() == alive.count()
+    assert got3.filter("o_orderkey % 6 IN (1, 3)").count() == 0
