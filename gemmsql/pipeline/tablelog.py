@@ -539,9 +539,22 @@ def _per_version_live(spark: SparkSession, table_dir: str) -> DataFrame:
     return _last_action_live(acts, ["version"])
 
 
+def _file_basename(col) -> "F.Column":
+    """The scanned file's BASENAME with URI percent-encoding decoded
+    (r17): ``_metadata.file_path`` / ``input_file_name()`` are URIs,
+    so a space in a partition value appears as ``%20`` — but log
+    actions, PD files, and the filesystem speak RAW names.  Every
+    (file, pos) artifact must use the log's vocabulary or
+    space-named partition files break materialization and the
+    sequence-aware joins.  Raw names can never contain a literal
+    ``%`` (the partition-value charset excludes it; all other
+    writers use [A-Za-z0-9._-]), so decoding is lossless."""
+    return F.url_decode(F.regexp_extract(col, "[^/]+$", 0))
+
+
 def _data_with_path(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, DATA_SUBDIR)).withColumn(
-        "path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+        "path", _file_basename(F.input_file_name())
     )
 
 
@@ -3987,8 +4000,7 @@ def _pruned_mor_subtract(
         return data
     tagged = data.select(
         "*",
-        F.regexp_extract(
-            F.col("_metadata.file_path"), "[^/]+$", 0).alias("_path"),
+        _file_basename(F.col("_metadata.file_path")).alias("_path"),
         F.col("_metadata.row_index").alias("_pos"),
     )
     tagged = _mor_exclude_dead(
@@ -5565,7 +5577,7 @@ def merge_table(
                 for e in mapping
             ])
         tagged = tagged.withColumn(
-            "_path", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+            "_path", _file_basename(F.input_file_name())
         )
         touched = sorted(
             r["_path"] for r in (
@@ -5864,8 +5876,7 @@ def _live_logical_tagged(
         *[os.path.join(table_dir, DATA_SUBDIR, p) for p in paths]
     )
     tags = [
-        F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
-        .alias("_path"),
+        _file_basename(F.col("_metadata.file_path")).alias("_path"),
     ]
     if with_pos:
         tags.append(F.col("_metadata.row_index").alias("_pos"))
@@ -6658,9 +6669,8 @@ def snapshot_read_mor(
     if need_tag:
         data = data.select(
             "*",
-            F.regexp_extract(
-                F.col("_metadata.file_path"), "[^/]+$", 0
-            ).alias("__path"),
+            _file_basename(F.col("_metadata.file_path"))
+            .alias("__path"),
             F.col("_metadata.row_index").alias("__pos"),
         )
     if pdl:
@@ -6773,12 +6783,12 @@ def materialize_deletes(
         )
         tagged = tagged.select(
             "*",
-            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0)
-            .alias("_path"),
+            _file_basename(F.col("_metadata.file_path")).alias("_path"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         doomed = tagged
         addv = {r["path"]: _seq_of(r) for r in live}
+        live_by_path = {r["path"]: r for r in live}
         if keys is not None:
             # a file is touched only by keys whose deleting sequence
             # is strictly above the file's sequence (the rule) — a
@@ -6821,6 +6831,12 @@ def materialize_deletes(
             add = _write_with_add_action(
                 part, table_dir, f"MAT{nonce}-{k}.parquet", key=key
             )
+            # a materialized rewrite holds EXACTLY a subset of its
+            # origin's rows — carry the origin's partition values and
+            # column bounds (r17; nothing is assigned here), or
+            # materialization silently degrades pruning on
+            # partitioned/stats-bounded tables
+            _carry_part(add, live_by_path.get(name))
             actions.append({"a": "remove", "path": name})
             if add:
                 actions.append(add)

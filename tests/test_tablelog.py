@@ -4254,3 +4254,34 @@ def test_pruned_reads_subtract_live_mor_deletes(spark, tmp_path):
         spark, d, "o_orderkey", 0, mx)
     assert got3.count() == alive.count()
     assert got3.filter("o_orderkey % 6 IN (1, 3)").count() == 0
+
+
+def test_materialize_carries_partition_values(spark, tmp_path):
+    """r17: a materialized rewrite holds exactly a subset of its
+    origin's rows, so the origin's partition values carry — DELETE
+    materialization on a partitioned table keeps pruning precise
+    (one candidate per partition), instead of degrading every
+    rewritten file into a forever-candidate."""
+    from gemmsql.datamodel import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    d = str(tmp_path / "matpart")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["o_orderpriority"])
+    tl.append_partitioned(spark, d, orders, "A")
+    tl.delete_positions_mor(spark, d, "o_orderkey % 3 = 0")
+    tl.materialize_deletes(spark, d)
+    prios = [r[0] for r in orders.select("o_orderpriority")
+             .distinct().collect()]
+    alive = orders.filter("o_orderkey % 3 != 0")
+    for p in prios:
+        cand = tl.partition_candidate_files(
+            spark, d, {"o_orderpriority": p})
+        assert len(cand) == 1, [r["path"] for r in cand]
+        assert cand[0]["part"], cand[0]
+        got = tl.partition_pruned_read(
+            spark, d, {"o_orderpriority": p})
+        assert got.count() == alive.filter(
+            tl.F.col("o_orderpriority") == p).count()
