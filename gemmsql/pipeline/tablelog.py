@@ -548,8 +548,15 @@ def _file_basename(col) -> "F.Column":
     space-named partition files break materialization and the
     sequence-aware joins.  Raw names can never contain a literal
     ``%`` (the partition-value charset excludes it; all other
-    writers use [A-Za-z0-9._-]), so decoding is lossless."""
-    return F.url_decode(F.regexp_extract(col, "[^/]+$", 0))
+    writers use [A-Za-z0-9._-]), so decoding is lossless.
+
+    ``substring_index`` rather than a regexp: the tag is evaluated
+    per ROW on every MOR scan, and the anchored regexp over the full
+    URI measured ~1.2 s per million-row scan at sf0.1 against ~0 for
+    the plain string split (same output on every path shape — both
+    return the segment after the last ``/``, or the whole string
+    when there is none)."""
+    return F.url_decode(F.substring_index(col, "/", -1))
 
 
 def _data_with_path(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -664,25 +671,42 @@ def stats_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture.  The invariant a planner relies on — candidate=0 ⟹
     matches=0 — is also pinned in tests."""
     table_dir = stage_versioned_table(spark, sf_dir)
-    live = snapshot_files(spark, table_dir)
-    bounds = live.agg(
-        F.expr("max(max_key) * 35 div 100").alias("lo"),
-        F.expr("max(max_key) * 55 div 100").alias("hi"),
+    # skip decisions are pure LOG metadata — decide them driver-side
+    # from the same last-action-wins replay the planner runs (r17:
+    # the Spark-frame route re-read the log twice and joined a
+    # directory scan against a broadcast of it, three jobs for a
+    # handful of metadata rows); the TRUE counts still come from a
+    # full scan of every live file — reading only candidates would
+    # assume the very invariant this op audits
+    adds = sorted(
+        _live_adds_before(os.path.join(table_dir, LOG_SUBDIR), 1 << 62),
+        key=lambda a: a["path"],
     )
-    decided = live.crossJoin(F.broadcast(bounds)).select(
-        "path",
-        F.when(
-            (F.col("max_key") < F.col("lo")) | (F.col("min_key") > F.col("hi")),
-            F.lit(0),
-        ).otherwise(1).cast("long").alias("candidate"),
-        "lo", "hi",
+    gmax = max(int(a["max_key"]) for a in adds)
+    lo, hi = gmax * 35 // 100, gmax * 55 // 100
+    decided = spark.createDataFrame(
+        [
+            (
+                a["path"],
+                0 if (int(a["max_key"]) < lo or int(a["min_key"]) > hi)
+                else 1,
+            )
+            for a in adds
+        ],
+        "path string, candidate long",
     )
     matches = (
-        _data_with_path(spark, table_dir)
-        .join(F.broadcast(decided.select("path", "lo", "hi")), "path")
+        spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, a["path"])
+              for a in adds]
+        )
+        .select(
+            _file_basename(F.col("_metadata.file_path")).alias("path"),
+            "o_orderkey",
+        )
         .filter(
-            (F.col("o_orderkey") >= F.col("lo"))
-            & (F.col("o_orderkey") <= F.col("hi"))
+            (F.col("o_orderkey") >= F.lit(lo))
+            & (F.col("o_orderkey") <= F.lit(hi))
         )
         .groupBy("path")
         .agg(F.count("*").alias("n_matches"))
@@ -3963,13 +3987,24 @@ def partition_candidate_files(
     degrades skip precision, not correctness.  Values recorded under
     a since-RENAMED source column's old name resolve through the
     field-id alias map, so a rename costs no pruning precision."""
-    live = snapshot_files(spark, table_dir, version).collect()  # metadata
+    # driver-side last-action replay (r17): the skip plan needs only
+    # log metadata, and the Spark-frame route (read_log + window +
+    # collect) cost a full job per planning pass; _live_adds_before
+    # is the same replay (checkpoint-seeded on truncated logs) the
+    # streaming expansion already trusts
+    live = sorted(
+        _live_adds_before(
+            os.path.join(table_dir, LOG_SUBDIR),
+            (version + 1) if version is not None else 1 << 62,
+        ),
+        key=lambda r: r["path"],
+    )
     alias_map = _spec_alias_map(spark, table_dir, version)
     want = {c: _encode_part_value(c, v).split("=", 1)[1]
             for c, v in eq.items()}
     out = []
     for r in live:
-        vals = _canon_part_vals(r["part"], alias_map)
+        vals = _canon_part_vals(_act_get(r, "part"), alias_map)
         if all(c not in vals or vals[c] == w for c, w in want.items()):
             out.append(r)
     return out
@@ -5689,17 +5724,34 @@ def bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what the hash pins, false-positive counts included (both
     engines compute identical md5 bits)."""
     table_dir = stage_versioned_table(spark, sf_dir)
-    live = snapshot_files(spark, table_dir)
-    gmax = live.agg(F.max("max_key")).collect()[0][0]  # 1-row metadata
+    # live set + global max from the DRIVER-side log replay (r17):
+    # the Spark-frame route (snapshot_files + a 1-row agg collect +
+    # a broadcast path join against a directory scan) cost two jobs
+    # and scanned dead files just to drop them again — the log replay
+    # already holds both answers as metadata
+    adds = sorted(
+        _live_adds_before(os.path.join(table_dir, LOG_SUBDIR), 1 << 62),
+        key=lambda a: a["path"],
+    )
+    gmax = max(int(a["max_key"]) for a in adds)
     data = (
-        _data_with_path(spark, table_dir)
-        .join(F.broadcast(live.select("path")), "path")
-        .select("path", "o_orderkey")
+        spark.read.parquet(
+            *[os.path.join(table_dir, DATA_SUBDIR, a["path"])
+              for a in adds]
+        )
+        .select(
+            _file_basename(F.col("_metadata.file_path")).alias("path"),
+            "o_orderkey",
+        )
     )
     p0, p1 = _bloom_positions("o_orderkey")
+    # both bit positions from ONE scan (explode of the 2-element
+    # array == the former two-leg union, bit-for-bit) instead of two
     bloom = (
-        data.select("path", F.expr(p0).alias("bit"))
-        .unionByName(data.select("path", F.expr(p1).alias("bit")))
+        data.select(
+            "path",
+            F.explode(F.array(F.expr(p0), F.expr(p1))).alias("bit"),
+        )
         .distinct()
     )
     probes = spark.range(1, 98).select(
@@ -6890,7 +6942,10 @@ def posdel_compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     move the hash.  The twin recomputes the surviving rows from
     ``orders`` with the two predicates in pure SQL."""
     d = stage_posdel_compact_table(spark, sf_dir)
-    n_del = snapshot_delete_files(spark, d).count()  # metadata
+    # delete-file count from the cached driver-side log replay — the
+    # Spark-job twin (snapshot_delete_files().count()) cost a full
+    # job (~0.2 s) for a metadata scalar the planner already holds
+    n_del = len(_live_delete_actions(d, None))
     return (
         snapshot_read_mor(spark, d)
         .groupBy("o_orderpriority")
@@ -6975,7 +7030,9 @@ def mor_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash; the twin recomputes the final state from ``orders`` in
     pure SQL."""
     d = stage_mor_dml_table(spark, sf_dir)
-    n_del = snapshot_delete_files(spark, d).count()  # metadata
+    # driver-side log replay for the metadata scalar (see
+    # posdel_compaction_read)
+    n_del = len(_live_delete_actions(d, None))
     return (
         snapshot_read_mor(spark, d)
         .groupBy("o_orderpriority")
