@@ -1237,41 +1237,60 @@ FROM ranked WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_coarse_int(vec: DataFrame, k_cent: int):
-    """Integer coarse quantizer for IVF-PQ: the ``k_cent`` vectors with
-    the smallest ``md5(vec_id)`` (the :func:`_ivf_centroids` sample
-    rule), kept on the 1e6 quantization grid so assignment is an exact
-    integer L2 argmin — no float cosine anywhere in this op."""
-    rows = (
-        vec.withColumn("hkey", F.md5(F.col("i").cast("string")))
-        .orderBy("hkey", "i")
-        .limit(k_cent)
-        .select("i", "vec")
-        .collect()
-    )
+def _md5_samples(
+    vec: DataFrame, specs: list[tuple[str, str, int]]
+) -> dict[str, list]:
+    """The ``(smallest n by md5(prefix || vec_id), id)`` samples for
+    several namespaces in ONE Spark job: each spec becomes a
+    TakeOrdered union leg, the bounded union collects once, and rows
+    split per tag driver-side re-sorted by (hkey, i) — bit-identical
+    to the per-namespace ``orderBy(hkey, i).limit(n).collect()``
+    calls it replaces, which each paid a separate job over the full
+    table (r17: three jobs -> one on the IVF-PQ build side)."""
+    legs = []
+    for tag, prefix, n in specs:
+        h = (
+            F.md5(F.concat(F.lit(prefix), F.col("i").cast("string")))
+            if prefix else F.md5(F.col("i").cast("string"))
+        )
+        legs.append(
+            vec.withColumn("hkey", h)
+            .orderBy("hkey", "i")
+            .limit(n)
+            .select(F.lit(tag).alias("tag"), "hkey", "i", "vec")
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    rows = u.collect()
+    return {
+        tag: sorted(
+            (r for r in rows if r["tag"] == tag),
+            key=lambda r: (r["hkey"], r["i"]),
+        )
+        for tag, _, _ in specs
+    }
+
+
+def _ivfpq_coarse_int(rows):
+    """Integer coarse quantizer for IVF-PQ from the pre-collected
+    md5 sample rows (the :func:`_ivf_centroids` sample rule), kept
+    on the 1e6 quantization grid so assignment is an exact integer
+    L2 argmin — no float cosine anywhere in this op."""
     ids = np.asarray([r["i"] for r in rows], dtype=np.int64)
     cq = _pq_quant(np.asarray([r["vec"] for r in rows], dtype=np.float64))
     return ids, cq
 
 
 def _ivfpq_residual_book(
-    vec: DataFrame, cids: np.ndarray, cq: np.ndarray, n_sub: int, n_cent: int
+    rows, cids: np.ndarray, cq: np.ndarray, n_sub: int, n_cent: int
 ):
-    """Residual PQ codebook: the ``n_cent`` vectors with the smallest
-    ``md5('r' || vec_id)`` (distinct namespace from the coarse sample
-    and the query sample), each replaced by its RESIDUAL to its own
-    coarse cell — integer subtraction of quantized vectors, exact.
-    Codebook entry ``code`` = position in (md5, id) sample order, the
-    same convention as the PQ codebook.  Returns (n_sub, n_cent, d_sub)."""
-    rows = (
-        vec.withColumn(
-            "hkey", F.md5(F.concat(F.lit("r"), F.col("i").cast("string")))
-        )
-        .orderBy("hkey", "i")
-        .limit(n_cent)
-        .select("i", "vec")
-        .collect()
-    )
+    """Residual PQ codebook from the pre-collected ``'r'``-namespace
+    sample rows: each sample vector replaced by its RESIDUAL to its
+    own coarse cell — integer subtraction of quantized vectors,
+    exact.  Codebook entry ``code`` = position in (md5, id) sample
+    order, the same convention as the PQ codebook.  Returns
+    (n_sub, n_cent, d_sub)."""
     sq = _pq_quant(np.asarray([r["vec"] for r in rows], dtype=np.float64))
     d2 = ((sq[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
     order = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)
@@ -1322,17 +1341,16 @@ def ivfpq_topk(
     """
     vec = embeddings_vectors(spark, sf_dir).select("i", "vec")
     n_rows, _dim = embeddings_stats(sf_dir)
-    cids, cq = _ivfpq_coarse_int(vec, ivf_k_for(n_rows))
-    book = _ivfpq_residual_book(vec, cids, cq, n_sub, n_cent)
-    q_rows = (
-        vec.withColumn(
-            "hkey", F.md5(F.concat(F.lit("q"), F.col("i").cast("string")))
-        )
-        .orderBy("hkey", "i")
-        .limit(PQ_NQUERY)
-        .select("i", "vec")
-        .collect()
-    )
+    # coarse sample, residual-book sample, and query sample in ONE
+    # bounded collect (r17 — was three TakeOrdered jobs)
+    samples = _md5_samples(vec, [
+        ("c", "", ivf_k_for(n_rows)),
+        ("r", "r", n_cent),
+        ("q", "q", PQ_NQUERY),
+    ])
+    cids, cq = _ivfpq_coarse_int(samples["c"])
+    book = _ivfpq_residual_book(samples["r"], cids, cq, n_sub, n_cent)
+    q_rows = samples["q"]
     qids = np.asarray([r["i"] for r in q_rows], dtype=np.int64)
     qmat = _pq_quant(np.asarray([r["vec"] for r in q_rows], dtype=np.float64))
     bc = spark.sparkContext.broadcast((cids, cq, book))

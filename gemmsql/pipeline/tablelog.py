@@ -959,7 +959,7 @@ def streaming_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base_paths = {r["path"] for r in
-                  snapshot_files(spark, table_dir, 1).collect()}
+                  _live_file_records(table_dir, 1)}  # driver replay
     base = (
         spark.read.parquet(
             *[os.path.join(table_dir, DATA_SUBDIR, p)
@@ -1316,8 +1316,11 @@ def ivm_drain(
     def upsert(bdf: DataFrame, batch_id: int) -> None:
         # the production IVM sink shape: each micro-batch's UPDATED
         # groups upsert into the materialized view (here: appended
-        # emissions, resolved by the monotone per-group change count)
-        bdf.write.mode("append").parquet(emissions_dir)
+        # emissions, resolved by the monotone per-group change count).
+        # coalesce(1): a batch's update set is a handful of group
+        # rows spread over every state partition — one emission file
+        # per batch, not one per partition (r17)
+        bdf.coalesce(1).write.mode("append").parquet(emissions_dir)
 
     with state_partitions(spark):
         q = (
@@ -1477,9 +1480,14 @@ def streaming_mor_ivm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ivm_drain(spark, table, ckpt, emissions_dir)
     # the LIVE merge-on-read delete, landed while the stream is down
-    # — one key file + one keydel commit, zero data files rewritten
+    # — one key file + one keydel commit, zero data files rewritten.
+    # bucket width from parquet footer stats (exact int64 max — the
+    # r17 rule: metadata scalars never cost a Spark job in a timed
+    # gate lifecycle)
+    from gemmsql.stats import table_col_max
+
     orders = load_table(spark, sf_dir, "orders")
-    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    mx = table_col_max(sf_dir, "orders", "o_orderkey")
     width = mx // 8 + 1
     keys = orders.filter(
         (F.expr(f"o_orderkey div {width}") == 3)
@@ -1948,18 +1956,18 @@ def table_properties(
 ) -> dict[str, str]:
     """Table properties in force at ``version`` — latest action per
     key wins; a null value (an UNSET) removes the key."""
-    log = _log_with_checkpoint_base(spark, table_dir).filter(
-        F.col("a") == "property")
-    if version is not None:
-        log = log.filter(F.col("v") <= version)
-    rows = log.select("path", "min_date", "v").collect()  # metadata
     out: dict[str, str] = {}
-    for r in sorted(rows, key=lambda r: r["v"]):
-        k = r["path"].split(":", 1)[1]
-        if r["min_date"] is None:
+    for a in _meta_actions(table_dir):  # driver-side, no Spark job
+        if a.get("a") != "property":
+            continue
+        if version is not None and int(a["v"]) > version:
+            continue
+        k = a["path"].split(":", 1)[1]
+        val = _act_get(a, "min_date")
+        if _is_unset(val):
             out.pop(k, None)
         else:
-            out[k] = r["min_date"]
+            out[k] = val
     return out
 
 
@@ -1967,14 +1975,13 @@ def table_constraints(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> dict[str, str]:
     """Named CHECK predicates in force at ``version``."""
-    log = _log_with_checkpoint_base(spark, table_dir).filter(
-        F.col("a") == "constraint")
-    if version is not None:
-        log = log.filter(F.col("v") <= version)
-    rows = log.select("path", "min_date", "v").collect()  # metadata
     out: dict[str, str] = {}
-    for r in sorted(rows, key=lambda r: r["v"]):
-        out[r["path"].split(":", 1)[1]] = r["min_date"]
+    for a in _meta_actions(table_dir):  # driver-side, no Spark job
+        if a.get("a") != "constraint":
+            continue
+        if version is not None and int(a["v"]) > version:
+            continue
+        out[a["path"].split(":", 1)[1]] = _act_get(a, "min_date")
     return out
 
 
@@ -2109,6 +2116,123 @@ def _live_delete_actions(
                 last[a["path"]] = (*rank, a)
     return [a for (_, _, a) in last.values()
             if a["a"] in ("keydel", "posdel")]
+
+
+#: per-commit-file FULL action-line parses (immutable once written —
+#: the _DELLINE_CACHE argument), shared by the r17 driver-side
+#: metadata readers so column mapping / properties / constraints /
+#: live-set replays cost cached dict lookups, not a Spark job per
+#: planning pass
+_ACTLINE_CACHE: dict[str, tuple[dict, ...]] = {}
+
+
+def _action_lines_of(commit_path: str) -> tuple[dict, ...]:
+    if commit_path not in _ACTLINE_CACHE:
+        out = []
+        with open(commit_path) as f:
+            for ln in f:
+                if ln.strip():
+                    out.append(json.loads(ln))
+        _ACTLINE_CACHE[commit_path] = tuple(out)
+    return _ACTLINE_CACHE[commit_path]
+
+
+_META_KINDS = ("meta", "protocol", "constraint", "property")
+
+
+def _is_unset(v) -> bool:
+    """None, or pandas' NaN stand-in for a null (checkpoint rows)."""
+    return v is None or (isinstance(v, float) and v != v)
+
+
+def _meta_actions(table_dir: str) -> list[dict]:
+    """Driver-side metadata actions (meta / protocol / constraint /
+    property) over the checkpoint-aware log view — the
+    :func:`_log_with_checkpoint_base` twin without a Spark job,
+    ordered by commit version (checkpoint rows keep their original
+    stamps).  Every metadata reader below runs off this, so a
+    DML verb or a read plans with zero metadata jobs."""
+    out: list[dict] = []
+    base_v = -1
+    present = _present_versions(table_dir)
+    if present and present[0] > 0:
+        ckpt_v = _latest_checkpoint_version(table_dir, None)
+        if ckpt_v is not None:
+            import pandas as _pd
+
+            rows = [
+                r
+                for r in _pd.read_parquet(
+                    _checkpoint_dir(table_dir, ckpt_v)
+                ).to_dict("records")
+                if r.get("a") in _META_KINDS
+            ]
+            rows.sort(key=lambda r: int(r["v"]))
+            out.extend(rows)
+            base_v = ckpt_v
+    for p in sorted(
+        _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    ):
+        if int(os.path.basename(p).split(".")[0]) <= base_v:
+            continue
+        out.extend(
+            a for a in _action_lines_of(p) if a.get("a") in _META_KINDS
+        )
+    return out
+
+
+def _live_file_records(
+    table_dir: str, version: int | None = None
+) -> list[dict]:
+    """Driver-side twin of ``snapshot_files(...).collect()`` — the
+    same checkpoint seeding, expiry validation, and last-action-wins
+    rule (remove beats add inside one version), as plain dicts with
+    no Spark job.  The read path's live-set replay runs here; the
+    DataFrame form stays for callers that keep computing on it."""
+    present = _present_versions(table_dir)
+    ckpt_v = _latest_checkpoint_version(table_dir, version)
+    truncated = bool(present) and present[0] > 0
+    use_ckpt = ckpt_v is not None and truncated
+    base_v = ckpt_v if use_ckpt else -1
+    target = version if version is not None else (
+        present[-1] if present else base_v
+    )
+    pset = set(present)
+    missing = [v for v in range(base_v + 1, target + 1) if v not in pset]
+    if missing:
+        raise ValueError(
+            f"log expired: version {target} needs commits {missing} "
+            f"(earliest retained: "
+            f"{present[0] if present else None}, checkpoint: {ckpt_v})"
+        )
+    last: dict[str, tuple] = {}
+
+    def fold(a: dict) -> None:
+        if a.get("a") not in ("add", "remove"):
+            return
+        v = int(a["v"])
+        if version is not None and v > version:
+            return
+        rank = (v, 0 if a["a"] == "remove" else -1)
+        cur = last.get(a["path"])
+        if cur is None or rank >= cur[0]:
+            last[a["path"]] = (rank, a)
+
+    if use_ckpt:
+        import pandas as _pd
+
+        for r in _pd.read_parquet(
+            _checkpoint_dir(table_dir, ckpt_v)
+        ).to_dict("records"):
+            fold(r)
+    for p in sorted(
+        _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    ):
+        if int(os.path.basename(p).split(".")[0]) <= base_v:
+            continue
+        for a in _action_lines_of(p):
+            fold(a)
+    return [a for (_, a) in last.values() if a["a"] == "add"]
 
 
 def _live_delete_paths(
@@ -2481,7 +2605,7 @@ def _snapshot_read_with_live(
     column TYPE has been widened (heterogeneous footers refuse to
     merge), and strictly cheaper even without one — no footer-merge
     pass, and unmapped columns never decode."""
-    live = snapshot_files(spark, table_dir, version).collect()
+    live = _live_file_records(table_dir, version)  # driver replay
     paths = sorted(r["path"] for r in live)
     missing = [
         p for p in paths
@@ -2507,20 +2631,26 @@ def _snapshot_read_with_live(
         # are logical; the bytes are still there until vacuum)
         if read_schema is not None:
             return spark.createDataFrame([], read_schema), live
-        adds = read_log(spark, table_dir).filter(F.col("a") == "add")
-        if version is not None:
-            # the footer lookup honors the requested version (ADVICE
-            # r16 low): a time-travel read of an empty HISTORICAL
-            # version must answer its schema from a footer of its own
-            # era, never leak post-widening / auto-evolved columns
-            # from a future add
-            adds = adds.filter(F.col("v") <= version)
-        last_add = (
-            adds.orderBy(F.col("v").desc()).limit(1).collect()
-        )
-        if last_add:
+        # the footer lookup honors the requested version (ADVICE r16
+        # low): a time-travel read of an empty HISTORICAL version
+        # must answer its schema from a footer of its own era, never
+        # leak post-widening / auto-evolved columns from a future add
+        # — driver-side walk of the retained log, like read_log
+        newest_add = None
+        for lp in sorted(
+            _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+        ):
+            if (
+                version is not None
+                and int(os.path.basename(lp).split(".")[0]) > version
+            ):
+                continue
+            for a in _action_lines_of(lp):
+                if a.get("a") == "add":
+                    newest_add = a  # file order == version order
+        if newest_add is not None:
             p = os.path.join(
-                table_dir, DATA_SUBDIR, last_add[0]["path"])
+                table_dir, DATA_SUBDIR, newest_add["path"])
             if os.path.exists(p):
                 return spark.read.parquet(p).filter(F.lit(False)), live
         raise ValueError(
@@ -2539,12 +2669,12 @@ def evolved_schema(
     action at or below it (None when the log predates schema
     tracking — readers then fall back to the physical file schemas,
     which is exactly what :func:`snapshot_read` does anyway)."""
-    log = _log_with_checkpoint_base(spark, table_dir).filter(
-        F.col("a") == "meta")
-    if version is not None:
-        log = log.filter(F.col("v") <= version)
-    rows = log.orderBy(F.col("v").desc()).limit(1).collect()
-    return list(rows[0]["schema_cols"]) if rows else None
+    rows = [
+        a for a in _meta_actions(table_dir)  # driver-side
+        if a.get("a") == "meta"
+        and (version is None or int(a["v"]) <= version)
+    ]
+    return list(rows[-1]["schema_cols"]) if rows else None
 
 
 def evolve_table(
@@ -2630,13 +2760,22 @@ def column_mapping(
     indirection (Delta column mapping) make RENAME and DROP pure
     metadata: data files never rewrite, and every historical version
     stays readable under the names it had then."""
-    log = _log_with_checkpoint_base(spark, table_dir).filter(
-        (F.col("a") == "meta") & F.col("schema_map").isNotNull()
-    )
-    if version is not None:
-        log = log.filter(F.col("v") <= version)
-    rows = log.orderBy(F.col("v").desc()).limit(1).collect()
-    return _mapping_decode(list(rows[0]["schema_map"])) if rows else None
+    rows = _schema_map_actions(table_dir, version)  # driver-side
+    return _mapping_decode(list(rows[-1]["schema_map"])) if rows else None
+
+
+def _schema_map_actions(
+    table_dir: str, version: int | None
+) -> list[dict]:
+    """Every "meta" action carrying a ``schema_map`` at/below
+    ``version``, commit-ordered — the shared driver-side read behind
+    :func:`column_mapping` and the alias-history resolvers."""
+    return [
+        a for a in _meta_actions(table_dir)
+        if a.get("a") == "meta"
+        and not _is_unset(_act_get(a, "schema_map"))
+        and (version is None or int(a["v"]) <= version)
+    ]
 
 
 def _max_fid_ever(spark: SparkSession, table_dir: str) -> int:
@@ -2644,16 +2783,17 @@ def _max_fid_ever(spark: SparkSession, table_dir: str) -> int:
     columns keep their ids retired forever, so a later add can never
     reuse a dropped column's physical name (whose data still lives
     in old files)."""
-    rows = (
-        read_log(spark, table_dir)
-        .filter(F.col("schema_map").isNotNull())
-        .select(F.explode("schema_map").alias("s"))
-        .select(F.split("s", "\\|").getItem(0).cast("long").alias("fid"))
-        .agg(F.max("fid"))
-        .collect()
-    )
-    mx = rows[0][0]
-    return int(mx) if mx is not None else -1
+    mx = -1
+    for p in sorted(
+        _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    ):  # raw retained log, like read_log — driver-side, no Spark job
+        for a in _action_lines_of(p):
+            sm = _act_get(a, "schema_map")
+            if _is_unset(sm):
+                continue
+            for s in sm:
+                mx = max(mx, int(str(s).split("|", 1)[0]))
+    return mx
 
 
 def _current_mapping_or_identity(
@@ -3425,16 +3565,29 @@ def streaming_tablelog_gate_dir(
     # the latest add at-or-below its version — re-add-safe (a plain
     # path join duplicates action rows once a path is added twice,
     # ADVICE r12 #1).  Stream-static equi+range join, still broadcast.
-    wnext = Window.partitionBy("path").orderBy("v")
-    adds = (
-        read_log(spark, table_dir)
-        .filter(F.col("a") == "add")
-        .select(
-            "path",
-            F.col("v").alias("add_v"),
-            F.lead("v", default=2**62).over(wnext).alias("next_add_v"),
-            F.col("n_rows").alias("add_rows"),
-        )
+    # Built DRIVER-side as a local relation (r17): the static side of
+    # a stream-static join re-evaluates EVERY micro-batch, so the old
+    # read_log + window frame re-scanned the JSONL log once per
+    # commit replayed — for a metadata-sized index the log replay
+    # already yields for free.
+    by_path: dict[str, list] = {}
+    for lp in sorted(
+        _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
+    ):
+        for a in _action_lines_of(lp):
+            if a.get("a") == "add":
+                by_path.setdefault(a["path"], []).append(
+                    (int(a["v"]), int(a["n_rows"]))
+                )
+    add_rows = []
+    for path, vs in by_path.items():
+        vs.sort()
+        for k, (v, n) in enumerate(vs):
+            nxt = vs[k + 1][0] if k + 1 < len(vs) else 2**62
+            add_rows.append((path, v, nxt, n))
+    adds = spark.createDataFrame(
+        sorted(add_rows),
+        "path string, add_v long, next_add_v long, add_rows long",
     )
     agg = (
         src.join(
@@ -3646,14 +3799,9 @@ def _spec_alias_map(
     if m is None:
         return out
     fid_of = {e["logical"]: e["fid"] for e in m}
-    log = _log_with_checkpoint_base(spark, table_dir).filter(
-        (F.col("a") == "meta") & F.col("schema_map").isNotNull()
-    )
-    if version is not None:
-        log = log.filter(F.col("v") <= version)
     hist = [
-        _mapping_decode(list(r["schema_map"]))
-        for r in log.collect()  # metadata: one row per schema commit
+        _mapping_decode(list(a["schema_map"]))
+        for a in _schema_map_actions(table_dir, version)  # driver-side
     ]
     for entry in spec:
         kind, col, arg = _parse_spec_entry(entry)
@@ -3699,13 +3847,8 @@ def _source_alias_to_current(
         return {}
     cur_of_fid = {e["fid"]: e["logical"] for e in m}
     out: dict[str, str] = {}
-    log = _log_with_checkpoint_base(spark, table_dir).filter(
-        (F.col("a") == "meta") & F.col("schema_map").isNotNull()
-    )
-    if version is not None:
-        log = log.filter(F.col("v") <= version)
-    for r in log.collect():  # metadata: one row per schema commit
-        for e in _mapping_decode(list(r["schema_map"])):
+    for a in _schema_map_actions(table_dir, version):  # driver-side
+        for e in _mapping_decode(list(a["schema_map"])):
             cur = cur_of_fid.get(e["fid"])
             if cur is not None:
                 out[e["logical"]] = cur

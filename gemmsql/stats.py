@@ -65,6 +65,44 @@ def table_rows(sf_dir: str, table: str) -> int:
     return _CACHE[key][0]
 
 
+_COLMAX_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_col_max(sf_dir: str, table: str, col: str) -> int:
+    """Exact integer max of ``col`` over ``{sf_dir}/{table}.parquet``
+    from parquet ROW-GROUP statistics — the footer-metadata twin of
+    ``df.agg(max(col)).collect()`` (int64 stats are exact, never
+    truncated), cached for the session like the row counts.  Raises
+    if any row group lacks the statistic, so a silent wrong answer
+    is impossible."""
+    key = (sf_dir, table, col)
+    if key not in _COLMAX_CACHE:
+        path = f"{sf_dir}/{table}.parquet"
+        paths = [path]
+        if os.path.isdir(path):
+            paths = sorted(
+                os.path.join(path, p)
+                for p in os.listdir(path)
+                if p.endswith(".parquet")
+            )
+        mx: int | None = None
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"{p} row group {rg} lacks min/max for {col}"
+                    )
+                v = int(st.max)
+                mx = v if mx is None else max(mx, v)
+        if mx is None:
+            raise ValueError(f"{path}: no row groups for {col}")
+        _COLMAX_CACHE[key] = mx
+    return _COLMAX_CACHE[key]
+
+
 # ---- plan-aware frame stats (VERDICT r4 wrong #1/#2) -----------------
 #
 # The gate kernels' ``broadcast="auto"`` sizing and embedding-dim
