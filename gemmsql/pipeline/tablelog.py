@@ -1317,10 +1317,10 @@ def ivm_drain(
         # the production IVM sink shape: each micro-batch's UPDATED
         # groups upsert into the materialized view (here: appended
         # emissions, resolved by the monotone per-group change count).
-        # coalesce(1): a batch's update set is a handful of group
-        # rows spread over every state partition — one emission file
-        # per batch, not one per partition (r17)
-        bdf.coalesce(1).write.mode("append").parquet(emissions_dir)
+        # NO coalesce(1) here: measured r17, collapsing the batch to
+        # one task serializes the state-store read behind it and cost
+        # ~1.5 s per gate lifecycle — more than the file-count win
+        bdf.write.mode("append").parquet(emissions_dir)
 
     with state_partitions(spark):
         q = (
@@ -1412,6 +1412,13 @@ def _live_adds_before(log_dir: str, v_limit: int) -> list[dict]:
     task, so the stream needs no driver round-trip per commit.  On an
     expired log the checkpoint parquet seeds the base state (it
     carries full add actions, stats included)."""
+    if not os.path.isdir(log_dir):
+        # read_log parity: a typo'd table path must never replay as
+        # an empty live set
+        raise ValueError(
+            f"not a logged table (no {LOG_SUBDIR}/): "
+            f"{os.path.dirname(log_dir)}"
+        )
     last: dict[str, tuple] = {}
     files = sorted(_glob.glob(os.path.join(log_dir, "*.json")))
     versions = [int(os.path.basename(p).split(".")[0]) for p in files]
@@ -2151,7 +2158,12 @@ def _meta_actions(table_dir: str) -> list[dict]:
     :func:`_log_with_checkpoint_base` twin without a Spark job,
     ordered by commit version (checkpoint rows keep their original
     stamps).  Every metadata reader below runs off this, so a
-    DML verb or a read plans with zero metadata jobs."""
+    DML verb or a read plans with zero metadata jobs.  A MISSING log
+    directory refuses like :func:`read_log` — a typo'd table path
+    must never answer the none-yet defaults."""
+    if not os.path.isdir(os.path.join(table_dir, LOG_SUBDIR)):
+        raise ValueError(f"not a logged table (no {LOG_SUBDIR}/): "
+                         f"{table_dir}")
     out: list[dict] = []
     base_v = -1
     present = _present_versions(table_dir)
@@ -2188,7 +2200,12 @@ def _live_file_records(
     same checkpoint seeding, expiry validation, and last-action-wins
     rule (remove beats add inside one version), as plain dicts with
     no Spark job.  The read path's live-set replay runs here; the
-    DataFrame form stays for callers that keep computing on it."""
+    DataFrame form stays for callers that keep computing on it.  A
+    MISSING log directory refuses like :func:`read_log` — a typo'd
+    table path must never read as an empty table."""
+    if not os.path.isdir(os.path.join(table_dir, LOG_SUBDIR)):
+        raise ValueError(f"not a logged table (no {LOG_SUBDIR}/): "
+                         f"{table_dir}")
     present = _present_versions(table_dir)
     ckpt_v = _latest_checkpoint_version(table_dir, version)
     truncated = bool(present) and present[0] > 0
@@ -4040,49 +4057,75 @@ def _stage_partitioned_files(
         .partitionBy(*shadow)
         .parquet(scratch)
     )
-    # one stats pass for every partition this append touches; the
-    # date pair records only when the fixture column exists (the
-    # stats model's date half is optional on arbitrary frames)
-    aggs = [
-        F.count("*").alias("n"),
-        F.min(key).alias("mnk"),
-        F.max(key).alias("mxk"),
-    ]
+    # per-partition stats from the WRITTEN files' parquet FOOTERS
+    # (r17): the old second aggregation pass re-scanned and
+    # re-shuffled the source per append just to recover counts and
+    # min/max the writer's own footers already carry exactly (int64
+    # and date32 statistics are never truncated).  Partition values
+    # come from the scratch directory names, which equal str(value)
+    # by the _encode_part_value charset contract — values Spark
+    # would escape are refused below exactly as the encoder refused
+    # them (an escaped name contains '%', outside the charset).
+    import pyarrow.parquet as _pq
+
     has_date = "o_orderdate" in df.columns
-    if has_date:
-        aggs += [
-            F.min(F.date_format("o_orderdate", "yyyy-MM-dd"))
-            .alias("mnd"),
-            F.max(F.date_format("o_orderdate", "yyyy-MM-dd"))
-            .alias("mxd"),
-        ]
-    st = (
-        df.groupBy(*[
-            _spec_expr(e).alias(s) for e, s in zip(spec, shadow)
-        ])
-        .agg(*aggs)
-        .collect()
-    )  # bounded by partitions touched
-    if not st:
+    date_col = (
+        log2phys["o_orderdate"] if (log2phys and has_date)
+        else "o_orderdate"
+    )
+
+    def _footer_part_stats(fp: str) -> dict:
+        md = _pq.ParquetFile(fp).metadata
+        names = md.schema.names
+        ki = names.index(sort_key)
+        di = names.index(date_col) if has_date else -1
+        mnk = mxk = mnd = mxd = None
+        for rg in range(md.num_row_groups):
+            stk = md.row_group(rg).column(ki).statistics
+            if stk is None or not stk.has_min_max:
+                raise ValueError(
+                    f"{fp} row group {rg}: no {sort_key} stats"
+                )
+            mnk = stk.min if mnk is None else min(mnk, stk.min)
+            mxk = stk.max if mxk is None else max(mxk, stk.max)
+            if has_date:
+                std = md.row_group(rg).column(di).statistics
+                if std is None or not std.has_min_max:
+                    raise ValueError(
+                        f"{fp} row group {rg}: no {date_col} stats"
+                    )
+                lo, hi = std.min, std.max
+                lo = lo if isinstance(lo, str) else lo.strftime("%Y-%m-%d")
+                hi = hi if isinstance(hi, str) else hi.strftime("%Y-%m-%d")
+                mnd = lo if mnd is None else min(mnd, lo)
+                mxd = hi if mxd is None else max(mxd, hi)
+        out = {"n": md.num_rows, "mnk": int(mnk), "mxk": int(mxk)}
+        if has_date:
+            out["mnd"], out["mxd"] = mnd, mxd
+        return out
+
+    by_dir: dict[tuple, list[str]] = {}
+    for fp in sorted(_glob.glob(os.path.join(
+        scratch, *(["*"] * len(spec)), "part-*.parquet"
+    ))):
+        rel = os.path.relpath(os.path.dirname(fp), scratch)
+        by_dir.setdefault(tuple(rel.split(os.sep)), []).append(fp)
+    if not by_dir:
         # the append_mapped rule: an empty write must refuse, not
         # burn a version on a zero-action (blank) commit file
         shutil.rmtree(scratch, ignore_errors=True)
         raise ValueError("empty append")
     actions = []
-    for r in sorted(st, key=lambda r: tuple(str(r[s]) for s in shadow)):
-        vals = [r[s] for s in shadow]
-        parts = [
-            _encode_part_value(e, v) for e, v in zip(spec, vals)
-        ]
-        sub = os.path.join(
-            scratch, *[
-                f"{s}={p.split('=', 1)[1]}"
-                for s, p in zip(shadow, parts)
-            ]
-        )
-        files = sorted(_glob.glob(os.path.join(sub, "part-*.parquet")))
-        if not files:
-            raise RuntimeError(f"partition write produced no file at {sub}")
+    for comps in sorted(
+        by_dir, key=lambda c: tuple(x.split("=", 1)[1] for x in c)
+    ):
+        vals = [c.split("=", 1)[1] for c in comps]
+        for e, v in zip(spec, vals):
+            if v != "__HIVE_DEFAULT_PARTITION__" and not _PART_VALUE_OK.match(v):
+                shutil.rmtree(scratch, ignore_errors=True)
+                raise ValueError(f"unencodable partition value {e}={v!r}")
+        parts = [f"{e}={v}" for e, v in zip(spec, vals)]
+        files = sorted(by_dir[comps])
         name = f"{prefix}-{'-'.join(parts)}.parquet"
         dest = os.path.join(table_dir, DATA_SUBDIR, name)
         if os.path.exists(dest):
@@ -4102,14 +4145,15 @@ def _stage_partitioned_files(
             # merged here only if Spark ever splits a value (it does
             # not under repartition-by-value; kept for safety)
             _write_one_file(spark.read.parquet(*files), dest)
+        st = _footer_part_stats(dest)
         act = {
             "a": "add", "path": name, "part": parts,
-            "n_rows": int(r["n"]), "n_bytes": os.path.getsize(dest),
-            "min_key": int(r["mnk"]), "max_key": int(r["mxk"]),
+            "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
+            "min_key": st["mnk"], "max_key": st["mxk"],
         }
         if has_date:
-            act["min_date"] = r["mnd"]
-            act["max_date"] = r["mxd"]
+            act["min_date"] = st["mnd"]
+            act["max_date"] = st["mxd"]
         actions.append(act)
     shutil.rmtree(scratch, ignore_errors=True)
     return actions
@@ -6017,21 +6061,28 @@ def delete_keys_mor(
     write-amplification trade every modern table format ships.
 
     Returns the committed version."""
-    st = keys.agg(
-        F.count("*").alias("n"),
-        F.min(key).alias("mnk"),
-        F.max(key).alias("mxk"),
-    ).collect()[0]  # 1-row metadata
-    if not st["n"]:
-        raise ValueError("empty delete key set")
+    import pyarrow.parquet as _pq
+
     nonce = _next_version_nonce(table_dir)
     name = f"KD{nonce}.parquet"
     dest = os.path.join(table_dir, DATA_SUBDIR, name)
     _write_one_file(keys.select(F.col(key).alias("o_orderkey")), dest)
+    # key-range stats from the written file's parquet footer (r17:
+    # int64 row-group statistics are exact — the separate pre-write
+    # aggregation job measured the same numbers twice)
+    md = _pq.ParquetFile(dest).metadata
+    if not md.num_rows:
+        os.remove(dest)
+        raise ValueError("empty delete key set")
+    ki = md.schema.names.index("o_orderkey")
+    mnk = min(md.row_group(r).column(ki).statistics.min
+              for r in range(md.num_row_groups))
+    mxk = max(md.row_group(r).column(ki).statistics.max
+              for r in range(md.num_row_groups))
     return commit_actions(table_dir, [{
         "a": "keydel", "path": name,
-        "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
-        "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+        "n_rows": int(md.num_rows), "n_bytes": os.path.getsize(dest),
+        "min_key": int(mnk), "max_key": int(mxk),
     }])
 
 

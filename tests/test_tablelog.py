@@ -4285,3 +4285,69 @@ def test_materialize_carries_partition_values(spark, tmp_path):
             spark, d, {"o_orderpriority": p})
         assert got.count() == alive.filter(
             tl.F.col("o_orderpriority") == p).count()
+
+
+def test_footer_stats_match_aggregation(spark, tmp_path):
+    """r17 optimization guard: the partitioned writer and the keydel
+    verb now record their file stats from the written parquet
+    FOOTERS instead of a second aggregation pass — the recorded
+    n_rows / key range / date range must equal a direct aggregation
+    bit-for-bit, including a space-valued and a NULL partition
+    value (the dir-name round-trip the footer path relies on)."""
+    df = spark.createDataFrame(
+        [
+            (1, "A B", "1995-01-02", 10.0),
+            (2, "A B", "1995-03-04", 11.0),
+            (5, "C", "1996-07-08", 12.0),
+            (9, None, "1994-11-30", 13.0),
+        ],
+        "o_orderkey long, seg string, o_orderdate string,"
+        " o_totalprice double",
+    ).withColumn("o_orderdate", tl.F.col("o_orderdate").cast("date"))
+    d = str(tmp_path / "footstats")
+    os.makedirs(os.path.join(d, tl.LOG_SUBDIR))
+    os.makedirs(os.path.join(d, tl.DATA_SUBDIR))
+    tl.set_partition_spec(d, ["seg"])
+    tl.append_partitioned(spark, d, df, "P")
+    want = {
+        tuple(r["parts"]): r
+        for r in df.groupBy("seg").agg(
+            tl.F.count("*").alias("n"),
+            tl.F.min("o_orderkey").alias("mnk"),
+            tl.F.max("o_orderkey").alias("mxk"),
+            tl.F.min(tl.F.date_format("o_orderdate", "yyyy-MM-dd"))
+            .alias("mnd"),
+            tl.F.max(tl.F.date_format("o_orderdate", "yyyy-MM-dd"))
+            .alias("mxd"),
+        ).withColumn(
+            "parts",
+            tl.F.array(tl.F.concat_ws(
+                "=", tl.F.lit("seg"),
+                tl.F.coalesce(
+                    tl.F.col("seg"),
+                    tl.F.lit("__HIVE_DEFAULT_PARTITION__")),
+            )),
+        ).collect()
+    }
+    seen = 0
+    for p in sorted(tl._glob.glob(os.path.join(d, tl.LOG_SUBDIR, "*.json"))):
+        with open(p) as f:
+            for ln in f:
+                a = json.loads(ln)
+                if a.get("a") != "add":
+                    continue
+                seen += 1
+                w = want[tuple(a["part"])]
+                assert a["n_rows"] == w["n"], a
+                assert a["min_key"] == w["mnk"], a
+                assert a["max_key"] == w["mxk"], a
+                assert a["min_date"] == w["mnd"], a
+                assert a["max_date"] == w["mxd"], a
+    assert seen == len(want) == 3
+    # keydel stats from the written key file's footer
+    keys = df.filter("o_orderkey % 2 = 1").select("o_orderkey")
+    tl.delete_keys_mor(spark, d, keys)
+    kd = [r for r in tl._live_delete_actions(d) if r["a"] == "keydel"]
+    assert len(kd) == 1
+    assert kd[0]["n_rows"] == 3
+    assert kd[0]["min_key"] == 1 and kd[0]["max_key"] == 9
