@@ -5476,6 +5476,49 @@ def _next_version_nonce(table_dir: str) -> int:
     return (max(versions) + 1) if versions else 0
 
 
+def _footer_file_stats(path: str, key: str) -> dict:
+    """n_rows / key range / optional ``o_orderdate`` range of ONE
+    written parquet file from its FOOTER row-group statistics —
+    exact for int64 and date32 (never truncated; 10-char ISO date
+    strings sit far below the string-stat truncation bound, and ISO
+    form makes string min/max == date min/max).  The r17 rule:
+    write-time stats read the footer the write just produced, never
+    a second scan job.  Returns ``{"n": 0}`` for an empty file;
+    raises if a row group lacks the statistic (loud, like the old
+    ``int(None)`` crash — a silent wrong bound would let a skip
+    plan lose rows)."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(path).metadata
+    if not md.num_rows:
+        return {"n": 0}
+    names = md.schema.names
+    ki = names.index(key)
+    di = names.index("o_orderdate") if "o_orderdate" in names else -1
+    mnk = mxk = mnd = mxd = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ki).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(f"{path} row group {rg}: no {key} stats")
+        mnk = st.min if mnk is None else min(mnk, st.min)
+        mxk = st.max if mxk is None else max(mxk, st.max)
+        if di >= 0:
+            sd = md.row_group(rg).column(di).statistics
+            if sd is None or not sd.has_min_max:
+                raise ValueError(
+                    f"{path} row group {rg}: no o_orderdate stats"
+                )
+            lo, hi = sd.min, sd.max
+            lo = lo if isinstance(lo, str) else lo.strftime("%Y-%m-%d")
+            hi = hi if isinstance(hi, str) else hi.strftime("%Y-%m-%d")
+            mnd = lo if mnd is None else min(mnd, lo)
+            mxd = hi if mxd is None else max(mxd, hi)
+    out = {"n": int(md.num_rows), "mnk": int(mnk), "mxk": int(mxk)}
+    if di >= 0:
+        out["mnd"], out["mxd"] = mnd, mxd
+    return out
+
+
 def _write_with_add_action(
     df: DataFrame, table_dir: str, name: str, *, key: str = "o_orderkey"
 ) -> dict | None:
@@ -5486,35 +5529,20 @@ def _write_with_add_action(
     second evaluation of ``df`` could disagree with the bytes on
     disk (any nondeterminism in the rewrite frame would desync the
     skip bounds from the data they describe, and a skip plan with
-    too-narrow bounds LOSES rows), and it would also evaluate an
-    expensive DML rewrite frame twice — writing first makes the
-    stats pass a scan of one local columnar file."""
+    too-narrow bounds LOSES rows) — and since r17 the "scan" of the
+    written file is its parquet footer, zero Spark jobs."""
     dest = os.path.join(table_dir, DATA_SUBDIR, name)
     _write_one_file(df, dest, sort_key=key)
-    written = df.sparkSession.read.parquet(dest)
-    aggs = [
-        F.count("*").alias("n"),
-        F.min(key).alias("mnk"),
-        F.max(key).alias("mxk"),
-    ]
-    has_date = "o_orderdate" in written.columns
-    if has_date:
-        aggs.append(
-            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mnd")
-        )
-        aggs.append(
-            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mxd")
-        )
-    st = written.agg(*aggs).collect()[0]
+    st = _footer_file_stats(dest, key)
     if not st["n"]:
         os.remove(dest)
         return None
     add = {
         "a": "add", "path": name,
-        "n_rows": int(st["n"]), "n_bytes": os.path.getsize(dest),
-        "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+        "n_rows": st["n"], "n_bytes": os.path.getsize(dest),
+        "min_key": st["mnk"], "max_key": st["mxk"],
     }
-    if has_date:
+    if "mnd" in st:
         add["min_date"] = st["mnd"]
         add["max_date"] = st["mxd"]
     return add
@@ -5562,47 +5590,27 @@ def _write_with_add_actions(
         .write.mode("overwrite")
         .parquet(scratch)
     )
-    spark = df.sparkSession
-    written = spark.read.parquet(scratch)
-    aggs = [
-        F.count("*").alias("n"),
-        F.min(key).alias("mnk"),
-        F.max(key).alias("mxk"),
-    ]
-    has_date = "o_orderdate" in written.columns
-    if has_date:
-        aggs.append(
-            F.min(F.date_format("o_orderdate", "yyyy-MM-dd"))
-            .alias("mnd"))
-        aggs.append(
-            F.max(F.date_format("o_orderdate", "yyyy-MM-dd"))
-            .alias("mxd"))
-    stats = {
-        os.path.basename(r["fp"]): r
-        for r in written.groupBy(
-            F.col("_metadata.file_path").alias("fp")).agg(*aggs)
-        .collect()  # one row per written file — metadata-sized
-    }
     adds: list[dict] = []
     idx = 0
     # part files sort in partition-index order == ascending key
     # ranges (repartitionByRange), so publication order is the
-    # clustered order
+    # clustered order; per-file stats from each written footer (r17
+    # — the grouped _metadata scan was one more job per commit)
     for part in sorted(
             _glob.glob(os.path.join(scratch, "part-*.parquet"))):
-        st = stats.get(os.path.basename(part))
-        if st is None or not st["n"]:
+        st = _footer_file_stats(part, key)
+        if not st["n"]:
             continue  # empty task file
         fname = f"{base}-{idx:05d}.parquet"
         dest = os.path.join(table_dir, DATA_SUBDIR, fname)
         os.replace(part, dest)
         add = {
             "a": "add", "path": fname,
-            "n_rows": int(st["n"]),
+            "n_rows": st["n"],
             "n_bytes": os.path.getsize(dest),
-            "min_key": int(st["mnk"]), "max_key": int(st["mxk"]),
+            "min_key": st["mnk"], "max_key": st["mxk"],
         }
-        if has_date:
+        if "mnd" in st:
             add["min_date"] = st["mnd"]
             add["max_date"] = st["mxd"]
         adds.append(add)
