@@ -2140,6 +2140,12 @@ def _action_lines_of(commit_path: str) -> tuple[dict, ...]:
             for ln in f:
                 if ln.strip():
                     out.append(json.loads(ln))
+        if not out:
+            # partially visible (reader raced the committer between
+            # O_EXCL create and the content write) — do not cache, or
+            # every replay built on this cache stays desynced for the
+            # process lifetime (the _commit_ts_of/_txn_tag_of guard)
+            return ()
         _ACTLINE_CACHE[commit_path] = tuple(out)
     return _ACTLINE_CACHE[commit_path]
 
@@ -4176,14 +4182,15 @@ def partition_candidate_files(
     field-id alias map, so a rename costs no pruning precision."""
     # driver-side last-action replay (r17): the skip plan needs only
     # log metadata, and the Spark-frame route (read_log + window +
-    # collect) cost a full job per planning pass; _live_adds_before
-    # is the same replay (checkpoint-seeded on truncated logs) the
-    # streaming expansion already trusts
+    # collect) cost a full job per planning pass.  _live_file_records
+    # (not _live_adds_before) for the VERSIONED replay: it selects the
+    # checkpoint at-or-below ``version`` and validates expiry exactly
+    # like snapshot_files — seeding from the latest checkpoint and
+    # filtering by v would mis-resolve files removed/re-added in
+    # (version, ckpt_v] on a truncated log, silently dropping rows
+    # from a time-travel read through pruning (ADVICE r17).
     live = sorted(
-        _live_adds_before(
-            os.path.join(table_dir, LOG_SUBDIR),
-            (version + 1) if version is not None else 1 << 62,
-        ),
+        _live_file_records(table_dir, version),
         key=lambda r: r["path"],
     )
     alias_map = _spec_alias_map(spark, table_dir, version)
@@ -6083,10 +6090,15 @@ def delete_keys_mor(
         os.remove(dest)
         raise ValueError("empty delete key set")
     ki = md.schema.names.index("o_orderkey")
-    mnk = min(md.row_group(r).column(ki).statistics.min
-              for r in range(md.num_row_groups))
-    mxk = max(md.row_group(r).column(ki).statistics.max
-              for r in range(md.num_row_groups))
+    sts = [md.row_group(r).column(ki).statistics
+           for r in range(md.num_row_groups)]
+    for r, st in enumerate(sts):
+        if st is None or not st.has_min_max:
+            # same loud contract as _footer_file_stats: a silent
+            # wrong bound would let a skip plan resurrect rows
+            raise ValueError(f"{dest} row group {r}: no o_orderkey stats")
+    mnk = min(st.min for st in sts)
+    mxk = max(st.max for st in sts)
     return commit_actions(table_dir, [{
         "a": "keydel", "path": name,
         "n_rows": int(md.num_rows), "n_bytes": os.path.getsize(dest),

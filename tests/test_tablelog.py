@@ -4351,3 +4351,33 @@ def test_footer_stats_match_aggregation(spark, tmp_path):
     assert len(kd) == 1
     assert kd[0]["n_rows"] == 3
     assert kd[0]["min_key"] == 1 and kd[0]["max_key"] == 9
+
+
+def test_versioned_pruning_respects_checkpoint_horizon(spark, tmp_path):
+    """partition_candidate_files(version=V) must replay through the
+    checkpoint AT-OR-BELOW V (ADVICE r17): seeding from the LATEST
+    checkpoint and filtering by v would mis-resolve files removed or
+    re-added in (V, ckpt_v] on a truncated log — a time-travel read
+    through pruning silently losing rows.  Below the horizon it must
+    raise like snapshot_files; at a retained version it must name
+    exactly the snapshot's files."""
+    import pytest
+
+    src_tbl = tl.stage_versioned_table(spark, SF_SMOKE)
+    d = str(tmp_path / "vprune")
+    shutil.copytree(src_tbl, d)
+    want_v2 = _live(spark, d, 2)
+    want_latest = _live(spark, d)
+
+    tl.expire_log(spark, d, 2)
+    # below the checkpoint horizon: loud, same contract as the read
+    with pytest.raises(ValueError, match="log expired"):
+        tl.partition_candidate_files(spark, d, {}, version=0)
+    # retained versioned replay == the snapshot's file set
+    assert sorted(
+        r["path"]
+        for r in tl.partition_candidate_files(spark, d, {}, version=2)
+    ) == want_v2
+    assert sorted(
+        r["path"] for r in tl.partition_candidate_files(spark, d, {})
+    ) == want_latest
