@@ -75,12 +75,32 @@ for _i in range(256):
     _CRC_TABLE.append(_c)
 
 
-def ogg_crc(data: bytes) -> int:
-    """Ogg's CRC-32: forward bit order, zero init, zero final xor."""
+def _ogg_crc_scalar(data: bytes) -> int:
+    """Byte-at-a-time reference; fastest for short inputs and the
+    differential-test oracle for the vectorized path."""
     c = 0
     for b in data:
         c = ((c << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((c >> 24) ^ b) & 0xFF]
     return c
+
+
+_VEC = None  # lazy: NumPy position tables built on first long page
+
+
+def ogg_crc(data: bytes) -> int:
+    """Ogg's CRC-32: forward bit order, zero init, zero final xor.
+    Page-sized inputs run vectorized over NumPy position tables
+    (gemmsql.crcvec); short inputs keep the scalar loop."""
+    from gemmsql.crcvec import MIN_VEC_LEN
+
+    if len(data) < MIN_VEC_LEN:
+        return _ogg_crc_scalar(data)
+    global _VEC
+    if _VEC is None:
+        from gemmsql.crcvec import VecCRC
+
+        _VEC = VecCRC(_CRC_TABLE, reflected=False, init=0, xor_out=0)
+    return _VEC.crc(data)
 
 
 def _lacing(n: int) -> list[int]:

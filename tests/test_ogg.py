@@ -138,3 +138,17 @@ def test_split_ingest_equals_whole_at_three_sizes(spark):
         split = sorted(map(tuple, ogg_split_ingest(
             spark, SF_SMOKE, target_split_bytes=target).collect()))
         assert split == whole, target
+
+
+def test_ogg_crc_vectorized_matches_scalar():
+    """Forward-CRC variant of the crcvec differential: the vectorized
+    Ogg page CRC must equal the byte-at-a-time reference across the
+    threshold and chunk boundaries."""
+    import random
+
+    from gemmsql.pipeline.ogg import _ogg_crc_scalar, ogg_crc
+
+    rng = random.Random(0x066)
+    for n in (0, 1, 31, 32, 33, 300, 4095, 4096, 4097, 9000):
+        d = rng.randbytes(n)
+        assert ogg_crc(d) == _ogg_crc_scalar(d), n

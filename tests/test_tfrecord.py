@@ -107,3 +107,22 @@ def test_roundtrip_property():
         assert parse_tfrecord(build_tfrecord(recs)) == recs
 
     check()
+
+
+def test_crc32c_vectorized_matches_scalar():
+    """The NumPy position-table CRC (gemmsql.crcvec) must equal the
+    byte-at-a-time reference on every length class: empty, sub-
+    threshold, around the vectorization threshold, and across the
+    4096-byte chunk boundary (ragged first chunk + full-chunk carry)."""
+    import random
+
+    from gemmsql.pipeline.tfrecord import _crc32c_scalar, crc32c
+
+    rng = random.Random(0xC3C)
+    for n in (0, 1, 8, 31, 32, 33, 512, 4095, 4096, 4097,
+              8192, 8193, 12289, 40000):
+        d = rng.randbytes(n)
+        assert crc32c(d) == _crc32c_scalar(d), n
+    # the known-answer vector: CRC-32C("123456789") == 0xE3069283
+    assert _crc32c_scalar(b"123456789") == 0xE3069283
+    assert crc32c(b"1234567890" * 10) == _crc32c_scalar(b"1234567890" * 10)
