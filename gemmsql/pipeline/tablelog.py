@@ -1319,8 +1319,12 @@ def ivm_drain(
         # emissions, resolved by the monotone per-group change count).
         # NO coalesce(1) here: measured r17, collapsing the batch to
         # one task serializes the state-store read behind it and cost
-        # ~1.5 s per gate lifecycle — more than the file-count win
-        bdf.write.mode("append").parquet(emissions_dir)
+        # ~1.5 s per gate lifecycle — more than the file-count win.
+        # repartition(1) instead (r18): the state read stays at its
+        # own parallelism behind the exchange; the write side becomes
+        # one task + one file, halving the committer's FS ops per
+        # micro-batch (measured ~0.1 s/batch at sf0.1)
+        bdf.repartition(1).write.mode("append").parquet(emissions_dir)
 
     with state_partitions(spark):
         q = (
