@@ -3606,27 +3606,38 @@ def streaming_tablelog_gate_dir(
                 by_path.setdefault(a["path"], []).append(
                     (int(a["v"]), int(a["n_rows"]))
                 )
-    add_rows = []
-    for path, vs in by_path.items():
-        vs.sort()
+    # Shipped as a LITERAL MAP expression rather than a local-relation
+    # broadcast join (r18): the static side of a stream-static join
+    # re-materializes (LocalTableScan + BroadcastExchange) every
+    # micro-batch; for this KB-scale index an in-row
+    # element_at(filter(map[path], ...), 1) lookup is pure codegen —
+    # no per-batch broadcast, no join operator at all.  Intervals are
+    # disjoint by construction, so the single filter survivor equals
+    # the old 1:1 range-join row; an unknown path yields NULL exactly
+    # like the left join did.
+    map_items = []
+    for path in sorted(by_path):
+        vs = sorted(by_path[path])
+        entries = []
         for k, (v, n) in enumerate(vs):
             nxt = vs[k + 1][0] if k + 1 < len(vs) else 2**62
-            add_rows.append((path, v, nxt, n))
-    adds = spark.createDataFrame(
-        sorted(add_rows),
-        "path string, add_v long, next_add_v long, add_rows long",
-    )
+            entries.append(F.struct(
+                F.lit(v).cast("long").alias("add_v"),
+                F.lit(nxt).cast("long").alias("next_add_v"),
+                F.lit(n).cast("long").alias("add_rows"),
+            ))
+        map_items.extend([F.lit(path), F.array(*entries)])
+    add_index = F.create_map(*map_items)
+    add_rows_col = F.element_at(
+        F.filter(
+            add_index[F.col("path")],
+            lambda e: (F.col("v") >= e["add_v"])
+            & (F.col("v") < e["next_add_v"]),
+        ),
+        1,
+    )["add_rows"]
     agg = (
-        src.join(
-            F.broadcast(adds),
-            on=[
-                src["path"] == adds["path"],
-                src["v"] >= adds["add_v"],
-                src["v"] < adds["next_add_v"],
-            ],
-            how="left",
-        )
-        .drop(adds["path"])
+        src.withColumn("add_rows", add_rows_col)
         .groupBy(F.col("v").alias("version"))
         .agg(
             F.sum(F.when(F.col("a") == "add", 1).otherwise(0))
