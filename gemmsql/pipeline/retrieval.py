@@ -57,25 +57,34 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = sorted({t for _, q in QUERIES for t in q.split(" ")})
 
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split("text", " ")).alias("term"),
-        F.size(F.split("text", " ")).cast("long").alias("len_d"),
-    ).where(F.col("term").isin(vocab))
-    # scope-cached: consumed twice (df table + scoring) — one corpus
-    # scan instead of two; bounded by the matching (doc, term) pairs of
-    # the query vocabulary, not the corpus
+    # ONE corpus scan (r18): tokenize each doc once and keep only its
+    # length and the vocabulary-matching terms (duplicates preserved
+    # for tf) — the old shape re-scanned AND re-split the whole corpus
+    # a second time just for the (n, avgl) totals.  base is one narrow
+    # row per doc, so both the totals and the tf table derive from the
+    # same cached scan.
+    base = scoped_cache(
+        docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+            "doc_id",
+            F.size("toks").cast("long").alias("len_d"),
+            F.filter("toks", lambda t: t.isin(vocab)).alias("vterms"),
+        ),
+        fresh_scope=True,
+    )
+    toks = base.select(
+        "doc_id", "len_d", F.explode("vterms").alias("term")
+    )
+    # scope-cached: consumed twice (df table + scoring)
     tf = scoped_cache(
         toks.groupBy("doc_id", "term").agg(
             F.count("*").cast("long").alias("tf"),
             F.max("len_d").alias("len_d"),
         ),
-        fresh_scope=True,
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    totals = docs.agg(
+    totals = base.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("l"),
+        F.sum("len_d").cast("long").alias("l"),
     ).select(
         "n",
         # avgl on the 1e-3 grid: (2000 L + N) DIV (2 N), half away up
