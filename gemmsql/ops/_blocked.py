@@ -112,4 +112,11 @@ def broadcast_right_partials(
                 pdf[extra].reset_index(drop=True), rids, rmat,
             )
 
-    return left.select("i", "vec", *extra).mapInPandas(run, partial_schema)
+    from gemmsql.ops.gate import _spread
+
+    # byte-light/compute-heavy spread (r18): the broadcast path only
+    # runs for bounded tables whose scan is ONE partition — without
+    # the fan-out the kernel serializes on a single core
+    return _spread(left.select("i", "vec", *extra)).mapInPandas(
+        run, partial_schema
+    )

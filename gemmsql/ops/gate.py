@@ -100,6 +100,40 @@ Q_DELTA = 1_000_000.0    # xentropy (softmax - onehot) quantization
 # bound must hold at any N.
 BROADCAST_MAX_ROWS = 8_192
 
+#: target rows per task for the broadcast-kernel spread — small enough
+#: that a 2000-row table still fans ~8 ways, large enough that each
+#: Arrow batch amortizes the Python worker round
+SPREAD_ROWS_PER_TASK = 256
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Byte-light/compute-heavy spread before a broadcast-path kernel
+    (guide §2; the media_split r17 precedent).  These kernels only run
+    for tables under BROADCAST_MAX_ROWS, whose KB-scale parquet scan
+    is ONE input partition — so the NumPy kernel serialized on one
+    core (measured r18: the whole ML tier showed 8-core ≈ 32-core
+    scaling for exactly this reason).  One round-robin exchange of at
+    most ~8192 narrow rows fans the kernel across the cluster; tables
+    past the broadcast bound take the blocked/tile paths, which
+    partition via their own shuffle.  Every kernel fed by this is
+    batch-slicing-independent (per-row outputs or per-task monoid
+    partials merged by sum), so the spread cannot move a result.
+
+    Task sizing: ~SPREAD_ROWS_PER_TASK rows per task (footer row
+    count, never a job), capped at defaultParallelism — a fixed
+    32-way fan measured as pure scheduling overhead for the cheap
+    softmax kernels while still leaving the heavy ones (gumbel noise,
+    fused grads) under-parallelized at small N on few-core boxes."""
+    sc = df.sparkSession.sparkContext
+    from gemmsql.stats import frame_rows
+
+    n = frame_rows(df)
+    cap = sc.defaultParallelism
+    parts = cap if n is None else max(
+        2, min(cap, -(-n // SPREAD_ROWS_PER_TASK))
+    )
+    return df.repartition(parts)
+
 
 def _quant(mat: np.ndarray) -> np.ndarray:
     """floor(v * 1e6 + 0.5) as integer-valued float64 (exact in dgemm)."""
@@ -232,7 +266,7 @@ def attention_gate(
                     "val": (micro / Q_IN).ravel(),
                 })
 
-        out = q_vec.select("i", "vec").mapInPandas(
+        out = _spread(q_vec.select("i", "vec")).mapInPandas(
             run, "i long, d long, val double"
         )
         return out
@@ -348,7 +382,8 @@ def attention_grads_gate(
 
 
 def _attention_grads_parts(
-    vec: DataFrame, *, block: int = 4096, broadcast_kv: bool | str = "auto"
+    vec: DataFrame, *, block: int = 4096, broadcast_kv: bool | str = "auto",
+    spread: bool = True,
 ) -> DataFrame:
     """Unmerged integer-numerator partials of the self-attention vjp ->
     ``(which, i, nums)`` with gq/gk numerators on the 1e10 grid
@@ -396,7 +431,10 @@ def _attention_grads_parts(
             "nums": list(np.repeat(gv_acc[:, None], d, axis=1)),
         })
 
-    return vec.select("i", "vec").mapInPandas(
+    src = vec.select("i", "vec")
+    if spread:  # callers passing an already-spread derived frame skip it
+        src = _spread(src)
+    return src.mapInPandas(
         run, "which string, i long, nums array<long>"
     )
 
@@ -531,7 +569,9 @@ def xentropy_gate(
             loss = mx - s_lab + np.log(S / Q_EXP)
             yield pd.DataFrame({"i": pdf["i"].to_numpy(), "loss": loss})
 
-    out = vec.select("i", "vec", "label").mapInPandas(run, "i long, loss double")
+    out = _spread(vec.select("i", "vec", "label")).mapInPandas(
+        run, "i long, loss double"
+    )
     return out.select("i", F.round("loss", 6).alias("loss"))
 
 
@@ -599,7 +639,9 @@ def entropy_gate(
             h = mx + np.log(S / Q_EXP) - tsum / Q_W
             yield pd.DataFrame({"i": pdf["i"].to_numpy(), "entropy": h})
 
-    out = vec.select("i", "vec").mapInPandas(run, "i long, entropy double")
+    out = _spread(vec.select("i", "vec")).mapInPandas(
+        run, "i long, entropy double"
+    )
     return out.select("i", F.round("entropy", 6).alias("entropy"))
 
 
@@ -705,7 +747,7 @@ def _xe_grads_parts(
             })
         yield pd.DataFrame({"which": "gtrg", "i": _rids, "nums": list(gtrg_acc)})
 
-    return pred.select("i", "vec", "label").mapInPandas(
+    return _spread(pred.select("i", "vec", "label")).mapInPandas(
         run, "which string, i long, nums array<long>"
     )
 
@@ -856,7 +898,7 @@ def attention_xe_grads_gate_fused(
         })
         yield pd.DataFrame({"which": "xe_gtrg", "i": _rids, "nums": list(gtrg_acc)})
 
-    parts = vec.select("i", "vec", "label").mapInPandas(
+    parts = _spread(vec.select("i", "vec", "label")).mapInPandas(
         run, "which string, i long, nums array<long>"
     )
     merged = _merge_long_arrays(parts, ["which", "i"])
@@ -967,7 +1009,7 @@ def ml_grads_gate_fused(
             "nums": list(np.repeat(gq_acc[:, None], w.shape[1], axis=1)),
         })
 
-    parts = vec.select("i", "vec", "label").mapInPandas(
+    parts = _spread(vec.select("i", "vec", "label")).mapInPandas(
         run, "which string, i long, nums array<long>"
     )
     merged = _merge_long_arrays(parts, ["which", "i"])
@@ -1005,7 +1047,9 @@ def gram_gate(vec: DataFrame, *, relu: bool = False) -> DataFrame:
                 "nums": list(acc),
             })
 
-    parts = vec.select("vec").mapInPandas(partial, "j1 long, nums array<long>")
+    parts = _spread(vec.select("vec")).mapInPandas(
+        partial, "j1 long, nums array<long>"
+    )
     merged = _merge_long_arrays(parts, ["j1"])
     out = merged.select("j1", F.posexplode("nums").alias("j2", "num"))
     if relu:
@@ -1040,7 +1084,9 @@ def gram_gate_both(vec: DataFrame) -> DataFrame:
 
     from gemmsql.caching import scoped_cache
 
-    parts = vec.select("vec").mapInPandas(partial, "j1 long, nums array<long>")
+    parts = _spread(vec.select("vec")).mapInPandas(
+        partial, "j1 long, nums array<long>"
+    )
     # D rows of D-long arrays — tiny; query-scoped so it ages out
     merged = scoped_cache(_merge_long_arrays(parts, ["j1"]), fresh_scope=True)
     out = merged.select("j1", F.posexplode("nums").alias("j2", "num"))
@@ -1111,7 +1157,7 @@ def attention_gate_plain_kv(
                     "val": (micro / Q_IN).ravel(),
                 })
 
-    return q_vec.select("i", "vec").mapInPandas(
+    return _spread(q_vec.select("i", "vec")).mapInPandas(
         run, "which string, i long, d long, val double"
     )
 
@@ -1133,7 +1179,7 @@ def mlp_weights_int(vec: DataFrame) -> tuple[np.ndarray, int]:
                 "n": len(pdf),
             })
 
-    parts = vec.select("vec").mapInPandas(
+    parts = _spread(vec.select("vec")).mapInPandas(
         partial, "j1 long, nums array<long>, n long"
     ).toPandas()
     n = int(parts.groupby("j1")["n"].sum().iloc[0])
@@ -1191,7 +1237,9 @@ def mlp_gate(vec: DataFrame, *, cache_key: str | None = None) -> DataFrame:
                 "val": (micro / Q_IN).ravel(),
             })
 
-    return vec.select("i", "vec").mapInPandas(run, "i long, k long, val double")
+    return _spread(vec.select("i", "vec")).mapInPandas(
+        run, "i long, k long, val double"
+    )
 
 
 def mlp_grads_gate(
@@ -1234,7 +1282,7 @@ def mlp_grads_gate(
             "nums": list(np.repeat(gq_acc[:, None], k, axis=1)),
         })
 
-    parts = vec.select("i", "vec").mapInPandas(
+    parts = _spread(vec.select("i", "vec")).mapInPandas(
         run, "which string, i long, nums array<long>"
     )
     merged = _merge_long_arrays(parts, ["which", "i"])
@@ -1275,7 +1323,7 @@ def _chain_pred(vec: DataFrame, wq: np.ndarray) -> DataFrame:
                 "label": pdf["label"].to_numpy(),
             })
 
-    return vec.select("i", "vec", "label").mapInPandas(
+    return _spread(vec.select("i", "vec", "label")).mapInPandas(
         run, "i long, vec array<double>, label long"
     )
 
@@ -1482,7 +1530,7 @@ def _chain_grads_gate_fused(vec: DataFrame, wq: np.ndarray) -> DataFrame:
         })
         yield pd.DataFrame({"which": "gtrg", "i": _rids, "nums": list(gtrg_acc)})
 
-    parts = vec.select("i", "vec", "label").mapInPandas(
+    parts = _spread(vec.select("i", "vec", "label")).mapInPandas(
         run, "which string, i long, nums array<long>"
     )
     merged = _merge_long_arrays(parts, ["which", "i"])
@@ -1534,7 +1582,7 @@ def _chain_pred_scaled(vec: DataFrame, wq: np.ndarray) -> DataFrame:
                 "vec": list(ps / Q_IN),
             })
 
-    return vec.select("i", "vec").mapInPandas(
+    return _spread(vec.select("i", "vec")).mapInPandas(
         run, "i long, vec array<double>"
     )
 
@@ -1585,7 +1633,7 @@ def chain2_grads_gate(
         broadcast_kv = rows_for_choice(vec) <= BROADCAST_MAX_ROWS
     pred_s = _chain_pred_scaled(vec, wq)
     parts = _attention_grads_parts(
-        pred_s, block=block, broadcast_kv=broadcast_kv
+        pred_s, block=block, broadcast_kv=broadcast_kv, spread=False
     )
     # combine the three vjp legs on the common 1e10 grid (gv is 1e9)
     combined = parts.select(
@@ -1653,7 +1701,7 @@ def chain2_grads_gate(
         })
 
     if bg is not None:
-        src = vec.select("i", "vec")
+        src = _spread(vec.select("i", "vec"))
     else:
         from gemmsql.caching import scoped_cache
 

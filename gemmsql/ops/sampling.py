@@ -131,12 +131,35 @@ def sample_categorical(
     *,
     seed: int = 42,
     block: int = 4096,
+    broadcast_classes: bool | None = None,
 ) -> DataFrame:
-    partials = blocked_partials(
-        pred_vec, trg_vec, _sample_kernel(seed),
-        "i long, z double, sc double, c long, tz double",
-        left_block=block, right_block=block,
-    )
+    """Physical path picked like :func:`sampling_filtered` (r18): a
+    bounded class table (parquet-footer row count — no Spark job)
+    broadcasts and each pred batch scores every class in ONE narrow
+    map — no tile replication, no cogroup shuffle; past
+    :data:`CLASS_BROADCAST_MAX_ROWS` the blocked tile union scales
+    out.  Both paths feed the same monoid merge, and the Gumbel noise
+    is counter-based per (i, c), so the winner is tiling-independent
+    (the documented ~1-ulp tz fold-order budget applies to both —
+    the blocked path's class order was already shuffle-dependent)."""
+    if broadcast_classes is None:
+        from gemmsql.stats import rows_for_choice
+
+        broadcast_classes = (
+            rows_for_choice(trg_vec) <= CLASS_BROADCAST_MAX_ROWS
+        )
+    schema = "i long, z double, sc double, c long, tz double"
+    if broadcast_classes:
+        from gemmsql.ops._blocked import broadcast_right_partials
+
+        partials = broadcast_right_partials(
+            pred_vec, trg_vec, _sample_kernel(seed), schema
+        )
+    else:
+        partials = blocked_partials(
+            pred_vec, trg_vec, _sample_kernel(seed), schema,
+            left_block=block, right_block=block,
+        )
     # global winner = argmax over perturbed scores (associative max_by);
     # total mass = logsumexp of tile masses (reference sampling.py:30);
     # both fold in ONE aggregation — max_by merges map-side, and the
@@ -356,7 +379,9 @@ def sampling_filtered(
             (pdf, _rids, _rmat) for pdf in batches if len(pdf)
         )
 
-    out = pred_vec.select("i", "vec").mapInPandas(
+    from gemmsql.ops.gate import _spread
+
+    out = _spread(pred_vec.select("i", "vec")).mapInPandas(
         run, "which string, i long, choice long, prob double"
     )
     return out.select("which", "i", "choice", F.round("prob", 6).alias("prob"))

@@ -252,3 +252,25 @@ def test_sampling_filtered_paths_bit_equal_and_pick(spark):
     )
     assert "MapInPandas" in auto_plan and "Window" not in auto_plan
     assert "Window" in forced_plan and "MapInPandas" not in forced_plan
+
+
+def test_sampling_broadcast_and_blocked_paths_agree(spark, emb_matrix):
+    """r18: sample_categorical picks the broadcast kernel for bounded
+    class tables (like sampling_filtered).  Both physical paths draw
+    the same counter-based Gumbel noise per (i, c), so choice ids must
+    match exactly and probs within the module's documented ~1-ulp
+    fold-order budget (ROUND-6 grid)."""
+    vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
+    a = (
+        sample_categorical(vec, vec, seed=1, broadcast_classes=True)
+        .orderBy("i").toPandas()
+    )
+    b = (
+        sample_categorical(
+            vec, vec, seed=1, block=128, broadcast_classes=False
+        ).orderBy("i").toPandas()
+    )
+    assert (a["choice"].to_numpy() == b["choice"].to_numpy()).all()
+    assert np.allclose(
+        a["prob"].to_numpy(), b["prob"].to_numpy(), atol=5e-7
+    )

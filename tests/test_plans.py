@@ -155,8 +155,11 @@ def test_attention_blocked_single_merge_aggregate(spark):
 
 
 def test_attention_auto_broadcast_kv_is_narrow(spark):
-    """Small KV -> the auto strategy must pick the broadcast path:
-    a mapInPandas narrow map with NO Exchange before the kernel."""
+    """Small KV -> the auto strategy must pick the broadcast path: a
+    mapInPandas kernel fed by exactly ONE byte-light round-robin
+    spread (gate._spread, r18 — without it the single-partition scan
+    serializes the kernel on one core) and nothing else — no hash
+    shuffle, no join below the kernel."""
     from gemmsql.datamodel import embeddings_vectors
     from gemmsql.ops import attention_blocked
 
@@ -164,9 +167,12 @@ def test_attention_auto_broadcast_kv_is_narrow(spark):
     p = plan_of(attention_blocked(vec, vec, broadcast_kv="auto"))
     assert "MapInPandas" in p
     kernel_pos = p.index("MapInPandas")
-    assert "Exchange" not in p[kernel_pos:], (
-        "broadcast-KV partials must come straight off the scan"
+    below = p[kernel_pos:]
+    assert below.count("Exchange ") <= 1, (
+        "broadcast-KV partials allow only the one spread exchange"
     )
+    assert "hashpartitioning" not in below.lower()
+    assert "roundrobin" in below.lower(), "the spread must be round-robin"
 
 
 def test_bucketed_table_join_skips_exchange(spark, tmp_path):
@@ -236,8 +242,15 @@ def test_gate_grads_are_narrow_plus_one_merge(spark):
     for name, df in legs.items():
         p = plan_of(df)
         kernel_pos = p.index("MapInPandas")
-        assert "Exchange" not in p[kernel_pos:], (
-            f"{name}: kernel partials must come straight off the scan"
+        below = p[kernel_pos:]
+        # r18: one round-robin spread below the kernel is the
+        # adjudicated price for fanning the NumPy kernel off the
+        # single-partition scan; hash shuffles below it stay banned
+        assert below.count("Exchange ") <= 1, (
+            f"{name}: kernel partials allow only the one spread exchange"
+        )
+        assert "hashpartitioning" not in below.lower(), (
+            f"{name}: no hash shuffle below the kernel"
         )
         assert "CartesianProduct" not in p
         n_shuffles = p.count("Exchange hashpartitioning")
@@ -609,13 +622,17 @@ def test_corpus_diff_single_copartitioned_join(spark):
 
 def test_sampling_filtered_single_narrow_pass(spark):
     """Restriction + Gumbel pick resolve in-row against the broadcast
-    class table: one mapInPandas, no shuffle, no window exec."""
+    class table: one mapInPandas fed by the one round-robin spread
+    (gate._spread, r18 — the single-partition scan otherwise
+    serializes the kernel on one core), no hash shuffle, no window
+    exec."""
     from gemmsql.datamodel import embeddings_vectors
     from gemmsql.ops.sampling import sampling_filtered
 
     vec = embeddings_vectors(spark, SF_SMOKE).select("i", "vec")
     p = plan_of(sampling_filtered(vec, vec))
-    assert "Exchange" not in p, "broadcast path must not shuffle"
+    assert p.count("Exchange ") <= 1, "only the spread exchange"
+    assert "hashpartitioning" not in p.lower()
     assert "Window" not in p
     assert "MapInPandas" in p
 
@@ -1007,17 +1024,25 @@ def test_ml_gate_exchange_budgets(spark):
     shuffle would."""
     import __spark_entry__ as entrymod
 
+    # r18 re-pin: every broadcast-path kernel now rides ONE byte-light
+    # round-robin spread exchange before the NumPy map (gate._spread) —
+    # the KB-scale vector scan is a single partition, so the kernels
+    # were serializing on one core (the measured reason the whole ML
+    # tier showed 8-core == 32-core scaling in PERF_r17).  +1 per
+    # kernel entry is the adjudicated price; sampling DROPS 6 -> 2
+    # (its tile cogroup is replaced by the broadcast kernel for
+    # bounded class tables).
     budgets = {
-        "gram": 2,               # one per gram/relu leg's merge agg
-        "mlp": 0,                # broadcast weights, narrow kernel
-        "attention": 0,          # partial+final agg, no repartition
+        "gram": 4,               # spread x2 (cached-merge reprint) + legs
+        "mlp": 1,                # spread; broadcast weights kernel
+        "attention": 2,          # spread per union leg (plain_kv+scaled)
         "attention_batched": 2,  # per-batch merge + final agg
-        "xentropy": 0,
-        "entropy": 0,
-        "sampling": 6,           # seeded noise join + top-k monoid
-        "ml_grads": 1,           # the one scatter-add merge
-        "chain_grads": 1,
-        "chain2_grads": 1,
+        "xentropy": 1,           # spread
+        "entropy": 1,            # spread
+        "sampling": 2,           # spread + top-k monoid merge
+        "ml_grads": 2,           # spread + the one scatter-add merge
+        "chain_grads": 2,
+        "chain2_grads": 2,
         "ivfpq_topk": 3,         # assign + per-cell topk + final k
     }
     qs = entrymod.queries()
