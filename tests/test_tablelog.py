@@ -4381,3 +4381,28 @@ def test_versioned_pruning_respects_checkpoint_horizon(spark, tmp_path):
     assert sorted(
         r["path"] for r in tl.partition_candidate_files(spark, d, {})
     ) == want_latest
+
+
+def test_driver_replay_bound_refuses_past_threshold(spark, tmp_path, monkeypatch):
+    """r18 (VERDICT r17 #5): the driver-side metadata replays hold one
+    ~500 B dict per live file — past GEMMSQL_MAX_DRIVER_FILE_RECORDS
+    they must refuse loudly instead of silently exhausting the driver.
+    A synthetic many-file log exercises both sides of the bound."""
+    import pytest
+
+    d = _mklog(tmp_path, {
+        0: [_add(0, f"f{i:05d}.parquet") for i in range(500)],
+        1: [_add(1, f"g{i:05d}.parquet") for i in range(500)],
+    })
+    # comfortably under the default bound: replay works
+    recs = tl._live_file_records(d)
+    assert len(recs) == 1000
+    # past a (monkeypatched) bound: loud, named refusal on both replays
+    monkeypatch.setattr(tl, "_MAX_DRIVER_FILE_RECORDS", 999)
+    with pytest.raises(ValueError, match="GEMMSQL_MAX_DRIVER_FILE_RECORDS"):
+        tl._live_file_records(d)
+    with pytest.raises(ValueError, match="GEMMSQL_MAX_DRIVER_FILE_RECORDS"):
+        tl._live_adds_before(os.path.join(d, tl.LOG_SUBDIR), 1 << 62)
+    # at the bound exactly: fine (the bound is inclusive)
+    monkeypatch.setattr(tl, "_MAX_DRIVER_FILE_RECORDS", 1000)
+    assert len(tl._live_file_records(d)) == 1000
