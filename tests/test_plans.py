@@ -1043,7 +1043,7 @@ def test_ml_gate_exchange_budgets(spark):
         "ml_grads": 2,           # spread + the one scatter-add merge
         "chain_grads": 2,
         "chain2_grads": 2,
-        "ivfpq_topk": 3,         # assign + per-cell topk + final k
+        "ivfpq_topk": 4,         # spread + assign + per-cell topk + final
     }
     qs = entrymod.queries()
     for name, budget in budgets.items():
