@@ -1047,7 +1047,9 @@ def gram_gate(vec: DataFrame, *, relu: bool = False) -> DataFrame:
                 "nums": list(acc),
             })
 
-    parts = _spread(vec.select("vec")).mapInPandas(
+    # no _spread: the per-batch gram fold is one D x D matmul (~ms);
+    # the exchange costs more than the kernel (measured r18)
+    parts = vec.select("vec").mapInPandas(
         partial, "j1 long, nums array<long>"
     )
     merged = _merge_long_arrays(parts, ["j1"])
@@ -1084,7 +1086,9 @@ def gram_gate_both(vec: DataFrame) -> DataFrame:
 
     from gemmsql.caching import scoped_cache
 
-    parts = _spread(vec.select("vec")).mapInPandas(
+    # no _spread: the per-batch gram fold is one D x D matmul (~ms);
+    # the exchange costs more than the kernel (measured r18)
+    parts = vec.select("vec").mapInPandas(
         partial, "j1 long, nums array<long>"
     )
     # D rows of D-long arrays — tiny; query-scoped so it ages out
@@ -1179,7 +1183,7 @@ def mlp_weights_int(vec: DataFrame) -> tuple[np.ndarray, int]:
                 "n": len(pdf),
             })
 
-    parts = _spread(vec.select("vec")).mapInPandas(
+    parts = vec.select("vec").mapInPandas(
         partial, "j1 long, nums array<long>, n long"
     ).toPandas()
     n = int(parts.groupby("j1")["n"].sum().iloc[0])
@@ -1237,7 +1241,8 @@ def mlp_gate(vec: DataFrame, *, cache_key: str | None = None) -> DataFrame:
                 "val": (micro / Q_IN).ravel(),
             })
 
-    return _spread(vec.select("i", "vec")).mapInPandas(
+    # no _spread: the forward is two D x D matmuls per batch (~ms)
+    return vec.select("i", "vec").mapInPandas(
         run, "i long, k long, val double"
     )
 
