@@ -75,6 +75,7 @@ def cut_ranges(
     return ranges
 
 
+
 def doc_rows_frame(
     records: Iterable[tuple[int, str, str, str]],
 ) -> pd.DataFrame:

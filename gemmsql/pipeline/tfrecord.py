@@ -215,6 +215,9 @@ def tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for payload in parse_tfrecord(bytes(shard))
             )
 
+    # NO decode spread (r18 negative result): after the vectorized
+    # CRC the whole-shard decode is ~0.1-0.3 s total — a payload
+    # shuffle to fan it measured strictly slower on all four ingests
     return shards.mapInPandas(ingest, schema=DOC_OUT_SCHEMA)
 
 
